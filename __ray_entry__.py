@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (pages -> geocode -> H3 encode ->
+per-cell metrics -> fused k-ring Gaussian smoothing) on sf0.001.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+callable over an ``sf_dir``; ``oracle_sql()`` returns the DuckDB-equivalent
+SQL (generated from the same constants/formulas by
+``cuda_gis_smoothing_ray.sql.oracles``) for the SQL-expressible ones.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing here
+calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +17,148 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+RES = 7          # default hex resolution for the oracle-checked pipelines
+TILE_ZOOM = 6
+
+
+def _round6(x: np.ndarray) -> np.ndarray:
+    """Canonical cross-engine rounding: floor(x*1e6+0.5)/1e6 (see oracles.D)."""
+    return np.floor(x * 1000000.0 + 0.5) / 1000000.0
+
+
+def _round6_cols(ds, cols: list[str]):
+    def f(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            i = batch.column_names.index(c)
+            v = batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            batch = batch.set_column(i, c, pa.array(_round6(v)))
+        return batch
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _geocoded(sf_dir: str):
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.geoencode import geo_encode
+
+    return geo_encode(read_pages(sf_dir, include_html=False), res=RES)
+
+
+def _cells(sf_dir: str):
+    from cuda_gis_smoothing_ray.pipelines.flagship import cell_metrics
+
+    return cell_metrics(_geocoded(sf_dir))
+
+
+def _smooth(sf_dir: str, k: int, profile: str, cols: list[str]):
+    from cuda_gis_smoothing_ray.stages.smooth import smooth_cells
+
+    sm = smooth_cells(_cells(sf_dir), cols, k=k, profile=profile)
+    return _round6_cols(sm, [f"{c}_sm" for c in cols]).sort("cell")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001 -> smoothed cell table Dataset."""
+    from cuda_gis_smoothing_ray.pipelines.flagship import flagship
+
+    return flagship("/root/testdata/sf0.001", res=RES, k=1, profile="gaussian", fused=True)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_geocode_cells(sf_dir: str):
+    ds = _geocoded(sf_dir)
+    ds = ds.select_columns(["page_id", "url", "lat", "lon", "has_mention", "cell"])
+    return _round6_cols(ds, ["lat", "lon"]).sort("page_id")
+
+
+def _q_cell_metrics(sf_dir: str):
+    return _round6_cols(_cells(sf_dir), ["chars_mean", "en_share", "mention_rate"]).sort("cell")
+
+
+def _q_neighbor_stats(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.smooth import neighbor_counts
+
+    nc = neighbor_counts(_cells(sf_dir)).to_pandas()
+    n = nc["n_neighbors"].to_numpy(dtype=np.int64)
+    return pa.table(
+        {
+            "min_neighbors": pa.array([int(n.min())], pa.int64()),
+            "max_neighbors": pa.array([int(n.max())], pa.int64()),
+            "avg_neighbors": pa.array([float(_round6(np.array([n.sum() / len(n)]))[0])]),
+            "total_edges": pa.array([int(n.sum())], pa.int64()),
+        }
+    )
+
+
+def _q_morton(sf_dir: str):
+    from cuda_gis_smoothing_ray.functions import hexgrid
+
+    def add_morton(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False)
+        _, q, r = hexgrid.unpack(cell)
+        return pa.table({"cell": batch.column("cell"), "morton": pa.array(hexgrid.morton_key(q, r))})
+
+    return _cells(sf_dir).map_batches(add_morton, batch_format="pyarrow").sort(["morton", "cell"])
+
+
+def _q_tiles(sf_dir: str):
+    n = 1 << TILE_ZOOM
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        tx = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+        ty = np.floor((90.0 - lat) / 180.0 * n).astype(np.int64)
+        return pa.table(
+            {
+                "page_id": batch.column("page_id"),
+                "tile_x": pa.array(tx),
+                "tile_y": pa.array(ty),
+                "tile_id": pa.array(ty * n + tx),
+            }
+        )
+
+    return _geocoded(sf_dir).map_batches(assign, batch_format="pyarrow").sort("page_id")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        "geocode_cells": _q_geocode_cells,
+        "cell_metrics": _q_cell_metrics,
+        "neighbor_stats": _q_neighbor_stats,
+        "morton_order": _q_morton,
+        "tile_assign": _q_tiles,
+        "smooth_uniform_k1": lambda d: _smooth(d, 1, "uniform", ["chars_mean"]),
+        "smooth_gauss_k1": lambda d: _smooth(d, 1, "gaussian", ["chars_mean"]),
+        "smooth_uniform_k2": lambda d: _smooth(d, 2, "uniform", ["chars_mean"]),
+        "smooth_gauss_k2": lambda d: _smooth(d, 2, "gaussian", ["chars_mean"]),
+        "smooth_fused4": lambda d: _smooth(
+            d, 1, "gaussian", ["page_count", "chars_mean", "en_share", "mention_rate"]
+        ),
+    }
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from cuda_gis_smoothing_ray.sql import oracles as o
+
+    return {
+        "geocode_cells": o.geocode_cells_sql(RES),
+        "cell_metrics": o.cell_metrics_sql(RES),
+        "neighbor_stats": o.neighbor_stats_sql(RES),
+        "morton_order": o.morton_sql(RES),
+        "tile_assign": o.tile_assign_sql(RES, TILE_ZOOM),
+        "smooth_uniform_k1": o.smooth_sql(RES, 1, "uniform", ["chars_mean"]),
+        "smooth_gauss_k1": o.smooth_sql(RES, 1, "gaussian", ["chars_mean"]),
+        "smooth_uniform_k2": o.smooth_sql(RES, 2, "uniform", ["chars_mean"]),
+        "smooth_gauss_k2": o.smooth_sql(RES, 2, "gaussian", ["chars_mean"]),
+        "smooth_fused4": o.smooth_sql(
+            RES, 1, "gaussian", ["page_count", "chars_mean", "en_share", "mention_rate"]
+        ),
+    }

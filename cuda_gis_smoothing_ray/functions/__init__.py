@@ -1,0 +1,1 @@
+"""Ray-Data-native spatial + training-data engine (see SURVEY.md)."""

@@ -1,0 +1,85 @@
+"""Flagship pipeline: pages -> geocode -> H3-encode -> per-cell metrics ->
+k-ring smoothing (SURVEY §3.4).
+
+Scale shape: the page-level data (the 100 TB side) is touched ONLY by
+stateless/actor-pool ``map_batches`` with batch-local partial aggregation —
+the only shuffles in the whole pipeline run over *cell-level* rows (bounded by
+the number of distinct hex cells, millions at res 9, not by page count).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.pages import read_pages
+from ..stages.geoencode import geo_encode
+from ..stages.smooth import smooth_cells
+
+#: the 4 fused metric columns (the reference's NDVI/MNDWI/EVI/NDWI analog,
+#: ``src/cuda/hex_smooth_cuda_v4.cu:26,359-363``)
+METRIC_COLS = ["page_count", "chars_mean", "en_share", "mention_rate"]
+
+
+def _partial_metrics(batch: pa.Table) -> pa.Table:
+    """Per-batch partial aggregation of page metrics by cell."""
+    cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+    chars = pc.utf8_length(batch.column("text")).to_numpy(zero_copy_only=False).astype(np.float64)
+    is_en = pc.equal(batch.column("lang"), "en").to_numpy(zero_copy_only=False).astype(np.float64)
+    mention = batch.column("has_mention").to_numpy(zero_copy_only=False).astype(np.float64)
+    uniq, inv = np.unique(cell, return_inverse=True)
+    ones = np.ones(len(cell), dtype=np.float64)
+    return pa.table(
+        {
+            "cell": pa.array(uniq),
+            "n": pa.array(np.bincount(inv, weights=ones, minlength=len(uniq))),
+            "s_chars": pa.array(np.bincount(inv, weights=chars, minlength=len(uniq))),
+            "s_en": pa.array(np.bincount(inv, weights=is_en, minlength=len(uniq))),
+            "s_mention": pa.array(np.bincount(inv, weights=mention, minlength=len(uniq))),
+        }
+    )
+
+
+def cell_metrics(geocoded_ds):
+    """Geocoded pages -> cell table with the 4 fused metric columns.
+
+    Partial-agg inside map_batches, then a small groupby over partials — the
+    page->cell reduction never ships page rows through the shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    reduced = (
+        geocoded_ds.map_batches(_partial_metrics, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s_chars", alias_name="s_chars"),
+            Sum("s_en", alias_name="s_en"),
+            Sum("s_mention", alias_name="s_mention"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cell": batch.column("cell"),
+                "page_count": pa.array(n.astype(np.int64)),
+                "chars_mean": pa.array(batch.column("s_chars").to_numpy(zero_copy_only=False) / n),
+                "en_share": pa.array(batch.column("s_en").to_numpy(zero_copy_only=False) / n),
+                "mention_rate": pa.array(batch.column("s_mention").to_numpy(zero_copy_only=False) / n),
+            }
+        )
+
+    return reduced.map_batches(finalize, batch_format="pyarrow")
+
+
+def flagship(sf_dir: str, res: int = 7, k: int = 1, profile: str = "gaussian",
+             replicate: int = 1, fused: bool = True):
+    """Full pipeline -> smoothed cell table Dataset (cell + *_sm columns)."""
+    pages = read_pages(sf_dir, replicate=replicate, include_html=False)
+    geocoded = geo_encode(pages, res=res)
+    cells = cell_metrics(geocoded)
+    cols = METRIC_COLS if fused else ["chars_mean"]
+    return smooth_cells(cells, cols, k=k, profile=profile)

@@ -1,0 +1,136 @@
+"""Common-Crawl-style ``pages`` source (the ``input_hint`` table shape).
+
+Schema: ``(page_id:int64, url:string, warc_ts:timestamp[us], html:binary,
+text:string, lang:string)`` — synthesized *deterministically* from the
+driver's ``documents`` parquet (no external data), so the DuckDB oracle can
+reconstruct the identical table with pure SQL expressions.
+
+``text`` is carried verbatim from ``documents.text`` — the per-row invariant
+(byte-identical ``text`` per ``url`` through every stage, ``BASELINE.json``
+input_hint) is checked against this column.
+
+At bench scale the table is replicated ``replicate``x with distinct page_ids
+(rep * REP_STRIDE + doc_id) to create volume; oracle queries always use
+replicate=1.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import geocode
+
+REP_STRIDE = 1_000_000
+WARC_EPOCH = np.datetime64("2024-01-01T00:00:00", "us")
+
+PAGES_SCHEMA = pa.schema(
+    [
+        ("page_id", pa.int64()),
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def pages_from_documents_batch(batch: pa.Table, replicate: int = 1) -> pa.Table:
+    """documents batch (doc_id, text, lang, ...) -> pages batch.
+
+    Vectorized Arrow/numpy; zero Python-per-row work except the cheap
+    url-string join (pyarrow kernel).  Used inside ``map_batches``.
+    """
+    out_parts = []
+    doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    text = batch.column("text")
+    lang = batch.column("lang")
+    hid = geocode.host_id(doc_id)
+    idx = geocode.tld_index(doc_id)
+    tlds = np.array([t[0] for t in geocode.TLD_TABLE])
+    url = pc.binary_join_element_wise(
+        pa.array(np.char.add(np.char.add("https://h", hid.astype(str)), ".")),
+        pa.array(tlds[idx]),
+        pa.array(np.char.add("/p/", doc_id.astype(str))),
+        "",
+    )
+    html = pc.binary_join_element_wise(
+        pa.scalar(b"<html><body>", pa.binary()),
+        text.cast(pa.binary()),
+        pa.scalar(b"</body></html>", pa.binary()),
+        b"",
+    )
+    for rep in range(replicate):
+        page_id = doc_id + np.int64(rep) * np.int64(REP_STRIDE)
+        warc_ts = WARC_EPOCH + page_id.astype("timedelta64[s]").astype("timedelta64[us]")
+        out_parts.append(
+            pa.table(
+                {
+                    "page_id": pa.array(page_id),
+                    "url": url,
+                    "warc_ts": pa.array(warc_ts),
+                    "html": html,
+                    "text": text,
+                    "lang": lang,
+                },
+                schema=PAGES_SCHEMA,
+            )
+        )
+    return pa.concat_tables(out_parts)
+
+
+def read_pages(sf_dir: str, replicate: int = 1, include_html: bool = True):
+    """documents.parquet -> pages Dataset.
+
+    Column-pruned read (only doc_id/text/lang leave storage); html synthesis
+    is optional so downstream pipelines that never touch html skip the bytes
+    entirely (the "project the wide column away ASAP" rule — at 100 TB the
+    html column dominates the object store otherwise).
+    """
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def build(batch: pa.Table) -> pa.Table:
+        t = pages_from_documents_batch(batch, replicate=replicate)
+        if not include_html:
+            t = t.drop_columns(["html"])
+        return t
+
+    return ds.map_batches(build, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Standalone fixture generator (pytest F1 fixture): seeded pages with ~10% of
+# rows embedding an explicit "lat X lon Y" mention to exercise the extractor.
+# ---------------------------------------------------------------------------
+
+_WORDS = (
+    "the data web page crawl index token model train batch shard stream "
+    "filter merge sort group join scan query table row column value"
+).split()
+
+
+def generate_pages_table(n: int, seed: int = 42, mention_rate: float = 0.1) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    doc_id = np.arange(n, dtype=np.int64)
+    n_words = rng.integers(5, 40, size=n)
+    texts = []
+    for i in range(n):
+        words = rng.choice(_WORDS, size=n_words[i]).tolist()
+        if rng.random() < mention_rate:
+            lat = round(float(rng.uniform(-60, 60)), 4)
+            lon = round(float(rng.uniform(-170, 170)), 4)
+            words.insert(int(rng.integers(0, len(words))), f"lat {lat:.4f} lon {lon:.4f}")
+        texts.append(" ".join(words))
+    langs = rng.choice(["en", "de", "fr", "sw", "es"], size=n)
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(doc_id),
+            "text": pa.array(texts),
+            "lang": pa.array(langs.tolist()),
+        }
+    )
+    return pages_from_documents_batch(tbl)

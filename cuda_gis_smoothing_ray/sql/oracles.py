@@ -1,0 +1,223 @@
+"""DuckDB oracle-SQL generator.
+
+Every query in ``__ray_entry__.queries()`` that is SQL-expressible has its
+oracle generated HERE, from the *same* Python constants the Ray pipeline uses
+(:mod:`..functions.geocode`, :mod:`..functions.hexgrid`,
+:mod:`..functions.weights`).  The generator mirrors each numpy formula
+operation-for-operation (same expression tree -> same IEEE-754 doubles), with
+two cross-engine rules:
+
+* every float literal is ``CAST('...' AS DOUBLE)`` (a bare decimal literal is
+  DECIMAL in DuckDB, which does different arithmetic),
+* rounding is ``floor(x*1e6 + 0.5)/1e6`` (numpy ``round`` is banker's,
+  DuckDB ``round`` is half-away-from-zero; ``floor`` agrees everywhere).
+"""
+
+from __future__ import annotations
+
+from ..functions import geocode, hexgrid
+from ..functions.weights import ring_weights
+
+
+def D(x: float) -> str:
+    """Emit a float constant as an exact DOUBLE literal."""
+    return f"CAST({x!r} AS DOUBLE)"
+
+
+def round6(expr: str) -> str:
+    return f"floor(({expr}) * 1000000.0 + 0.5) / 1000000.0"
+
+
+# ---------------------------------------------------------------------------
+# pages reconstruction (mirrors sources/pages.py + functions/geocode.py)
+# ---------------------------------------------------------------------------
+
+def _tld_case(m_expr: str, field: int) -> str:
+    """CASE mapping the Zipf selector to TLD name (field=0), centroid lat (1)
+    or lon (2)."""
+    parts = ["CASE"]
+    for i, thr in enumerate(geocode.TLD_CUM_THRESHOLDS):
+        val = geocode.TLD_TABLE[i][field]
+        lit = f"'{val}'" if field == 0 else D(val)
+        parts.append(f"WHEN {m_expr} < {thr} THEN {lit}")
+    parts.append("END")
+    return " ".join(parts)
+
+
+def pages_cte() -> str:
+    m = f"(doc_id * {geocode.TLD_MULT}) % {geocode.ZIPF_MOD}"
+    h = f"(doc_id * {geocode.TLD_MULT}) % {geocode.HOST_MOD}"
+    return f"""
+pages AS (
+  SELECT
+    doc_id AS page_id,
+    doc_id,
+    'https://h' || CAST({h} AS VARCHAR) || '.' || {_tld_case(m, 0)}
+      || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+    TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 1 SECOND * doc_id AS warc_ts,
+    text,
+    lang
+  FROM documents
+)"""
+
+
+def geocoded_cte(res: int) -> str:
+    """pages -> + (has_mention, lat, lon, q, r, cell). Mirrors GeoEncode."""
+    m = f"(doc_id * {geocode.TLD_MULT}) % {geocode.ZIPF_MOD}"
+    mlat = f"(doc_id * {geocode.JITTER_LAT_MULT}) % {geocode.JITTER_MOD}"
+    mlon = f"(doc_id * {geocode.JITTER_LON_MULT}) % {geocode.JITTER_MOD}"
+    size = hexgrid.edge_size(res)
+    pat = geocode.LATLON_PATTERN  # single-quoted SQL string: backslashes are literal
+    return f"""
+geo0 AS (
+  SELECT page_id, url, text, lang,
+    TRY_CAST(NULLIF(regexp_extract(text, '{pat}', 1), '') AS DOUBLE) AS ex_lat,
+    TRY_CAST(NULLIF(regexp_extract(text, '{pat}', 2), '') AS DOUBLE) AS ex_lon,
+    {_tld_case(m, 1)} + ({mlat} - 1000) * {D(geocode.JITTER_SCALE)} AS c_lat,
+    {_tld_case(m, 2)} + ({mlon} - 1000) * {D(geocode.JITTER_SCALE)} AS c_lon
+  FROM pages
+),
+geo AS (
+  SELECT page_id, url, text, lang,
+    (ex_lat IS NOT NULL AND ex_lon IS NOT NULL) AS has_mention,
+    CASE WHEN ex_lat IS NOT NULL AND ex_lon IS NOT NULL THEN ex_lat ELSE c_lat END AS lat,
+    CASE WHEN ex_lat IS NOT NULL AND ex_lon IS NOT NULL THEN ex_lon ELSE c_lon END AS lon
+  FROM geo0
+),
+enc0 AS (
+  SELECT *, (sqrt(3)/3 * lon - lat/3) / {D(size)} AS qf, (2 * lat / 3) / {D(size)} AS rf
+  FROM geo
+),
+enc1 AS (
+  SELECT *, floor(qf + 0.5) AS rx, floor(-qf - rf + 0.5) AS ry, floor(rf + 0.5) AS rz
+  FROM enc0
+),
+enc2 AS (
+  SELECT *, abs(rx - qf) AS dx, abs(ry - (-qf - rf)) AS dy, abs(rz - rf) AS dz
+  FROM enc1
+),
+encoded AS (
+  SELECT page_id, url, text, lang, has_mention, lat, lon,
+    CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS BIGINT) AS q,
+    CAST(CASE WHEN dx > dy AND dx > dz THEN rz
+              WHEN dy > dz THEN rz
+              ELSE -rx - ry END AS BIGINT) AS r
+  FROM enc2
+),
+geocoded AS (
+  SELECT *,
+    CAST({res} AS BIGINT) * {1 << 56} + (q + {hexgrid.OFF}) * {1 << 28} + (r + {hexgrid.OFF}) AS cell
+  FROM encoded
+)"""
+
+
+def cells_cte() -> str:
+    """geocoded -> per-cell metric table (page_count, chars_mean, en_share,
+    mention_rate).  Mirrors pipelines/flagship.cell_metrics."""
+    return """
+cells AS (
+  SELECT cell, q, r,
+    count(*) AS page_count,
+    sum(CAST(length(text) AS DOUBLE)) / count(*) AS chars_mean,
+    sum(CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS DOUBLE)) / count(*) AS en_share,
+    sum(CAST(CASE WHEN has_mention THEN 1 ELSE 0 END AS DOUBLE)) / count(*) AS mention_rate
+  FROM geocoded
+  GROUP BY cell, q, r
+)"""
+
+
+def offsets_values(k: int, profile: str) -> str:
+    w = ring_weights(profile, k)
+    rows = [f"(0, 0, {D(w[0])})"]
+    for ring in range(1, k + 1):
+        for dq, dr in hexgrid.ring_offsets(ring):
+            rows.append(f"({dq}, {dr}, {D(w[ring])})")
+    return ",\n    ".join(rows)
+
+
+def prelude(res: int) -> str:
+    return f"WITH {pages_cte()},\n{geocoded_cte(res)},\n{cells_cte()}"
+
+
+def smooth_sql(res: int, k: int, profile: str, value_cols: list[str]) -> str:
+    """Gather-formulation oracle of the K-family kernels."""
+    sums = ",\n  ".join(
+        f"{round6(f'sum(n.{c} * o.w) / sum(o.w)')} AS {c}_sm" for c in value_cols
+    )
+    return f"""{prelude(res)},
+offsets(dq, dr, w) AS (VALUES
+    {offsets_values(k, profile)})
+SELECT c.cell AS cell,
+  {sums}
+FROM cells c
+CROSS JOIN offsets o
+JOIN cells n ON n.q = c.q + o.dq AND n.r = c.r + o.dr
+GROUP BY c.cell
+ORDER BY c.cell"""
+
+
+def geocode_cells_sql(res: int) -> str:
+    return f"""{prelude(res)}
+SELECT page_id, url, {round6('lat')} AS lat, {round6('lon')} AS lon,
+       has_mention, cell
+FROM geocoded
+ORDER BY page_id"""
+
+
+def cell_metrics_sql(res: int) -> str:
+    return f"""{prelude(res)}
+SELECT cell, page_count,
+  {round6('chars_mean')} AS chars_mean,
+  {round6('en_share')} AS en_share,
+  {round6('mention_rate')} AS mention_rate
+FROM cells
+ORDER BY cell"""
+
+
+def neighbor_stats_sql(res: int) -> str:
+    """Global min/max/avg of per-cell present-ring1-neighbor counts (A1)."""
+    return f"""{prelude(res)},
+offsets(dq, dr) AS (VALUES
+    {", ".join(f"({dq}, {dr})" for dq, dr in hexgrid.ring_offsets(1))}),
+nbr AS (
+  SELECT c.cell, count(n.cell) AS n_neighbors
+  FROM cells c
+  CROSS JOIN offsets o
+  LEFT JOIN cells n ON n.q = c.q + o.dq AND n.r = c.r + o.dr
+  GROUP BY c.cell
+)
+SELECT min(n_neighbors) AS min_neighbors, max(n_neighbors) AS max_neighbors,
+  {round6('sum(CAST(n_neighbors AS DOUBLE)) / count(*)')} AS avg_neighbors,
+  sum(n_neighbors) AS total_edges
+FROM nbr"""
+
+
+def _spread_bits_sql(v: str) -> str:
+    """Inline the 16-bit Morton spread (mirrors hexgrid.morton_key.spread)."""
+    e = f"(({v}) & 65535)"
+    e = f"(({e} | ({e} << 8)) & 16711935)"
+    e = f"(({e} | ({e} << 4)) & 252645135)"
+    e = f"(({e} | ({e} << 2)) & 858993459)"
+    e = f"(({e} | ({e} << 1)) & 1431655765)"
+    return e
+
+
+def morton_sql(res: int) -> str:
+    sx = _spread_bits_sql("q + 32768")
+    sy = _spread_bits_sql("r + 32768")
+    return f"""{prelude(res)}
+SELECT cell, {sx} | ({sy} << 1) AS morton
+FROM cells
+ORDER BY morton, cell"""
+
+
+def tile_assign_sql(res: int, zoom: int) -> str:
+    n = 1 << zoom
+    return f"""{prelude(res)}
+SELECT page_id,
+  CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT) AS tile_x,
+  CAST(floor((90.0 - lat) / 180.0 * {n}) AS BIGINT) AS tile_y,
+  CAST(floor((90.0 - lat) / 180.0 * {n}) AS BIGINT) * {n}
+    + CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT) AS tile_id
+FROM geocoded
+ORDER BY page_id"""

@@ -1,0 +1,166 @@
+"""k-ring neighborhood smoothing — the reference's kernel family (SURVEY §2.3,
+K1-K10) re-expressed as a Ray Data scatter -> shuffle -> weighted-mean reduce.
+
+Semantics (identical to ``src/cpu/hex_smooth_naive.cpp:48-83`` and every CUDA
+variant): ``out[i] = (sum_j w(d(i,j)) * v[j]) / (sum_j w(d(i,j)))`` over
+``j in {i} + ring1(i) [+ ring2(i)]`` restricted to cells *present* in the
+dataset — a missing neighbor contributes to neither numerator nor denominator
+(the bounds-check at ``hex_smooth_naive.cpp:55``), so a 0-neighbor cell's
+output equals its input.
+
+Execution plan (scales: the only all-to-all is over *cell-level* rows, never
+page-level rows):
+
+1. **Contribution expansion + map-side partial aggregation** (stateless
+   ``map_batches``, numpy): each cell row emits ``(target_cell, w*v, w,
+   is_center)`` for itself and each k-ring offset (fan-out x7 for k=1, x19 for
+   k=2 — mirroring avg 5.99 1st-order + 11.96 2nd-order neighbors in the
+   reference logs), then contributions are combined *within the batch* by
+   target cell before anything is shuffled.  The batch-local combine is the
+   salt: a hot cell's contributions arrive at the reducer as one partial row
+   per batch, not one row per page.
+2. **Weighted-mean reduce**: ``groupby(cell).aggregate(Sum(...))`` over the
+   partials — Ray Data's shuffle moves only the (small) partial rows.
+3. **Finalize**: filter to cells whose center contribution arrived (drops
+   phantom targets outside the data), one vectorized divide.
+
+Multi-variable fusion (K5-K7, the ``float4`` kernels) = passing several value
+columns through the *same* expansion/shuffle — one neighbor "lookup" amortized
+over all variables, exactly the reference's fusion win.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import hexgrid
+from ..functions.weights import ring_weights
+
+
+def _offsets_and_weights(k: int, profile: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    w = ring_weights(profile, k)
+    offs: list[tuple[int, int]] = [(0, 0)]
+    ws: list[float] = [w[0]]
+    for ring in range(1, k + 1):
+        ring_offs = hexgrid.ring_offsets(ring)
+        offs += ring_offs
+        ws += [w[ring]] * len(ring_offs)
+    dq = np.array([o[0] for o in offs], dtype=np.int64)
+    dr = np.array([o[1] for o in offs], dtype=np.int64)
+    return dq, dr, np.array(ws, dtype=np.float64)
+
+
+def expand_contributions(
+    batch: pa.Table, value_cols: list[str], dq: np.ndarray, dr: np.ndarray, w: np.ndarray
+) -> pa.Table:
+    """One batch of the cell table -> batch-combined partial contributions.
+
+    Output columns: ``cell, w_sum, c_sum, wv_<col>...`` — at most
+    ``n_distinct_targets`` rows regardless of input batch size.
+    """
+    cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+    res, q, r = hexgrid.unpack(cell)
+    res0 = int(res[0]) if len(res) else hexgrid.RES_MIN
+    n, m = len(cell), len(dq)
+    targets = hexgrid.pack(res0, q[:, None] + dq[None, :], r[:, None] + dr[None, :]).ravel()
+    w_flat = np.broadcast_to(w[None, :], (n, m)).ravel()
+    is_center = np.broadcast_to((dq == 0) & (dr == 0), (n, m)).ravel().astype(np.float64)
+
+    uniq, inv = np.unique(targets, return_inverse=True)
+    out = {
+        "cell": pa.array(uniq),
+        "w_sum": pa.array(np.bincount(inv, weights=w_flat, minlength=len(uniq))),
+        "c_sum": pa.array(np.bincount(inv, weights=is_center, minlength=len(uniq))),
+    }
+    for col in value_cols:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        wv = (np.broadcast_to(v[:, None], (n, m)) * np.broadcast_to(w[None, :], (n, m))).ravel()
+        out[f"wv_{col}"] = pa.array(np.bincount(inv, weights=wv, minlength=len(uniq)))
+    return pa.table(out)
+
+
+def smooth_cells(cells_ds, value_cols: list[str], k: int = 1, profile: str = "gaussian",
+                 salted: bool = False, out_suffix: str = "_sm"):
+    """Cell-table Dataset (cell + value columns) -> smoothed cell table.
+
+    ``salted=True`` demonstrates the explicit two-phase hot-key path: a salt
+    column spreads each cell's partials over ``NSALT`` reducer keys, a first
+    ``groupby((cell, salt))`` combines within salt buckets, and a second tiny
+    ``groupby(cell)`` finishes.  With the batch-local combine in
+    :func:`expand_contributions` the implicit path is already skew-safe; a
+    pytest asserts both paths agree bit-for-bit after rounding.
+    """
+    from ray.data.aggregate import Sum
+
+    dq, dr, w = _offsets_and_weights(k, profile)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        return expand_contributions(batch, value_cols, dq, dr, w)
+
+    partials = cells_ds.map_batches(expand, batch_format="pyarrow")
+
+    agg_cols = ["w_sum", "c_sum"] + [f"wv_{c}" for c in value_cols]
+    if salted:
+        NSALT = 16
+
+        def add_salt(batch: pa.Table) -> pa.Table:
+            c = batch.column("cell").to_numpy(zero_copy_only=False)
+            salt = (c * np.int64(0x9E3779B97F4A7C15) >> np.int64(48)) % np.int64(NSALT)
+            return batch.append_column("salt", pa.array(salt.astype(np.int64)))
+
+        stage1 = (
+            partials.map_batches(add_salt, batch_format="pyarrow")
+            .groupby(["cell", "salt"])
+            .aggregate(*[Sum(c, alias_name=c) for c in agg_cols])
+        )
+        reduced = stage1.groupby("cell").aggregate(
+            *[Sum(c, alias_name=c) for c in agg_cols]
+        )
+    else:
+        reduced = partials.groupby("cell").aggregate(
+            *[Sum(c, alias_name=c) for c in agg_cols]
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        c_sum = batch.column("c_sum").to_numpy(zero_copy_only=False)
+        mask = c_sum > 0.5
+        cell = batch.column("cell").to_numpy(zero_copy_only=False)[mask]
+        w_sum = batch.column("w_sum").to_numpy(zero_copy_only=False)[mask]
+        out = {"cell": pa.array(cell)}
+        for col in value_cols:
+            wv = batch.column(f"wv_{col}").to_numpy(zero_copy_only=False)[mask]
+            out[f"{col}{out_suffix}"] = pa.array(wv / w_sum)
+        return pa.table(out)
+
+    return reduced.map_batches(finalize, batch_format="pyarrow")
+
+
+def neighbor_counts(cells_ds):
+    """(cell, n_neighbors) — number of ring-1 neighbors *present* in the data,
+    the engine analog of the reference's printStats input (SURVEY §2.5 A1).
+
+    Derived from the uniform k=1 smoothing reduce: w_sum = 1 + n_present."""
+    import pyarrow.compute as pc_
+
+    dq, dr, w = _offsets_and_weights(1, "uniform")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        return expand_contributions(batch, [], dq, dr, w)
+
+    from ray.data.aggregate import Sum
+
+    reduced = (
+        cells_ds.map_batches(expand, batch_format="pyarrow")
+        .groupby("cell")
+        .aggregate(Sum("w_sum", alias_name="w_sum"), Sum("c_sum", alias_name="c_sum"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc_.greater(batch.column("c_sum"), 0.5))
+        n_nbr = pc_.cast(
+            pc_.round(pc_.subtract(t.column("w_sum"), 1.0)), pa.int64()
+        )
+        return pa.table({"cell": t.column("cell"), "n_neighbors": n_nbr})
+
+    return reduced.map_batches(finalize, batch_format="pyarrow")
