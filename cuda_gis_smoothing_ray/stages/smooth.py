@@ -105,8 +105,8 @@ def smooth_cells(cells_ds, value_cols: list[str], k: int = 1, profile: str = "ga
         NSALT = 16
 
         def add_salt(batch: pa.Table) -> pa.Table:
-            c = batch.column("cell").to_numpy(zero_copy_only=False)
-            salt = (c * np.int64(0x9E3779B97F4A7C15) >> np.int64(48)) % np.int64(NSALT)
+            c = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.uint64)
+            salt = ((c * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(48)) % np.uint64(NSALT)
             return batch.append_column("salt", pa.array(salt.astype(np.int64)))
 
         stage1 = (

@@ -1,0 +1,141 @@
+"""Smoothing-kernel invariants vs a literal numpy gather oracle — the
+reference's cross-implementation equivalence gate (SURVEY §5, tolerance model
+<=1e-4, observed 1e-6; we assert far tighter)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cuda_gis_smoothing_ray.functions import hexgrid as hg
+from cuda_gis_smoothing_ray.functions.weights import ring_weights
+from cuda_gis_smoothing_ray.stages.smooth import neighbor_counts, smooth_cells
+
+
+def make_cells(n=400, res=7, seed=5, with_isolates=True):
+    """Random hex patch: a clustered blob (dense adjacency) + far-away
+    isolated cells (0 present neighbors — the boundary case; reference
+    dataset has min=0 neighbors)."""
+    rng = np.random.default_rng(seed)
+    q = rng.integers(-12, 12, n)
+    r = rng.integers(-12, 12, n)
+    if with_isolates:
+        # isolated cells: far apart so no ring-2 overlap
+        iso = np.arange(8) * 100 + 1000
+        q = np.concatenate([q, iso])
+        r = np.concatenate([r, iso])
+    cell = hg.pack(res, q, r)
+    cell, idx = np.unique(cell, return_index=True)
+    vals = rng.uniform(0.0, 1.0, len(cell))
+    return pa.table({"cell": pa.array(cell), "v": pa.array(vals)})
+
+
+def numpy_gather_oracle(tbl: pa.Table, value_cols, k, profile):
+    """Literal transcription of hex_smooth_naive.cpp:65-83: per-cell gather
+    over present neighbors, weighted mean."""
+    cell = tbl.column("cell").to_numpy()
+    _, q, r = hg.unpack(cell)
+    pos = {(int(qq), int(rr)): i for i, (qq, rr) in enumerate(zip(q, r))}
+    w = ring_weights(profile, k)
+    offs = [((0, 0), w[0])]
+    for ring in range(1, k + 1):
+        offs += [(o, w[ring]) for o in hg.ring_offsets(ring)]
+    out = {c: np.zeros(len(cell)) for c in value_cols}
+    vals = {c: tbl.column(c).to_numpy().astype(np.float64) for c in value_cols}
+    for i in range(len(cell)):
+        wsum = 0.0
+        acc = {c: 0.0 for c in value_cols}
+        for (dq, dr), wt in offs:
+            j = pos.get((int(q[i]) + dq, int(r[i]) + dr))
+            if j is not None:
+                wsum += wt
+                for c in value_cols:
+                    acc[c] += wt * vals[c][j]
+        for c in value_cols:
+            out[c][i] = acc[c] / wsum
+    return cell, out
+
+
+@pytest.mark.parametrize("k,profile", [(1, "uniform"), (1, "gaussian"), (2, "uniform"), (2, "gaussian")])
+def test_smooth_matches_numpy_oracle(k, profile):
+    import ray.data as rd
+
+    tbl = make_cells()
+    got = smooth_cells(rd.from_arrow(tbl), ["v"], k=k, profile=profile).to_pandas()
+    got = got.sort_values("cell").reset_index(drop=True)
+    cells, oracle = numpy_gather_oracle(tbl, ["v"], k, profile)
+    order = np.argsort(cells)
+    assert (got["cell"].to_numpy() == cells[order]).all()
+    np.testing.assert_allclose(got["v_sm"].to_numpy(), oracle["v"][order], rtol=0, atol=1e-9)
+
+
+def test_isolated_cell_passes_through():
+    """Invariant 5.2: a cell with zero present neighbors outputs its input."""
+    import ray.data as rd
+
+    tbl = make_cells(n=50, with_isolates=True)
+    got = smooth_cells(rd.from_arrow(tbl), ["v"], k=2, profile="gaussian").to_pandas()
+    src = tbl.to_pandas().set_index("cell")["v"]
+    # the constructed isolates (far from the blob and from each other)
+    iso = np.arange(8) * 100 + 1000
+    isolated = hg.pack(7, iso, iso)
+    assert set(isolated) <= set(src.index)
+    for c in isolated:
+        row = got[got.cell == c]
+        assert abs(float(row["v_sm"].iloc[0]) - float(src[c])) < 1e-12
+
+
+def test_fused_equals_per_variable():
+    """Invariant 5.4 (v1-vs-v4 fusion equivalence): smoothing 4 columns in one
+    shuffle equals four single-column runs; extra columns are the reference's
+    affine synthesis (hex_smooth_cuda_v4.cu:359-363)."""
+    import ray.data as rd
+
+    tbl = make_cells(n=200)
+    v = tbl.column("v").to_numpy().astype(np.float64)
+    tbl = tbl.append_column("mndwi", pa.array(0.9 * v + 0.05))
+    tbl = tbl.append_column("evi", pa.array(1.1 * v - 0.05))
+    tbl = tbl.append_column("ndwi", pa.array(0.95 * v))
+    cols = ["v", "mndwi", "evi", "ndwi"]
+    fused = smooth_cells(rd.from_arrow(tbl), cols, k=1, profile="gaussian").to_pandas().sort_values("cell")
+    for c in cols:
+        single = smooth_cells(rd.from_arrow(tbl), [c], k=1, profile="gaussian").to_pandas().sort_values("cell")
+        np.testing.assert_allclose(
+            fused[f"{c}_sm"].to_numpy(), single[f"{c}_sm"].to_numpy(), rtol=0, atol=1e-12
+        )
+
+
+def test_salted_equals_unsalted():
+    """Invariant 8: explicit two-phase salted aggregation == direct path."""
+    import ray.data as rd
+
+    tbl = make_cells(n=300, seed=11)
+    a = smooth_cells(rd.from_arrow(tbl), ["v"], k=1, profile="gaussian", salted=False).to_pandas().sort_values("cell")
+    b = smooth_cells(rd.from_arrow(tbl), ["v"], k=1, profile="gaussian", salted=True).to_pandas().sort_values("cell")
+    assert (a.cell.to_numpy() == b.cell.to_numpy()).all()
+    np.testing.assert_allclose(a.v_sm.to_numpy(), b.v_sm.to_numpy(), rtol=0, atol=1e-12)
+
+
+def test_partitioning_invariance():
+    """Invariant 6 analog: result independent of block structure (the
+    reference's permutation round-trip, SURVEY §5 inv 3)."""
+    import ray.data as rd
+
+    tbl = make_cells(n=500, seed=13)
+    base = smooth_cells(rd.from_arrow(tbl), ["v"], k=1, profile="gaussian").to_pandas().sort_values("cell")
+    re = smooth_cells(rd.from_arrow(tbl).repartition(17), ["v"], k=1, profile="gaussian").to_pandas().sort_values("cell")
+    np.testing.assert_allclose(base.v_sm.to_numpy(), re.v_sm.to_numpy(), rtol=0, atol=1e-9)
+
+
+def test_neighbor_counts_match_oracle():
+    import ray.data as rd
+
+    tbl = make_cells(n=300, seed=17)
+    got = neighbor_counts(rd.from_arrow(tbl)).to_pandas().set_index("cell")["n_neighbors"]
+    cell = tbl.column("cell").to_numpy()
+    _, q, r = hg.unpack(cell)
+    present = set(zip(q.tolist(), r.tolist()))
+    for i, c in enumerate(cell):
+        expect = sum((q[i] + dq, r[i] + dr) in present for dq, dr in hg.RING1)
+        assert got[c] == expect
