@@ -127,8 +127,23 @@ def _q_tiles(sf_dir: str):
     return _geocoded(sf_dir).map_batches(assign, batch_format="pyarrow").sort("page_id")
 
 
+def _q_pip(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.pip import pip_join
+
+    return pip_join(_geocoded(sf_dir)).sort(["page_id", "poly_id"])
+
+
+def _q_knn(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.knn import knn_broadcast
+
+    ds = knn_broadcast(_geocoded(sf_dir), k=5)
+    return _round6_cols(ds, ["dist2"]).sort(["query_id", "rank"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
+        "pip_join": _q_pip,
+        "knn_join": _q_knn,
         "geocode_cells": _q_geocode_cells,
         "cell_metrics": _q_cell_metrics,
         "neighbor_stats": _q_neighbor_stats,
@@ -149,6 +164,8 @@ def oracle_sql() -> dict[str, str]:
     from cuda_gis_smoothing_ray.sql import oracles as o
 
     return {
+        "pip_join": o.pip_join_sql(RES),
+        "knn_join": o.knn_join_sql(RES, 5),
         "geocode_cells": o.geocode_cells_sql(RES),
         "cell_metrics": o.cell_metrics_sql(RES),
         "neighbor_stats": o.neighbor_stats_sql(RES),

@@ -1,0 +1,135 @@
+"""Deterministic hashing primitives for dedup / fingerprinting.
+
+All hashes are seed-free and process-independent (no PYTHONHASHSEED
+dependence): blake2b for whole-string identity, a vectorized polynomial
+rolling hash for shingles, splitmix64 for integer mixing.  These back the
+exact-dedup, MinHash-LSH, SimHash and winnowing-fingerprint stages.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_FNV_PRIME = np.uint64(1099511628211)
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def text_hash64(texts) -> np.ndarray:
+    """Stable 64-bit content hash per string (blake2b, C speed)."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        d = hashlib.blake2b((t or "").encode("utf-8"), digest_size=8).digest()
+        out[i] = np.uint64(int.from_bytes(d, "little"))
+    return out
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (integer mixing)."""
+    z = x.astype(np.uint64) + _GOLDEN
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """All k-char shingle hashes of one string — vectorized rolling
+    polynomial hash over the utf-8 bytes (k vector ops, no per-shingle
+    Python)."""
+    bt = (text or "").encode("utf-8")
+    if len(bt) < k:
+        bt = bt + b"\x00" * (k - len(bt))
+    arr = np.frombuffer(bt, dtype=np.uint8).astype(np.uint64)
+    n = len(arr) - k + 1
+    with np.errstate(over="ignore"):
+        h = np.zeros(n, dtype=np.uint64)
+        for j in range(k):
+            h = h * _FNV_PRIME + arr[j : j + n]
+    return splitmix64(h)
+
+
+class MinHasher:
+    """num_perms-way MinHash over char shingles, with (bands x rows) LSH.
+
+    Permutations are the standard ``a*h + b`` family with deterministic
+    odd multipliers.  Signature arrays are uint64; band keys are mixed to a
+    single int64 so they groupby cheaply.
+    """
+
+    def __init__(self, num_perms: int = 64, shingle_k: int = 5, bands: int = 16):
+        assert num_perms % bands == 0
+        self.num_perms = num_perms
+        self.k = shingle_k
+        self.bands = bands
+        self.rows = num_perms // bands
+        rng = np.random.default_rng(1234)  # fixed seed: engine-wide constant
+        self.a = (rng.integers(1, 1 << 62, num_perms, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+        self.b = rng.integers(0, 1 << 63, num_perms, dtype=np.uint64).astype(np.uint64)
+
+    def signature(self, text: str) -> np.ndarray:
+        h = char_shingle_hashes(text, self.k)
+        with np.errstate(over="ignore"):
+            m = self.a[:, None] * h[None, :] + self.b[:, None]  # (P, n_shingles)
+        return m.min(axis=1)
+
+    def signatures(self, texts) -> np.ndarray:
+        """(n_docs, num_perms) uint64."""
+        out = np.empty((len(texts), self.num_perms), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            out[i] = self.signature(t)
+        return out
+
+    def band_keys(self, sigs: np.ndarray) -> np.ndarray:
+        """(n_docs, bands) int64: one mixed key per band (includes band id)."""
+        n = sigs.shape[0]
+        keys = np.empty((n, self.bands), dtype=np.uint64)
+        for b in range(self.bands):
+            seg = sigs[:, b * self.rows : (b + 1) * self.rows]
+            acc = np.full(n, np.uint64(b + 1), dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                for j in range(self.rows):
+                    acc = splitmix64(acc ^ seg[:, j])
+            keys[:, b] = acc
+        return (keys >> np.uint64(1)).astype(np.int64)  # non-negative int64
+
+    @staticmethod
+    def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+        return float((sig_a == sig_b).mean())
+
+
+def simhash64(texts, token_pattern=None) -> np.ndarray:
+    """64-bit SimHash per text over whitespace tokens (unweighted votes)."""
+    import re
+
+    pat = token_pattern or re.compile(r"\S+")
+    out = np.empty(len(texts), dtype=np.uint64)
+    bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = pat.findall(t or "")
+        if not toks:
+            out[i] = np.uint64(0)
+            continue
+        th = text_hash64(toks)  # (m,)
+        votes = ((th[:, None] & bits[None, :]) != 0).sum(axis=0) * 2 - len(th)
+        out[i] = np.uint64(((votes > 0) * bits).sum(dtype=np.uint64))
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64))
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    return cnt
+
+
+def winnow_fingerprints(text: str, k: int = 8, window: int = 6) -> np.ndarray:
+    """Winnowing (Schleimer et al. 2003): min rolling-hash per sliding window,
+    deduplicated — the document-fingerprinting primitive."""
+    h = char_shingle_hashes(text, k)
+    if len(h) <= window:
+        return np.unique(h[: max(1, len(h))])
+    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+    return np.unique(sw.min(axis=1))

@@ -211,6 +211,53 @@ FROM cells
 ORDER BY morton, cell"""
 
 
+def pip_join_sql(res: int) -> str:
+    """Ray-casting PIP as an edge-table crossing count (identical float
+    expression to stages/pip.points_in_polygon)."""
+    from ..stages.pip import polygon_edges
+
+    edges = ",\n    ".join(
+        f"({pid}, {D(y1)}, {D(x1)}, {D(y2)}, {D(x2)})" for pid, y1, x1, y2, x2 in polygon_edges()
+    )
+    return f"""{prelude(res)},
+edges(poly_id, y1, x1, y2, x2) AS (VALUES
+    {edges}),
+crossings AS (
+  SELECT p.page_id, e.poly_id, count(*) AS n_cross
+  FROM geocoded p
+  JOIN edges e
+    ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+   AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+  GROUP BY p.page_id, e.poly_id
+)
+SELECT page_id, poly_id
+FROM crossings
+WHERE n_cross % 2 = 1
+ORDER BY page_id, poly_id"""
+
+
+def knn_join_sql(res: int, k: int) -> str:
+    from ..stages.knn import QUERY_POINTS
+
+    qvals = ",\n    ".join(f"({qid}, {D(qlat)}, {D(qlon)})" for qid, qlat, qlon in QUERY_POINTS)
+    return f"""{prelude(res)},
+queries(query_id, qlat, qlon) AS (VALUES
+    {qvals}),
+d AS (
+  SELECT q.query_id, p.page_id,
+    (p.lat - q.qlat) * (p.lat - q.qlat) + (p.lon - q.qlon) * (p.lon - q.qlon) AS dist2
+  FROM geocoded p CROSS JOIN queries q
+),
+ranked AS (
+  SELECT query_id, page_id, dist2,
+    row_number() OVER (PARTITION BY query_id ORDER BY dist2, page_id) AS rank
+  FROM d
+)
+SELECT query_id, rank, page_id, {round6('dist2')} AS dist2
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank"""
+
+
 def tile_assign_sql(res: int, zoom: int) -> str:
     n = 1 << zoom
     return f"""{prelude(res)}

@@ -46,8 +46,13 @@ class GeoEncode:
 
 
 def geo_encode(ds, res: int = 7, drop_html: bool = True, id_col: str = "page_id",
-               concurrency: int = 4, batch_size: int = 8192):
-    """pages Dataset -> geocoded Dataset (adds lat/lon/has_mention/cell)."""
+               concurrency=(1, 4), batch_size: int = 8192):
+    """pages Dataset -> geocoded Dataset (adds lat/lon/has_mention/cell).
+
+    ``concurrency`` defaults to an AUTOSCALING (min, max) pool: a fixed-size
+    pool that reserves ``max`` CPUs can starve sibling stages (read/sort) and
+    deadlock the streaming executor on small clusters.
+    """
     return ds.map_batches(
         GeoEncode,
         fn_constructor_kwargs={"res": res, "drop_html": drop_html, "id_col": id_col},

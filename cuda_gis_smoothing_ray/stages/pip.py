@@ -1,0 +1,129 @@
+"""Point-in-polygon join (SURVEY §2.4 — no reference counterpart; specified by
+``BASELINE.json`` north_star: "PIP via ray-casting on covered polygon
+partitions").
+
+Design for scale: the polygon side is SMALL (thousands of polygons) and the
+point side is HUGE (every page) — so this is a **broadcast join**, never a
+shuffle: the polygon set + its bbox prefilter index is built once per actor
+(``__init__``), each Arrow batch of points is tested vectorized.  At 100 TB
+the pages stream through stateless-ish actors; no all-to-all is involved.
+
+The ray-casting predicate is the classic even-odd crossing rule, written so
+the generated SQL oracle (an edge-table join + crossing count, see
+``sql/oracles.pip_join_sql``) evaluates the *identical* float expression:
+
+    crosses(edge, p) = (y1 > p.lat) != (y2 > p.lat)
+                       AND p.lon < (x2 - x1) * (p.lat - y1) / (y2 - y1) + x1
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+#: (poly_id, [(lat, lon), ...]) — closed implicitly (last->first edge).
+#: Mixed shapes: convex boxes over TLD hot-spots, a non-convex L, a triangle,
+#: a thin sliver, a pentagon.  Constants shared with the SQL generator.
+POLYGONS: list[tuple[int, list[tuple[float, float]]]] = [
+    # box around the .com/.org/.net centroid cluster (North America)
+    (1, [(30.0, -110.0), (30.0, -85.0), (48.0, -85.0), (48.0, -110.0)]),
+    # non-convex L over western/central Europe
+    (2, [(42.0, -5.0), (42.0, 12.0), (49.0, 12.0), (49.0, 22.0), (56.0, 22.0), (56.0, -5.0)]),
+    # triangle around Japan
+    (3, [(30.0, 128.0), (30.0, 148.0), (44.0, 138.0)]),
+    # thin sliver through Brazil's centroid
+    (4, [(-20.0, -60.0), (-8.0, -45.0), (-8.2, -45.0), (-20.2, -60.0)]),
+    # pentagon around India
+    (5, [(8.0, 70.0), (8.0, 88.0), (22.0, 92.0), (32.0, 79.0), (22.0, 66.0)]),
+]
+
+
+def polygon_edges(polys=None) -> list[tuple[int, float, float, float, float]]:
+    """Flatten to (poly_id, y1, x1, y2, x2) edge rows (y=lat, x=lon)."""
+    rows = []
+    for pid, ring in polys or POLYGONS:
+        for i in range(len(ring)):
+            y1, x1 = ring[i]
+            y2, x2 = ring[(i + 1) % len(ring)]
+            rows.append((pid, y1, x1, y2, x2))
+    return rows
+
+
+def points_in_polygon(lat: np.ndarray, lon: np.ndarray, ring: list[tuple[float, float]]) -> np.ndarray:
+    """Vectorized even-odd ray cast of many points against one ring."""
+    inside = np.zeros(len(lat), dtype=bool)
+    n = len(ring)
+    for i in range(n):
+        y1, x1 = ring[i]
+        y2, x2 = ring[(i + 1) % n]
+        cond = (y1 > lat) != (y2 > lat)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xcross = (x2 - x1) * (lat - y1) / (y2 - y1) + x1
+        crosses = cond & (lon < xcross)
+        inside ^= crosses
+    return inside
+
+
+class PIPJoin:
+    """Actor-pool stage: broadcast polygon set, bbox prefilter, exact ray cast.
+
+    ``polygons_ref``: either None (module constants) or a ``ray.ObjectRef``
+    from ``ray.put(polygons)`` — the broadcast-small-side pattern (put once on
+    the driver, fetched once per actor, reused every batch).
+    """
+
+    def __init__(self, polygons_ref=None, id_col: str = "page_id"):
+        import ray
+
+        polys = POLYGONS if polygons_ref is None else ray.get(polygons_ref)
+        self.id_col = id_col
+        self.polys = polys
+        self.bboxes = [
+            (
+                pid,
+                min(p[0] for p in ring),
+                max(p[0] for p in ring),
+                min(p[1] for p in ring),
+                max(p[1] for p in ring),
+            )
+            for pid, ring in polys
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        out_ids, out_pids = [], []
+        for (pid, ring), (_, lat0, lat1, lon0, lon1) in zip(self.polys, self.bboxes):
+            # bbox prefilter (the R-tree stand-in) — exact test on survivors only
+            cand = (lat >= lat0) & (lat <= lat1) & (lon >= lon0) & (lon <= lon1)
+            if not cand.any():
+                continue
+            idx = np.nonzero(cand)[0]
+            hit = points_in_polygon(lat[idx], lon[idx], ring)
+            sel = idx[hit]
+            out_ids.append(ids[sel])
+            out_pids.append(np.full(len(sel), pid, dtype=np.int64))
+        if out_ids:
+            return pa.table(
+                {
+                    self.id_col: pa.array(np.concatenate(out_ids)),
+                    "poly_id": pa.array(np.concatenate(out_pids)),
+                }
+            )
+        return pa.table(
+            {self.id_col: pa.array([], pa.int64()), "poly_id": pa.array([], pa.int64())}
+        )
+
+
+def pip_join(points_ds, polygons=None, id_col: str = "page_id", concurrency=(1, 4)):
+    """Geocoded points Dataset -> (id, poly_id) pairs Dataset (inner join)."""
+    import ray
+
+    ref = ray.put(polygons) if polygons is not None else None
+    return points_ds.map_batches(
+        PIPJoin,
+        fn_constructor_kwargs={"polygons_ref": ref, "id_col": id_col},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
