@@ -1,0 +1,164 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "num_cpus": N, "pages_per_sec": ...}
+
+``--scaling`` runs the flagship pipeline twice in FRESH subprocesses at
+num_cpus=8 and num_cpus=32 on the same input and reports both throughputs
+plus scaling efficiency (BASELINE.json north_rule: efficiency >= 0.8 between
+cluster sizes N and 4N; evidenced here at two local parallelism levels).
+
+This script OWNS its Ray session (the only places allowed to besides tests).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+#: pages replication factor for volume (documents rows x REPLICATE pages)
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "8"))
+
+
+def _consume(ds) -> int:
+    """Stream the result to exhaustion; return row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(ds, (pd.DataFrame, pa.Table)):
+        return len(ds)
+    n = 0
+    for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        n += b.num_rows
+    return n
+
+
+def _sf_of(path: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1).rstrip(".")) if m else -1.0
+
+
+def headline_queries(sf_dir: str, replicate: int):
+    """Name -> thunk building (lazily) each headline pipeline Dataset."""
+    from cuda_gis_smoothing_ray.pipelines.flagship import flagship
+
+    def _q(name):
+        import __ray_entry__ as e
+
+        return lambda: e.queries()[name](sf_dir)
+
+    return {
+        "flagship_fused_k1": lambda: flagship(
+            sf_dir, res=7, k=1, profile="gaussian", replicate=replicate, fused=True
+        ),
+        "smooth_gauss_k2": lambda: flagship(
+            sf_dir, res=7, k=2, profile="gaussian", replicate=replicate, fused=False
+        ),
+        "pip_join": _q("pip_join"),
+        "knn_join": _q("knn_join"),
+    }
+
+
+def run_bench(sf_dir: str, num_cpus: int, replicate: int, only: str | None = None) -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    n_pages = n_docs * replicate
+
+    qs = headline_queries(sf_dir, replicate)
+    if only:
+        qs = {only: qs[only]}
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, thunk in qs.items():
+        t0 = time.perf_counter()
+        rows[name] = _consume(thunk())
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    flag_t = timings.get("flagship_fused_k1")
+    out = {
+        "metric": "headline pipelines wall time (H3 encode + k-ring smoothing + PIP + kNN)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "rows": rows,
+        "sf": _sf_of(sf_dir),
+        "num_cpus": num_cpus,
+        "replicate": replicate,
+        "n_pages": n_pages,
+    }
+    if flag_t:
+        out["pages_per_sec"] = round(n_pages / flag_t, 1)
+    ray.shutdown()
+    return out
+
+
+def run_scaling(sf_dir: str, replicate: int, lo: int = 8, hi: int = 32) -> dict:
+    """Same flagship job at num_cpus=lo and num_cpus=hi in fresh processes."""
+    results = {}
+    for n in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
+                   GRAFT_REPLICATE=str(replicate))
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", "flagship_fused_k1"],
+            env=env, capture_output=True, text=True, timeout=1800,
+        )
+        line = [l for l in p.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[n] = json.loads(line)
+    tp_lo = results[lo]["pages_per_sec"]
+    tp_hi = results[hi]["pages_per_sec"]
+    eff = tp_hi / (tp_lo * (hi / lo))
+    out = {
+        "metric": f"scaling efficiency flagship num_cpus={lo}->{hi}",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "queries": {
+            f"flagship_cpus{lo}": results[lo]["queries"]["flagship_fused_k1"],
+            f"flagship_cpus{hi}": results[hi]["queries"]["flagship_fused_k1"],
+        },
+        "throughput_pages_per_sec": {str(lo): tp_lo, str(hi): tp_hi},
+        "sf": _sf_of(sf_dir),
+        "num_cpus": hi,
+        "note": "sandbox has oversubscribed logical CPUs; two fresh local "
+                "sessions at N and 4N parallelism stand in for N and 4N nodes",
+    }
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--one", help="run a single named headline query")
+    ap.add_argument("--sf-dir", default=SF_DIR)
+    ap.add_argument("--replicate", type=int, default=REPLICATE)
+    args = ap.parse_args()
+    if args.scaling:
+        out = run_scaling(args.sf_dir, args.replicate)
+    else:
+        out = run_bench(args.sf_dir, CPUS, args.replicate, only=args.one)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
