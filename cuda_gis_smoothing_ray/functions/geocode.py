@@ -75,7 +75,7 @@ def _zipf_thresholds(n: int, mod: int) -> list[int]:
 TLD_CUM_THRESHOLDS = _zipf_thresholds(len(TLD_TABLE), ZIPF_MOD)
 
 # "lat 12.345 lon -67.89" style mention; first match wins.
-LATLON_PATTERN = r"lat (-?\d+\.\d+) lon (-?\d+\.\d+)"
+LATLON_PATTERN = r"lat (?P<lat>-?\d+\.\d+) lon (?P<lon>-?\d+\.\d+)"
 
 
 def tld_index(doc_id: np.ndarray) -> np.ndarray:
@@ -114,7 +114,27 @@ class LatLonExtractor:
         self._re = re.compile(LATLON_PATTERN)
 
     def __call__(self, texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """texts: sequence of str -> (lat, lon, found) float64/bool arrays."""
+        """texts: pyarrow (Chunked)Array or sequence of str
+        -> (lat, lon, found) float64/bool arrays.
+
+        Arrow path: one ``pc.extract_regex`` call (RE2, C speed) over the
+        whole column — no Python-per-row work.  First match wins, identical
+        to ``re.search`` / DuckDB ``regexp_extract`` on this pattern.
+        """
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if not isinstance(texts, (pa.Array, pa.ChunkedArray)):
+            return self._slow(texts)
+        m = pc.extract_regex(texts, LATLON_PATTERN)
+        found = pc.is_valid(m).to_numpy(zero_copy_only=False)
+        lat = pc.cast(pc.struct_field(m, "lat"), pa.float64())
+        lon = pc.cast(pc.struct_field(m, "lon"), pa.float64())
+        lat = pc.fill_null(lat, 0.0).to_numpy(zero_copy_only=False)
+        lon = pc.fill_null(lon, 0.0).to_numpy(zero_copy_only=False)
+        return lat, lon, found
+
+    def _slow(self, texts) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         n = len(texts)
         lat = np.zeros(n, dtype=np.float64)
         lon = np.zeros(n, dtype=np.float64)
@@ -123,7 +143,7 @@ class LatLonExtractor:
         for i, t in enumerate(texts):
             m = search(t) if t is not None else None
             if m is not None:
-                lat[i] = float(m.group(1))
-                lon[i] = float(m.group(2))
+                lat[i] = float(m.group("lat"))
+                lon[i] = float(m.group("lon"))
                 found[i] = True
         return lat, lon, found

@@ -79,7 +79,11 @@ def flagship(sf_dir: str, res: int = 7, k: int = 1, profile: str = "gaussian",
              replicate: int = 1, fused: bool = True):
     """Full pipeline -> smoothed cell table Dataset (cell + *_sm columns)."""
     pages = read_pages(sf_dir, replicate=replicate, include_html=False)
-    geocoded = geo_encode(pages, res=res)
+    # whole-block batches: the fused build->GeoEncode chain then processes
+    # one input block per task with a single vectorized GeoEncode call over
+    # the expanded output (a fixed batch_size would both under-parallelize
+    # the input bundling and re-slice the fan-out into tiny batches)
+    geocoded = geo_encode(pages, res=res, batch_size=None)
     cells = cell_metrics(geocoded)
     cols = METRIC_COLS if fused else ["chars_mean"]
     return smooth_cells(cells, cols, k=k, profile=profile)

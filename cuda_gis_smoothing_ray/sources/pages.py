@@ -43,7 +43,6 @@ def pages_from_documents_batch(batch: pa.Table, replicate: int = 1) -> pa.Table:
     Vectorized Arrow/numpy; zero Python-per-row work except the cheap
     url-string join (pyarrow kernel).  Used inside ``map_batches``.
     """
-    out_parts = []
     doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     text = batch.column("text")
     lang = batch.column("lang")
@@ -62,23 +61,33 @@ def pages_from_documents_batch(batch: pa.Table, replicate: int = 1) -> pa.Table:
         pa.scalar(b"</body></html>", pa.binary()),
         b"",
     )
-    for rep in range(replicate):
-        page_id = doc_id + np.int64(rep) * np.int64(REP_STRIDE)
-        warc_ts = WARC_EPOCH + page_id.astype("timedelta64[s]").astype("timedelta64[us]")
-        out_parts.append(
-            pa.table(
-                {
-                    "page_id": pa.array(page_id),
-                    "url": url,
-                    "warc_ts": pa.array(warc_ts),
-                    "html": html,
-                    "text": text,
-                    "lang": lang,
-                },
-                schema=PAGES_SCHEMA,
-            )
+    n = len(doc_id)
+    # page_id/warc_ts are per-replica; everything else is the SAME Arrow
+    # buffers referenced `replicate` times (zero-copy chunked concat, no
+    # Python loop over replicas)
+    page_id = (
+        np.arange(replicate, dtype=np.int64)[:, None] * np.int64(REP_STRIDE) + doc_id[None, :]
+    ).ravel()
+    warc_ts = WARC_EPOCH + page_id.astype("timedelta64[s]").astype("timedelta64[us]")
+    if replicate == 1:
+        rep_url, rep_html, rep_text, rep_lang = url, html, text, lang
+    else:
+        base = pa.table({"url": url, "html": html, "text": text, "lang": lang})
+        rep = pa.concat_tables([base] * replicate)
+        rep_url, rep_html, rep_text, rep_lang = (
+            rep.column("url"), rep.column("html"), rep.column("text"), rep.column("lang")
         )
-    return pa.concat_tables(out_parts)
+    return pa.table(
+        {
+            "page_id": pa.array(page_id),
+            "url": rep_url,
+            "warc_ts": pa.array(warc_ts),
+            "html": rep_html,
+            "text": rep_text,
+            "lang": rep_lang,
+        },
+        schema=PAGES_SCHEMA,
+    )
 
 
 def read_pages(sf_dir: str, replicate: int = 1, include_html: bool = True):
@@ -99,7 +108,12 @@ def read_pages(sf_dir: str, replicate: int = 1, include_html: bool = True):
             t = t.drop_columns(["html"])
         return t
 
-    return ds.map_batches(build, batch_format="pyarrow")
+    # batch_size=None = one batch per block: the replicate fan-out then runs
+    # one task per input block (SplitBlocks gives ~2 blocks/CPU on small
+    # files) and every downstream batch stays whole-block vectorized.  A
+    # fixed batch_size here would make the fused chain re-slice the expanded
+    # output into tiny batches (measured 100x UDF overhead).
+    return ds.map_batches(build, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------------------

@@ -33,7 +33,7 @@ class GeoEncode:
         # replication stride (replicated pages land on the same coordinates)
         doc_id = ids % np.int64(REP_STRIDE)
         _, clat, clon = geocode.centroid_latlon(doc_id)
-        ex_lat, ex_lon, found = self.extract(batch.column("text").to_pylist())
+        ex_lat, ex_lon, found = self.extract(batch.column("text"))
         lat = np.where(found, ex_lat, clat)
         lon = np.where(found, ex_lon, clon)
         cell = hexgrid.latlon_to_cell(lat, lon, self.res)
@@ -46,13 +46,21 @@ class GeoEncode:
 
 
 def geo_encode(ds, res: int = 7, drop_html: bool = True, id_col: str = "page_id",
-               concurrency=(1, 4), batch_size: int = 8192):
+               concurrency=None, batch_size: int = 8192):
     """pages Dataset -> geocoded Dataset (adds lat/lon/has_mention/cell).
 
-    ``concurrency`` defaults to an AUTOSCALING (min, max) pool: a fixed-size
-    pool that reserves ``max`` CPUs can starve sibling stages (read/sort) and
-    deadlock the streaming executor on small clusters.
+    ``concurrency`` defaults to an AUTOSCALING ``(1, ~cluster CPUs)`` pool: a
+    fixed-size pool that reserves ``max`` CPUs can starve sibling stages
+    (read/sort) and deadlock the streaming executor on small clusters, while a
+    hard cap (e.g. 4) throttles the hot stage on big ones.
     """
+    if concurrency is None:
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        # autoscale from 1: a high min reserves CPUs before the pool has
+        # work and starves the producer stages (measured 2x slower here)
+        concurrency = (1, max(4, cpus))
     return ds.map_batches(
         GeoEncode,
         fn_constructor_kwargs={"res": res, "drop_html": drop_html, "id_col": id_col},
