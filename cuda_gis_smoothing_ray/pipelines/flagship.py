@@ -50,7 +50,7 @@ def cell_metrics(geocoded_ds):
     from ray.data.aggregate import Sum
 
     reduced = (
-        geocoded_ds.map_batches(_partial_metrics, batch_format="pyarrow")
+        geocoded_ds.map_batches(_partial_metrics, batch_format="pyarrow", batch_size=None)
         .groupby("cell")
         .aggregate(
             Sum("n", alias_name="n"),

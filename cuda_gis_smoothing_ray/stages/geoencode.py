@@ -20,6 +20,11 @@ from ..sources.pages import REP_STRIDE
 
 class GeoEncode:
     def __init__(self, res: int = 7, drop_html: bool = True, id_col: str = "page_id"):
+        # one Arrow compute thread per worker: Arrow's internal pool defaults
+        # to ALL cores, silently breaking Ray's num_cpus accounting (a task
+        # "using 1 CPU" would fan RE2 scans across the node); per-task
+        # single-threading is what a multi-node deployment sees anyway
+        pa.set_cpu_count(1)
         self.res = res
         self.drop_html = drop_html
         self.id_col = id_col
@@ -45,21 +50,45 @@ class GeoEncode:
         )
 
 
+#: per-worker-process encoder cache — the "build once, reuse every batch"
+#: state for the TASK form of the stage (Ray reuses warm worker processes
+#: across tasks, so this is constructed once per worker, like an actor's
+#: ``__init__``, without actor-pool spin-up cost)
+_ENCODERS: dict = {}
+
+
+def _cached_encoder(res: int, drop_html: bool, id_col: str) -> GeoEncode:
+    key = (res, drop_html, id_col)
+    enc = _ENCODERS.get(key)
+    if enc is None:
+        enc = _ENCODERS[key] = GeoEncode(res=res, drop_html=drop_html, id_col=id_col)
+    return enc
+
+
 def geo_encode(ds, res: int = 7, drop_html: bool = True, id_col: str = "page_id",
-               concurrency=None, batch_size: int = 8192):
+               concurrency=None, batch_size: int = 8192, use_actors: bool = False):
     """pages Dataset -> geocoded Dataset (adds lat/lon/has_mention/cell).
 
-    ``concurrency`` defaults to an AUTOSCALING ``(1, ~cluster CPUs)`` pool: a
-    fixed-size pool that reserves ``max`` CPUs can starve sibling stages
-    (read/sort) and deadlock the streaming executor on small clusters, while a
-    hard cap (e.g. 4) throttles the hot stage on big ones.
+    Default is a TASK stage with per-worker cached state: the geocoder's
+    state (compiled regex + TLD centroid table) is cheap to build, and an
+    actor pool pays a real price for it — a fresh pool spins up per
+    execution (~2 s/actor here, a serial ramp that capped 4->16 CPU scaling
+    at ~1.0x), while a fixed-size pool reserves CPUs and starves producer
+    stages.  Tasks run on already-warm worker processes immediately.
+
+    ``use_actors=True`` selects the actor-pool form (the right choice when
+    per-actor state is genuinely expensive — model weights, big indexes);
+    ``concurrency`` then defaults to an autoscaling ``(1, ~cluster CPUs)``.
     """
+    if not use_actors:
+        def encode(batch: pa.Table) -> pa.Table:
+            return _cached_encoder(res, drop_html, id_col)(batch)
+
+        return ds.map_batches(encode, batch_format="pyarrow", batch_size=batch_size)
     if concurrency is None:
         import ray
 
         cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-        # autoscale from 1: a high min reserves CPUs before the pool has
-        # work and starves the producer stages (measured 2x slower here)
         concurrency = (1, max(4, cpus))
     return ds.map_batches(
         GeoEncode,
