@@ -140,10 +140,127 @@ def _q_knn(sf_dir: str):
     return _round6_cols(ds, ["dist2"]).sort(["query_id", "rank"])
 
 
+# ---------------------------------------------------------------------------
+# training-data-pipeline ops (documents / embeddings / events tables)
+# ---------------------------------------------------------------------------
+
+JACCARD_T = 0.8
+NEARDUP_T = 0.4
+ANN_K = 10
+
+
+def _docs(sf_dir: str, cols=("doc_id", "text")):
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    return read_documents(sf_dir, cols)
+
+
+def _q_text_stats(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import textops
+
+    ds = textops.text_stats(_docs(sf_dir))
+    return _round6_cols(
+        ds, ["punct_ratio", "stopword_ratio", "mean_token_chars", "quality_score"]
+    ).sort("doc_id")
+
+
+def _q_lang_id(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.lang_id(_docs(sf_dir, ("doc_id", "text", "lang"))).sort("doc_id")
+
+
+def _q_exact_dedup(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.exact_dedup(_docs(sf_dir)).sort("doc_id")
+
+
+def _q_jaccard(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.jaccard_pairs(_docs(sf_dir), threshold=JACCARD_T).sort(["a", "b"])
+
+
+def _q_minhash(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.minhash_pairs(_docs(sf_dir)).sort(["a", "b"])
+
+
+def _q_simhash(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.simhash_pairs(_docs(sf_dir)).sort(["a", "b"])
+
+
+def _q_ann_topk(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import ann
+
+    return ann.ann_bruteforce(ann.read_embeddings(sf_dir), sf_dir, k=ANN_K).sort(
+        ["query_id", "rank"]
+    )
+
+
+def _q_ann_lsh(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import ann
+
+    return ann.ann_lsh(ann.read_embeddings(sf_dir), sf_dir, k=ANN_K).sort(
+        ["query_id", "rank"]
+    )
+
+
+def _q_neardup(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import ann
+
+    return ann.embedding_neardup(
+        ann.read_embeddings(sf_dir), sf_dir, threshold=NEARDUP_T
+    ).sort(["a", "b"])
+
+
+def _q_media_decode(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import media
+
+    ds = media.media_decode(media.media_table(sf_dir))
+    return ds.drop_columns(["feature"]).sort("media_id")
+
+
+def _q_media_features(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import media
+
+    return media.media_decode(media.media_table(sf_dir)).sort("media_id")
+
+
+def _q_events_window(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import events
+
+    ds = events.window_aggregate(events.read_events(sf_dir))
+    return _round6_cols(ds, ["sum_value"]).sort(["window_start", "event_type"])
+
+
+def _q_sessionize(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.sessionize(events.read_events(sf_dir)).sort("event_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
         "pip_join": _q_pip,
         "knn_join": _q_knn,
+        "text_stats": _q_text_stats,
+        "lang_id": _q_lang_id,
+        "exact_dedup": _q_exact_dedup,
+        "jaccard_pairs": _q_jaccard,
+        "minhash_pairs": _q_minhash,
+        "simhash_pairs": _q_simhash,
+        "ann_cosine_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh,
+        "embedding_neardup": _q_neardup,
+        "media_decode": _q_media_decode,
+        "media_features": _q_media_features,
+        "events_window": _q_events_window,
+        "sessionize": _q_sessionize,
         "geocode_cells": _q_geocode_cells,
         "cell_metrics": _q_cell_metrics,
         "neighbor_stats": _q_neighbor_stats,
@@ -162,8 +279,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from cuda_gis_smoothing_ray.sql import oracles as o
+    from cuda_gis_smoothing_ray.sql import oracles_corpus as oc
 
     return {
+        "text_stats": oc.text_stats_sql(),
+        "lang_id": oc.lang_id_sql(),
+        "exact_dedup": oc.exact_dedup_sql(),
+        "jaccard_pairs": oc.jaccard_pairs_sql(JACCARD_T),
+        "ann_cosine_topk": oc.ann_topk_sql(ANN_K),
+        "embedding_neardup": oc.embedding_neardup_sql(NEARDUP_T),
+        "media_decode": oc.media_decode_sql(),
+        "events_window": oc.events_window_sql(),
+        "sessionize": oc.sessionize_sql(),
+        # minhash_pairs / simhash_pairs / ann_lsh_topk / media_features are
+        # hash- or state-based and not SQL-expressible: rows-only checks;
+        # their semantics are pytest-gated instead (tests/test_textops.py,
+        # tests/test_ann.py).
         "pip_join": o.pip_join_sql(RES),
         "knn_join": o.knn_join_sql(RES, 5),
         "geocode_cells": o.geocode_cells_sql(RES),

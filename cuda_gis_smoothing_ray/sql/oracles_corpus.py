@@ -1,0 +1,209 @@
+"""DuckDB oracle SQL for the training-data-pipeline operators (text
+analysis, dedup, similarity search, media plumbing, event windows).
+
+Same cross-engine rules as :mod:`.oracles`: float literals via ``D()``,
+``floor(x*1e6+0.5)/1e6`` rounding, and — for the regex-based counts — RE2
+on BOTH sides (pyarrow ``count_substring_regex`` / DuckDB
+``regexp_extract_all``), so counts agree by construction.  Cosine sums are
+emitted as explicit left-associative 64-term expressions, matching the
+engine's column-sequential float64 accumulation bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from ..functions import textstats
+from ..stages import ann, events, media
+from .oracles import D, round6
+
+
+def _re_count(col: str, pattern: str) -> str:
+    # RE2 pattern inside a single-quoted SQL literal: escape quotes only
+    # (backslashes are literal in standard SQL strings)
+    p = pattern.replace("'", "''")
+    return f"len(regexp_extract_all({col}, '{p}'))"
+
+
+def text_stats_sql() -> str:
+    t = textstats
+    n_tokens = _re_count("text", t.TOKEN_RE)
+    n_bpe = _re_count("text", t.BPE_RE)
+    n_punct = _re_count("text", t.PUNCT_RE)
+    n_nonspace = _re_count("text", t.NONSPACE_RE)
+    n_stop = _re_count("text", t.marker_pattern(t.STOPWORDS))
+    return f"""WITH raw AS (
+  SELECT doc_id, length(text) AS n_chars,
+    {n_tokens} AS n_tokens, {n_bpe} AS n_bpe_tokens,
+    {n_punct} AS n_punct, {n_nonspace} AS n_nonspace, {n_stop} AS n_stop,
+    md5(text) AS fingerprint
+  FROM documents
+), r AS (
+  SELECT *,
+    CAST(greatest(n_tokens, 1) AS DOUBLE) AS tok,
+    CAST(greatest(n_chars, 1) AS DOUBLE) AS chars,
+    CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) AS punct_ratio,
+    CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stop_ratio,
+    CAST(n_nonspace AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS mean_tok
+  FROM raw
+)
+SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
+  {round6('punct_ratio')} AS punct_ratio,
+  {round6('stop_ratio')} AS stopword_ratio,
+  {round6('mean_tok')} AS mean_token_chars,
+  {round6(
+      f"{D(0.25)} * least({D(1.0)}, CAST(n_tokens AS DOUBLE) / {D(t.QS_TOKEN_NORM)})"
+      f" + {D(0.25)} * ({D(1.0)} - punct_ratio)"
+      f" + {D(0.25)} * (CASE WHEN stop_ratio >= {D(t.QS_STOP_LO)}"
+      f" AND stop_ratio <= {D(t.QS_STOP_HI)} THEN {D(1.0)} ELSE {D(0.0)} END)"
+      f" + {D(0.25)} * least({D(1.0)}, mean_tok / {D(t.QS_MEANLEN_NORM)})"
+  )} AS quality_score,
+  fingerprint
+FROM r
+ORDER BY doc_id"""
+
+
+def lang_id_sql() -> str:
+    t = textstats
+    counts = ",\n    ".join(
+        f"{_re_count('text', t.marker_pattern(words))} AS c_{lang}"
+        for lang, words in t.LANG_MARKERS
+    )
+    langs = [lang for lang, _ in t.LANG_MARKERS]
+    # first-max-wins in LANG_MARKERS order == numpy argmax
+    cases = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"c_{lang} >= c_{o}" for o in langs[i + 1:])
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(cases) + f" ELSE '{langs[-1]}' END"
+    return f"""WITH c AS (
+  SELECT doc_id, lang,
+    {counts}
+  FROM documents
+)
+SELECT doc_id, lang, {case} AS pred_lang
+FROM c
+ORDER BY doc_id"""
+
+
+def exact_dedup_sql() -> str:
+    return """SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
+FROM documents
+GROUP BY md5(text)
+ORDER BY doc_id"""
+
+
+def jaccard_pairs_sql(threshold: float) -> str:
+    tok_re = textstats.TOKEN_RE.replace("'", "''")
+    return f"""WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '{tok_re}'))) AS token
+  FROM documents
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id
+), pairs AS (
+  SELECT t1.doc_id AS a, t2.doc_id AS b, count(*) AS shared
+  FROM tok t1 JOIN tok t2 ON t1.token = t2.token AND t1.doc_id < t2.doc_id
+  GROUP BY 1, 2
+), j AS (
+  SELECT a, b,
+    CAST(shared AS DOUBLE)
+      / (CAST(sa.n AS DOUBLE) + CAST(sb.n AS DOUBLE) - CAST(shared AS DOUBLE)) AS jac
+  FROM pairs
+  JOIN sz sa ON sa.doc_id = a
+  JOIN sz sb ON sb.doc_id = b
+)
+SELECT a, b, {round6('jac')} AS jaccard
+FROM j WHERE jac >= {D(threshold)}
+ORDER BY a, b"""
+
+
+def _dot_expr(x: str, y: str, dim: int) -> str:
+    """Left-associative explicit sum — the SQL twin of ann.seq_dot."""
+    return " + ".join(
+        f"CAST({x}[{j + 1}] AS DOUBLE) * CAST({y}[{j + 1}] AS DOUBLE)"
+        for j in range(dim)
+    )
+
+
+def ann_topk_sql(k: int, n_queries: int = ann.N_QUERIES, dim: int = ann.DIM) -> str:
+    dot = _dot_expr("e.embedding", "q.embedding", dim)
+    ne = _dot_expr("e.embedding", "e.embedding", dim)
+    nq = _dot_expr("q.embedding", "q.embedding", dim)
+    return f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < {n_queries}
+), sims AS (
+  SELECT q.query_id, e.vec_id,
+    ({dot}) / (sqrt({ne}) * sqrt({nq})) AS cos_raw
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cos_raw,
+    row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM sims
+)
+SELECT query_id, rank, vec_id, {round6('cos_raw')} AS cosine
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank"""
+
+
+def embedding_neardup_sql(threshold: float, dim: int = ann.DIM) -> str:
+    dot = _dot_expr("x.embedding", "y.embedding", dim)
+    nx = _dot_expr("x.embedding", "x.embedding", dim)
+    ny = _dot_expr("y.embedding", "y.embedding", dim)
+    return f"""WITH sims AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+    ({dot}) / (sqrt({nx}) * sqrt({ny})) AS cos_raw
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+)
+SELECT a, b, {round6('cos_raw')} AS cosine
+FROM sims WHERE cos_raw >= {D(threshold)}
+ORDER BY a, b"""
+
+
+def media_decode_sql() -> str:
+    """Mirrors stages/media.py: payload = '<html><body>'||text||'</body></html>'
+    (pages_cte html synthesis), metadata = arithmetic on byte length."""
+    kinds = media.KINDS
+    return f"""WITH m AS (
+  SELECT doc_id AS media_id,
+    CASE doc_id % 3 WHEN 0 THEN '{kinds[0]}' WHEN 1 THEN '{kinds[1]}'
+      ELSE '{kinds[2]}' END AS kind,
+    octet_length(encode(text)) + 26 AS n_bytes
+  FROM documents
+)
+SELECT media_id, kind, n_bytes,
+  64 + (n_bytes * 7) % 1024 AS width,
+  64 + (n_bytes * 13) % 768 AS height,
+  CASE WHEN media_id % 3 = 0 THEN 0 ELSE 1000 + (n_bytes * 31) % 600000 END AS duration_ms
+FROM m
+ORDER BY media_id"""
+
+
+def events_window_sql(window_us: int = events.WINDOW_US) -> str:
+    return f"""SELECT
+  make_timestamp((epoch_us(ts) // {window_us}) * {window_us}) AS window_start,
+  event_type,
+  count(*) AS n_events,
+  {round6('sum(value)')} AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2"""
+
+
+def sessionize_sql(gap_us: int = events.SESSION_GAP_US) -> str:
+    return f"""WITH flagged AS (
+  SELECT event_id, user_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {gap_us}
+      THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT event_id, user_id, ts,
+    SUM(new_sess) OVER w2 - 1 AS session_idx,
+    MAX(CASE WHEN new_sess = 1 THEN ts END) OVER w2 AS session_start
+  FROM flagged
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id, user_id, CAST(session_idx AS BIGINT) AS session_idx, session_start
+FROM numbered
+ORDER BY event_id"""

@@ -1,0 +1,257 @@
+"""Similarity search over the ``embeddings`` table (``list<float>`` column).
+
+* :func:`ann_bruteforce` — exact cosine top-k against a broadcast query
+  matrix (``ray.put`` once, read per task): each batch computes its local
+  top-k per query vectorized, a tiny ``groupby(query_id)`` merge finishes.
+  The big side streams; only (query, candidate, sim) rows shuffle.
+
+* :func:`ann_lsh` — the scale path: random-hyperplane signatures (seeded,
+  built once per worker), banded buckets, per-bucket candidate search.
+  Approximate; recall@k vs brute force is pytest-gated.
+
+* :func:`embedding_neardup` — near-duplicate pairs by cosine >= threshold
+  (exact, broadcast variant; at corpus scale swap the candidate generator
+  for the LSH bucketer, same verify step).
+
+Float-parity note: cosine terms are accumulated COLUMN-SEQUENTIALLY in
+float64 (``acc += x[:, j] * q[j]``, j ascending) — the exact evaluation
+order of the generated left-associative SQL expression, so DuckDB and
+numpy produce bit-identical doubles (no tolerance needed before the
+canonical round6).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+DIM = 64
+N_QUERIES = 8
+
+
+def read_embeddings(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+
+def _emb_matrix(batch: pa.Table) -> np.ndarray:
+    """list<float> column -> (n, DIM) float64, zero-copy flatten."""
+    col = batch.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(batch), -1)
+
+
+def seq_dot(x: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(n,d) . (d,) with ascending-column sequential accumulation — mirrors
+    the left-associative SQL ``x[1]*q1 + x[2]*q2 + ...`` exactly."""
+    acc = np.zeros(len(x), dtype=np.float64)
+    for j in range(x.shape[1]):
+        acc = acc + x[:, j] * q[j]
+    return acc
+
+
+def seq_sq_norm(x: np.ndarray) -> np.ndarray:
+    acc = np.zeros(len(x), dtype=np.float64)
+    for j in range(x.shape[1]):
+        acc = acc + x[:, j] * x[:, j]
+    return acc
+
+
+def load_queries(sf_dir: str, n_queries: int = N_QUERIES) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic query set: the first ``n_queries`` vec_ids (tiny
+    driver-side parquet read with a row filter — never the whole table)."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < n_queries,
+    ).sort_by("vec_id")
+    q = _emb_matrix(t)
+    return t.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64), q
+
+
+def ann_bruteforce(ds, sf_dir: str, k: int = 10, n_queries: int = N_QUERIES):
+    """-> (query_id, rank, vec_id, cosine): exact cosine top-k per query,
+    ties broken by vec_id ascending; the query vector itself is excluded."""
+    import ray
+
+    q_ids, q_mat = load_queries(sf_dir, n_queries)
+    q_ref = ray.put(q_mat)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)  # (m, d)
+        x = _emb_matrix(batch)  # (n, d)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        xn = np.sqrt(seq_sq_norm(x))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            q = qm[qi]
+            sim = seq_dot(x, q) / (xn * np.sqrt(seq_dot(q[None, :], q)[0]))
+            mask = vid != q_ids[qi]
+            cand_v, cand_s = vid[mask], sim[mask]
+            if len(cand_v) > k:
+                # top-k by (-sim, vec_id): lexsort is stable + deterministic
+                order = np.lexsort((cand_v, -cand_s))[:k]
+            else:
+                order = np.lexsort((cand_v, -cand_s))
+            out_q.append(np.full(len(order), q_ids[qi], dtype=np.int64))
+            out_v.append(cand_v[order])
+            out_s.append(cand_s[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cosine": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["cosine"] = np.floor(g["cosine"].to_numpy() * 1e6 + 0.5) / 1e6
+        return g[["query_id", "rank", "vec_id", "cosine"]]
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge)
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed approximate variant (the 100 TB path)
+# ---------------------------------------------------------------------------
+
+_PLANES: dict = {}
+
+
+def _planes(dim: int, n_bits: int) -> np.ndarray:
+    key = (dim, n_bits)
+    p = _PLANES.get(key)
+    if p is None:
+        rng = np.random.default_rng(20240817)  # engine-wide constant
+        p = _PLANES[key] = rng.standard_normal((n_bits, dim))
+    return p
+
+
+def lsh_signature(x: np.ndarray, n_bits: int = 16) -> np.ndarray:
+    """(n,d) -> (n,) uint64 sign-bit signature under the shared hyperplanes."""
+    proj = x @ _planes(x.shape[1], n_bits).T  # (n, bits)
+    bits = (proj >= 0).astype(np.uint64)
+    out = np.zeros(len(x), dtype=np.uint64)
+    for b in range(n_bits):
+        out |= bits[:, b] << np.uint64(b)
+    return out
+
+
+def ann_lsh(ds, sf_dir: str, k: int = 10, n_queries: int = N_QUERIES,
+            n_bits: int = 16, n_bands: int = 4):
+    """Approximate cosine top-k: candidates = vectors sharing at least one
+    signature band with the query; exact re-rank within candidates.
+
+    Recall depends on bucket collision probability (cos-angle LSH); with
+    4x4-bit bands, near neighbors collide with high probability.  The
+    output schema matches :func:`ann_bruteforce`; pytest gates recall@k.
+    """
+    import ray
+
+    q_ids, q_mat = load_queries(sf_dir, n_queries)
+    q_sig = lsh_signature(q_mat, n_bits)
+    width = n_bits // n_bands
+    mask = np.uint64((1 << width) - 1)
+    q_bands = np.stack(
+        [(q_sig >> np.uint64(b * width)) & mask for b in range(n_bands)], axis=1
+    )  # (m, bands)
+    q_ref = ray.put((q_mat, q_bands))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm, qb = ray.get(q_ref)
+        x = _emb_matrix(batch)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        sig = lsh_signature(x, n_bits)
+        xb = np.stack(
+            [(sig >> np.uint64(b * width)) & mask for b in range(n_bands)], axis=1
+        )  # (n, bands)
+        xn = np.sqrt(seq_sq_norm(x))
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            cand = (xb == qb[qi][None, :]).any(axis=1) & (vid != q_ids[qi])
+            if not cand.any():
+                continue
+            q = qm[qi]
+            sim = seq_dot(x[cand], q) / (xn[cand] * np.sqrt(seq_dot(q[None, :], q)[0]))
+            cv = vid[cand]
+            order = np.lexsort((cv, -sim))[:k]
+            out_q.append(np.full(len(order), q_ids[qi], dtype=np.int64))
+            out_v.append(cv[order])
+            out_s.append(sim[order])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cosine": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["cosine"] = np.floor(g["cosine"].to_numpy() * 1e6 + 0.5) / 1e6
+        return g[["query_id", "rank", "vec_id", "cosine"]]
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge)
+    )
+
+
+def embedding_neardup(ds, sf_dir: str, threshold: float = 0.4):
+    """-> (a, b, cosine) pairs with cosine >= threshold, a < b.
+
+    Exact: every batch is compared against the broadcast full matrix (fine
+    while the table fits an object-store object; the 100 TB path replaces
+    the candidate generator with :func:`lsh_signature` buckets — the verify
+    math is shared)."""
+    import pyarrow.parquet as pq
+
+    import ray
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    all_ids = full.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    all_mat = _emb_matrix(full)
+    ref = ray.put((all_ids, all_mat))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_b, mat_b = ray.get(ref)
+        x = _emb_matrix(batch)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        xn = np.sqrt(seq_sq_norm(x))
+        bn = np.sqrt(seq_sq_norm(mat_b))
+        out_a, out_b, out_s = [], [], []
+        for i in range(len(vid)):
+            sim = seq_dot(mat_b, x[i]) / (bn * xn[i])
+            keep = (sim >= threshold) & (ids_b > vid[i])
+            out_a.append(np.full(keep.sum(), vid[i], dtype=np.int64))
+            out_b.append(ids_b[keep])
+            out_s.append(np.floor(sim[keep] * 1e6 + 0.5) / 1e6)
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(out_a) if out_a else np.empty(0, np.int64)),
+                "b": pa.array(np.concatenate(out_b) if out_b else np.empty(0, np.int64)),
+                "cosine": pa.array(np.concatenate(out_s) if out_s else np.empty(0, np.float64)),
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")

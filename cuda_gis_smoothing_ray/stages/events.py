@@ -1,0 +1,83 @@
+"""Windowed / sessionized operators over the ``events`` stream table —
+the engine's streaming-shaped additions (the reference has none,
+SURVEY §2.9; semantics follow the standard tumbling-window / gap-session
+definitions).
+
+Scale shape: tumbling windows pre-aggregate INSIDE map_batches (partials
+keyed by (window, event_type) — bounded cardinality), so the shuffle moves
+partial rows, not events.  Sessionization shuffles by ``user_id`` once and
+solves each user locally in ``map_groups`` — the partitioning assumption is
+"one user's events fit one group", the same assumption any engine makes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+WINDOW_US = 3_600_000_000  # 1h tumbling
+SESSION_GAP_US = 1_800_000_000  # 30min inactivity gap
+
+
+def read_events(sf_dir: str, columns=("event_id", "ts", "user_id", "event_type", "value")):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=list(columns))
+
+
+def window_aggregate(ds, window_us: int = WINDOW_US):
+    """events -> (window_start, event_type, n_events, sum_value, n_users??)
+    tumbling-window counts/sums.  Two-phase: batch-local partials, then a
+    small groupby over (window_start, event_type)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        epoch = ts.astype(np.int64)
+        win = (epoch // window_us) * window_us
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        df = pd.DataFrame({"w": win, "t": et, "v": val})
+        g = df.groupby(["w", "t"], sort=True)["v"].agg(["count", "sum"]).reset_index()
+        return pa.table(
+            {
+                "window_start": pa.array(g["w"].to_numpy().astype("datetime64[us]")),
+                "event_type": pa.array(g["t"], pa.string()),
+                "n_events": pa.array(g["count"].to_numpy().astype(np.int64)),
+                "sum_value": pa.array(g["sum"].to_numpy()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["window_start", "event_type"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+    )
+
+
+def sessionize(ds, gap_us: int = SESSION_GAP_US):
+    """events -> (event_id, user_id, session_idx, session_start): gap-based
+    sessions per user; session_idx is 0-based in ts order (ties: event_id)."""
+
+    def solve(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        new_sess = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            new_sess[1:] = (ts[1:] - ts[:-1]) > gap_us
+        sidx = np.cumsum(new_sess) - 1
+        start = ts[np.flatnonzero(new_sess)][sidx]
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "user_id": g["user_id"].to_numpy(),
+                "session_idx": sidx.astype(np.int64),
+                "session_start": start.astype("datetime64[us]"),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(solve)

@@ -1,0 +1,127 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with typed metadata — here the
+``pages.html`` bytes stand in as the payload (this container has no
+image/audio codecs; see :class:`MediaDecode` for the stub boundary).  What
+IS real and tested: the Ray-side plumbing — schema, actor-pool stage shape,
+small-batch sizing for wide binary rows, deterministic feature layout.
+
+Scale notes: binary rows are wide, so the decode stage uses a SMALL
+``batch_size`` (payload x batch x concurrency must fit the worker heap) and
+an actor pool (real decoders hold codec state / model weights).  The
+payload column is projected away immediately after feature extraction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..sources.pages import read_pages
+
+KINDS = ("image", "audio", "video")
+FEAT_DIM = 8
+
+
+def media_table(sf_dir: str, replicate: int = 1):
+    """pages -> media Dataset (media_id, kind, payload:binary).
+
+    kind is assigned deterministically (media_id % 3) so the oracle can
+    reproduce it."""
+    pages = read_pages(sf_dir, replicate=replicate, include_html=True)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        mid = batch.column("page_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        kind = np.array(KINDS, dtype=object)[mid % 3]
+        return pa.table(
+            {
+                "media_id": pa.array(mid),
+                "kind": pa.array(kind, pa.string()),
+                "payload": batch.column("html"),
+            }
+        )
+
+    return pages.map_batches(shape, batch_format="pyarrow", batch_size=None)
+
+
+class MediaDecode:
+    """Actor-pool decode/feature stage.
+
+    ``__init__`` is where a real deployment loads codec/model state ONCE per
+    actor (PIL / torchaudio / decord).  Those libraries are not in this
+    container, so the decode is a STUB: if a real decoder is requested and
+    unavailable we raise ``NotImplementedError`` loudly; the default
+    deterministic fake derives metadata/features from the payload bytes so
+    the full pipeline (schema, shuffle, sinks, oracles) is exercised end to
+    end with stable outputs.
+    """
+
+    def __init__(self, real_decoder: bool = False, feat_dim: int = FEAT_DIM):
+        self.feat_dim = feat_dim
+        self.real = real_decoder
+        if real_decoder:
+            try:  # pragma: no cover - not installed in this container
+                import PIL.Image  # noqa: F401
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real media decoding needs PIL/torchaudio; this container "
+                    "ships neither — use the deterministic fake (real_decoder=False)"
+                ) from e
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if self.real:  # pragma: no cover
+            raise NotImplementedError("real decode path not available in this container")
+        mid = batch.column("media_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nbytes = pc.binary_length(batch.column("payload")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        # deterministic fake "decode": metadata as pure arithmetic on
+        # (payload length, media id) — mirrored exactly by the SQL oracle
+        width = 64 + (nbytes * 7) % 1024
+        height = 64 + (nbytes * 13) % 768
+        duration_ms = np.where(
+            mid % 3 == 0, 0, 1000 + (nbytes * 31) % 600000
+        ).astype(np.int64)
+        # deterministic fake features: FEAT_DIM moments of the byte stream,
+        # vectorized per batch via one flat frombuffer pass
+        payload = batch.column("payload")
+        if isinstance(payload, pa.ChunkedArray):
+            payload = payload.combine_chunks()
+        buf = np.frombuffer(payload.buffers()[2], dtype=np.uint8)
+        offs = np.frombuffer(payload.buffers()[1], dtype=np.int32)[
+            payload.offset : payload.offset + len(payload) + 1
+        ]
+        # per-row byte-mean via one cumulative-sum pass (no per-row loop)
+        csum = np.concatenate(([0.0], np.cumsum(buf.astype(np.float64))))
+        lo, hi = offs[:-1], offs[1:]
+        seg = (csum[hi] - csum[lo]) / np.maximum(hi - lo, 1)
+        feats = np.zeros((len(mid), self.feat_dim), dtype=np.float64)
+        for d in range(self.feat_dim):
+            feats[:, d] = np.floor((seg * (d + 1)) % 256.0 * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "media_id": pa.array(mid),
+                "kind": batch.column("kind"),
+                "n_bytes": pa.array(nbytes),
+                "width": pa.array(width),
+                "height": pa.array(height),
+                "duration_ms": pa.array(duration_ms),
+                "feature": pa.array(list(feats), pa.list_(pa.float64(), self.feat_dim)),
+            }
+        )
+
+
+def media_decode(ds, concurrency=(1, 8), batch_size: int = 512):
+    """media Dataset -> decoded metadata + features.
+
+    Small batch_size on purpose: with real payloads (MBs each), batch x
+    actor memory is the binding constraint, not task overhead."""
+    return ds.map_batches(
+        MediaDecode,
+        fn_constructor_kwargs={},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

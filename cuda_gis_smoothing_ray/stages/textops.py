@@ -1,0 +1,290 @@
+"""Text-analysis + deduplication stages over the ``documents`` table — the
+training-data-pipeline operator family (language ID, quality scoring, token
+counting, fingerprinting; exact / MinHash-LSH / SimHash / n-gram-Jaccard
+dedup).
+
+Scale shape:
+
+* per-doc stats are stateless whole-block ``map_batches`` (4 RE2 scans per
+  block, no Python-per-row work except the md5 fingerprint);
+* exact dedup shuffles ONLY ``(hash, doc_id)`` pairs (never text) and
+  reduces with ``Min``;
+* the similarity joins (Jaccard / MinHash / SimHash) are inverted-index
+  shuffles: emit (key, doc) postings per batch, group by key, emit candidate
+  pairs per group, reduce per pair.  Every stage's shuffle key is bounded
+  (token / band / simhash-band), and per-doc set sizes ride along with the
+  postings so the final reduce needs NO broadcast side table.
+
+The reference engine has none of these (SURVEY §2.6: its only dedup is the
+ring-2 ``std::set`` insert, ``hex_smooth_cuda_v5.cu:429-456``); they are the
+north-rule's web-corpus additions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import hashing, textstats
+
+
+def read_documents(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
+
+
+# ---------------------------------------------------------------------------
+# per-doc text analysis
+# ---------------------------------------------------------------------------
+
+def text_stats(ds):
+    """documents -> (doc_id, n_chars, n_tokens, n_bpe_tokens, punct_ratio,
+    stopword_ratio, mean_token_chars, quality_score, fingerprint)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        stats = textstats.text_stats(batch.column("text"))
+        cols = {"doc_id": batch.column("doc_id")}
+        cols.update({k: pa.array(v) for k, v in stats.items()})
+        cols["fingerprint"] = pa.array(textstats.md5_hex(batch.column("text")))
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def lang_id(ds):
+    """documents -> (doc_id, lang, pred_lang) via the marker-token heuristic."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "pred_lang": pa.array(textstats.lang_id(batch.column("text"))),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: hash-partition + per-group min  (SURVEY §2.6 O3 general form)
+# ---------------------------------------------------------------------------
+
+def exact_dedup(ds):
+    """documents -> one survivor row (text_md5, doc_id=min id) per distinct
+    text.  Only (hash, id) pairs enter the shuffle."""
+    from ray.data.aggregate import Min
+
+    def key(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "text_md5": pa.array(textstats.md5_hex(batch.column("text"))),
+                "doc_id": batch.column("doc_id"),
+            }
+        )
+
+    return (
+        ds.map_batches(key, batch_format="pyarrow")
+        .groupby("text_md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram (word-set) Jaccard similarity join via inverted index
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(ds, threshold: float = 0.8, max_df: int | None = None):
+    """documents -> (a, b, jaccard) pairs with word-set Jaccard >= threshold.
+
+    Inverted-index plan: distinct (token, doc, set_size) postings ->
+    groupby(token) -> per-group candidate pairs (a<b, sizes attached) ->
+    groupby(a,b) -> shared = group size, jaccard = shared/(na+nb-shared).
+
+    ``max_df`` drops tokens whose *within-group* document frequency exceeds
+    it (stopword-style hot keys make the pair fan-out quadratic; at corpus
+    scale you always set this — pairs sharing ONLY ultra-common tokens are
+    below any useful threshold anyway).  Default None = exact semantics,
+    matching the SQL oracle.
+    """
+    from ray.data.aggregate import Count
+
+    def postings(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        arr = pc.split_pattern_regex(batch.column("text"), r"\s+")
+        out_tok: list[str] = []
+        out_doc: list[int] = []
+        out_size: list[int] = []
+        for i in range(len(doc_id)):
+            words = set(arr[i].as_py())
+            words.discard("")
+            out_tok.extend(words)
+            out_doc.extend([int(doc_id[i])] * len(words))
+            out_size.extend([len(words)] * len(words))
+        return pa.table(
+            {
+                "token": pa.array(out_tok, pa.string()),
+                "doc_id": pa.array(out_doc, pa.int64()),
+                "set_size": pa.array(out_size, pa.int64()),
+            }
+        )
+
+    def pairs_of_group(df):
+        # df: pandas group for one token, columns doc_id/set_size
+        d = df.sort_values("doc_id")
+        ids = d["doc_id"].to_numpy()
+        sizes = d["set_size"].to_numpy()
+        if max_df is not None and len(ids) > max_df:
+            return {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
+                    "na": np.empty(0, np.int64), "nb": np.empty(0, np.int64)}
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return {
+            "a": ids[iu].astype(np.int64),
+            "b": ids[ju].astype(np.int64),
+            "na": sizes[iu].astype(np.int64),
+            "nb": sizes[ju].astype(np.int64),
+        }
+
+    posted = ds.map_batches(postings, batch_format="pyarrow")
+    pairs = posted.groupby("token").map_groups(pairs_of_group)
+    counted = pairs.groupby(["a", "b", "na", "nb"]).aggregate(Count(alias_name="shared"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        na = batch.column("na").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch.column("nb").to_numpy(zero_copy_only=False).astype(np.float64)
+        sh = batch.column("shared").to_numpy(zero_copy_only=False).astype(np.float64)
+        j = sh / (na + nb - sh)
+        keep = j >= threshold
+        return pa.table(
+            {
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
+                "jaccard": pa.array(np.floor(j[keep] * 1e6 + 0.5) / 1e6),
+            }
+        )
+
+    return counted.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-duplicate candidate pairs
+# ---------------------------------------------------------------------------
+
+_MINHASHERS: dict = {}
+
+
+def _hasher(num_perms: int, shingle_k: int, bands: int) -> hashing.MinHasher:
+    key = (num_perms, shingle_k, bands)
+    h = _MINHASHERS.get(key)
+    if h is None:
+        h = _MINHASHERS[key] = hashing.MinHasher(num_perms, shingle_k, bands)
+    return h
+
+
+def minhash_pairs(ds, threshold: float = 0.7, num_perms: int = 64,
+                  shingle_k: int = 5, bands: int = 16):
+    """documents -> (a, b, est_jaccard) near-dup candidates.
+
+    shingle -> minhash signature -> per-band bucket keys -> groupby(band
+    bucket) -> pairs -> groupby(a,b) first -> verify est_jaccard >= threshold
+    from the signatures (carried through the shuffle as fixed-width
+    list<uint64> columns).  State (the permutation family) is built once per
+    worker via the module cache.
+    """
+    def sigs(batch: pa.Table) -> pa.Table:
+        mh = _hasher(num_perms, shingle_k, bands)
+        texts = batch.column("text").to_pylist()
+        s = mh.signatures(texts)  # (n, P) uint64
+        keys = mh.band_keys(s)  # (n, bands) int64
+        n = len(texts)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(keys.ravel()),
+                "doc_id": pa.array(np.repeat(doc, bands)),
+                "sig": pa.array(
+                    list(s.astype(np.int64)[np.repeat(np.arange(n), bands)]),
+                    pa.list_(pa.int64(), num_perms),
+                ),
+            }
+        )
+
+    def pairs_of_bucket(df):
+        d = df.sort_values("doc_id")
+        ids = d["doc_id"].to_numpy()
+        if len(ids) < 2:
+            return {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
+                    "est_jaccard": np.empty(0, np.float64)}
+        sig = np.stack(d["sig"].to_numpy())  # (g, P)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        est = (sig[iu] == sig[ju]).mean(axis=1)
+        keep = est >= threshold
+        return {
+            "a": ids[iu][keep].astype(np.int64),
+            "b": ids[ju][keep].astype(np.int64),
+            "est_jaccard": np.floor(est[keep] * 1e6 + 0.5) / 1e6,
+        }
+
+    from ray.data.aggregate import Min
+
+    posted = ds.map_batches(sigs, batch_format="pyarrow")
+    pairs = posted.groupby("bucket").map_groups(pairs_of_bucket)
+    # a pair found in several bands collapses to one row
+    return pairs.groupby(["a", "b"]).aggregate(Min("est_jaccard", alias_name="est_jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate pairs (Charikar 2002; banded blocking)
+# ---------------------------------------------------------------------------
+
+def simhash_pairs(ds, max_hamming: int = 3, n_bands: int = 4):
+    """documents -> (a, b, hamming) pairs with simhash hamming <= max_hamming.
+
+    Pigeonhole blocking: any pair within hamming<=3 agrees exactly on at
+    least one of 4 16-bit bands -> groupby(band value) -> verify true
+    hamming per candidate pair.
+    """
+    def sigs(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        sh = hashing.simhash64(texts)
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(texts)
+        bands = np.empty((n, n_bands), dtype=np.int64)
+        width = 64 // n_bands
+        mask = np.uint64((1 << width) - 1)
+        for b in range(n_bands):
+            bands[:, b] = ((sh >> np.uint64(b * width)) & mask).astype(np.int64)
+            bands[:, b] |= np.int64(b) << np.int64(48)  # band id in key space
+        return pa.table(
+            {
+                "bucket": pa.array(bands.ravel()),
+                "doc_id": pa.array(np.repeat(doc, n_bands)),
+                "simhash": pa.array(np.repeat(sh.astype(np.int64), n_bands)),
+            }
+        )
+
+    def pairs_of_bucket(df):
+        d = df.sort_values("doc_id")
+        ids = d["doc_id"].to_numpy()
+        if len(ids) < 2:
+            return {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
+                    "hamming": np.empty(0, np.int64)}
+        sh = d["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        ham = hashing.hamming64(sh[iu], sh[ju])
+        keep = ham <= max_hamming
+        return {
+            "a": ids[iu][keep].astype(np.int64),
+            "b": ids[ju][keep].astype(np.int64),
+            "hamming": ham[keep],
+        }
+
+    from ray.data.aggregate import Min
+
+    posted = ds.map_batches(sigs, batch_format="pyarrow")
+    pairs = posted.groupby("bucket").map_groups(pairs_of_bucket)
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))

@@ -1,0 +1,89 @@
+"""Similarity-search tests: brute-force numpy oracle + LSH recall gate on a
+planted-cluster fixture."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def clustered_dir(tmp_path_factory):
+    """embeddings.parquet with 20 clusters x 25 near-identical members —
+    ANN has unambiguous true neighbors here."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((20, 64))
+    vecs = np.repeat(centers, 25, axis=0) + 0.05 * rng.standard_normal((500, 64))
+    d = tmp_path_factory.mktemp("emb")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(500, dtype=np.int64)),
+                "embedding": pa.array(
+                    [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
+                ),
+                "label": pa.array((np.arange(500) // 25).astype(np.int32)),
+            }
+        ),
+        f"{d}/embeddings.parquet",
+    )
+    return str(d)
+
+
+def test_seq_dot_matches_np_dot():
+    from cuda_gis_smoothing_ray.stages.ann import seq_dot, seq_sq_norm
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((40, 64))
+    q = rng.standard_normal(64)
+    assert np.allclose(seq_dot(x, q), x @ q, rtol=1e-12)
+    assert np.allclose(seq_sq_norm(x), (x * x).sum(axis=1), rtol=1e-12)
+
+
+def test_bruteforce_topk_matches_numpy(clustered_dir):
+    from cuda_gis_smoothing_ray.stages.ann import ann_bruteforce, read_embeddings
+
+    out = ann_bruteforce(read_embeddings(clustered_dir), clustered_dir, k=5).to_pandas()
+    t = pq.read_table(f"{clustered_dir}/embeddings.parquet")
+    x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    n = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = n @ n.T
+    for qid in range(8):
+        s = sims[qid].copy()
+        s[qid] = -np.inf
+        want = np.lexsort((np.arange(500), -s))[:5]
+        got = out[out["query_id"] == qid].sort_values("rank")["vec_id"].to_numpy()
+        assert (got == want).all(), (qid, got, want)
+
+
+def test_lsh_recall_on_clusters(clustered_dir):
+    from cuda_gis_smoothing_ray.stages.ann import (
+        ann_bruteforce,
+        ann_lsh,
+        read_embeddings,
+    )
+
+    k = 10
+    brute = ann_bruteforce(read_embeddings(clustered_dir), clustered_dir, k=k).to_pandas()
+    approx = ann_lsh(read_embeddings(clustered_dir), clustered_dir, k=k).to_pandas()
+    recalls = []
+    for qid in range(8):
+        truth = set(brute[brute["query_id"] == qid]["vec_id"])
+        got = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(truth & got) / k)
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_neardup_pairs_within_cluster(clustered_dir):
+    from cuda_gis_smoothing_ray.stages.ann import embedding_neardup, read_embeddings
+
+    out = embedding_neardup(
+        read_embeddings(clustered_dir), clustered_dir, threshold=0.95
+    ).to_pandas()
+    t = pq.read_table(f"{clustered_dir}/embeddings.parquet")
+    lab = t.column("label").to_numpy(zero_copy_only=False)
+    assert len(out) > 0
+    # cosine >= 0.95 pairs must be same-cluster at this noise level
+    assert (lab[out["a"].to_numpy()] == lab[out["b"].to_numpy()]).all()

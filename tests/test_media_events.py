@@ -1,0 +1,84 @@
+"""Multimodal plumbing + event window/session operator tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_media_decode_deterministic(sf_dir):
+    from cuda_gis_smoothing_ray.stages.media import media_decode, media_table
+
+    a = media_decode(media_table(sf_dir)).to_pandas().sort_values("media_id")
+    b = media_decode(media_table(sf_dir)).to_pandas().sort_values("media_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True), b.reset_index(drop=True))
+    assert set(a["kind"]) == {"image", "audio", "video"}
+    assert (a.loc[a["kind"] == "image", "duration_ms"] == 0).all()
+    assert a["feature"].map(len).eq(8).all()
+
+
+def test_media_real_decoder_is_a_loud_stub():
+    from cuda_gis_smoothing_ray.stages.media import MediaDecode
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; stub path not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        MediaDecode(real_decoder=True)
+
+
+def _events_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    np.array([r[1] for r in rows], dtype="datetime64[us]")
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+def test_sessionize_gap_semantics():
+    from cuda_gis_smoothing_ray.stages.events import sessionize
+
+    rows = [
+        (0, "2024-01-01T00:00:00", 1, "view", 1.0),
+        (1, "2024-01-01T00:10:00", 1, "view", 1.0),   # same session (10m gap)
+        (2, "2024-01-01T01:00:00", 1, "view", 1.0),   # new session (50m gap)
+        (3, "2024-01-01T01:29:00", 1, "buy", 2.0),    # same session (29m gap)
+        (4, "2024-01-01T00:00:00", 2, "view", 1.0),   # other user
+    ]
+    out = sessionize(_events_ds(rows)).to_pandas().sort_values("event_id")
+    assert out["session_idx"].tolist() == [0, 0, 1, 1, 0]
+    starts = out["session_start"].astype(str).tolist()
+    assert starts[0] == starts[1] == "2024-01-01 00:00:00"
+    assert starts[2] == starts[3] == "2024-01-01 01:00:00"
+
+
+def test_window_aggregate_vs_pandas(sf_dir):
+    from cuda_gis_smoothing_ray.stages.events import read_events, window_aggregate
+
+    got = window_aggregate(read_events(sf_dir)).to_pandas()
+    raw = pd.read_parquet(f"{sf_dir}/events.parquet")
+    raw["window_start"] = raw["ts"].dt.floor("1h")
+    want = (
+        raw.groupby(["window_start", "event_type"])
+        .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+        .reset_index()
+    )
+    m = got.merge(want, on=["window_start", "event_type"], suffixes=("", "_w"))
+    assert len(m) == len(want) == len(got)
+    assert (m["n_events"] == m["n_events_w"]).all()
+    assert np.allclose(m["sum_value"], m["sum_value_w"], rtol=1e-9)

@@ -1,0 +1,111 @@
+"""Text analysis + dedup operator tests: planted-duplicate fixtures and
+brute-force numpy oracles (the reference's cross-implementation-equivalence
+strategy, SURVEY §5, applied to the corpus ops)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _docs_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array([r[2] if len(r) > 2 else "en" for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+BASE = (
+    "the quick brown fox jumps over a lazy dog and runs into the value of "
+    "deep data pipelines with many tokens to hash"
+)
+NEAR = BASE.replace("lazy", "sleepy")  # one-token near-duplicate
+OTHER = "completely different content about graphs shuffles and actors in ray"
+
+
+@pytest.fixture(scope="module")
+def planted():
+    return [
+        (0, BASE),
+        (1, BASE),        # exact dup of 0
+        (2, NEAR),        # near dup of 0
+        (3, OTHER),
+        (4, OTHER + " with an extra suffix of words appended here"),
+        (5, "tiny"),
+    ]
+
+
+def test_exact_dedup_keeps_min_id(planted):
+    from cuda_gis_smoothing_ray.stages.textops import exact_dedup
+
+    out = exact_dedup(_docs_ds(planted)).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [0, 2, 3, 4, 5]  # doc 1 deduped into 0
+
+
+def test_minhash_finds_planted_near_dups(planted):
+    from cuda_gis_smoothing_ray.stages.textops import minhash_pairs
+
+    out = minhash_pairs(_docs_ds(planted), threshold=0.5).to_pandas()
+    pairs = set(zip(out["a"], out["b"]))
+    assert (0, 1) in pairs  # exact dup: est_jaccard == 1
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup found
+    assert (0, 3) not in pairs and (0, 5) not in pairs
+
+
+def test_simhash_hamming_zero_for_exact_dup(planted):
+    from cuda_gis_smoothing_ray.stages.textops import simhash_pairs
+
+    out = simhash_pairs(_docs_ds(planted), max_hamming=6).to_pandas()
+    d = {(a, b): h for a, b, h in zip(out["a"], out["b"], out["hamming"])}
+    assert d.get((0, 1)) == 0
+    assert (0, 2) in d  # one-token change stays within a few bits
+    assert (0, 3) not in d
+
+
+def test_jaccard_pairs_matches_numpy_oracle(planted):
+    from cuda_gis_smoothing_ray.stages.textops import jaccard_pairs
+
+    out = jaccard_pairs(_docs_ds(planted), threshold=0.3).to_pandas()
+    got = {(a, b): j for a, b, j in zip(out["a"], out["b"], out["jaccard"])}
+    sets = {i: set(t.split()) for i, t, *_ in planted}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= 0.3:
+                    want[(a, b)] = np.floor(j * 1e6 + 0.5) / 1e6
+    assert got == want
+
+
+def test_text_stats_invariants(sf_dir):
+    from cuda_gis_smoothing_ray.stages.textops import read_documents, text_stats
+
+    df = text_stats(read_documents(sf_dir)).to_pandas()
+    assert len(df) == 500
+    assert (df["n_tokens"] <= df["n_chars"]).all()
+    for c in ["punct_ratio", "stopword_ratio"]:
+        assert df[c].between(0, 1).all()
+    assert (df["quality_score"].between(0, 1)).all()
+    assert df["fingerprint"].str.len().eq(32).all()
+
+
+def test_lang_id_deterministic_argmax():
+    from cuda_gis_smoothing_ray.stages.textops import lang_id
+
+    rows = [
+        (0, "the value of the thing and more", "en"),
+        (1, "der hund und die katze und das haus", "de"),
+        (2, "le chat et les chiens et une maison", "fr"),
+        (3, "xyzzy qwerty plugh", "zh"),  # no markers anywhere -> first lang wins
+    ]
+    out = lang_id(_docs_ds(rows)).to_pandas().sort_values("doc_id")
+    assert out["pred_lang"].tolist() == ["en", "de", "fr", "en"]
