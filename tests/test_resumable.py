@@ -1,0 +1,64 @@
+"""Checkpoint-manifest + resume-skip tests (north_rule: per-partition
+lineage + metrics, resume after restart, skip finished partitions)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+def test_manifest_skip_and_stale(tmp_path):
+    from cuda_gis_smoothing_ray.state.manifest import run_partitioned
+
+    calls: list[str] = []
+
+    def fn(pid: str, pdir: str) -> int:
+        calls.append(pid)
+        open(os.path.join(pdir, "out.txt"), "w").write(pid)
+        return 1
+
+    parts = {"p0": "fpA", "p1": "fpB"}
+    man = run_partitioned(parts, fn, str(tmp_path))
+    assert calls == ["p0", "p1"]
+    assert man.metrics()["partitions"] == 2
+
+    # resume: nothing stale -> nothing re-runs
+    calls.clear()
+    run_partitioned(parts, fn, str(tmp_path))
+    assert calls == []
+
+    # one input changed -> only that partition re-runs
+    calls.clear()
+    run_partitioned({"p0": "fpA", "p1": "fpB-changed"}, fn, str(tmp_path))
+    assert calls == ["p1"]
+
+    # manifest lines are valid JSONL with lineage + metrics
+    lines = [json.loads(l) for l in open(tmp_path / "manifest.jsonl")]
+    assert all({"partition", "fingerprint", "rows", "path", "wall_s"} <= set(l) for l in lines)
+
+
+def test_flagship_resumable_matches_direct(sf_dir, tmp_path):
+    from cuda_gis_smoothing_ray.pipelines.flagship import flagship
+    from cuda_gis_smoothing_ray.pipelines.resumable import flagship_resumable
+
+    out = str(tmp_path / "ckpt")
+    got = flagship_resumable(sf_dir, out, n_shards=4).to_pandas().sort_values("cell")
+    want = flagship(sf_dir).to_pandas().sort_values("cell")
+    got, want = got.reset_index(drop=True), want.reset_index(drop=True)
+    assert (got["cell"].to_numpy() == want["cell"].to_numpy()).all()
+    for c in [c for c in want.columns if c != "cell"]:
+        assert np.allclose(got[c].to_numpy(), want[c].to_numpy(), rtol=0, atol=1e-9), c
+
+    # manifest: 4 shards + final, all with rows + wall
+    lines = [json.loads(l) for l in open(os.path.join(out, "manifest.jsonl"))]
+    assert {l["partition"] for l in lines} == {"shard0000", "shard0001", "shard0002",
+                                              "shard0003", "final"}
+
+    # resume with unchanged input: shards skipped (manifest not re-appended)
+    n_before = len(lines)
+    flagship_resumable(sf_dir, out, n_shards=4)
+    n_after = len(open(os.path.join(out, "manifest.jsonl")).readlines())
+    assert n_after == n_before
