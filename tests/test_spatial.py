@@ -1,0 +1,103 @@
+"""PIP join + kNN operator tests against brute-force numpy oracles
+(the cross-implementation-equivalence strategy of SURVEY §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def points_ds():
+    import ray.data as rd
+
+    rng = np.random.default_rng(99)
+    n = 2000
+    return rd.from_arrow(
+        pa.table(
+            {
+                "page_id": pa.array(np.arange(n, dtype=np.int64)),
+                "lat": pa.array(rng.uniform(-60, 60, n)),
+                "lon": pa.array(rng.uniform(-170, 170, n)),
+            }
+        )
+    ), rng
+
+
+def test_pip_join_matches_brute_raycast(points_ds):
+    from cuda_gis_smoothing_ray.stages.pip import POLYGONS, pip_join, points_in_polygon
+
+    ds, _ = points_ds
+    out = pip_join(ds).to_pandas()
+    got = set(zip(out["page_id"], out["poly_id"]))
+    pts = ds.to_pandas()
+    lat, lon = pts["lat"].to_numpy(), pts["lon"].to_numpy()
+    want = set()
+    for pid, ring in POLYGONS:
+        inside = points_in_polygon(lat, lon, ring)
+        want |= {(int(i), pid) for i in pts["page_id"].to_numpy()[inside]}
+    assert got == want and len(want) > 0
+
+
+def test_pip_nonconvex_and_boundary_shapes():
+    from cuda_gis_smoothing_ray.stages.pip import points_in_polygon
+
+    # unit square
+    square = [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0)]
+    lat = np.array([0.5, 1.5, -0.5, 0.999])
+    lon = np.array([0.5, 0.5, 0.5, 0.001])
+    assert points_in_polygon(lat, lon, square).tolist() == [True, False, False, True]
+    # non-convex L: the notch must be outside
+    L = [(0.0, 0.0), (0.0, 2.0), (1.0, 2.0), (1.0, 1.0), (2.0, 1.0), (2.0, 0.0)]
+    lat = np.array([0.5, 1.5, 1.5])
+    lon = np.array([0.5, 0.5, 1.5])
+    assert points_in_polygon(lat, lon, L).tolist() == [True, True, False]
+
+
+def test_knn_broadcast_matches_brute(points_ds):
+    from cuda_gis_smoothing_ray.stages.knn import QUERY_POINTS, knn_broadcast
+
+    ds, _ = points_ds
+    out = knn_broadcast(ds, k=4).to_pandas()
+    pts = ds.to_pandas()
+    lat, lon = pts["lat"].to_numpy(), pts["lon"].to_numpy()
+    ids = pts["page_id"].to_numpy()
+    for qid, qlat, qlon in QUERY_POINTS[:6]:
+        d2 = (lat - qlat) ** 2 + (lon - qlon) ** 2
+        want = ids[np.lexsort((ids, d2))[:4]]
+        got = out[out["query_id"] == qid].sort_values("rank")["page_id"].to_numpy()
+        assert (got == want).all(), (qid, got, want)
+
+
+def test_knn_cell_bucketed_agrees_with_broadcast_selfknn():
+    """Self-kNN: bucketed search equals brute force when the kth neighbor is
+    within the parent-cell ring (dense enough fixture guarantees it)."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.knn import knn_cell_bucketed
+
+    rng = np.random.default_rng(5)
+    n = 400
+    # dense cluster so neighbors are *local* (assumption in the docstring)
+    lat = 10.0 + rng.uniform(0, 4, n)
+    lon = 20.0 + rng.uniform(0, 4, n)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "page_id": pa.array(np.arange(n, dtype=np.int64)),
+                "lat": pa.array(lat),
+                "lon": pa.array(lon),
+            }
+        )
+    )
+    out = knn_cell_bucketed(ds, k=3, bucket_res=5).to_pandas()
+    # brute oracle
+    d2 = (lat[:, None] - lat[None, :]) ** 2 + (lon[:, None] - lon[None, :]) ** 2
+    np.fill_diagonal(d2, np.inf)
+    ok = 0
+    for i in range(n):
+        want = set(np.lexsort((np.arange(n), d2[i]))[:3])
+        got = set(out[out["page_id"] == i]["neighbor_id"].to_numpy())
+        ok += got == want
+    assert ok / n >= 0.97  # ring-assumption violations only at bucket fringes
