@@ -231,6 +231,15 @@ def _q_media_features(sf_dir: str):
     return media.media_decode(media.media_table(sf_dir)).sort("media_id")
 
 
+def _q_text_quality_by_lang(sf_dir: str):
+    from cuda_gis_smoothing_ray.pipelines.corpus import text_quality_by_lang
+
+    ds = text_quality_by_lang(sf_dir)
+    return _round6_cols(
+        ds, ["mean_quality", "mean_punct_ratio", "mean_stopword_ratio", "mean_tokens"]
+    ).sort("lang")
+
+
 def _q_events_window(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import events
 
@@ -259,6 +268,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_neardup,
         "media_decode": _q_media_decode,
         "media_features": _q_media_features,
+        "text_quality_by_lang": _q_text_quality_by_lang,
         "events_window": _q_events_window,
         "sessionize": _q_sessionize,
         "geocode_cells": _q_geocode_cells,
@@ -289,6 +299,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": oc.ann_topk_sql(ANN_K),
         "embedding_neardup": oc.embedding_neardup_sql(NEARDUP_T),
         "media_decode": oc.media_decode_sql(),
+        "text_quality_by_lang": oc.text_quality_by_lang_sql(),
         "events_window": oc.events_window_sql(),
         "sessionize": oc.sessionize_sql(),
         # minhash_pairs / simhash_pairs / ann_lsh_topk / media_features are

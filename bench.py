@@ -59,6 +59,8 @@ def headline_queries(sf_dir: str, replicate: int):
 
         return lambda: e.queries()[name](sf_dir)
 
+    from cuda_gis_smoothing_ray.pipelines.corpus import text_quality_by_lang
+
     return {
         "flagship_fused_k1": lambda: flagship(
             sf_dir, res=7, k=1, profile="gaussian", replicate=replicate, fused=True
@@ -66,6 +68,7 @@ def headline_queries(sf_dir: str, replicate: int):
         "smooth_gauss_k2": lambda: flagship(
             sf_dir, res=7, k=2, profile="gaussian", replicate=replicate, fused=False
         ),
+        "text_quality_by_lang": lambda: text_quality_by_lang(sf_dir, replicate=replicate),
         "pip_join": _q("pip_join"),
         "knn_join": _q("knn_join"),
     }
@@ -106,7 +109,7 @@ def run_bench(sf_dir: str, num_cpus: int, replicate: int, only: str | None = Non
     total = round(sum(timings.values()), 3)
     flag_t = timings.get("flagship_fused_k1")
     out = {
-        "metric": "headline pipelines wall time (H3 encode + k-ring smoothing + PIP + kNN)",
+        "metric": "headline pipelines wall time (H3 encode + k-ring smoothing + text quality + PIP + kNN)",
         "value": total,
         "unit": "sec",
         "queries": timings,

@@ -1,0 +1,68 @@
+"""Corpus-throughput pipeline: per-page text quality metrics aggregated by
+language — the bench headline for the text-analysis operator family.
+
+Same scale shape as the flagship: pages flow through ONE fused stateless
+map_batches chain (build -> RE2 stat scans -> batch-local partial agg);
+only (lang, partial-sum) rows — a handful per block — enter the shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import textstats
+from ..sources.pages import read_pages
+
+
+def text_quality_by_lang(sf_dir: str, replicate: int = 1):
+    """pages -> (lang, n_pages, mean quality/punct/stop/token metrics)."""
+    from ray.data.aggregate import Sum
+
+    pages = read_pages(sf_dir, replicate=replicate, include_html=False)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        st = textstats.text_stats(batch.column("text"))
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame(
+            {
+                "lang": lang,
+                "q": st["quality_score"],
+                "p": st["punct_ratio"],
+                "s": st["stopword_ratio"],
+                "t": st["n_tokens"].astype(np.float64),
+            }
+        )
+        g = df.groupby("lang", sort=True).agg(
+            n=("q", "size"), s_q=("q", "sum"), s_p=("p", "sum"),
+            s_s=("s", "sum"), s_t=("t", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    reduced = (
+        pages.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("lang")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s_q", alias_name="s_q"),
+            Sum("s_p", alias_name="s_p"),
+            Sum("s_s", alias_name="s_s"),
+            Sum("s_t", alias_name="s_t"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n_pages": pa.array(n.astype(np.int64)),
+                "mean_quality": pa.array(batch.column("s_q").to_numpy(zero_copy_only=False) / n),
+                "mean_punct_ratio": pa.array(batch.column("s_p").to_numpy(zero_copy_only=False) / n),
+                "mean_stopword_ratio": pa.array(batch.column("s_s").to_numpy(zero_copy_only=False) / n),
+                "mean_tokens": pa.array(batch.column("s_t").to_numpy(zero_copy_only=False) / n),
+            }
+        )
+
+    return reduced.map_batches(finalize, batch_format="pyarrow")

@@ -23,7 +23,8 @@ def _re_count(col: str, pattern: str) -> str:
     return f"len(regexp_extract_all({col}, '{p}'))"
 
 
-def text_stats_sql() -> str:
+def _stats_ctes() -> str:
+    """The shared raw/r CTE pair computing per-doc metric expressions."""
     t = textstats
     n_tokens = _re_count("text", t.TOKEN_RE)
     n_bpe = _re_count("text", t.BPE_RE)
@@ -31,7 +32,7 @@ def text_stats_sql() -> str:
     n_nonspace = _re_count("text", t.NONSPACE_RE)
     n_stop = _re_count("text", t.marker_pattern(t.STOPWORDS))
     return f"""WITH raw AS (
-  SELECT doc_id, length(text) AS n_chars,
+  SELECT doc_id, lang, length(text) AS n_chars,
     {n_tokens} AS n_tokens, {n_bpe} AS n_bpe_tokens,
     {n_punct} AS n_punct, {n_nonspace} AS n_nonspace, {n_stop} AS n_stop,
     md5(text) AS fingerprint
@@ -44,21 +45,48 @@ def text_stats_sql() -> str:
     CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS stop_ratio,
     CAST(n_nonspace AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) AS mean_tok
   FROM raw
-)
+)"""
+
+
+def _quality_expr() -> str:
+    t = textstats
+    return (
+        f"{D(0.25)} * least({D(1.0)}, CAST(n_tokens AS DOUBLE) / {D(t.QS_TOKEN_NORM)})"
+        f" + {D(0.25)} * ({D(1.0)} - punct_ratio)"
+        f" + {D(0.25)} * (CASE WHEN stop_ratio >= {D(t.QS_STOP_LO)}"
+        f" AND stop_ratio <= {D(t.QS_STOP_HI)} THEN {D(1.0)} ELSE {D(0.0)} END)"
+        f" + {D(0.25)} * least({D(1.0)}, mean_tok / {D(t.QS_MEANLEN_NORM)})"
+    )
+
+
+def text_stats_sql() -> str:
+    return f"""{_stats_ctes()}
 SELECT doc_id, n_chars, n_tokens, n_bpe_tokens,
   {round6('punct_ratio')} AS punct_ratio,
   {round6('stop_ratio')} AS stopword_ratio,
   {round6('mean_tok')} AS mean_token_chars,
-  {round6(
-      f"{D(0.25)} * least({D(1.0)}, CAST(n_tokens AS DOUBLE) / {D(t.QS_TOKEN_NORM)})"
-      f" + {D(0.25)} * ({D(1.0)} - punct_ratio)"
-      f" + {D(0.25)} * (CASE WHEN stop_ratio >= {D(t.QS_STOP_LO)}"
-      f" AND stop_ratio <= {D(t.QS_STOP_HI)} THEN {D(1.0)} ELSE {D(0.0)} END)"
-      f" + {D(0.25)} * least({D(1.0)}, mean_tok / {D(t.QS_MEANLEN_NORM)})"
-  )} AS quality_score,
+  {round6(_quality_expr())} AS quality_score,
   fingerprint
 FROM r
 ORDER BY doc_id"""
+
+
+def text_quality_by_lang_sql() -> str:
+    """Aggregate twin of pipelines/corpus.text_quality_by_lang (replicate=1:
+    pages' text/lang == documents')."""
+    return f"""{_stats_ctes()}, q AS (
+  SELECT lang, punct_ratio, stop_ratio,
+    CAST(n_tokens AS DOUBLE) AS ntok, {_quality_expr()} AS quality
+  FROM r
+)
+SELECT lang, count(*) AS n_pages,
+  {round6('sum(quality) / count(*)')} AS mean_quality,
+  {round6('sum(punct_ratio) / count(*)')} AS mean_punct_ratio,
+  {round6('sum(stop_ratio) / count(*)')} AS mean_stopword_ratio,
+  {round6('sum(ntok) / count(*)')} AS mean_tokens
+FROM q
+GROUP BY lang
+ORDER BY lang"""
 
 
 def lang_id_sql() -> str:
