@@ -1,0 +1,126 @@
+"""Reference .bin format round-trip + explicit-adjacency graph smoothing
+vs the literal reference-loop oracle and vs the k-ring engine."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def demo_bin(tmp_path_factory):
+    from cuda_gis_smoothing_ray.sources.hexbin import make_demo_grid, write_hexbin
+
+    t = make_demo_grid(n_side=20)
+    p = str(tmp_path_factory.mktemp("bin") / "hex_data.bin")
+    write_hexbin(t, p)
+    return p, t
+
+
+def test_hexbin_roundtrip(demo_bin):
+    from cuda_gis_smoothing_ray.sources.hexbin import read_hexbin_table, write_hexbin
+
+    path, t = demo_bin
+    back = read_hexbin_table(path)
+    assert back.num_rows == t.num_rows
+    assert np.allclose(
+        back.column("ndvi").to_numpy(zero_copy_only=False),
+        t.column("ndvi").to_numpy(zero_copy_only=False),
+        rtol=0, atol=1e-7,  # float32 storage, reference's own width
+    )
+    assert back.column("neighbors").to_pylist() == t.column("neighbors").to_pylist()
+    # byte-exact re-write
+    import os
+    p2 = path + ".rt"
+    write_hexbin(back, p2)
+    assert open(path, "rb").read() == open(p2, "rb").read()
+    os.remove(p2)
+
+
+@pytest.mark.parametrize("profile", ["uniform", "gaussian"])
+def test_graph_smooth_matches_reference_loop(demo_bin, profile):
+    from cuda_gis_smoothing_ray.sources.hexbin import read_hexbin
+    from cuda_gis_smoothing_ray.stages.graph_smooth import (
+        graph_smooth,
+        graph_smooth_numpy,
+    )
+
+    path, _ = demo_bin
+    ds = read_hexbin(path)
+    got = graph_smooth(ds, profile=profile).to_pandas().sort_values("cell_idx")
+    # oracle over the PARSED values (the .bin stores float32, like the ref)
+    from cuda_gis_smoothing_ray.sources.hexbin import read_hexbin_table
+
+    t = read_hexbin_table(path)
+    want = graph_smooth_numpy(
+        np.asarray(t.column("ndvi").to_numpy(zero_copy_only=False), dtype=np.float64),
+        t.column("neighbors").to_pylist(),
+        profile=profile,
+    )
+    # reference gate: max abs diff <= 1e-4 (scripts/case-study.sh:130-134);
+    # float64 end-to-end should be ~1e-12
+    assert len(got) == len(want)
+    diff = np.abs(got["smoothed"].to_numpy() - want[got["cell_idx"].to_numpy()])
+    assert diff.max() <= 1e-4 and diff.max() <= 1e-9
+
+
+def test_dangling_and_isolated_cells():
+    """M1 bounds semantics: out-of-range ids contribute nothing; 0-neighbor
+    cells pass through unchanged (reference invariant 5.2)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.graph_smooth import graph_smooth
+
+    t = pa.table(
+        {
+            "cell_idx": pa.array([0, 1, 2], pa.int64()),
+            "ndvi": pa.array([1.0, 3.0, 5.0]),
+            "neighbors": pa.array([[1, 99, -7], [0], []], pa.list_(pa.int32())),
+        }
+    )
+    out = graph_smooth(rd.from_arrow(t), profile="uniform").to_pandas().sort_values("cell_idx")
+    assert np.allclose(out["smoothed"].to_numpy(), [2.0, 2.0, 5.0])
+
+
+def test_graph_smooth_equals_kring_engine_on_derived_adjacency(sf_dir):
+    """Bridge: feeding the k-ring-derived adjacency of the real cell table
+    through the explicit-graph path reproduces stages/smooth.py."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.functions import hexgrid
+    from cuda_gis_smoothing_ray.pipelines.flagship import cell_metrics
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.geoencode import geo_encode
+    from cuda_gis_smoothing_ray.stages.graph_smooth import graph_smooth
+    from cuda_gis_smoothing_ray.stages.smooth import smooth_cells
+
+    cells = cell_metrics(geo_encode(read_pages(sf_dir, include_html=False), res=6)).to_pandas()
+    cell_ids = cells["cell"].to_numpy()
+    id_to_idx = {int(c): i for i, c in enumerate(cell_ids)}
+    ring = hexgrid.kring_cells(cell_ids.astype(np.uint64), 1, include_center=False)
+    neighbors = [
+        [id_to_idx[int(c)] for c in row if int(c) in id_to_idx] for row in ring
+    ]
+    t = pa.table(
+        {
+            "cell_idx": pa.array(np.arange(len(cells), dtype=np.int64)),
+            "ndvi": pa.array(cells["chars_mean"].to_numpy()),
+            "neighbors": pa.array(neighbors, pa.list_(pa.int32())),
+        }
+    )
+    via_graph = graph_smooth(rd.from_arrow(t), profile="gaussian").to_pandas().sort_values("cell_idx")
+    via_kring = (
+        smooth_cells(
+            rd.from_arrow(pa.Table.from_pandas(cells[["cell", "chars_mean"]], preserve_index=False)),
+            ["chars_mean"], k=1, profile="gaussian",
+        )
+        .to_pandas()
+        .sort_values("cell")
+    )
+    # align: via_graph row i corresponds to cells row i (cell_ids[i]);
+    # via_kring is sorted by cell id
+    order = np.argsort(cell_ids)
+    got_sorted = via_graph["smoothed"].to_numpy()[order]
+    assert np.allclose(got_sorted, via_kring["chars_mean_sm"].to_numpy(), rtol=0, atol=1e-9)
