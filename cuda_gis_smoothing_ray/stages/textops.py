@@ -109,8 +109,6 @@ def jaccard_pairs(ds, threshold: float = 0.8, max_df: int | None = None):
     below any useful threshold anyway).  Default None = exact semantics,
     matching the SQL oracle.
     """
-    from ray.data.aggregate import Count
-
     def postings(batch: pa.Table) -> pa.Table:
         doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
         arr = pc.split_pattern_regex(batch.column("text"), r"\s+")
@@ -132,42 +130,91 @@ def jaccard_pairs(ds, threshold: float = 0.8, max_df: int | None = None):
         )
 
     def pairs_of_group(df):
-        # df: pandas group for one token, columns doc_id/set_size
+        # df: pandas group for one token, columns doc_id/set_size.
+        # Pairs are packed into ONE int64 key (a<<31 | b): a single numeric
+        # shuffle key aggregates ~10x faster than a 4-column tuple key.
+        # (Packing assumes doc ids < 2^31 per shard; shard-local ids at scale.)
         d = df.sort_values("doc_id")
         ids = d["doc_id"].to_numpy()
         sizes = d["set_size"].to_numpy()
         if max_df is not None and len(ids) > max_df:
-            return {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
-                    "na": np.empty(0, np.int64), "nb": np.empty(0, np.int64)}
+            return {"pk": np.empty(0, np.int64), "na": np.empty(0, np.int64),
+                    "nb": np.empty(0, np.int64)}
         iu, ju = np.triu_indices(len(ids), k=1)
         return {
-            "a": ids[iu].astype(np.int64),
-            "b": ids[ju].astype(np.int64),
+            "pk": (ids[iu].astype(np.int64) << np.int64(31)) | ids[ju].astype(np.int64),
             "na": sizes[iu].astype(np.int64),
             "nb": sizes[ju].astype(np.int64),
         }
 
+    N_PARTS = 64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        # coarse hash-partition key: Ray's groupby().aggregate() pays Python
+        # per DISTINCT key (124k pair keys -> ~47 s measured); 64 coarse
+        # partitions + a vectorized per-partition reduce does the same
+        # shuffle work in milliseconds
+        pk = batch.column("pk").to_numpy(zero_copy_only=False)
+        part = (pk.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)
+        return batch.append_column("part", pa.array(part.astype(np.int64) % N_PARTS))
+
+    def reduce_part(df):
+        pk = df["pk"].to_numpy()
+        order = np.argsort(pk, kind="stable")
+        pk = pk[order]
+        na = df["na"].to_numpy()[order].astype(np.float64)
+        nb = df["nb"].to_numpy()[order].astype(np.float64)
+        uniq, first_idx, cnt = np.unique(pk, return_index=True, return_counts=True)
+        sh = cnt.astype(np.float64)
+        j = sh / (na[first_idx] + nb[first_idx] - sh)
+        keep = j >= threshold
+        return {
+            "a": (uniq[keep] >> np.int64(31)).astype(np.int64),
+            "b": (uniq[keep] & np.int64((1 << 31) - 1)).astype(np.int64),
+            "jaccard": np.floor(j[keep] * 1e6 + 0.5) / 1e6,
+        }
+
     posted = ds.map_batches(postings, batch_format="pyarrow")
     pairs = posted.groupby("token").map_groups(pairs_of_group)
-    counted = pairs.groupby(["a", "b", "na", "nb"]).aggregate(Count(alias_name="shared"))
+    return (
+        pairs.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(reduce_part)
+    )
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False)
-        b = batch.column("b").to_numpy(zero_copy_only=False)
-        na = batch.column("na").to_numpy(zero_copy_only=False).astype(np.float64)
-        nb = batch.column("nb").to_numpy(zero_copy_only=False).astype(np.float64)
-        sh = batch.column("shared").to_numpy(zero_copy_only=False).astype(np.float64)
-        j = sh / (na + nb - sh)
-        keep = j >= threshold
-        return pa.table(
-            {
-                "a": pa.array(a[keep]),
-                "b": pa.array(b[keep]),
-                "jaccard": pa.array(np.floor(j[keep] * 1e6 + 0.5) / 1e6),
-            }
-        )
 
-    return counted.map_batches(finalize, batch_format="pyarrow")
+# ---------------------------------------------------------------------------
+# shared high-cardinality pair-dedup helpers: Ray's groupby().aggregate()
+# pays Python per distinct key, so pair streams are reduced with a coarse
+# hash partition + one vectorized np.unique per partition instead
+# ---------------------------------------------------------------------------
+
+_PAIR_PARTS = 64
+
+
+def _dedupe_packed_pairs(val_col: str):
+    def add_part(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy(zero_copy_only=False)
+        part = (pk.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)
+        return batch.append_column("part", pa.array(part.astype(np.int64) % _PAIR_PARTS))
+
+    return add_part
+
+
+def _reduce_packed_pairs(val_col: str):
+    def reduce_part(df):
+        pk = df["pk"].to_numpy()
+        val = df[val_col].to_numpy()
+        order = np.argsort(pk, kind="stable")
+        pk, val = pk[order], val[order]
+        uniq, first_idx = np.unique(pk, return_index=True)
+        return {
+            "a": (uniq >> np.int64(31)).astype(np.int64),
+            "b": (uniq & np.int64((1 << 31) - 1)).astype(np.int64),
+            val_col: val[first_idx],
+        }
+
+    return reduce_part
 
 
 # ---------------------------------------------------------------------------
@@ -217,24 +264,24 @@ def minhash_pairs(ds, threshold: float = 0.7, num_perms: int = 64,
         d = df.sort_values("doc_id")
         ids = d["doc_id"].to_numpy()
         if len(ids) < 2:
-            return {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
-                    "est_jaccard": np.empty(0, np.float64)}
+            return {"pk": np.empty(0, np.int64), "est_jaccard": np.empty(0, np.float64)}
         sig = np.stack(d["sig"].to_numpy())  # (g, P)
         iu, ju = np.triu_indices(len(ids), k=1)
         est = (sig[iu] == sig[ju]).mean(axis=1)
         keep = est >= threshold
         return {
-            "a": ids[iu][keep].astype(np.int64),
-            "b": ids[ju][keep].astype(np.int64),
+            "pk": (ids[iu][keep].astype(np.int64) << np.int64(31))
+            | ids[ju][keep].astype(np.int64),
             "est_jaccard": np.floor(est[keep] * 1e6 + 0.5) / 1e6,
         }
 
-    from ray.data.aggregate import Min
-
     posted = ds.map_batches(sigs, batch_format="pyarrow")
     pairs = posted.groupby("bucket").map_groups(pairs_of_bucket)
-    # a pair found in several bands collapses to one row
-    return pairs.groupby(["a", "b"]).aggregate(Min("est_jaccard", alias_name="est_jaccard"))
+    # a pair found in several bands collapses to one row (est is identical in
+    # every band — it's computed from the full signature)
+    return pairs.map_batches(_dedupe_packed_pairs("est_jaccard"),
+                             batch_format="pyarrow", batch_size=None) \
+        .groupby("part").map_groups(_reduce_packed_pairs("est_jaccard"))
 
 
 # ---------------------------------------------------------------------------
@@ -271,20 +318,19 @@ def simhash_pairs(ds, max_hamming: int = 3, n_bands: int = 4):
         d = df.sort_values("doc_id")
         ids = d["doc_id"].to_numpy()
         if len(ids) < 2:
-            return {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
-                    "hamming": np.empty(0, np.int64)}
+            return {"pk": np.empty(0, np.int64), "hamming": np.empty(0, np.int64)}
         sh = d["simhash"].to_numpy().astype(np.int64).view(np.uint64)
         iu, ju = np.triu_indices(len(ids), k=1)
         ham = hashing.hamming64(sh[iu], sh[ju])
         keep = ham <= max_hamming
         return {
-            "a": ids[iu][keep].astype(np.int64),
-            "b": ids[ju][keep].astype(np.int64),
+            "pk": (ids[iu][keep].astype(np.int64) << np.int64(31))
+            | ids[ju][keep].astype(np.int64),
             "hamming": ham[keep],
         }
 
-    from ray.data.aggregate import Min
-
     posted = ds.map_batches(sigs, batch_format="pyarrow")
     pairs = posted.groupby("bucket").map_groups(pairs_of_bucket)
-    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return pairs.map_batches(_dedupe_packed_pairs("hamming"),
+                             batch_format="pyarrow", batch_size=None) \
+        .groupby("part").map_groups(_reduce_packed_pairs("hamming"))
