@@ -1,0 +1,51 @@
+"""Vectorized high-cardinality groupby-sum.
+
+``ray.data.Dataset.groupby().aggregate(Sum)`` pays Python-level work per
+DISTINCT key in the reduce (measured ~47 s for 124k keys on this box) —
+fine for bounded keys (languages, windows), fatal for cell tables at res 9
+over 100 TB (millions of cells).  This helper keeps the same shuffle shape
+but reduces each coarse hash partition with one ``np.unique`` +
+``np.bincount`` pass: Python cost is per PARTITION (fixed, ~64), not per
+key.
+
+Float note: addition order within a key differs from Ray's aggregate (both
+differ from DuckDB's); all cross-engine comparisons round via
+``floor(x*1e6+0.5)/1e6`` as everywhere else in the engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+
+def hash_groupby_sum(ds, key_col: str, sum_cols: list[str], n_parts: int = 64):
+    """Dataset -> Dataset(key_col, *sum_cols) with per-key float64 sums.
+
+    Keys may be any int64-compatible column.  One all-to-all (by coarse hash
+    partition), vectorized reduce, no per-key Python.
+    """
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        part = ((k.view(np.uint64) * _GOLDEN) >> np.uint64(52)) % np.uint64(n_parts)
+        return batch.append_column("__part", pa.array(part.astype(np.int64)))
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key_col].to_numpy()
+        uniq, inv = np.unique(k, return_inverse=True)
+        out = {key_col: uniq}
+        for c in sum_cols:
+            out[c] = np.bincount(
+                inv, weights=df[c].to_numpy().astype(np.float64), minlength=len(uniq)
+            )
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(reduce_part)
+    )

@@ -47,17 +47,12 @@ def cell_metrics(geocoded_ds):
     Partial-agg inside map_batches, then a small groupby over partials — the
     page->cell reduction never ships page rows through the shuffle.
     """
-    from ray.data.aggregate import Sum
+    from ..functions.reduce import hash_groupby_sum
 
-    reduced = (
-        geocoded_ds.map_batches(_partial_metrics, batch_format="pyarrow", batch_size=None)
-        .groupby("cell")
-        .aggregate(
-            Sum("n", alias_name="n"),
-            Sum("s_chars", alias_name="s_chars"),
-            Sum("s_en", alias_name="s_en"),
-            Sum("s_mention", alias_name="s_mention"),
-        )
+    reduced = hash_groupby_sum(
+        geocoded_ds.map_batches(_partial_metrics, batch_format="pyarrow", batch_size=None),
+        "cell",
+        ["n", "s_chars", "s_en", "s_mention"],
     )
 
     def finalize(batch: pa.Table) -> pa.Table:

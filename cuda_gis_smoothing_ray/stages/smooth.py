@@ -118,9 +118,11 @@ def smooth_cells(cells_ds, value_cols: list[str], k: int = 1, profile: str = "ga
             *[Sum(c, alias_name=c) for c in agg_cols]
         )
     else:
-        reduced = partials.groupby("cell").aggregate(
-            *[Sum(c, alias_name=c) for c in agg_cols]
-        )
+        # vectorized hash-partition reduce: Ray's aggregate pays Python per
+        # distinct cell — fatal at res-9 cardinalities (see functions/reduce)
+        from ..functions.reduce import hash_groupby_sum
+
+        reduced = hash_groupby_sum(partials, "cell", agg_cols)
 
     def finalize(batch: pa.Table) -> pa.Table:
         c_sum = batch.column("c_sum").to_numpy(zero_copy_only=False)
