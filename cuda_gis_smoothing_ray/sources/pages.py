@@ -49,10 +49,15 @@ def pages_from_documents_batch(batch: pa.Table, replicate: int = 1) -> pa.Table:
     hid = geocode.host_id(doc_id)
     idx = geocode.tld_index(doc_id)
     tlds = np.array([t[0] for t in geocode.TLD_TABLE])
+    # all-Arrow string build (np.char.* is a Python loop per element; the
+    # int->string casts + joins below stay in C for the whole column)
     url = pc.binary_join_element_wise(
-        pa.array(np.char.add(np.char.add("https://h", hid.astype(str)), ".")),
+        "https://h",
+        pc.cast(pa.array(hid), pa.string()),
+        ".",
         pa.array(tlds[idx]),
-        pa.array(np.char.add("/p/", doc_id.astype(str))),
+        "/p/",
+        pc.cast(pa.array(doc_id), pa.string()),
         "",
     )
     html = pc.binary_join_element_wise(
