@@ -194,6 +194,14 @@ def _q_simhash(sf_dir: str):
     return textops.simhash_pairs(_docs(sf_dir)).sort(["a", "b"])
 
 
+def _q_dedup_components(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import textops
+    from cuda_gis_smoothing_ray.stages.cc import dedup_survivors
+
+    edges = textops.jaccard_pairs(_docs(sf_dir), threshold=JACCARD_T)
+    return dedup_survivors(edges, _docs(sf_dir, ("doc_id",))).sort("doc_id")
+
+
 def _q_ann_topk(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import ann
 
@@ -263,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": _q_jaccard,
         "minhash_pairs": _q_minhash,
         "simhash_pairs": _q_simhash,
+        "dedup_components": _q_dedup_components,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "embedding_neardup": _q_neardup,
@@ -296,6 +305,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oc.lang_id_sql(),
         "exact_dedup": oc.exact_dedup_sql(),
         "jaccard_pairs": oc.jaccard_pairs_sql(JACCARD_T),
+        "dedup_components": oc.dedup_components_sql(JACCARD_T),
         "ann_cosine_topk": oc.ann_topk_sql(ANN_K),
         "embedding_neardup": oc.embedding_neardup_sql(NEARDUP_T),
         "media_decode": oc.media_decode_sql(),

@@ -179,7 +179,7 @@ def main() -> None:
     ap.add_argument("--hi", type=int, default=16)
     args = ap.parse_args()
     if args.scaling:
-        scale_rep = int(os.environ.get("GRAFT_SCALING_REPLICATE", "4000"))
+        scale_rep = int(os.environ.get("GRAFT_SCALING_REPLICATE", "16000"))
         out = run_scaling(args.sf_dir, scale_rep, lo=args.lo, hi=args.hi)
     else:
         out = run_bench(args.sf_dir, CPUS, args.replicate, only=args.one,

@@ -22,9 +22,11 @@ import pyarrow as pa
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
-def hash_groupby_sum(ds, key_col: str, sum_cols: list[str], n_parts: int = 64):
-    """Dataset -> Dataset(key_col, *sum_cols) with per-key float64 sums.
+def hash_groupby(ds, key_col: str, cols: list[str], how: str = "sum",
+                 n_parts: int = 64):
+    """Dataset -> Dataset(key_col, *cols) with a per-key reduction.
 
+    ``how``: "sum" (float64 sums) or "min" (dtype-preserving int/float min).
     Keys may be any int64-compatible column.  One all-to-all (by coarse hash
     partition), vectorized reduce, no per-key Python.
     """
@@ -38,10 +40,19 @@ def hash_groupby_sum(ds, key_col: str, sum_cols: list[str], n_parts: int = 64):
         k = df[key_col].to_numpy()
         uniq, inv = np.unique(k, return_inverse=True)
         out = {key_col: uniq}
-        for c in sum_cols:
-            out[c] = np.bincount(
-                inv, weights=df[c].to_numpy().astype(np.float64), minlength=len(uniq)
-            )
+        for c in cols:
+            v = df[c].to_numpy()
+            if how == "sum":
+                out[c] = np.bincount(
+                    inv, weights=v.astype(np.float64), minlength=len(uniq)
+                )
+            elif how == "min":
+                acc = np.full(len(uniq), np.iinfo(np.int64).max if v.dtype.kind == "i"
+                              else np.inf, dtype=v.dtype)
+                np.minimum.at(acc, inv, v)
+                out[c] = acc
+            else:
+                raise ValueError(f"unknown how={how!r}")
         return pd.DataFrame(out)
 
     return (
@@ -49,3 +60,7 @@ def hash_groupby_sum(ds, key_col: str, sum_cols: list[str], n_parts: int = 64):
         .groupby("__part")
         .map_groups(reduce_part)
     )
+
+
+def hash_groupby_sum(ds, key_col: str, sum_cols: list[str], n_parts: int = 64):
+    return hash_groupby(ds, key_col, sum_cols, how="sum", n_parts=n_parts)

@@ -119,9 +119,9 @@ GROUP BY md5(text)
 ORDER BY doc_id"""
 
 
-def jaccard_pairs_sql(threshold: float) -> str:
+def _jaccard_ctes() -> str:
     tok_re = textstats.TOKEN_RE.replace("'", "''")
-    return f"""WITH tok AS (
+    return f"""tok AS (
   SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '{tok_re}'))) AS token
   FROM documents
 ), sz AS (
@@ -137,10 +137,33 @@ def jaccard_pairs_sql(threshold: float) -> str:
   FROM pairs
   JOIN sz sa ON sa.doc_id = a
   JOIN sz sb ON sb.doc_id = b
-)
+)"""
+
+
+def jaccard_pairs_sql(threshold: float) -> str:
+    return f"""WITH {_jaccard_ctes()}
 SELECT a, b, {round6('jac')} AS jaccard
 FROM j WHERE jac >= {D(threshold)}
 ORDER BY a, b"""
+
+
+def dedup_components_sql(threshold: float) -> str:
+    """Recursive-CTE twin of stages/cc.connected_components over the
+    Jaccard>=threshold duplicate graph (component = min reachable id)."""
+    return f"""WITH RECURSIVE {_jaccard_ctes()}, edges AS (
+  SELECT a AS src, b AS dst FROM j WHERE jac >= {D(threshold)}
+  UNION ALL
+  SELECT b AS src, a AS dst FROM j WHERE jac >= {D(threshold)}
+), reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(root) AS component,
+  (min(root) = node) AS is_survivor
+FROM reach
+GROUP BY node
+ORDER BY doc_id"""
 
 
 def _dot_expr(x: str, y: str, dim: int) -> str:

@@ -1,0 +1,53 @@
+"""Connected-components (min-label propagation) tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _ds(table):
+    import ray.data as rd
+
+    return rd.from_arrow(table)
+
+
+def test_cc_components_and_survivors():
+    from cuda_gis_smoothing_ray.stages.cc import connected_components, dedup_survivors
+
+    # components: {0,1,2,3} (chain), {5,6}, {9} isolated, {7,8} via two edges
+    edges = pa.table(
+        {
+            "a": pa.array([0, 1, 2, 5, 7, 8], pa.int64()),
+            "b": pa.array([1, 2, 3, 6, 8, 7], pa.int64()),
+        }
+    )
+    nodes = pa.table({"doc_id": pa.array(list(range(10)), pa.int64())})
+    out = (
+        connected_components(_ds(edges), _ds(nodes))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = [0, 0, 0, 0, 4, 5, 5, 7, 7, 9]
+    assert out["component"].tolist() == want
+
+    surv = dedup_survivors(_ds(edges), _ds(nodes)).to_pandas().sort_values("doc_id")
+    assert surv["is_survivor"].tolist() == [
+        True, False, False, False, True, True, False, True, False, True
+    ]
+
+
+def test_cc_long_chain_converges():
+    from cuda_gis_smoothing_ray.stages.cc import connected_components
+
+    n = 12  # diameter 11: exercises the round loop
+    edges = pa.table(
+        {
+            "a": pa.array(np.arange(n - 1, dtype=np.int64)),
+            "b": pa.array(np.arange(1, n, dtype=np.int64)),
+        }
+    )
+    nodes = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64))})
+    out = connected_components(_ds(edges), _ds(nodes), max_rounds=20).to_pandas()
+    assert (out["component"] == 0).all()
