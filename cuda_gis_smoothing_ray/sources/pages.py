@@ -78,7 +78,10 @@ def pages_from_documents_batch(batch: pa.Table, replicate: int = 1) -> pa.Table:
         rep_url, rep_html, rep_text, rep_lang = url, html, text, lang
     else:
         base = pa.table({"url": url, "html": html, "text": text, "lang": lang})
-        rep = pa.concat_tables([base] * replicate)
+        # combine_chunks: one contiguous buffer instead of `replicate` tiny
+        # chunks — downstream Arrow kernels pay per chunk, and thousands of
+        # micro-chunks cost more than the one memcpy here
+        rep = pa.concat_tables([base] * replicate).combine_chunks()
         rep_url, rep_html, rep_text, rep_lang = (
             rep.column("url"), rep.column("html"), rep.column("text"), rep.column("lang")
         )
@@ -105,7 +108,21 @@ def read_pages(sf_dir: str, replicate: int = 1, include_html: bool = True):
     """
     import ray.data as rd
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    # cap the post-replication batch at ~256k pages per task: one giant
+    # expanded batch per task causes worker heap pressure (measured ~20%
+    # throughput loss at replicate=16000); more/smaller input blocks keep
+    # the fused build->encode chain's working set bounded
+    override = None
+    if replicate > 1:
+        import pyarrow.parquet as pq
+
+        n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        override = max(64, min(n_docs, (n_docs * replicate) // 250_000 + 1))
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+        override_num_blocks=override,
+    )
 
     def build(batch: pa.Table) -> pa.Table:
         t = pages_from_documents_batch(batch, replicate=replicate)
