@@ -127,6 +127,38 @@ def _q_tiles(sf_dir: str):
     return _geocoded(sf_dir).map_batches(assign, batch_format="pyarrow").sort("page_id")
 
 
+def _q_multires(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.gridops import multires_counts
+
+    return multires_counts(_geocoded(sf_dir)).sort(["res", "cell"])
+
+
+def _q_tile_vector(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.gridops import tile_vector
+
+    ds = tile_vector(_geocoded(sf_dir), zoom=TILE_ZOOM)
+    return _round6_cols(ds, ["west", "south", "east", "north"]).sort("tile_id")
+
+
+TOPK_CELLS = 20
+SAMPLE_KEEP_PPM = 150_000  # keep ~15% of pages
+
+
+def _q_top_cells(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.gridops import topk
+
+    cells = _cells(sf_dir).select_columns(["cell", "page_count"])
+    return topk(cells, TOPK_CELLS, by="page_count", tie_cols=("cell",))
+
+
+def _q_sample_pages(sf_dir: str):
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.gridops import sample_hash
+
+    pages = read_pages(sf_dir, include_html=False).select_columns(["page_id", "url", "lang"])
+    return sample_hash(pages, "page_id", SAMPLE_KEEP_PPM).sort("page_id")
+
+
 def _q_pip(sf_dir: str):
     from cuda_gis_smoothing_ray.stages.pip import pip_join
 
@@ -255,6 +287,12 @@ def _q_events_window(sf_dir: str):
     return _round6_cols(ds, ["sum_value"]).sort(["window_start", "event_type"])
 
 
+def _q_asof_join(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.asof_join(events.read_events(sf_dir)).sort("event_id")
+
+
 def _q_sessionize(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import events
 
@@ -280,11 +318,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_by_lang": _q_text_quality_by_lang,
         "events_window": _q_events_window,
         "sessionize": _q_sessionize,
+        "asof_join": _q_asof_join,
         "geocode_cells": _q_geocode_cells,
         "cell_metrics": _q_cell_metrics,
         "neighbor_stats": _q_neighbor_stats,
         "morton_order": _q_morton,
         "tile_assign": _q_tiles,
+        "multires_cells": _q_multires,
+        "tile_vector": _q_tile_vector,
+        "top_cells": _q_top_cells,
+        "sample_pages": _q_sample_pages,
         "smooth_uniform_k1": lambda d: _smooth(d, 1, "uniform", ["chars_mean"]),
         "smooth_gauss_k1": lambda d: _smooth(d, 1, "gaussian", ["chars_mean"]),
         "smooth_uniform_k2": lambda d: _smooth(d, 2, "uniform", ["chars_mean"]),
@@ -299,6 +342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from cuda_gis_smoothing_ray.sql import oracles as o
     from cuda_gis_smoothing_ray.sql import oracles_corpus as oc
+    from cuda_gis_smoothing_ray.stages import gridops
 
     return {
         "text_stats": oc.text_stats_sql(),
@@ -312,6 +356,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_by_lang": oc.text_quality_by_lang_sql(),
         "events_window": oc.events_window_sql(),
         "sessionize": oc.sessionize_sql(),
+        "asof_join": oc.asof_join_sql(),
         # minhash_pairs / simhash_pairs / ann_lsh_topk / media_features are
         # hash- or state-based and not SQL-expressible: rows-only checks;
         # their semantics are pytest-gated instead (tests/test_textops.py,
@@ -323,6 +368,12 @@ def oracle_sql() -> dict[str, str]:
         "neighbor_stats": o.neighbor_stats_sql(RES),
         "morton_order": o.morton_sql(RES),
         "tile_assign": o.tile_assign_sql(RES, TILE_ZOOM),
+        "multires_cells": o.multires_counts_sql(RES),
+        "tile_vector": o.tile_vector_sql(RES, TILE_ZOOM),
+        "top_cells": o.top_cells_sql(RES, TOPK_CELLS),
+        "sample_pages": o.sample_pages_sql(
+            SAMPLE_KEEP_PPM, gridops.SAMPLE_MULT, gridops.SAMPLE_MOD
+        ),
         "smooth_uniform_k1": o.smooth_sql(RES, 1, "uniform", ["chars_mean"]),
         "smooth_gauss_k1": o.smooth_sql(RES, 1, "gaussian", ["chars_mean"]),
         "smooth_uniform_k2": o.smooth_sql(RES, 2, "uniform", ["chars_mean"]),

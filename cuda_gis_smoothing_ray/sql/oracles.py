@@ -268,3 +268,96 @@ SELECT page_id,
     + CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT) AS tile_id
 FROM geocoded
 ORDER BY page_id"""
+
+
+def prelude_geo(res: int) -> str:
+    """pages + geocoded only (no cell-metrics table)."""
+    return f"WITH {pages_cte()},\n{geocoded_cte(res)}"
+
+
+def multires_counts_sql(res: int) -> str:
+    """Per-resolution (res 5..9) cell page counts from one geocode pass —
+    oracle of stages/gridops.multires_counts.  The encode formula is the same
+    as geocoded_cte but with the edge size derived from the res column
+    (4.0 / 2^(res-5): exact powers of two, identical doubles to
+    hexgrid.edge_size)."""
+    rs = ", ".join(f"({r})" for r in range(hexgrid.RES_MIN, hexgrid.RES_MAX + 1))
+    return f"""{prelude_geo(res)},
+rs(res2) AS (VALUES {rs}),
+m0 AS (
+  SELECT g.lat, g.lon, r.res2,
+    CAST(4.0 AS DOUBLE) / power(CAST(2.0 AS DOUBLE), r.res2 - {hexgrid.RES_MIN}) AS size
+  FROM geocoded g CROSS JOIN rs r
+),
+m1 AS (
+  SELECT res2, (sqrt(3)/3 * lon - lat/3) / size AS qf, (2 * lat / 3) / size AS rf
+  FROM m0
+),
+m2 AS (
+  SELECT res2, qf, rf,
+    floor(qf + 0.5) AS rx, floor(-qf - rf + 0.5) AS ry, floor(rf + 0.5) AS rz
+  FROM m1
+),
+m3 AS (
+  SELECT res2, qf, rf, rx, ry, rz,
+    abs(rx - qf) AS dx, abs(ry - (-qf - rf)) AS dy, abs(rz - rf) AS dz
+  FROM m2
+),
+m4 AS (
+  SELECT res2,
+    CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS BIGINT) AS q,
+    CAST(CASE WHEN dx > dy AND dx > dz THEN rz
+              WHEN dy > dz THEN rz
+              ELSE -rx - ry END AS BIGINT) AS r
+  FROM m3
+)
+SELECT res2 AS res,
+  CAST(res2 AS BIGINT) * {1 << 56} + (q + {hexgrid.OFF}) * {1 << 28} + (r + {hexgrid.OFF}) AS cell,
+  count(*) AS page_count
+FROM m4
+GROUP BY 1, 2
+ORDER BY res, cell"""
+
+
+def tile_vector_sql(res: int, zoom: int) -> str:
+    """Raster->vector: per-tile aggregate + tile polygon bounds (oracle of
+    stages/gridops.tile_vector)."""
+    n = 1 << zoom
+    return f"""{prelude_geo(res)},
+t AS (
+  SELECT
+    CAST(floor((lon + 180.0) / 360.0 * {n}) AS BIGINT) AS tile_x,
+    CAST(floor((90.0 - lat) / 180.0 * {n}) AS BIGINT) AS tile_y
+  FROM geocoded
+),
+agg AS (
+  SELECT tile_y * {n} + tile_x AS tile_id, tile_x, tile_y, count(*) AS page_count
+  FROM t GROUP BY 1, 2, 3
+)
+SELECT tile_id, tile_x, tile_y, page_count,
+  {round6(f'CAST(tile_x AS DOUBLE) / {n} * 360.0 - 180.0')} AS west,
+  {round6(f'90.0 - CAST(tile_y + 1 AS DOUBLE) / {n} * 180.0')} AS south,
+  {round6(f'CAST(tile_x + 1 AS DOUBLE) / {n} * 360.0 - 180.0')} AS east,
+  {round6(f'90.0 - CAST(tile_y AS DOUBLE) / {n} * 180.0')} AS north
+FROM agg
+ORDER BY tile_id"""
+
+
+def top_cells_sql(res: int, k: int) -> str:
+    """Top-k cells by page count, deterministic tie-break on cell id."""
+    return f"""{prelude(res)}
+SELECT cell, page_count,
+  row_number() OVER (ORDER BY page_count DESC, cell) AS rank
+FROM cells
+ORDER BY page_count DESC, cell
+LIMIT {k}"""
+
+
+def sample_pages_sql(keep_ppm: int, mult: int, mod: int) -> str:
+    """Deterministic multiplicative-hash Bernoulli sample (oracle of
+    stages/gridops.sample_hash; overflow-free form mirrored exactly)."""
+    return f"""WITH {pages_cte()}
+SELECT page_id, url, lang
+FROM pages
+WHERE ((page_id % {mod}) * {mult % mod}) % {mod} < {keep_ppm}
+ORDER BY page_id"""

@@ -258,3 +258,28 @@ def sessionize_sql(gap_us: int = events.SESSION_GAP_US) -> str:
 SELECT event_id, user_id, CAST(session_idx AS BIGINT) AS session_idx, session_start
 FROM numbered
 ORDER BY event_id"""
+
+
+def asof_join_sql(left_type: str = "purchase", right_type: str = "view") -> str:
+    """Window-function as-of join (oracle of stages/events.asof_join):
+    forward-fill the last right-side event per user over (ts, side,
+    event_id) order; inner semantics."""
+    return f"""WITH e AS (
+  SELECT event_id, user_id, ts, event_type,
+    CASE WHEN event_type = '{right_type}' THEN 0 ELSE 1 END AS side
+  FROM events
+), f AS (
+  SELECT event_id, user_id, ts, event_type,
+    last_value(CASE WHEN event_type = '{right_type}' THEN event_id END IGNORE NULLS)
+      OVER w AS matched_event_id,
+    last_value(CASE WHEN event_type = '{right_type}' THEN ts END IGNORE NULLS)
+      OVER w AS matched_ts
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT event_id, user_id, matched_event_id,
+  epoch_us(ts) - epoch_us(matched_ts) AS lag_us
+FROM f
+WHERE event_type = '{left_type}' AND matched_event_id IS NOT NULL
+ORDER BY event_id"""

@@ -81,3 +81,45 @@ def sessionize(ds, gap_us: int = SESSION_GAP_US):
         )
 
     return ds.groupby("user_id").map_groups(solve)
+
+
+def asof_join(ds, left_type: str = "purchase", right_type: str = "view"):
+    """Per-user as-of join: for each ``left_type`` event, the most recent
+    ``right_type`` event by the same user with ``ts <= left.ts`` (ties at
+    equal ts: the right side wins, then lower event_id).  Inner semantics:
+    left events with no prior right event are dropped.  Emits
+    (event_id, user_id, matched_event_id, lag_us).
+
+    The reference has no joins at all (SURVEY §2.4); this is the
+    training-pipeline as-of operator from the task brief, built as the same
+    shuffle-by-user + local solve as :func:`sessionize` — one partitioning
+    key (user_id) shared across every events operator, so at 100 TB these
+    stages chain without re-shuffling.  The local solve is a vectorized
+    merge: sort, forward-fill the last right-event index via
+    ``np.maximum.accumulate``, no Python per-row work.
+    """
+
+    def solve(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        is_r = (g["event_type"] == right_type).to_numpy()
+        is_l = (g["event_type"] == left_type).to_numpy()
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy()
+        # order rows so that at equal ts the right side precedes the left
+        order = np.lexsort((eid, ~is_r, ts))
+        is_r, is_l, ts, eid = is_r[order], is_l[order], ts[order], eid[order]
+        idx = np.arange(len(g))
+        last_r = np.maximum.accumulate(np.where(is_r, idx, -1))
+        li = np.flatnonzero(is_l)
+        m = last_r[li]
+        li, m = li[m >= 0], m[m >= 0]
+        return pd.DataFrame(
+            {
+                "event_id": eid[li],
+                "user_id": g["user_id"].to_numpy()[order][li],
+                "matched_event_id": eid[m].astype(np.int64),
+                "lag_us": (ts[li] - ts[m]).astype(np.int64),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(solve)

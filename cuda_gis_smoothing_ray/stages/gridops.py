@@ -1,0 +1,175 @@
+"""Grid-level operators beyond the smoothing kernels: multi-resolution
+encoding (res 5..9 in one pass), raster->vector tile polygons, scalable
+top-k, and deterministic hash sampling.
+
+Reference parity notes:
+
+* Multi-resolution encode realizes the north-star requirement "encoded to H3
+  cells at resolutions 5-9" as ONE streamed pass: each page's (lat, lon) is
+  encoded at every resolution inside a single ``map_batches`` (the per-page
+  work is 5 vectorized transforms over the same Arrow batch — the analog of
+  the reference's fused multi-variable kernels, ``hex_smooth_cuda_v4.cu:59-111``,
+  which amortize one gather over several outputs).  Because ``hexgrid.pack``
+  stores the resolution in the id's top byte, the five per-res count tables
+  reduce through ONE cell-keyed shuffle (``functions.reduce.hash_groupby``),
+  not five.
+* ``tile_vector`` closes the raster<->vector loop from the north rule:
+  ``tile_assign`` (in ``__ray_entry__``) is vector->raster; this is the
+  inverse — per-tile aggregate plus the tile's polygon (west/south/east/north
+  bounds in degrees), i.e. vectorizing the raster.
+* ``topk`` / ``sample_hash`` are the §2.6 gaps the reference simply lacks
+  ("No limits, top-k, sampling ... in the reference" — SURVEY §2.6): top-k is
+  per-block local top-k then a single-partition merge (never a full sort);
+  sampling is a deterministic multiplicative-hash Bernoulli filter so the
+  DuckDB oracle reproduces it exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import hexgrid
+from ..functions.reduce import hash_groupby
+
+RES_ALL = tuple(range(hexgrid.RES_MIN, hexgrid.RES_MAX + 1))  # 5..9
+
+# sample_hash constants (mirrored in sql/oracles.py::sample_pages_sql)
+SAMPLE_MULT = 2654435761  # Knuth multiplicative constant, < 2^32
+SAMPLE_MOD = 1_000_000
+
+
+def multires_counts(geocoded, resolutions=RES_ALL, n_parts: int = 64):
+    """geocoded(lat, lon, ...) -> (res, cell, page_count) for every res.
+
+    One map_batches emits the concatenated per-res cell ids (fan-out x5 on a
+    16-byte row — tiny next to the dropped text column), then one hash-
+    partitioned vectorized count reduce; res is recovered from the id's top
+    byte afterwards.  At 100 TB the shuffle moves only (cell, partial-count)
+    rows because counts pre-aggregate per batch below.
+    """
+    rs = tuple(resolutions)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        cells = np.concatenate([hexgrid.latlon_to_cell(lat, lon, r) for r in rs])
+        # batch-local pre-aggregation: shuffle partial counts, not pages
+        uniq, cnt = np.unique(cells, return_counts=True)
+        return pa.table({"cell": pa.array(uniq), "page_count": pa.array(cnt.astype(np.int64))})
+
+    counts = hash_groupby(
+        geocoded.map_batches(expand, batch_format="pyarrow"),
+        "cell",
+        ["page_count"],
+        how="sum",
+        n_parts=n_parts,
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        res = cell >> np.int64(56)
+        n = batch.column("page_count").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "res": pa.array(res),
+                "cell": pa.array(cell),
+                "page_count": pa.array(n.astype(np.int64)),
+            }
+        )
+
+    return counts.map_batches(finalize, batch_format="pyarrow")
+
+
+def tile_vector(geocoded, zoom: int, n_parts: int = 64):
+    """geocoded -> per-tile (tile_id, tile_x, tile_y, page_count, west,
+    south, east, north): the raster grid re-emitted as vector bounding
+    polygons (axis-aligned; corners listed as W/S/E/N degree bounds).
+    """
+    n = 1 << zoom
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        tx = np.floor((lon + 180.0) / 360.0 * n).astype(np.int64)
+        ty = np.floor((90.0 - lat) / 180.0 * n).astype(np.int64)
+        tid = ty * n + tx
+        uniq, cnt = np.unique(tid, return_counts=True)
+        return pa.table(
+            {"tile_id": pa.array(uniq), "page_count": pa.array(cnt.astype(np.int64))}
+        )
+
+    counts = hash_groupby(
+        geocoded.map_batches(assign, batch_format="pyarrow"),
+        "tile_id",
+        ["page_count"],
+        how="sum",
+        n_parts=n_parts,
+    )
+
+    def vectorize(batch: pa.Table) -> pa.Table:
+        tid = batch.column("tile_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = batch.column("page_count").to_numpy(zero_copy_only=False).astype(np.int64)
+        tx = tid % n
+        ty = tid // n
+        west = tx.astype(np.float64) / n * 360.0 - 180.0
+        east = (tx + 1).astype(np.float64) / n * 360.0 - 180.0
+        north = 90.0 - ty.astype(np.float64) / n * 180.0
+        south = 90.0 - (ty + 1).astype(np.float64) / n * 180.0
+        return pa.table(
+            {
+                "tile_id": pa.array(tid),
+                "tile_x": pa.array(tx),
+                "tile_y": pa.array(ty),
+                "page_count": pa.array(cnt),
+                "west": pa.array(west),
+                "south": pa.array(south),
+                "east": pa.array(east),
+                "north": pa.array(north),
+            }
+        )
+
+    return counts.map_batches(vectorize, batch_format="pyarrow")
+
+
+def topk(ds, k: int, by: str, tie_cols: tuple[str, ...] = ()):
+    """Scalable descending top-k: per-block local top-k (map_batches), then a
+    single-partition merge.  Moves at most ``k * n_blocks`` rows through the
+    shuffle — never sorts the dataset.  Ties break ascending on ``tie_cols``
+    so the result is deterministic and oracle-comparable.
+    """
+    cols = [by, *tie_cols]
+    asc = [False] + [True] * len(tie_cols)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(cols, ascending=asc, kind="mergesort").head(k)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(cols, ascending=asc, kind="mergesort").head(k)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return (
+        ds.map_batches(local, batch_format="pandas", batch_size=None)
+        .repartition(1)
+        .map_batches(merge, batch_format="pandas", batch_size=None)
+    )
+
+
+def sample_hash(ds, id_col: str, keep_ppm: int, mult: int = SAMPLE_MULT, mod: int = SAMPLE_MOD):
+    """Deterministic Bernoulli sample: keep rows where
+    ``(id * mult) % mod < keep_ppm`` (keep_ppm per million).  Pure filter —
+    streams, no shuffle; identical row set in SQL, so it is an oracle-checked
+    sampling operator (unlike ``ds.random_sample``, whose RNG is not
+    reproducible across engines).
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # (id % mod) * (mult % mod) stays < 1e12: no int64 overflow at any id
+        # (DuckDB BIGINT errors on overflow; numpy silently wraps — neither ok)
+        keep = ((ids % mod) * (mult % mod)) % mod < keep_ppm
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")

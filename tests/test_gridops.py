@@ -1,0 +1,92 @@
+"""Grid-level operator tests: multi-resolution encode, raster->vector tiles,
+scalable top-k, deterministic sampling (stages/gridops.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from cuda_gis_smoothing_ray.functions import hexgrid as hg
+from cuda_gis_smoothing_ray.stages import gridops
+
+
+def _geocoded(sf_dir):
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.geoencode import geo_encode
+
+    return geo_encode(read_pages(sf_dir, include_html=False), res=7)
+
+
+def test_multires_counts_consistency(sf_dir):
+    df = gridops.multires_counts(_geocoded(sf_dir)).to_pandas()
+    # every resolution present; ids carry their res in the top byte
+    assert sorted(df["res"].unique()) == list(range(hg.RES_MIN, hg.RES_MAX + 1))
+    assert ((df["cell"].to_numpy() >> 56) == df["res"].to_numpy()).all()
+    # each res partitions the same page set: per-res totals all equal
+    totals = df.groupby("res")["page_count"].sum()
+    assert totals.nunique() == 1
+    # coarser res -> no more cells than finer res
+    n_cells = df.groupby("res")["cell"].count()
+    assert (n_cells.diff().dropna() >= 0).all()
+
+
+def test_multires_parent_rollup(sf_dir):
+    """Resolution round-trip: re-encoding a fine cell's center at a coarser
+    res lands in a cell that the coarse level actually produced."""
+    df = gridops.multires_counts(_geocoded(sf_dir)).to_pandas()
+    fine = df[df["res"] == 9]["cell"].to_numpy()
+    for coarse_res in (5, 7, 8):
+        coarse = set(df[df["res"] == coarse_res]["cell"].to_numpy())
+        lat, lon = hg.cell_to_latlon(fine)
+        parents = hg.latlon_to_cell(lat, lon, coarse_res)
+        frac = np.mean([p in coarse for p in parents])
+        # hex grids don't nest: a fine cell's CENTER can cross into a coarse
+        # cell none of its pages occupy, so this is a statistical round-trip
+        # (the exact per-page encode identity is the multires_cells oracle)
+        assert frac > 0.85
+
+
+def test_tile_vector_bounds(sf_dir):
+    geo = _geocoded(sf_dir)
+    tiles = gridops.tile_vector(geo, zoom=6).to_pandas()
+    pts = geo.select_columns(["lat", "lon"]).to_pandas()
+    assert tiles["page_count"].sum() == len(pts)
+    assert (tiles["west"] < tiles["east"]).all()
+    assert (tiles["south"] < tiles["north"]).all()
+    n = 1 << 6
+    assert (tiles["tile_id"] == tiles["tile_y"] * n + tiles["tile_x"]).all()
+    # spot-check: every point lies inside its tile's polygon
+    tx = np.floor((pts["lon"].to_numpy() + 180.0) / 360.0 * n).astype(np.int64)
+    ty = np.floor((90.0 - pts["lat"].to_numpy()) / 180.0 * n).astype(np.int64)
+    m = tiles.set_index("tile_id")
+    tid = ty * n + tx
+    assert (pts["lon"].to_numpy() >= m.loc[tid, "west"].to_numpy()).all()
+    assert (pts["lon"].to_numpy() < m.loc[tid, "east"].to_numpy()).all()
+
+
+def test_topk_matches_pandas(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"k": rng.integers(0, 1000, 5000), "v": rng.integers(0, 50, 5000)})
+    ds = rd.from_pandas(df).repartition(8)
+    got = gridops.topk(ds, 25, by="v", tie_cols=("k",)).to_pandas()
+    want = df.sort_values(["v", "k"], ascending=[False, True], kind="mergesort").head(25)
+    assert got["k"].tolist() == want["k"].tolist()
+    assert got["v"].tolist() == want["v"].tolist()
+    assert got["rank"].tolist() == list(range(1, 26))
+
+
+def test_sample_hash_deterministic(sf_dir):
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+
+    pages = read_pages(sf_dir, include_html=False).select_columns(["page_id"])
+    a = gridops.sample_hash(pages, "page_id", 150_000).to_pandas()
+    b = gridops.sample_hash(pages, "page_id", 150_000).to_pandas()
+    assert sorted(a["page_id"]) == sorted(b["page_id"])
+    n_total = pages.count()
+    # Bernoulli(0.15): loose 3-sigma-ish band
+    assert 0.05 < len(a) / n_total < 0.30
+    # nested samples: smaller keep rate is a subset of larger
+    c = gridops.sample_hash(pages, "page_id", 50_000).to_pandas()
+    assert set(c["page_id"]).issubset(set(a["page_id"]))

@@ -82,3 +82,21 @@ def test_window_aggregate_vs_pandas(sf_dir):
     assert len(m) == len(want) == len(got)
     assert (m["n_events"] == m["n_events_w"]).all()
     assert np.allclose(m["sum_value"], m["sum_value_w"], rtol=1e-9)
+
+
+def test_asof_join_vs_bruteforce(sf_dir):
+    import pandas as pd
+
+    from cuda_gis_smoothing_ray.stages import events as ev
+
+    got = ev.asof_join(ev.read_events(sf_dir)).to_pandas().sort_values("event_id").reset_index(drop=True)
+    df = pd.read_parquet(f"{sf_dir}/events.parquet")
+    want = []
+    for _, row in df[df.event_type == "purchase"].iterrows():
+        cand = df[(df.user_id == row.user_id) & (df.event_type == "view") & (df.ts <= row.ts)]
+        if len(cand):
+            m = cand.sort_values(["ts", "event_id"]).iloc[-1]
+            want.append((row.event_id, row.user_id, m.event_id,
+                         (row.ts - m.ts).value // 1000))
+    want = pd.DataFrame(want, columns=["event_id", "user_id", "matched_event_id", "lag_us"]).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
