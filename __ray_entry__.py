@@ -250,6 +250,14 @@ def _q_ann_lsh(sf_dir: str):
     )
 
 
+def _q_ann_ivf(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import ann
+
+    return ann.ann_ivf(ann.read_embeddings(sf_dir), sf_dir, k=ANN_K).sort(
+        ["query_id", "rank"]
+    )
+
+
 def _q_neardup(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import ann
 
@@ -312,6 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": _q_dedup_components,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "embedding_neardup": _q_neardup,
         "media_decode": _q_media_decode,
         "media_features": _q_media_features,
@@ -357,7 +366,8 @@ def oracle_sql() -> dict[str, str]:
         "events_window": oc.events_window_sql(),
         "sessionize": oc.sessionize_sql(),
         "asof_join": oc.asof_join_sql(),
-        # minhash_pairs / simhash_pairs / ann_lsh_topk / media_features are
+        # minhash_pairs / simhash_pairs / ann_lsh_topk / ann_ivf_topk /
+        # media_features are
         # hash- or state-based and not SQL-expressible: rows-only checks;
         # their semantics are pytest-gated instead (tests/test_textops.py,
         # tests/test_ann.py).

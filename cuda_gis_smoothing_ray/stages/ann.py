@@ -255,3 +255,106 @@ def embedding_neardup(ds, sf_dir: str, threshold: float = 0.4):
         )
 
     return ds.map_batches(pairs, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse-quantizer variant (the other 100 TB path from the task brief)
+# ---------------------------------------------------------------------------
+
+IVF_N_LIST = 16     # coarse centroids
+IVF_N_PROBE = 4     # centroid lists probed per query
+IVF_N_TRAIN = 256   # driver-side training sample (vec_id < N_TRAIN)
+IVF_ITERS = 10      # Lloyd iterations (fixed -> deterministic)
+
+
+def train_ivf_centroids(sf_dir: str, n_list: int = IVF_N_LIST,
+                        n_train: int = IVF_N_TRAIN, iters: int = IVF_ITERS) -> np.ndarray:
+    """Deterministic spherical k-means on a tiny driver-side sample
+    (row-filtered parquet read, never the full table): init = first
+    ``n_list`` sample vectors, fixed ``iters`` Lloyd steps on the unit
+    sphere.  At 100 TB the sample read stays O(n_train); training cost is
+    independent of table size."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"], filter=pads.field("vec_id") < n_train
+    ).sort_by("vec_id")
+    x = _emb_matrix(t)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    c = x[:n_list].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_list):
+            m = assign == j
+            if m.any():
+                v = x[m].sum(axis=0)
+                c[j] = v / max(np.linalg.norm(v), 1e-12)
+    return c
+
+
+def ann_ivf(ds, sf_dir: str, k: int = 10, n_queries: int = N_QUERIES,
+            n_list: int = IVF_N_LIST, n_probe: int = IVF_N_PROBE):
+    """IVF approximate cosine top-k: assign every vector to its nearest
+    coarse centroid (one matmul per batch against the broadcast codebook),
+    search only vectors whose list is among the query's ``n_probe`` nearest
+    centroids; exact re-rank within candidates.  Output schema matches
+    :func:`ann_bruteforce`; recall@k is pytest-gated.
+
+    Scale shape: centroids + queries are broadcast via ``ray.put`` once; the
+    embedding table streams; no shuffle at all before the k*n_blocks-row
+    merge (same as the LSH path).  A real deployment sizes n_list ~ sqrt(N)
+    and keeps this exact topology."""
+    import ray
+
+    q_ids, q_mat = load_queries(sf_dir, n_queries)
+    cent = train_ivf_centroids(sf_dir, n_list)
+    qn = q_mat / np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    # (m, n_probe) centroid ids per query, best-first, deterministic ties
+    sims_qc = qn @ cent.T
+    q_probe = np.argsort(-sims_qc, axis=1, kind="stable")[:, :n_probe]
+    ref = ray.put((q_mat, cent, q_probe))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qm, c, qp = ray.get(ref)
+        x = _emb_matrix(batch)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        xn = np.sqrt(seq_sq_norm(x))
+        xnorm = x / np.maximum(xn[:, None], 1e-12)
+        assign = np.argmax(xnorm @ c.T, axis=1)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            cand = np.isin(assign, qp[qi]) & (vid != q_ids[qi])
+            if not cand.any():
+                continue
+            q = qm[qi]
+            sim = seq_dot(x[cand], q) / (xn[cand] * np.sqrt(seq_dot(q[None, :], q)[0]))
+            cv = vid[cand]
+            order = np.lexsort((cv, -sim))[:k]
+            out_q.append(np.full(len(order), q_ids[qi], dtype=np.int64))
+            out_v.append(cv[order])
+            out_s.append(sim[order])
+        if not out_q:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cosine": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["cosine"] = np.floor(g["cosine"].to_numpy() * 1e6 + 0.5) / 1e6
+        return g[["query_id", "rank", "vec_id", "cosine"]]
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge)
+    )

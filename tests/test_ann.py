@@ -87,3 +87,26 @@ def test_neardup_pairs_within_cluster(clustered_dir):
     assert len(out) > 0
     # cosine >= 0.95 pairs must be same-cluster at this noise level
     assert (lab[out["a"].to_numpy()] == lab[out["b"].to_numpy()]).all()
+
+
+def test_ivf_recall_on_clusters(clustered_dir):
+    from cuda_gis_smoothing_ray.stages.ann import ann_bruteforce, ann_ivf, read_embeddings
+
+    k = 10
+    brute = ann_bruteforce(read_embeddings(clustered_dir), clustered_dir, k=k).to_pandas()
+    ivf = ann_ivf(read_embeddings(clustered_dir), clustered_dir, k=k).to_pandas()
+    recalls = []
+    for qid in brute["query_id"].unique():
+        truth = set(brute[brute["query_id"] == qid]["vec_id"])
+        got = set(ivf[ivf["query_id"] == qid]["vec_id"])
+        recalls.append(len(truth & got) / k)
+    assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_ivf_centroids_deterministic(clustered_dir):
+    from cuda_gis_smoothing_ray.stages.ann import train_ivf_centroids
+
+    a = train_ivf_centroids(clustered_dir)
+    b = train_ivf_centroids(clustered_dir)
+    assert np.array_equal(a, b)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
