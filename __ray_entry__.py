@@ -295,6 +295,83 @@ def _q_events_window(sf_dir: str):
     return _round6_cols(ds, ["sum_value"]).sort(["window_start", "event_type"])
 
 
+def _q_join_orders_by_nation(sf_dir: str):
+    """Large-large shuffle join (orders x customer) -> broadcast nation
+    lookup -> per-nation totals in exact integer cents."""
+    from ray.data.aggregate import Sum
+
+    from cuda_gis_smoothing_ray.stages.join import (
+        broadcast_hash_join,
+        read_table,
+        shuffle_join,
+    )
+
+    orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    j = shuffle_join(orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        uniq, inv = np.unique(nk, return_inverse=True)
+        return pa.table(
+            {
+                "c_nationkey": pa.array(uniq),
+                "n_orders": pa.array(np.bincount(inv, minlength=len(uniq)).astype(np.int64)),
+                "total_cents": pa.array(np.bincount(inv, weights=cents, minlength=len(uniq)).astype(np.int64)),
+            }
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("n_orders", alias_name="n_orders"), Sum("total_cents", alias_name="total_cents"))
+    )
+    out = broadcast_hash_join(agg, sf_dir, "nation", "c_nationkey", "n_nationkey", ["n_name"])
+    return out.select_columns(["n_name", "n_orders", "total_cents"]).sort("n_name")
+
+
+def _q_join_region_customers(sf_dir: str):
+    """Two chained broadcast joins (customer -> nation -> region), exact
+    integer-cent aggregate per region."""
+    from ray.data.aggregate import Sum
+
+    from cuda_gis_smoothing_ray.stages.join import broadcast_hash_join, read_table
+
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    c1 = broadcast_hash_join(cust, sf_dir, "nation", "c_nationkey", "n_nationkey", ["n_regionkey"])
+    c2 = broadcast_hash_join(c1, sf_dir, "region", "n_regionkey", "r_regionkey", ["r_name"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cents = np.floor(
+            batch.column("c_acctbal").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame({"r_name": batch.column("r_name").to_numpy(zero_copy_only=False)})
+        df["acctbal_cents"] = cents
+        g = df.groupby("r_name", sort=True)["acctbal_cents"].agg(["count", "sum"]).reset_index()
+        return pa.table(
+            {
+                "r_name": pa.array(g["r_name"], pa.string()),
+                "n_customers": pa.array(g["count"].to_numpy().astype(np.int64)),
+                "acctbal_cents": pa.array(g["sum"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    return (
+        c2.map_batches(partial, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(
+            Sum("n_customers", alias_name="n_customers"),
+            Sum("acctbal_cents", alias_name="acctbal_cents"),
+        )
+        .sort("r_name")
+    )
+
+
 def _q_asof_join(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import events
 
@@ -328,6 +405,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
+        "join_orders_by_nation": _q_join_orders_by_nation,
+        "join_region_customers": _q_join_region_customers,
         "geocode_cells": _q_geocode_cells,
         "cell_metrics": _q_cell_metrics,
         "neighbor_stats": _q_neighbor_stats,
@@ -366,6 +445,8 @@ def oracle_sql() -> dict[str, str]:
         "events_window": oc.events_window_sql(),
         "sessionize": oc.sessionize_sql(),
         "asof_join": oc.asof_join_sql(),
+        "join_orders_by_nation": oc.join_orders_by_nation_sql(),
+        "join_region_customers": oc.join_region_customers_sql(),
         # minhash_pairs / simhash_pairs / ann_lsh_topk / ann_ivf_topk /
         # media_features are
         # hash- or state-based and not SQL-expressible: rows-only checks;

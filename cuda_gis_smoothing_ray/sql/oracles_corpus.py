@@ -283,3 +283,28 @@ SELECT event_id, user_id, matched_event_id,
 FROM f
 WHERE event_type = '{left_type}' AND matched_event_id IS NOT NULL
 ORDER BY event_id"""
+
+
+def join_orders_by_nation_sql() -> str:
+    """Oracle of the shuffle-join + broadcast-lookup pipeline; totals in
+    exact integer cents (floor(x*100+0.5) per row, summed as BIGINT — the
+    only cross-engine-deterministic way to sum thousands of doubles)."""
+    return """SELECT n_name,
+  count(*) AS n_orders,
+  sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name"""
+
+
+def join_region_customers_sql() -> str:
+    return """SELECT r_name,
+  count(*) AS n_customers,
+  sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS acctbal_cents
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+ORDER BY r_name"""

@@ -1,0 +1,71 @@
+"""Relational join tests (stages/join.py): broadcast lookup vs pandas merge,
+left-join null semantics, shuffle-join row parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def test_broadcast_inner_matches_pandas(sf_dir, ray_session):
+    from cuda_gis_smoothing_ray.stages.join import broadcast_hash_join, read_table
+
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    got = (
+        broadcast_hash_join(cust, sf_dir, "nation", "c_nationkey", "n_nationkey", ["n_name"])
+        .to_pandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    n = pd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    want = (
+        c.merge(n, left_on="c_nationkey", right_on="n_nationkey")
+        .drop(columns="n_nationkey")
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want)
+
+
+def test_broadcast_left_join_nulls(sf_dir, ray_session):
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.join import broadcast_hash_join
+
+    # keys 0..24 exist in nation; 98/99 don't
+    df = pd.DataFrame({"k": [0, 5, 98, 24, 99]})
+    out = (
+        broadcast_hash_join(
+            rd.from_pandas(df), sf_dir, "nation", "k", "n_nationkey", ["n_name"], how="left"
+        )
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert len(out) == 5
+    assert out.loc[out["k"].isin([98, 99]), "n_name"].isna().all()
+    assert out.loc[~out["k"].isin([98, 99]), "n_name"].notna().all()
+
+
+def test_shuffle_join_matches_pandas(sf_dir, ray_session):
+    from cuda_gis_smoothing_ray.stages.join import read_table, shuffle_join
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    got = (
+        shuffle_join(orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=4)
+        .to_pandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    want = (
+        o.merge(c, left_on="o_custkey", right_on="c_custkey")
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["o_orderkey"].to_numpy() == want["o_orderkey"].to_numpy()).all()
+    assert (got["c_nationkey"].to_numpy() == want["c_nationkey"].to_numpy()).all()
