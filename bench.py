@@ -26,8 +26,10 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-#: pages replication factor for volume (documents rows x REPLICATE pages)
-REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "8"))
+#: pages replication factor for volume (documents rows x REPLICATE pages).
+#: Default sized so the flagship measures SUSTAINED throughput (10M pages at
+#: sf0.1), not per-job fixed overhead.
+REPLICATE = int(os.environ.get("GRAFT_REPLICATE", "2000"))
 
 
 def _consume(ds) -> int:
@@ -93,7 +95,7 @@ def run_bench(sf_dir: str, num_cpus: int, replicate: int, only: str | None = Non
     qs = headline_queries(sf_dir, replicate)
     if only:
         qs = {only: qs[only]}
-    if warmup:
+    if warmup or replicate >= 100:
         # one small pass to warm Ray worker processes / module imports — the
         # reference's own warm-up-then-measure protocol
         # (hex_smooth_cuda_v1.cu:233-236)

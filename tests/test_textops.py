@@ -109,3 +109,50 @@ def test_lang_id_deterministic_argmax():
     ]
     out = lang_id(_docs_ds(rows)).to_pandas().sort_values("doc_id")
     assert out["pred_lang"].tolist() == ["en", "de", "fr", "en"]
+
+
+def test_byte_class_counts_equal_re2():
+    """The numpy byte-class kernel must count exactly like the RE2 patterns
+    it replaces (adversarial + fuzz, incl. slices, unicode, tiny segments)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cuda_gis_smoothing_ray.functions import textstats as ts
+
+    cases = ["", " ", "hello world", "vvert\x0bx", "über café 北京 test!", "...",
+             "a" * 100, "1 22 333, x;y", "\n\nmulti\nline\f", "🎉🎉 two emoji"]
+    rng = np.random.default_rng(3)
+    alphabet = list("abc XYZ 019 \t\n\f\r.;-é北🎉")
+    cases += ["".join(rng.choice(alphabet, size=rng.integers(0, 120))) for _ in range(1500)]
+    pairs = [("n_tokens", ts.TOKEN_RE), ("n_bpe", ts.BPE_RE),
+             ("n_punct", ts.PUNCT_RE), ("n_nonspace", ts.NONSPACE_RE)]
+    old_seg = ts.SEG_BYTES
+    try:
+        for seg in (old_seg, 256):
+            ts.SEG_BYTES = seg
+            for arr in (pa.array(cases), pa.array(cases).slice(3, 1000),
+                        pa.array(cases).cast(pa.large_string())):
+                got = ts.byte_class_counts(arr)
+                for k, pat in pairs:
+                    assert np.array_equal(got[k], ts.count_re(arr, pat)), (k, seg)
+    finally:
+        ts.SEG_BYTES = old_seg
+
+
+def test_count_words_bytes_equal_re2():
+    import numpy as np
+    import pyarrow as pa
+
+    from cuda_gis_smoothing_ray.functions import textstats as ts
+
+    rng = np.random.default_rng(4)
+    vocab = ["the", "a", "and", "of", "to", "in", "is", "xx", "thee", "athe",
+             "and_", "1", "_", "北京", " ", ""]
+    fuzz = [" ".join(rng.choice(vocab, size=rng.integers(0, 30))) for _ in range(2000)]
+    # cross-string adjacency: "...th" + "e..." must NOT match "the"
+    fuzz += ["xx th", "e yy", "th", "e", " the "]
+    arr = pa.array(fuzz)
+    for words in [ts.STOPWORDS] + [w for _, w in ts.LANG_MARKERS]:
+        got = ts.count_words_bytes(arr, words)
+        want = ts.count_re(arr, ts.marker_pattern(words))
+        assert np.array_equal(got, want), words
