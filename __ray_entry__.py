@@ -378,6 +378,42 @@ def _q_asof_join(sf_dir: str):
     return events.asof_join(events.read_events(sf_dir)).sort("event_id")
 
 
+def _q_sliding_window(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import events
+
+    ds = events.sliding_window_aggregate(events.read_events(sf_dir))
+    return _round6_cols(ds, ["sum_value"]).sort(["window_start", "event_type"])
+
+
+def _pages_urls(sf_dir: str):
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+
+    return read_pages(sf_dir, include_html=False).select_columns(["url"])
+
+
+def _q_distinct_hosts(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.sketch import distinct_count
+
+    return distinct_count(_pages_urls(sf_dir))
+
+
+def _q_hll_hosts(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.sketch import hll_count
+
+    return hll_count(_pages_urls(sf_dir))
+
+
+def _q_text_len_quantiles(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.sketch import quantiles
+
+    def text_len(batch: pa.Table) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        return pc.utf8_length(batch.column("text")).to_numpy(zero_copy_only=False)
+
+    return quantiles(_docs(sf_dir), text_len)
+
+
 def _q_sessionize(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import events
 
@@ -407,6 +443,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "join_orders_by_nation": _q_join_orders_by_nation,
         "join_region_customers": _q_join_region_customers,
+        "sliding_window": _q_sliding_window,
+        "distinct_hosts": _q_distinct_hosts,
+        "hll_hosts": _q_hll_hosts,
+        "text_len_quantiles": _q_text_len_quantiles,
         "geocode_cells": _q_geocode_cells,
         "cell_metrics": _q_cell_metrics,
         "neighbor_stats": _q_neighbor_stats,
@@ -447,6 +487,11 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": oc.asof_join_sql(),
         "join_orders_by_nation": oc.join_orders_by_nation_sql(),
         "join_region_customers": oc.join_region_customers_sql(),
+        "sliding_window": oc.sliding_window_sql(),
+        "distinct_hosts": oc.distinct_hosts_sql(),
+        "text_len_quantiles": oc.text_len_quantiles_sql(),
+        # hll_hosts is a sketch (estimate): rows-only; error gated in
+        # tests/test_sketch.py against the exact distinct count.
         # minhash_pairs / simhash_pairs / ann_lsh_topk / ann_ivf_topk /
         # media_features are
         # hash- or state-based and not SQL-expressible: rows-only checks;

@@ -308,3 +308,43 @@ JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 ORDER BY r_name"""
+
+
+def sliding_window_sql(width_us: int = events.WINDOW_US,
+                       hop_us: int = events.WINDOW_US // 2) -> str:
+    """Hopping-window oracle: each event joins every hop-aligned window
+    start in (ts - width, ts]."""
+    fan = width_us // hop_us
+    offs = ", ".join(f"({k})" for k in range(fan))
+    return f"""WITH offs(k) AS (VALUES {offs})
+SELECT
+  make_timestamp(((epoch_us(ts) // {hop_us}) - k) * {hop_us}) AS window_start,
+  event_type,
+  count(*) AS n_events,
+  {round6('sum(value)')} AS sum_value
+FROM events CROSS JOIN offs
+GROUP BY 1, 2
+ORDER BY 1, 2"""
+
+
+def distinct_hosts_sql() -> str:
+    from .oracles import pages_cte
+
+    return f"""WITH {pages_cte()}
+SELECT count(DISTINCT split_part(url, '/', 3)) AS n_distinct
+FROM pages"""
+
+
+def text_len_quantiles_sql(qs=(0.5, 0.9, 0.99)) -> str:
+    """Exact lower quantile: value at 0-indexed rank floor((n-1)*q)."""
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q, "
+        f"(SELECT v FROM r WHERE rn = CAST(floor((n.n - 1) * {q}) AS BIGINT) + 1) AS value "
+        f"FROM n"
+        for q in qs
+    )
+    return f"""WITH v AS (SELECT length(text) AS v FROM documents),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+n AS (SELECT count(*) AS n FROM v)
+{sel}
+ORDER BY q"""

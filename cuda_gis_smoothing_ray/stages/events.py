@@ -123,3 +123,51 @@ def asof_join(ds, left_type: str = "purchase", right_type: str = "view"):
         )
 
     return ds.groupby("user_id").map_groups(solve)
+
+
+def sliding_window_aggregate(ds, width_us: int = WINDOW_US, hop_us: int = WINDOW_US // 2):
+    """Hopping/sliding windows: width ``width_us``, advancing by ``hop_us``
+    (width must be a multiple of hop).  Each event lands in
+    ``width/hop`` windows; expansion happens batch-locally and partials
+    pre-aggregate before the (window_start, event_type)-keyed shuffle, so
+    shuffle volume stays bounded by window-cardinality x fan-out, not rows.
+    """
+    from ray.data.aggregate import Sum
+
+    if width_us % hop_us:
+        raise ValueError("width_us must be a multiple of hop_us")
+    fan = width_us // hop_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        epoch = ts.astype(np.int64)
+        base = (epoch // hop_us) * hop_us  # last hop boundary <= ts
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        wins, types, vals = [], [], []
+        for k in range(fan):
+            w = base - k * hop_us  # event in window [w, w + width)
+            wins.append(w)
+            types.append(et)
+            vals.append(val)
+        df = pd.DataFrame(
+            {"w": np.concatenate(wins), "t": np.concatenate(types), "v": np.concatenate(vals)}
+        )
+        g = df.groupby(["w", "t"], sort=True)["v"].agg(["count", "sum"]).reset_index()
+        return pa.table(
+            {
+                "window_start": pa.array(g["w"].to_numpy().astype("datetime64[us]")),
+                "event_type": pa.array(g["t"], pa.string()),
+                "n_events": pa.array(g["count"].to_numpy().astype(np.int64)),
+                "sum_value": pa.array(g["sum"].to_numpy()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["window_start", "event_type"])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            Sum("sum_value", alias_name="sum_value"),
+        )
+    )

@@ -1,0 +1,154 @@
+"""Distinct counting and order statistics over the pages stream — exact
+hash-partitioned forms (SQL-oracle-checked) plus a HyperLogLog sketch (the
+"novel sketch" custom-operator slot from the task brief; error-gated by
+pytest).
+
+Scale shapes:
+
+* :func:`distinct_count` — per-batch local ``np.unique``, shuffle only the
+  deduplicated (hash-partition, value) pairs, per-partition unique again,
+  sum of partition counts.  Shuffle volume is bounded by the number of
+  DISTINCT values, not rows.
+* :func:`hll_count` — per-batch 2^p-register HLL partial, register-wise max
+  merged through one tiny groupby; constant shuffle volume (p=12 -> 4 KB per
+  batch) regardless of cardinality.  The 100 TB path when distincts
+  themselves are too many to shuffle.
+* :func:`quantiles` — exact order statistics by value-histogram: per-batch
+  value counts, one small shuffle keyed by value, driver-side cumsum over
+  the (bounded-cardinality) histogram.  Exact at any row count as long as
+  the value domain is bounded (ints like text length); the rank definition
+  ``k = floor((n-1) * q)`` (0-indexed lower quantile) is mirrored in SQL.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.hashing import splitmix64, text_hash64
+
+HLL_P = 12  # 4096 registers
+
+
+def _host_from_url(batch: pa.Table) -> np.ndarray:
+    """url -> host (chars between the 2nd and 3rd '/'), vectorized Arrow
+    split; mirrors SQL ``split_part(url, '/', 3)``."""
+    import pyarrow.compute as pc
+
+    parts = pc.split_pattern(batch.column("url"), pattern="/")
+    return pc.list_element(parts, 2).to_numpy(zero_copy_only=False)
+
+
+def distinct_count(ds, value_fn=_host_from_url, n_parts: int = 64):
+    """-> single-row table (n_distinct:int64): exact distributed distinct.
+
+    Batch-local unique -> hash-partitioned shuffle of distinct values ->
+    per-partition unique -> sum.
+    """
+    from ray.data.aggregate import Sum
+
+    def local(batch: pa.Table) -> pa.Table:
+        vals = np.unique(value_fn(batch))
+        h = text_hash64(vals)
+        part = (h % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"part": pa.array(part), "value": pa.array(vals)})
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [df["value"].nunique()]})
+
+    counted = (
+        ds.map_batches(local, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(per_part)
+        .aggregate(Sum("n", alias_name="n_distinct"))
+    )
+    return pa.table({"n_distinct": pa.array([int(counted["n_distinct"])], pa.int64())})
+
+
+def hll_count(ds, value_fn=_host_from_url, p: int = HLL_P):
+    """-> single-row table (n_distinct_est:double): HyperLogLog estimate.
+
+    Deterministic 64-bit value hash; per-batch register partials; one
+    groupby-max over 2^p register rows per batch.  Standard bias-corrected
+    estimator with small-range linear counting.
+    """
+    from ray.data.aggregate import Max
+
+    m = 1 << p
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # registers depend only on the distinct values: unique first, hash
+        # the (few) distincts, skip the per-row hash loop entirely
+        h = text_hash64(np.unique(value_fn(batch)))
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        rest = h << np.uint64(p)  # remaining 64-p bits, left-aligned
+        # rho = position of first set bit in the remaining bits (1-based)
+        nz = rest != 0
+        lz = np.full(len(h), 64 - p, dtype=np.int64)
+        r = rest[nz]
+        # count leading zeros of a uint64 vector via float64 exponent trick
+        # (exact for the top 52 bits; values below 2^12 handled by the
+        # flush-to-max branch above since 64-p < 52 guards nothing -- use
+        # the portable loop-free log2 on the high 32 bits twice instead)
+        hi = (r >> np.uint64(32)).astype(np.uint32)
+        lo = (r & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        lz_hi = 31 - np.floor(np.log2(np.maximum(hi.astype(np.float64), 1))).astype(np.int64)
+        lz_lo = 63 - np.floor(np.log2(np.maximum(lo.astype(np.float64), 1))).astype(np.int64)
+        lz[nz] = np.where(hi != 0, lz_hi, np.where(lo != 0, lz_lo, 64))
+        rho = np.minimum(lz + 1, 64 - p + 1)
+        reg = np.zeros(m, dtype=np.int64)
+        np.maximum.at(reg, idx, rho)
+        used = np.flatnonzero(reg)
+        return pa.table({"register": pa.array(used), "rho": pa.array(reg[used])})
+
+    merged = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("register")
+        .aggregate(Max("rho", alias_name="rho"))
+        .to_pandas()
+    )
+    reg = np.zeros(m, dtype=np.float64)
+    reg[merged["register"].to_numpy()] = merged["rho"].to_numpy()
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-reg))
+    zeros = float(np.count_nonzero(reg == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)  # linear counting for small cardinalities
+    return pa.table({"n_distinct_est": pa.array([float(est)], pa.float64())})
+
+
+QUANTILES = (0.5, 0.9, 0.99)
+
+
+def quantiles(ds, col_fn, qs: tuple[float, ...] = QUANTILES):
+    """-> (q:double, value:int64) exact lower quantiles of an integer-valued
+    column: ``value`` at 0-indexed rank ``floor((n-1) * q)`` in sorted order.
+
+    ``col_fn(batch) -> int64 np.ndarray`` extracts the value (e.g. text
+    length).  Histogram plan: per-batch value counts, one value-keyed
+    groupby-sum (cardinality = |value domain|), cumsum on the driver.
+    """
+    from ..functions.reduce import hash_groupby
+
+    def counts(batch: pa.Table) -> pa.Table:
+        v = col_fn(batch)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"value": pa.array(uniq.astype(np.int64)), "cnt": pa.array(cnt.astype(np.int64))})
+
+    hist = (
+        hash_groupby(ds.map_batches(counts, batch_format="pyarrow", batch_size=None),
+                     "value", ["cnt"], how="sum")
+        .to_pandas()
+        .sort_values("value")
+    )
+    c = hist["cnt"].to_numpy().astype(np.int64)
+    v = hist["value"].to_numpy().astype(np.int64)
+    n = int(c.sum())
+    cum = np.cumsum(c)
+    out_q, out_v = [], []
+    for q in qs:
+        k = int(np.floor((n - 1) * q))
+        out_q.append(float(q))
+        out_v.append(int(v[int(np.searchsorted(cum, k + 1))]))
+    return pa.table({"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.int64())})

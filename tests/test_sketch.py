@@ -1,0 +1,71 @@
+"""Distinct-count / HLL / quantile operator tests (stages/sketch.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def id_ds(ray_session):
+    """Dataset with a known number of distinct 'url-like' values."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(11)
+    vals = [f"https://h{i % 1777}.com/p/{i}" for i in range(20000)]
+    rng.shuffle(vals)
+    return rd.from_pandas(pd.DataFrame({"url": vals})).repartition(8)
+
+
+def test_distinct_count_exact(id_ds):
+    from cuda_gis_smoothing_ray.stages.sketch import distinct_count
+
+    out = distinct_count(id_ds)
+    assert out.column("n_distinct").to_pylist() == [1777]
+
+
+def test_hll_within_error(id_ds):
+    from cuda_gis_smoothing_ray.stages.sketch import hll_count
+
+    est = hll_count(id_ds).column("n_distinct_est").to_pylist()[0]
+    # p=12 -> standard error ~1.04/sqrt(4096) = 1.6%; allow 4 sigma
+    assert abs(est - 1777) / 1777 < 0.07, est
+
+
+def test_hll_deterministic(id_ds):
+    from cuda_gis_smoothing_ray.stages.sketch import hll_count
+
+    a = hll_count(id_ds).column("n_distinct_est").to_pylist()[0]
+    b = hll_count(id_ds).column("n_distinct_est").to_pylist()[0]
+    assert a == b
+
+
+def test_quantiles_match_numpy(ray_session):
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import quantiles
+
+    rng = np.random.default_rng(5)
+    v = rng.integers(0, 3000, 25000)
+    ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(6)
+    out = quantiles(ds, lambda b: b.column("x").to_numpy(zero_copy_only=False),
+                    qs=(0.1, 0.5, 0.9, 0.99)).to_pandas()
+    sv = np.sort(v)
+    for _, row in out.iterrows():
+        k = int(np.floor((len(v) - 1) * row["q"]))
+        assert row["value"] == sv[k], (row["q"], row["value"], sv[k])
+
+
+def test_sliding_window_fanout(sf_dir):
+    from cuda_gis_smoothing_ray.stages import events as ev
+
+    tumbling = ev.window_aggregate(ev.read_events(sf_dir)).to_pandas()
+    sliding = ev.sliding_window_aggregate(ev.read_events(sf_dir)).to_pandas()
+    # every event is in exactly 2 hopping windows (width = 2 x hop)
+    assert sliding["n_events"].sum() == 2 * tumbling["n_events"].sum()
+    # a tumbling window's (start, type) bucket also exists as a hopping window
+    m = sliding.set_index(["window_start", "event_type"])["n_events"]
+    for _, r in tumbling.head(20).iterrows():
+        assert (r["window_start"], r["event_type"]) in m.index
