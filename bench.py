@@ -63,6 +63,14 @@ def headline_queries(sf_dir: str, replicate: int):
 
     from cuda_gis_smoothing_ray.pipelines.corpus import text_quality_by_lang
 
+    def _pip_volume():
+        from cuda_gis_smoothing_ray.sources.pages import read_pages
+        from cuda_gis_smoothing_ray.stages.geoencode import geo_encode
+        from cuda_gis_smoothing_ray.stages.pip import pip_join
+
+        geo = geo_encode(read_pages(sf_dir, replicate=replicate, include_html=False), res=7)
+        return pip_join(geo)
+
     return {
         "flagship_fused_k1": lambda: flagship(
             sf_dir, res=7, k=1, profile="gaussian", replicate=replicate, fused=True
@@ -71,7 +79,7 @@ def headline_queries(sf_dir: str, replicate: int):
             sf_dir, res=7, k=2, profile="gaussian", replicate=replicate, fused=False
         ),
         "text_quality_by_lang": lambda: text_quality_by_lang(sf_dir, replicate=replicate),
-        "pip_join": _q("pip_join"),
+        "pip_join_volume": _pip_volume,
         "knn_join": _q("knn_join"),
     }
 
