@@ -279,6 +279,21 @@ def _q_media_features(sf_dir: str):
     return media.media_decode(media.media_table(sf_dir)).sort("media_id")
 
 
+def _q_media_resize(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import media
+
+    ds = media.media_resize(media.media_decode(media.media_table(sf_dir)))
+    return _round6_cols(ds, ["scale_x", "scale_y"]).sort("media_id")
+
+
+def _q_frame_sample(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import media
+
+    return media.frame_sample(media.media_decode(media.media_table(sf_dir))).sort(
+        ["media_id", "frame_idx"]
+    )
+
+
 def _q_text_quality_by_lang(sf_dir: str):
     from cuda_gis_smoothing_ray.pipelines.corpus import text_quality_by_lang
 
@@ -437,6 +452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_neardup,
         "media_decode": _q_media_decode,
         "media_features": _q_media_features,
+        "media_resize": _q_media_resize,
+        "frame_sample": _q_frame_sample,
         "text_quality_by_lang": _q_text_quality_by_lang,
         "events_window": _q_events_window,
         "sessionize": _q_sessionize,
@@ -481,6 +498,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": oc.ann_topk_sql(ANN_K),
         "embedding_neardup": oc.embedding_neardup_sql(NEARDUP_T),
         "media_decode": oc.media_decode_sql(),
+        "media_resize": oc.media_resize_sql(),
+        "frame_sample": oc.frame_sample_sql(),
         "text_quality_by_lang": oc.text_quality_by_lang_sql(),
         "events_window": oc.events_window_sql(),
         "sessionize": oc.sessionize_sql(),

@@ -348,3 +348,33 @@ r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
 n AS (SELECT count(*) AS n FROM v)
 {sel}
 ORDER BY q"""
+
+
+def media_resize_sql(target_w: int = 256, target_h: int = 256) -> str:
+    """Oracle of media_resize over the decoded metadata (reuses the decode
+    CTE arithmetic from media_decode_sql)."""
+    base = media_decode_sql()
+    return f"""WITH decoded AS ({base})
+SELECT media_id, kind,
+  CAST({target_w} AS BIGINT) AS out_w, CAST({target_h} AS BIGINT) AS out_h,
+  {round6(f'CAST({target_w} AS DOUBLE) / width')} AS scale_x,
+  {round6(f'CAST({target_h} AS DOUBLE) / height')} AS scale_y
+FROM decoded
+ORDER BY media_id"""
+
+
+def frame_sample_sql(interval_ms: int = media.FRAME_INTERVAL_MS,
+                     max_frames: int = media.MAX_FRAMES) -> str:
+    base = media_decode_sql()
+    return f"""WITH decoded AS ({base}),
+n AS (
+  SELECT media_id,
+    CASE WHEN duration_ms > 0
+         THEN least(1 + duration_ms // {interval_ms}, {max_frames})
+         ELSE 0 END AS n_frames
+  FROM decoded
+)
+SELECT media_id, g.f AS frame_idx, g.f * {interval_ms} AS frame_ts_ms
+FROM n, LATERAL (SELECT unnest(range(n.n_frames)) AS f) g
+WHERE n.n_frames > 0
+ORDER BY media_id, frame_idx"""

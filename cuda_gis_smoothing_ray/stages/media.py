@@ -125,3 +125,67 @@ def media_decode(ds, concurrency=(1, 8), batch_size: int = 512):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def media_resize(ds, target_w: int = 256, target_h: int = 256):
+    """Decoded media -> resize-stage output (stubbed pixel work, real
+    plumbing): per row the target dims and the scale factors a real
+    resampler would apply.  A real deployment swaps the arithmetic for a
+    PIL/cv2 call inside the same actor-pool stage; everything around it
+    (schema, batch sizing, oracle) is unchanged."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        w = batch.column("width").to_numpy(zero_copy_only=False).astype(np.float64)
+        h = batch.column("height").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = np.floor(target_w / w * 1e6 + 0.5) / 1e6
+        sy = np.floor(target_h / h * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "kind": batch.column("kind"),
+                "out_w": pa.array(np.full(len(w), target_w, dtype=np.int64)),
+                "out_h": pa.array(np.full(len(w), target_h, dtype=np.int64)),
+                "scale_x": pa.array(sx),
+                "scale_y": pa.array(sy),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+FRAME_INTERVAL_MS = 40_000
+MAX_FRAMES = 8
+
+
+def frame_sample(ds, interval_ms: int = FRAME_INTERVAL_MS, max_frames: int = MAX_FRAMES):
+    """Decoded media -> sampled video frames: one output row per sampled
+    frame (media_id, frame_idx, frame_ts_ms), frames at ``interval_ms``
+    spacing capped at ``max_frames``; non-video rows (duration 0) emit
+    nothing.  The fan-out is batch-local (repeat + arange), so the stage
+    streams; a real deployment decodes the frame bytes at each ts inside
+    the same expansion."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        mid = batch.column("media_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        dur = batch.column("duration_ms").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.minimum(1 + dur // interval_ms, max_frames)
+        n = np.where(dur > 0, n, 0).astype(np.int64)
+        rep_mid = np.repeat(mid, n)
+        # per-row frame indices 0..n_i-1, fully vectorized
+        total = int(n.sum())
+        if total == 0:
+            return pa.table(
+                {"media_id": pa.array([], pa.int64()), "frame_idx": pa.array([], pa.int64()),
+                 "frame_ts_ms": pa.array([], pa.int64())}
+            )
+        ends = np.cumsum(n)
+        idx = np.arange(total, dtype=np.int64) - np.repeat(ends - n, n)
+        return pa.table(
+            {
+                "media_id": pa.array(rep_mid),
+                "frame_idx": pa.array(idx),
+                "frame_ts_ms": pa.array(idx * interval_ms),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

@@ -100,3 +100,27 @@ def test_asof_join_vs_bruteforce(sf_dir):
                          (row.ts - m.ts).value // 1000))
     want = pd.DataFrame(want, columns=["event_id", "user_id", "matched_event_id", "lag_us"]).sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_media_resize_and_frame_sample(sf_dir):
+    import numpy as np
+
+    from cuda_gis_smoothing_ray.stages import media
+
+    decoded = media.media_decode(media.media_table(sf_dir))
+    rs = media.media_resize(decoded).to_pandas()
+    assert (rs["out_w"] == 256).all() and (rs["out_h"] == 256).all()
+    assert (rs["scale_x"] > 0).all()
+
+    dec = media.media_decode(media.media_table(sf_dir)).to_pandas()
+    fr = media.frame_sample(media.media_decode(media.media_table(sf_dir))).to_pandas()
+    # zero-duration media emit no frames; others 1..MAX_FRAMES at interval spacing
+    zero_ids = set(dec[dec["duration_ms"] == 0]["media_id"])
+    assert zero_ids.isdisjoint(set(fr["media_id"]))
+    per = fr.groupby("media_id")["frame_idx"].agg(["count", "max"])
+    assert (per["count"] <= media.MAX_FRAMES).all()
+    assert (per["max"] == per["count"] - 1).all()  # contiguous 0..n-1
+    assert (fr["frame_ts_ms"] == fr["frame_idx"] * media.FRAME_INTERVAL_MS).all()
+    for mid, n in per["count"].head(10).items():
+        d = int(dec[dec["media_id"] == mid]["duration_ms"].iloc[0])
+        assert n == min(1 + d // media.FRAME_INTERVAL_MS, media.MAX_FRAMES)
