@@ -418,6 +418,22 @@ def _q_hll_hosts(sf_dir: str):
     return hll_count(_pages_urls(sf_dir))
 
 
+def _q_top_hosts_by_lang(sf_dir: str):
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.gridops import grouped_topk
+
+    pages = read_pages(sf_dir, include_html=False).select_columns(["url", "lang"])
+
+    def add_host(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        host = pc.list_element(pc.split_pattern(batch.column("url"), pattern="/"), 2)
+        return pa.table({"lang": batch.column("lang"), "host": host})
+
+    withhost = pages.map_batches(add_host, batch_format="pyarrow")
+    return grouped_topk(withhost, "lang", "host", "n_pages", k=5).sort(["lang", "rank"])
+
+
 def _q_text_len_quantiles(sf_dir: str):
     from cuda_gis_smoothing_ray.stages.sketch import quantiles
 
@@ -464,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_hosts": _q_distinct_hosts,
         "hll_hosts": _q_hll_hosts,
         "text_len_quantiles": _q_text_len_quantiles,
+        "top_hosts_by_lang": _q_top_hosts_by_lang,
         "geocode_cells": _q_geocode_cells,
         "cell_metrics": _q_cell_metrics,
         "neighbor_stats": _q_neighbor_stats,
@@ -509,6 +526,7 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window": oc.sliding_window_sql(),
         "distinct_hosts": oc.distinct_hosts_sql(),
         "text_len_quantiles": oc.text_len_quantiles_sql(),
+        "top_hosts_by_lang": o.top_hosts_by_lang_sql(5),
         # hll_hosts is a sketch (estimate): rows-only; error gated in
         # tests/test_sketch.py against the exact distinct count.
         # minhash_pairs / simhash_pairs / ann_lsh_topk / ann_ivf_topk /

@@ -361,3 +361,21 @@ SELECT page_id, url, lang
 FROM pages
 WHERE ((page_id % {mod}) * {mult % mod}) % {mod} < {keep_ppm}
 ORDER BY page_id"""
+
+
+def top_hosts_by_lang_sql(k: int) -> str:
+    """Per-language top-k hosts by page count (oracle of
+    stages/gridops.grouped_topk over the pages table)."""
+    return f"""WITH {pages_cte()},
+c AS (
+  SELECT lang, split_part(url, '/', 3) AS host, count(*) AS n_pages
+  FROM pages GROUP BY 1, 2
+),
+r AS (
+  SELECT lang, host, n_pages,
+    row_number() OVER (PARTITION BY lang ORDER BY n_pages DESC, host) AS rank
+  FROM c
+)
+SELECT lang, rank, host, n_pages
+FROM r WHERE rank <= {k}
+ORDER BY lang, rank"""

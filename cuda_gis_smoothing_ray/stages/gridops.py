@@ -173,3 +173,40 @@ def sample_hash(ds, id_col: str, keep_ppm: int, mult: int = SAMPLE_MULT, mod: in
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def grouped_topk(ds, group_col: str, key_col: str, by: str, k: int):
+    """Per-group descending top-k (e.g. top hosts per language).
+
+    Two-phase: batch-local (group, key) partial counts shrink the shuffle,
+    one groupby over (group, key) completes the counts, then a per-group
+    local top-k via ``map_groups`` (each group's distinct-key table fits a
+    worker by the same assumption every engine makes for per-group ops).
+    Ties break ascending on ``key_col``; emits ``rank`` 1..k per group.
+    """
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                group_col: batch.column(group_col).to_numpy(zero_copy_only=False),
+                key_col: batch.column(key_col).to_numpy(zero_copy_only=False),
+            }
+        )
+        g = df.groupby([group_col, key_col], sort=False).size().reset_index(name=by)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(local, batch_format="pyarrow", batch_size=None)
+        .groupby([group_col, key_col])
+        .aggregate(Sum(by, alias_name=by))
+    )
+
+    def head(group: pd.DataFrame) -> pd.DataFrame:
+        out = group.sort_values([by, key_col], ascending=[False, True], kind="mergesort").head(k)
+        out = out.reset_index(drop=True)
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out[[group_col, "rank", key_col, by]]
+
+    return counts.groupby(group_col).map_groups(head)

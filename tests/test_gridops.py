@@ -90,3 +90,31 @@ def test_sample_hash_deterministic(sf_dir):
     # nested samples: smaller keep rate is a subset of larger
     c = gridops.sample_hash(pages, "page_id", 50_000).to_pandas()
     assert set(c["page_id"]).issubset(set(a["page_id"]))
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.gridops import grouped_topk
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(list("abcd"), 8000),
+            "k": rng.integers(0, 40, 8000).astype(str),
+        }
+    )
+    got = (
+        grouped_topk(rd.from_pandas(df).repartition(6), "g", "k", "n", k=3)
+        .to_pandas()
+        .sort_values(["g", "rank"])
+        .reset_index(drop=True)
+    )
+    want_rows = []
+    for g, sub in df.groupby("g"):
+        c = sub.groupby("k").size().reset_index(name="n")
+        c = c.sort_values(["n", "k"], ascending=[False, True], kind="mergesort").head(3)
+        for r, (_, row) in enumerate(c.iterrows(), 1):
+            want_rows.append((g, r, row["k"], row["n"]))
+    want = pd.DataFrame(want_rows, columns=["g", "rank", "k", "n"])
+    pd.testing.assert_frame_equal(got[["g", "rank", "k", "n"]], want)

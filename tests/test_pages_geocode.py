@@ -82,3 +82,18 @@ def test_read_pages_streams(ray_session, sf_dir):
     ds = read_pages(sf_dir, include_html=False)
     assert ds.count() == 500
     assert "html" not in ds.schema().names
+
+
+def test_text_byte_identity_through_geocode(sf_dir, ray_session):
+    """input_hint per-row invariant: extracted text is byte-identical per
+    url through the encode stage (the full page-side pipeline)."""
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.geoencode import geo_encode
+
+    src = read_pages(sf_dir, include_html=False).to_pandas()
+    out = geo_encode(read_pages(sf_dir, include_html=False), res=7).to_pandas()
+    a = src.set_index("url")["text"].sort_index()
+    b = out.set_index("url")["text"].sort_index()
+    assert len(a) == len(b)
+    assert (a.values == b.values).all()
+    assert out["text"].map(lambda s: isinstance(s, str)).all()
