@@ -81,16 +81,25 @@ def _scratch(key: str, n: int, dtype) -> np.ndarray:
     return _SCRATCH[key][:n]
 
 
-def _seg_counts(d: np.ndarray, off: np.ndarray) -> dict[str, np.ndarray]:
+def _seg_counts(d: np.ndarray, off: np.ndarray,
+                words: tuple[bytes, ...] | None = None) -> dict[str, np.ndarray]:
     """One segment (strings fully contained): uint8 bytes + 0-based offsets
     -> per-string class counts.  All temporaries from the scratch pool;
     everything vectorized; RE2-semantics proven by the fuzz tests and the
-    per-run SQL oracle gate."""
+    per-run SQL oracle gate.
+
+    With ``words``, additionally returns ``n_words`` (standalone-word count,
+    see :func:`_seg_word_counts`) computed in the SAME pass, reusing the
+    letter/digit masks — one fewer full scan for the quality-score pipeline.
+    """
     nb = len(d)
     ns = len(off) - 1
     if nb == 0:
         z = np.zeros(ns, np.int64)
-        return {k: z.copy() for k in OUT_KEYS}
+        out = {k: z.copy() for k in OUT_KEYS}
+        if words is not None:
+            out["n_words"] = z.copy()
+        return out
     starts = off[:-1][off[:-1] < nb]
 
     ws = _scratch("ws", nb, np.bool_)
@@ -164,53 +173,38 @@ def _seg_counts(d: np.ndarray, off: np.ndarray) -> dict[str, np.ndarray]:
 
     n_chars = per_string(lead)
     n_ws = per_string(ws)
-    return {
+    out = {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
         "n_punct": per_string(punct),
         "n_nonspace": n_chars - n_ws,
         "n_bpe": per_string(bpe),
     }
+    if words is not None:
+        # word chars [A-Za-z0-9_]: reuse letter/digit, add '_'
+        wc = _scratch("w_wc", nb, np.bool_)
+        np.equal(d, 95, out=wc)
+        np.logical_or(wc, letter, out=wc)
+        np.logical_or(wc, digit, out=wc)
+        is_start = _scratch("w_is_start", nb, np.bool_)
+        is_start[:] = False
+        is_start[starts] = True
+        out["n_words"] = _word_hits(d, off, wc, is_start, words)
+    return out
 
 
-def _seg_word_counts(d: np.ndarray, off: np.ndarray, words: tuple[bytes, ...]) -> np.ndarray:
-    """Per-string count of standalone-word occurrences of ``words`` —
-    byte-level equivalent of RE2 ``\\b(?:w1|w2|...)\\b`` (word chars =
-    ``[A-Za-z0-9_]``).  A match is an exact word with non-word (or string
-    edge) on both sides; standalone words can never overlap, so the count
-    equals the regex's non-overlapping match count."""
+def _word_hits(d: np.ndarray, off: np.ndarray, wc: np.ndarray,
+               is_start: np.ndarray, words: tuple[bytes, ...]) -> np.ndarray:
+    """Shared word-matching core: given precomputed word-char mask and
+    string-start mask, count standalone-word matches per string."""
     nb = len(d)
-    ns = len(off) - 1
-    if nb == 0:
-        return np.zeros(ns, np.int64)
-    starts = off[:-1][off[:-1] < nb]
-
-    wc = _scratch("w_wc", nb, np.bool_)
     t1 = _scratch("w_t1", nb, np.bool_)
     t2 = _scratch("w_t2", nb, np.bool_)
     hits = _scratch("w_hits", nb, np.bool_)
     hit = _scratch("w_hit", nb, np.bool_)
-    is_start = _scratch("w_is_start", nb, np.bool_)
     cum = _scratch("cum", nb, np.int32)
     cs = _scratch("w_cs", nb, np.int32)
 
-    # word chars [A-Za-z0-9_]
-    np.greater_equal(d, 65, out=t1)
-    np.less_equal(d, 90, out=t2)
-    np.logical_and(t1, t2, out=wc)
-    np.greater_equal(d, 97, out=t1)
-    np.less_equal(d, 122, out=t2)
-    np.logical_and(t1, t2, out=t1)
-    np.logical_or(wc, t1, out=wc)
-    np.greater_equal(d, 48, out=t1)
-    np.less_equal(d, 57, out=t2)
-    np.logical_and(t1, t2, out=t1)
-    np.logical_or(wc, t1, out=wc)
-    np.equal(d, 95, out=t1)  # '_'
-    np.logical_or(wc, t1, out=wc)
-
-    is_start[:] = False
-    is_start[starts] = True
     # cs[i] = #string-starts at positions <= i (to reject cross-string runs)
     np.cumsum(is_start.view(np.int8), dtype=np.int32, out=cs)
 
@@ -249,6 +243,43 @@ def _seg_word_counts(d: np.ndarray, off: np.ndarray, words: tuple[bytes, ...]) -
     lo = np.where(off[:-1] > 0, cum[np.maximum(off[:-1], 1) - 1], 0)
     hi = np.where(off[1:] > 0, hi, 0)
     return hi - lo
+
+
+def _seg_word_counts(d: np.ndarray, off: np.ndarray, words: tuple[bytes, ...]) -> np.ndarray:
+    """Per-string count of standalone-word occurrences of ``words`` —
+    byte-level equivalent of RE2 ``\\b(?:w1|w2|...)\\b`` (word chars =
+    ``[A-Za-z0-9_]``).  A match is an exact word with non-word (or string
+    edge) on both sides; standalone words can never overlap, so the count
+    equals the regex's non-overlapping match count."""
+    nb = len(d)
+    ns = len(off) - 1
+    if nb == 0:
+        return np.zeros(ns, np.int64)
+    starts = off[:-1][off[:-1] < nb]
+
+    wc = _scratch("w_wc", nb, np.bool_)
+    t1 = _scratch("w_t1", nb, np.bool_)
+    t2 = _scratch("w_t2", nb, np.bool_)
+    is_start = _scratch("w_is_start", nb, np.bool_)
+
+    # word chars [A-Za-z0-9_]
+    np.greater_equal(d, 65, out=t1)
+    np.less_equal(d, 90, out=t2)
+    np.logical_and(t1, t2, out=wc)
+    np.greater_equal(d, 97, out=t1)
+    np.less_equal(d, 122, out=t2)
+    np.logical_and(t1, t2, out=t1)
+    np.logical_or(wc, t1, out=wc)
+    np.greater_equal(d, 48, out=t1)
+    np.less_equal(d, 57, out=t2)
+    np.logical_and(t1, t2, out=t1)
+    np.logical_or(wc, t1, out=wc)
+    np.equal(d, 95, out=t1)  # '_'
+    np.logical_or(wc, t1, out=wc)
+
+    is_start[:] = False
+    is_start[starts] = True
+    return _word_hits(d, off, wc, is_start, words)
 
 
 def _apply_segmented(arr: pa.Array, seg_fn) -> np.ndarray | dict:
@@ -292,7 +323,8 @@ def count_words_bytes(texts, words: tuple[str, ...]) -> np.ndarray:
     return _apply_segmented(texts, lambda d, o: _seg_word_counts(d, o, wb))
 
 
-def _byte_class_counts(arr: pa.Array) -> dict[str, np.ndarray]:
+def _byte_class_counts(arr: pa.Array,
+                       words: tuple[bytes, ...] | None = None) -> dict[str, np.ndarray]:
     """One vectorized pass over a StringArray's UTF-8 buffer -> per-string
     counts with EXACTLY the RE2 semantics of the module's patterns:
 
@@ -311,8 +343,9 @@ def _byte_class_counts(arr: pa.Array) -> dict[str, np.ndarray]:
     scratch pool (see ``_SCRATCH``) stays small and is reused every batch.
     """
     n = len(arr)
+    keys = OUT_KEYS + ("n_words",) if words is not None else OUT_KEYS
     if n == 0:
-        return {k: np.zeros(0, np.int64) for k in OUT_KEYS}
+        return {k: np.zeros(0, np.int64) for k in keys}
     off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
     o = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[arr.offset : arr.offset + n + 1]
     data = (
@@ -323,7 +356,7 @@ def _byte_class_counts(arr: pa.Array) -> dict[str, np.ndarray]:
     d_all = data[o[0] : o[-1]]
     off_all = (o - o[0]).astype(np.int64)
 
-    outs = {k: np.empty(n, np.int64) for k in OUT_KEYS}
+    outs = {k: np.empty(n, np.int64) for k in keys}
     row = 0
     while row < n:
         # furthest string end within SEG_BYTES of this segment's start
@@ -333,32 +366,35 @@ def _byte_class_counts(arr: pa.Array) -> dict[str, np.ndarray]:
         seg = _seg_counts(
             d_all[off_all[row] : off_all[row_end]],
             off_all[row : row_end + 1] - off_all[row],
+            words=words,
         )
-        for k in OUT_KEYS:
+        for k in keys:
             outs[k][row:row_end] = seg[k]
         row = row_end
     return outs
 
 
-def byte_class_counts(texts) -> dict[str, np.ndarray]:
-    """(Chunked)Array -> concatenated per-string class counts."""
+def byte_class_counts(texts, words: tuple[bytes, ...] | None = None) -> dict[str, np.ndarray]:
+    """(Chunked)Array -> concatenated per-string class counts (optionally
+    with a fused standalone-word count under ``n_words``)."""
     if isinstance(texts, pa.ChunkedArray):
-        parts = [_byte_class_counts(c) for c in texts.chunks]
+        parts = [_byte_class_counts(c, words) for c in texts.chunks]
         if not parts:
-            return _byte_class_counts(pa.array([], pa.string()))
+            return _byte_class_counts(pa.array([], pa.string()), words)
         return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
-    return _byte_class_counts(texts)
+    return _byte_class_counts(texts, words)
 
 
 def text_stats(texts) -> dict[str, np.ndarray]:
     """texts: pyarrow (Chunked)Array -> dict of per-doc metric arrays.
 
-    Counting is one numpy byte-class pass (:func:`byte_class_counts`,
-    RE2-equivalent by construction — the SQL oracle gate proves it per run)
-    plus a single RE2 scan for the stopword markers; ratios are float64 with
-    guarded denominators (0-token docs score 0).
+    All counting — char classes AND the stopword markers — is ONE fused
+    numpy byte pass (:func:`byte_class_counts` with ``words``,
+    RE2-equivalent by construction — the SQL oracle gate proves it per
+    run); ratios are float64 with guarded denominators (0-token docs
+    score 0).
     """
-    bc = byte_class_counts(texts)
+    bc = byte_class_counts(texts, words=tuple(w.encode() for w in STOPWORDS))
     n_chars = bc["n_chars"]
     n_tokens = bc["n_tokens"]
     n_bpe = bc["n_bpe"]
@@ -367,7 +403,7 @@ def text_stats(texts) -> dict[str, np.ndarray]:
     tok = np.maximum(n_tokens, 1).astype(np.float64)
     chars = np.maximum(n_chars, 1).astype(np.float64)
     punct_ratio = n_punct / chars
-    stop_ratio = count_words_bytes(texts, STOPWORDS) / tok
+    stop_ratio = bc["n_words"] / tok
     mean_tok_chars = n_nonspace / tok
     quality = (
         0.25 * np.minimum(1.0, n_tokens / QS_TOKEN_NORM)
