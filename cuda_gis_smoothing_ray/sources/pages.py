@@ -108,6 +108,9 @@ def read_pages(sf_dir: str, replicate: int = 1, include_html: bool = True):
     """
     import ray.data as rd
 
+    from .. import tune_data_context
+    tune_data_context()
+
     # cap the post-replication batch at ~256k pages per task: one giant
     # expanded batch per task causes worker heap pressure (measured ~20%
     # throughput loss at replicate=16000); more/smaller input blocks keep

@@ -33,6 +33,9 @@ N_QUERIES = 8
 def read_embeddings(sf_dir: str):
     import ray.data as rd
 
+    from .. import tune_data_context
+    tune_data_context()
+
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 

@@ -23,6 +23,9 @@ SESSION_GAP_US = 1_800_000_000  # 30min inactivity gap
 def read_events(sf_dir: str, columns=("event_id", "ts", "user_id", "event_type", "value")):
     import ray.data as rd
 
+    from .. import tune_data_context
+    tune_data_context()
+
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=list(columns))
 
 

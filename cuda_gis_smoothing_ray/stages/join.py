@@ -26,6 +26,9 @@ import pyarrow as pa
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
     import ray.data as rd
 
+    from .. import tune_data_context
+    tune_data_context()
+
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 

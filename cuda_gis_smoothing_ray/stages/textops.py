@@ -32,6 +32,9 @@ from ..functions import hashing, textstats
 def read_documents(sf_dir: str, columns=("doc_id", "text")):
     import ray.data as rd
 
+    from .. import tune_data_context
+    tune_data_context()
+
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns))
 
 
