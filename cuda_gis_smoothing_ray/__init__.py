@@ -26,3 +26,46 @@ def tune_data_context() -> None:
 
     DataContext.get_current().op_resource_reservation_enabled = False
     _CTX_TUNED = True
+
+
+_ALLOC_TUNED = False
+
+
+def tune_worker_allocator() -> None:
+    """Per-process allocator tuning; idempotent, called from worker-side
+    stage constructors (and harmless on the driver).
+
+    This sandbox faults in fresh mmap'd pages at ~150 MB/s, and both glibc
+    and jemalloc return large freed blocks to the OS immediately — so every
+    task re-faults its ~100-200 MB of big temporaries (the replicated page
+    batch, Arrow concat outputs), inflating a 0.16 s task to ~0.9 s.  Keep
+    freed pages resident instead:
+
+    * jemalloc (Arrow's pool): very long dirty/muzzy decay -> freed Arrow
+      buffers stay mapped and are reused by the next batch.
+    * glibc (numpy/python): raise M_MMAP_THRESHOLD so big numpy buffers come
+      from the (retained) heap, and M_TRIM_THRESHOLD so the heap isn't
+      returned either.
+
+    Per-worker steady-state cost is bounded by the largest batch working set
+    (~200 MB), which is exactly what the worker needs anyway.
+    """
+    global _ALLOC_TUNED
+    if _ALLOC_TUNED:
+        return
+    try:
+        import pyarrow as pa
+
+        if pa.default_memory_pool().backend_name == "jemalloc":
+            pa.jemalloc_set_decay_ms(600_000)
+    except Exception:
+        pass
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6", use_errno=True)
+        libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD: big allocs on heap
+        libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD: keep freed heap
+    except Exception:
+        pass
+    _ALLOC_TUNED = True

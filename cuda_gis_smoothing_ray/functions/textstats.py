@@ -75,6 +75,10 @@ SEG_BYTES = 1 << 20
 
 
 def _scratch(key: str, n: int, dtype) -> np.ndarray:
+    if not _SCRATCH:
+        from .. import tune_worker_allocator
+
+        tune_worker_allocator()
     b = _SCRATCH.get(key)
     if b is None or b.shape[0] < n:
         _SCRATCH[key] = b = np.empty(max(n, SEG_BYTES), dtype)

@@ -20,6 +20,9 @@ from ..sources.pages import REP_STRIDE
 
 class GeoEncode:
     def __init__(self, res: int = 7, drop_html: bool = True, id_col: str = "page_id"):
+        from .. import tune_worker_allocator
+
+        tune_worker_allocator()
         # one Arrow compute thread per worker: Arrow's internal pool defaults
         # to ALL cores, silently breaking Ray's num_cpus accounting (a task
         # "using 1 CPU" would fan RE2 scans across the node); per-task

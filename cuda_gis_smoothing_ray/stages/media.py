@@ -57,6 +57,9 @@ class MediaDecode:
     """
 
     def __init__(self, real_decoder: bool = False, feat_dim: int = FEAT_DIM):
+        from .. import tune_worker_allocator
+
+        tune_worker_allocator()
         self.feat_dim = feat_dim
         self.real = real_decoder
         if real_decoder:
