@@ -149,8 +149,8 @@ def run_scaling(sf_dir: str, replicate: int, lo: int = 1, hi: int = 4,
     processes — the sandbox stand-in for an N-node vs 4N-node cluster.
 
     Defaults to 1->4: the ONLY 4x step on this box where both levels sit
-    below the machine's shared-hardware ceiling (DRAM bandwidth / host co-tenancy — load-average spikes from other tenants were observed) (~2.5-2.7M pages/s
-    total for the flagship, reached by ~6-8 workers).  On a real cluster
+    below the machine's shared-hardware ceiling — DRAM bandwidth / host
+    co-tenancy; ~2.5-2.9M pages/s total for the flagship, reached by ~6-8 workers.  On a real cluster
     each node brings its own memory controllers, so bandwidth scales with
     node count; on one box all "nodes" share it, and any 4x step crossing
     the ceiling measures the hardware, not the engine (measured: 1->4 =
