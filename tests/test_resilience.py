@@ -1,0 +1,67 @@
+"""Fault-tolerance: Ray re-executes tasks whose worker PROCESS dies and the pipeline still
+produces exact results — the single-node stand-in for surviving worker loss
+on a multi-node cluster (lineage-based re-execution is the same mechanism)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_map_task_failure_is_retried_exactly_once_semantics(ray_session):
+    import ray.data as rd
+
+    marker_dir = tempfile.mkdtemp(prefix="flaky_")
+
+    def flaky(batch: pd.DataFrame) -> pd.DataFrame:
+        # first visit of the block with key-mod-7==3 crashes the task; Ray's
+        # lineage retry re-runs it on another worker and must not duplicate
+        key = int(batch["x"].iloc[0]) % 7
+        marker = os.path.join(marker_dir, f"seen_{key}")
+        if key == 3 and not os.path.exists(marker):
+            open(marker, "w").close()
+            os._exit(1)  # hard worker death (NOT an application error):
+            # exercises Ray's system-failure lineage retry, the same path a
+            # lost node takes on a real cluster
+        batch["y"] = batch["x"] * 2
+        return batch
+
+    df = pd.DataFrame({"x": np.arange(700)})
+    ds = rd.from_pandas(df).repartition(14).map_batches(flaky, batch_format="pandas")
+    out = ds.to_pandas().sort_values("x").reset_index(drop=True)
+    assert len(out) == 700
+    assert (out["y"].to_numpy() == out["x"].to_numpy() * 2).all()
+    # the failure actually happened (marker written by the first attempt)
+    assert any(f.startswith("seen_") for f in os.listdir(marker_dir))
+
+
+def test_flagship_exact_after_injected_failures(ray_session, sf_dir):
+    """End-to-end: inject one failure into the geocode stage and check the
+    smoothed cell table is IDENTICAL to an un-failed run."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.geoencode import geo_encode
+    from cuda_gis_smoothing_ray.pipelines.flagship import cell_metrics
+
+    clean = cell_metrics(geo_encode(read_pages(sf_dir, include_html=False), res=7)).to_pandas()
+
+    marker = os.path.join(tempfile.mkdtemp(prefix="flaky2_"), "fired")
+
+    def sabotage(batch):
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            os._exit(1)  # hard worker death; Ray re-executes from lineage
+        return batch
+
+    pages = read_pages(sf_dir, include_html=False).map_batches(sabotage, batch_format="pyarrow")
+    failed_run = cell_metrics(geo_encode(pages, res=7)).to_pandas()
+
+    a = clean.sort_values("cell").reset_index(drop=True)
+    b = failed_run.sort_values("cell").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert os.path.exists(marker)
