@@ -348,6 +348,47 @@ def _q_join_orders_by_nation(sf_dir: str):
     return out.select_columns(["n_name", "n_orders", "total_cents"]).sort("n_name")
 
 
+def _q_join_revenue_by_priority(sf_dir: str):
+    """Large-large shuffle join on the sf-scaled fact tables (lineitem x
+    orders), filter pushed to the read, exact integer-cent revenue per
+    order priority.  revenue = sum(floor(extendedprice*(1-discount)*100+.5))."""
+    from ray.data.aggregate import Sum
+
+    from cuda_gis_smoothing_ray.stages.join import read_table, shuffle_join
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cents = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False))
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"o_orderpriority": batch.column("o_orderpriority").to_numpy(zero_copy_only=False)}
+        )
+        df["revenue_cents"] = cents
+        g = df.groupby("o_orderpriority", sort=True).agg(
+            n_items=("revenue_cents", "size"), revenue_cents=("revenue_cents", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("revenue_cents", alias_name="revenue_cents"),
+        )
+        .sort("o_orderpriority")
+    )
+
+
 def _q_join_region_customers(sf_dir: str):
     """Two chained broadcast joins (customer -> nation -> region), exact
     integer-cent aggregate per region."""
@@ -476,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "join_orders_by_nation": _q_join_orders_by_nation,
         "join_region_customers": _q_join_region_customers,
+        "join_revenue_by_priority": _q_join_revenue_by_priority,
         "sliding_window": _q_sliding_window,
         "distinct_hosts": _q_distinct_hosts,
         "hll_hosts": _q_hll_hosts,
@@ -523,6 +565,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": oc.asof_join_sql(),
         "join_orders_by_nation": oc.join_orders_by_nation_sql(),
         "join_region_customers": oc.join_region_customers_sql(),
+        "join_revenue_by_priority": oc.join_revenue_by_priority_sql(),
         "sliding_window": oc.sliding_window_sql(),
         "distinct_hosts": oc.distinct_hosts_sql(),
         "text_len_quantiles": oc.text_len_quantiles_sql(),

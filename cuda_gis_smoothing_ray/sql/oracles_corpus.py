@@ -378,3 +378,15 @@ SELECT media_id, g.f AS frame_idx, g.f * {interval_ms} AS frame_ts_ms
 FROM n, LATERAL (SELECT unnest(range(n.n_frames)) AS f) g
 WHERE n.n_frames > 0
 ORDER BY media_id, frame_idx"""
+
+
+def join_revenue_by_priority_sql() -> str:
+    """Oracle of the lineitem x orders shuffle join (exact integer cents:
+    per-row floor(extendedprice*(1-discount)*100+0.5), summed as BIGINT)."""
+    return """SELECT o_orderpriority,
+  count(*) AS n_items,
+  sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS revenue_cents
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority"""
