@@ -97,3 +97,23 @@ def test_text_byte_identity_through_geocode(sf_dir, ray_session):
     assert len(a) == len(b)
     assert (a.values == b.values).all()
     assert out["text"].map(lambda s: isinstance(s, str)).all()
+
+
+def test_geoencode_actor_pool_matches_task_path(sf_dir, ray_session):
+    """The actor-pool form of the encode stage (stateful __init__ per actor)
+    produces the identical table to the default task form."""
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.geoencode import geo_encode
+
+    a = (
+        geo_encode(read_pages(sf_dir, include_html=False), res=7)
+        .to_pandas().sort_values("page_id").reset_index(drop=True)
+    )
+    b = (
+        geo_encode(read_pages(sf_dir, include_html=False), res=7,
+                   use_actors=True, concurrency=(1, 2))
+        .to_pandas().sort_values("page_id").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
