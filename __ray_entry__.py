@@ -389,6 +389,52 @@ def _q_join_revenue_by_priority(sf_dir: str):
     )
 
 
+def _q_brand_supplier_volume(sf_dir: str):
+    """lineitem enriched by TWO broadcast lookups (part -> brand, supplier ->
+    nation), exact integer-cent quantity-weighted volume per (brand,
+    s_nationkey) — touches every remaining TPC-H table and shows broadcast
+    joins chaining on the streaming fact side."""
+    from ray.data.aggregate import Sum
+
+    from cuda_gis_smoothing_ray.stages.join import broadcast_hash_join, read_table
+
+    li = read_table(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"])
+    e1 = broadcast_hash_join(li, sf_dir, "part", "l_partkey", "p_partkey", ["p_brand"])
+    e2 = broadcast_hash_join(e1, sf_dir, "supplier", "l_suppkey", "s_suppkey", ["s_nationkey"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cents = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        qty = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "p_brand": batch.column("p_brand").to_numpy(zero_copy_only=False),
+                "s_nationkey": batch.column("s_nationkey").to_numpy(zero_copy_only=False),
+            }
+        )
+        df["n_items"] = 1
+        df["qty"] = qty
+        df["price_cents"] = cents
+        g = df.groupby(["p_brand", "s_nationkey"], sort=True).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        e2.map_batches(partial, batch_format="pyarrow")
+        .groupby(["p_brand", "s_nationkey"])
+        .aggregate(
+            Sum("n_items", alias_name="n_items"),
+            Sum("qty", alias_name="qty"),
+            Sum("price_cents", alias_name="price_cents"),
+        )
+        .sort(["p_brand", "s_nationkey"])
+    )
+
+
 def _q_join_region_customers(sf_dir: str):
     """Two chained broadcast joins (customer -> nation -> region), exact
     integer-cent aggregate per region."""
@@ -518,6 +564,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_by_nation": _q_join_orders_by_nation,
         "join_region_customers": _q_join_region_customers,
         "join_revenue_by_priority": _q_join_revenue_by_priority,
+        "brand_supplier_volume": _q_brand_supplier_volume,
         "sliding_window": _q_sliding_window,
         "distinct_hosts": _q_distinct_hosts,
         "hll_hosts": _q_hll_hosts,
@@ -566,6 +613,7 @@ def oracle_sql() -> dict[str, str]:
         "join_orders_by_nation": oc.join_orders_by_nation_sql(),
         "join_region_customers": oc.join_region_customers_sql(),
         "join_revenue_by_priority": oc.join_revenue_by_priority_sql(),
+        "brand_supplier_volume": oc.brand_supplier_volume_sql(),
         "sliding_window": oc.sliding_window_sql(),
         "distinct_hosts": oc.distinct_hosts_sql(),
         "text_len_quantiles": oc.text_len_quantiles_sql(),

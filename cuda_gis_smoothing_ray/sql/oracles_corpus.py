@@ -390,3 +390,15 @@ FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority"""
+
+
+def brand_supplier_volume_sql() -> str:
+    return """SELECT p_brand, s_nationkey,
+  count(*) AS n_items,
+  sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS qty,
+  sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS price_cents
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY p_brand, s_nationkey
+ORDER BY p_brand, s_nationkey"""
