@@ -82,16 +82,27 @@ def _q_cell_metrics(sf_dir: str):
 
 
 def _q_neighbor_stats(sf_dir: str):
+    """Global min/max/avg/total of per-cell neighbor counts, computed with
+    Dataset.aggregate — the driver receives ONE dict, never the cell table
+    (engine analog of the reference's printStats, SURVEY §2.5 A1)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
     from cuda_gis_smoothing_ray.stages.smooth import neighbor_counts
 
-    nc = neighbor_counts(_cells(sf_dir)).to_pandas()
-    n = nc["n_neighbors"].to_numpy(dtype=np.int64)
+    agg = neighbor_counts(_cells(sf_dir)).aggregate(
+        Min("n_neighbors", alias_name="min_n"),
+        Max("n_neighbors", alias_name="max_n"),
+        Sum("n_neighbors", alias_name="sum_n"),
+        Count(alias_name="n_cells"),
+    )
+    total = int(agg["sum_n"])
+    n_cells = int(agg["n_cells"])
     return pa.table(
         {
-            "min_neighbors": pa.array([int(n.min())], pa.int64()),
-            "max_neighbors": pa.array([int(n.max())], pa.int64()),
-            "avg_neighbors": pa.array([float(_round6(np.array([n.sum() / len(n)]))[0])]),
-            "total_edges": pa.array([int(n.sum())], pa.int64()),
+            "min_neighbors": pa.array([int(agg["min_n"])], pa.int64()),
+            "max_neighbors": pa.array([int(agg["max_n"])], pa.int64()),
+            "avg_neighbors": pa.array([float(_round6(np.array([total / n_cells]))[0])]),
+            "total_edges": pa.array([total], pa.int64()),
         }
     )
 

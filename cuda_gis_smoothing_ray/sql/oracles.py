@@ -188,7 +188,7 @@ nbr AS (
 )
 SELECT min(n_neighbors) AS min_neighbors, max(n_neighbors) AS max_neighbors,
   {round6('sum(CAST(n_neighbors AS DOUBLE)) / count(*)')} AS avg_neighbors,
-  sum(n_neighbors) AS total_edges
+  CAST(sum(n_neighbors) AS BIGINT) AS total_edges
 FROM nbr"""
 
 

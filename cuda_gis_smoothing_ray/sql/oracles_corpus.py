@@ -291,7 +291,7 @@ def join_orders_by_nation_sql() -> str:
     only cross-engine-deterministic way to sum thousands of doubles)."""
     return """SELECT n_name,
   count(*) AS n_orders,
-  sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS total_cents
+  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
@@ -302,7 +302,7 @@ ORDER BY n_name"""
 def join_region_customers_sql() -> str:
     return """SELECT r_name,
   count(*) AS n_customers,
-  sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS acctbal_cents
+  CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS acctbal_cents
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -385,7 +385,7 @@ def join_revenue_by_priority_sql() -> str:
     per-row floor(extendedprice*(1-discount)*100+0.5), summed as BIGINT)."""
     return """SELECT o_orderpriority,
   count(*) AS n_items,
-  sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS revenue_cents
+  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
@@ -395,8 +395,8 @@ ORDER BY o_orderpriority"""
 def brand_supplier_volume_sql() -> str:
     return """SELECT p_brand, s_nationkey,
   count(*) AS n_items,
-  sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS qty,
-  sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS price_cents
+  CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS qty,
+  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
