@@ -110,3 +110,107 @@ def test_ivf_centroids_deterministic(clustered_dir):
     b = train_ivf_centroids(clustered_dir)
     assert np.array_equal(a, b)
     assert np.allclose(np.linalg.norm(a, axis=1), 1.0)
+
+
+def test_seq_dot_blocked_bit_identical():
+    """The blocked verify matmul must be BIT-identical to the per-row
+    seq_dot path it replaced (oracle parity depends on it)."""
+    from cuda_gis_smoothing_ray.stages.ann import seq_dot, seq_dot_blocked
+
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((37, 64))
+    y = rng.standard_normal((53, 64))
+    blocked = seq_dot_blocked(x, y)
+    for i in range(len(x)):
+        assert np.array_equal(blocked[i], seq_dot(y, x[i]))
+
+
+def test_neardup_matches_allpairs_numpy(clustered_dir):
+    """embedding_neardup (cluster-pruned, blocked) == the O(N^2) numpy
+    oracle — exactness of the triangle-inequality pruning."""
+    from cuda_gis_smoothing_ray.stages.ann import embedding_neardup, read_embeddings
+
+    t = 0.6
+    out = (
+        embedding_neardup(read_embeddings(clustered_dir), clustered_dir, threshold=t)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    tab = pq.read_table(f"{clustered_dir}/embeddings.parquet")
+    x = np.array(tab.column("embedding").to_pylist(), dtype=np.float64)
+    n = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = n @ n.T
+    a, b = np.nonzero(np.triu(sims >= t, k=1))
+    assert len(out) == len(a)
+    assert np.array_equal(out["a"].to_numpy(), a)
+    assert np.array_equal(out["b"].to_numpy(), b)
+    assert np.allclose(out["cosine"].to_numpy(), sims[a, b], atol=2e-6)
+
+
+def test_neardup_pruning_is_active(tmp_path):
+    """With 16 tight, well-separated, INTERLEAVED clusters (so the IVF
+    training sample covers all of them) and a 0.9 threshold, the angular
+    bound must prune most of the n_list*(n_list+1)/2 cluster pairs — the
+    property that makes the plan sub-quadratic on clusterable data (and
+    proves the old whole-table broadcast is gone: work is per surviving
+    cluster pair)."""
+    from cuda_gis_smoothing_ray.stages.ann import (
+        IVF_N_LIST,
+        _emb_matrix,
+        seq_sq_norm,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((16, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # round-robin cluster order: vec_id % 16 == cluster
+    vecs = np.tile(centers, (30, 1)) + 0.02 * rng.standard_normal((480, 64))
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(480, dtype=np.int64)),
+                "embedding": pa.array(
+                    [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        f"{d}/embeddings.parquet",
+    )
+
+    cent = train_ivf_centroids(d, IVF_N_LIST)
+    tab = pq.read_table(f"{d}/embeddings.parquet")
+    x = _emb_matrix(tab)
+    xn = np.sqrt(seq_sq_norm(x))
+    xnorm = x / np.maximum(xn, 1e-9)[:, None]
+    sims = xnorm @ cent.T
+    assign = np.argmax(sims, axis=1)
+    ang = np.arccos(np.clip(sims[np.arange(len(x)), assign], -1.0, 1.0))
+    radius = np.zeros(IVF_N_LIST)
+    for c in range(IVF_N_LIST):
+        m = assign == c
+        if m.any():
+            radius[c] = ang[m].max()
+    ang_cc = np.arccos(np.clip(cent @ cent.T, -1.0, 1.0))
+    ii, jj = np.triu_indices(IVF_N_LIST)
+    limit = np.arccos(0.9)
+    kept = (ang_cc[ii, jj] - radius[ii] - radius[jj] <= limit).sum()
+    assert kept < len(ii) / 2, (kept, len(ii))
+
+    # and the pruned plan still returns the exact all-pairs answer here
+    import ray.data as rd
+    from cuda_gis_smoothing_ray.stages.ann import embedding_neardup
+
+    out = (
+        embedding_neardup(rd.read_parquet(f"{d}/embeddings.parquet"), d, threshold=0.9)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    full = xnorm @ xnorm.T
+    a, b = np.nonzero(np.triu(full >= 0.9, k=1))
+    assert len(out) == len(a)
+    assert np.array_equal(out["a"].to_numpy(), a)
+    assert np.array_equal(out["b"].to_numpy(), b)
