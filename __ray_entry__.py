@@ -222,7 +222,11 @@ def _q_exact_dedup(sf_dir: str):
 def _q_jaccard(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import textops
 
-    return textops.jaccard_pairs(_docs(sf_dir), threshold=JACCARD_T).sort(["a", "b"])
+    # max_df=None: the SQL oracle computes exact all-pairs Jaccard; the
+    # engine default (bounded max_df) is the production path at scale.
+    return textops.jaccard_pairs(
+        _docs(sf_dir), threshold=JACCARD_T, max_df=None
+    ).sort(["a", "b"])
 
 
 def _q_minhash(sf_dir: str):
@@ -241,7 +245,7 @@ def _q_dedup_components(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import textops
     from cuda_gis_smoothing_ray.stages.cc import dedup_survivors
 
-    edges = textops.jaccard_pairs(_docs(sf_dir), threshold=JACCARD_T)
+    edges = textops.jaccard_pairs(_docs(sf_dir), threshold=JACCARD_T, max_df=None)
     return dedup_survivors(edges, _docs(sf_dir, ("doc_id",))).sort("doc_id")
 
 

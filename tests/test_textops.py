@@ -156,3 +156,24 @@ def test_count_words_bytes_equal_re2():
         got = ts.count_words_bytes(arr, words)
         want = ts.count_re(arr, ts.marker_pattern(words))
         assert np.array_equal(got, want), words
+
+
+def test_jaccard_max_df_drops_stopword_fanout(planted):
+    """The bounded default path: a token present in EVERY doc is dropped by
+    max_df, so pairs linked ONLY through it disappear while pairs sharing
+    rarer tokens survive with the exact jaccard value."""
+    from cuda_gis_smoothing_ray.stages.textops import jaccard_pairs
+
+    rows = [(i, f"common u{i} v{i}") for i in range(8)]
+    rows += [(100, "common alpha beta gamma"), (101, "common alpha beta gamma delta")]
+    # max_df=4: "common" (df=10) is dropped; alpha/beta/gamma (df=2) survive
+    out = jaccard_pairs(_docs_ds(rows), threshold=0.2, max_df=4).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    assert got == {(100, 101)}
+    # set sizes stay exact (4 and 5); only the dropped token's SHARED count
+    # is lost, so jaccard = 3 / (4 + 5 - 3)
+    j = out.set_index(["a", "b"]).loc[(100, 101), "jaccard"]
+    assert j == np.floor(3 / 6 * 1e6 + 0.5) / 1e6
+
+    exact = jaccard_pairs(_docs_ds(rows), threshold=0.2, max_df=None).to_pandas()
+    assert len(exact) > len(out)  # the i<->j "common"-only pairs exist exactly
