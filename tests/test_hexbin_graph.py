@@ -124,3 +124,143 @@ def test_graph_smooth_equals_kring_engine_on_derived_adjacency(sf_dir):
     order = np.argsort(cell_ids)
     got_sorted = via_graph["smoothed"].to_numpy()[order]
     assert np.allclose(got_sorted, via_kring["chars_mean_sm"].to_numpy(), rtol=0, atol=1e-9)
+
+
+@pytest.mark.parametrize("profile", ["uniform", "gaussian"])
+def test_graph_smooth_ring2_matches_reference_loop(demo_bin, profile):
+    """Both-orders smoothing on an explicit graph: the distributed 2nd-order
+    derivation + smoothing must match the literal v5 transcription
+    (hex_smooth_cuda_v5.cu:146-170 + :423-463) to 1e-9 (gate 1e-4)."""
+    from cuda_gis_smoothing_ray.sources.hexbin import read_hexbin, read_hexbin_table
+    from cuda_gis_smoothing_ray.stages.graph_smooth import (
+        graph_smooth,
+        graph_smooth_numpy,
+    )
+
+    path, _ = demo_bin
+    got = (
+        graph_smooth(read_hexbin(path), profile=profile, k=2)
+        .to_pandas()
+        .sort_values("cell_idx")
+    )
+    t = read_hexbin_table(path)
+    want = graph_smooth_numpy(
+        np.asarray(t.column("ndvi").to_numpy(zero_copy_only=False), dtype=np.float64),
+        t.column("neighbors").to_pylist(),
+        profile=profile,
+        k=2,
+    )
+    assert len(got) == len(want)
+    diff = np.abs(got["smoothed"].to_numpy() - want[got["cell_idx"].to_numpy()])
+    assert diff.max() <= 1e-9
+
+
+def test_second_order_edges_match_reference_derivation(demo_bin):
+    """Distributed ring-2 derivation == the v5 std::set transcription,
+    including dedup / self-exclusion / ring-1-exclusion / 12-truncation."""
+    from cuda_gis_smoothing_ray.sources.hexbin import read_hexbin, read_hexbin_table
+    from cuda_gis_smoothing_ray.stages.graph_smooth import (
+        second_order_edges,
+        second_order_numpy,
+    )
+
+    path, _ = demo_bin
+    got = second_order_edges(read_hexbin(path)).to_pandas()
+    got_map = {
+        int(i): sorted(g["dst"].tolist()) for i, g in got.groupby("src")
+    }
+    t = read_hexbin_table(path)
+    want = second_order_numpy(t.column("neighbors").to_pylist())
+    for i, lst in enumerate(want):
+        assert got_map.get(i, []) == lst, i
+
+
+def test_graph_smooth_fused_multivar(demo_bin):
+    """Fused 4-variable smoothing (v4.cu:59-111 semantics): one shuffle,
+    per-column results equal the single-variable runs."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.sources.hexbin import read_hexbin_table
+    from cuda_gis_smoothing_ray.stages.graph_smooth import (
+        graph_smooth,
+        graph_smooth_numpy,
+    )
+
+    path, _ = demo_bin
+    t = read_hexbin_table(path)
+    n = t.num_rows
+    rng = np.random.default_rng(5)
+    cols = {"ndvi": t.column("ndvi").to_numpy(zero_copy_only=False)}
+    for name in ("mndwi", "evi", "ndwi"):
+        cols[name] = rng.random(n)
+    tab = pa.table(
+        {
+            "cell_idx": t.column("cell_idx"),
+            **{k: pa.array(v) for k, v in cols.items()},
+            "neighbors": t.column("neighbors"),
+        }
+    )
+    out = (
+        graph_smooth(rd.from_arrow(tab), profile="gaussian",
+                     value_cols=["ndvi", "mndwi", "evi", "ndwi"], k=2)
+        .to_pandas()
+        .sort_values("cell_idx")
+    )
+    neighbors = t.column("neighbors").to_pylist()
+    order = out["cell_idx"].to_numpy()
+    for name, v in cols.items():
+        want = graph_smooth_numpy(v.astype(np.float64), neighbors,
+                                  profile="gaussian", k=2)
+        diff = np.abs(out[f"{name}_sm"].to_numpy() - want[order])
+        assert diff.max() <= 1e-9, name
+
+
+def test_reference_binary_golden_diff(demo_bin, tmp_path):
+    """Run the SHIPPED reference binary on our exported .bin and diff its
+    smoothed_naive.csv against graph_smooth — the reference's own gate
+    (scripts/case-study.sh:130-134, tolerance 1e-4; binary is float32)."""
+    import os
+    import shutil
+    import subprocess
+
+    from cuda_gis_smoothing_ray.sources.hexbin import read_hexbin
+    from cuda_gis_smoothing_ray.stages.graph_smooth import graph_smooth
+
+    work = str(tmp_path)
+    # the shipped binary is Mach-O arm64 (macOS build) — unrunnable on this
+    # Linux box; compile the reference's OWN source instead (same oracle,
+    # just built here), falling back to the binary where it does run
+    binary = "/root/reference/bin/hex_smooth_naive"
+    src = "/root/reference/src/cpu/hex_smooth_naive.cpp"
+    candidates = [binary]
+    if os.path.exists(src) and shutil.which("g++"):
+        built = f"{work}/hex_smooth_naive"
+        cc = subprocess.run(["g++", "-O2", "-o", built, src],
+                            capture_output=True, text=True, timeout=300)
+        if cc.returncode == 0:
+            candidates.insert(0, built)
+    path, _ = demo_bin
+    shutil.copy(path, f"{work}/hex_data.bin")
+    proc = None
+    for exe in candidates:
+        try:
+            proc = subprocess.run(
+                [exe, "hex_data.bin"], cwd=work, capture_output=True,
+                text=True, timeout=120,
+            )
+            if proc.returncode == 0:
+                break
+        except OSError:
+            proc = None
+    if proc is None or proc.returncode != 0:
+        pytest.skip("no runnable reference implementation on this platform")
+    ref = np.loadtxt(f"{work}/smoothed_naive.csv")  # simple average, cell order
+    got = (
+        graph_smooth(read_hexbin(path), profile="uniform")
+        .to_pandas()
+        .sort_values("cell_idx")["smoothed"]
+        .to_numpy()
+    )
+    assert len(ref) == len(got)
+    assert np.abs(ref - got).max() <= 1e-4
