@@ -291,7 +291,19 @@ def _q_media_decode(sf_dir: str):
 def _q_media_features(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import media
 
-    return media.media_decode(media.media_table(sf_dir)).sort("media_id")
+    ds = media.media_decode(media.media_table(sf_dir))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        feat = batch.column("feature")
+        if isinstance(feat, pa.ChunkedArray):
+            feat = feat.combine_chunks()
+        mat = feat.flatten().to_numpy(zero_copy_only=False).reshape(len(batch), -1)
+        batch = batch.drop_columns(["feature"])
+        for d in range(mat.shape[1]):
+            batch = batch.append_column(f"f{d}", pa.array(mat[:, d]))
+        return batch
+
+    return ds.map_batches(expand, batch_format="pyarrow").sort("media_id")
 
 
 def _q_media_resize(sf_dir: str):
@@ -619,6 +631,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": oc.ann_topk_sql(ANN_K),
         "embedding_neardup": oc.embedding_neardup_sql(NEARDUP_T),
         "media_decode": oc.media_decode_sql(),
+        "media_features": oc.media_features_sql(),
         "media_resize": oc.media_resize_sql(),
         "frame_sample": oc.frame_sample_sql(),
         "text_quality_by_lang": oc.text_quality_by_lang_sql(),
@@ -635,8 +648,7 @@ def oracle_sql() -> dict[str, str]:
         "top_hosts_by_lang": o.top_hosts_by_lang_sql(5),
         # hll_hosts is a sketch (estimate): rows-only; error gated in
         # tests/test_sketch.py against the exact distinct count.
-        # minhash_pairs / simhash_pairs / ann_lsh_topk / ann_ivf_topk /
-        # media_features are
+        # minhash_pairs / simhash_pairs / ann_lsh_topk / ann_ivf_topk are
         # hash- or state-based and not SQL-expressible: rows-only checks;
         # their semantics are pytest-gated instead (tests/test_textops.py,
         # tests/test_ann.py).

@@ -286,9 +286,22 @@ def _seg_word_counts(d: np.ndarray, off: np.ndarray, words: tuple[bytes, ...]) -
     return _word_hits(d, off, wc, is_start, words)
 
 
+def _require_no_nulls(arr: pa.Array) -> None:
+    """The buffer-level kernels read offsets/data directly and would count a
+    null string as empty, silently diverging from the RE2/SQL NULL
+    propagation they replace — fail loudly instead (no engine table carries
+    null text; a user table with nulls must fill them explicitly)."""
+    if arr.null_count:
+        raise ValueError(
+            "byte-class text kernels require a null-free string column "
+            f"(got {arr.null_count} nulls); fill or drop nulls upstream"
+        )
+
+
 def _apply_segmented(arr: pa.Array, seg_fn) -> np.ndarray | dict:
     """Shared segment loop: split at string boundaries, call
     ``seg_fn(d_seg, off_seg) -> array | dict of arrays``, stitch."""
+    _require_no_nulls(arr)
     n = len(arr)
     off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
     o = np.frombuffer(arr.buffers()[1], dtype=off_dtype)[arr.offset : arr.offset + n + 1]
@@ -346,6 +359,7 @@ def _byte_class_counts(arr: pa.Array,
     ~SEG_BYTES segments split at string boundaries so the per-worker
     scratch pool (see ``_SCRATCH``) stays small and is reused every batch.
     """
+    _require_no_nulls(arr)
     n = len(arr)
     keys = OUT_KEYS + ("n_words",) if words is not None else OUT_KEYS
     if n == 0:

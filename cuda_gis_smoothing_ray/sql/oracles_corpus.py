@@ -228,6 +228,41 @@ FROM m
 ORDER BY media_id"""
 
 
+def media_features_sql(feat_dim: int = media.FEAT_DIM) -> str:
+    """Oracle of the deterministic fake feature extractor
+    (stages/media.py MediaDecode.__call__): features are FEAT_DIM moments of
+    the payload byte stream — seg = byte_sum / n_bytes (exact: integer sums
+    stay exact in float64 far below 2^53), f_d = round6(fmod(seg*(d+1), 256)).
+    The payload is '<html><body>'||text||'</body></html>'; text is ASCII in
+    every driver table (asserted at generation), so per-char ascii() equals
+    the byte value and the wrapper contributes a constant byte sum."""
+    pre = sum(b"<html><body>") + sum(b"</body></html>")
+    kinds = media.KINDS
+    feats = ",\n  ".join(
+        f"floor(fmod(seg * {d + 1}, CAST(256.0 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS f{d}"
+        for d in range(feat_dim)
+    )
+    return f"""WITH m AS (
+  SELECT doc_id AS media_id,
+    CASE doc_id % 3 WHEN 0 THEN '{kinds[0]}' WHEN 1 THEN '{kinds[1]}'
+      ELSE '{kinds[2]}' END AS kind,
+    octet_length(encode(text)) + 26 AS n_bytes,
+    list_sum(list_transform(string_split(text, ''), c -> ascii(c))) + {pre} AS byte_sum
+  FROM documents
+), g AS (
+  SELECT media_id, kind, n_bytes,
+    64 + (n_bytes * 7) % 1024 AS width,
+    64 + (n_bytes * 13) % 768 AS height,
+    CASE WHEN media_id % 3 = 0 THEN 0 ELSE 1000 + (n_bytes * 31) % 600000 END AS duration_ms,
+    CAST(byte_sum AS DOUBLE) / greatest(n_bytes, 1) AS seg
+  FROM m
+)
+SELECT media_id, kind, n_bytes, width, height, duration_ms,
+  {feats}
+FROM g
+ORDER BY media_id"""
+
+
 def events_window_sql(window_us: int = events.WINDOW_US) -> str:
     return f"""SELECT
   make_timestamp((epoch_us(ts) // {window_us}) * {window_us}) AS window_start,

@@ -89,7 +89,8 @@ def sessionize(ds, gap_us: int = SESSION_GAP_US):
 def asof_join(ds, left_type: str = "purchase", right_type: str = "view"):
     """Per-user as-of join: for each ``left_type`` event, the most recent
     ``right_type`` event by the same user with ``ts <= left.ts`` (ties at
-    equal ts: the right side wins, then lower event_id).  Inner semantics:
+    equal ts: the LATEST — highest event_id — right event wins, matching
+    the SQL oracle's max-over-ties).  Inner semantics:
     left events with no prior right event are dropped.  Emits
     (event_id, user_id, matched_event_id, lag_us).
 

@@ -51,15 +51,27 @@ def broadcast_hash_join(ds, sf_dir: str, small_table: str, left_key: str,
     keys = small.column(right_key).to_numpy(zero_copy_only=False)
     order = np.argsort(keys, kind="stable")
     sorted_keys = keys[order]
+    # the binary-search lookup returns ONE match per left row — that is
+    # dimension-table semantics; duplicate right keys would silently diverge
+    # from SQL join row multiplication, so fail loudly instead
+    if len(sorted_keys) > 1 and (sorted_keys[1:] == sorted_keys[:-1]).any():
+        raise ValueError(
+            f"broadcast_hash_join: duplicate {right_key!r} keys in "
+            f"{small_table!r}; use shuffle_join for non-unique right sides"
+        )
     cols = {c: small.column(c).take(pa.array(order)) for c in take_cols}
     ref = ray.put((sorted_keys, cols))
 
     def lookup(batch: pa.Table) -> pa.Table:
         sk, sc = ray.get(ref)
         lk = batch.column(left_key).to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(sk, lk)
-        pos_c = np.minimum(pos, len(sk) - 1)
-        hit = sk[pos_c] == lk
+        if len(sk) == 0:  # empty small side: no row matches
+            pos_c = np.zeros(len(lk), dtype=np.int64)
+            hit = np.zeros(len(lk), dtype=bool)
+        else:
+            pos = np.searchsorted(sk, lk)
+            pos_c = np.minimum(pos, len(sk) - 1)
+            hit = sk[pos_c] == lk
         if how == "inner":
             batch = batch.filter(pa.array(hit))
             pos_c = pos_c[hit]
@@ -70,7 +82,10 @@ def broadcast_hash_join(ds, sf_dir: str, small_table: str, left_key: str,
 
             hit_arr = pa.array(hit)
             for c in take_cols:
-                taken = sc[c].take(pa.array(pos_c))  # value undefined where miss
+                if len(sk) == 0:
+                    taken = pa.nulls(len(hit), type=sc[c].type)
+                else:
+                    taken = sc[c].take(pa.array(pos_c))  # undefined where miss
                 batch = batch.append_column(
                     c, pc.if_else(hit_arr, taken, pa.nulls(len(hit), type=taken.type))
                 )
