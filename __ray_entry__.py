@@ -241,6 +241,24 @@ def _q_simhash(sf_dir: str):
     return textops.simhash_pairs(_docs(sf_dir)).sort(["a", "b"])
 
 
+def _q_minhash_tiny(sf_dir: str):
+    """SQL-checkable MinHash: 4 perms / 3-shingles / 2 bands — small enough
+    for DuckDB to reproduce the uint64 arithmetic bit-for-bit (the 64-perm
+    production variant above stays rows-only + pytest-gated)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.minhash_pairs(
+        _docs(sf_dir), threshold=0.5, num_perms=4, shingle_k=3, bands=2
+    ).sort(["a", "b"])
+
+
+def _q_simhash_tiny(sf_dir: str):
+    """SQL-checkable SimHash: md5 token hashes (identical in DuckDB)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.simhash_pairs(_docs(sf_dir), token_hash="md5").sort(["a", "b"])
+
+
 def _q_dedup_components(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import textops
     from cuda_gis_smoothing_ray.stages.cc import dedup_survivors
@@ -575,6 +593,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": _q_jaccard,
         "minhash_pairs": _q_minhash,
         "simhash_pairs": _q_simhash,
+        "minhash_pairs_tiny": _q_minhash_tiny,
+        "simhash_pairs_tiny": _q_simhash_tiny,
         "dedup_components": _q_dedup_components,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
@@ -627,6 +647,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oc.lang_id_sql(),
         "exact_dedup": oc.exact_dedup_sql(),
         "jaccard_pairs": oc.jaccard_pairs_sql(JACCARD_T),
+        "minhash_pairs_tiny": oc.minhash_pairs_tiny_sql(0.5, 4, 3, 2),
+        "simhash_pairs_tiny": oc.simhash_pairs_tiny_sql(),
         "dedup_components": oc.dedup_components_sql(JACCARD_T),
         "ann_cosine_topk": oc.ann_topk_sql(ANN_K),
         "embedding_neardup": oc.embedding_neardup_sql(NEARDUP_T),

@@ -98,10 +98,26 @@ class MinHasher:
         return float((sig_a == sig_b).mean())
 
 
-def simhash64(texts, token_pattern=None) -> np.ndarray:
-    """64-bit SimHash per text over whitespace tokens (unweighted votes)."""
+def md5_hash64(texts) -> np.ndarray:
+    """Stable 64-bit hash per string from the first 16 hex chars of md5 —
+    chosen because DuckDB's ``md5()`` computes the identical value, making
+    md5-hashed sketches SQL-oracle-checkable (see simhash tiny oracle)."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        out[i] = np.uint64(
+            int(hashlib.md5((t or "").encode("utf-8")).hexdigest()[:16], 16)
+        )
+    return out
+
+
+def simhash64(texts, token_pattern=None, token_hash: str = "blake2b") -> np.ndarray:
+    """64-bit SimHash per text over whitespace tokens (unweighted votes).
+
+    ``token_hash``: "blake2b" (default) or "md5" (SQL-oracle-parity
+    variant; same algorithm, DuckDB-reproducible token hash)."""
     import re
 
+    hash_fn = text_hash64 if token_hash == "blake2b" else md5_hash64
     pat = token_pattern or re.compile(r"\S+")
     out = np.empty(len(texts), dtype=np.uint64)
     bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
@@ -110,7 +126,7 @@ def simhash64(texts, token_pattern=None) -> np.ndarray:
         if not toks:
             out[i] = np.uint64(0)
             continue
-        th = text_hash64(toks)  # (m,)
+        th = hash_fn(toks)  # (m,)
         votes = ((th[:, None] & bits[None, :]) != 0).sum(axis=0) * 2 - len(th)
         out[i] = np.uint64(((votes > 0) * bits).sum(dtype=np.uint64))
     return out

@@ -437,3 +437,126 @@ JOIN part ON l_partkey = p_partkey
 JOIN supplier ON l_suppkey = s_suppkey
 GROUP BY p_brand, s_nationkey
 ORDER BY p_brand, s_nationkey"""
+
+
+# ---------------------------------------------------------------------------
+# tiny-parameter MinHash / SimHash oracles: the sketches are deterministic
+# integer arithmetic, so at small fixed parameters DuckDB can reproduce them
+# bit-for-bit — uint64 wraparound is emulated in HUGEINT (multiplies split
+# into 32-bit halves so no intermediate exceeds 2^127)
+# ---------------------------------------------------------------------------
+
+_M64 = "18446744073709551616"  # 2^64
+_FNV = "1099511628211"
+
+
+def _mulmod64(a: str, b: str) -> str:
+    """(a * b) mod 2^64 for HUGEINT a, b in [0, 2^64)."""
+    return (
+        f"((({a}) % 4294967296) * (({b}) % 4294967296)"
+        f" + (((({a}) % 4294967296) * (({b}) // 4294967296)"
+        f" + (({a}) // 4294967296) * (({b}) % 4294967296)) % 4294967296)"
+        f" * 4294967296) % {_M64}"
+    )
+
+
+def minhash_pairs_tiny_sql(threshold: float = 0.5, num_perms: int = 4,
+                           shingle_k: int = 3, bands: int = 2) -> str:
+    """Oracle of ``minhash_pairs(..., num_perms=4, shingle_k=3, bands=2)``:
+    rolling FNV polynomial over the shingle bytes (text is ASCII in every
+    driver table), splitmix64 finalizer, per-perm a*h+b min — all mod 2^64,
+    constants identical to :class:`...functions.hashing.MinHasher` (same
+    seed).  Banding = exact equality of a band's signature slice (the
+    engine buckets on a mixed key whose collisions across different slices
+    have probability ~2^-63)."""
+    from ..functions import hashing
+
+    mh = hashing.MinHasher(num_perms, shingle_k, bands)
+    rows = num_perms // bands
+    k = shingle_k
+    # polynomial over bytes j..j+k-1 (no wrap until the last step: the
+    # partial fits HUGEINT, one mod matches numpy's per-step uint64 wrap)
+    poly = f"ascii(substring(t, j, 1))::HUGEINT"
+    for i in range(1, k):
+        poly = f"({poly}) * {_FNV} + ascii(substring(t, j + {i}, 1))"
+    poly = f"({poly}) % {_M64}"
+    sig_cols = ",\n    ".join(
+        f"min(({int(mh.a[p])}::HUGEINT * h + {int(mh.b[p])}) % {_M64}) AS s{p}"
+        for p in range(num_perms)
+    )
+    est = " + ".join(f"CAST(x.s{p} = y.s{p} AS INT)" for p in range(num_perms))
+    band_eq = " OR ".join(
+        "(" + " AND ".join(
+            f"x.s{b * rows + r} = y.s{b * rows + r}" for r in range(rows)
+        ) + ")"
+        for b in range(bands)
+    )
+    return f"""WITH d AS (
+  SELECT doc_id,
+    CASE WHEN length(text) < {k} THEN text || repeat(chr(0), {k} - length(text))
+         ELSE text END AS t
+  FROM documents
+), sj AS (
+  SELECT doc_id, t,
+    unnest(range(1, greatest(length(t) - {k - 1}, 1) + 1)) AS j
+  FROM d
+), sh0 AS (
+  SELECT doc_id, {poly} AS p FROM sj
+), sh1 AS (
+  SELECT doc_id, (p + 11400714819323198485) % {_M64} AS z1 FROM sh0
+), sh2 AS (
+  SELECT doc_id, {_mulmod64("xor(z1, z1 >> 30)", "13787848793156543929")} AS z2 FROM sh1
+), sh3 AS (
+  SELECT doc_id, {_mulmod64("xor(z2, z2 >> 27)", "10723151780598845931")} AS z3 FROM sh2
+), sh AS (
+  SELECT doc_id, xor(z3, z3 >> 31) AS h FROM sh3
+), sig AS (
+  SELECT doc_id,
+    {sig_cols}
+  FROM sh GROUP BY doc_id
+), pe AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+    ({est}) / CAST({num_perms} AS DOUBLE) AS est,
+    ({band_eq}) AS banded
+  FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+)
+SELECT a, b, floor(est * 1000000.0 + 0.5) / 1000000.0 AS est_jaccard
+FROM pe
+WHERE banded AND est >= {D(threshold)}
+ORDER BY a, b"""
+
+
+def simhash_pairs_tiny_sql(max_hamming: int = 3, n_bands: int = 4) -> str:
+    """Oracle of ``simhash_pairs(..., token_hash="md5")``: per-token 64-bit
+    hash = first 16 hex chars of md5 (DuckDB computes the identical value),
+    unweighted bit votes over whitespace tokens, pigeonhole banding on
+    16-bit slices, hamming verify via bit_count(xor)."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    band_eq = " OR ".join(
+        f"((x.sim >> {b * width}) & {mask} = (y.sim >> {b * width}) & {mask})"
+        for b in range(n_bands)
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(text, '\\s+'), s -> s != '')) AS tok
+  FROM documents
+), th AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+), votes AS (
+  SELECT doc_id, bit,
+    sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, (SELECT unnest(range(64)) AS bit) bits
+  GROUP BY doc_id, bit
+), simt AS (
+  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << bit) ELSE 0 END) AS UBIGINT) AS sim
+  FROM votes GROUP BY doc_id
+), sims AS (
+  SELECT d.doc_id, coalesce(s.sim, 0::UBIGINT) AS sim
+  FROM documents d LEFT JOIN simt s USING (doc_id)
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+  CAST(bit_count(xor(x.sim, y.sim)) AS BIGINT) AS hamming
+FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+WHERE ({band_eq}) AND bit_count(xor(x.sim, y.sim)) <= {max_hamming}
+ORDER BY a, b"""

@@ -315,7 +315,8 @@ def minhash_pairs(ds, threshold: float = 0.7, num_perms: int = 64,
 # SimHash near-duplicate pairs (Charikar 2002; banded blocking)
 # ---------------------------------------------------------------------------
 
-def simhash_pairs(ds, max_hamming: int = 3, n_bands: int = 4):
+def simhash_pairs(ds, max_hamming: int = 3, n_bands: int = 4,
+                  token_hash: str = "blake2b"):
     """documents -> (a, b, hamming) pairs with simhash hamming <= max_hamming.
 
     Pigeonhole blocking: any pair within hamming<=3 agrees exactly on at
@@ -324,7 +325,7 @@ def simhash_pairs(ds, max_hamming: int = 3, n_bands: int = 4):
     """
     def sigs(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        sh = hashing.simhash64(texts)
+        sh = hashing.simhash64(texts, token_hash=token_hash)
         doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(texts)
         bands = np.empty((n, n_bands), dtype=np.int64)
