@@ -71,14 +71,18 @@ def cell_metrics(geocoded_ds):
 
 
 def flagship(sf_dir: str, res: int = 7, k: int = 1, profile: str = "gaussian",
-             replicate: int = 1, fused: bool = True):
-    """Full pipeline -> smoothed cell table Dataset (cell + *_sm columns)."""
-    pages = read_pages(sf_dir, replicate=replicate, include_html=False)
-    # whole-block batches: the fused build->GeoEncode chain then processes
-    # one input block per task with a single vectorized GeoEncode call over
-    # the expanded output (a fixed batch_size would both under-parallelize
-    # the input bundling and re-slice the fan-out into tiny batches)
-    geocoded = geo_encode(pages, res=res, batch_size=None)
-    cells = cell_metrics(geocoded)
-    cols = METRIC_COLS if fused else ["chars_mean"]
-    return smooth_cells(cells, cols, k=k, profile=profile)
+             replicate: int = 1, fused: bool = True, config=None):
+    """Full pipeline -> smoothed cell table Dataset (cell + *_sm columns).
+
+    Kwargs are sugar over :class:`..pipelines.config.PipelineConfig` (the
+    ref §2.10 option surface); pass ``config=`` to reuse one across stages.
+    Note: whole-block batches throughout — the fused build->GeoEncode chain
+    processes one input block per task with a single vectorized GeoEncode
+    call over the expanded output (a fixed batch_size would both
+    under-parallelize the input bundling and re-slice the fan-out).
+    """
+    from .config import PipelineConfig
+
+    cfg = config or PipelineConfig(res=res, k=k, profile=profile,
+                                   replicate=replicate, fused=fused)
+    return cfg.flagship(sf_dir)

@@ -49,18 +49,28 @@ def _shard_bounds(sf_dir: str, n_shards: int) -> list[tuple[int, int]]:
 
 def flagship_resumable(sf_dir: str, out_dir: str, n_shards: int = 8, res: int = 7,
                        k: int = 1, profile: str = "gaussian", replicate: int = 1,
-                       verbose: bool = False):
+                       verbose: bool = False, config=None):
     """Run (or resume) the checkpointed flagship; returns the smoothed cell
-    table as a Ray Dataset reading from ``out_dir/final/``."""
+    table as a Ray Dataset reading from ``out_dir/final/``.  Kwargs are
+    sugar over :class:`..pipelines.config.PipelineConfig`."""
     import pyarrow.dataset as pads
     import ray.data as rd
 
     from ..sources.pages import pages_from_documents_batch
     from ..stages.geoencode import geo_encode
     from ..stages.smooth import smooth_cells
+    from .config import PipelineConfig
+
+    cfg = config or PipelineConfig(res=res, k=k, profile=profile, replicate=replicate)
+    res, k, profile, replicate = cfg.res, cfg.k, cfg.profile, cfg.replicate
 
     fp = file_fingerprint(f"{sf_dir}/documents.parquet")
     bounds = _shard_bounds(sf_dir, n_shards)
+    # the shard fingerprint binds every knob that changes the PARTIALS
+    # (res/replicate); the smoothing-only knobs (k/profile/fused/salted)
+    # bind only the final reduce below — a config change re-runs exactly
+    # the phases it affects
+    fp = f"{fp}:res{res}:rep{replicate}"
     shard_fps = {f"shard{i:04d}": f"{fp}:rows[{lo},{hi})" for i, (lo, hi) in enumerate(bounds)}
     shard_of = {f"shard{i:04d}": (lo, hi) for i, (lo, hi) in enumerate(bounds)}
 
@@ -87,7 +97,9 @@ def flagship_resumable(sf_dir: str, out_dir: str, n_shards: int = 8, res: int = 
     # ----- global reduce (re-runs iff any shard changed) -----
     from ray.data.aggregate import Sum
 
-    final_fp = "|".join(shard_fps[p] for p in sorted(shard_fps))
+    final_fp = "|".join(shard_fps[p] for p in sorted(shard_fps)) + (
+        f"|k{k}:{profile}:fused{cfg.fused}:salted{cfg.salted}"
+    )
     final_dir = os.path.join(out_dir, "final")
     if not (man.done("final", final_fp) and os.path.isdir(final_dir)):
         import glob
@@ -121,7 +133,8 @@ def flagship_resumable(sf_dir: str, out_dir: str, n_shards: int = 8, res: int = 
             )
 
         cells = reduced.map_batches(finalize, batch_format="pyarrow")
-        sm = smooth_cells(cells, METRIC_COLS, k=k, profile=profile)
+        sm = smooth_cells(cells, cfg.smooth_cols, k=k, profile=profile,
+                          salted=cfg.salted)
         import shutil
         import time
 
