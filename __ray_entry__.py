@@ -107,6 +107,38 @@ def _q_neighbor_stats(sf_dir: str):
     )
 
 
+def _q_ring2_stats(sf_dir: str):
+    """A4: standalone ring-2 neighborhood stats (the reference logs the
+    ring-2 average as "ring2 size" in extended_neighborhoods_study:142)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from cuda_gis_smoothing_ray.stages.smooth import neighbor_counts
+
+    agg = neighbor_counts(_cells(sf_dir), ring=2).aggregate(
+        Min("n_neighbors", alias_name="min_n"),
+        Max("n_neighbors", alias_name="max_n"),
+        Sum("n_neighbors", alias_name="sum_n"),
+        Count(alias_name="n_cells"),
+    )
+    total = int(agg["sum_n"])
+    n_cells = int(agg["n_cells"])
+    return pa.table(
+        {
+            "min_neighbors": pa.array([int(agg["min_n"])], pa.int64()),
+            "max_neighbors": pa.array([int(agg["max_n"])], pa.int64()),
+            "avg_neighbors": pa.array([float(_round6(np.array([total / n_cells]))[0])]),
+            "total_edges": pa.array([total], pa.int64()),
+        }
+    )
+
+
+def _q_morton_locality(sf_dir: str):
+    """A5: avg |cell-rank difference| between Morton-consecutive cells."""
+    from cuda_gis_smoothing_ray.stages.gridops import morton_locality
+
+    return morton_locality(_cells(sf_dir))
+
+
 def _q_morton(sf_dir: str):
     from cuda_gis_smoothing_ray.functions import hexgrid
 
@@ -620,6 +652,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geocode_cells": _q_geocode_cells,
         "cell_metrics": _q_cell_metrics,
         "neighbor_stats": _q_neighbor_stats,
+        "ring2_stats": _q_ring2_stats,
+        "morton_locality": _q_morton_locality,
         "morton_order": _q_morton,
         "tile_assign": _q_tiles,
         "multires_cells": _q_multires,
@@ -679,6 +713,8 @@ def oracle_sql() -> dict[str, str]:
         "geocode_cells": o.geocode_cells_sql(RES),
         "cell_metrics": o.cell_metrics_sql(RES),
         "neighbor_stats": o.neighbor_stats_sql(RES),
+        "ring2_stats": o.neighbor_stats_sql(RES, ring=2),
+        "morton_locality": o.morton_locality_sql(RES),
         "morton_order": o.morton_sql(RES),
         "tile_assign": o.tile_assign_sql(RES, TILE_ZOOM),
         "multires_cells": o.multires_counts_sql(RES),

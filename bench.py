@@ -211,6 +211,22 @@ def main() -> None:
     else:
         out = run_bench(args.sf_dir, CPUS, args.replicate, only=args.one,
                         warmup=args.warmup)
+        if not args.one and os.environ.get("GRAFT_EMBED_SCALING", "1") != "0":
+            # embed the north-rule scaling evidence (N -> 4N efficiency,
+            # fresh processes per level) so every recorded BENCH_r{N}.json
+            # is machine-checkable against the >= 0.8 bar, not just the
+            # standalone --scaling mode
+            scale_rep = int(os.environ.get("GRAFT_SCALING_REPLICATE", "4000"))
+            sc = run_scaling(args.sf_dir, scale_rep, lo=args.lo, hi=args.hi,
+                             query=os.environ.get("GRAFT_SCALING_QUERY",
+                                                  "flagship_fused_k1"))
+            out["scaling"] = {
+                "efficiency": sc["value"],
+                "lo_hi_cpus": [args.lo, args.hi],
+                "throughput_pages_per_sec": sc["throughput_pages_per_sec"],
+                "n_pages": sc["n_pages"],
+                "note": sc["note"],
+            }
     print(json.dumps(out))
 
 

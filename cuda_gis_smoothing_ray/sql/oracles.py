@@ -174,11 +174,12 @@ FROM cells
 ORDER BY cell"""
 
 
-def neighbor_stats_sql(res: int) -> str:
-    """Global min/max/avg of per-cell present-ring1-neighbor counts (A1)."""
+def neighbor_stats_sql(res: int, ring: int = 1) -> str:
+    """Global min/max/avg of per-cell present-ring-``ring``-neighbor counts
+    (A1 for ring=1; the standalone ring-2 stat A4 for ring=2)."""
     return f"""{prelude(res)},
 offsets(dq, dr) AS (VALUES
-    {", ".join(f"({dq}, {dr})" for dq, dr in hexgrid.ring_offsets(1))}),
+    {", ".join(f"({dq}, {dr})" for dq, dr in hexgrid.ring_offsets(ring))}),
 nbr AS (
   SELECT c.cell, count(n.cell) AS n_neighbors
   FROM cells c
@@ -190,6 +191,25 @@ SELECT min(n_neighbors) AS min_neighbors, max(n_neighbors) AS max_neighbors,
   {round6('sum(CAST(n_neighbors AS DOUBLE)) / count(*)')} AS avg_neighbors,
   CAST(sum(n_neighbors) AS BIGINT) AS total_edges
 FROM nbr"""
+
+
+def morton_locality_sql(res: int) -> str:
+    """A5 locality metric (``hex_smooth_cuda_v5.cu:551-559``): average
+    |original index difference| between consecutive cells in Morton order,
+    where original index = rank in cell-id order (the canonical layout)."""
+    sx = _spread_bits_sql("q + 32768")
+    sy = _spread_bits_sql("r + 32768")
+    return f"""{prelude(res)},
+pos AS (
+  SELECT cell, {sx} | ({sy} << 1) AS morton,
+    row_number() OVER (ORDER BY cell) - 1 AS orig
+  FROM cells
+), o AS (
+  SELECT orig, lag(orig) OVER (ORDER BY morton, cell) AS prev FROM pos
+)
+SELECT {round6('CAST(sum(abs(orig - prev)) AS DOUBLE) / count(*)')} AS avg_distance,
+  CAST(count(*) AS BIGINT) AS n_pairs
+FROM o WHERE prev IS NOT NULL"""
 
 
 def _spread_bits_sql(v: str) -> str:

@@ -210,3 +210,102 @@ def grouped_topk(ds, group_col: str, key_col: str, by: str, k: int):
         return out[[group_col, "rank", key_col, by]]
 
     return counts.groupby(group_col).map_groups(head)
+
+
+def morton_locality(cells_ds):
+    """A5 locality metric (``hex_smooth_cuda_v5.cu:551-559``): average
+    |original index difference| between consecutive cells in Morton order,
+    original index = rank in cell-id order (the canonical layout).
+
+    Distributed shape: two sorts over the CELL table (already aggregated,
+    bounded by distinct-cell count); the driver only ever holds ONE summary
+    row per block — never the cell table itself.  Global ranks come from
+    per-block offsets (blocks are disjoint key ranges after a sort);
+    consecutive-pair distances are summed inside each block vectorized, and
+    the #blocks-1 boundary pairs are stitched driver-side from the
+    summaries.  -> one-row table (avg_distance, n_pairs)."""
+
+    # pass A: rank by cell id
+    by_cell = cells_ds.select_columns(["cell"]).sort("cell").materialize()
+
+    def block_summary(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"min_cell": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        c = batch.column("cell").to_numpy(zero_copy_only=False)
+        return pa.table({"min_cell": pa.array([int(c[0])]),
+                         "n": pa.array([len(c)], pa.int64())})
+
+    sums = sorted(
+        by_cell.map_batches(block_summary, batch_format="pyarrow",
+                            batch_size=None).take_all(),
+        key=lambda r: r["min_cell"],
+    )
+    start = {}
+    acc = 0
+    for r in sums:
+        start[int(r["min_cell"])] = acc
+        acc += int(r["n"])
+
+    def assign_rank(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        c = batch.column("cell").to_numpy(zero_copy_only=False)
+        off = start[int(c[0])]
+        return pa.table(
+            {"cell": batch.column("cell"),
+             "rank": pa.array(off + np.arange(len(c), dtype=np.int64))}
+        )
+
+    ranked = by_cell.map_batches(assign_rank, batch_format="pyarrow", batch_size=None)
+
+    # pass B: morton order; per-block partials + boundary stitching
+    def add_morton(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False)
+        _, q, r = hexgrid.unpack(cell)
+        return batch.append_column("morton", pa.array(hexgrid.morton_key(q, r)))
+
+    by_morton = (
+        ranked.map_batches(add_morton, batch_format="pyarrow")
+        .sort(["morton", "cell"])
+        .materialize()
+    )
+
+    def dist_summary(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"min_morton": pa.array([], pa.int64()), "min_cell": pa.array([], pa.int64()),
+             "first_rank": pa.array([], pa.int64()), "last_rank": pa.array([], pa.int64()),
+             "n": pa.array([], pa.int64()), "dist_sum": pa.array([], pa.int64())}
+        )
+        if len(batch) == 0:
+            return empty
+        rk = batch.column("rank").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "min_morton": pa.array([int(batch.column("morton")[0].as_py())]),
+                "min_cell": pa.array([int(batch.column("cell")[0].as_py())]),
+                "first_rank": pa.array([int(rk[0])]),
+                "last_rank": pa.array([int(rk[-1])]),
+                "n": pa.array([len(rk)], pa.int64()),
+                "dist_sum": pa.array([int(np.abs(np.diff(rk)).sum()) if len(rk) > 1 else 0]),
+            }
+        )
+
+    parts = sorted(
+        by_morton.map_batches(dist_summary, batch_format="pyarrow",
+                              batch_size=None).take_all(),
+        key=lambda r: (r["min_morton"], r["min_cell"]),
+    )
+    total = sum(int(r["dist_sum"]) for r in parts)
+    n_rows = sum(int(r["n"]) for r in parts)
+    for prev, cur in zip(parts, parts[1:]):
+        total += abs(int(cur["first_rank"]) - int(prev["last_rank"]))
+    n_pairs = max(n_rows - 1, 0)
+    avg = total / n_pairs if n_pairs else 0.0
+    return pa.table(
+        {
+            "avg_distance": pa.array([np.floor(avg * 1e6 + 0.5) / 1e6]),
+            "n_pairs": pa.array([n_pairs], pa.int64()),
+        }
+    )

@@ -130,25 +130,33 @@ def knn_cell_bucketed(points_ds, k: int = 3, bucket_res: int = 5, id_col: str = 
                     "rank": pd.Series([], dtype="int64"),
                 }
             )
-        alat = group["lat"].to_numpy()
-        alon = group["lon"].to_numpy()
-        aid = group[id_col].to_numpy()
+        # candidates pre-sorted by id so a per-row STABLE distance argsort
+        # breaks ties by ascending id — the whole solve is vectorized
+        # (hot urban buckets: no Python per owned point); owned rows are
+        # processed in slabs so the dense matrix stays O(slab x bucket)
+        srt = np.argsort(group[id_col].to_numpy(), kind="stable")
+        alat = group["lat"].to_numpy()[srt]
+        alon = group["lon"].to_numpy()[srt]
+        aid = group[id_col].to_numpy()[srt]
         olat = own["lat"].to_numpy()
         olon = own["lon"].to_numpy()
         oid = own[id_col].to_numpy()
-        d2 = (olat[:, None] - alat[None, :]) ** 2 + (olon[:, None] - alon[None, :]) ** 2
-        d2[oid[:, None] == aid[None, :]] = np.inf  # exclude self (all copies)
+        kk = min(k, len(aid) - 1)
+        slab = 2048
         out = []
-        kk = min(k, d2.shape[1] - 1)
-        for i in range(len(oid)):
-            order = np.lexsort((aid, d2[i]))[:kk]
+        for s in range(0, len(oid), slab):
+            e = min(s + slab, len(oid))
+            d2 = (olat[s:e, None] - alat[None, :]) ** 2 \
+                + (olon[s:e, None] - alon[None, :]) ** 2
+            d2[oid[s:e, None] == aid[None, :]] = np.inf  # exclude self copies
+            order = np.argsort(d2, axis=1, kind="stable")[:, :kk]
             out.append(
                 pd.DataFrame(
                     {
-                        id_col: oid[i],
-                        "neighbor_id": aid[order],
-                        "dist2": d2[i, order],
-                        "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+                        id_col: np.repeat(oid[s:e], kk),
+                        "neighbor_id": aid[order].ravel(),
+                        "dist2": np.take_along_axis(d2, order, axis=1).ravel(),
+                        "rank": np.tile(np.arange(1, kk + 1, dtype=np.int64), e - s),
                     }
                 )
             )

@@ -138,14 +138,21 @@ def smooth_cells(cells_ds, value_cols: list[str], k: int = 1, profile: str = "ga
     return reduced.map_batches(finalize, batch_format="pyarrow")
 
 
-def neighbor_counts(cells_ds):
-    """(cell, n_neighbors) — number of ring-1 neighbors *present* in the data,
-    the engine analog of the reference's printStats input (SURVEY §2.5 A1).
+def neighbor_counts(cells_ds, ring: int = 1):
+    """(cell, n_neighbors) — number of ring-``ring`` neighbors *present* in
+    the data, the engine analog of the reference's printStats input (SURVEY
+    §2.5 A1; ``ring=2`` is the standalone ring-2 stat, A4 — the reference
+    logs its average as "ring2 size", extended_neighborhoods_study:142).
 
-    Derived from the uniform k=1 smoothing reduce: w_sum = 1 + n_present."""
+    Derived from the uniform smoothing reduce over (center + that ring
+    only): w_sum = 1 + n_present."""
+    import numpy as np_
     import pyarrow.compute as pc_
 
-    dq, dr, w = _offsets_and_weights(1, "uniform")
+    ring_offs = hexgrid.ring_offsets(ring)
+    dq = np_.array([0] + [o[0] for o in ring_offs], dtype=np_.int64)
+    dr = np_.array([0] + [o[1] for o in ring_offs], dtype=np_.int64)
+    w = np_.ones(len(ring_offs) + 1, dtype=np_.float64)
 
     def expand(batch: pa.Table) -> pa.Table:
         return expand_contributions(batch, [], dq, dr, w)
