@@ -69,3 +69,49 @@ def test_shuffle_join_matches_pandas(sf_dir, ray_session):
     assert len(got) == len(want)
     assert (got["o_orderkey"].to_numpy() == want["o_orderkey"].to_numpy()).all()
     assert (got["c_nationkey"].to_numpy() == want["c_nationkey"].to_numpy()).all()
+
+
+def test_broadcast_join_empty_small_side(tmp_path, ray_session):
+    """Empty small table: inner drops everything, left yields all-null take
+    cols (previously wrapped around to sk[-1] and fabricated matches)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages.join import broadcast_hash_join, read_table
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "v": pa.array([10.0, 20.0, 30.0])}),
+        f"{d}/big.parquet",
+    )
+    pq.write_table(
+        pa.table({"rk": pa.array([], pa.int64()), "name": pa.array([], pa.string())}),
+        f"{d}/dim.parquet",
+    )
+    big = read_table(d, "big", ["k", "v"])
+    inner = broadcast_hash_join(big, d, "dim", "k", "rk", ["name"]).to_pandas()
+    assert len(inner) == 0
+    left = broadcast_hash_join(big, d, "dim", "k", "rk", ["name"], how="left").to_pandas()
+    assert len(left) == 3 and left["name"].isna().all()
+
+
+def test_broadcast_join_rejects_duplicate_right_keys(tmp_path, ray_session):
+    """Non-unique right keys would silently return one arbitrary match per
+    left row instead of SQL row multiplication — must fail loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from cuda_gis_smoothing_ray.stages.join import broadcast_hash_join, read_table
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table({"k": pa.array([1], pa.int64()), "v": pa.array([1.0])}), f"{d}/big.parquet"
+    )
+    pq.write_table(
+        pa.table({"rk": pa.array([1, 1], pa.int64()), "name": pa.array(["a", "b"])}),
+        f"{d}/dim.parquet",
+    )
+    big = read_table(d, "big", ["k", "v"])
+    with pytest.raises(ValueError, match="duplicate"):
+        broadcast_hash_join(big, d, "dim", "k", "rk", ["name"])
