@@ -273,6 +273,12 @@ def _q_simhash(sf_dir: str):
     return textops.simhash_pairs(_docs(sf_dir)).sort(["a", "b"])
 
 
+def _q_doc_fingerprints(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.doc_fingerprints(_docs(sf_dir)).sort(["doc_id", "fp"])
+
+
 def _q_minhash_tiny(sf_dir: str):
     """SQL-checkable MinHash: 4 perms / 3-shingles / 2 bands — small enough
     for DuckDB to reproduce the uint64 arithmetic bit-for-bit (the 64-perm
@@ -625,6 +631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": _q_jaccard,
         "minhash_pairs": _q_minhash,
         "simhash_pairs": _q_simhash,
+        "doc_fingerprints": _q_doc_fingerprints,
         "minhash_pairs_tiny": _q_minhash_tiny,
         "simhash_pairs_tiny": _q_simhash_tiny,
         "dedup_components": _q_dedup_components,
@@ -681,6 +688,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oc.lang_id_sql(),
         "exact_dedup": oc.exact_dedup_sql(),
         "jaccard_pairs": oc.jaccard_pairs_sql(JACCARD_T),
+        "doc_fingerprints": oc.doc_fingerprints_sql(),
         "minhash_pairs_tiny": oc.minhash_pairs_tiny_sql(0.5, 4, 3, 2),
         "simhash_pairs_tiny": oc.simhash_pairs_tiny_sql(),
         "dedup_components": oc.dedup_components_sql(JACCARD_T),

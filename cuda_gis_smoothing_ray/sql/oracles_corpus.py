@@ -460,6 +460,36 @@ def _mulmod64(a: str, b: str) -> str:
     )
 
 
+def _shingle_hash_ctes(k: int) -> str:
+    """CTE chain d/sj/sh0..sh: per-(doc, shingle-start) splitmix64(rolling
+    FNV polynomial) hashes — mirrors ``hashing.char_shingle_hashes`` exactly
+    (uint64 wrap emulated per step in HUGEINT)."""
+    poly = "ascii(substring(t, j, 1))::HUGEINT"
+    for i in range(1, k):
+        # mod after every multiply-add step = numpy's per-step uint64 wrap
+        poly = f"((({poly}) * {_FNV} + ascii(substring(t, j + {i}, 1))) % {_M64})"
+    return f"""d AS (
+  SELECT doc_id,
+    CASE WHEN length(text) < {k} THEN text || repeat(chr(0), {k} - length(text))
+         ELSE text END AS t
+  FROM documents
+), sj AS (
+  SELECT doc_id, t,
+    unnest(range(1, greatest(length(t) - {k - 1}, 1) + 1)) AS j
+  FROM d
+), sh0 AS (
+  SELECT doc_id, j, {poly} AS p FROM sj
+), sh1 AS (
+  SELECT doc_id, j, (p + 11400714819323198485) % {_M64} AS z1 FROM sh0
+), sh2 AS (
+  SELECT doc_id, j, {_mulmod64("xor(z1, z1 >> 30)", "13787848793156543929")} AS z2 FROM sh1
+), sh3 AS (
+  SELECT doc_id, j, {_mulmod64("xor(z2, z2 >> 27)", "10723151780598845931")} AS z3 FROM sh2
+), sh AS (
+  SELECT doc_id, j, xor(z3, z3 >> 31) AS h FROM sh3
+)"""
+
+
 def minhash_pairs_tiny_sql(threshold: float = 0.5, num_perms: int = 4,
                            shingle_k: int = 3, bands: int = 2) -> str:
     """Oracle of ``minhash_pairs(..., num_perms=4, shingle_k=3, bands=2)``:
@@ -473,13 +503,6 @@ def minhash_pairs_tiny_sql(threshold: float = 0.5, num_perms: int = 4,
 
     mh = hashing.MinHasher(num_perms, shingle_k, bands)
     rows = num_perms // bands
-    k = shingle_k
-    # polynomial over bytes j..j+k-1 (no wrap until the last step: the
-    # partial fits HUGEINT, one mod matches numpy's per-step uint64 wrap)
-    poly = f"ascii(substring(t, j, 1))::HUGEINT"
-    for i in range(1, k):
-        poly = f"({poly}) * {_FNV} + ascii(substring(t, j + {i}, 1))"
-    poly = f"({poly}) % {_M64}"
     sig_cols = ",\n    ".join(
         f"min(({int(mh.a[p])}::HUGEINT * h + {int(mh.b[p])}) % {_M64}) AS s{p}"
         for p in range(num_perms)
@@ -491,26 +514,7 @@ def minhash_pairs_tiny_sql(threshold: float = 0.5, num_perms: int = 4,
         ) + ")"
         for b in range(bands)
     )
-    return f"""WITH d AS (
-  SELECT doc_id,
-    CASE WHEN length(text) < {k} THEN text || repeat(chr(0), {k} - length(text))
-         ELSE text END AS t
-  FROM documents
-), sj AS (
-  SELECT doc_id, t,
-    unnest(range(1, greatest(length(t) - {k - 1}, 1) + 1)) AS j
-  FROM d
-), sh0 AS (
-  SELECT doc_id, {poly} AS p FROM sj
-), sh1 AS (
-  SELECT doc_id, (p + 11400714819323198485) % {_M64} AS z1 FROM sh0
-), sh2 AS (
-  SELECT doc_id, {_mulmod64("xor(z1, z1 >> 30)", "13787848793156543929")} AS z2 FROM sh1
-), sh3 AS (
-  SELECT doc_id, {_mulmod64("xor(z2, z2 >> 27)", "10723151780598845931")} AS z3 FROM sh2
-), sh AS (
-  SELECT doc_id, xor(z3, z3 >> 31) AS h FROM sh3
-), sig AS (
+    return f"""WITH {_shingle_hash_ctes(shingle_k)}, sig AS (
   SELECT doc_id,
     {sig_cols}
   FROM sh GROUP BY doc_id
@@ -524,6 +528,31 @@ SELECT a, b, floor(est * 1000000.0 + 0.5) / 1000000.0 AS est_jaccard
 FROM pe
 WHERE banded AND est >= {D(threshold)}
 ORDER BY a, b"""
+
+
+def doc_fingerprints_sql(k: int = 8, window: int = 6) -> str:
+    """Oracle of ``textops.doc_fingerprints`` (winnowing, Schleimer et al.
+    2003): distinct sliding-window minima of the k-char shingle hashes; docs
+    with <= window shingles emit all their distinct hashes.  Fingerprints are
+    reinterpreted as signed int64 on both sides (HUGEINT -> pandas would go
+    through float64 and lose exactness above 2^53)."""
+    signed = (
+        f"CASE WHEN fp >= 9223372036854775808 THEN fp - {_M64} ELSE fp END"
+    )
+    return f"""WITH {_shingle_hash_ctes(k)}, cnts AS (
+  SELECT doc_id, count(*) AS cnt FROM sh GROUP BY doc_id
+), wm AS (
+  SELECT sh.doc_id, sh.j, cnts.cnt,
+    CASE WHEN cnts.cnt <= {window} THEN sh.h
+         ELSE min(sh.h) OVER (PARTITION BY sh.doc_id ORDER BY sh.j
+                              ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING)
+    END AS fp
+  FROM sh JOIN cnts USING (doc_id)
+)
+SELECT DISTINCT doc_id, CAST({signed} AS BIGINT) AS fp
+FROM wm
+WHERE cnt <= {window} OR j <= cnt - {window} + 1
+ORDER BY doc_id, fp"""
 
 
 def simhash_pairs_tiny_sql(max_hamming: int = 3, n_bands: int = 4) -> str:

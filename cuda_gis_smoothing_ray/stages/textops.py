@@ -244,6 +244,37 @@ def _reduce_packed_pairs(val_col: str):
     return reduce_part
 
 
+def doc_fingerprints(ds, k: int = 8, window: int = 6):
+    """documents -> (doc_id, fp): winnowing fingerprints (Schleimer et al.
+    2003, SIGMOD) — distinct sliding-window minima of the k-char shingle
+    rolling hashes; the document-fingerprinting primitive for plagiarism /
+    near-dup detection.  fp is the hash reinterpreted as signed int64 so the
+    DuckDB oracle compares exactly (HUGEINT -> float64 loses > 2^53).
+
+    Stateless map: the rolling hash + window-min per doc is vectorized
+    numpy; no shuffle at all (fingerprints stay with their doc rows)."""
+    def f(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        out_d, out_f = [], []
+        for i, t in enumerate(texts):
+            fp = hashing.winnow_fingerprints(t, k, window)
+            out_d.append(np.full(len(fp), doc[i], dtype=np.int64))
+            out_f.append(fp.view(np.int64))
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate(out_d) if out_d else np.empty(0, np.int64)
+                ),
+                "fp": pa.array(
+                    np.concatenate(out_f) if out_f else np.empty(0, np.int64)
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-duplicate candidate pairs
 # ---------------------------------------------------------------------------

@@ -177,3 +177,17 @@ def test_jaccard_max_df_drops_stopword_fanout(planted):
 
     exact = jaccard_pairs(_docs_ds(rows), threshold=0.2, max_df=None).to_pandas()
     assert len(exact) > len(out)  # the i<->j "common"-only pairs exist exactly
+
+
+def test_doc_fingerprints_match_direct_winnowing(planted):
+    from cuda_gis_smoothing_ray.functions.hashing import winnow_fingerprints
+    from cuda_gis_smoothing_ray.stages.textops import doc_fingerprints
+
+    out = doc_fingerprints(_docs_ds(planted)).to_pandas()
+    got = {d: sorted(g["fp"]) for d, g in out.groupby("doc_id")}
+    for doc_id, text, *_ in planted:
+        want = sorted(winnow_fingerprints(text).view(np.int64).tolist())
+        assert got[doc_id] == want, doc_id
+    # exact dups share the full fingerprint set; unrelated docs do not
+    assert got[0] == got[1]
+    assert got[0] != got[3]
