@@ -291,55 +291,194 @@ def _hasher(num_perms: int, shingle_k: int, bands: int) -> hashing.MinHasher:
 
 
 def minhash_pairs(ds, threshold: float = 0.7, num_perms: int = 64,
-                  shingle_k: int = 5, bands: int = 16):
+                  shingle_k: int = 5, bands: int = 16,
+                  n_parts: int = _PAIR_PARTS):
     """documents -> (a, b, est_jaccard) near-dup candidates.
 
-    shingle -> minhash signature -> per-band bucket keys -> groupby(band
-    bucket) -> pairs -> groupby(a,b) first -> verify est_jaccard >= threshold
-    from the signatures (carried through the shuffle as fixed-width
-    list<uint64> columns).  State (the permutation family) is built once per
-    worker via the module cache.
+    Shuffle-lean plan (round 2; the round-1 plan shipped the full signature
+    x bands — ~8 KB/doc — through the bucket shuffle):
+
+    1. **band rows**: (bucket, doc_id) only — 16 bytes x bands per doc;
+    2. **bucket groupby** -> candidate pairs, packed to one int64 key and
+       deduplicated across buckets with the coarse-hash-partition reduce;
+    3. **signature verify** via two hash-partition sort-merge joins: pair
+       rows keyed by a then by b pick up the signatures; est_jaccard is the
+       per-perm equality fraction over the two signature matrices,
+       vectorized per partition.
+
+    Signatures are computed twice (band pass + verify pass) on purpose: 2x
+    the cached-hasher CPU instead of materializing the signature matrix or
+    shuffling it with every band row.  Output is identical to a
+    carry-the-signature plan (est comes from the full signature either
+    way); the tiny-parameter variant is SQL-oracle-checked bit-for-bit.
     """
-    def sigs(batch: pa.Table) -> pa.Table:
+    mask31 = np.int64((1 << 31) - 1)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
         mh = _hasher(num_perms, shingle_k, bands)
         texts = batch.column("text").to_pylist()
-        s = mh.signatures(texts)  # (n, P) uint64
-        keys = mh.band_keys(s)  # (n, bands) int64
-        n = len(texts)
         doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        keys = mh.band_keys(mh.signatures(texts))  # (n, bands) int64
         return pa.table(
             {
                 "bucket": pa.array(keys.ravel()),
                 "doc_id": pa.array(np.repeat(doc, bands)),
-                "sig": pa.array(
-                    list(s.astype(np.int64)[np.repeat(np.arange(n), bands)]),
-                    pa.list_(pa.int64(), num_perms),
-                ),
             }
         )
 
     def pairs_of_bucket(df):
-        d = df.sort_values("doc_id")
-        ids = d["doc_id"].to_numpy()
+        ids = np.unique(df["doc_id"].to_numpy())
         if len(ids) < 2:
-            return {"pk": np.empty(0, np.int64), "est_jaccard": np.empty(0, np.float64)}
-        sig = np.stack(d["sig"].to_numpy())  # (g, P)
+            return {"pk": np.empty(0, np.int64)}
         iu, ju = np.triu_indices(len(ids), k=1)
-        est = (sig[iu] == sig[ju]).mean(axis=1)
-        keep = est >= threshold
-        return {
-            "pk": (ids[iu][keep].astype(np.int64) << np.int64(31))
-            | ids[ju][keep].astype(np.int64),
-            "est_jaccard": np.floor(est[keep] * 1e6 + 0.5) / 1e6,
-        }
+        return {"pk": (ids[iu] << np.int64(31)) | ids[ju]}
 
-    posted = ds.map_batches(sigs, batch_format="pyarrow")
-    pairs = posted.groupby("bucket").map_groups(pairs_of_bucket)
-    # a pair found in several bands collapses to one row (est is identical in
-    # every band — it's computed from the full signature)
-    return pairs.map_batches(_dedupe_packed_pairs("est_jaccard"),
-                             batch_format="pyarrow", batch_size=None) \
-        .groupby("part").map_groups(_reduce_packed_pairs("est_jaccard"))
+    def add_part_pk(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy(zero_copy_only=False)
+        part = (pk.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)
+        return batch.append_column("part", pa.array((part % np.uint64(n_parts)).astype(np.int64)))
+
+    def distinct_pk(df):
+        return {"pk": np.unique(df["pk"].to_numpy())}
+
+    cand = (
+        ds.map_batches(band_rows, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs_of_bucket)
+        .map_batches(add_part_pk, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(distinct_pk)
+    )
+
+    # ---- signature verify: two hash-partition sort-merge joins ----
+    def _part_of(key: np.ndarray) -> np.ndarray:
+        return (
+            (key.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(52)
+        ) % np.uint64(n_parts)
+
+    EMPTY_SIG = pa.array([], pa.list_(pa.int64()))
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        mh = _hasher(num_perms, shingle_k, bands)
+        texts = batch.column("text").to_pylist()
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = mh.signatures(texts).astype(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(doc),
+                "kind": pa.array(np.zeros(len(doc), np.int8)),
+                "pk": pa.array(np.zeros(len(doc), np.int64)),
+                "sig_a": pa.array([[]] * len(doc), pa.list_(pa.int64())),
+                "sig": pa.array(list(s), pa.list_(pa.int64())),
+                "__part": pa.array(_part_of(doc).astype(np.int64)),
+            }
+        )
+
+    def pair_rows_a(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy(zero_copy_only=False)
+        a = pk >> np.int64(31)
+        n = len(pk)
+        return pa.table(
+            {
+                "key": pa.array(a),
+                "kind": pa.array(np.ones(n, np.int8)),
+                "pk": pa.array(pk),
+                "sig_a": pa.array([[]] * n, pa.list_(pa.int64())),
+                "sig": pa.array([[]] * n, pa.list_(pa.int64())),
+                "__part": pa.array(_part_of(a).astype(np.int64)),
+            }
+        )
+
+    def join_a(part: pa.Table) -> pa.Table:
+        kind = part.column("kind").to_numpy(zero_copy_only=False)
+        key = part.column("key").to_numpy(zero_copy_only=False)
+        sm = kind == 0
+        sk = key[sm]
+        order = np.argsort(sk, kind="stable")
+        sk = sk[order]
+        sig_col = part.column("sig")
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        sigs = sig_col.take(pa.array(np.nonzero(sm)[0][order]))
+        pk = part.column("pk").to_numpy(zero_copy_only=False)[~sm]
+        ek = key[~sm]
+        if len(sk) == 0 or len(ek) == 0:
+            return pa.table({"pk": pa.array([], pa.int64()), "sig_a": EMPTY_SIG})
+        pos = np.searchsorted(sk, ek)
+        ok = (pos < len(sk)) & (sk[np.minimum(pos, len(sk) - 1)] == ek)
+        return pa.table(
+            {"pk": pa.array(pk[ok]), "sig_a": sigs.take(pa.array(pos[ok]))}
+        )
+
+    def pair_rows_b(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy(zero_copy_only=False)
+        b = pk & mask31
+        n = len(pk)
+        return pa.table(
+            {
+                "key": pa.array(b),
+                "kind": pa.array(np.ones(n, np.int8)),
+                "pk": pa.array(pk),
+                "sig_a": batch.column("sig_a"),
+                "sig": pa.array([[]] * n, pa.list_(pa.int64())),
+                "__part": pa.array(_part_of(b).astype(np.int64)),
+            }
+        )
+
+    def join_b_verify(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+             "est_jaccard": pa.array([], pa.float64())}
+        )
+        kind = part.column("kind").to_numpy(zero_copy_only=False)
+        key = part.column("key").to_numpy(zero_copy_only=False)
+        sm = kind == 0
+        sk = key[sm]
+        order = np.argsort(sk, kind="stable")
+        sk = sk[order]
+        sig_col = part.column("sig")
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        sigs = sig_col.take(pa.array(np.nonzero(sm)[0][order]))
+        prows = np.nonzero(~sm)[0]
+        pk = part.column("pk").to_numpy(zero_copy_only=False)[~sm]
+        ek = key[~sm]
+        if len(sk) == 0 or len(ek) == 0:
+            return empty
+        pos = np.searchsorted(sk, ek)
+        ok = (pos < len(sk)) & (sk[np.minimum(pos, len(sk) - 1)] == ek)
+        if not ok.any():
+            return empty
+        sa_col = part.column("sig_a")
+        if isinstance(sa_col, pa.ChunkedArray):
+            sa_col = sa_col.combine_chunks()
+        sa = sa_col.take(pa.array(prows[ok]))
+        sb = sigs.take(pa.array(pos[ok]))
+        ma = sa.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perms)
+        mb = sb.flatten().to_numpy(zero_copy_only=False).reshape(-1, num_perms)
+        est = (ma == mb).mean(axis=1)
+        keep = est >= threshold
+        pkk = pk[ok][keep]
+        return pa.table(
+            {
+                "a": pa.array(pkk >> np.int64(31)),
+                "b": pa.array(pkk & mask31),
+                "est_jaccard": pa.array(np.floor(est[keep] * 1e6 + 0.5) / 1e6),
+            }
+        )
+
+    sig1 = ds.map_batches(sig_rows, batch_format="pyarrow")
+    with_a = (
+        sig1.union(cand.map_batches(pair_rows_a, batch_format="pyarrow", batch_size=None))
+        .groupby("__part")
+        .map_groups(join_a, batch_format="pyarrow")
+    )
+    sig2 = ds.map_batches(sig_rows, batch_format="pyarrow")
+    return (
+        sig2.union(with_a.map_batches(pair_rows_b, batch_format="pyarrow", batch_size=None))
+        .groupby("__part")
+        .map_groups(join_b_verify, batch_format="pyarrow")
+    )
 
 
 # ---------------------------------------------------------------------------

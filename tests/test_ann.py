@@ -214,3 +214,28 @@ def test_neardup_pruning_is_active(tmp_path):
     assert len(out) == len(a)
     assert np.array_equal(out["a"].to_numpy(), a)
     assert np.array_equal(out["b"].to_numpy(), b)
+
+
+def test_neardup_broadcasts_only_small_objects(clustered_dir, monkeypatch):
+    """The plan may ray.put only SMALL driver-side objects (codebook,
+    pair-group map) — never the embedding table (the round-1 scale-killer)."""
+    import ray
+
+    from cuda_gis_smoothing_ray.stages import ann
+
+    sizes = []
+    real_put = ray.put
+
+    def spy_put(obj, **kw):
+        from ray import cloudpickle
+
+        sizes.append(len(cloudpickle.dumps(obj)))
+        return real_put(obj, **kw)
+
+    monkeypatch.setattr(ray, "put", spy_put)
+    out = ann.embedding_neardup(
+        ann.read_embeddings(clustered_dir), clustered_dir, threshold=0.9
+    ).to_pandas()
+    assert len(out) > 0
+    table_bytes = 500 * 64 * 4  # the embedding payload itself
+    assert sizes and max(sizes) < table_bytes / 4, sizes
