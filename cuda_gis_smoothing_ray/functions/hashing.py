@@ -11,6 +11,7 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
+import pyarrow as pa
 
 _FNV_PRIME = np.uint64(1099511628211)
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
@@ -110,13 +111,91 @@ def md5_hash64(texts) -> np.ndarray:
     return out
 
 
+def fnv_token_hash64(texts) -> np.ndarray:
+    """Vectorized 64-bit hash per string: FNV-style polynomial over the
+    UTF-8 bytes + splitmix64 finalizer.  Strings are processed sorted by
+    length so each byte step operates on a contiguous PREFIX slice (no
+    boolean masks; total work O(total bytes)) — the scale-path token hasher
+    for SimHash, no Python per token."""
+    arr = pa.array(texts, pa.string()) if not isinstance(texts, pa.Array) else texts
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    buf = arr.buffers()
+    off = np.frombuffer(buf[1], dtype=np.int64 if pa.types.is_large_string(arr.type)
+                        else np.int32)[arr.offset : arr.offset + n + 1].astype(np.int64)
+    data = (np.frombuffer(buf[2], dtype=np.uint8)
+            if buf[2] is not None else np.zeros(0, np.uint8))
+    lo = off[:-1] - off[0]
+    d = data[off[0] : off[-1]].astype(np.uint64)
+    lens = off[1:] - off[:-1]
+    order = np.argsort(-lens, kind="stable")
+    lo_s = lo[order]
+    lens_s = lens[order]
+    h = np.zeros(n, dtype=np.uint64)
+    max_len = int(lens_s[0]) if n else 0
+    with np.errstate(over="ignore"):
+        for j in range(max_len):
+            m = int(np.searchsorted(-lens_s, -(j + 1), side="right"))
+            h[:m] = h[:m] * _FNV_PRIME + d[lo_s[:m] + j]
+    out = np.empty(n, dtype=np.uint64)
+    out[order] = splitmix64(h)
+    return out
+
+
+def _simhash64_vectorized(texts) -> np.ndarray:
+    """One Arrow split + one vectorized token-hash pass + per-bit segmented
+    votes for a whole batch of documents — zero Python per token/doc, and
+    no (tokens x 64) wide intermediate (this sandbox faults fresh pages at
+    ~150 MB/s, so per-bit 8-byte-per-token passes beat one wide matrix)."""
+    import pyarrow.compute as pc
+
+    arr = pa.array([t or "" for t in texts], pa.string()) \
+        if not isinstance(texts, (pa.Array, pa.ChunkedArray)) else texts
+    split = pc.split_pattern_regex(arr, r"\s+")
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    counts = split.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = split.flatten()
+    doc_idx = np.repeat(np.arange(len(arr), dtype=np.int64), counts)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    doc_idx = doc_idx[nonempty]
+    toks = flat.filter(pa.array(nonempty))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    n = len(arr)
+    out = np.zeros(n, dtype=np.uint64)
+    if len(toks) == 0:
+        return out
+    th = fnv_token_hash64(toks)  # (T,)
+    docs, tok_counts = np.unique(doc_idx, return_counts=True)
+    starts = np.searchsorted(doc_idx, docs)  # doc_idx is non-decreasing
+    sims = np.zeros(len(docs), dtype=np.uint64)
+    bit_buf = np.empty(len(th), dtype=np.int64)
+    for b in range(64):
+        np.bitwise_and(th >> np.uint64(b), np.uint64(1), out=bit_buf,
+                       casting="unsafe")
+        ones = np.add.reduceat(bit_buf, starts)
+        # votes = 2*ones - count > 0  <=>  2*ones > count
+        sims |= (2 * ones > tok_counts).astype(np.uint64) << np.uint64(b)
+    out[docs] = sims
+    return out
+
+
 def simhash64(texts, token_pattern=None, token_hash: str = "blake2b") -> np.ndarray:
     """64-bit SimHash per text over whitespace tokens (unweighted votes).
 
-    ``token_hash``: "blake2b" (default) or "md5" (SQL-oracle-parity
-    variant; same algorithm, DuckDB-reproducible token hash)."""
+    ``token_hash``: "blake2b" (default; ~2us/token Python loop — fine up to
+    ~1M tokens/s/core), "fnv" (fully vectorized batch path, equivalence-
+    tested; on THIS sandbox the page-fault-limited allocator makes it a
+    wash, on normal hardware it wins for token-dense corpora), or "md5"
+    (SQL-oracle-parity variant; DuckDB computes the identical token hash)."""
     import re
 
+    if token_hash == "fnv":
+        if token_pattern is not None:
+            raise ValueError("custom token_pattern requires token_hash='blake2b'/'md5'")
+        return _simhash64_vectorized(texts)
     hash_fn = text_hash64 if token_hash == "blake2b" else md5_hash64
     pat = token_pattern or re.compile(r"\S+")
     out = np.empty(len(texts), dtype=np.uint64)

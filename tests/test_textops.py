@@ -191,3 +191,30 @@ def test_doc_fingerprints_match_direct_winnowing(planted):
     # exact dups share the full fingerprint set; unrelated docs do not
     assert got[0] == got[1]
     assert got[0] != got[3]
+
+
+def test_simhash_fnv_path_equals_per_doc_reference():
+    """The vectorized fnv simhash (batch split + prefix-slice token hashing
+    + per-bit segmented votes) must equal a per-doc loop over the same hash
+    family."""
+    import re
+
+    from cuda_gis_smoothing_ray.functions import hashing
+
+    rng = np.random.default_rng(0)
+    vocab = ["the", "cat", "sat", "on", "mat", "42", "x", "北京", "lorem", ""]
+    docs = [" ".join(rng.choice(vocab, rng.integers(0, 40))) for _ in range(200)]
+    docs += ["", "   ", "one", "a b  c"]
+    pat = re.compile(r"\S+")
+    bits = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    want = np.empty(len(docs), dtype=np.uint64)
+    for i, t in enumerate(docs):
+        toks = pat.findall(t)
+        if not toks:
+            want[i] = np.uint64(0)
+            continue
+        th = hashing.fnv_token_hash64(toks)
+        votes = ((th[:, None] & bits[None, :]) != 0).sum(axis=0) * 2 - len(th)
+        want[i] = np.uint64(((votes > 0) * bits).sum(dtype=np.uint64))
+    got = hashing.simhash64(docs, token_hash="fnv")
+    assert np.array_equal(got, want)
