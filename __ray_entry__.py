@@ -273,6 +273,12 @@ def _q_simhash(sf_dir: str):
     return textops.simhash_pairs(_docs(sf_dir)).sort(["a", "b"])
 
 
+def _q_tfidf(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.tfidf(_docs(sf_dir)).sort(["doc_id", "token"])
+
+
 def _q_doc_fingerprints(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import textops
 
@@ -557,6 +563,14 @@ def _q_join_region_customers(sf_dir: str):
     )
 
 
+def _q_range_join(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.range_join(events.read_events(sf_dir)).sort(
+        ["event_id", "matched_event_id"]
+    )
+
+
 def _q_asof_join(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import events
 
@@ -632,6 +646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs": _q_minhash,
         "simhash_pairs": _q_simhash,
         "doc_fingerprints": _q_doc_fingerprints,
+        "tfidf": _q_tfidf,
         "minhash_pairs_tiny": _q_minhash_tiny,
         "simhash_pairs_tiny": _q_simhash_tiny,
         "dedup_components": _q_dedup_components,
@@ -647,6 +662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
         "join_orders_by_nation": _q_join_orders_by_nation,
         "join_region_customers": _q_join_region_customers,
         "join_revenue_by_priority": _q_join_revenue_by_priority,
@@ -689,6 +705,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": oc.exact_dedup_sql(),
         "jaccard_pairs": oc.jaccard_pairs_sql(JACCARD_T),
         "doc_fingerprints": oc.doc_fingerprints_sql(),
+        "tfidf": oc.tfidf_sql(),
         "minhash_pairs_tiny": oc.minhash_pairs_tiny_sql(0.5, 4, 3, 2),
         "simhash_pairs_tiny": oc.simhash_pairs_tiny_sql(),
         "dedup_components": oc.dedup_components_sql(JACCARD_T),
@@ -702,6 +719,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": oc.events_window_sql(),
         "sessionize": oc.sessionize_sql(),
         "asof_join": oc.asof_join_sql(),
+        "range_join": oc.range_join_sql(),
         "join_orders_by_nation": oc.join_orders_by_nation_sql(),
         "join_region_customers": oc.join_region_customers_sql(),
         "join_revenue_by_priority": oc.join_revenue_by_priority_sql(),

@@ -320,6 +320,43 @@ WHERE event_type = '{left_type}' AND matched_event_id IS NOT NULL
 ORDER BY event_id"""
 
 
+def tfidf_sql() -> str:
+    """Oracle of stages/textops.tfidf (rational idf; see its docstring).
+    Float order mirrors the engine exactly: tf * ((N+1) / (df+1))."""
+    return """WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(text, '\\s+'), s -> s != '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT count(*) AS n FROM documents
+)
+SELECT tf.doc_id, tf.token, tf.tf, df.df,
+  floor(CAST(tf.tf AS DOUBLE)
+        * (CAST(n.n + 1 AS DOUBLE) / (CAST(df.df AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        * 1000000.0 + 0.5) / 1000000.0 AS score
+FROM tf JOIN df USING (token) CROSS JOIN n
+ORDER BY doc_id, token"""
+
+
+def range_join_sql(left_type: str = "purchase", right_type: str = "view",
+                   window_us: int = events.RANGE_WINDOW_US) -> str:
+    """Oracle of stages/events.range_join: every same-user right event in
+    [left.ts - window, left.ts] — plain interval self-join."""
+    return f"""SELECT l.event_id, l.user_id, r.event_id AS matched_event_id,
+  epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+FROM events l
+JOIN events r
+  ON l.user_id = r.user_id
+ AND r.event_type = '{right_type}'
+ AND epoch_us(r.ts) BETWEEN epoch_us(l.ts) - {window_us} AND epoch_us(l.ts)
+WHERE l.event_type = '{left_type}'
+ORDER BY l.event_id, matched_event_id"""
+
+
 def join_orders_by_nation_sql() -> str:
     """Oracle of the shuffle-join + broadcast-lookup pipeline; totals in
     exact integer cents (floor(x*100+0.5) per row, summed as BIGINT — the

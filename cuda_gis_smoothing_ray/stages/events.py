@@ -175,3 +175,60 @@ def sliding_window_aggregate(ds, width_us: int = WINDOW_US, hop_us: int = WINDOW
             Sum("sum_value", alias_name="sum_value"),
         )
     )
+
+
+RANGE_WINDOW_US = WINDOW_US  # 1h lookback for the range join
+
+
+def range_join(ds, left_type: str = "purchase", right_type: str = "view",
+               window_us: int = RANGE_WINDOW_US):
+    """Per-user RANGE join (the task brief's interval-join operator): for
+    each ``left_type`` event, EVERY ``right_type`` event by the same user
+    with ``left.ts - window_us <= right.ts <= left.ts`` — one output row per
+    qualifying pair (unlike :func:`asof_join`, which keeps only the latest).
+    Emits (event_id, user_id, matched_event_id, lag_us), lag_us >= 0.
+
+    Same shuffle-by-user shape as every events operator (one shared
+    partitioning key); the local solve is two vectorized ``searchsorted``
+    bounds over the user's time-sorted right events + a repeat/arange pair
+    expansion — fan-out is bounded by events-per-user-per-window, no
+    Python per row."""
+
+    def solve(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series([], dtype="int64"),
+                "user_id": pd.Series([], dtype=group["user_id"].dtype),
+                "matched_event_id": pd.Series([], dtype="int64"),
+                "lag_us": pd.Series([], dtype="int64"),
+            }
+        )
+        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = group["event_id"].to_numpy().astype(np.int64)
+        et = group["event_type"].to_numpy()
+        is_r = et == right_type
+        is_l = et == left_type
+        if not is_r.any() or not is_l.any():
+            return empty
+        # right side sorted by (ts, event_id) for deterministic emission order
+        r_order = np.lexsort((eid[is_r], ts[is_r]))
+        rts, rid = ts[is_r][r_order], eid[is_r][r_order]
+        lts, lid = ts[is_l], eid[is_l]
+        lo = np.searchsorted(rts, lts - window_us, side="left")
+        hi = np.searchsorted(rts, lts, side="right")
+        n = hi - lo
+        total = int(n.sum())
+        if total == 0:
+            return empty
+        li = np.repeat(np.arange(len(lid)), n)
+        ri = np.repeat(lo, n) + (np.arange(total) - np.repeat(np.cumsum(n) - n, n))
+        return pd.DataFrame(
+            {
+                "event_id": lid[li],
+                "user_id": np.repeat(group["user_id"].to_numpy()[is_l], n),
+                "matched_event_id": rid[ri],
+                "lag_us": lts[li] - rts[ri],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(solve)

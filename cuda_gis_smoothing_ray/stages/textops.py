@@ -532,3 +532,97 @@ def simhash_pairs(ds, max_hamming: int = 3, n_bands: int = 4,
     return pairs.map_batches(_dedupe_packed_pairs("hamming"),
                              batch_format="pyarrow", batch_size=None) \
         .groupby("part").map_groups(_reduce_packed_pairs("hamming"))
+
+
+def tfidf(ds, n_docs: int | None = None, n_parts: int = _PAIR_PARTS):
+    """documents -> (doc_id, token, tf, df, score): term-frequency /
+    document-frequency scoring over whitespace tokens.
+
+    ``score = tf * (N + 1) / (df + 1)`` — a RATIONAL (log-free) idf
+    smoothing, chosen deliberately: it ranks identically to the log form
+    per token and is bit-reproducible in DuckDB (libm ``ln`` may differ in
+    the last ulp between engines, which the round6 hash gate would catch).
+
+    Plan: Arrow-native (doc, token, tf) extraction (dictionary-encode +
+    one np.unique-with-counts per batch — a doc lives in one row, so rows
+    are globally distinct); df via a token-HASH-keyed coarse-partition
+    vectorized count joined back to the posting rows in the same shuffle
+    (union + per-partition sort-merge) — Python cost per partition, never
+    per vocab term."""
+    import pyarrow.compute as pc_
+
+    from ..functions.hashing import fnv_token_hash64
+
+    if n_docs is None:
+        n_docs = ds.count()
+    idf_num = np.float64(n_docs + 1)
+
+    EMPTY = pa.schema(
+        [("key", pa.int64()), ("kind", pa.int8()), ("doc_id", pa.int64()),
+         ("token", pa.string()), ("tf", pa.int64()), ("__part", pa.int64())]
+    )
+
+    def _part_of(key: np.ndarray) -> np.ndarray:
+        return (
+            (key.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(52)
+        ) % np.uint64(n_parts)
+
+    def posting_rows(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(doc_id) == 0:
+            return EMPTY.empty_table()
+        split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        n_words = split.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = split.flatten()
+        row_idx = np.repeat(np.arange(len(doc_id), dtype=np.int64), n_words)
+        nonempty = pc_.not_equal(flat, "")
+        row_idx = row_idx[nonempty.to_numpy(zero_copy_only=False)]
+        toks = flat.filter(nonempty)
+        if len(toks) == 0:
+            return EMPTY.empty_table()
+        dic = toks.dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = row_idx * (codes.max() + 1) + codes
+        _, uidx, tf = np.unique(packed, return_index=True, return_counts=True)
+        u_row, u_code = row_idx[uidx], codes[uidx]
+        tok_arr = dic.dictionary.take(pa.array(u_code))
+        thash = fnv_token_hash64(tok_arr).view(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(thash),
+                "kind": pa.array(np.ones(len(u_row), np.int8)),
+                "doc_id": pa.array(doc_id[u_row]),
+                "token": tok_arr,
+                "tf": pa.array(tf.astype(np.int64)),
+                "__part": pa.array(_part_of(thash).astype(np.int64)),
+            }
+        )
+
+    postings = ds.map_batches(posting_rows, batch_format="pyarrow")
+
+    def join_df(part: pa.Table) -> pa.Table:
+        # every row of a token's postings lands in this partition: df is a
+        # local np.unique count over the hash keys
+        key = part.column("key").to_numpy(zero_copy_only=False)
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        uniq, start, df_cnt = np.unique(key_s, return_index=True, return_counts=True)
+        pos = np.searchsorted(uniq, key)
+        df = df_cnt[pos].astype(np.float64)
+        tf = part.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        score = tf * (idf_num / (df + 1.0))
+        return pa.table(
+            {
+                "doc_id": part.column("doc_id"),
+                "token": part.column("token"),
+                "tf": part.column("tf"),
+                "df": pa.array(df_cnt[pos].astype(np.int64)),
+                "score": pa.array(np.floor(score * 1e6 + 0.5) / 1e6),
+            }
+        )
+
+    return postings.groupby("__part").map_groups(join_df, batch_format="pyarrow")
