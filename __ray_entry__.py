@@ -563,6 +563,53 @@ def _q_join_region_customers(sf_dir: str):
     )
 
 
+def _q_events_pivot(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.pivot_counts(events.read_events(sf_dir)).sort("user_id")
+
+
+def _q_grouped_quantiles(sf_dir: str):
+    import pyarrow.compute as pc_
+
+    from cuda_gis_smoothing_ray.stages.sketch import grouped_quantiles
+
+    def text_len(batch: pa.Table) -> np.ndarray:
+        return pc_.utf8_length(batch.column("text")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+
+    docs = _docs(sf_dir, ("doc_id", "text", "lang"))
+    return grouped_quantiles(docs, "lang", text_len).sort(["lang", "q"])
+
+
+def _q_semi_join(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.join import hash_semi_join, read_table
+
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = read_table(sf_dir, "orders", ["o_custkey"])
+    return hash_semi_join(cust, orders, "c_custkey", "o_custkey").sort("c_custkey")
+
+
+def _q_anti_join(sf_dir: str):
+    """Customers with no URGENT order (restricted so the result is
+    non-empty at every driver sf — an empty Dataset loses its schema and
+    can't be compared)."""
+    from cuda_gis_smoothing_ray.stages.join import hash_semi_join, read_table
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    # priority filter pushed into the parquet scan (prune at the read)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    )
+    return hash_semi_join(cust, orders, "c_custkey", "o_custkey", anti=True).sort("c_custkey")
+
+
 def _q_range_join(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import events
 
@@ -663,6 +710,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "events_pivot": _q_events_pivot,
+        "grouped_quantiles": _q_grouped_quantiles,
+        "customers_with_orders": _q_semi_join,
+        "customers_without_orders": _q_anti_join,
         "join_orders_by_nation": _q_join_orders_by_nation,
         "join_region_customers": _q_join_region_customers,
         "join_revenue_by_priority": _q_join_revenue_by_priority,
@@ -720,6 +771,10 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": oc.sessionize_sql(),
         "asof_join": oc.asof_join_sql(),
         "range_join": oc.range_join_sql(),
+        "events_pivot": oc.events_pivot_sql(),
+        "grouped_quantiles": oc.grouped_quantiles_sql(),
+        "customers_with_orders": oc.customers_with_orders_sql(),
+        "customers_without_orders": oc.customers_with_orders_sql(anti=True, priority="1-URGENT"),
         "join_orders_by_nation": oc.join_orders_by_nation_sql(),
         "join_region_customers": oc.join_region_customers_sql(),
         "join_revenue_by_priority": oc.join_revenue_by_priority_sql(),

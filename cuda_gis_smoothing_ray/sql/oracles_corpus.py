@@ -342,6 +342,47 @@ FROM tf JOIN df USING (token) CROSS JOIN n
 ORDER BY doc_id, token"""
 
 
+def events_pivot_sql(types: tuple[str, ...] = events.EVENT_TYPES) -> str:
+    """Oracle of stages/events.pivot_counts (conditional-aggregation pivot)."""
+    cols = ",\n  ".join(
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+        for t in types
+    )
+    return f"""SELECT user_id,
+  {cols},
+  {round6('sum(value)')} AS sum_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id"""
+
+
+def grouped_quantiles_sql(qs=(0.5, 0.9, 0.99)) -> str:
+    """Oracle of sketch.grouped_quantiles over per-language text lengths."""
+    vals = ", ".join(f"(CAST({q} AS DOUBLE))" for q in qs)
+    return f"""WITH v AS (SELECT lang, length(text) AS v FROM documents),
+r AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS rn FROM v),
+n AS (SELECT lang, count(*) AS n FROM v GROUP BY lang)
+SELECT n.lang AS lang, qv.q, r.v AS value
+FROM n
+CROSS JOIN (VALUES {vals}) qv(q)
+JOIN r ON r.lang = n.lang AND r.rn = CAST(floor((n.n - 1) * qv.q) AS BIGINT) + 1
+ORDER BY n.lang, qv.q"""
+
+
+def customers_with_orders_sql(anti: bool = False,
+                              priority: str | None = None) -> str:
+    """Oracle of the hash semi/anti join: customers that do (semi) or do
+    not (anti) appear in orders (optionally restricted to one priority —
+    the anti query uses '1-URGENT' so its result is non-empty at every
+    driver sf; the unrestricted anti set is empty in the driver data)."""
+    op = "NOT EXISTS" if anti else "EXISTS"
+    extra = f" AND o.o_orderpriority = '{priority}'" if priority else ""
+    return f"""SELECT c_custkey, c_nationkey
+FROM customer c
+WHERE {op} (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey{extra})
+ORDER BY c_custkey"""
+
+
 def range_join_sql(left_type: str = "purchase", right_type: str = "view",
                    window_us: int = events.RANGE_WINDOW_US) -> str:
     """Oracle of stages/events.range_join: every same-user right event in

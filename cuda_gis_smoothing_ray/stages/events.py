@@ -232,3 +232,45 @@ def range_join(ds, left_type: str = "purchase", right_type: str = "view",
         )
 
     return ds.groupby("user_id").map_groups(solve)
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_counts(ds, types: tuple[str, ...] = EVENT_TYPES):
+    """events -> (user_id, n_<type>..., sum_value): pivot event_type into
+    count columns per user (conditional-aggregation pivot).  Partials
+    pivot batch-locally (one pandas crosstab-style groupby), then a
+    user-keyed vectorized sum — shuffle volume is |users| x (|types|+1)
+    partial rows per batch, never event rows."""
+    from ..functions.reduce import hash_groupby_sum
+
+    cols = [f"n_{t}" for t in types]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False).astype(np.float64)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        out = {"user_id": pa.array(uniq)}
+        for t, c in zip(types, cols):
+            out[c] = pa.array(np.bincount(inv, weights=(et == t).astype(np.float64),
+                                          minlength=len(uniq)))
+        out["sum_value"] = pa.array(np.bincount(inv, weights=val, minlength=len(uniq)))
+        return pa.table(out)
+
+    reduced = hash_groupby_sum(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "user_id", cols + ["sum_value"],
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        out = {"user_id": batch.column("user_id")}
+        for c in cols:
+            v = batch.column(c).to_numpy(zero_copy_only=False)
+            out[c] = pa.array(np.floor(v + 0.5).astype(np.int64))
+        sv = batch.column("sum_value").to_numpy(zero_copy_only=False)
+        out["sum_value"] = pa.array(np.floor(sv * 1e6 + 0.5) / 1e6)
+        return pa.table(out)
+
+    return reduced.map_batches(finalize, batch_format="pyarrow")

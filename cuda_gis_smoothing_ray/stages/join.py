@@ -104,3 +104,64 @@ def shuffle_join(left, right, on: str, right_on: str | None = None,
         on=(on,),
         right_on=(right_on or on,),
     )
+
+
+def hash_semi_join(left, right, left_key: str, right_key: str | None = None,
+                   anti: bool = False, n_parts: int = 64):
+    """Scale-safe semi/anti join: keep left rows whose key does (semi) or
+    does not (anti) appear in ``right``.  Only DISTINCT right keys shuffle
+    (deduped per batch, then partitioned); each hash partition resolves
+    membership with one vectorized sorted-membership pass — no broadcast of
+    the right side, works at any right-side cardinality."""
+    rk = right_key or left_key
+    _G = np.uint64(0x9E3779B97F4A7C15)
+
+    def _part(key: np.ndarray) -> np.ndarray:
+        return ((key.astype(np.int64).view(np.uint64) * _G) >> np.uint64(52)) % np.uint64(n_parts)
+
+    def right_rows(batch: pa.Table) -> pa.Table:
+        k = np.unique(batch.column(rk).to_numpy(zero_copy_only=False).astype(np.int64))
+        t = pa.table({"__key": pa.array(k), "__kind": pa.array(np.zeros(len(k), np.int8))})
+        return t.append_column("__part", pa.array(_part(k).astype(np.int64)))
+
+    def left_rows(batch: pa.Table) -> pa.Table:
+        k = batch.column(left_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        batch = batch.append_column("__key", pa.array(k))
+        batch = batch.append_column("__kind", pa.array(np.ones(len(k), np.int8)))
+        return batch.append_column("__part", pa.array(_part(k).astype(np.int64)))
+
+    # union needs identical schemas: pad right rows with null left columns
+    left_schema = left.schema()
+
+    def right_rows_padded(batch: pa.Table) -> pa.Table:
+        t = right_rows(batch)
+        out = pa.table(
+            {
+                **{f.name: pa.nulls(len(t), f.type) for f in left_schema.base_schema},
+                "__key": t.column("__key"),
+                "__kind": t.column("__kind"),
+                "__part": t.column("__part"),
+            }
+        )
+        return out
+
+    def resolve(part: pa.Table) -> pa.Table:
+        kind = part.column("__kind").to_numpy(zero_copy_only=False)
+        key = part.column("__key").to_numpy(zero_copy_only=False)
+        present = np.unique(key[kind == 0])
+        lm = kind == 1
+        lk = key[lm]
+        pos = np.searchsorted(present, lk)
+        hit = (
+            (pos < len(present)) & (present[np.minimum(pos, max(len(present) - 1, 0))] == lk)
+            if len(present)
+            else np.zeros(len(lk), bool)
+        )
+        keep = ~hit if anti else hit
+        rows = part.filter(pa.array(lm)).filter(pa.array(keep))
+        return rows.drop_columns(["__key", "__kind", "__part"])
+
+    both = left.map_batches(left_rows, batch_format="pyarrow").union(
+        right.map_batches(right_rows_padded, batch_format="pyarrow")
+    )
+    return both.groupby("__part").map_groups(resolve, batch_format="pyarrow")

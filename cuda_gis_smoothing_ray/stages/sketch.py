@@ -152,3 +152,49 @@ def quantiles(ds, col_fn, qs: tuple[float, ...] = QUANTILES):
         out_q.append(float(q))
         out_v.append(int(v[int(np.searchsorted(cum, k + 1))]))
     return pa.table({"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.int64())})
+
+
+def grouped_quantiles(ds, group_col: str, col_fn, qs: tuple[float, ...] = QUANTILES):
+    """-> (<group_col>, q, value): exact lower quantiles per group (same
+    rank-floor((n-1)*q) definition as :func:`quantiles`).  Histogram plan
+    per group: batch-local (group, value) counts shuffle (cardinality =
+    |groups| x |value domain|), one vectorized cumsum solve per group."""
+    import pandas as pd
+
+    def counts(batch: pa.Table) -> pa.Table:
+        v = col_fn(batch)
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"g": g, "v": v})
+        agg = df.groupby(["g", "v"], sort=True).size().reset_index(name="cnt")
+        return pa.table(
+            {
+                group_col: pa.array(agg["g"]),
+                "value": pa.array(agg["v"].to_numpy().astype(np.int64)),
+                "cnt": pa.array(agg["cnt"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    def solve(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("value")
+        v = g["value"].to_numpy()
+        # partials from different batches may repeat a value: re-aggregate
+        uniq, inv = np.unique(v, return_inverse=True)
+        c = np.bincount(inv, weights=g["cnt"].to_numpy().astype(np.float64),
+                        minlength=len(uniq)).astype(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        ks = np.floor((n - 1) * np.asarray(qs)).astype(np.int64)
+        vals = uniq[np.searchsorted(cum, ks + 1)]
+        return pd.DataFrame(
+            {
+                group_col: np.repeat(g[group_col].iloc[0], len(qs)),
+                "q": np.asarray(qs, dtype=np.float64),
+                "value": vals.astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
+        .groupby(group_col)
+        .map_groups(solve)
+    )
