@@ -563,6 +563,12 @@ def _q_join_region_customers(sf_dir: str):
     )
 
 
+def _q_running_totals(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.running_totals(events.read_events(sf_dir)).sort("event_id")
+
+
 def _q_events_pivot(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import events
 
@@ -710,6 +716,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "running_totals": _q_running_totals,
         "events_pivot": _q_events_pivot,
         "grouped_quantiles": _q_grouped_quantiles,
         "customers_with_orders": _q_semi_join,
@@ -771,6 +778,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": oc.sessionize_sql(),
         "asof_join": oc.asof_join_sql(),
         "range_join": oc.range_join_sql(),
+        "running_totals": oc.running_totals_sql(),
         "events_pivot": oc.events_pivot_sql(),
         "grouped_quantiles": oc.grouped_quantiles_sql(),
         "customers_with_orders": oc.customers_with_orders_sql(),

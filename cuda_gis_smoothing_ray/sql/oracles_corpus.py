@@ -342,6 +342,17 @@ FROM tf JOIN df USING (token) CROSS JOIN n
 ORDER BY doc_id, token"""
 
 
+def running_totals_sql() -> str:
+    """Oracle of stages/events.running_totals (exact integer-cent running
+    sum; see its docstring for why cents, not raw doubles)."""
+    return """SELECT event_id, user_id,
+  CAST(row_number() OVER w AS BIGINT) AS seq,
+  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS cum_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+ORDER BY event_id"""
+
+
 def events_pivot_sql(types: tuple[str, ...] = events.EVENT_TYPES) -> str:
     """Oracle of stages/events.pivot_counts (conditional-aggregation pivot)."""
     cols = ",\n  ".join(

@@ -274,3 +274,27 @@ def pivot_counts(ds, types: tuple[str, ...] = EVENT_TYPES):
         return pa.table(out)
 
     return reduced.map_batches(finalize, batch_format="pyarrow")
+
+
+def running_totals(ds):
+    """events -> (event_id, user_id, seq, cum_cents): per-user running
+    totals in (ts, event_id) order — the cumulative window-function family
+    (SUM OVER ROWS UNBOUNDED PRECEDING).  Values are accumulated as exact
+    integer cents (floor(value*100+0.5)), so the running sum is
+    deterministic across engines regardless of float addition order (DuckDB
+    evaluates running windows with a segment tree — float order differs).
+    Same shuffle-by-user key as every events operator."""
+
+    def solve(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        cents = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy().astype(np.int64),
+                "user_id": g["user_id"].to_numpy(),
+                "seq": np.arange(1, len(g) + 1, dtype=np.int64),
+                "cum_cents": np.cumsum(cents),
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(solve)
