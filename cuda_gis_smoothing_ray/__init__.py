@@ -13,11 +13,14 @@ def tune_data_context() -> None:
     default 50% operator resource reservation halves (or worse) map-operator
     concurrency whenever ANY all-to-all op (groupby/repartition/sort) appears
     downstream — measured map concurrency 1-2 of 4 CPUs and 2x wall time on
-    the corpus pipeline.  In this engine every shuffle moves batch-local
-    PARTIALS (bounded cardinality: cells, langs, windows, bands), never the
-    page-level stream, so reserving half the cluster for the shuffle starves
-    the stage doing ~all the work.  Pipelines with big shuffles still
-    backpressure correctly via the object-store memory budget.
+    the corpus pipeline.  In this engine shuffles move either batch-local
+    PARTIALS (bounded cardinality: cells, langs, windows, bands, distinct
+    join keys) or deliberately bounded row streams (events keyed by user,
+    candidate-pair keys) — never the page-level stream — so reserving half
+    the cluster for the shuffle starves the stage doing ~all the work.
+    Pipelines with big shuffles still backpressure correctly via the
+    object-store memory budget; a future pipeline that DOES shuffle
+    page-level rows should re-enable the reservation for itself.
     """
     global _CTX_TUNED
     if _CTX_TUNED:
