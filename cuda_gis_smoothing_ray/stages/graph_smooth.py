@@ -147,6 +147,8 @@ def second_order_edges(ds, n_parts: int = N_PARTS):
         lm = kind == 0
         present = np.unique(key[lm])
         ck, ci = key[~lm], src[~lm]
+        if len(present) == 0 or len(ck) == 0:
+            return _EDGES_SCHEMA.empty_table()
         pos = np.searchsorted(present, ck)
         ok = (pos < len(present)) & (present[np.minimum(pos, len(present) - 1)] == ck)
         return pa.table({"src": pa.array(ci[ok]), "dst": pa.array(ck[ok])})

@@ -264,3 +264,36 @@ def test_reference_binary_golden_diff(demo_bin, tmp_path):
     )
     assert len(ref) == len(got)
     assert np.abs(ref - got).max() <= 1e-4
+
+
+def test_second_order_edges_adversarial_graph():
+    """Dangling ids, duplicate list entries, asymmetric adjacency, empty
+    lists: the distributed derivation must still equal the v5 transcription."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.graph_smooth import (
+        second_order_edges,
+        second_order_numpy,
+    )
+
+    neighbors = [
+        [1, 1, 99, -7, 2],   # dupes + dangling
+        [0, 3],
+        [3],                 # asymmetric: 2->3 but 3 lists only 4
+        [4, 4, 0],
+        [],
+        [0, 1, 2, 3, 4, 5],  # self-reference (5 lists itself)
+    ]
+    t = pa.table(
+        {
+            "cell_idx": pa.array(range(6), pa.int64()),
+            "ndvi": pa.array([float(i) for i in range(6)]),
+            "neighbors": pa.array(neighbors, pa.list_(pa.int32())),
+        }
+    )
+    got = second_order_edges(rd.from_arrow(t)).to_pandas()
+    got_map = {int(i): sorted(g["dst"].tolist()) for i, g in got.groupby("src")}
+    want = second_order_numpy(neighbors)
+    for i, lst in enumerate(want):
+        assert got_map.get(i, []) == lst, (i, got_map.get(i, []), lst)

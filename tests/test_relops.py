@@ -1,0 +1,141 @@
+"""Planted-fixture tests for the round-2 relational/window additions
+(range join, pivot, running totals, semi/anti join, grouped quantiles,
+tfidf) — the oracle gate covers them end-to-end; these pin the semantics
+on hand-checkable inputs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _events_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    np.array([r[1] for r in rows], dtype="datetime64[us]")
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([float(r[4]) for r in rows]),
+            }
+        )
+    )
+
+
+US = 1_000_000
+
+
+def test_range_join_window_semantics():
+    from cuda_gis_smoothing_ray.stages.events import range_join
+
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+    rows = [
+        (1, t0, 7, "view", 0),
+        (2, t0 + np.timedelta64(10, "s"), 7, "view", 0),
+        (3, t0 + np.timedelta64(20, "s"), 7, "purchase", 5),
+        (4, t0 + np.timedelta64(21, "s"), 7, "view", 0),     # after purchase
+        (5, t0, 8, "purchase", 1),                             # other user, no views
+        (6, t0 + np.timedelta64(3600, "s"), 7, "purchase", 2), # 1h later
+    ]
+    out = (
+        range_join(_events_ds(rows), window_us=15 * US)
+        .to_pandas()
+        .sort_values(["event_id", "matched_event_id"])
+    )
+    pairs = list(zip(out["event_id"], out["matched_event_id"]))
+    # purchase 3 sees view 2 (10s before) but not view 1 (20s) or view 4 (after)
+    assert pairs == [(3, 2)]
+    assert out["lag_us"].tolist() == [10 * US]
+
+
+def test_pivot_counts_and_running_totals():
+    from cuda_gis_smoothing_ray.stages.events import pivot_counts, running_totals
+
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+    rows = [
+        (1, t0, 7, "view", 1.25),
+        (2, t0 + np.timedelta64(1, "s"), 7, "click", 2.5),
+        (3, t0 + np.timedelta64(2, "s"), 7, "view", 0.25),
+        (4, t0, 8, "purchase", 10.0),
+    ]
+    pv = pivot_counts(_events_ds(rows)).to_pandas().sort_values("user_id")
+    assert pv["n_view"].tolist() == [2, 0]
+    assert pv["n_click"].tolist() == [1, 0]
+    assert pv["n_purchase"].tolist() == [0, 1]
+    assert np.allclose(pv["sum_value"].to_numpy(), [4.0, 10.0])
+
+    rt = running_totals(_events_ds(rows)).to_pandas().sort_values("event_id")
+    assert rt["seq"].tolist() == [1, 2, 3, 1]
+    assert rt["cum_cents"].tolist() == [125, 375, 400, 1000]
+
+
+def test_hash_semi_anti_join_partition(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages.join import hash_semi_join, read_table
+
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table({"k": pa.array(range(10), pa.int64()),
+                  "v": pa.array([float(i) for i in range(10)])}),
+        f"{d}/left.parquet",
+    )
+    pq.write_table(
+        pa.table({"rk": pa.array([2, 3, 3, 5, 99], pa.int64())}), f"{d}/right.parquet"
+    )
+    left = read_table(d, "left", ["k", "v"])
+    right = read_table(d, "right", ["rk"])
+    semi = hash_semi_join(left, right, "k", "rk").to_pandas().sort_values("k")
+    assert semi["k"].tolist() == [2, 3, 5]
+    anti = hash_semi_join(left, right, "k", "rk", anti=True).to_pandas().sort_values("k")
+    assert anti["k"].tolist() == [0, 1, 4, 6, 7, 8, 9]
+
+
+def test_grouped_quantiles_matches_numpy():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import grouped_quantiles
+
+    rng = np.random.default_rng(2)
+    g = np.repeat(np.array(["a", "b", "c"]), 200)
+    v = rng.integers(0, 50, 600)
+    ds = rd.from_arrow(pa.table({"g": pa.array(g), "v": pa.array(v.astype(np.int64))}))
+    out = (
+        grouped_quantiles(ds, "g", lambda b: b.column("v").to_numpy(zero_copy_only=False),
+                          qs=(0.5, 0.9))
+        .to_pandas()
+        .sort_values(["g", "q"])
+        .reset_index(drop=True)
+    )
+    for grp in "abc":
+        vals = np.sort(v[g == grp])
+        for q in (0.5, 0.9):
+            want = vals[int(np.floor((len(vals) - 1) * q))]
+            got = out[(out["g"] == grp) & (out["q"] == q)]["value"].iloc[0]
+            assert got == want, (grp, q)
+
+
+def test_tfidf_planted():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import tfidf
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["x x y", "x z", "z z z"], pa.string()),
+        }
+    )
+    out = tfidf(rd.from_arrow(docs)).to_pandas()
+    d = {(r.doc_id, r.token): (r.tf, r.df, r.score) for r in out.itertuples()}
+    # N=3; score = tf * (4 / (df+1))
+    assert d[(0, "x")] == (2, 2, np.floor(2 * (4 / 3) * 1e6 + 0.5) / 1e6)
+    assert d[(0, "y")] == (1, 1, 2.0)
+    assert d[(2, "z")] == (3, 2, 4.0)
+    assert (0, "z") not in d
