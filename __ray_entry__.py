@@ -335,6 +335,14 @@ def _q_ann_ivf(sf_dir: str):
     )
 
 
+def _q_ann_pq(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import ann
+
+    return ann.ann_pq(ann.read_embeddings(sf_dir), sf_dir, k=ANN_K).sort(
+        ["query_id", "rank"]
+    )
+
+
 def _q_neardup(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import ann
 
@@ -706,6 +714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_pq_topk": _q_ann_pq,
         "embedding_neardup": _q_neardup,
         "media_decode": _q_media_decode,
         "media_features": _q_media_features,

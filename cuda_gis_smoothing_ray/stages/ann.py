@@ -469,3 +469,117 @@ def ann_ivf(ds, sf_dir: str, k: int = 10, n_queries: int = N_QUERIES,
         .groupby("query_id")
         .map_groups(merge)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product-quantization variant (the memory-bound 100 TB path: 8 bytes/vector
+# instead of 256; Jegou et al. 2011, "Product Quantization for Nearest
+# Neighbor Search")
+# ---------------------------------------------------------------------------
+
+PQ_M = 8          # subspaces (DIM/M dims each)
+PQ_K = 64         # centroids per subspace (codes fit 6 bits; stored uint8)
+PQ_N_TRAIN = 256  # driver-side training sample
+PQ_ITERS = 10
+
+
+def train_pq_codebooks(sf_dir: str, m: int = PQ_M, k: int = PQ_K,
+                       n_train: int = PQ_N_TRAIN, iters: int = PQ_ITERS) -> np.ndarray:
+    """(m, k, DIM/m) deterministic per-subspace k-means codebooks from a
+    row-filtered driver-side sample (same O(n_train) shape as IVF)."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet").to_table(
+        columns=["vec_id", "embedding"], filter=pads.field("vec_id") < n_train
+    ).sort_by("vec_id")
+    x = _emb_matrix(t)
+    d_sub = x.shape[1] // m
+    books = np.empty((m, k, d_sub), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j * d_sub : (j + 1) * d_sub]
+        c = xs[:k].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for ci in range(k):
+                sel = assign == ci
+                if sel.any():
+                    c[ci] = xs[sel].mean(axis=0)
+        books[j] = c
+    return books
+
+
+def pq_encode(x: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, DIM) -> (n, m) uint8 codes: nearest centroid per subspace."""
+    m, k, d_sub = books.shape
+    codes = np.empty((len(x), m), dtype=np.uint8)
+    for j in range(m):
+        xs = x[:, j * d_sub : (j + 1) * d_sub]
+        d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def ann_pq(ds, sf_dir: str, k: int = 10, n_queries: int = N_QUERIES,
+           m: int = PQ_M, n_codes: int = PQ_K):
+    """PQ approximate L2 top-k: vectors are encoded to m uint8 codes (one
+    per subspace) against broadcast codebooks; each query precomputes an
+    (m, n_codes) distance lookup table, so scoring a vector is m table
+    lookups + adds (asymmetric distance computation) — no float vector is
+    ever touched at search time.  Output schema matches the other ANN
+    variants (ranked by approximate distance; ``cosine`` column carries
+    -adc so larger is better, round6); recall@k is pytest-gated.
+
+    Scale shape: codebooks + query LUTs broadcast once; the table streams;
+    local top-k then a k x blocks merge — and at 100 TB the PQ codes (m
+    bytes/vector) are what you'd persist, a 32x memory cut at DIM=64."""
+    import ray
+
+    q_ids, q_mat = load_queries(sf_dir, n_queries)
+    books = train_pq_codebooks(sf_dir, m, n_codes)
+    mm, kk, d_sub = books.shape
+    # per-query LUT: squared L2 from the query's subvector to every centroid
+    luts = np.empty((len(q_ids), mm, kk), dtype=np.float64)
+    for qi in range(len(q_ids)):
+        for j in range(mm):
+            qs = q_mat[qi, j * d_sub : (j + 1) * d_sub]
+            luts[qi, j] = ((books[j] - qs[None, :]) ** 2).sum(axis=1)
+    ref = ray.put((books, luts))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        bks, lt = ray.get(ref)
+        x = _emb_matrix(batch)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = pq_encode(x, bks)  # (n, m) — at scale these are precomputed
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(q_ids)):
+            # ADC: sum the per-subspace LUT entries selected by the codes
+            adc = np.zeros(len(x), dtype=np.float64)
+            for j in range(codes.shape[1]):
+                adc += lt[qi, j][codes[:, j]]
+            mask = vid != q_ids[qi]
+            cv, cs = vid[mask], adc[mask]
+            order = np.lexsort((cv, cs))[:k]
+            out_q.append(np.full(len(order), q_ids[qi], dtype=np.int64))
+            out_v.append(cv[order])
+            out_s.append(-cs[order])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                "vec_id": pa.array(np.concatenate(out_v)),
+                "cosine": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["cosine"] = np.floor(g["cosine"].to_numpy() * 1e6 + 0.5) / 1e6
+        return g[["query_id", "rank", "vec_id", "cosine"]]
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge)
+    )

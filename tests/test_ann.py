@@ -239,3 +239,37 @@ def test_neardup_broadcasts_only_small_objects(clustered_dir, monkeypatch):
     assert len(out) > 0
     table_bytes = 500 * 64 * 4  # the embedding payload itself
     assert sizes and max(sizes) < table_bytes / 4, sizes
+
+
+def test_pq_recall_on_clusters(clustered_dir):
+    """PQ asymmetric-distance top-k must recover most true neighbors on the
+    planted clusters (codes are 8 bytes/vector vs 256 raw)."""
+    from cuda_gis_smoothing_ray.stages.ann import ann_bruteforce, ann_pq, read_embeddings
+
+    k = 10
+    brute = ann_bruteforce(read_embeddings(clustered_dir), clustered_dir, k=k).to_pandas()
+    pq_res = ann_pq(read_embeddings(clustered_dir), clustered_dir, k=k).to_pandas()
+    recalls = []
+    for qid in brute["query_id"].unique():
+        truth = set(brute[brute["query_id"] == qid]["vec_id"])
+        got = set(pq_res[pq_res["query_id"] == qid]["vec_id"])
+        recalls.append(len(truth & got) / k)
+    assert np.mean(recalls) >= 0.7, recalls
+
+
+def test_pq_codes_deterministic_and_compact(clustered_dir):
+    from cuda_gis_smoothing_ray.stages.ann import (
+        PQ_K,
+        PQ_M,
+        _emb_matrix,
+        pq_encode,
+        train_pq_codebooks,
+    )
+
+    b1 = train_pq_codebooks(clustered_dir)
+    b2 = train_pq_codebooks(clustered_dir)
+    assert np.array_equal(b1, b2)
+    t = pq.read_table(f"{clustered_dir}/embeddings.parquet")
+    codes = pq_encode(_emb_matrix(t), b1)
+    assert codes.dtype == np.uint8 and codes.shape == (500, PQ_M)
+    assert codes.max() < PQ_K
