@@ -273,6 +273,22 @@ def _q_simhash(sf_dir: str):
     return textops.simhash_pairs(_docs(sf_dir)).sort(["a", "b"])
 
 
+def _q_split_assign(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return (
+        textops.split_assign(_docs(sf_dir, ("doc_id",)))
+        .select_columns(["doc_id", "split"])
+        .sort("doc_id")
+    )
+
+
+def _q_profile(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.profile_documents(_docs(sf_dir, ("doc_id", "text", "lang")))
+
+
 def _q_tfidf(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import textops
 
@@ -708,6 +724,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash,
         "doc_fingerprints": _q_doc_fingerprints,
         "tfidf": _q_tfidf,
+        "split_assign": _q_split_assign,
+        "profile_documents": _q_profile,
         "minhash_pairs_tiny": _q_minhash_tiny,
         "simhash_pairs_tiny": _q_simhash_tiny,
         "dedup_components": _q_dedup_components,
@@ -773,6 +791,8 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": oc.jaccard_pairs_sql(JACCARD_T),
         "doc_fingerprints": oc.doc_fingerprints_sql(),
         "tfidf": oc.tfidf_sql(),
+        "split_assign": oc.split_assign_sql(),
+        "profile_documents": oc.profile_documents_sql(),
         "minhash_pairs_tiny": oc.minhash_pairs_tiny_sql(0.5, 4, 3, 2),
         "simhash_pairs_tiny": oc.simhash_pairs_tiny_sql(),
         "dedup_components": oc.dedup_components_sql(JACCARD_T),

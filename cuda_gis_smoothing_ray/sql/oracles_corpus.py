@@ -320,6 +320,41 @@ WHERE event_type = '{left_type}' AND matched_event_id IS NOT NULL
 ORDER BY event_id"""
 
 
+def split_assign_sql() -> str:
+    """Oracle of stages/textops.split_assign (hash-bucket train/val/test)."""
+    from ..stages import textops as t
+
+    bounds = []
+    acc = 0
+    cases = []
+    for name, w in t.SPLIT_WEIGHTS:
+        acc += w
+        bounds.append((name, acc))
+    prev = 0
+    for name, hi in bounds:
+        cases.append(f"WHEN h < {hi} THEN '{name}'")
+    case = " ".join(cases)
+    return f"""WITH h AS (
+  SELECT doc_id, ((doc_id % {t.SPLIT_MOD}) * {t.SPLIT_MULT % t.SPLIT_MOD}) % {t.SPLIT_MOD} AS h
+  FROM documents
+)
+SELECT doc_id, CASE {case} END AS split
+FROM h
+ORDER BY doc_id"""
+
+
+def profile_documents_sql() -> str:
+    """Oracle of stages/textops.profile_documents."""
+    return f"""SELECT
+  CAST(count(*) AS BIGINT) AS n_rows,
+  CAST(sum(CASE WHEN trim(text) = '' THEN 1 ELSE 0 END) AS BIGINT) AS n_blank,
+  CAST(min(octet_length(encode(text))) AS BIGINT) AS min_len,
+  CAST(max(octet_length(encode(text))) AS BIGINT) AS max_len,
+  {round6('CAST(sum(octet_length(encode(text))) AS DOUBLE) / count(*)')} AS avg_len,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents"""
+
+
 def tfidf_sql() -> str:
     """Oracle of stages/textops.tfidf (rational idf; see its docstring).
     Float order mirrors the engine exactly: tf * ((N+1) / (df+1))."""

@@ -626,3 +626,89 @@ def tfidf(ds, n_docs: int | None = None, n_parts: int = _PAIR_PARTS):
         )
 
     return postings.groupby("__part").map_groups(join_df, batch_format="pyarrow")
+
+
+SPLIT_MULT = 2654435761
+SPLIT_MOD = 1_000_000
+SPLIT_WEIGHTS = (("train", 900_000), ("val", 50_000), ("test", 50_000))
+
+
+def split_assign(ds, id_col: str = "doc_id",
+                 weights: tuple[tuple[str, int], ...] = SPLIT_WEIGHTS,
+                 mult: int = SPLIT_MULT, mod: int = SPLIT_MOD):
+    """-> input rows + a ``split`` column: deterministic train/val/test
+    assignment by multiplicative hash bucket (ppm weights must sum to
+    ``mod``).  Pure map — streams, no shuffle, identical assignment in SQL
+    and across reruns/engines (the property a training-data split needs;
+    ``ds.random_sample`` / ``train_test_split`` RNG is not reproducible
+    across engines)."""
+    names = [n for n, _ in weights]
+    bounds = np.cumsum([w for _, w in weights])
+    if bounds[-1] != mod:
+        raise ValueError(f"split weights must sum to {mod}, got {bounds[-1]}")
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = ((ids % mod) * (mult % mod)) % mod  # overflow-free (see sample_hash)
+        idx = np.searchsorted(bounds, h, side="right")
+        split = np.array(names, dtype=object)[idx]
+        return batch.append_column("split", pa.array(split, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def profile_documents(ds):
+    """One-row data-quality profile of the documents table: row count,
+    empty/whitespace-only text count, min/max/avg byte length (avg round6),
+    distinct languages.  Batch-local partials -> one tiny driver merge via
+    Dataset.aggregate — the profiling pass a pipeline runs before training
+    ingestion; never materializes rows."""
+    import pyarrow.compute as pc_
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ln = pc_.binary_length(batch.column("text")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        stripped = pc_.utf8_trim_whitespace(batch.column("text"))
+        n_blank = int(pc_.sum(
+            pc_.cast(pc_.equal(stripped, ""), pa.int64())
+        ).as_py() or 0)
+        langs = batch.column("lang").unique()
+        return pa.table(
+            {
+                "n_rows": pa.array([len(ln)], pa.int64()),
+                "n_blank": pa.array([n_blank], pa.int64()),
+                "min_len": pa.array([int(ln.min()) if len(ln) else 2**62], pa.int64()),
+                "max_len": pa.array([int(ln.max()) if len(ln) else -1], pa.int64()),
+                "sum_len": pa.array([int(ln.sum())], pa.int64()),
+                # bounded-cardinality distinct: carry the per-batch lang set
+                "langs": pa.array([",".join(sorted(langs.to_pylist()))], pa.string()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    agg = parts.aggregate(
+        Sum("n_rows", alias_name="n_rows"),
+        Sum("n_blank", alias_name="n_blank"),
+        Min("min_len", alias_name="min_len"),
+        Max("max_len", alias_name="max_len"),
+        Sum("sum_len", alias_name="sum_len"),
+    )
+    # distinct langs: tiny per-batch sets union'd driver-side
+    lang_sets = parts.select_columns(["langs"]).take_all()
+    langs: set[str] = set()
+    for row in lang_sets:
+        langs.update(x for x in row["langs"].split(",") if x)
+    n = int(agg["n_rows"])
+    avg = np.floor(int(agg["sum_len"]) / n * 1e6 + 0.5) / 1e6 if n else 0.0
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "n_blank": pa.array([int(agg["n_blank"])], pa.int64()),
+            "min_len": pa.array([int(agg["min_len"])], pa.int64()),
+            "max_len": pa.array([int(agg["max_len"])], pa.int64()),
+            "avg_len": pa.array([float(avg)], pa.float64()),
+            "n_langs": pa.array([len(langs)], pa.int64()),
+        }
+    )
