@@ -273,6 +273,12 @@ def _q_simhash(sf_dir: str):
     return textops.simhash_pairs(_docs(sf_dir)).sort(["a", "b"])
 
 
+def _q_top_bigrams(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.top_bigrams(_docs(sf_dir), k=20)
+
+
 def _q_split_assign(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import textops
 
@@ -724,6 +730,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash,
         "doc_fingerprints": _q_doc_fingerprints,
         "tfidf": _q_tfidf,
+        "top_bigrams": _q_top_bigrams,
         "split_assign": _q_split_assign,
         "profile_documents": _q_profile,
         "minhash_pairs_tiny": _q_minhash_tiny,
@@ -791,6 +798,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": oc.jaccard_pairs_sql(JACCARD_T),
         "doc_fingerprints": oc.doc_fingerprints_sql(),
         "tfidf": oc.tfidf_sql(),
+        "top_bigrams": oc.top_bigrams_sql(20),
         "split_assign": oc.split_assign_sql(),
         "profile_documents": oc.profile_documents_sql(),
         "minhash_pairs_tiny": oc.minhash_pairs_tiny_sql(0.5, 4, 3, 2),

@@ -320,6 +320,27 @@ WHERE event_type = '{left_type}' AND matched_event_id IS NOT NULL
 ORDER BY event_id"""
 
 
+def top_bigrams_sql(k: int = 20) -> str:
+    """Oracle of stages/textops.top_bigrams (consecutive within-doc token
+    pairs, global count, deterministic top-k)."""
+    return f"""WITH lt AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), s -> s != '') AS l
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM lt
+), bg AS (
+  SELECT t1.tok AS w1, t2.tok AS w2, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  GROUP BY 1, 2
+)
+SELECT w1, w2, cnt,
+  CAST(row_number() OVER (ORDER BY cnt DESC, w1, w2) AS BIGINT) AS rank
+FROM bg
+ORDER BY cnt DESC, w1, w2
+LIMIT {k}"""
+
+
 def split_assign_sql() -> str:
     """Oracle of stages/textops.split_assign (hash-bucket train/val/test)."""
     from ..stages import textops as t

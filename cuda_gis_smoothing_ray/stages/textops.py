@@ -712,3 +712,89 @@ def profile_documents(ds):
             "n_langs": pa.array([len(langs)], pa.int64()),
         }
     )
+
+
+def top_bigrams(ds, k: int = 20, n_parts: int = _PAIR_PARTS):
+    """documents -> top-k word bigrams by corpus count (w1, w2, cnt, rank),
+    ties ascending on (w1, w2) — the n-gram counting op over consecutive
+    whitespace tokens (within-doc adjacency only, no cross-doc pairs).
+
+    Plan: batch-local bigram extraction + count (dictionary codes paired
+    via shifted slices, one np.unique), bigram-HASH-partitioned vectorized
+    global count (strings ride along), then local-top-k + single-partition
+    merge — never a full sort, never per-bigram Python."""
+    import pyarrow.compute as pc_
+
+    from ..functions.hashing import fnv_token_hash64
+    from .gridops import topk
+
+    def bigram_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"key": pa.array([], pa.int64()), "w1": pa.array([], pa.string()),
+             "w2": pa.array([], pa.string()), "cnt": pa.array([], pa.int64()),
+             "__part": pa.array([], pa.int64())}
+        )
+        n_docs = len(batch)
+        if n_docs == 0:
+            return empty
+        split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        counts = split.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = split.flatten()
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        nonempty = pc_.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = doc_idx[nonempty]
+        toks = flat.filter(pa.array(nonempty))
+        if len(toks) < 2:
+            return empty
+        dic = toks.dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        adj = doc_idx[1:] == doc_idx[:-1]  # consecutive tokens, same doc
+        c1, c2 = codes[:-1][adj], codes[1:][adj]
+        if len(c1) == 0:
+            return empty
+        packed = c1 * (codes.max() + 1) + c2
+        uniq, uidx, cnt = np.unique(packed, return_index=True, return_counts=True)
+        w1 = dic.dictionary.take(pa.array(c1[uidx]))
+        w2 = dic.dictionary.take(pa.array(c2[uidx]))
+        # one 64-bit key for the partitioned global count: hash of "w1 w2"
+        joined = pc_.binary_join_element_wise(w1, w2, " ")
+        key = fnv_token_hash64(joined).view(np.int64)
+        part = ((key.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(52)) \
+            % np.uint64(n_parts)
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "w1": w1,
+                "w2": w2,
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "__part": pa.array(part.astype(np.int64)),
+            }
+        )
+
+    def reduce_part(part: pa.Table) -> pa.Table:
+        key = part.column("key").to_numpy(zero_copy_only=False)
+        cnt = part.column("cnt").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(key, return_inverse=True)
+        total = np.bincount(inv, weights=cnt.astype(np.float64),
+                            minlength=len(uniq)).astype(np.int64)
+        first = np.full(len(uniq), len(key), dtype=np.int64)
+        np.minimum.at(first, inv, np.arange(len(key)))
+        take = pa.array(first)
+        return pa.table(
+            {
+                "w1": part.column("w1").take(take),
+                "w2": part.column("w2").take(take),
+                "cnt": pa.array(total),
+            }
+        )
+
+    counted = (
+        ds.map_batches(bigram_counts, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    )
+    return topk(counted, k, by="cnt", tie_cols=("w1", "w2"))
