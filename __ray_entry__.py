@@ -273,6 +273,12 @@ def _q_simhash(sf_dir: str):
     return textops.simhash_pairs(_docs(sf_dir)).sort(["a", "b"])
 
 
+def _q_zscore(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.zscore_text_len(_docs(sf_dir, ("doc_id", "text", "lang"))).sort("doc_id")
+
+
 def _q_top_bigrams(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import textops
 
@@ -730,6 +736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash,
         "doc_fingerprints": _q_doc_fingerprints,
         "tfidf": _q_tfidf,
+        "zscore_text_len": _q_zscore,
         "top_bigrams": _q_top_bigrams,
         "split_assign": _q_split_assign,
         "profile_documents": _q_profile,
@@ -798,6 +805,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": oc.jaccard_pairs_sql(JACCARD_T),
         "doc_fingerprints": oc.doc_fingerprints_sql(),
         "tfidf": oc.tfidf_sql(),
+        "zscore_text_len": oc.zscore_text_len_sql(),
         "top_bigrams": oc.top_bigrams_sql(20),
         "split_assign": oc.split_assign_sql(),
         "profile_documents": oc.profile_documents_sql(),

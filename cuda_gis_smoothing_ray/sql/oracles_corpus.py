@@ -320,6 +320,26 @@ WHERE event_type = '{left_type}' AND matched_event_id IS NOT NULL
 ORDER BY event_id"""
 
 
+def zscore_text_len_sql() -> str:
+    """Oracle of stages/textops.zscore_text_len — identical float op order:
+    var from exact integer moments, IEEE sqrt, one division."""
+    return """WITH v AS (
+  SELECT doc_id, lang, octet_length(encode(text)) AS len FROM documents
+), m AS (
+  SELECT lang, count(*) AS n, sum(len) AS s, sum(len * len) AS ss
+  FROM v GROUP BY lang
+)
+SELECT v.doc_id, v.lang, CAST(v.len AS BIGINT) AS len,
+  CASE WHEN CAST(m.n * m.ss - m.s * m.s AS DOUBLE) / CAST(m.n * m.n AS DOUBLE) > 0.0
+    THEN floor(
+      ((CAST(v.len AS DOUBLE) - CAST(m.s AS DOUBLE) / CAST(m.n AS DOUBLE))
+       / sqrt(CAST(m.n * m.ss - m.s * m.s AS DOUBLE) / CAST(m.n * m.n AS DOUBLE)))
+      * 1000000.0 + 0.5) / 1000000.0
+    ELSE 0.0 END AS z
+FROM v JOIN m USING (lang)
+ORDER BY doc_id"""
+
+
 def top_bigrams_sql(k: int = 20) -> str:
     """Oracle of stages/textops.top_bigrams (consecutive within-doc token
     pairs, global count, deterministic top-k)."""

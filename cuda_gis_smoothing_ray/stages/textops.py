@@ -798,3 +798,79 @@ def top_bigrams(ds, k: int = 20, n_parts: int = _PAIR_PARTS):
         .map_groups(reduce_part, batch_format="pyarrow")
     )
     return topk(counted, k, by="cnt", tie_cols=("w1", "w2"))
+
+
+def zscore_text_len(ds, n_parts: int = _PAIR_PARTS):
+    """documents -> (doc_id, lang, len, z): per-language z-score of the
+    text byte length — the per-group feature-normalization op a training
+    pipeline runs before thresholding.
+
+    Two-pass broadcast shape: pass 1 aggregates EXACT integer moments
+    (n, sum, sum of squares — int64 sums of ints, no float order issues)
+    per language into a tiny driver-side table; pass 2 broadcasts it and
+    normalizes every row in place.  z = (len*n - sum) / (n * sqrt(var))
+    with var from the integer moments and IEEE sqrt (correctly rounded →
+    identical across engines), so the round6 output is bit-reproducible."""
+    import pyarrow.compute as pc_
+    import ray
+
+    def moments(batch: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        ln = pc_.binary_length(batch.column("text")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        df = pd_.DataFrame({"lang": lang, "n": 1, "s": ln, "ss": ln * ln})
+        g = df.groupby("lang", sort=True).sum().reset_index()
+        return pa.table(
+            {
+                "lang": pa.array(g["lang"], pa.string()),
+                "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+                "s": pa.array(g["s"].to_numpy().astype(np.int64)),
+                "ss": pa.array(g["ss"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    mom = (
+        ds.map_batches(moments, batch_format="pyarrow", batch_size=None)
+        .groupby("lang")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                   Sum("ss", alias_name="ss"))
+        .take_all()
+    )  # |langs| rows on the driver — bounded
+    stats = {
+        r["lang"]: (int(r["n"]), int(r["s"]), int(r["ss"])) for r in mom
+    }
+    ref = ray.put(stats)
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        st = ray.get(ref)
+        ln = pc_.binary_length(batch.column("text")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        z = np.zeros(len(ln), dtype=np.float64)
+        for lg in np.unique(lang):
+            n, s_, ss = st[lg]
+            m = lang == lg
+            # population variance from exact integer moments
+            var = np.float64(n * ss - s_ * s_) / np.float64(n * n)
+            sd = np.sqrt(var)
+            z[m] = np.where(
+                sd > 0.0,
+                (ln[m].astype(np.float64) - np.float64(s_) / np.float64(n)) / sd,
+                0.0,
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "len": pa.array(ln),
+                "z": pa.array(np.floor(z * 1e6 + 0.5) / 1e6),
+            }
+        )
+
+    return ds.map_batches(normalize, batch_format="pyarrow")
