@@ -404,6 +404,14 @@ def _q_media_features(sf_dir: str):
     return ds.map_batches(expand, batch_format="pyarrow").sort("media_id")
 
 
+def _q_audio_resample(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import media
+
+    return media.audio_resample(
+        media.media_decode(media.media_table(sf_dir))
+    ).sort("media_id")
+
+
 def _q_media_resize(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import media
 
@@ -751,6 +759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
+        "audio_resample": _q_audio_resample,
         "frame_sample": _q_frame_sample,
         "text_quality_by_lang": _q_text_quality_by_lang,
         "events_window": _q_events_window,
@@ -817,6 +826,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode": oc.media_decode_sql(),
         "media_features": oc.media_features_sql(),
         "media_resize": oc.media_resize_sql(),
+        "audio_resample": oc.audio_resample_sql(),
         "frame_sample": oc.frame_sample_sql(),
         "text_quality_by_lang": oc.text_quality_by_lang_sql(),
         "events_window": oc.events_window_sql(),

@@ -263,6 +263,24 @@ FROM g
 ORDER BY media_id"""
 
 
+def audio_resample_sql(target_rate: int = media.AUDIO_TARGET_RATE) -> str:
+    """Oracle of stages/media.audio_resample (audio rows: media_id % 3 == 1)."""
+    base = media_decode_sql()
+    body = base[: base.rindex("ORDER BY")]
+    return f"""WITH dec AS (
+{body})
+SELECT media_id,
+  8000 + (n_bytes * 11) % 40000 AS src_rate,
+  CAST({target_rate} AS BIGINT) AS target_rate,
+  floor(CAST({target_rate} AS DOUBLE) / CAST(8000 + (n_bytes * 11) % 40000 AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS ratio,
+  (8000 + (n_bytes * 11) % 40000) * duration_ms // 1000 AS n_in,
+  {target_rate} * duration_ms // 1000 AS n_out
+FROM dec
+WHERE kind = 'audio'
+ORDER BY media_id"""
+
+
 def events_window_sql(window_us: int = events.WINDOW_US) -> str:
     return f"""SELECT
   make_timestamp((epoch_us(ts) // {window_us}) * {window_us}) AS window_start,

@@ -192,3 +192,38 @@ def frame_sample(ds, interval_ms: int = FRAME_INTERVAL_MS, max_frames: int = MAX
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+AUDIO_TARGET_RATE = 16_000
+
+
+def audio_resample(ds, target_rate: int = AUDIO_TARGET_RATE):
+    """Decoded media -> audio resample-stage output (stubbed samples, real
+    plumbing): audio rows only (kind = 'audio'), with the fake source rate
+    derived from payload arithmetic (mirrored by the SQL oracle), the
+    target rate, the rational resample ratio and the output sample count a
+    real polyphase resampler would produce.  A real deployment swaps the
+    arithmetic for torchaudio/soxr inside the same stage; schema, filter
+    and batch flow are unchanged."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("kind"), "audio"))
+        nbytes = batch.column("n_bytes").to_numpy(zero_copy_only=False).astype(np.int64)
+        dur = batch.column("duration_ms").to_numpy(zero_copy_only=False).astype(np.int64)
+        src_rate = 8000 + (nbytes * 11) % 40000  # deterministic fake
+        n_in = src_rate * dur // 1000
+        n_out = np.int64(target_rate) * dur // 1000
+        ratio = np.floor(np.float64(target_rate) / src_rate.astype(np.float64) * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "media_id": batch.column("media_id"),
+                "src_rate": pa.array(src_rate),
+                "target_rate": pa.array(np.full(len(nbytes), target_rate, np.int64)),
+                "ratio": pa.array(ratio),
+                "n_in": pa.array(n_in),
+                "n_out": pa.array(n_out),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

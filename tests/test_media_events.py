@@ -124,3 +124,19 @@ def test_media_resize_and_frame_sample(sf_dir):
     for mid, n in per["count"].head(10).items():
         d = int(dec[dec["media_id"] == mid]["duration_ms"].iloc[0])
         assert n == min(1 + d // media.FRAME_INTERVAL_MS, media.MAX_FRAMES)
+
+
+def test_audio_resample(sf_dir):
+    from cuda_gis_smoothing_ray.stages import media
+
+    decoded = media.media_decode(media.media_table(sf_dir))
+    out = media.audio_resample(decoded).to_pandas()
+    dec = decoded.to_pandas()
+    audio = dec[dec["kind"] == "audio"]
+    assert set(out["media_id"]) == set(audio["media_id"])
+    assert (out["target_rate"] == media.AUDIO_TARGET_RATE).all()
+    assert ((out["src_rate"] >= 8000) & (out["src_rate"] < 48000)).all()
+    # output length = rate conversion of input length (integer-ms duration)
+    merged = out.merge(audio[["media_id", "duration_ms"]], on="media_id")
+    assert (merged["n_in"] == merged["src_rate"] * merged["duration_ms"] // 1000).all()
+    assert (merged["n_out"] == media.AUDIO_TARGET_RATE * merged["duration_ms"] // 1000).all()
