@@ -71,6 +71,15 @@ def entry() -> Any:
 # queries
 # ---------------------------------------------------------------------------
 
+def _q_extract_text(sf_dir: str):
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.extract import extract_text
+
+    # extraction MUST run on the real html bytes (include_html=True); the
+    # oracle compares the result to documents.text per url byte-for-byte
+    return extract_text(read_pages(sf_dir, include_html=True)).sort("page_id")
+
+
 def _q_geocode_cells(sf_dir: str):
     ds = _geocoded(sf_dir)
     ds = ds.select_columns(["page_id", "url", "lat", "lon", "has_mention", "cell"])
@@ -780,6 +789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_hosts": _q_hll_hosts,
         "text_len_quantiles": _q_text_len_quantiles,
         "top_hosts_by_lang": _q_top_hosts_by_lang,
+        "extract_text": _q_extract_text,
         "geocode_cells": _q_geocode_cells,
         "cell_metrics": _q_cell_metrics,
         "neighbor_stats": _q_neighbor_stats,
@@ -854,6 +864,7 @@ def oracle_sql() -> dict[str, str]:
         # tests/test_ann.py).
         "pip_join": o.pip_join_sql(RES),
         "knn_join": o.knn_join_sql(RES, 5),
+        "extract_text": o.extract_text_sql(),
         "geocode_cells": o.geocode_cells_sql(RES),
         "cell_metrics": o.cell_metrics_sql(RES),
         "neighbor_stats": o.neighbor_stats_sql(RES),

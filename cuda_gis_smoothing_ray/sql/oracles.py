@@ -156,6 +156,17 @@ GROUP BY c.cell
 ORDER BY c.cell"""
 
 
+def extract_text_sql() -> str:
+    """Oracle of stages/extract.extract_text: the EXPECTED extraction result
+    is the source-of-truth documents.text per url — a hash match therefore
+    proves the engine's html->text extraction is byte-identical per url
+    (the BASELINE.json input_hint invariant)."""
+    return f"""WITH {pages_cte()}
+SELECT page_id, url, text
+FROM pages
+ORDER BY page_id"""
+
+
 def geocode_cells_sql(res: int) -> str:
     return f"""{prelude(res)}
 SELECT page_id, url, {round6('lat')} AS lat, {round6('lon')} AS lon,

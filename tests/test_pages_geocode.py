@@ -117,3 +117,27 @@ def test_geoencode_actor_pool_matches_task_path(sf_dir, ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_extract_text_byte_identical_per_url(sf_dir):
+    """BASELINE.json input_hint invariant: byte-identical extracted text per
+    url — extraction from the html bytes must reproduce documents.text
+    exactly (bytes, not just str equality)."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages import extract
+
+    got = extract.extract_text(read_pages(sf_dir, include_html=True)).sort("page_id").to_pandas()
+    src = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    src = src.sort_values("doc_id").reset_index(drop=True)
+    assert len(got) == len(src)
+    assert (got["page_id"].to_numpy() == src["doc_id"].to_numpy()).all()
+    assert all(
+        a.encode() == b.encode() for a, b in zip(got["text"], src["text"])
+    )
+    # a real parser isn't shipped in this container: asking for one must fail
+    # loudly, never silently fall back to the synthetic inverse
+    with pytest.raises(NotImplementedError):
+        extract.extract_text(read_pages(sf_dir, include_html=True), parser="trafilatura")
