@@ -622,6 +622,18 @@ def _q_running_totals(sf_dir: str):
     return events.running_totals(events.read_events(sf_dir)).sort("event_id")
 
 
+def _q_event_gaps(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.event_gaps(events.read_events(sf_dir)).sort("event_id")
+
+
+def _q_event_ranks(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.event_ranks(events.read_events(sf_dir)).sort("event_id")
+
+
 def _q_events_pivot(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import events
 
@@ -776,6 +788,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "running_totals": _q_running_totals,
+        "event_gaps": _q_event_gaps,
+        "event_ranks": _q_event_ranks,
         "events_pivot": _q_events_pivot,
         "grouped_quantiles": _q_grouped_quantiles,
         "customers_with_orders": _q_semi_join,
@@ -844,6 +858,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": oc.asof_join_sql(),
         "range_join": oc.range_join_sql(),
         "running_totals": oc.running_totals_sql(),
+        "event_gaps": oc.event_gaps_sql(),
+        "event_ranks": oc.event_ranks_sql(),
         "events_pivot": oc.events_pivot_sql(),
         "grouped_quantiles": oc.grouped_quantiles_sql(),
         "customers_with_orders": oc.customers_with_orders_sql(),

@@ -447,6 +447,34 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
 ORDER BY event_id"""
 
 
+def event_gaps_sql() -> str:
+    """Oracle of stages/events.event_gaps (LAG; first-per-user rows dropped
+    so every column stays non-nullable int64)."""
+    return """SELECT event_id, user_id, prev_event_id,
+  epoch_us(ts) - prev_ts_us AS gap_us
+FROM (
+  SELECT event_id, user_id, ts,
+    lag(event_id) OVER w AS prev_event_id,
+    lag(epoch_us(ts)) OVER w AS prev_ts_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+WHERE prev_event_id IS NOT NULL
+ORDER BY event_id"""
+
+
+def event_ranks_sql() -> str:
+    """Oracle of stages/events.event_ranks (RANK / DENSE_RANK on exact
+    integer cents, highest first)."""
+    return """SELECT event_id, user_id,
+  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+  CAST(rank() OVER w AS BIGINT) AS rnk,
+  CAST(dense_rank() OVER w AS BIGINT) AS drnk
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY floor(value * 100.0 + 0.5) DESC)
+ORDER BY event_id"""
+
+
 def events_pivot_sql(types: tuple[str, ...] = events.EVENT_TYPES) -> str:
     """Oracle of stages/events.pivot_counts (conditional-aggregation pivot)."""
     cols = ",\n  ".join(

@@ -298,3 +298,64 @@ def running_totals(ds):
         )
 
     return ds.groupby("user_id").map_groups(solve)
+
+
+def event_gaps(ds):
+    """events -> (event_id, user_id, prev_event_id, gap_us): the LAG window
+    function — for each event (after the user's first), the previous event
+    in (ts, event_id) order and the elapsed microseconds.  First-per-user
+    rows are dropped rather than emitted as NULL so every column stays a
+    non-nullable int64 (NULL ints become float64 through pandas and break
+    exact comparison).  Same user_id shuffle key as every events operator."""
+
+    def solve(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": eid[1:],
+                "user_id": g["user_id"].to_numpy()[1:],
+                "prev_event_id": eid[:-1],
+                "gap_us": ts_us[1:] - ts_us[:-1],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(solve)
+
+
+def event_ranks(ds):
+    """events -> (event_id, user_id, cents, rnk, drnk): RANK and DENSE_RANK
+    of each event's value (exact integer cents) within its user, highest
+    first.  Ties share a rank: rank() leaves gaps, dense_rank() doesn't —
+    both computed vectorized from the sorted cents run-lengths (no Python
+    per row).  Ties on cents are real (values quantize to cents), so the
+    tie semantics are actually exercised."""
+
+    def solve(group: pd.DataFrame) -> pd.DataFrame:
+        cents = np.floor(group["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        order = np.argsort(-cents, kind="stable")
+        sorted_cents = cents[order]
+        # run starts in the descending-sorted array: rank = position of the
+        # run's first element (1-based); dense_rank = run index (1-based)
+        new_run = np.empty(len(cents), dtype=bool)
+        if len(cents):
+            new_run[0] = True
+            new_run[1:] = sorted_cents[1:] != sorted_cents[:-1]
+        starts = np.flatnonzero(new_run)
+        run_id = np.cumsum(new_run.view(np.int8), dtype=np.int64) - 1
+        rnk = (starts + 1)[run_id] if len(cents) else np.empty(0, dtype=np.int64)
+        drnk = run_id + 1
+        inv = np.empty(len(order), dtype=np.int64)
+        inv[order] = np.arange(len(order), dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": group["event_id"].to_numpy().astype(np.int64),
+                "user_id": group["user_id"].to_numpy(),
+                "cents": cents,
+                "rnk": rnk[inv],
+                "drnk": drnk[inv],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(solve)

@@ -139,3 +139,38 @@ def test_tfidf_planted():
     assert d[(0, "y")] == (1, 1, 2.0)
     assert d[(2, "z")] == (3, 2, 4.0)
     assert (0, "z") not in d
+
+
+def test_event_gaps_lag_semantics():
+    from cuda_gis_smoothing_ray.stages.events import event_gaps
+
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+    rows = [
+        (1, t0, 7, "view", 0),
+        (2, t0 + np.timedelta64(10, "s"), 7, "view", 0),
+        (3, t0 + np.timedelta64(10, "s"), 7, "view", 0),  # ts tie -> event_id order
+        (4, t0, 9, "view", 0),  # only event for user 9 -> dropped
+    ]
+    got = event_gaps(_events_ds(rows)).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert got["event_id"].tolist() == [2, 3]
+    assert got["prev_event_id"].tolist() == [1, 2]
+    assert got["gap_us"].tolist() == [10 * US, 0]
+    assert got["gap_us"].dtype == np.int64
+
+
+def test_event_ranks_tie_semantics():
+    from cuda_gis_smoothing_ray.stages.events import event_ranks
+
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+    # user 7 cents: 300, 300, 200, 100 -> rnk 1,1,3,4  drnk 1,1,2,3
+    rows = [
+        (1, t0, 7, "view", 3.0),
+        (2, t0, 7, "view", 3.0),
+        (3, t0, 7, "view", 2.0),
+        (4, t0, 7, "view", 1.0),
+        (5, t0, 9, "view", 5.0),
+    ]
+    got = event_ranks(_events_ds(rows)).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert got["rnk"].tolist() == [1, 1, 3, 4, 1]
+    assert got["drnk"].tolist() == [1, 1, 2, 3, 1]
+    assert got["cents"].tolist() == [300, 300, 200, 100, 500]
