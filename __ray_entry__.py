@@ -211,6 +211,20 @@ def _q_sample_pages(sf_dir: str):
     return sample_hash(pages, "page_id", SAMPLE_KEEP_PPM).sort("page_id")
 
 
+STRAT_RATES = {"en": 120_000, "de": 400_000, "sw": 1_000_000}
+STRAT_DEFAULT_PPM = 250_000
+
+
+def _q_stratified_sample(sf_dir: str):
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.gridops import stratified_sample
+
+    pages = read_pages(sf_dir, include_html=False).select_columns(["page_id", "url", "lang"])
+    return stratified_sample(
+        pages, "lang", "page_id", STRAT_RATES, default_ppm=STRAT_DEFAULT_PPM
+    ).sort("page_id")
+
+
 def _q_pip(sf_dir: str):
     from cuda_gis_smoothing_ray.stages.pip import pip_join
 
@@ -815,6 +829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_vector": _q_tile_vector,
         "top_cells": _q_top_cells,
         "sample_pages": _q_sample_pages,
+        "stratified_sample": _q_stratified_sample,
         "smooth_uniform_k1": lambda d: _smooth(d, 1, "uniform", ["chars_mean"]),
         "smooth_gauss_k1": lambda d: _smooth(d, 1, "gaussian", ["chars_mean"]),
         "smooth_uniform_k2": lambda d: _smooth(d, 2, "uniform", ["chars_mean"]),
@@ -893,6 +908,9 @@ def oracle_sql() -> dict[str, str]:
         "top_cells": o.top_cells_sql(RES, TOPK_CELLS),
         "sample_pages": o.sample_pages_sql(
             SAMPLE_KEEP_PPM, gridops.SAMPLE_MULT, gridops.SAMPLE_MOD
+        ),
+        "stratified_sample": o.stratified_sample_sql(
+            STRAT_RATES, STRAT_DEFAULT_PPM, gridops.SAMPLE_MULT, gridops.SAMPLE_MOD
         ),
         "smooth_uniform_k1": o.smooth_sql(RES, 1, "uniform", ["chars_mean"]),
         "smooth_gauss_k1": o.smooth_sql(RES, 1, "gaussian", ["chars_mean"]),

@@ -394,6 +394,20 @@ WHERE ((page_id % {mod}) * {mult % mod}) % {mod} < {keep_ppm}
 ORDER BY page_id"""
 
 
+def stratified_sample_sql(rates_ppm: dict, default_ppm: int, mult: int, mod: int) -> str:
+    """Oracle of stages/gridops.stratified_sample (per-lang keep rates over
+    the same overflow-free multiplicative hash as sample_pages)."""
+    case = " ".join(
+        f"WHEN lang = '{g}' THEN {ppm}" for g, ppm in rates_ppm.items()
+    )
+    return f"""WITH {pages_cte()}
+SELECT page_id, url, lang
+FROM pages
+WHERE ((page_id % {mod}) * {mult % mod}) % {mod}
+      < (CASE {case} ELSE {default_ppm} END)
+ORDER BY page_id"""
+
+
 def top_hosts_by_lang_sql(k: int) -> str:
     """Per-language top-k hosts by page count (oracle of
     stages/gridops.grouped_topk over the pages table)."""

@@ -29,6 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions import hexgrid
 from ..functions.reduce import hash_groupby
@@ -170,6 +171,39 @@ def sample_hash(ds, id_col: str, keep_ppm: int, mult: int = SAMPLE_MULT, mod: in
         # (id % mod) * (mult % mod) stays < 1e12: no int64 overflow at any id
         # (DuckDB BIGINT errors on overflow; numpy silently wraps — neither ok)
         keep = ((ids % mod) * (mult % mod)) % mod < keep_ppm
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def stratified_sample(
+    ds,
+    group_col: str,
+    id_col: str,
+    rates_ppm: dict[str, int],
+    default_ppm: int = 0,
+    mult: int = SAMPLE_MULT,
+    mod: int = SAMPLE_MOD,
+):
+    """Deterministic STRATIFIED sample: per-group keep rates (ppm), e.g.
+    down-sample dominant languages while keeping all of a rare one — the
+    standard corpus-rebalancing op.  The rates table is tiny and rides into
+    the closure (broadcast once per task by Ray's capture, never shuffled);
+    the per-row decision reuses sample_hash's exact integer hash so the row
+    set is oracle-checkable in SQL.  Pure filter: streams, no shuffle, and
+    at 100 TB the output is written partition-by-partition like any map op.
+    """
+    keys = pa.array(list(rates_ppm.keys()), pa.string())
+    # unmatched groups -> index len(rates): the default_ppm slot
+    vals = pa.array(list(rates_ppm.values()) + [default_ppm], pa.int64())
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = pc.fill_null(
+            pc.index_in(batch.column(group_col), value_set=keys), len(rates_ppm)
+        )
+        ppm = pc.take(vals, idx).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ((ids % mod) * (mult % mod)) % mod < ppm
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(f, batch_format="pyarrow")

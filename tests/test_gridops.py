@@ -118,3 +118,32 @@ def test_grouped_topk_matches_pandas(ray_session):
             want_rows.append((g, r, row["k"], row["n"]))
     want = pd.DataFrame(want_rows, columns=["g", "rank", "k", "n"])
     pd.testing.assert_frame_equal(got[["g", "rank", "k", "n"]], want)
+
+
+def test_stratified_sample_rates(sf_dir):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.gridops import stratified_sample
+
+    n = 20000
+    tbl = pa.table(
+        {
+            "page_id": pa.array(np.arange(n, dtype=np.int64)),
+            "lang": pa.array((["en"] * 3 + ["sw"])[i % 4] for i in range(n)),
+        }
+    )
+    out = stratified_sample(
+        rd.from_arrow(tbl), "lang", "page_id",
+        {"en": 100_000, "sw": 1_000_000}, default_ppm=0,
+    ).to_pandas()
+    by = out.groupby("lang").size()
+    assert by["sw"] == n // 4  # ppm=1e6 keeps every row of the rare stratum
+    assert 0.05 < by["en"] / (3 * n / 4) < 0.15  # ~10% of the dominant one
+    # deterministic: same rows on a re-run
+    out2 = stratified_sample(
+        rd.from_arrow(tbl), "lang", "page_id",
+        {"en": 100_000, "sw": 1_000_000}, default_ppm=0,
+    ).to_pandas()
+    assert sorted(out["page_id"]) == sorted(out2["page_id"])
