@@ -695,6 +695,54 @@ def _q_anti_join(sf_dir: str):
     return hash_semi_join(cust, orders, "c_custkey", "o_custkey", anti=True).sort("c_custkey")
 
 
+def _q_bloom_semi_join(sf_dir: str):
+    """Revenue of lineitems belonging to URGENT orders, by return flag —
+    the fact side is Bloom-pre-filtered before any shuffle (definite misses
+    dropped batch-locally; exact resolve on the survivors)."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.join import bloom_semi_join, read_table
+
+    li = read_table(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    )
+    urgent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    )
+    j = bloom_semi_join(li, urgent, "l_orderkey", "o_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cents = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False))
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {"l_returnflag": batch.column("l_returnflag").to_numpy(zero_copy_only=False)}
+        )
+        df["revenue_cents"] = cents
+        g = df.groupby("l_returnflag", sort=True).agg(
+            n_items=("revenue_cents", "size"), revenue_cents=("revenue_cents", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("revenue_cents", alias_name="revenue_cents"))
+        .sort("l_returnflag")
+    )
+
+
 def _q_range_join(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import events
 
@@ -808,6 +856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": _q_grouped_quantiles,
         "customers_with_orders": _q_semi_join,
         "customers_without_orders": _q_anti_join,
+        "bloom_urgent_revenue": _q_bloom_semi_join,
         "join_orders_by_nation": _q_join_orders_by_nation,
         "join_region_customers": _q_join_region_customers,
         "join_revenue_by_priority": _q_join_revenue_by_priority,
@@ -879,6 +928,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_quantiles": oc.grouped_quantiles_sql(),
         "customers_with_orders": oc.customers_with_orders_sql(),
         "customers_without_orders": oc.customers_with_orders_sql(anti=True, priority="1-URGENT"),
+        "bloom_urgent_revenue": oc.bloom_semi_join_sql(),
         "join_orders_by_nation": oc.join_orders_by_nation_sql(),
         "join_region_customers": oc.join_region_customers_sql(),
         "join_revenue_by_priority": oc.join_revenue_by_priority_sql(),

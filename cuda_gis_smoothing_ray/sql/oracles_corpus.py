@@ -447,6 +447,19 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
 ORDER BY event_id"""
 
 
+def bloom_semi_join_sql() -> str:
+    """Oracle of the Bloom-pre-filtered semi join (the bitmap is invisible
+    to semantics — the result is an exact semi join)."""
+    return """SELECT l_returnflag,
+  CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+WHERE l_orderkey IN (
+  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+ORDER BY l_returnflag"""
+
+
 def event_gaps_sql() -> str:
     """Oracle of stages/events.event_gaps (LAG; first-per-user rows dropped
     so every column stays non-nullable int64)."""

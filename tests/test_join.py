@@ -115,3 +115,52 @@ def test_broadcast_join_rejects_duplicate_right_keys(tmp_path, ray_session):
     big = read_table(d, "big", ["k", "v"])
     with pytest.raises(ValueError, match="duplicate"):
         broadcast_hash_join(big, d, "dim", "k", "rk", ["name"])
+
+
+def test_bloom_no_false_negatives_and_prefilter_drops(ray_session):
+    """Bloom membership: every true key passes (no false negatives); the
+    vast majority of non-keys are dropped (probabilistic, generous bound)."""
+    import numpy as np
+
+    from cuda_gis_smoothing_ray.stages.join import _bloom_hashes, bloom_contains
+
+    m_bits = 1 << 16
+    keys = np.arange(0, 5000, 7, dtype=np.int64)  # ~715 keys
+    # build locally via the same probe math the distributed build uses
+    h1, h2 = _bloom_hashes(keys)
+    bitmap = np.zeros(m_bits // 64, np.uint64)
+    for i in range(4):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+        np.bitwise_or.at(bitmap, (idx >> np.uint64(6)).astype(np.int64),
+                         np.uint64(1) << (idx & np.uint64(63)))
+    assert bloom_contains(bitmap, keys, m_bits).all()
+    probe = np.arange(100000, 200000, dtype=np.int64)  # disjoint from keys
+    fp_rate = bloom_contains(bitmap, probe, m_bits).mean()
+    assert fp_rate < 0.05
+
+
+def test_bloom_semi_join_equals_hash_semi_join(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.join import bloom_semi_join, hash_semi_join
+
+    rng = np.random.default_rng(7)
+    left = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 10000, 5000), pa.int64()),
+            "v": pa.array(rng.standard_normal(5000)),
+        }
+    )
+    right = pa.table({"rk": pa.array(rng.integers(0, 10000, 300), pa.int64())})
+    a = (
+        bloom_semi_join(rd.from_arrow(left), rd.from_arrow(right), "k", "rk",
+                        m_bits=1 << 16)
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    b = (
+        hash_semi_join(rd.from_arrow(left), rd.from_arrow(right), "k", "rk")
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    )
+    assert len(a) and a.equals(b)
