@@ -636,6 +636,12 @@ def _q_running_totals(sf_dir: str):
     return events.running_totals(events.read_events(sf_dir)).sort("event_id")
 
 
+def _q_moving_sum(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.moving_sum(events.read_events(sf_dir)).sort("event_id")
+
+
 def _q_event_gaps(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import events
 
@@ -851,6 +857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": _q_range_join,
         "running_totals": _q_running_totals,
         "event_gaps": _q_event_gaps,
+        "moving_sum": _q_moving_sum,
         "event_ranks": _q_event_ranks,
         "events_pivot": _q_events_pivot,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -923,6 +930,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": oc.range_join_sql(),
         "running_totals": oc.running_totals_sql(),
         "event_gaps": oc.event_gaps_sql(),
+        "moving_sum": oc.moving_sum_sql(),
         "event_ranks": oc.event_ranks_sql(),
         "events_pivot": oc.events_pivot_sql(),
         "grouped_quantiles": oc.grouped_quantiles_sql(),

@@ -460,6 +460,17 @@ GROUP BY l_returnflag
 ORDER BY l_returnflag"""
 
 
+def moving_sum_sql(preceding: int = 3) -> str:
+    """Oracle of stages/events.moving_sum (bounded ROWS frame, exact cents)."""
+    return f"""SELECT event_id, user_id,
+  CAST(count(*) OVER w AS BIGINT) AS win_n,
+  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS win_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {preceding} PRECEDING AND CURRENT ROW)
+ORDER BY event_id"""
+
+
 def event_gaps_sql() -> str:
     """Oracle of stages/events.event_gaps (LAG; first-per-user rows dropped
     so every column stays non-nullable int64)."""

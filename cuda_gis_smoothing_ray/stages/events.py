@@ -300,6 +300,36 @@ def running_totals(ds):
     return ds.groupby("user_id").map_groups(solve)
 
 
+def moving_sum(ds, preceding: int = 3):
+    """events -> (event_id, user_id, win_n, win_cents): bounded moving
+    window (ROWS ``preceding`` PRECEDING AND CURRENT ROW) over per-user
+    (ts, event_id) order — the bounded complement of
+    :func:`running_totals`'s unbounded frame.  Sum kept in exact integer
+    cents via cumsum difference (O(n) per group, vectorized); the window
+    row count is emitted instead of a float mean so every column stays
+    exactly comparable."""
+
+    def solve(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        cents = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        cum = np.cumsum(cents)
+        n = len(g)
+        win_cents = cum.copy()
+        if n > preceding + 1:
+            win_cents[preceding + 1:] = cum[preceding + 1:] - cum[:-(preceding + 1)]
+        win_n = np.minimum(np.arange(n, dtype=np.int64) + 1, preceding + 1)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy().astype(np.int64),
+                "user_id": g["user_id"].to_numpy(),
+                "win_n": win_n,
+                "win_cents": win_cents,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(solve)
+
+
 def event_gaps(ds):
     """events -> (event_id, user_id, prev_event_id, gap_us): the LAG window
     function — for each event (after the user's first), the previous event

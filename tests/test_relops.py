@@ -174,3 +174,15 @@ def test_event_ranks_tie_semantics():
     assert got["rnk"].tolist() == [1, 1, 3, 4, 1]
     assert got["drnk"].tolist() == [1, 1, 2, 3, 1]
     assert got["cents"].tolist() == [300, 300, 200, 100, 500]
+
+
+def test_moving_sum_bounded_frame():
+    from cuda_gis_smoothing_ray.stages.events import moving_sum
+
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+    rows = [
+        (i, t0 + np.timedelta64(i, "s"), 7, "view", float(i + 1)) for i in range(6)
+    ]  # cents 100..600
+    got = moving_sum(_events_ds(rows), preceding=2).to_pandas().sort_values("event_id")
+    assert got["win_n"].tolist() == [1, 2, 3, 3, 3, 3]
+    assert got["win_cents"].tolist() == [100, 300, 600, 900, 1200, 1500]
