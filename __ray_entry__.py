@@ -545,6 +545,44 @@ def _q_join_revenue_by_priority(sf_dir: str):
     )
 
 
+def _q_rollup_revenue(sf_dir: str):
+    """ROLLUP (o_orderpriority, l_returnflag): fine level + per-priority
+    subtotals + grand total from ONE fact shuffle; coarser levels derived
+    from the fine aggregate, never re-scanning lineitem."""
+    from cuda_gis_smoothing_ray.stages.join import read_table, shuffle_join
+    from cuda_gis_smoothing_ray.stages.relagg import rollup_sums
+
+    li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        cents = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False))
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "o_orderpriority": batch.column("o_orderpriority").to_numpy(zero_copy_only=False),
+                "l_returnflag": batch.column("l_returnflag").to_numpy(zero_copy_only=False),
+            }
+        )
+        df["revenue_cents"] = cents
+        g = df.groupby(["o_orderpriority", "l_returnflag"], sort=True).agg(
+            n_items=("revenue_cents", "size"), revenue_cents=("revenue_cents", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = j.map_batches(partial, batch_format="pyarrow")
+    return rollup_sums(
+        partials, ["o_orderpriority", "l_returnflag"], ["n_items", "revenue_cents"]
+    ).sort(["o_orderpriority", "l_returnflag"])
+
+
 def _q_brand_supplier_volume(sf_dir: str):
     """lineitem enriched by TWO broadcast lookups (part -> brand, supplier ->
     nation), exact integer-cent quantity-weighted volume per (brand,
@@ -864,6 +902,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_orders": _q_semi_join,
         "customers_without_orders": _q_anti_join,
         "bloom_urgent_revenue": _q_bloom_semi_join,
+        "rollup_revenue": _q_rollup_revenue,
         "join_orders_by_nation": _q_join_orders_by_nation,
         "join_region_customers": _q_join_region_customers,
         "join_revenue_by_priority": _q_join_revenue_by_priority,
@@ -937,6 +976,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_with_orders": oc.customers_with_orders_sql(),
         "customers_without_orders": oc.customers_with_orders_sql(anti=True, priority="1-URGENT"),
         "bloom_urgent_revenue": oc.bloom_semi_join_sql(),
+        "rollup_revenue": oc.rollup_revenue_sql(),
         "join_orders_by_nation": oc.join_orders_by_nation_sql(),
         "join_region_customers": oc.join_region_customers_sql(),
         "join_revenue_by_priority": oc.join_revenue_by_priority_sql(),

@@ -460,6 +460,19 @@ GROUP BY l_returnflag
 ORDER BY l_returnflag"""
 
 
+def rollup_revenue_sql() -> str:
+    """Oracle of stages/relagg.rollup_sums over lineitem x orders (rolled-up
+    keys coalesce to the 'ALL' sentinel on both sides)."""
+    return """SELECT
+  coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+  coalesce(l_returnflag, 'ALL') AS l_returnflag,
+  CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY ROLLUP (o_orderpriority, l_returnflag)
+ORDER BY o_orderpriority, l_returnflag"""
+
+
 def moving_sum_sql(preceding: int = 3) -> str:
     """Oracle of stages/events.moving_sum (bounded ROWS frame, exact cents)."""
     return f"""SELECT event_id, user_id,

@@ -1,0 +1,46 @@
+"""Multi-level (ROLLUP / grouping-sets) aggregation.
+
+The reference's aggregations are single-level (SURVEY §2.5); a corpus
+pipeline routinely wants subtotals + a grand total in one pass (revenue by
+(priority, flag), by priority, overall).  The scale-correct plan is ONE
+shuffle to the finest grouping, then deriving every coarser level from the
+fine-level result — which is distinct-key-combination sized, i.e. small by
+the same assumption any GROUP BY makes — in a single-partition pass.  Base
+data is never re-scanned and never shuffled twice.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+
+def rollup_sums(ds, keys: list[str], sum_cols: list[str], all_label: str = "ALL"):
+    """ds -> ROLLUP(keys) over integer ``sum_cols``: the finest level plus
+    each prefix subtotal and the grand total, rolled-up key columns set to
+    ``all_label`` (a sentinel string, not NULL, so dtypes stay non-nullable
+    and exactly comparable).  ``sum_cols`` must be exact integers (cents),
+    as always for oracle-checked sums."""
+    from ray.data.aggregate import Sum
+
+    fine = ds.groupby(keys).aggregate(*[Sum(c, alias_name=c) for c in sum_cols])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        levels = [df]
+        for n_keep in range(len(keys) - 1, -1, -1):
+            kept = keys[:n_keep]
+            g = (
+                df.groupby(kept, sort=False)[sum_cols].sum().reset_index()
+                if kept
+                else df[sum_cols].sum().to_frame().T
+            )
+            for k in keys[n_keep:]:
+                g[k] = all_label
+            levels.append(g[keys + sum_cols])
+        out = pd.concat(levels, ignore_index=True)[keys + sum_cols]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # repartition(1): the fine level IS the whole rollup input and is
+    # distinct-combos sized; one task sees it all, no second shuffle
+    return fine.repartition(1).map_batches(expand, batch_format="pyarrow")

@@ -186,3 +186,27 @@ def test_moving_sum_bounded_frame():
     got = moving_sum(_events_ds(rows), preceding=2).to_pandas().sort_values("event_id")
     assert got["win_n"].tolist() == [1, 2, 3, 3, 3, 3]
     assert got["win_cents"].tolist() == [100, 300, 600, 900, 1200, 1500]
+
+
+def test_rollup_sums_levels():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.relagg import rollup_sums
+
+    tbl = pa.table(
+        {
+            "a": pa.array(["x", "x", "y"]),
+            "b": pa.array(["p", "q", "p"]),
+            "n": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    out = (
+        rollup_sums(rd.from_arrow(tbl), ["a", "b"], ["n"])
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    want = {
+        ("x", "p"): 1, ("x", "q"): 2, ("y", "p"): 3,
+        ("x", "ALL"): 3, ("y", "ALL"): 3, ("ALL", "ALL"): 6,
+    }
+    got = {(r.a, r.b): r.n for r in out.itertuples()}
+    assert got == want
