@@ -826,6 +826,40 @@ def _q_hll_hosts(sf_dir: str):
     return hll_count(_pages_urls(sf_dir))
 
 
+def _q_hosts_except(sf_dir: str):
+    """Set operation EXCEPT: hosts serving 'en' pages but no 'de' pages.
+    Plan: batch-local unique shrinks both sides before the one key shuffle
+    (hash_semi_join anti), then a distinct groupby on the (small) survivor
+    set — DISTINCT ... EXCEPT ... without ever materializing either side."""
+    import pyarrow.compute as pc_
+
+    from ray.data.aggregate import Count
+
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.join import hash_semi_join
+
+    def hosts_of(lang: str):
+        pages = read_pages(sf_dir, include_html=False).select_columns(["url", "lang"])
+
+        def f(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc_.equal(batch.column("lang"), lang))
+            host = pc_.list_element(pc_.split_pattern(batch.column("url"), pattern="/"), 2)
+            # cheap batch-local dedup before any shuffle
+            return pa.table({"host": host.unique()})
+
+        return pages.map_batches(f, batch_format="pyarrow")
+
+    # string keys: partition hash is md5 per DISTINCT host (both sides are
+    # batch-locally deduped above); membership resolves on the exact strings
+    out = hash_semi_join(hosts_of("en"), hosts_of("de"), "host", anti=True)
+    return (
+        out.groupby("host")
+        .aggregate(Count(alias_name="__n"))
+        .select_columns(["host"])
+        .sort("host")
+    )
+
+
 def _q_top_hosts_by_lang(sf_dir: str):
     from cuda_gis_smoothing_ray.sources.pages import read_pages
     from cuda_gis_smoothing_ray.stages.gridops import grouped_topk
@@ -912,6 +946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_hosts": _q_hll_hosts,
         "text_len_quantiles": _q_text_len_quantiles,
         "top_hosts_by_lang": _q_top_hosts_by_lang,
+        "hosts_en_not_de": _q_hosts_except,
         "extract_text": _q_extract_text,
         "geocode_cells": _q_geocode_cells,
         "cell_metrics": _q_cell_metrics,
@@ -985,6 +1020,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_hosts": oc.distinct_hosts_sql(),
         "text_len_quantiles": oc.text_len_quantiles_sql(),
         "top_hosts_by_lang": o.top_hosts_by_lang_sql(5),
+        "hosts_en_not_de": o.hosts_except_sql(),
         # hll_hosts is a sketch (estimate): rows-only; error gated in
         # tests/test_sketch.py against the exact distinct count.
         # minhash_pairs / simhash_pairs / ann_lsh_topk / ann_ivf_topk are

@@ -408,6 +408,18 @@ WHERE ((page_id % {mod}) * {mult % mod}) % {mod}
 ORDER BY page_id"""
 
 
+def hosts_except_sql() -> str:
+    """Oracle of the EXCEPT set operation (hosts serving 'en' but no 'de'
+    pages); host = 3rd '/'-segment of the url, as in top_hosts_by_lang."""
+    return f"""WITH {pages_cte()}
+SELECT host FROM (
+  SELECT DISTINCT string_split(url, '/')[3] AS host FROM pages WHERE lang = 'en'
+  EXCEPT
+  SELECT DISTINCT string_split(url, '/')[3] AS host FROM pages WHERE lang = 'de'
+)
+ORDER BY host"""
+
+
 def top_hosts_by_lang_sql(k: int) -> str:
     """Per-language top-k hosts by page count (oracle of
     stages/gridops.grouped_topk over the pages table)."""

@@ -197,15 +197,38 @@ def hash_semi_join(left, right, left_key: str, right_key: str | None = None,
     _G = np.uint64(0x9E3779B97F4A7C15)
 
     def _part(key: np.ndarray) -> np.ndarray:
-        return ((key.astype(np.int64).view(np.uint64) * _G) >> np.uint64(52)) % np.uint64(n_parts)
+        """Partition id per key.  int64 keys: multiplicative hash (fast
+        path).  String keys: md5-based (Python per DISTINCT value — callers
+        should dedupe string keys batch-locally first; membership itself is
+        still resolved on the EXACT values below, so a partition-hash
+        collision can never change the result, only co-locate more keys)."""
+        if np.issubdtype(key.dtype, np.integer):
+            return (
+                (key.astype(np.int64).view(np.uint64) * _G) >> np.uint64(52)
+            ) % np.uint64(n_parts)
+        import hashlib
+
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(str(s).encode()).digest()[:4], "big")
+                % n_parts
+                for s in key
+            ),
+            dtype=np.uint64,
+            count=len(key),
+        )
+
+    def _keys_of(batch: pa.Table, col: str) -> np.ndarray:
+        k = batch.column(col).to_numpy(zero_copy_only=False)
+        return k.astype(np.int64) if np.issubdtype(k.dtype, np.integer) else k
 
     def right_rows(batch: pa.Table) -> pa.Table:
-        k = np.unique(batch.column(rk).to_numpy(zero_copy_only=False).astype(np.int64))
+        k = np.unique(_keys_of(batch, rk))
         t = pa.table({"__key": pa.array(k), "__kind": pa.array(np.zeros(len(k), np.int8))})
         return t.append_column("__part", pa.array(_part(k).astype(np.int64)))
 
     def left_rows(batch: pa.Table) -> pa.Table:
-        k = batch.column(left_key).to_numpy(zero_copy_only=False).astype(np.int64)
+        k = _keys_of(batch, left_key)
         batch = batch.append_column("__key", pa.array(k))
         batch = batch.append_column("__kind", pa.array(np.ones(len(k), np.int8)))
         return batch.append_column("__part", pa.array(_part(k).astype(np.int64)))

@@ -164,3 +164,19 @@ def test_bloom_semi_join_equals_hash_semi_join(ray_session):
         .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
     )
     assert len(a) and a.equals(b)
+
+
+def test_hash_semi_join_string_keys(ray_session):
+    """String keys: partition hash is md5-based, membership resolves on the
+    exact values (a partition-hash collision can't change the result)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.join import hash_semi_join
+
+    left = pa.table({"k": pa.array(["a", "b", "c", "a", "d"])})
+    right = pa.table({"rk": pa.array(["b", "d", "zz"])})
+    semi = hash_semi_join(rd.from_arrow(left), rd.from_arrow(right), "k", "rk")
+    anti = hash_semi_join(rd.from_arrow(left), rd.from_arrow(right), "k", "rk", anti=True)
+    assert sorted(semi.to_pandas()["k"]) == ["b", "d"]
+    assert sorted(anti.to_pandas()["k"]) == ["a", "a", "c"]
