@@ -402,6 +402,12 @@ def _q_neardup(sf_dir: str):
     ).sort(["a", "b"])
 
 
+def _q_label_centroids(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.ann import label_centroids
+
+    return label_centroids(sf_dir)
+
+
 def _q_media_decode(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import media
 
@@ -917,6 +923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
         "embedding_neardup": _q_neardup,
+        "label_centroids": _q_label_centroids,
         "media_decode": _q_media_decode,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
@@ -992,6 +999,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": oc.dedup_components_sql(JACCARD_T),
         "ann_cosine_topk": oc.ann_topk_sql(ANN_K),
         "embedding_neardup": oc.embedding_neardup_sql(NEARDUP_T),
+        "label_centroids": oc.label_centroids_sql(),
         "media_decode": oc.media_decode_sql(),
         "media_features": oc.media_features_sql(),
         "media_resize": oc.media_resize_sql(),

@@ -460,6 +460,17 @@ GROUP BY l_returnflag
 ORDER BY l_returnflag"""
 
 
+def label_centroids_sql(dim: int = 64, scale: float = 16777216.0) -> str:
+    """Oracle of stages/ann.label_centroids (exact fixed-point per-dim sums;
+    2^24 scaling of float32 inputs is exact in float64 on both engines)."""
+    return f"""SELECT CAST(label AS BIGINT) AS label, i - 1 AS dim,
+  CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS BIGINT) AS sum_scaled,
+  CAST(count(*) AS BIGINT) AS n
+FROM embeddings, unnest(generate_series(1, {dim})) AS s(i)
+GROUP BY label, dim
+ORDER BY label, dim"""
+
+
 def rollup_revenue_sql() -> str:
     """Oracle of stages/relagg.rollup_sums over lineitem x orders (rolled-up
     keys coalesce to the 'ALL' sentinel on both sides)."""

@@ -583,3 +583,53 @@ def ann_pq(ds, sf_dir: str, k: int = 10, n_queries: int = N_QUERIES,
         .groupby("query_id")
         .map_groups(merge)
     )
+
+
+CENTROID_SCALE = 16777216.0  # 2^24: float32 inputs scale exactly in float64
+
+
+def label_centroids(sf_dir: str):
+    """embeddings -> (label, dim, sum_scaled, n): per-label vector centroid
+    in exact fixed-point (per-dimension sums of floor(x * 2^24 + 0.5) as
+    int64, plus the count — mean = sum_scaled / n / 2^24).  The class-
+    centroid op of a training pipeline (few-shot prototypes, cluster
+    summaries), kept bit-exact across engines by integer accumulation:
+    float sums would depend on partition order.
+
+    Scale shape: each batch emits at most labels x dim partial rows
+    (640 here) regardless of row count, so the shuffle input is tiny; the
+    groupby completes the sums.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .. import tune_data_context
+    tune_data_context()
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _emb_matrix(batch)  # (n, dim) float64
+        scaled = np.floor(x * CENTROID_SCALE + 0.5).astype(np.int64)
+        labels = batch.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        dim = x.shape[1]
+        sums = np.zeros((len(uniq), dim), np.int64)
+        np.add.at(sums, inv, scaled)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, dim)),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(uniq))),
+                "sum_scaled": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(counts, dim)),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("sum_scaled", alias_name="sum_scaled"),
+                   Sum("n", alias_name="n"))
+        .sort(["label", "dim"])
+    )

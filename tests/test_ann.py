@@ -273,3 +273,26 @@ def test_pq_codes_deterministic_and_compact(clustered_dir):
     codes = pq_encode(_emb_matrix(t), b1)
     assert codes.dtype == np.uint8 and codes.shape == (500, PQ_M)
     assert codes.max() < PQ_K
+
+
+def test_label_centroids_exact(sf_dir):
+    """Fixed-point centroid sums equal a direct numpy computation, and the
+    implied means are within fixed-point resolution of the float means."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages.ann import CENTROID_SCALE, label_centroids
+
+    got = label_centroids(sf_dir).to_pandas()
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"])
+    x = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    labels = t.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+    scaled = np.floor(x * CENTROID_SCALE + 0.5).astype(np.int64)
+    for lab in np.unique(labels):
+        m = labels == lab
+        want = scaled[m].sum(axis=0)
+        rows = got[got["label"] == lab].sort_values("dim")
+        assert (rows["sum_scaled"].to_numpy() == want).all()
+        assert (rows["n"] == m.sum()).all()
+        mean_fixed = rows["sum_scaled"].to_numpy() / m.sum() / CENTROID_SCALE
+        assert np.abs(mean_fixed - x[m].mean(axis=0)).max() < 1e-6
