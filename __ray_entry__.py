@@ -718,6 +718,24 @@ def _q_grouped_quantiles(sf_dir: str):
     return grouped_quantiles(docs, "lang", text_len).sort(["lang", "q"])
 
 
+def _q_quantile_filter(sf_dir: str):
+    """Length-outlier scrub: keep documents whose text length sits inside
+    their language's exact [p05, p95] band (two-stage: grouped quantiles ->
+    broadcast thresholds -> streaming filter)."""
+    import pyarrow.compute as pc_
+
+    from cuda_gis_smoothing_ray.stages.sketch import quantile_filter
+
+    def text_len(batch: pa.Table) -> np.ndarray:
+        return pc_.utf8_length(batch.column("text")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+
+    docs = _docs(sf_dir, ("doc_id", "text", "lang"))
+    out = quantile_filter(docs, "lang", text_len, lo=0.05, hi=0.95)
+    return out.select_columns(["doc_id", "lang", "value"]).sort("doc_id")
+
+
 def _q_semi_join(sf_dir: str):
     from cuda_gis_smoothing_ray.stages.join import hash_semi_join, read_table
 
@@ -940,6 +958,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_ranks": _q_event_ranks,
         "events_pivot": _q_events_pivot,
         "grouped_quantiles": _q_grouped_quantiles,
+        "quantile_filtered_docs": _q_quantile_filter,
         "customers_with_orders": _q_semi_join,
         "customers_without_orders": _q_anti_join,
         "bloom_urgent_revenue": _q_bloom_semi_join,
@@ -1016,6 +1035,7 @@ def oracle_sql() -> dict[str, str]:
         "event_ranks": oc.event_ranks_sql(),
         "events_pivot": oc.events_pivot_sql(),
         "grouped_quantiles": oc.grouped_quantiles_sql(),
+        "quantile_filtered_docs": oc.quantile_filter_sql(),
         "customers_with_orders": oc.customers_with_orders_sql(),
         "customers_without_orders": oc.customers_with_orders_sql(anti=True, priority="1-URGENT"),
         "bloom_urgent_revenue": oc.bloom_semi_join_sql(),

@@ -550,6 +550,27 @@ JOIN r ON r.lang = n.lang AND r.rn = CAST(floor((n.n - 1) * qv.q) AS BIGINT) + 1
 ORDER BY n.lang, qv.q"""
 
 
+def quantile_filter_sql(lo: float = 0.05, hi: float = 0.95) -> str:
+    """Oracle of sketch.quantile_filter over per-language text lengths
+    (same rank-floor((n-1)*q) lower-quantile definition as the quantile
+    oracles)."""
+    return f"""WITH v AS (SELECT doc_id, lang, length(text) AS v FROM documents),
+r AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS rn FROM v),
+n AS (SELECT lang, count(*) AS n FROM v GROUP BY lang),
+th AS (
+  SELECT n.lang,
+    max(CASE WHEN qv.q = {lo} THEN r.v END) AS lo_v,
+    max(CASE WHEN qv.q = {hi} THEN r.v END) AS hi_v
+  FROM n
+  CROSS JOIN (VALUES (CAST({lo} AS DOUBLE)), (CAST({hi} AS DOUBLE))) qv(q)
+  JOIN r ON r.lang = n.lang AND r.rn = CAST(floor((n.n - 1) * qv.q) AS BIGINT) + 1
+  GROUP BY n.lang)
+SELECT v.doc_id, v.lang, CAST(v.v AS BIGINT) AS value
+FROM v JOIN th ON v.lang = th.lang
+WHERE v.v >= th.lo_v AND v.v <= th.hi_v
+ORDER BY doc_id"""
+
+
 def customers_with_orders_sql(anti: bool = False,
                               priority: str | None = None) -> str:
     """Oracle of the hash semi/anti join: customers that do (semi) or do

@@ -198,3 +198,38 @@ def grouped_quantiles(ds, group_col: str, col_fn, qs: tuple[float, ...] = QUANTI
         .groupby(group_col)
         .map_groups(solve)
     )
+
+
+def quantile_filter(ds, group_col: str, col_fn, lo: float = 0.05, hi: float = 0.95):
+    """Two-stage composition: per-group exact quantile thresholds (the
+    [lo, hi] band) via :func:`grouped_quantiles`, then a streaming filter
+    keeping rows inside their group's band — the standard length-outlier
+    scrub of a corpus pipeline.
+
+    The threshold table is |groups| x 2 rows — an aggregate, materialized
+    driver-side like any codebook (IVF centroids, polygon index) and carried
+    into the filter closure; the second pass over ``ds`` streams.  Two scans
+    of the input is the honest cost of an exact two-sided trim at scale
+    (sketched quantiles would make it one scan at the price of exactness).
+    Appends ``value`` (the filtered metric) to the surviving rows.
+    """
+    th = grouped_quantiles(ds, group_col, col_fn, qs=(lo, hi)).to_pandas()
+    lo_map = th[th["q"] == lo].set_index(group_col)["value"].to_dict()
+    hi_map = th[th["q"] == hi].set_index(group_col)["value"].to_dict()
+    keys = pa.array(list(lo_map.keys()))
+    lo_vals = np.array([lo_map[k] for k in lo_map], np.int64)
+    hi_vals = np.array([hi_map[k] for k in lo_map], np.int64)
+
+    def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = col_fn(batch)
+        idx = pc.index_in(batch.column(group_col), value_set=keys)
+        i = idx.to_numpy(zero_copy_only=False)
+        known = ~pa.compute.is_null(idx).to_numpy(zero_copy_only=False)
+        i = np.where(known, i, 0).astype(np.int64)
+        keep = known & (v >= lo_vals[i]) & (v <= hi_vals[i])
+        out = batch.append_column("value", pa.array(v.astype(np.int64)))
+        return out.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow")

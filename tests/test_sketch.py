@@ -69,3 +69,29 @@ def test_sliding_window_fanout(sf_dir):
     m = sliding.set_index(["window_start", "event_type"])["n_events"]
     for _, r in tumbling.head(20).iterrows():
         assert (r["window_start"], r["event_type"]) in m.index
+
+
+def test_quantile_filter_band(sf_dir):
+    """Survivors sit inside the per-group [p05, p95] band; band edges are
+    the exact lower quantiles."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from cuda_gis_smoothing_ray.stages.sketch import grouped_quantiles, quantile_filter
+
+    def text_len(batch):
+        return pc.utf8_length(batch.column("text")).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    out = quantile_filter(docs, "lang", text_len, lo=0.05, hi=0.95).to_pandas()
+    th = grouped_quantiles(
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]),
+        "lang", text_len, qs=(0.05, 0.95),
+    ).to_pandas()
+    for lang, g in out.groupby("lang"):
+        lo_v = th[(th["lang"] == lang) & (th["q"] == 0.05)]["value"].iloc[0]
+        hi_v = th[(th["lang"] == lang) & (th["q"] == 0.95)]["value"].iloc[0]
+        assert g["value"].between(lo_v, hi_v).all()
+    assert 0 < len(out) < 500  # something trimmed, something kept
