@@ -80,6 +80,13 @@ def _q_extract_text(sf_dir: str):
     return extract_text(read_pages(sf_dir, include_html=True)).sort("page_id")
 
 
+def _q_parse_urls(sf_dir: str):
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.extract import parse_urls
+
+    return parse_urls(read_pages(sf_dir, include_html=False)).sort("page_id")
+
+
 def _q_geocode_cells(sf_dir: str):
     ds = _geocoded(sf_dir)
     ds = ds.select_columns(["page_id", "url", "lat", "lon", "has_mention", "cell"])
@@ -680,6 +687,17 @@ def _q_running_totals(sf_dir: str):
     return events.running_totals(events.read_events(sf_dir)).sort("event_id")
 
 
+def _q_latest_event(sf_dir: str):
+    """Deduplicate-to-latest: each user's most recent event (ties on ts
+    resolve to the higher event_id)."""
+    from cuda_gis_smoothing_ray.stages import events
+    from cuda_gis_smoothing_ray.stages.relagg import argmax_by
+
+    ds = events.read_events(sf_dir, columns=("event_id", "ts", "user_id", "event_type"))
+    out = argmax_by(ds, "user_id", ["ts", "event_id"], ["event_type"])
+    return out.select_columns(["user_id", "event_id", "ts", "event_type"]).sort("user_id")
+
+
 def _q_moving_sum(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import events
 
@@ -955,6 +973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": _q_running_totals,
         "event_gaps": _q_event_gaps,
         "moving_sum": _q_moving_sum,
+        "latest_event_per_user": _q_latest_event,
         "event_ranks": _q_event_ranks,
         "events_pivot": _q_events_pivot,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -974,6 +993,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_hosts_by_lang": _q_top_hosts_by_lang,
         "hosts_en_not_de": _q_hosts_except,
         "extract_text": _q_extract_text,
+        "parse_urls": _q_parse_urls,
         "geocode_cells": _q_geocode_cells,
         "cell_metrics": _q_cell_metrics,
         "neighbor_stats": _q_neighbor_stats,
@@ -1032,6 +1052,7 @@ def oracle_sql() -> dict[str, str]:
         "running_totals": oc.running_totals_sql(),
         "event_gaps": oc.event_gaps_sql(),
         "moving_sum": oc.moving_sum_sql(),
+        "latest_event_per_user": oc.latest_event_sql(),
         "event_ranks": oc.event_ranks_sql(),
         "events_pivot": oc.events_pivot_sql(),
         "grouped_quantiles": oc.grouped_quantiles_sql(),
@@ -1058,6 +1079,7 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": o.pip_join_sql(RES),
         "knn_join": o.knn_join_sql(RES, 5),
         "extract_text": o.extract_text_sql(),
+        "parse_urls": o.parse_urls_sql(),
         "geocode_cells": o.geocode_cells_sql(RES),
         "cell_metrics": o.cell_metrics_sql(RES),
         "neighbor_stats": o.neighbor_stats_sql(RES),

@@ -167,6 +167,18 @@ FROM pages
 ORDER BY page_id"""
 
 
+def parse_urls_sql() -> str:
+    """Oracle of stages/extract.parse_urls (list-kernel URL decomposition)."""
+    return f"""WITH {pages_cte()}
+SELECT page_id,
+  rtrim(string_split(url, '/')[1], ':') AS scheme,
+  string_split(url, '/')[3] AS host,
+  string_split(string_split(url, '/')[3], '.')[-1] AS tld,
+  '/' || array_to_string(string_split(url, '/')[4:], '/') AS path
+FROM pages
+ORDER BY page_id"""
+
+
 def geocode_cells_sql(res: int) -> str:
     return f"""{prelude(res)}
 SELECT page_id, url, {round6('lat')} AS lat, {round6('lon')} AS lon,

@@ -484,6 +484,16 @@ GROUP BY ROLLUP (o_orderpriority, l_returnflag)
 ORDER BY o_orderpriority, l_returnflag"""
 
 
+def latest_event_sql() -> str:
+    """Oracle of stages/relagg.argmax_by over events (latest per user)."""
+    return """SELECT user_id, event_id, ts, event_type FROM (
+  SELECT user_id, event_id, ts, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+WHERE rn = 1
+ORDER BY user_id"""
+
+
 def moving_sum_sql(preceding: int = 3) -> str:
     """Oracle of stages/events.moving_sum (bounded ROWS frame, exact cents)."""
     return f"""SELECT event_id, user_id,

@@ -50,6 +50,38 @@ def _extract_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def parse_urls(ds):
+    """pages -> (page_id, scheme, host, tld, path): vectorized URL
+    decomposition — every field from Arrow split/join kernels, no Python
+    per row.  The host/TLD columns are what per-domain aggregation, TLD
+    quality priors and robots bucketing key on in a crawl pipeline."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        url = batch.column("url")
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        parts = pc.split_pattern(url, pattern="/")
+        scheme = pc.utf8_rtrim(pc.list_element(parts, 0), ":")
+        host = pc.list_element(parts, 2)
+        tld = pc.list_element(
+            pc.split_pattern(host, pattern=".", max_splits=1, reverse=True), 1
+        )
+        path = pc.binary_join_element_wise(
+            "/", pc.binary_join(pc.list_slice(parts, 3), "/"), ""
+        )
+        return pa.table(
+            {
+                "page_id": batch.column("page_id"),
+                "scheme": scheme,
+                "host": host,
+                "tld": tld,
+                "path": path,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def extract_text(ds, parser: str = "synthetic"):
     """pages Dataset (with html) -> (page_id, url, text) with text extracted
     from the html bytes.  ``parser="synthetic"`` is the exact-inverse fast

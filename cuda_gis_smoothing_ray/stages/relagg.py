@@ -44,3 +44,36 @@ def rollup_sums(ds, keys: list[str], sum_cols: list[str], all_label: str = "ALL"
     # repartition(1): the fine level IS the whole rollup input and is
     # distinct-combos sized; one task sees it all, no second shuffle
     return fine.repartition(1).map_batches(expand, batch_format="pyarrow")
+
+
+def argmax_by(ds, group_col: str, order_cols: list[str], keep_cols: list[str]):
+    """ds -> one row per group: the row with the LARGEST (order_cols) tuple
+    (ties impossible by construction when the last order col is unique, e.g.
+    an id).  DISTINCT ON / deduplicate-to-latest — the standard "keep newest
+    crawl per url" op.
+
+    Two-phase: each batch reduces to one candidate row per group it sees
+    (vectorized lexsort + last-of-run), so only |groups-per-batch| rows
+    shuffle; the groupby repeats the same reduction on the candidates."""
+    cols = [group_col, *order_cols, *[c for c in keep_cols if c not in order_cols]]
+
+    def local_best(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.select(cols).to_pandas()
+        # stable sort by (group, *order): last row of each group run is the max
+        df = df.sort_values([group_col, *order_cols], kind="stable")
+        best = df.groupby(group_col, sort=False).tail(1)
+        return pa.Table.from_pandas(best, preserve_index=False)
+
+    def final_best(group: "pd.DataFrame") -> "pd.DataFrame":
+        g = group.sort_values(order_cols, kind="stable")
+        return g.tail(1)
+
+    import pandas as pd  # noqa: F401  (map_groups signature)
+
+    return (
+        ds.map_batches(local_best, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final_best)
+    )

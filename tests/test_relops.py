@@ -210,3 +210,22 @@ def test_rollup_sums_levels():
     }
     got = {(r.a, r.b): r.n for r in out.itertuples()}
     assert got == want
+
+
+def test_argmax_by_latest_semantics():
+    from cuda_gis_smoothing_ray.stages.relagg import argmax_by
+
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+    rows = [
+        (1, t0, 7, "view", 0),
+        (2, t0 + np.timedelta64(5, "s"), 7, "buy", 0),
+        (3, t0 + np.timedelta64(5, "s"), 7, "view", 0),  # ts tie -> id 3 wins
+        (4, t0, 9, "view", 0),
+    ]
+    got = (
+        argmax_by(_events_ds(rows), "user_id", ["ts", "event_id"], ["event_type"])
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    )
+    assert got["user_id"].tolist() == [7, 9]
+    assert got["event_id"].tolist() == [3, 4]
+    assert got["event_type"].tolist() == ["view", "view"]
