@@ -687,6 +687,14 @@ def _q_running_totals(sf_dir: str):
     return events.running_totals(events.read_events(sf_dir)).sort("event_id")
 
 
+def _q_user_event_paths(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.user_event_paths(
+        events.read_events(sf_dir, columns=("event_id", "ts", "user_id", "event_type"))
+    ).sort("user_id")
+
+
 def _q_latest_event(sf_dir: str):
     """Deduplicate-to-latest: each user's most recent event (ties on ts
     resolve to the higher event_id)."""
@@ -868,11 +876,17 @@ def _q_hll_hosts(sf_dir: str):
     return hll_count(_pages_urls(sf_dir))
 
 
-def _q_hosts_except(sf_dir: str):
-    """Set operation EXCEPT: hosts serving 'en' pages but no 'de' pages.
+def _q_hosts_except(sf_dir: str, anti: bool = True, col: str = "host"):
+    """Set operations EXCEPT (anti=True) / INTERSECT (anti=False) on
+    distinct per-language value sets (host or tld): values in 'en' pages
+    but not / also in 'de' pages.  The INTERSECT query uses tld, whose sets
+    overlap at every sf — an empty Ray result loses its schema and cannot
+    be oracle-compared (host intersections are empty in the synthetic
+    corpus: hosts are near-unique per page).
     Plan: batch-local unique shrinks both sides before the one key shuffle
-    (hash_semi_join anti), then a distinct groupby on the (small) survivor
-    set — DISTINCT ... EXCEPT ... without ever materializing either side."""
+    (hash_semi_join), then a distinct groupby on the (small) survivor
+    set — DISTINCT ... EXCEPT/INTERSECT ... without ever materializing
+    either side."""
     import pyarrow.compute as pc_
 
     from ray.data.aggregate import Count
@@ -880,25 +894,28 @@ def _q_hosts_except(sf_dir: str):
     from cuda_gis_smoothing_ray.sources.pages import read_pages
     from cuda_gis_smoothing_ray.stages.join import hash_semi_join
 
-    def hosts_of(lang: str):
+    def values_of(lang: str):
         pages = read_pages(sf_dir, include_html=False).select_columns(["url", "lang"])
 
         def f(batch: pa.Table) -> pa.Table:
             batch = batch.filter(pc_.equal(batch.column("lang"), lang))
             host = pc_.list_element(pc_.split_pattern(batch.column("url"), pattern="/"), 2)
+            v = host if col == "host" else pc_.list_element(
+                pc_.split_pattern(host, pattern=".", max_splits=1, reverse=True), 1
+            )
             # cheap batch-local dedup before any shuffle
-            return pa.table({"host": host.unique()})
+            return pa.table({col: v.unique()})
 
         return pages.map_batches(f, batch_format="pyarrow")
 
-    # string keys: partition hash is md5 per DISTINCT host (both sides are
+    # string keys: partition hash is md5 per DISTINCT value (both sides are
     # batch-locally deduped above); membership resolves on the exact strings
-    out = hash_semi_join(hosts_of("en"), hosts_of("de"), "host", anti=True)
+    out = hash_semi_join(values_of("en"), values_of("de"), col, anti=anti)
     return (
-        out.groupby("host")
+        out.groupby(col)
         .aggregate(Count(alias_name="__n"))
-        .select_columns(["host"])
-        .sort("host")
+        .select_columns([col])
+        .sort(col)
     )
 
 
@@ -974,6 +991,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": _q_event_gaps,
         "moving_sum": _q_moving_sum,
         "latest_event_per_user": _q_latest_event,
+        "user_event_paths": _q_user_event_paths,
         "event_ranks": _q_event_ranks,
         "events_pivot": _q_events_pivot,
         "grouped_quantiles": _q_grouped_quantiles,
@@ -992,6 +1010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_len_quantiles": _q_text_len_quantiles,
         "top_hosts_by_lang": _q_top_hosts_by_lang,
         "hosts_en_not_de": _q_hosts_except,
+        "tlds_en_and_de": lambda d: _q_hosts_except(d, anti=False, col="tld"),
         "extract_text": _q_extract_text,
         "parse_urls": _q_parse_urls,
         "geocode_cells": _q_geocode_cells,
@@ -1053,6 +1072,7 @@ def oracle_sql() -> dict[str, str]:
         "event_gaps": oc.event_gaps_sql(),
         "moving_sum": oc.moving_sum_sql(),
         "latest_event_per_user": oc.latest_event_sql(),
+        "user_event_paths": oc.user_event_paths_sql(),
         "event_ranks": oc.event_ranks_sql(),
         "events_pivot": oc.events_pivot_sql(),
         "grouped_quantiles": oc.grouped_quantiles_sql(),
@@ -1070,6 +1090,7 @@ def oracle_sql() -> dict[str, str]:
         "text_len_quantiles": oc.text_len_quantiles_sql(),
         "top_hosts_by_lang": o.top_hosts_by_lang_sql(5),
         "hosts_en_not_de": o.hosts_except_sql(),
+        "tlds_en_and_de": o.hosts_except_sql("INTERSECT", col="tld"),
         # hll_hosts is a sketch (estimate): rows-only; error gated in
         # tests/test_sketch.py against the exact distinct count.
         # minhash_pairs / simhash_pairs / ann_lsh_topk / ann_ivf_topk are

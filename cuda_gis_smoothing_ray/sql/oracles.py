@@ -420,16 +420,22 @@ WHERE ((page_id % {mod}) * {mult % mod}) % {mod}
 ORDER BY page_id"""
 
 
-def hosts_except_sql() -> str:
-    """Oracle of the EXCEPT set operation (hosts serving 'en' but no 'de'
-    pages); host = 3rd '/'-segment of the url, as in top_hosts_by_lang."""
+def hosts_except_sql(op: str = "EXCEPT", col: str = "host") -> str:
+    """Oracle of the EXCEPT / INTERSECT set operations (host or tld values
+    in 'en' pages but no / also 'de' pages); host = 3rd '/'-segment of the
+    url, tld = its last dot-segment."""
+    expr = (
+        "string_split(url, '/')[3]"
+        if col == "host"
+        else "string_split(string_split(url, '/')[3], '.')[-1]"
+    )
     return f"""WITH {pages_cte()}
-SELECT host FROM (
-  SELECT DISTINCT string_split(url, '/')[3] AS host FROM pages WHERE lang = 'en'
-  EXCEPT
-  SELECT DISTINCT string_split(url, '/')[3] AS host FROM pages WHERE lang = 'de'
+SELECT {col} FROM (
+  SELECT DISTINCT {expr} AS {col} FROM pages WHERE lang = 'en'
+  {op}
+  SELECT DISTINCT {expr} AS {col} FROM pages WHERE lang = 'de'
 )
-ORDER BY host"""
+ORDER BY {col}"""
 
 
 def top_hosts_by_lang_sql(k: int) -> str:

@@ -484,6 +484,21 @@ GROUP BY ROLLUP (o_orderpriority, l_returnflag)
 ORDER BY o_orderpriority, l_returnflag"""
 
 
+def user_event_paths_sql(max_len: int = 50) -> str:
+    """Oracle of stages/events.user_event_paths (ordered string_agg with a
+    length cap)."""
+    return f"""WITH o AS (
+  SELECT user_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT user_id,
+  CAST(count(*) AS BIGINT) AS n_events,
+  string_agg(event_type, ',' ORDER BY rn) FILTER (WHERE rn <= {max_len}) AS path
+FROM o
+GROUP BY user_id
+ORDER BY user_id"""
+
+
 def latest_event_sql() -> str:
     """Oracle of stages/relagg.argmax_by over events (latest per user)."""
     return """SELECT user_id, event_id, ts, event_type FROM (

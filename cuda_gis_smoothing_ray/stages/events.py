@@ -300,6 +300,27 @@ def running_totals(ds):
     return ds.groupby("user_id").map_groups(solve)
 
 
+def user_event_paths(ds, max_len: int = 50):
+    """events -> (user_id, n_events, path): each user's chronological
+    event-type sequence joined with ',' (first ``max_len`` events, (ts,
+    event_id) order) plus the total count — collect_list / string_agg, the
+    sequence-construction op behavioral models train on.  Cost is one
+    string join per USER (not per event); the cap bounds the output row
+    width the way any sequence model bounds context."""
+
+    def solve(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": np.array([len(g)], np.int64),
+                "path": [",".join(g["event_type"].head(max_len))],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(solve)
+
+
 def moving_sum(ds, preceding: int = 3):
     """events -> (event_id, user_id, win_n, win_cents): bounded moving
     window (ROWS ``preceding`` PRECEDING AND CURRENT ROW) over per-user
