@@ -69,7 +69,12 @@ def headline_queries(sf_dir: str, replicate: int):
         from cuda_gis_smoothing_ray.stages.geoencode import geo_encode
         from cuda_gis_smoothing_ray.stages.pip import pip_join
 
-        geo = geo_encode(read_pages(sf_dir, replicate=replicate, include_html=False), res=7)
+        # batch_size=None: whole-block batches, same as flagship — a row-based
+        # batch_size here makes the fused task chain bundle input blocks by
+        # *pre-expansion* row count (all 64 tiny blocks -> ONE task at
+        # replicate>=2000, measured 12.5 s serial)
+        geo = geo_encode(read_pages(sf_dir, replicate=replicate, include_html=False),
+                         res=7, batch_size=None)
         return pip_join(geo)
 
     return {

@@ -72,10 +72,15 @@ class PIPJoin:
     the driver, fetched once per actor, reused every batch).
     """
 
-    def __init__(self, polygons_ref=None, id_col: str = "page_id"):
-        import ray
+    def __init__(self, polygons_ref=None, id_col: str = "page_id", _polygons=None):
+        if _polygons is not None:
+            polys = _polygons
+        elif polygons_ref is not None:
+            import ray
 
-        polys = POLYGONS if polygons_ref is None else ray.get(polygons_ref)
+            polys = ray.get(polygons_ref)
+        else:
+            polys = POLYGONS
         self.id_col = id_col
         self.polys = polys
         self.bboxes = [
@@ -116,10 +121,49 @@ class PIPJoin:
         )
 
 
-def pip_join(points_ds, polygons=None, id_col: str = "page_id", concurrency=(1, 4)):
-    """Geocoded points Dataset -> (id, poly_id) pairs Dataset (inner join)."""
+_JOINERS: dict = {}
+
+
+def _cached_joiner(poly_key, polygons, id_col: str) -> PIPJoin:
+    j = _JOINERS.get((poly_key, id_col))
+    if j is None:
+        j = _JOINERS[(poly_key, id_col)] = PIPJoin(id_col=id_col, _polygons=polygons)
+    return j
+
+
+def pip_join(points_ds, polygons=None, id_col: str = "page_id", concurrency=None,
+             use_actors: bool = False):
+    """Geocoded points Dataset -> (id, poly_id) pairs Dataset (inner join).
+
+    Default is a TASK stage with per-worker cached state (the same rationale
+    as :func:`..geoencode.geo_encode`): the polygon + bbox index is cheap to
+    build, and the task form lets Ray Data fuse this with the upstream
+    build->encode task chain into ONE TaskPoolMapOperator whose parallelism
+    is the input block count.  The actor-pool form is NOT fused the same
+    way: the ActorPoolMapOperator bundles *pre-expansion* input blocks up to
+    the max target block size, and with a replicated bench read (64 tiny
+    blocks that fan out 2000x inside the fused ``build``) that collapsed the
+    whole chain into ONE 17 s actor task (measured, sf0.1 x2000).
+
+    ``use_actors=True`` restores the broadcast-actor form for genuinely
+    large polygon sets (``ray.put`` once, fetched once per actor).
+    """
+    if not use_actors:
+        # key worker-side cache by content hash so distinct custom polygon
+        # sets don't collide; the default set keys as None
+        poly_key = None
+        if polygons is not None:
+            poly_key = hash(tuple((pid, tuple(ring)) for pid, ring in polygons))
+        return points_ds.map_batches(
+            lambda batch: _cached_joiner(poly_key, polygons, id_col)(batch),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
     import ray
 
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+        concurrency = (1, max(4, cpus))
     ref = ray.put(polygons) if polygons is not None else None
     return points_ds.map_batches(
         PIPJoin,
