@@ -315,6 +315,21 @@ def _q_top_bigrams(sf_dir: str):
     return textops.top_bigrams(_docs(sf_dir), k=20)
 
 
+def _q_contamination(sf_dir: str):
+    """Benchmark decontamination scan (stages/textops.contamination)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.contamination(_docs(sf_dir)).sort("doc_id")
+
+
+def _q_pack_sequences(sf_dir: str):
+    """GPT-style sequence packing via distributed prefix sum
+    (stages/textops.pack_sequences)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.pack_sequences(_docs(sf_dir)).sort("doc_id")
+
+
 def _q_split_assign(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import textops
 
@@ -967,6 +982,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_text_len": _q_zscore,
         "top_bigrams": _q_top_bigrams,
         "split_assign": _q_split_assign,
+        "contamination": _q_contamination,
+        "pack_sequences": _q_pack_sequences,
         "profile_documents": _q_profile,
         "minhash_pairs_tiny": _q_minhash_tiny,
         "simhash_pairs_tiny": _q_simhash_tiny,
@@ -1051,6 +1068,8 @@ def oracle_sql() -> dict[str, str]:
         "zscore_text_len": oc.zscore_text_len_sql(),
         "top_bigrams": oc.top_bigrams_sql(20),
         "split_assign": oc.split_assign_sql(),
+        "contamination": oc.contamination_sql(),
+        "pack_sequences": oc.pack_sequences_sql(),
         "profile_documents": oc.profile_documents_sql(),
         "minhash_pairs_tiny": oc.minhash_pairs_tiny_sql(0.5, 4, 3, 2),
         "simhash_pairs_tiny": oc.simhash_pairs_tiny_sql(),

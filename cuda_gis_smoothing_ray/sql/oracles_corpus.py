@@ -894,3 +894,50 @@ SELECT x.doc_id AS a, y.doc_id AS b,
 FROM sims x JOIN sims y ON x.doc_id < y.doc_id
 WHERE ({band_eq}) AND bit_count(xor(x.sim, y.sim)) <= {max_hamming}
 ORDER BY a, b"""
+
+
+def contamination_sql(bench_mod: int = 10, n: int = 3) -> str:
+    """Oracle of stages/textops.contamination (distinct within-doc word
+    n-grams shared with the doc_id % bench_mod == 0 benchmark partition)."""
+    sel = " || ' ' || ".join(f"t{j}.tok" for j in range(1, n + 1))
+    joins = "\n  ".join(
+        f"JOIN toks t{j} ON t1.doc_id = t{j}.doc_id AND t{j}.pos = t1.pos + {j - 1}"
+        for j in range(2, n + 1)
+    )
+    return f"""WITH lt AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), s -> s != '') AS l
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM lt
+), tri AS (
+  SELECT t1.doc_id, {sel} AS gram
+  FROM toks t1
+  {joins}
+), bench AS (
+  SELECT DISTINCT gram FROM tri WHERE doc_id % {bench_mod} = 0
+)
+SELECT t.doc_id, CAST(count(DISTINCT t.gram) AS BIGINT) AS n_overlap
+FROM tri t JOIN bench USING (gram)
+WHERE t.doc_id % {bench_mod} <> 0
+GROUP BY 1
+ORDER BY 1"""
+
+
+def pack_sequences_sql(cap: int = 2048) -> str:
+    """Oracle of stages/textops.pack_sequences (global exclusive prefix sum
+    of whitespace-token counts, chunked into cap-token sequences)."""
+    n_tokens = _re_count("text", textstats.TOKEN_RE)
+    return f"""WITH nt AS (
+  SELECT doc_id, CAST({n_tokens} AS BIGINT) AS n_tokens FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+    COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM nt
+)
+SELECT doc_id, n_tokens,
+  CAST(cum_prev // {cap} AS BIGINT) AS seq_id,
+  CAST(cum_prev % {cap} AS BIGINT) AS seq_offset
+FROM c
+ORDER BY doc_id"""

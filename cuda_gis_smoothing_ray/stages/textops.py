@@ -874,3 +874,169 @@ def zscore_text_len(ds, n_parts: int = _PAIR_PARTS):
         )
 
     return ds.map_batches(normalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (word n-gram overlap against a held-out set)
+# ---------------------------------------------------------------------------
+
+def _doc_ngrams(batch: pa.Table, n: int):
+    """batch -> (per-gram doc_id int64 array, space-joined gram StringArray):
+    within-doc consecutive whitespace-token n-grams (same tokenization as
+    :func:`top_bigrams`); all Arrow/numpy, no Python per row."""
+    import pyarrow.compute as pc_
+
+    empty = (np.zeros(0, np.int64), pa.array([], pa.string()))
+    if len(batch) == 0:
+        return empty
+    split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    counts = split.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = split.flatten()
+    doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(doc, counts)
+    nonempty = pc_.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    doc_idx = doc_idx[nonempty]
+    toks = flat.filter(pa.array(nonempty))
+    if len(toks) < n:
+        return empty
+    m = len(toks) - n + 1
+    # window stays within one doc <=> endpoints share the doc (doc_idx is
+    # nondecreasing, so equality at the ends implies it throughout)
+    adj = doc_idx[n - 1 :] == doc_idx[:m]
+    if not adj.any():
+        return empty
+    grams = pc_.binary_join_element_wise(*[toks.slice(j, m) for j in range(n)], " ")
+    return doc_idx[:m][adj], grams.filter(pa.array(adj))
+
+
+def contamination(ds, bench_mod: int = 10, n: int = 3):
+    """documents -> (doc_id, n_overlap): for each corpus doc (doc_id %
+    bench_mod != 0), the count of its DISTINCT word n-grams also present in
+    the benchmark partition (doc_id % bench_mod == 0) — the decontamination
+    scan of a training corpus against held-out eval sets.
+
+    Scale shape: the benchmark side is SMALL (an eval suite) — its distinct
+    n-gram set is reduced per batch, unioned once, and broadcast via
+    ``ray.put``; the 100 TB corpus side then streams through ONE stateless
+    ``map_batches`` doing a vectorized Arrow ``is_in`` membership test plus
+    one ``np.unique`` pair-dedup per batch.  No shuffle: per-doc distinct
+    counts are exact because a doc never splits across batches.
+    """
+    import ray
+    import pyarrow.compute as pc_
+
+    def bench_grams(b: pa.Table) -> pa.Table:
+        doc = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        _, grams = _doc_ngrams(b.filter(pa.array(doc % bench_mod == 0)), n)
+        return pa.table({"gram": pc_.unique(grams)})
+
+    bench_parts = ds.map_batches(
+        bench_grams, batch_format="pyarrow", batch_size=None
+    ).take_all()  # distinct grams per batch of the SMALL benchmark side
+    value_set = pc_.unique(pa.array([r["gram"] for r in bench_parts], pa.string()))
+    ref = ray.put(value_set)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_id": pa.array([], pa.int64()), "n_overlap": pa.array([], pa.int64())}
+        )
+        vs = ray.get(ref)
+        if len(vs) == 0:
+            return empty
+        doc_g, grams = _doc_ngrams(batch, n)
+        if len(grams) == 0:
+            return empty
+        member = pc_.is_in(grams, value_set=vs).to_numpy(zero_copy_only=False)
+        keep = member & ((doc_g % bench_mod) != 0)
+        if not keep.any():
+            return empty
+        d = doc_g[keep]
+        g = grams.filter(pa.array(keep)).dictionary_encode()
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        code = g.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uvals, dinv = np.unique(d, return_inverse=True)
+        span = np.int64(code.max()) + 1
+        upairs = np.unique(dinv.astype(np.int64) * span + code)  # distinct (doc, gram)
+        di, cnt = np.unique(upairs // span, return_counts=True)
+        return pa.table(
+            {"doc_id": pa.array(uvals[di]), "n_overlap": pa.array(cnt.astype(np.int64))}
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (GPT-style fixed-budget token stream chunking)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(ds, cap: int = 2048):
+    """documents -> (doc_id, n_tokens, seq_id, seq_offset): all docs'
+    whitespace tokens concatenated in doc_id order into one global token
+    stream, cut into fixed ``cap``-token training sequences; each doc begins
+    in sequence ``prev_tokens // cap`` at offset ``prev_tokens % cap``.
+
+    Distributed EXCLUSIVE PREFIX SUM with no shuffle: (1) one streamed pass
+    projects and materializes the narrow (doc_id, n_tokens) table (16 B/row
+    — the only multi-pass working set; text is scanned once); (2) per-BLOCK
+    subtotals — one row per block — stitch to global block offsets on the
+    driver, keyed by each block's first doc_id; (3) a second pass over the
+    SAME materialized blocks adds the batch-local exclusive cumsum to its
+    block's offset.  Blocks of a materialized dataset are immutable, so the
+    first-doc keys align between passes regardless of task bundling.
+    Assumes rows are globally doc_id-ordered (the source parquet's order;
+    the reference's S6 original-order semantics).
+    """
+    import ray
+
+    def project(b: pa.Table) -> pa.Table:
+        nt = textstats.byte_class_counts(b.column("text"))["n_tokens"]
+        return pa.table({"doc_id": b.column("doc_id"), "n_tokens": pa.array(nt)})
+
+    narrow = ds.map_batches(project, batch_format="pyarrow", batch_size=None).materialize()
+
+    def subtotal(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {"first_doc": pa.array([], pa.int64()), "total": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "first_doc": pa.array([b.column("doc_id")[0].as_py()], pa.int64()),
+                "total": pa.array([int(pc.sum(b.column("n_tokens")).as_py() or 0)], pa.int64()),
+            }
+        )
+
+    parts = narrow.map_batches(subtotal, batch_format="pyarrow", batch_size=None).take_all()
+    parts.sort(key=lambda r: r["first_doc"])
+    firsts = np.array([r["first_doc"] for r in parts], np.int64)
+    offsets = np.concatenate([[0], np.cumsum([r["total"] for r in parts], dtype=np.int64)[:-1]]) \
+        if parts else np.zeros(0, np.int64)
+    ref = ray.put((firsts, offsets))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "seq_id": pa.array([], pa.int64()),
+                    "seq_offset": pa.array([], pa.int64()),
+                }
+            )
+        firsts_, offsets_ = ray.get(ref)
+        nt = b.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        off = offsets_[np.searchsorted(firsts_, int(b.column("doc_id")[0].as_py()))]
+        cum_prev = np.cumsum(nt) - nt + off
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_tokens": pa.array(nt),
+                "seq_id": pa.array(cum_prev // cap),
+                "seq_offset": pa.array(cum_prev % cap),
+            }
+        )
+
+    return narrow.map_batches(finalize, batch_format="pyarrow", batch_size=None)

@@ -218,3 +218,54 @@ def test_simhash_fnv_path_equals_per_doc_reference():
         want[i] = np.uint64(((votes > 0) * bits).sum(dtype=np.uint64))
     got = hashing.simhash64(docs, token_hash="fnv")
     assert np.array_equal(got, want)
+
+
+def test_contamination_planted():
+    """Docs sharing trigrams with the benchmark partition (doc_id % 10 == 0)
+    are flagged with exact DISTINCT-trigram overlap counts; disjoint docs and
+    benchmark docs themselves are absent."""
+    from cuda_gis_smoothing_ray.stages.textops import contamination
+
+    rows = [
+        (10, "alpha beta gamma delta"),          # benchmark: trigrams {a b g, b g d}
+        (1, "alpha beta gamma delta"),           # shares both trigrams -> 2
+        (2, "x alpha beta gamma y"),             # shares "alpha beta gamma" -> 1
+        (3, "alpha beta gamma alpha beta gamma"),  # repeated shared trigram counts once... plus bridge
+        (4, "nothing in common here at all"),    # absent
+        (20, "zz yy xx"),                        # benchmark with unshared trigram
+    ]
+    out = contamination(_docs_ds(rows), bench_mod=10, n=3).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    got = dict(zip(out["doc_id"], out["n_overlap"]))
+    assert got[1] == 2
+    assert got[2] == 1
+    # doc 3: distinct trigrams = {abg, bga, gab, abg(dup)} -> shared distinct = abg, bgd? no:
+    # trigrams of doc3: "alpha beta gamma", "beta gamma alpha", "gamma alpha beta",
+    # "alpha beta gamma" (dup) -> shared with bench {abg, bgd} = {"alpha beta gamma"} -> 1
+    assert got[3] == 1
+    assert 4 not in got and 10 not in got and 20 not in got
+
+
+def test_pack_sequences_prefix_sum():
+    """Global exclusive prefix sum across many small blocks: seq_id/offset
+    match the single-machine cumsum regardless of block boundaries."""
+    import numpy as np
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import pack_sequences
+
+    rng = np.random.default_rng(7)
+    n = 400
+    texts = [" ".join(["tok"] * int(k)) for k in rng.integers(0, 30, size=n)]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+    })
+    ds = rd.from_arrow(tbl).repartition(13)  # many blocks, uneven sizes
+    out = pack_sequences(ds, cap=64).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    nt = np.array([len(t.split()) if t else 0 for t in texts], np.int64)
+    cum_prev = np.cumsum(nt) - nt
+    assert np.array_equal(out["n_tokens"].to_numpy(), nt)
+    assert np.array_equal(out["seq_id"].to_numpy(), cum_prev // 64)
+    assert np.array_equal(out["seq_offset"].to_numpy(), cum_prev % 64)
