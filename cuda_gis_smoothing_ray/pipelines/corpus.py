@@ -20,7 +20,10 @@ def text_quality_by_lang(sf_dir: str, replicate: int = 1):
     """pages -> (lang, n_pages, mean quality/punct/stop/token metrics)."""
     from ray.data.aggregate import Sum
 
-    pages = read_pages(sf_dir, replicate=replicate, include_html=False)
+    # CPU-heavy consumer (~13 s of kernel CPU per 1M pages): small tasks so
+    # the byte-class scans spread across every core (sweep: 150k/task best)
+    pages = read_pages(sf_dir, replicate=replicate, include_html=False,
+                       pages_per_task=150_000)
 
     def partial(batch: pa.Table) -> pa.Table:
         st = textstats.text_stats(batch.column("text"))

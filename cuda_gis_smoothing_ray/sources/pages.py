@@ -98,7 +98,8 @@ def pages_from_documents_batch(batch: pa.Table, replicate: int = 1) -> pa.Table:
     )
 
 
-def read_pages(sf_dir: str, replicate: int = 1, include_html: bool = True):
+def read_pages(sf_dir: str, replicate: int = 1, include_html: bool = True,
+               pages_per_task: int = 1_000_000):
     """documents.parquet -> pages Dataset.
 
     Column-pruned read (only doc_id/text/lang leave storage); html synthesis
@@ -111,16 +112,31 @@ def read_pages(sf_dir: str, replicate: int = 1, include_html: bool = True):
     from .. import tune_data_context
     tune_data_context()
 
-    # cap the post-replication batch at ~256k pages per task: one giant
-    # expanded batch per task causes worker heap pressure (measured ~20%
-    # throughput loss at replicate=16000); more/smaller input blocks keep
-    # the fused build->encode chain's working set bounded
+    # ~1M expanded pages per task, floored at cpus/2 tasks: each task pays
+    # ~25-50 ms of serial dispatch/handoff on this box, so wall time scales
+    # LINEARLY with task count once per-task compute is small (measured
+    # 16/32/64/128 blocks -> 1.7/2.1/3.7/6.4 s for the same 10 M-page
+    # partials pipeline); too-large batches cost worker heap instead
+    # (measured ~20% at replicate=16000 with one giant batch per task)
     override = None
     if replicate > 1:
         import pyarrow.parquet as pq
 
         n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
-        override = max(64, min(n_docs, (n_docs * replicate) // 250_000 + 1))
+        cpus = 32
+        try:
+            import ray
+
+            if ray.is_initialized():
+                cpus = int(ray.cluster_resources().get("CPU", 32))
+        except Exception:
+            pass
+        # pages_per_task trades dispatch overhead against parallelism: CPU-
+        # light consumers (flagship: ~0.2 s/1M pages) want few big tasks;
+        # CPU-heavy ones (text-quality kernels: ~13 s/1M pages) pass a
+        # smaller value so the work spreads across every core
+        override = max(max(4, cpus // 2), (n_docs * replicate) // pages_per_task + 1)
+        override = min(override, n_docs)
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text", "lang"],
