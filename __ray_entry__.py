@@ -330,6 +330,19 @@ def _q_pack_sequences(sf_dir: str):
     return textops.pack_sequences(_docs(sf_dir)).sort("doc_id")
 
 
+def _q_pagerank(sf_dir: str):
+    """Exact fixed-point PageRank over the deterministic host graph
+    (stages/pagerank.pagerank, 8 BSP supersteps)."""
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages import pagerank as pr
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    docs = read_documents(sf_dir, columns=("doc_id",))
+    return pr.pagerank(docs, n_docs=n_docs).sort("host")
+
+
 def _q_split_assign(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import textops
 
@@ -983,6 +996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": _q_top_bigrams,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
+        "pagerank": _q_pagerank,
         "pack_sequences": _q_pack_sequences,
         "profile_documents": _q_profile,
         "minhash_pairs_tiny": _q_minhash_tiny,
@@ -1069,6 +1083,7 @@ def oracle_sql() -> dict[str, str]:
         "top_bigrams": oc.top_bigrams_sql(20),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
+        "pagerank": oc.pagerank_sql(),
         "pack_sequences": oc.pack_sequences_sql(),
         "profile_documents": oc.profile_documents_sql(),
         "minhash_pairs_tiny": oc.minhash_pairs_tiny_sql(0.5, 4, 3, 2),

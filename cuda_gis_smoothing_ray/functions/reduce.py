@@ -26,7 +26,8 @@ def hash_groupby(ds, key_col: str, cols: list[str], how: str = "sum",
                  n_parts: int = 64):
     """Dataset -> Dataset(key_col, *cols) with a per-key reduction.
 
-    ``how``: "sum" (float64 sums) or "min" (dtype-preserving int/float min).
+    ``how``: "sum" (float64 sums), "isum" (exact int64 sums), or "min"
+    (dtype-preserving int/float min).
     Keys may be any int64-compatible column.  One all-to-all (by coarse hash
     partition), vectorized reduce, no per-key Python.
     """
@@ -46,6 +47,12 @@ def hash_groupby(ds, key_col: str, cols: list[str], how: str = "sum",
                 out[c] = np.bincount(
                     inv, weights=v.astype(np.float64), minlength=len(uniq)
                 )
+            elif how == "isum":
+                # exact int64 sum (np.bincount weights are float64 — lossy
+                # past 2^53); order-independent, for fixed-point pipelines
+                acc = np.zeros(len(uniq), np.int64)
+                np.add.at(acc, inv, v.astype(np.int64))
+                out[c] = acc
             elif how == "min":
                 acc = np.full(len(uniq), np.iinfo(np.int64).max if v.dtype.kind == "i"
                               else np.inf, dtype=v.dtype)

@@ -941,3 +941,56 @@ SELECT doc_id, n_tokens,
   CAST(cum_prev % {cap} AS BIGINT) AS seq_offset
 FROM c
 ORDER BY doc_id"""
+
+
+def pagerank_sql(iterations: int = 8) -> str:
+    """Oracle of stages/pagerank.pagerank: the same K exact fixed-point
+    supersteps unrolled as chained CTEs (integer floor division throughout,
+    so every step is order-independent and matches the engine bit-for-bit)."""
+    from ..functions import geocode
+    from ..stages import pagerank as pr
+
+    mult = geocode.TLD_MULT
+    mod = geocode.HOST_MOD
+    host = f"(doc_id * {mult}) % {mod}"
+    nd = "(SELECT count(*) FROM documents)"
+    dhost1 = f"(((doc_id * {pr.EDGE_MULT} + {pr.EDGE_ADD}) % {nd}) * {mult}) % {mod}"
+    dhost2 = f"(((doc_id * doc_id * {pr.EDGE_MULT2} + {pr.EDGE_ADD2}) % {nd}) * {mult}) % {mod}"
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""r{i} AS (
+  SELECT h.host,
+    CAST((SELECT base FROM consts)
+      + ({pr.DAMP_NUM} * COALESCE(s.contrib, 0)) // {pr.DAMP_DEN} AS BIGINT) AS rank
+  FROM hosts h LEFT JOIN (
+    SELECT e.dst AS host, CAST(sum(r.rank // e.outdeg) AS BIGINT) AS contrib
+    FROM edges e JOIN {prev} r ON e.src = r.host
+    GROUP BY 1
+  ) s ON h.host = s.host
+)""")
+        prev = f"r{i}"
+    chain = ",\n".join(steps)
+    return f"""WITH hosts AS (
+  SELECT DISTINCT {host} AS host FROM documents
+), e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT {host} AS src, {dhost1} AS dst FROM documents
+    UNION ALL
+    SELECT {host} AS src, {dhost2} AS dst FROM documents
+  )
+), edeg AS (
+  SELECT src, dst, CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS outdeg
+  FROM e0 WHERE src <> dst
+), edges AS (
+  SELECT * FROM edeg
+), consts AS (
+  SELECT CAST({pr.SCALE} * {pr.DAMP_DEN - pr.DAMP_NUM} AS BIGINT)
+           // ({pr.DAMP_DEN} * (SELECT count(*) FROM hosts)) AS base,
+         CAST({pr.SCALE} AS BIGINT) // (SELECT count(*) FROM hosts) AS init
+), r0 AS (
+  SELECT host, (SELECT init FROM consts) AS rank FROM hosts
+),
+{chain}
+SELECT host, rank FROM {prev}
+ORDER BY host"""

@@ -1,0 +1,197 @@
+"""Distributed PageRank over the deterministic host link graph — the
+iterative-algorithm operator family, run as BSP supersteps with the same
+co-partitioned join machinery as :mod:`.cc` (vectorized per partition, no
+driver materialization of node or edge tables).
+
+**Exact integer fixed-point arithmetic** (``SCALE = 10**12``, floor
+division): every iteration is order-independent int64 math — per-edge
+contribution ``rank // outdeg``, damped update ``BASE + (85 * sum) // 100``
+— so the DuckDB oracle (the same K steps unrolled as chained CTEs,
+``sql/oracles_corpus.pagerank_sql``) matches bit-for-bit with no float
+rounding rules at all.  This is the fixed-point analog of the float
+PageRank; the iteration structure (scatter rank/outdeg along edges, gather
+by destination, damp) is the standard one.
+
+Link model (derived from the driver ``documents`` table so the oracle can
+reconstruct it): document ``d`` links ``host(d) -> host((131*d + 7) % N)``
+(linear/bijective: baseline flow) and ``host(d) -> host((17*d*d + 3) % N)``
+(quadratic: concentrates in-degree on hub hosts), self-loops dropped, edges
+DISTINCT.  ``host()`` is the engine's URL host id
+(:func:`..functions.geocode.host_id`).
+
+Scale shape per superstep: ranks and edges are co-partitioned by source
+host (one bounded hash shuffle of (host, int64) rows), contributions are
+pre-summed per partition, and the gather is a second bounded shuffle keyed
+by destination host — identical to a production Pregel round.  The rank
+table never leaves the cluster; only the two scalar aggregates (host count,
+convergence checksum) reach the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import geocode
+
+SCALE = 10**12
+DAMP_NUM, DAMP_DEN = 85, 100
+#: two link rules per doc: a linear (bijective) one for baseline flow and a
+#: quadratic one that concentrates in-degree on hub hosts (a bijection alone
+#: yields uniform ranks — no discrimination)
+EDGE_MULT, EDGE_ADD = 131, 7
+EDGE_MULT2, EDGE_ADD2 = 17, 3
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+N_PARTS = 64
+
+
+def _add_part(batch: pa.Table) -> pa.Table:
+    k = batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+    part = ((k.view(np.uint64) * _GOLDEN) >> np.uint64(52)) % np.uint64(N_PARTS)
+    return batch.append_column("__part", pa.array(part.astype(np.int64)))
+
+
+def host_graph(docs_ds, n_docs: int):
+    """documents -> (edges Dataset(src, dst, outdeg), hosts Dataset(host)).
+
+    Edges are globally DISTINCT (hash-partitioned dedup on the packed pair
+    key) with the source out-degree attached so supersteps need no extra
+    join against a degree table.
+    """
+    from ..functions.reduce import hash_groupby
+
+    mod = np.int64(geocode.HOST_MOD)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([geocode.host_id(d), geocode.host_id(d)])
+        dst = np.concatenate([
+            geocode.host_id((d * EDGE_MULT + EDGE_ADD) % n_docs),
+            geocode.host_id((d * d * EDGE_MULT2 + EDGE_ADD2) % n_docs),
+        ])
+        keep = src != dst  # self-loops carry no rank
+        pack = src[keep] * mod + dst[keep]
+        return pa.table({"pack": pa.array(pack),
+                         "one": pa.array(np.ones(len(pack), np.int64))})
+
+    distinct = hash_groupby(
+        docs_ds.map_batches(emit, batch_format="pyarrow", batch_size=None),
+        "pack", ["one"], how="min",
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        p = batch.column("pack").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(p // mod), "dst": pa.array(p % mod)})
+
+    edges = distinct.map_batches(unpack, batch_format="pyarrow", batch_size=None)
+
+    # attach outdeg: co-partition edges by src with per-src degree sums
+    deg = hash_groupby(
+        edges.map_batches(
+            lambda b: pa.table({"src": b.column("src"),
+                                "one": pa.array(np.ones(len(b), np.int64))}),
+            batch_format="pyarrow", batch_size=None),
+        "src", ["one"], how="isum",
+    )
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("src"), "a": batch.column("dst"),
+                         "kind": pa.array(np.ones(len(batch), np.int8))})
+
+    def tag_deg(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("src"), "a": batch.column("one"),
+                         "kind": pa.array(np.zeros(len(batch), np.int8))})
+
+    def join_deg(df: pd.DataFrame) -> pd.DataFrame:
+        dg = df[df["kind"] == 0][["key", "a"]].rename(columns={"a": "outdeg"})
+        ed = df[df["kind"] == 1][["key", "a"]].rename(columns={"a": "dst"})
+        m = ed.merge(dg, on="key")
+        return pd.DataFrame({"src": m["key"].to_numpy(np.int64),
+                             "dst": m["dst"].to_numpy(np.int64),
+                             "outdeg": m["outdeg"].to_numpy(np.int64)})
+
+    edges_deg = (
+        edges.map_batches(tag_edge, batch_format="pyarrow", batch_size=None)
+        .union(deg.map_batches(tag_deg, batch_format="pyarrow", batch_size=None))
+        .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(join_deg)
+    )
+
+    def hosts_batch(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = np.unique(geocode.host_id(d))
+        return pa.table({"host": pa.array(h), "one": pa.array(np.ones(len(h), np.int64))})
+
+    hosts = hash_groupby(
+        docs_ds.map_batches(hosts_batch, batch_format="pyarrow", batch_size=None),
+        "host", ["one"], how="min",
+    ).select_columns(["host"])
+
+    return edges_deg, hosts
+
+
+def pagerank(docs_ds, n_docs: int, iterations: int = 8):
+    """documents -> (host, rank) after ``iterations`` exact fixed-point
+    PageRank supersteps on the deterministic host graph; rank is the int64
+    fixed-point value (SCALE = 10**12)."""
+    from ..functions.reduce import hash_groupby
+
+    edges, hosts = host_graph(docs_ds, n_docs)
+    edges = edges.materialize()
+    hosts = hosts.materialize()
+    n_hosts = hosts.count()
+    base = (SCALE * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * n_hosts)
+    init = SCALE // n_hosts
+
+    ranks = hosts.map_batches(
+        lambda b: pa.table({"host": b.column("host"),
+                            "rank": pa.array(np.full(len(b), init, np.int64))}),
+        batch_format="pyarrow", batch_size=None,
+    ).materialize()
+
+    def tag_rank(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("host"), "a": batch.column("rank"),
+                         "b": pa.array(np.zeros(len(batch), np.int64)),
+                         "kind": pa.array(np.zeros(len(batch), np.int8))})
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("src"), "a": batch.column("dst"),
+                         "b": batch.column("outdeg"),
+                         "kind": pa.array(np.ones(len(batch), np.int8))})
+
+    def scatter(df: pd.DataFrame) -> pd.DataFrame:
+        # co-partitioned by source host: one merge pushes rank/outdeg along
+        # every out-edge; zero rows keep in-degree-0 hosts alive downstream
+        rk = df[df["kind"] == 0][["key", "a"]].rename(columns={"a": "rank"})
+        ed = df[df["kind"] == 1][["key", "a", "b"]].rename(
+            columns={"a": "dst", "b": "outdeg"})
+        m = ed.merge(rk, on="key")
+        contrib = m["rank"].to_numpy(np.int64) // m["outdeg"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "host": np.concatenate([m["dst"].to_numpy(np.int64),
+                                    rk["key"].to_numpy(np.int64)]),
+            "contrib": np.concatenate([contrib, np.zeros(len(rk), np.int64)]),
+        })
+
+    for _ in range(iterations):
+        pushed = (
+            ranks.map_batches(tag_rank, batch_format="pyarrow", batch_size=None)
+            .union(edges.map_batches(tag_edge, batch_format="pyarrow", batch_size=None))
+            .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
+            .groupby("__part")
+            .map_groups(scatter)
+        )
+        summed = hash_groupby(pushed, "host", ["contrib"], how="isum")
+
+        def damp(batch: pa.Table) -> pa.Table:
+            s = batch.column("contrib").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"host": batch.column("host"),
+                             "rank": pa.array(base + (DAMP_NUM * s) // DAMP_DEN)})
+
+        ranks = summed.map_batches(damp, batch_format="pyarrow",
+                                   batch_size=None).materialize()
+
+    return ranks
