@@ -343,6 +343,19 @@ def _q_pagerank(sf_dir: str):
     return pr.pagerank(docs, n_docs=n_docs).sort("host")
 
 
+def _q_triangles(sf_dir: str):
+    """Per-community triangle counts via the degree-ordered node-iterator
+    (stages/triangles.triangle_counts)."""
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages import triangles as tri
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    docs = read_documents(sf_dir, columns=("doc_id",))
+    return tri.triangle_counts(docs, n_docs=n_docs).sort("comm")
+
+
 def _q_split_assign(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import textops
 
@@ -997,6 +1010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "pagerank": _q_pagerank,
+        "triangle_counts": _q_triangles,
         "pack_sequences": _q_pack_sequences,
         "profile_documents": _q_profile,
         "minhash_pairs_tiny": _q_minhash_tiny,
@@ -1084,6 +1098,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "pagerank": oc.pagerank_sql(),
+        "triangle_counts": oc.triangles_sql(),
         "pack_sequences": oc.pack_sequences_sql(),
         "profile_documents": oc.profile_documents_sql(),
         "minhash_pairs_tiny": oc.minhash_pairs_tiny_sql(0.5, 4, 3, 2),

@@ -943,6 +943,44 @@ FROM c
 ORDER BY doc_id"""
 
 
+def triangles_sql(comm_mod: int | None = None) -> str:
+    """Oracle of stages/triangles.triangle_counts: DISTINCT undirected
+    community edges (same two link rules), then the canonical 3-way
+    self-join a < b < c — orientation-independent, so it checks the
+    engine's degree-ordered algorithm from a completely different plan."""
+    from ..functions import geocode
+    from ..stages import pagerank as pr
+    from ..stages import triangles as tri
+
+    cm = comm_mod if comm_mod is not None else tri.COMM_MOD
+    mult, mod = geocode.TLD_MULT, geocode.HOST_MOD
+    nd = "(SELECT count(*) FROM documents)"
+    host = f"((doc_id * {mult}) % {mod}) % {cm}"
+    dhost1 = (f"((((doc_id * {pr.EDGE_MULT} + {pr.EDGE_ADD}) % {nd})"
+              f" * {mult}) % {mod}) % {cm}")
+    dhost2 = (f"((((doc_id * doc_id * {pr.EDGE_MULT2} + {pr.EDGE_ADD2}) % {nd})"
+              f" * {mult}) % {mod}) % {cm}")
+    return f"""WITH e0 AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+    SELECT {host} AS s, {dhost1} AS t FROM documents
+    UNION ALL
+    SELECT {host} AS s, {dhost2} AS t FROM documents
+  ) WHERE s <> t
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT comm, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+  SELECT x AS comm FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+GROUP BY comm
+ORDER BY comm"""
+
+
 def pagerank_sql(iterations: int = 8) -> str:
     """Oracle of stages/pagerank.pagerank: the same K exact fixed-point
     supersteps unrolled as chained CTEs (integer floor division throughout,

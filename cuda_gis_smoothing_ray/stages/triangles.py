@@ -1,0 +1,229 @@
+"""Distributed triangle counting over the deterministic community graph —
+the third graph-analytics operator (after connected components in
+:mod:`.cc` and PageRank in :mod:`.pagerank`), using the degree-ordered
+node-iterator ("compact-forward") algorithm.
+
+Graph model: the host link graph of :mod:`.pagerank` projected onto
+``comm = host % comm_mod`` communities (the raw host graph is nearly
+injective per doc — ~1 host per document — so it is triangle-free;
+the community projection is the realistic dense-TLD-cluster shape).
+Undirected, self-loops dropped, edges DISTINCT.
+
+Why degree-ordered: each undirected edge is oriented from its
+lower-``(degree, id)`` endpoint to the higher one, so every node's
+out-adjacency is bounded by O(sqrt(m)) regardless of hubs — wedge
+generation (the quadratic step in naive triangle counting) stays linear
+in the arboricity bound even when a community has millions of members.
+Each triangle is then found exactly once: as the wedge (v, w) out of its
+minimum-order vertex u, closed by the oriented edge v -> w.
+
+Scale shape: four bounded hash shuffles (edge dedup, degree attach x2,
+wedge-closing join), all carrying fixed-width int64 rows; wedge fan-out
+is pre-bounded by the orientation and counts are pre-summed per
+partition before the final per-community reduce.  Python cost is per
+partition, never per row (the pair expansion is the vectorized
+cumsum-offset trick, not a per-node loop).
+
+Everything is exact int64 arithmetic, so the DuckDB oracle (a 3-way
+self-join on the same DISTINCT edge CTE, ``sql/oracles_corpus
+.triangles_sql``) matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..functions import geocode
+from . import pagerank as pr
+
+COMM_MOD = 149  # prime; 500 fixed docs -> ~149 nodes, ~950 edges, ~370 triangles
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+N_PARTS = 32
+
+
+def _part_of(key: np.ndarray, n_parts: int = N_PARTS) -> np.ndarray:
+    return (((key.view(np.uint64) * _GOLDEN) >> np.uint64(52))
+            % np.uint64(n_parts)).astype(np.int64)
+
+
+def _add_part(batch: pa.Table) -> pa.Table:
+    k = batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+    return batch.append_column("__part", pa.array(_part_of(k)))
+
+
+def community_edges(docs_ds, n_docs: int, comm_mod: int = COMM_MOD):
+    """documents -> Dataset(a, b): DISTINCT undirected community edges
+    (a < b), using the same two link rules per doc as :func:`pr.host_graph`."""
+    from ..functions.reduce import hash_groupby
+
+    cm = np.int64(comm_mod)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([geocode.host_id(d), geocode.host_id(d)]) % cm
+        dst = np.concatenate([
+            geocode.host_id((d * pr.EDGE_MULT + pr.EDGE_ADD) % n_docs),
+            geocode.host_id((d * d * pr.EDGE_MULT2 + pr.EDGE_ADD2) % n_docs),
+        ]) % cm
+        keep = src != dst
+        a = np.minimum(src[keep], dst[keep])
+        b = np.maximum(src[keep], dst[keep])
+        pack = a * cm + b
+        return pa.table({"pack": pa.array(np.unique(pack)),
+                         "one": pa.array(np.ones(len(np.unique(pack)), np.int64))})
+
+    distinct = hash_groupby(
+        docs_ds.map_batches(emit, batch_format="pyarrow", batch_size=None),
+        "pack", ["one"], how="min",
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        p = batch.column("pack").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"a": pa.array(p // cm), "b": pa.array(p % cm)})
+
+    return distinct.map_batches(unpack, batch_format="pyarrow", batch_size=None)
+
+
+def _pairs_within_groups(grp: np.ndarray):
+    """Vectorized within-group ordered pair expansion.
+
+    ``grp`` is a sorted group-id array; rows within a group are assumed
+    already ordered.  Returns (first_idx, second_idx) row-index arrays for
+    every pair (i, j), i < j, inside each group — the cumsum-offset trick,
+    no Python per group.
+    """
+    _, starts, counts = np.unique(grp, return_index=True, return_counts=True)
+    k = np.repeat(counts, counts)                       # group size per row
+    pos = np.arange(len(grp)) - np.repeat(starts, counts)
+    n_after = k - 1 - pos                               # pairs led by this row
+    first = np.repeat(np.arange(len(grp)), n_after)
+    offs = np.concatenate([[0], np.cumsum(n_after)])
+    seq = np.arange(offs[-1]) - np.repeat(offs[:-1], n_after)
+    second = first + 1 + seq
+    return first, second
+
+
+def triangle_counts(docs_ds, n_docs: int, comm_mod: int = COMM_MOD):
+    """documents -> Dataset(comm, n_triangles): per-community triangle
+    participation counts (communities in >= 1 triangle)."""
+    from ..functions.reduce import hash_groupby
+
+    cm = np.int64(comm_mod)
+    edges = community_edges(docs_ds, n_docs, comm_mod).materialize()
+
+    # degree per node (both endpoints of every distinct undirected edge)
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([a, b])),
+                         "one": pa.array(np.ones(2 * len(a), np.int64))})
+
+    deg = hash_groupby(
+        edges.map_batches(explode, batch_format="pyarrow", batch_size=None),
+        "node", ["one"], how="isum",
+    )
+
+    # attach deg to each endpoint: one co-partitioned tagged join per side
+    def _attach(es, side: str, out_col: str):
+        def tag_edge(batch: pa.Table) -> pa.Table:
+            cols = {"key": batch.column(side), "kind": pa.array(
+                np.ones(len(batch), np.int8))}
+            for c in es.schema().names:
+                if c != side:
+                    cols[c] = batch.column(c)
+            return pa.table(cols)
+
+        def tag_deg(batch: pa.Table) -> pa.Table:
+            return pa.table({"key": batch.column("node"),
+                             "kind": pa.array(np.zeros(len(batch), np.int8)),
+                             out_col: batch.column("one")})
+
+        carry = [c for c in es.schema().names if c != side]
+
+        def join(df: pd.DataFrame) -> pd.DataFrame:
+            dg = df[df["kind"] == 0][["key", out_col]]
+            ed = df[df["kind"] == 1][["key"] + carry]
+            m = ed.merge(dg, on="key")
+            out = {side: m["key"].to_numpy(np.int64)}
+            for c in carry + [out_col]:
+                out[c] = m[c].to_numpy(np.int64)
+            return pd.DataFrame(out)
+
+        return (
+            es.map_batches(tag_edge, batch_format="pyarrow", batch_size=None)
+            .union(deg.map_batches(tag_deg, batch_format="pyarrow",
+                                   batch_size=None))
+            .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
+            .groupby("__part")
+            .map_groups(join)
+        )
+
+    with_deg = _attach(_attach(edges, "a", "deg_a"), "b", "deg_b")
+
+    # orient low-(deg, id) -> high-(deg, id); ord fits int64 (deg <= nodes
+    # <= comm_mod, id < comm_mod)
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        da = batch.column("deg_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = batch.column("deg_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        orda, ordb = da * cm + a, db * cm + b
+        lo = orda <= ordb
+        u = np.where(lo, a, b)
+        v = np.where(lo, b, a)
+        ordv = np.where(lo, ordb, orda)
+        return pa.table({"key": pa.array(u), "v": pa.array(v),
+                         "ordv": pa.array(ordv)})
+
+    oriented = with_deg.map_batches(orient, batch_format="pyarrow",
+                                    batch_size=None).materialize()
+
+    # wedges: co-partition by source u, sort (u, ordv), expand ordered pairs
+    def wedges(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["key", "ordv"], kind="stable")
+        u = d["key"].to_numpy(np.int64)
+        v = d["v"].to_numpy(np.int64)
+        first, second = _pairs_within_groups(u)
+        return pd.DataFrame({"key": v[first] * cm + v[second],
+                             "u": u[first]})
+
+    wedge_rows = (
+        oriented.map_batches(_add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(wedges)
+    )
+
+    # closing join: wedge (v, w) forms a triangle iff oriented edge v -> w
+    # exists (each triangle counted exactly once, at its min-order vertex)
+    def tag_wedge(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("key"), "u": batch.column("u"),
+                         "kind": pa.array(np.ones(len(batch), np.int8))})
+
+    def tag_closer(batch: pa.Table) -> pa.Table:
+        u = batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"key": pa.array(u * cm + v),
+                         "u": pa.array(np.zeros(len(batch), np.int64)),
+                         "kind": pa.array(np.zeros(len(batch), np.int8))})
+
+    def close_and_count(df: pd.DataFrame) -> pd.DataFrame:
+        ed = df[df["kind"] == 0][["key"]]
+        wd = df[df["kind"] == 1][["key", "u"]]
+        m = wd.merge(ed, on="key")
+        pk = m["key"].to_numpy(np.int64)
+        comm = np.concatenate([m["u"].to_numpy(np.int64), pk // cm, pk % cm])
+        uniq, cnt = np.unique(comm, return_counts=True)  # per-partition partial
+        return pd.DataFrame({"comm": uniq, "n_triangles": cnt.astype(np.int64)})
+
+    partials = (
+        wedge_rows.map_batches(tag_wedge, batch_format="pyarrow", batch_size=None)
+        .union(oriented.map_batches(tag_closer, batch_format="pyarrow",
+                                    batch_size=None))
+        .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(close_and_count)
+    )
+
+    return hash_groupby(partials, "comm", ["n_triangles"], how="isum")
