@@ -987,6 +987,14 @@ def _q_text_len_quantiles(sf_dir: str):
     return quantiles(_docs(sf_dir), text_len)
 
 
+def _q_gap_fill(sf_dir: str):
+    """Per-user zero-filled hourly resample (stages/events.gap_fill)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.gap_fill(events.read_events(sf_dir)).sort(
+        ["user_id", "bucket_start"])
+
+
 def _q_sessionize(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import events
 
@@ -1030,6 +1038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_by_lang": _q_text_quality_by_lang,
         "events_window": _q_events_window,
         "sessionize": _q_sessionize,
+        "gap_fill": _q_gap_fill,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "running_totals": _q_running_totals,
@@ -1115,6 +1124,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_by_lang": oc.text_quality_by_lang_sql(),
         "events_window": oc.events_window_sql(),
         "sessionize": oc.sessionize_sql(),
+        "gap_fill": oc.gap_fill_sql(),
         "asof_join": oc.asof_join_sql(),
         "range_join": oc.range_join_sql(),
         "running_totals": oc.running_totals_sql(),

@@ -292,6 +292,29 @@ GROUP BY 1, 2
 ORDER BY 1, 2"""
 
 
+def gap_fill_sql(bucket_us: int = events.WINDOW_US) -> str:
+    """Oracle of stages/events.gap_fill: generate_series over each user's
+    active bucket range LEFT JOINed against the per-bucket aggregate."""
+    return f"""WITH b AS (
+  SELECT user_id, epoch_us(ts) // {bucket_us} AS bkt,
+    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+), r AS (
+  SELECT user_id, min(bkt) AS lo, max(bkt) AS hi FROM b GROUP BY user_id
+), g AS (
+  SELECT user_id, unnest(range(lo, hi + 1)) AS bkt FROM r
+), a AS (
+  SELECT user_id, bkt, CAST(count(*) AS BIGINT) AS n_events,
+    CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM b GROUP BY user_id, bkt
+)
+SELECT g.user_id, make_timestamp(g.bkt * {bucket_us}) AS bucket_start,
+  COALESCE(a.n_events, 0) AS n_events,
+  COALESCE(a.sum_cents, 0) AS sum_cents
+FROM g LEFT JOIN a ON g.user_id = a.user_id AND g.bkt = a.bkt
+ORDER BY g.user_id, g.bkt"""
+
+
 def sessionize_sql(gap_us: int = events.SESSION_GAP_US) -> str:
     return f"""WITH flagged AS (
   SELECT event_id, user_id, ts,

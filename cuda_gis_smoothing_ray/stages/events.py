@@ -410,3 +410,42 @@ def event_ranks(ds):
         )
 
     return ds.groupby("user_id").map_groups(solve)
+
+
+def gap_fill(ds, bucket_us: int = WINDOW_US):
+    """Per-user time-series densification (resample): every ``bucket_us``
+    bucket from the user's first to last event, with n_events and exact
+    integer-cent sums, zero-filled where the user was inactive — the
+    temporal gap-filling operator every feature/training pipeline needs
+    before windowed models (the SQL ``generate_series + LEFT JOIN`` idiom).
+
+    Emits (user_id, bucket_start, n_events, sum_cents), one row per
+    (user, bucket) in the user's active range.
+
+    Same single shuffle key (user_id) as every events operator; the local
+    solve is one ``np.bincount`` over bucket offsets — densification cost
+    is O(span/bucket) per user, created inside the group (never on the
+    driver), and output rows stream straight out of the group task.
+    """
+
+    def solve(group: pd.DataFrame) -> pd.DataFrame:
+        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.floor(group["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        bkt = ts // bucket_us
+        lo = bkt.min()
+        off = bkt - lo
+        n = int(off.max()) + 1
+        counts = np.bincount(off, minlength=n).astype(np.int64)
+        sums = np.zeros(n, np.int64)
+        np.add.at(sums, off, cents)  # exact int64 (bincount weights = lossy float)
+        buckets = (lo + np.arange(n, dtype=np.int64)) * bucket_us
+        return pd.DataFrame(
+            {
+                "user_id": np.full(n, group["user_id"].iat[0], np.int64),
+                "bucket_start": buckets.astype("datetime64[us]"),
+                "n_events": counts,
+                "sum_cents": sums,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(solve)

@@ -140,3 +140,31 @@ def test_audio_resample(sf_dir):
     merged = out.merge(audio[["media_id", "duration_ms"]], on="media_id")
     assert (merged["n_in"] == merged["src_rate"] * merged["duration_ms"] // 1000).all()
     assert (merged["n_out"] == media.AUDIO_TARGET_RATE * merged["duration_ms"] // 1000).all()
+
+
+def test_gap_fill_zero_fills_inactive_buckets():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import gap_fill
+
+    # user 1: events in buckets 0 and 3 (of width 10us) -> rows for 0..3;
+    # user 2: single event -> exactly one row
+    ts = np.array([2, 5, 31, 104], dtype="datetime64[us]")
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array(ts),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "event_type": pa.array(["a"] * 4),
+        "value": pa.array([1.0, 2.0, 0.405, 7.0]),
+    }))
+    out = (
+        gap_fill(ds, bucket_us=10)
+        .to_pandas()
+        .sort_values(["user_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    assert out["user_id"].tolist() == [1, 1, 1, 1, 2]
+    assert out["bucket_start"].to_numpy().astype(np.int64).tolist() == [0, 10, 20, 30, 100]
+    assert out["n_events"].tolist() == [2, 0, 0, 1, 1]
+    # exact cents incl. the floor(x*100+0.5) rounding rule (0.405 -> 41)
+    assert out["sum_cents"].tolist() == [300, 0, 0, 41, 700]
