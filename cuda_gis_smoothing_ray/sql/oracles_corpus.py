@@ -966,6 +966,32 @@ FROM c
 ORDER BY doc_id"""
 
 
+def dup_ngram_stats_sql(n: int = 3) -> str:
+    """Oracle of stages/textops.dup_ngram_stats: same \\s+ tokenization,
+    n-grams via 1-based list slicing, per-(doc, gram) counts, integer sums."""
+    joined = " || ' ' || ".join(f"toks[i + {j}]" for j in range(n))
+    return f"""WITH t AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks) - {n - 2}), i ->
+      {joined})) AS gram
+  FROM t WHERE len(toks) >= {n}
+), c AS (
+  SELECT doc_id, gram, count(*) AS cnt, length(gram) AS glen
+  FROM g GROUP BY doc_id, gram
+)
+SELECT doc_id,
+  CAST(sum(cnt) AS BIGINT) AS n_grams,
+  CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup,
+  CAST(sum(cnt * glen) AS BIGINT) AS total_chars,
+  CAST(sum(CASE WHEN cnt >= 2 THEN cnt * glen ELSE 0 END) AS BIGINT) AS dup_chars
+FROM c
+GROUP BY doc_id
+ORDER BY doc_id"""
+
+
 def triangles_sql(comm_mod: int | None = None) -> str:
     """Oracle of stages/triangles.triangle_counts: DISTINCT undirected
     community edges (same two link rules), then the canonical 3-way

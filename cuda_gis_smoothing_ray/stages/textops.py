@@ -1040,3 +1040,64 @@ def pack_sequences(ds, cap: int = 2048):
         )
 
     return narrow.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# duplicated n-gram quality metric (Gopher-style repetition rule)
+# ---------------------------------------------------------------------------
+
+def dup_ngram_stats(ds, n: int = 3):
+    """documents -> (doc_id, n_grams, n_dup, total_chars, dup_chars): the
+    Gopher-style repetition quality signal — for each doc, how many of its
+    consecutive word ``n``-grams belong to a gram that repeats within the
+    doc, and how many characters those occurrences cover (the "fraction of
+    characters in duplicate n-grams" filter rule, kept as exact integer
+    numerator/denominator so the oracle is bit-exact and the caller picks
+    the threshold).
+
+    Scale shape: docs never split across batches, so the whole metric is
+    one stateless ``map_batches`` — gram extraction via the shared Arrow
+    kernel (:func:`_doc_ngrams`), per-(doc, gram) counts via one
+    dictionary-encode + packed ``np.unique``, per-doc sums via bincount.
+    No shuffle at all.
+    """
+    import pyarrow.compute as pc_
+
+    def f(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "n_grams": pa.array([], pa.int64()),
+            "n_dup": pa.array([], pa.int64()),
+            "total_chars": pa.array([], pa.int64()),
+            "dup_chars": pa.array([], pa.int64()),
+        })
+        doc_g, grams = _doc_ngrams(batch, n)
+        if len(grams) == 0:
+            return empty
+        lens = pc_.utf8_length(grams).to_numpy(zero_copy_only=False).astype(np.int64)
+        enc = grams.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        udoc, dinv = np.unique(doc_g, return_inverse=True)
+        span = np.int64(code.max()) + 1
+        pack = dinv.astype(np.int64) * span + code
+        _, pinv, pcnt = np.unique(pack, return_inverse=True, return_counts=True)
+        occ_cnt = pcnt[pinv]          # per occurrence: its gram's in-doc count
+        dup = occ_cnt >= 2
+        nd = len(udoc)
+        n_grams = np.bincount(dinv, minlength=nd).astype(np.int64)
+        n_dup = np.bincount(dinv[dup], minlength=nd).astype(np.int64)
+        total_chars = np.zeros(nd, np.int64)
+        np.add.at(total_chars, dinv, lens)
+        dup_chars = np.zeros(nd, np.int64)
+        np.add.at(dup_chars, dinv[dup], lens[dup])
+        return pa.table({
+            "doc_id": pa.array(udoc),
+            "n_grams": pa.array(n_grams),
+            "n_dup": pa.array(n_dup),
+            "total_chars": pa.array(total_chars),
+            "dup_chars": pa.array(dup_chars),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)

@@ -269,3 +269,23 @@ def test_pack_sequences_prefix_sum():
     assert np.array_equal(out["n_tokens"].to_numpy(), nt)
     assert np.array_equal(out["seq_id"].to_numpy(), cum_prev // 64)
     assert np.array_equal(out["seq_offset"].to_numpy(), cum_prev % 64)
+
+
+def test_dup_ngram_stats_planted():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import dup_ngram_stats
+
+    # doc 1: "a b a b a b" -> 3-grams: "a b a", "b a b", "a b a", "b a b"
+    #   -> all 4 occurrences duplicated, 5 chars each
+    # doc 2: all distinct grams; doc 3: too short for any 3-gram (dropped)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b a b a b", "w x y z", "hi there"]),
+    }))
+    out = dup_ngram_stats(ds, n=3).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_grams"].tolist() == [4, 2]
+    assert out["n_dup"].tolist() == [4, 0]
+    assert out["total_chars"].tolist() == [20, 10]
+    assert out["dup_chars"].tolist() == [20, 0]
