@@ -607,6 +607,50 @@ def _q_join_revenue_by_priority(sf_dir: str):
     )
 
 
+def _q_cube_lineitem(sf_dir: str):
+    """CUBE (l_returnflag, l_linestatus): all four grouping sets from one
+    fact shuffle (stages/relagg.cube_sums); coarser sets derived from the
+    fine aggregate."""
+    from cuda_gis_smoothing_ray.stages.join import read_table
+    from cuda_gis_smoothing_ray.stages.relagg import cube_sums
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        qty = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        rev = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False))
+            * 100.0
+            + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame({
+            "l_returnflag": batch.column("l_returnflag").to_numpy(zero_copy_only=False),
+            "l_linestatus": batch.column("l_linestatus").to_numpy(zero_copy_only=False),
+            "qty_cents": qty,
+            "revenue_cents": rev,
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=True).agg(
+            n_items=("qty_cents", "size"),
+            qty_cents=("qty_cents", "sum"),
+            revenue_cents=("revenue_cents", "sum"),
+        ).reset_index()
+        return pa.Table.from_pandas(
+            g[["l_returnflag", "l_linestatus", "n_items", "qty_cents", "revenue_cents"]],
+            preserve_index=False)
+
+    partials = li.map_batches(partial, batch_format="pyarrow")
+    cube = cube_sums(partials, ["l_returnflag", "l_linestatus"],
+                     ["n_items", "qty_cents", "revenue_cents"])
+    return cube.sort(["l_returnflag", "l_linestatus"])
+
+
 def _q_rollup_revenue(sf_dir: str):
     """ROLLUP (o_orderpriority, l_returnflag): fine level + per-priority
     subtotals + grand total from ONE fact shuffle; coarser levels derived
@@ -1063,6 +1107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _q_anti_join,
         "bloom_urgent_revenue": _q_bloom_semi_join,
         "rollup_revenue": _q_rollup_revenue,
+        "cube_lineitem": _q_cube_lineitem,
         "join_orders_by_nation": _q_join_orders_by_nation,
         "join_region_customers": _q_join_region_customers,
         "join_revenue_by_priority": _q_join_revenue_by_priority,
@@ -1150,6 +1195,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_without_orders": oc.customers_with_orders_sql(anti=True, priority="1-URGENT"),
         "bloom_urgent_revenue": oc.bloom_semi_join_sql(),
         "rollup_revenue": oc.rollup_revenue_sql(),
+        "cube_lineitem": oc.cube_lineitem_sql(),
         "join_orders_by_nation": oc.join_orders_by_nation_sql(),
         "join_region_customers": oc.join_region_customers_sql(),
         "join_revenue_by_priority": oc.join_revenue_by_priority_sql(),

@@ -507,6 +507,20 @@ GROUP BY ROLLUP (o_orderpriority, l_returnflag)
 ORDER BY o_orderpriority, l_returnflag"""
 
 
+def cube_lineitem_sql() -> str:
+    """Oracle of stages/relagg.cube_sums: all four grouping sets of
+    CUBE (l_returnflag, l_linestatus) over lineitem, exact cents."""
+    return """SELECT
+  coalesce(l_returnflag, 'ALL') AS l_returnflag,
+  coalesce(l_linestatus, 'ALL') AS l_linestatus,
+  CAST(count(*) AS BIGINT) AS n_items,
+  CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents,
+  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus"""
+
+
 def user_event_paths_sql(max_len: int = 50) -> str:
     """Oracle of stages/events.user_event_paths (ordered string_agg with a
     length cap)."""

@@ -77,3 +77,37 @@ def argmax_by(ds, group_col: str, order_cols: list[str], keep_cols: list[str]):
         .groupby(group_col)
         .map_groups(final_best)
     )
+
+
+def cube_sums(ds, keys: list[str], sum_cols: list[str], all_label: str = "ALL"):
+    """ds -> CUBE(keys): every subset grouping set (2^len(keys) of them),
+    collapsed keys set to the ``all_label`` sentinel (same non-nullable
+    contract as :func:`rollup_sums`).  ``sum_cols`` must be exact integers.
+
+    Same one-shuffle shape as ROLLUP: only the finest grouping set
+    aggregates the fact table; every coarser set re-aggregates the
+    distinct-combos-sized fine result in a single task."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Sum
+
+    fine = ds.groupby(keys).aggregate(*[Sum(c, alias_name=c) for c in sum_cols])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        levels = [df]
+        for n_keep in range(len(keys) - 1, -1, -1):
+            for kept in combinations(keys, n_keep):
+                g = (
+                    df.groupby(list(kept), sort=False)[sum_cols].sum().reset_index()
+                    if kept
+                    else df[sum_cols].sum().to_frame().T
+                )
+                for k in keys:
+                    if k not in kept:
+                        g[k] = all_label
+                levels.append(g[keys + sum_cols])
+        out = pd.concat(levels, ignore_index=True)[keys + sum_cols]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return fine.repartition(1).map_batches(expand, batch_format="pyarrow")

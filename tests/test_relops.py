@@ -229,3 +229,28 @@ def test_argmax_by_latest_semantics():
     assert got["user_id"].tolist() == [7, 9]
     assert got["event_id"].tolist() == [3, 4]
     assert got["event_type"].tolist() == ["view", "view"]
+
+
+def test_cube_sums_all_grouping_sets():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.relagg import cube_sums
+
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array(["x", "x", "y"]),
+        "b": pa.array(["p", "q", "p"]),
+        "v": pa.array([1, 2, 4], pa.int64()),
+    }))
+    out = (
+        cube_sums(ds, ["a", "b"], ["v"])
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    got = {(r.a, r.b): r.v for r in out.itertuples()}
+    assert got == {
+        ("x", "p"): 1, ("x", "q"): 2, ("y", "p"): 4,   # fine
+        ("x", "ALL"): 3, ("y", "ALL"): 4,              # by a
+        ("ALL", "p"): 5, ("ALL", "q"): 2,              # by b  (not in ROLLUP)
+        ("ALL", "ALL"): 7,                             # grand total
+    }
