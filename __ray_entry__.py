@@ -343,6 +343,14 @@ def _q_pagerank(sf_dir: str):
     return pr.pagerank(docs, n_docs=n_docs).sort("host")
 
 
+def _q_inverted_index(sf_dir: str):
+    """Retrieval index build: token -> (df, ordered posting list)
+    (stages/textops.inverted_index)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.inverted_index(_docs(sf_dir)).sort("token")
+
+
 def _q_dup_ngrams(sf_dir: str):
     """Gopher-style duplicated-3-gram repetition metric
     (stages/textops.dup_ngram_stats)."""
@@ -1072,6 +1080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "triangle_counts": _q_triangles,
         "dup_ngram_stats": _q_dup_ngrams,
+        "inverted_index": _q_inverted_index,
         "pack_sequences": _q_pack_sequences,
         "profile_documents": _q_profile,
         "minhash_pairs_tiny": _q_minhash_tiny,
@@ -1163,6 +1172,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": oc.pagerank_sql(),
         "triangle_counts": oc.triangles_sql(),
         "dup_ngram_stats": oc.dup_ngram_stats_sql(),
+        "inverted_index": oc.inverted_index_sql(),
         "pack_sequences": oc.pack_sequences_sql(),
         "profile_documents": oc.profile_documents_sql(),
         "minhash_pairs_tiny": oc.minhash_pairs_tiny_sql(0.5, 4, 3, 2),

@@ -980,6 +980,22 @@ FROM c
 ORDER BY doc_id"""
 
 
+def inverted_index_sql(min_df: int = 2) -> str:
+    """Oracle of stages/textops.inverted_index: distinct (doc, token) via
+    list_distinct, ordered string_agg posting lists."""
+    return f"""WITH t AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS df,
+  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_list
+FROM t
+GROUP BY token
+HAVING count(*) >= {min_df}
+ORDER BY token"""
+
+
 def dup_ngram_stats_sql(n: int = 3) -> str:
     """Oracle of stages/textops.dup_ngram_stats: same \\s+ tokenization,
     n-grams via 1-based list slicing, per-(doc, gram) counts, integer sums."""

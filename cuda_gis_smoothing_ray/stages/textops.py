@@ -1101,3 +1101,97 @@ def dup_ngram_stats(ds, n: int = 3):
         })
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# inverted index build (token -> df + ordered posting list)
+# ---------------------------------------------------------------------------
+
+def inverted_index(ds, min_df: int = 2, n_parts: int = _PAIR_PARTS):
+    """documents -> (token, df, doc_list): the retrieval-index build — for
+    every whitespace token with document frequency >= ``min_df``, its df
+    and the comma-joined ascending doc-id posting list.
+
+    Plan: batch-local DISTINCT (doc, token) extraction (same Arrow kernels
+    as :func:`tfidf`), one token-hash-keyed coarse-partition shuffle, then
+    a per-partition vectorized assembly: sort postings, cut token runs,
+    and emit each posting list via Arrow ``ListArray`` + ``binary_join`` —
+    Python cost per PARTITION, never per vocabulary term.  Output work is
+    inherently |index|-sized; nothing else is.
+    """
+    import pyarrow.compute as pc_
+
+    from ..functions.hashing import fnv_token_hash64
+
+    def _part_of(key: np.ndarray) -> np.ndarray:
+        return (
+            (key.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(52)
+        ) % np.uint64(n_parts)
+
+    EMPTY = pa.schema(
+        [("doc_id", pa.int64()), ("token", pa.string()), ("__part", pa.int64())]
+    )
+
+    def posting_rows(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(doc_id) == 0:
+            return EMPTY.empty_table()
+        split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        n_words = split.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = split.flatten()
+        row_idx = np.repeat(np.arange(len(doc_id), dtype=np.int64), n_words)
+        nonempty = pc_.not_equal(flat, "")
+        row_idx = row_idx[nonempty.to_numpy(zero_copy_only=False)]
+        toks = flat.filter(nonempty)
+        if len(toks) == 0:
+            return EMPTY.empty_table()
+        dic = toks.dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = row_idx * (codes.max() + 1) + codes
+        _, uidx = np.unique(packed, return_index=True)
+        tok_arr = dic.dictionary.take(pa.array(codes[uidx]))
+        thash = fnv_token_hash64(tok_arr).view(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_id[row_idx[uidx]]),
+                "token": tok_arr,
+                "__part": pa.array(_part_of(thash).astype(np.int64)),
+            }
+        )
+
+    postings = ds.map_batches(posting_rows, batch_format="pyarrow")
+
+    def assemble(part: pa.Table) -> pa.Table:
+        empty = pa.table({"token": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64()),
+                          "doc_list": pa.array([], pa.string())})
+        if len(part) == 0:
+            return empty
+        enc = part.column("token").dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = part.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((doc, code))
+        code_s, doc_s = code[order], doc[order]
+        uniq, counts = np.unique(code_s, return_counts=True)
+        keep_run = counts >= min_df
+        if not keep_run.any():
+            return empty
+        keep_row = np.repeat(keep_run, counts)
+        doc_k = doc_s[keep_row]
+        lens = counts[keep_run]
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        docstr = pc_.cast(pa.array(doc_k), pa.string())
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), docstr)
+        return pa.table({
+            "token": enc.dictionary.take(pa.array(uniq[keep_run])),
+            "df": pa.array(lens.astype(np.int64)),
+            "doc_list": pc_.binary_join(lists, ","),
+        })
+
+    return postings.groupby("__part").map_groups(assemble, batch_format="pyarrow")

@@ -289,3 +289,25 @@ def test_dup_ngram_stats_planted():
     assert out["n_dup"].tolist() == [4, 0]
     assert out["total_chars"].tolist() == [20, 10]
     assert out["dup_chars"].tolist() == [20, 0]
+
+
+def test_inverted_index_ordered_postings():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import inverted_index
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 7, 3], pa.int64()),
+        "text": pa.array(["cat dog cat", "dog fish", "cat dog"]),
+    }))
+    out = (
+        inverted_index(ds, min_df=2)
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    # "fish" df=1 filtered; within-doc repeats of "cat" dedup to one posting;
+    # posting lists ascend by doc_id regardless of input order
+    assert out["token"].tolist() == ["cat", "dog"]
+    assert out["df"].tolist() == [2, 3]
+    assert out["doc_list"].tolist() == ["3,10", "3,7,10"]
