@@ -1047,6 +1047,13 @@ def _q_text_len_quantiles(sf_dir: str):
     return quantiles(_docs(sf_dir), text_len)
 
 
+def _q_event_ntiles(sf_dir: str):
+    """NTILE(4) + PERCENT_RANK per event type (stages/events.event_ntiles)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.event_ntiles(events.read_events(sf_dir)).sort("event_id")
+
+
 def _q_gap_fill(sf_dir: str):
     """Per-user zero-filled hourly resample (stages/events.gap_fill)."""
     from cuda_gis_smoothing_ray.stages import events
@@ -1101,6 +1108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "sessionize": _q_sessionize,
         "gap_fill": _q_gap_fill,
+        "event_ntiles": _q_event_ntiles,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "running_totals": _q_running_totals,
@@ -1190,6 +1198,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window": oc.events_window_sql(),
         "sessionize": oc.sessionize_sql(),
         "gap_fill": oc.gap_fill_sql(),
+        "event_ntiles": oc.event_ntiles_sql(),
         "asof_join": oc.asof_join_sql(),
         "range_join": oc.range_join_sql(),
         "running_totals": oc.running_totals_sql(),

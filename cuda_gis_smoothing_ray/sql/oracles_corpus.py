@@ -585,6 +585,19 @@ WINDOW w AS (PARTITION BY user_id ORDER BY floor(value * 100.0 + 0.5) DESC)
 ORDER BY event_id"""
 
 
+def event_ntiles_sql(k: int = 4) -> str:
+    """Oracle of stages/events.event_ntiles: NTILE + PERCENT_RANK with the
+    deterministic (cents, event_id) tiebreak shared by both engines."""
+    return f"""SELECT event_id, event_type,
+  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+  CAST(ntile({k}) OVER w AS BIGINT) AS ntile,
+  {round6('percent_rank() OVER w')} AS pct_rank
+FROM events
+WINDOW w AS (PARTITION BY event_type
+             ORDER BY CAST(floor(value * 100.0 + 0.5) AS BIGINT), event_id)
+ORDER BY event_id"""
+
+
 def events_pivot_sql(types: tuple[str, ...] = events.EVENT_TYPES) -> str:
     """Oracle of stages/events.pivot_counts (conditional-aggregation pivot)."""
     cols = ",\n  ".join(

@@ -254,3 +254,22 @@ def test_cube_sums_all_grouping_sets():
         ("ALL", "p"): 5, ("ALL", "q"): 2,              # by b  (not in ROLLUP)
         ("ALL", "ALL"): 7,                             # grand total
     }
+
+
+def test_event_ntiles_buckets_and_pct():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import event_ntiles
+
+    # 5 rows, one type, k=4 -> NTILE sizes (2,1,1,1); pct_rank = pos/4
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array(np.zeros(5, dtype="datetime64[us]")),
+        "user_id": pa.array([9] * 5, pa.int64()),
+        "event_type": pa.array(["a"] * 5),
+        "value": pa.array([0.5, 0.1, 0.3, 0.2, 0.4]),
+    }))
+    out = event_ntiles(ds, k=4).to_pandas().sort_values("event_id").reset_index(drop=True)
+    # cents order: e2(10) e4(20) e3(30) e5(40) e1(50) -> pos 4,0,2,1,3
+    assert out["ntile"].tolist() == [4, 1, 2, 1, 3]
+    assert out["pct_rank"].tolist() == [1.0, 0.0, 0.5, 0.25, 0.75]
