@@ -343,6 +343,16 @@ def _q_pagerank(sf_dir: str):
     return pr.pagerank(docs, n_docs=n_docs).sort("host")
 
 
+def _q_grouped_corr(sf_dir: str):
+    """Per-language covariance/correlation of (chars, tokens) from exact
+    integer moments (stages/sketch.grouped_corr)."""
+    from cuda_gis_smoothing_ray.stages import sketch
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    docs = read_documents(sf_dir, columns=("text", "lang"))
+    return sketch.grouped_corr(docs).sort("lang")
+
+
 def _q_inverted_index(sf_dir: str):
     """Retrieval index build: token -> (df, ordered posting list)
     (stages/textops.inverted_index)."""
@@ -1088,6 +1098,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": _q_triangles,
         "dup_ngram_stats": _q_dup_ngrams,
         "inverted_index": _q_inverted_index,
+        "grouped_corr": _q_grouped_corr,
         "pack_sequences": _q_pack_sequences,
         "profile_documents": _q_profile,
         "minhash_pairs_tiny": _q_minhash_tiny,
@@ -1181,6 +1192,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_counts": oc.triangles_sql(),
         "dup_ngram_stats": oc.dup_ngram_stats_sql(),
         "inverted_index": oc.inverted_index_sql(),
+        "grouped_corr": oc.grouped_corr_sql(),
         "pack_sequences": oc.pack_sequences_sql(),
         "profile_documents": oc.profile_documents_sql(),
         "minhash_pairs_tiny": oc.minhash_pairs_tiny_sql(0.5, 4, 3, 2),

@@ -993,6 +993,33 @@ FROM c
 ORDER BY doc_id"""
 
 
+def grouped_corr_sql() -> str:
+    """Oracle of stages/sketch.grouped_corr: exact integer moments, one
+    double division, IEEE-correctly-rounded sqrt only in the corr
+    denominator — the same expression tree as the engine finalize."""
+    num = "CAST(n * sxy - sx * sy AS DOUBLE)"
+    den = ("sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))"
+           " * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE))")
+    return f"""WITH d AS (
+  SELECT lang, CAST(length(text) AS BIGINT) AS x,
+    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> ''))
+         AS BIGINT) AS y
+  FROM documents
+), m AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * y) AS BIGINT) AS sxy,
+    CAST(sum(x * x) AS BIGINT) AS sx2, CAST(sum(y * y) AS BIGINT) AS sy2
+  FROM d GROUP BY lang
+)
+SELECT lang, n AS n_docs,
+  {round6(f'{num} / CAST(n * n AS DOUBLE)')} AS cov_chars_tokens,
+  {round6(f'CASE WHEN {den} > 0 THEN {num} / ({den}) ELSE 0.0 END')}
+    AS corr_chars_tokens
+FROM m
+ORDER BY lang"""
+
+
 def inverted_index_sql(min_df: int = 2) -> str:
     """Oracle of stages/textops.inverted_index: distinct (doc, token) via
     list_distinct, ordered string_agg posting lists."""

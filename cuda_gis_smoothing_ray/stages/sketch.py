@@ -233,3 +233,82 @@ def quantile_filter(ds, group_col: str, col_fn, lo: float = 0.05, hi: float = 0.
         return out.filter(pa.array(keep))
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def grouped_corr(ds):
+    """documents -> per-language covariance/correlation of
+    (text length in chars, whitespace token count).
+
+    All shuffled state is EXACT integer moments — (n, sum_x, sum_y,
+    sum_xy, sum_x2, sum_y2) per language, summed batch-locally first —
+    so the shuffle carries 6 int64s per (lang, batch) and the float
+    covariance/correlation finalize happens once per group with the same
+    expression tree as the SQL oracle: integer numerators first, ONE
+    double division, sqrt (correctly rounded per IEEE 754, unlike ln/exp)
+    only in the correlation denominator, round6 at the boundary.
+    """
+    import pyarrow.compute as pc_
+
+    from ..functions.hashing import fnv_token_hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc_.utf8_length(batch.column("text")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.flatten()
+        n_words = split.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        emptyc = pc_.equal(flat, "").to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(len(x), dtype=np.int64), n_words)
+        y = n_words - np.bincount(row_idx[emptyc], minlength=len(x)).astype(np.int64)
+        lang = batch.column("lang")
+        ulang, linv = np.unique(
+            lang.to_numpy(zero_copy_only=False).astype(str), return_inverse=True)
+        nl = len(ulang)
+
+        def isum(v):
+            acc = np.zeros(nl, np.int64)
+            np.add.at(acc, linv, v)
+            return acc
+
+        return pa.table({
+            "lang": pa.array(ulang, pa.string()),
+            "n": pa.array(np.bincount(linv, minlength=nl).astype(np.int64)),
+            "sum_x": pa.array(isum(x)),
+            "sum_y": pa.array(isum(y)),
+            "sum_xy": pa.array(isum(x * y)),
+            "sum_x2": pa.array(isum(x * x)),
+            "sum_y2": pa.array(isum(y * y)),
+        })
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        h = fnv_token_hash64(batch.column("lang")).view(np.int64)
+        return batch.append_column("__g", pa.array(h))
+
+    def finalize(group: pd.DataFrame) -> pd.DataFrame:
+        n = np.int64(group["n"].sum())
+        sx = np.int64(group["sum_x"].sum())
+        sy = np.int64(group["sum_y"].sum())
+        sxy = np.int64(group["sum_xy"].sum())
+        sx2 = np.int64(group["sum_x2"].sum())
+        sy2 = np.int64(group["sum_y2"].sum())
+        num = np.float64(n * sxy - sx * sy)
+        cov = num / np.float64(n * n)
+        den = np.sqrt(np.float64(n * sx2 - sx * sx)) * np.sqrt(
+            np.float64(n * sy2 - sy * sy))
+        corr = num / den if den > 0 else np.float64(0.0)
+        r6 = lambda v: np.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+        return pd.DataFrame({
+            "lang": [group["lang"].iat[0]],
+            "n_docs": [n],
+            "cov_chars_tokens": [r6(cov)],
+            "corr_chars_tokens": [r6(corr)],
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .map_batches(add_key, batch_format="pyarrow", batch_size=None)
+        .groupby("__g")
+        .map_groups(finalize)
+    )

@@ -95,3 +95,23 @@ def test_quantile_filter_band(sf_dir):
         hi_v = th[(th["lang"] == lang) & (th["q"] == 0.95)]["value"].iloc[0]
         assert g["value"].between(lo_v, hi_v).all()
     assert 0 < len(out) < 500  # something trimmed, something kept
+
+
+def test_grouped_corr_exact_moments():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import grouped_corr
+
+    # lang a: perfectly correlated (y = token count grows with chars);
+    # texts chosen so chars/tokens are hand-checkable
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array(["aa bb", "aaa bbb cc", "a", "bb cc"]),
+        "lang": pa.array(["en", "en", "de", "de"]),
+    }))
+    out = grouped_corr(ds).to_pandas().sort_values("lang").reset_index(drop=True)
+    assert out["lang"].tolist() == ["de", "en"]
+    assert out["n_docs"].tolist() == [2, 2]
+    # de: (x,y) = (1,1), (5,2); en: (5,2), (10,3) -> both perfectly linear
+    assert out["corr_chars_tokens"].tolist() == [1.0, 1.0]
+    # population covariance: de mean x=3,y=1.5 -> cov = (2*.5 + 2*.5)/2 = 1
+    assert out["cov_chars_tokens"].tolist() == [1.0, 1.25]
