@@ -625,6 +625,54 @@ def _q_join_revenue_by_priority(sf_dir: str):
     )
 
 
+def _q_customer_order_stats(sf_dir: str):
+    """LEFT OUTER join coverage: every customer with zero-filled URGENT-order
+    count/total (stages/join.shuffle_join join_type='left_outer' against a
+    pre-aggregated fact side — the aggregate, not the fact table, shuffles).
+    Restricted to URGENT orders so the null/zero-fill path is non-vacuous
+    (203 of 1500 customers have none at sf0.01)."""
+    import pyarrow.compute as pc
+
+    from cuda_gis_smoothing_ray.functions.reduce import hash_groupby
+    from cuda_gis_smoothing_ray.stages.join import read_table, shuffle_join
+
+    orders = read_table(
+        sf_dir, "orders", ["o_custkey", "o_totalprice", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        uniq, inv = np.unique(ck, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, cents)
+        return pa.table({"o_custkey": pa.array(uniq), "n_orders": pa.array(n),
+                         "total_cents": pa.array(tot)})
+
+    agg = hash_groupby(
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "o_custkey", ["n_orders", "total_cents"], how="isum",
+    )
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = shuffle_join(cust, agg, on="c_custkey", right_on="o_custkey",
+                          num_partitions=8, join_type="left_outer")
+
+    def zero_fill(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch.column("c_custkey"),
+            "c_mktsegment": batch.column("c_mktsegment"),
+            "n_orders": pc.fill_null(
+                pc.cast(batch.column("n_orders"), pa.int64()), 0),
+            "total_cents": pc.fill_null(
+                pc.cast(batch.column("total_cents"), pa.int64()), 0),
+        })
+
+    return joined.map_batches(zero_fill, batch_format="pyarrow").sort("c_custkey")
+
+
 def _q_cube_lineitem(sf_dir: str):
     """CUBE (l_returnflag, l_linestatus): all four grouping sets from one
     fact shuffle (stages/relagg.cube_sums); coarser sets derived from the
@@ -1136,6 +1184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_urgent_revenue": _q_bloom_semi_join,
         "rollup_revenue": _q_rollup_revenue,
         "cube_lineitem": _q_cube_lineitem,
+        "customer_order_stats": _q_customer_order_stats,
         "join_orders_by_nation": _q_join_orders_by_nation,
         "join_region_customers": _q_join_region_customers,
         "join_revenue_by_priority": _q_join_revenue_by_priority,
@@ -1227,6 +1276,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_urgent_revenue": oc.bloom_semi_join_sql(),
         "rollup_revenue": oc.rollup_revenue_sql(),
         "cube_lineitem": oc.cube_lineitem_sql(),
+        "customer_order_stats": oc.customer_order_stats_sql(),
         "join_orders_by_nation": oc.join_orders_by_nation_sql(),
         "join_region_customers": oc.join_region_customers_sql(),
         "join_revenue_by_priority": oc.join_revenue_by_priority_sql(),

@@ -507,6 +507,21 @@ GROUP BY ROLLUP (o_orderpriority, l_returnflag)
 ORDER BY o_orderpriority, l_returnflag"""
 
 
+def customer_order_stats_sql() -> str:
+    """Oracle of the left-outer join query: every customer, zero-filled
+    order count and exact-cent total."""
+    return """SELECT c_custkey, c_mktsegment,
+  COALESCE(a.n_orders, 0) AS n_orders,
+  COALESCE(a.total_cents, 0) AS total_cents
+FROM customer LEFT JOIN (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+    CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      AS total_cents
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+) a ON c_custkey = a.o_custkey
+ORDER BY c_custkey"""
+
+
 def cube_lineitem_sql() -> str:
     """Oracle of stages/relagg.cube_sums: all four grouping sets of
     CUBE (l_returnflag, l_linestatus) over lineitem, exact cents."""

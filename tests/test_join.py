@@ -180,3 +180,28 @@ def test_hash_semi_join_string_keys(ray_session):
     anti = hash_semi_join(rd.from_arrow(left), rd.from_arrow(right), "k", "rk", anti=True)
     assert sorted(semi.to_pandas()["k"]) == ["b", "d"]
     assert sorted(anti.to_pandas()["k"]) == ["a", "a", "c"]
+
+
+def test_left_outer_shuffle_join_null_fill():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.join import shuffle_join
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3], pa.int64()),
+        "name": pa.array(["a", "b", "c"]),
+    }))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([1, 3], pa.int64()),
+        "v": pa.array([10, 30], pa.int64()),
+    }))
+    out = (
+        shuffle_join(left, right, on="k", right_on="rk",
+                     num_partitions=2, join_type="left_outer")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3]
+    assert out["v"].isna().tolist() == [False, True, False]
