@@ -343,6 +343,14 @@ def _q_pagerank(sf_dir: str):
     return pr.pagerank(docs, n_docs=n_docs).sort("host")
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Exact two-pass heavy hitters over the corpus token stream
+    (stages/sketch.heavy_hitters)."""
+    from cuda_gis_smoothing_ray.stages import sketch
+
+    return sketch.heavy_hitters(_docs(sf_dir)).sort("token")
+
+
 def _q_grouped_corr(sf_dir: str):
     """Per-language covariance/correlation of (chars, tokens) from exact
     integer moments (stages/sketch.grouped_corr)."""
@@ -1147,6 +1155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_stats": _q_dup_ngrams,
         "inverted_index": _q_inverted_index,
         "grouped_corr": _q_grouped_corr,
+        "heavy_hitters": _q_heavy_hitters,
         "pack_sequences": _q_pack_sequences,
         "profile_documents": _q_profile,
         "minhash_pairs_tiny": _q_minhash_tiny,
@@ -1242,6 +1251,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_stats": oc.dup_ngram_stats_sql(),
         "inverted_index": oc.inverted_index_sql(),
         "grouped_corr": oc.grouped_corr_sql(),
+        "heavy_hitters": oc.heavy_hitters_sql(),
         "pack_sequences": oc.pack_sequences_sql(),
         "profile_documents": oc.profile_documents_sql(),
         "minhash_pairs_tiny": oc.minhash_pairs_tiny_sql(0.5, 4, 3, 2),

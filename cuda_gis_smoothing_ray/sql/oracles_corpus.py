@@ -1008,6 +1008,23 @@ FROM c
 ORDER BY doc_id"""
 
 
+def heavy_hitters_sql(phi_den: int = 500) -> str:
+    """Oracle of stages/sketch.heavy_hitters: tokens with total count >=
+    ceil(total_tokens / phi_den), integer threshold arithmetic."""
+    return f"""WITH t AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            x -> x <> '')) AS token
+  FROM documents
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS total FROM t
+)
+SELECT token, CAST(count(*) AS BIGINT) AS cnt
+FROM t
+GROUP BY token
+HAVING count(*) >= ((SELECT total FROM n) + {phi_den - 1}) // {phi_den}
+ORDER BY token"""
+
+
 def grouped_corr_sql() -> str:
     """Oracle of stages/sketch.grouped_corr: exact integer moments, one
     double division, IEEE-correctly-rounded sqrt only in the corr

@@ -312,3 +312,119 @@ def grouped_corr(ds):
         .groupby("__g")
         .map_groups(finalize)
     )
+
+
+def heavy_hitters(ds, phi_den: int = 500, n_parts: int = 32):
+    """documents -> (token, cnt): every whitespace token whose total
+    occurrence count is >= ceil(total_tokens / phi_den) — EXACT heavy
+    hitters by the canonical two-pass pattern:
+
+    1. *Candidate pass*: each batch emits only tokens that are locally
+       heavy (local_cnt * phi_den >= local_total).  By the averaging
+       argument, any globally heavy token is locally heavy in at least
+       one batch, so the union is a guaranteed superset — and it is
+       bounded by phi_den candidates per batch, regardless of vocabulary
+       size.  Candidates dedup through a hash-partition shuffle (never
+       the driver), then the small distinct set broadcasts via
+       ``ray.put``.
+    2. *Verify pass*: a second streaming scan counts ONLY candidate
+       tokens exactly (Arrow ``is_in`` prefilter, so the count shuffle
+       carries |candidates| rows per batch, not the vocabulary).
+
+    The same shape runs at 100 TB: both passes stream, the only
+    materialized state is the candidate set (<= phi_den per batch after
+    dedup, in practice ~the true heavy-hitter count).
+    """
+    import pyarrow.compute as pc_
+
+    import ray
+
+    from ..functions.hashing import fnv_token_hash64
+
+    def tokens_of(batch: pa.Table):
+        split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.flatten()
+        return flat.filter(pc_.not_equal(flat, ""))
+
+    def local_candidates(batch: pa.Table) -> pa.Table:
+        toks = tokens_of(batch)
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "n_batch": pa.array([], pa.int64())})
+        enc = toks.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        cnt = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(enc.dictionary)).astype(np.int64)
+        heavy = cnt * phi_den >= len(toks)
+        cand = enc.dictionary.filter(pa.array(heavy))
+        # the batch total rides along under the reserved empty-token row
+        # (real tokens are never empty), so one pass yields both streams
+        out_tok = pa.concat_arrays([cand, pa.array([""], pa.string())])
+        out_n = np.concatenate([np.zeros(len(cand), np.int64),
+                                np.array([len(toks)], np.int64)])
+        return pa.table({"token": out_tok, "n_batch": pa.array(out_n)})
+
+    cand_stream = ds.map_batches(local_candidates, batch_format="pyarrow",
+                                 batch_size=None).materialize()
+
+    total = int(cand_stream.sum("n_batch"))
+    threshold = -(-total // phi_den)  # ceil(total / phi_den)
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        mask = pc_.not_equal(batch.column("token"), "")
+        tok = batch.column("token").filter(mask)
+        h = fnv_token_hash64(tok).view(np.int64)
+        return pa.table({"key": pa.array(h), "token": tok})
+
+    def dedup_part(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"token": df["token"].unique()})
+
+    _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy(zero_copy_only=False)
+        part = ((k.view(np.uint64) * _GOLDEN) >> np.uint64(52)) % np.uint64(n_parts)
+        return batch.append_column("__part", pa.array(part.astype(np.int64)))
+
+    cand_distinct = (
+        cand_stream.map_batches(key_rows, batch_format="pyarrow", batch_size=None)
+        .map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(dedup_part)
+    )
+    cand_set = pa.array(
+        [r["token"] for r in cand_distinct.take_all()], pa.string())
+    ref = ray.put(cand_set)
+
+    def exact_counts(batch: pa.Table) -> pa.Table:
+        cs = ray.get(ref)
+        toks = tokens_of(batch)
+        if len(toks) == 0 or len(cs) == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        hit = toks.filter(pc_.is_in(toks, value_set=cs))
+        enc = hit.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        cnt = np.bincount(enc.indices.to_numpy(zero_copy_only=False),
+                          minlength=len(enc.dictionary)).astype(np.int64)
+        h = fnv_token_hash64(enc.dictionary).view(np.int64)
+        return pa.table({"key": pa.array(h), "token": enc.dictionary,
+                         "cnt": pa.array(cnt)})
+
+    def sum_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", sort=False)["cnt"].sum().reset_index()
+        g = g[g["cnt"] >= threshold]
+        return pd.DataFrame({"token": g["token"].to_numpy(),
+                             "cnt": g["cnt"].to_numpy(np.int64)})
+
+    return (
+        ds.map_batches(exact_counts, batch_format="pyarrow", batch_size=None)
+        .map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(sum_part)
+    )

@@ -115,3 +115,30 @@ def test_grouped_corr_exact_moments():
     assert out["corr_chars_tokens"].tolist() == [1.0, 1.0]
     # population covariance: de mean x=3,y=1.5 -> cov = (2*.5 + 2*.5)/2 = 1
     assert out["cov_chars_tokens"].tolist() == [1.0, 1.25]
+
+
+def test_heavy_hitters_exact_two_pass():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import heavy_hitters
+
+    # stream of 20 tokens split across 4 single-doc batches; "hot" appears
+    # 8 times (40%), "warm" 4 (20%), everything else below the 20% bar
+    docs = [
+        "hot hot warm x1 x2",
+        "hot hot warm x3 x4",
+        "hot hot warm x5 x6",
+        "hot hot warm x7 x8",
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "text": pa.array(docs),
+    })).repartition(4)
+    out = (
+        heavy_hitters(ds, phi_den=5)  # threshold = ceil(20/5) = 4
+        .to_pandas()
+        .sort_values("token")
+        .reset_index(drop=True)
+    )
+    assert out["token"].tolist() == ["hot", "warm"]
+    assert out["cnt"].tolist() == [8, 4]
