@@ -1113,6 +1113,13 @@ def _q_text_len_quantiles(sf_dir: str):
     return quantiles(_docs(sf_dir), text_len)
 
 
+def _q_funnel(sf_dir: str):
+    """Ordered view->click->purchase funnel per user (stages/events.funnel)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.funnel(events.read_events(sf_dir)).sort("user_id")
+
+
 def _q_event_ntiles(sf_dir: str):
     """NTILE(4) + PERCENT_RANK per event type (stages/events.event_ntiles)."""
     from cuda_gis_smoothing_ray.stages import events
@@ -1177,6 +1184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "gap_fill": _q_gap_fill,
         "event_ntiles": _q_event_ntiles,
+        "funnel": _q_funnel,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "running_totals": _q_running_totals,
@@ -1270,6 +1278,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": oc.sessionize_sql(),
         "gap_fill": oc.gap_fill_sql(),
         "event_ntiles": oc.event_ntiles_sql(),
+        "funnel": oc.funnel_sql(),
         "asof_join": oc.asof_join_sql(),
         "range_join": oc.range_join_sql(),
         "running_totals": oc.running_totals_sql(),

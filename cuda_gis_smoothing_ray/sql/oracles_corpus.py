@@ -600,6 +600,45 @@ WINDOW w AS (PARTITION BY user_id ORDER BY floor(value * 100.0 + 0.5) DESC)
 ORDER BY event_id"""
 
 
+def funnel_sql(steps: tuple[str, ...] = ("view", "click", "purchase"),
+               window_us: int | None = None) -> str:
+    """Oracle of stages/events.funnel: chained earliest-within-window mins,
+    one CTE per step, -1 sentinels via COALESCE."""
+    w = window_us if window_us is not None else events.FUNNEL_WINDOW_US
+    ctes = []
+    for i, s in enumerate(steps, start=1):
+        if i == 1:
+            ctes.append(
+                f"""s1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = '{s}' GROUP BY user_id
+)""")
+        else:
+            ctes.append(
+                f"""s{i} AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t{i}
+  FROM events e JOIN s{i - 1} p ON e.user_id = p.user_id
+  WHERE e.event_type = '{s}' AND epoch_us(e.ts) >= p.t{i - 1}
+    AND epoch_us(e.ts) <= p.t{i - 1} + {w}
+  GROUP BY e.user_id
+)""")
+    k = len(steps)
+    stage = "CASE " + " ".join(
+        f"WHEN t{i} IS NOT NULL THEN {i}" for i in range(k, 0, -1)
+    ) + " ELSE 0 END"
+    sel = ",\n  ".join(f"COALESCE(t{i}, -1) AS ts_{i}" for i in range(1, k + 1))
+    joins = "\n".join(f"LEFT JOIN s{i} USING (user_id)" for i in range(1, k + 1))
+    return f"""WITH u AS (
+  SELECT DISTINCT user_id FROM events
+),
+{",".join(ctes)}
+SELECT u.user_id, CAST({stage} AS BIGINT) AS stage,
+  {sel}
+FROM u
+{joins}
+ORDER BY u.user_id"""
+
+
 def event_ntiles_sql(k: int = 4) -> str:
     """Oracle of stages/events.event_ntiles: NTILE + PERCENT_RANK with the
     deterministic (cents, event_id) tiebreak shared by both engines."""

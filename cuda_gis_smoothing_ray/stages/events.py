@@ -500,3 +500,43 @@ def event_ntiles(ds, k: int = 4):
         .groupby("__g")
         .map_groups(solve)
     )
+
+
+FUNNEL_WINDOW_US = 86_400_000_000  # 24h per-step conversion window
+
+
+def funnel(ds, steps: tuple[str, ...] = ("view", "click", "purchase"),
+           window_us: int = FUNNEL_WINDOW_US):
+    """events -> (user_id, stage, ts_1..ts_k): ordered funnel conversion
+    with a per-step window — for each user, the earliest time of step 1,
+    then the earliest step-2 event at-or-after it AND within ``window_us``
+    of it, and so on (first-touch semantics); ``stage`` counts completed
+    steps and missing steps carry the -1 sentinel (int64 epoch micros
+    throughout, so the driver compare stays non-nullable).
+
+    Same shuffle-by-user + vectorized local solve as the rest of the
+    event family: per step it's one boolean mask + a ``min`` over the
+    tail of the user's sorted timestamps — O(k * events-per-user)."""
+
+    def solve(group: pd.DataFrame) -> pd.DataFrame:
+        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = group["event_type"].to_numpy()
+        out_ts = np.full(len(steps), np.int64(-1))
+        prev = None
+        stage = 0
+        for i, s in enumerate(steps):
+            m = et == s
+            if prev is not None:
+                m &= (ts >= prev) & (ts <= prev + window_us)
+            if not m.any():
+                break
+            prev = ts[m].min()
+            out_ts[i] = prev
+            stage += 1
+        row = {"user_id": [np.int64(group["user_id"].iat[0])],
+               "stage": [np.int64(stage)]}
+        for i in range(len(steps)):
+            row[f"ts_{i + 1}"] = [out_ts[i]]
+        return pd.DataFrame(row)
+
+    return ds.groupby("user_id").map_groups(solve)

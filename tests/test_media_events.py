@@ -168,3 +168,40 @@ def test_gap_fill_zero_fills_inactive_buckets():
     assert out["n_events"].tolist() == [2, 0, 0, 1, 1]
     # exact cents incl. the floor(x*100+0.5) rounding rule (0.405 -> 41)
     assert out["sum_cents"].tolist() == [300, 0, 0, 41, 700]
+
+
+def test_funnel_window_and_ordering():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import funnel
+
+    def ev(eid, us, uid, typ):
+        return (eid, np.datetime64(us, "us"), uid, typ, 1.0)
+
+    rows = [
+        # user 1: view@10, click@20 (in window), purchase@25 -> stage 3
+        ev(1, 10, 1, "view"), ev(2, 20, 1, "click"), ev(3, 25, 1, "purchase"),
+        # user 2: click BEFORE first view never counts; no click after -> stage 1
+        ev(4, 5, 2, "click"), ev(5, 10, 2, "view"),
+        # user 3: click too late (window 50) -> stage 1
+        ev(6, 0, 3, "view"), ev(7, 100, 3, "click"),
+        # user 4: no view at all -> stage 0
+        ev(8, 0, 4, "purchase"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], dtype="datetime64[us]")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows]),
+    }))
+    out = (
+        funnel(ds, window_us=50)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert out["stage"].tolist() == [3, 1, 1, 0]
+    assert out["ts_1"].tolist() == [10, 10, 0, -1]
+    assert out["ts_2"].tolist() == [20, -1, -1, -1]
+    assert out["ts_3"].tolist() == [25, -1, -1, -1]
