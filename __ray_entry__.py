@@ -343,6 +343,15 @@ def _q_pagerank(sf_dir: str):
     return pr.pagerank(docs, n_docs=n_docs).sort("host")
 
 
+def _q_window_distinct_users(sf_dir: str):
+    """DISTINCT users per tumbling hour (stages/sketch.window_distinct_users)."""
+    from cuda_gis_smoothing_ray.stages import events, sketch
+
+    return sketch.window_distinct_users(
+        events.read_events(sf_dir, columns=("ts", "user_id"))
+    ).sort("window_start")
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact two-pass heavy hitters over the corpus token stream
     (stages/sketch.heavy_hitters)."""
@@ -1163,6 +1172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "grouped_corr": _q_grouped_corr,
         "heavy_hitters": _q_heavy_hitters,
+        "window_distinct_users": _q_window_distinct_users,
         "pack_sequences": _q_pack_sequences,
         "profile_documents": _q_profile,
         "minhash_pairs_tiny": _q_minhash_tiny,
@@ -1260,6 +1270,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": oc.inverted_index_sql(),
         "grouped_corr": oc.grouped_corr_sql(),
         "heavy_hitters": oc.heavy_hitters_sql(),
+        "window_distinct_users": oc.window_distinct_users_sql(),
         "pack_sequences": oc.pack_sequences_sql(),
         "profile_documents": oc.profile_documents_sql(),
         "minhash_pairs_tiny": oc.minhash_pairs_tiny_sql(0.5, 4, 3, 2),

@@ -1047,6 +1047,16 @@ FROM c
 ORDER BY doc_id"""
 
 
+def window_distinct_users_sql(window_us: int = events.WINDOW_US) -> str:
+    """Oracle of stages/sketch.window_distinct_users."""
+    return f"""SELECT
+  make_timestamp((epoch_us(ts) // {window_us}) * {window_us}) AS window_start,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1
+ORDER BY 1"""
+
+
 def heavy_hitters_sql(phi_den: int = 500) -> str:
     """Oracle of stages/sketch.heavy_hitters: tokens with total count >=
     ceil(total_tokens / phi_den), integer threshold arithmetic."""

@@ -428,3 +428,51 @@ def heavy_hitters(ds, phi_den: int = 500, n_parts: int = 32):
         .groupby("__part")
         .map_groups(sum_part)
     )
+
+
+def window_distinct_users(ds, window_us: int = 3_600_000_000):
+    """events -> (window_start, n_users): DISTINCT user count per tumbling
+    window — the distinct-aggregate-per-window shape (a plain window sum
+    pre-aggregates; a distinct count cannot, so the shuffle carries the
+    batch-locally DEDUPED (window, user) pairs instead of raw events,
+    then dedupes exactly once more per hash partition).
+    """
+    from ..functions.reduce import hash_groupby
+
+    SPAN = np.int64(1) << np.int64(20)  # user_id < 2^20 in the driver tables
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if (uid >= SPAN).any():
+            raise ValueError("user_id exceeds pack span; raise SPAN")
+        wi = ts // window_us  # window INDEX (epoch micros * SPAN overflows)
+        pack = np.unique(wi * SPAN + uid)  # batch-local dedup
+        return pa.table({"pack": pa.array(pack),
+                         "one": pa.array(np.ones(len(pack), np.int64))})
+
+    deduped = hash_groupby(
+        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None),
+        "pack", ["one"], how="min",
+    )
+
+    def count_rows(batch: pa.Table) -> pa.Table:
+        p = batch.column("pack").to_numpy(zero_copy_only=False)
+        win, cnt = np.unique(p // SPAN, return_counts=True)
+        return pa.table({"win": pa.array(win),
+                         "n_users": pa.array(cnt.astype(np.int64))})
+
+    counts = hash_groupby(
+        deduped.map_batches(count_rows, batch_format="pyarrow", batch_size=None),
+        "win", ["n_users"], how="isum",
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        w = batch.column("win").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "window_start": pa.array((w * window_us).astype("datetime64[us]")),
+            "n_users": batch.column("n_users"),
+        })
+
+    return counts.map_batches(finalize, batch_format="pyarrow", batch_size=None)

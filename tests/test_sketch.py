@@ -142,3 +142,24 @@ def test_heavy_hitters_exact_two_pass():
     )
     assert out["token"].tolist() == ["hot", "warm"]
     assert out["cnt"].tolist() == [8, 4]
+
+
+def test_window_distinct_users_dedups_across_batches():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import window_distinct_users
+
+    # user 1 appears twice in window 0 across two partitions -> counted once
+    ts = np.array([5, 8, 15, 7], dtype="datetime64[us]")
+    ds = rd.from_arrow(pa.table({
+        "ts": pa.array(ts),
+        "user_id": pa.array([1, 2, 1, 1], pa.int64()),
+    })).repartition(3)
+    out = (
+        window_distinct_users(ds, window_us=10)
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    assert out["window_start"].to_numpy().astype(np.int64).tolist() == [0, 10]
+    assert out["n_users"].tolist() == [2, 1]
