@@ -399,6 +399,19 @@ def _q_triangles(sf_dir: str):
     return tri.triangle_counts(docs, n_docs=n_docs).sort("comm")
 
 
+def _q_kcore(sf_dir: str):
+    """k-core of the community graph via fixed-round synchronous peeling
+    (stages/triangles.kcore)."""
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages import triangles as tri
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    docs = read_documents(sf_dir, columns=("doc_id",))
+    return tri.kcore(docs, n_docs=n_docs).sort("comm")
+
+
 def _q_split_assign(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import textops
 
@@ -1169,6 +1182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "triangle_counts": _q_triangles,
         "dup_ngram_stats": _q_dup_ngrams,
+        "kcore": _q_kcore,
         "inverted_index": _q_inverted_index,
         "grouped_corr": _q_grouped_corr,
         "heavy_hitters": _q_heavy_hitters,
@@ -1267,6 +1281,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": oc.pagerank_sql(),
         "triangle_counts": oc.triangles_sql(),
         "dup_ngram_stats": oc.dup_ngram_stats_sql(),
+        "kcore": oc.kcore_sql(),
         "inverted_index": oc.inverted_index_sql(),
         "grouped_corr": oc.grouped_corr_sql(),
         "heavy_hitters": oc.heavy_hitters_sql(),

@@ -1181,6 +1181,57 @@ GROUP BY comm
 ORDER BY comm"""
 
 
+def kcore_sql(k: int | None = None, comm_mod: int | None = None,
+              rounds: int | None = None) -> str:
+    """Oracle of stages/triangles.kcore: the same fixed-round synchronous
+    peel unrolled as chained CTEs."""
+    from ..functions import geocode
+    from ..stages import pagerank as pr
+    from ..stages import triangles as tri
+
+    k = k if k is not None else tri.KCORE_K
+    cm = comm_mod if comm_mod is not None else tri.KCORE_MOD
+    rounds = rounds if rounds is not None else tri.KCORE_ROUNDS
+    mult, mod = geocode.TLD_MULT, geocode.HOST_MOD
+    nd = "(SELECT count(*) FROM documents)"
+    host = f"((doc_id * {mult}) % {mod}) % {cm}"
+    dhost1 = (f"((((doc_id * {pr.EDGE_MULT} + {pr.EDGE_ADD}) % {nd})"
+              f" * {mult}) % {mod}) % {cm}")
+    dhost2 = (f"((((doc_id * doc_id * {pr.EDGE_MULT2} + {pr.EDGE_ADD2}) % {nd})"
+              f" * {mult}) % {mod}) % {cm}")
+    # AS MATERIALIZED is load-bearing: each CTE is referenced several
+    # times, and DuckDB's default inlining makes the unrolled peel
+    # exponential (>280 s at rounds=4; instant materialized)
+    steps = []
+    prev = "e0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""d{i} AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}
+  ) GROUP BY node
+), a{i} AS MATERIALIZED (
+  SELECT node FROM d{i} WHERE deg >= {k}
+), e{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN a{i} x ON e.a = x.node
+  JOIN a{i} y ON e.b = y.node
+)""")
+        prev = f"e{i}"
+    chain = ",\n".join(steps)
+    return f"""WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+    SELECT {host} AS s, {dhost1} AS t FROM documents
+    UNION ALL
+    SELECT {host} AS s, {dhost2} AS t FROM documents
+  ) WHERE s <> t
+),
+{chain}
+SELECT node AS comm, CAST(count(*) AS BIGINT) AS deg FROM (
+  SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}
+) GROUP BY node
+ORDER BY comm"""
+
+
 def pagerank_sql(iterations: int = 8) -> str:
     """Oracle of stages/pagerank.pagerank: the same K exact fixed-point
     supersteps unrolled as chained CTEs (integer floor division throughout,

@@ -191,7 +191,10 @@ def pagerank(docs_ds, n_docs: int, iterations: int = 8):
             return pa.table({"host": batch.column("host"),
                              "rank": pa.array(base + (DAMP_NUM * s) // DAMP_DEN)})
 
+        # repartition caps the block count: union + groupby multiply blocks
+        # every superstep, and per-block overhead dominates at rank-table
+        # sizes (same pathology measured at 3x/round in stages/triangles)
         ranks = summed.map_batches(damp, batch_format="pyarrow",
-                                   batch_size=None).materialize()
+                                   batch_size=None).repartition(16).materialize()
 
     return ranks

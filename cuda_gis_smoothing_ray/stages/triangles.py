@@ -227,3 +227,92 @@ def triangle_counts(docs_ds, n_docs: int, comm_mod: int = COMM_MOD):
     )
 
     return hash_groupby(partials, "comm", ["n_triangles"], how="isum")
+
+
+KCORE_K = 10
+KCORE_MOD = 97
+KCORE_ROUNDS = 4  # fixed-round peel; converges in 2 on the gate graph
+
+
+def kcore(docs_ds, n_docs: int, k: int = KCORE_K, comm_mod: int = KCORE_MOD,
+          rounds: int = KCORE_ROUNDS):
+    """documents -> (comm, deg): the k-core of the community graph after
+    ``rounds`` synchronous peeling supersteps — each round drops every
+    node with current degree < k, then every edge touching a dropped
+    node; survivors are reported with their degree in the final subgraph.
+
+    Fixed round count (like :mod:`.pagerank`) keeps the semantics
+    oracle-checkable as unrolled CTEs; the peel converges well inside
+    ``rounds`` on the driver graph and extra rounds are no-ops.
+
+    Scale shape per round: one bounded degree shuffle (endpoint rows of
+    the CURRENT edge set) + two alive-set semi-join shuffles — the
+    standard synchronous k-core BSP; the alive set is never collected to
+    the driver."""
+    from ..functions.reduce import hash_groupby
+
+    edges = community_edges(docs_ds, n_docs, comm_mod).materialize()
+
+    def degrees(es):
+        def explode(batch: pa.Table) -> pa.Table:
+            a = batch.column("a").to_numpy(zero_copy_only=False)
+            b = batch.column("b").to_numpy(zero_copy_only=False)
+            return pa.table({"node": pa.array(np.concatenate([a, b])),
+                             "one": pa.array(np.ones(2 * len(a), np.int64))})
+
+        return hash_groupby(
+            es.map_batches(explode, batch_format="pyarrow", batch_size=None),
+            "node", ["one"], how="isum",
+        )
+
+    def semi_filter(es, alive, side: str):
+        """Keep edges whose ``side`` endpoint is in the alive node set —
+        tagged co-partition join, vectorized per partition."""
+        other = "b" if side == "a" else "a"
+
+        def tag_edge(batch: pa.Table) -> pa.Table:
+            return pa.table({"key": batch.column(side),
+                             "other": batch.column(other),
+                             "kind": pa.array(np.ones(len(batch), np.int8))})
+
+        def tag_alive(batch: pa.Table) -> pa.Table:
+            return pa.table({"key": batch.column("node"),
+                             "other": pa.array(np.zeros(len(batch), np.int64)),
+                             "kind": pa.array(np.zeros(len(batch), np.int8))})
+
+        def join(df: pd.DataFrame) -> pd.DataFrame:
+            ok = df[df["kind"] == 0]["key"].to_numpy(np.int64)
+            ed = df[df["kind"] == 1]
+            keep = np.isin(ed["key"].to_numpy(np.int64), ok)
+            return pd.DataFrame({
+                side: ed["key"].to_numpy(np.int64)[keep],
+                other: ed["other"].to_numpy(np.int64)[keep],
+            })
+
+        return (
+            es.map_batches(tag_edge, batch_format="pyarrow", batch_size=None)
+            .union(alive.map_batches(tag_alive, batch_format="pyarrow",
+                                     batch_size=None))
+            .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
+            .groupby("__part")
+            .map_groups(join)
+        )
+
+    for _ in range(rounds):
+        # materialize the (small) alive set so the two semi-join passes in
+        # one streaming execution don't each re-run the degree shuffle —
+        # lazy, this loop went 400 s; materialized, ~1 s per round
+        alive = degrees(edges).filter(expr=f"one >= {k}").select_columns(
+            ["node"]).materialize()
+        # repartition is load-bearing: union + groupby(__part) triples the
+        # block count every round (48 -> 1296 across 4 rounds measured),
+        # and per-block overhead dwarfs this much data — cap it per round
+        edges = semi_filter(semi_filter(edges, alive, "a"), alive, "b"
+                            ).repartition(N_PARTS // 2).materialize()
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"comm": batch.column("node"),
+                         "deg": batch.column("one")})
+
+    return degrees(edges).map_batches(finalize, batch_format="pyarrow",
+                                      batch_size=None)

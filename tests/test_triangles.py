@@ -70,3 +70,42 @@ def test_triangle_counts_match_brute_force():
     assert got == want
     # the graph must actually contain triangles, or the test is vacuous
     assert sum(want.values()) > 30
+
+
+def _brute_kcore(n_docs: int, comm_mod: int, k: int):
+    """Driver-side peel-to-convergence k-core over the same community graph."""
+    from cuda_gis_smoothing_ray.functions import geocode
+    from cuda_gis_smoothing_ray.stages import pagerank as pr
+
+    d = np.arange(n_docs, dtype=np.int64)
+    src = np.concatenate([geocode.host_id(d), geocode.host_id(d)]) % comm_mod
+    dst = np.concatenate([
+        geocode.host_id((d * pr.EDGE_MULT + pr.EDGE_ADD) % n_docs),
+        geocode.host_id((d * d * pr.EDGE_MULT2 + pr.EDGE_ADD2) % n_docs),
+    ]) % comm_mod
+    keep = src != dst
+    a = np.minimum(src[keep], dst[keep])
+    b = np.maximum(src[keep], dst[keep])
+    pairs = np.unique(a * comm_mod + b)
+    a, b = pairs // comm_mod, pairs % comm_mod
+    while True:
+        deg: dict[int, int] = {}
+        for x, y in zip(a.tolist(), b.tolist()):
+            deg[x] = deg.get(x, 0) + 1
+            deg[y] = deg.get(y, 0) + 1
+        alive = {n for n, dg in deg.items() if dg >= k}
+        m = np.array([x in alive and y in alive for x, y in zip(a, b)], bool)
+        if m.all():
+            return deg
+        a, b = a[m], b[m]
+
+
+def test_kcore_matches_peel_to_convergence():
+    from cuda_gis_smoothing_ray.stages.triangles import kcore
+
+    n, cm, k = 400, 61, 6
+    out = kcore(_docs_ds(n), n_docs=n, comm_mod=cm, k=k, rounds=6).to_pandas()
+    want = _brute_kcore(n, cm, k)
+    got = dict(zip(out["comm"].tolist(), out["deg"].tolist()))
+    assert got == want
+    assert len(want) > 5  # non-vacuous: core survives on this graph
