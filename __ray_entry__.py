@@ -747,6 +747,16 @@ def _q_cube_lineitem(sf_dir: str):
     return cube.sort(["l_returnflag", "l_linestatus"])
 
 
+def _q_revenue_by_month(sf_dir: str):
+    """Calendar-bucketed revenue (EXTRACT year/month) — date-function
+    coverage (stages/relagg.revenue_by_month)."""
+    from cuda_gis_smoothing_ray.stages.join import read_table
+    from cuda_gis_smoothing_ray.stages.relagg import revenue_by_month
+
+    orders = read_table(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+    return revenue_by_month(orders).sort(["yr", "mon"])
+
+
 def _q_rollup_revenue(sf_dir: str):
     """ROLLUP (o_orderpriority, l_returnflag): fine level + per-priority
     subtotals + grand total from ONE fact shuffle; coarser levels derived
@@ -1223,6 +1233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_orders": _q_semi_join,
         "customers_without_orders": _q_anti_join,
         "bloom_urgent_revenue": _q_bloom_semi_join,
+        "revenue_by_month": _q_revenue_by_month,
         "rollup_revenue": _q_rollup_revenue,
         "cube_lineitem": _q_cube_lineitem,
         "customer_order_stats": _q_customer_order_stats,
@@ -1319,6 +1330,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_with_orders": oc.customers_with_orders_sql(),
         "customers_without_orders": oc.customers_with_orders_sql(anti=True, priority="1-URGENT"),
         "bloom_urgent_revenue": oc.bloom_semi_join_sql(),
+        "revenue_by_month": oc.revenue_by_month_sql(),
         "rollup_revenue": oc.rollup_revenue_sql(),
         "cube_lineitem": oc.cube_lineitem_sql(),
         "customer_order_stats": oc.customer_order_stats_sql(),

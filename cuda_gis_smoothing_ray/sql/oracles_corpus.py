@@ -507,6 +507,19 @@ GROUP BY ROLLUP (o_orderpriority, l_returnflag)
 ORDER BY o_orderpriority, l_returnflag"""
 
 
+def revenue_by_month_sql() -> str:
+    """Oracle of stages/relagg.revenue_by_month: EXTRACT-bucketed calendar
+    aggregate, exact integer cents."""
+    return """SELECT
+  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mon,
+  CAST(count(*) AS BIGINT) AS n_orders,
+  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+GROUP BY 1, 2
+ORDER BY yr, mon"""
+
+
 def customer_order_stats_sql() -> str:
     """Oracle of the left-outer join query: every customer, zero-filled
     order count and exact-cent total."""

@@ -46,6 +46,44 @@ def rollup_sums(ds, keys: list[str], sum_cols: list[str], all_label: str = "ALL"
     return fine.repartition(1).map_batches(expand, batch_format="pyarrow")
 
 
+def revenue_by_month(ds):
+    """orders -> (yr, mon, n_orders, revenue_cents): calendar-bucketed
+    revenue — the date-function family (EXTRACT year/month) the reference
+    lacks entirely (its keys are spatial, SURVEY §2.5).
+
+    Two-phase like every aggregate here: month buckets are computed
+    vectorized from the timestamp column (months-since-epoch arithmetic,
+    no per-row datetime objects) and partial-summed INSIDE map_batches,
+    so the shuffle moves (yr, mon) partial rows — bounded by the calendar,
+    not the data."""
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        m = ts.astype("datetime64[M]").astype(np.int64)  # months since 1970-01
+        yr = 1970 + m // 12
+        mon = m % 12 + 1
+        price = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100.0 + 0.5).astype(np.int64)
+        df = pd.DataFrame({"yr": yr, "mon": mon, "c": cents})
+        g = df.groupby(["yr", "mon"], sort=True)["c"].agg(["count", "sum"]).reset_index()
+        return pa.table({
+            "yr": pa.array(g["yr"].to_numpy(np.int64)),
+            "mon": pa.array(g["mon"].to_numpy(np.int64)),
+            "n_orders": pa.array(g["count"].to_numpy(np.int64)),
+            "revenue_cents": pa.array(g["sum"].to_numpy(np.int64)),
+        })
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["yr", "mon"])
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+
+
 def argmax_by(ds, group_col: str, order_cols: list[str], keep_cols: list[str]):
     """ds -> one row per group: the row with the LARGEST (order_cols) tuple
     (ties impossible by construction when the last order col is unique, e.g.

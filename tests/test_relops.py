@@ -273,3 +273,21 @@ def test_event_ntiles_buckets_and_pct():
     # cents order: e2(10) e4(20) e3(30) e5(40) e1(50) -> pos 4,0,2,1,3
     assert out["ntile"].tolist() == [4, 1, 2, 1, 3]
     assert out["pct_rank"].tolist() == [1.0, 0.0, 0.5, 0.25, 0.75]
+
+
+def test_revenue_by_month_calendar_buckets():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.relagg import revenue_by_month
+
+    # two orders in 1995-12, one in 1996-01 (month boundary), one in 2003-07
+    ds = rd.from_arrow(pa.table({
+        "o_orderdate": pa.array(np.array(
+            ["1995-12-01", "1995-12-31", "1996-01-01", "2003-07-15"],
+            dtype="datetime64[us]")),
+        "o_totalprice": pa.array([10.004, 20.006, 5.0, 1.115]),
+    }))
+    out = revenue_by_month(ds).to_pandas().sort_values(["yr", "mon"]).reset_index(drop=True)
+    got = {(r.yr, r.mon): (r.n_orders, r.revenue_cents) for r in out.itertuples()}
+    # cents are floor(x*100+0.5): 10.004->1000, 20.006->2001, 1.115->112 (fp repr)
+    assert got == {(1995, 12): (2, 3001), (1996, 1): (1, 500), (2003, 7): (1, 112)}
