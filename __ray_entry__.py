@@ -352,6 +352,16 @@ def _q_window_distinct_users(sf_dir: str):
     ).sort("window_start")
 
 
+def _q_cms_user_counts(sf_dir: str):
+    """Count-min-sketch frequency estimates next to exact per-user counts
+    (stages/sketch.cms_user_counts); oracle-MATCHED sketch."""
+    from cuda_gis_smoothing_ray.stages import events, sketch
+
+    return sketch.cms_user_counts(
+        events.read_events(sf_dir, columns=("user_id",))
+    ).sort("user_id")
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact two-pass heavy hitters over the corpus token stream
     (stages/sketch.heavy_hitters)."""
@@ -1196,6 +1206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": _q_inverted_index,
         "grouped_corr": _q_grouped_corr,
         "heavy_hitters": _q_heavy_hitters,
+        "cms_user_counts": _q_cms_user_counts,
         "window_distinct_users": _q_window_distinct_users,
         "pack_sequences": _q_pack_sequences,
         "profile_documents": _q_profile,
@@ -1296,6 +1307,7 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": oc.inverted_index_sql(),
         "grouped_corr": oc.grouped_corr_sql(),
         "heavy_hitters": oc.heavy_hitters_sql(),
+        "cms_user_counts": oc.cms_user_counts_sql(),
         "window_distinct_users": oc.window_distinct_users_sql(),
         "pack_sequences": oc.pack_sequences_sql(),
         "profile_documents": oc.profile_documents_sql(),

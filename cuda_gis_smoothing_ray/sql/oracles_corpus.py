@@ -1087,6 +1087,31 @@ HAVING count(*) >= ((SELECT total FROM n) + {phi_den - 1}) // {phi_den}
 ORDER BY token"""
 
 
+def cms_user_counts_sql() -> str:
+    """Oracle of stages/sketch.cms_user_counts: the count-min sketch is
+    deterministic integer arithmetic (bucket = ((u*A_j+B_j) % P) % W, every
+    product < 2^62), so DuckDB reproduces the d x W bucket sums and the
+    min-over-depths estimate bit-for-bit."""
+    from ..stages import sketch as sk
+
+    rows = ", ".join(f"({j}, {a}, {b})"
+                     for j, (a, b) in enumerate(zip(sk.CMS_A, sk.CMS_B)))
+    return f"""WITH c AS (
+  SELECT user_id AS u, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY u
+), h AS (
+  SELECT u, cnt, j, ((u * A + B) % {sk.CMS_P}) % {sk.CMS_W} AS bkt
+  FROM c, (VALUES {rows}) AS p(j, A, B)
+), s AS (
+  SELECT j, bkt, sum(cnt) AS bsum FROM h GROUP BY j, bkt
+)
+SELECT h.u AS user_id,
+  CAST(min(h.cnt) AS BIGINT) AS n_true,
+  CAST(min(s.bsum) AS BIGINT) AS n_est
+FROM h JOIN s ON h.j = s.j AND h.bkt = s.bkt
+GROUP BY h.u
+ORDER BY user_id"""
+
+
 def grouped_corr_sql() -> str:
     """Oracle of stages/sketch.grouped_corr: exact integer moments, one
     double division, IEEE-correctly-rounded sqrt only in the corr

@@ -476,3 +476,80 @@ def window_distinct_users(ds, window_us: int = 3_600_000_000):
         })
 
     return counts.map_batches(finalize, batch_format="pyarrow", batch_size=None)
+
+
+# count-min sketch: depth x width matrix of bucket sums under pairwise-
+# independent integer hashes h_j(u) = ((u*A_j + B_j) % P) % W.  P = 2^31-1
+# keeps every intermediate product < 2^62 so int64 (numpy) and BIGINT
+# (DuckDB) agree exactly with no wraparound emulation needed.
+CMS_P = 2_147_483_647
+CMS_W = 64
+CMS_A = (1_000_003, 2_000_029, 3_000_073, 4_000_037)
+CMS_B = (12_345, 67_890, 13_579, 24_680)
+
+
+def cms_user_counts(ds, width: int = CMS_W, a=CMS_A, b=CMS_B):
+    """events -> (user_id, n_true, n_est): exact per-user event counts next
+    to their count-min-sketch estimates (n_est >= n_true always; equality
+    unless the user's row collides in every depth).
+
+    The sketch is the 100 TB path for frequency estimation over unbounded
+    key domains: each batch folds to a depth x width partial matrix
+    (d*W <= 256 rows shuffle per batch, independent of batch size or key
+    cardinality), matrices merge by cell-wise sum through one tiny
+    groupby, and the merged sketch (2 KB) broadcasts via ``ray.put`` for
+    the estimate pass.  The exact side (for the n_est >= n_true gate and
+    the oracle) is a standard bounded-key groupby.
+
+    Deterministic integer hashes make the whole sketch SQL-expressible, so
+    unlike HLL this sketch is oracle-MATCHED, not just error-gated."""
+    import ray
+
+    from ..functions.reduce import hash_groupby
+
+    depth = len(a)
+
+    def partial_sketch(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cells = []
+        cnts = []
+        for j in range(depth):
+            bkt = ((u * np.int64(a[j]) + np.int64(b[j])) % np.int64(CMS_P)) % np.int64(width)
+            c = np.bincount(bkt, minlength=width).astype(np.int64)
+            nz = np.flatnonzero(c)
+            cells.append(nz + j * width)
+            cnts.append(c[nz])
+        return pa.table({"cell": pa.array(np.concatenate(cells)),
+                         "cnt": pa.array(np.concatenate(cnts))})
+
+    sketch_tbl = hash_groupby(
+        ds.map_batches(partial_sketch, batch_format="pyarrow", batch_size=None),
+        "cell", ["cnt"], how="isum", n_parts=4,
+    ).to_pandas()
+    flat = np.zeros(depth * width, dtype=np.int64)
+    flat[sketch_tbl["cell"].to_numpy(np.int64)] = sketch_tbl["cnt"].to_numpy(np.int64)
+    sk_ref = ray.put(flat.reshape(depth, width))
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        uniq, cnt = np.unique(
+            batch.column("user_id").to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"user_id": pa.array(uniq.astype(np.int64)),
+                         "n_true": pa.array(cnt.astype(np.int64))})
+
+    exact = hash_groupby(
+        ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=None),
+        "user_id", ["n_true"], how="isum", n_parts=8,
+    )
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        sk = ray.get(sk_ref)
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        est = np.full(len(u), np.iinfo(np.int64).max, dtype=np.int64)
+        for j in range(depth):
+            bkt = ((u * np.int64(a[j]) + np.int64(b[j])) % np.int64(CMS_P)) % np.int64(width)
+            est = np.minimum(est, sk[j][bkt])
+        return pa.table({"user_id": batch.column("user_id"),
+                         "n_true": batch.column("n_true"),
+                         "n_est": pa.array(est)})
+
+    return exact.map_batches(estimate, batch_format="pyarrow", batch_size=None)

@@ -163,3 +163,33 @@ def test_window_distinct_users_dedups_across_batches():
     )
     assert out["window_start"].to_numpy().astype(np.int64).tolist() == [0, 10]
     assert out["n_users"].tolist() == [2, 1]
+
+
+def test_cms_overestimates_only_and_matches_brute():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import (
+        CMS_A, CMS_B, CMS_P, cms_user_counts)
+
+    # planted skew: user 7 hot, plus enough distinct users (> width=8) to
+    # force bucket collisions so n_est > n_true actually occurs
+    rng_users = np.concatenate([np.full(50, 7), np.arange(100, 130).repeat(2)])
+    ds = rd.from_arrow(pa.table({"user_id": pa.array(rng_users, pa.int64())})
+                       ).repartition(4)
+    out = cms_user_counts(ds, width=8).to_pandas().sort_values("user_id")
+
+    # exact side is exact
+    true = {7: 50, **{u: 2 for u in range(100, 130)}}
+    assert dict(zip(out["user_id"], out["n_true"])) == true
+    # CMS never underestimates
+    assert (out["n_est"] >= out["n_true"]).all()
+    # brute-force sketch agrees cell-for-cell
+    sk = np.zeros((4, 8), np.int64)
+    for j in range(4):
+        bkt = ((rng_users.astype(np.int64) * CMS_A[j] + CMS_B[j]) % CMS_P) % 8
+        np.add.at(sk[j], bkt, 1)
+    for u, est in zip(out["user_id"], out["n_est"]):
+        want = min(sk[j][((u * CMS_A[j] + CMS_B[j]) % CMS_P) % 8] for j in range(4))
+        assert est == want
+    # collisions present (otherwise the min-over-depths is vacuous)
+    assert (out["n_est"] > out["n_true"]).any()
