@@ -516,6 +516,14 @@ def _q_neardup(sf_dir: str):
     ).sort(["a", "b"])
 
 
+def _q_kmeans(sf_dir: str):
+    """Distributed fixed-point Lloyd k-means assignment
+    (stages/ann.kmeans_assign); bit-exact vs the unrolled-CTE oracle."""
+    from cuda_gis_smoothing_ray.stages.ann import kmeans_assign, read_embeddings
+
+    return kmeans_assign(read_embeddings(sf_dir)).sort("vec_id")
+
+
 def _q_label_centroids(sf_dir: str):
     from cuda_gis_smoothing_ray.stages.ann import label_centroids
 
@@ -1219,6 +1227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": _q_ann_pq,
         "embedding_neardup": _q_neardup,
         "label_centroids": _q_label_centroids,
+        "kmeans_clusters": _q_kmeans,
         "media_decode": _q_media_decode,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
@@ -1317,6 +1326,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": oc.ann_topk_sql(ANN_K),
         "embedding_neardup": oc.embedding_neardup_sql(NEARDUP_T),
         "label_centroids": oc.label_centroids_sql(),
+        "kmeans_clusters": oc.kmeans_sql(),
         "media_decode": oc.media_decode_sql(),
         "media_features": oc.media_features_sql(),
         "media_resize": oc.media_resize_sql(),

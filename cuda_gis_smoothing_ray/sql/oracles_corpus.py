@@ -494,6 +494,60 @@ GROUP BY label, dim
 ORDER BY label, dim"""
 
 
+def kmeans_sql(k: int | None = None, iters: int | None = None,
+               dim: int = 64) -> str:
+    """Oracle of stages/ann.kmeans_assign: the same fixed-point Lloyd
+    sweeps unrolled as chained CTEs.  Distances/sums are exact integers;
+    the centroid update uses an explicit floor-division expression because
+    DuckDB's ``//`` truncates toward zero on negatives while the engine's
+    numpy ``//`` floors (-7//2 = -4)."""
+    from ..stages import ann
+
+    k = k if k is not None else ann.KMEANS_K
+    iters = iters if iters is not None else ann.KMEANS_ITERS
+    scale = ann.CENTROID_SCALE
+    # floor(sq/cnt) in pure integer arithmetic (cnt > 0)
+    fdiv = ("CASE WHEN s.sq >= 0 THEN s.sq // s.cnt "
+            "ELSE -((-s.sq + s.cnt - 1) // s.cnt) END")
+    steps = []
+    prev = "c0"
+    for t in range(1, iters + 1):
+        steps.append(f"""d{t} AS MATERIALIZED (
+  SELECT ev.v, c.k, sum((ev.q - c.val) * (ev.q - c.val)) AS d
+  FROM ev JOIN {prev} c ON ev.j = c.j GROUP BY ev.v, c.k
+), a{t} AS MATERIALIZED (
+  SELECT v, k FROM (
+    SELECT v, k, row_number() OVER (PARTITION BY v ORDER BY d, k) AS rn
+    FROM d{t}
+  ) WHERE rn = 1
+), s{t} AS MATERIALIZED (
+  SELECT a.k, ev.j, sum(ev.q) AS sq, count(*) AS cnt
+  FROM ev JOIN a{t} a ON ev.v = a.v GROUP BY a.k, ev.j
+), c{t} AS MATERIALIZED (
+  SELECT c.k, c.j, CAST(coalesce({fdiv}, c.val) AS BIGINT) AS val
+  FROM {prev} c LEFT JOIN s{t} s ON c.k = s.k AND c.j = s.j
+)""")
+        prev = f"c{t}"
+    chain = ",\n".join(steps)
+    return f"""WITH ev AS MATERIALIZED (
+  SELECT vec_id AS v, i - 1 AS j,
+    CAST(floor(CAST(embedding[i] AS DOUBLE) * {scale} + 0.5) AS BIGINT) AS q
+  FROM embeddings, unnest(generate_series(1, {dim})) AS s(i)
+), c0 AS MATERIALIZED (
+  SELECT v AS k, j, q AS val FROM ev WHERE v < {k}
+),
+{chain},
+dF AS MATERIALIZED (
+  SELECT ev.v, c.k, sum((ev.q - c.val) * (ev.q - c.val)) AS d
+  FROM ev JOIN {prev} c ON ev.j = c.j GROUP BY ev.v, c.k
+)
+SELECT v AS vec_id, CAST(k AS BIGINT) AS cluster FROM (
+  SELECT v, k, row_number() OVER (PARTITION BY v ORDER BY d, k) AS rn
+  FROM dF
+) WHERE rn = 1
+ORDER BY vec_id"""
+
+
 def rollup_revenue_sql() -> str:
     """Oracle of stages/relagg.rollup_sums over lineitem x orders (rolled-up
     keys coalesce to the 'ALL' sentinel on both sides)."""

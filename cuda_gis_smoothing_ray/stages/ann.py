@@ -633,3 +633,83 @@ def label_centroids(sf_dir: str):
                    Sum("n", alias_name="n"))
         .sort(["label", "dim"])
     )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3  # fixed Lloyd sweeps -> oracle-checkable as unrolled CTEs
+
+
+def kmeans_assign(ds, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """embeddings -> (vec_id, cluster): distributed Lloyd k-means in EXACT
+    fixed-point arithmetic (quantize to floor(x*2^24+0.5) int64; distances,
+    argmin ties->lowest k, and the floor-division centroid update are all
+    integer ops), so the assignment is bit-identical across engines and
+    partition orders — unlike float k-means, whose sums are order-dependent.
+
+    Seeding: centroid c = the vector with vec_id == c (c < k) — a pushdown
+    filter, no sort.  Empty clusters keep their previous centroid.
+
+    Scale shape per sweep: ONE streaming pass over the source (no
+    materialized copy — lineage re-reads parquet each sweep, the 100 TB
+    pattern); centroids (k x dim int64, ~4 KB) broadcast via ``ray.put``;
+    each batch folds to k x dim partial-sum rows + counts, merged by one
+    bounded groupby, so shuffle volume per sweep is O(k*dim*batches), never
+    O(rows).  The final labeling is one more broadcast-assign pass."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _quant(batch: pa.Table) -> np.ndarray:
+        return np.floor(_emb_matrix(batch) * CENTROID_SCALE + 0.5).astype(np.int64)
+
+    seed = (ds.filter(expr=f"vec_id < {k}")
+              .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    assert len(seed) == k, f"need vec_ids 0..{k-1} as seeds, got {len(seed)}"
+    cent = np.floor(
+        np.stack(seed["embedding"].to_numpy()).astype(np.float64)
+        * CENTROID_SCALE + 0.5).astype(np.int64)
+    dim = cent.shape[1]
+
+    def _assign(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
+        # (n,k) exact int64 distances; argmin takes the first (lowest k) tie
+        d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def partial(batch: pa.Table, ref=ref) -> pa.Table:
+            Q = _quant(batch)
+            a = _assign(Q, ray.get(ref))
+            sums = np.zeros((k, dim), np.int64)
+            np.add.at(sums, a, Q)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64), dim)),
+                "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), k)),
+                "sq": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(cnt, dim)),
+            })
+
+        agg = (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(["cluster", "dim"])
+            .aggregate(Sum("sq", alias_name="sq"), Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+        sums = np.zeros((k, dim), np.int64)
+        cnts = np.zeros(k, np.int64)
+        ci = agg["cluster"].to_numpy(np.int64)
+        di = agg["dim"].to_numpy(np.int64)
+        sums[ci, di] = agg["sq"].to_numpy(np.int64)
+        cnts[ci] = agg["n"].to_numpy(np.int64)  # same count repeated per dim
+        occ = cnts > 0
+        cent = np.where(occ[:, None], sums // np.maximum(cnts, 1)[:, None], cent)
+
+    ref = ray.put(cent)
+
+    def label(batch: pa.Table, ref=ref) -> pa.Table:
+        a = _assign(_quant(batch), ray.get(ref))
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "cluster": pa.array(a.astype(np.int64))})
+
+    return ds.map_batches(label, batch_format="pyarrow")

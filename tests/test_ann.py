@@ -296,3 +296,34 @@ def test_label_centroids_exact(sf_dir):
         assert (rows["n"] == m.sum()).all()
         mean_fixed = rows["sum_scaled"].to_numpy() / m.sum() / CENTROID_SCALE
         assert np.abs(mean_fixed - x[m].mean(axis=0)).max() < 1e-6
+
+
+def test_kmeans_matches_brute_force_lloyd():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.ann import CENTROID_SCALE, kmeans_assign
+
+    rng = np.random.default_rng(11)
+    n, dim, k, iters = 120, 8, 3, 4
+    x = (rng.normal(size=(n, dim)) * 0.3).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(x), pa.list_(pa.float32())),
+    })).repartition(5)
+
+    got = kmeans_assign(ds, k=k, iters=iters).to_pandas().sort_values("vec_id")
+
+    # driver-side Lloyd with the identical fixed-point rules
+    q = np.floor(x.astype(np.float64) * CENTROID_SCALE + 0.5).astype(np.int64)
+    cent = q[:k].copy()
+    for _ in range(iters):
+        d = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        for c in range(k):
+            if (a == c).any():
+                cent[c] = q[a == c].sum(axis=0) // (a == c).sum()
+    d = ((q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    want = d.argmin(axis=1)
+
+    assert got["cluster"].to_numpy().tolist() == want.tolist()
+    assert len(np.unique(want)) > 1  # non-vacuous: clusters actually split
