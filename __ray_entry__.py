@@ -362,6 +362,23 @@ def _q_cms_user_counts(sf_dir: str):
     ).sort("user_id")
 
 
+def _q_json_props(sf_dir: str):
+    """JSON field extraction from events.props (stages/extract.json_props)."""
+    from cuda_gis_smoothing_ray.stages import events
+    from cuda_gis_smoothing_ray.stages.extract import json_props
+
+    return json_props(events.read_events(
+        sf_dir, columns=("event_id", "event_type", "props"))).sort("event_id")
+
+
+def _q_chunk_documents(sf_dir: str):
+    """Overlapping RAG chunking of documents (stages/textops.chunk_documents)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.chunk_documents(
+        textops.read_documents(sf_dir)).sort(["doc_id", "chunk_idx"])
+
+
 def _q_heavy_hitters(sf_dir: str):
     """Exact two-pass heavy hitters over the corpus token stream
     (stages/sketch.heavy_hitters)."""
@@ -1215,6 +1232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_corr": _q_grouped_corr,
         "heavy_hitters": _q_heavy_hitters,
         "cms_user_counts": _q_cms_user_counts,
+        "json_props": _q_json_props,
+        "chunk_documents": _q_chunk_documents,
         "window_distinct_users": _q_window_distinct_users,
         "pack_sequences": _q_pack_sequences,
         "profile_documents": _q_profile,
@@ -1317,6 +1336,8 @@ def oracle_sql() -> dict[str, str]:
         "grouped_corr": oc.grouped_corr_sql(),
         "heavy_hitters": oc.heavy_hitters_sql(),
         "cms_user_counts": oc.cms_user_counts_sql(),
+        "json_props": oc.json_props_sql(),
+        "chunk_documents": oc.chunk_documents_sql(),
         "window_distinct_users": oc.window_distinct_users_sql(),
         "pack_sequences": oc.pack_sequences_sql(),
         "profile_documents": oc.profile_documents_sql(),

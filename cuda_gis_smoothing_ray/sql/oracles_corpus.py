@@ -1141,6 +1141,31 @@ HAVING count(*) >= ((SELECT total FROM n) + {phi_den - 1}) // {phi_den}
 ORDER BY token"""
 
 
+def json_props_sql() -> str:
+    """Oracle of stages/extract.json_props — real JSON semantics via
+    DuckDB's json_extract_string."""
+    return """SELECT event_id, event_type,
+  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+ORDER BY event_id"""
+
+
+def chunk_documents_sql(size: int | None = None,
+                        stride: int | None = None) -> str:
+    """Oracle of stages/textops.chunk_documents: chunk i =
+    substring(i*stride, size), max(1, ceil(len/stride)) chunks per doc."""
+    from ..stages import textops as t
+
+    size = size if size is not None else t.CHUNK_SIZE
+    stride = stride if stride is not None else t.CHUNK_STRIDE
+    return f"""SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+  substring(text, i * {stride} + 1, {size}) AS chunk_text
+FROM documents,
+  unnest(generate_series(0,
+    greatest((length(text) + {stride - 1}) // {stride}, 1) - 1)) AS s(i)
+ORDER BY doc_id, chunk_idx"""
+
+
 def cms_user_counts_sql() -> str:
     """Oracle of stages/sketch.cms_user_counts: the count-min sketch is
     deterministic integer arithmetic (bucket = ((u*A_j+B_j) % P) % W, every

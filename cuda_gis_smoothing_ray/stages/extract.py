@@ -95,3 +95,28 @@ def extract_text(ds, parser: str = "synthetic"):
             "(schema, batching, invariant) is parser-agnostic"
         )
     return ds.map_batches(_extract_batch, batch_format="pyarrow")
+
+
+def json_props(ds):
+    """events -> (event_id, event_type, k): pull the integer ``k`` field out
+    of the ``props`` JSON column — the semi-structured-extraction family
+    (every crawl/event log carries a JSON blob column).
+
+    The props schema is fixed (``{"k": N}``), so extraction is one
+    vectorized Arrow ``extract_regex`` kernel over the column — no per-row
+    ``json.loads``.  A production swap-in for free-form JSON is a
+    simdjson-style columnar parse in the SAME stage shape; the oracle uses
+    DuckDB's real ``json_extract_string`` so the semantics claimed are JSON
+    semantics, not just regex."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        props = batch.column("props")
+        if isinstance(props, pa.ChunkedArray):
+            props = props.combine_chunks()
+        m = pc.extract_regex(props, r'"k":\s*(?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_id": batch.column("event_id"),
+                         "event_type": batch.column("event_type"),
+                         "k": k})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)

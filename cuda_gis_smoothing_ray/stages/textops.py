@@ -1195,3 +1195,44 @@ def inverted_index(ds, min_df: int = 2, n_parts: int = _PAIR_PARTS):
         })
 
     return postings.groupby("__part").map_groups(assemble, batch_format="pyarrow")
+
+
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150  # 50-char overlap
+
+
+def chunk_documents(ds, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE):
+    """documents -> (doc_id, chunk_idx, chunk_text): overlapping
+    fixed-width character chunks — the RAG/context-window chunking stage.
+    Chunk i covers [i*stride, i*stride + size); a doc yields
+    max(1, ceil(len/stride)) chunks (empty docs yield one empty chunk).
+
+    Vectorized as a loop over CHUNK INDICES, not rows: for each index i
+    (bounded by the longest doc in the batch, not the row count) one Arrow
+    ``utf8_slice_codeunits`` kernel slices every doc at once; rows past
+    their own chunk count are filtered by mask.  Fan-out happens inside the
+    batch (flat_map semantics without per-row Python), so at 100 TB this is
+    a pure streaming map stage with ~len/stride x output volume."""
+    import pyarrow.compute as pc_
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lens = pc_.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_chunks = np.maximum(1, -(-lens // stride))
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ids, idxs, texts = [], [], []
+        for i in range(int(n_chunks.max())):
+            mask = n_chunks > i
+            sliced = pc_.utf8_slice_codeunits(text, start=i * stride,
+                                              stop=i * stride + size)
+            keep = pa.array(mask)
+            ids.append(pa.array(doc_id[mask]))
+            idxs.append(pa.array(np.full(int(mask.sum()), i, np.int64)))
+            texts.append(pc_.filter(sliced, keep))
+        return pa.table({"doc_id": pa.concat_arrays(ids),
+                         "chunk_idx": pa.concat_arrays(idxs),
+                         "chunk_text": pa.concat_arrays([t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t for t in texts])})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)

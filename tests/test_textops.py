@@ -311,3 +311,28 @@ def test_inverted_index_ordered_postings():
     assert out["token"].tolist() == ["cat", "dog"]
     assert out["df"].tolist() == [2, 3]
     assert out["doc_list"].tolist() == ["3,10", "3,7,10"]
+
+
+def test_chunk_documents_cover_and_overlap():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import chunk_documents
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        # len 0 -> 1 empty chunk; len 10 -> 1 chunk; len 25 -> 3 chunks at
+        # stride 10 / size 12
+        "text": pa.array(["", "abcdefghij", "abcdefghijklmnopqrstuvwxy"]),
+    })
+    out = (chunk_documents(rd.from_arrow(docs), size=12, stride=10)
+           .to_pandas().sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True))
+    got = list(zip(out["doc_id"], out["chunk_idx"], out["chunk_text"]))
+    assert got == [
+        (1, 0, ""),
+        (2, 0, "abcdefghij"),
+        (3, 0, "abcdefghijkl"),
+        (3, 1, "klmnopqrstuv"),
+        (3, 2, "uvwxy"),
+    ]
+    # overlap invariant: consecutive chunks share size - stride chars
+    assert got[3][2][:2] == got[2][2][-2:]
