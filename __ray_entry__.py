@@ -371,6 +371,17 @@ def _q_json_props(sf_dir: str):
         sf_dir, columns=("event_id", "event_type", "props"))).sort("event_id")
 
 
+def _q_redact_pii(sf_dir: str):
+    """Regex PII/entity redaction over documents (stages/extract.redact_terms)."""
+    from cuda_gis_smoothing_ray.stages import extract, textops
+
+    return extract.redact_terms(
+        textops.read_documents(sf_dir),
+        pattern=extract.REDACT_QUERY_PATTERN,
+        replacement=extract.REDACT_QUERY_REPLACEMENT,
+    ).sort("doc_id")
+
+
 def _q_chunk_documents(sf_dir: str):
     """Overlapping RAG chunking of documents (stages/textops.chunk_documents)."""
     from cuda_gis_smoothing_ray.stages import textops
@@ -1234,6 +1245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_user_counts": _q_cms_user_counts,
         "json_props": _q_json_props,
         "chunk_documents": _q_chunk_documents,
+        "redact_pii": _q_redact_pii,
         "window_distinct_users": _q_window_distinct_users,
         "pack_sequences": _q_pack_sequences,
         "profile_documents": _q_profile,
@@ -1338,6 +1350,7 @@ def oracle_sql() -> dict[str, str]:
         "cms_user_counts": oc.cms_user_counts_sql(),
         "json_props": oc.json_props_sql(),
         "chunk_documents": oc.chunk_documents_sql(),
+        "redact_pii": oc.redact_pii_sql(),
         "window_distinct_users": oc.window_distinct_users_sql(),
         "pack_sequences": oc.pack_sequences_sql(),
         "profile_documents": oc.profile_documents_sql(),

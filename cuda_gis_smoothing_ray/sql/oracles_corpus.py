@@ -1141,6 +1141,21 @@ HAVING count(*) >= ((SELECT total FROM n) + {phi_den - 1}) // {phi_den}
 ORDER BY token"""
 
 
+def redact_pii_sql(pattern: str | None = None,
+                   replacement: str | None = None) -> str:
+    """Oracle of stages/extract.redact_terms — DuckDB regexp_replace is the
+    same RE2 engine as pyarrow's replace_substring_regex, so the redacted
+    text and match counts agree by construction."""
+    from ..stages import extract
+    p = (pattern or extract.REDACT_QUERY_PATTERN).replace("'", "''")
+    r = (replacement or extract.REDACT_QUERY_REPLACEMENT).replace("'", "''")
+    return f"""SELECT doc_id,
+  regexp_replace(text, '{p}', '{r}', 'g') AS text,
+  {_re_count("text", pattern or extract.REDACT_QUERY_PATTERN)} AS n_redactions
+FROM documents
+ORDER BY doc_id"""
+
+
 def json_props_sql() -> str:
     """Oracle of stages/extract.json_props — real JSON semantics via
     DuckDB's json_extract_string."""

@@ -97,6 +97,49 @@ def extract_text(ds, parser: str = "synthetic"):
     return ds.map_batches(_extract_batch, batch_format="pyarrow")
 
 
+#: default PII/entity patterns a production redactor ships with; the
+#: oracle-checked query uses a pattern that actually occurs in the synthetic
+#: corpus so the check is non-vacuous (emails/phones never appear in it).
+PII_EMAIL = r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b"
+PII_PHONE = r"\b\+?[0-9][0-9()\-. ]{7,}[0-9]\b"
+#: the oracle-checked query's pattern/replacement (shared with sql/ gen)
+REDACT_QUERY_PATTERN = r"\b(customer|spark)\b"
+REDACT_QUERY_REPLACEMENT = "<ENT>"
+
+
+def redact_terms(ds, pattern: str, replacement: str = "<REDACTED>",
+                 text_col: str = "text"):
+    """documents -> (doc_id, text, n_redactions): regex redaction — the
+    PII-scrubbing slot of a training-data pipeline (emails, phone numbers,
+    credential-looking strings masked before the corpus ships).
+
+    One stateless ``map_batches`` over Arrow string kernels
+    (``replace_substring_regex`` + ``count_substring_regex``, both RE2):
+    no Python per row, no shuffle, nothing materialized — the stage is a
+    pure streaming map, so at 100 TB it scales with read bandwidth exactly
+    like the reference's per-cell value transforms
+    (``src/cpu/hex_smooth_naive.cpp:48-76`` touch each record once; so does
+    this).  DuckDB's ``regexp_replace`` is also RE2, so oracle parity is
+    engine-exact, not approximate.
+    """
+
+    def f(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        red = pc.replace_substring_regex(text, pattern=pattern,
+                                         replacement=replacement)
+        n = pc.cast(pc.count_substring_regex(text, pattern=pattern),
+                    pa.int64())
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": red,
+            "n_redactions": n,
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
 def json_props(ds):
     """events -> (event_id, event_type, k): pull the integer ``k`` field out
     of the ``props`` JSON column — the semi-structured-extraction family

@@ -336,3 +336,25 @@ def test_chunk_documents_cover_and_overlap():
     ]
     # overlap invariant: consecutive chunks share size - stride chars
     assert got[3][2][:2] == got[2][2][-2:]
+
+
+def test_redact_terms_matches_python_re():
+    import re
+
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.extract import redact_terms
+
+    texts = ["the customer ran spark fast", "no match", "customer customer",
+             "sparkle is not spark boundary", ""]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+    }))
+    out = (redact_terms(ds, pattern=r"\b(customer|spark)\b", replacement="<X>")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pat = re.compile(r"\b(customer|spark)\b")
+    assert out["text"].tolist() == [pat.sub("<X>", t) for t in texts]
+    assert out["n_redactions"].tolist() == [len(pat.findall(t)) for t in texts]
+    # "sparkle" must survive: word-boundary semantics, not substring
+    assert "sparkle" in out["text"][3]
