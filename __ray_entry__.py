@@ -963,6 +963,22 @@ def _q_event_gaps(sf_dir: str):
     return events.event_gaps(events.read_events(sf_dir)).sort("event_id")
 
 
+def _q_user_activity_full(sf_dir: str):
+    """FULL OUTER join of HAVING-filtered per-user aggregates
+    (stages/events.user_activity_full); all three outer regions non-empty."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.user_activity_full(
+        events.read_events(sf_dir, columns=("user_id", "event_type", "value"))
+    ).sort("user_id")
+
+
+def _q_event_context(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.event_context(events.read_events(sf_dir)).sort("event_id")
+
+
 def _q_event_ranks(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import events
 
@@ -1274,6 +1290,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": _q_range_join,
         "running_totals": _q_running_totals,
         "event_gaps": _q_event_gaps,
+        "event_context": _q_event_context,
+        "user_activity_full": _q_user_activity_full,
         "moving_sum": _q_moving_sum,
         "latest_event_per_user": _q_latest_event,
         "user_event_paths": _q_user_event_paths,
@@ -1376,6 +1394,8 @@ def oracle_sql() -> dict[str, str]:
         "range_join": oc.range_join_sql(),
         "running_totals": oc.running_totals_sql(),
         "event_gaps": oc.event_gaps_sql(),
+        "event_context": oc.event_context_sql(),
+        "user_activity_full": oc.user_activity_full_sql(),
         "moving_sum": oc.moving_sum_sql(),
         "latest_event_per_user": oc.latest_event_sql(),
         "user_event_paths": oc.user_event_paths_sql(),

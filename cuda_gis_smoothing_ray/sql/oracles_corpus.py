@@ -655,6 +655,49 @@ WHERE prev_event_id IS NOT NULL
 ORDER BY event_id"""
 
 
+def user_activity_full_sql(cents_min: int | None = None,
+                           views_min: int | None = None) -> str:
+    """Oracle of stages/events.user_activity_full (FULL OUTER join of two
+    HAVING-filtered per-user aggregates, zero-filled)."""
+    cm = events.PURCHASE_CENTS_MIN if cents_min is None else cents_min
+    vm = events.VIEWS_MIN if views_min is None else views_min
+    return f"""WITH p AS (
+  SELECT user_id,
+    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+      AS purchase_cents
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY user_id HAVING purchase_cents >= {cm}
+), v AS (
+  SELECT user_id, count(*) AS n_views
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id HAVING n_views >= {vm}
+)
+SELECT COALESCE(p.user_id, v.user_id) AS user_id,
+  COALESCE(p.purchase_cents, 0) AS purchase_cents,
+  COALESCE(v.n_views, 0) AS n_views
+FROM p FULL OUTER JOIN v ON p.user_id = v.user_id
+ORDER BY user_id"""
+
+
+def event_context_sql() -> str:
+    """Oracle of stages/events.event_context (LEAD / FIRST_VALUE /
+    LAST_VALUE; last-per-user rows dropped so columns stay int64)."""
+    return """SELECT event_id, user_id, next_event_id, first_event_id,
+  last_event_id
+FROM (
+  SELECT event_id, user_id,
+    lead(event_id) OVER w AS next_event_id,
+    first_value(event_id) OVER w AS first_event_id,
+    last_value(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      AS last_event_id
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+WHERE next_event_id IS NOT NULL
+ORDER BY event_id"""
+
+
 def event_ranks_sql() -> str:
     """Oracle of stages/events.event_ranks (RANK / DENSE_RANK on exact
     integer cents, highest first)."""

@@ -18,6 +18,11 @@ import pyarrow as pa
 
 WINDOW_US = 3_600_000_000  # 1h tumbling
 SESSION_GAP_US = 1_800_000_000  # 30min inactivity gap
+#: user_activity_full HAVING thresholds — chosen so left-only, right-only
+#: and matched regions are ALL non-empty at sf0.001/0.01/0.1 (verified),
+#: i.e. the full-outer null paths are exercised, not vacuous.
+PURCHASE_CENTS_MIN = 100_000
+VIEWS_MIN = 12
 
 
 def read_events(sf_dir: str, columns=("event_id", "ts", "user_id", "event_type", "value")):
@@ -371,6 +376,103 @@ def event_gaps(ds):
                 "gap_us": ts_us[1:] - ts_us[:-1],
             }
         )
+
+    return ds.groupby("user_id").map_groups(solve)
+
+
+def user_activity_full(ds, cents_min: int = PURCHASE_CENTS_MIN,
+                       views_min: int = VIEWS_MIN):
+    """events -> (user_id, purchase_cents, n_views): FULL OUTER join of two
+    per-user aggregates — purchase spend (HAVING >= cents_min) and view
+    count (HAVING >= views_min) — zero-filled on both sides.
+
+    The join inputs are the AGGREGATES, not raw events: each side
+    pre-reduces batch-locally then through one bounded user-keyed shuffle
+    (:func:`..functions.reduce.hash_groupby`), so the full-outer exchange
+    moves one row per qualifying user, never the event stream."""
+    from ..functions.reduce import hash_groupby
+
+    def purchase_partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, cents)
+        return pa.table({"user_id": pa.array(uniq),
+                         "purchase_cents": pa.array(tot)})
+
+    def view_partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"user_id": pa.array(uniq), "n_views": pa.array(n)})
+
+    buyers = hash_groupby(
+        ds.filter(expr="event_type == 'purchase'")
+          .map_batches(purchase_partial, batch_format="pyarrow", batch_size=None),
+        "user_id", ["purchase_cents"], how="isum",
+    ).filter(expr=f"purchase_cents >= {cents_min}")
+    viewers = hash_groupby(
+        ds.filter(expr="event_type == 'view'")
+          .map_batches(view_partial, batch_format="pyarrow", batch_size=None),
+        "user_id", ["n_views"], how="isum",
+    ).filter(expr=f"n_views >= {views_min}")
+
+    # FULL OUTER of two unique-keyed aggregates == union with the missing
+    # metric zero-filled, then one more per-key sum (each user contributes
+    # at most one row per side, so the sums ARE the coalesce).  This avoids
+    # ``Dataset.join(join_type="full_outer")``, which crashes when a hash
+    # partition receives zero blocks from one side (the empty builder emits
+    # a zero-COLUMN table and acero can't find the key field — hit here
+    # because the HAVING filters leave only ~11 buyers at sf0.01), and it
+    # reuses the same bounded user-keyed shuffle instead of a second
+    # exchange mechanism.
+
+    def tag_buyers(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "n_views", pa.array(np.zeros(len(batch), np.int64)))
+
+    def tag_viewers(batch: pa.Table) -> pa.Table:
+        t = batch.append_column(
+            "purchase_cents", pa.array(np.zeros(len(batch), np.int64)))
+        return t.select(["user_id", "purchase_cents", "n_views"])
+
+    unioned = buyers.map_batches(tag_buyers, batch_format="pyarrow").union(
+        viewers.map_batches(tag_viewers, batch_format="pyarrow"))
+    return hash_groupby(unioned, "user_id", ["purchase_cents", "n_views"],
+                        how="isum")
+
+
+def event_context(ds):
+    """events -> (event_id, user_id, next_event_id, first_event_id,
+    last_event_id): the LEAD / FIRST_VALUE / LAST_VALUE window functions in
+    ONE per-user pass — each event's successor in (ts, event_id) order plus
+    the partition's bookend events.  Last-per-user rows are dropped (their
+    LEAD is NULL) so every column stays non-nullable int64, same contract
+    as :func:`event_gaps`.  One shuffle on the shared user_id key; the
+    per-group solve is pure numpy slicing."""
+
+    def solve(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        n = len(eid)
+        if n < 2:
+            return pd.DataFrame({
+                "event_id": np.empty(0, np.int64),
+                "user_id": np.empty(0, np.int64),
+                "next_event_id": np.empty(0, np.int64),
+                "first_event_id": np.empty(0, np.int64),
+                "last_event_id": np.empty(0, np.int64),
+            })
+        return pd.DataFrame({
+            "event_id": eid[:-1],
+            "user_id": g["user_id"].to_numpy()[:-1],
+            "next_event_id": eid[1:],
+            "first_event_id": np.full(n - 1, eid[0], np.int64),
+            "last_event_id": np.full(n - 1, eid[-1], np.int64),
+        })
 
     return ds.groupby("user_id").map_groups(solve)
 

@@ -291,3 +291,48 @@ def test_revenue_by_month_calendar_buckets():
     got = {(r.yr, r.mon): (r.n_orders, r.revenue_cents) for r in out.itertuples()}
     # cents are floor(x*100+0.5): 10.004->1000, 20.006->2001, 1.115->112 (fp repr)
     assert got == {(1995, 12): (2, 3001), (1996, 1): (1, 500), (2003, 7): (1, 112)}
+
+
+def test_event_context_lead_and_bookends():
+    from cuda_gis_smoothing_ray.stages.events import event_context
+
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+    rows = [
+        (1, t0, 7, "view", 0),
+        (2, t0 + np.timedelta64(10, "s"), 7, "view", 0),
+        (3, t0 + np.timedelta64(10, "s"), 7, "view", 0),  # ts tie -> id order
+        (4, t0, 9, "view", 0),  # single-event user -> no rows
+    ]
+    got = (event_context(_events_ds(rows))
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert got["event_id"].tolist() == [1, 2]       # last row (3) dropped
+    assert got["next_event_id"].tolist() == [2, 3]  # LEAD
+    assert got["first_event_id"].tolist() == [1, 1]
+    assert got["last_event_id"].tolist() == [3, 3]
+    assert all(got[c].dtype == np.int64 for c in got.columns)
+
+
+def test_user_activity_full_outer_regions():
+    from cuda_gis_smoothing_ray.stages.events import user_activity_full
+
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+    rows = [
+        # user 1: buyer only (cents 150000 >= 100000), 0 views
+        (1, t0, 1, "purchase", 1500.0),
+        # user 2: viewer only (2 views >= 2), no purchases
+        (2, t0, 2, "view", 0.0),
+        (3, t0, 2, "view", 0.0),
+        # user 3: both sides qualify
+        (4, t0, 3, "purchase", 2000.0),
+        (5, t0, 3, "view", 0.0),
+        (6, t0, 3, "view", 0.0),
+        # user 4: neither side qualifies (small purchase, 1 view)
+        (7, t0, 4, "purchase", 1.0),
+        (8, t0, 4, "view", 0.0),
+    ]
+    got = (user_activity_full(_events_ds(rows), cents_min=100_000, views_min=2)
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    assert got["user_id"].tolist() == [1, 2, 3]
+    assert got["purchase_cents"].tolist() == [150000, 0, 200000]
+    assert got["n_views"].tolist() == [0, 2, 2]
+    assert got["purchase_cents"].dtype == np.int64
