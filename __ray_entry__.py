@@ -803,6 +803,18 @@ def _q_revenue_by_month(sf_dir: str):
     return revenue_by_month(orders).sort(["yr", "mon"])
 
 
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 pricing summary (stages/relagg.pricing_summary): scan-heavy
+    grouped report, constant-size shuffle."""
+    from cuda_gis_smoothing_ray.stages.join import read_table
+    from cuda_gis_smoothing_ray.stages.relagg import pricing_summary
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                     "l_returnflag", "l_linestatus", "l_shipdate"])
+    return pricing_summary(li).sort(["l_returnflag", "l_linestatus"])
+
+
 def _q_rollup_revenue(sf_dir: str):
     """ROLLUP (o_orderpriority, l_returnflag): fine level + per-priority
     subtotals + grand total from ONE fact shuffle; coarser levels derived
@@ -1304,6 +1316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_urgent_revenue": _q_bloom_semi_join,
         "revenue_by_month": _q_revenue_by_month,
         "rollup_revenue": _q_rollup_revenue,
+        "pricing_summary": _q_pricing_summary,
         "cube_lineitem": _q_cube_lineitem,
         "customer_order_stats": _q_customer_order_stats,
         "join_orders_by_nation": _q_join_orders_by_nation,
@@ -1408,6 +1421,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_urgent_revenue": oc.bloom_semi_join_sql(),
         "revenue_by_month": oc.revenue_by_month_sql(),
         "rollup_revenue": oc.rollup_revenue_sql(),
+        "pricing_summary": oc.pricing_summary_sql(),
         "cube_lineitem": oc.cube_lineitem_sql(),
         "customer_order_stats": oc.customer_order_stats_sql(),
         "join_orders_by_nation": oc.join_orders_by_nation_sql(),

@@ -561,6 +561,27 @@ GROUP BY ROLLUP (o_orderpriority, l_returnflag)
 ORDER BY o_orderpriority, l_returnflag"""
 
 
+def pricing_summary_sql(cutoff: str | None = None) -> str:
+    """Oracle of stages/relagg.pricing_summary (TPC-H Q1 shape, per-row
+    cents quantization before the sums so addition order is irrelevant)."""
+    from ..stages import relagg
+    cut = cutoff or relagg.PRICING_CUTOFF
+    return f"""SELECT l_returnflag, l_linestatus,
+  count(*) AS n_rows,
+  CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+    AS qty_cents,
+  CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+    AS base_cents,
+  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+    AS BIGINT)) AS BIGINT) AS disc_cents,
+  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+    * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS charge_cents
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{cut}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+
 def revenue_by_month_sql() -> str:
     """Oracle of stages/relagg.revenue_by_month: EXTRACT-bucketed calendar
     aggregate, exact integer cents."""

@@ -84,6 +84,62 @@ def revenue_by_month(ds):
     )
 
 
+#: pricing_summary shipdate cutoff (TPC-H Q1 shape; filters ~28% of rows at
+#: every sf so the predicate is non-vacuous)
+PRICING_CUTOFF = "2000-01-01"
+
+
+def pricing_summary(ds, cutoff: str = PRICING_CUTOFF):
+    """lineitem -> the TPC-H Q1 pricing-summary report per (l_returnflag,
+    l_linestatus): row count and exact integer-cent sums of quantity, base
+    price, discounted price and charge, over rows shipped on/before
+    ``cutoff``.
+
+    The classic scan-heavy aggregate: the predicate and ALL the arithmetic
+    run vectorized inside ``map_batches`` and reduce batch-locally to at
+    most 6 partial rows (|flags| x |statuses|), so the shuffle is constant
+    regardless of fact-table size — at 100 TB this stage is pure read
+    bandwidth, like the reference's per-cell metric pass
+    (``src/cuda/hex_smooth_cuda_v4.cu:59-111`` fuses all 4 variables into
+    one sweep for the same reason).  Per-row cents quantization
+    (``floor(x*100+0.5)``) happens BEFORE summation so engine and oracle
+    add identical integers in any order.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Sum
+
+    cut = np.datetime64(cutoff, "us")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False)
+        m = ship <= cut
+        df = pd.DataFrame({
+            "l_returnflag": batch.column("l_returnflag").to_pandas()[m],
+            "l_linestatus": batch.column("l_linestatus").to_pandas()[m],
+        })
+        ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[m]
+        dc = batch.column("l_discount").to_numpy(zero_copy_only=False)[m]
+        tx = batch.column("l_tax").to_numpy(zero_copy_only=False)[m]
+        qt = batch.column("l_quantity").to_numpy(zero_copy_only=False)[m]
+        df["n_rows"] = np.ones(len(df), np.int64)
+        df["qty_cents"] = np.floor(qt * 100.0 + 0.5).astype(np.int64)
+        df["base_cents"] = np.floor(ep * 100.0 + 0.5).astype(np.int64)
+        df["disc_cents"] = np.floor(
+            ep * (1.0 - dc) * 100.0 + 0.5).astype(np.int64)
+        df["charge_cents"] = np.floor(
+            ep * (1.0 - dc) * (1.0 + tx) * 100.0 + 0.5).astype(np.int64)
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    cols = ["n_rows", "qty_cents", "base_cents", "disc_cents", "charge_cents"]
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+
+
 def argmax_by(ds, group_col: str, order_cols: list[str], keep_cols: list[str]):
     """ds -> one row per group: the row with the LARGEST (order_cols) tuple
     (ties impossible by construction when the last order col is unique, e.g.

@@ -336,3 +336,32 @@ def test_user_activity_full_outer_regions():
     assert got["purchase_cents"].tolist() == [150000, 0, 200000]
     assert got["n_views"].tolist() == [0, 2, 2]
     assert got["purchase_cents"].dtype == np.int64
+
+
+def test_pricing_summary_planted():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.relagg import pricing_summary
+
+    t = pa.table({
+        "l_returnflag": pa.array(["A", "A", "N", "A"]),
+        "l_linestatus": pa.array(["F", "F", "O", "F"]),
+        "l_quantity": pa.array([1.0, 2.0, 3.0, 5.0]),
+        "l_extendedprice": pa.array([10.0, 20.0, 30.0, 40.0]),
+        "l_discount": pa.array([0.1, 0.0, 0.5, 0.0]),
+        "l_tax": pa.array([0.0, 0.1, 0.0, 0.0]),
+        "l_shipdate": pa.array(np.array(
+            ["1999-01-01", "1999-06-01", "1999-06-01", "2001-01-01"],
+            dtype="datetime64[us]")),
+    })
+    got = (pricing_summary(rd.from_arrow(t), cutoff="2000-01-01")
+           .to_pandas().sort_values(["l_returnflag", "l_linestatus"])
+           .reset_index(drop=True))
+    # row 4 excluded by cutoff; A/F: qty 300, base 3000, disc 900+2000,
+    # charge 900 + 2000*1.1=2200; N/O: disc 1500
+    assert got["l_returnflag"].tolist() == ["A", "N"]
+    assert got["n_rows"].tolist() == [2, 1]
+    assert got["qty_cents"].tolist() == [300, 300]
+    assert got["base_cents"].tolist() == [3000, 3000]
+    assert got["disc_cents"].tolist() == [2900, 1500]
+    assert got["charge_cents"].tolist() == [3100, 1500]
