@@ -343,6 +343,19 @@ def _q_pagerank(sf_dir: str):
     return pr.pagerank(docs, n_docs=n_docs).sort("host")
 
 
+def _q_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distance over the host graph
+    (stages/pagerank.bfs_hops, fixed relaxation rounds)."""
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages import pagerank as pr
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    docs = read_documents(sf_dir, columns=("doc_id",))
+    return pr.bfs_hops(docs, n_docs=n_docs).sort("host")
+
+
 def _q_window_distinct_users(sf_dir: str):
     """DISTINCT users per tumbling hour (stages/sketch.window_distinct_users)."""
     from cuda_gis_smoothing_ray.stages import events, sketch
@@ -1264,6 +1277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "pagerank": _q_pagerank,
+        "bfs_hops": _q_bfs_hops,
         "triangle_counts": _q_triangles,
         "dup_ngram_stats": _q_dup_ngrams,
         "kcore": _q_kcore,
@@ -1372,6 +1386,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "pagerank": oc.pagerank_sql(),
+        "bfs_hops": oc.bfs_hops_sql(),
         "triangle_counts": oc.triangles_sql(),
         "dup_ngram_stats": oc.dup_ngram_stats_sql(),
         "kcore": oc.kcore_sql(),

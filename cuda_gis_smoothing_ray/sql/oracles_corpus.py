@@ -1479,3 +1479,48 @@ def pagerank_sql(iterations: int = 8) -> str:
 {chain}
 SELECT host, rank FROM {prev}
 ORDER BY host"""
+
+
+def bfs_hops_sql(seed_mod: int | None = None, rounds: int | None = None) -> str:
+    """Oracle of stages/pagerank.bfs_hops: the same fixed number of
+    relaxation rounds unrolled as chained CTEs — each round min-combines
+    the previous distance table with dist+1 pushed along every out-edge,
+    exactly the engine's BSP recurrence (all-int64, order-independent)."""
+    from ..functions import geocode
+    from ..stages import pagerank as pr
+
+    seed_mod = pr.BFS_SEED_MOD if seed_mod is None else seed_mod
+    rounds = pr.BFS_ROUNDS if rounds is None else rounds
+    mult = geocode.TLD_MULT
+    mod = geocode.HOST_MOD
+    host = f"(doc_id * {mult}) % {mod}"
+    nd = "(SELECT count(*) FROM documents)"
+    dhost1 = f"(((doc_id * {pr.EDGE_MULT} + {pr.EDGE_ADD}) % {nd}) * {mult}) % {mod}"
+    dhost2 = f"(((doc_id * doc_id * {pr.EDGE_MULT2} + {pr.EDGE_ADD2}) % {nd}) * {mult}) % {mod}"
+    steps = []
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""d{i} AS (
+  SELECT host, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT host, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS host, d.dist + 1 AS dist
+    FROM edges e JOIN {prev} d ON e.src = d.host
+  ) GROUP BY host
+)""")
+        prev = f"d{i}"
+    chain = ",\n".join(steps)
+    return f"""WITH hosts AS (
+  SELECT DISTINCT {host} AS host FROM documents
+), edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT {host} AS src, {dhost1} AS dst FROM documents
+    UNION ALL
+    SELECT {host} AS src, {dhost2} AS dst FROM documents
+  ) WHERE src <> dst
+), d0 AS (
+  SELECT host, CAST(0 AS BIGINT) AS dist FROM hosts WHERE host % {seed_mod} = 0
+),
+{chain}
+SELECT host, dist FROM {prev}
+ORDER BY host"""

@@ -198,3 +198,77 @@ def pagerank(docs_ds, n_docs: int, iterations: int = 8):
                                    batch_size=None).repartition(16).materialize()
 
     return ranks
+
+
+#: BFS defaults — seeds are hosts divisible by SEED_MOD (~10% of hosts);
+#: ROUNDS bounds the frontier expansion (the graph's diameter is smaller,
+#: so the last rounds are no-ops and the result is the true hop distance)
+BFS_SEED_MOD = 10
+BFS_ROUNDS = 6
+
+
+def bfs_hops(docs_ds, n_docs: int, seed_mod: int = BFS_SEED_MOD,
+             rounds: int = BFS_ROUNDS):
+    """documents -> (host, dist): multi-source BFS over the directed host
+    link graph — hop distance from the seed set (hosts ``% seed_mod == 0``)
+    after ``rounds`` synchronous frontier expansions.  Unreached hosts are
+    omitted (no sentinel dists to keep the schema non-nullable int64).
+
+    Pure integer BSP like :func:`pagerank`: each round co-partitions the
+    current distance table with the edge set by source host (one bounded
+    shuffle of (host, int64) rows), emits ``dist+1`` along out-edges, and
+    min-combines through the same vectorized hash-partition reduce.  The
+    distance table never reaches the driver; rounds are fixed so the
+    DuckDB oracle is the identical recurrence unrolled as chained CTEs
+    (``sql/oracles_corpus.bfs_hops_sql``).  This is the relaxation form of
+    BFS (dist rows re-push every round), which trades ~diameter× extra
+    pushes for zero frontier bookkeeping; a production variant keeps a
+    frontier filter (dist == round) — same shuffle shape."""
+    from ..functions.reduce import hash_groupby
+
+    edges, hosts = host_graph(docs_ds, n_docs)
+    edges = edges.select_columns(["src", "dst"]).materialize()
+
+    def seed(batch: pa.Table) -> pa.Table:
+        h = batch.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = h[h % seed_mod == 0]
+        return pa.table({"host": pa.array(h),
+                         "dist": pa.array(np.zeros(len(h), np.int64))})
+
+    dist = hosts.map_batches(seed, batch_format="pyarrow",
+                             batch_size=None).materialize()
+
+    def tag_dist(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("host"), "a": batch.column("dist"),
+                         "kind": pa.array(np.zeros(len(batch), np.int8))})
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("src"), "a": batch.column("dst"),
+                         "kind": pa.array(np.ones(len(batch), np.int8))})
+
+    def relax(df: pd.DataFrame) -> pd.DataFrame:
+        dt = df[df["kind"] == 0][["key", "a"]].rename(columns={"a": "dist"})
+        ed = df[df["kind"] == 1][["key", "a"]].rename(columns={"a": "dst"})
+        m = ed.merge(dt, on="key")
+        return pd.DataFrame({
+            "host": np.concatenate([dt["key"].to_numpy(np.int64),
+                                    m["dst"].to_numpy(np.int64)]),
+            "dist": np.concatenate([dt["dist"].to_numpy(np.int64),
+                                    m["dist"].to_numpy(np.int64) + 1]),
+        })
+
+    for _ in range(rounds):
+        pushed = (
+            dist.map_batches(tag_dist, batch_format="pyarrow", batch_size=None)
+            .union(edges.map_batches(tag_edge, batch_format="pyarrow",
+                                     batch_size=None))
+            .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
+            .groupby("__part")
+            .map_groups(relax)
+        )
+        # min-combine caps every host at its best-known distance; the
+        # repartition bounds block growth (see pagerank's note)
+        dist = hash_groupby(pushed, "host", ["dist"], how="min"
+                            ).repartition(16).materialize()
+
+    return dist

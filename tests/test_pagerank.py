@@ -75,3 +75,48 @@ def test_pagerank_mass_conserved_approximately():
     # dangling hosts (outdeg 0) leak their damped mass; bound loosely
     assert 0 < total <= pr.SCALE
     assert total > pr.SCALE // 2
+
+
+def _numpy_bfs(n_docs: int, seed_mod: int, rounds: int):
+    """Dense transcription of stages/pagerank.bfs_hops (relaxation form)."""
+    from cuda_gis_smoothing_ray.functions import geocode
+    from cuda_gis_smoothing_ray.stages import pagerank as pr
+
+    d = np.arange(n_docs, dtype=np.int64)
+    src = np.concatenate([geocode.host_id(d), geocode.host_id(d)])
+    dst = np.concatenate(
+        [
+            geocode.host_id((d * pr.EDGE_MULT + pr.EDGE_ADD) % n_docs),
+            geocode.host_id((d * d * pr.EDGE_MULT2 + pr.EDGE_ADD2) % n_docs),
+        ]
+    )
+    keep = src != dst
+    pairs = np.unique(np.stack([src[keep], dst[keep]], axis=1), axis=0)
+    src, dst = pairs[:, 0], pairs[:, 1]
+    dist = {int(h): 0 for h in np.unique(geocode.host_id(d)) if h % seed_mod == 0}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for s, t in zip(src, dst):
+            if int(s) in dist:
+                c = dist[int(s)] + 1
+                if int(t) not in nxt or c < nxt[int(t)]:
+                    nxt[int(t)] = c
+        dist = nxt
+    return dist
+
+
+def test_bfs_hops_matches_numpy():
+    from cuda_gis_smoothing_ray.stages.pagerank import bfs_hops
+
+    n = 700
+    out = (
+        bfs_hops(_docs_ds(n), n_docs=n, seed_mod=7, rounds=4)
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    want = _numpy_bfs(n, seed_mod=7, rounds=4)
+    got = dict(zip(out["host"].astype(int), out["dist"].astype(int)))
+    assert got == want
+    # non-vacuous: seeds at 0, and at least two other distance levels reached
+    assert len(set(want.values())) >= 3
