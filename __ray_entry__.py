@@ -1162,6 +1162,14 @@ def _q_hll_hosts(sf_dir: str):
     return hll_count(_pages_urls(sf_dir))
 
 
+def _q_hll_registers(sf_dir: str):
+    """Merged HLL register table over page hosts — the pure-integer witness
+    of the sketch content (stages/sketch.hll_registers, poly_hash64)."""
+    from cuda_gis_smoothing_ray.stages.sketch import hll_registers
+
+    return hll_registers(_pages_urls(sf_dir))
+
+
 def _q_hosts_except(sf_dir: str, anti: bool = True, col: str = "host"):
     """Set operations EXCEPT (anti=True) / INTERSECT (anti=False) on
     distinct per-language value sets (host or tld): values in 'en' pages
@@ -1340,6 +1348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window": _q_sliding_window,
         "distinct_hosts": _q_distinct_hosts,
         "hll_hosts": _q_hll_hosts,
+        "hll_registers": _q_hll_registers,
         "text_len_quantiles": _q_text_len_quantiles,
         "top_hosts_by_lang": _q_top_hosts_by_lang,
         "hosts_en_not_de": _q_hosts_except,
@@ -1387,6 +1396,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": oc.contamination_sql(),
         "pagerank": oc.pagerank_sql(),
         "bfs_hops": oc.bfs_hops_sql(),
+        "hll_registers": oc.hll_registers_sql(),
         "triangle_counts": oc.triangles_sql(),
         "dup_ngram_stats": oc.dup_ngram_stats_sql(),
         "kcore": oc.kcore_sql(),

@@ -228,3 +228,31 @@ def winnow_fingerprints(text: str, k: int = 8, window: int = 6) -> np.ndarray:
         return np.unique(h[: max(1, len(h))])
     sw = np.lib.stride_tricks.sliding_window_view(h, window)
     return np.unique(sw.min(axis=1))
+
+
+def poly_hash64(strs) -> np.ndarray:
+    """Stable 64-bit whole-string hash: rolling FNV polynomial over the
+    utf-8 bytes (``h = h * FNV_PRIME + byte``, uint64 wrap) finished with
+    :func:`splitmix64` — the SQL-expressible sibling of :func:`text_hash64`
+    (DuckDB mirrors it with a ``list_reduce`` fold in HUGEINT mod 2^64,
+    ``sql/oracles_corpus.hll_registers_sql``).
+
+    Vectorized across strings: one numpy pass per byte *position* (loop
+    length = longest string, not row count), operating on the Arrow
+    offsets/data buffers directly.
+    """
+    arr = strs if isinstance(strs, pa.Array) else pa.array(list(strs), pa.string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    assert arr.null_count == 0, "poly_hash64: null strings not supported"
+    arr = arr.cast(pa.large_string())
+    off = np.frombuffer(arr.buffers()[1], dtype=np.int64,
+                        count=len(arr) + 1, offset=0) + arr.offset
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    starts, lens = off[:-1], np.diff(off)
+    h = np.zeros(len(arr), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(int(lens.max(initial=0))):
+            m = lens > j
+            h[m] = h[m] * _FNV_PRIME + data[starts[m] + j]
+    return splitmix64(h)

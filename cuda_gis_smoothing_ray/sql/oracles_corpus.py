@@ -1524,3 +1524,44 @@ def bfs_hops_sql(seed_mod: int | None = None, rounds: int | None = None) -> str:
 {chain}
 SELECT host, dist FROM {prev}
 ORDER BY host"""
+
+
+def hll_registers_sql(p: int = 12) -> str:
+    """Oracle of stages/sketch.hll_registers: per-distinct-host
+    splitmix64(rolling FNV over the utf-8 bytes) in HUGEINT mod 2^64
+    (identical per-step wrap to ``functions.hashing.poly_hash64``),
+    register = top ``p`` hash bits, rho = first-set-bit position of the
+    remaining bits found by an exact 0..63-bit scan (no float log2 on the
+    SQL side), max per register."""
+    from .oracles import pages_cte
+
+    fold = (f"list_reduce(list_transform(string_split(host, ''), "
+            f"c -> ascii(c)::HUGEINT), (h, b) -> ((h * {_FNV}) % {_M64} + b) % {_M64})")
+    return f"""WITH {pages_cte()}, hosts AS (
+  SELECT DISTINCT split_part(url, '/', 3) AS host FROM pages
+), p0 AS (
+  SELECT host, CASE WHEN length(host) = 0 THEN 0::HUGEINT ELSE {fold} END AS h0
+  FROM hosts
+), z1 AS (
+  SELECT host, (h0 + 11400714819323198485) % {_M64} AS z1 FROM p0
+), z2 AS (
+  SELECT host, {_mulmod64("xor(z1, z1 >> 30)", "13787848793156543929")} AS z2 FROM z1
+), z3 AS (
+  SELECT host, {_mulmod64("xor(z2, z2 >> 27)", "10723151780598845931")} AS z3 FROM z2
+), hh AS (
+  SELECT host, xor(z3, z3 >> 31) AS h FROM z3
+), parts AS (
+  SELECT CAST(h >> {64 - p} AS BIGINT) AS register,
+         (h * {1 << p}) % {_M64} AS rest
+  FROM hh
+), rhos AS (
+  SELECT register,
+    COALESCE((SELECT min(i.i) + 1 FROM range(0, {64 - p}) i(i)
+              WHERE ((parts.rest >> CAST(63 - i.i AS INT)) % 2) = 1),
+             {64 - p + 1}) AS rho
+  FROM parts
+)
+SELECT register, CAST(max(rho) AS BIGINT) AS rho
+FROM rhos
+GROUP BY register
+ORDER BY register"""

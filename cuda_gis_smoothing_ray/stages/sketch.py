@@ -66,6 +66,57 @@ def distinct_count(ds, value_fn=_host_from_url, n_parts: int = 64):
     return pa.table({"n_distinct": pa.array([int(counted["n_distinct"])], pa.int64())})
 
 
+def _register_partial(h: np.ndarray, p: int) -> pa.Table:
+    """uint64 hashes -> sparse (register, rho) HLL partial: register = top
+    ``p`` hash bits, rho = 1-based position of the first set bit in the
+    remaining ``64-p`` bits (capped at ``64-p+1`` when they are all zero)."""
+    m = 1 << p
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # remaining 64-p bits, left-aligned
+    # rho = position of first set bit in the remaining bits (1-based)
+    nz = rest != 0
+    lz = np.full(len(h), 64 - p, dtype=np.int64)
+    r = rest[nz]
+    # count leading zeros of a uint64 vector via float64 exponent trick
+    # (exact for the top 52 bits; values below 2^12 handled by the
+    # flush-to-max branch above since 64-p < 52 guards nothing -- use
+    # the portable loop-free log2 on the high 32 bits twice instead)
+    hi = (r >> np.uint64(32)).astype(np.uint32)
+    lo = (r & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    lz_hi = 31 - np.floor(np.log2(np.maximum(hi.astype(np.float64), 1))).astype(np.int64)
+    lz_lo = 63 - np.floor(np.log2(np.maximum(lo.astype(np.float64), 1))).astype(np.int64)
+    lz[nz] = np.where(hi != 0, lz_hi, np.where(lo != 0, lz_lo, 64))
+    rho = np.minimum(lz + 1, 64 - p + 1)
+    reg = np.zeros(m, dtype=np.int64)
+    np.maximum.at(reg, idx, rho)
+    used = np.flatnonzero(reg)
+    return pa.table({"register": pa.array(used), "rho": pa.array(reg[used])})
+
+
+def hll_registers(ds, value_fn=_host_from_url, p: int = HLL_P):
+    """-> (register:int64, rho:int64): the merged HLL register table itself,
+    bit-exact and SQL-oracle-checkable (``oracles_corpus.hll_registers_sql``).
+
+    Same distributed plan as :func:`hll_count` but hashed with the
+    SQL-expressible :func:`...functions.hashing.poly_hash64` (rolling FNV +
+    splitmix64) instead of blake2b, and returning the registers instead of
+    the float estimate — the pure-integer witness that certifies the sketch
+    content without putting float reduction order in the comparison."""
+    from ray.data.aggregate import Max
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import poly_hash64
+
+        return _register_partial(poly_hash64(np.unique(value_fn(batch))), p)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby("register")
+        .aggregate(Max("rho", alias_name="rho"))
+        .sort("register")
+    )
+
+
 def hll_count(ds, value_fn=_host_from_url, p: int = HLL_P):
     """-> single-row table (n_distinct_est:double): HyperLogLog estimate.
 
@@ -80,27 +131,7 @@ def hll_count(ds, value_fn=_host_from_url, p: int = HLL_P):
     def partial(batch: pa.Table) -> pa.Table:
         # registers depend only on the distinct values: unique first, hash
         # the (few) distincts, skip the per-row hash loop entirely
-        h = text_hash64(np.unique(value_fn(batch)))
-        idx = (h >> np.uint64(64 - p)).astype(np.int64)
-        rest = h << np.uint64(p)  # remaining 64-p bits, left-aligned
-        # rho = position of first set bit in the remaining bits (1-based)
-        nz = rest != 0
-        lz = np.full(len(h), 64 - p, dtype=np.int64)
-        r = rest[nz]
-        # count leading zeros of a uint64 vector via float64 exponent trick
-        # (exact for the top 52 bits; values below 2^12 handled by the
-        # flush-to-max branch above since 64-p < 52 guards nothing -- use
-        # the portable loop-free log2 on the high 32 bits twice instead)
-        hi = (r >> np.uint64(32)).astype(np.uint32)
-        lo = (r & np.uint64(0xFFFFFFFF)).astype(np.uint32)
-        lz_hi = 31 - np.floor(np.log2(np.maximum(hi.astype(np.float64), 1))).astype(np.int64)
-        lz_lo = 63 - np.floor(np.log2(np.maximum(lo.astype(np.float64), 1))).astype(np.int64)
-        lz[nz] = np.where(hi != 0, lz_hi, np.where(lo != 0, lz_lo, 64))
-        rho = np.minimum(lz + 1, 64 - p + 1)
-        reg = np.zeros(m, dtype=np.int64)
-        np.maximum.at(reg, idx, rho)
-        used = np.flatnonzero(reg)
-        return pa.table({"register": pa.array(used), "rho": pa.array(reg[used])})
+        return _register_partial(text_hash64(np.unique(value_fn(batch))), p)
 
     merged = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)

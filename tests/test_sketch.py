@@ -193,3 +193,35 @@ def test_cms_overestimates_only_and_matches_brute():
         assert est == want
     # collisions present (otherwise the min-over-depths is vacuous)
     assert (out["n_est"] > out["n_true"]).any()
+
+
+def test_poly_hash64_matches_scalar_reference():
+    from cuda_gis_smoothing_ray.functions.hashing import (
+        _FNV_PRIME, poly_hash64, splitmix64)
+
+    def ref(t: str) -> int:
+        h = np.uint64(0)
+        with np.errstate(over="ignore"):
+            for b in t.encode():
+                h = h * _FNV_PRIME + np.uint64(b)
+        return int(splitmix64(np.array([h]))[0])
+
+    ss = ["", "a", "host42.example.co.uk", "x" * 200, "h9.com"]
+    assert [int(v) for v in poly_hash64(ss)] == [ref(s) for s in ss]
+
+
+def test_hll_registers_estimate_consistent(id_ds):
+    """The register table the SQL oracle certifies must reproduce the HLL
+    estimate within the standard error bound (same registers, same math)."""
+    from cuda_gis_smoothing_ray.stages.sketch import HLL_P, hll_registers
+
+    merged = hll_registers(id_ds).to_pandas()
+    m = 1 << HLL_P
+    reg = np.zeros(m, np.float64)
+    reg[merged["register"].to_numpy()] = merged["rho"].to_numpy()
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-reg))
+    zeros = float(np.count_nonzero(reg == 0))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * np.log(m / zeros)
+    assert abs(est - 1777) / 1777 < 0.05
