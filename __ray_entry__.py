@@ -356,6 +356,16 @@ def _q_bfs_hops(sf_dir: str):
     return pr.bfs_hops(docs, n_docs=n_docs).sort("host")
 
 
+def _q_lm_score(sf_dir: str):
+    """CCNet-style bigram-LM quality scoring in exact fixed point
+    (stages/lm.lm_score: train on the doc_id%2 subset, broadcast the
+    bounded model once, score every document)."""
+    from cuda_gis_smoothing_ray.stages.lm import lm_score
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    return lm_score(read_documents(sf_dir, columns=("doc_id", "text"))).sort("doc_id")
+
+
 def _q_window_distinct_users(sf_dir: str):
     """DISTINCT users per tumbling hour (stages/sketch.window_distinct_users)."""
     from cuda_gis_smoothing_ray.stages import events, sketch
@@ -1286,6 +1296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": _q_contamination,
         "pagerank": _q_pagerank,
         "bfs_hops": _q_bfs_hops,
+        "lm_score": _q_lm_score,
         "triangle_counts": _q_triangles,
         "dup_ngram_stats": _q_dup_ngrams,
         "kcore": _q_kcore,
@@ -1397,6 +1408,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": oc.pagerank_sql(),
         "bfs_hops": oc.bfs_hops_sql(),
         "hll_registers": oc.hll_registers_sql(),
+        "lm_score": oc.lm_score_sql(),
         "triangle_counts": oc.triangles_sql(),
         "dup_ngram_stats": oc.dup_ngram_stats_sql(),
         "kcore": oc.kcore_sql(),

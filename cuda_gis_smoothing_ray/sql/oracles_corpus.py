@@ -1565,3 +1565,59 @@ SELECT register, CAST(max(rho) AS BIGINT) AS rho
 FROM rhos
 GROUP BY register
 ORDER BY register"""
+
+
+def lm_score_sql(train_mod: int | None = None, min_count: int | None = None,
+                 vocab_max: int | None = None) -> str:
+    """Oracle of stages/lm.lm_score: bounded bigram LM trained on the
+    ``doc_id % train_mod = 0`` subset (vocab = top ``vocab_max`` unigrams by
+    (cnt DESC, tok ASC); bigrams within-vocab with cnt >= ``min_count``),
+    then every document scored with the exact fixed-point add-one term
+    ``((c12 + 1) * 10^9) // (c1 + V)`` summed per doc — integer division
+    per term makes the sum order-independent on both engines."""
+    from ..stages import lm
+
+    train_mod = lm.TRAIN_MOD if train_mod is None else train_mod
+    min_count = lm.MIN_COUNT if min_count is None else min_count
+    vocab_max = lm.VOCAB_MAX if vocab_max is None else vocab_max
+    return f"""WITH lt AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), s -> s != '') AS l
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM lt
+), ttoks AS (
+  SELECT * FROM toks WHERE doc_id % {train_mod} = 0
+), uc0 AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM ttoks GROUP BY tok
+), vocab AS (
+  SELECT tok, cnt FROM (
+    SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rn FROM uc0
+  ) WHERE rn <= {vocab_max}
+), vsize AS (
+  SELECT CAST(count(*) AS BIGINT) AS V FROM vocab
+), bcv AS (
+  SELECT t1.tok AS w1, t2.tok AS w2, CAST(count(*) AS BIGINT) AS cnt
+  FROM ttoks t1 JOIN ttoks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  JOIN vocab v1 ON t1.tok = v1.tok
+  JOIN vocab v2 ON t2.tok = v2.tok
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_count}
+), bg AS (
+  SELECT t1.doc_id, t1.tok AS w1, t2.tok AS w2
+  FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+), terms AS (
+  SELECT bg.doc_id,
+    ((COALESCE(bcv.cnt, 0) + 1) * {lm.SCALE})
+      // (COALESCE(v.cnt, 0) + (SELECT V FROM vsize)) AS term
+  FROM bg
+  LEFT JOIN vocab v ON bg.w1 = v.tok
+  LEFT JOIN bcv ON bg.w1 = bcv.w1 AND bg.w2 = bcv.w2
+)
+SELECT d.doc_id,
+  CAST(COALESCE(t.n, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(t.s, 0) AS BIGINT) AS score_fp
+FROM documents d LEFT JOIN (
+  SELECT doc_id, count(*) AS n, sum(term) AS s FROM terms GROUP BY doc_id
+) t ON d.doc_id = t.doc_id
+ORDER BY d.doc_id"""

@@ -1,0 +1,227 @@
+"""Bigram language-model quality scoring — the CCNet-style perplexity
+filtering slot (Wenzek et al. 2020: score every document with a small LM
+trained on a reference subset, filter on the score), re-expressed as two
+Ray Data passes with an exact fixed-point score.
+
+**Train pass** (bounded model): documents with ``doc_id % train_mod == 0``
+are the reference subset.  Batch-local token/bigram counting (Arrow
+``split_pattern_regex``, dictionary-encoded pair packing — same kernel
+shape as :func:`.textops.top_bigrams`), one hash-partitioned shuffle of
+the distinct (token, cnt) / (bigram, cnt) partials, then the model is
+capped deterministically: top ``vocab_max`` unigrams by (cnt DESC, token
+ASC) and bigrams within the vocab with ``cnt >= min_count``.  The capped
+model is the only thing that leaves the shuffle — bounded by ``vocab_max``
+regardless of corpus size.
+
+**Score pass** (broadcast, actor pool): the model is ``ray.put`` ONCE; a
+callable-class stage builds sorted lookup arrays in ``__init__`` (once per
+actor) and scores each batch with two ``np.searchsorted`` probes per
+token stream — no shuffle at all, so the pass streams at read speed.
+
+**Exact score**: per bigram position, ``term = ((c12 + 1) * 10^9) //
+(c1 + V)`` — add-one-smoothed next-token probability in integer
+nano-units.  Flooring each term before the sum makes the per-document
+score order-independent int64 arithmetic, so the DuckDB oracle
+(``sql/oracles_corpus.lm_score_sql``) matches bit-for-bit — the same
+trick the engine uses everywhere it would otherwise depend on float
+reduction order (see stages/pagerank.py).  ``score_fp`` is a likelihood
+proxy (higher = more in-distribution), the filtering semantics of CCNet's
+perplexity without the float log.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+TRAIN_MOD = 2
+MIN_COUNT = 2
+VOCAB_MAX = 50_000
+SCALE = 10**9
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+_N_PARTS = 64
+
+
+def _tokens(batch: pa.Table):
+    """text column -> (doc_idx, tokens Arrow array) with empties dropped;
+    identical tokenization to textops.top_bigrams (SQL:
+    ``list_filter(regexp_split_to_array(text, '\\s+'), s -> s != '')``)."""
+    import pyarrow.compute as pc
+
+    n = len(batch)
+    split = pc.split_pattern_regex(batch.column("text"), r"\s+")
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    counts = split.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = split.flatten()
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return doc_idx[nonempty], flat.filter(pa.array(nonempty))
+
+
+def _count_partial(batch: pa.Table) -> pa.Table:
+    """Batch-local (gram, n, cnt) partial counts: n=1 rows are unigrams
+    (gram = token), n=2 rows are bigrams (gram = 'w1 w2', within-doc
+    consecutive pairs).  Tokens never contain whitespace, so the joined
+    key is collision-free."""
+    import pyarrow.compute as pc
+
+    empty = pa.table({"gram": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int8()),
+                      "cnt": pa.array([], pa.int64()),
+                      "__part": pa.array([], pa.int64())})
+    doc_idx, toks = _tokens(batch)
+    if len(toks) == 0:
+        return empty
+    dic = toks.dictionary_encode()
+    if isinstance(dic, pa.ChunkedArray):
+        dic = dic.combine_chunks()
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    ucode, ucnt = np.unique(codes, return_counts=True)
+    grams = [dic.dictionary.take(pa.array(ucode))]
+    ns = [np.full(len(ucode), 1, np.int8)]
+    cnts = [ucnt.astype(np.int64)]
+    adj = doc_idx[1:] == doc_idx[:-1]
+    c1, c2 = codes[:-1][adj], codes[1:][adj]
+    if len(c1):
+        packed = c1 * (codes.max() + 1) + c2
+        uniq, uidx, bcnt = np.unique(packed, return_index=True, return_counts=True)
+        w1 = dic.dictionary.take(pa.array(c1[uidx]))
+        w2 = dic.dictionary.take(pa.array(c2[uidx]))
+        grams.append(pc.binary_join_element_wise(w1, w2, " "))
+        ns.append(np.full(len(uniq), 2, np.int8))
+        cnts.append(bcnt.astype(np.int64))
+    gram = pa.concat_arrays([g.combine_chunks() if isinstance(g, pa.ChunkedArray)
+                             else g for g in grams])
+    from ..functions.hashing import poly_hash64
+
+    part = ((poly_hash64(gram) * _GOLDEN) >> np.uint64(52)) % np.uint64(_N_PARTS)
+    return pa.table({"gram": gram, "n": pa.array(np.concatenate(ns)),
+                     "cnt": pa.array(np.concatenate(cnts)),
+                     "__part": pa.array(part.astype(np.int64))})
+
+
+def _merge_counts(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.groupby(["gram", "n"], sort=False)["cnt"].sum().reset_index()
+    return out[["gram", "n", "cnt"]]
+
+
+def train_bigram_lm(docs_ds, train_mod: int = TRAIN_MOD,
+                    min_count: int = MIN_COUNT, vocab_max: int = VOCAB_MAX):
+    """documents -> bounded LM dict with sorted numpy lookup tables:
+    ``vocab`` (sorted tokens), ``vcnt`` (aligned counts), ``bkey``
+    (sorted id1 * vocab_size + id2), ``bcnt``, ``V`` (vocab size)."""
+
+    def in_train(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(d % train_mod == 0))
+
+    counted = (
+        docs_ds.map_batches(in_train, batch_format="pyarrow", batch_size=None)
+        .map_batches(_count_partial, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(_merge_counts)
+        .to_pandas()
+    )
+    uni = counted[counted["n"] == 1]
+    # deterministic vocab cap: (cnt DESC, token ASC), top vocab_max
+    uni = uni.sort_values(["cnt", "gram"], ascending=[False, True],
+                          kind="mergesort").head(vocab_max)
+    order = np.argsort(uni["gram"].to_numpy())
+    vocab = uni["gram"].to_numpy()[order]
+    vcnt = uni["cnt"].to_numpy(np.int64)[order]
+    bi = counted[(counted["n"] == 2) & (counted["cnt"] >= min_count)]
+    w12 = bi["gram"].str.split(" ", n=1, expand=True) if len(bi) else None
+    V = len(vocab)
+    if len(bi):
+        i1 = np.searchsorted(vocab, w12[0].to_numpy())
+        i2 = np.searchsorted(vocab, w12[1].to_numpy())
+        ok = (
+            (i1 < V) & (i2 < V)
+            & (vocab[np.minimum(i1, V - 1)] == w12[0].to_numpy())
+            & (vocab[np.minimum(i2, V - 1)] == w12[1].to_numpy())
+        )
+        bkey = i1[ok] * V + i2[ok]
+        bcnt = bi["cnt"].to_numpy(np.int64)[ok]
+        border = np.argsort(bkey)
+        bkey, bcnt = bkey[border], bcnt[border]
+    else:
+        bkey = np.array([], np.int64)
+        bcnt = np.array([], np.int64)
+    return {"vocab": vocab, "vcnt": vcnt, "bkey": bkey, "bcnt": bcnt, "V": V}
+
+
+class LmScorer:
+    """Actor-pool scoring stage: model ObjectRef resolved + lookup arrays
+    bound once per actor in ``__init__``; ``__call__`` is two vectorized
+    searchsorted probes per batch."""
+
+    def __init__(self, model_ref):
+        import ray
+
+        m = ray.get(model_ref) if not isinstance(model_ref, dict) else model_ref
+        self.vocab = m["vocab"]
+        self.vcnt = m["vcnt"]
+        self.bkey = m["bkey"]
+        self.bcnt = m["bcnt"]
+        self.V = m["V"]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx, toks = _tokens(batch)
+        n_bg = np.zeros(n, np.int64)
+        score = np.zeros(n, np.int64)
+        if len(toks):
+            # probe the vocab once per DISTINCT token in the batch, then
+            # fan results back out through the dictionary codes
+            dic = toks.dictionary_encode()
+            if isinstance(dic, pa.ChunkedArray):
+                dic = dic.combine_chunks()
+            codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            uarr = dic.dictionary.to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.vocab, uarr)
+            np.clip(pos, 0, max(self.V - 1, 0), out=pos)
+            uknown = (self.vocab[pos] == uarr) if self.V else np.zeros(len(uarr), bool)
+            uids = np.where(uknown, pos, -1)
+            ucnt1 = np.where(uknown, self.vcnt[pos], 0) if self.V \
+                else np.zeros(len(uarr), np.int64)
+            ids = uids[codes]
+            cnt1 = ucnt1[codes]
+            adj = doc_idx[1:] == doc_idx[:-1]
+            d = doc_idx[:-1][adj]
+            i1, i2 = ids[:-1][adj], ids[1:][adj]
+            c1 = cnt1[:-1][adj]
+            c12 = np.zeros(len(i1), np.int64)
+            both = (i1 >= 0) & (i2 >= 0)
+            if both.any() and len(self.bkey):
+                key = i1[both] * self.V + i2[both]
+                bp = np.searchsorted(self.bkey, key)
+                np.clip(bp, 0, len(self.bkey) - 1, out=bp)
+                hit = self.bkey[bp] == key
+                found = np.zeros(both.sum(), np.int64)
+                found[hit] = self.bcnt[bp[hit]]
+                c12[both] = found
+            term = ((c12 + 1) * SCALE) // (c1 + self.V)
+            np.add.at(n_bg, d, 1)
+            np.add.at(score, d, term)
+        return pa.table({"doc_id": pa.array(doc_ids),
+                         "n_bigrams": pa.array(n_bg),
+                         "score_fp": pa.array(score)})
+
+
+def lm_score(docs_ds, train_mod: int = TRAIN_MOD, min_count: int = MIN_COUNT,
+             vocab_max: int = VOCAB_MAX, concurrency: int = 4):
+    """documents -> (doc_id, n_bigrams, score_fp): every document scored
+    by the bounded bigram LM trained on the ``doc_id % train_mod == 0``
+    subset.  Two passes; the model is broadcast once via ``ray.put``."""
+    import ray
+
+    model = train_bigram_lm(docs_ds, train_mod, min_count, vocab_max)
+    ref = ray.put(model)
+    return docs_ds.map_batches(
+        LmScorer, fn_constructor_kwargs={"model_ref": ref},
+        concurrency=concurrency, batch_format="pyarrow", batch_size=1024,
+    )

@@ -1,0 +1,75 @@
+"""Bigram-LM quality scoring tests (stages/lm.py) against a brute-force
+pure-Python transcription, including the vocab-cap and min-count paths the
+driver data doesn't exercise."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+DOCS = [
+    "the cat sat on the mat",
+    "the dog sat on the log",
+    "a cat and a dog",
+    "completely unseen tokens here zzz",
+    "the the the the",
+    "single",
+    "",
+    "the cat sat",
+]
+
+
+def _brute(docs, train_mod, min_count, vocab_max, scale=10**9):
+    toks = [d.split() for d in docs]
+    train = [t for i, t in enumerate(toks) if i % train_mod == 0]
+    uc: dict[str, int] = {}
+    bc: dict[tuple[str, str], int] = {}
+    for t in train:
+        for w in t:
+            uc[w] = uc.get(w, 0) + 1
+        for a, b in zip(t, t[1:]):
+            bc[(a, b)] = bc.get((a, b), 0) + 1
+    vocab = dict(sorted(uc.items(), key=lambda kv: (-kv[1], kv[0]))[:vocab_max])
+    V = len(vocab)
+    model = {k: v for k, v in bc.items()
+             if v >= min_count and k[0] in vocab and k[1] in vocab}
+    rows = []
+    for i, t in enumerate(toks):
+        n = max(len(t) - 1, 0)
+        s = 0
+        for a, b in zip(t, t[1:]):
+            c12 = model.get((a, b), 0)
+            c1 = vocab.get(a, 0)
+            s += ((c12 + 1) * scale) // (c1 + V)
+        rows.append((i, n, s))
+    return pd.DataFrame(rows, columns=["doc_id", "n_bigrams", "score_fp"])
+
+
+@pytest.mark.parametrize("train_mod,min_count,vocab_max", [
+    (2, 2, 50_000),   # driver defaults
+    (1, 1, 50_000),   # every doc in train, no count floor
+    (2, 1, 4),        # vocab cap engaged (ties broken (cnt DESC, tok ASC))
+])
+def test_lm_score_matches_bruteforce(ray_session, train_mod, min_count, vocab_max):
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.lm import lm_score
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(DOCS), dtype=np.int64)),
+        "text": pa.array(DOCS),
+    })).repartition(3)
+    got = (
+        lm_score(ds, train_mod=train_mod, min_count=min_count,
+                 vocab_max=vocab_max, concurrency=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = _brute(DOCS, train_mod, min_count, vocab_max)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    if train_mod == 1 and min_count == 1:
+        # non-vacuous: the high-count repeated bigram ("the the" x3) must
+        # outscore the count-1 bigrams of the rare-token doc per bigram
+        mean = want["score_fp"] / want["n_bigrams"].clip(lower=1)
+        assert mean.loc[4] > mean.loc[3]
