@@ -838,6 +838,15 @@ def _q_pricing_summary(sf_dir: str):
     return pricing_summary(li).sort(["l_returnflag", "l_linestatus"])
 
 
+def _q_tpch_q3(sf_dir: str):
+    """TPC-H Q3 shipping priority (stages/relagg.tpch_q3): segment-filtered
+    customer semi-join onto orders, one orderkey shuffle join with lineitem,
+    grouped top-10 by exact-cent revenue."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q3
+
+    return tpch_q3(sf_dir)
+
+
 def _q_rollup_revenue(sf_dir: str):
     """ROLLUP (o_orderpriority, l_returnflag): fine level + per-priority
     subtotals + grand total from ONE fact shuffle; coarser levels derived
@@ -1350,6 +1359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_month": _q_revenue_by_month,
         "rollup_revenue": _q_rollup_revenue,
         "pricing_summary": _q_pricing_summary,
+        "tpch_q3": _q_tpch_q3,
         "cube_lineitem": _q_cube_lineitem,
         "customer_order_stats": _q_customer_order_stats,
         "join_orders_by_nation": _q_join_orders_by_nation,
@@ -1459,6 +1469,7 @@ def oracle_sql() -> dict[str, str]:
         "revenue_by_month": oc.revenue_by_month_sql(),
         "rollup_revenue": oc.rollup_revenue_sql(),
         "pricing_summary": oc.pricing_summary_sql(),
+        "tpch_q3": oc.tpch_q3_sql(),
         "cube_lineitem": oc.cube_lineitem_sql(),
         "customer_order_stats": oc.customer_order_stats_sql(),
         "join_orders_by_nation": oc.join_orders_by_nation_sql(),

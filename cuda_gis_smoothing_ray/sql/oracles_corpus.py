@@ -1621,3 +1621,31 @@ FROM documents d LEFT JOIN (
   SELECT doc_id, count(*) AS n, sum(term) AS s FROM terms GROUP BY doc_id
 ) t ON d.doc_id = t.doc_id
 ORDER BY d.doc_id"""
+
+
+def tpch_q3_sql(cutoff: str | None = None, segment: str | None = None,
+                k: int | None = None) -> str:
+    """Oracle of stages/relagg.tpch_q3 (3-table join + grouped top-k,
+    exact integer cents, ties ascending on l_orderkey)."""
+    from ..stages import relagg
+
+    cutoff = relagg.Q3_CUTOFF if cutoff is None else cutoff
+    segment = relagg.Q3_SEGMENT if segment is None else segment
+    k = relagg.Q3_K if k is None else k
+    return f"""WITH per_order AS (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = '{segment}'
+    AND o_orderdate < TIMESTAMP '{cutoff} 00:00:00'
+    AND l_shipdate > TIMESTAMP '{cutoff} 00:00:00'
+  GROUP BY 1, 2, 3
+)
+SELECT l_orderkey, o_orderdate, o_orderpriority, revenue_cents,
+  CAST(row_number() OVER (ORDER BY revenue_cents DESC, l_orderkey) AS BIGINT) AS rank
+FROM per_order
+ORDER BY revenue_cents DESC, l_orderkey
+LIMIT {k}"""

@@ -205,3 +205,91 @@ def cube_sums(ds, keys: list[str], sum_cols: list[str], all_label: str = "ALL"):
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return fine.repartition(1).map_batches(expand, batch_format="pyarrow")
+
+
+Q3_CUTOFF = "1998-06-15"
+Q3_SEGMENT = "BUILDING"
+Q3_K = 10
+
+
+def tpch_q3(sf_dir: str, cutoff: str = Q3_CUTOFF, segment: str = Q3_SEGMENT,
+            k: int = Q3_K):
+    """TPC-H Q3 shipping-priority: top-k unshipped orders by revenue for one
+    market segment — the canonical 3-table join + grouped top-k composition.
+
+    Scale plan: the segment filter shrinks customer to keys only, which
+    semi-join ONTO orders without a broadcast (hash_semi_join: distinct keys
+    shuffle, not rows); lineitem and the surviving orders meet in one
+    orderkey shuffle join; revenue partials pre-aggregate per batch keyed by
+    orderkey (o_orderdate / o_orderpriority ride along — they are
+    functionally dependent on the key); the final top-k is local-k + one
+    k*blocks merge, never a full sort.  Exact integer cents throughout.
+    """
+    import numpy as np
+
+    from .gridops import topk
+    from .join import hash_semi_join, read_table, shuffle_join
+
+    cutoff_ns = np.datetime64(cutoff, "ns")
+
+    def date_filter(col: str, before: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            v = batch.column(col).to_numpy(zero_copy_only=False).astype("datetime64[ns]")
+            return batch.filter(pa.array(v < cutoff_ns if before else v > cutoff_ns))
+        return f
+
+    cust = (
+        read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda b: b.filter(
+                pa.array(b.column("c_mktsegment").to_numpy(zero_copy_only=False)
+                         == segment)).select(["c_custkey"]),
+            batch_format="pyarrow", batch_size=None)
+    )
+    orders = (
+        read_table(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+        .map_batches(date_filter("o_orderdate", before=True),
+                     batch_format="pyarrow", batch_size=None)
+    )
+    orders = hash_semi_join(orders, cust, left_key="o_custkey",
+                            right_key="c_custkey")
+    li = (
+        read_table(sf_dir, "lineitem",
+                   ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(date_filter("l_shipdate", before=False),
+                     batch_format="pyarrow", batch_size=None)
+        .map_batches(lambda b: b.select(["l_orderkey", "l_extendedprice",
+                                         "l_discount"]),
+                     batch_format="pyarrow", batch_size=None)
+    )
+    j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                     num_partitions=8)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        cents = np.floor(
+            df["l_extendedprice"].to_numpy() * (1.0 - df["l_discount"].to_numpy())
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(),
+            "o_orderdate": df["o_orderdate"].to_numpy(),
+            "o_orderpriority": df["o_orderpriority"].to_numpy(),
+            "revenue_cents": cents,
+        })
+        return (
+            df.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"],
+                       sort=False, as_index=False)["revenue_cents"].sum()
+        )
+
+    per_order = (
+        j.map_batches(partial, batch_format="pandas", batch_size=None)
+        .groupby("l_orderkey")
+        .map_groups(
+            lambda df: df.groupby(["l_orderkey", "o_orderdate",
+                                   "o_orderpriority"], sort=False,
+                                  as_index=False)["revenue_cents"].sum())
+    )
+    return topk(per_order, k, by="revenue_cents", tie_cols=("l_orderkey",))
