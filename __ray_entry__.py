@@ -356,6 +356,14 @@ def _q_bfs_hops(sf_dir: str):
     return pr.bfs_hops(docs, n_docs=n_docs).sort("host")
 
 
+def _q_collapse_repeats(sf_dir: str):
+    """Consecutive-duplicate-token cleaner (stages/textops.collapse_repeats):
+    shuffle-free vectorized transform over every document."""
+    from cuda_gis_smoothing_ray.stages.textops import collapse_repeats, read_documents
+
+    return collapse_repeats(read_documents(sf_dir)).sort("doc_id")
+
+
 def _q_lm_score(sf_dir: str):
     """CCNet-style bigram-LM quality scoring in exact fixed point
     (stages/lm.lm_score: train on the doc_id%2 subset, broadcast the
@@ -1306,6 +1314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "bfs_hops": _q_bfs_hops,
         "lm_score": _q_lm_score,
+        "collapse_repeats": _q_collapse_repeats,
         "triangle_counts": _q_triangles,
         "dup_ngram_stats": _q_dup_ngrams,
         "kcore": _q_kcore,
@@ -1419,6 +1428,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_hops": oc.bfs_hops_sql(),
         "hll_registers": oc.hll_registers_sql(),
         "lm_score": oc.lm_score_sql(),
+        "collapse_repeats": oc.collapse_repeats_sql(),
         "triangle_counts": oc.triangles_sql(),
         "dup_ngram_stats": oc.dup_ngram_stats_sql(),
         "kcore": oc.kcore_sql(),

@@ -1649,3 +1649,31 @@ SELECT l_orderkey, o_orderdate, o_orderpriority, revenue_cents,
 FROM per_order
 ORDER BY revenue_cents DESC, l_orderkey
 LIMIT {k}"""
+
+
+def collapse_repeats_sql() -> str:
+    """Oracle of stages/textops.collapse_repeats: drop tokens equal to the
+    immediately preceding token within a document, rejoin with single
+    spaces (same whitespace normalization as the engine's split/join)."""
+    return """WITH lt AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), s -> s != '') AS l
+  FROM documents
+), tk AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM lt
+), marked AS (
+  SELECT doc_id, tok, pos,
+    lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM tk
+), kept AS (
+  SELECT doc_id, tok, pos FROM marked WHERE prev IS NULL OR tok != prev
+)
+SELECT d.doc_id,
+  COALESCE((SELECT string_agg(k.tok, ' ' ORDER BY k.pos)
+            FROM kept k WHERE k.doc_id = d.doc_id), '') AS text,
+  CAST(COALESCE((SELECT count(*) FROM tk WHERE tk.doc_id = d.doc_id), 0)
+       AS BIGINT) AS n_tokens_in,
+  CAST(COALESCE((SELECT count(*) FROM kept k WHERE k.doc_id = d.doc_id), 0)
+       AS BIGINT) AS n_tokens_out
+FROM documents d
+ORDER BY d.doc_id"""

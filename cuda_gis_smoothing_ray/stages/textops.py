@@ -1236,3 +1236,56 @@ def chunk_documents(ds, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE):
                          "chunk_text": pa.concat_arrays([t.combine_chunks() if isinstance(t, pa.ChunkedArray) else t for t in texts])})
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def collapse_repeats(ds):
+    """documents -> (doc_id, text, n_tokens_in, n_tokens_out): remove
+    consecutive duplicate tokens ("table table" -> "table") — the
+    stutter/boilerplate-repeat cleaner of a web-text pipeline.  Whitespace
+    runs normalize to single spaces as a side effect (split on ``\\s+``,
+    rejoin with one space); the SQL oracle applies the identical list
+    pipeline (``oracles_corpus.collapse_repeats_sql``).
+
+    Fully vectorized and embarrassingly parallel (no shuffle): Arrow
+    regex split, one shifted equality over the flattened token stream,
+    ListArray rebuild + ``binary_join`` — no per-row Python."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        split = pc.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        counts = split.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = split.flatten()
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = doc_idx[nonempty]
+        toks = flat.filter(pa.array(nonempty))
+        n_in = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        if len(toks):
+            same_doc = np.empty(len(toks), bool)
+            same_doc[0] = False
+            same_doc[1:] = doc_idx[1:] == doc_idx[:-1]
+            eq = np.empty(len(toks), bool)
+            eq[0] = False
+            eq[1:] = pc.equal(
+                toks.slice(1), toks.slice(0, len(toks) - 1)
+            ).to_numpy(zero_copy_only=False)
+            keep = ~(same_doc & eq)
+            kept = toks.filter(pa.array(keep))
+            kept_idx = doc_idx[keep]
+        else:
+            kept = toks
+            kept_idx = doc_idx
+        n_out = np.bincount(kept_idx, minlength=n).astype(np.int64)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(n_out, out=offsets[1:])
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()).cast(pa.int32()),
+            kept.combine_chunks() if isinstance(kept, pa.ChunkedArray) else kept)
+        text = pc.binary_join(lst, " ")
+        return pa.table({"doc_id": batch.column("doc_id"), "text": text,
+                         "n_tokens_in": pa.array(n_in),
+                         "n_tokens_out": pa.array(n_out)})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)

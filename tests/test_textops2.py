@@ -1,0 +1,44 @@
+"""Tests for the round-2 text-cleaning transforms (stages/textops.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def test_collapse_repeats(ray_session):
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import collapse_repeats
+
+    docs = [
+        "a a b a",          # only the immediate repeat collapses
+        "x x x x",          # run collapses to one
+        "no repeats here",
+        "",                 # empty doc stays empty
+        "  spaced   out  ", # whitespace normalizes as a side effect
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+        "text": pa.array(docs),
+    })).repartition(2)
+    out = collapse_repeats(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out["text"].tolist() == ["a b a", "x", "no repeats here", "", "spaced out"]
+    assert out["n_tokens_in"].tolist() == [4, 4, 3, 0, 2]
+    assert out["n_tokens_out"].tolist() == [3, 1, 3, 0, 2]
+
+
+def test_collapse_repeats_batch_boundary(ray_session):
+    """A repeat run must not leak across documents: last token of doc i ==
+    first token of doc i+1 keeps both."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import collapse_repeats
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["end tok", "tok start"]),
+    }))
+    out = collapse_repeats(ds).to_pandas().sort_values("doc_id")
+    assert out["text"].tolist() == ["end tok", "tok start"]
