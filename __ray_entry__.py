@@ -245,6 +245,19 @@ def _q_knn(sf_dir: str):
     return _round6_cols(ds, ["dist2"]).sort(["query_id", "rank"])
 
 
+def _q_polyfill(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.spatialjoin import polyfill
+
+    # polygon -> covering cells: input is the polygon set, not the page table
+    return polyfill(res=RES).sort(["poly_id", "cell"])
+
+
+def _q_distance_join(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.spatialjoin import distance_join
+
+    return distance_join(_geocoded(sf_dir), radius=1.0, bucket_res=6).sort(["a", "b"])
+
+
 # ---------------------------------------------------------------------------
 # training-data-pipeline ops (documents / embeddings / events tables)
 # ---------------------------------------------------------------------------
@@ -1299,6 +1312,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
         "pip_join": _q_pip,
         "knn_join": _q_knn,
+        "polyfill": _q_polyfill,
+        "distance_join": _q_distance_join,
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "exact_dedup": _q_exact_dedup,
@@ -1499,6 +1514,8 @@ def oracle_sql() -> dict[str, str]:
         # their semantics are pytest-gated instead (tests/test_textops.py,
         # tests/test_ann.py).
         "pip_join": o.pip_join_sql(RES),
+        "polyfill": o.polyfill_sql(RES),
+        "distance_join": o.distance_join_sql(RES, 1.0),
         "knn_join": o.knn_join_sql(RES, 5),
         "extract_text": o.extract_text_sql(),
         "parse_urls": o.parse_urls_sql(),

@@ -454,3 +454,72 @@ r AS (
 SELECT lang, rank, host, n_pages
 FROM r WHERE rank <= {k}
 ORDER BY lang, rank"""
+
+
+def polyfill_sql(res: int) -> str:
+    """Oracle of stages/spatialjoin.polyfill: bbox-stripe candidate grid +
+    the identical even-odd crossing predicate on cell centers."""
+    from ..stages.pip import polygon_edges
+
+    size = hexgrid.edge_size(res)
+    edges = ",\n    ".join(
+        f"({pid}, {D(y1)}, {D(x1)}, {D(y2)}, {D(x2)})" for pid, y1, x1, y2, x2 in polygon_edges()
+    )
+    return f"""WITH edges(poly_id, y1, x1, y2, x2) AS (VALUES
+    {edges}),
+bbox AS (
+  SELECT poly_id,
+    least(min(y1), min(y2)) AS ymin, greatest(max(y1), max(y2)) AS ymax,
+    least(min(x1), min(x2)) AS xmin, greatest(max(x1), max(x2)) AS xmax
+  FROM edges GROUP BY poly_id
+),
+rs AS (
+  SELECT poly_id, xmin, xmax,
+    CAST(floor(ymin / {D(1.5 * size)}) AS BIGINT) + g.k AS r
+  FROM bbox, LATERAL (
+    SELECT unnest(range(CAST(floor(ymax / {D(1.5 * size)}) AS BIGINT)
+                        - CAST(floor(ymin / {D(1.5 * size)}) AS BIGINT) + 2)) AS k
+  ) g
+),
+qs AS (
+  SELECT poly_id, r,
+    CAST(floor(xmin / {D(size * hexgrid.SQRT3)} - r / 2.0) AS BIGINT) + g.k AS q
+  FROM rs, LATERAL (
+    SELECT unnest(range(CAST(floor(xmax / {D(size * hexgrid.SQRT3)} - r / 2.0) AS BIGINT)
+                        - CAST(floor(xmin / {D(size * hexgrid.SQRT3)} - r / 2.0) AS BIGINT) + 2)) AS k
+  ) g
+),
+cand AS (
+  SELECT poly_id, q, r,
+    {D(size)} * 1.5 * r AS clat,
+    {D(size)} * sqrt(3) * (q + r / 2.0) AS clon
+  FROM qs
+),
+crossings AS (
+  SELECT c.poly_id, c.q, c.r, count(*) AS n_cross
+  FROM cand c
+  JOIN edges e
+    ON e.poly_id = c.poly_id
+   AND ((e.y1 > c.clat) <> (e.y2 > c.clat))
+   AND c.clon < (e.x2 - e.x1) * (c.clat - e.y1) / (e.y2 - e.y1) + e.x1
+  GROUP BY c.poly_id, c.q, c.r
+)
+SELECT poly_id,
+  CAST({res} AS BIGINT) * {1 << 56} + (q + {hexgrid.OFF}) * {1 << 28} + (r + {hexgrid.OFF}) AS cell,
+  q, r
+FROM crossings
+WHERE n_cross % 2 = 1
+ORDER BY poly_id, cell"""
+
+
+def distance_join_sql(res: int, radius: float) -> str:
+    """Oracle of stages/spatialjoin.distance_join: all page pairs within
+    ``radius`` degrees, a < b, dist2 = (alat-blat)^2 + (alon-blon)^2."""
+    return f"""{prelude_geo(res)}
+SELECT a.page_id AS a, b.page_id AS b,
+  {round6('(a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)')} AS dist2
+FROM geocoded a
+JOIN geocoded b
+  ON a.page_id < b.page_id
+ AND (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon) <= {D(radius * radius)}
+ORDER BY a, b"""

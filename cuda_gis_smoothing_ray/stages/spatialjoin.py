@@ -1,0 +1,191 @@
+"""Polyfill (vector -> raster) and radius distance join (SURVEY §2.4 family).
+
+Completes the spatial-join surface around :mod:`.pip` (raster -> vector
+containment) and :mod:`.knn`:
+
+* :func:`polyfill` — H3-style polyfill: every hex cell at resolution ``res``
+  whose *center* lies inside a polygon, computed as r-stripe candidate
+  generation + the exact same even-odd ray-casting predicate as
+  ``pip.points_in_polygon``.  The polygon side is tiny; the work unit is one
+  ``(poly_id, r)`` latitude stripe so a continent-sized polygon at res 9
+  parallelizes across stripes instead of landing in one task.
+* :func:`distance_join` — all page pairs within ``radius`` degrees, the
+  classic self-spatial-join: each point is replicated to its home bucket plus
+  the 6 ring-1 halo buckets at ``bucket_res`` (same discipline as
+  ``knn.knn_cell_bucketed``), then every bucket emits the pairs whose
+  LOWER-id endpoint it owns — each qualifying pair is produced exactly once,
+  with no post-hoc dedup shuffle.
+
+Exactness contract with the DuckDB oracles
+(``sql/oracles.polyfill_sql`` / ``distance_join_sql``): candidate stripe
+bounds may differ by ±1 between engine and SQL (any center outside the
+polygon's bbox fails the identical PIP predicate on both sides), but the
+crossing rule, the center arithmetic ``lat = size*1.5*r``,
+``lon = size*sqrt(3)*(q + r/2)``, and the pair distance
+``(alat-blat)^2 + (alon-blon)^2`` (a = lower page_id) are the same float
+expressions evaluated in the same order.
+
+Scale notes (100 TB): polyfill's cost is polygon-area-proportional and
+independent of the page table — it runs on a from_items Dataset of stripes.
+distance_join streams the page table once; only (bucket, id, lat, lon) times
+7 copies shuffle, never text/html payloads.  The per-bucket solve is a
+slab-blocked dense distance matrix — a hot bucket (dense TLD cluster) costs
+O(slab x bucket) memory, not O(bucket^2); the guarantee radius <=
+edge_size(bucket_res) keeps halo depth at 1 (point gap between non-adjacent
+buckets is >= one edge length).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+
+from ..functions import hexgrid
+from .pip import POLYGONS, points_in_polygon
+
+
+def _stripe_items(res: int, polygons) -> list[dict]:
+    """Driver-side (tiny): one work item per (polygon, r-stripe)."""
+    size = hexgrid.edge_size(res)
+    items = []
+    for pid, ring in polygons:
+        lats = [y for y, _ in ring]
+        lons = [x for _, x in ring]
+        ymin, ymax = min(lats), max(lats)
+        xmin, xmax = min(lons), max(lons)
+        r0 = int(np.floor(ymin / (1.5 * size)))
+        r1 = int(np.floor(ymax / (1.5 * size))) + 1
+        for r in range(r0, r1 + 1):
+            items.append(
+                {"poly_id": pid, "r": r, "xmin": xmin, "xmax": xmax}
+            )
+    return items
+
+
+def polyfill(res: int = 7, polygons=None, parallelism: int | None = None):
+    """All cells at ``res`` whose center is inside each polygon.
+
+    Returns a Dataset with columns (poly_id, cell, q, r) — one row per
+    covered cell per polygon (overlapping polygons each list the cell).
+    """
+    polygons = polygons or POLYGONS
+    rings = {pid: ring for pid, ring in polygons}
+    size = hexgrid.edge_size(res)
+    items = _stripe_items(res, polygons)
+    rings_ref = ray.put(rings)
+
+    def fill_stripe(batch: pa.Table) -> pa.Table:
+        local = ray.get(rings_ref)
+        pids = batch.column("poly_id").to_numpy(zero_copy_only=False)
+        rs = batch.column("r").to_numpy(zero_copy_only=False)
+        xmins = batch.column("xmin").to_numpy(zero_copy_only=False)
+        xmaxs = batch.column("xmax").to_numpy(zero_copy_only=False)
+        out_pid, out_q, out_r = [], [], []
+        for pid, r, xmin, xmax in zip(pids, rs, xmins, xmaxs):
+            q0 = int(np.floor(xmin / (size * hexgrid.SQRT3) - r / 2.0))
+            q1 = int(np.floor(xmax / (size * hexgrid.SQRT3) - r / 2.0)) + 1
+            q = np.arange(q0, q1 + 1, dtype=np.int64)
+            rr = np.full(len(q), r, dtype=np.int64)
+            clat, clon = hexgrid.axial_to_latlon(q, rr, res)
+            inside = points_in_polygon(clat, clon, local[int(pid)])
+            out_pid.append(np.full(int(inside.sum()), pid, dtype=np.int64))
+            out_q.append(q[inside])
+            out_r.append(rr[inside])
+        pid_a = np.concatenate(out_pid) if out_pid else np.array([], dtype=np.int64)
+        q_a = np.concatenate(out_q) if out_q else np.array([], dtype=np.int64)
+        r_a = np.concatenate(out_r) if out_r else np.array([], dtype=np.int64)
+        return pa.table(
+            {
+                "poly_id": pa.array(pid_a),
+                "cell": pa.array(hexgrid.pack(res, q_a, r_a)),
+                "q": pa.array(q_a),
+                "r": pa.array(r_a),
+            }
+        )
+
+    ds = ray.data.from_items(items, override_num_blocks=parallelism)
+    return ds.map_batches(fill_stripe, batch_format="pyarrow")
+
+
+def distance_join(points_ds, radius: float = 1.0, bucket_res: int = 6,
+                  id_col: str = "page_id"):
+    """Every pair of points within ``radius`` degrees (equirectangular), as
+    rows (a, b, dist2) with a < b, each pair exactly once.
+
+    Requires ``radius <= edge_size(bucket_res)``: the minimum point-to-point
+    gap between non-ring-1-adjacent hex buckets is one edge length, so the
+    ring-1 halo is a complete candidate set.
+    """
+    size = hexgrid.edge_size(bucket_res)
+    if radius > size:
+        raise ValueError(
+            f"radius {radius} > edge_size({bucket_res}) = {size}: ring-1 halo "
+            "would miss pairs; lower bucket_res"
+        )
+    r2 = radius * radius
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cell = hexgrid.latlon_to_cell(lat, lon, bucket_res)
+        disc = hexgrid.kring_cells(cell, 1)  # (n, 7): home + 6 halo
+        n, m = disc.shape
+        return pa.table(
+            {
+                "bucket": pa.array(disc.ravel()),
+                "pid": pa.array(np.repeat(ids, m)),
+                "lat": pa.array(np.repeat(lat, m)),
+                "lon": pa.array(np.repeat(lon, m)),
+                "owned": pa.array(np.tile(np.arange(m) == 0, n)),
+            }
+        )
+
+    def solve(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "dist2": pd.Series([], dtype="float64"),
+            }
+        )
+        own = group[group["owned"]]
+        if own.empty:
+            return empty
+        alat = group["lat"].to_numpy()
+        alon = group["lon"].to_numpy()
+        aid = group["pid"].to_numpy()
+        olat = own["lat"].to_numpy()
+        olon = own["lon"].to_numpy()
+        oid = own["pid"].to_numpy()
+        slab = 2048
+        outs = []
+        for s in range(0, len(oid), slab):
+            e = min(s + slab, len(oid))
+            # orientation matches the oracle: a (owner, lower id) minus b
+            d2 = (olat[s:e, None] - alat[None, :]) ** 2 \
+                + (olon[s:e, None] - alon[None, :]) ** 2
+            hit = (aid[None, :] > oid[s:e, None]) & (d2 <= r2)
+            ai, bi = np.nonzero(hit)
+            if len(ai):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "a": oid[s:e][ai],
+                            "b": aid[bi],
+                            "dist2": np.floor(d2[ai, bi] * 1e6 + 0.5) / 1e6,
+                        }
+                    )
+                )
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
+
+    return (
+        points_ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(solve, batch_format="pandas")
+    )

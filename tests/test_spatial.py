@@ -101,3 +101,51 @@ def test_knn_cell_bucketed_agrees_with_broadcast_selfknn():
         got = set(out[out["page_id"] == i]["neighbor_id"].to_numpy())
         ok += got == want
     assert ok / n >= 0.97  # ring-assumption violations only at bucket fringes
+
+
+def test_polyfill_matches_brute_centroid_pip():
+    from cuda_gis_smoothing_ray.functions import hexgrid
+    from cuda_gis_smoothing_ray.stages.pip import POLYGONS, points_in_polygon
+    from cuda_gis_smoothing_ray.stages.spatialjoin import polyfill
+
+    res = 7
+    out = polyfill(res=res).to_pandas()
+    got = set(zip(out["poly_id"], out["cell"]))
+    # brute force: exhaustive global-ish grid per polygon
+    want = set()
+    for pid, ring in POLYGONS:
+        q, r = np.meshgrid(np.arange(-200, 200), np.arange(-80, 80))
+        q, r = q.ravel().astype(np.int64), r.ravel().astype(np.int64)
+        clat, clon = hexgrid.axial_to_latlon(q, r, res)
+        inside = points_in_polygon(clat, clon, ring)
+        cells = hexgrid.pack(res, q[inside], r[inside])
+        want |= {(pid, int(c)) for c in cells}
+    assert got == want and len(want) > 100
+    # every emitted cell round-trips to a center inside its polygon's bbox
+    assert ((out["cell"].to_numpy() >> 56) == res).all()
+
+
+def test_distance_join_matches_brute_all_pairs(points_ds):
+    from cuda_gis_smoothing_ray.stages.spatialjoin import distance_join
+
+    ds, _ = points_ds
+    radius = 1.8  # just under edge_size(6) = 2.0
+    out = distance_join(ds, radius=radius, bucket_res=6).to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    pts = ds.to_pandas()
+    lat, lon = pts["lat"].to_numpy(), pts["lon"].to_numpy()
+    ids = pts["page_id"].to_numpy()
+    d2 = (lat[:, None] - lat[None, :]) ** 2 + (lon[:, None] - lon[None, :]) ** 2
+    ai, bi = np.nonzero((d2 <= radius * radius) & (ids[None, :] > ids[:, None]))
+    want = set(zip(ids[ai], ids[bi]))
+    assert got == want and len(want) > 0
+    # each pair exactly once (no halo double-count)
+    assert len(out) == len(got)
+
+
+def test_distance_join_radius_guard(points_ds):
+    from cuda_gis_smoothing_ray.stages.spatialjoin import distance_join
+
+    ds, _ = points_ds
+    with pytest.raises(ValueError):
+        distance_join(ds, radius=2.5, bucket_res=6)
