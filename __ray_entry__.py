@@ -258,6 +258,18 @@ def _q_distance_join(sf_dir: str):
     return distance_join(_geocoded(sf_dir), radius=1.0, bucket_res=6).sort(["a", "b"])
 
 
+def _q_zonal_stats(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.spatialjoin import zonal_stats
+
+    return zonal_stats(_geocoded(sf_dir)).sort("poly_id")
+
+
+def _q_idw(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.spatialjoin import idw_interpolate
+
+    return idw_interpolate(_geocoded(sf_dir), radius=25.0).sort("query_id")
+
+
 # ---------------------------------------------------------------------------
 # training-data-pipeline ops (documents / embeddings / events tables)
 # ---------------------------------------------------------------------------
@@ -1314,6 +1326,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_join": _q_knn,
         "polyfill": _q_polyfill,
         "distance_join": _q_distance_join,
+        "zonal_stats": _q_zonal_stats,
+        "idw_interpolate": _q_idw,
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "exact_dedup": _q_exact_dedup,
@@ -1516,6 +1530,8 @@ def oracle_sql() -> dict[str, str]:
         "pip_join": o.pip_join_sql(RES),
         "polyfill": o.polyfill_sql(RES),
         "distance_join": o.distance_join_sql(RES, 1.0),
+        "zonal_stats": o.zonal_stats_sql(RES),
+        "idw_interpolate": o.idw_interpolate_sql(RES, 25.0),
         "knn_join": o.knn_join_sql(RES, 5),
         "extract_text": o.extract_text_sql(),
         "parse_urls": o.parse_urls_sql(),

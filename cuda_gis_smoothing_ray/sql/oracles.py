@@ -523,3 +523,62 @@ JOIN geocoded b
   ON a.page_id < b.page_id
  AND (a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon) <= {D(radius * radius)}
 ORDER BY a, b"""
+
+
+def zonal_stats_sql(res: int) -> str:
+    """Oracle of stages/spatialjoin.zonal_stats: PIP containment (identical
+    crossing rule) then exact-integer per-polygon sums."""
+    from ..stages.pip import polygon_edges
+
+    edges = ",\n    ".join(
+        f"({pid}, {D(y1)}, {D(x1)}, {D(y2)}, {D(x2)})" for pid, y1, x1, y2, x2 in polygon_edges()
+    )
+    return f"""{prelude_geo(res)},
+edges(poly_id, y1, x1, y2, x2) AS (VALUES
+    {edges}),
+crossings AS (
+  SELECT p.page_id, e.poly_id, count(*) AS n_cross
+  FROM geocoded p
+  JOIN edges e
+    ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+   AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+  GROUP BY p.page_id, e.poly_id
+),
+inside AS (SELECT page_id, poly_id FROM crossings WHERE n_cross % 2 = 1)
+SELECT i.poly_id,
+  count(*) AS n_pages,
+  {round6('CAST(sum(length(p.text)) AS DOUBLE) / count(*)')} AS mean_len,
+  {round6("CAST(sum(CASE WHEN p.lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS en_share
+FROM inside i JOIN geocoded p ON i.page_id = p.page_id
+GROUP BY i.poly_id
+ORDER BY i.poly_id"""
+
+
+def idw_interpolate_sql(res: int, radius: float) -> str:
+    """Oracle of stages/spatialjoin.idw_interpolate: fixed-point IDW weights
+    w = floor(1e9 / (1 + dist2) + 0.5), exact BIGINT weighted sums."""
+    from ..stages.knn import QUERY_POINTS
+    from ..stages.spatialjoin import IDW_SCALE
+
+    qvals = ",\n    ".join(f"({qid}, {D(qlat)}, {D(qlon)})" for qid, qlat, qlon in QUERY_POINTS)
+    return f"""{prelude_geo(res)},
+queries(query_id, qlat, qlon) AS (VALUES
+    {qvals}),
+d AS (
+  SELECT q.query_id,
+    (q.qlat - p.lat) * (q.qlat - p.lat) + (q.qlon - p.lon) * (q.qlon - p.lon) AS dist2,
+    length(p.text) AS tlen
+  FROM geocoded p CROSS JOIN queries q
+),
+w AS (
+  SELECT query_id,
+    CAST(floor({D(float(IDW_SCALE))} / (1.0 + dist2) + 0.5) AS BIGINT) AS w, tlen
+  FROM d WHERE dist2 <= {D(radius * radius)}
+)
+SELECT query_id,
+  CAST(sum(w) AS BIGINT) AS n_weight,
+  {round6('CAST(sum(w * tlen) AS DOUBLE) / CAST(sum(w) AS DOUBLE)')} AS idw_len
+FROM w
+GROUP BY query_id
+HAVING sum(w) > 0
+ORDER BY query_id"""

@@ -189,3 +189,130 @@ def distance_join(points_ds, radius: float = 1.0, bucket_res: int = 6,
         .groupby("bucket")
         .map_groups(solve, batch_format="pandas")
     )
+
+
+def zonal_stats(points_ds):
+    """Per-polygon zonal statistics over the page stream: page count, mean
+    text length, english share.
+
+    Scale shape: each Arrow batch is ray-cast against the (broadcast-small)
+    polygon set and reduced to ONE partial row per polygon — only
+    ``n_polygons`` rows per batch ever shuffle, never pages.  Sums are exact
+    integers (BIGINT-safe), so the result is order-independent and matches
+    the DuckDB oracle bit-for-bit; means are rounded to 1e-6 on both sides.
+    """
+    import pyarrow.compute as pc
+
+    polys = POLYGONS
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        tlen = pc.utf8_length(batch.column("text")).to_numpy(zero_copy_only=False).astype(np.int64)
+        en = (pc.equal(batch.column("lang"), "en").to_numpy(zero_copy_only=False)).astype(np.int64)
+        pid_o, n_o, s_o, e_o = [], [], [], []
+        for pid, ring in polys:
+            inside = points_in_polygon(lat, lon, ring)
+            pid_o.append(pid)
+            n_o.append(int(inside.sum()))
+            s_o.append(int(tlen[inside].sum()))
+            e_o.append(int(en[inside].sum()))
+        return pa.table(
+            {
+                "poly_id": pa.array(pid_o, type=pa.int64()),
+                "n_pages": pa.array(n_o, type=pa.int64()),
+                "sum_len": pa.array(s_o, type=pa.int64()),
+                "n_en": pa.array(e_o, type=pa.int64()),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("sum(n_pages)").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch.column("sum(sum_len)").to_numpy(zero_copy_only=False).astype(np.float64)
+        e = batch.column("sum(n_en)").to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = n > 0
+        return pa.table(
+            {
+                "poly_id": batch.column("poly_id"),
+                "n_pages": batch.column("sum(n_pages)"),
+                "mean_len": pa.array(np.floor(np.divide(s, n, out=np.zeros_like(s), where=keep) * 1e6 + 0.5) / 1e6),
+                "en_share": pa.array(np.floor(np.divide(e, n, out=np.zeros_like(e), where=keep) * 1e6 + 0.5) / 1e6),
+            }
+        ).filter(pa.array(keep))
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        points_ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("poly_id")
+        .aggregate(Sum("n_pages"), Sum("sum_len"), Sum("n_en"))
+    )
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+#: fixed-point scale for IDW weights: w = floor(1e9 / (1 + dist2) + 0.5).
+IDW_SCALE = 1_000_000_000
+
+
+def idw_interpolate(points_ds, radius: float = 25.0, queries=None):
+    """Inverse-distance-weighted interpolation of text length at query
+    points — the reference's weighted-mean smoothing kernel
+    (``src/cuda/hex_smooth_cuda_v5.cu`` center+ring weights) generalized to
+    arbitrary sample sites.
+
+    ``w = floor(1e9 / (1 + dist2) + 0.5)`` (integer, so the weighted sums are
+    exact and order-independent across engines; the +1 bounds w and avoids a
+    zero-distance pole).  Pages beyond ``radius`` degrees contribute nothing.
+
+    Scale shape: query points broadcast (tiny), each batch emits one partial
+    (num, den) pair per query — only ``n_queries`` rows shuffle per batch.
+    int64 headroom: w <= 1e9, textlen < 2^20 -> ~2^50 per term; partial sums
+    overflow only past ~2^13 in-radius terms per batch-query pair, far above
+    any real batch; the final reduce sums per-batch partials (few thousand
+    blocks at 100 TB — still < 2^63).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .knn import QUERY_POINTS
+
+    qs = queries if queries is not None else QUERY_POINTS
+    qid = np.array([q[0] for q in qs], dtype=np.int64)
+    qlat = np.array([q[1] for q in qs], dtype=np.float64)
+    qlon = np.array([q[2] for q in qs], dtype=np.float64)
+    r2 = radius * radius
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        tlen = pc.utf8_length(batch.column("text")).to_numpy(zero_copy_only=False).astype(np.int64)
+        # (n_queries, n_pages) — same orientation as the oracle (q - p)
+        d2 = (qlat[:, None] - lat[None, :]) ** 2 + (qlon[:, None] - lon[None, :]) ** 2
+        w = np.floor(IDW_SCALE / (1.0 + d2) + 0.5).astype(np.int64)
+        w[d2 > r2] = 0
+        return pa.table(
+            {
+                "query_id": pa.array(qid),
+                "num": pa.array((w * tlen[None, :]).sum(axis=1)),
+                "den": pa.array(w.sum(axis=1)),
+            }
+        )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        num = batch.column("sum(num)").to_numpy(zero_copy_only=False).astype(np.float64)
+        den = batch.column("sum(den)").to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = den > 0
+        return pa.table(
+            {
+                "query_id": batch.column("query_id"),
+                "n_weight": batch.column("sum(den)"),
+                "idw_len": pa.array(np.floor(np.divide(num, den, out=np.zeros_like(num), where=keep) * 1e6 + 0.5) / 1e6),
+            }
+        ).filter(pa.array(keep))
+
+    agg = (
+        points_ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("query_id")
+        .aggregate(Sum("num"), Sum("den"))
+    )
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -149,3 +149,63 @@ def test_distance_join_radius_guard(points_ds):
     ds, _ = points_ds
     with pytest.raises(ValueError):
         distance_join(ds, radius=2.5, bucket_res=6)
+
+
+def test_zonal_stats_matches_brute(points_ds):
+    from cuda_gis_smoothing_ray.stages.pip import POLYGONS, points_in_polygon
+    from cuda_gis_smoothing_ray.stages.spatialjoin import zonal_stats
+
+    ds, rng = points_ds
+    pts = ds.to_pandas()
+    n = len(pts)
+    texts = ["x" * int(l) for l in rng.integers(1, 50, n)]
+    langs = [("en" if i % 3 == 0 else "de") for i in range(n)]
+    ds2 = ds.map_batches(
+        lambda b: b.append_column("text", pa.array(texts)[: len(b)])
+        .append_column("lang", pa.array(langs)[: len(b)]),
+        batch_format="pyarrow",
+        batch_size=n,
+    )
+    out = zonal_stats(ds2).to_pandas().set_index("poly_id")
+    lat, lon = pts["lat"].to_numpy(), pts["lon"].to_numpy()
+    tlen = np.array([len(t) for t in texts])
+    en = np.array([l == "en" for l in langs])
+    for pid, ring in POLYGONS:
+        inside = points_in_polygon(lat, lon, ring)
+        if inside.sum() == 0:
+            assert pid not in out.index
+            continue
+        assert out.loc[pid, "n_pages"] == inside.sum()
+        want_mean = np.floor(tlen[inside].sum() / inside.sum() * 1e6 + 0.5) / 1e6
+        assert out.loc[pid, "mean_len"] == want_mean
+        want_en = np.floor(en[inside].sum() / inside.sum() * 1e6 + 0.5) / 1e6
+        assert out.loc[pid, "en_share"] == want_en
+
+
+def test_idw_matches_brute(points_ds):
+    from cuda_gis_smoothing_ray.stages.knn import QUERY_POINTS
+    from cuda_gis_smoothing_ray.stages.spatialjoin import IDW_SCALE, idw_interpolate
+
+    ds, rng = points_ds
+    pts = ds.to_pandas()
+    n = len(pts)
+    texts = ["y" * int(l) for l in rng.integers(1, 200, n)]
+    ds2 = ds.map_batches(
+        lambda b: b.append_column("text", pa.array(texts)[: len(b)]),
+        batch_format="pyarrow",
+        batch_size=n,
+    )
+    radius = 10.0
+    out = idw_interpolate(ds2, radius=radius).to_pandas().set_index("query_id")
+    lat, lon = pts["lat"].to_numpy(), pts["lon"].to_numpy()
+    tlen = np.array([len(t) for t in texts], dtype=np.int64)
+    for qid, qlat, qlon in QUERY_POINTS:
+        d2 = (qlat - lat) ** 2 + (qlon - lon) ** 2
+        w = np.floor(IDW_SCALE / (1.0 + d2) + 0.5).astype(np.int64)
+        w[d2 > radius * radius] = 0
+        if w.sum() == 0:
+            assert qid not in out.index
+            continue
+        assert out.loc[qid, "n_weight"] == w.sum()
+        want = np.floor((w * tlen).sum() / w.sum() * 1e6 + 0.5) / 1e6
+        assert out.loc[qid, "idw_len"] == want
