@@ -270,6 +270,26 @@ def _q_idw(sf_dir: str):
     return idw_interpolate(_geocoded(sf_dir), radius=25.0).sort("query_id")
 
 
+def _q_nearest_polygon(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.spatialjoin import nearest_polygon
+
+    return nearest_polygon(_geocoded(sf_dir)).sort("page_id")
+
+
+def _q_dedup_canonical(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import textops
+    from cuda_gis_smoothing_ray.stages.cc import dedup_canonical
+
+    edges = textops.jaccard_pairs(_docs(sf_dir), threshold=JACCARD_T, max_df=None)
+    return dedup_canonical(edges, _docs(sf_dir)).sort("component")
+
+
+def _q_len_histogram(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.textops import len_histogram
+
+    return len_histogram(_docs(sf_dir), width=50).sort("bucket")
+
+
 # ---------------------------------------------------------------------------
 # training-data-pipeline ops (documents / embeddings / events tables)
 # ---------------------------------------------------------------------------
@@ -1328,6 +1348,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distance_join": _q_distance_join,
         "zonal_stats": _q_zonal_stats,
         "idw_interpolate": _q_idw,
+        "nearest_polygon": _q_nearest_polygon,
+        "dedup_canonical": _q_dedup_canonical,
+        "len_histogram": _q_len_histogram,
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "exact_dedup": _q_exact_dedup,
@@ -1532,6 +1555,9 @@ def oracle_sql() -> dict[str, str]:
         "distance_join": o.distance_join_sql(RES, 1.0),
         "zonal_stats": o.zonal_stats_sql(RES),
         "idw_interpolate": o.idw_interpolate_sql(RES, 25.0),
+        "nearest_polygon": o.nearest_polygon_sql(RES),
+        "dedup_canonical": oc.dedup_canonical_sql(JACCARD_T),
+        "len_histogram": oc.len_histogram_sql(50),
         "knn_join": o.knn_join_sql(RES, 5),
         "extract_text": o.extract_text_sql(),
         "parse_urls": o.parse_urls_sql(),

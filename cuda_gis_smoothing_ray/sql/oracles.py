@@ -582,3 +582,40 @@ FROM w
 GROUP BY query_id
 HAVING sum(w) > 0
 ORDER BY query_id"""
+
+
+def nearest_polygon_sql(res: int) -> str:
+    """Oracle of stages/spatialjoin.nearest_polygon: exact point-to-segment
+    distance, min per polygon, argmin across polygons (ties -> lower id)."""
+    from ..stages.pip import polygon_edges
+
+    edges = ",\n    ".join(
+        f"({pid}, {D(y1)}, {D(x1)}, {D(y2)}, {D(x2)})" for pid, y1, x1, y2, x2 in polygon_edges()
+    )
+    return f"""{prelude_geo(res)},
+edges(poly_id, y1, x1, y2, x2) AS (VALUES
+    {edges}),
+seg AS (
+  SELECT p.page_id, e.poly_id,
+    least(greatest(((p.lat - e.y1) * (e.y2 - e.y1) + (p.lon - e.x1) * (e.x2 - e.x1))
+          / ((e.y2 - e.y1) * (e.y2 - e.y1) + (e.x2 - e.x1) * (e.x2 - e.x1)), 0.0), 1.0) AS t,
+    p.lat, p.lon, e.y1, e.x1, e.y2, e.x2
+  FROM geocoded p CROSS JOIN edges e
+),
+d AS (
+  SELECT page_id, poly_id,
+    (lat - (y1 + t * (y2 - y1))) * (lat - (y1 + t * (y2 - y1)))
+    + (lon - (x1 + t * (x2 - x1))) * (lon - (x1 + t * (x2 - x1))) AS d2
+  FROM seg
+),
+per_poly AS (
+  SELECT page_id, poly_id, min(d2) AS d2 FROM d GROUP BY page_id, poly_id
+),
+ranked AS (
+  SELECT page_id, poly_id, d2,
+    row_number() OVER (PARTITION BY page_id ORDER BY d2, poly_id) AS rn
+  FROM per_poly
+)
+SELECT page_id, poly_id, {round6('d2')} AS dist2
+FROM ranked WHERE rn = 1
+ORDER BY page_id"""

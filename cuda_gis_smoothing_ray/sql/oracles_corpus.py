@@ -1677,3 +1677,40 @@ SELECT d.doc_id,
        AS BIGINT) AS n_tokens_out
 FROM documents d
 ORDER BY d.doc_id"""
+
+
+def dedup_canonical_sql(threshold: float) -> str:
+    """Oracle of stages/cc.dedup_canonical: connected components over the
+    Jaccard>=threshold graph, then keep-best (longest text, ties -> lowest
+    doc_id) per component."""
+    return f"""WITH RECURSIVE {_jaccard_ctes()}, edges AS (
+  SELECT a AS src, b AS dst FROM j WHERE jac >= {D(threshold)}
+  UNION ALL
+  SELECT b AS src, a AS dst FROM j WHERE jac >= {D(threshold)}
+), reach(node, root) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (
+  SELECT node AS doc_id, min(root) AS component FROM reach GROUP BY node
+),
+ranked AS (
+  SELECT c.component, c.doc_id, CAST(length(d.text) AS BIGINT) AS tlen,
+    row_number() OVER (PARTITION BY c.component
+                       ORDER BY length(d.text) DESC, c.doc_id) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT component, doc_id AS canonical, tlen AS best_len
+FROM ranked WHERE rn = 1
+ORDER BY component"""
+
+
+def len_histogram_sql(width: int) -> str:
+    """Oracle of stages/textops.len_histogram."""
+    return f"""SELECT length(text) // {width} AS bucket,
+  CAST(length(text) // {width} * {width} AS BIGINT) AS lo,
+  count(*) AS n_docs
+FROM documents
+GROUP BY 1
+ORDER BY bucket"""

@@ -131,3 +131,74 @@ def dedup_survivors(edges_ds, nodes_ds, node_col: str = "doc_id"):
         return batch.append_column("is_survivor", pa.array(n == c))
 
     return cc.map_batches(mark, batch_format="pyarrow")
+
+
+def dedup_canonical(edges_ds, docs_ds, node_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Per duplicate cluster, keep the BEST document (longest text, ties to
+    the lowest id) — the keep-best policy real dedup pipelines apply after
+    connected components, instead of keep-first.
+
+    -> (component, canonical, best_len), one row per component.
+
+    Scale shape: components (doc-level) meet the (doc_id, tlen) projection
+    via union + one exact integer-sum merge keyed on doc_id (each side
+    contributes exactly one row per doc, zero-padded on the other side's
+    column — sum IS the join, with the vectorized per-partition reduce of
+    ``functions.reduce.hash_groupby`` instead of a per-key join); then
+    :func:`..relagg.argmax_by` reduces batch-locally so only one candidate
+    row per component per batch shuffles.
+    """
+    import pyarrow.compute as pc
+
+    from ..functions.reduce import hash_groupby
+    from .relagg import argmax_by
+
+    cc = connected_components(edges_ds, docs_ds.select_columns([node_col]),
+                              node_col=node_col)
+
+    def cc_tagged(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                node_col: batch.column(node_col),
+                "component": batch.column("component"),
+                "tlen": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def len_tagged(batch: pa.Table) -> pa.Table:
+        tlen = pc.cast(pc.utf8_length(batch.column(text_col)), pa.int64())
+        n = len(batch)
+        return pa.table(
+            {
+                node_col: batch.column(node_col),
+                "component": pa.array(np.zeros(n, dtype=np.int64)),
+                "tlen": tlen,
+            }
+        )
+
+    both = cc.map_batches(cc_tagged, batch_format="pyarrow").union(
+        docs_ds.map_batches(len_tagged, batch_format="pyarrow")
+    )
+    joined = hash_groupby(both, node_col, ["component", "tlen"], how="isum")
+
+    def with_negid(batch: pa.Table) -> pa.Table:
+        ids = batch.column(node_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("neg_id", pa.array(-ids))
+
+    best = argmax_by(
+        joined.map_batches(with_negid, batch_format="pyarrow"),
+        "component", ["tlen", "neg_id"], [node_col, "tlen"],
+    )
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "component": batch.column("component"),
+                "canonical": batch.column(node_col),
+                "best_len": batch.column("tlen"),
+            }
+        )
+
+    return best.map_batches(shape, batch_format="pyarrow")

@@ -316,3 +316,49 @@ def idw_interpolate(points_ds, radius: float = 25.0, queries=None):
         .aggregate(Sum("num"), Sum("den"))
     )
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def nearest_polygon(points_ds, id_col: str = "page_id"):
+    """Reverse-geocode flavor: for every point, the polygon with the nearest
+    boundary (exact point-to-segment distance, ties to the lower poly_id).
+
+    -> (id_col, poly_id, dist2).  Broadcast join: the edge table is tiny and
+    lives in each task; pages stream through, nothing shuffles.  The clamp
+    ``t = min(max(raw, 0), 1)`` and the distance expression are mirrored
+    verbatim in ``sql/oracles.nearest_polygon_sql`` (min over edges is exact
+    — no float accumulation — so cross-engine argmin is deterministic).
+    """
+    from .pip import polygon_edges
+
+    edges = polygon_edges()
+    pids = sorted({e[0] for e in edges})
+
+    def nearest(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        best_d2 = np.full(len(lat), np.inf)
+        best_pid = np.zeros(len(lat), dtype=np.int64)
+        for pid in pids:
+            d2p = np.full(len(lat), np.inf)
+            for epid, y1, x1, y2, x2 in edges:
+                if epid != pid:
+                    continue
+                len2 = (y2 - y1) * (y2 - y1) + (x2 - x1) * (x2 - x1)
+                t = ((lat - y1) * (y2 - y1) + (lon - x1) * (x2 - x1)) / len2
+                t = np.minimum(np.maximum(t, 0.0), 1.0)
+                dy = lat - (y1 + t * (y2 - y1))
+                dx = lon - (x1 + t * (x2 - x1))
+                d2p = np.minimum(d2p, dy * dy + dx * dx)
+            # strict < keeps the LOWER poly_id on exact ties (pids ascending)
+            take = d2p < best_d2
+            best_d2 = np.where(take, d2p, best_d2)
+            best_pid = np.where(take, pid, best_pid)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "poly_id": pa.array(best_pid),
+                "dist2": pa.array(np.floor(best_d2 * 1e6 + 0.5) / 1e6),
+            }
+        )
+
+    return points_ds.map_batches(nearest, batch_format="pyarrow")

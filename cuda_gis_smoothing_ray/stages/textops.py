@@ -1289,3 +1289,35 @@ def collapse_repeats(ds):
                          "n_tokens_out": pa.array(n_out)})
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def len_histogram(docs_ds, width: int = 200, text_col: str = "text"):
+    """Document-length histogram: bucket = length // width, exact counts.
+
+    Batch-local ``np.unique`` partials mean only |distinct buckets per batch|
+    rows shuffle (bounded by max_len/width, not by rows) — the fixed-width
+    histogram is the cheapest distribution profile a corpus pipeline runs.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = pc.utf8_length(batch.column(text_col)).to_numpy(zero_copy_only=False).astype(np.int64)
+        b, cnt = np.unique(n // width, return_counts=True)
+        return pa.table({"bucket": pa.array(b), "n_part": pa.array(cnt.astype(np.int64))})
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": batch.column("bucket"),
+                "lo": pa.array(b * width),
+                "n_docs": batch.column("sum(n_part)"),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n_part"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )

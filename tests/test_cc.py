@@ -51,3 +51,25 @@ def test_cc_long_chain_converges():
     nodes = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64))})
     out = connected_components(_ds(edges), _ds(nodes), max_rounds=20).to_pandas()
     assert (out["component"] == 0).all()
+
+
+def test_dedup_canonical_keeps_longest_then_lowest_id():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.cc import dedup_canonical
+
+    # components: {1,2,3} (chain), {4,5}, {6} isolated
+    edges = rd.from_items([{"a": 1, "b": 2}, {"a": 2, "b": 3}, {"a": 4, "b": 5}])
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "aaaa"},      # len 4
+            {"doc_id": 2, "text": "bbbbbb"},    # len 6  <- longest in comp 1
+            {"doc_id": 3, "text": "cc"},
+            {"doc_id": 4, "text": "dddd"},      # len 4, ties with 5 -> keep 4
+            {"doc_id": 5, "text": "eeee"},
+            {"doc_id": 6, "text": "f"},
+        ]
+    )
+    out = dedup_canonical(edges, docs).to_pandas().sort_values("component")
+    got = list(zip(out["component"], out["canonical"], out["best_len"]))
+    assert got == [(1, 2, 6), (4, 4, 4), (6, 6, 1)]

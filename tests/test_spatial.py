@@ -209,3 +209,32 @@ def test_idw_matches_brute(points_ds):
         assert out.loc[qid, "n_weight"] == w.sum()
         want = np.floor((w * tlen).sum() / w.sum() * 1e6 + 0.5) / 1e6
         assert out.loc[qid, "idw_len"] == want
+
+
+def test_nearest_polygon_matches_brute(points_ds):
+    from cuda_gis_smoothing_ray.stages.pip import polygon_edges
+    from cuda_gis_smoothing_ray.stages.spatialjoin import nearest_polygon
+
+    ds, _ = points_ds
+    out = nearest_polygon(ds).to_pandas().set_index("page_id")
+    pts = ds.to_pandas()
+    lat, lon = pts["lat"].to_numpy(), pts["lon"].to_numpy()
+    edges = polygon_edges()
+    pids = sorted({e[0] for e in edges})
+    best_d2 = np.full(len(lat), np.inf)
+    best_pid = np.zeros(len(lat), dtype=np.int64)
+    for pid in pids:
+        d2p = np.full(len(lat), np.inf)
+        for epid, y1, x1, y2, x2 in edges:
+            if epid != pid:
+                continue
+            len2 = (y2 - y1) ** 2 + (x2 - x1) ** 2
+            t = np.clip(((lat - y1) * (y2 - y1) + (lon - x1) * (x2 - x1)) / len2, 0.0, 1.0)
+            d2p = np.minimum(d2p, (lat - (y1 + t * (y2 - y1))) ** 2 + (lon - (x1 + t * (x2 - x1))) ** 2)
+        take = d2p < best_d2
+        best_d2 = np.where(take, d2p, best_d2)
+        best_pid = np.where(take, pid, best_pid)
+    ids = pts["page_id"].to_numpy()
+    assert (out.loc[ids, "poly_id"].to_numpy() == best_pid).all()
+    np.testing.assert_allclose(out.loc[ids, "dist2"].to_numpy(),
+                               np.floor(best_d2 * 1e6 + 0.5) / 1e6, rtol=0, atol=0)

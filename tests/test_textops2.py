@@ -42,3 +42,14 @@ def test_collapse_repeats_batch_boundary(ray_session):
     }))
     out = collapse_repeats(ds).to_pandas().sort_values("doc_id")
     assert out["text"].tolist() == ["end tok", "tok start"]
+
+
+def test_len_histogram_exact_counts():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import len_histogram
+
+    docs = rd.from_items([{"text": "x" * n} for n in (3, 7, 10, 10, 25, 99, 100)])
+    out = len_histogram(docs, width=10).to_pandas().sort_values("bucket")
+    got = list(zip(out["bucket"], out["lo"], out["n_docs"]))
+    assert got == [(0, 0, 2), (1, 10, 2), (2, 20, 1), (9, 90, 1), (10, 100, 1)]
