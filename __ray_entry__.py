@@ -270,6 +270,24 @@ def _q_idw(sf_dir: str):
     return idw_interpolate(_geocoded(sf_dir), radius=25.0).sort("query_id")
 
 
+def _q_cell_boundary(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.gridops import cell_boundary
+
+    return cell_boundary(_geocoded(sf_dir)).sort(["cell", "vertex"])
+
+
+def _q_cell_parent(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.gridops import cell_parent_rollup
+
+    return cell_parent_rollup(_geocoded(sf_dir), parent_res=RES - 1).sort("parent_cell")
+
+
+def _q_grid_disk(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.gridops import grid_disk
+
+    return grid_disk(_geocoded(sf_dir), k=1).sort(["cell", "ring", "neighbor"])
+
+
 def _q_nearest_polygon(sf_dir: str):
     from cuda_gis_smoothing_ray.stages.spatialjoin import nearest_polygon
 
@@ -1349,6 +1367,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": _q_zonal_stats,
         "idw_interpolate": _q_idw,
         "nearest_polygon": _q_nearest_polygon,
+        "cell_boundary": _q_cell_boundary,
+        "cell_parent": _q_cell_parent,
+        "grid_disk": _q_grid_disk,
         "dedup_canonical": _q_dedup_canonical,
         "len_histogram": _q_len_histogram,
         "text_stats": _q_text_stats,
@@ -1556,6 +1577,9 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": o.zonal_stats_sql(RES),
         "idw_interpolate": o.idw_interpolate_sql(RES, 25.0),
         "nearest_polygon": o.nearest_polygon_sql(RES),
+        "cell_boundary": o.cell_boundary_sql(RES),
+        "cell_parent": o.cell_parent_sql(RES, RES - 1),
+        "grid_disk": o.grid_disk_sql(RES, 1),
         "dedup_canonical": oc.dedup_canonical_sql(JACCARD_T),
         "len_histogram": oc.len_histogram_sql(50),
         "knn_join": o.knn_join_sql(RES, 5),

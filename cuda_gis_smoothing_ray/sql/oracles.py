@@ -619,3 +619,76 @@ ranked AS (
 SELECT page_id, poly_id, {round6('d2')} AS dist2
 FROM ranked WHERE rn = 1
 ORDER BY page_id"""
+
+
+def cell_boundary_sql(res: int) -> str:
+    """Oracle of stages/gridops.cell_boundary (pointy-top corner arithmetic
+    on the distinct populated cells)."""
+    size = hexgrid.edge_size(res)
+    return f"""{prelude(res)},
+corners(vertex, fl, fw) AS (VALUES
+    (0, 2, 0), (1, 1, 1), (2, -1, 1), (3, -2, 0), (4, -1, -1), (5, 1, -1)),
+centers AS (
+  SELECT cell, {D(size)} * 1.5 * r AS clat, {D(size)} * sqrt(3) * (q + r / 2.0) AS clon
+  FROM cells
+)
+SELECT cell, CAST(vertex AS BIGINT) AS vertex,
+  {round6(f'clat + fl * {D(size)} / 2.0')} AS vlat,
+  {round6(f'clon + fw * ({D(size)} * sqrt(3) / 2.0)')} AS vlon
+FROM centers CROSS JOIN corners
+ORDER BY cell, vertex"""
+
+
+def cell_parent_sql(res: int, parent_res: int) -> str:
+    """Oracle of stages/gridops.cell_parent_rollup: center re-encode at
+    ``parent_res`` via the shared cube-rounding block."""
+    size = hexgrid.edge_size(res)
+    psize = hexgrid.edge_size(parent_res)
+    return f"""{prelude(res)},
+pc0 AS (
+  SELECT cell, page_count, {D(size)} * 1.5 * r AS clat, {D(size)} * sqrt(3) * (q + r / 2.0) AS clon
+  FROM cells
+),
+pe0 AS (
+  SELECT *, (sqrt(3)/3 * clon - clat/3) / {D(psize)} AS qf, (2 * clat / 3) / {D(psize)} AS rf
+  FROM pc0
+),
+pe1 AS (
+  SELECT *, floor(qf + 0.5) AS rx, floor(-qf - rf + 0.5) AS ry, floor(rf + 0.5) AS rz
+  FROM pe0
+),
+pe2 AS (
+  SELECT *, abs(rx - qf) AS dx, abs(ry - (-qf - rf)) AS dy, abs(rz - rf) AS dz
+  FROM pe1
+),
+penc AS (
+  SELECT cell, page_count,
+    CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS BIGINT) AS pq,
+    CAST(CASE WHEN dx > dy AND dx > dz THEN rz
+              WHEN dy > dz THEN rz
+              ELSE -rx - ry END AS BIGINT) AS pr
+  FROM pe2
+)
+SELECT
+  CAST({parent_res} AS BIGINT) * {1 << 56} + (pq + {hexgrid.OFF}) * {1 << 28} + (pr + {hexgrid.OFF}) AS parent_cell,
+  count(*) AS n_children,
+  CAST(sum(page_count) AS BIGINT) AS n_pages
+FROM penc
+GROUP BY 1
+ORDER BY parent_cell"""
+
+
+def grid_disk_sql(res: int, k: int) -> str:
+    """Oracle of stages/gridops.grid_disk (offset arithmetic on BIGINT)."""
+    offs = [(0, 0, 0)]
+    for ring in range(1, k + 1):
+        offs += [(dq, dr, ring) for dq, dr in hexgrid.ring_offsets(ring)]
+    vals = ",\n    ".join(f"({dq}, {dr}, {ring})" for dq, dr, ring in offs)
+    return f"""{prelude(res)},
+offs(dq, dr, ring) AS (VALUES
+    {vals})
+SELECT cell,
+  CAST({res} AS BIGINT) * {1 << 56} + (q + dq + {hexgrid.OFF}) * {1 << 28} + (r + dr + {hexgrid.OFF}) AS neighbor,
+  CAST(ring AS BIGINT) AS ring
+FROM cells CROSS JOIN offs
+ORDER BY cell, ring, neighbor"""

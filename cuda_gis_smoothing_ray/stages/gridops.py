@@ -343,3 +343,117 @@ def morton_locality(cells_ds):
             "n_pairs": pa.array([n_pairs], pa.int64()),
         }
     )
+
+
+def cell_counts(geocoded, n_parts: int = 64):
+    """geocoded -> distinct (cell, page_count): batch-local ``np.unique``
+    partials, one bounded hash-partition sum — the light cell table every
+    hex-API op below starts from (no metric columns computed)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(cell, return_counts=True)
+        return pa.table(
+            {"cell": pa.array(uniq), "page_count": pa.array(cnt.astype(np.int64))}
+        )
+
+    return hash_groupby(
+        geocoded.map_batches(partial, batch_format="pyarrow"),
+        "cell", ["page_count"], how="isum", n_parts=n_parts,
+    )
+
+
+#: pointy-top hex corner multipliers: vertex i at
+#: (clat + FL[i]*s/2, clon + FW[i]*(s*sqrt(3)/2)); circumradius = edge = s.
+_CORNER_FL = np.array([2, 1, -1, -2, -1, 1], dtype=np.int64)
+_CORNER_FW = np.array([0, 1, 1, 0, -1, -1], dtype=np.int64)
+
+
+def cell_boundary(geocoded, n_parts: int = 64):
+    """H3 ``cell_to_boundary`` analog: the 6 vertex coordinates of every
+    distinct populated cell -> (cell, vertex, vlat, vlon)."""
+
+    def vertices(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        res, q, r = hexgrid.unpack(cell)
+        res0 = int(res[0]) if len(res) else hexgrid.RES_MIN
+        s = hexgrid.edge_size(res0)
+        clat, clon = hexgrid.axial_to_latlon(q, r, res0)
+        n = len(cell)
+        vlat = clat[:, None] + _CORNER_FL[None, :] * s / 2.0
+        vlon = clon[:, None] + _CORNER_FW[None, :] * (s * hexgrid.SQRT3 / 2.0)
+        return pa.table(
+            {
+                "cell": pa.array(np.repeat(cell, 6)),
+                "vertex": pa.array(np.tile(np.arange(6, dtype=np.int64), n)),
+                "vlat": pa.array(np.floor(vlat.ravel() * 1e6 + 0.5) / 1e6),
+                "vlon": pa.array(np.floor(vlon.ravel() * 1e6 + 0.5) / 1e6),
+            }
+        )
+
+    return cell_counts(geocoded, n_parts).map_batches(vertices, batch_format="pyarrow")
+
+
+def cell_parent_rollup(geocoded, parent_res: int, n_parts: int = 64):
+    """H3 ``cell_to_parent`` analog + hierarchy rollup: re-encode each
+    populated cell's CENTER at ``parent_res`` and aggregate ->
+    (parent_cell, n_children, n_pages).
+
+    The parent relation is arithmetic (center re-encode with the shared
+    cube-rounding), so the rollup is one bounded shuffle of distinct-cell
+    rows — pages never reshuffle."""
+
+    def to_parent(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        res, q, r = hexgrid.unpack(cell)
+        res0 = int(res[0]) if len(res) else hexgrid.RES_MIN
+        clat, clon = hexgrid.axial_to_latlon(q, r, res0)
+        parent = hexgrid.latlon_to_cell(clat, clon, parent_res)
+        uniq, inv = np.unique(parent, return_inverse=True)
+        nch = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        npg = np.bincount(
+            inv,
+            weights=batch.column("page_count").to_numpy(zero_copy_only=False).astype(np.float64),
+            minlength=len(uniq),
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "parent_cell": pa.array(uniq),
+                "n_children": pa.array(nch),
+                "n_pages": pa.array(npg),
+            }
+        )
+
+    return hash_groupby(
+        cell_counts(geocoded, n_parts).map_batches(to_parent, batch_format="pyarrow"),
+        "parent_cell", ["n_children", "n_pages"], how="isum", n_parts=n_parts,
+    )
+
+
+def grid_disk(geocoded, k: int = 1, n_parts: int = 64):
+    """H3 ``grid_disk`` analog: for every distinct populated cell, all cells
+    at hex distance <= k with their ring index -> (cell, neighbor, ring).
+    Pure integer offset arithmetic (no adjacency stored), mirroring the
+    smoothing kernels' neighbor derivation."""
+    offs = [(0, 0, 0)]
+    for ring in range(1, k + 1):
+        offs += [(dq, dr, ring) for dq, dr in hexgrid.ring_offsets(ring)]
+    dq = np.array([o[0] for o in offs], dtype=np.int64)
+    dr = np.array([o[1] for o in offs], dtype=np.int64)
+    rg = np.array([o[2] for o in offs], dtype=np.int64)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        res, q, r = hexgrid.unpack(cell)
+        res0 = int(res[0]) if len(res) else hexgrid.RES_MIN
+        n, m = len(cell), len(dq)
+        neighbor = hexgrid.pack(res0, q[:, None] + dq[None, :], r[:, None] + dr[None, :])
+        return pa.table(
+            {
+                "cell": pa.array(np.repeat(cell, m)),
+                "neighbor": pa.array(neighbor.ravel()),
+                "ring": pa.array(np.tile(rg, n)),
+            }
+        )
+
+    return cell_counts(geocoded, n_parts).map_batches(expand, batch_format="pyarrow")

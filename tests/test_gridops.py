@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from cuda_gis_smoothing_ray.functions import hexgrid as hg
 from cuda_gis_smoothing_ray.stages import gridops
@@ -147,3 +148,66 @@ def test_stratified_sample_rates(sf_dir):
         {"en": 100_000, "sw": 1_000_000}, default_ppm=0,
     ).to_pandas()
     assert sorted(out["page_id"]) == sorted(out2["page_id"])
+
+
+def _tiny_geocoded():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.functions import hexgrid
+
+    rng = np.random.default_rng(7)
+    lat = rng.uniform(-60, 60, 300)
+    lon = rng.uniform(-170, 170, 300)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "page_id": pa.array(np.arange(300, dtype=np.int64)),
+                "lat": pa.array(lat),
+                "lon": pa.array(lon),
+                "cell": pa.array(hexgrid.latlon_to_cell(lat, lon, 7)),
+            }
+        )
+    ), lat, lon
+
+
+def test_cell_boundary_vertices_ring_the_center():
+    from cuda_gis_smoothing_ray.functions import hexgrid
+    from cuda_gis_smoothing_ray.stages.gridops import cell_boundary
+
+    ds, lat, lon = _tiny_geocoded()
+    out = cell_boundary(ds).to_pandas()
+    assert set(out["vertex"]) == set(range(6))
+    cells = np.unique(hexgrid.latlon_to_cell(lat, lon, 7))
+    assert set(out["cell"]) == set(cells.tolist())
+    assert len(out) == 6 * len(cells)
+    # every vertex is exactly edge-length from its cell center (circumradius)
+    res, q, r = hexgrid.unpack(out["cell"].to_numpy())
+    clat, clon = hexgrid.axial_to_latlon(q, r, 7)
+    d = np.sqrt((out["vlat"].to_numpy() - clat) ** 2 + (out["vlon"].to_numpy() - clon) ** 2)
+    np.testing.assert_allclose(d, hexgrid.edge_size(7), rtol=1e-5)
+
+
+def test_cell_parent_rollup_preserves_page_total():
+    from cuda_gis_smoothing_ray.functions import hexgrid
+    from cuda_gis_smoothing_ray.stages.gridops import cell_parent_rollup
+
+    ds, lat, lon = _tiny_geocoded()
+    out = cell_parent_rollup(ds, parent_res=6).to_pandas()
+    assert out["n_pages"].sum() == 300
+    cells = np.unique(hexgrid.latlon_to_cell(lat, lon, 7))
+    assert out["n_children"].sum() == len(cells)
+    assert ((out["parent_cell"].to_numpy() >> 56) == 6).all()
+
+
+def test_grid_disk_matches_kring():
+    from cuda_gis_smoothing_ray.functions import hexgrid
+    from cuda_gis_smoothing_ray.stages.gridops import grid_disk
+
+    ds, lat, lon = _tiny_geocoded()
+    out = grid_disk(ds, k=2).to_pandas()
+    cells = np.unique(hexgrid.latlon_to_cell(lat, lon, 7))
+    assert len(out) == len(cells) * 19  # 1 + 6 + 12
+    one = out[out["cell"] == cells[0]]
+    want = set(hexgrid.kring_cells(cells[:1], 2)[0].tolist())
+    assert set(one["neighbor"]) == want
+    assert (one["ring"] <= 2).all() and (one["ring"].value_counts().sort_index() == [1, 6, 12]).all()
