@@ -270,6 +270,18 @@ def _q_idw(sf_dir: str):
     return idw_interpolate(_geocoded(sf_dir), radius=25.0).sort("query_id")
 
 
+def _q_pip_anti(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.spatialjoin import pip_anti
+
+    return pip_anti(_geocoded(sf_dir)).sort("page_id")
+
+
+def _q_bbox_query(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.spatialjoin import bbox_query
+
+    return bbox_query(_geocoded(sf_dir)).sort("page_id")
+
+
 def _q_cell_boundary(sf_dir: str):
     from cuda_gis_smoothing_ray.stages.gridops import cell_boundary
 
@@ -1367,6 +1379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": _q_zonal_stats,
         "idw_interpolate": _q_idw,
         "nearest_polygon": _q_nearest_polygon,
+        "pip_anti": _q_pip_anti,
+        "bbox_query": _q_bbox_query,
         "cell_boundary": _q_cell_boundary,
         "cell_parent": _q_cell_parent,
         "grid_disk": _q_grid_disk,
@@ -1485,6 +1499,7 @@ def oracle_sql() -> dict[str, str]:
     from cuda_gis_smoothing_ray.sql import oracles as o
     from cuda_gis_smoothing_ray.sql import oracles_corpus as oc
     from cuda_gis_smoothing_ray.stages import gridops
+    from cuda_gis_smoothing_ray.stages.spatialjoin import BBOX
 
     return {
         "text_stats": oc.text_stats_sql(),
@@ -1577,6 +1592,8 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": o.zonal_stats_sql(RES),
         "idw_interpolate": o.idw_interpolate_sql(RES, 25.0),
         "nearest_polygon": o.nearest_polygon_sql(RES),
+        "pip_anti": o.pip_anti_sql(RES),
+        "bbox_query": o.bbox_query_sql(RES, BBOX),
         "cell_boundary": o.cell_boundary_sql(RES),
         "cell_parent": o.cell_parent_sql(RES, RES - 1),
         "grid_disk": o.grid_disk_sql(RES, 1),

@@ -692,3 +692,38 @@ SELECT cell,
   CAST(ring AS BIGINT) AS ring
 FROM cells CROSS JOIN offs
 ORDER BY cell, ring, neighbor"""
+
+
+def pip_anti_sql(res: int) -> str:
+    """Oracle of stages/spatialjoin.pip_anti (complement of pip_join_sql)."""
+    from ..stages.pip import polygon_edges
+
+    edges = ",\n    ".join(
+        f"({pid}, {D(y1)}, {D(x1)}, {D(y2)}, {D(x2)})" for pid, y1, x1, y2, x2 in polygon_edges()
+    )
+    return f"""{prelude_geo(res)},
+edges(poly_id, y1, x1, y2, x2) AS (VALUES
+    {edges}),
+crossings AS (
+  SELECT p.page_id, e.poly_id, count(*) AS n_cross
+  FROM geocoded p
+  JOIN edges e
+    ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+   AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+  GROUP BY p.page_id, e.poly_id
+),
+inside AS (SELECT DISTINCT page_id FROM crossings WHERE n_cross % 2 = 1)
+SELECT page_id FROM geocoded
+WHERE page_id NOT IN (SELECT page_id FROM inside)
+ORDER BY page_id"""
+
+
+def bbox_query_sql(res: int, bbox) -> str:
+    """Oracle of stages/spatialjoin.bbox_query (inclusive bounds)."""
+    lat_min, lat_max, lon_min, lon_max = bbox
+    return f"""{prelude_geo(res)}
+SELECT page_id, {round6('lat')} AS lat, {round6('lon')} AS lon, lang
+FROM geocoded
+WHERE lat >= {D(lat_min)} AND lat <= {D(lat_max)}
+  AND lon >= {D(lon_min)} AND lon <= {D(lon_max)}
+ORDER BY page_id"""

@@ -362,3 +362,47 @@ def nearest_polygon(points_ds, id_col: str = "page_id"):
         )
 
     return points_ds.map_batches(nearest, batch_format="pyarrow")
+
+
+def pip_anti(points_ds, id_col: str = "page_id"):
+    """Spatial ANTI join: points contained by NO polygon (the complement of
+    ``pip.pip_join`` under the identical crossing rule).  Pure streaming
+    filter — broadcast-small polygon set, no shuffle."""
+
+    def keep_outside(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        inside_any = np.zeros(len(lat), dtype=bool)
+        for _, ring in POLYGONS:
+            inside_any |= points_in_polygon(lat, lon, ring)
+        return pa.table({id_col: batch.column(id_col).filter(pa.array(~inside_any))})
+
+    return points_ds.map_batches(keep_outside, batch_format="pyarrow")
+
+
+#: default demo bbox for the range query (Europe-ish), shared with the oracle.
+BBOX = (20.0, 50.0, -10.0, 30.0)  # lat_min, lat_max, lon_min, lon_max
+
+
+def bbox_query(points_ds, bbox=BBOX, id_col: str = "page_id"):
+    """Spatial range query: points with lat/lon inside an axis-aligned box
+    (inclusive bounds) -> (id_col, lat, lon, lang).  Pure streaming filter;
+    at 100 TB this composes with the Parquet reader's row-group pruning when
+    lat/lon are stored sorted by cell."""
+    lat_min, lat_max, lon_min, lon_max = bbox
+
+    def in_box(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        m = (lat >= lat_min) & (lat <= lat_max) & (lon >= lon_min) & (lon <= lon_max)
+        keep = pa.array(m)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).filter(keep),
+                "lat": pa.array(np.floor(lat[m] * 1e6 + 0.5) / 1e6),
+                "lon": pa.array(np.floor(lon[m] * 1e6 + 0.5) / 1e6),
+                "lang": batch.column("lang").filter(keep),
+            }
+        )
+
+    return points_ds.map_batches(in_box, batch_format="pyarrow")

@@ -238,3 +238,33 @@ def test_nearest_polygon_matches_brute(points_ds):
     assert (out.loc[ids, "poly_id"].to_numpy() == best_pid).all()
     np.testing.assert_allclose(out.loc[ids, "dist2"].to_numpy(),
                                np.floor(best_d2 * 1e6 + 0.5) / 1e6, rtol=0, atol=0)
+
+
+def test_pip_anti_is_exact_complement(points_ds):
+    from cuda_gis_smoothing_ray.stages.pip import pip_join
+    from cuda_gis_smoothing_ray.stages.spatialjoin import pip_anti
+
+    ds, _ = points_ds
+    inside = set(pip_join(ds).to_pandas()["page_id"])
+    outside = set(pip_anti(ds).to_pandas()["page_id"])
+    allids = set(ds.to_pandas()["page_id"])
+    assert inside | outside == allids and not (inside & outside)
+
+
+def test_bbox_query_inclusive_bounds():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.spatialjoin import bbox_query
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "page_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+                "lat": pa.array([20.0, 50.0, 19.999, 35.0]),
+                "lon": pa.array([-10.0, 30.0, 0.0, 31.0]),
+                "lang": pa.array(["en", "de", "en", "fr"]),
+            }
+        )
+    )
+    out = bbox_query(ds).to_pandas()
+    assert sorted(out["page_id"]) == [1, 2]  # corners in, outside out
