@@ -270,6 +270,12 @@ def _q_idw(sf_dir: str):
     return idw_interpolate(_geocoded(sf_dir), radius=25.0).sort("query_id")
 
 
+def _q_knn_haversine(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.knn import knn_haversine
+
+    return knn_haversine(_geocoded(sf_dir), k=5).sort(["query_id", "rank"])
+
+
 def _q_pip_anti(sf_dir: str):
     from cuda_gis_smoothing_ray.stages.spatialjoin import pip_anti
 
@@ -1379,6 +1385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": _q_zonal_stats,
         "idw_interpolate": _q_idw,
         "nearest_polygon": _q_nearest_polygon,
+        "knn_haversine": _q_knn_haversine,
         "pip_anti": _q_pip_anti,
         "bbox_query": _q_bbox_query,
         "cell_boundary": _q_cell_boundary,
@@ -1592,6 +1599,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": o.zonal_stats_sql(RES),
         "idw_interpolate": o.idw_interpolate_sql(RES, 25.0),
         "nearest_polygon": o.nearest_polygon_sql(RES),
+        "knn_haversine": o.knn_haversine_sql(RES, 5),
         "pip_anti": o.pip_anti_sql(RES),
         "bbox_query": o.bbox_query_sql(RES, BBOX),
         "cell_boundary": o.cell_boundary_sql(RES),

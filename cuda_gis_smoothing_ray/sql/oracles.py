@@ -727,3 +727,30 @@ FROM geocoded
 WHERE lat >= {D(lat_min)} AND lat <= {D(lat_max)}
   AND lon >= {D(lon_min)} AND lon <= {D(lon_max)}
 ORDER BY page_id"""
+
+
+def knn_haversine_sql(res: int, k: int) -> str:
+    """Oracle of stages/knn.knn_haversine (term-for-term trig mirror)."""
+    from ..stages.knn import EARTH_R_KM, QUERY_POINTS
+
+    qvals = ",\n    ".join(f"({qid}, {D(qlat)}, {D(qlon)})" for qid, qlat, qlon in QUERY_POINTS)
+    return f"""{prelude_geo(res)},
+queries(query_id, qlat, qlon) AS (VALUES
+    {qvals}),
+d AS (
+  SELECT q.query_id, p.page_id,
+    2.0 * {D(EARTH_R_KM)} * asin(sqrt(
+      sin(radians(p.lat - q.qlat) / 2.0) * sin(radians(p.lat - q.qlat) / 2.0)
+      + cos(radians(q.qlat)) * cos(radians(p.lat))
+        * (sin(radians(p.lon - q.qlon) / 2.0) * sin(radians(p.lon - q.qlon) / 2.0))
+    )) AS dist_km
+  FROM geocoded p CROSS JOIN queries q
+),
+ranked AS (
+  SELECT query_id, page_id, dist_km,
+    row_number() OVER (PARTITION BY query_id ORDER BY dist_km, page_id) AS rank
+  FROM d
+)
+SELECT query_id, rank, page_id, {round6('dist_km')} AS dist_km
+FROM ranked WHERE rank <= {k}
+ORDER BY query_id, rank"""

@@ -167,3 +167,63 @@ def knn_cell_bucketed(points_ds, k: int = 3, bucket_res: int = 5, id_col: str = 
         .groupby("bucket")
         .map_groups(solve, batch_format="pandas")
     )
+
+
+#: mean Earth radius, km (shared with sql/oracles.knn_haversine_sql).
+EARTH_R_KM = 6371.0
+
+
+def knn_haversine(points_ds, k: int = 5,
+                  queries: list[tuple[int, float, float]] | None = None,
+                  id_col: str = "page_id"):
+    """Great-circle kNN: -> (query_id, rank, id, dist_km), haversine
+    distance on the sphere, ties broken by id.
+
+    Same broadcast + local-top-k + per-query merge shape as
+    :func:`knn_broadcast`; only the metric differs.  The trig expression is
+    mirrored term-for-term in the SQL oracle; sub-ulp libm differences
+    between numpy and DuckDB sit ~6 orders of magnitude below the 1e-6 km
+    output rounding."""
+    import ray
+
+    qs = queries if queries is not None else QUERY_POINTS
+    q_ref = ray.put(np.array([[q[1], q[2]] for q in qs], dtype=np.float64))
+    q_ids = np.array([q[0] for q in qs], dtype=np.int64)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qmat = ray.get(q_ref)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        qlat, qlon = qmat[:, 0:1], qmat[:, 1:2]
+        s_lat = np.sin(np.radians(lat[None, :] - qlat) / 2.0)
+        s_lon = np.sin(np.radians(lon[None, :] - qlon) / 2.0)
+        a = s_lat * s_lat + np.cos(np.radians(qlat)) * np.cos(np.radians(lat[None, :])) * (s_lon * s_lon)
+        dkm = 2.0 * EARTH_R_KM * np.arcsin(np.sqrt(a))  # (m, n)
+        kk = min(k, dkm.shape[1])
+        part = np.argpartition(dkm, kk - 1, axis=1)[:, :kk]
+        out_q, out_id, out_d = [], [], []
+        for qi in range(dkm.shape[0]):
+            sel = part[qi]
+            out_q.append(np.full(kk, q_ids[qi]))
+            out_id.append(ids[sel])
+            out_d.append(dkm[qi, sel])
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id)),
+                "dist_km": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["dist_km", id_col], kind="mergesort").head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["dist_km"] = np.floor(g["dist_km"].to_numpy() * 1e6 + 0.5) / 1e6
+        return g[["query_id", "rank", id_col, "dist_km"]]
+
+    return (
+        points_ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pandas")
+    )

@@ -268,3 +268,23 @@ def test_bbox_query_inclusive_bounds():
     )
     out = bbox_query(ds).to_pandas()
     assert sorted(out["page_id"]) == [1, 2]  # corners in, outside out
+
+
+def test_knn_haversine_matches_brute(points_ds):
+    from cuda_gis_smoothing_ray.stages.knn import EARTH_R_KM, QUERY_POINTS, knn_haversine
+
+    ds, _ = points_ds
+    out = knn_haversine(ds, k=3).to_pandas()
+    pts = ds.to_pandas()
+    lat, lon = pts["lat"].to_numpy(), pts["lon"].to_numpy()
+    ids = pts["page_id"].to_numpy()
+    for qid, qlat, qlon in QUERY_POINTS[:4]:
+        sl = np.sin(np.radians(lat - qlat) / 2.0)
+        so = np.sin(np.radians(lon - qlon) / 2.0)
+        a = sl * sl + np.cos(np.radians(qlat)) * np.cos(np.radians(lat)) * (so * so)
+        dkm = 2.0 * EARTH_R_KM * np.arcsin(np.sqrt(a))
+        order = np.lexsort((ids, dkm))[:3]
+        got = out[out["query_id"] == qid].sort_values("rank")
+        assert got["page_id"].tolist() == ids[order].tolist()
+        np.testing.assert_allclose(got["dist_km"].to_numpy(),
+                                   np.floor(dkm[order] * 1e6 + 0.5) / 1e6)
