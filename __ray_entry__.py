@@ -270,6 +270,12 @@ def _q_idw(sf_dir: str):
     return idw_interpolate(_geocoded(sf_dir), radius=25.0).sort("query_id")
 
 
+def _q_geohash(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.gridops import geohash_encode
+
+    return geohash_encode(_geocoded(sf_dir)).sort("page_id")
+
+
 def _q_knn_haversine(sf_dir: str):
     from cuda_gis_smoothing_ray.stages.knn import knn_haversine
 
@@ -1385,6 +1391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": _q_zonal_stats,
         "idw_interpolate": _q_idw,
         "nearest_polygon": _q_nearest_polygon,
+        "geohash": _q_geohash,
         "knn_haversine": _q_knn_haversine,
         "pip_anti": _q_pip_anti,
         "bbox_query": _q_bbox_query,
@@ -1599,6 +1606,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": o.zonal_stats_sql(RES),
         "idw_interpolate": o.idw_interpolate_sql(RES, 25.0),
         "nearest_polygon": o.nearest_polygon_sql(RES),
+        "geohash": o.geohash_sql(RES),
         "knn_haversine": o.knn_haversine_sql(RES, 5),
         "pip_anti": o.pip_anti_sql(RES),
         "bbox_query": o.bbox_query_sql(RES, BBOX),

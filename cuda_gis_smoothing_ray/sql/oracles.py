@@ -754,3 +754,20 @@ ranked AS (
 SELECT query_id, rank, page_id, {round6('dist_km')} AS dist_km
 FROM ranked WHERE rank <= {k}
 ORDER BY query_id, rank"""
+
+
+def geohash_sql(res: int) -> str:
+    """Oracle of stages/gridops.geohash_encode (precision 6): integer Morton
+    spread + unrolled base-32 character slicing."""
+    lon_q = "CAST(least(floor((lon + 180.0) / 360.0 * 32768.0), 32767.0) AS BIGINT)"
+    lat_q = "CAST(least(floor((lat + 90.0) / 180.0 * 32768.0), 32767.0) AS BIGINT)"
+    g = f"(({_spread_bits_sql(lon_q)} << 1) | {_spread_bits_sql(lat_q)})"
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+    chars = " || ".join(
+        f"substring('{alphabet}', CAST((({g}) >> {25 - 5 * c}) & 31 AS INTEGER) + 1, 1)"
+        for c in range(6)
+    )
+    return f"""{prelude_geo(res)}
+SELECT page_id, {chars} AS geohash
+FROM geocoded
+ORDER BY page_id"""

@@ -457,3 +457,49 @@ def grid_disk(geocoded, k: int = 1, n_parts: int = 64):
         )
 
     return cell_counts(geocoded, n_parts).map_batches(expand, batch_format="pyarrow")
+
+
+#: geohash base-32 alphabet (standard; no a/i/l/o).
+_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_B32_BYTES = np.frombuffer(_B32.encode(), dtype=np.uint8)
+
+
+def geohash_encode(geocoded, precision: int = 6, id_col: str = "page_id"):
+    """Standard geohash string per page (precision chars, 5 bits each).
+
+    Bit-exact across engines: quantize lon/lat to ``5*precision/2`` bits,
+    Morton-interleave (lon takes the even=leading bits, per the geohash
+    spec), then slice 5-bit groups into the base-32 alphabet.  The SQL
+    oracle reuses the integer Morton spread, so the string is reproduced
+    character-for-character.  Pure streaming map — no shuffle."""
+    if precision != 6:
+        raise ValueError("precision 6 (30 bits) is the SQL-mirrored variant")
+    nbits = 15  # per axis
+
+    def encode(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lon_q = np.minimum(np.floor((lon + 180.0) / 360.0 * 32768.0), 32767.0).astype(np.int64)
+        lat_q = np.minimum(np.floor((lat + 90.0) / 180.0 * 32768.0), 32767.0).astype(np.int64)
+
+        def spread(v):
+            v = v & np.int64(0xFFFF)
+            v = (v | (v << np.int64(8))) & np.int64(0x00FF00FF)
+            v = (v | (v << np.int64(4))) & np.int64(0x0F0F0F0F)
+            v = (v | (v << np.int64(2))) & np.int64(0x33333333)
+            v = (v | (v << np.int64(1))) & np.int64(0x55555555)
+            return v
+
+        g = (spread(lon_q) << np.int64(1)) | spread(lat_q)  # 30 bits, lon leads
+        codes = np.empty((len(g), 6), dtype=np.uint8)
+        for c in range(6):
+            codes[:, c] = _B32_BYTES[(g >> np.int64(25 - 5 * c)) & np.int64(31)]
+        gh = codes.view(f"S6").ravel().astype("U6")
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "geohash": pa.array(gh),
+            }
+        )
+
+    return geocoded.map_batches(encode, batch_format="pyarrow")

@@ -211,3 +211,35 @@ def test_grid_disk_matches_kring():
     want = set(hexgrid.kring_cells(cells[:1], 2)[0].tolist())
     assert set(one["neighbor"]) == want
     assert (one["ring"] <= 2).all() and (one["ring"].value_counts().sort_index() == [1, 6, 12]).all()
+
+
+def test_geohash_matches_reference_algorithm():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.gridops import geohash_encode
+
+    # reference bit-bisection geohash (classic algorithm, independent impl)
+    def ref_geohash(lat, lon, precision=6):
+        b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+        lat_rng, lon_rng = [-90.0, 90.0], [-180.0, 180.0]
+        bits, out, even = 0, [], True
+        ch = 0
+        while len(out) < precision:
+            rng, v = (lon_rng, lon) if even else (lat_rng, lat)
+            mid = (rng[0] + rng[1]) / 2
+            ch = (ch << 1) | (1 if v >= mid else 0)
+            rng[0 if v >= mid else 1] = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out.append(b32[ch])
+                bits, ch = 0, 0
+        return "".join(out)
+
+    pts = [(48.8566, 2.3522), (40.7128, -74.0060), (-33.8688, 151.2093), (0.0, 0.0)]
+    ds = rd.from_items(
+        [{"page_id": i, "lat": la, "lon": lo} for i, (la, lo) in enumerate(pts)]
+    )
+    out = geohash_encode(ds).to_pandas().sort_values("page_id")
+    for i, (la, lo) in enumerate(pts):
+        assert out["geohash"].iloc[i] == ref_geohash(la, lo), (la, lo)
