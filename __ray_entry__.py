@@ -1284,6 +1284,47 @@ def _q_hll_registers(sf_dir: str):
     return hll_registers(_pages_urls(sf_dir))
 
 
+def _q_hosts_union(sf_dir: str, col: str = "host"):
+    """UNION set operation: distinct hosts in 'en' OR 'de' pages —
+    completes the EXCEPT / INTERSECT family with the same batch-local-dedup
+    + hash-partition-distinct plan (Python per partition, never per key)."""
+    import pyarrow.compute as pc_
+
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.join import distinct_values
+
+    def values_of(lang: str):
+        pages = read_pages(sf_dir, include_html=False).select_columns(["url", "lang"])
+
+        def f(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc_.equal(batch.column("lang"), lang))
+            host = pc_.list_element(pc_.split_pattern(batch.column("url"), pattern="/"), 2)
+            return pa.table({col: host.unique()})
+
+        return pages.map_batches(f, batch_format="pyarrow")
+
+    return distinct_values(values_of("en").union(values_of("de")), col).sort(col)
+
+
+def _q_lang_distinct_hosts(sf_dir: str):
+    """Grouped exact COUNT(DISTINCT host) per language."""
+    import pyarrow.compute as pc_
+
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.join import grouped_distinct_count
+
+    pages = read_pages(sf_dir, include_html=False).select_columns(["url", "lang"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        host = pc_.list_element(pc_.split_pattern(batch.column("url"), pattern="/"), 2)
+        return pa.table({"lang": batch.column("lang"), "host": host})
+
+    return grouped_distinct_count(
+        pages.map_batches(f, batch_format="pyarrow"), "lang", "host",
+        out_col="n_hosts",
+    ).sort("lang")
+
+
 def _q_hosts_except(sf_dir: str, anti: bool = True, col: str = "host"):
     """Set operations EXCEPT (anti=True) / INTERSECT (anti=False) on
     distinct per-language value sets (host or tld): values in 'en' pages
@@ -1483,6 +1524,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_len_quantiles": _q_text_len_quantiles,
         "top_hosts_by_lang": _q_top_hosts_by_lang,
         "hosts_en_not_de": _q_hosts_except,
+        "hosts_union": _q_hosts_union,
+        "lang_distinct_hosts": _q_lang_distinct_hosts,
         "tlds_en_and_de": lambda d: _q_hosts_except(d, anti=False, col="tld"),
         "extract_text": _q_extract_text,
         "parse_urls": _q_parse_urls,
@@ -1593,6 +1636,8 @@ def oracle_sql() -> dict[str, str]:
         "text_len_quantiles": oc.text_len_quantiles_sql(),
         "top_hosts_by_lang": o.top_hosts_by_lang_sql(5),
         "hosts_en_not_de": o.hosts_except_sql(),
+        "hosts_union": o.hosts_except_sql("UNION"),
+        "lang_distinct_hosts": o.lang_distinct_hosts_sql(),
         "tlds_en_and_de": o.hosts_except_sql("INTERSECT", col="tld"),
         # hll_hosts is a sketch (estimate): rows-only; error gated in
         # tests/test_sketch.py against the exact distinct count.

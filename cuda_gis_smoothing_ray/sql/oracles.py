@@ -771,3 +771,12 @@ def geohash_sql(res: int) -> str:
 SELECT page_id, {chars} AS geohash
 FROM geocoded
 ORDER BY page_id"""
+
+
+def lang_distinct_hosts_sql() -> str:
+    """Oracle of the grouped exact COUNT(DISTINCT host)."""
+    return f"""WITH {pages_cte()}
+SELECT lang, count(DISTINCT string_split(url, '/')[3]) AS n_hosts
+FROM pages
+GROUP BY lang
+ORDER BY lang"""

@@ -268,3 +268,90 @@ def hash_semi_join(left, right, left_key: str, right_key: str | None = None,
         right.map_batches(right_rows_padded, batch_format="pyarrow")
     )
     return both.groupby("__part").map_groups(resolve, batch_format="pyarrow")
+
+
+def distinct_values(ds, col: str, n_parts: int = 64):
+    """Exact DISTINCT over ``col`` at any cardinality: batch-local
+    ``np.unique`` shrinks each block to its distinct values, a 64-bit hash
+    partitions them (Python cost per batch-distinct STRING value, vectorized
+    for ints), and each partition finishes with one ``np.unique`` — Python
+    per partition, never per global key.  The UNION set operation is
+    ``distinct_values(a.union(b), col)``."""
+    from ..functions.hashing import md5_hash64
+
+    def local(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        u = np.unique(v)
+        if np.issubdtype(u.dtype, np.integer):
+            part = ((u.astype(np.int64).view(np.uint64) * _BLOOM_C1) >> np.uint64(52)) % np.uint64(n_parts)
+        else:
+            part = md5_hash64(u) % np.uint64(n_parts)
+        return pa.table({col: pa.array(u), "__part": pa.array(part.astype(np.int64))})
+
+    def reduce_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        return pd.DataFrame({col: np.unique(df[col].to_numpy())})
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_part, batch_format="pandas")
+    )
+
+
+def grouped_distinct_count(ds, group_col: str, value_col: str, n_parts: int = 64,
+                           out_col: str = "n_distinct"):
+    """Exact ``count(DISTINCT value) GROUP BY group``: batch-local dedup of
+    (group, value) pairs, hash-partition by VALUE (so each distinct pair is
+    counted once even when a group spans partitions), per-partition
+    vectorized pair-dedup + per-group partial counts, then one bounded-key
+    sum.  Only distinct pairs shuffle, never raw rows."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import md5_hash64
+
+    def local(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                group_col: batch.column(group_col).to_numpy(zero_copy_only=False),
+                value_col: batch.column(value_col).to_numpy(zero_copy_only=False),
+            }
+        ).drop_duplicates()
+        v = df[value_col].to_numpy()
+        if np.issubdtype(v.dtype, np.integer):
+            part = ((v.astype(np.int64).view(np.uint64) * _BLOOM_C1) >> np.uint64(52)) % np.uint64(n_parts)
+        else:
+            part = md5_hash64(v) % np.uint64(n_parts)
+        return pa.Table.from_pandas(
+            df.assign(__part=part.astype(np.int64)), preserve_index=False
+        )
+
+    def count_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = (
+            df.drop_duplicates([group_col, value_col])
+            .groupby(group_col, sort=False)[value_col]
+            .size()
+            .reset_index(name="__n")
+        )
+        return g
+
+    partials = (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(count_part, batch_format="pandas")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                out_col: batch.column("sum(__n)"),
+            }
+        )
+
+    return (
+        partials.groupby(group_col).aggregate(Sum("__n")).map_batches(finalize, batch_format="pyarrow")
+    )

@@ -205,3 +205,23 @@ def test_left_outer_shuffle_join_null_fill():
     )
     assert out["k"].tolist() == [1, 2, 3]
     assert out["v"].isna().tolist() == [False, True, False]
+
+
+def test_distinct_values_and_grouped_distinct_count():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.join import distinct_values, grouped_distinct_count
+
+    rows = [{"g": f"g{i % 3}", "v": f"v{i % 7}"} for i in range(100)]
+    ds = rd.from_items(rows)
+    dv = sorted(distinct_values(ds, "v").to_pandas()["v"])
+    assert dv == sorted({r["v"] for r in rows})
+    out = grouped_distinct_count(ds, "g", "v").to_pandas().set_index("g")
+    import pandas as pd
+
+    want = pd.DataFrame(rows).groupby("g")["v"].nunique()
+    for g, n in want.items():
+        assert out.loc[g, "n_distinct"] == n
+    # int-keyed path too
+    ds2 = rd.from_items([{"g": i % 2, "v": i % 9} for i in range(50)])
+    assert sorted(distinct_values(ds2, "v").to_pandas()["v"]) == list(range(9))
