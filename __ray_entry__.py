@@ -53,10 +53,11 @@ def _cells(sf_dir: str):
     return cell_metrics(_geocoded(sf_dir))
 
 
-def _smooth(sf_dir: str, k: int, profile: str, cols: list[str]):
+def _smooth(sf_dir: str, k: int, profile: str, cols: list[str],
+            salted: bool = False):
     from cuda_gis_smoothing_ray.stages.smooth import smooth_cells
 
-    sm = smooth_cells(_cells(sf_dir), cols, k=k, profile=profile)
+    sm = smooth_cells(_cells(sf_dir), cols, k=k, profile=profile, salted=salted)
     return _round6_cols(sm, [f"{c}_sm" for c in cols]).sort("cell")
 
 
@@ -1542,6 +1543,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_pages": _q_sample_pages,
         "stratified_sample": _q_stratified_sample,
         "smooth_uniform_k1": lambda d: _smooth(d, 1, "uniform", ["chars_mean"]),
+        # the north_star's salted two-phase hot-key path, oracle-gated:
+        # identical output contract to the unsalted plan
+        "smooth_salted_k1": lambda d: _smooth(d, 1, "uniform", ["chars_mean"], salted=True),
         "smooth_gauss_k1": lambda d: _smooth(d, 1, "gaussian", ["chars_mean"]),
         "smooth_uniform_k2": lambda d: _smooth(d, 2, "uniform", ["chars_mean"]),
         "smooth_gauss_k2": lambda d: _smooth(d, 2, "gaussian", ["chars_mean"]),
@@ -1680,6 +1684,7 @@ def oracle_sql() -> dict[str, str]:
             STRAT_RATES, STRAT_DEFAULT_PPM, gridops.SAMPLE_MULT, gridops.SAMPLE_MOD
         ),
         "smooth_uniform_k1": o.smooth_sql(RES, 1, "uniform", ["chars_mean"]),
+        "smooth_salted_k1": o.smooth_sql(RES, 1, "uniform", ["chars_mean"]),
         "smooth_gauss_k1": o.smooth_sql(RES, 1, "gaussian", ["chars_mean"]),
         "smooth_uniform_k2": o.smooth_sql(RES, 2, "uniform", ["chars_mean"]),
         "smooth_gauss_k2": o.smooth_sql(RES, 2, "gaussian", ["chars_mean"]),
