@@ -283,6 +283,12 @@ def _q_knn_haversine(sf_dir: str):
     return knn_haversine(_geocoded(sf_dir), k=5).sort(["query_id", "rank"])
 
 
+def _q_pip_indexed(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.spatialjoin import pip_join_indexed
+
+    return pip_join_indexed(_geocoded(sf_dir), res=RES).sort(["page_id", "poly_id"])
+
+
 def _q_pip_anti(sf_dir: str):
     from cuda_gis_smoothing_ray.stages.spatialjoin import pip_anti
 
@@ -1435,6 +1441,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_polygon": _q_nearest_polygon,
         "geohash": _q_geohash,
         "knn_haversine": _q_knn_haversine,
+        "pip_join_indexed": _q_pip_indexed,
         "pip_anti": _q_pip_anti,
         "bbox_query": _q_bbox_query,
         "cell_boundary": _q_cell_boundary,
@@ -1657,6 +1664,7 @@ def oracle_sql() -> dict[str, str]:
         "nearest_polygon": o.nearest_polygon_sql(RES),
         "geohash": o.geohash_sql(RES),
         "knn_haversine": o.knn_haversine_sql(RES, 5),
+        "pip_join_indexed": o.pip_join_sql(RES),
         "pip_anti": o.pip_anti_sql(RES),
         "bbox_query": o.bbox_query_sql(RES, BBOX),
         "cell_boundary": o.cell_boundary_sql(RES),

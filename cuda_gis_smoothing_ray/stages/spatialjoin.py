@@ -406,3 +406,93 @@ def bbox_query(points_ds, bbox=BBOX, id_col: str = "page_id"):
         )
 
     return points_ds.map_batches(in_box, batch_format="pyarrow")
+
+
+def _cover_cells(res: int, polygons) -> dict[int, list[int]]:
+    """cell -> candidate poly_ids: all cells whose center lies within each
+    polygon's bbox EXPANDED by one cell circumradius (any cell that contains
+    a point of the bbox has its center within one edge length of it), via
+    the same stripe enumeration as :func:`polyfill`.  Driver-side and tiny:
+    O(bbox area / cell area) per polygon — this is the engine's analog of an
+    S2 covering of the polygon set."""
+    size = hexgrid.edge_size(res)
+    cover: dict[int, list[int]] = {}
+    for pid, ring in polygons:
+        lats = [y for y, _ in ring]
+        lons = [x for _, x in ring]
+        ymin, ymax = min(lats) - size, max(lats) + size
+        xmin, xmax = min(lons) - size, max(lons) + size
+        r0 = int(np.floor(ymin / (1.5 * size)))
+        r1 = int(np.floor(ymax / (1.5 * size))) + 1
+        for r in range(r0, r1 + 1):
+            q0 = int(np.floor(xmin / (size * hexgrid.SQRT3) - r / 2.0))
+            q1 = int(np.floor(xmax / (size * hexgrid.SQRT3) - r / 2.0)) + 1
+            q = np.arange(q0, q1 + 1, dtype=np.int64)
+            for c in hexgrid.pack(res, q, np.full(len(q), r, dtype=np.int64)):
+                cover.setdefault(int(c), []).append(pid)
+    return cover
+
+
+def pip_join_indexed(points_ds, res: int = 7, polygons=None,
+                     id_col: str = "page_id"):
+    """Exact PIP join accelerated by a broadcast cell-cover index (the
+    north_star's "ray-casting on covered polygon partitions").
+
+    The polygon set is pre-covered with hex cells at ``res`` (bbox expanded
+    by one circumradius, so no containing cell is missed); each page batch
+    first probes its ``cell`` against the sorted cover (vectorized
+    searchsorted) and only the hits run the exact crossing test against
+    their candidate polygons.  Same output contract as ``pip.pip_join`` —
+    the DuckDB oracle is literally ``pip_join_sql``.  At 100 TB the exact
+    ray-cast runs on the bbox-area fraction of pages instead of all of
+    them, and nothing shuffles."""
+    import ray
+
+    polygons = polygons or POLYGONS
+    rings = {pid: ring for pid, ring in polygons}
+    cover = _cover_cells(res, polygons)
+    cover_cells = np.array(sorted(cover), dtype=np.int64)
+    # per-poly sorted candidate cell arrays for vectorized membership
+    per_poly = {
+        pid: np.array(sorted(c for c, ps in cover.items() if pid in ps), dtype=np.int64)
+        for pid in rings
+    }
+    idx_ref = ray.put((cover_cells, per_poly, rings))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        cells_sorted, by_poly, local_rings = ray.get(idx_ref)
+        cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(cells_sorted, cell)
+        pos_c = np.minimum(pos, len(cells_sorted) - 1)
+        any_hit = cells_sorted[pos_c] == cell if len(cells_sorted) else np.zeros(len(cell), bool)
+        out_id, out_pid = [], []
+        for pid, cand in by_poly.items():
+            m = any_hit.copy()
+            if not m.any():
+                continue
+            p2 = np.minimum(np.searchsorted(cand, cell), len(cand) - 1)
+            m &= cand[p2] == cell
+            if not m.any():
+                continue
+            inside = points_in_polygon(lat[m], lon[m], local_rings[pid])
+            hit_ids = ids[m][inside]
+            out_id.append(hit_ids)
+            out_pid.append(np.full(len(hit_ids), pid, dtype=np.int64))
+        if not out_id:
+            return pa.table(
+                {
+                    id_col: pa.array(np.array([], dtype=np.int64)),
+                    "poly_id": pa.array(np.array([], dtype=np.int64)),
+                }
+            )
+        return pa.table(
+            {
+                id_col: pa.array(np.concatenate(out_id)),
+                "poly_id": pa.array(np.concatenate(out_pid)),
+            }
+        )
+
+    return points_ds.map_batches(probe, batch_format="pyarrow")

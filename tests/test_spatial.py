@@ -288,3 +288,21 @@ def test_knn_haversine_matches_brute(points_ds):
         assert got["page_id"].tolist() == ids[order].tolist()
         np.testing.assert_allclose(got["dist_km"].to_numpy(),
                                    np.floor(dkm[order] * 1e6 + 0.5) / 1e6)
+
+
+def test_pip_join_indexed_equals_broadcast_pip(points_ds):
+    from cuda_gis_smoothing_ray.functions import hexgrid
+    from cuda_gis_smoothing_ray.stages.pip import pip_join
+    from cuda_gis_smoothing_ray.stages.spatialjoin import pip_join_indexed
+
+    ds, _ = points_ds
+
+    def add_cell(batch):
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        return batch.append_column("cell", pa.array(hexgrid.latlon_to_cell(lat, lon, 7)))
+
+    geo = ds.map_batches(add_cell, batch_format="pyarrow")
+    a = set(map(tuple, pip_join_indexed(geo, res=7).to_pandas().itertuples(index=False)))
+    b = set(map(tuple, pip_join(geo).to_pandas().itertuples(index=False)))
+    assert a == b and len(a) > 0
