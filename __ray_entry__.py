@@ -1291,6 +1291,13 @@ def _q_hll_registers(sf_dir: str):
     return hll_registers(_pages_urls(sf_dir))
 
 
+def _q_host_split(sf_dir: str):
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.textops import host_split
+
+    return host_split(read_pages(sf_dir, include_html=False)).sort("page_id")
+
+
 def _q_hosts_union(sf_dir: str, col: str = "host"):
     """UNION set operation: distinct hosts in 'en' OR 'de' pages —
     completes the EXCEPT / INTERSECT family with the same batch-local-dedup
@@ -1533,6 +1540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_hosts_by_lang": _q_top_hosts_by_lang,
         "hosts_en_not_de": _q_hosts_except,
         "hosts_union": _q_hosts_union,
+        "host_split": _q_host_split,
         "lang_distinct_hosts": _q_lang_distinct_hosts,
         "tlds_en_and_de": lambda d: _q_hosts_except(d, anti=False, col="tld"),
         "extract_text": _q_extract_text,
@@ -1648,6 +1656,7 @@ def oracle_sql() -> dict[str, str]:
         "top_hosts_by_lang": o.top_hosts_by_lang_sql(5),
         "hosts_en_not_de": o.hosts_except_sql(),
         "hosts_union": o.hosts_except_sql("UNION"),
+        "host_split": oc.host_split_sql(),
         "lang_distinct_hosts": o.lang_distinct_hosts_sql(),
         "tlds_en_and_de": o.hosts_except_sql("INTERSECT", col="tld"),
         # hll_hosts is a sketch (estimate): rows-only; error gated in

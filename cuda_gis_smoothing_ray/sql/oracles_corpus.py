@@ -1714,3 +1714,38 @@ def len_histogram_sql(width: int) -> str:
 FROM documents
 GROUP BY 1
 ORDER BY bucket"""
+
+
+def host_split_sql() -> str:
+    """Oracle of stages/textops.host_split: splitmix64(FNV fold over host
+    bytes) in HUGEINT mod 2^64 (same chain as hll_registers_sql), bucketed
+    by the split weights."""
+    from ..stages import textops as t
+
+    from .oracles import pages_cte
+
+    fold = (f"list_reduce(list_transform(string_split(host, ''), "
+            f"c -> ascii(c)::HUGEINT), (h, b) -> ((h * {_FNV}) % {_M64} + b) % {_M64})")
+    acc = 0
+    cases = []
+    for name, w in t.SPLIT_WEIGHTS:
+        acc += w
+        cases.append(f"WHEN hb < {acc} THEN '{name}'")
+    case = " ".join(cases)
+    return f"""WITH {pages_cte()}, ph AS (
+  SELECT page_id, split_part(url, '/', 3) AS host FROM pages
+), p0 AS (
+  SELECT page_id, host, CASE WHEN length(host) = 0 THEN 0::HUGEINT ELSE {fold} END AS h0
+  FROM ph
+), z1 AS (
+  SELECT page_id, host, (h0 + 11400714819323198485) % {_M64} AS z1 FROM p0
+), z2 AS (
+  SELECT page_id, host, {_mulmod64("xor(z1, z1 >> 30)", "13787848793156543929")} AS z2 FROM z1
+), z3 AS (
+  SELECT page_id, host, {_mulmod64("xor(z2, z2 >> 27)", "10723151780598845931")} AS z3 FROM z2
+), hh AS (
+  SELECT page_id, host, CAST(xor(z3, z3 >> 31) % {t.SPLIT_MOD} AS BIGINT) AS hb FROM z3
+)
+SELECT page_id, host, CASE {case} END AS split
+FROM hh
+ORDER BY page_id"""

@@ -1321,3 +1321,35 @@ def len_histogram(docs_ds, width: int = 200, text_col: str = "text"):
         .aggregate(Sum("n_part"))
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def host_split(pages_ds, weights: tuple[tuple[str, int], ...] = SPLIT_WEIGHTS,
+               mod: int = SPLIT_MOD):
+    """Leakage-safe (group-aware) train/val/test split: the bucket is a hash
+    of the HOST, so every page of a host lands in the same split — the
+    assignment a training pipeline needs to stop near-duplicate pages of one
+    site straddling train and test.  -> (page_id, host, split).
+
+    Pure streaming map (the host hash is ``functions.hashing.poly_hash64``,
+    whose uint64 arithmetic the SQL oracle reproduces in HUGEINT)."""
+    from ..functions.hashing import poly_hash64
+
+    names = [n for n, _ in weights]
+    bounds = np.cumsum([w for _, w in weights])
+    if bounds[-1] != mod:
+        raise ValueError(f"split weights must sum to {mod}, got {bounds[-1]}")
+
+    def f(batch: pa.Table) -> pa.Table:
+        host = pc.list_element(pc.split_pattern(batch.column("url"), pattern="/"), 2)
+        h = (poly_hash64(host) % np.uint64(mod)).astype(np.int64)
+        idx = np.searchsorted(bounds, h, side="right")
+        split = np.array(names, dtype=object)[idx]
+        return pa.table(
+            {
+                "page_id": batch.column("page_id"),
+                "host": host,
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    return pages_ds.map_batches(f, batch_format="pyarrow")

@@ -53,3 +53,21 @@ def test_len_histogram_exact_counts():
     out = len_histogram(docs, width=10).to_pandas().sort_values("bucket")
     got = list(zip(out["bucket"], out["lo"], out["n_docs"]))
     assert got == [(0, 0, 2), (1, 10, 2), (2, 20, 1), (9, 90, 1), (10, 100, 1)]
+
+
+def test_host_split_is_group_consistent():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import host_split
+
+    rows = [
+        {"page_id": i, "url": f"https://h{i % 17}.com/p/{i}"}
+        for i in range(500)
+    ]
+    out = host_split(rd.from_items(rows)).to_pandas()
+    # leakage-safety: one split per host, deterministic across runs
+    per_host = out.groupby("host")["split"].nunique()
+    assert (per_host == 1).all()
+    out2 = host_split(rd.from_items(rows)).to_pandas().sort_values("page_id")
+    assert (out.sort_values("page_id")["split"].to_numpy() == out2["split"].to_numpy()).all()
+    assert set(out["split"]) <= {"train", "val", "test"}
