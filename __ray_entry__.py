@@ -1291,6 +1291,12 @@ def _q_hll_registers(sf_dir: str):
     return hll_registers(_pages_urls(sf_dir))
 
 
+def _q_lang_confusion(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.textops import lang_confusion
+
+    return lang_confusion(_docs(sf_dir, ("doc_id", "text", "lang"))).sort(["lang", "pred_lang"])
+
+
 def _q_host_split(sf_dir: str):
     from cuda_gis_smoothing_ray.sources.pages import read_pages
     from cuda_gis_smoothing_ray.stages.textops import host_split
@@ -1541,6 +1547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hosts_en_not_de": _q_hosts_except,
         "hosts_union": _q_hosts_union,
         "host_split": _q_host_split,
+        "lang_confusion": _q_lang_confusion,
         "lang_distinct_hosts": _q_lang_distinct_hosts,
         "tlds_en_and_de": lambda d: _q_hosts_except(d, anti=False, col="tld"),
         "extract_text": _q_extract_text,
@@ -1657,6 +1664,7 @@ def oracle_sql() -> dict[str, str]:
         "hosts_en_not_de": o.hosts_except_sql(),
         "hosts_union": o.hosts_except_sql("UNION"),
         "host_split": oc.host_split_sql(),
+        "lang_confusion": oc.lang_confusion_sql(),
         "lang_distinct_hosts": o.lang_distinct_hosts_sql(),
         "tlds_en_and_de": o.hosts_except_sql("INTERSECT", col="tld"),
         # hll_hosts is a sketch (estimate): rows-only; error gated in

@@ -1749,3 +1749,14 @@ def host_split_sql() -> str:
 SELECT page_id, host, CASE {case} END AS split
 FROM hh
 ORDER BY page_id"""
+
+
+def lang_confusion_sql() -> str:
+    """Oracle of stages/textops.lang_confusion: label x prediction counts
+    over the lang_id CTE logic."""
+    base = lang_id_sql()
+    return f"""WITH pred AS ({base})
+SELECT lang, pred_lang, count(*) AS n_docs
+FROM pred
+GROUP BY lang, pred_lang
+ORDER BY lang, pred_lang"""

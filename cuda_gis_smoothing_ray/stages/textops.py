@@ -1353,3 +1353,39 @@ def host_split(pages_ds, weights: tuple[tuple[str, int], ...] = SPLIT_WEIGHTS,
         )
 
     return pages_ds.map_batches(f, batch_format="pyarrow")
+
+
+def lang_confusion(ds):
+    """Classifier-eval confusion matrix: stored label x predicted lang_id ->
+    (lang, pred_lang, n_docs).  Batch-local pair counts shuffle (bounded by
+    |langs|^2 rows/batch) — the standard eval pass a pipeline runs on its
+    heuristic classifiers before trusting their filters at volume."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = pd.DataFrame(
+            {
+                "lang": batch.column("lang").to_numpy(zero_copy_only=False),
+                "pred_lang": np.asarray(textstats.lang_id(batch.column("text"))),
+            }
+        )
+        g = df.groupby(["lang", "pred_lang"], sort=False).size().reset_index(name="n_part")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "pred_lang": batch.column("pred_lang"),
+                "n_docs": batch.column("sum(n_part)"),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "pred_lang"])
+        .aggregate(Sum("n_part"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )

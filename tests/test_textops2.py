@@ -71,3 +71,27 @@ def test_host_split_is_group_consistent():
     out2 = host_split(rd.from_items(rows)).to_pandas().sort_values("page_id")
     assert (out.sort_values("page_id")["split"].to_numpy() == out2["split"].to_numpy()).all()
     assert set(out["split"]) <= {"train", "val", "test"}
+
+
+def test_lang_confusion_counts_off_diagonal():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.functions import textstats
+    from cuda_gis_smoothing_ray.stages.textops import lang_confusion
+
+    # construct texts the marker heuristic will misclassify
+    en = "the and for with that this from have the and"
+    de = "der die und das nicht mit von ist der die"
+    rows = (
+        [{"doc_id": i, "lang": "en", "text": en} for i in range(10)]
+        + [{"doc_id": 100 + i, "lang": "en", "text": de} for i in range(3)]  # mislabeled
+        + [{"doc_id": 200 + i, "lang": "de", "text": de} for i in range(7)]
+    )
+    out = lang_confusion(rd.from_items(rows)).to_pandas()
+    m = {(r.lang, r.pred_lang): r.n_docs for r in out.itertuples()}
+    pred_en = textstats.lang_id(__import__("pyarrow").array([en]))[0]
+    pred_de = textstats.lang_id(__import__("pyarrow").array([de]))[0]
+    assert m[("en", pred_en)] == 10
+    assert m[("en", pred_de)] == 3
+    assert m[("de", pred_de)] == 7
+    assert out["n_docs"].sum() == 20
