@@ -1760,3 +1760,28 @@ SELECT lang, pred_lang, count(*) AS n_docs
 FROM pred
 GROUP BY lang, pred_lang
 ORDER BY lang, pred_lang"""
+
+
+def text_len_quantiles_cont_sql(qs=(0.5, 0.9, 0.99)) -> str:
+    """Oracle of stages/sketch.quantiles_cont over text length: explicit
+    rank + linear-interpolation expression (v_lo + frac * (v_hi - v_lo)),
+    NOT DuckDB's internal quantile_cont — full control of the float ops."""
+    from .oracles import D, round6
+
+    sel = []
+    for q in qs:
+        h = f"(n.n - 1) * {D(q)}"
+        lo = f"CAST(floor({h}) AS BIGINT)"
+        hi = f"least({lo} + 1, n.n - 1)"
+        vlo = f"(SELECT CAST(v AS DOUBLE) FROM r WHERE rn = {lo})"
+        vhi = f"(SELECT CAST(v AS DOUBLE) FROM r WHERE rn = {hi})"
+        expr = f"{vlo} + ({h} - floor({h})) * ({vhi} - {vlo})"
+        sel.append(
+            f"SELECT CAST({q} AS DOUBLE) AS q, {round6(expr)} AS value FROM n"
+        )
+    union = " UNION ALL ".join(sel)
+    return f"""WITH v AS (SELECT length(text) AS v FROM documents),
+r AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rn FROM v),
+n AS (SELECT count(*) AS n FROM v)
+{union}
+ORDER BY q"""

@@ -584,3 +584,43 @@ def cms_user_counts(ds, width: int = CMS_W, a=CMS_A, b=CMS_B):
                          "n_est": pa.array(est)})
 
     return exact.map_batches(estimate, batch_format="pyarrow", batch_size=None)
+
+
+def quantiles_cont(ds, col_fn, qs: tuple[float, ...] = QUANTILES):
+    """PERCENTILE_CONT semantics: linear interpolation at rank
+    ``h = (n-1) * q`` -> (q, value:double).  Same histogram plan as
+    :func:`quantiles` (per-batch value counts, one bounded value-keyed
+    shuffle); only the driver-side finalize differs — and the interpolation
+    expression ``v_lo + frac * (v_hi - v_lo)`` is mirrored verbatim in the
+    SQL oracle (no reliance on DuckDB's internal quantile_cont)."""
+    from ..functions.reduce import hash_groupby
+
+    def counts(batch: pa.Table) -> pa.Table:
+        v = col_fn(batch)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"value": pa.array(uniq.astype(np.int64)), "cnt": pa.array(cnt.astype(np.int64))})
+
+    hist = (
+        hash_groupby(ds.map_batches(counts, batch_format="pyarrow", batch_size=None),
+                     "value", ["cnt"], how="sum")
+        .to_pandas()
+        .sort_values("value")
+    )
+    c = hist["cnt"].to_numpy().astype(np.int64)
+    v = hist["value"].to_numpy().astype(np.int64)
+    n = int(c.sum())
+    cum = np.cumsum(c)
+
+    def value_at(rank: int) -> float:
+        return float(v[int(np.searchsorted(cum, rank + 1))])
+
+    out_q, out_v = [], []
+    for q in qs:
+        h = (n - 1) * q
+        lo = int(np.floor(h))
+        hi = min(lo + 1, n - 1)
+        frac = h - np.floor(h)
+        val = value_at(lo) + frac * (value_at(hi) - value_at(lo))
+        out_q.append(float(q))
+        out_v.append(np.floor(val * 1e6 + 0.5) / 1e6)
+    return pa.table({"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.float64())})

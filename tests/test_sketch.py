@@ -225,3 +225,19 @@ def test_hll_registers_estimate_consistent(id_ds):
     if est <= 2.5 * m and zeros > 0:
         est = m * np.log(m / zeros)
     assert abs(est - 1777) / 1777 < 0.05
+
+
+def test_quantiles_cont_matches_numpy_linear():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import quantiles_cont
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 1000, 501)
+    ds = rd.from_items([{"v": int(x)} for x in vals])
+    out = quantiles_cont(
+        ds, lambda b: b.column("v").to_numpy(zero_copy_only=False), qs=(0.25, 0.5, 0.9)
+    ).to_pandas().set_index("q")
+    for q in (0.25, 0.5, 0.9):
+        want = np.quantile(vals, q, method="linear")
+        assert abs(out.loc[q, "value"] - want) < 1e-5, (q, out.loc[q, "value"], want)
