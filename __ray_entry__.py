@@ -1448,6 +1448,14 @@ def _q_gap_fill(sf_dir: str):
         ["user_id", "bucket_start"])
 
 
+def _q_cohort_retention(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.cohort_retention(events.read_events(sf_dir)).sort(
+        ["cohort_day", "day_offset"]
+    )
+
+
 def _q_sessionize(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import events
 
@@ -1520,6 +1528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_quality_by_lang": _q_text_quality_by_lang,
         "events_window": _q_events_window,
         "sessionize": _q_sessionize,
+        "cohort_retention": _q_cohort_retention,
         "gap_fill": _q_gap_fill,
         "event_ntiles": _q_event_ntiles,
         "funnel": _q_funnel,
@@ -1640,6 +1649,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality_by_lang": oc.text_quality_by_lang_sql(),
         "events_window": oc.events_window_sql(),
         "sessionize": oc.sessionize_sql(),
+        "cohort_retention": oc.cohort_retention_sql(),
         "gap_fill": oc.gap_fill_sql(),
         "event_ntiles": oc.event_ntiles_sql(),
         "funnel": oc.funnel_sql(),

@@ -1785,3 +1785,19 @@ r AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rn FROM v),
 n AS (SELECT count(*) AS n FROM v)
 {union}
 ORDER BY q"""
+
+
+def cohort_retention_sql(bucket_us: int = 86_400_000_000) -> str:
+    """Oracle of stages/events.cohort_retention (all-integer day buckets)."""
+    return f"""WITH e AS (
+  SELECT user_id, epoch_us(ts) // {bucket_us} AS day FROM events
+),
+c AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id),
+a AS (
+  SELECT DISTINCT e.user_id, c.cohort, e.day - c.cohort AS day_offset
+  FROM e JOIN c ON e.user_id = c.user_id
+)
+SELECT cohort AS cohort_day, day_offset, count(*) AS n_users
+FROM a
+GROUP BY 1, 2
+ORDER BY 1, 2"""

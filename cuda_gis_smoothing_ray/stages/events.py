@@ -642,3 +642,58 @@ def funnel(ds, steps: tuple[str, ...] = ("view", "click", "purchase"),
         return pd.DataFrame(row)
 
     return ds.groupby("user_id").map_groups(solve)
+
+
+DAY_US = 86_400_000_000
+
+
+def cohort_retention(ds, bucket_us: int = DAY_US):
+    """Cohort retention: users bucketed by their FIRST-activity day, counted
+    per (cohort_day, day_offset) of later activity -> (cohort_day,
+    day_offset, n_users).  All-integer arithmetic (exact across engines).
+
+    One user-keyed hash-partition pass computes per-user cohort + distinct
+    activity buckets and reduces to partial (cohort, offset) counts inside
+    the partition, so the final shuffle carries only |cohorts x offsets|
+    rows — the analytics query every event pipeline ships."""
+    from ray.data.aggregate import Sum
+
+    n_parts = 64
+    _G = np.uint64(0x9E3779B97F4A7C15)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[us]").astype(np.int64) // bucket_us
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"user_id": uid, "day": day}).drop_duplicates()
+        part = ((df["user_id"].to_numpy().view(np.uint64) * _G) >> np.uint64(52)) % np.uint64(n_parts)
+        return pa.Table.from_pandas(df.assign(__part=part.astype(np.int64)), preserve_index=False)
+
+    def solve(group: pd.DataFrame) -> pd.DataFrame:
+        df = group.drop_duplicates(["user_id", "day"]).copy()
+        df["cohort_day"] = df.groupby("user_id")["day"].transform("min")
+        df["day_offset"] = df["day"] - df["cohort_day"]
+        out = (
+            df.groupby(["cohort_day", "day_offset"], sort=False)
+            .size()
+            .reset_index(name="n_part")
+        )
+        return out
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_day": batch.column("cohort_day"),
+                "day_offset": batch.column("day_offset"),
+                "n_users": batch.column("sum(n_part)"),
+            }
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(solve, batch_format="pandas")
+        .groupby(["cohort_day", "day_offset"])
+        .aggregate(Sum("n_part"))
+        .map_batches(finalize, batch_format="pyarrow")
+    )

@@ -205,3 +205,25 @@ def test_funnel_window_and_ordering():
     assert out["ts_1"].tolist() == [10, 10, 0, -1]
     assert out["ts_2"].tolist() == [20, -1, -1, -1]
     assert out["ts_3"].tolist() == [25, -1, -1, -1]
+
+
+def test_cohort_retention_hand_case():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import DAY_US, cohort_retention
+
+    us = 1_000_000
+    day = 86_400 * us
+    rows = [
+        # user 1: first day 0, active days 0, 1, 3 (two events day 0 dedup)
+        {"event_id": 1, "ts": np.datetime64(0, "us"), "user_id": 1},
+        {"event_id": 2, "ts": np.datetime64(5 * us, "us"), "user_id": 1},
+        {"event_id": 3, "ts": np.datetime64(day + us, "us"), "user_id": 1},
+        {"event_id": 4, "ts": np.datetime64(3 * day, "us"), "user_id": 1},
+        # user 2: first day 1, active days 1, 3
+        {"event_id": 5, "ts": np.datetime64(day + 2 * us, "us"), "user_id": 2},
+        {"event_id": 6, "ts": np.datetime64(3 * day + us, "us"), "user_id": 2},
+    ]
+    out = cohort_retention(rd.from_items(rows), bucket_us=DAY_US).to_pandas()
+    got = {(r.cohort_day, r.day_offset): r.n_users for r in out.itertuples()}
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 2): 1}
