@@ -1448,6 +1448,20 @@ def _q_gap_fill(sf_dir: str):
         ["user_id", "bucket_start"])
 
 
+def _q_lang_share(sf_dir: str):
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.relagg import ratio_to_report
+
+    pages = read_pages(sf_dir, include_html=False).select_columns(["lang"])
+    return ratio_to_report(pages, "lang").sort("lang")
+
+
+def _q_cooccurrence(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.cooccurrence(events.read_events(sf_dir)).sort(["a", "b"])
+
+
 def _q_cohort_retention(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import events
 
@@ -1529,6 +1543,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "sessionize": _q_sessionize,
         "cohort_retention": _q_cohort_retention,
+        "cooccurrence": _q_cooccurrence,
+        "lang_share": _q_lang_share,
         "gap_fill": _q_gap_fill,
         "event_ntiles": _q_event_ntiles,
         "funnel": _q_funnel,
@@ -1650,6 +1666,8 @@ def oracle_sql() -> dict[str, str]:
         "events_window": oc.events_window_sql(),
         "sessionize": oc.sessionize_sql(),
         "cohort_retention": oc.cohort_retention_sql(),
+        "cooccurrence": oc.cooccurrence_sql(),
+        "lang_share": oc.lang_share_sql(),
         "gap_fill": oc.gap_fill_sql(),
         "event_ntiles": oc.event_ntiles_sql(),
         "funnel": oc.funnel_sql(),

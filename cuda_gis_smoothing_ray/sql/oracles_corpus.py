@@ -1801,3 +1801,30 @@ SELECT cohort AS cohort_day, day_offset, count(*) AS n_users
 FROM a
 GROUP BY 1, 2
 ORDER BY 1, 2"""
+
+
+def cooccurrence_sql(window_us: int = events.WINDOW_US) -> str:
+    """Oracle of stages/events.cooccurrence (uncapped)."""
+    return f"""WITH e AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {window_us} AS w FROM events
+),
+p AS (
+  SELECT a.user_id AS a, b.user_id AS b
+  FROM e a JOIN e b ON a.w = b.w AND a.user_id < b.user_id
+)
+SELECT a, b, count(*) AS n_windows
+FROM p
+GROUP BY a, b
+ORDER BY a, b"""
+
+
+def lang_share_sql() -> str:
+    """Oracle of stages/relagg.ratio_to_report over pages by lang."""
+    from .oracles import pages_cte
+
+    return f"""WITH {pages_cte()},
+c AS (SELECT lang, count(*) AS n_rows FROM pages GROUP BY lang)
+SELECT lang, n_rows,
+  {round6('CAST(n_rows AS DOUBLE) / (SELECT CAST(sum(n_rows) AS DOUBLE) FROM c)')} AS share
+FROM c
+ORDER BY lang"""

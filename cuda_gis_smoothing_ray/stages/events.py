@@ -697,3 +697,55 @@ def cohort_retention(ds, bucket_us: int = DAY_US):
         .aggregate(Sum("n_part"))
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def cooccurrence(ds, window_us: int = WINDOW_US, max_users_per_window: int | None = None):
+    """User co-occurrence graph from the event log: pairs of users active in
+    the same time window, weighted by shared-window count ->
+    (a, b, n_windows) with a < b.
+
+    The log-to-graph step (session co-visitation, co-editing, co-citation):
+    distinct (user, window) pairs shuffle once keyed by window, each window
+    group emits its user pairs vectorized (triu indices), and pair counts
+    reduce via a packed-int64 hash partition (Python per partition).  A hot
+    window is inherently quadratic in its user count — ``max_users_per_window``
+    caps it explicitly (truncating deterministically to the lowest ids)
+    rather than letting one viral hour produce 10^12 pairs silently."""
+    from ..functions.reduce import hash_groupby
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        w = ts.astype("datetime64[us]").astype(np.int64) // window_us
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"w": w, "user_id": uid}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def expand(group: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(group["user_id"].to_numpy())
+        if max_users_per_window is not None and len(u) > max_users_per_window:
+            u = u[:max_users_per_window]
+        if len(u) < 2:
+            return pd.DataFrame({"key": pd.Series([], dtype="int64"),
+                                 "n_part": pd.Series([], dtype="int64")})
+        ai, bi = np.triu_indices(len(u), k=1)
+        key = (u[ai] << np.int64(32)) | u[bi]  # user ids < 2^31 by contract
+        return pd.DataFrame({"key": key, "n_part": np.ones(len(key), dtype=np.int64)})
+
+    pair_rows = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("w")
+        .map_groups(expand, batch_format="pandas")
+    )
+    counted = hash_groupby(pair_rows, "key", ["n_part"], how="isum")
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        key = batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(key >> np.int64(32)),
+                "b": pa.array(key & np.int64((1 << 32) - 1)),
+                "n_windows": batch.column("n_part"),
+            }
+        )
+
+    return counted.map_batches(unpack, batch_format="pyarrow")

@@ -293,3 +293,29 @@ def tpch_q3(sf_dir: str, cutoff: str = Q3_CUTOFF, segment: str = Q3_SEGMENT,
                                   as_index=False)["revenue_cents"].sum())
     )
     return topk(per_order, k, by="revenue_cents", tie_cols=("l_orderkey",))
+
+
+def ratio_to_report(ds, group_col: str, n_parts_hint: int = 1):
+    """Share-of-total per group (the RATIO_TO_REPORT window function):
+    -> (group_col, n_rows, share).  Bounded-key count shuffle, then the
+    grand total is computed inside ONE single-block pass over the tiny
+    per-group table — no driver materialization, no second scan of the
+    input."""
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby(group_col).aggregate(Count()).repartition(1)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("count()").to_numpy(zero_copy_only=False).astype(np.int64)
+        total = float(n.sum())
+        return pa.table(
+            {
+                group_col: batch.column(group_col),
+                "n_rows": pa.array(n),
+                "share": pa.array(np.floor(n.astype(np.float64) / total * 1e6 + 0.5) / 1e6),
+            }
+        )
+
+    return counts.map_batches(finalize, batch_format="pyarrow")

@@ -227,3 +227,27 @@ def test_cohort_retention_hand_case():
     out = cohort_retention(rd.from_items(rows), bucket_us=DAY_US).to_pandas()
     got = {(r.cohort_day, r.day_offset): r.n_users for r in out.itertuples()}
     assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 2): 1}
+
+
+def test_cooccurrence_hand_case_and_cap():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import WINDOW_US, cooccurrence
+
+    us = 1_000_000
+    rows = [
+        # window 0: users 1, 2, 3 (user 1 twice -> dedup)
+        {"event_id": 1, "ts": np.datetime64(0, "us"), "user_id": 1},
+        {"event_id": 2, "ts": np.datetime64(5 * us, "us"), "user_id": 1},
+        {"event_id": 3, "ts": np.datetime64(6 * us, "us"), "user_id": 2},
+        {"event_id": 4, "ts": np.datetime64(7 * us, "us"), "user_id": 3},
+        # window 1: users 1, 2
+        {"event_id": 5, "ts": np.datetime64(WINDOW_US + us, "us"), "user_id": 1},
+        {"event_id": 6, "ts": np.datetime64(WINDOW_US + 2 * us, "us"), "user_id": 2},
+    ]
+    out = cooccurrence(rd.from_items(rows)).to_pandas()
+    got = {(r.a, r.b): r.n_windows for r in out.itertuples()}
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+    capped = cooccurrence(rd.from_items(rows), max_users_per_window=2).to_pandas()
+    got2 = {(r.a, r.b): r.n_windows for r in capped.itertuples()}
+    assert got2 == {(1, 2): 2}  # window-0 user 3 truncated deterministically

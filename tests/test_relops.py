@@ -365,3 +365,14 @@ def test_pricing_summary_planted():
     assert got["base_cents"].tolist() == [3000, 3000]
     assert got["disc_cents"].tolist() == [2900, 1500]
     assert got["charge_cents"].tolist() == [3100, 1500]
+
+
+def test_ratio_to_report_shares_sum_to_one():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.relagg import ratio_to_report
+
+    ds = rd.from_items([{"g": "a"}] * 30 + [{"g": "b"}] * 60 + [{"g": "c"}] * 10)
+    out = ratio_to_report(ds, "g").to_pandas().set_index("g")
+    assert out.loc["a", "share"] == 0.3 and out.loc["b", "share"] == 0.6
+    assert out["n_rows"].sum() == 100
