@@ -1448,6 +1448,23 @@ def _q_gap_fill(sf_dir: str):
         ["user_id", "bucket_start"])
 
 
+def _q_fuzzy_hosts(sf_dir: str):
+    import pyarrow.compute as pc_
+
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.textops import fuzzy_value_join
+
+    pages = read_pages(sf_dir, include_html=False).select_columns(["url"])
+
+    def hosts(batch: pa.Table) -> pa.Table:
+        h = pc_.list_element(pc_.split_pattern(batch.column("url"), pattern="/"), 2)
+        return pa.table({"host": h})
+
+    return fuzzy_value_join(
+        pages.map_batches(hosts, batch_format="pyarrow"), "host"
+    ).sort(["a", "b"])
+
+
 def _q_lang_share(sf_dir: str):
     from cuda_gis_smoothing_ray.sources.pages import read_pages
     from cuda_gis_smoothing_ray.stages.relagg import ratio_to_report
@@ -1545,6 +1562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": _q_cohort_retention,
         "cooccurrence": _q_cooccurrence,
         "lang_share": _q_lang_share,
+        "fuzzy_hosts": _q_fuzzy_hosts,
         "gap_fill": _q_gap_fill,
         "event_ntiles": _q_event_ntiles,
         "funnel": _q_funnel,
@@ -1668,6 +1686,7 @@ def oracle_sql() -> dict[str, str]:
         "cohort_retention": oc.cohort_retention_sql(),
         "cooccurrence": oc.cooccurrence_sql(),
         "lang_share": oc.lang_share_sql(),
+        "fuzzy_hosts": oc.fuzzy_hosts_sql(),
         "gap_fill": oc.gap_fill_sql(),
         "event_ntiles": oc.event_ntiles_sql(),
         "funnel": oc.funnel_sql(),

@@ -1828,3 +1828,16 @@ SELECT lang, n_rows,
   {round6('CAST(n_rows AS DOUBLE) / (SELECT CAST(sum(n_rows) AS DOUBLE) FROM c)')} AS share
 FROM c
 ORDER BY lang"""
+
+
+def fuzzy_hosts_sql() -> str:
+    """Oracle of stages/textops.fuzzy_value_join over distinct hosts
+    (DuckDB's levenshtein as the independent distance implementation)."""
+    from .oracles import pages_cte
+
+    return f"""WITH {pages_cte()},
+hosts AS (SELECT DISTINCT split_part(url, '/', 3) AS h FROM pages)
+SELECT a.h AS a, b.h AS b
+FROM hosts a JOIN hosts b
+  ON a.h < b.h AND levenshtein(a.h, b.h) <= 1
+ORDER BY a, b"""

@@ -1389,3 +1389,80 @@ def lang_confusion(ds):
         .aggregate(Sum("n_part"))
         .map_batches(finalize, batch_format="pyarrow")
     )
+
+
+def _within_edit1(s: str, t: str) -> bool:
+    """Exact edit-distance <= 1 check for a candidate pair (s != t)."""
+    ls, lt = len(s), len(t)
+    if abs(ls - lt) > 1:
+        return False
+    if ls == lt:
+        return sum(a != b for a, b in zip(s, t)) <= 1
+    if ls > lt:
+        s, t, ls, lt = t, s, lt, ls
+    # t is s plus one inserted char: advance past the single mismatch
+    i = 0
+    while i < ls and s[i] == t[i]:
+        i += 1
+    return s[i:] == t[i + 1:]
+
+
+def fuzzy_value_join(ds, col: str, n_parts: int = 64):
+    """Similarity self-join at edit distance <= 1 via deletion-neighborhood
+    blocking: every DISTINCT value emits itself plus each single-deletion
+    variant as a blocking key; two values at distance <= 1 are guaranteed to
+    share a key (substitution -> delete the differing position from both;
+    insertion -> the shorter string IS a deletion variant of the longer).
+    Candidates sharing a key get the exact O(len) <=1 check; surviving pairs
+    dedupe through one hash-partition distinct.  -> (a, b) with a < b.
+
+    Scale shape: only distinct values x (len+1) variant rows shuffle — the
+    standard typo-dedup join (hosts, brand names, near-identical titles) at
+    any cardinality; no all-pairs comparison ever happens."""
+    from ..functions.hashing import md5_hash64
+    from .join import distinct_values
+
+    def variants(batch: pa.Table) -> pa.Table:
+        vals = np.unique(batch.column(col).to_numpy(zero_copy_only=False))
+        key_o, val_o = [], []
+        for v in vals:
+            s = str(v)
+            key_o.append(s)
+            val_o.append(s)
+            for i in range(len(s)):
+                key_o.append(s[:i] + s[i + 1:])
+                val_o.append(s)
+        return pa.table({"bkey": pa.array(key_o, pa.string()),
+                         "val": pa.array(val_o, pa.string())})
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(group["val"].to_numpy())
+        out_a, out_b = [], []
+        for i in range(len(u)):
+            for j in range(i + 1, len(u)):
+                if _within_edit1(str(u[i]), str(u[j])):
+                    out_a.append(u[i])
+                    out_b.append(u[j])
+        return pd.DataFrame({"pair": [f"{a}\x00{b}" for a, b in zip(out_a, out_b)]})
+
+    import pandas as pd  # noqa: F401
+
+    cand = (
+        ds.map_batches(variants, batch_format="pyarrow")
+        .groupby("bkey")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    deduped = distinct_values(cand, "pair", n_parts=n_parts)
+
+    def split(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        parts = pc_.split_pattern(batch.column("pair"), pattern="\x00")
+        return pa.table(
+            {
+                "a": pc_.list_element(parts, 0),
+                "b": pc_.list_element(parts, 1),
+            }
+        )
+
+    return deduped.map_batches(split, batch_format="pyarrow")

@@ -95,3 +95,36 @@ def test_lang_confusion_counts_off_diagonal():
     assert m[("en", pred_de)] == 3
     assert m[("de", pred_de)] == 7
     assert out["n_docs"].sum() == 20
+
+
+def test_fuzzy_value_join_matches_brute_levenshtein():
+    import itertools
+
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import fuzzy_value_join
+
+    def lev(s, t):
+        if len(s) < len(t):
+            s, t = t, s
+        prev = list(range(len(t) + 1))
+        for i, cs in enumerate(s, 1):
+            cur = [i]
+            for j, ct in enumerate(t, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct)))
+            prev = cur
+        return prev[-1]
+
+    vals = [
+        "alpha", "alpho", "alph", "aalpha", "beta", "betas", "bela",
+        "gamma", "gamma", "gxmma", "delta", "dolta", "del", "deltaa",
+        "x", "xy", "y", "zzz",
+    ]
+    ds = rd.from_items([{"v": v} for v in vals])
+    out = fuzzy_value_join(ds, "v").to_pandas()
+    got = set(zip(out["a"], out["b"]))
+    uniq = sorted(set(vals))
+    want = {
+        (a, b) for a, b in itertools.combinations(uniq, 2) if lev(a, b) <= 1
+    }
+    assert got == want and len(want) >= 6
