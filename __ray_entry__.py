@@ -1448,6 +1448,24 @@ def _q_gap_fill(sf_dir: str):
         ["user_id", "bucket_start"])
 
 
+def _q_first_events(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import events
+    from cuda_gis_smoothing_ray.stages.relagg import group_head
+
+    ds = events.read_events(sf_dir, columns=("event_id", "ts", "user_id", "event_type"))
+    out = group_head(ds, "user_id", ["ts", "event_id"], 3,
+                     ["event_id", "ts", "event_type"])
+    return out.select_columns(["user_id", "rank", "event_id", "ts", "event_type"]).sort(
+        ["user_id", "rank"]
+    )
+
+
+def _q_char_entropy(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.textops import char_entropy
+
+    return char_entropy(_docs(sf_dir)).sort("doc_id")
+
+
 def _q_fuzzy_hosts(sf_dir: str):
     import pyarrow.compute as pc_
 
@@ -1563,6 +1581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cooccurrence": _q_cooccurrence,
         "lang_share": _q_lang_share,
         "fuzzy_hosts": _q_fuzzy_hosts,
+        "char_entropy": _q_char_entropy,
+        "first_events": _q_first_events,
         "gap_fill": _q_gap_fill,
         "event_ntiles": _q_event_ntiles,
         "funnel": _q_funnel,
@@ -1687,6 +1707,8 @@ def oracle_sql() -> dict[str, str]:
         "cooccurrence": oc.cooccurrence_sql(),
         "lang_share": oc.lang_share_sql(),
         "fuzzy_hosts": oc.fuzzy_hosts_sql(),
+        "char_entropy": oc.char_entropy_sql(),
+        "first_events": oc.first_events_sql(3),
         "gap_fill": oc.gap_fill_sql(),
         "event_ntiles": oc.event_ntiles_sql(),
         "funnel": oc.funnel_sql(),

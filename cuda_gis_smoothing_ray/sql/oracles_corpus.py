@@ -1841,3 +1841,38 @@ SELECT a.h AS a, b.h AS b
 FROM hosts a JOIN hosts b
   ON a.h < b.h AND levenshtein(a.h, b.h) <= 1
 ORDER BY a, b"""
+
+
+def char_entropy_sql() -> str:
+    """Oracle of stages/textops.char_entropy (per-codepoint counts; the
+    synthetic corpus is ASCII so codepoint == byte)."""
+    return """WITH c AS (
+  SELECT doc_id, t.ch, count(*) AS c
+  FROM documents, LATERAL (SELECT unnest(string_split(text, '')) AS ch) t
+  WHERE length(text) > 0
+  GROUP BY doc_id, t.ch
+),
+n AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS n, CAST(sum(c) AS BIGINT) AS n_chars FROM c GROUP BY doc_id),
+e AS (
+  SELECT c.doc_id, n.n_chars,
+    -sum((CAST(c.c AS DOUBLE) / n.n) * log2(CAST(c.c AS DOUBLE) / n.n)) AS ent
+  FROM c JOIN n ON c.doc_id = n.doc_id
+  GROUP BY c.doc_id, n.n_chars
+)
+SELECT d.doc_id,
+  COALESCE(e.n_chars, 0) AS n_chars,
+  floor(COALESCE(e.ent, 0.0) * 1000000.0 + 0.5) / 1000000.0 AS entropy
+FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+ORDER BY d.doc_id"""
+
+
+def first_events_sql(n: int = 3) -> str:
+    """Oracle of stages/relagg.group_head over events per user."""
+    return f"""WITH r AS (
+  SELECT user_id, event_id, ts, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rank
+  FROM events
+)
+SELECT user_id, rank, event_id, ts, event_type
+FROM r WHERE rank <= {n}
+ORDER BY user_id, rank"""

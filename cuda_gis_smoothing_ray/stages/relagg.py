@@ -319,3 +319,33 @@ def ratio_to_report(ds, group_col: str, n_parts_hint: int = 1):
         )
 
     return counts.map_batches(finalize, batch_format="pyarrow")
+
+
+def group_head(ds, group_col: str, order_cols: list[str], n: int,
+               keep_cols: list[str]):
+    """First ``n`` rows per group by ascending (order_cols) — the LIMIT-
+    per-group / "first N events per user" op.  Two-phase like
+    :func:`argmax_by`: each batch reduces to at most n candidates per group
+    it sees, so only n x |groups-per-batch| rows shuffle; the final
+    per-group head re-applies the same ordering and stamps 1-based ranks."""
+    import numpy as np
+
+    cols = [group_col, *order_cols, *[c for c in keep_cols if c not in order_cols]]
+
+    def local_head(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas()
+        df = df.sort_values([group_col, *order_cols], kind="stable")
+        return pa.Table.from_pandas(
+            df.groupby(group_col, sort=False).head(n), preserve_index=False
+        )
+
+    def final_head(group: "pd.DataFrame") -> "pd.DataFrame":
+        g = group.sort_values(order_cols, kind="stable").head(n).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        ds.map_batches(local_head, batch_format="pyarrow")
+        .groupby(group_col)
+        .map_groups(final_head, batch_format="pandas")
+    )

@@ -1466,3 +1466,44 @@ def fuzzy_value_join(ds, col: str, n_parts: int = 64):
         )
 
     return deduped.map_batches(split, batch_format="pyarrow")
+
+
+def char_entropy(ds, text_col: str = "text"):
+    """Per-document character-distribution entropy (bits): the gibberish /
+    boilerplate quality signal (low entropy = repeated chars, high =
+    near-random).  -> (doc_id, n_chars, entropy).
+
+    One vectorized pass: a single ``np.add.at`` scatter over
+    (doc_index * 256 + byte) counts every document's byte histogram at once
+    — no Python per document.  ASCII corpus assumption (byte == codepoint),
+    matching the SQL oracle's per-codepoint split."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        arr = col.cast(pa.string())
+        buf_off = np.frombuffer(arr.buffers()[1], dtype=np.int32)[arr.offset: arr.offset + len(arr) + 1]
+        data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+        n_docs = len(arr)
+        lens = (buf_off[1:] - buf_off[:-1]).astype(np.int64)
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+        sl = data[buf_off[0]: buf_off[-1]].astype(np.int64)
+        counts = np.zeros(n_docs * 256, dtype=np.int64)
+        np.add.at(counts, doc_idx * 256 + sl, 1)
+        counts = counts.reshape(n_docs, 256)
+        n = lens.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            p = counts / n[:, None]
+            terms = np.where(counts > 0, p * np.log2(np.where(counts > 0, p, 1.0)), 0.0)
+        ent = -terms.sum(axis=1)
+        ent[lens == 0] = 0.0
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_chars": pa.array(lens),
+                "entropy": pa.array(np.floor(ent * 1e6 + 0.5) / 1e6),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")

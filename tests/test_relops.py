@@ -376,3 +376,22 @@ def test_ratio_to_report_shares_sum_to_one():
     out = ratio_to_report(ds, "g").to_pandas().set_index("g")
     assert out.loc["a", "share"] == 0.3 and out.loc["b", "share"] == 0.6
     assert out["n_rows"].sum() == 100
+
+
+def test_group_head_first_n_per_group():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.relagg import group_head
+
+    rows = [
+        {"g": i % 4, "o": (i * 7) % 23, "id": i} for i in range(100)
+    ]
+    out = group_head(rd.from_items(rows), "g", ["o", "id"], 3, ["id", "o"]).to_pandas()
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    for g in range(4):
+        want = df[df["g"] == g].sort_values(["o", "id"]).head(3)
+        got = out[out["g"] == g].sort_values("rank")
+        assert got["id"].tolist() == want["id"].tolist()
+        assert got["rank"].tolist() == [1, 2, 3]

@@ -128,3 +128,25 @@ def test_fuzzy_value_join_matches_brute_levenshtein():
         (a, b) for a, b in itertools.combinations(uniq, 2) if lev(a, b) <= 1
     }
     assert got == want and len(want) >= 6
+
+
+def test_char_entropy_known_values():
+    import math
+
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import char_entropy
+
+    docs = [
+        {"doc_id": 1, "text": "aaaa"},          # entropy 0
+        {"doc_id": 2, "text": "ab"},            # entropy 1 bit
+        {"doc_id": 3, "text": "abcd"},          # entropy 2 bits
+        {"doc_id": 4, "text": "aab"},           # -2/3 log2(2/3) - 1/3 log2(1/3)
+    ]
+    out = char_entropy(rd.from_items(docs)).to_pandas().set_index("doc_id")
+    assert out.loc[1, "entropy"] == 0.0
+    assert out.loc[2, "entropy"] == 1.0
+    assert out.loc[3, "entropy"] == 2.0
+    want = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
+    assert abs(out.loc[4, "entropy"] - want) < 1e-6
+    assert out.loc[4, "n_chars"] == 3
