@@ -1,0 +1,77 @@
+"""Property-based tests (hypothesis) for the pure kernels every operator
+leans on: the hex codec, cube rounding, k-ring geometry, the edit-distance
+check behind the fuzzy join, and the geohash quantizer."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cuda_gis_smoothing_ray.functions import hexgrid
+
+LAT = st.floats(min_value=-85.0, max_value=85.0, allow_nan=False, width=64)
+LON = st.floats(min_value=-179.0, max_value=179.0, allow_nan=False, width=64)
+RES = st.integers(min_value=hexgrid.RES_MIN, max_value=hexgrid.RES_MAX)
+
+
+@settings(max_examples=300, deadline=None)
+@given(LAT, LON, RES)
+def test_cell_roundtrip_center_reencodes_to_itself(lat, lon, res):
+    cell = hexgrid.latlon_to_cell(np.array([lat]), np.array([lon]), res)
+    clat, clon = hexgrid.cell_to_latlon(cell)
+    again = hexgrid.latlon_to_cell(clat, clon, res)
+    assert again[0] == cell[0]
+
+
+@settings(max_examples=300, deadline=None)
+@given(LAT, LON, RES)
+def test_point_within_circumradius_of_its_cell_center(lat, lon, res):
+    cell = hexgrid.latlon_to_cell(np.array([lat]), np.array([lon]), res)
+    clat, clon = hexgrid.cell_to_latlon(cell)
+    d = np.hypot(lat - clat[0], lon - clon[0])
+    # cube rounding assigns the NEAREST hex: the point is inside the cell,
+    # hence within one circumradius (= edge size) of the center (+ float fuzz)
+    assert d <= hexgrid.edge_size(res) * (1 + 1e-9)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(-1000, 1000), st.integers(-1000, 1000), RES,
+       st.integers(min_value=1, max_value=2))
+def test_kring_cells_are_exactly_hex_distance_ring(q, r, res, k):
+    cell = hexgrid.pack(res, np.array([q]), np.array([r]))
+    disc = hexgrid.kring_cells(cell, k)[0]
+    assert len(disc) == len(set(disc.tolist()))  # duplicate-free
+    _, qs, rs = hexgrid.unpack(disc)
+    d = hexgrid.hex_distance(qs, rs, q, r)
+    assert d.max() == k and d.min() == 0
+    assert (np.sort(np.unique(d)) == np.arange(k + 1)).all()
+
+
+def _lev(s: str, t: str) -> int:
+    prev = list(range(len(t) + 1))
+    for i, cs in enumerate(s, 1):
+        cur = [i]
+        for j, ct in enumerate(t, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cs != ct)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.text(alphabet="abc", max_size=8), st.text(alphabet="abc", max_size=8))
+def test_within_edit1_agrees_with_dp_levenshtein(s, t):
+    from cuda_gis_smoothing_ray.stages.textops import _within_edit1
+
+    if s == t:
+        return
+    assert _within_edit1(s, t) == (_lev(s, t) <= 1)
+
+
+@settings(max_examples=300, deadline=None)
+@given(LAT, LON)
+def test_geohash_prefix_property(lat, lon):
+    """The 15-bit quantizer stays in range over the whole globe."""
+    lon_q = min(int(np.floor((lon + 180.0) / 360.0 * 32768.0)), 32767)
+    lat_q = min(int(np.floor((lat + 90.0) / 180.0 * 32768.0)), 32767)
+    assert 0 <= lon_q < 32768 and 0 <= lat_q < 32768
