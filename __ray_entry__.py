@@ -1448,6 +1448,12 @@ def _q_gap_fill(sf_dir: str):
         ["user_id", "bucket_start"])
 
 
+def _q_quantize_int8(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.ann import quantize_int8, read_embeddings
+
+    return quantize_int8(read_embeddings(sf_dir)).sort("vec_id")
+
+
 def _q_first_events(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import events
     from cuda_gis_smoothing_ray.stages.relagg import group_head
@@ -1568,6 +1574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": _q_ann_pq,
         "embedding_neardup": _q_neardup,
         "label_centroids": _q_label_centroids,
+        "quantize_int8": _q_quantize_int8,
         "kmeans_clusters": _q_kmeans,
         "media_decode": _q_media_decode,
         "media_features": _q_media_features,
@@ -1694,6 +1701,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": oc.ann_topk_sql(ANN_K),
         "embedding_neardup": oc.embedding_neardup_sql(NEARDUP_T),
         "label_centroids": oc.label_centroids_sql(),
+        "quantize_int8": oc.quantize_int8_sql(),
         "kmeans_clusters": oc.kmeans_sql(),
         "media_decode": oc.media_decode_sql(),
         "media_features": oc.media_features_sql(),

@@ -1876,3 +1876,32 @@ def first_events_sql(n: int = 3) -> str:
 SELECT user_id, rank, event_id, ts, event_type
 FROM r WHERE rank <= {n}
 ORDER BY user_id, rank"""
+
+
+def quantize_int8_sql() -> str:
+    """Oracle of stages/ann.quantize_int8 (identical floor arithmetic over
+    the unnested embedding elements)."""
+    return """WITH el AS (
+  SELECT vec_id, CAST(u.e AS DOUBLE) AS v
+  FROM embeddings, LATERAL (SELECT unnest(embedding) AS e) u
+),
+mm AS (
+  SELECT vec_id, min(v) AS vmin, max(v) AS vmax, (max(v) - min(v)) / 255.0 AS scale
+  FROM el GROUP BY vec_id
+),
+codes AS (
+  SELECT el.vec_id,
+    CASE WHEN mm.scale > 0.0
+         THEN CAST(floor((el.v - mm.vmin) / mm.scale + 0.5) AS BIGINT)
+         ELSE 0 END AS code
+  FROM el JOIN mm ON el.vec_id = mm.vec_id
+)
+SELECT c.vec_id,
+  floor(mm.vmin * 1000000.0 + 0.5) / 1000000.0 AS qmin,
+  floor(mm.scale * 1000000.0 + 0.5) / 1000000.0 AS qscale,
+  CAST(sum(c.code) AS BIGINT) AS code_sum,
+  CAST(min(c.code) AS BIGINT) AS code_min,
+  CAST(max(c.code) AS BIGINT) AS code_max
+FROM codes c JOIN mm ON c.vec_id = mm.vec_id
+GROUP BY c.vec_id, mm.vmin, mm.scale
+ORDER BY c.vec_id"""

@@ -327,3 +327,27 @@ def test_kmeans_matches_brute_force_lloyd():
 
     assert got["cluster"].to_numpy().tolist() == want.tolist()
     assert len(np.unique(want)) > 1  # non-vacuous: clusters actually split
+
+
+def test_quantize_int8_reconstruction_error_bounded():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.ann import quantize_int8
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(50, 64)).astype(np.float32)
+    ds = rd.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(50)]
+    )
+    out = quantize_int8(ds).to_pandas().set_index("vec_id")
+    for i in range(50):
+        v = vecs[i].astype(np.float64)
+        vmin, vmax = v.min(), v.max()
+        scale = (vmax - vmin) / 255.0
+        codes = np.floor((v - vmin) / scale + 0.5).astype(np.int64)
+        assert out.loc[i, "code_sum"] == codes.sum()
+        assert out.loc[i, "code_min"] == codes.min() >= 0
+        assert out.loc[i, "code_max"] == codes.max() <= 255
+        # dequantization error bounded by half a step
+        err = np.abs((vmin + codes * scale) - v).max()
+        assert err <= scale / 2 + 1e-12
