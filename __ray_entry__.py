@@ -1497,6 +1497,14 @@ def _q_lang_share(sf_dir: str):
     return ratio_to_report(pages, "lang").sort("lang")
 
 
+def _q_ohlc_bars(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.ohlc_bars(events.read_events(sf_dir)).sort(
+        ["window_start", "event_type"]
+    )
+
+
 def _q_cooccurrence(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import events
 
@@ -1586,6 +1594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": _q_sessionize,
         "cohort_retention": _q_cohort_retention,
         "cooccurrence": _q_cooccurrence,
+        "ohlc_bars": _q_ohlc_bars,
         "lang_share": _q_lang_share,
         "fuzzy_hosts": _q_fuzzy_hosts,
         "char_entropy": _q_char_entropy,
@@ -1713,6 +1722,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": oc.sessionize_sql(),
         "cohort_retention": oc.cohort_retention_sql(),
         "cooccurrence": oc.cooccurrence_sql(),
+        "ohlc_bars": oc.ohlc_bars_sql(),
         "lang_share": oc.lang_share_sql(),
         "fuzzy_hosts": oc.fuzzy_hosts_sql(),
         "char_entropy": oc.char_entropy_sql(),

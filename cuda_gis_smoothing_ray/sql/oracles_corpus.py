@@ -1905,3 +1905,27 @@ SELECT c.vec_id,
 FROM codes c JOIN mm ON c.vec_id = mm.vec_id
 GROUP BY c.vec_id, mm.vmin, mm.scale
 ORDER BY c.vec_id"""
+
+
+def ohlc_bars_sql(window_us: int = events.WINDOW_US) -> str:
+    """Oracle of stages/events.ohlc_bars ((ts, event_id) open/close ties)."""
+    return f"""WITH e AS (
+  SELECT (epoch_us(ts) // {window_us}) * {window_us} AS w, event_type, ts, event_id,
+    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+r AS (
+  SELECT w, event_type, cents,
+    row_number() OVER (PARTITION BY w, event_type ORDER BY ts, event_id) AS rn_a,
+    row_number() OVER (PARTITION BY w, event_type ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM e
+)
+SELECT make_timestamp(w) AS window_start, event_type,
+  count(*) AS n_events,
+  CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+  CAST(max(cents) AS BIGINT) AS high_cents,
+  CAST(min(cents) AS BIGINT) AS low_cents,
+  CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents
+FROM r
+GROUP BY w, event_type
+ORDER BY 1, 2"""

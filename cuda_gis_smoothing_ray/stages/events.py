@@ -749,3 +749,68 @@ def cooccurrence(ds, window_us: int = WINDOW_US, max_users_per_window: int | Non
         )
 
     return counted.map_batches(unpack, batch_format="pyarrow")
+
+
+def ohlc_bars(ds, window_us: int = WINDOW_US):
+    """OHLC downsampling: per (tumbling window, event_type) the opening /
+    high / low / closing value in exact integer cents, plus the event count
+    -> (window_start, event_type, n_events, open_cents, high_cents,
+    low_cents, close_cents).  The time-series resample every metrics store
+    runs; open/close tie-break is (ts, event_id).
+
+    Combinable-partial plan: each batch reduces its rows to ONE partial row
+    per (window, type) carrying (open@min-key, close@max-key, hi, lo, n);
+    the final per-group merge applies the same semantics to the partials —
+    so only |windows x types| rows per batch shuffle."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_numpy(zero_copy_only=False)
+        epoch = ts.astype("datetime64[us]").astype(np.int64)
+        w = (epoch // window_us) * window_us
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        eid = batch.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame({"w": w, "event_type": et, "epoch": epoch, "eid": eid,
+                           "cents": cents})
+        df = df.sort_values(["w", "event_type", "epoch", "eid"], kind="stable")
+        g = df.groupby(["w", "event_type"], sort=False)
+        out = g.agg(
+            open_cents=("cents", "first"),
+            close_cents=("cents", "last"),
+            high_cents=("cents", "max"),
+            low_cents=("cents", "min"),
+            n_events=("cents", "size"),
+            open_key=("epoch", "first"),
+            close_key=("epoch", "last"),
+            open_eid=("eid", "first"),
+            close_eid=("eid", "last"),
+        ).reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["open_key", "open_eid"], kind="stable")
+        first = g.iloc[0]
+        g2 = group.sort_values(["close_key", "close_eid"], kind="stable")
+        last = g2.iloc[-1]
+        return pd.DataFrame(
+            {
+                "window_start": [pd.Timestamp(int(first["w"]), unit="us")],
+                "event_type": [first["event_type"]],
+                "n_events": [int(group["n_events"].sum())],
+                "open_cents": [int(first["open_cents"])],
+                "high_cents": [int(group["high_cents"].max())],
+                "low_cents": [int(group["low_cents"].min())],
+                "close_cents": [int(last["close_cents"])],
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["w", "event_type"])
+        .map_groups(merge, batch_format="pandas")
+        .select_columns(["window_start", "event_type", "n_events", "open_cents",
+                         "high_cents", "low_cents", "close_cents"])
+    )

@@ -251,3 +251,32 @@ def test_cooccurrence_hand_case_and_cap():
     capped = cooccurrence(rd.from_items(rows), max_users_per_window=2).to_pandas()
     got2 = {(r.a, r.b): r.n_windows for r in capped.itertuples()}
     assert got2 == {(1, 2): 2}  # window-0 user 3 truncated deterministically
+
+
+def test_ohlc_bars_hand_case():
+    import pandas as pd
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import WINDOW_US, ohlc_bars
+
+    us = 1_000_000
+    rows = [
+        {"event_id": 1, "ts": np.datetime64(10 * us, "us"), "user_id": 1,
+         "event_type": "view", "value": 5.0},
+        {"event_id": 2, "ts": np.datetime64(20 * us, "us"), "user_id": 1,
+         "event_type": "view", "value": 9.0},
+        {"event_id": 3, "ts": np.datetime64(30 * us, "us"), "user_id": 1,
+         "event_type": "view", "value": 1.0},
+        # tie at same ts as event 1: higher event_id loses the open
+        {"event_id": 4, "ts": np.datetime64(10 * us, "us"), "user_id": 2,
+         "event_type": "view", "value": 7.0},
+        {"event_id": 5, "ts": np.datetime64(WINDOW_US + us, "us"), "user_id": 1,
+         "event_type": "view", "value": 2.0},
+    ]
+    out = ohlc_bars(rd.from_items(rows)).to_pandas().sort_values("window_start")
+    w0 = out.iloc[0]
+    assert w0["open_cents"] == 500 and w0["close_cents"] == 100
+    assert w0["high_cents"] == 900 and w0["low_cents"] == 100
+    assert w0["n_events"] == 4
+    w1 = out.iloc[1]
+    assert w1["open_cents"] == w1["close_cents"] == 200 and w1["n_events"] == 1
