@@ -283,6 +283,14 @@ def _q_knn_haversine(sf_dir: str):
     return knn_haversine(_geocoded(sf_dir), k=5).sort(["query_id", "rank"])
 
 
+def _q_enrich_pages(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.smooth import enrich_pages
+
+    return enrich_pages(
+        _geocoded(sf_dir), _cells(sf_dir), ["chars_mean"], k=1, profile="gaussian"
+    ).sort("page_id")
+
+
 def _q_pip_indexed(sf_dir: str):
     from cuda_gis_smoothing_ray.stages.spatialjoin import pip_join_indexed
 
@@ -1537,6 +1545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geohash": _q_geohash,
         "knn_haversine": _q_knn_haversine,
         "pip_join_indexed": _q_pip_indexed,
+        "enrich_pages": _q_enrich_pages,
         "pip_anti": _q_pip_anti,
         "bbox_query": _q_bbox_query,
         "cell_boundary": _q_cell_boundary,
@@ -1782,6 +1791,7 @@ def oracle_sql() -> dict[str, str]:
         "geohash": o.geohash_sql(RES),
         "knn_haversine": o.knn_haversine_sql(RES, 5),
         "pip_join_indexed": o.pip_join_sql(RES),
+        "enrich_pages": o.enrich_pages_sql(RES, 1, "gaussian", ["chars_mean"]),
         "pip_anti": o.pip_anti_sql(RES),
         "bbox_query": o.bbox_query_sql(RES, BBOX),
         "cell_boundary": o.cell_boundary_sql(RES),

@@ -780,3 +780,26 @@ SELECT lang, count(DISTINCT string_split(url, '/')[3]) AS n_hosts
 FROM pages
 GROUP BY lang
 ORDER BY lang"""
+
+
+def enrich_pages_sql(res: int, k: int, profile: str, value_cols: list[str]) -> str:
+    """Oracle of stages/smooth.enrich_pages: the smooth query as a CTE,
+    joined back onto every page by cell."""
+    sums = ",\n  ".join(
+        f"{round6(f'sum(n.{c} * o.w) / sum(o.w)')} AS {c}_sm" for c in value_cols
+    )
+    sm_cols = ", ".join(f"sm.{c}_sm" for c in value_cols)
+    return f"""{prelude(res)},
+offsets(dq, dr, w) AS (VALUES
+    {offsets_values(k, profile)}),
+sm AS (
+  SELECT c.cell AS cell,
+    {sums}
+  FROM cells c
+  CROSS JOIN offsets o
+  JOIN cells n ON n.q = c.q + o.dq AND n.r = c.r + o.dr
+  GROUP BY c.cell
+)
+SELECT g.page_id, g.cell, {sm_cols}
+FROM geocoded g JOIN sm ON g.cell = sm.cell
+ORDER BY g.page_id"""

@@ -173,3 +173,38 @@ def neighbor_counts(cells_ds, ring: int = 1):
         return pa.table({"cell": t.column("cell"), "n_neighbors": n_nbr})
 
     return reduced.map_batches(finalize, batch_format="pyarrow")
+
+
+def enrich_pages(geocoded_ds, cells_ds, value_cols: list[str], k: int = 1,
+                 profile: str = "gaussian", id_col: str = "page_id"):
+    """Feature-enrichment join: stamp every PAGE with its cell's smoothed
+    metrics — the serve-side step that turns the aggregated spatial model
+    back into per-row training features.
+
+    -> (id_col, cell, <col>_sm ...).  The smoothed cell table is
+    aggregate-sized (distinct cells), so it is broadcast ONCE via ``ray.put``
+    (sorted keys + searchsorted lookup per batch, same discipline as
+    ``join.broadcast_hash_join``); the page stream never shuffles."""
+    import ray
+
+    sm = smooth_cells(cells_ds, value_cols, k=k, profile=profile)
+    sm_pd = sm.to_pandas().sort_values("cell")
+    keys = sm_pd["cell"].to_numpy().astype(np.int64)
+    vals = {
+        c: np.floor(sm_pd[f"{c}_sm"].to_numpy() * 1e6 + 0.5) / 1e6
+        for c in value_cols
+    }
+    ref = ray.put((keys, vals))
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        k_sorted, v = ray.get(ref)
+        cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(k_sorted, cell)
+        pos_c = np.minimum(pos, len(k_sorted) - 1)
+        hit = k_sorted[pos_c] == cell  # every page's cell is in the table
+        out = {id_col: batch.column(id_col), "cell": batch.column("cell")}
+        for c in value_cols:
+            out[f"{c}_sm"] = pa.array(np.where(hit, v[c][pos_c], np.nan))
+        return pa.table(out)
+
+    return geocoded_ds.map_batches(lookup, batch_format="pyarrow")

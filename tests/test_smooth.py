@@ -139,3 +139,34 @@ def test_neighbor_counts_match_oracle():
     for i, c in enumerate(cell):
         expect = sum((q[i] + dq, r[i] + dr) in present for dq, dr in hg.RING1)
         assert got[c] == expect
+
+
+def test_enrich_pages_stamps_cell_smoothed_value():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.functions import hexgrid
+    from cuda_gis_smoothing_ray.stages.smooth import enrich_pages, smooth_cells
+
+    rng = np.random.default_rng(5)
+    lat = rng.uniform(-40, 40, 400)
+    lon = rng.uniform(-100, 100, 400)
+    cell = hexgrid.latlon_to_cell(lat, lon, 6)
+    res, q, r = hexgrid.unpack(cell)
+    geo = rd.from_arrow(pa.table({
+        "page_id": pa.array(np.arange(400, dtype=np.int64)),
+        "cell": pa.array(cell),
+    }))
+    import pandas as pd
+
+    cells_pd = pd.DataFrame({"cell": cell, "q": q, "r": r, "v": rng.normal(size=400)})
+    cells_pd = cells_pd.groupby(["cell", "q", "r"], as_index=False)["v"].mean()
+    cells = rd.from_arrow(pa.Table.from_pandas(cells_pd, preserve_index=False))
+    sm = smooth_cells(cells, ["v"], k=1, profile="uniform").to_pandas()
+    sm["v_sm"] = np.floor(sm["v_sm"].to_numpy() * 1e6 + 0.5) / 1e6
+    want = sm.set_index("cell")["v_sm"]
+    out = enrich_pages(geo, cells, ["v"], k=1, profile="uniform").to_pandas()
+    assert len(out) == 400
+    # NB: iterrows would coerce the int64 cell id to float64 (> 2^53) and
+    # corrupt the key — compare vectorized on the exact ints
+    want_v = np.floor(want.loc[out["cell"].to_numpy()].to_numpy() * 1e6 + 0.5) / 1e6
+    np.testing.assert_array_equal(out["v_sm"].to_numpy(), want_v)
