@@ -1434,6 +1434,19 @@ def _q_text_len_quantiles_cont(sf_dir: str):
     return quantiles_cont(_docs(sf_dir), text_len)
 
 
+def _q_lang_len_quantiles_cont(sf_dir: str):
+    from cuda_gis_smoothing_ray.stages.sketch import grouped_quantiles_cont
+
+    def text_len(batch: pa.Table) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        return pc.utf8_length(batch.column("text")).to_numpy(zero_copy_only=False)
+
+    return grouped_quantiles_cont(
+        _docs(sf_dir, ("doc_id", "text", "lang")), "lang", text_len
+    ).sort(["lang", "q"])
+
+
 def _q_funnel(sf_dir: str):
     """Ordered view->click->purchase funnel per user (stages/events.funnel)."""
     from cuda_gis_smoothing_ray.stages import events
@@ -1643,6 +1656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_registers": _q_hll_registers,
         "text_len_quantiles": _q_text_len_quantiles,
         "text_len_quantiles_cont": _q_text_len_quantiles_cont,
+        "lang_len_quantiles_cont": _q_lang_len_quantiles_cont,
         "top_hosts_by_lang": _q_top_hosts_by_lang,
         "hosts_en_not_de": _q_hosts_except,
         "hosts_union": _q_hosts_union,
@@ -1769,6 +1783,7 @@ def oracle_sql() -> dict[str, str]:
         "distinct_hosts": oc.distinct_hosts_sql(),
         "text_len_quantiles": oc.text_len_quantiles_sql(),
         "text_len_quantiles_cont": oc.text_len_quantiles_cont_sql(),
+        "lang_len_quantiles_cont": oc.lang_len_quantiles_cont_sql(),
         "top_hosts_by_lang": o.top_hosts_by_lang_sql(5),
         "hosts_en_not_de": o.hosts_except_sql(),
         "hosts_union": o.hosts_except_sql("UNION"),

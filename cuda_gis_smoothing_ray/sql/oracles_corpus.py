@@ -1929,3 +1929,27 @@ SELECT make_timestamp(w) AS window_start, event_type,
 FROM r
 GROUP BY w, event_type
 ORDER BY 1, 2"""
+
+
+def lang_len_quantiles_cont_sql(qs=(0.5, 0.9, 0.99)) -> str:
+    """Oracle of stages/sketch.grouped_quantiles_cont over text length per
+    lang (explicit per-group rank + interpolation expression)."""
+    from .oracles import D, round6
+
+    sel = []
+    for q in qs:
+        h = f"(n.n - 1) * {D(q)}"
+        lo = f"CAST(floor({h}) AS BIGINT)"
+        hi = f"least({lo} + 1, n.n - 1)"
+        vlo = f"(SELECT CAST(v AS DOUBLE) FROM r WHERE r.lang = n.lang AND rn = {lo})"
+        vhi = f"(SELECT CAST(v AS DOUBLE) FROM r WHERE r.lang = n.lang AND rn = {hi})"
+        expr = f"{vlo} + ({h} - floor({h})) * ({vhi} - {vlo})"
+        sel.append(
+            f"SELECT n.lang, CAST({q} AS DOUBLE) AS q, {round6(expr)} AS value FROM n"
+        )
+    union = " UNION ALL ".join(sel)
+    return f"""WITH v AS (SELECT lang, length(text) AS v FROM documents),
+r AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) - 1 AS rn FROM v),
+n AS (SELECT lang, count(*) AS n FROM v GROUP BY lang)
+{union}
+ORDER BY lang, q"""

@@ -624,3 +624,60 @@ def quantiles_cont(ds, col_fn, qs: tuple[float, ...] = QUANTILES):
         out_q.append(float(q))
         out_v.append(np.floor(val * 1e6 + 0.5) / 1e6)
     return pa.table({"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.float64())})
+
+
+def grouped_quantiles_cont(ds, group_col: str, col_fn,
+                           qs: tuple[float, ...] = QUANTILES):
+    """Per-group PERCENTILE_CONT: linear interpolation at rank
+    ``h = (n-1) * q`` within each group -> (<group_col>, q, value:double).
+    Same (group, value)-keyed histogram shuffle as :func:`grouped_quantiles`;
+    the interpolation ``v_lo + frac * (v_hi - v_lo)`` is mirrored verbatim
+    in the SQL oracle."""
+    import pandas as pd
+
+    def counts(batch: pa.Table) -> pa.Table:
+        v = col_fn(batch)
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"g": g, "v": v})
+        agg = df.groupby(["g", "v"], sort=True).size().reset_index(name="cnt")
+        return pa.table(
+            {
+                group_col: pa.array(agg["g"]),
+                "value": pa.array(agg["v"].to_numpy().astype(np.int64)),
+                "cnt": pa.array(agg["cnt"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    def solve(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("value")
+        v = g["value"].to_numpy()
+        uniq, inv = np.unique(v, return_inverse=True)
+        c = np.bincount(inv, weights=g["cnt"].to_numpy().astype(np.float64),
+                        minlength=len(uniq)).astype(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+
+        def value_at(rank: int) -> float:
+            return float(uniq[int(np.searchsorted(cum, rank + 1))])
+
+        out_v = []
+        for q in qs:
+            h = (n - 1) * q
+            lo = int(np.floor(h))
+            hi = min(lo + 1, n - 1)
+            frac = h - np.floor(h)
+            val = value_at(lo) + frac * (value_at(hi) - value_at(lo))
+            out_v.append(np.floor(val * 1e6 + 0.5) / 1e6)
+        return pd.DataFrame(
+            {
+                group_col: np.repeat(g[group_col].iloc[0], len(qs)),
+                "q": np.asarray(qs, dtype=np.float64),
+                "value": np.asarray(out_v, dtype=np.float64),
+            }
+        )
+
+    return (
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
+        .groupby(group_col)
+        .map_groups(solve)
+    )

@@ -241,3 +241,26 @@ def test_quantiles_cont_matches_numpy_linear():
     for q in (0.25, 0.5, 0.9):
         want = np.quantile(vals, q, method="linear")
         assert abs(out.loc[q, "value"] - want) < 1e-5, (q, out.loc[q, "value"], want)
+
+
+def test_grouped_quantiles_cont_matches_numpy_per_group():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import grouped_quantiles_cont
+
+    rng = np.random.default_rng(9)
+    rows = [{"g": f"g{i % 3}", "v": int(x)} for i, x in enumerate(rng.integers(0, 500, 400))]
+    out = grouped_quantiles_cont(
+        rd.from_items(rows),
+        "g",
+        lambda b: b.column("v").to_numpy(zero_copy_only=False),
+        qs=(0.5, 0.9),
+    ).to_pandas().set_index(["g", "q"])
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    for g in ("g0", "g1", "g2"):
+        vals = df[df["g"] == g]["v"].to_numpy()
+        for q in (0.5, 0.9):
+            want = np.quantile(vals, q, method="linear")
+            assert abs(out.loc[(g, q), "value"] - want) < 1e-5
