@@ -400,9 +400,13 @@ def _q_minhash(sf_dir: str):
 
 
 def _q_simhash(sf_dir: str):
+    """Production SimHash on the vectorized fnv token-hash path (the scale
+    path: one Arrow split + byte-position hash passes, zero Python per
+    token) — SQL-oracle-checked bit-for-bit via the same HUGEINT fold as
+    hll_registers (sql/oracles_corpus.simhash_pairs_fnv_sql)."""
     from cuda_gis_smoothing_ray.stages import textops
 
-    return textops.simhash_pairs(_docs(sf_dir)).sort(["a", "b"])
+    return textops.simhash_pairs(_docs(sf_dir), token_hash="fnv").sort(["a", "b"])
 
 
 def _q_zscore(sf_dir: str):
@@ -1729,6 +1733,11 @@ def oracle_sql() -> dict[str, str]:
         "profile_documents": oc.profile_documents_sql(),
         "minhash_pairs_tiny": oc.minhash_pairs_tiny_sql(0.5, 4, 3, 2),
         "simhash_pairs_tiny": oc.simhash_pairs_tiny_sql(),
+        # production parameters: the same parametric HUGEINT CTEs, scaled
+        # to 64 perms / 5-shingles / 16 bands (minhash) and the vectorized
+        # fnv token-hash path (simhash) — bit-exact, no longer rows-only.
+        "minhash_pairs": oc.minhash_pairs_tiny_sql(0.7, 64, 5, 16),
+        "simhash_pairs": oc.simhash_pairs_fnv_sql(),
         "dedup_components": oc.dedup_components_sql(JACCARD_T),
         "ann_cosine_topk": oc.ann_topk_sql(ANN_K),
         "embedding_neardup": oc.embedding_neardup_sql(NEARDUP_T),
@@ -1793,10 +1802,10 @@ def oracle_sql() -> dict[str, str]:
         "tlds_en_and_de": o.hosts_except_sql("INTERSECT", col="tld"),
         # hll_hosts is a sketch (estimate): rows-only; error gated in
         # tests/test_sketch.py against the exact distinct count.
-        # minhash_pairs / simhash_pairs / ann_lsh_topk / ann_ivf_topk are
-        # hash- or state-based and not SQL-expressible: rows-only checks;
-        # their semantics are pytest-gated instead (tests/test_textops.py,
-        # tests/test_ann.py).
+        # ann_lsh_topk / ann_ivf_topk are approximate by construction:
+        # rows-only checks; recall is gated in tests/test_ann.py and
+        # surfaced by the ann_recall query below.  minhash_pairs /
+        # simhash_pairs are SQL-checked at production parameters (above).
         "pip_join": o.pip_join_sql(RES),
         "polyfill": o.polyfill_sql(RES),
         "distance_join": o.distance_join_sql(RES, 1.0),

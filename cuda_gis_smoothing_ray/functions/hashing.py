@@ -50,6 +50,13 @@ def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return splitmix64(h)
 
 
+def _intra(counts: np.ndarray) -> np.ndarray:
+    """[0..c0), [0..c1), ... — per-segment aranges, concatenated."""
+    total = int(counts.sum())
+    return (np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(counts) - counts, counts))
+
+
 class MinHasher:
     """num_perms-way MinHash over char shingles, with (bands x rows) LSH.
 
@@ -75,10 +82,62 @@ class MinHasher:
         return m.min(axis=1)
 
     def signatures(self, texts) -> np.ndarray:
-        """(n_docs, num_perms) uint64."""
-        out = np.empty((len(texts), self.num_perms), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            out[i] = self.signature(t)
+        """(n_docs, num_perms) uint64 — batched: ONE rolling-hash pass over
+        the batch's concatenated utf-8 bytes (k vector ops total, windows
+        that straddle doc boundaries discarded by index), then per-perm
+        ``np.minimum.reduceat`` segment-mins.  Python cost is per BATCH,
+        not per doc; bit-identical to :meth:`signature` per doc (same
+        padding, same hash, same permutation family — the tiny SQL oracle
+        stays bit-exact).  Accepts a list of strings or an Arrow string
+        array (read zero-copy via its offsets/data buffers)."""
+        n = len(texts)
+        out = np.empty((n, self.num_perms), dtype=np.uint64)
+        if n == 0:
+            return out
+        k = self.k
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if isinstance(texts, pa.Array):
+            width = 8 if pa.types.is_large_string(texts.type) else 4
+            odt = np.int64 if width == 8 else np.int32
+            off = np.frombuffer(texts.buffers()[1], dtype=odt,
+                                count=n + 1, offset=texts.offset * width
+                                ).astype(np.int64)
+            buf = texts.buffers()[2]
+            raw = (np.frombuffer(buf, dtype=np.uint8)[off[0]:off[-1]]
+                   if buf is not None else np.zeros(0, np.uint8))
+            lens = np.diff(off)
+            starts_raw = off[:-1] - off[0]
+        else:
+            bts = [(t or "").encode("utf-8") for t in texts]
+            lens = np.fromiter((len(b) for b in bts), np.int64, n)
+            raw = (np.frombuffer(b"".join(bts), dtype=np.uint8)
+                   if lens.sum() else np.zeros(0, np.uint8))
+            starts_raw = np.cumsum(lens) - lens
+        short = lens < k
+        if short.any():
+            # docs shorter than k pad with NULs (rare; matches signature())
+            pad = np.zeros(len(raw) + int((k - lens[short]).sum()), np.uint8)
+            new_lens = np.maximum(lens, k)
+            new_starts = np.cumsum(new_lens) - new_lens
+            take = np.repeat(starts_raw, lens) + _intra(lens)
+            put = np.repeat(new_starts, lens) + _intra(lens)
+            pad[put] = raw[take]
+            raw, lens, starts_raw = pad, new_lens, new_starts
+        data = raw.astype(np.uint64)
+        total = len(data) - k + 1
+        with np.errstate(over="ignore"):
+            h_all = np.zeros(total, dtype=np.uint64)
+            for j in range(k):
+                h_all = h_all * _FNV_PRIME + data[j : j + total]
+        n_sh = lens - k + 1  # >= 1 per doc after padding
+        idx = np.repeat(starts_raw, n_sh) + _intra(n_sh)
+        h = splitmix64(h_all[idx])
+        seg_starts = np.cumsum(n_sh) - n_sh
+        with np.errstate(over="ignore"):
+            for p in range(self.num_perms):
+                out[:, p] = np.minimum.reduceat(self.a[p] * h + self.b[p],
+                                                seg_starts)
         return out
 
     def band_keys(self, sigs: np.ndarray) -> np.ndarray:

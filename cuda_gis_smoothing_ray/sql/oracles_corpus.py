@@ -1131,6 +1131,54 @@ WHERE ({band_eq}) AND bit_count(xor(x.sim, y.sim)) <= {max_hamming}
 ORDER BY a, b"""
 
 
+def simhash_pairs_fnv_sql(max_hamming: int = 3, n_bands: int = 4) -> str:
+    """Oracle of ``simhash_pairs(..., token_hash="fnv")`` — the production
+    vectorized path: per-token hash = splitmix64(rolling FNV polynomial over
+    the utf-8 bytes, h0=0), identical per-step uint64 wrap emulated in
+    HUGEINT (same fold as :func:`hll_registers_sql`, which mirrors
+    ``functions.hashing.fnv_token_hash64`` / ``poly_hash64``); unweighted
+    bit votes, pigeonhole banding, hamming verify via bit_count(xor)."""
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    band_eq = " OR ".join(
+        f"((x.sim >> {b * width}) & {mask} = (y.sim >> {b * width}) & {mask})"
+        for b in range(n_bands)
+    )
+    fold = (f"list_reduce(list_transform(string_split(tok, ''), "
+            f"c -> ascii(c)::HUGEINT), (h, b) -> ((h * {_FNV}) % {_M64} + b) % {_M64})")
+    return f"""WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(text, '\\s+'), s -> s != '')) AS tok
+  FROM documents
+), p0 AS (
+  SELECT doc_id, {fold} AS h0 FROM toks
+), z1 AS (
+  SELECT doc_id, (h0 + 11400714819323198485) % {_M64} AS z1 FROM p0
+), z2 AS (
+  SELECT doc_id, {_mulmod64("xor(z1, z1 >> 30)", "13787848793156543929")} AS z2 FROM z1
+), z3 AS (
+  SELECT doc_id, {_mulmod64("xor(z2, z2 >> 27)", "10723151780598845931")} AS z3 FROM z2
+), th AS (
+  SELECT doc_id, CAST(xor(z3, z3 >> 31) AS UBIGINT) AS h FROM z3
+), votes AS (
+  SELECT doc_id, bit,
+    sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM th, (SELECT unnest(range(64)) AS bit) bits
+  GROUP BY doc_id, bit
+), simt AS (
+  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN (1::UBIGINT << bit) ELSE 0 END) AS UBIGINT) AS sim
+  FROM votes GROUP BY doc_id
+), sims AS (
+  SELECT d.doc_id, coalesce(s.sim, 0::UBIGINT) AS sim
+  FROM documents d LEFT JOIN simt s USING (doc_id)
+)
+SELECT x.doc_id AS a, y.doc_id AS b,
+  CAST(bit_count(xor(x.sim, y.sim)) AS BIGINT) AS hamming
+FROM sims x JOIN sims y ON x.doc_id < y.doc_id
+WHERE ({band_eq}) AND bit_count(xor(x.sim, y.sim)) <= {max_hamming}
+ORDER BY a, b"""
+
+
 def contamination_sql(bench_mod: int = 10, n: int = 3) -> str:
     """Oracle of stages/textops.contamination (distinct within-doc word
     n-grams shared with the doc_id % bench_mod == 0 benchmark partition)."""

@@ -5,9 +5,14 @@ definitions).
 
 Scale shape: tumbling windows pre-aggregate INSIDE map_batches (partials
 keyed by (window, event_type) — bounded cardinality), so the shuffle moves
-partial rows, not events.  Sessionization shuffles by ``user_id`` once and
-solves each user locally in ``map_groups`` — the partitioning assumption is
-"one user's events fit one group", the same assumption any engine makes.
+partial rows, not events.  The per-user family (sessionize, asof, ranks,
+windows, funnel, ...) shuffles ONCE on a coarse hash of ``user_id``
+(:func:`_by_user`, ~64 partitions) and solves ALL users in a partition with
+one vectorized segmented pass (:func:`_user_segments`) — Python cost is per
+PARTITION, never per distinct user.  ``groupby(user).map_groups(fn)`` pays
+Python dispatch per DISTINCT key (measured ~47 s / 124k keys on this box,
+``functions/reduce.py``); at 10^8+ users that is hours of dispatch, so every
+op below is written against segment boundaries instead.
 """
 
 from __future__ import annotations
@@ -15,6 +20,73 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+N_USER_PARTS = 64
+
+
+def _by_user(ds, solve, n_parts: int = N_USER_PARTS):
+    """ONE coarse user-keyed shuffle + ONE vectorized solve per partition.
+
+    ``solve`` receives a pandas DataFrame holding EVERY row of ~1/n_parts of
+    the users (all of each user's rows co-located, the same co-location
+    guarantee ``groupby(user_id)`` gives) and must handle many users per
+    call — see :func:`_user_segments`.  The ``__part`` key is int64 (Ray's
+    sort-based groupby is ~15x faster on ints than strings)."""
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        part = ((uid.view(np.uint64) * _GOLDEN) >> np.uint64(52)) % np.uint64(n_parts)
+        return batch.append_column("__part", pa.array(part.astype(np.int64)))
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(solve, batch_format="pandas")
+    )
+
+
+def _user_segments(sorted_uid: np.ndarray):
+    """Segment structure of a user-major-sorted id array.
+
+    Returns ``(new_user, starts, seg)``: boolean first-row-of-user mask,
+    segment start indices, and the 0-based segment id of every row.  All the
+    per-user solves below are expressed against these three arrays so the
+    whole partition is processed in O(n) numpy passes."""
+    n = len(sorted_uid)
+    new_user = np.empty(n, dtype=bool)
+    if n:
+        new_user[0] = True
+        new_user[1:] = sorted_uid[1:] != sorted_uid[:-1]
+    starts = np.flatnonzero(new_user)
+    seg = np.cumsum(new_user) - 1
+    return new_user, starts, seg
+
+
+def _seg_searchsorted(vals: np.ndarray, lo: np.ndarray, hi: np.ndarray,
+                      targets: np.ndarray, side: str = "left") -> np.ndarray:
+    """Vectorized per-element binary search inside [lo, hi) windows of a
+    piecewise-sorted array — ``searchsorted`` restricted to each target's own
+    segment, all targets at once (~log2(max window) numpy passes, no Python
+    per element).  Used by :func:`range_join`, whose right-events array is
+    sorted by ts only WITHIN each user's segment."""
+    lo = lo.astype(np.int64, copy=True)
+    hi = hi.astype(np.int64, copy=True)
+    if len(vals) == 0 or len(lo) == 0:
+        return lo
+    cap = len(vals) - 1
+    while True:
+        active = lo < hi
+        if not active.any():
+            return lo
+        mid = (lo + hi) >> 1
+        mv = vals[np.minimum(mid, cap)]
+        if side == "left":
+            go_right = active & (mv < targets)
+        else:
+            go_right = active & (mv <= targets)
+        lo = np.where(go_right, mid + 1, lo)
+        hi = np.where(active & ~go_right, mid, hi)
 
 WINDOW_US = 3_600_000_000  # 1h tumbling
 SESSION_GAP_US = 1_800_000_000  # 30min inactivity gap
@@ -69,26 +141,37 @@ def window_aggregate(ds, window_us: int = WINDOW_US):
 
 def sessionize(ds, gap_us: int = SESSION_GAP_US):
     """events -> (event_id, user_id, session_idx, session_start): gap-based
-    sessions per user; session_idx is 0-based in ts order (ties: event_id)."""
+    sessions per user; session_idx is 0-based in ts order (ties: event_id).
 
-    def solve(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        new_sess = np.ones(len(g), dtype=bool)
-        if len(g) > 1:
-            new_sess[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sidx = np.cumsum(new_sess) - 1
-        start = ts[np.flatnonzero(new_sess)][sidx]
+    Segmented solve: one (user, ts, event_id) lexsort per partition, then
+    session boundaries are ``new_user | gap`` and the per-user 0-based index
+    is the global session counter re-based at each user's first row."""
+
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid = uid[order], ts[order], eid[order]
+        new_user, starts, seg = _user_segments(uid)
+        n = len(uid)
+        new_sess = new_user.copy()
+        if n > 1:
+            new_sess[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        idx = np.arange(n, dtype=np.int64)
+        sess_global = np.cumsum(new_sess) - 1
+        start_idx = np.maximum.accumulate(np.where(new_sess, idx, -1))
+        sidx = sess_global - sess_global[starts][seg]
         return pd.DataFrame(
             {
-                "event_id": g["event_id"].to_numpy(),
-                "user_id": g["user_id"].to_numpy(),
+                "event_id": eid,
+                "user_id": uid,
                 "session_idx": sidx.astype(np.int64),
-                "session_start": start.astype("datetime64[us]"),
+                "session_start": ts[start_idx].astype("datetime64[us]"),
             }
         )
 
-    return ds.groupby("user_id").map_groups(solve)
+    return _by_user(ds, solve)
 
 
 def asof_join(ds, left_type: str = "purchase", right_type: str = "view"):
@@ -101,37 +184,42 @@ def asof_join(ds, left_type: str = "purchase", right_type: str = "view"):
 
     The reference has no joins at all (SURVEY §2.4); this is the
     training-pipeline as-of operator from the task brief, built as the same
-    shuffle-by-user + local solve as :func:`sessionize` — one partitioning
-    key (user_id) shared across every events operator, so at 100 TB these
-    stages chain without re-shuffling.  The local solve is a vectorized
-    merge: sort, forward-fill the last right-event index via
-    ``np.maximum.accumulate``, no Python per-row work.
+    shuffle-by-user + segmented solve as :func:`sessionize` — one
+    partitioning key (user_id) shared across every events operator, so at
+    100 TB these stages chain without re-shuffling.  The partition solve is
+    a vectorized merge over ALL users at once: user-major lexsort,
+    forward-fill the last right-event index via ``np.maximum.accumulate``,
+    and reject fills that cross a user boundary (``m >= starts[seg]``).
     """
 
-    def solve(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        is_r = (g["event_type"] == right_type).to_numpy()
-        is_l = (g["event_type"] == left_type).to_numpy()
-        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        eid = g["event_id"].to_numpy()
-        # order rows so that at equal ts the right side precedes the left
-        order = np.lexsort((eid, ~is_r, ts))
-        is_r, is_l, ts, eid = is_r[order], is_l[order], ts[order], eid[order]
-        idx = np.arange(len(g))
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        et = df["event_type"].to_numpy()
+        is_r = et == right_type
+        is_l = et == left_type
+        # within (user, ts) ties the right side precedes the left
+        order = np.lexsort((eid, ~is_r, ts, uid))
+        uid, ts, eid = uid[order], ts[order], eid[order]
+        is_r, is_l = is_r[order], is_l[order]
+        _, starts, seg = _user_segments(uid)
+        idx = np.arange(len(uid), dtype=np.int64)
         last_r = np.maximum.accumulate(np.where(is_r, idx, -1))
         li = np.flatnonzero(is_l)
         m = last_r[li]
-        li, m = li[m >= 0], m[m >= 0]
+        ok = m >= starts[seg[li]]  # matched right event is the SAME user's
+        li, m = li[ok], m[ok]
         return pd.DataFrame(
             {
                 "event_id": eid[li],
-                "user_id": g["user_id"].to_numpy()[order][li],
-                "matched_event_id": eid[m].astype(np.int64),
+                "user_id": uid[li],
+                "matched_event_id": eid[m],
                 "lag_us": (ts[li] - ts[m]).astype(np.int64),
             }
         )
 
-    return ds.groupby("user_id").map_groups(solve)
+    return _by_user(ds, solve)
 
 
 def sliding_window_aggregate(ds, width_us: int = WINDOW_US, hop_us: int = WINDOW_US // 2):
@@ -194,33 +282,40 @@ def range_join(ds, left_type: str = "purchase", right_type: str = "view",
     Emits (event_id, user_id, matched_event_id, lag_us), lag_us >= 0.
 
     Same shuffle-by-user shape as every events operator (one shared
-    partitioning key); the local solve is two vectorized ``searchsorted``
-    bounds over the user's time-sorted right events + a repeat/arange pair
-    expansion — fan-out is bounded by events-per-user-per-window, no
-    Python per row."""
+    partitioning key); the partition solve handles ALL users at once: right
+    events sort user-major, each left event's user segment comes from two
+    ``searchsorted`` calls on the right uid array, and the time bounds
+    INSIDE the segment from :func:`_seg_searchsorted` (vectorized bisection
+    — the right ts array is only sorted within each user's segment).
+    Fan-out stays bounded by events-per-user-per-window, no Python per
+    user or row."""
 
-    def solve(group: pd.DataFrame) -> pd.DataFrame:
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "event_id": pd.Series([], dtype="int64"),
-                "user_id": pd.Series([], dtype=group["user_id"].dtype),
+                "user_id": pd.Series([], dtype="int64"),
                 "matched_event_id": pd.Series([], dtype="int64"),
                 "lag_us": pd.Series([], dtype="int64"),
             }
         )
-        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        eid = group["event_id"].to_numpy().astype(np.int64)
-        et = group["event_type"].to_numpy()
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        et = df["event_type"].to_numpy()
         is_r = et == right_type
         is_l = et == left_type
         if not is_r.any() or not is_l.any():
             return empty
-        # right side sorted by (ts, event_id) for deterministic emission order
-        r_order = np.lexsort((eid[is_r], ts[is_r]))
+        # right side user-major, (ts, event_id) within user
+        r_order = np.lexsort((eid[is_r], ts[is_r], uid[is_r]))
+        r_uid = uid[is_r][r_order]
         rts, rid = ts[is_r][r_order], eid[is_r][r_order]
-        lts, lid = ts[is_l], eid[is_l]
-        lo = np.searchsorted(rts, lts - window_us, side="left")
-        hi = np.searchsorted(rts, lts, side="right")
+        l_uid, lts, lid = uid[is_l], ts[is_l], eid[is_l]
+        seg_lo = np.searchsorted(r_uid, l_uid, side="left")
+        seg_hi = np.searchsorted(r_uid, l_uid, side="right")
+        lo = _seg_searchsorted(rts, seg_lo, seg_hi, lts - window_us, side="left")
+        hi = _seg_searchsorted(rts, lo, seg_hi, lts, side="right")
         n = hi - lo
         total = int(n.sum())
         if total == 0:
@@ -230,13 +325,13 @@ def range_join(ds, left_type: str = "purchase", right_type: str = "view",
         return pd.DataFrame(
             {
                 "event_id": lid[li],
-                "user_id": np.repeat(group["user_id"].to_numpy()[is_l], n),
+                "user_id": l_uid[li],
                 "matched_event_id": rid[ri],
                 "lag_us": lts[li] - rts[ri],
             }
         )
 
-    return ds.groupby("user_id").map_groups(solve)
+    return _by_user(ds, solve)
 
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
@@ -288,21 +383,30 @@ def running_totals(ds):
     integer cents (floor(value*100+0.5)), so the running sum is
     deterministic across engines regardless of float addition order (DuckDB
     evaluates running windows with a segment tree — float order differs).
-    Same shuffle-by-user key as every events operator."""
+    Same shuffle-by-user key as every events operator; the segmented solve
+    is one global cumsum re-based at each user's first row."""
 
-    def solve(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        cents = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, cents = uid[order], eid[order], cents[order]
+        _, starts, seg = _user_segments(uid)
+        idx = np.arange(len(uid), dtype=np.int64)
+        cum = np.cumsum(cents)
+        base = cum[starts] - cents[starts]  # running sum BEFORE each user
         return pd.DataFrame(
             {
-                "event_id": g["event_id"].to_numpy().astype(np.int64),
-                "user_id": g["user_id"].to_numpy(),
-                "seq": np.arange(1, len(g) + 1, dtype=np.int64),
-                "cum_cents": np.cumsum(cents),
+                "event_id": eid,
+                "user_id": uid,
+                "seq": idx - starts[seg] + 1,
+                "cum_cents": cum - base[seg],
             }
         )
 
-    return ds.groupby("user_id").map_groups(solve)
+    return _by_user(ds, solve)
 
 
 def user_event_paths(ds, max_len: int = 50):
@@ -310,20 +414,34 @@ def user_event_paths(ds, max_len: int = 50):
     event-type sequence joined with ',' (first ``max_len`` events, (ts,
     event_id) order) plus the total count — collect_list / string_agg, the
     sequence-construction op behavioral models train on.  Cost is one
-    string join per USER (not per event); the cap bounds the output row
-    width the way any sequence model bounds context."""
+    string join per USER (not per event; the join itself is irreducibly
+    per-user, but it runs inside ONE pandas groupby per partition — no Ray
+    dispatch per user); the cap bounds the output row width the way any
+    sequence model bounds context."""
 
-    def solve(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        et = df["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, et = uid[order], et[order]
+        _, starts, seg = _user_segments(uid)
+        n = len(uid)
+        counts = np.diff(np.append(starts, n)).astype(np.int64)
+        pos = np.arange(n, dtype=np.int64) - starts[seg]
+        keep = pos < max_len
+        # pos 0 is always kept, so every segment id appears exactly once
+        paths = pd.Series(et[keep]).groupby(seg[keep], sort=True).agg(",".join)
         return pd.DataFrame(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": np.array([len(g)], np.int64),
-                "path": [",".join(g["event_type"].head(max_len))],
+                "user_id": uid[starts],
+                "n_events": counts,
+                "path": paths.to_numpy(),
             }
         )
 
-    return ds.groupby("user_id").map_groups(solve)
+    return _by_user(ds, solve)
 
 
 def moving_sum(ds, preceding: int = 3):
@@ -331,29 +449,37 @@ def moving_sum(ds, preceding: int = 3):
     window (ROWS ``preceding`` PRECEDING AND CURRENT ROW) over per-user
     (ts, event_id) order — the bounded complement of
     :func:`running_totals`'s unbounded frame.  Sum kept in exact integer
-    cents via cumsum difference (O(n) per group, vectorized); the window
-    row count is emitted instead of a float mean so every column stays
-    exactly comparable."""
+    cents via cumsum difference (O(n) per partition, vectorized across all
+    users: the frame is clamped at each user's first row); the window row
+    count is emitted instead of a float mean so every column stays exactly
+    comparable."""
 
-    def solve(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        cents = np.floor(g["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, cents = uid[order], eid[order], cents[order]
+        _, starts, seg = _user_segments(uid)
+        idx = np.arange(len(uid), dtype=np.int64)
+        pos = idx - starts[seg]
         cum = np.cumsum(cents)
-        n = len(g)
-        win_cents = cum.copy()
-        if n > preceding + 1:
-            win_cents[preceding + 1:] = cum[preceding + 1:] - cum[:-(preceding + 1)]
-        win_n = np.minimum(np.arange(n, dtype=np.int64) + 1, preceding + 1)
+        base = (cum[starts] - cents[starts])[seg]  # sum before the user
+        in_frame = pos >= preceding + 1
+        prev_cum = np.where(
+            in_frame, cum[np.maximum(idx - (preceding + 1), 0)], base
+        )
         return pd.DataFrame(
             {
-                "event_id": g["event_id"].to_numpy().astype(np.int64),
-                "user_id": g["user_id"].to_numpy(),
-                "win_n": win_n,
-                "win_cents": win_cents,
+                "event_id": eid,
+                "user_id": uid,
+                "win_n": np.minimum(pos + 1, preceding + 1),
+                "win_cents": cum - prev_cum,
             }
         )
 
-    return ds.groupby("user_id").map_groups(solve)
+    return _by_user(ds, solve)
 
 
 def event_gaps(ds):
@@ -362,22 +488,28 @@ def event_gaps(ds):
     in (ts, event_id) order and the elapsed microseconds.  First-per-user
     rows are dropped rather than emitted as NULL so every column stays a
     non-nullable int64 (NULL ints become float64 through pandas and break
-    exact comparison).  Same user_id shuffle key as every events operator."""
+    exact comparison).  Same user_id shuffle key as every events operator;
+    segmented solve: one lexsort, keep every row whose predecessor is the
+    same user."""
 
-    def solve(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        ts_us = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        eid = g["event_id"].to_numpy().astype(np.int64)
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid = uid[order], ts[order], eid[order]
+        new_user, _, _ = _user_segments(uid)
+        keep = np.flatnonzero(~new_user)  # row i-1 is the same user's
         return pd.DataFrame(
             {
-                "event_id": eid[1:],
-                "user_id": g["user_id"].to_numpy()[1:],
-                "prev_event_id": eid[:-1],
-                "gap_us": ts_us[1:] - ts_us[:-1],
+                "event_id": eid[keep],
+                "user_id": uid[keep],
+                "prev_event_id": eid[keep - 1],
+                "gap_us": ts[keep] - ts[keep - 1],
             }
         )
 
-    return ds.groupby("user_id").map_groups(solve)
+    return _by_user(ds, solve)
 
 
 def user_activity_full(ds, cents_min: int = PURCHASE_CENTS_MIN,
@@ -452,66 +584,69 @@ def event_context(ds):
     the partition's bookend events.  Last-per-user rows are dropped (their
     LEAD is NULL) so every column stays non-nullable int64, same contract
     as :func:`event_gaps`.  One shuffle on the shared user_id key; the
-    per-group solve is pure numpy slicing."""
+    segmented solve keeps every row whose successor is the same user and
+    broadcasts the per-user bookends via the segment-id gather."""
 
-    def solve(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        eid = g["event_id"].to_numpy().astype(np.int64)
-        n = len(eid)
-        if n < 2:
-            return pd.DataFrame({
-                "event_id": np.empty(0, np.int64),
-                "user_id": np.empty(0, np.int64),
-                "next_event_id": np.empty(0, np.int64),
-                "first_event_id": np.empty(0, np.int64),
-                "last_event_id": np.empty(0, np.int64),
-            })
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid = uid[order], eid[order]
+        _, starts, seg = _user_segments(uid)
+        n = len(uid)
+        ends = np.append(starts[1:], n) - 1
+        is_last = np.zeros(n, dtype=bool)
+        if n:
+            is_last[ends] = True
+        keep = np.flatnonzero(~is_last)  # row i+1 is the same user's
         return pd.DataFrame({
-            "event_id": eid[:-1],
-            "user_id": g["user_id"].to_numpy()[:-1],
-            "next_event_id": eid[1:],
-            "first_event_id": np.full(n - 1, eid[0], np.int64),
-            "last_event_id": np.full(n - 1, eid[-1], np.int64),
+            "event_id": eid[keep],
+            "user_id": uid[keep],
+            "next_event_id": eid[keep + 1],
+            "first_event_id": eid[starts][seg[keep]],
+            "last_event_id": eid[ends][seg[keep]],
         })
 
-    return ds.groupby("user_id").map_groups(solve)
+    return _by_user(ds, solve)
 
 
 def event_ranks(ds):
     """events -> (event_id, user_id, cents, rnk, drnk): RANK and DENSE_RANK
     of each event's value (exact integer cents) within its user, highest
     first.  Ties share a rank: rank() leaves gaps, dense_rank() doesn't —
-    both computed vectorized from the sorted cents run-lengths (no Python
-    per row).  Ties on cents are real (values quantize to cents), so the
-    tie semantics are actually exercised."""
+    both computed vectorized from run boundaries in ONE user-major
+    descending-cents sort per partition (no Python per user or row).  Ties
+    on cents are real (values quantize to cents), so the tie semantics are
+    actually exercised."""
 
-    def solve(group: pd.DataFrame) -> pd.DataFrame:
-        cents = np.floor(group["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
-        order = np.argsort(-cents, kind="stable")
-        sorted_cents = cents[order]
-        # run starts in the descending-sorted array: rank = position of the
-        # run's first element (1-based); dense_rank = run index (1-based)
-        new_run = np.empty(len(cents), dtype=bool)
-        if len(cents):
-            new_run[0] = True
-            new_run[1:] = sorted_cents[1:] != sorted_cents[:-1]
-        starts = np.flatnonzero(new_run)
-        run_id = np.cumsum(new_run.view(np.int8), dtype=np.int64) - 1
-        rnk = (starts + 1)[run_id] if len(cents) else np.empty(0, dtype=np.int64)
-        drnk = run_id + 1
-        inv = np.empty(len(order), dtype=np.int64)
-        inv[order] = np.arange(len(order), dtype=np.int64)
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        order = np.lexsort((-cents, uid))
+        uid, eid, cents = uid[order], eid[order], cents[order]
+        new_user, starts, seg = _user_segments(uid)
+        n = len(uid)
+        new_run = new_user.copy()
+        if n > 1:
+            new_run[1:] |= cents[1:] != cents[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        run_start = np.maximum.accumulate(np.where(new_run, idx, -1))
+        rnk = run_start - starts[seg] + 1  # run head's 1-based user position
+        run_global = np.cumsum(new_run) - 1
+        drnk = run_global - run_global[starts][seg] + 1
         return pd.DataFrame(
             {
-                "event_id": group["event_id"].to_numpy().astype(np.int64),
-                "user_id": group["user_id"].to_numpy(),
+                "event_id": eid,
+                "user_id": uid,
                 "cents": cents,
-                "rnk": rnk[inv],
-                "drnk": drnk[inv],
+                "rnk": rnk,
+                "drnk": drnk,
             }
         )
 
-    return ds.groupby("user_id").map_groups(solve)
+    return _by_user(ds, solve)
 
 
 def gap_fill(ds, bucket_us: int = WINDOW_US):
@@ -524,33 +659,44 @@ def gap_fill(ds, bucket_us: int = WINDOW_US):
     Emits (user_id, bucket_start, n_events, sum_cents), one row per
     (user, bucket) in the user's active range.
 
-    Same single shuffle key (user_id) as every events operator; the local
-    solve is one ``np.bincount`` over bucket offsets — densification cost
-    is O(span/bucket) per user, created inside the group (never on the
-    driver), and output rows stream straight out of the group task.
-    """
+    Same single shuffle key (user_id) as every events operator; the
+    segmented solve densifies ALL users in one pass: per-user bucket spans
+    from the segment bookends, the dense output laid out contiguously via a
+    prefix sum over span lengths, and counts/sums scattered with ONE
+    ``np.bincount`` / ``np.add.at`` over global output offsets — no Python
+    per user, densified rows created inside the partition task (never on
+    the driver)."""
 
-    def solve(group: pd.DataFrame) -> pd.DataFrame:
-        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        cents = np.floor(group["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
         bkt = ts // bucket_us
-        lo = bkt.min()
-        off = bkt - lo
-        n = int(off.max()) + 1
-        counts = np.bincount(off, minlength=n).astype(np.int64)
-        sums = np.zeros(n, np.int64)
+        order = np.lexsort((bkt, uid))
+        uid, bkt, cents = uid[order], bkt[order], cents[order]
+        _, starts, seg = _user_segments(uid)
+        n = len(uid)
+        ends = np.append(starts[1:], n) - 1
+        lo, hi = bkt[starts], bkt[ends]  # per-user first/last active bucket
+        n_user = hi - lo + 1
+        total = int(n_user.sum())
+        out_start = np.cumsum(n_user) - n_user
+        out_seg = np.repeat(np.arange(len(starts), dtype=np.int64), n_user)
+        intra = np.arange(total, dtype=np.int64) - out_start[out_seg]
+        off = out_start[seg] + (bkt - lo[seg])  # each event's output slot
+        counts = np.bincount(off, minlength=total).astype(np.int64)
+        sums = np.zeros(total, np.int64)
         np.add.at(sums, off, cents)  # exact int64 (bincount weights = lossy float)
-        buckets = (lo + np.arange(n, dtype=np.int64)) * bucket_us
         return pd.DataFrame(
             {
-                "user_id": np.full(n, group["user_id"].iat[0], np.int64),
-                "bucket_start": buckets.astype("datetime64[us]"),
+                "user_id": uid[starts][out_seg],
+                "bucket_start": ((lo[out_seg] + intra) * bucket_us).astype("datetime64[us]"),
                 "n_events": counts,
                 "sum_cents": sums,
             }
         )
 
-    return ds.groupby("user_id").map_groups(solve)
+    return _by_user(ds, solve)
 
 
 def event_ntiles(ds, k: int = 4):
@@ -616,32 +762,40 @@ def funnel(ds, steps: tuple[str, ...] = ("view", "click", "purchase"),
     steps and missing steps carry the -1 sentinel (int64 epoch micros
     throughout, so the driver compare stays non-nullable).
 
-    Same shuffle-by-user + vectorized local solve as the rest of the
-    event family: per step it's one boolean mask + a ``min`` over the
-    tail of the user's sorted timestamps — O(k * events-per-user)."""
+    Same shuffle-by-user shape as the rest of the event family; the
+    segmented solve advances ALL users one funnel step per pass (k numpy
+    passes total): step i's per-user earliest qualifying timestamp is a
+    masked segmented min (``np.minimum.at``), and a user whose step failed
+    carries the -1 sentinel forward, which the ``prev >= 0`` guard locks
+    out of every later step — O(k * partition rows), no Python per user."""
 
-    def solve(group: pd.DataFrame) -> pd.DataFrame:
-        ts = group["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        et = group["event_type"].to_numpy()
-        out_ts = np.full(len(steps), np.int64(-1))
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        et = df["event_type"].to_numpy()
+        order = np.argsort(uid, kind="stable")
+        uid, ts, et = uid[order], ts[order], et[order]
+        _, starts, seg = _user_segments(uid)
+        n_users = len(starts)
+        sentinel = np.iinfo(np.int64).max
+        stage = np.zeros(n_users, np.int64)
         prev = None
-        stage = 0
+        row = {"user_id": uid[starts], "stage": None}
         for i, s in enumerate(steps):
             m = et == s
             if prev is not None:
-                m &= (ts >= prev) & (ts <= prev + window_us)
-            if not m.any():
-                break
-            prev = ts[m].min()
-            out_ts[i] = prev
-            stage += 1
-        row = {"user_id": [np.int64(group["user_id"].iat[0])],
-               "stage": [np.int64(stage)]}
-        for i in range(len(steps)):
-            row[f"ts_{i + 1}"] = [out_ts[i]]
+                p = prev[seg]
+                m &= (p >= 0) & (ts >= p) & (ts <= p + window_us)
+            acc = np.full(n_users, sentinel, np.int64)
+            np.minimum.at(acc, seg[m], ts[m])
+            found = acc != sentinel
+            prev = np.where(found, acc, np.int64(-1))
+            stage += found
+            row[f"ts_{i + 1}"] = prev
+        row["stage"] = stage
         return pd.DataFrame(row)
 
-    return ds.groupby("user_id").map_groups(solve)
+    return _by_user(ds, solve)
 
 
 DAY_US = 86_400_000_000

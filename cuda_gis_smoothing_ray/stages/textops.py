@@ -292,7 +292,8 @@ def _hasher(num_perms: int, shingle_k: int, bands: int) -> hashing.MinHasher:
 
 def minhash_pairs(ds, threshold: float = 0.7, num_perms: int = 64,
                   shingle_k: int = 5, bands: int = 16,
-                  n_parts: int = _PAIR_PARTS):
+                  n_parts: int = _PAIR_PARTS,
+                  max_bucket: int = 4096):
     """documents -> (a, b, est_jaccard) near-dup candidates.
 
     Shuffle-lean plan (round 2; the round-1 plan shipped the full signature
@@ -311,14 +312,26 @@ def minhash_pairs(ds, threshold: float = 0.7, num_perms: int = 64,
     shuffling it with every band row.  Output is identical to a
     carry-the-signature plan (est comes from the full signature either
     way); the tiny-parameter variant is SQL-oracle-checked bit-for-bit.
+
+    ``max_bucket`` caps the per-bucket pair fan-out: an LSH bucket holding a
+    boilerplate cluster of near-identical docs is inherently quadratic, so a
+    bucket with more than ``max_bucket`` members is truncated
+    DETERMINISTICALLY to its lowest doc_ids.  A true near-dup clique loses
+    no recall in practice — every kept member still pairs with every other
+    kept member, and dedup downstream needs the component, not all O(n^2)
+    edges.  Pass ``None`` for exact semantics (the SQL-oracle queries at
+    sf0.01 never approach the cap, so the default stays oracle-exact
+    there).  Doc ids must be < 2^31 for the packed-pair key; use
+    shard-local ids at 10^12-doc scale.
     """
     mask31 = np.int64((1 << 31) - 1)
 
     def band_rows(batch: pa.Table) -> pa.Table:
         mh = _hasher(num_perms, shingle_k, bands)
-        texts = batch.column("text").to_pylist()
         doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        keys = mh.band_keys(mh.signatures(texts))  # (n, bands) int64
+        # Arrow column goes straight into the batched hasher (zero-copy
+        # offsets/data buffers; no to_pylist round-trip)
+        keys = mh.band_keys(mh.signatures(batch.column("text")))  # (n, bands) int64
         return pa.table(
             {
                 "bucket": pa.array(keys.ravel()),
@@ -328,6 +341,8 @@ def minhash_pairs(ds, threshold: float = 0.7, num_perms: int = 64,
 
     def pairs_of_bucket(df):
         ids = np.unique(df["doc_id"].to_numpy())
+        if max_bucket is not None and len(ids) > max_bucket:
+            ids = ids[:max_bucket]  # deterministic: lowest ids survive
         if len(ids) < 2:
             return {"pk": np.empty(0, np.int64)}
         iu, ju = np.triu_indices(len(ids), k=1)
@@ -360,9 +375,8 @@ def minhash_pairs(ds, threshold: float = 0.7, num_perms: int = 64,
 
     def sig_rows(batch: pa.Table) -> pa.Table:
         mh = _hasher(num_perms, shingle_k, bands)
-        texts = batch.column("text").to_pylist()
         doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        s = mh.signatures(texts).astype(np.int64)
+        s = mh.signatures(batch.column("text")).astype(np.int64)
         return pa.table(
             {
                 "key": pa.array(doc),
@@ -486,15 +500,18 @@ def minhash_pairs(ds, threshold: float = 0.7, num_perms: int = 64,
 # ---------------------------------------------------------------------------
 
 def simhash_pairs(ds, max_hamming: int = 3, n_bands: int = 4,
-                  token_hash: str = "blake2b"):
+                  token_hash: str = "blake2b", max_bucket: int = 4096):
     """documents -> (a, b, hamming) pairs with simhash hamming <= max_hamming.
 
     Pigeonhole blocking: any pair within hamming<=3 agrees exactly on at
     least one of 4 16-bit bands -> groupby(band value) -> verify true
-    hamming per candidate pair.
+    hamming per candidate pair.  ``max_bucket`` bounds a hot band bucket's
+    quadratic pair fan-out the same way :func:`minhash_pairs` does
+    (deterministic lowest-id truncation; ``None`` = exact).
     """
     def sigs(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
+        texts = (batch.column("text") if token_hash == "fnv"
+                 else batch.column("text").to_pylist())
         sh = hashing.simhash64(texts, token_hash=token_hash)
         doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         n = len(texts)
