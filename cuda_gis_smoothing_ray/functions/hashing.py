@@ -305,8 +305,12 @@ def poly_hash64(strs) -> np.ndarray:
         arr = arr.combine_chunks()
     assert arr.null_count == 0, "poly_hash64: null strings not supported"
     arr = arr.cast(pa.large_string())
+    # read the offsets WINDOW at arr.offset (a no-op cast of an already-
+    # large_string slice keeps its element offset; the byte positions in
+    # the offsets buffer are already absolute — never add arr.offset to
+    # the VALUES)
     off = np.frombuffer(arr.buffers()[1], dtype=np.int64,
-                        count=len(arr) + 1, offset=0) + arr.offset
+                        count=len(arr) + 1, offset=arr.offset * 8)
     data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
     starts, lens = off[:-1], np.diff(off)
     h = np.zeros(len(arr), dtype=np.uint64)

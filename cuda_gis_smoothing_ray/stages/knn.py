@@ -201,13 +201,18 @@ def knn_haversine(points_ds, k: int = 5,
         a = s_lat * s_lat + np.cos(np.radians(qlat)) * np.cos(np.radians(lat[None, :])) * (s_lon * s_lon)
         dkm = 2.0 * EARTH_R_KM * np.arcsin(np.sqrt(a))  # (m, n)
         kk = min(k, dkm.shape[1])
-        part = np.argpartition(dkm, kk - 1, axis=1)[:, :kk]
         out_q, out_id, out_d = [], [], []
         for qi in range(dkm.shape[0]):
-            sel = part[qi]
-            out_q.append(np.full(kk, q_ids[qi]))
+            d = dkm[qi]
+            # tie-consistent local prune: keep EVERYTHING at or under the
+            # kth distance, then (dist, id) lexsort — so the batch-local
+            # cut never drops a tie the oracle's ORDER BY dist_km, id keeps
+            thresh = np.partition(d, kk - 1)[kk - 1]
+            cand = np.flatnonzero(d <= thresh)
+            sel = cand[np.lexsort((ids[cand], d[cand]))][:kk]
+            out_q.append(np.full(len(sel), q_ids[qi]))
             out_id.append(ids[sel])
-            out_d.append(dkm[qi, sel])
+            out_d.append(d[sel])
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q)),

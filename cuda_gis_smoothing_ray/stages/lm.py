@@ -132,6 +132,11 @@ def train_bigram_lm(docs_ds, train_mod: int = TRAIN_MOD,
     order = np.argsort(uni["gram"].to_numpy())
     vocab = uni["gram"].to_numpy()[order]
     vcnt = uni["cnt"].to_numpy(np.int64)[order]
+    if len(vocab) == 0:
+        raise ValueError(
+            f"train_bigram_lm: empty vocabulary — the doc_id % {train_mod} "
+            "== 0 training subset has no tokens; widen train_mod or check "
+            "the input (scoring would otherwise divide by V=0)")
     bi = counted[(counted["n"] == 2) & (counted["cnt"] >= min_count)]
     w12 = bi["gram"].str.split(" ", n=1, expand=True) if len(bi) else None
     V = len(vocab)

@@ -32,6 +32,7 @@ over all variables, exactly the reference's fusion win.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from ..functions import hexgrid
@@ -175,19 +176,33 @@ def neighbor_counts(cells_ds, ring: int = 1):
     return reduced.map_batches(finalize, batch_format="pyarrow")
 
 
+#: above this many distinct cells the smoothed table stops being
+#: "broadcast-sized": res 7 is hundreds of cells, but res 9 over 100 TB is
+#: 10^7-10^8 — a driver-side to_pandas + per-task copy would be multi-GB.
+ENRICH_BROADCAST_MAX_CELLS = 1_000_000
+
+
 def enrich_pages(geocoded_ds, cells_ds, value_cols: list[str], k: int = 1,
-                 profile: str = "gaussian", id_col: str = "page_id"):
+                 profile: str = "gaussian", id_col: str = "page_id",
+                 broadcast_max_cells: int = ENRICH_BROADCAST_MAX_CELLS):
     """Feature-enrichment join: stamp every PAGE with its cell's smoothed
     metrics — the serve-side step that turns the aggregated spatial model
     back into per-row training features.
 
-    -> (id_col, cell, <col>_sm ...).  The smoothed cell table is
-    aggregate-sized (distinct cells), so it is broadcast ONCE via ``ray.put``
-    (sorted keys + searchsorted lookup per batch, same discipline as
-    ``join.broadcast_hash_join``); the page stream never shuffles."""
+    -> (id_col, cell, <col>_sm ...).  Size-gated plan: when the smoothed
+    cell table is genuinely broadcast-sized (<= ``broadcast_max_cells``
+    rows) it is pulled once and shipped via ``ray.put`` (sorted keys +
+    searchsorted lookup per batch, same discipline as
+    ``join.broadcast_hash_join``) and the page stream never shuffles.
+    Above the gate (high res x 100 TB) nothing touches the driver: both
+    sides hash-partition on ``cell`` and each partition does one
+    vectorized sort-merge lookup — the standard shuffle join, with the
+    small side still being cells, not pages."""
     import ray
 
-    sm = smooth_cells(cells_ds, value_cols, k=k, profile=profile)
+    sm = smooth_cells(cells_ds, value_cols, k=k, profile=profile).materialize()
+    if sm.count() > broadcast_max_cells:
+        return _enrich_shuffle_join(sm, geocoded_ds, value_cols, id_col)
     sm_pd = sm.to_pandas().sort_values("cell")
     keys = sm_pd["cell"].to_numpy().astype(np.int64)
     vals = {
@@ -208,3 +223,65 @@ def enrich_pages(geocoded_ds, cells_ds, value_cols: list[str], k: int = 1,
         return pa.table(out)
 
     return geocoded_ds.map_batches(lookup, batch_format="pyarrow")
+
+
+def _enrich_shuffle_join(sm, geocoded_ds, value_cols: list[str], id_col: str,
+                         n_parts: int = 64):
+    """Cell-keyed shuffle-join arm of :func:`enrich_pages`: union the
+    smoothed cell rows (kind 0) with the page rows (kind 1), ONE coarse
+    hash-partition shuffle on cell, then a vectorized per-partition
+    sort-merge lookup.  Output is identical to the broadcast arm (same
+    1e-6 rounding of the smoothed values)."""
+    _G = np.uint64(0x9E3779B97F4A7C15)
+
+    def _part(cell: np.ndarray) -> pa.Array:
+        p = ((cell.view(np.uint64) * _G) >> np.uint64(52)) % np.uint64(n_parts)
+        return pa.array(p.astype(np.int64))
+
+    def cell_rows(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {
+            "cell": pa.array(cell),
+            "kind": pa.array(np.zeros(len(cell), np.int8)),
+            id_col: pa.array(np.zeros(len(cell), np.int64)),
+        }
+        for c in value_cols:
+            v = batch.column(f"{c}_sm").to_numpy(zero_copy_only=False)
+            out[f"{c}_sm"] = pa.array(np.floor(v * 1e6 + 0.5) / 1e6)
+        out["__part"] = _part(cell)
+        return pa.table(out)
+
+    def page_rows(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {
+            "cell": pa.array(cell),
+            "kind": pa.array(np.ones(len(cell), np.int8)),
+            id_col: batch.column(id_col),
+        }
+        for c in value_cols:
+            out[f"{c}_sm"] = pa.array(np.zeros(len(cell), np.float64))
+        out["__part"] = _part(cell)
+        return pa.table(out)
+
+    def join(part: pd.DataFrame) -> pd.DataFrame:
+        is_cell = part["kind"].to_numpy() == 0
+        ck = part["cell"].to_numpy()[is_cell]
+        order = np.argsort(ck, kind="stable")
+        ck = ck[order]
+        pages = part[~is_cell]
+        pc_ = pages["cell"].to_numpy()
+        pos = np.searchsorted(ck, pc_)
+        pos_c = np.minimum(pos, max(len(ck) - 1, 0))
+        hit = (ck[pos_c] == pc_) if len(ck) else np.zeros(len(pc_), bool)
+        out = {id_col: pages[id_col].to_numpy(), "cell": pc_}
+        for c in value_cols:
+            cv = part[f"{c}_sm"].to_numpy()[is_cell][order]
+            out[f"{c}_sm"] = np.where(
+                hit, cv[pos_c] if len(ck) else np.nan, np.nan)
+        return pd.DataFrame(out)
+
+    unioned = sm.map_batches(cell_rows, batch_format="pyarrow",
+                             batch_size=None).union(
+        geocoded_ds.map_batches(page_rows, batch_format="pyarrow",
+                                batch_size=None))
+    return unioned.groupby("__part").map_groups(join, batch_format="pandas")

@@ -115,15 +115,19 @@ def distance_join(points_ds, radius: float = 1.0, bucket_res: int = 6,
     """Every pair of points within ``radius`` degrees (equirectangular), as
     rows (a, b, dist2) with a < b, each pair exactly once.
 
-    Requires ``radius <= edge_size(bucket_res)``: the minimum point-to-point
-    gap between non-ring-1-adjacent hex buckets is one edge length, so the
-    ring-1 halo is a complete candidate set.
+    Requires ``radius < edge_size(bucket_res)`` STRICTLY: the minimum
+    point-to-point gap between non-ring-1-adjacent hex buckets is one edge
+    length, and the pair predicate is INCLUSIVE (d2 <= r2) — at exact
+    equality a qualifying pair at precisely one edge-length separation
+    across non-adjacent buckets would sit outside the ring-1 halo, so
+    equality is rejected too.
     """
     size = hexgrid.edge_size(bucket_res)
-    if radius > size:
+    if radius >= size:
         raise ValueError(
-            f"radius {radius} > edge_size({bucket_res}) = {size}: ring-1 halo "
-            "would miss pairs; lower bucket_res"
+            f"radius {radius} >= edge_size({bucket_res}) = {size}: ring-1 "
+            "halo would miss boundary pairs (the d2 <= r2 predicate is "
+            "inclusive); lower bucket_res"
         )
     r2 = radius * radius
 
@@ -465,11 +469,20 @@ def pip_join_indexed(points_ds, res: int = 7, polygons=None,
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
         lon = batch.column("lon").to_numpy(zero_copy_only=False)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(cells_sorted) == 0:  # no polygon covers any cell
+            return pa.table(
+                {
+                    id_col: pa.array(np.array([], dtype=np.int64)),
+                    "poly_id": pa.array(np.array([], dtype=np.int64)),
+                }
+            )
         pos = np.searchsorted(cells_sorted, cell)
         pos_c = np.minimum(pos, len(cells_sorted) - 1)
-        any_hit = cells_sorted[pos_c] == cell if len(cells_sorted) else np.zeros(len(cell), bool)
+        any_hit = cells_sorted[pos_c] == cell
         out_id, out_pid = [], []
         for pid, cand in by_poly.items():
+            if len(cand) == 0:
+                continue  # custom polygon whose bbox covers no cell
             m = any_hit.copy()
             if not m.any():
                 continue

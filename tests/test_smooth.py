@@ -170,3 +170,36 @@ def test_enrich_pages_stamps_cell_smoothed_value():
     # corrupt the key — compare vectorized on the exact ints
     want_v = np.floor(want.loc[out["cell"].to_numpy()].to_numpy() * 1e6 + 0.5) / 1e6
     np.testing.assert_array_equal(out["v_sm"].to_numpy(), want_v)
+
+
+def test_enrich_pages_shuffle_join_arm_matches_broadcast():
+    """Size gate: with broadcast_max_cells=0 every cell table takes the
+    cell-keyed shuffle-join path; output must be identical (values AND
+    rounding) to the broadcast arm on the same input."""
+    import pandas as pd
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.functions import hexgrid
+    from cuda_gis_smoothing_ray.stages.smooth import enrich_pages
+
+    rng = np.random.default_rng(11)
+    lat = rng.uniform(-40, 40, 600)
+    lon = rng.uniform(-100, 100, 600)
+    cell = hexgrid.latlon_to_cell(lat, lon, 8)  # high res: many distinct cells
+    res, q, r = hexgrid.unpack(cell)
+    geo = rd.from_arrow(pa.table({
+        "page_id": pa.array(np.arange(600, dtype=np.int64)),
+        "cell": pa.array(cell),
+    }))
+    cells_pd = pd.DataFrame({"cell": cell, "q": q, "r": r, "v": rng.normal(size=600)})
+    cells_pd = cells_pd.groupby(["cell", "q", "r"], as_index=False)["v"].mean()
+    cells = rd.from_arrow(pa.Table.from_pandas(cells_pd, preserve_index=False))
+
+    bcast = (enrich_pages(geo, cells, ["v"], k=1, profile="gaussian")
+             .to_pandas().sort_values("page_id").reset_index(drop=True))
+    shuf = (enrich_pages(geo, cells, ["v"], k=1, profile="gaussian",
+                         broadcast_max_cells=0)
+            .to_pandas().sort_values("page_id").reset_index(drop=True))
+    assert list(shuf.columns) == list(bcast.columns)
+    np.testing.assert_array_equal(shuf["cell"].to_numpy(), bcast["cell"].to_numpy())
+    np.testing.assert_array_equal(shuf["v_sm"].to_numpy(), bcast["v_sm"].to_numpy())
