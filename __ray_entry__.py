@@ -673,6 +673,16 @@ def _q_ann_pq(sf_dir: str):
     )
 
 
+def _q_ann_recall(sf_dir: str):
+    """Recall@k of every approximate ANN variant vs exact brute force —
+    surfaces the pytest-gated recall numbers in the driver artifact
+    (rows-only: the approximate methods are seed-deterministic but not
+    SQL-expressible)."""
+    from cuda_gis_smoothing_ray.stages import ann
+
+    return ann.ann_recall(sf_dir, k=ANN_K)
+
+
 def _q_neardup(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import ann
 
@@ -700,6 +710,16 @@ def _q_media_decode(sf_dir: str):
 
     ds = media.media_decode(media.media_table(sf_dir))
     return ds.drop_columns(["feature"]).sort("media_id")
+
+
+def _q_media_decode_real(sf_dir: str):
+    """REAL codec path: synthesized uncompressed-BMP / PCM16-WAV payloads
+    parsed by the dependency-free numpy decoders (stages/media.decode_bmp /
+    decode_wav); the order-sensitive checksum makes the SQL oracle reject a
+    parser that misreads padding, row order or channel order."""
+    from cuda_gis_smoothing_ray.stages import media
+
+    return media.media_decode_real(media.synth_media_table(sf_dir)).sort("media_id")
 
 
 def _q_media_features(sf_dir: str):
@@ -1606,11 +1626,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
+        "ann_recall": _q_ann_recall,
         "embedding_neardup": _q_neardup,
         "label_centroids": _q_label_centroids,
         "quantize_int8": _q_quantize_int8,
         "kmeans_clusters": _q_kmeans,
         "media_decode": _q_media_decode,
+        "media_decode_real": _q_media_decode_real,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "audio_resample": _q_audio_resample,
@@ -1745,6 +1767,7 @@ def oracle_sql() -> dict[str, str]:
         "quantize_int8": oc.quantize_int8_sql(),
         "kmeans_clusters": oc.kmeans_sql(),
         "media_decode": oc.media_decode_sql(),
+        "media_decode_real": oc.media_decode_real_sql(),
         "media_features": oc.media_features_sql(),
         "media_resize": oc.media_resize_sql(),
         "audio_resample": oc.audio_resample_sql(),

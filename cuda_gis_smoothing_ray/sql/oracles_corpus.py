@@ -2001,3 +2001,35 @@ r AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) - 1 AS rn
 n AS (SELECT lang, count(*) AS n FROM v GROUP BY lang)
 {union}
 ORDER BY lang, q"""
+
+
+def media_decode_real_sql() -> str:
+    """Oracle of stages/media.synth_media_table + media_decode_real: the
+    payloads' VALUE STREAMS are pure arithmetic (bmp pixel i ->
+    (id*31+i*7)%256 over h*w*3 top-down RGB values; wav sample i ->
+    (id*17+i*13)%4096-2048), so DuckDB regenerates every decoded value with
+    a correlated range unnest and reproduces the order-sensitive checksum
+    sum(i*v).  The BMP file layout (bottom-up, BGR, padded rows) is the
+    engine side's problem: a decoder that misorders values fails here."""
+    return """WITH p AS (
+  SELECT doc_id AS media_id,
+    CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS fmt,
+    CASE WHEN doc_id % 2 = 0 THEN 8 + (doc_id % 5) * 4 ELSE 0 END AS width,
+    CASE WHEN doc_id % 2 = 0 THEN 6 + (doc_id % 7) * 2 ELSE 0 END AS height,
+    CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 8000 + (doc_id % 3) * 4000 END AS sample_rate,
+    CASE WHEN doc_id % 2 = 0
+         THEN (8 + (doc_id % 5) * 4) * (6 + (doc_id % 7) * 2) * 3
+         ELSE 400 + (doc_id % 7) * 100 END AS n_units
+  FROM documents
+), vals AS (
+  SELECT p.media_id, p.fmt, p.width, p.height, p.sample_rate, p.n_units, g.i,
+    CASE WHEN p.fmt = 'bmp' THEN (p.media_id * 31 + g.i * 7) % 256
+         ELSE (p.media_id * 17 + g.i * 13) % 4096 - 2048 END AS v
+  FROM p, LATERAL (SELECT unnest(range(0, p.n_units)) AS i) g
+)
+SELECT media_id, fmt, width, height, sample_rate, n_units,
+  CAST(MIN(v) AS BIGINT) AS v_min, CAST(MAX(v) AS BIGINT) AS v_max,
+  CAST(SUM(v) AS BIGINT) AS v_sum, CAST(SUM(i * v) AS BIGINT) AS checksum
+FROM vals
+GROUP BY media_id, fmt, width, height, sample_rate, n_units
+ORDER BY media_id"""

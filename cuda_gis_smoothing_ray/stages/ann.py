@@ -746,3 +746,44 @@ def quantize_int8(ds):
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Recall surfacing — runs exact + every approximate variant in one call
+# ---------------------------------------------------------------------------
+
+
+def ann_recall(sf_dir: str, k: int = 10, n_queries: int = N_QUERIES):
+    """-> (method, recall_at_k, min_query_recall, n_queries): recall of each
+    approximate ANN variant (lsh / ivf / pq) against the exact brute-force
+    top-k, computed in one run so the driver artifact records the numbers
+    instead of only pytest seeing them.
+
+    Every intermediate here is aggregate-sized (n_queries * k rows per
+    method), so pulling to pandas on the driver is the documented exception
+    to the no-materialize rule.  All train steps (LSH planes, IVF centroids,
+    PQ codebooks) are seed-deterministic, so the output is stable run-to-run.
+    Recall is rounded half-up at 1e-4 for a stable artifact.
+    """
+    import pandas as pd
+
+    truth = ann_bruteforce(read_embeddings(sf_dir), sf_dir, k=k,
+                           n_queries=n_queries).to_pandas()
+    gt = truth.groupby("query_id")["vec_id"].agg(frozenset)
+
+    methods = (("lsh", ann_lsh), ("ivf", ann_ivf), ("pq", ann_pq))
+    out = {"method": [], "recall_at_k": [], "min_query_recall": [],
+           "n_queries": []}
+    for name, fn in methods:
+        got = fn(read_embeddings(sf_dir), sf_dir, k=k,
+                 n_queries=n_queries).to_pandas()
+        hits = got.groupby("query_id")["vec_id"].agg(frozenset)
+        per_q = pd.Series(
+            [len(hits.get(q, frozenset()) & gt[q]) / max(len(gt[q]), 1)
+             for q in gt.index],
+            index=gt.index, dtype=np.float64)
+        out["method"].append(name)
+        out["recall_at_k"].append(np.floor(per_q.mean() * 1e4 + 0.5) / 1e4)
+        out["min_query_recall"].append(np.floor(per_q.min() * 1e4 + 0.5) / 1e4)
+        out["n_queries"].append(len(gt))
+    return pa.table({k2: pa.array(v) for k2, v in out.items()})

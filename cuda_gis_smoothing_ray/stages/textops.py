@@ -29,6 +29,21 @@ import pyarrow.compute as pc
 from ..functions import hashing, textstats
 
 
+_PACK_LIMIT = np.int64(1) << np.int64(31)
+
+
+def _check_pack_ids(ids: np.ndarray) -> None:
+    """Packed-pair shuffle keys hold two ids in one int64 (``a<<31 | b``),
+    so every doc id must be < 2^31.  At 10^12-doc scale the caller must
+    re-id per shard before the pair stage; this guard turns silent key-space
+    corruption into a descriptive error."""
+    if len(ids) and ids.max() >= _PACK_LIMIT:
+        raise ValueError(
+            f"doc_id {int(ids.max())} >= 2^31: packed-pair keys require "
+            "shard-local ids < 2^31 — re-id per shard before the pair stage"
+        )
+
+
 def read_documents(sf_dir: str, columns=("doc_id", "text")):
     import ray.data as rd
 
@@ -167,6 +182,7 @@ def jaccard_pairs(ds, threshold: float = 0.8, max_df: int | None = JACCARD_MAX_D
         if max_df is not None and len(ids) > max_df:
             return {"pk": np.empty(0, np.int64), "na": np.empty(0, np.int64),
                     "nb": np.empty(0, np.int64)}
+        _check_pack_ids(ids)
         iu, ju = np.triu_indices(len(ids), k=1)
         return {
             "pk": (ids[iu].astype(np.int64) << np.int64(31)) | ids[ju].astype(np.int64),
@@ -345,6 +361,7 @@ def minhash_pairs(ds, threshold: float = 0.7, num_perms: int = 64,
             ids = ids[:max_bucket]  # deterministic: lowest ids survive
         if len(ids) < 2:
             return {"pk": np.empty(0, np.int64)}
+        _check_pack_ids(ids)
         iu, ju = np.triu_indices(len(ids), k=1)
         return {"pk": (ids[iu] << np.int64(31)) | ids[ju]}
 
@@ -531,9 +548,12 @@ def simhash_pairs(ds, max_hamming: int = 3, n_bands: int = 4,
 
     def pairs_of_bucket(df):
         d = df.sort_values("doc_id")
+        if max_bucket is not None and len(d) > max_bucket:
+            d = d.head(max_bucket)  # deterministic: lowest ids survive
         ids = d["doc_id"].to_numpy()
         if len(ids) < 2:
             return {"pk": np.empty(0, np.int64), "hamming": np.empty(0, np.int64)}
+        _check_pack_ids(ids)
         sh = d["simhash"].to_numpy().astype(np.int64).view(np.uint64)
         iu, ju = np.triu_indices(len(ids), k=1)
         ham = hashing.hamming64(sh[iu], sh[ju])

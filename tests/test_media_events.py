@@ -280,3 +280,66 @@ def test_ohlc_bars_hand_case():
     assert w0["n_events"] == 4
     w1 = out.iloc[1]
     assert w1["open_cents"] == w1["close_cents"] == 200 and w1["n_events"] == 1
+
+
+# ---------------------------------------------------------------------------
+# REAL BMP/WAV codecs: golden byte literals pin the file format, so a
+# self-consistent encode/decode bug cannot hide behind the roundtrip
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_golden_byte_literal():
+    import struct
+
+    from cuda_gis_smoothing_ray.stages.media import decode_bmp, encode_bmp
+
+    # hand-built 2x2 24bpp BI_RGB BMP: stride 8 (2 pad bytes/row), rows
+    # bottom-up, channels BGR
+    header = (b"BM" + struct.pack("<I", 54 + 16) + b"\x00\x00\x00\x00"
+              + struct.pack("<I", 54)
+              + struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, 16, 0, 0, 0, 0))
+    bottom_row = bytes([9, 8, 7, 12, 11, 10, 0, 0])   # image row 1: (7,8,9),(10,11,12)
+    top_row = bytes([3, 2, 1, 6, 5, 4, 0, 0])         # image row 0: (1,2,3),(4,5,6)
+    px = decode_bmp(header + bottom_row + top_row)
+    want = np.array([[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]], np.uint8)
+    assert (px == want).all()
+    assert encode_bmp(want) == header + bottom_row + top_row
+
+
+def test_wav_golden_byte_literal_with_unknown_chunk():
+    import struct
+
+    from cuda_gis_smoothing_ray.stages.media import decode_wav
+
+    samples = struct.pack("<4h", -2, -1, 0, 7)
+    # an unknown odd-sized chunk ('junk', 3 bytes + pad) sits between fmt
+    # and data: the parser must skip it via generic word-aligned walking
+    body = (b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 22050, 44100, 2, 16)
+            + b"junk" + struct.pack("<I", 3) + b"abc\x00"
+            + b"data" + struct.pack("<I", 8) + samples)
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    s, rate = decode_wav(payload)
+    assert rate == 22050
+    assert (s == np.array([-2, -1, 0, 7], np.int16)).all()
+
+
+def test_synth_media_payload_values_match_formulas(sf_dir):
+    from cuda_gis_smoothing_ray.stages.media import (
+        _bmp_dims, _wav_params, decode_bmp, decode_wav, synth_media_table)
+
+    rows = {r["media_id"]: r["payload"]
+            for r in synth_media_table(sf_dir).take(6)}
+    bmp_id = min(m for m in rows if m % 2 == 0)
+    wav_id = min(m for m in rows if m % 2 == 1)
+
+    w, h = _bmp_dims(bmp_id)
+    px = decode_bmp(rows[bmp_id])
+    assert px.shape == (h, w, 3)
+    i = np.arange(h * w * 3, dtype=np.int64)
+    assert (px.reshape(-1) == ((bmp_id * 31 + i * 7) % 256)).all()
+
+    rate_want, n_want = _wav_params(wav_id)
+    s, rate = decode_wav(rows[wav_id])
+    assert rate == rate_want and len(s) == n_want
+    i = np.arange(n_want, dtype=np.int64)
+    assert (s == ((wav_id * 17 + i * 13) % 4096 - 2048).astype(np.int16)).all()
