@@ -351,3 +351,13 @@ def test_quantize_int8_reconstruction_error_bounded():
         # dequantization error bounded by half a step
         err = np.abs((vmin + codes * scale) - v).max()
         assert err <= scale / 2 + 1e-12
+
+
+def test_ann_recall_surfacing(sf_dir):
+    from cuda_gis_smoothing_ray.stages.ann import ann_recall
+
+    df = ann_recall(sf_dir, k=5).to_pandas()
+    assert list(df["method"]) == ["lsh", "ivf", "pq"]
+    assert ((df["recall_at_k"] >= 0.0) & (df["recall_at_k"] <= 1.0)).all()
+    assert (df["min_query_recall"] <= df["recall_at_k"]).all()
+    assert (df["n_queries"] > 0).all()
