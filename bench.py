@@ -118,7 +118,7 @@ def run_bench(sf_dir: str, num_cpus: int, replicate: int, only: str | None = Non
         _consume(flagship(sf_dir, replicate=max(1, replicate // 50)))
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    repeats = max(1, int(os.environ.get("GRAFT_REPEATS", "2")))
+    repeats = max(1, int(os.environ.get("GRAFT_REPEATS", "3")))
     # short queries get extra repeats: their timings are dominated by
     # scheduling noise, and they're cheap to re-measure
     short_sec = float(os.environ.get("GRAFT_SHORT_SEC", "3.0"))

@@ -17,6 +17,16 @@ _FNV_PRIME = np.uint64(1099511628211)
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
+def coarse_partition(keys: np.ndarray, n_parts: int, shift: int = 52) -> np.ndarray:
+    """int64 keys -> int64 coarse partition ids in [0, n_parts): one golden-
+    ratio multiply + high-bit shift.  THE shared partitioner for every
+    hash-partition + vectorized-segmented-solve stage (events._by_user,
+    smooth._enrich_shuffle_join, textops pair reducers) so the idiom can't
+    drift between copies."""
+    p = (keys.view(np.uint64) * _GOLDEN) >> np.uint64(shift)
+    return (p % np.uint64(n_parts)).astype(np.int64)
+
+
 def text_hash64(texts) -> np.ndarray:
     """Stable 64-bit content hash per string (blake2b, C speed)."""
     out = np.empty(len(texts), dtype=np.uint64)
@@ -211,6 +221,9 @@ def _simhash64_vectorized(texts) -> np.ndarray:
 
     arr = pa.array([t or "" for t in texts], pa.string()) \
         if not isinstance(texts, (pa.Array, pa.ChunkedArray)) else texts
+    # NULL slots sanitize to "" (the blake2b/md5 paths' `t or ""` analog);
+    # without this, value_lengths() yields null -> negative repeat counts
+    arr = pc.fill_null(arr, "")
     split = pc.split_pattern_regex(arr, r"\s+")
     if isinstance(split, pa.ChunkedArray):
         split = split.combine_chunks()

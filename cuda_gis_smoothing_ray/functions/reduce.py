@@ -33,9 +33,10 @@ def hash_groupby(ds, key_col: str, cols: list[str], how: str = "sum",
     """
 
     def add_part(batch: pa.Table) -> pa.Table:
+        from .hashing import coarse_partition
+
         k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        part = ((k.view(np.uint64) * _GOLDEN) >> np.uint64(52)) % np.uint64(n_parts)
-        return batch.append_column("__part", pa.array(part.astype(np.int64)))
+        return batch.append_column("__part", pa.array(coarse_partition(k, n_parts)))
 
     def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
         k = df[key_col].to_numpy()

@@ -1157,7 +1157,12 @@ def simhash_pairs_fnv_sql(max_hamming: int = 3, n_bands: int = 4) -> str:
     the utf-8 bytes, h0=0), identical per-step uint64 wrap emulated in
     HUGEINT (same fold as :func:`hll_registers_sql`, which mirrors
     ``functions.hashing.fnv_token_hash64`` / ``poly_hash64``); unweighted
-    bit votes, pigeonhole banding, hamming verify via bit_count(xor)."""
+    bit votes, pigeonhole banding, hamming verify via bit_count(xor).
+
+    ASCII assumption (same as char_entropy_sql): the SQL folds ``ascii(c)``
+    CODEPOINTS while the engine folds raw UTF-8 BYTES — identical only
+    because every driver table's text is ASCII (asserted at generation).
+    A non-ASCII corpus needs a byte-level SQL fold instead."""
     width = 64 // n_bands
     mask = (1 << width) - 1
     band_eq = " OR ".join(

@@ -21,7 +21,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
+from ..functions import hashing
+
 N_USER_PARTS = 64
 
 
@@ -32,12 +33,22 @@ def _by_user(ds, solve, n_parts: int = N_USER_PARTS):
     the users (all of each user's rows co-located, the same co-location
     guarantee ``groupby(user_id)`` gives) and must handle many users per
     call — see :func:`_user_segments`.  The ``__part`` key is int64 (Ray's
-    sort-based groupby is ~15x faster on ints than strings)."""
+    sort-based groupby is ~15x faster on ints than strings).
+
+    Contract: ``user_id`` must be an integer column (the events data
+    model); the segmented solves sort/segment int64 ids.  A non-integer
+    id column raises descriptively here instead of deep inside a solve."""
 
     def add_part(batch: pa.Table) -> pa.Table:
+        if not pa.types.is_integer(batch.schema.field("user_id").type):
+            raise TypeError(
+                f"events user_id must be an integer column (got "
+                f"{batch.schema.field('user_id').type}); the vectorized "
+                "per-user solves segment int64 ids — re-id string users "
+                "(e.g. functions.hashing.poly_hash64) before these operators")
         uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        part = ((uid.view(np.uint64) * _GOLDEN) >> np.uint64(52)) % np.uint64(n_parts)
-        return batch.append_column("__part", pa.array(part.astype(np.int64)))
+        return batch.append_column(
+            "__part", pa.array(hashing.coarse_partition(uid, n_parts)))
 
     return (
         ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
@@ -813,15 +824,14 @@ def cohort_retention(ds, bucket_us: int = DAY_US):
     from ray.data.aggregate import Sum
 
     n_parts = 64
-    _G = np.uint64(0x9E3779B97F4A7C15)
 
     def pairs(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").to_numpy(zero_copy_only=False)
         day = ts.astype("datetime64[us]").astype(np.int64) // bucket_us
         uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
         df = pd.DataFrame({"user_id": uid, "day": day}).drop_duplicates()
-        part = ((df["user_id"].to_numpy().view(np.uint64) * _G) >> np.uint64(52)) % np.uint64(n_parts)
-        return pa.Table.from_pandas(df.assign(__part=part.astype(np.int64)), preserve_index=False)
+        part = hashing.coarse_partition(df["user_id"].to_numpy(), n_parts)
+        return pa.Table.from_pandas(df.assign(__part=part), preserve_index=False)
 
     def solve(group: pd.DataFrame) -> pd.DataFrame:
         df = group.drop_duplicates(["user_id", "day"]).copy()

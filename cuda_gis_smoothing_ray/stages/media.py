@@ -265,8 +265,7 @@ def encode_bmp(pixels: np.ndarray) -> bytes:
     rows[:, : 3 * w] = pixels[::-1, :, ::-1].reshape(h, 3 * w)  # bottom-up, BGR
     body = rows.tobytes()
     header = np.zeros(54, dtype=np.uint8)
-    hv = header.view(np.uint8)
-    hv[0:2] = np.frombuffer(b"BM", np.uint8)
+    header[0:2] = np.frombuffer(b"BM", np.uint8)
     header[2:6] = np.frombuffer(np.uint32(54 + len(body)).tobytes(), np.uint8)
     header[10:14] = np.frombuffer(np.uint32(54).tobytes(), np.uint8)
     header[14:18] = np.frombuffer(np.uint32(40).tobytes(), np.uint8)

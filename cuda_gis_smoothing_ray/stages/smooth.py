@@ -232,11 +232,10 @@ def _enrich_shuffle_join(sm, geocoded_ds, value_cols: list[str], id_col: str,
     hash-partition shuffle on cell, then a vectorized per-partition
     sort-merge lookup.  Output is identical to the broadcast arm (same
     1e-6 rounding of the smoothed values)."""
-    _G = np.uint64(0x9E3779B97F4A7C15)
+    from ..functions.hashing import coarse_partition
 
     def _part(cell: np.ndarray) -> pa.Array:
-        p = ((cell.view(np.uint64) * _G) >> np.uint64(52)) % np.uint64(n_parts)
-        return pa.array(p.astype(np.int64))
+        return pa.array(coarse_partition(cell, n_parts))
 
     def cell_rows(batch: pa.Table) -> pa.Table:
         cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)

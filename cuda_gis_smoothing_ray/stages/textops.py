@@ -384,9 +384,7 @@ def minhash_pairs(ds, threshold: float = 0.7, num_perms: int = 64,
 
     # ---- signature verify: two hash-partition sort-merge joins ----
     def _part_of(key: np.ndarray) -> np.ndarray:
-        return (
-            (key.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(52)
-        ) % np.uint64(n_parts)
+        return hashing.coarse_partition(key, n_parts)
 
     EMPTY_SIG = pa.array([], pa.list_(pa.int64()))
 
@@ -600,9 +598,7 @@ def tfidf(ds, n_docs: int | None = None, n_parts: int = _PAIR_PARTS):
     )
 
     def _part_of(key: np.ndarray) -> np.ndarray:
-        return (
-            (key.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(52)
-        ) % np.uint64(n_parts)
+        return hashing.coarse_partition(key, n_parts)
 
     def posting_rows(batch: pa.Table) -> pa.Table:
         doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -800,8 +796,7 @@ def top_bigrams(ds, k: int = 20, n_parts: int = _PAIR_PARTS):
         # one 64-bit key for the partitioned global count: hash of "w1 w2"
         joined = pc_.binary_join_element_wise(w1, w2, " ")
         key = fnv_token_hash64(joined).view(np.int64)
-        part = ((key.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(52)) \
-            % np.uint64(n_parts)
+        part = hashing.coarse_partition(key, n_parts)
         return pa.table(
             {
                 "key": pa.array(key),
@@ -1161,9 +1156,7 @@ def inverted_index(ds, min_df: int = 2, n_parts: int = _PAIR_PARTS):
     from ..functions.hashing import fnv_token_hash64
 
     def _part_of(key: np.ndarray) -> np.ndarray:
-        return (
-            (key.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(52)
-        ) % np.uint64(n_parts)
+        return hashing.coarse_partition(key, n_parts)
 
     EMPTY = pa.schema(
         [("doc_id", pa.int64()), ("token", pa.string()), ("__part", pa.int64())]

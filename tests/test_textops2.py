@@ -150,3 +150,15 @@ def test_char_entropy_known_values():
     want = -(2 / 3) * math.log2(2 / 3) - (1 / 3) * math.log2(1 / 3)
     assert abs(out.loc[4, "entropy"] - want) < 1e-6
     assert out.loc[4, "n_chars"] == 3
+
+
+def test_simhash_fnv_null_text_sanitized():
+    """NULL text slots must hash like "" on the vectorized fnv path (the
+    blake2b/md5 loops' `t or ""` analog) instead of crashing np.repeat."""
+    import pyarrow as pa
+
+    from cuda_gis_smoothing_ray.functions.hashing import simhash64
+
+    got = simhash64(pa.array(["abc def", None, ""]), token_hash="fnv")
+    want = simhash64(pa.array(["abc def", "", ""]), token_hash="fnv")
+    assert (got == want).all()
