@@ -75,3 +75,31 @@ def test_geohash_prefix_property(lat, lon):
     lon_q = min(int(np.floor((lon + 180.0) / 360.0 * 32768.0)), 32767)
     lat_q = min(int(np.floor((lat + 90.0) / 180.0 * 32768.0)), 32767)
     assert 0 <= lon_q < 32768 and 0 <= lat_q < 32768
+
+
+# ---------------------------------------------------------------------------
+# real media codecs: arbitrary-content round-trips (the golden byte-literal
+# tests in test_media_events.py pin the format; these pin totality)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(1, 40), st.integers(1, 25), st.integers(0, 2**32 - 1))
+def test_bmp_roundtrip_any_dims(w, h, seed):
+    from cuda_gis_smoothing_ray.stages.media import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_bmp(encode_bmp(px))
+    assert out.shape == (h, w, 3) and (out == px).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(0, 5000), st.integers(1, 192000), st.integers(0, 2**32 - 1))
+def test_wav_roundtrip_any_samples(n, rate, seed):
+    from cuda_gis_smoothing_ray.stages.media import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=n).astype(np.int16)
+    out, r = decode_wav(encode_wav(s, rate))
+    assert r == rate and len(out) == n and (out == s).all()
