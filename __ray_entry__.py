@@ -683,6 +683,22 @@ def _q_ann_recall(sf_dir: str):
     return ann.ann_recall(sf_dir, k=ANN_K)
 
 
+def _q_media_resize_real(sf_dir: str):
+    """REAL nearest-neighbor resize over decoded BMP pixels (index-exact
+    floor mapping, order-sensitive checksum of the resized stream)."""
+    from cuda_gis_smoothing_ray.stages import media
+
+    return media.media_resize_real(media.synth_media_table(sf_dir)).sort("media_id")
+
+
+def _q_audio_resample_real(sf_dir: str):
+    """REAL all-integer nearest-sample rate conversion over decoded WAV
+    samples."""
+    from cuda_gis_smoothing_ray.stages import media
+
+    return media.audio_resample_real(media.synth_media_table(sf_dir)).sort("media_id")
+
+
 def _q_neardup(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import ann
 
@@ -1633,6 +1649,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": _q_kmeans,
         "media_decode": _q_media_decode,
         "media_decode_real": _q_media_decode_real,
+        "media_resize_real": _q_media_resize_real,
+        "audio_resample_real": _q_audio_resample_real,
         "media_features": _q_media_features,
         "media_resize": _q_media_resize,
         "audio_resample": _q_audio_resample,
@@ -1768,6 +1786,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": oc.kmeans_sql(),
         "media_decode": oc.media_decode_sql(),
         "media_decode_real": oc.media_decode_real_sql(),
+        "media_resize_real": oc.media_resize_real_sql(),
+        "audio_resample_real": oc.audio_resample_real_sql(),
         "media_features": oc.media_features_sql(),
         "media_resize": oc.media_resize_sql(),
         "audio_resample": oc.audio_resample_sql(),

@@ -2058,3 +2058,58 @@ SELECT media_id, fmt, width, height, sample_rate, n_units,
 FROM vals
 GROUP BY media_id, fmt, width, height, sample_rate, n_units
 ORDER BY media_id"""
+
+
+def media_resize_real_sql(target_w: int = 16, target_h: int = 12) -> str:
+    """Oracle of stages/media.media_resize_real: regenerate each BMP's
+    source pixel stream by index arithmetic, apply the identical
+    nearest-neighbor floor mapping (src_r = out_r * h // H), and aggregate
+    the stats of the RESIZED stream — the checksum rejects a gather that
+    mis-maps rows, columns or channels."""
+    return f"""WITH p AS (
+  SELECT doc_id AS media_id,
+    8 + (doc_id % 5) * 4 AS w,
+    6 + (doc_id % 7) * 2 AS h
+  FROM documents WHERE doc_id % 2 = 0
+), vals AS (
+  SELECT p.media_id, p.w, p.h, g.i,
+    ((g.i // {3 * target_w}) * p.h // {target_h} * p.w
+      + (g.i // 3) % {target_w} * p.w // {target_w}) * 3 + g.i % 3 AS j
+  FROM p, LATERAL (SELECT unnest(range(0, {target_h * target_w * 3})) AS i) g
+)
+SELECT media_id,
+  CAST({target_w} AS BIGINT) AS out_w, CAST({target_h} AS BIGINT) AS out_h,
+  CAST(MIN(w) AS BIGINT) AS src_w, CAST(MIN(h) AS BIGINT) AS src_h,
+  CAST(count(*) AS BIGINT) AS n_units,
+  CAST(SUM((media_id * 31 + j * 7) % 256) AS BIGINT) AS v_sum,
+  CAST(SUM(i * ((media_id * 31 + j * 7) % 256)) AS BIGINT) AS checksum
+FROM vals
+GROUP BY media_id
+ORDER BY media_id"""
+
+
+def audio_resample_real_sql(target_rate: int = media.AUDIO_TARGET_RATE) -> str:
+    """Oracle of stages/media.audio_resample_real: all-integer nearest-
+    sample rate conversion (src_i = out_i * src_rate // target_rate) over
+    the regenerated WAV sample stream."""
+    return f"""WITH p AS (
+  SELECT doc_id AS media_id,
+    8000 + (doc_id % 3) * 4000 AS src_rate,
+    400 + (doc_id % 7) * 100 AS n_in
+  FROM documents WHERE doc_id % 2 = 1
+), vals AS (
+  SELECT p.media_id, p.src_rate, p.n_in, g.i,
+    g.i * p.src_rate // {target_rate} AS j
+  FROM p, LATERAL (
+    SELECT unnest(range(0, p.n_in * {target_rate} // p.src_rate)) AS i) g
+)
+SELECT media_id,
+  CAST({target_rate} AS BIGINT) AS target_rate,
+  CAST(MIN(src_rate) AS BIGINT) AS src_rate,
+  CAST(MIN(n_in) AS BIGINT) AS n_in,
+  CAST(count(*) AS BIGINT) AS n_out,
+  CAST(SUM((media_id * 17 + j * 13) % 4096 - 2048) AS BIGINT) AS v_sum,
+  CAST(SUM(i * ((media_id * 17 + j * 13) % 4096 - 2048)) AS BIGINT) AS checksum
+FROM vals
+GROUP BY media_id
+ORDER BY media_id"""

@@ -444,3 +444,79 @@ def media_decode_real(ds, concurrency=(1, 8), batch_size: int = 256):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+def media_resize_real(ds, target_w: int = 16, target_h: int = 12,
+                      batch_size: int = 256):
+    """REAL resize over the synthesized BMP payloads: decode with the numpy
+    BMP parser, nearest-neighbor resample to (target_h, target_w) —
+    ``src_r = out_r * h // target_h`` (the floor mapping every production
+    resampler's 'nearest' mode uses) — and emit order-sensitive stats of the
+    RESIZED pixel stream, so the SQL oracle (which regenerates source pixels
+    by index arithmetic and applies the same floor mapping) rejects any
+    mis-indexed gather.  Image rows only; WAV payloads are filtered out."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch.column("fmt"), "bmp"))
+        mids = batch.column("media_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = batch.column("payload")
+        out = {k: [] for k in ("src_w", "src_h", "n_units", "v_sum", "checksum")}
+        out_r = np.arange(target_h, dtype=np.int64)
+        out_c = np.arange(target_w, dtype=np.int64)
+        for j in range(len(payloads)):
+            px = decode_bmp(payloads[j].as_py())
+            h, w, _ = px.shape
+            rs = out_r * h // target_h
+            cs = out_c * w // target_w
+            resized = px[np.ix_(rs, cs)]  # (target_h, target_w, 3) gather
+            v = resized.reshape(-1).astype(np.int64)
+            i = np.arange(len(v), dtype=np.int64)
+            for k, val in zip(out, (w, h, len(v), int(v.sum()), int((i * v).sum()))):
+                out[k].append(val)
+        return pa.table(
+            {
+                "media_id": pa.array(mids),
+                "out_w": pa.array(np.full(len(mids), target_w, np.int64)),
+                "out_h": pa.array(np.full(len(mids), target_h, np.int64)),
+                **{k: pa.array(np.asarray(vs, np.int64)) for k, vs in out.items()},
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def audio_resample_real(ds, target_rate: int = AUDIO_TARGET_RATE,
+                        batch_size: int = 256):
+    """REAL rate conversion over the synthesized WAV payloads: decode with
+    the numpy WAV parser, nearest-sample resample to ``target_rate`` —
+    ``src_i = out_i * src_rate // target_rate``, ``n_out = n_in *
+    target_rate // src_rate`` (all-integer, so the SQL oracle reproduces
+    every output sample exactly).  Audio rows only."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch.column("fmt"), "wav"))
+        mids = batch.column("media_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = batch.column("payload")
+        out = {k: [] for k in ("src_rate", "n_in", "n_out", "v_sum", "checksum")}
+        for j in range(len(payloads)):
+            s, rate = decode_wav(payloads[j].as_py())
+            n_out = len(s) * target_rate // rate
+            idx = np.arange(n_out, dtype=np.int64) * rate // target_rate
+            v = s[idx].astype(np.int64)
+            i = np.arange(n_out, dtype=np.int64)
+            for k, val in zip(out, (rate, len(s), n_out, int(v.sum()),
+                                    int((i * v).sum()))):
+                out[k].append(val)
+        return pa.table(
+            {
+                "media_id": pa.array(mids),
+                "target_rate": pa.array(np.full(len(mids), target_rate, np.int64)),
+                **{k: pa.array(np.asarray(vs, np.int64)) for k, vs in out.items()},
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)

@@ -343,3 +343,50 @@ def test_synth_media_payload_values_match_formulas(sf_dir):
     assert rate == rate_want and len(s) == n_want
     i = np.arange(n_want, dtype=np.int64)
     assert (s == ((wav_id * 17 + i * 13) % 4096 - 2048).astype(np.int16)).all()
+
+
+def test_media_resize_real_nearest_mapping():
+    """Hand-verify the floor gather on one decoded BMP: resized[r,c,ch] must
+    equal src[r*h//H, c*w//W, ch]."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.media import (
+        _bmp_dims, encode_bmp, media_resize_real)
+
+    mid = 4  # bmp id
+    w, h = _bmp_dims(mid)
+    i = np.arange(h * w * 3, dtype=np.int64)
+    px = ((mid * 31 + i * 7) % 256).astype(np.uint8).reshape(h, w, 3)
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array([mid], pa.int64()),
+        "fmt": pa.array(["bmp"], pa.string()),
+        "payload": pa.array([encode_bmp(px)], pa.binary()),
+    }))
+    H, W = 12, 16
+    row = media_resize_real(ds, target_w=W, target_h=H).take(1)[0]
+    rs = np.arange(H, dtype=np.int64) * h // H
+    cs = np.arange(W, dtype=np.int64) * w // W
+    v = px[np.ix_(rs, cs)].reshape(-1).astype(np.int64)
+    assert row["src_w"] == w and row["src_h"] == h
+    assert row["n_units"] == H * W * 3
+    assert row["v_sum"] == int(v.sum())
+    assert row["checksum"] == int((np.arange(len(v)) * v).sum())
+
+
+def test_audio_resample_real_nearest_mapping():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.media import audio_resample_real, encode_wav
+
+    s = np.array([10, -20, 30, -40, 50, -60], np.int16)
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "fmt": pa.array(["wav"], pa.string()),
+        "payload": pa.array([encode_wav(s, 8000)], pa.binary()),
+    }))
+    row = audio_resample_real(ds, target_rate=16000).take(1)[0]
+    # upsample 2x by nearest: each sample repeats twice
+    want = np.repeat(s.astype(np.int64), 2)
+    assert row["n_in"] == 6 and row["n_out"] == 12 and row["src_rate"] == 8000
+    assert row["v_sum"] == int(want.sum())
+    assert row["checksum"] == int((np.arange(12) * want).sum())
