@@ -149,6 +149,32 @@ def _q_ring2_stats(sf_dir: str):
     )
 
 
+def _q_hotspot_gi(sf_dir: str):
+    """Getis-Ord Gi* hot-spot z-score per cell (binary closed-ring-1
+    weights over present cells; x = page_count)."""
+    from cuda_gis_smoothing_ray.stages.hotspot import hotspot_gi
+
+    return _round6_cols(hotspot_gi(_cells(sf_dir), "page_count", k=1), ["gi_z"]).sort("cell")
+
+
+def _q_morans_i(sf_dir: str):
+    """Global Moran's I spatial autocorrelation of page_count (ring-1
+    binary weights excluding self) — one scalar row."""
+    from cuda_gis_smoothing_ray.stages.hotspot import morans_i
+
+    t = morans_i(_cells(sf_dir), "page_count", k=1)
+    i6 = _round6(t.column("morans_i").to_numpy(zero_copy_only=False))
+    return t.set_column(0, "morans_i", pa.array(i6))
+
+
+def _q_spatial_cluster(sf_dir: str):
+    """DBSCAN-style density clusters: connected components of ring-1
+    adjacency over cells with page_count >= 2; cluster id = min cell id."""
+    from cuda_gis_smoothing_ray.stages.hotspot import spatial_cluster
+
+    return spatial_cluster(_cells(sf_dir), min_count=2, k=1).sort("cell")
+
+
 def _q_morton_locality(sf_dir: str):
     """A5: avg |cell-rank difference| between Morton-consecutive cells."""
     from cuda_gis_smoothing_ray.stages.gridops import morton_locality
@@ -1714,6 +1740,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_metrics": _q_cell_metrics,
         "neighbor_stats": _q_neighbor_stats,
         "ring2_stats": _q_ring2_stats,
+        "hotspot_gi": _q_hotspot_gi,
+        "morans_i": _q_morans_i,
+        "spatial_cluster": _q_spatial_cluster,
         "morton_locality": _q_morton_locality,
         "morton_order": _q_morton,
         "tile_assign": _q_tiles,
@@ -1873,6 +1902,9 @@ def oracle_sql() -> dict[str, str]:
         "cell_metrics": o.cell_metrics_sql(RES),
         "neighbor_stats": o.neighbor_stats_sql(RES),
         "ring2_stats": o.neighbor_stats_sql(RES, ring=2),
+        "hotspot_gi": o.hotspot_gi_sql(RES, k=1),
+        "morans_i": o.morans_i_sql(RES, k=1),
+        "spatial_cluster": o.spatial_cluster_sql(RES, min_count=2, k=1),
         "morton_locality": o.morton_locality_sql(RES),
         "morton_order": o.morton_sql(RES),
         "tile_assign": o.tile_assign_sql(RES, TILE_ZOOM),

@@ -803,3 +803,97 @@ sm AS (
 SELECT g.page_id, g.cell, {sm_cols}
 FROM geocoded g JOIN sm ON g.cell = sm.cell
 ORDER BY g.page_id"""
+
+
+def _ring_offsets_values(k: int, include_center: bool) -> str:
+    rows = ["(0, 0)"] if include_center else []
+    for ring in range(1, k + 1):
+        rows += [f"({dq}, {dr})" for dq, dr in hexgrid.ring_offsets(ring)]
+    return ", ".join(rows)
+
+
+def hotspot_gi_sql(res: int, k: int = 1) -> str:
+    """Oracle of stages/hotspot.hotspot_gi: Getis-Ord Gi* per present cell,
+    binary closed-k-ring weights over present cells (x = page_count)."""
+    return f"""{prelude(res)},
+offsets(dq, dr) AS (VALUES {_ring_offsets_values(k, True)}),
+st AS (
+  SELECT count(*) AS n,
+    sum(CAST(page_count AS DOUBLE)) / count(*) AS xbar,
+    sum(CAST(page_count AS DOUBLE) * CAST(page_count AS DOUBLE)) AS sxx
+  FROM cells),
+nbr AS (
+  SELECT c.cell, sum(CAST(n.page_count AS DOUBLE)) AS s1, count(n.cell) AS w
+  FROM cells c
+  CROSS JOIN offsets o
+  JOIN cells n ON n.q = c.q + o.dq AND n.r = c.r + o.dr
+  GROUP BY c.cell)
+SELECT nbr.cell AS cell, CAST(nbr.w AS BIGINT) AS n_nbrs,
+  {round6("(s1 - st.xbar * w) / (sqrt(st.sxx / st.n - st.xbar * st.xbar)"
+          " * sqrt((st.n * w - w * w) / (st.n - 1.0)))")} AS gi_z
+FROM nbr, st
+ORDER BY cell"""
+
+
+def morans_i_sql(res: int, k: int = 1) -> str:
+    """Oracle of stages/hotspot.morans_i: global Moran's I over the cell
+    table, binary k-ring weights excluding self (x = page_count)."""
+    return f"""{prelude(res)},
+offsets(dq, dr) AS (VALUES {_ring_offsets_values(k, False)}),
+st AS (
+  SELECT count(*) AS n,
+    sum(CAST(page_count AS DOUBLE)) / count(*) AS xbar,
+    sum(CAST(page_count AS DOUBLE) * CAST(page_count AS DOUBLE)) AS sxx
+  FROM cells),
+nbr AS (
+  SELECT c.cell, max(CAST(c.page_count AS DOUBLE)) AS x,
+    sum(CAST(n.page_count AS DOUBLE)) AS rx, count(n.cell) AS rc
+  FROM cells c
+  CROSS JOIN offsets o
+  JOIN cells n ON n.q = c.q + o.dq AND n.r = c.r + o.dr
+  GROUP BY c.cell),
+agg AS (
+  SELECT sum((x - st.xbar) * (rx - st.xbar * rc)) AS num, sum(rc) AS s0
+  FROM nbr, st)
+SELECT
+  {round6("(CAST(st.n AS DOUBLE) / agg.s0) * agg.num"
+          " / (st.sxx - st.n * st.xbar * st.xbar)")} AS morans_i,
+  CAST(agg.s0 AS BIGINT) AS s0, CAST(st.n AS BIGINT) AS n_cells
+FROM agg, st"""
+
+
+def spatial_cluster_sql(res: int, min_count: int = 2, k: int = 1,
+                        rounds: int = 16) -> str:
+    """Oracle of stages/hotspot.spatial_cluster: DBSCAN-style density
+    clusters = connected components of ring-k adjacency over core cells
+    (page_count >= min_count); cluster id = min cell id.  Unrolled
+    hook+jump min-label supersteps (the dedup_components_sql recurrence:
+    coverage at least doubles per round, 2^16 radius margin)."""
+    steps = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        steps.append(f"""h{i} AS MATERIALIZED (
+  SELECT v, min(l) AS l FROM (
+    SELECT v, l FROM {prev}
+    UNION ALL
+    SELECT e.src AS v, n.l FROM edges e JOIN {prev} n ON n.v = e.dst
+  ) u GROUP BY v
+), l{i} AS MATERIALIZED (
+  SELECT a.v AS v, b.l AS l FROM h{i} a JOIN h{i} b ON b.v = a.l
+)""")
+        prev = f"l{i}"
+    chain = ",\n".join(steps)
+    return f"""{prelude(res)},
+core AS MATERIALIZED (
+  SELECT cell, q, r FROM cells WHERE page_count >= {min_count}),
+offsets(dq, dr) AS (VALUES {_ring_offsets_values(k, False)}),
+edges AS MATERIALIZED (
+  SELECT c.cell AS src, n.cell AS dst
+  FROM core c
+  CROSS JOIN offsets o
+  JOIN core n ON n.q = c.q + o.dq AND n.r = c.r + o.dr),
+l0 AS MATERIALIZED (SELECT cell AS v, cell AS l FROM core),
+{chain}
+SELECT v AS cell, l AS cluster_id
+FROM {prev}
+ORDER BY cell"""

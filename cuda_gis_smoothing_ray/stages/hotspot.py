@@ -1,0 +1,262 @@
+"""Spatial-statistics operators over the cell table: Getis-Ord Gi* hot-spot
+z-scores, global Moran's I autocorrelation, and DBSCAN-style density
+clustering of dense cells.
+
+These extend the reference's neighborhood machinery (the k-ring gather that
+powers K1-K7, ``hex_smooth_cuda_v1.cu:22-58``) from *smoothing* to
+*inference*: the same present-neighbor gather semantics (a neighbor
+contributes iff its cell exists in the data, SURVEY §2.3), but the
+neighborhood sums feed classical spatial statistics instead of a weighted
+mean.  The reference itself stops at descriptive stats (``printStats``,
+SURVEY §2.5); Gi*/Moran/DBSCAN are the analysis ops a GIS user of the
+reference would run next, expressed Ray-Data-first.
+
+Scale shape (all three):
+
+* neighborhood sums ride the SAME scatter-combine used by the smoothing
+  kernels (:func:`..stages.smooth.expand_contributions` semantics): each
+  batch emits at most n-distinct-target partial rows, ONE cell-keyed
+  vectorized hash reduce, never a page-level or cell-pair shuffle;
+* global scalars (n, mean, variance) come from a Dataset.aggregate over the
+  cell table — one tiny dict to the driver, reused as closure constants;
+* the density clustering reuses :func:`..stages.cc.connected_components`
+  (min-label BSP) over ring-adjacency edges built with one tagged-union
+  presence join — bounded per-round shuffles, nothing driver-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import hexgrid
+
+
+def _ring_offset_arrays(k: int, include_center: bool) -> tuple[np.ndarray, np.ndarray]:
+    offs: list[tuple[int, int]] = [(0, 0)] if include_center else []
+    for ring in range(1, k + 1):
+        offs += hexgrid.ring_offsets(ring)
+    dq = np.array([o[0] for o in offs], dtype=np.int64)
+    dr = np.array([o[1] for o in offs], dtype=np.int64)
+    return dq, dr
+
+
+def _global_stats(cells_ds, value_col: str) -> tuple[int, float, float]:
+    """(n, mean, sum-of-squares) of ``value_col`` over the cell table — a
+    Dataset.aggregate (one scalar dict to the driver, the kmeans lineage
+    pattern: the cell lineage re-executes rather than materializing)."""
+    from ray.data.aggregate import Count, Sum
+
+    def add_sq(batch: pa.Table) -> pa.Table:
+        x = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"x": pa.array(x), "x2": pa.array(x * x)})
+
+    agg = cells_ds.map_batches(add_sq, batch_format="pyarrow").aggregate(
+        Sum("x", alias_name="sx"), Sum("x2", alias_name="sxx"), Count(alias_name="n")
+    )
+    n = int(agg["n"])
+    if n < 2:
+        raise ValueError(f"hotspot stats need >= 2 cells, got {n}")
+    return n, float(agg["sx"]) / n, float(agg["sxx"])
+
+
+def _neighborhood_sums(cells_ds, value_col: str, k: int, include_center: bool):
+    """Scatter-combine of ``value_col`` over the k-ring: per target cell,
+    ``nx`` = sum of x over PRESENT neighborhood members, ``nc`` = their
+    count, ``c_sum``/``ox`` = presence flag / own value (center channel,
+    emitted separately so ring-only statistics can exclude self while the
+    presence gate still works).  Mirrors smooth.expand_contributions'
+    batch-local combine: at most n-distinct-target rows leave each batch."""
+    from ..functions.reduce import hash_groupby_sum
+
+    dq, dr = _ring_offset_arrays(k, include_center)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        x = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        res, q, r = hexgrid.unpack(cell)
+        res0 = int(res[0]) if len(res) else hexgrid.RES_MIN
+        n, m = len(cell), len(dq)
+        targets = hexgrid.pack(res0, q[:, None] + dq[None, :], r[:, None] + dr[None, :]).ravel()
+        xv = np.broadcast_to(x[:, None], (n, m)).ravel()
+        # center channel: own value + presence, kept apart from the ring sums
+        all_t = np.concatenate([targets, cell])
+        all_nx = np.concatenate([xv, np.zeros(n)])
+        all_nc = np.concatenate([np.ones(n * m), np.zeros(n)])
+        all_ox = np.concatenate([np.zeros(n * m), x])
+        all_c = np.concatenate([np.zeros(n * m), np.ones(n)])
+        uniq, inv = np.unique(all_t, return_inverse=True)
+        return pa.table(
+            {
+                "cell": pa.array(uniq),
+                "nx": pa.array(np.bincount(inv, weights=all_nx, minlength=len(uniq))),
+                "nc": pa.array(np.bincount(inv, weights=all_nc, minlength=len(uniq))),
+                "ox": pa.array(np.bincount(inv, weights=all_ox, minlength=len(uniq))),
+                "c_sum": pa.array(np.bincount(inv, weights=all_c, minlength=len(uniq))),
+            }
+        )
+
+    return hash_groupby_sum(
+        cells_ds.map_batches(expand, batch_format="pyarrow"),
+        "cell",
+        ["nx", "nc", "ox", "c_sum"],
+    )
+
+
+def hotspot_gi(cells_ds, value_col: str = "page_count", k: int = 1):
+    """Getis-Ord Gi* hot-spot statistic per PRESENT cell (binary weights
+    over the closed k-ring neighborhood restricted to present cells):
+
+        Gi* = (S1 - x_bar*W) / (S * sqrt((n*W - W^2) / (n-1)))
+
+    with S1 = sum of x over present neighbors incl. self, W = their count,
+    x_bar/S the global mean/std over all n cells.  Positive z = hot spot
+    (dense neighborhood), negative = cold spot — THE standard first
+    analysis over a smoothed density surface (Getis & Ord 1992)."""
+    n, xbar, sxx = _global_stats(cells_ds, value_col)
+    s = float(np.sqrt(sxx / n - xbar * xbar))
+    if s == 0.0:
+        raise ValueError("hotspot_gi: zero variance — Gi* undefined")
+    sums = _neighborhood_sums(cells_ds, value_col, k, include_center=True)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        c = batch.column("c_sum").to_numpy(zero_copy_only=False)
+        mask = c > 0.5
+        cell = batch.column("cell").to_numpy(zero_copy_only=False)[mask]
+        s1 = batch.column("nx").to_numpy(zero_copy_only=False)[mask]
+        w = batch.column("nc").to_numpy(zero_copy_only=False)[mask]
+        den = s * np.sqrt((n * w - w * w) / (n - 1.0))
+        z = (s1 - xbar * w) / den
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "n_nbrs": pa.array(w.astype(np.int64)),
+                "gi_z": pa.array(z),
+            }
+        )
+
+    return sums.map_batches(finalize, batch_format="pyarrow")
+
+
+def morans_i(cells_ds, value_col: str = "page_count", k: int = 1):
+    """Global Moran's I spatial autocorrelation over the cell table
+    (binary k-ring weights EXCLUDING self, present cells only):
+
+        I = (n / S0) * sum_i z_i * (ring_x_sum_i - x_bar*ring_cnt_i)
+                     / sum_i z_i^2
+
+    where z_i = x_i - x_bar and S0 = total present-neighbor pairs.  One
+    scatter-combine + one tiny aggregate: the quadratic double sum never
+    materializes (the cross term per cell collapses to its ring sums)."""
+    from ray.data.aggregate import Sum
+
+    n, xbar, sxx = _global_stats(cells_ds, value_col)
+    denom = sxx - n * xbar * xbar
+    if denom == 0.0:
+        raise ValueError("morans_i: zero variance — I undefined")
+    sums = _neighborhood_sums(cells_ds, value_col, k, include_center=False)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch.column("c_sum").to_numpy(zero_copy_only=False)
+        mask = c > 0.5
+        rx = batch.column("nx").to_numpy(zero_copy_only=False)[mask]
+        rc = batch.column("nc").to_numpy(zero_copy_only=False)[mask]
+        ox = batch.column("ox").to_numpy(zero_copy_only=False)[mask]
+        # rx/rc already count only PRESENT ring members (only present cells
+        # scatter); isolated cells contribute 0 to both sums
+        num = (ox - xbar) * (rx - xbar * rc)
+        return pa.table({"num": pa.array(num), "s0": pa.array(rc)})
+
+    agg = sums.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("num", alias_name="num"), Sum("s0", alias_name="s0")
+    )
+    s0 = float(agg["s0"])
+    if s0 == 0.0:
+        raise ValueError("morans_i: no adjacent present cells — S0 = 0")
+    i_val = (n / s0) * float(agg["num"]) / denom
+    return pa.table(
+        {
+            "morans_i": pa.array([i_val], pa.float64()),
+            "s0": pa.array([int(s0)], pa.int64()),
+            "n_cells": pa.array([n], pa.int64()),
+        }
+    )
+
+
+def spatial_cluster(cells_ds, min_count: int = 2, k: int = 1):
+    """DBSCAN-style density clustering of the hex grid: core cells =
+    ``page_count >= min_count``; two core cells belong to the same cluster
+    iff connected through k-ring adjacency; cluster id = min cell id in the
+    component (singleton core cells form their own cluster).  The hex-grid
+    analog of DBSCAN with eps = one ring and minPts on the cell aggregate —
+    turns the density surface into labeled contiguous regions.
+
+    Edges are built with one tagged-union presence shuffle (candidate ring
+    targets vs present core cells — no pair-wise join), then
+    :func:`..stages.cc.connected_components` propagates min labels with
+    bounded per-round shuffles.  Rounds = component diameter; at continental
+    blob sizes switch the CC to its hook+jump doubling (the SQL oracle's
+    recurrence) — documented partitioning assumption, same convergence
+    witness."""
+    import pandas as pd
+    import pyarrow.compute as pc_
+
+    from ..functions.hashing import coarse_partition
+    from .cc import connected_components
+
+    def core_filter(batch: pa.Table) -> pa.Table:
+        keep = pc_.greater_equal(batch.column("page_count"), min_count)
+        return batch.filter(keep).select(["cell"])
+
+    core = cells_ds.map_batches(core_filter, batch_format="pyarrow")
+
+    dq, dr = _ring_offset_arrays(k, include_center=False)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        res, q, r = hexgrid.unpack(cell)
+        res0 = int(res[0]) if len(res) else hexgrid.RES_MIN
+        n, m = len(cell), len(dq)
+        targets = hexgrid.pack(res0, q[:, None] + dq[None, :], r[:, None] + dr[None, :]).ravel()
+        src = np.broadcast_to(cell[:, None], (n, m)).ravel()
+        # kind 0 = presence marker (key = own cell), kind 1 = candidate edge
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([cell, targets])),
+                "src": pa.array(np.concatenate([np.full(n, -1, dtype=np.int64), src])),
+                "kind": pa.array(
+                    np.concatenate([np.zeros(n, dtype=np.int8), np.ones(n * m, dtype=np.int8)])
+                ),
+            }
+        )
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("__part", pa.array(coarse_partition(k, 64)))
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        """Within one hash partition of keys: keep candidate edges whose
+        target key also has a presence marker; emit each adjacency once
+        (src < dst; ring offsets are symmetric so both directions arrive)."""
+        key = df["key"].to_numpy(dtype=np.int64)
+        kind = df["kind"].to_numpy()
+        src = df["src"].to_numpy(dtype=np.int64)
+        present = np.unique(key[kind == 0])
+        cand = kind == 1
+        tgt = key[cand]
+        s = src[cand]
+        # np.isin is safe on an empty presence set (a partition can hold
+        # only candidate rows) — the searchsorted-probe pattern is not
+        ok = np.isin(tgt, present) & (s < tgt)
+        return pd.DataFrame({"a": s[ok], "b": tgt[ok]})
+
+    edges = (
+        core.map_batches(tag, batch_format="pyarrow")
+        .map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(resolve)
+    )
+    return connected_components(edges, core, node_col="cell").map_batches(
+        lambda b: pa.table({"cell": b.column("cell"), "cluster_id": b.column("component")}),
+        batch_format="pyarrow",
+    )

@@ -1,0 +1,114 @@
+"""Spatial-statistics operators (stages/hotspot): Gi* hot spots, Moran's I,
+DBSCAN-style density clustering — numpy oracles on hand-built grids plus
+guard behavior.  The SQL oracle gate covers the sf-dir path
+(``hotspot_gi`` / ``morans_i`` / ``spatial_cluster`` in ``oracle_sql()``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cuda_gis_smoothing_ray.functions import hexgrid
+from cuda_gis_smoothing_ray.stages.hotspot import hotspot_gi, morans_i, spatial_cluster
+
+RES = 7
+
+
+def _cells_ds(qr_counts: dict[tuple[int, int], int]):
+    import ray.data as rd
+
+    q = np.array([k[0] for k in qr_counts], dtype=np.int64)
+    r = np.array([k[1] for k in qr_counts], dtype=np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "cell": pa.array(hexgrid.pack(RES, q, r)),
+                "page_count": pa.array(
+                    np.array(list(qr_counts.values()), dtype=np.int64)
+                ),
+            }
+        )
+    )
+
+
+def _numpy_gi(qr_counts: dict[tuple[int, int], int]) -> dict[tuple[int, int], float]:
+    xs = np.array(list(qr_counts.values()), dtype=np.float64)
+    n, xbar = len(xs), xs.mean()
+    s = np.sqrt((xs * xs).mean() - xbar * xbar)
+    offs = [(0, 0)] + hexgrid.ring_offsets(1)
+    out = {}
+    for (q, r) in qr_counts:
+        nb = [(q + dq, r + dr) for dq, dr in offs if (q + dq, r + dr) in qr_counts]
+        s1 = sum(qr_counts[p] for p in nb)
+        w = len(nb)
+        out[(q, r)] = (s1 - xbar * w) / (s * np.sqrt((n * w - w * w) / (n - 1.0)))
+    return out
+
+
+def test_gi_matches_numpy_oracle():
+    counts = {(0, 0): 9, (1, 0): 7, (0, 1): 6, (-1, 1): 2, (5, 5): 1, (6, 5): 1, (9, -9): 3}
+    got = hotspot_gi(_cells_ds(counts), "page_count", k=1).to_pandas()
+    want = _numpy_gi(counts)
+    assert len(got) == len(counts)
+    # NB: iterrows() would upcast the int64 cell ids to float64 (5.4e17
+    # doesn't survive) — read the columns as arrays instead
+    cells = got["cell"].to_numpy(dtype=np.int64)
+    _, qs, rs = hexgrid.unpack(cells)
+    for q, r, z in zip(qs, rs, got["gi_z"].to_numpy()):
+        np.testing.assert_allclose(z, want[(int(q), int(r))], rtol=0, atol=1e-12)
+    # the dense blob must be the hottest spot
+    hot = int(got["gi_z"].to_numpy().argmax())
+    assert (int(qs[hot]), int(rs[hot])) in {(0, 0), (1, 0), (0, 1)}
+
+
+def test_gi_zero_variance_raises():
+    counts = {(0, 0): 3, (1, 0): 3, (5, 5): 3}
+    with pytest.raises(ValueError, match="zero variance"):
+        hotspot_gi(_cells_ds(counts), "page_count", k=1)
+
+
+def test_morans_i_sign():
+    # clustered layout (similar values adjacent) -> strongly positive I
+    clustered = {(0, 0): 10, (1, 0): 9, (0, 1): 10, (1, -1): 9,
+                 (8, 8): 1, (9, 8): 2, (8, 9): 1, (9, 7): 2}
+    t = morans_i(_cells_ds(clustered), "page_count", k=1)
+    assert t.column("morans_i")[0].as_py() > 0.5
+    # alternating high/low neighbors -> negative I
+    anti = {(0, 0): 10, (1, 0): 1, (2, 0): 10, (3, 0): 1, (4, 0): 10, (5, 0): 1}
+    t2 = morans_i(_cells_ds(anti), "page_count", k=1)
+    assert t2.column("morans_i")[0].as_py() < 0.0
+    assert t2.column("s0")[0].as_py() == 10  # 5 adjacent pairs, both directions
+
+
+def test_spatial_cluster_two_blobs_and_noise():
+    counts = {
+        # blob A: 3 mutually-connected core cells
+        (0, 0): 5, (1, 0): 4, (0, 1): 3,
+        # blob B: chain of 2 core cells, separated from A
+        (10, 10): 2, (11, 10): 2,
+        # noise: below min_count, adjacent to blob A but excluded
+        (-1, 0): 1,
+        # isolated core cell -> singleton cluster
+        (20, -20): 7,
+    }
+    got = spatial_cluster(_cells_ds(counts), min_count=2, k=1).to_pandas()
+    assert len(got) == 6  # noise cell dropped
+    _, qs, rs = hexgrid.unpack(got["cell"].to_numpy(dtype=np.int64))
+    lab = {
+        (int(q), int(r)): int(c)
+        for q, r, c in zip(qs, rs, got["cluster_id"].to_numpy(dtype=np.int64))
+    }
+    assert lab[(0, 0)] == lab[(1, 0)] == lab[(0, 1)]
+    assert lab[(10, 10)] == lab[(11, 10)]
+    assert len({lab[(0, 0)], lab[(10, 10)], lab[(20, -20)]}) == 3
+    # cluster id is the component's min cell id
+    a_cells = [hexgrid.pack(RES, np.array([q]), np.array([r]))[0]
+               for (q, r) in [(0, 0), (1, 0), (0, 1)]]
+    assert lab[(0, 0)] == min(a_cells)
+
+
+def test_spatial_cluster_empty_core():
+    counts = {(0, 0): 1, (1, 0): 1}
+    got = spatial_cluster(_cells_ds(counts), min_count=5, k=1).to_pandas()
+    assert len(got) == 0
