@@ -579,6 +579,25 @@ def _q_inverted_index(sf_dir: str):
     return textops.inverted_index(_docs(sf_dir)).sort("token")
 
 
+def _q_gopher_quality(sf_dir: str):
+    """Gopher rule-based quality filter (word count, mean word length,
+    distinct-stopword floor) — pure streaming map, no shuffle."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return _round6_cols(
+        textops.gopher_quality(_docs(sf_dir)), ["mean_word_len"]
+    ).sort("doc_id")
+
+
+def _q_remove_boilerplate(sf_dir: str):
+    """CCNet/RefinedWeb-style boilerplate scrub: strip tokens covered by
+    any 5-gram appearing in >= 2 documents (df-count shuffle + broadcast
+    frequent set + vectorized rebuild)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.remove_boilerplate(_docs(sf_dir), n=5, min_df=2).sort("doc_id")
+
+
 def _q_dup_ngrams(sf_dir: str):
     """Gopher-style duplicated-3-gram repetition metric
     (stages/textops.dup_ngram_stats)."""
@@ -657,6 +676,17 @@ def _q_simhash_tiny(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import textops
 
     return textops.simhash_pairs(_docs(sf_dir), token_hash="md5").sort(["a", "b"])
+
+
+def _q_neardup_components(sf_dir: str):
+    """MinHash-LSH near-dup CLUSTERS at production parameters: the
+    minhash_pairs edge set -> connected components -> one survivor per
+    cluster (the dedup decision a corpus pipeline acts on)."""
+    from cuda_gis_smoothing_ray.stages import textops
+    from cuda_gis_smoothing_ray.stages.cc import dedup_survivors
+
+    edges = textops.minhash_pairs(_docs(sf_dir))
+    return dedup_survivors(edges, _docs(sf_dir, ("doc_id",))).sort("doc_id")
 
 
 def _q_dedup_components(sf_dir: str):
@@ -1650,6 +1680,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_repeats": _q_collapse_repeats,
         "triangle_counts": _q_triangles,
         "dup_ngram_stats": _q_dup_ngrams,
+        "remove_boilerplate": _q_remove_boilerplate,
+        "gopher_quality": _q_gopher_quality,
         "kcore": _q_kcore,
         "inverted_index": _q_inverted_index,
         "grouped_corr": _q_grouped_corr,
@@ -1664,6 +1696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs_tiny": _q_minhash_tiny,
         "simhash_pairs_tiny": _q_simhash_tiny,
         "dedup_components": _q_dedup_components,
+        "neardup_components": _q_neardup_components,
         "ann_cosine_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1789,6 +1822,8 @@ def oracle_sql() -> dict[str, str]:
         "collapse_repeats": oc.collapse_repeats_sql(),
         "triangle_counts": oc.triangles_sql(),
         "dup_ngram_stats": oc.dup_ngram_stats_sql(),
+        "remove_boilerplate": oc.remove_boilerplate_sql(n=5, min_df=2),
+        "gopher_quality": oc.gopher_quality_sql(),
         "kcore": oc.kcore_sql(),
         "inverted_index": oc.inverted_index_sql(),
         "grouped_corr": oc.grouped_corr_sql(),
@@ -1808,6 +1843,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": oc.minhash_pairs_tiny_sql(0.7, 64, 5, 16),
         "simhash_pairs": oc.simhash_pairs_fnv_sql(),
         "dedup_components": oc.dedup_components_sql(JACCARD_T),
+        "neardup_components": oc.neardup_components_sql(),
         "ann_cosine_topk": oc.ann_topk_sql(ANN_K),
         "embedding_neardup": oc.embedding_neardup_sql(NEARDUP_T),
         "label_centroids": oc.label_centroids_sql(),

@@ -805,6 +805,27 @@ FROM geocoded g JOIN sm ON g.cell = sm.cell
 ORDER BY g.page_id"""
 
 
+def hook_jump_chain(rounds: int, start: str = "l0") -> tuple[str, str]:
+    """The unrolled hook+jump min-label recurrence over CTEs ``edges``
+    (src, dst, symmetric) and ``start`` (v, l): returns (chain_sql,
+    final_cte_name).  Shared by every connected-components oracle
+    (dedup_components, neardup_components, spatial_cluster)."""
+    steps = []
+    prev = start
+    for i in range(1, rounds + 1):
+        steps.append(f"""h{i} AS MATERIALIZED (
+  SELECT v, min(l) AS l FROM (
+    SELECT v, l FROM {prev}
+    UNION ALL
+    SELECT e.src AS v, n.l FROM edges e JOIN {prev} n ON n.v = e.dst
+  ) u GROUP BY v
+), l{i} AS MATERIALIZED (
+  SELECT a.v AS v, b.l AS l FROM h{i} a JOIN h{i} b ON b.v = a.l
+)""")
+        prev = f"l{i}"
+    return ",\n".join(steps), prev
+
+
 def _ring_offsets_values(k: int, include_center: bool) -> str:
     rows = ["(0, 0)"] if include_center else []
     for ring in range(1, k + 1):
@@ -869,20 +890,7 @@ def spatial_cluster_sql(res: int, min_count: int = 2, k: int = 1,
     (page_count >= min_count); cluster id = min cell id.  Unrolled
     hook+jump min-label supersteps (the dedup_components_sql recurrence:
     coverage at least doubles per round, 2^16 radius margin)."""
-    steps = []
-    prev = "l0"
-    for i in range(1, rounds + 1):
-        steps.append(f"""h{i} AS MATERIALIZED (
-  SELECT v, min(l) AS l FROM (
-    SELECT v, l FROM {prev}
-    UNION ALL
-    SELECT e.src AS v, n.l FROM edges e JOIN {prev} n ON n.v = e.dst
-  ) u GROUP BY v
-), l{i} AS MATERIALIZED (
-  SELECT a.v AS v, b.l AS l FROM h{i} a JOIN h{i} b ON b.v = a.l
-)""")
-        prev = f"l{i}"
-    chain = ",\n".join(steps)
+    chain, prev = hook_jump_chain(rounds)
     return f"""{prelude(res)},
 core AS MATERIALIZED (
   SELECT cell, q, r FROM cells WHERE page_count >= {min_count}),

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from ..functions import textstats
 from ..stages import ann, events, media
-from .oracles import D, round6
+from .oracles import D, hook_jump_chain, round6
 
 
 def _re_count(col: str, pattern: str) -> str:
@@ -159,20 +159,7 @@ def dedup_components_sql(threshold: float, rounds: int = 16) -> str:
     converge); 16 rounds is a wide margin.  Non-convergence can only FAIL
     the comparison — the engine iterates to an exact fixed point — never
     silently pass."""
-    steps = []
-    prev = "l0"
-    for i in range(1, rounds + 1):
-        steps.append(f"""h{i} AS MATERIALIZED (
-  SELECT v, min(l) AS l FROM (
-    SELECT v, l FROM {prev}
-    UNION ALL
-    SELECT e.src AS v, n.l FROM edges e JOIN {prev} n ON n.v = e.dst
-  ) u GROUP BY v
-), l{i} AS MATERIALIZED (
-  SELECT a.v AS v, b.l AS l FROM h{i} a JOIN h{i} b ON b.v = a.l
-)""")
-        prev = f"l{i}"
-    chain = ",\n".join(steps)
+    chain, prev = hook_jump_chain(rounds)
     return f"""WITH {_jaccard_ctes()}, edges AS MATERIALIZED (
   SELECT a AS src, b AS dst FROM j WHERE jac >= {D(threshold)}
   UNION ALL
@@ -2113,3 +2100,104 @@ SELECT media_id,
 FROM vals
 GROUP BY media_id
 ORDER BY media_id"""
+
+
+def neardup_components_sql(threshold: float = 0.7, num_perms: int = 64,
+                           shingle_k: int = 5, bands: int = 16,
+                           rounds: int = 16) -> str:
+    """Oracle of MinHash-LSH near-dup CLUSTERS: the production-parameter
+    minhash_pairs SQL (bit-exact HUGEINT twin) as the edge set, then the
+    hook+jump min-label recurrence — component = min reachable doc id,
+    survivor = the component's min-id doc.  This is the end-to-end dedup
+    decision a corpus pipeline acts on (one kept doc per near-dup cluster),
+    verified exactly, not just the candidate pairs."""
+    pairs_sql = minhash_pairs_tiny_sql(threshold, num_perms, shingle_k, bands)
+    chain, prev = hook_jump_chain(rounds)
+    return f"""WITH pairs AS MATERIALIZED (
+  SELECT a, b FROM ({pairs_sql})
+), edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+), l0 AS MATERIALIZED (
+  SELECT doc_id AS v, doc_id AS l FROM documents
+),
+{chain}
+SELECT v AS doc_id, l AS component, (l = v) AS is_survivor
+FROM {prev}
+ORDER BY doc_id"""
+
+
+def remove_boilerplate_sql(n: int = 5, min_df: int = 2) -> str:
+    """Oracle of textops.remove_boilerplate: n-grams via a lead() chain
+    (NULL-propagating concat drops incomplete windows), df >= min_df over
+    DISTINCT docs, covered positions = frequent-gram starts expanded by
+    range(n), anti-join out covered tokens, string_agg rebuild."""
+    gram_expr = " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {j}) OVER w" for j in range(1, n)]
+    )
+    return f"""WITH d AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), s -> s != '') AS toks
+  FROM documents
+), t AS (
+  SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS pos FROM d
+), g AS (
+  SELECT doc_id, pos, {gram_expr} AS gram
+  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), freq AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS c FROM g
+    WHERE gram IS NOT NULL GROUP BY gram
+  ) WHERE c >= {min_df}
+), cov AS (
+  SELECT DISTINCT g.doc_id, g.pos + o.o AS pos
+  FROM g JOIN freq USING (gram)
+  CROSS JOIN (SELECT unnest(range({n})) AS o) o
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM t ANTI JOIN cov ON cov.doc_id = t.doc_id AND cov.pos = t.pos
+), agg AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS kept FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text,
+  CAST(len(d.toks) - coalesce(a.kept, 0) AS BIGINT) AS n_removed
+FROM d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id"""
+
+
+def gopher_quality_sql() -> str:
+    """Oracle of textops.gopher_quality (thresholds from the shared
+    constants; `passes` evaluated on the UNROUNDED mean word length in
+    both engines)."""
+    from ..stages.textops import (
+        GOPHER_MAX_MWL, GOPHER_MAX_WORDS, GOPHER_MIN_MWL, GOPHER_MIN_STOPS,
+        GOPHER_MIN_WORDS, GOPHER_STOPWORDS,
+    )
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""WITH d AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), s -> s != '') AS toks
+  FROM documents
+), t AS (
+  SELECT doc_id, unnest(toks) AS tok FROM d
+), sw AS (
+  SELECT doc_id, count(DISTINCT tok) AS stop_hits
+  FROM t WHERE tok IN ({stops}) GROUP BY doc_id
+), m AS (
+  SELECT doc_id, len(toks) AS word_count,
+    CASE WHEN len(toks) = 0 THEN CAST(0 AS DOUBLE)
+         ELSE CAST(list_sum(list_transform(toks, s -> length(s))) AS DOUBLE)
+              / len(toks) END AS mwl
+  FROM d
+)
+SELECT m.doc_id, CAST(m.word_count AS BIGINT) AS word_count,
+  {round6('m.mwl')} AS mean_word_len,
+  CAST(coalesce(sw.stop_hits, 0) AS BIGINT) AS stop_hits,
+  (m.word_count >= {GOPHER_MIN_WORDS} AND m.word_count <= {GOPHER_MAX_WORDS}
+   AND m.mwl >= CAST({GOPHER_MIN_MWL} AS DOUBLE)
+   AND m.mwl <= CAST({GOPHER_MAX_MWL} AS DOUBLE)
+   AND coalesce(sw.stop_hits, 0) >= {GOPHER_MIN_STOPS}) AS passes
+FROM m LEFT JOIN sw USING (doc_id)
+ORDER BY m.doc_id"""

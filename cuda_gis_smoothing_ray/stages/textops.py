@@ -1537,3 +1537,217 @@ def char_entropy(ds, text_col: str = "text"):
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def remove_boilerplate(ds, n: int = 5, min_df: int = 2,
+                       max_freq_grams: int = 1_000_000,
+                       n_parts: int = _PAIR_PARTS):
+    """documents -> (doc_id, clean_text, n_removed): strip every token
+    covered by an n-gram whose document frequency >= ``min_df`` — the
+    CCNet/RefinedWeb-style boilerplate scrub (navigation chrome, cookie
+    banners, shared footers repeat VERBATIM across pages; their spans are
+    exactly the high-df n-grams).
+
+    Two passes over the corpus:
+
+    1. **df count** — batch-local distinct (doc, gram) extraction
+       (:func:`_doc_ngrams` tokenization), gram-hash-partitioned vectorized
+       global count with the gram STRINGS riding along (the top_bigrams
+       reduce shape); only grams, never docs, enter the shuffle.
+    2. **scrub** — the frequent-gram set (bounded: boilerplate is the tiny
+       high-df tail; guarded by ``max_freq_grams``) is broadcast via
+       ``ray.put`` once, membership per batch is an exact Arrow
+       ``index_in`` on the gram strings, covered token positions come from
+       a difference-array cumsum (grams never cross doc bounds, so one
+       global pass), and per-doc texts rebuild with offsets +
+       ``binary_join`` — zero Python per token.
+
+    At 100 TB both passes stream; the only materialization is the frequent
+    set itself.
+    """
+    import ray
+    import pyarrow.compute as pc_
+
+    from ..functions.hashing import coarse_partition, fnv_token_hash64
+
+    # ---- pass 1: document frequency per distinct n-gram ----
+    def gram_partials(batch: pa.Table) -> pa.Table:
+        doc_idx, grams = _doc_ngrams(batch, n)
+        if len(grams) == 0:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "gram": pa.array([], pa.string()),
+                 "df": pa.array([], pa.int64()), "__part": pa.array([], pa.int64())}
+            )
+        # distinct (doc, gram) within the batch: docs never span batches,
+        # so per-batch distinct-doc counts sum to the exact global df
+        key = fnv_token_hash64(grams).view(np.int64)
+        pair = np.stack([doc_idx, key], axis=1)
+        uniq_pair, first = np.unique(pair, axis=0, return_index=True)
+        k_u = uniq_pair[:, 1]
+        uniq_k, inv, cnt = np.unique(k_u, return_inverse=True, return_counts=True)
+        first_of_k = np.full(len(uniq_k), len(k_u), dtype=np.int64)
+        np.minimum.at(first_of_k, inv, np.arange(len(k_u)))
+        take = pa.array(first[first_of_k])
+        return pa.table(
+            {
+                "key": pa.array(uniq_k),
+                "gram": grams.take(take),
+                "df": pa.array(cnt.astype(np.int64)),
+                "__part": pa.array(coarse_partition(uniq_k, n_parts)),
+            }
+        )
+
+    def reduce_df(part: pa.Table) -> pa.Table:
+        key = part.column("key").to_numpy(zero_copy_only=False)
+        df = part.column("df").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(key, return_inverse=True)
+        total = np.bincount(inv, weights=df.astype(np.float64),
+                            minlength=len(uniq)).astype(np.int64)
+        keep = total >= min_df
+        first = np.full(len(uniq), len(key), dtype=np.int64)
+        np.minimum.at(first, inv, np.arange(len(key)))
+        return pa.table({"gram": part.column("gram").take(pa.array(first[keep]))})
+
+    freq_tbls = (
+        ds.map_batches(gram_partials, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_df, batch_format="pyarrow")
+        .take_all()
+    )
+    freq_grams = pa.array([r["gram"] for r in freq_tbls], pa.string())
+    if len(freq_grams) > max_freq_grams:
+        raise ValueError(
+            f"remove_boilerplate: {len(freq_grams)} frequent grams exceeds "
+            f"max_freq_grams={max_freq_grams} — raise min_df (a broadcast "
+            "this large means the corpus is dominated by duplicated spans; "
+            "near-dup dedup should run first)"
+        )
+    freq_ref = ray.put(freq_grams)
+
+    # ---- pass 2: scrub covered tokens, rebuild text ----
+    def scrub(batch: pa.Table) -> pa.Table:
+        n_docs = len(batch)
+        out_ids = batch.column("doc_id")
+        if n_docs == 0:
+            return pa.table(
+                {"doc_id": out_ids, "clean_text": pa.array([], pa.string()),
+                 "n_removed": pa.array([], pa.int64())}
+            )
+        split = pc_.split_pattern_regex(pc_.fill_null(batch.column("text"), ""), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        counts = split.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = split.flatten()
+        local_doc = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        nonempty = pc_.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        local_doc = local_doc[nonempty]
+        toks = flat.filter(pa.array(nonempty))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        t = len(toks)
+        tok_counts = np.bincount(local_doc, minlength=n_docs)
+        covered = np.zeros(t, dtype=bool)
+        if t >= n:
+            m = t - n + 1
+            adj = local_doc[n - 1:] == local_doc[:m]
+            grams = pc_.binary_join_element_wise(
+                *[toks.slice(j, m) for j in range(n)], " "
+            )
+            freq = ray.get(freq_ref)
+            hit_local = pc_.is_valid(pc_.index_in(grams, value_set=freq)).to_numpy(
+                zero_copy_only=False
+            ) & adj
+            starts = np.flatnonzero(hit_local)
+            if len(starts):
+                diff = np.zeros(t + n, dtype=np.int64)
+                np.add.at(diff, starts, 1)
+                np.add.at(diff, starts + n, -1)
+                covered = np.cumsum(diff[:t]) > 0
+        kept_mask = ~covered
+        kept_toks = toks.filter(pa.array(kept_mask))
+        kept_counts = np.bincount(local_doc[kept_mask], minlength=n_docs)
+        offsets = np.zeros(n_docs + 1, dtype=np.int32)
+        np.cumsum(kept_counts, out=offsets[1:])
+        if isinstance(kept_toks, pa.ChunkedArray):
+            kept_toks = kept_toks.combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_toks)
+        clean = pc_.binary_join(lists, " ")
+        return pa.table(
+            {
+                "doc_id": out_ids,
+                "clean_text": clean,
+                "n_removed": pa.array((tok_counts - kept_counts).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MIN_STOPS = 2
+
+
+def gopher_quality(ds):
+    """documents -> (doc_id, word_count, mean_word_len, stop_hits, passes):
+    the Gopher rule-based quality filter (Rae et al. 2021 §A1.1) — word
+    count in [50, 100k], mean word length in [3, 10], and >= 2 distinct
+    stopwords from the canonical 8-word list.  One tokenize pass per batch;
+    stopword hits via Arrow ``index_in`` + one packed np.unique for the
+    per-doc distinct count — no shuffle at all (pure map), which is the
+    whole point at 100 TB: quality filtering streams.
+    """
+    import pyarrow.compute as pc_
+
+    stop_set = pa.array(GOPHER_STOPWORDS, pa.string())
+
+    def f(batch: pa.Table) -> pa.Table:
+        n_docs = len(batch)
+        if n_docs == 0:
+            return pa.table(
+                {"doc_id": batch.column("doc_id"),
+                 "word_count": pa.array([], pa.int64()),
+                 "mean_word_len": pa.array([], pa.float64()),
+                 "stop_hits": pa.array([], pa.int64()),
+                 "passes": pa.array([], pa.bool_())}
+            )
+        split = pc_.split_pattern_regex(pc_.fill_null(batch.column("text"), ""), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        counts = split.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = split.flatten()
+        local_doc = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        nonempty = pc_.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        local_doc = local_doc[nonempty]
+        toks = flat.filter(pa.array(nonempty))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        wc = np.bincount(local_doc, minlength=n_docs).astype(np.int64)
+        tlen = pc_.utf8_length(toks).to_numpy(zero_copy_only=False)
+        lsum = np.bincount(local_doc, weights=tlen.astype(np.float64), minlength=n_docs)
+        mwl = np.where(wc > 0, lsum / np.maximum(wc, 1), 0.0)
+        codes = pc_.index_in(toks, value_set=stop_set)
+        hit = pc_.is_valid(codes).to_numpy(zero_copy_only=False)
+        code_np = codes.to_numpy(zero_copy_only=False)
+        packed = local_doc[hit] * len(GOPHER_STOPWORDS) + code_np[hit].astype(np.int64)
+        stops = np.zeros(n_docs, dtype=np.int64)
+        if len(packed):
+            u = np.unique(packed)
+            np.add.at(stops, u // len(GOPHER_STOPWORDS), 1)
+        passes = (
+            (wc >= GOPHER_MIN_WORDS) & (wc <= GOPHER_MAX_WORDS)
+            & (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+            & (stops >= GOPHER_MIN_STOPS)
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "word_count": pa.array(wc),
+                "mean_word_len": pa.array(mwl),
+                "stop_hits": pa.array(stops),
+                "passes": pa.array(passes),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
