@@ -380,6 +380,7 @@ def _q_len_histogram(sf_dir: str):
 JACCARD_T = 0.8
 NEARDUP_T = 0.4
 ANN_K = 10
+KNN_GRAPH_K = 5
 
 
 def _docs(sf_dir: str, cols=("doc_id", "text")):
@@ -761,6 +762,32 @@ def _q_neardup(sf_dir: str):
     return ann.embedding_neardup(
         ann.read_embeddings(sf_dir), sf_dir, threshold=NEARDUP_T
     ).sort(["a", "b"])
+
+
+def _q_knn_graph(sf_dir: str):
+    """Exact cosine kNN GRAPH over the embedding table (every vector is a
+    query; k=5): the SemDeDup-style graph-construction step.  The test
+    table fits one broadcast (500 vectors at every sf); at 10^9 vectors
+    the IVF-pruned plan (ann.embedding_neardup's cluster + triangle-
+    inequality bound) replaces the broadcast — same output contract."""
+    from cuda_gis_smoothing_ray.stages import ann
+
+    return ann.ann_bruteforce(
+        ann.read_embeddings(sf_dir), sf_dir, k=KNN_GRAPH_K, n_queries=1 << 40
+    ).sort(["query_id", "rank"])
+
+
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup: connected components over the exact cosine>=T near-dup
+    graph -> one survivor embedding per semantic cluster."""
+    from cuda_gis_smoothing_ray.stages import ann
+    from cuda_gis_smoothing_ray.stages.cc import dedup_survivors
+
+    edges = ann.embedding_neardup(
+        ann.read_embeddings(sf_dir), sf_dir, threshold=NEARDUP_T
+    )
+    nodes = ann.read_embeddings(sf_dir).select_columns(["vec_id"])
+    return dedup_survivors(edges, nodes, node_col="vec_id").sort("vec_id")
 
 
 def _q_kmeans(sf_dir: str):
@@ -1698,6 +1725,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": _q_dedup_components,
         "neardup_components": _q_neardup_components,
         "ann_cosine_topk": _q_ann_topk,
+        "knn_graph": _q_knn_graph,
+        "semantic_dedup": _q_semantic_dedup,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
@@ -1845,6 +1874,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": oc.dedup_components_sql(JACCARD_T),
         "neardup_components": oc.neardup_components_sql(),
         "ann_cosine_topk": oc.ann_topk_sql(ANN_K),
+        "knn_graph": oc.ann_topk_sql(KNN_GRAPH_K, n_queries=1 << 40),
+        "semantic_dedup": oc.semantic_dedup_sql(NEARDUP_T),
         "embedding_neardup": oc.embedding_neardup_sql(NEARDUP_T),
         "label_centroids": oc.label_centroids_sql(),
         "quantize_int8": oc.quantize_int8_sql(),

@@ -2201,3 +2201,24 @@ SELECT m.doc_id, CAST(m.word_count AS BIGINT) AS word_count,
    AND coalesce(sw.stop_hits, 0) >= {GOPHER_MIN_STOPS}) AS passes
 FROM m LEFT JOIN sw USING (doc_id)
 ORDER BY m.doc_id"""
+
+
+def semantic_dedup_sql(threshold: float, rounds: int = 16) -> str:
+    """Oracle of SemDeDup (semantic near-dup clusters): the exact
+    embedding_neardup pair SQL as the edge set, hook+jump components,
+    survivor = min vec_id per cluster."""
+    pairs_sql = embedding_neardup_sql(threshold)
+    chain, prev = hook_jump_chain(rounds)
+    return f"""WITH pairs AS MATERIALIZED (
+  SELECT a, b FROM ({pairs_sql})
+), edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+), l0 AS MATERIALIZED (
+  SELECT vec_id AS v, vec_id AS l FROM embeddings
+),
+{chain}
+SELECT v AS vec_id, l AS component, (l = v) AS is_survivor
+FROM {prev}
+ORDER BY vec_id"""
