@@ -167,6 +167,13 @@ def _q_morans_i(sf_dir: str):
     return t.set_column(0, "morans_i", pa.array(i6))
 
 
+def _q_local_morans(sf_dir: str):
+    """LISA cluster map: per-cell local Moran's I + HH/LL/HL/LH quadrant."""
+    from cuda_gis_smoothing_ray.stages.hotspot import local_morans
+
+    return _round6_cols(local_morans(_cells(sf_dir), "page_count", k=1), ["lisa"]).sort("cell")
+
+
 def _q_spatial_cluster(sf_dir: str):
     """DBSCAN-style density clusters: connected components of ring-1
     adjacency over cells with page_count >= 2; cluster id = min cell id."""
@@ -1804,6 +1811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ring2_stats": _q_ring2_stats,
         "hotspot_gi": _q_hotspot_gi,
         "morans_i": _q_morans_i,
+        "local_morans": _q_local_morans,
         "spatial_cluster": _q_spatial_cluster,
         "morton_locality": _q_morton_locality,
         "morton_order": _q_morton,
@@ -1971,6 +1979,7 @@ def oracle_sql() -> dict[str, str]:
         "ring2_stats": o.neighbor_stats_sql(RES, ring=2),
         "hotspot_gi": o.hotspot_gi_sql(RES, k=1),
         "morans_i": o.morans_i_sql(RES, k=1),
+        "local_morans": o.local_morans_sql(RES, k=1),
         "spatial_cluster": o.spatial_cluster_sql(RES, min_count=2, k=1),
         "morton_locality": o.morton_locality_sql(RES),
         "morton_order": o.morton_sql(RES),

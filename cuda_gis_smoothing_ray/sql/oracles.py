@@ -905,3 +905,35 @@ l0 AS MATERIALIZED (SELECT cell AS v, cell AS l FROM core),
 SELECT v AS cell, l AS cluster_id
 FROM {prev}
 ORDER BY cell"""
+
+
+def local_morans_sql(res: int, k: int = 1) -> str:
+    """Oracle of stages/hotspot.local_morans: per-cell LISA + cluster-map
+    quadrant (CASE order mirrors the engine's np.where chain)."""
+    return f"""{prelude(res)},
+offsets(dq, dr) AS (VALUES {_ring_offsets_values(k, False)}),
+st AS (
+  SELECT count(*) AS n,
+    sum(CAST(page_count AS DOUBLE)) / count(*) AS xbar,
+    sum(CAST(page_count AS DOUBLE) * CAST(page_count AS DOUBLE)) AS sxx
+  FROM cells),
+nbr AS (
+  SELECT c.cell, max(CAST(c.page_count AS DOUBLE)) AS x,
+    coalesce(sum(CAST(n.page_count AS DOUBLE)), 0) AS rx,
+    count(n.cell) AS rc
+  FROM cells c
+  CROSS JOIN offsets o
+  LEFT JOIN cells n ON n.q = c.q + o.dq AND n.r = c.r + o.dr
+  GROUP BY c.cell),
+v AS (
+  SELECT cell, x - st.xbar AS z, rx - st.xbar * rc AS zlag_sum, rc,
+    st.sxx / st.n - st.xbar * st.xbar AS m2
+  FROM nbr, st)
+SELECT cell,
+  {round6('z * zlag_sum / m2')} AS lisa,
+  CASE WHEN z > 0 AND (CASE WHEN rc > 0 THEN zlag_sum / rc ELSE 0 END) > 0 THEN 'HH'
+       WHEN z < 0 AND (CASE WHEN rc > 0 THEN zlag_sum / rc ELSE 0 END) < 0 THEN 'LL'
+       WHEN z > 0 THEN 'HL'
+       ELSE 'LH' END AS quadrant
+FROM v
+ORDER BY cell"""

@@ -260,3 +260,49 @@ def spatial_cluster(cells_ds, min_count: int = 2, k: int = 1):
         lambda b: pa.table({"cell": b.column("cell"), "cluster_id": b.column("component")}),
         batch_format="pyarrow",
     )
+
+
+def local_morans(cells_ds, value_col: str = "page_count", k: int = 1):
+    """Local Moran's I (LISA, Anselin 1995) per present cell with binary
+    k-ring weights (excluding self) over present cells:
+
+        I_i = z_i * sum_{j in ring} z_j / m2,   m2 = sum_k z_k^2 / n
+
+    plus the cluster-map quadrant on (z_i, row-standardized lag):
+    ``HH`` hot cluster, ``LL`` cold cluster, ``HL``/``LH`` spatial
+    outliers (the classic LISA cluster map).  Same two-pass shape as
+    :func:`hotspot_gi`: global scalars via one aggregate, neighborhood
+    sums via the scatter-combine, everything else batch-local arithmetic."""
+    n, xbar, sxx = _global_stats(cells_ds, value_col)
+    m2 = sxx / n - xbar * xbar
+    if m2 == 0.0:
+        raise ValueError("local_morans: zero variance — I undefined")
+    sums = _neighborhood_sums(cells_ds, value_col, k, include_center=False)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        c = batch.column("c_sum").to_numpy(zero_copy_only=False)
+        mask = c > 0.5
+        cell = batch.column("cell").to_numpy(zero_copy_only=False)[mask]
+        rx = batch.column("nx").to_numpy(zero_copy_only=False)[mask]
+        rc = batch.column("nc").to_numpy(zero_copy_only=False)[mask]
+        ox = batch.column("ox").to_numpy(zero_copy_only=False)[mask]
+        z = ox - xbar
+        zlag_sum = rx - xbar * rc
+        lisa = z * zlag_sum / m2
+        # row-standardized lag for the quadrant label; isolated cells -> 0
+        lag = np.where(rc > 0, zlag_sum / np.maximum(rc, 1.0), 0.0)
+        # identical predicate order to the SQL CASE chain
+        quad = np.where(
+            (z > 0) & (lag > 0), "HH",
+            np.where((z < 0) & (lag < 0), "LL",
+                     np.where(z > 0, "HL", "LH")),
+        )
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "lisa": pa.array(lisa),
+                "quadrant": pa.array(quad.astype(object), pa.string()),
+            }
+        )
+
+    return sums.map_batches(finalize, batch_format="pyarrow")
