@@ -167,6 +167,22 @@ def _q_morans_i(sf_dir: str):
     return t.set_column(0, "morans_i", pa.array(i6))
 
 
+def _q_grid_distance(sf_dir: str):
+    """H3 grid_distance analog: hex distance of every cell to the densest
+    cell (1-row top-k -> streaming map)."""
+    from cuda_gis_smoothing_ray.stages.gridops import grid_distance_field
+
+    return grid_distance_field(_cells(sf_dir)).sort("cell")
+
+
+def _q_grid_path(sf_dir: str):
+    """H3 grid_path_cells analog: cube-lerp hex line between the two
+    densest cells (aggregate-sized output)."""
+    from cuda_gis_smoothing_ray.stages.gridops import grid_path
+
+    return grid_path(_cells(sf_dir))
+
+
 def _q_local_morans(sf_dir: str):
     """LISA cluster map: per-cell local Moran's I + HH/LL/HL/LH quadrant."""
     from cuda_gis_smoothing_ray.stages.hotspot import local_morans
@@ -1812,6 +1828,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hotspot_gi": _q_hotspot_gi,
         "morans_i": _q_morans_i,
         "local_morans": _q_local_morans,
+        "grid_distance": _q_grid_distance,
+        "grid_path": _q_grid_path,
         "spatial_cluster": _q_spatial_cluster,
         "morton_locality": _q_morton_locality,
         "morton_order": _q_morton,
@@ -1980,6 +1998,8 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_gi": o.hotspot_gi_sql(RES, k=1),
         "morans_i": o.morans_i_sql(RES, k=1),
         "local_morans": o.local_morans_sql(RES, k=1),
+        "grid_distance": o.grid_distance_sql(RES),
+        "grid_path": o.grid_path_sql(RES),
         "spatial_cluster": o.spatial_cluster_sql(RES, min_count=2, k=1),
         "morton_locality": o.morton_locality_sql(RES),
         "morton_order": o.morton_sql(RES),

@@ -937,3 +937,59 @@ SELECT cell,
        ELSE 'LH' END AS quadrant
 FROM v
 ORDER BY cell"""
+
+
+def grid_distance_sql(res: int) -> str:
+    """Oracle of gridops.grid_distance_field: axial distance of every cell
+    to the densest cell (ORDER BY page_count DESC, cell LIMIT 1)."""
+    return f"""{prelude(res)},
+hot AS (SELECT q AS hq, r AS hr FROM cells ORDER BY page_count DESC, cell LIMIT 1)
+SELECT c.cell AS cell,
+  CAST((abs(c.q - hq) + abs(c.r - hr) + abs(c.q - hq + c.r - hr)) // 2 AS BIGINT)
+    AS dist_to_hotspot
+FROM cells c, hot
+ORDER BY cell"""
+
+
+def grid_path_sql(res: int) -> str:
+    """Oracle of gridops.grid_path: cube lerp between the two densest
+    cells with the shared floor(x+0.5) + tie-fix rounding chain (the
+    geocoder's enc1/enc2 CASE logic over the interpolated coordinates)."""
+    return f"""{prelude(res)},
+ranked AS (
+  SELECT q, r, row_number() OVER (ORDER BY page_count DESC, cell) AS rk
+  FROM cells),
+e AS (
+  SELECT max(CASE WHEN rk = 1 THEN q END) AS q1, max(CASE WHEN rk = 1 THEN r END) AS r1,
+         max(CASE WHEN rk = 2 THEN q END) AS q2, max(CASE WHEN rk = 2 THEN r END) AS r2
+  FROM ranked WHERE rk <= 2),
+n AS (
+  SELECT *, (abs(q1 - q2) + abs(r1 - r2) + abs(q1 - q2 + r1 - r2)) // 2 AS dist
+  FROM e),
+steps AS (
+  SELECT n.*, unnest(range(CAST(dist AS BIGINT) + 1)) AS i FROM n),
+lerp AS (
+  SELECT i,
+    CAST(q1 AS DOUBLE) + (q2 - q1) * (CASE WHEN dist = 0 THEN CAST(0 AS DOUBLE)
+        ELSE CAST(i AS DOUBLE) / dist END) AS qf,
+    CAST(r1 AS DOUBLE) + (r2 - r1) * (CASE WHEN dist = 0 THEN CAST(0 AS DOUBLE)
+        ELSE CAST(i AS DOUBLE) / dist END) AS rf
+  FROM steps),
+cr1 AS (
+  SELECT i, qf, rf,
+    floor(qf + 0.5) AS rx, floor(-qf - rf + 0.5) AS ry, floor(rf + 0.5) AS rz
+  FROM lerp),
+cr2 AS (
+  SELECT *, abs(rx - qf) AS dx, abs(ry - (-qf - rf)) AS dy, abs(rz - rf) AS dz
+  FROM cr1),
+pathq AS (
+  SELECT i,
+    CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS BIGINT) AS pq,
+    CAST(CASE WHEN dx > dy AND dx > dz THEN rz
+              WHEN dy > dz THEN rz
+              ELSE -rx - ry END AS BIGINT) AS pr
+  FROM cr2)
+SELECT i AS step,
+  CAST({res} AS BIGINT) * {1 << 56} + (pq + {hexgrid.OFF}) * {1 << 28} + (pr + {hexgrid.OFF}) AS cell
+FROM pathq
+ORDER BY step"""

@@ -503,3 +503,61 @@ def geohash_encode(geocoded, precision: int = 6, id_col: str = "page_id"):
         )
 
     return geocoded.map_batches(encode, batch_format="pyarrow")
+
+
+def grid_distance_field(cells_ds):
+    """Cell table -> (cell, dist_to_hotspot): axial hex-grid distance from
+    every cell to the densest cell (max page_count, ties -> min cell id) —
+    the H3 ``grid_distance`` analog as a whole-surface field.  Finding the
+    hotspot is a 1-row top-k (local top-k + tiny merge, never a full
+    sort); the distance map is then a pure streaming batch transform with
+    the hotspot coords as closure constants."""
+    hot = topk(
+        cells_ds.select_columns(["cell", "page_count"]), 1,
+        by="page_count", tie_cols=("cell",),
+    ).take_all()
+    _, hq_arr, hr_arr = hexgrid.unpack(np.array([hot[0]["cell"]], dtype=np.int64))
+    hq, hr = int(hq_arr[0]), int(hr_arr[0])
+
+    def f(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        _, q, r = hexgrid.unpack(cell)
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "dist_to_hotspot": pa.array(hexgrid.hex_distance(q, r, hq, hr)),
+            }
+        )
+
+    return cells_ds.map_batches(f, batch_format="pyarrow")
+
+
+def grid_path(cells_ds) -> pa.Table:
+    """Hex line between the two densest cells (H3 ``grid_path_cells``
+    analog): cube-coordinate lerp at t = i/N for i in 0..N (N = hex
+    distance) rounded with the shared :func:`..functions.hexgrid._cube_round`
+    — identical floor(x+0.5) + tie-fix chain as the geocoder, so the SQL
+    oracle reproduces every intermediate.  Endpoint discovery is a 2-row
+    top-k; the path itself is aggregate-sized (<= grid diameter rows), so
+    it computes driver-side like every scalar-result op."""
+    top2 = topk(
+        cells_ds.select_columns(["cell", "page_count"]), 2,
+        by="page_count", tie_cols=("cell",),
+    ).take_all()
+    if len(top2) < 2:
+        raise ValueError("grid_path needs >= 2 cells")
+    ends = np.array([top2[0]["cell"], top2[1]["cell"]], dtype=np.int64)
+    res, qe, re_ = hexgrid.unpack(ends)
+    q1, r1, q2, r2 = int(qe[0]), int(re_[0]), int(qe[1]), int(re_[1])
+    n = int(hexgrid.hex_distance(q1, r1, q2, r2))
+    i = np.arange(n + 1, dtype=np.int64)
+    t = i.astype(np.float64) / n if n > 0 else np.zeros(1)
+    qf = q1 + (q2 - q1) * t
+    rf = r1 + (r2 - r1) * t
+    pq, pr = hexgrid._cube_round(qf, rf)
+    return pa.table(
+        {
+            "step": pa.array(i),
+            "cell": pa.array(hexgrid.pack(int(res[0]), pq, pr)),
+        }
+    )

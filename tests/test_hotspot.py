@@ -112,3 +112,39 @@ def test_spatial_cluster_empty_core():
     counts = {(0, 0): 1, (1, 0): 1}
     got = spatial_cluster(_cells_ds(counts), min_count=5, k=1).to_pandas()
     assert len(got) == 0
+
+
+def test_grid_distance_field():
+    from cuda_gis_smoothing_ray.stages.gridops import grid_distance_field
+
+    counts = {(0, 0): 9, (3, 0): 1, (0, 4): 2, (-2, -2): 1}
+    got = grid_distance_field(_cells_ds(counts)).to_pandas()
+    _, qs, rs = hexgrid.unpack(got["cell"].to_numpy(dtype=np.int64))
+    d = dict(zip(zip(qs.tolist(), rs.tolist()),
+                 got["dist_to_hotspot"].to_numpy(dtype=np.int64).tolist()))
+    # hotspot = (0,0); axial distance (|dq|+|dr|+|dq+dr|)/2
+    assert d == {(0, 0): 0, (3, 0): 3, (0, 4): 4, (-2, -2): 4}
+
+
+def test_grid_path_straight_line():
+    from cuda_gis_smoothing_ray.stages.gridops import grid_path
+
+    counts = {(0, 0): 9, (6, 0): 8, (2, 2): 1}
+    got = grid_path(_cells_ds(counts)).to_pandas()
+    _, qs, rs = hexgrid.unpack(got["cell"].to_numpy(dtype=np.int64))
+    assert list(got["step"]) == list(range(7))
+    assert qs.tolist() == [0, 1, 2, 3, 4, 5, 6]
+    assert rs.tolist() == [0] * 7
+
+
+def test_grid_path_diagonal_is_connected():
+    from cuda_gis_smoothing_ray.stages.gridops import grid_path
+
+    counts = {(0, 0): 9, (4, -7): 8, (1, 1): 1}
+    got = grid_path(_cells_ds(counts)).to_pandas()
+    _, qs, rs = hexgrid.unpack(got["cell"].to_numpy(dtype=np.int64))
+    # consecutive path cells are hex-adjacent, endpoints exact
+    steps = hexgrid.hex_distance(qs[1:], rs[1:], qs[:-1], rs[:-1])
+    assert (steps == 1).all()
+    assert (qs[0], rs[0]) == (0, 0) and (qs[-1], rs[-1]) == (4, -7)
+    assert len(got) == int(hexgrid.hex_distance(0, 0, 4, -7)) + 1
