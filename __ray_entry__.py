@@ -216,6 +216,30 @@ def _q_morton(sf_dir: str):
     return _cells(sf_dir).map_batches(add_morton, batch_format="pyarrow").sort(["morton", "cell"])
 
 
+def _q_hilbert(sf_dir: str):
+    """Hilbert-curve ordering of the cell table — the locality-preserving
+    alternative to _q_morton (reference layout-experiment axis)."""
+    from cuda_gis_smoothing_ray.functions import hexgrid
+
+    def add_hilbert(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False)
+        _, q, r = hexgrid.unpack(cell)
+        return pa.table({"cell": batch.column("cell"),
+                         "hilbert": pa.array(hexgrid.hilbert_key(q, r))})
+
+    return _cells(sf_dir).map_batches(add_hilbert, batch_format="pyarrow").sort(
+        ["hilbert", "cell"]
+    )
+
+
+def _q_hilbert_locality(sf_dir: str):
+    """A5 locality metric under Hilbert order (compare with
+    morton_locality: lower avg_distance = better layout locality)."""
+    from cuda_gis_smoothing_ray.stages.gridops import hilbert_locality
+
+    return hilbert_locality(_cells(sf_dir))
+
+
 def _q_tiles(sf_dir: str):
     n = 1 << TILE_ZOOM
 
@@ -1833,6 +1857,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_cluster": _q_spatial_cluster,
         "morton_locality": _q_morton_locality,
         "morton_order": _q_morton,
+        "hilbert_order": _q_hilbert,
+        "hilbert_locality": _q_hilbert_locality,
         "tile_assign": _q_tiles,
         "multires_cells": _q_multires,
         "tile_vector": _q_tile_vector,
@@ -2003,6 +2029,8 @@ def oracle_sql() -> dict[str, str]:
         "spatial_cluster": o.spatial_cluster_sql(RES, min_count=2, k=1),
         "morton_locality": o.morton_locality_sql(RES),
         "morton_order": o.morton_sql(RES),
+        "hilbert_order": o.hilbert_order_sql(RES),
+        "hilbert_locality": o.hilbert_locality_sql(RES),
         "tile_assign": o.tile_assign_sql(RES, TILE_ZOOM),
         "multires_cells": o.multires_counts_sql(RES),
         "tile_vector": o.tile_vector_sql(RES, TILE_ZOOM),

@@ -178,3 +178,27 @@ def morton_key(q: np.ndarray, r: np.ndarray) -> np.ndarray:
     x = np.asarray(q, dtype=np.int64) + np.int64(32768)
     y = np.asarray(r, dtype=np.int64) + np.int64(32768)
     return spread(x) | (spread(y) << np.int64(1))
+
+
+def hilbert_key(q: np.ndarray, r: np.ndarray, bits: int = 16) -> np.ndarray:
+    """Hilbert-curve index of (q+32768, r+32768) on a 2^bits x 2^bits grid —
+    the locality-preserving alternative to :func:`morton_key` (the reference
+    studies Morton layout only, ``hex_smooth_cuda_v4.cu:29-44``; Hilbert has
+    strictly better worst-case neighbor locality).  Standard xy2d rotation
+    recurrence, vectorized over cells; all-integer, so the SQL oracle's
+    unrolled 16-step CTE chain reproduces it exactly."""
+    x = np.asarray(q, dtype=np.int64) + np.int64(32768)
+    y = np.asarray(r, dtype=np.int64) + np.int64(32768)
+    x = np.atleast_1d(x).copy()
+    y = np.atleast_1d(y).copy()
+    d = np.zeros(len(x), dtype=np.int64)
+    for i in range(bits - 1, -1, -1):
+        s = np.int64(1 << i)
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        flip = (ry == 0) & (rx == 1)
+        nx = np.where(ry == 0, np.where(flip, s - 1 - y, y), x)
+        ny = np.where(ry == 0, np.where(flip, s - 1 - x, x), y)
+        x, y = nx, ny
+    return d

@@ -993,3 +993,61 @@ SELECT i AS step,
   CAST({res} AS BIGINT) * {1 << 56} + (pq + {hexgrid.OFF}) * {1 << 28} + (pr + {hexgrid.OFF}) AS cell
 FROM pathq
 ORDER BY step"""
+
+
+def _hilbert_chain(bits: int = 16) -> tuple[str, str]:
+    """Unrolled xy2d Hilbert recurrence over a CTE ``hseed(cell, x, y, d)``
+    — all-integer, mirrors functions/hexgrid.hilbert_key step for step.
+    Returns (chain_sql, final_cte_name)."""
+    ctes = []
+    prev = "hseed"
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        name = f"hb{s}"
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        ctes.append(f"""{name} AS (
+  SELECT cell,
+    CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {s} - 1 - y ELSE y END)
+         ELSE x END AS x,
+    CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1 THEN {s} - 1 - x ELSE x END)
+         ELSE y END AS y,
+    d + CAST({s} AS BIGINT) * {s} * xor(3 * {rx}, {ry}) AS d
+  FROM {prev}
+)""")
+        prev = name
+    return ",\n".join(ctes), prev
+
+
+def hilbert_order_sql(res: int) -> str:
+    """Oracle of the hilbert_order query: 16-level Hilbert index per cell."""
+    chain, last = _hilbert_chain()
+    return f"""{prelude(res)},
+hseed AS (
+  SELECT cell, q + 32768 AS x, r + 32768 AS y, CAST(0 AS BIGINT) AS d
+  FROM cells),
+{chain}
+SELECT cell, d AS hilbert
+FROM {last}
+ORDER BY hilbert, cell"""
+
+
+def hilbert_locality_sql(res: int) -> str:
+    """A5 locality metric under HILBERT order (the morton_locality_sql
+    recurrence with the unrolled Hilbert key)."""
+    chain, last = _hilbert_chain()
+    return f"""{prelude(res)},
+hseed AS (
+  SELECT cell, q + 32768 AS x, r + 32768 AS y, CAST(0 AS BIGINT) AS d
+  FROM cells),
+{chain},
+pos AS (
+  SELECT cell, d AS hilbert,
+    row_number() OVER (ORDER BY cell) - 1 AS orig
+  FROM {last}
+), o AS (
+  SELECT orig, lag(orig) OVER (ORDER BY hilbert, cell) AS prev FROM pos
+)
+SELECT {round6('CAST(sum(abs(orig - prev)) AS DOUBLE) / count(*)')} AS avg_distance,
+  CAST(count(*) AS BIGINT) AS n_pairs
+FROM o WHERE prev IS NOT NULL"""

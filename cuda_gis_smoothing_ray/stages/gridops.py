@@ -247,9 +247,22 @@ def grouped_topk(ds, group_col: str, key_col: str, by: str, k: int):
 
 
 def morton_locality(cells_ds):
-    """A5 locality metric (``hex_smooth_cuda_v5.cu:551-559``): average
-    |original index difference| between consecutive cells in Morton order,
-    original index = rank in cell-id order (the canonical layout).
+    """A5 locality metric (``hex_smooth_cuda_v5.cu:551-559``) for Morton
+    order — see :func:`_curve_locality`."""
+    return _curve_locality(cells_ds, "morton", hexgrid.morton_key)
+
+
+def hilbert_locality(cells_ds):
+    """The A5 locality metric for HILBERT order — the layout experiment the
+    reference's Morton study points at next (Hilbert preserves neighbor
+    locality strictly better than Z-order on average)."""
+    return _curve_locality(cells_ds, "hilbert", hexgrid.hilbert_key)
+
+
+def _curve_locality(cells_ds, key_name: str, key_fn):
+    """Average |original index difference| between consecutive cells in
+    space-filling-curve order (``key_fn`` over (q, r)), original index =
+    rank in cell-id order (the canonical layout).
 
     Distributed shape: two sorts over the CELL table (already aggregated,
     bounded by distinct-cell count); the driver only ever holds ONE summary
@@ -294,15 +307,15 @@ def morton_locality(cells_ds):
 
     ranked = by_cell.map_batches(assign_rank, batch_format="pyarrow", batch_size=None)
 
-    # pass B: morton order; per-block partials + boundary stitching
-    def add_morton(batch: pa.Table) -> pa.Table:
+    # pass B: curve order; per-block partials + boundary stitching
+    def add_key(batch: pa.Table) -> pa.Table:
         cell = batch.column("cell").to_numpy(zero_copy_only=False)
         _, q, r = hexgrid.unpack(cell)
-        return batch.append_column("morton", pa.array(hexgrid.morton_key(q, r)))
+        return batch.append_column(key_name, pa.array(key_fn(q, r)))
 
     by_morton = (
-        ranked.map_batches(add_morton, batch_format="pyarrow")
-        .sort(["morton", "cell"])
+        ranked.map_batches(add_key, batch_format="pyarrow")
+        .sort([key_name, "cell"])
         .materialize()
     )
 
@@ -317,7 +330,7 @@ def morton_locality(cells_ds):
         rk = batch.column("rank").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "min_morton": pa.array([int(batch.column("morton")[0].as_py())]),
+                "min_morton": pa.array([int(batch.column(key_name)[0].as_py())]),
                 "min_cell": pa.array([int(batch.column("cell")[0].as_py())]),
                 "first_rank": pa.array([int(rk[0])]),
                 "last_rank": pa.array([int(rk[-1])]),

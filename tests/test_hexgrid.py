@@ -95,3 +95,27 @@ def test_edge_sizes():
     assert [hg.edge_size(r) for r in range(5, 10)] == [4.0, 2.0, 1.0, 0.5, 0.25]
     with pytest.raises(ValueError):
         hg.edge_size(4)
+
+
+def test_hilbert_key_properties():
+    import numpy as np
+
+    from cuda_gis_smoothing_ray.functions.hexgrid import hilbert_key
+
+    # bijective on a block
+    q = np.repeat(np.arange(-16, 16), 32)
+    r = np.tile(np.arange(-16, 16), 32)
+    ks = hilbert_key(q, r)
+    assert len(set(ks.tolist())) == 1024
+    # curve origin: first 4 cells of the bottom row follow the U-turn
+    ks0 = hilbert_key(np.array([-32768, -32767]), np.array([-32768, -32768]))
+    assert ks0.tolist() == [0, 1]
+    # consecutive Hilbert indices are grid-adjacent (|dx|+|dy| == 1) --
+    # the property Morton does NOT have; check by inverting over the block
+    order = np.argsort(ks, kind="stable")
+    dx = np.abs(np.diff(q[order]))
+    dy = np.abs(np.diff(r[order]))
+    # within the 32x32 block interior jumps can leave the block; restrict
+    # to steps where both cells are consecutive in hilbert value
+    consec = np.diff(ks[order]) == 1
+    assert ((dx + dy)[consec] == 1).all()
