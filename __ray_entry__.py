@@ -627,6 +627,16 @@ def _q_inverted_index(sf_dir: str):
     return textops.inverted_index(_docs(sf_dir)).sort("token")
 
 
+def _q_quality_resample(sf_dir: str):
+    """Importance resample by per-doc word count (DoReMi/DSIR-lite):
+    keep probability proportional to length, deterministic integer hash."""
+    from cuda_gis_smoothing_ray.stages.gridops import quality_resample
+
+    return quality_resample(
+        _docs(sf_dir, ("doc_id", "text", "lang"))
+    ).sort("doc_id")
+
+
 def _q_gopher_quality(sf_dir: str):
     """Gopher rule-based quality filter (word count, mean word length,
     distinct-stopword floor) — pure streaming map, no shuffle."""
@@ -1756,6 +1766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_stats": _q_dup_ngrams,
         "remove_boilerplate": _q_remove_boilerplate,
         "gopher_quality": _q_gopher_quality,
+        "quality_resample": _q_quality_resample,
         "kcore": _q_kcore,
         "inverted_index": _q_inverted_index,
         "grouped_corr": _q_grouped_corr,
@@ -1905,6 +1916,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_stats": oc.dup_ngram_stats_sql(),
         "remove_boilerplate": oc.remove_boilerplate_sql(n=5, min_df=2),
         "gopher_quality": oc.gopher_quality_sql(),
+        "quality_resample": oc.quality_resample_sql(
+            5000, gridops.SAMPLE_MULT, gridops.SAMPLE_MOD
+        ),
         "kcore": oc.kcore_sql(),
         "inverted_index": oc.inverted_index_sql(),
         "grouped_corr": oc.grouped_corr_sql(),

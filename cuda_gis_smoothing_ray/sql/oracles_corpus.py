@@ -2222,3 +2222,19 @@ def semantic_dedup_sql(threshold: float, rounds: int = 16) -> str:
 SELECT v AS vec_id, l AS component, (l = v) AS is_survivor
 FROM {prev}
 ORDER BY vec_id"""
+
+
+def quality_resample_sql(ppm_per_word: int, mult: int, mod: int) -> str:
+    """Oracle of gridops.quality_resample over documents (word count from
+    the shared empty-filtered whitespace tokenization)."""
+    return f"""WITH d AS (
+  SELECT doc_id, text, lang,
+    len(list_filter(regexp_split_to_array(text, '\\s+'), s -> s != '')) AS wc
+  FROM documents
+), p AS (
+  SELECT *, least({mod}, wc * {ppm_per_word}) AS keep_ppm FROM d
+)
+SELECT doc_id, text, lang, CAST(keep_ppm AS BIGINT) AS keep_ppm
+FROM p
+WHERE ((doc_id % {mod}) * ({mult} % {mod})) % {mod} < keep_ppm
+ORDER BY doc_id"""

@@ -574,3 +574,34 @@ def grid_path(cells_ds) -> pa.Table:
             "cell": pa.array(hexgrid.pack(int(res[0]), pq, pr)),
         }
     )
+
+
+def quality_resample(ds, id_col: str = "doc_id", text_col: str = "text",
+                     ppm_per_word: int = 5000,
+                     mult: int = SAMPLE_MULT, mod: int = SAMPLE_MOD):
+    """Importance resampling by a PER-DOC feature (DoReMi/DSIR-lite): keep
+    probability proportional to the doc's word count, capped at 1 —
+    ``keep iff (id*mult) % mod < min(mod, word_count * ppm_per_word)``.
+    Unlike :func:`stratified_sample` (per-GROUP constant rates) the rate
+    here is a function of the row itself, so long documents survive at a
+    higher rate (the standard length-debiasing resample).  Deterministic
+    integer hash -> SQL-reproducible row set; pure streaming filter."""
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        split = pc.split_pattern_regex(pc.fill_null(batch.column(text_col), ""), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        counts = split.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = split.flatten()
+        local = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        wc = np.bincount(local[nonempty], minlength=len(batch)).astype(np.int64)
+        ppm = np.minimum(np.int64(mod), wc * np.int64(ppm_per_word))
+        keep = ((ids % mod) * (mult % mod)) % mod < ppm
+        return batch.filter(pa.array(keep)).append_column(
+            "keep_ppm", pa.array(ppm[keep])
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
