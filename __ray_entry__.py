@@ -1137,6 +1137,14 @@ def _q_tpch_q3(sf_dir: str):
     return tpch_q3(sf_dir)
 
 
+def _q_tpch_q5(sf_dir: str):
+    """TPC-H Q5 local-supplier volume: 6-table join, two fact shuffles,
+    broadcast supplier dim, driver-collapsed region/nation."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q5
+
+    return tpch_q5(sf_dir).sort("n_name")
+
+
 def _q_rollup_revenue(sf_dir: str):
     """ROLLUP (o_orderpriority, l_returnflag): fine level + per-priority
     subtotals + grand total from ONE fact shuffle; coarser levels derived
@@ -1834,6 +1842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_revenue": _q_rollup_revenue,
         "pricing_summary": _q_pricing_summary,
         "tpch_q3": _q_tpch_q3,
+        "tpch_q5": _q_tpch_q5,
         "cube_lineitem": _q_cube_lineitem,
         "customer_order_stats": _q_customer_order_stats,
         "join_orders_by_nation": _q_join_orders_by_nation,
@@ -1987,6 +1996,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_revenue": oc.rollup_revenue_sql(),
         "pricing_summary": oc.pricing_summary_sql(),
         "tpch_q3": oc.tpch_q3_sql(),
+        "tpch_q5": oc.tpch_q5_sql(),
         "cube_lineitem": oc.cube_lineitem_sql(),
         "customer_order_stats": oc.customer_order_stats_sql(),
         "join_orders_by_nation": oc.join_orders_by_nation_sql(),

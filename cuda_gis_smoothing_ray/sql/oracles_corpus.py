@@ -2238,3 +2238,25 @@ SELECT doc_id, text, lang, CAST(keep_ppm AS BIGINT) AS keep_ppm
 FROM p
 WHERE ((doc_id % {mod}) * ({mult} % {mod})) % {mod} < keep_ppm
 ORDER BY doc_id"""
+
+
+def tpch_q5_sql() -> str:
+    """Oracle of stages/relagg.tpch_q5 (6-table local-supplier volume,
+    exact integer cents per row before summation)."""
+    from ..stages import relagg
+
+    return f"""SELECT n_name,
+  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+               AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = '{relagg.Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{relagg.Q5_START} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{relagg.Q5_END} 00:00:00'
+GROUP BY n_name
+ORDER BY revenue_cents DESC, n_name"""

@@ -349,3 +349,102 @@ def group_head(ds, group_col: str, order_cols: list[str], n: int,
         .groupby(group_col)
         .map_groups(final_head, batch_format="pandas")
     )
+
+
+Q5_REGION = "ASIA"
+Q5_START, Q5_END = "1996-01-01", "1997-01-01"
+
+
+def tpch_q5(sf_dir: str, region: str = Q5_REGION,
+            start: str = Q5_START, end: str = Q5_END):
+    """TPC-H Q5 local-supplier volume: revenue by nation where customer and
+    supplier share the nation, for one region and order year — the 6-table
+    join composed from the engine's join family.
+
+    Scale plan: region+nation collapse driver-side to a nationkey set +
+    name map (50 rows total at any SF); supplier is a broadcast dim
+    (suppkey -> nationkey, the :func:`..stages.join.broadcast_hash_join`
+    unique-key guard applies); customer pre-filters to region nations
+    BEFORE its custkey shuffle with date-filtered orders; lineitem meets
+    the surviving orders in one orderkey shuffle; the same-nation predicate
+    and integer-cent revenue partials are batch-local; the final groupby
+    has <= 25 keys (nations), so Ray's aggregate is fine.  Two fact
+    shuffles total — the minimum for this join graph."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+    from ray.data.aggregate import Sum
+
+    from .join import broadcast_hash_join, read_table, shuffle_join
+
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet").combine_chunks()
+    reg = pq_.read_table(f"{sf_dir}/region.parquet").combine_chunks()
+    rkeys = {
+        int(k): str(n)
+        for k, n in zip(reg.column("r_regionkey").to_pylist(),
+                        reg.column("r_name").to_pylist())
+    }
+    nk = nat.column("n_nationkey").to_numpy(zero_copy_only=False)
+    nr = nat.column("n_regionkey").to_numpy(zero_copy_only=False)
+    names = nat.column("n_name").to_pylist()
+    in_region = {int(k): names[i] for i, k in enumerate(nk)
+                 if rkeys[int(nr[i])] == region}
+    nation_keys = np.array(sorted(in_region), dtype=np.int64)
+    name_of = {k: in_region[k] for k in in_region}
+
+    start_ns = np.datetime64(start, "ns")
+    end_ns = np.datetime64(end, "ns")
+
+    def order_filter(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_orderdate").to_numpy(zero_copy_only=False).astype("datetime64[ns]")
+        return batch.filter(pa.array((v >= start_ns) & (v < end_ns))).select(
+            ["o_orderkey", "o_custkey"]
+        )
+
+    def cust_filter(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(nation_keys, ck)
+        ok = (pos < len(nation_keys))
+        ok &= np.where(ok, nation_keys[np.minimum(pos, len(nation_keys) - 1)] == ck, False)
+        return batch.filter(pa.array(ok)).select(["c_custkey", "c_nationkey"])
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(order_filter, batch_format="pyarrow", batch_size=None)
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(cust_filter, batch_format="pyarrow", batch_size=None)
+    oc = shuffle_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                      num_partitions=8)
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    j = shuffle_join(li, oc, on="l_orderkey", right_on="o_orderkey",
+                     num_partitions=8)
+    j = broadcast_hash_join(j, sf_dir, "supplier", left_key="l_suppkey",
+                            right_key="s_suppkey", take_cols=["s_nationkey"])
+
+    name_arr = pa.array([name_of[int(k)] for k in nation_keys], pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cn = batch.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        sn = batch.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        same = cn == sn
+        cn = cn[same]
+        cents = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[same]
+            * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False)[same])
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        pos = np.searchsorted(nation_keys, cn)
+        uniq, inv = np.unique(pos, return_inverse=True)
+        rev = np.bincount(inv, weights=cents.astype(np.float64),
+                          minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "n_name": name_arr.take(pa.array(uniq)),
+                "revenue_cents": pa.array(rev),
+            }
+        )
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
