@@ -1137,6 +1137,14 @@ def _q_tpch_q3(sf_dir: str):
     return tpch_q3(sf_dir)
 
 
+def _q_tpch_q6(sf_dir: str):
+    """TPC-H Q6: one filtered aggregate with the predicates pushed into the
+    parquet read (row-group pruning) — the prune-at-the-read showcase."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q6
+
+    return tpch_q6(sf_dir)
+
+
 def _q_tpch_q5(sf_dir: str):
     """TPC-H Q5 local-supplier volume: 6-table join, two fact shuffles,
     broadcast supplier dim, driver-collapsed region/nation."""
@@ -1843,6 +1851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
+        "tpch_q6": _q_tpch_q6,
         "cube_lineitem": _q_cube_lineitem,
         "customer_order_stats": _q_customer_order_stats,
         "join_orders_by_nation": _q_join_orders_by_nation,
@@ -1997,6 +2006,7 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": oc.pricing_summary_sql(),
         "tpch_q3": oc.tpch_q3_sql(),
         "tpch_q5": oc.tpch_q5_sql(),
+        "tpch_q6": oc.tpch_q6_sql(),
         "cube_lineitem": oc.cube_lineitem_sql(),
         "customer_order_stats": oc.customer_order_stats_sql(),
         "join_orders_by_nation": oc.join_orders_by_nation_sql(),

@@ -2260,3 +2260,18 @@ WHERE c_nationkey = s_nationkey
   AND o_orderdate < TIMESTAMP '{relagg.Q5_END} 00:00:00'
 GROUP BY n_name
 ORDER BY revenue_cents DESC, n_name"""
+
+
+def tpch_q6_sql() -> str:
+    """Oracle of stages/relagg.tpch_q6 (filtered aggregate, exact cents)."""
+    from ..stages import relagg
+
+    return f"""SELECT
+  CAST(sum(CAST(floor(l_extendedprice * l_discount * 100.0 + 0.5) AS BIGINT))
+       AS BIGINT) AS revenue_cents,
+  CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '{relagg.Q6_START} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{relagg.Q6_END} 00:00:00'
+  AND l_discount >= {relagg.Q6_DISC_LO} AND l_discount <= {relagg.Q6_DISC_HI}
+  AND l_quantity < {relagg.Q6_MAX_QTY}"""

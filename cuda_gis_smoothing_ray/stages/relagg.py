@@ -448,3 +448,56 @@ def tpch_q5(sf_dir: str, region: str = Q5_REGION,
         .groupby("n_name")
         .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
     )
+
+
+Q6_START, Q6_END = "1996-01-01", "1997-01-01"
+Q6_DISC_LO, Q6_DISC_HI = 0.05, 0.07
+Q6_MAX_QTY = 24.0
+
+
+def tpch_q6(sf_dir: str):
+    """TPC-H Q6 forecasting-revenue-change: one filtered aggregate — the
+    predicate-pushdown showcase.  The date/discount/quantity predicates are
+    handed to ``read_parquet`` as a pyarrow dataset filter, so row groups
+    whose min/max statistics exclude the range never leave storage (the
+    "prune at the read" rule); only 3 columns are read.  Revenue =
+    sum(l_extendedprice * l_discount) in exact integer cents per row.
+    -> one-row table (revenue_cents, n_rows)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from .. import tune_data_context
+    tune_data_context()
+
+    f = (
+        (pads.field("l_shipdate") >= np.datetime64(Q6_START, "ns"))
+        & (pads.field("l_shipdate") < np.datetime64(Q6_END, "ns"))
+        & (pads.field("l_discount") >= Q6_DISC_LO)
+        & (pads.field("l_discount") <= Q6_DISC_HI)
+        & (pads.field("l_quantity") < Q6_MAX_QTY)
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_discount", "l_quantity"],
+        filter=f,
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * batch.column("l_discount").to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({"c": pa.array(c)})
+
+    agg = li.map_batches(cents, batch_format="pyarrow").aggregate(
+        Sum("c", alias_name="revenue_cents"), Count(alias_name="n_rows")
+    )
+    return pa.table(
+        {
+            "revenue_cents": pa.array([int(agg["revenue_cents"])], pa.int64()),
+            "n_rows": pa.array([int(agg["n_rows"])], pa.int64()),
+        }
+    )
