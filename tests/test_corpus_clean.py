@@ -100,3 +100,35 @@ def test_neardup_components_clusters_identical_docs():
         .sort("doc_id").to_pandas()
     assert list(got["component"]) == [0, 0, 2]
     assert list(got["is_survivor"]) == [True, False, True]
+
+
+def test_remove_boilerplate_frequent_gram_cap():
+    import pytest
+
+    texts = ["alpha beta gamma delta epsilon zeta"] * 40
+    with pytest.raises(ValueError, match="frequent grams exceeds"):
+        # every 5-gram is frequent; a cap of 1 must trip the guard
+        textops.remove_boilerplate(
+            _docs_ds(texts), n=5, min_df=2, max_freq_grams=1
+        ).materialize()
+
+
+def test_curate_corpus_composition():
+    # stopword list is corpus-adapted: batch/small/scan/agg/data/customer/big/hash
+    good = ("batch data words flow nicely through scan stages again " * 25).strip()
+    dup = good
+    no_stops = ("zebra quantum xylophone wobble " * 60).strip()
+    got = (
+        textops.curate_corpus(_docs_ds([good, dup, no_stops]), n=5, min_df=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # doc1 deduped away (identical to doc0); doc2 fails the stopword rule;
+    # doc0 survives — wc >= 200 makes the resample rate 100%
+    assert list(got["doc_id"]) == [0]
+    assert got["word_count"][0] > 0
+    # df is counted over SURVIVORS (distinct docs), so neither the removed
+    # duplicate nor within-doc repetition marks any gram frequent — the
+    # surviving text passes through unscrubbed
+    assert got["clean_text"][0] == good
