@@ -627,6 +627,16 @@ def _q_inverted_index(sf_dir: str):
     return textops.inverted_index(_docs(sf_dir)).sort("token")
 
 
+def _q_host_quality(sf_dir: str):
+    """Per-domain quality gating (data-derived UT1-style blocklist):
+    Gopher pass-rate per host, blocked below threshold."""
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages import textops
+
+    ds = textops.host_quality(read_pages(sf_dir, include_html=False), level="tld")
+    return _round6_cols(ds, ["pass_rate"]).sort("host")
+
+
 def _q_curate_corpus(sf_dir: str):
     """The composed end-to-end curation pipeline: exact dedup ->
     boilerplate scrub -> Gopher filter on cleaned text -> deterministic
@@ -1793,6 +1803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "quality_resample": _q_quality_resample,
         "curate_corpus": _q_curate_corpus,
+        "host_quality": _q_host_quality,
         "kcore": _q_kcore,
         "inverted_index": _q_inverted_index,
         "grouped_corr": _q_grouped_corr,
@@ -1948,6 +1959,7 @@ def oracle_sql() -> dict[str, str]:
             5000, gridops.SAMPLE_MULT, gridops.SAMPLE_MOD
         ),
         "curate_corpus": oc.curate_corpus_sql(),
+        "host_quality": oc.host_quality_sql(level="tld"),
         "kcore": oc.kcore_sql(),
         "inverted_index": oc.inverted_index_sql(),
         "grouped_corr": oc.grouped_corr_sql(),

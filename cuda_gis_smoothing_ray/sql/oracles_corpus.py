@@ -2335,3 +2335,51 @@ WHERE wc >= {GOPHER_MIN_WORDS} AND wc <= {GOPHER_MAX_WORDS}
   AND stop_hits >= {GOPHER_MIN_STOPS}
   AND ((doc_id % {mod}) * ({mult} % {mod})) % {mod} < least({mod}, wc * {ppm_per_word})
 ORDER BY doc_id"""
+
+
+def host_quality_sql(level: str = "host") -> str:
+    """Oracle of textops.host_quality: per-domain Gopher pass-rate gating
+    (blocked computed on the UNROUNDED rate in both engines)."""
+    from .oracles import pages_cte
+    from ..stages.textops import (
+        GOPHER_MAX_MWL, GOPHER_MAX_WORDS, GOPHER_MIN_MWL, GOPHER_MIN_STOPS,
+        GOPHER_MIN_WORDS, GOPHER_STOPWORDS, HOST_MIN_PAGES, HOST_MIN_PASS_RATE,
+    )
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    host_expr = "string_split(url, '/')[3]"
+    if level == "tld":
+        host_expr = "string_split(string_split(url, '/')[3], '.')[-1]"
+    return f"""WITH {pages_cte()}, d AS (
+  SELECT page_id, {host_expr} AS host,
+    list_filter(regexp_split_to_array(text, '\\s+'), s -> s != '') AS toks
+  FROM pages
+), t AS (
+  SELECT page_id, unnest(toks) AS tok FROM d
+), sw AS (
+  SELECT page_id, count(DISTINCT tok) AS stop_hits
+  FROM t WHERE tok IN ({stops}) GROUP BY page_id
+), m AS (
+  SELECT d.page_id, d.host, len(toks) AS wc,
+    CASE WHEN len(toks) = 0 THEN CAST(0 AS DOUBLE)
+         ELSE CAST(list_sum(list_transform(toks, s -> length(s))) AS DOUBLE)
+              / len(toks) END AS mwl,
+    coalesce(sw.stop_hits, 0) AS stop_hits
+  FROM d LEFT JOIN sw USING (page_id)
+), flags AS (
+  SELECT host,
+    CASE WHEN wc >= {GOPHER_MIN_WORDS} AND wc <= {GOPHER_MAX_WORDS}
+          AND mwl >= CAST({GOPHER_MIN_MWL} AS DOUBLE)
+          AND mwl <= CAST({GOPHER_MAX_MWL} AS DOUBLE)
+          AND stop_hits >= {GOPHER_MIN_STOPS}
+         THEN 1 ELSE 0 END AS pass
+  FROM m
+), h AS (
+  SELECT host, count(*) AS n_pages, sum(pass) AS n_pass,
+    CAST(sum(pass) AS DOUBLE) / count(*) AS rate
+  FROM flags GROUP BY host
+)
+SELECT host, CAST(n_pages AS BIGINT) AS n_pages, CAST(n_pass AS BIGINT) AS n_pass,
+  {round6('rate')} AS pass_rate,
+  (n_pages >= {HOST_MIN_PAGES} AND rate < {D(HOST_MIN_PASS_RATE)}) AS blocked
+FROM h
+ORDER BY host"""

@@ -1817,3 +1817,84 @@ def curate_corpus(ds, n: int = 5, min_df: int = 2, ppm_per_word: int = 5000,
         )
 
     return cleaned.map_batches(finalize, batch_format="pyarrow")
+
+
+HOST_MIN_PAGES = 3
+HOST_MIN_PASS_RATE = 0.34
+
+
+def host_quality(pages_ds, min_pages: int = HOST_MIN_PAGES,
+                 min_pass_rate: float = HOST_MIN_PASS_RATE,
+                 level: str = "host", n_parts: int = 64):
+    """pages -> (host, n_pages, n_pass, pass_rate, blocked): per-DOMAIN
+    quality gating (the UT1/RefinedWeb "bad domain" list, derived from the
+    data instead of curated): aggregate the Gopher pass flag per domain;
+    domains with >= ``min_pages`` pages and a pass rate below
+    ``min_pass_rate`` are blocked (low-quality domains); smaller domains
+    are never blocked (insufficient evidence).  ``level`` picks the
+    grouping granularity: "host" (full hostname) or "tld" (registrable
+    suffix — the driver corpus has ~1 page per host, so the TLD level is
+    where the gate has statistical power).
+
+    Scale shape: the Gopher kernel runs batch-local; only (host, n, pass)
+    partials shuffle — one bounded host-keyed reduce (hosts ~ 10^7 at
+    100 TB, far below page count); the blocklist this produces is
+    broadcast-sized by construction and feeds a semi/anti join
+    (:func:`..stages.join.hash_semi_join`) to filter the page stream."""
+    import pandas as pd
+
+    from ..functions.hashing import coarse_partition, fnv_token_hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {"key": pa.array([], pa.int64()), "host": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64()), "p": pa.array([], pa.int64()),
+                 "__part": pa.array([], pa.int64())}
+            )
+        host = pc.list_element(pc.split_pattern(batch.column("url"), pattern="/"), 2)
+        if level == "tld":
+            # Arrow list_element rejects negative indices; strip up to the
+            # last dot instead (equivalent to split('.')[-1])
+            host = pc.replace_substring_regex(host, r"^.*\.", "")
+        _, _, _, passes = _gopher_metrics(batch.column("text"))
+        dic = host.dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.bincount(codes, minlength=len(dic.dictionary)).astype(np.int64)
+        p = np.bincount(codes, weights=passes.astype(np.float64),
+                        minlength=len(dic.dictionary)).astype(np.int64)
+        key = fnv_token_hash64(dic.dictionary).view(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "host": dic.dictionary,
+                "n": pa.array(n),
+                "p": pa.array(p),
+                "__part": pa.array(coarse_partition(key, n_parts)),
+            }
+        )
+
+    def reduce_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("key", sort=False)
+        n = g["n"].sum()
+        p = g["p"].sum()
+        host = g["host"].first()
+        rate = p.to_numpy(np.float64) / n.to_numpy(np.float64)
+        blocked = (n.to_numpy(np.int64) >= min_pages) & (rate < min_pass_rate)
+        return pd.DataFrame(
+            {
+                "host": host.to_numpy(object),
+                "n_pages": n.to_numpy(np.int64),
+                "n_pass": p.to_numpy(np.int64),
+                "pass_rate": rate,
+                "blocked": blocked,
+            }
+        )
+
+    return (
+        pages_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_part)
+    )
