@@ -23,6 +23,8 @@ repeats, while the all-to-all stays an ephemeral re-derivable step.
 from __future__ import annotations
 
 import os
+import shutil
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -146,3 +148,124 @@ def flagship_resumable(sf_dir: str, out_dir: str, n_shards: int = 8, res: int = 
         man.record("final", final_fp, pads2.dataset(final_dir).count_rows(),
                    final_dir, time.perf_counter() - t0)
     return rd.read_parquet(final_dir)
+
+
+def curation_resumable(sf_dir: str, out_dir: str, n_shards: int = 8,
+                       n: int = 5, min_df: int = 2, ppm_per_word: int = 5000,
+                       verbose: bool = False):
+    """Run (or resume) the checkpointed end-to-end corpus curation
+    (textops.curate_corpus semantics) with PARTITIONED output — the 100 TB
+    curation job shape:
+
+    * **phase A (global artifacts, manifested once)**: the exact-dedup
+      survivor id table (written sorted by doc_id so phase B's per-shard
+      read prunes row groups) and the frequent-gram set (counted over
+      SURVIVORS, small by construction) — each re-runs only if the input
+      fingerprint changes;
+    * **phase B (per shard)**: read the shard's doc-id range, semi-join its
+      slice of the survivor table, scrub with the broadcast gram set,
+      Gopher-filter + length-proportional resample, write
+      ``part=shardNNNN/``.  A re-submitted job skips finished shards.
+
+    Returns the curated corpus as a Dataset over the shard outputs."""
+    import glob
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from ..stages import textops
+    from ..stages.join import hash_semi_join
+    from ..state.manifest import CheckpointManifest, file_fingerprint, run_partitioned
+
+    fp = file_fingerprint(f"{sf_dir}/documents.parquet")
+    params = f"n{n}:df{min_df}:ppm{ppm_per_word}"
+    man = CheckpointManifest(out_dir)
+
+    # ----- phase A: global artifacts -----
+    surv_dir = os.path.join(out_dir, "survivors")
+    surv_fp = f"{fp}:dedup"
+    if not (man.done("survivors", surv_fp) and os.path.isdir(surv_dir)):
+        t0 = time.perf_counter()
+        shutil.rmtree(surv_dir, ignore_errors=True)
+        docs = textops.read_documents(sf_dir)
+        textops.exact_dedup(docs).select_columns(["doc_id"]).sort(
+            "doc_id").write_parquet(surv_dir)
+        man.record("survivors", surv_fp,
+                   pads.dataset(surv_dir).count_rows(), surv_dir,
+                   time.perf_counter() - t0)
+
+    grams_path = os.path.join(out_dir, "grams")
+    grams_fp = f"{surv_fp}:{params}"
+    if not (man.done("grams", grams_fp) and os.path.isdir(grams_path)):
+        t0 = time.perf_counter()
+        shutil.rmtree(grams_path, ignore_errors=True)
+        docs = textops.read_documents(sf_dir)
+        surv = rd.read_parquet(surv_dir)
+        survivors = hash_semi_join(docs, surv, left_key="doc_id",
+                                   right_key="doc_id")
+        freq = textops.frequent_grams(survivors, n=n, min_df=min_df)
+        os.makedirs(grams_path, exist_ok=True)
+        import pyarrow.parquet as pq_
+
+        pq_.write_table(pa.table({"gram": freq}),
+                        os.path.join(grams_path, "grams.parquet"))
+        man.record("grams", grams_fp, len(freq), grams_path,
+                   time.perf_counter() - t0)
+
+    # ----- phase B: per-shard scrub + filter + resample -----
+    import pyarrow.parquet as pq_
+
+    freq = pq_.read_table(
+        os.path.join(grams_path, "grams.parquet")).column("gram").combine_chunks()
+    from ..stages.gridops import SAMPLE_MOD, SAMPLE_MULT
+
+    bounds = _shard_bounds(sf_dir, n_shards)
+    shard_fps = {
+        f"shard{i:04d}": f"{grams_fp}:rows[{lo},{hi})"
+        for i, (lo, hi) in enumerate(bounds)
+    }
+    shard_of = {f"shard{i:04d}": (lo, hi) for i, (lo, hi) in enumerate(bounds)}
+
+    def run_shard(pid: str, pdir: str) -> int:
+        lo, hi = shard_of[pid]
+        rng = (pads.field("doc_id") >= lo) & (pads.field("doc_id") < hi)
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"], filter=rng)
+        # the survivor table is doc_id-sorted: the same range filter prunes
+        # its row groups, so each shard touches only its slice
+        surv = rd.read_parquet(surv_dir, filter=rng)
+        survivors = hash_semi_join(docs, surv, left_key="doc_id",
+                                   right_key="doc_id")
+        cleaned = textops.scrub_boilerplate(survivors, freq, n=n)
+
+        def finalize(batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table(
+                    {"doc_id": batch.column("doc_id"),
+                     "clean_text": pa.array([], pa.string()),
+                     "word_count": pa.array([], pa.int64())}
+                )
+            wc, _, _, passes = textops._gopher_metrics(batch.column("clean_text"))
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+            ppm = np.minimum(np.int64(SAMPLE_MOD), wc * np.int64(ppm_per_word))
+            keep = passes & (
+                ((ids % SAMPLE_MOD) * (SAMPLE_MULT % SAMPLE_MOD)) % SAMPLE_MOD < ppm
+            )
+            out = batch.filter(pa.array(keep))
+            return pa.table(
+                {
+                    "doc_id": out.column("doc_id"),
+                    "clean_text": out.column("clean_text"),
+                    "word_count": pa.array(wc[keep]),
+                }
+            )
+
+        cleaned.map_batches(finalize, batch_format="pyarrow").write_parquet(pdir)
+        return pads.dataset(pdir).count_rows()
+
+    run_partitioned(shard_fps, run_shard, out_dir, verbose=verbose)
+    part_files = sorted(
+        f for p in shard_fps
+        for f in glob.glob(os.path.join(out_dir, f"part={p}", "*.parquet"))
+    )
+    return rd.read_parquet(part_files)

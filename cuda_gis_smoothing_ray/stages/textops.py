@@ -1546,31 +1546,26 @@ def remove_boilerplate(ds, n: int = 5, min_df: int = 2,
     covered by an n-gram whose document frequency >= ``min_df`` — the
     CCNet/RefinedWeb-style boilerplate scrub (navigation chrome, cookie
     banners, shared footers repeat VERBATIM across pages; their spans are
-    exactly the high-df n-grams).
+    exactly the high-df n-grams).  Composition of the two phase helpers:
+    :func:`frequent_grams` (global df count) then :func:`scrub_boilerplate`
+    (broadcast set + streaming rewrite) — split out so the resumable
+    curation job can manifest the frequent-gram set as its own phase
+    artifact.  At 100 TB both passes stream; the only materialization is
+    the frequent set itself."""
+    return scrub_boilerplate(ds, frequent_grams(ds, n, min_df, max_freq_grams, n_parts), n)
 
-    Two passes over the corpus:
 
-    1. **df count** — batch-local distinct (doc, gram) extraction
-       (:func:`_doc_ngrams` tokenization), gram-hash-partitioned vectorized
-       global count with the gram STRINGS riding along (the top_bigrams
-       reduce shape); only grams, never docs, enter the shuffle.
-    2. **scrub** — the frequent-gram set (bounded: boilerplate is the tiny
-       high-df tail; guarded by ``max_freq_grams``) is broadcast via
-       ``ray.put`` once, membership per batch is an exact Arrow
-       ``index_in`` on the gram strings, covered token positions come from
-       a difference-array cumsum (grams never cross doc bounds, so one
-       global pass), and per-doc texts rebuild with offsets +
-       ``binary_join`` — zero Python per token.
-
-    At 100 TB both passes stream; the only materialization is the frequent
-    set itself.
-    """
-    import ray
-    import pyarrow.compute as pc_
-
+def frequent_grams(ds, n: int = 5, min_df: int = 2,
+                   max_freq_grams: int = 1_000_000,
+                   n_parts: int = _PAIR_PARTS) -> pa.Array:
+    """Pass 1 of the boilerplate scrub: the corpus' n-grams with document
+    frequency >= ``min_df``, as a (bounded, broadcastable) Arrow string
+    array.  Batch-local distinct (doc, gram) extraction (:func:`_doc_ngrams`
+    tokenization), gram-hash-partitioned vectorized global count with the
+    gram STRINGS riding along (the top_bigrams reduce shape); only grams,
+    never docs, enter the shuffle."""
     from ..functions.hashing import coarse_partition, fnv_token_hash64
 
-    # ---- pass 1: document frequency per distinct n-gram ----
     def gram_partials(batch: pa.Table) -> pa.Table:
         doc_idx, grams = _doc_ngrams(batch, n)
         if len(grams) == 0:
@@ -1614,17 +1609,30 @@ def remove_boilerplate(ds, n: int = 5, min_df: int = 2,
         .map_groups(reduce_df, batch_format="pyarrow")
         .take_all()
     )
-    freq_grams = pa.array([r["gram"] for r in freq_tbls], pa.string())
-    if len(freq_grams) > max_freq_grams:
+    freq = pa.array([r["gram"] for r in freq_tbls], pa.string())
+    if len(freq) > max_freq_grams:
         raise ValueError(
-            f"remove_boilerplate: {len(freq_grams)} frequent grams exceeds "
+            f"remove_boilerplate: {len(freq)} frequent grams exceeds "
             f"max_freq_grams={max_freq_grams} — raise min_df (a broadcast "
             "this large means the corpus is dominated by duplicated spans; "
             "near-dup dedup should run first)"
         )
+    return freq
+
+
+def scrub_boilerplate(ds, freq_grams: pa.Array, n: int = 5):
+    """Pass 2 of the boilerplate scrub: documents -> (doc_id, clean_text,
+    n_removed) given the frequent-gram set.  The set is broadcast via
+    ``ray.put`` once; membership per batch is an exact Arrow ``index_in``
+    on the gram strings, covered token positions come from a
+    difference-array cumsum (grams never cross doc bounds, so one global
+    pass), and per-doc texts rebuild with offsets + ``binary_join`` —
+    zero Python per token."""
+    import ray
+    import pyarrow.compute as pc_
+
     freq_ref = ray.put(freq_grams)
 
-    # ---- pass 2: scrub covered tokens, rebuild text ----
     def scrub(batch: pa.Table) -> pa.Table:
         n_docs = len(batch)
         out_ids = batch.column("doc_id")

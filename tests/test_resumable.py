@@ -62,3 +62,26 @@ def test_flagship_resumable_matches_direct(sf_dir, tmp_path):
     flagship_resumable(sf_dir, out, n_shards=4)
     n_after = len(open(os.path.join(out, "manifest.jsonl")).readlines())
     assert n_after == n_before
+
+
+def test_curation_resumable_parity_and_skip(tmp_path, sf_dir):
+    import time
+
+    from cuda_gis_smoothing_ray.pipelines.resumable import curation_resumable
+    from cuda_gis_smoothing_ray.stages import textops
+
+    out = str(tmp_path / "curation")
+    df = (curation_resumable(sf_dir, out, n_shards=4).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    # resume: every phase checkpointed -> near-instant and identical
+    t0 = time.perf_counter()
+    df2 = (curation_resumable(sf_dir, out, n_shards=4).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    resume_s = time.perf_counter() - t0
+    assert df.equals(df2)
+    assert resume_s < 5.0
+    # parity with the one-shot pipeline
+    ref = (textops.curate_corpus(textops.read_documents(sf_dir)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    cols = ["doc_id", "clean_text", "word_count"]
+    assert df[cols].equals(ref[cols])
