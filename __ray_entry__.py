@@ -167,6 +167,17 @@ def _q_morans_i(sf_dir: str):
     return t.set_column(0, "morans_i", pa.array(i6))
 
 
+def _q_bivariate_morans(sf_dir: str):
+    """Bivariate Moran's I: spatial cross-correlation of en_share vs the
+    neighborhood's chars_mean — one scalar row (mention_rate is all-zero
+    in the driver corpus, so chars_mean is the non-degenerate partner)."""
+    from cuda_gis_smoothing_ray.stages.hotspot import bivariate_morans
+
+    t = bivariate_morans(_cells(sf_dir), "en_share", "chars_mean", k=1)
+    v6 = _round6(t.column("morans_ixy").to_numpy(zero_copy_only=False))
+    return t.set_column(0, "morans_ixy", pa.array(v6))
+
+
 def _q_grid_distance(sf_dir: str):
     """H3 grid_distance analog: hex distance of every cell to the densest
     cell (1-row top-k -> streaming map)."""
@@ -1902,6 +1913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hotspot_gi": _q_hotspot_gi,
         "morans_i": _q_morans_i,
         "local_morans": _q_local_morans,
+        "bivariate_morans": _q_bivariate_morans,
         "grid_distance": _q_grid_distance,
         "grid_path": _q_grid_path,
         "spatial_cluster": _q_spatial_cluster,
@@ -2081,6 +2093,7 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_gi": o.hotspot_gi_sql(RES, k=1),
         "morans_i": o.morans_i_sql(RES, k=1),
         "local_morans": o.local_morans_sql(RES, k=1),
+        "bivariate_morans": o.bivariate_morans_sql(RES, "en_share", "chars_mean", k=1),
         "grid_distance": o.grid_distance_sql(RES),
         "grid_path": o.grid_path_sql(RES),
         "spatial_cluster": o.spatial_cluster_sql(RES, min_count=2, k=1),

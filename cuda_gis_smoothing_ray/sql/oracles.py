@@ -1051,3 +1051,34 @@ pos AS (
 SELECT {round6('CAST(sum(abs(orig - prev)) AS DOUBLE) / count(*)')} AS avg_distance,
   CAST(count(*) AS BIGINT) AS n_pairs
 FROM o WHERE prev IS NOT NULL"""
+
+
+def bivariate_morans_sql(res: int, col_x: str = "en_share",
+                         col_y: str = "mention_rate", k: int = 1) -> str:
+    """Oracle of stages/hotspot.bivariate_morans (Wartenberg form, binary
+    k-ring weights excluding self over present cells)."""
+    return f"""{prelude(res)},
+offsets(dq, dr) AS (VALUES {_ring_offsets_values(k, False)}),
+st AS (
+  SELECT count(*) AS n,
+    sum(CAST({col_x} AS DOUBLE)) / count(*) AS xbar,
+    sum(CAST({col_x} AS DOUBLE) * CAST({col_x} AS DOUBLE)) AS sxx,
+    sum(CAST({col_y} AS DOUBLE)) / count(*) AS ybar,
+    sum(CAST({col_y} AS DOUBLE) * CAST({col_y} AS DOUBLE)) AS syy
+  FROM cells),
+nbr AS (
+  SELECT c.cell, max(CAST(c.{col_x} AS DOUBLE)) AS x,
+    sum(CAST(n.{col_y} AS DOUBLE)) AS ry, count(n.cell) AS rc
+  FROM cells c
+  CROSS JOIN offsets o
+  JOIN cells n ON n.q = c.q + o.dq AND n.r = c.r + o.dr
+  GROUP BY c.cell),
+agg AS (
+  SELECT sum((x - st.xbar) * (ry - st.ybar * rc)) AS num, sum(rc) AS s0
+  FROM nbr, st)
+SELECT
+  {round6("(CAST(st.n AS DOUBLE) / agg.s0) * agg.num"
+          " / sqrt((st.sxx - st.n * st.xbar * st.xbar)"
+          "        * (st.syy - st.n * st.ybar * st.ybar))")} AS morans_ixy,
+  CAST(agg.s0 AS BIGINT) AS s0, CAST(st.n AS BIGINT) AS n_cells
+FROM agg, st"""

@@ -306,3 +306,84 @@ def local_morans(cells_ds, value_col: str = "page_count", k: int = 1):
         )
 
     return sums.map_batches(finalize, batch_format="pyarrow")
+
+
+def bivariate_morans(cells_ds, col_x: str = "en_share", col_y: str = "mention_rate",
+                     k: int = 1):
+    """Bivariate Moran's I (Wartenberg 1985 form): spatial cross-
+    correlation between ``col_x`` at each cell and ``col_y`` over its
+    k-ring neighborhood (binary weights, present cells, excluding self):
+
+        I_xy = (n / S0) * sum_i zx_i * (ring_y_sum_i - y_bar*ring_cnt_i)
+                        / sqrt(sum zx^2 * sum zy^2)
+
+    Answers "is metric X high where neighboring cells' metric Y is high"
+    — e.g. do English-heavy cells sit next to mention-heavy ones.  Same
+    one-scatter-combine shape as :func:`morans_i`; the x channel rides the
+    center slot of the same shuffle."""
+    from ray.data.aggregate import Sum
+
+    n, xbar, sxx = _global_stats(cells_ds, col_x)
+    _, ybar, syy = _global_stats(cells_ds, col_y)
+    var_x = sxx - n * xbar * xbar
+    var_y = syy - n * ybar * ybar
+    if var_x == 0.0 or var_y == 0.0:
+        raise ValueError("bivariate_morans: zero variance — I undefined")
+
+    from ..functions.reduce import hash_groupby_sum
+
+    dq, dr = _ring_offset_arrays(k, include_center=False)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        x = batch.column(col_x).to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch.column(col_y).to_numpy(zero_copy_only=False).astype(np.float64)
+        res, q, r = hexgrid.unpack(cell)
+        res0 = int(res[0]) if len(res) else hexgrid.RES_MIN
+        nn, m = len(cell), len(dq)
+        targets = hexgrid.pack(res0, q[:, None] + dq[None, :], r[:, None] + dr[None, :]).ravel()
+        yv = np.broadcast_to(y[:, None], (nn, m)).ravel()
+        all_t = np.concatenate([targets, cell])
+        all_ry = np.concatenate([yv, np.zeros(nn)])
+        all_rc = np.concatenate([np.ones(nn * m), np.zeros(nn)])
+        all_ox = np.concatenate([np.zeros(nn * m), x])
+        all_c = np.concatenate([np.zeros(nn * m), np.ones(nn)])
+        uniq, inv = np.unique(all_t, return_inverse=True)
+        return pa.table(
+            {
+                "cell": pa.array(uniq),
+                "ry": pa.array(np.bincount(inv, weights=all_ry, minlength=len(uniq))),
+                "rc": pa.array(np.bincount(inv, weights=all_rc, minlength=len(uniq))),
+                "ox": pa.array(np.bincount(inv, weights=all_ox, minlength=len(uniq))),
+                "c_sum": pa.array(np.bincount(inv, weights=all_c, minlength=len(uniq))),
+            }
+        )
+
+    sums = hash_groupby_sum(
+        cells_ds.map_batches(expand, batch_format="pyarrow"),
+        "cell", ["ry", "rc", "ox", "c_sum"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch.column("c_sum").to_numpy(zero_copy_only=False)
+        mask = c > 0.5
+        ry = batch.column("ry").to_numpy(zero_copy_only=False)[mask]
+        rc = batch.column("rc").to_numpy(zero_copy_only=False)[mask]
+        ox = batch.column("ox").to_numpy(zero_copy_only=False)[mask]
+        num = (ox - xbar) * (ry - ybar * rc)
+        return pa.table({"num": pa.array(num), "s0": pa.array(rc)})
+
+    agg = sums.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("num", alias_name="num"), Sum("s0", alias_name="s0")
+    )
+    s0 = float(agg["s0"])
+    if s0 == 0.0:
+        raise ValueError("bivariate_morans: no adjacent present cells — S0 = 0")
+    i_xy = (n / s0) * float(agg["num"]) / np.sqrt(var_x * var_y)
+    return pa.table(
+        {
+            "morans_ixy": pa.array([float(i_xy)], pa.float64()),
+            "s0": pa.array([int(s0)], pa.int64()),
+            "n_cells": pa.array([n], pa.int64()),
+        }
+    )
