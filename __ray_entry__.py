@@ -1478,6 +1478,18 @@ def _q_bloom_semi_join(sf_dir: str):
     )
 
 
+def _q_ab_lift(sf_dir: str):
+    """A/B experiment readout: hash-armed users, purchase conversion,
+    lift and pooled two-proportion z — rounds the 4 float columns."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    t = events.ab_lift(events.read_events(sf_dir))
+    for c in ("rate_a", "rate_b", "lift", "z_score"):
+        i = t.column_names.index(c)
+        t = t.set_column(i, c, pa.array(_round6(t.column(c).to_numpy(zero_copy_only=False))))
+    return t
+
+
 def _q_range_join(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import events
 
@@ -1864,6 +1876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": _q_funnel,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "ab_lift": _q_ab_lift,
         "running_totals": _q_running_totals,
         "event_gaps": _q_event_gaps,
         "event_context": _q_event_context,
@@ -2022,6 +2035,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel": oc.funnel_sql(),
         "asof_join": oc.asof_join_sql(),
         "range_join": oc.range_join_sql(),
+        "ab_lift": oc.ab_lift_sql(),
         "running_totals": oc.running_totals_sql(),
         "event_gaps": oc.event_gaps_sql(),
         "event_context": oc.event_context_sql(),

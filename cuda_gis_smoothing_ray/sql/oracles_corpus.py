@@ -2383,3 +2383,37 @@ SELECT host, CAST(n_pages AS BIGINT) AS n_pages, CAST(n_pass AS BIGINT) AS n_pas
   (n_pages >= {HOST_MIN_PAGES} AND rate < {D(HOST_MIN_PASS_RATE)}) AS blocked
 FROM h
 ORDER BY host"""
+
+
+def ab_lift_sql(conv_type: str = "purchase") -> str:
+    """Oracle of events.ab_lift (pooled two-proportion z, arm = sample
+    hash % 2; float expressions mirror the numpy order)."""
+    from ..stages.events import AB_CONV_VALUE, AB_MOD, AB_MULT
+
+    return f"""WITH u AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = '{conv_type}'
+              AND value > {D(AB_CONV_VALUE)} THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), armed AS (
+  SELECT ((user_id % {AB_MOD}) * ({AB_MULT} % {AB_MOD})) % {AB_MOD} % 2 AS arm, conv
+  FROM u
+), s AS (
+  SELECT
+    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS na,
+    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS nb,
+    sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS ca,
+    sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS cb
+  FROM armed
+), p AS (
+  SELECT na, nb, ca, cb,
+    CAST(ca AS DOUBLE) / na AS pa, CAST(cb AS DOUBLE) / nb AS pb,
+    CAST(ca + cb AS DOUBLE) / (na + nb) AS pool
+  FROM s
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  CAST(ca AS BIGINT) AS conv_a, CAST(cb AS BIGINT) AS conv_b,
+  {round6('pa')} AS rate_a, {round6('pb')} AS rate_b,
+  {round6('pb / pa - 1.0')} AS lift,
+  {round6('(pb - pa) / sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))')} AS z_score
+FROM p"""

@@ -978,3 +978,83 @@ def ohlc_bars(ds, window_us: int = WINDOW_US):
         .select_columns(["window_start", "event_type", "n_events", "open_cents",
                          "high_cents", "low_cents", "close_cents"])
     )
+
+
+AB_MULT = 2654435761
+AB_MOD = 1_000_000
+AB_CONV_VALUE = 150.0
+
+
+def ab_lift(ds, conv_type: str = "purchase", conv_value: float = AB_CONV_VALUE,
+            mult: int = AB_MULT, mod: int = AB_MOD):
+    """events -> one-row A/B experiment readout: users split into two arms
+    by the deterministic sample hash (arm = hash(user) % 2), conversion =
+    user has >= 1 ``conv_type`` event with value > ``conv_value`` (the
+    plain event is near-universal in the driver data — the value floor
+    makes the rate informative); reports per-arm user counts,
+    conversion rates, relative lift of B over A, and the pooled
+    two-proportion z statistic — the experiment-analysis op every event
+    pipeline ends in.
+
+    Scale shape: per-batch (user, converted) partials pre-aggregate, ONE
+    user-keyed vectorized max-reduce (distinct users with their flag), then
+    per-arm sums are a 2-key aggregate; the z arithmetic is driver-side on
+    four scalars."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.reduce import hash_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        conv = ((et == conv_type) & (val > conv_value)).astype(np.int64)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        c = np.zeros(len(uniq), dtype=np.int64)
+        np.maximum.at(c, inv, conv)
+        return pa.table({"user_id": pa.array(uniq), "conv": pa.array(c)})
+
+    # the flag is max-combining but a user's rows can span batches, so
+    # reduce the per-batch maxima with isum and clamp: sum >= 1 <=> converted
+    users = hash_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id", ["conv"], how="isum",
+    )
+
+    def arm_partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        conv = batch.column("conv").to_numpy(zero_copy_only=False) >= 1
+        arm = (((uid % mod) * (mult % mod)) % mod) % 2
+        n = np.bincount(arm, minlength=2).astype(np.int64)
+        c = np.bincount(arm, weights=conv.astype(np.float64), minlength=2).astype(np.int64)
+        return pa.table(
+            {"arm": pa.array(np.arange(2, dtype=np.int64)),
+             "n": pa.array(n), "c": pa.array(c)}
+        )
+
+    agg = users.map_batches(arm_partial, batch_format="pyarrow").groupby("arm").aggregate(
+        Sum("n", alias_name="n"), Sum("c", alias_name="c")
+    )
+    rows = {int(r["arm"]): (int(r["n"]), int(r["c"])) for r in agg.take_all()}
+    na, ca = rows.get(0, (0, 0))
+    nb, cb = rows.get(1, (0, 0))
+    if na == 0 or nb == 0:
+        raise ValueError("ab_lift: an arm has no users — cannot compare")
+    pa_ = ca / na
+    pb = cb / nb
+    pool = (ca + cb) / (na + nb)
+    se = np.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))
+    z = (pb - pa_) / se if se > 0 else 0.0
+    lift = pb / pa_ - 1.0 if pa_ > 0 else 0.0
+    return pa.table(
+        {
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "conv_a": pa.array([ca], pa.int64()),
+            "conv_b": pa.array([cb], pa.int64()),
+            "rate_a": pa.array([pa_], pa.float64()),
+            "rate_b": pa.array([pb], pa.float64()),
+            "lift": pa.array([float(lift)], pa.float64()),
+            "z_score": pa.array([float(z)], pa.float64()),
+        }
+    )
