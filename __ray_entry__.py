@@ -638,6 +638,19 @@ def _q_inverted_index(sf_dir: str):
     return textops.inverted_index(_docs(sf_dir)).sort("token")
 
 
+def _q_bigram_pmi(sf_dir: str):
+    """PMI collocation extraction over consecutive token pairs (two keyed
+    shuffle joins onto the unigram table — vocabulary never broadcast)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return _round6_cols(
+        textops.bigram_pmi(_docs(sf_dir)).select_columns(
+            ["w1", "w2", "pair_count", "pmi"]
+        ),
+        ["pmi"],
+    ).sort(["w1", "w2"])
+
+
 def _q_host_quality(sf_dir: str):
     """Per-domain quality gating (data-derived UT1-style blocklist):
     Gopher pass-rate per host, blocked below threshold."""
@@ -1827,6 +1840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_resample": _q_quality_resample,
         "curate_corpus": _q_curate_corpus,
         "host_quality": _q_host_quality,
+        "bigram_pmi": _q_bigram_pmi,
         "kcore": _q_kcore,
         "inverted_index": _q_inverted_index,
         "grouped_corr": _q_grouped_corr,
@@ -1985,6 +1999,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "curate_corpus": oc.curate_corpus_sql(),
         "host_quality": oc.host_quality_sql(level="tld"),
+        "bigram_pmi": oc.bigram_pmi_sql(),
         "kcore": oc.kcore_sql(),
         "inverted_index": oc.inverted_index_sql(),
         "grouped_corr": oc.grouped_corr_sql(),

@@ -2417,3 +2417,34 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
   {round6('pb / pa - 1.0')} AS lift,
   {round6('(pb - pa) / sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))')} AS z_score
 FROM p"""
+
+
+def bigram_pmi_sql(min_pair: int | None = None) -> str:
+    """Oracle of textops.bigram_pmi (PMI of consecutive token pairs)."""
+    from ..stages.textops import PMI_MIN_PAIR
+
+    min_pair = PMI_MIN_PAIR if min_pair is None else min_pair
+    return f"""WITH lt AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), s -> s != '') AS l
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM lt
+), uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY tok
+), n AS (
+  SELECT CAST(count(*) AS DOUBLE) AS total FROM toks
+), bg AS (
+  SELECT t1.tok AS w1, t2.tok AS w2, CAST(count(*) AS BIGINT) AS pair_count
+  FROM toks t1 JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  GROUP BY 1, 2
+  HAVING count(*) >= {min_pair}
+)
+SELECT bg.w1, bg.w2, bg.pair_count,
+  {round6('ln((CAST(bg.pair_count AS DOUBLE) * n.total)'
+          ' / (CAST(u1.cnt AS DOUBLE) * CAST(u2.cnt AS DOUBLE)))')} AS pmi
+FROM bg
+JOIN uni u1 ON u1.tok = bg.w1
+JOIN uni u2 ON u2.tok = bg.w2
+CROSS JOIN n
+ORDER BY bg.w1, bg.w2"""

@@ -912,6 +912,28 @@ def zscore_text_len(ds, n_parts: int = _PAIR_PARTS):
 # benchmark decontamination (word n-gram overlap against a held-out set)
 # ---------------------------------------------------------------------------
 
+def _doc_tokens(batch: pa.Table):
+    """batch -> (per-token doc_id int64 array, token StringArray): the
+    shared whitespace tokenization (empties filtered), no n-gram windowing."""
+    import pyarrow.compute as pc_
+
+    empty = (np.zeros(0, np.int64), pa.array([], pa.string()))
+    if len(batch) == 0:
+        return empty
+    split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    counts = split.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = split.flatten()
+    doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(doc, counts)
+    nonempty = pc_.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    toks = flat.filter(pa.array(nonempty))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    return doc_idx[nonempty], toks
+
+
 def _doc_ngrams(batch: pa.Table, n: int):
     """batch -> (per-gram doc_id int64 array, space-joined gram StringArray):
     within-doc consecutive whitespace-token n-grams (same tokenization as
@@ -1906,3 +1928,207 @@ def host_quality(pages_ds, min_pages: int = HOST_MIN_PAGES,
         .groupby("__part")
         .map_groups(reduce_part)
     )
+
+
+PMI_MIN_PAIR = 5
+
+
+def bigram_pmi(ds, min_pair: int = PMI_MIN_PAIR, n_parts: int = _PAIR_PARTS):
+    """documents -> (w1, w2, pair_count, pmi): pointwise mutual information
+    of consecutive within-doc token pairs — the classic collocation
+    extractor (pairs that co-occur far above chance):
+
+        pmi = ln(pair_count * N / (count(w1) * count(w2))),  N = total tokens
+
+    Plan: unigram totals and bigram totals each reduce with the
+    top_bigrams hash-partition shape (strings ride the int64 token-hash
+    key); the bigram table then picks up both unigram counts through TWO
+    keyed shuffle joins (vocabulary can be ~10^8 at web scale — never a
+    broadcast); N is one scalar aggregate.  ``min_pair`` bounds the output
+    to pairs with real evidence."""
+    import pyarrow.compute as pc_
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import coarse_partition, fnv_token_hash64
+
+    def tok_partials(batch: pa.Table) -> pa.Table:
+        doc_idx, toks = _doc_tokens(batch)
+        if len(toks) == 0:
+            return pa.table(
+                {"tkey": pa.array([], pa.int64()), "tok": pa.array([], pa.string()),
+                 "cnt": pa.array([], pa.int64()), "__part": pa.array([], pa.int64())}
+            )
+        dic = toks.dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(dic.dictionary)).astype(np.int64)
+        key = fnv_token_hash64(dic.dictionary).view(np.int64)
+        return pa.table(
+            {
+                "tkey": pa.array(key),
+                "tok": dic.dictionary,
+                "cnt": pa.array(cnt),
+                "__part": pa.array(coarse_partition(key, n_parts)),
+            }
+        )
+
+    def reduce_tok(part: pa.Table) -> pa.Table:
+        key = part.column("tkey").to_numpy(zero_copy_only=False)
+        cnt = part.column("cnt").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(key, return_inverse=True)
+        tot = np.bincount(inv, weights=cnt.astype(np.float64),
+                          minlength=len(uniq)).astype(np.int64)
+        first = np.full(len(uniq), len(key), dtype=np.int64)
+        np.minimum.at(first, inv, np.arange(len(key)))
+        return pa.table(
+            {
+                "tkey": pa.array(uniq),
+                "tok": part.column("tok").take(pa.array(first)),
+                "cnt": pa.array(tot),
+            }
+        )
+
+    uni = (
+        ds.map_batches(tok_partials, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_tok, batch_format="pyarrow")
+        .materialize()
+    )
+    n_total = int(uni.aggregate(Sum("cnt", alias_name="s"))["s"])
+
+    def bigram_partials(batch: pa.Table) -> pa.Table:
+        doc_idx, grams = _doc_ngrams(batch, 2)
+        empty = pa.table(
+            {"k1": pa.array([], pa.int64()), "k2": pa.array([], pa.int64()),
+             "w1": pa.array([], pa.string()), "w2": pa.array([], pa.string()),
+             "pair_count": pa.array([], pa.int64()), "__part": pa.array([], pa.int64())}
+        )
+        if len(grams) == 0:
+            return empty
+        # gram strings are "w1 w2": split back once per distinct gram
+        dic = grams.dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(dic.dictionary)).astype(np.int64)
+        parts = pc_.split_pattern(dic.dictionary, pattern=" ")
+        w1 = pc_.list_element(parts, 0)
+        w2 = pc_.list_element(parts, 1)
+        k1 = fnv_token_hash64(w1).view(np.int64)
+        k2 = fnv_token_hash64(w2).view(np.int64)
+        return pa.table(
+            {
+                "k1": pa.array(k1),
+                "k2": pa.array(k2),
+                "w1": w1,
+                "w2": w2,
+                "pair_count": pa.array(cnt),
+                "__part": pa.array(coarse_partition(
+                    fnv_token_hash64(dic.dictionary).view(np.int64), n_parts)),
+            }
+        )
+
+    def reduce_bigram(part: pa.Table) -> pa.Table:
+        k1 = part.column("k1").to_numpy(zero_copy_only=False)
+        k2 = part.column("k2").to_numpy(zero_copy_only=False)
+        cnt = part.column("pair_count").to_numpy(zero_copy_only=False)
+        pair = np.stack([k1, k2], axis=1)
+        uniq, inv = np.unique(pair, axis=0, return_inverse=True)
+        tot = np.bincount(inv, weights=cnt.astype(np.float64),
+                          minlength=len(uniq)).astype(np.int64)
+        first = np.full(len(uniq), len(k1), dtype=np.int64)
+        np.minimum.at(first, inv, np.arange(len(k1)))
+        keep = tot >= min_pair
+        take = pa.array(first[keep])
+        return pa.table(
+            {
+                "k1": part.column("k1").take(take),
+                "k2": part.column("k2").take(take),
+                "w1": part.column("w1").take(take),
+                "w2": part.column("w2").take(take),
+                "pair_count": pa.array(tot[keep]),
+            }
+        )
+
+    # materialize between the shuffles: three chained all-to-all stages in
+    # one streaming plan can deadlock the executor's resource reservation
+    # (the cc BSP loop materializes per round for the same reason)
+    big = (
+        ds.map_batches(bigram_partials, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_bigram, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def attach(big_ds, key_col: str, out_col: str):
+        """Attach the unigram count for ``key_col`` as ``out_col`` via ONE
+        tagged-union hash-partition lookup (the cc/dedup join shape — no
+        join-operator actors, works at any vocabulary size)."""
+
+        def tag_uni(b: pa.Table) -> pa.Table:
+            z = pa.nulls(len(b), pa.int64())
+            zs = pa.nulls(len(b), pa.string())
+            cols = {"key": b.column("tkey"), "cnt": b.column("cnt"),
+                    "kind": pa.array(np.zeros(len(b), dtype=np.int8))}
+            for c in big_ds.schema().names:
+                if c != key_col:
+                    cols[c] = zs if c in ("w1", "w2") else z
+            return pa.table(cols)
+
+        def tag_big(b: pa.Table) -> pa.Table:
+            cols = {"key": b.column(key_col),
+                    "cnt": pa.nulls(len(b), pa.int64()),
+                    "kind": pa.array(np.ones(len(b), dtype=np.int8))}
+            for c in big_ds.schema().names:
+                if c != key_col:
+                    cols[c] = b.column(c)
+            return pa.table(cols)
+
+        def add_part(b: pa.Table) -> pa.Table:
+            k = b.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.append_column("__part", pa.array(coarse_partition(k, n_parts)))
+
+        def resolve(part: pa.Table) -> pa.Table:
+            kind = part.column("kind").to_numpy(zero_copy_only=False)
+            key = part.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+            cnt = part.column("cnt").to_numpy(zero_copy_only=False)
+            ukey = key[kind == 0]
+            ucnt = cnt[kind == 0].astype(np.int64)
+            order = np.argsort(ukey, kind="stable")
+            ukey, ucnt = ukey[order], ucnt[order]
+            rows = part.filter(pa.array(kind == 1))
+            rk = rows.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(ukey, rk)
+            # every bigram token exists in the unigram table by construction
+            looked = ucnt[np.minimum(pos, max(len(ukey) - 1, 0))] if len(ukey) else np.zeros(len(rk), np.int64)
+            out = {c: rows.column(c) for c in big_ds.schema().names if c != key_col}
+            out[out_col] = pa.array(looked)
+            return pa.table(out)
+
+        tagged = uni.map_batches(tag_uni, batch_format="pyarrow").union(
+            big_ds.map_batches(tag_big, batch_format="pyarrow")
+        )
+        return (
+            tagged.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+            .groupby("__part")
+            .map_groups(resolve, batch_format="pyarrow")
+        )
+
+    j = attach(attach(big, "k1", "c1").materialize(), "k2", "c2")
+
+    def pmi(batch: pa.Table) -> pa.Table:
+        cab = batch.column("pair_count").to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = batch.column("c1").to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = batch.column("c2").to_numpy(zero_copy_only=False).astype(np.float64)
+        val = np.log((cab * float(n_total)) / (c1 * c2))
+        return pa.table(
+            {
+                "w1": batch.column("w1"),
+                "w2": batch.column("w2"),
+                "pair_count": batch.column("pair_count"),
+                "pmi": pa.array(val),
+            }
+        )
+
+    return j.map_batches(pmi, batch_format="pyarrow")
