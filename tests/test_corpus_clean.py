@@ -132,3 +132,47 @@ def test_curate_corpus_composition():
     # duplicate nor within-doc repetition marks any gram frequent — the
     # surviving text passes through unscrubbed
     assert got["clean_text"][0] == good
+
+
+def test_bigram_pmi_hand_math():
+    import numpy as np
+
+    # one doc "x y x y": unigrams x=2 y=2, bigrams xy=2 yx=1, N=4
+    got = (
+        textops.bigram_pmi(_docs_ds(["x y x y"]), min_pair=1)
+        .to_pandas().sort_values(["w1", "w2"]).reset_index(drop=True)
+    )
+    assert list(got["w1"]) == ["x", "y"] and list(got["w2"]) == ["y", "x"]
+    assert list(got["pair_count"]) == [2, 1]
+    np.testing.assert_allclose(got["pmi"][0], np.log(2 * 4 / (2 * 2)), atol=1e-12)
+    np.testing.assert_allclose(got["pmi"][1], np.log(1 * 4 / (2 * 2)), atol=1e-12)
+
+
+def test_ab_lift_hand_math():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import ab_lift
+
+    # users 0..9; conversion = purchase with value > 150
+    uid = np.arange(10, dtype=np.int64)
+    ev = pa.table(
+        {
+            "event_id": pa.array(uid),
+            "ts": pa.array(np.zeros(10, dtype="datetime64[us]")),
+            "user_id": pa.array(uid),
+            "event_type": pa.array(["purchase"] * 5 + ["view"] * 5),
+            "value": pa.array([200.0] * 5 + [0.0] * 5),
+        }
+    )
+    got = ab_lift(rd.from_arrow(ev)).to_pandas()
+    # arm assignment is the deterministic hash; totals must partition 10 users
+    assert got["n_a"][0] + got["n_b"][0] == 10
+    assert got["conv_a"][0] + got["conv_b"][0] == 5
+    # recompute z from the table's own counts
+    na, nb = int(got["n_a"][0]), int(got["n_b"][0])
+    ca, cb = int(got["conv_a"][0]), int(got["conv_b"][0])
+    pool = (ca + cb) / (na + nb)
+    se = np.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
+    np.testing.assert_allclose(got["z_score"][0], (cb / nb - ca / na) / se, atol=1e-9)
