@@ -237,30 +237,11 @@ def curation_resumable(sf_dir: str, out_dir: str, n_shards: int = 8,
         survivors = hash_semi_join(docs, surv, left_key="doc_id",
                                    right_key="doc_id")
         cleaned = textops.scrub_boilerplate(survivors, freq, n=n)
-
-        def finalize(batch: pa.Table) -> pa.Table:
-            if len(batch) == 0:
-                return pa.table(
-                    {"doc_id": batch.column("doc_id"),
-                     "clean_text": pa.array([], pa.string()),
-                     "word_count": pa.array([], pa.int64())}
-                )
-            wc, _, _, passes = textops._gopher_metrics(batch.column("clean_text"))
-            ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-            ppm = np.minimum(np.int64(SAMPLE_MOD), wc * np.int64(ppm_per_word))
-            keep = passes & (
-                ((ids % SAMPLE_MOD) * (SAMPLE_MULT % SAMPLE_MOD)) % SAMPLE_MOD < ppm
-            )
-            out = batch.filter(pa.array(keep))
-            return pa.table(
-                {
-                    "doc_id": out.column("doc_id"),
-                    "clean_text": out.column("clean_text"),
-                    "word_count": pa.array(wc[keep]),
-                }
-            )
-
-        cleaned.map_batches(finalize, batch_format="pyarrow").write_parquet(pdir)
+        cleaned.map_batches(
+            lambda b: textops.curation_finalize(
+                b, ppm_per_word, SAMPLE_MULT, SAMPLE_MOD),
+            batch_format="pyarrow",
+        ).write_parquet(pdir)
         return pads.dataset(pdir).count_rows()
 
     run_partitioned(shard_fps, run_shard, out_dir, verbose=verbose)

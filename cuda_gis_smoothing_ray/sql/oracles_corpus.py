@@ -2414,8 +2414,10 @@ def ab_lift_sql(conv_type: str = "purchase") -> str:
 SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
   CAST(ca AS BIGINT) AS conv_a, CAST(cb AS BIGINT) AS conv_b,
   {round6('pa')} AS rate_a, {round6('pb')} AS rate_b,
-  {round6('pb / pa - 1.0')} AS lift,
-  {round6('(pb - pa) / sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))')} AS z_score
+  {round6('CASE WHEN pa > 0 THEN pb / pa - 1.0 ELSE CAST(0 AS DOUBLE) END')} AS lift,
+  {round6("CASE WHEN pool > 0 AND pool < 1"
+          " THEN (pb - pa) / sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb))"
+          " ELSE CAST(0 AS DOUBLE) END")} AS z_score
 FROM p"""
 
 

@@ -32,15 +32,6 @@ import pyarrow as pa
 from ..functions import hexgrid
 
 
-def _ring_offset_arrays(k: int, include_center: bool) -> tuple[np.ndarray, np.ndarray]:
-    offs: list[tuple[int, int]] = [(0, 0)] if include_center else []
-    for ring in range(1, k + 1):
-        offs += hexgrid.ring_offsets(ring)
-    dq = np.array([o[0] for o in offs], dtype=np.int64)
-    dr = np.array([o[1] for o in offs], dtype=np.int64)
-    return dq, dr
-
-
 def _global_stats(cells_ds, value_col: str) -> tuple[int, float, float]:
     """(n, mean, sum-of-squares) of ``value_col`` over the cell table — a
     Dataset.aggregate (one scalar dict to the driver, the kmeans lineage
@@ -69,15 +60,12 @@ def _neighborhood_sums(cells_ds, value_col: str, k: int, include_center: bool):
     batch-local combine: at most n-distinct-target rows leave each batch."""
     from ..functions.reduce import hash_groupby_sum
 
-    dq, dr = _ring_offset_arrays(k, include_center)
-
     def expand(batch: pa.Table) -> pa.Table:
         cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
         x = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        res, q, r = hexgrid.unpack(cell)
-        res0 = int(res[0]) if len(res) else hexgrid.RES_MIN
-        n, m = len(cell), len(dq)
-        targets = hexgrid.pack(res0, q[:, None] + dq[None, :], r[:, None] + dr[None, :]).ravel()
+        t2 = hexgrid.kring_cells(cell, k, include_center=include_center)
+        n, m = t2.shape
+        targets = t2.ravel()
         xv = np.broadcast_to(x[:, None], (n, m)).ravel()
         # center channel: own value + presence, kept apart from the ring sums
         all_t = np.concatenate([targets, cell])
@@ -210,14 +198,11 @@ def spatial_cluster(cells_ds, min_count: int = 2, k: int = 1):
 
     core = cells_ds.map_batches(core_filter, batch_format="pyarrow")
 
-    dq, dr = _ring_offset_arrays(k, include_center=False)
-
     def tag(batch: pa.Table) -> pa.Table:
         cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
-        res, q, r = hexgrid.unpack(cell)
-        res0 = int(res[0]) if len(res) else hexgrid.RES_MIN
-        n, m = len(cell), len(dq)
-        targets = hexgrid.pack(res0, q[:, None] + dq[None, :], r[:, None] + dr[None, :]).ravel()
+        t2 = hexgrid.kring_cells(cell, k, include_center=False)
+        n, m = t2.shape
+        targets = t2.ravel()
         src = np.broadcast_to(cell[:, None], (n, m)).ravel()
         # kind 0 = presence marker (key = own cell), kind 1 = candidate edge
         return pa.table(
@@ -321,10 +306,26 @@ def bivariate_morans(cells_ds, col_x: str = "en_share", col_y: str = "mention_ra
     — e.g. do English-heavy cells sit next to mention-heavy ones.  Same
     one-scatter-combine shape as :func:`morans_i`; the x channel rides the
     center slot of the same shuffle."""
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Count, Sum
 
-    n, xbar, sxx = _global_stats(cells_ds, col_x)
-    _, ybar, syy = _global_stats(cells_ds, col_y)
+    # ONE combined aggregate for both columns' moments (two _global_stats
+    # calls would re-execute the cells lineage twice)
+    def add_sq(batch: pa.Table) -> pa.Table:
+        x = batch.column(col_x).to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch.column(col_y).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"x": pa.array(x), "x2": pa.array(x * x),
+                         "y": pa.array(y), "y2": pa.array(y * y)})
+
+    st = cells_ds.map_batches(add_sq, batch_format="pyarrow").aggregate(
+        Sum("x", alias_name="sx"), Sum("x2", alias_name="sxx"),
+        Sum("y", alias_name="sy"), Sum("y2", alias_name="syy"),
+        Count(alias_name="n"),
+    )
+    n = int(st["n"])
+    if n < 2:
+        raise ValueError(f"bivariate_morans needs >= 2 cells, got {n}")
+    xbar, sxx = float(st["sx"]) / n, float(st["sxx"])
+    ybar, syy = float(st["sy"]) / n, float(st["syy"])
     var_x = sxx - n * xbar * xbar
     var_y = syy - n * ybar * ybar
     if var_x == 0.0 or var_y == 0.0:
@@ -332,16 +333,13 @@ def bivariate_morans(cells_ds, col_x: str = "en_share", col_y: str = "mention_ra
 
     from ..functions.reduce import hash_groupby_sum
 
-    dq, dr = _ring_offset_arrays(k, include_center=False)
-
     def expand(batch: pa.Table) -> pa.Table:
         cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
         x = batch.column(col_x).to_numpy(zero_copy_only=False).astype(np.float64)
         y = batch.column(col_y).to_numpy(zero_copy_only=False).astype(np.float64)
-        res, q, r = hexgrid.unpack(cell)
-        res0 = int(res[0]) if len(res) else hexgrid.RES_MIN
-        nn, m = len(cell), len(dq)
-        targets = hexgrid.pack(res0, q[:, None] + dq[None, :], r[:, None] + dr[None, :]).ravel()
+        t2 = hexgrid.kring_cells(cell, k, include_center=False)
+        nn, m = t2.shape
+        targets = t2.ravel()
         yv = np.broadcast_to(y[:, None], (nn, m)).ravel()
         all_t = np.concatenate([targets, cell])
         all_ry = np.concatenate([yv, np.zeros(nn)])

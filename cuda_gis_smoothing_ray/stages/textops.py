@@ -914,13 +914,14 @@ def zscore_text_len(ds, n_parts: int = _PAIR_PARTS):
 
 def _doc_tokens(batch: pa.Table):
     """batch -> (per-token doc_id int64 array, token StringArray): the
-    shared whitespace tokenization (empties filtered), no n-gram windowing."""
+    shared whitespace tokenization (empties filtered, NULL text treated as
+    "" like every other tokenizing stage), no n-gram windowing."""
     import pyarrow.compute as pc_
 
     empty = (np.zeros(0, np.int64), pa.array([], pa.string()))
     if len(batch) == 0:
         return empty
-    split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+    split = pc_.split_pattern_regex(pc_.fill_null(batch.column("text"), ""), r"\s+")
     if isinstance(split, pa.ChunkedArray):
         split = split.combine_chunks()
     counts = split.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
@@ -936,23 +937,12 @@ def _doc_tokens(batch: pa.Table):
 
 def _doc_ngrams(batch: pa.Table, n: int):
     """batch -> (per-gram doc_id int64 array, space-joined gram StringArray):
-    within-doc consecutive whitespace-token n-grams (same tokenization as
-    :func:`top_bigrams`); all Arrow/numpy, no Python per row."""
+    within-doc consecutive whitespace-token n-grams over the shared
+    :func:`_doc_tokens` tokenization; all Arrow/numpy, no Python per row."""
     import pyarrow.compute as pc_
 
     empty = (np.zeros(0, np.int64), pa.array([], pa.string()))
-    if len(batch) == 0:
-        return empty
-    split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
-    if isinstance(split, pa.ChunkedArray):
-        split = split.combine_chunks()
-    counts = split.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
-    flat = split.flatten()
-    doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-    doc_idx = np.repeat(doc, counts)
-    nonempty = pc_.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    doc_idx = doc_idx[nonempty]
-    toks = flat.filter(pa.array(nonempty))
+    doc_idx, toks = _doc_tokens(batch)
     if len(toks) < n:
         return empty
     m = len(toks) - n + 1
@@ -1821,32 +1811,44 @@ def curate_corpus(ds, n: int = 5, min_df: int = 2, ppm_per_word: int = 5000,
     mod = SAMPLE_MOD if mod is None else mod
 
     surv_ids = exact_dedup(ds)  # (text_md5, doc_id)
+    # materialize ONCE: frequent_grams eagerly consumes this dataset and
+    # scrub_boilerplate reads it again — without the barrier the dedup
+    # shuffle + semi join (the pipeline's heaviest stages) execute twice
     survivors = hash_semi_join(
         ds, surv_ids, left_key="doc_id", right_key="doc_id"
-    )
+    ).materialize()
     cleaned = remove_boilerplate(survivors, n=n, min_df=min_df)
+    return cleaned.map_batches(
+        lambda b: curation_finalize(b, ppm_per_word, mult, mod),
+        batch_format="pyarrow",
+    )
 
-    def finalize(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return pa.table(
-                {"doc_id": batch.column("doc_id"),
-                 "clean_text": pa.array([], pa.string()),
-                 "word_count": pa.array([], pa.int64())}
-            )
-        wc, _, _, passes = _gopher_metrics(batch.column("clean_text"))
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        ppm = np.minimum(np.int64(mod), wc * np.int64(ppm_per_word))
-        keep = passes & (((ids % mod) * (mult % mod)) % mod < ppm)
-        out = batch.filter(pa.array(keep))
+
+def curation_finalize(batch: pa.Table, ppm_per_word: int,
+                      mult: int, mod: int) -> pa.Table:
+    """The curation tail shared by :func:`curate_corpus` and
+    ``pipelines.resumable.curation_resumable``: Gopher filter on the
+    cleaned text + length-proportional deterministic resample ->
+    (doc_id, clean_text, word_count).  One definition keeps the one-shot
+    and sharded-resumable paths bit-identical."""
+    if len(batch) == 0:
         return pa.table(
-            {
-                "doc_id": out.column("doc_id"),
-                "clean_text": out.column("clean_text"),
-                "word_count": pa.array(wc[keep]),
-            }
+            {"doc_id": batch.column("doc_id"),
+             "clean_text": pa.array([], pa.string()),
+             "word_count": pa.array([], pa.int64())}
         )
-
-    return cleaned.map_batches(finalize, batch_format="pyarrow")
+    wc, _, _, passes = _gopher_metrics(batch.column("clean_text"))
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    ppm = np.minimum(np.int64(mod), wc * np.int64(ppm_per_word))
+    keep = passes & (((ids % mod) * (mult % mod)) % mod < ppm)
+    out = batch.filter(pa.array(keep))
+    return pa.table(
+        {
+            "doc_id": out.column("doc_id"),
+            "clean_text": out.column("clean_text"),
+            "word_count": pa.array(wc[keep]),
+        }
+    )
 
 
 HOST_MIN_PAGES = 3

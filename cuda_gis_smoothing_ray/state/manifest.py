@@ -94,6 +94,8 @@ def run_partitioned(
     ``partitions`` maps partition id -> input fingerprint.  Completed
     partitions are skipped; each completed run appends lineage + metrics.
     """
+    import shutil
+
     man = CheckpointManifest(out_dir)
     for pid, fp in partitions.items():
         if man.done(pid, fp):
@@ -101,6 +103,11 @@ def run_partitioned(
                 print(f"[manifest] skip {pid} (checkpointed)")
             continue
         pdir = os.path.join(out_dir, f"part={pid}")
+        # a partition that runs is by definition missing or stale: wipe any
+        # leftover files first — Ray's write_parquet adds uniquely-named
+        # files, so appending next to a crashed/stale run's output would
+        # make the final glob read old AND new rows
+        shutil.rmtree(pdir, ignore_errors=True)
         os.makedirs(pdir, exist_ok=True)
         t0 = time.perf_counter()
         rows = fn(pid, pdir)
