@@ -176,3 +176,21 @@ def test_ab_lift_hand_math():
     pool = (ca + cb) / (na + nb)
     se = np.sqrt(pool * (1 - pool) * (1 / na + 1 / nb))
     np.testing.assert_allclose(got["z_score"][0], (cb / nb - ca / na) / se, atol=1e-9)
+
+
+def test_null_text_tolerated_by_ngram_family():
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["alpha beta gamma delta epsilon", None, ""], pa.string()),
+            }
+        )
+    )
+    got = textops.remove_boilerplate(ds, n=5, min_df=2).sort("doc_id").to_pandas()
+    assert list(got["clean_text"]) == ["alpha beta gamma delta epsilon", "", ""]
+    pmi = textops.bigram_pmi(ds, min_pair=1).to_pandas()
+    assert len(pmi) == 4  # the 4 consecutive pairs of doc 0

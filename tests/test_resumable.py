@@ -85,3 +85,15 @@ def test_curation_resumable_parity_and_skip(tmp_path, sf_dir):
            .sort_values("doc_id").reset_index(drop=True))
     cols = ["doc_id", "clean_text", "word_count"]
     assert df[cols].equals(ref[cols])
+
+
+def test_curation_resumable_param_change_no_stale_rows(tmp_path, sf_dir):
+    from cuda_gis_smoothing_ray.pipelines.resumable import curation_resumable
+
+    out = str(tmp_path / "cur2")
+    df1 = curation_resumable(sf_dir, out, n_shards=2).to_pandas()
+    # changed parameter -> stale fingerprints -> every shard re-runs; the
+    # old part files must be wiped, not appended to
+    df2 = curation_resumable(sf_dir, out, n_shards=2, ppm_per_word=10_000).to_pandas()
+    assert df2["doc_id"].is_unique
+    assert len(df2) >= len(df1)  # higher keep rate can only add docs
