@@ -1196,6 +1196,39 @@ def _q_tpch_q5(sf_dir: str):
     return tpch_q5(sf_dir).sort("n_name")
 
 
+def _q_tpch_q4(sf_dir: str):
+    """TPC-H Q4 analog: correlated-EXISTS late-shipment semi-join, distinct
+    orders per priority (join -> lateness filter -> pair-dedup count)."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q4
+
+    return tpch_q4(sf_dir).sort("o_orderpriority")
+
+
+def _q_tpch_q12(sf_dir: str):
+    """TPC-H Q12 analog: conditional high/low-priority line counts per
+    returnflag, year predicate pushed into the parquet read."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q12
+
+    return tpch_q12(sf_dir).sort("l_returnflag")
+
+
+def _q_tpch_q14(sf_dir: str):
+    """TPC-H Q14 analog: promo revenue share — broadcast part dim, exact-cent
+    conditional sums, shared round-to-1e-6 for the one float."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q14
+
+    return tpch_q14(sf_dir)
+
+
+def _q_tpch_q10(sf_dir: str):
+    """TPC-H Q10 analog: returned-item revenue top-20 customers — one fact
+    shuffle, per-customer partials, customer join on the aggregate side,
+    local-head top-k merge."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q10
+
+    return tpch_q10(sf_dir)
+
+
 def _q_rollup_revenue(sf_dir: str):
     """ROLLUP (o_orderpriority, l_returnflag): fine level + per-priority
     subtotals + grand total from ONE fact shuffle; coarser levels derived
@@ -1911,6 +1944,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": _q_tpch_q3,
         "tpch_q5": _q_tpch_q5,
         "tpch_q6": _q_tpch_q6,
+        "tpch_q4": _q_tpch_q4,
+        "tpch_q12": _q_tpch_q12,
+        "tpch_q14": _q_tpch_q14,
+        "tpch_q10": _q_tpch_q10,
         "cube_lineitem": _q_cube_lineitem,
         "customer_order_stats": _q_customer_order_stats,
         "join_orders_by_nation": _q_join_orders_by_nation,
@@ -2071,6 +2108,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q3": oc.tpch_q3_sql(),
         "tpch_q5": oc.tpch_q5_sql(),
         "tpch_q6": oc.tpch_q6_sql(),
+        "tpch_q4": oc.tpch_q4_sql(),
+        "tpch_q12": oc.tpch_q12_sql(),
+        "tpch_q14": oc.tpch_q14_sql(),
+        "tpch_q10": oc.tpch_q10_sql(),
         "cube_lineitem": oc.cube_lineitem_sql(),
         "customer_order_stats": oc.customer_order_stats_sql(),
         "join_orders_by_nation": oc.join_orders_by_nation_sql(),

@@ -2277,6 +2277,89 @@ WHERE l_shipdate >= TIMESTAMP '{relagg.Q6_START} 00:00:00'
   AND l_quantity < {relagg.Q6_MAX_QTY}"""
 
 
+def tpch_q4_sql() -> str:
+    """Oracle of stages/relagg.tpch_q4 (late-shipment EXISTS semi-join,
+    distinct-order count per priority)."""
+    from ..stages import relagg
+
+    return f"""SELECT o_orderpriority,
+  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS order_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '{relagg.Q4_START} 00:00:00'
+  AND o_orderdate < TIMESTAMP '{relagg.Q4_END} 00:00:00'
+  AND l_shipdate >= o_orderdate + INTERVAL {relagg.Q4_LATE_DAYS} DAY
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority"""
+
+
+def tpch_q12_sql() -> str:
+    """Oracle of stages/relagg.tpch_q12 (conditional high/low priority
+    line counts per returnflag over one ship year)."""
+    from ..stages import relagg
+
+    hi = ", ".join(f"'{p}'" for p in relagg.Q12_HIGH)
+    return f"""SELECT l_returnflag,
+  CAST(sum(CASE WHEN o_orderpriority IN ({hi}) THEN 1 ELSE 0 END) AS BIGINT)
+    AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ({hi}) THEN 0 ELSE 1 END) AS BIGINT)
+    AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{relagg.Q12_START} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{relagg.Q12_END} 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag"""
+
+
+def tpch_q14_sql() -> str:
+    """Oracle of stages/relagg.tpch_q14 (promo revenue share; the one float
+    uses the shared floor(x*1e6+0.5)/1e6 rounding on the identical
+    100.0 * promo / total expression tree)."""
+    from ..stages import relagg
+
+    return f"""WITH c AS (
+  SELECT CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+              AS BIGINT) AS cents,
+    (p_type = '{relagg.Q14_PROMO}') AS is_promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '{relagg.Q14_START} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{relagg.Q14_END} 00:00:00'
+), s AS (
+  SELECT CAST(sum(CASE WHEN is_promo THEN cents ELSE 0 END) AS BIGINT)
+           AS promo_cents,
+         CAST(sum(cents) AS BIGINT) AS total_cents
+  FROM c
+)
+SELECT promo_cents, total_cents,
+  floor(100.0 * promo_cents / total_cents * 1000000 + 0.5) / 1000000
+    AS promo_pct
+FROM s"""
+
+
+def tpch_q10_sql() -> str:
+    """Oracle of stages/relagg.tpch_q10 (returned-item revenue top-k
+    customers, exact integer cents, (revenue DESC, custkey) tiebreak)."""
+    from ..stages import relagg
+
+    return f"""WITH rev AS (
+  SELECT o_custkey,
+    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '{relagg.Q10_START} 00:00:00'
+    AND o_orderdate < TIMESTAMP '{relagg.Q10_END} 00:00:00'
+  GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name, r.revenue_cents, c.c_acctbal, n.n_name,
+  CAST(row_number() OVER (ORDER BY r.revenue_cents DESC, c.c_custkey)
+       AS BIGINT) AS rank
+FROM rev r
+JOIN customer c ON r.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY r.revenue_cents DESC, c.c_custkey
+LIMIT {relagg.Q10_K}"""
+
+
 def curate_corpus_sql(n: int = 5, min_df: int = 2, ppm_per_word: int = 5000,
                       mult: int | None = None, mod: int | None = None) -> str:
     """Oracle of textops.curate_corpus: dedup -> scrub (df over survivors)

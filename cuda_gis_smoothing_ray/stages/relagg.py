@@ -501,3 +501,295 @@ def tpch_q6(sf_dir: str):
             "n_rows": pa.array([int(agg["n_rows"])], pa.int64()),
         }
     )
+
+
+Q4_START, Q4_END = "1996-04-01", "1996-07-01"
+Q4_LATE_DAYS = 90
+
+
+def tpch_q4(sf_dir: str, start: str = Q4_START, end: str = Q4_END,
+            late_days: int = Q4_LATE_DAYS):
+    """TPC-H Q4 analog — order-priority checking with an EXISTS semi-join.
+
+    The driver's lineitem has no commit/receipt dates, so the lateness
+    predicate is re-based on the columns that exist: an order placed in the
+    quarter counts if ANY of its lineitems shipped >= ``late_days`` after
+    ``o_orderdate``.  The correlated-EXISTS shape (probe-side predicate
+    needs a build-side column) is what's new vs :func:`..stages.join
+    .hash_semi_join` — the predicate can't be evaluated until the rows
+    meet, so it runs as join -> filter -> DISTINCT orderkey count.
+
+    Scale plan: lineitem is pre-filtered at the read (l_shipdate >=
+    start + late_days, the earliest a qualifying late shipment can exist —
+    row groups outside never leave storage); orders pre-filters to the
+    quarter.  One orderkey fact shuffle; after the lateness filter only
+    (priority, orderkey) pairs survive, and the distinct-per-priority
+    count uses :func:`..stages.join.grouped_distinct_count` (batch-local
+    pair dedup, distinct pairs shuffle once, never raw rows).
+    -> (o_orderpriority, order_count)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from .join import grouped_distinct_count, read_table, shuffle_join
+
+    start_ns = np.datetime64(start, "ns")
+    end_ns = np.datetime64(end, "ns")
+    lag = np.timedelta64(late_days, "D")
+
+    def order_filter(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_orderdate").to_numpy(zero_copy_only=False).astype(
+            "datetime64[ns]")
+        return batch.filter(pa.array((v >= start_ns) & (v < end_ns))).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        )
+
+    orders = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(order_filter, batch_format="pyarrow", batch_size=None)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate"],
+        filter=pads.field("l_shipdate") >= (start_ns + lag),
+    )
+    j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                     num_partitions=8)
+
+    def late_pairs(batch: pa.Table) -> pa.Table:
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False).astype(
+            "datetime64[ns]")
+        od = batch.column("o_orderdate").to_numpy(zero_copy_only=False).astype(
+            "datetime64[ns]")
+        # the join drops the right-side key column; l_orderkey == o_orderkey
+        return batch.filter(pa.array(ship >= od + lag)).select(
+            ["o_orderpriority", "l_orderkey"]
+        )
+
+    pairs = j.map_batches(late_pairs, batch_format="pyarrow")
+    return grouped_distinct_count(pairs, "o_orderpriority", "l_orderkey",
+                                  out_col="order_count")
+
+
+Q12_START, Q12_END = "1996-01-01", "1997-01-01"
+Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def tpch_q12(sf_dir: str, start: str = Q12_START, end: str = Q12_END):
+    """TPC-H Q12 analog — shipping-class priority counts (conditional
+    aggregation over a fact-fact join).
+
+    The driver's lineitem has no l_shipmode, so the report dimension is
+    ``l_returnflag``; the measure pair is the canonical Q12 CASE split:
+    lines whose order is high-priority (1-URGENT / 2-HIGH) vs everything
+    else, for lineitems shipped inside one year.
+
+    Scale plan: shipdate year predicate pushed into the parquet read;
+    one orderkey fact shuffle; the CASE split is a batch-local Arrow
+    ``is_in`` + bincount partial, so the final groupby sees only
+    (returnflag, 2 ints) partial rows — 3 keys total.
+    -> (l_returnflag, high_line_count, low_line_count)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .join import read_table, shuffle_join
+
+    start_ns = np.datetime64(start, "ns")
+    end_ns = np.datetime64(end, "ns")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_returnflag"],
+        filter=(pads.field("l_shipdate") >= start_ns)
+        & (pads.field("l_shipdate") < end_ns),
+    )
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                     num_partitions=8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hi = pc.is_in(
+            batch.column("o_orderpriority"),
+            value_set=pa.array(list(Q12_HIGH)),
+        ).to_numpy(zero_copy_only=False)
+        flags = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flags, return_inverse=True)
+        high = np.bincount(inv, weights=hi.astype(np.float64),
+                           minlength=len(uniq)).astype(np.int64)
+        low = np.bincount(inv, weights=(~hi).astype(np.float64),
+                          minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": pa.array([str(u) for u in uniq], pa.string()),
+                "high_line_count": pa.array(high),
+                "low_line_count": pa.array(low),
+            }
+        )
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                   Sum("low_line_count", alias_name="low_line_count"))
+    )
+
+
+Q14_START, Q14_END = "1996-03-01", "1996-04-01"
+Q14_PROMO = "PROMO"
+
+
+def tpch_q14(sf_dir: str, start: str = Q14_START, end: str = Q14_END):
+    """TPC-H Q14 analog — promotion-effect revenue share (ratio of two
+    conditional sums through a dimension join).
+
+    The driver's p_type is a single word, so the promo predicate is
+    equality to ``'PROMO'`` rather than LIKE 'PROMO%'.  Revenue per row is
+    exact integer cents; the final percentage is the one float, computed
+    with the shared floor(x*1e6+0.5)/1e6 rounding so the DuckDB oracle
+    reproduces it bit-for-bit.
+
+    Scale plan: ship-month predicate pushed into the read (one month of
+    lineitem survives); part joins broadcast (partkey -> p_type only); the
+    promo/total split is a batch-local partial, so the driver sees exactly
+    one (promo_cents, total_cents) pair.
+    -> one row (promo_cents, total_cents, promo_pct)."""
+    import math
+
+    import numpy as np
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .join import broadcast_hash_join
+
+    start_ns = np.datetime64(start, "ns")
+    end_ns = np.datetime64(end, "ns")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= start_ns)
+        & (pads.field("l_shipdate") < end_ns),
+    )
+    j = broadcast_hash_join(li, sf_dir, "part", left_key="l_partkey",
+                            right_key="p_partkey", take_cols=["p_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False))
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        promo = batch.column("p_type").to_numpy(zero_copy_only=False) == Q14_PROMO
+        return pa.table(
+            {
+                "promo_cents": pa.array([int(cents[promo].sum())], pa.int64()),
+                "total_cents": pa.array([int(cents.sum())], pa.int64()),
+            }
+        )
+
+    agg = j.map_batches(partial, batch_format="pyarrow").aggregate(
+        Sum("promo_cents", alias_name="promo_cents"),
+        Sum("total_cents", alias_name="total_cents"),
+    )
+    promo_c, total_c = int(agg["promo_cents"]), int(agg["total_cents"])
+    pct = math.floor(100.0 * promo_c / total_c * 1e6 + 0.5) / 1e6
+    return pa.table(
+        {
+            "promo_cents": pa.array([promo_c], pa.int64()),
+            "total_cents": pa.array([total_c], pa.int64()),
+            "promo_pct": pa.array([pct], pa.float64()),
+        }
+    )
+
+
+Q10_START, Q10_END = "1996-01-01", "1996-04-01"
+Q10_K = 20
+
+
+def tpch_q10(sf_dir: str, start: str = Q10_START, end: str = Q10_END,
+             k: int = Q10_K):
+    """TPC-H Q10 analog — returned-item revenue top customers (multi-join
+    grouped report + global top-k).
+
+    Scale plan: lineitem pre-filters to l_returnflag='R' at the read;
+    orders pre-filters to the quarter; ONE orderkey fact shuffle, then
+    batch-local custkey->cents partials so only per-customer partials
+    reach the custkey groupby.  The per-customer revenue table (bounded by
+    |customers with returns|) joins customer with a custkey shuffle — the
+    fact table is never re-shuffled — and the 25-row nation map is a
+    driver-side broadcast lookup.  Top-k is local-head + one-partition
+    merge (:func:`..stages.gridops.topk`), never a full sort.
+    -> k rows (c_custkey, c_name, revenue_cents, c_acctbal, n_name, rank)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .gridops import topk
+    from .join import read_table, shuffle_join
+
+    start_ns = np.datetime64(start, "ns")
+    end_ns = np.datetime64(end, "ns")
+
+    def order_filter(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_orderdate").to_numpy(zero_copy_only=False).astype(
+            "datetime64[ns]")
+        return batch.filter(pa.array((v >= start_ns) & (v < end_ns))).select(
+            ["o_orderkey", "o_custkey"]
+        )
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(order_filter, batch_format="pyarrow", batch_size=None)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_returnflag") == "R",
+    )
+    j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                     num_partitions=8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False))
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        uniq, inv = np.unique(ck, return_inverse=True)
+        rev = np.bincount(inv, weights=cents.astype(np.float64),
+                          minlength=len(uniq)).astype(np.int64)
+        return pa.table({"o_custkey": pa.array(uniq),
+                         "revenue_cents": pa.array(rev)})
+
+    rev = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+    )
+    cust = read_table(sf_dir, "customer",
+                      ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    enriched = shuffle_join(rev, cust, on="o_custkey", right_on="c_custkey",
+                            num_partitions=8)
+
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet").combine_chunks()
+    nkeys = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(nkeys)
+    nkeys = nkeys[order]
+    nnames = pa.array(nat.column("n_name").to_pylist(), pa.string()).take(
+        pa.array(order))
+
+    def add_nation(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(nkeys, nk)
+        # the join dropped the right key c_custkey; o_custkey carries it
+        batch = batch.drop_columns(["c_nationkey"]).rename_columns(
+            ["c_custkey" if c == "o_custkey" else c for c in batch.column_names
+             if c != "c_nationkey"]
+        )
+        return batch.append_column("n_name", nnames.take(pa.array(pos)))
+
+    out = enriched.map_batches(add_nation, batch_format="pyarrow")
+    return topk(out, k=k, by="revenue_cents", tie_cols=("c_custkey",))
