@@ -88,6 +88,18 @@ def _q_parse_urls(sf_dir: str):
     return parse_urls(read_pages(sf_dir, include_html=False)).sort("page_id")
 
 
+def _q_latest_capture(sf_dir: str):
+    """Crawl-refresh dedup: 3 snapshots per url (read_pages replicate=3),
+    keep the newest capture — vectorized two-phase argmax, Python per
+    coarse hash partition, never per url; text carried byte-verbatim."""
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.extract import latest_capture
+
+    return latest_capture(
+        read_pages(sf_dir, replicate=3, include_html=False)
+    ).sort("url")
+
+
 def _q_geocode_cells(sf_dir: str):
     ds = _geocoded(sf_dir)
     ds = ds.select_columns(["page_id", "url", "lat", "lon", "has_mention", "cell"])
@@ -678,6 +690,15 @@ def _q_quality_resample(sf_dir: str):
     return quality_resample(
         _docs(sf_dir, ("doc_id", "text", "lang"))
     ).sort("doc_id")
+
+
+def _q_mixture_sample(sf_dir: str):
+    """Training-data mixing: resample toward per-source target weights —
+    bounded per-source count shuffle, data-derived integer acceptance
+    rates, one streaming hash filter."""
+    from cuda_gis_smoothing_ray.stages.gridops import mixture_sample
+
+    return mixture_sample(_docs(sf_dir, ("doc_id", "source"))).sort("doc_id")
 
 
 def _q_gopher_quality(sf_dir: str):
@@ -1871,6 +1892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_boilerplate": _q_remove_boilerplate,
         "gopher_quality": _q_gopher_quality,
         "quality_resample": _q_quality_resample,
+        "mixture_sample": _q_mixture_sample,
         "curate_corpus": _q_curate_corpus,
         "host_quality": _q_host_quality,
         "bigram_pmi": _q_bigram_pmi,
@@ -1970,6 +1992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tlds_en_and_de": lambda d: _q_hosts_except(d, anti=False, col="tld"),
         "extract_text": _q_extract_text,
         "parse_urls": _q_parse_urls,
+        "latest_capture": _q_latest_capture,
         "geocode_cells": _q_geocode_cells,
         "cell_metrics": _q_cell_metrics,
         "neighbor_stats": _q_neighbor_stats,
@@ -2033,6 +2056,9 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": oc.gopher_quality_sql(),
         "quality_resample": oc.quality_resample_sql(
             5000, gridops.SAMPLE_MULT, gridops.SAMPLE_MOD
+        ),
+        "mixture_sample": oc.mixture_sample_sql(
+            gridops.SAMPLE_MULT, gridops.SAMPLE_MOD
         ),
         "curate_corpus": oc.curate_corpus_sql(),
         "host_quality": oc.host_quality_sql(level="tld"),
@@ -2156,6 +2182,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_join": o.knn_join_sql(RES, 5),
         "extract_text": o.extract_text_sql(),
         "parse_urls": o.parse_urls_sql(),
+        "latest_capture": oc.latest_capture_sql(),
         "geocode_cells": o.geocode_cells_sql(RES),
         "cell_metrics": o.cell_metrics_sql(RES),
         "neighbor_stats": o.neighbor_stats_sql(RES),

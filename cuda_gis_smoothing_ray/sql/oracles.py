@@ -61,6 +61,31 @@ pages AS (
 )"""
 
 
+def pages_replicated_cte(replicate: int) -> str:
+    """``pages_rep``: the pages table at ``read_pages(replicate=N)`` —
+    page_id = rep * REP_STRIDE + doc_id, warc_ts = epoch + page_id seconds,
+    url/text shared across replicas (mirrors
+    ``sources/pages.pages_from_documents_batch``)."""
+    from ..sources.pages import REP_STRIDE
+
+    m = f"(doc_id * {geocode.TLD_MULT}) % {geocode.ZIPF_MOD}"
+    h = f"(doc_id * {geocode.TLD_MULT}) % {geocode.HOST_MOD}"
+    return f"""
+reps AS (SELECT unnest(range({replicate})) AS rep),
+pages_rep AS (
+  SELECT
+    rep * {REP_STRIDE} + doc_id AS page_id,
+    doc_id,
+    'https://h' || CAST({h} AS VARCHAR) || '.' || {_tld_case(m, 0)}
+      || '/p/' || CAST(doc_id AS VARCHAR) AS url,
+    TIMESTAMP '2024-01-01 00:00:00'
+      + INTERVAL 1 SECOND * (rep * {REP_STRIDE} + doc_id) AS warc_ts,
+    text,
+    lang
+  FROM documents CROSS JOIN reps
+)"""
+
+
 def geocoded_cte(res: int) -> str:
     """pages -> + (has_mention, lat, lon, q, r, cell). Mirrors GeoEncode."""
     m = f"(doc_id * {geocode.TLD_MULT}) % {geocode.ZIPF_MOD}"

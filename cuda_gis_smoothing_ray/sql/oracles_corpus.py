@@ -2277,6 +2277,47 @@ WHERE l_shipdate >= TIMESTAMP '{relagg.Q6_START} 00:00:00'
   AND l_quantity < {relagg.Q6_MAX_QTY}"""
 
 
+def latest_capture_sql(replicate: int = 3) -> str:
+    """Oracle of stages/extract.latest_capture over read_pages(replicate):
+    DISTINCT ON (url) keeping the max-warc_ts row; text carried verbatim so
+    the value-hash proves byte identity through the dedup."""
+    from .oracles import pages_replicated_cte
+
+    return f"""WITH {pages_replicated_cte(replicate)},
+ranked AS (
+  SELECT url, page_id, warc_ts, text,
+    row_number() OVER (PARTITION BY url
+                       ORDER BY warc_ts DESC, page_id DESC) AS rn
+  FROM pages_rep
+)
+SELECT url, page_id, warc_ts, text
+FROM ranked WHERE rn = 1
+ORDER BY url"""
+
+
+def mixture_sample_sql(mult: int, mod: int) -> str:
+    """Oracle of gridops.mixture_sample: per-source counts -> integer
+    acceptance ppm (rational once the float64-argmax reference group is
+    fixed) -> the shared modular-hash filter."""
+    return f"""WITH n AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+), w AS (
+  SELECT source, n_s, CAST(substr(source, 4) AS BIGINT) + 1 AS w_s FROM n
+), m AS (
+  SELECT n_s AS n_m, w_s AS w_m FROM w
+  ORDER BY (CAST(w_s AS DOUBLE) / n_s) DESC, source ASC LIMIT 1
+), r AS (
+  SELECT source,
+    CAST((1000000 * w_s * (SELECT n_m FROM m))
+         // (n_s * (SELECT w_m FROM m)) AS BIGINT) AS keep_ppm
+  FROM w
+)
+SELECT d.doc_id, d.source, r.keep_ppm
+FROM documents d JOIN r USING (source)
+WHERE ((d.doc_id % {mod}) * ({mult} % {mod})) % {mod} < r.keep_ppm
+ORDER BY d.doc_id"""
+
+
 def tpch_q4_sql() -> str:
     """Oracle of stages/relagg.tpch_q4 (late-shipment EXISTS semi-join,
     distinct-order count per priority)."""

@@ -605,3 +605,58 @@ def quality_resample(ds, id_col: str = "doc_id", text_col: str = "text",
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def mixture_weight(source: str) -> int:
+    """Deterministic per-source target weight for :func:`mixture_sample`:
+    the numeric suffix of the source name + 1 ('src0' -> 1 ... 'src19' ->
+    20) — a skewed target so the reweighting is non-vacuous on the
+    uniform synthetic corpus.  SQL twin: CAST(substr(source, 4) AS BIGINT)
+    + 1."""
+    return int(source[3:]) + 1
+
+
+def mixture_sample(ds, group_col: str = "source", id_col: str = "doc_id",
+                   mult: int = SAMPLE_MULT, mod: int = SAMPLE_MOD):
+    """Training-data MIXING (DoReMi-style): resample the corpus so group
+    proportions move toward target weights.  Two-phase:
+
+    1. count rows per group (bounded-key shuffle — partial counts only);
+    2. acceptance rate per group ∝ target_weight / observed_count, scaled
+       so the most-underrepresented group keeps everything:
+       ``keep_ppm_s = (1e6 * w_s * n_m) // (n_s * w_m)`` where ``m``
+       maximizes ``w/n`` (all-integer once ``m`` is fixed, so the SQL twin
+       reproduces the exact row set); then one streaming filter with the
+       shared ``(id*mult) % mod`` hash rule.
+
+    The argmax uses float64 ``w/n`` with a group-name tiebreak — the same
+    IEEE doubles DuckDB computes, so both engines pick the same ``m``.
+    Unlike :func:`stratified_sample` (given constant rates) the rates here
+    are DERIVED from the data's own group histogram — the "reweight the
+    crawl toward the target mixture" op.  -> kept rows + keep_ppm."""
+    from ray.data.aggregate import Count
+
+    counts = ds.groupby(group_col).aggregate(Count(alias_name="n")).take_all()
+    n_of = {r[group_col]: int(r["n"]) for r in counts}
+    w_of = {s: mixture_weight(s) for s in n_of}
+    # highest w/n wins; exact-tie falls to the SMALLEST name (= the SQL
+    # twin's ORDER BY score DESC, source ASC LIMIT 1)
+    m = min(n_of, key=lambda s: (-(w_of[s] / n_of[s]), s))
+    n_m, w_m = n_of[m], w_of[m]
+    ppm_of = {
+        s: (1_000_000 * w_of[s] * n_m) // (n_of[s] * w_m) for s in n_of
+    }
+    keys = np.array(sorted(ppm_of), dtype=object)
+    ppms = np.array([ppm_of[s] for s in keys], dtype=np.int64)
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        src = batch.column(group_col).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, src)
+        ppm = ppms[pos]
+        keep = ((ids % mod) * (mult % mod)) % mod < ppm
+        return batch.filter(pa.array(keep)).append_column(
+            "keep_ppm", pa.array(ppm[keep])
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
