@@ -140,7 +140,8 @@ def pricing_summary(ds, cutoff: str = PRICING_CUTOFF):
     )
 
 
-def argmax_by(ds, group_col: str, order_cols: list[str], keep_cols: list[str]):
+def argmax_by(ds, group_col: str, order_cols: list[str], keep_cols: list[str],
+              n_parts: int = 64):
     """ds -> one row per group: the row with the LARGEST (order_cols) tuple
     (ties impossible by construction when the last order col is unique, e.g.
     an id).  DISTINCT ON / deduplicate-to-latest — the standard "keep newest
@@ -148,7 +149,16 @@ def argmax_by(ds, group_col: str, order_cols: list[str], keep_cols: list[str]):
 
     Two-phase: each batch reduces to one candidate row per group it sees
     (vectorized lexsort + last-of-run), so only |groups-per-batch| rows
-    shuffle; the groupby repeats the same reduction on the candidates."""
+    shuffle; candidates then hash-partition into ``n_parts`` COARSE groups
+    (``functions/hashing.coarse_partition`` for int64 keys, vectorized md5
+    otherwise) and each partition resolves with ONE pandas sort + tail per
+    run — Python cost per partition, never per distinct group (a
+    ``groupby(group).map_groups`` finish would dispatch Python once per
+    DISTINCT key: fatal for per-user / per-url argmax at corpus scale)."""
+    import numpy as np
+
+    from ..functions.hashing import coarse_partition, md5_hash64
+
     cols = [group_col, *order_cols, *[c for c in keep_cols if c not in order_cols]]
 
     def local_best(batch: pa.Table) -> pa.Table:
@@ -158,18 +168,22 @@ def argmax_by(ds, group_col: str, order_cols: list[str], keep_cols: list[str]):
         # stable sort by (group, *order): last row of each group run is the max
         df = df.sort_values([group_col, *order_cols], kind="stable")
         best = df.groupby(group_col, sort=False).tail(1)
-        return pa.Table.from_pandas(best, preserve_index=False)
+        k = best[group_col].to_numpy()
+        if np.issubdtype(k.dtype, np.integer):
+            part = coarse_partition(k.astype(np.int64), n_parts)
+        else:
+            part = (md5_hash64(k) % np.uint64(n_parts)).astype(np.int64)
+        return pa.Table.from_pandas(best.assign(__part=part),
+                                    preserve_index=False)
 
-    def final_best(group: "pd.DataFrame") -> "pd.DataFrame":
-        g = group.sort_values(order_cols, kind="stable")
-        return g.tail(1)
-
-    import pandas as pd  # noqa: F401  (map_groups signature)
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = df.sort_values([group_col, *order_cols], kind="stable")
+        return g.groupby(group_col, sort=False).tail(1)[cols]
 
     return (
         ds.map_batches(local_best, batch_format="pyarrow")
-        .groupby(group_col)
-        .map_groups(final_best)
+        .groupby("__part")
+        .map_groups(resolve, batch_format="pandas")
     )
 
 
