@@ -577,6 +577,18 @@ def _q_lm_score(sf_dir: str):
     return lm_score(read_documents(sf_dir, columns=("doc_id", "text"))).sort("doc_id")
 
 
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet head/middle/tail perplexity bucketing: bigram-LM scores,
+    exact tercile thresholds via the value-histogram quantile plan, one
+    labeling pass."""
+    from cuda_gis_smoothing_ray.stages.lm import ccnet_buckets
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    return ccnet_buckets(
+        read_documents(sf_dir, columns=("doc_id", "text"))
+    ).sort("doc_id")
+
+
 def _q_window_distinct_users(sf_dir: str):
     """DISTINCT users per tumbling hour (stages/sketch.window_distinct_users)."""
     from cuda_gis_smoothing_ray.stages import events, sketch
@@ -1886,6 +1898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "bfs_hops": _q_bfs_hops,
         "lm_score": _q_lm_score,
+        "ccnet_buckets": _q_ccnet_buckets,
         "collapse_repeats": _q_collapse_repeats,
         "triangle_counts": _q_triangles,
         "dup_ngram_stats": _q_dup_ngrams,
@@ -2049,6 +2062,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_hops": oc.bfs_hops_sql(),
         "hll_registers": oc.hll_registers_sql(),
         "lm_score": oc.lm_score_sql(),
+        "ccnet_buckets": oc.ccnet_buckets_sql(),
         "collapse_repeats": oc.collapse_repeats_sql(),
         "triangle_counts": oc.triangles_sql(),
         "dup_ngram_stats": oc.dup_ngram_stats_sql(),

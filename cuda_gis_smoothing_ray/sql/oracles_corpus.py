@@ -2295,6 +2295,33 @@ FROM ranked WHERE rn = 1
 ORDER BY url"""
 
 
+def ccnet_buckets_sql() -> str:
+    """Oracle of stages/lm.ccnet_buckets: the lm_score oracle as a
+    subquery, exact tercile thresholds at rank floor((n-1)*q) over the
+    sorted score multiset, value-comparison bucket labels."""
+    lm_sql = lm_score_sql()
+    return f"""WITH s AS MATERIALIZED (
+  SELECT doc_id, score_fp FROM ({lm_sql})
+), ranked AS (
+  SELECT score_fp,
+    row_number() OVER (ORDER BY score_fp) - 1 AS rk,
+    count(*) OVER () AS n
+  FROM s
+), th AS (
+  SELECT
+    (SELECT score_fp FROM ranked
+     WHERE rk = CAST(floor((n - 1) * (1.0/3.0)) AS BIGINT) LIMIT 1) AS t1,
+    (SELECT score_fp FROM ranked
+     WHERE rk = CAST(floor((n - 1) * (2.0/3.0)) AS BIGINT) LIMIT 1) AS t2
+)
+SELECT s.doc_id, s.score_fp,
+  CASE WHEN s.score_fp > th.t2 THEN 'head'
+       WHEN s.score_fp > th.t1 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM s, th
+ORDER BY s.doc_id"""
+
+
 def mixture_sample_sql(mult: int, mod: int) -> str:
     """Oracle of gridops.mixture_sample: per-source counts -> integer
     acceptance ppm (rational once the float64-argmax reference group is

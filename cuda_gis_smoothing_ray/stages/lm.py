@@ -230,3 +230,46 @@ def lm_score(docs_ds, train_mod: int = TRAIN_MOD, min_count: int = MIN_COUNT,
         LmScorer, fn_constructor_kwargs={"model_ref": ref},
         concurrency=concurrency, batch_format="pyarrow", batch_size=1024,
     )
+
+
+BUCKET_QS = (1.0 / 3.0, 2.0 / 3.0)
+
+
+def ccnet_buckets(docs_ds, train_mod: int = TRAIN_MOD, min_count: int = MIN_COUNT,
+                  vocab_max: int = VOCAB_MAX, concurrency: int = 4):
+    """CCNet's head/middle/tail perplexity bucketing: score every document
+    with the bigram LM, take exact tercile thresholds of ``score_fp`` over
+    the corpus, and label each doc ``head`` (top third, best-modeled),
+    ``middle`` or ``tail`` by VALUE comparison against the thresholds (so
+    threshold ties land deterministically in one bucket on both engines).
+
+    Thresholds come from :func:`..stages.sketch.quantiles` — the exact
+    value-histogram plan (only (value, count) pairs shuffle), same
+    rank-``floor((n-1)q)`` definition the SQL twin computes.  The scored
+    stream is consumed twice (threshold pass + label pass): two scans is
+    the honest cost of EXACT terciles at scale — production CCNet
+    thresholds on a sampled histogram for one scan, at the price of
+    exactness.  -> (doc_id, score_fp, bucket)."""
+    from .sketch import quantiles
+
+    scored = lm_score(docs_ds, train_mod, min_count, vocab_max, concurrency)
+
+    def score_of(batch: pa.Table):
+        return batch.column("score_fp").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+
+    th = quantiles(scored, score_of, qs=BUCKET_QS)
+    t1, t2 = (int(v) for v in th.column("value").to_pylist())
+
+    def label(batch: pa.Table) -> pa.Table:
+        s = score_of(batch)
+        bucket = np.where(s > t2, "head", np.where(s > t1, "middle", "tail"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "score_fp": batch.column("score_fp"),
+                "bucket": pa.array(bucket.astype(object), pa.string()),
+            }
+        )
+
+    return scored.map_batches(label, batch_format="pyarrow")

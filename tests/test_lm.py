@@ -73,3 +73,35 @@ def test_lm_score_matches_bruteforce(ray_session, train_mod, min_count, vocab_ma
         # outscore the count-1 bigrams of the rare-token doc per bigram
         mean = want["score_fp"] / want["n_bigrams"].clip(lower=1)
         assert mean.loc[4] > mean.loc[3]
+
+
+def test_ccnet_buckets_monotone_and_exhaustive():
+    """Buckets partition the corpus, labels are monotone in score_fp
+    (head >= middle >= tail by value), and the thresholds are the exact
+    rank-floor((n-1)q) terciles."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.lm import ccnet_buckets
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(DOCS), dtype=np.int64)),
+        "text": pa.array(DOCS),
+    })).repartition(2)
+    out = (
+        ccnet_buckets(ds, train_mod=1, min_count=1, concurrency=2)
+        .to_pandas().sort_values("score_fp").reset_index(drop=True)
+    )
+    assert len(out) == len(DOCS)
+    assert set(out["bucket"]) <= {"head", "middle", "tail"}
+    # monotone: once scores rise into the next bucket they never fall back
+    order = {"tail": 0, "middle": 1, "head": 2}
+    codes = out["bucket"].map(order).to_numpy()
+    assert (np.diff(codes) >= 0).all()
+    # exact thresholds: recompute from the scored values
+    s = np.sort(out["score_fp"].to_numpy())
+    n = len(s)
+    t1 = s[int(np.floor((n - 1) * (1.0 / 3.0)))]
+    t2 = s[int(np.floor((n - 1) * (2.0 / 3.0)))]
+    expect = np.where(out["score_fp"] > t2, "head",
+                      np.where(out["score_fp"] > t1, "middle", "tail"))
+    assert (out["bucket"].to_numpy() == expect).all()
