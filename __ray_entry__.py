@@ -1740,6 +1740,20 @@ def _q_text_len_quantiles(sf_dir: str):
     return quantiles(_docs(sf_dir), text_len)
 
 
+def _q_sampled_len_quantiles(sf_dir: str):
+    """One-scan sampled quantiles (the scale path for near-unique value
+    domains): deterministic hash-sample, exact quantile rule on the
+    sample — bit-reproducible, so SQL-checkable unlike an RNG sample."""
+    from cuda_gis_smoothing_ray.stages.sketch import sampled_quantiles
+
+    def text_len(batch: pa.Table) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        return pc.utf8_length(batch.column("text")).to_numpy(zero_copy_only=False)
+
+    return sampled_quantiles(_docs(sf_dir), text_len)
+
+
 def _q_text_len_quantiles_cont(sf_dir: str):
     from cuda_gis_smoothing_ray.stages.sketch import quantiles_cont
 
@@ -1994,6 +2008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_hosts": _q_hll_hosts,
         "hll_registers": _q_hll_registers,
         "text_len_quantiles": _q_text_len_quantiles,
+        "sampled_len_quantiles": _q_sampled_len_quantiles,
         "text_len_quantiles_cont": _q_text_len_quantiles_cont,
         "lang_len_quantiles_cont": _q_lang_len_quantiles_cont,
         "top_hosts_by_lang": _q_top_hosts_by_lang,
@@ -2161,6 +2176,9 @@ def oracle_sql() -> dict[str, str]:
         "sliding_window": oc.sliding_window_sql(),
         "distinct_hosts": oc.distinct_hosts_sql(),
         "text_len_quantiles": oc.text_len_quantiles_sql(),
+        "sampled_len_quantiles": oc.sampled_len_quantiles_sql(
+            200_000, gridops.SAMPLE_MULT, gridops.SAMPLE_MOD
+        ),
         "text_len_quantiles_cont": oc.text_len_quantiles_cont_sql(),
         "lang_len_quantiles_cont": oc.lang_len_quantiles_cont_sql(),
         "top_hosts_by_lang": o.top_hosts_by_lang_sql(5),

@@ -932,6 +932,27 @@ n AS (SELECT count(*) AS n FROM v)
 ORDER BY q"""
 
 
+def sampled_len_quantiles_sql(keep_ppm: int, mult: int, mod: int,
+                              qs=(0.5, 0.9, 0.99)) -> str:
+    """Oracle of sketch.sampled_quantiles over text length: the shared
+    modular-hash sample, then the exact rank-floor((n-1)*q) rule on the
+    SAMPLE."""
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({q} AS DOUBLE) AS q, "
+        f"(SELECT v FROM r WHERE rn = CAST(floor((n.n - 1) * {q}) AS BIGINT) + 1) AS value "
+        f"FROM n"
+        for q in qs
+    )
+    return f"""WITH v AS (
+  SELECT length(text) AS v FROM documents
+  WHERE ((doc_id % {mod}) * ({mult} % {mod})) % {mod} < {keep_ppm}
+),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+n AS (SELECT count(*) AS n FROM v)
+{sel}
+ORDER BY q"""
+
+
 def media_resize_sql(target_w: int = 256, target_h: int = 256) -> str:
     """Oracle of media_resize over the decoded metadata (reuses the decode
     CTE arithmetic from media_decode_sql)."""

@@ -185,6 +185,27 @@ def quantiles(ds, col_fn, qs: tuple[float, ...] = QUANTILES):
     return pa.table({"q": pa.array(out_q, pa.float64()), "value": pa.array(out_v, pa.int64())})
 
 
+def sampled_quantiles(ds, col_fn, id_col: str = "doc_id",
+                      keep_ppm: int = 200_000,
+                      qs: tuple[float, ...] = QUANTILES):
+    """One-scan APPROXIMATE quantiles: deterministic hash-sample (the
+    shared ``(id*mult) % mod`` rule) then EXACT quantiles of the sample —
+    the scale path beside :func:`quantiles`.
+
+    The exact plan shuffles one (value, count) pair per DISTINCT value;
+    for near-unique metrics (fixed-point LM scores, exact byte lengths at
+    10^12 docs) that histogram approaches |dataset|.  Sampling first caps
+    the histogram at ~keep_ppm x n / 1e6 pairs while the deterministic
+    hash keeps the row set — and therefore the answer — bit-reproducible
+    and SQL-checkable (unlike an RNG sample).  Sampling error is gated by
+    ``tests/test_sketch.py``; the oracle proves exactness OF THE SAMPLED
+    DEFINITION, the test proves closeness to the exact quantiles.
+    -> (q:double, value:int64)."""
+    from .gridops import sample_hash
+
+    return quantiles(sample_hash(ds, id_col, keep_ppm), col_fn, qs)
+
+
 def grouped_quantiles(ds, group_col: str, col_fn, qs: tuple[float, ...] = QUANTILES):
     """-> (<group_col>, q, value): exact lower quantiles per group (same
     rank-floor((n-1)*q) definition as :func:`quantiles`).  Histogram plan

@@ -264,3 +264,31 @@ def test_grouped_quantiles_cont_matches_numpy_per_group():
         for q in (0.5, 0.9):
             want = np.quantile(vals, q, method="linear")
             assert abs(out.loc[(g, q), "value"] - want) < 1e-5
+
+
+def test_sampled_quantiles_error_gate():
+    """The deterministic hash-sample quantiles track the exact quantiles:
+    on 20k skewed values a 20% sample must land within 5% relative error
+    at every q (and be exactly reproducible run-to-run)."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import quantiles, sampled_quantiles
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    vals = np.floor(np.exp(rng.normal(6.0, 1.0, n))).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(vals),
+    })).repartition(4)
+
+    def col(batch: pa.Table) -> np.ndarray:
+        return batch.column("v").to_numpy(zero_copy_only=False)
+
+    exact = quantiles(ds, col).to_pandas().set_index("q")["value"]
+    got1 = sampled_quantiles(ds, col).to_pandas().set_index("q")["value"]
+    got2 = sampled_quantiles(ds, col).to_pandas().set_index("q")["value"]
+    assert (got1 == got2).all()  # deterministic, not an RNG sample
+    for q in exact.index:
+        rel = abs(got1[q] - exact[q]) / max(exact[q], 1)
+        assert rel < 0.05, (q, got1[q], exact[q])
