@@ -638,6 +638,12 @@ def mixture_sample(ds, group_col: str = "source", id_col: str = "doc_id",
 
     counts = ds.groupby(group_col).aggregate(Count(alias_name="n")).take_all()
     n_of = {r[group_col]: int(r["n"]) for r in counts}
+    if not n_of:  # zero-row corpus: nothing to reweight, stream empty
+        def empty(batch: pa.Table) -> pa.Table:
+            return batch.slice(0, 0).append_column(
+                "keep_ppm", pa.array([], pa.int64()))
+
+        return ds.map_batches(empty, batch_format="pyarrow")
     w_of = {s: mixture_weight(s) for s in n_of}
     # highest w/n wins; exact-tie falls to the SMALLEST name (= the SQL
     # twin's ORDER BY score DESC, source ASC LIMIT 1)

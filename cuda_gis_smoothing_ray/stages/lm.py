@@ -125,6 +125,11 @@ def train_bigram_lm(docs_ds, train_mod: int = TRAIN_MOD,
         .map_groups(_merge_counts)
         .to_pandas()
     )
+    if counted.empty:  # zero docs -> columnless frame; raise the contract
+        raise ValueError(
+            f"train_bigram_lm: empty vocabulary — the doc_id % {train_mod} "
+            "== 0 training subset has no tokens; widen train_mod or check "
+            "the input (scoring would otherwise divide by V=0)")
     uni = counted[counted["n"] == 1]
     # deterministic vocab cap: (cnt DESC, token ASC), top vocab_max
     uni = uni.sort_values(["cnt", "gram"], ascending=[False, True],

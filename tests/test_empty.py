@@ -70,3 +70,45 @@ def test_cell_metrics_on_empty_geocoded():
         }
     )
     assert _rows(cell_metrics(rd.from_arrow(empty_geo))) == 0
+
+
+def test_latest_capture_empty_pages():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.extract import latest_capture
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "page_id": pa.array([], pa.int64()),
+                "url": pa.array([], pa.string()),
+                "warc_ts": pa.array(np.array([], dtype="datetime64[us]")),
+                "text": pa.array([], pa.string()),
+            }
+        )
+    )
+    assert _rows(latest_capture(ds)) == 0
+
+
+def test_mixture_sample_empty_docs():
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.gridops import mixture_sample
+
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "source": pa.array([], pa.string())})
+    )
+    out = mixture_sample(ds)
+    assert _rows(out) == 0
+
+
+def test_ccnet_buckets_empty_raises_contract_error():
+    """An empty corpus cannot train the LM: the documented descriptive
+    error from train_bigram_lm surfaces, never a ZeroDivisionError."""
+    import pytest
+
+    from cuda_gis_smoothing_ray.stages.lm import ccnet_buckets
+
+    with pytest.raises(ValueError, match="empty"):
+        ccnet_buckets(_empty_docs())
