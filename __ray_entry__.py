@@ -704,6 +704,33 @@ def _q_quality_resample(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_incremental_dedup(sf_dir: str):
+    """Delta-processing dedup: the odd-doc_id 'new crawl increment'
+    anti-joins the even-doc_id 'prior snapshot' on text md5 — distinct
+    fingerprints shuffle, no broadcast of the (big) prior side."""
+    import pyarrow.compute as pc
+
+    from cuda_gis_smoothing_ray.stages.textops import (
+        incremental_dedup, read_documents,
+    )
+
+    docs = read_documents(sf_dir, columns=("doc_id", "text"))
+
+    def odd(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(d % 2 == 1))
+
+    def even(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(d % 2 == 0))
+
+    new_ds = docs.map_batches(odd, batch_format="pyarrow")
+    prior_ds = read_documents(sf_dir, columns=("doc_id", "text")).map_batches(
+        even, batch_format="pyarrow")
+    out = incremental_dedup(new_ds, prior_ds)
+    return out.select_columns(["doc_id", "text_md5"]).sort("doc_id")
+
+
 def _q_mixture_sample(sf_dir: str):
     """Training-data mixing: resample toward per-source target weights —
     bounded per-source count shuffle, data-derived integer acceptance
@@ -1920,6 +1947,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "quality_resample": _q_quality_resample,
         "mixture_sample": _q_mixture_sample,
+        "incremental_dedup": _q_incremental_dedup,
         "curate_corpus": _q_curate_corpus,
         "host_quality": _q_host_quality,
         "bigram_pmi": _q_bigram_pmi,
@@ -2089,6 +2117,7 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": oc.mixture_sample_sql(
             gridops.SAMPLE_MULT, gridops.SAMPLE_MOD
         ),
+        "incremental_dedup": oc.incremental_dedup_sql(),
         "curate_corpus": oc.curate_corpus_sql(),
         "host_quality": oc.host_quality_sql(level="tld"),
         "bigram_pmi": oc.bigram_pmi_sql(),

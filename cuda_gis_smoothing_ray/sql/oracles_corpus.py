@@ -2343,6 +2343,21 @@ FROM s, th
 ORDER BY s.doc_id"""
 
 
+def incremental_dedup_sql() -> str:
+    """Oracle of textops.incremental_dedup with the driver split: prior
+    snapshot = even doc_ids, new increment = odd doc_ids; keep new rows
+    whose md5(text) is absent from the prior corpus."""
+    return """WITH newd AS (
+  SELECT doc_id, md5(text) AS text_md5 FROM documents WHERE doc_id % 2 = 1
+), prior AS (
+  SELECT DISTINCT md5(text) AS m FROM documents WHERE doc_id % 2 = 0
+)
+SELECT doc_id, text_md5
+FROM newd
+WHERE text_md5 NOT IN (SELECT m FROM prior)
+ORDER BY doc_id"""
+
+
 def mixture_sample_sql(mult: int, mod: int) -> str:
     """Oracle of gridops.mixture_sample: per-source counts -> integer
     acceptance ppm (rational once the float64-argmax reference group is

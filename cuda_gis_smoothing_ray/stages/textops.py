@@ -110,6 +110,34 @@ def exact_dedup(ds):
     )
 
 
+def incremental_dedup(new_ds, prior_ds):
+    """INCREMENTAL crawl dedup: keep rows of ``new_ds`` whose text md5 does
+    not appear in ``prior_ds`` (the previous snapshot's corpus) — the
+    delta-processing shape every recurring crawl runs: dedup the new
+    increment against what's already ingested, never re-deduping the
+    whole history.
+
+    Both sides reduce to fingerprints before anything shuffles: the prior
+    side ships DISTINCT md5s only, the anti-membership resolves per hash
+    partition via :func:`..stages.join.hash_semi_join` (no broadcast — the
+    prior corpus is the BIG side at 10^12 docs).  -> surviving new rows +
+    ``text_md5``."""
+    from .join import hash_semi_join
+
+    def fp(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "text_md5", pa.array(textstats.md5_hex(batch.column("text")))
+        )
+
+    def prior_fp(batch: pa.Table) -> pa.Table:
+        md5 = np.unique(textstats.md5_hex(batch.column("text")))
+        return pa.table({"text_md5": pa.array(md5)})
+
+    new_fp = new_ds.map_batches(fp, batch_format="pyarrow")
+    prior = prior_ds.map_batches(prior_fp, batch_format="pyarrow")
+    return hash_semi_join(new_fp, prior, left_key="text_md5", anti=True)
+
+
 # ---------------------------------------------------------------------------
 # n-gram (word-set) Jaccard similarity join via inverted index
 # ---------------------------------------------------------------------------

@@ -91,3 +91,22 @@ def test_mixture_weight_suffix():
 
     assert mixture_weight("src0") == 1
     assert mixture_weight("src19") == 20
+
+
+def test_incremental_dedup_planted():
+    """New increment keeps only texts absent from the prior snapshot."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import incremental_dedup
+
+    prior = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 2], pa.int64()),
+        "text": pa.array(["seen before", "also seen"], pa.string()),
+    }))
+    new = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 3, 5], pa.int64()),
+        "text": pa.array(["seen before", "brand new", "also seen"], pa.string()),
+    }))
+    out = incremental_dedup(new, prior).to_pandas()
+    assert out["doc_id"].tolist() == [3]
+    assert out["text"].tolist() == ["brand new"]
