@@ -169,6 +169,15 @@ def _q_hotspot_gi(sf_dir: str):
     return _round6_cols(hotspot_gi(_cells(sf_dir), "page_count", k=1), ["gi_z"]).sort("cell")
 
 
+def _q_raster_morphology(sf_dir: str):
+    """Binary dilate/erode of the cell-occupancy raster in one
+    scatter-combine pass (raster<->vector family): emitted rows = closed
+    ring-1 dilation; eroded flag = interior cells with a full ring."""
+    from cuda_gis_smoothing_ray.stages.hotspot import raster_morphology
+
+    return raster_morphology(_cells(sf_dir), k=1).sort("cell")
+
+
 def _q_morans_i(sf_dir: str):
     """Global Moran's I spatial autocorrelation of page_count (ring-1
     binary weights excluding self) — one scalar row."""
@@ -2054,6 +2063,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_stats": _q_neighbor_stats,
         "ring2_stats": _q_ring2_stats,
         "hotspot_gi": _q_hotspot_gi,
+        "raster_morphology": _q_raster_morphology,
         "morans_i": _q_morans_i,
         "local_morans": _q_local_morans,
         "bivariate_morans": _q_bivariate_morans,
@@ -2249,6 +2259,7 @@ def oracle_sql() -> dict[str, str]:
         "neighbor_stats": o.neighbor_stats_sql(RES),
         "ring2_stats": o.neighbor_stats_sql(RES, ring=2),
         "hotspot_gi": o.hotspot_gi_sql(RES, k=1),
+        "raster_morphology": o.raster_morphology_sql(RES, k=1),
         "morans_i": o.morans_i_sql(RES, k=1),
         "local_morans": o.local_morans_sql(RES, k=1),
         "bivariate_morans": o.bivariate_morans_sql(RES, "en_share", "chars_mean", k=1),

@@ -881,6 +881,36 @@ FROM nbr, st
 ORDER BY cell"""
 
 
+def raster_morphology_sql(res: int, k: int = 1) -> str:
+    """Oracle of stages/hotspot.raster_morphology: closed k-ring dilation
+    of the occupied cell set with per-target present-neighbor counts and
+    the full-ring erosion flag."""
+    full = sum(6 * ring for ring in range(1, k + 1))
+    return f"""{prelude(res)},
+offsets(dq, dr) AS (VALUES {_ring_offsets_values(k, False)}),
+tgt AS (
+  SELECT c.q + o.dq AS q, c.r + o.dr AS r FROM cells c CROSS JOIN offsets o
+  UNION
+  SELECT q, r FROM cells
+),
+nbrcnt AS (
+  SELECT t.q, t.r, count(c2.q) AS nc
+  FROM tgt t
+  CROSS JOIN offsets o
+  LEFT JOIN cells c2 ON c2.q = t.q + o.dq AND c2.r = t.r + o.dr
+  GROUP BY t.q, t.r
+)
+SELECT
+  CAST({res} AS BIGINT) * {1 << 56} + (n.q + {hexgrid.OFF}) * {1 << 28}
+    + (n.r + {hexgrid.OFF}) AS cell,
+  CAST(CASE WHEN p.q IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS present,
+  CAST(n.nc AS BIGINT) AS n_nbrs,
+  CAST(CASE WHEN p.q IS NOT NULL AND n.nc = {full} THEN 1 ELSE 0 END
+       AS BIGINT) AS eroded
+FROM nbrcnt n LEFT JOIN cells p ON p.q = n.q AND p.r = n.r
+ORDER BY cell"""
+
+
 def morans_i_sql(res: int, k: int = 1) -> str:
     """Oracle of stages/hotspot.morans_i: global Moran's I over the cell
     table, binary k-ring weights excluding self (x = page_count)."""

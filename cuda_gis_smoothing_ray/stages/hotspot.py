@@ -91,6 +91,39 @@ def _neighborhood_sums(cells_ds, value_col: str, k: int, include_center: bool):
     )
 
 
+def raster_morphology(cells_ds, k: int = 1):
+    """Binary MORPHOLOGY on the cell-occupancy raster (raster<->vector
+    family): one scatter-combine pass yields both
+
+    - **dilation**: the closed k-ring union of the occupied set — every
+      emitted row is a member (occupied cells + their ring targets), and
+    - **erosion**: occupied cells whose ENTIRE k-ring is occupied
+      (``n_nbrs == ring size``, 6k(k+1)/2... = sum of 6*ring), i.e.
+      interior cells; boundary cells erode away.
+
+    Same shuffle shape as :func:`hotspot_gi` (`_neighborhood_sums`): at
+    most n-distinct-target rows leave each batch, one bounded cell-keyed
+    groupby-sum, nothing per-cell on the driver.
+    -> (cell, present, n_nbrs, eroded) over the DILATED set."""
+    full = sum(6 * ring for ring in range(1, k + 1))
+    sums = _neighborhood_sums(cells_ds, "page_count", k, include_center=False)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nc = batch.column("nc").to_numpy(zero_copy_only=False)
+        present = batch.column("c_sum").to_numpy(zero_copy_only=False) > 0.5
+        eroded = present & (nc > full - 0.5)
+        return pa.table(
+            {
+                "cell": batch.column("cell"),
+                "present": pa.array(present.astype(np.int64)),
+                "n_nbrs": pa.array(nc.astype(np.int64)),
+                "eroded": pa.array(eroded.astype(np.int64)),
+            }
+        )
+
+    return sums.map_batches(finalize, batch_format="pyarrow")
+
+
 def hotspot_gi(cells_ds, value_col: str = "page_count", k: int = 1):
     """Getis-Ord Gi* hot-spot statistic per PRESENT cell (binary weights
     over the closed k-ring neighborhood restricted to present cells):

@@ -148,3 +148,29 @@ def test_grid_path_diagonal_is_connected():
     assert (steps == 1).all()
     assert (qs[0], rs[0]) == (0, 0) and (qs[-1], rs[-1]) == (4, -7)
     assert len(got) == int(hexgrid.hex_distance(0, 0, 4, -7)) + 1
+
+
+def test_raster_morphology_hexagon_blob():
+    """A filled 7-cell hexagon (center + full ring-1): erosion keeps only
+    the center; dilation emits the closed ring-2 cover; counts are the
+    true present-neighbor counts."""
+    from cuda_gis_smoothing_ray.stages.hotspot import raster_morphology
+
+    occ = {(0, 0): 1}
+    for dq, dr in hexgrid.ring_offsets(1):
+        occ[(dq, dr)] = 1
+    out = raster_morphology(_cells_ds(occ), k=1).to_pandas()
+    cells = dict(zip(out["cell"], zip(out["present"], out["n_nbrs"],
+                                      out["eroded"])))
+    center = int(hexgrid.pack(RES, np.array([0]), np.array([0]))[0])
+    # center: present, all 6 neighbors present, eroded
+    assert cells[center] == (1, 6, 1)
+    # ring-1 members: present, NOT eroded (their own rings are incomplete)
+    for dq, dr in hexgrid.ring_offsets(1):
+        c = int(hexgrid.pack(RES, np.array([dq]), np.array([dr]))[0])
+        present, nbrs, eroded = cells[c]
+        assert present == 1 and eroded == 0 and 1 <= nbrs < 6
+    # dilation = closed ring-2 cover: 1 + 6 + 12 cells
+    assert len(out) == 19
+    halo = out[out["present"] == 0]
+    assert len(halo) == 12 and (halo["eroded"] == 0).all()
