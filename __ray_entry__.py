@@ -717,8 +717,6 @@ def _q_incremental_dedup(sf_dir: str):
     """Delta-processing dedup: the odd-doc_id 'new crawl increment'
     anti-joins the even-doc_id 'prior snapshot' on text md5 — distinct
     fingerprints shuffle, no broadcast of the (big) prior side."""
-    import pyarrow.compute as pc
-
     from cuda_gis_smoothing_ray.stages.textops import (
         incremental_dedup, read_documents,
     )

@@ -44,17 +44,29 @@ def _tld_case(m_expr: str, field: int) -> str:
     return " ".join(parts)
 
 
-def pages_cte() -> str:
+def _url_expr() -> str:
+    """The pages url column as one shared SQL expression (mirrors
+    ``sources/pages.pages_from_documents_batch``)."""
     m = f"(doc_id * {geocode.TLD_MULT}) % {geocode.ZIPF_MOD}"
     h = f"(doc_id * {geocode.TLD_MULT}) % {geocode.HOST_MOD}"
+    return (f"'https://h' || CAST({h} AS VARCHAR) || '.' || {_tld_case(m, 0)}"
+            f" || '/p/' || CAST(doc_id AS VARCHAR)")
+
+
+def _warc_expr(page_id_expr: str) -> str:
+    """warc_ts = epoch + page_id seconds (shared by both pages CTEs)."""
+    return (f"TIMESTAMP '2024-01-01 00:00:00' "
+            f"+ INTERVAL 1 SECOND * ({page_id_expr})")
+
+
+def pages_cte() -> str:
     return f"""
 pages AS (
   SELECT
     doc_id AS page_id,
     doc_id,
-    'https://h' || CAST({h} AS VARCHAR) || '.' || {_tld_case(m, 0)}
-      || '/p/' || CAST(doc_id AS VARCHAR) AS url,
-    TIMESTAMP '2024-01-01 00:00:00' + INTERVAL 1 SECOND * doc_id AS warc_ts,
+    {_url_expr()} AS url,
+    {_warc_expr("doc_id")} AS warc_ts,
     text,
     lang
   FROM documents
@@ -68,18 +80,15 @@ def pages_replicated_cte(replicate: int) -> str:
     ``sources/pages.pages_from_documents_batch``)."""
     from ..sources.pages import REP_STRIDE
 
-    m = f"(doc_id * {geocode.TLD_MULT}) % {geocode.ZIPF_MOD}"
-    h = f"(doc_id * {geocode.TLD_MULT}) % {geocode.HOST_MOD}"
+    pid = f"rep * {REP_STRIDE} + doc_id"
     return f"""
 reps AS (SELECT unnest(range({replicate})) AS rep),
 pages_rep AS (
   SELECT
-    rep * {REP_STRIDE} + doc_id AS page_id,
+    {pid} AS page_id,
     doc_id,
-    'https://h' || CAST({h} AS VARCHAR) || '.' || {_tld_case(m, 0)}
-      || '/p/' || CAST(doc_id AS VARCHAR) AS url,
-    TIMESTAMP '2024-01-01 00:00:00'
-      + INTERVAL 1 SECOND * (rep * {REP_STRIDE} + doc_id) AS warc_ts,
+    {_url_expr()} AS url,
+    {_warc_expr(pid)} AS warc_ts,
     text,
     lang
   FROM documents CROSS JOIN reps

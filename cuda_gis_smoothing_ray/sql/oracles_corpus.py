@@ -2428,14 +2428,15 @@ def tpch_q14_sql() -> str:
   WHERE l_shipdate >= TIMESTAMP '{relagg.Q14_START} 00:00:00'
     AND l_shipdate < TIMESTAMP '{relagg.Q14_END} 00:00:00'
 ), s AS (
-  SELECT CAST(sum(CASE WHEN is_promo THEN cents ELSE 0 END) AS BIGINT)
-           AS promo_cents,
-         CAST(sum(cents) AS BIGINT) AS total_cents
+  SELECT CAST(coalesce(sum(CASE WHEN is_promo THEN cents ELSE 0 END), 0)
+              AS BIGINT) AS promo_cents,
+         CAST(coalesce(sum(cents), 0) AS BIGINT) AS total_cents
   FROM c
 )
 SELECT promo_cents, total_cents,
-  floor(100.0 * promo_cents / total_cents * 1000000 + 0.5) / 1000000
-    AS promo_pct
+  CASE WHEN total_cents = 0 THEN 0.0
+       ELSE floor(100.0 * promo_cents / total_cents * 1000000 + 0.5)
+            / 1000000 END AS promo_pct
 FROM s"""
 
 

@@ -171,40 +171,14 @@ def latest_capture(ds, n_parts: int = 64):
     latest capture of each page" dedup that fronts every crawl-refresh
     pipeline.
 
-    Two-phase vectorized argmax, Python per PARTITION not per url (the
-    ``functions/reduce.py`` pattern; :func:`..stages.relagg.argmax_by`'s
-    final ``map_groups`` would dispatch Python once per DISTINCT url —
-    fatal at 10^12 pages): each batch reduces to one candidate per url it
-    sees (stable sort + tail-of-run), candidates hash-partition on the
-    vectorized :func:`..functions.hashing.poly_hash64` of the url into
-    ``n_parts`` coarse groups, and each partition resolves with ONE pandas
-    sort + tail per run.  ``text`` is carried through verbatim so the
-    driver's value-hash proves the byte-identity invariant survives the
-    dedup.  -> (url, page_id, warc_ts, text)."""
-    import numpy as np
+    Delegates to :func:`..stages.relagg.argmax_by` (batch-local candidate
+    per url, coarse hash partitions via the vectorized url rolling hash,
+    ONE pandas sort + tail-of-run per partition — Python per PARTITION,
+    never per url).  ``text`` is carried through verbatim so the driver's
+    value-hash proves the byte-identity invariant survives the dedup.
+    -> (url, page_id, warc_ts, text)."""
+    from .relagg import argmax_by
 
-    from ..functions.hashing import poly_hash64
-
-    cols = ["url", "page_id", "warc_ts", "text"]
-
-    def local_best(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = batch.select(cols).to_pandas()
-        df = df.sort_values(["url", "warc_ts", "page_id"], kind="stable")
-        best = df.groupby("url", sort=False).tail(1)
-        urls = pa.array(best["url"].to_numpy(), pa.string())
-        part = (poly_hash64(urls) % np.uint64(n_parts)).astype(np.int64)
-        return pa.Table.from_pandas(
-            best.assign(__part=part), preserve_index=False
-        )
-
-    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
-        df = df.sort_values(["url", "warc_ts", "page_id"], kind="stable")
-        return df.groupby("url", sort=False).tail(1)[cols]
-
-    return (
-        ds.map_batches(local_best, batch_format="pyarrow")
-        .groupby("__part")
-        .map_groups(resolve, batch_format="pandas")
-    )
+    out = argmax_by(ds, "url", ["warc_ts", "page_id"], ["text"],
+                    n_parts=n_parts)
+    return out.select_columns(["url", "page_id", "warc_ts", "text"])

@@ -198,25 +198,22 @@ def hash_semi_join(left, right, left_key: str, right_key: str | None = None,
 
     def _part(key: np.ndarray) -> np.ndarray:
         """Partition id per key.  int64 keys: multiplicative hash (fast
-        path).  String keys: md5-based (Python per DISTINCT value — callers
-        should dedupe string keys batch-locally first; membership itself is
-        still resolved on the EXACT values below, so a partition-hash
-        collision can never change the result, only co-locate more keys)."""
+        path).  String keys: vectorized rolling hash over the Arrow buffers
+        (:func:`..functions.hashing.poly_hash64` — one numpy pass per byte
+        POSITION, not per row).  Membership itself is resolved on the EXACT
+        values below, so a partition-hash collision can never change the
+        result, only co-locate more keys."""
         if np.issubdtype(key.dtype, np.integer):
             return (
                 (key.astype(np.int64).view(np.uint64) * _G) >> np.uint64(52)
             ) % np.uint64(n_parts)
-        import hashlib
+        from ..functions.hashing import poly_hash64
 
-        return np.fromiter(
-            (
-                int.from_bytes(hashlib.md5(str(s).encode()).digest()[:4], "big")
-                % n_parts
-                for s in key
-            ),
-            dtype=np.uint64,
-            count=len(key),
-        )
+        try:
+            arr = pa.array(key, pa.string())
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            arr = pa.array(key.astype(str), pa.string())
+        return poly_hash64(arr) % np.uint64(n_parts)
 
     def _keys_of(batch: pa.Table, col: str) -> np.ndarray:
         k = batch.column(col).to_numpy(zero_copy_only=False)
@@ -309,7 +306,7 @@ def grouped_distinct_count(ds, group_col: str, value_col: str, n_parts: int = 64
     sum.  Only distinct pairs shuffle, never raw rows."""
     from ray.data.aggregate import Sum
 
-    from ..functions.hashing import md5_hash64
+    from ..functions.hashing import poly_hash64
 
     def local(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -324,7 +321,9 @@ def grouped_distinct_count(ds, group_col: str, value_col: str, n_parts: int = 64
         if np.issubdtype(v.dtype, np.integer):
             part = ((v.astype(np.int64).view(np.uint64) * _BLOOM_C1) >> np.uint64(52)) % np.uint64(n_parts)
         else:
-            part = md5_hash64(v) % np.uint64(n_parts)
+            # partition-only hash: vectorized (correctness never depends on
+            # it — pairs dedupe on exact values within their partition)
+            part = poly_hash64(pa.array(v, pa.string())) % np.uint64(n_parts)
         return pa.Table.from_pandas(
             df.assign(__part=part.astype(np.int64)), preserve_index=False
         )

@@ -150,14 +150,15 @@ def argmax_by(ds, group_col: str, order_cols: list[str], keep_cols: list[str],
     Two-phase: each batch reduces to one candidate row per group it sees
     (vectorized lexsort + last-of-run), so only |groups-per-batch| rows
     shuffle; candidates then hash-partition into ``n_parts`` COARSE groups
-    (``functions/hashing.coarse_partition`` for int64 keys, vectorized md5
-    otherwise) and each partition resolves with ONE pandas sort + tail per
-    run — Python cost per partition, never per distinct group (a
-    ``groupby(group).map_groups`` finish would dispatch Python once per
-    DISTINCT key: fatal for per-user / per-url argmax at corpus scale)."""
+    (``functions/hashing.coarse_partition`` for int64 keys, the vectorized
+    ``poly_hash64`` rolling hash otherwise) and each partition resolves
+    with ONE pandas sort + tail per run — Python cost per partition, never
+    per distinct group (a ``groupby(group).map_groups`` finish would
+    dispatch Python once per DISTINCT key: fatal for per-user / per-url
+    argmax at corpus scale)."""
     import numpy as np
 
-    from ..functions.hashing import coarse_partition, md5_hash64
+    from ..functions.hashing import coarse_partition, poly_hash64
 
     cols = [group_col, *order_cols, *[c for c in keep_cols if c not in order_cols]]
 
@@ -172,7 +173,13 @@ def argmax_by(ds, group_col: str, order_cols: list[str], keep_cols: list[str],
         if np.issubdtype(k.dtype, np.integer):
             part = coarse_partition(k.astype(np.int64), n_parts)
         else:
-            part = (md5_hash64(k) % np.uint64(n_parts)).astype(np.int64)
+            # partition-only hash (resolution keys on exact values); the
+            # astype(str) fallback covers nullable-int -> float64 frames
+            try:
+                arr = pa.array(k, pa.string())
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                arr = pa.array(k.astype(str), pa.string())
+            part = (poly_hash64(arr) % np.uint64(n_parts)).astype(np.int64)
         return pa.Table.from_pandas(best.assign(__part=part),
                                     preserve_index=False)
 
@@ -706,8 +713,12 @@ def tpch_q14(sf_dir: str, start: str = Q14_START, end: str = Q14_END):
         Sum("promo_cents", alias_name="promo_cents"),
         Sum("total_cents", alias_name="total_cents"),
     )
-    promo_c, total_c = int(agg["promo_cents"]), int(agg["total_cents"])
-    pct = math.floor(100.0 * promo_c / total_c * 1e6 + 0.5) / 1e6
+    # empty filtered month -> Ray Sums come back None; report zeros (the
+    # oracle COALESCEs to the same row) instead of int(None)/div-by-zero
+    promo_c = int(agg["promo_cents"] or 0)
+    total_c = int(agg["total_cents"] or 0)
+    pct = (math.floor(100.0 * promo_c / total_c * 1e6 + 0.5) / 1e6
+           if total_c else 0.0)
     return pa.table(
         {
             "promo_cents": pa.array([promo_c], pa.int64()),
@@ -737,12 +748,11 @@ def tpch_q10(sf_dir: str, start: str = Q10_START, end: str = Q10_END,
     -> k rows (c_custkey, c_name, revenue_cents, c_acctbal, n_name, rank)."""
     import numpy as np
     import pyarrow.dataset as pads
-    import pyarrow.parquet as pq_
     import ray.data as rd
     from ray.data.aggregate import Sum
 
     from .gridops import topk
-    from .join import read_table, shuffle_join
+    from .join import broadcast_hash_join, read_table, shuffle_join
 
     start_ns = np.datetime64(start, "ns")
     end_ns = np.datetime64(end, "ns")
@@ -787,23 +797,19 @@ def tpch_q10(sf_dir: str, start: str = Q10_START, end: str = Q10_END,
                       ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
     enriched = shuffle_join(rev, cust, on="o_custkey", right_on="c_custkey",
                             num_partitions=8)
+    # 25-row nation dim: the guarded broadcast lookup (unique-key check,
+    # unmatched rows dropped like the SQL inner join)
+    enriched = broadcast_hash_join(enriched, sf_dir, "nation",
+                                   left_key="c_nationkey",
+                                   right_key="n_nationkey",
+                                   take_cols=["n_name"])
 
-    nat = pq_.read_table(f"{sf_dir}/nation.parquet").combine_chunks()
-    nkeys = nat.column("n_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(nkeys)
-    nkeys = nkeys[order]
-    nnames = pa.array(nat.column("n_name").to_pylist(), pa.string()).take(
-        pa.array(order))
-
-    def add_nation(batch: pa.Table) -> pa.Table:
-        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(nkeys, nk)
-        # the join dropped the right key c_custkey; o_custkey carries it
-        batch = batch.drop_columns(["c_nationkey"]).rename_columns(
-            ["c_custkey" if c == "o_custkey" else c for c in batch.column_names
-             if c != "c_nationkey"]
+    def tidy(batch: pa.Table) -> pa.Table:
+        # the custkey join dropped right key c_custkey; o_custkey carries it
+        batch = batch.drop_columns(["c_nationkey"])
+        return batch.rename_columns(
+            ["c_custkey" if c == "o_custkey" else c for c in batch.column_names]
         )
-        return batch.append_column("n_name", nnames.take(pa.array(pos)))
 
-    out = enriched.map_batches(add_nation, batch_format="pyarrow")
+    out = enriched.map_batches(tidy, batch_format="pyarrow")
     return topk(out, k=k, by="revenue_cents", tie_cols=("c_custkey",))

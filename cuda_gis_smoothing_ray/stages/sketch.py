@@ -176,6 +176,11 @@ def quantiles(ds, col_fn, qs: tuple[float, ...] = QUANTILES):
     c = hist["cnt"].to_numpy().astype(np.int64)
     v = hist["value"].to_numpy().astype(np.int64)
     n = int(c.sum())
+    if n == 0:
+        raise ValueError(
+            "quantiles: empty input (or empty hash-sample via "
+            "sampled_quantiles) — no order statistics exist; widen the "
+            "sample rate or check the input")
     cum = np.cumsum(c)
     out_q, out_v = [], []
     for q in qs:
