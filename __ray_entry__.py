@@ -169,6 +169,18 @@ def _q_hotspot_gi(sf_dir: str):
     return _round6_cols(hotspot_gi(_cells(sf_dir), "page_count", k=1), ["gi_z"]).sort("cell")
 
 
+def _q_spatiotemporal_counts(sf_dir: str):
+    """Space x crawl-time cube over 3 snapshots: (cell, day, page_count) —
+    batch-local partials, bounded (cell x day) shuffle."""
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.geoencode import geo_encode
+    from cuda_gis_smoothing_ray.stages.gridops import spatiotemporal_counts
+
+    geo = geo_encode(read_pages(sf_dir, replicate=3, include_html=False),
+                     res=RES)
+    return spatiotemporal_counts(geo).sort(["cell", "day"])
+
+
 def _q_raster_morphology(sf_dir: str):
     """Binary dilate/erode of the cell-occupancy raster in one
     scatter-combine pass (raster<->vector family): emitted rows = closed
@@ -2062,6 +2074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ring2_stats": _q_ring2_stats,
         "hotspot_gi": _q_hotspot_gi,
         "raster_morphology": _q_raster_morphology,
+        "spatiotemporal_counts": _q_spatiotemporal_counts,
         "morans_i": _q_morans_i,
         "local_morans": _q_local_morans,
         "bivariate_morans": _q_bivariate_morans,
@@ -2258,6 +2271,7 @@ def oracle_sql() -> dict[str, str]:
         "ring2_stats": o.neighbor_stats_sql(RES, ring=2),
         "hotspot_gi": o.hotspot_gi_sql(RES, k=1),
         "raster_morphology": o.raster_morphology_sql(RES, k=1),
+        "spatiotemporal_counts": o.spatiotemporal_counts_sql(RES, replicate=3),
         "morans_i": o.morans_i_sql(RES, k=1),
         "local_morans": o.local_morans_sql(RES, k=1),
         "bivariate_morans": o.bivariate_morans_sql(RES, "en_share", "chars_mean", k=1),

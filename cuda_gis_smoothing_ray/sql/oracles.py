@@ -890,6 +890,27 @@ FROM nbr, st
 ORDER BY cell"""
 
 
+def spatiotemporal_counts_sql(res: int, replicate: int = 3) -> str:
+    """Oracle of stages/gridops.spatiotemporal_counts over
+    read_pages(replicate): the cell comes from the single-replica geocode
+    (replicas share coordinates by construction), the day from each
+    replica's warc_ts = epoch + (rep * stride + page_id) seconds."""
+    from ..sources.pages import REP_STRIDE
+
+    return f"""WITH {pages_cte()},
+{geocoded_cte(res)},
+reps AS (SELECT unnest(range({replicate})) AS rep),
+st AS (
+  SELECT g.cell AS cell,
+    date_trunc('day', {_warc_expr(f"rep * {REP_STRIDE} + g.page_id")}) AS day
+  FROM geocoded g CROSS JOIN reps
+)
+SELECT cell, day, CAST(count(*) AS BIGINT) AS page_count
+FROM st
+GROUP BY cell, day
+ORDER BY cell, day"""
+
+
 def raster_morphology_sql(res: int, k: int = 1) -> str:
     """Oracle of stages/hotspot.raster_morphology: closed k-ring dilation
     of the occupied cell set with per-target present-neighbor counts and

@@ -607,6 +607,38 @@ def quality_resample(ds, id_col: str = "doc_id", text_col: str = "text",
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def spatiotemporal_counts(geo_ds):
+    """Space x crawl-time cube: (cell, day, page_count) over geocoded
+    pages — the spatiotemporal aggregation every recurring crawl analysis
+    starts from (which areas were captured when, densification over
+    snapshots).
+
+    Batch-local partial counts (one pandas groupby inside the batch) mean
+    only (cell, day, cnt) partials shuffle — the output is cell-table x
+    |distinct days| sized, the same boundedness assumption as any GROUP
+    BY report.  ``day`` stays a TIMESTAMP (midnight) for exact
+    cross-engine comparison with DuckDB's ``date_trunc('day', ...)``."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("warc_ts").to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[D]").astype("datetime64[us]")
+        df = pd.DataFrame(
+            {"cell": batch.column("cell").to_numpy(zero_copy_only=False),
+             "day": day}
+        )
+        g = df.groupby(["cell", "day"], sort=False).size().reset_index(
+            name="page_count")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        geo_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["cell", "day"])
+        .aggregate(Sum("page_count", alias_name="page_count"))
+    )
+
+
 def mixture_weight(source: str) -> int:
     """Deterministic per-source target weight for :func:`mixture_sample`:
     the numeric suffix of the source name + 1 ('src0' -> 1 ... 'src19' ->
