@@ -598,6 +598,17 @@ def _q_lm_score(sf_dir: str):
     return lm_score(read_documents(sf_dir, columns=("doc_id", "text"))).sort("doc_id")
 
 
+def _q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training: first 6 merges learned over the
+    word-type table — bounded pair-count shuffles per round, top pair via
+    local-head top-k, vectorized merge application, re-materialized
+    between rounds."""
+    from cuda_gis_smoothing_ray.stages.lm import bpe_merges
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    return bpe_merges(read_documents(sf_dir, columns=("doc_id", "text")))
+
+
 def _q_ccnet_buckets(sf_dir: str):
     """CCNet head/middle/tail perplexity bucketing: bigram-LM scores,
     exact tercile thresholds via the value-histogram quantile plan, one
@@ -1959,6 +1970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": _q_bfs_hops,
         "lm_score": _q_lm_score,
         "ccnet_buckets": _q_ccnet_buckets,
+        "bpe_merges": _q_bpe_merges,
         "collapse_repeats": _q_collapse_repeats,
         "triangle_counts": _q_triangles,
         "dup_ngram_stats": _q_dup_ngrams,
@@ -2127,6 +2139,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_registers": oc.hll_registers_sql(),
         "lm_score": oc.lm_score_sql(),
         "ccnet_buckets": oc.ccnet_buckets_sql(),
+        "bpe_merges": oc.bpe_merges_sql(),
         "collapse_repeats": oc.collapse_repeats_sql(),
         "triangle_counts": oc.triangles_sql(),
         "dup_ngram_stats": oc.dup_ngram_stats_sql(),

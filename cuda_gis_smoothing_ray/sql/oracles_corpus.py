@@ -2316,6 +2316,61 @@ FROM ranked WHERE rn = 1
 ORDER BY url"""
 
 
+def bpe_merges_sql(rounds: int | None = None) -> str:
+    """Oracle of stages/lm.bpe_merges: the word-type histogram, then
+    ``rounds`` unrolled merge supersteps — lead-chain adjacent-pair counts,
+    (total DESC, s1, s2) argmax, sentinel-space ``replace`` application
+    (DuckDB replace == Python str.replace, left-to-right non-overlapping,
+    so the loop is bit-exact cross-engine)."""
+    from ..stages import lm
+
+    rounds = lm.BPE_ROUNDS if rounds is None else rounds
+    steps = []
+    prev = "w0"
+    for r in range(1, rounds + 1):
+        steps.append(f"""t{r} AS (
+  SELECT word, cnt,
+    unnest(string_split(seq, ' ')) AS sym,
+    unnest(range(len(string_split(seq, ' ')))) AS pos
+  FROM {prev}
+), q{r} AS (
+  SELECT cnt, sym AS s1, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS s2
+  FROM t{r}
+), a{r} AS MATERIALIZED (
+  SELECT s1, s2, CAST(sum(cnt) AS BIGINT) AS total
+  FROM q{r} WHERE s2 IS NOT NULL GROUP BY s1, s2
+), b{r} AS MATERIALIZED (
+  SELECT CAST({r} AS BIGINT) AS rank, s1, s2, s1 || s2 AS merged, total
+  FROM a{r} ORDER BY total DESC, s1, s2 LIMIT 1
+), w{r} AS MATERIALIZED (
+  SELECT word, cnt,
+    trim(replace(' ' || seq || ' ',
+                 (SELECT ' ' || s1 || ' ' || s2 || ' ' FROM b{r}),
+                 (SELECT ' ' || merged || ' ' FROM b{r}))) AS seq
+  FROM {prev}
+)""")
+        prev = f"w{r}"
+    union = "\nUNION ALL\n".join(
+        f"SELECT rank, s1, s2, merged, total FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    chain = ",\n".join(steps)
+    return f"""WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                            s -> s != '')) AS word
+  FROM documents
+), w0 AS MATERIALIZED (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+    array_to_string(string_split(word, ''), ' ') AS seq
+  FROM toks GROUP BY word
+),
+{chain}
+SELECT rank, s1 AS left_sym, s2 AS right_sym, merged,
+  CAST(total AS BIGINT) AS pair_count
+FROM ({union})
+ORDER BY rank"""
+
+
 def ccnet_buckets_sql() -> str:
     """Oracle of stages/lm.ccnet_buckets: the lm_score oracle as a
     subquery, exact tercile thresholds at rank floor((n-1)*q) over the

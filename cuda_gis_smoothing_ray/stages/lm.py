@@ -237,6 +237,142 @@ def lm_score(docs_ds, train_mod: int = TRAIN_MOD, min_count: int = MIN_COUNT,
     )
 
 
+BPE_ROUNDS = 6
+_BPE_PARTS = 64
+
+
+def _word_histogram(docs_ds):
+    """documents -> (word, cnt) over the shared whitespace tokenization:
+    batch-local counts, poly_hash64 word partitions, one pandas merge per
+    partition — only (word, partial-count) rows shuffle."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import poly_hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern_regex(
+            pc.fill_null(batch.column("text"), ""), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.flatten()
+        flat = flat.filter(pc.not_equal(flat, ""))
+        vals, cnts = np.unique(flat.to_numpy(zero_copy_only=False),
+                               return_counts=True)
+        part = poly_hash64(pa.array(vals, pa.string())) % np.uint64(_BPE_PARTS)
+        return pa.table(
+            {
+                "word": pa.array(vals, pa.string()),
+                "cnt": pa.array(cnts.astype(np.int64)),
+                "__part": pa.array(part.astype(np.int64)),
+            }
+        )
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby("word", sort=False)["cnt"].sum()
+                .reset_index()[["word", "cnt"]])
+
+    return (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(merge, batch_format="pandas")
+    )
+
+
+def bpe_merges(docs_ds, rounds: int = BPE_ROUNDS):
+    """Distributed BPE tokenizer training: learn the first ``rounds``
+    byte-pair merges of the corpus — the vocabulary-construction step of
+    every modern LLM data pipeline, run as a Ray pipeline over the WORD-
+    TYPE table (count once, merge on types — the standard Sennrich trick,
+    and the scale win: the type table is orders of magnitude smaller than
+    the corpus).
+
+    Per round: adjacent-symbol pair counts (batch-local pandas partials,
+    bounded (s1, s2) groupby-sum), global argmax via local-head
+    :func:`..stages.gridops.topk` (ties (total DESC, s1, s2) — identical
+    to the oracle's ORDER BY), then one vectorized merge application over
+    the type table, re-materialized so later rounds never recompute
+    earlier ones.  Merge semantics (shared with the SQL twin, both
+    left-to-right non-overlapping ``replace`` on the space-joined symbol
+    string with sentinel spaces): a run like ``a a a`` merges once —
+    documented deviation from run-greedy BPE, chosen because Python
+    ``str.replace`` and DuckDB ``replace`` implement it identically, so
+    the whole training loop is bit-exact cross-engine.
+    -> (rank, left_sym, right_sym, merged, pair_count)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .gridops import topk
+
+    words = _word_histogram(docs_ds)
+
+    def init_seq(batch: pa.Table) -> pa.Table:
+        seq = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            batch.column("word"), pattern="(.)", replacement=r"\1 "))
+        return batch.append_column("seq", seq)
+
+    words = words.map_batches(init_seq, batch_format="pyarrow").materialize()
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern(batch.column("seq"), " ")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.flatten().to_numpy(zero_copy_only=False)
+        lens = split.value_lengths().to_numpy(zero_copy_only=False)
+        cnt = batch.column("cnt").to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table({"s1": pa.array([], pa.string()),
+                             "s2": pa.array([], pa.string()),
+                             "total": pa.array([], pa.int64())})
+        mask = np.ones(len(flat), bool)
+        mask[np.cumsum(lens) - 1] = False  # last symbol of each word: no pair
+        i = np.nonzero(mask)[0]
+        df = pd.DataFrame(
+            {
+                "s1": flat[i],
+                "s2": flat[i + 1],
+                "total": np.repeat(cnt, np.maximum(lens - 1, 0)),
+            }
+        )
+        g = df.groupby(["s1", "s2"], sort=False)["total"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out_rank, out_l, out_r, out_m, out_c = [], [], [], [], []
+    for r in range(1, rounds + 1):
+        pairs = (
+            words.map_batches(pair_partial, batch_format="pyarrow")
+            .groupby(["s1", "s2"])
+            .aggregate(Sum("total", alias_name="total"))
+        )
+        top = topk(pairs, k=1, by="total", tie_cols=("s1", "s2")).take_all()
+        if not top:  # nothing left to merge (all words single-symbol)
+            break
+        a, b = str(top[0]["s1"]), str(top[0]["s2"])
+        out_rank.append(r)
+        out_l.append(a)
+        out_r.append(b)
+        out_m.append(a + b)
+        out_c.append(int(top[0]["total"]))
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+
+        def apply(batch: pa.Table, pat=pat, rep=rep) -> pa.Table:
+            s = batch.column("seq").to_pandas()
+            s = (" " + s + " ").str.replace(pat, rep, regex=False).str.strip()
+            idx = batch.column_names.index("seq")
+            return batch.set_column(idx, "seq", pa.array(s, pa.string()))
+
+        words = words.map_batches(apply, batch_format="pyarrow").materialize()
+
+    return pa.table(
+        {
+            "rank": pa.array(out_rank, pa.int64()),
+            "left_sym": pa.array(out_l, pa.string()),
+            "right_sym": pa.array(out_r, pa.string()),
+            "merged": pa.array(out_m, pa.string()),
+            "pair_count": pa.array(out_c, pa.int64()),
+        }
+    )
+
+
 BUCKET_QS = (1.0 / 3.0, 2.0 / 3.0)
 
 

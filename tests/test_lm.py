@@ -105,3 +105,46 @@ def test_ccnet_buckets_monotone_and_exhaustive():
     expect = np.where(out["score_fp"] > t2, "head",
                       np.where(out["score_fp"] > t1, "middle", "tail"))
     assert (out["bucket"].to_numpy() == expect).all()
+
+
+def test_bpe_merges_hand_corpus():
+    """Hand-traced BPE on a tiny corpus: 'low low lower' -> word types
+    low:2, lower:1.  Round 1 pairs: (l,o):3, (o,w):3 -> tie broken (s1,s2)
+    ascending picks (l,o) -> 'lo'.  Round 2: (lo,w):3 wins -> 'low'.
+    Round 3: (low,e):1, (e,r):1 -> (e,r) wins -> 'er'."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.lm import bpe_merges
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["low low", "lower"], pa.string()),
+    }))
+    out = bpe_merges(ds, rounds=3).to_pandas()
+    assert list(zip(out["left_sym"], out["right_sym"], out["merged"])) == [
+        ("l", "o", "lo"), ("lo", "w", "low"), ("e", "r", "er")]
+    assert out["pair_count"].tolist() == [3, 3, 1]
+
+
+def test_bpe_merges_run_semantics_and_early_stop():
+    """'aaa': round-1 pair (a,a) counted twice (overlapping lead-chain)
+    but the sentinel replace merges once -> 'aa a'; round 2 merges
+    (aa,a).  A single-char corpus stops early with zero rows."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.lm import bpe_merges
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["aaa"], pa.string()),
+    }))
+    out = bpe_merges(ds, rounds=2).to_pandas()
+    assert out["merged"].tolist() == ["aa", "aaa"]
+    assert out["pair_count"].tolist() == [2, 1]
+
+    single = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array(["a b c", ""], pa.string())[0:1],
+    }))
+    out2 = bpe_merges(single, rounds=2).to_pandas()
+    assert len(out2) == 0
