@@ -609,6 +609,18 @@ def _q_bpe_merges(sf_dir: str):
     return bpe_merges(read_documents(sf_dir, columns=("doc_id", "text")))
 
 
+def _q_bpe_tokenize(sf_dir: str):
+    """Tokenize the corpus with the merges learned by bpe_merges (train +
+    apply in one pipeline): per-doc token counts under the learned
+    tokenizer — the corpus-sizing pass of a training run."""
+    from cuda_gis_smoothing_ray.stages.lm import bpe_merges, bpe_tokenize
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    docs = read_documents(sf_dir, columns=("doc_id", "text"))
+    merges = bpe_merges(docs)
+    return bpe_tokenize(docs, merges).sort("doc_id")
+
+
 def _q_ccnet_buckets(sf_dir: str):
     """CCNet head/middle/tail perplexity bucketing: bigram-LM scores,
     exact tercile thresholds via the value-histogram quantile plan, one
@@ -1971,6 +1983,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score": _q_lm_score,
         "ccnet_buckets": _q_ccnet_buckets,
         "bpe_merges": _q_bpe_merges,
+        "bpe_tokenize": _q_bpe_tokenize,
         "collapse_repeats": _q_collapse_repeats,
         "triangle_counts": _q_triangles,
         "dup_ngram_stats": _q_dup_ngrams,
@@ -2140,6 +2153,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_score": oc.lm_score_sql(),
         "ccnet_buckets": oc.ccnet_buckets_sql(),
         "bpe_merges": oc.bpe_merges_sql(),
+        "bpe_tokenize": oc.bpe_tokenize_sql(),
         "collapse_repeats": oc.collapse_repeats_sql(),
         "triangle_counts": oc.triangles_sql(),
         "dup_ngram_stats": oc.dup_ngram_stats_sql(),

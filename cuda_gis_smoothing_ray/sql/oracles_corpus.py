@@ -2316,15 +2316,10 @@ FROM ranked WHERE rn = 1
 ORDER BY url"""
 
 
-def bpe_merges_sql(rounds: int | None = None) -> str:
-    """Oracle of stages/lm.bpe_merges: the word-type histogram, then
-    ``rounds`` unrolled merge supersteps — lead-chain adjacent-pair counts,
-    (total DESC, s1, s2) argmax, sentinel-space ``replace`` application
-    (DuckDB replace == Python str.replace, left-to-right non-overlapping,
-    so the loop is bit-exact cross-engine)."""
-    from ..stages import lm
-
-    rounds = lm.BPE_ROUNDS if rounds is None else rounds
+def _bpe_chain(rounds: int) -> str:
+    """The shared BPE-training CTE chain: word-type histogram ``w0`` plus
+    ``rounds`` unrolled merge supersteps ending in ``b{r}`` (the round's
+    winning pair) and ``w{r}`` (the merged type table)."""
     steps = []
     prev = "w0"
     for r in range(1, rounds + 1):
@@ -2350,12 +2345,8 @@ def bpe_merges_sql(rounds: int | None = None) -> str:
   FROM {prev}
 )""")
         prev = f"w{r}"
-    union = "\nUNION ALL\n".join(
-        f"SELECT rank, s1, s2, merged, total FROM b{r}"
-        for r in range(1, rounds + 1)
-    )
     chain = ",\n".join(steps)
-    return f"""WITH toks AS (
+    return f"""toks AS (
   SELECT unnest(list_filter(regexp_split_to_array(text, '\\s+'),
                             s -> s != '')) AS word
   FROM documents
@@ -2364,11 +2355,58 @@ def bpe_merges_sql(rounds: int | None = None) -> str:
     array_to_string(string_split(word, ''), ' ') AS seq
   FROM toks GROUP BY word
 ),
-{chain}
+{chain}"""
+
+
+def bpe_merges_sql(rounds: int | None = None) -> str:
+    """Oracle of stages/lm.bpe_merges: the word-type histogram, then
+    ``rounds`` unrolled merge supersteps — lead-chain adjacent-pair counts,
+    (total DESC, s1, s2) argmax, sentinel-space ``replace`` application
+    (DuckDB replace == Python str.replace, left-to-right non-overlapping,
+    so the loop is bit-exact cross-engine)."""
+    from ..stages import lm
+
+    rounds = lm.BPE_ROUNDS if rounds is None else rounds
+    union = "\nUNION ALL\n".join(
+        f"SELECT rank, s1, s2, merged, total FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return f"""WITH {_bpe_chain(rounds)}
 SELECT rank, s1 AS left_sym, s2 AS right_sym, merged,
   CAST(total AS BIGINT) AS pair_count
 FROM ({union})
 ORDER BY rank"""
+
+
+def bpe_tokenize_sql(rounds: int | None = None) -> str:
+    """Oracle of stages/lm.bpe_tokenize: the learned merges (the shared
+    chain's b1..bN) applied in rank order to every document's words via
+    the same sentinel-space nested replace; token count per word = spaces
+    in the final sequence minus one; zero for empty documents."""
+    from ..stages import lm
+
+    rounds = lm.BPE_ROUNDS if rounds is None else rounds
+    expr = "' ' || array_to_string(string_split(word, ''), ' ') || ' '"
+    for r in range(1, rounds + 1):
+        expr = (f"replace({expr}, "
+                f"(SELECT ' ' || s1 || ' ' || s2 || ' ' FROM b{r}), "
+                f"(SELECT ' ' || merged || ' ' FROM b{r}))")
+    return f"""WITH {_bpe_chain(rounds)},
+dtok AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                       s -> s != '')) AS word
+  FROM documents
+), applied AS (
+  SELECT doc_id, {expr} AS s FROM dtok
+), per_doc AS (
+  SELECT doc_id,
+    CAST(sum(length(s) - length(replace(s, ' ', '')) - 1) AS BIGINT) AS n
+  FROM applied GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(coalesce(p.n, 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY d.doc_id"""
 
 
 def ccnet_buckets_sql() -> str:

@@ -373,6 +373,50 @@ def bpe_merges(docs_ds, rounds: int = BPE_ROUNDS):
     )
 
 
+def bpe_tokenize(docs_ds, merges: pa.Table):
+    """Apply a learned BPE merge table (:func:`bpe_merges` output, applied
+    in rank order with the same sentinel-space replace semantics) to every
+    document and count the resulting tokens — the "how many tokens is this
+    corpus under MY tokenizer" pass that sizes every training run.
+
+    The merge table is rank-ordered and tiny (it rides the task closure);
+    per batch everything is Arrow-vectorized except the per-merge
+    ``pandas.str.replace`` passes (C-level per element, one per learned
+    merge).  -> (doc_id, n_tokens) with 0 for empty documents."""
+    import pyarrow.compute as pc
+
+    pats = [(f" {l} {r} ", f" {m} ") for l, r, m in zip(
+        merges.column("left_sym").to_pylist(),
+        merges.column("right_sym").to_pylist(),
+        merges.column("merged").to_pylist())]
+
+    def f(batch: pa.Table) -> pa.Table:
+        split = pc.split_pattern_regex(
+            pc.fill_null(batch.column("text"), ""), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.flatten()
+        lens = split.value_lengths().to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        owner = np.repeat(np.arange(len(batch), dtype=np.int64), lens)[keep]
+        words = flat.filter(pa.array(keep))
+        seq = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            words, pattern="(.)", replacement=r"\1 "))
+        s = (" " + seq.to_pandas() + " ")
+        for pat, rep in pats:
+            s = s.str.replace(pat, rep, regex=False)
+        arr = pa.array(s, pa.string())
+        # tokens per word = separator spaces - 1 (sentinels contribute 2)
+        per_word = pc.count_substring(arr, " ").to_numpy(
+            zero_copy_only=False) - 1
+        n = np.bincount(owner, weights=per_word.astype(np.float64),
+                        minlength=len(batch)).astype(np.int64)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens": pa.array(n)})
+
+    return docs_ds.map_batches(f, batch_format="pyarrow")
+
+
 BUCKET_QS = (1.0 / 3.0, 2.0 / 3.0)
 
 

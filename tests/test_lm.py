@@ -148,3 +148,19 @@ def test_bpe_merges_run_semantics_and_early_stop():
     }))
     out2 = bpe_merges(single, rounds=2).to_pandas()
     assert len(out2) == 0
+
+
+def test_bpe_tokenize_applies_learned_merges():
+    """With merges (lo, low, er): 'low low' -> 2 tokens; 'lower' ->
+    'low er' -> 2 tokens; an empty doc counts 0."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.lm import bpe_merges, bpe_tokenize
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["low low", "lower", ""], pa.string()),
+    }))
+    merges = bpe_merges(ds, rounds=3)
+    out = bpe_tokenize(ds, merges).to_pandas().sort_values("doc_id")
+    assert out["n_tokens"].tolist() == [2, 2, 0]
