@@ -103,3 +103,49 @@ def test_wav_roundtrip_any_samples(n, rate, seed):
     s = rng.integers(-32768, 32768, size=n).astype(np.int16)
     out, r = decode_wav(encode_wav(s, rate))
     assert r == rate and len(out) == n and (out == s).all()
+
+
+def _brute_bpe(texts: list[str], rounds: int):
+    """Reference BPE with the engine's documented semantics: word-type
+    histogram; per round overlapping lead-chain pair counts, argmax by
+    (total DESC, s1, s2), sentinel-space str.replace application."""
+    from collections import Counter
+
+    words = Counter(w for t in texts for w in t.split())
+    seqs = {w: " ".join(w) for w in words}
+    merges = []
+    for _ in range(rounds):
+        pairs = Counter()
+        for w, cnt in words.items():
+            syms = seqs[w].split(" ")
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += cnt
+        if not pairs:
+            break
+        (a, b), tot = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((a, b, a + b, tot))
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        seqs = {w: (" " + s + " ").replace(pat, rep).strip()
+                for w, s in seqs.items()}
+    return merges
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(
+    st.text(alphabet="abcd", min_size=0, max_size=6), min_size=1, max_size=12
+).map(lambda ws: " ".join(ws)), st.integers(1, 4))
+def test_bpe_merges_matches_brute(text, rounds):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.lm import bpe_merges
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "text": pa.array([text], pa.string()),
+    }))
+    got = bpe_merges(ds, rounds=rounds).to_pandas()
+    want = _brute_bpe([text], rounds)
+    assert list(zip(got["left_sym"], got["right_sym"], got["merged"],
+                    got["pair_count"])) == want
