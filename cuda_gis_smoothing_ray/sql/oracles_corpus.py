@@ -2340,8 +2340,10 @@ def _bpe_chain(rounds: int) -> str:
 ), w{r} AS MATERIALIZED (
   SELECT word, cnt,
     trim(replace(' ' || seq || ' ',
-                 (SELECT ' ' || s1 || ' ' || s2 || ' ' FROM b{r}),
-                 (SELECT ' ' || merged || ' ' FROM b{r}))) AS seq
+                 coalesce((SELECT ' ' || s1 || ' ' || s2 || ' ' FROM b{r}),
+                          '  '),
+                 coalesce((SELECT ' ' || merged || ' ' FROM b{r}),
+                          '  '))) AS seq
   FROM {prev}
 )""")
         prev = f"w{r}"
@@ -2388,9 +2390,13 @@ def bpe_tokenize_sql(rounds: int | None = None) -> str:
     rounds = lm.BPE_ROUNDS if rounds is None else rounds
     expr = "' ' || array_to_string(string_split(word, ''), ' ') || ' '"
     for r in range(1, rounds + 1):
+        # empty b{r} (merges exhausted early): coalesce to the '  ' no-op
+        # pattern — sequences are single-spaced, so nothing matches and
+        # NULL never wipes the whole column
         expr = (f"replace({expr}, "
-                f"(SELECT ' ' || s1 || ' ' || s2 || ' ' FROM b{r}), "
-                f"(SELECT ' ' || merged || ' ' FROM b{r}))")
+                f"coalesce((SELECT ' ' || s1 || ' ' || s2 || ' ' FROM b{r}),"
+                f" '  '), "
+                f"coalesce((SELECT ' ' || merged || ' ' FROM b{r}), '  '))")
     return f"""WITH {_bpe_chain(rounds)},
 dtok AS (
   SELECT doc_id,

@@ -51,7 +51,8 @@ def _tokens(batch: pa.Table):
     import pyarrow.compute as pc
 
     n = len(batch)
-    split = pc.split_pattern_regex(batch.column("text"), r"\s+")
+    split = pc.split_pattern_regex(pc.fill_null(batch.column("text"), ""),
+                                   r"\s+")
     if isinstance(split, pa.ChunkedArray):
         split = split.combine_chunks()
     counts = split.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
@@ -245,17 +246,10 @@ def _word_histogram(docs_ds):
     """documents -> (word, cnt) over the shared whitespace tokenization:
     batch-local counts, poly_hash64 word partitions, one pandas merge per
     partition — only (word, partial-count) rows shuffle."""
-    import pyarrow.compute as pc
-
     from ..functions.hashing import poly_hash64
 
     def partial(batch: pa.Table) -> pa.Table:
-        split = pc.split_pattern_regex(
-            pc.fill_null(batch.column("text"), ""), r"\s+")
-        if isinstance(split, pa.ChunkedArray):
-            split = split.combine_chunks()
-        flat = split.flatten()
-        flat = flat.filter(pc.not_equal(flat, ""))
+        _, flat = _tokens(batch)
         vals, cnts = np.unique(flat.to_numpy(zero_copy_only=False),
                                return_counts=True)
         part = poly_hash64(pa.array(vals, pa.string())) % np.uint64(_BPE_PARTS)
@@ -306,8 +300,12 @@ def bpe_merges(docs_ds, rounds: int = BPE_ROUNDS):
     words = _word_histogram(docs_ds)
 
     def init_seq(batch: pa.Table) -> pa.Table:
-        seq = pc.utf8_trim_whitespace(pc.replace_substring_regex(
-            batch.column("word"), pattern="(.)", replacement=r"\1 "))
+        # rtrim ONE kind of char — the ' ' separator — so words containing
+        # exotic whitespace codepoints (which survive the RE2 \s+ split)
+        # keep them as symbols, exactly like the oracle's array_to_string
+        seq = pc.utf8_rtrim(pc.replace_substring_regex(
+            batch.column("word"), pattern="(.)", replacement=r"\1 "),
+            characters=" ")
         return batch.append_column("seq", seq)
 
     words = words.map_batches(init_seq, batch_format="pyarrow").materialize()
@@ -326,6 +324,10 @@ def bpe_merges(docs_ds, rounds: int = BPE_ROUNDS):
         mask = np.ones(len(flat), bool)
         mask[np.cumsum(lens) - 1] = False  # last symbol of each word: no pair
         i = np.nonzero(mask)[0]
+        if len(i) == 0:  # typed empty (from_pandas would infer null cols)
+            return pa.table({"s1": pa.array([], pa.string()),
+                             "s2": pa.array([], pa.string()),
+                             "total": pa.array([], pa.int64())})
         df = pd.DataFrame(
             {
                 "s1": flat[i],
@@ -356,7 +358,9 @@ def bpe_merges(docs_ds, rounds: int = BPE_ROUNDS):
 
         def apply(batch: pa.Table, pat=pat, rep=rep) -> pa.Table:
             s = batch.column("seq").to_pandas()
-            s = (" " + s + " ").str.replace(pat, rep, regex=False).str.strip()
+            # strip(' ') not strip(): only the sentinel separators, never a
+            # whitespace SYMBOL at a word edge (SQL trim() is spaces-only)
+            s = (" " + s + " ").str.replace(pat, rep, regex=False).str.strip(" ")
             idx = batch.column_names.index("seq")
             return batch.set_column(idx, "seq", pa.array(s, pa.string()))
 
@@ -380,9 +384,11 @@ def bpe_tokenize(docs_ds, merges: pa.Table):
     corpus under MY tokenizer" pass that sizes every training run.
 
     The merge table is rank-ordered and tiny (it rides the task closure);
-    per batch everything is Arrow-vectorized except the per-merge
-    ``pandas.str.replace`` passes (C-level per element, one per learned
-    merge).  -> (doc_id, n_tokens) with 0 for empty documents."""
+    per batch the merges run over the batch's UNIQUE words only (the same
+    type/token compression the trainer exploits — word-soup corpora repeat
+    words heavily) and token counts map back through the inverse index;
+    everything else is Arrow-vectorized.  -> (doc_id, n_tokens) with 0 for
+    empty documents."""
     import pyarrow.compute as pc
 
     pats = [(f" {l} {r} ", f" {m} ") for l, r, m in zip(
@@ -391,25 +397,20 @@ def bpe_tokenize(docs_ds, merges: pa.Table):
         merges.column("merged").to_pylist())]
 
     def f(batch: pa.Table) -> pa.Table:
-        split = pc.split_pattern_regex(
-            pc.fill_null(batch.column("text"), ""), r"\s+")
-        if isinstance(split, pa.ChunkedArray):
-            split = split.combine_chunks()
-        flat = split.flatten()
-        lens = split.value_lengths().to_numpy(zero_copy_only=False)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        owner = np.repeat(np.arange(len(batch), dtype=np.int64), lens)[keep]
-        words = flat.filter(pa.array(keep))
-        seq = pc.utf8_trim_whitespace(pc.replace_substring_regex(
-            words, pattern="(.)", replacement=r"\1 "))
+        owner, words = _tokens(batch)
+        uniq, inv = np.unique(words.to_numpy(zero_copy_only=False),
+                              return_inverse=True)
+        seq = pc.utf8_rtrim(pc.replace_substring_regex(
+            pa.array(uniq, pa.string()), pattern="(.)", replacement=r"\1 "),
+            characters=" ")
         s = (" " + seq.to_pandas() + " ")
         for pat, rep in pats:
             s = s.str.replace(pat, rep, regex=False)
         arr = pa.array(s, pa.string())
-        # tokens per word = separator spaces - 1 (sentinels contribute 2)
-        per_word = pc.count_substring(arr, " ").to_numpy(
+        # tokens per unique word = separator spaces - 1 (sentinels add 2)
+        per_uniq = pc.count_substring(arr, " ").to_numpy(
             zero_copy_only=False) - 1
-        n = np.bincount(owner, weights=per_word.astype(np.float64),
+        n = np.bincount(owner, weights=per_uniq[inv].astype(np.float64),
                         minlength=len(batch)).astype(np.int64)
         return pa.table({"doc_id": batch.column("doc_id"),
                          "n_tokens": pa.array(n)})

@@ -164,3 +164,32 @@ def test_bpe_tokenize_applies_learned_merges():
     merges = bpe_merges(ds, rounds=3)
     out = bpe_tokenize(ds, merges).to_pandas().sort_values("doc_id")
     assert out["n_tokens"].tolist() == [2, 2, 0]
+
+
+def test_bpe_exotic_whitespace_symbol_survives():
+    """A vertical tab survives the RE2 \\s+ split as a word character; the
+    engine must keep it as a BPE symbol (ASCII-space-only trims), matching
+    the SQL twin's array_to_string/trim semantics."""
+    import duckdb
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.sql import oracles_corpus as oc
+    from cuda_gis_smoothing_ray.stages.lm import bpe_merges, bpe_tokenize
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a\x0b a\x0b", "a\x0bz"], pa.string()),
+    })
+    ds = rd.from_arrow(docs)
+    got = bpe_merges(ds, rounds=2).to_pandas()
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.sql(oc.bpe_merges_sql(rounds=2)).df()
+    assert got["merged"].tolist() == want["merged"].tolist()
+    assert got["pair_count"].tolist() == want["pair_count"].tolist()
+    # the merged symbol contains the raw \x0b byte
+    assert got["merged"].tolist()[0] == "a\x0b"
+    tok = bpe_tokenize(ds, bpe_merges(ds, rounds=2)).to_pandas().sort_values(
+        "doc_id")
+    wtok = con.sql(oc.bpe_tokenize_sql(rounds=2)).df().sort_values("doc_id")
+    assert tok["n_tokens"].tolist() == wtok["n_tokens"].tolist()

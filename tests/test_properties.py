@@ -126,7 +126,7 @@ def _brute_bpe(texts: list[str], rounds: int):
             pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
         merges.append((a, b, a + b, tot))
         pat, rep = f" {a} {b} ", f" {a}{b} "
-        seqs = {w: (" " + s + " ").replace(pat, rep).strip()
+        seqs = {w: (" " + s + " ").replace(pat, rep).strip(" ")
                 for w, s in seqs.items()}
     return merges
 
