@@ -356,6 +356,14 @@ def _q_pip(sf_dir: str):
     return pip_join(_geocoded(sf_dir)).sort(["page_id", "poly_id"])
 
 
+def _q_pip_holes(sf_dir: str):
+    """PIP against multiring polygons with interior HOLES: even-odd
+    crossing parity over all rings — points in a hole are excluded."""
+    from cuda_gis_smoothing_ray.stages.pip import pip_join_holes
+
+    return pip_join_holes(_geocoded(sf_dir)).sort(["page_id", "poly_id"])
+
+
 def _q_knn(sf_dir: str):
     from cuda_gis_smoothing_ray.stages.knn import knn_broadcast
 
@@ -1949,6 +1957,7 @@ def _q_sessionize(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
         "pip_join": _q_pip,
+        "pip_join_holes": _q_pip_holes,
         "knn_join": _q_knn,
         "polyfill": _q_polyfill,
         "distance_join": _q_distance_join,
@@ -2272,6 +2281,7 @@ def oracle_sql() -> dict[str, str]:
         # surfaced by the ann_recall query below.  minhash_pairs /
         # simhash_pairs are SQL-checked at production parameters (above).
         "pip_join": o.pip_join_sql(RES),
+        "pip_join_holes": o.pip_join_holes_sql(RES),
         "polyfill": o.polyfill_sql(RES),
         "distance_join": o.distance_join_sql(RES, 1.0),
         "zonal_stats": o.zonal_stats_sql(RES),

@@ -313,6 +313,33 @@ WHERE n_cross % 2 = 1
 ORDER BY page_id, poly_id"""
 
 
+def pip_join_holes_sql(res: int) -> str:
+    """Oracle of stages/pip.pip_join_holes: the SAME crossing-parity query
+    as pip_join_sql over the multiring edge table (outer + hole edges in
+    one table — even-odd handles holes with no extra SQL)."""
+    from ..stages.pip import multiring_edges
+
+    edges = ",\n    ".join(
+        f"({pid}, {D(y1)}, {D(x1)}, {D(y2)}, {D(x2)})"
+        for pid, y1, x1, y2, x2 in multiring_edges()
+    )
+    return f"""{prelude(res)},
+edges(poly_id, y1, x1, y2, x2) AS (VALUES
+    {edges}),
+crossings AS (
+  SELECT p.page_id, e.poly_id, count(*) AS n_cross
+  FROM geocoded p
+  JOIN edges e
+    ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+   AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+  GROUP BY p.page_id, e.poly_id
+)
+SELECT page_id, poly_id
+FROM crossings
+WHERE n_cross % 2 = 1
+ORDER BY page_id, poly_id"""
+
+
 def knn_join_sql(res: int, k: int) -> str:
     from ..stages.knn import QUERY_POINTS
 

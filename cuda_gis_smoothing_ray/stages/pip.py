@@ -49,6 +49,48 @@ def polygon_edges(polys=None) -> list[tuple[int, float, float, float, float]]:
     return rows
 
 
+#: (poly_id, [ring, ...]) — ring 0 is the OUTER boundary, later rings are
+#: HOLES (interior rings).  Even-odd crossing parity over ALL rings' edges
+#: is the standard multiring semantics: inside the outer ring XOR inside a
+#: hole.  Constants shared with the SQL generator.
+POLYGONS_HOLES: list[tuple[int, list[list[tuple[float, float]]]]] = [
+    # the North-America box with a rectangular hole over its center mass
+    (11, [[(30.0, -110.0), (30.0, -85.0), (48.0, -85.0), (48.0, -110.0)],
+          [(36.0, -102.0), (36.0, -92.0), (42.0, -92.0), (42.0, -102.0)]]),
+    # the Europe L with a small hole over its western lobe
+    (12, [[(42.0, -5.0), (42.0, 12.0), (49.0, 12.0), (49.0, 22.0),
+           (56.0, 22.0), (56.0, -5.0)],
+          [(45.0, 0.0), (45.0, 8.0), (48.0, 8.0), (48.0, 0.0)]]),
+    # the India pentagon with a central hole
+    (13, [[(8.0, 70.0), (8.0, 88.0), (22.0, 92.0), (32.0, 79.0),
+           (22.0, 66.0)],
+          [(14.0, 74.0), (14.0, 84.0), (20.0, 84.0), (20.0, 74.0)]]),
+]
+
+
+def multiring_edges(polys=None) -> list[tuple[int, float, float, float, float]]:
+    """Flatten multiring polygons to (poly_id, y1, x1, y2, x2) edge rows —
+    outer AND hole edges in one table (crossing parity handles the rest)."""
+    rows = []
+    for pid, rings in polys or POLYGONS_HOLES:
+        for ring in rings:
+            for i in range(len(ring)):
+                y1, x1 = ring[i]
+                y2, x2 = ring[(i + 1) % len(ring)]
+                rows.append((pid, y1, x1, y2, x2))
+    return rows
+
+
+def points_in_rings(lat: np.ndarray, lon: np.ndarray,
+                    rings: list[list[tuple[float, float]]]) -> np.ndarray:
+    """Even-odd test against a multiring polygon: XOR of the per-ring ray
+    casts = inside the outer boundary and NOT inside any hole."""
+    inside = np.zeros(len(lat), dtype=bool)
+    for ring in rings:
+        inside ^= points_in_polygon(lat, lon, ring)
+    return inside
+
+
 def points_in_polygon(lat: np.ndarray, lon: np.ndarray, ring: list[tuple[float, float]]) -> np.ndarray:
     """Vectorized even-odd ray cast of many points against one ring."""
     inside = np.zeros(len(lat), dtype=bool)
@@ -119,6 +161,77 @@ class PIPJoin:
         return pa.table(
             {self.id_col: pa.array([], pa.int64()), "poly_id": pa.array([], pa.int64())}
         )
+
+
+class PIPHolesJoin:
+    """Task-stage joiner for multiring (holed) polygons: bbox prefilter on
+    the OUTER ring (holes lie inside it by construction), exact even-odd
+    cast over all rings on the survivors.  Same broadcast-small-side /
+    per-worker-cached-state shape as :class:`PIPJoin`."""
+
+    def __init__(self, polys=None, id_col: str = "page_id"):
+        self.id_col = id_col
+        self.polys = polys or POLYGONS_HOLES
+        self.bboxes = [
+            (
+                pid,
+                min(p[0] for p in rings[0]),
+                max(p[0] for p in rings[0]),
+                min(p[1] for p in rings[0]),
+                max(p[1] for p in rings[0]),
+            )
+            for pid, rings in self.polys
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        out_ids, out_pids = [], []
+        for (pid, rings), (_, lat0, lat1, lon0, lon1) in zip(self.polys,
+                                                             self.bboxes):
+            cand = (lat >= lat0) & (lat <= lat1) & (lon >= lon0) & (lon <= lon1)
+            if not cand.any():
+                continue
+            idx = np.nonzero(cand)[0]
+            hit = points_in_rings(lat[idx], lon[idx], rings)
+            sel = idx[hit]
+            out_ids.append(ids[sel])
+            out_pids.append(np.full(len(sel), pid, dtype=np.int64))
+        if out_ids:
+            return pa.table(
+                {
+                    self.id_col: pa.array(np.concatenate(out_ids)),
+                    "poly_id": pa.array(np.concatenate(out_pids)),
+                }
+            )
+        return pa.table(
+            {self.id_col: pa.array([], pa.int64()),
+             "poly_id": pa.array([], pa.int64())}
+        )
+
+
+_HOLE_JOINERS: dict = {}
+
+
+def pip_join_holes(points_ds, polygons=None, id_col: str = "page_id"):
+    """Geocoded points -> (id, poly_id) containment pairs against multiring
+    polygons with interior HOLES — same cached-task / fused-with-upstream
+    plan as :func:`pip_join`; only the membership predicate generalizes
+    (crossing parity over all rings)."""
+    poly_key = None
+    if polygons is not None:
+        poly_key = hash(tuple(
+            (pid, tuple(tuple(r) for r in rings)) for pid, rings in polygons))
+
+    def run(batch: pa.Table) -> pa.Table:
+        j = _HOLE_JOINERS.get((poly_key, id_col))
+        if j is None:
+            j = _HOLE_JOINERS[(poly_key, id_col)] = PIPHolesJoin(
+                polys=polygons, id_col=id_col)
+        return j(batch)
+
+    return points_ds.map_batches(run, batch_format="pyarrow", batch_size=None)
 
 
 _JOINERS: dict = {}

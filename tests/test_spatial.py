@@ -306,3 +306,38 @@ def test_pip_join_indexed_equals_broadcast_pip(points_ds):
     a = set(map(tuple, pip_join_indexed(geo, res=7).to_pandas().itertuples(index=False)))
     b = set(map(tuple, pip_join(geo).to_pandas().itertuples(index=False)))
     assert a == b and len(a) > 0
+
+
+def test_pip_holes_excludes_hole_interior():
+    """Planted points: outer-but-not-hole -> hit; inside the hole -> miss;
+    outside -> miss.  Polygon 11 = NA box with hole (36..42, -102..-92)."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.pip import pip_join_holes
+
+    pts = pa.table({
+        "page_id": pa.array([1, 2, 3], pa.int64()),
+        "lat": pa.array([32.0, 38.0, 50.0], pa.float64()),
+        "lon": pa.array([-100.0, -95.0, -100.0], pa.float64()),
+    })
+    out = pip_join_holes(rd.from_arrow(pts)).to_pandas()
+    assert list(zip(out["page_id"], out["poly_id"])) == [(1, 11)]
+
+
+def test_pip_holes_is_simple_pip_minus_hole(points_ds):
+    """On random points: holed polygon 11 hits a subset of the same-outer
+    simple polygon 1, and every excluded point lies in the hole."""
+    from cuda_gis_smoothing_ray.stages.pip import pip_join, pip_join_holes
+
+    ds, _ = points_ds
+    simple = pip_join(ds).to_pandas()
+    holed = pip_join_holes(ds).to_pandas()
+    s1 = set(simple[simple["poly_id"] == 1]["page_id"])
+    h11 = set(holed[holed["poly_id"] == 11]["page_id"])
+    assert h11 <= s1 and len(h11) > 0
+    excluded = s1 - h11
+    assert len(excluded) > 0  # the hole is non-vacuous on 2000 points
+    pts = ds.to_pandas().set_index("page_id")
+    for pid in excluded:
+        la, lo = pts.loc[pid, "lat"], pts.loc[pid, "lon"]
+        assert 36.0 <= la <= 42.0 and -102.0 <= lo <= -92.0
