@@ -227,6 +227,14 @@ def _q_grid_path(sf_dir: str):
     return grid_path(_cells(sf_dir))
 
 
+def _q_route_corridor(sf_dir: str):
+    """Cells (with page counts) within one ring of the densest-pair hex
+    route: grid_path -> closed-ring dilation -> broadcast cell semi-join."""
+    from cuda_gis_smoothing_ray.stages.gridops import route_corridor
+
+    return route_corridor(_cells(sf_dir), k=1).sort("cell")
+
+
 def _q_local_morans(sf_dir: str):
     """LISA cluster map: per-cell local Moran's I + HH/LL/HL/LH quadrant."""
     from cuda_gis_smoothing_ray.stages.hotspot import local_morans
@@ -2114,6 +2122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bivariate_morans": _q_bivariate_morans,
         "grid_distance": _q_grid_distance,
         "grid_path": _q_grid_path,
+        "route_corridor": _q_route_corridor,
         "spatial_cluster": _q_spatial_cluster,
         "morton_locality": _q_morton_locality,
         "morton_order": _q_morton,
@@ -2314,6 +2323,7 @@ def oracle_sql() -> dict[str, str]:
         "bivariate_morans": o.bivariate_morans_sql(RES, "en_share", "chars_mean", k=1),
         "grid_distance": o.grid_distance_sql(RES),
         "grid_path": o.grid_path_sql(RES),
+        "route_corridor": o.route_corridor_sql(RES, k=1),
         "spatial_cluster": o.spatial_cluster_sql(RES, min_count=2, k=1),
         "morton_locality": o.morton_locality_sql(RES),
         "morton_order": o.morton_sql(RES),

@@ -1063,10 +1063,10 @@ FROM cells c, hot
 ORDER BY cell"""
 
 
-def grid_path_sql(res: int) -> str:
-    """Oracle of gridops.grid_path: cube lerp between the two densest
-    cells with the shared floor(x+0.5) + tie-fix rounding chain (the
-    geocoder's enc1/enc2 CASE logic over the interpolated coordinates)."""
+def _grid_path_chain(res: int) -> str:
+    """The shared route CTE chain ending in ``pathq(i, pq, pr)`` — the hex
+    line between the two densest cells (used by grid_path_sql and
+    route_corridor_sql)."""
     return f"""{prelude(res)},
 ranked AS (
   SELECT q, r, row_number() OVER (ORDER BY page_count DESC, cell) AS rk
@@ -1100,11 +1100,33 @@ pathq AS (
     CAST(CASE WHEN dx > dy AND dx > dz THEN rz
               WHEN dy > dz THEN rz
               ELSE -rx - ry END AS BIGINT) AS pr
-  FROM cr2)
+  FROM cr2)"""
+
+
+def grid_path_sql(res: int) -> str:
+    """Oracle of gridops.grid_path: cube lerp between the two densest
+    cells with the shared floor(x+0.5) + tie-fix rounding chain (the
+    geocoder's enc1/enc2 CASE logic over the interpolated coordinates)."""
+    return f"""{_grid_path_chain(res)}
 SELECT i AS step,
   CAST({res} AS BIGINT) * {1 << 56} + (pq + {hexgrid.OFF}) * {1 << 28} + (pr + {hexgrid.OFF}) AS cell
 FROM pathq
 ORDER BY step"""
+
+
+def route_corridor_sql(res: int, k: int = 1) -> str:
+    """Oracle of gridops.route_corridor: the shared route chain, dilated by
+    the closed k-ring offsets, distinct corridor coordinates joined back to
+    the cell table."""
+    return f"""{_grid_path_chain(res)},
+offsets(dq, dr) AS (VALUES {_ring_offsets_values(k, True)}),
+corridor AS (
+  SELECT DISTINCT p.pq + o.dq AS q, p.pr + o.dr AS r
+  FROM pathq p CROSS JOIN offsets o
+)
+SELECT c.cell, c.page_count
+FROM cells c JOIN corridor USING (q, r)
+ORDER BY c.cell"""
 
 
 def _hilbert_chain(bits: int = 16) -> tuple[str, str]:

@@ -639,6 +639,34 @@ def spatiotemporal_counts(geo_ds):
     )
 
 
+def route_corridor(cells_ds, k: int = 1):
+    """Corridor query: cells (with their page counts) within ``k`` rings of
+    the hex ROUTE between the two densest cells — the compose-three-
+    primitives query (grid_path -> k-ring dilation -> cell semi-join) every
+    "what's near this route" analysis runs.
+
+    The path and its dilated corridor are aggregate-sized (<= grid diameter
+    x ring size) and broadcast in the task closure; the cell table streams
+    through one vectorized sorted-membership filter.
+    -> (cell, page_count) for corridor cells that have pages."""
+    from ..functions import hexgrid
+
+    path = grid_path(cells_ds)
+    pcells = path.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+    corridor = np.unique(
+        hexgrid.kring_cells(pcells, k, include_center=True).ravel())
+
+    def f(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(corridor, cell)
+        hit = (pos < len(corridor))
+        hit &= np.where(hit, corridor[np.minimum(pos, len(corridor) - 1)] == cell,
+                        False)
+        return batch.select(["cell", "page_count"]).filter(pa.array(hit))
+
+    return cells_ds.map_batches(f, batch_format="pyarrow")
+
+
 def mixture_weight(source: str) -> int:
     """Deterministic per-source target weight for :func:`mixture_sample`:
     the numeric suffix of the source name + 1 ('src0' -> 1 ... 'src19' ->
