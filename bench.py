@@ -77,7 +77,17 @@ def headline_queries(sf_dir: str, replicate: int):
                          res=7, batch_size=None)
         return pip_join(geo)
 
-    return {
+    def _latest_capture_volume():
+        # crawl-refresh dedup at volume: argmax over replicate snapshots per
+        # url (NOT in the default headline set — totals stay comparable
+        # across rounds; measure with --one latest_capture_volume)
+        from cuda_gis_smoothing_ray.sources.pages import read_pages
+        from cuda_gis_smoothing_ray.stages.extract import latest_capture
+
+        return latest_capture(
+            read_pages(sf_dir, replicate=replicate, include_html=False))
+
+    qs = {
         "flagship_fused_k1": lambda: flagship(
             sf_dir, res=7, k=1, profile="gaussian", replicate=replicate, fused=True
         ),
@@ -88,6 +98,8 @@ def headline_queries(sf_dir: str, replicate: int):
         "pip_join_volume": _pip_volume,
         "knn_join": _q("knn_join"),
     }
+    qs["__extras__"] = {"latest_capture_volume": _latest_capture_volume}
+    return qs
 
 
 def run_bench(sf_dir: str, num_cpus: int, replicate: int, only: str | None = None,
@@ -107,7 +119,9 @@ def run_bench(sf_dir: str, num_cpus: int, replicate: int, only: str | None = Non
     n_pages = n_docs * replicate
 
     qs = headline_queries(sf_dir, replicate)
+    extras = qs.pop("__extras__", {})
     if only:
+        qs = {**qs, **extras}
         qs = {only: qs[only]}
     if warmup or replicate >= 100:
         # one small pass to warm Ray worker processes / module imports — the
