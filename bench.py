@@ -98,8 +98,8 @@ def headline_queries(sf_dir: str, replicate: int):
         "pip_join_volume": _pip_volume,
         "knn_join": _q("knn_join"),
     }
-    qs["__extras__"] = {"latest_capture_volume": _latest_capture_volume}
-    return qs
+    extras = {"latest_capture_volume": _latest_capture_volume}
+    return qs, extras
 
 
 def run_bench(sf_dir: str, num_cpus: int, replicate: int, only: str | None = None,
@@ -118,11 +118,9 @@ def run_bench(sf_dir: str, num_cpus: int, replicate: int, only: str | None = Non
     n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
     n_pages = n_docs * replicate
 
-    qs = headline_queries(sf_dir, replicate)
-    extras = qs.pop("__extras__", {})
+    qs, extras = headline_queries(sf_dir, replicate)
     if only:
-        qs = {**qs, **extras}
-        qs = {only: qs[only]}
+        qs = {only: {**qs, **extras}[only]}
     if warmup or replicate >= 100:
         # one small pass to warm Ray worker processes / module imports — the
         # reference's own warm-up-then-measure protocol

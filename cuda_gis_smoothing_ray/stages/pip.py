@@ -72,7 +72,9 @@ def multiring_edges(polys=None) -> list[tuple[int, float, float, float, float]]:
     """Flatten multiring polygons to (poly_id, y1, x1, y2, x2) edge rows —
     outer AND hole edges in one table (crossing parity handles the rest)."""
     rows = []
-    for pid, rings in polys or POLYGONS_HOLES:
+    if polys is None:
+        polys = POLYGONS_HOLES
+    for pid, rings in polys:
         for ring in rings:
             for i in range(len(ring)):
                 y1, x1 = ring[i]
@@ -128,26 +130,35 @@ class PIPJoin:
         self.bboxes = [
             (
                 pid,
-                min(p[0] for p in ring),
-                max(p[0] for p in ring),
-                min(p[1] for p in ring),
-                max(p[1] for p in ring),
+                min(p[0] for p in self._outer(shape)),
+                max(p[0] for p in self._outer(shape)),
+                min(p[1] for p in self._outer(shape)),
+                max(p[1] for p in self._outer(shape)),
             )
-            for pid, ring in polys
+            for pid, shape in polys
         ]
+
+    # shape accessors — subclasses generalize the polygon representation
+    @staticmethod
+    def _outer(shape):
+        return shape
+
+    @staticmethod
+    def _test(lat, lon, shape):
+        return points_in_polygon(lat, lon, shape)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
         lon = batch.column("lon").to_numpy(zero_copy_only=False)
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         out_ids, out_pids = [], []
-        for (pid, ring), (_, lat0, lat1, lon0, lon1) in zip(self.polys, self.bboxes):
+        for (pid, shape), (_, lat0, lat1, lon0, lon1) in zip(self.polys, self.bboxes):
             # bbox prefilter (the R-tree stand-in) — exact test on survivors only
             cand = (lat >= lat0) & (lat <= lat1) & (lon >= lon0) & (lon <= lon1)
             if not cand.any():
                 continue
             idx = np.nonzero(cand)[0]
-            hit = points_in_polygon(lat[idx], lon[idx], ring)
+            hit = self._test(lat[idx], lon[idx], shape)
             sel = idx[hit]
             out_ids.append(ids[sel])
             out_pids.append(np.full(len(sel), pid, dtype=np.int64))
@@ -163,55 +174,36 @@ class PIPJoin:
         )
 
 
-class PIPHolesJoin:
-    """Task-stage joiner for multiring (holed) polygons: bbox prefilter on
-    the OUTER ring (holes lie inside it by construction), exact even-odd
-    cast over all rings on the survivors.  Same broadcast-small-side /
-    per-worker-cached-state shape as :class:`PIPJoin`."""
+class PIPHolesJoin(PIPJoin):
+    """Multiring (holed) polygons: bbox prefilter on the OUTER ring (holes
+    lie inside it by construction), exact even-odd cast over all rings on
+    the survivors.  Only the shape accessors differ from :class:`PIPJoin`;
+    the bbox/output machinery is shared."""
 
-    def __init__(self, polys=None, id_col: str = "page_id"):
-        self.id_col = id_col
-        self.polys = polys or POLYGONS_HOLES
-        self.bboxes = [
-            (
-                pid,
-                min(p[0] for p in rings[0]),
-                max(p[0] for p in rings[0]),
-                min(p[1] for p in rings[0]),
-                max(p[1] for p in rings[0]),
-            )
-            for pid, rings in self.polys
-        ]
+    def __init__(self, polygons_ref=None, id_col: str = "page_id",
+                 _polygons=None):
+        if _polygons is None and polygons_ref is None:
+            _polygons = POLYGONS_HOLES  # explicit [] stays empty
+        super().__init__(polygons_ref, id_col, _polygons)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        lat = batch.column("lat").to_numpy(zero_copy_only=False)
-        lon = batch.column("lon").to_numpy(zero_copy_only=False)
-        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
-        out_ids, out_pids = [], []
-        for (pid, rings), (_, lat0, lat1, lon0, lon1) in zip(self.polys,
-                                                             self.bboxes):
-            cand = (lat >= lat0) & (lat <= lat1) & (lon >= lon0) & (lon <= lon1)
-            if not cand.any():
-                continue
-            idx = np.nonzero(cand)[0]
-            hit = points_in_rings(lat[idx], lon[idx], rings)
-            sel = idx[hit]
-            out_ids.append(ids[sel])
-            out_pids.append(np.full(len(sel), pid, dtype=np.int64))
-        if out_ids:
-            return pa.table(
-                {
-                    self.id_col: pa.array(np.concatenate(out_ids)),
-                    "poly_id": pa.array(np.concatenate(out_pids)),
-                }
-            )
-        return pa.table(
-            {self.id_col: pa.array([], pa.int64()),
-             "poly_id": pa.array([], pa.int64())}
-        )
+    @staticmethod
+    def _outer(shape):
+        return shape[0]
+
+    @staticmethod
+    def _test(lat, lon, shape):
+        return points_in_rings(lat, lon, shape)
 
 
-_HOLE_JOINERS: dict = {}
+_JOINERS: dict = {}
+
+
+def _cached_joiner(poly_key, polygons, id_col: str, cls=PIPJoin) -> PIPJoin:
+    j = _JOINERS.get((cls, poly_key, id_col))
+    if j is None:
+        j = _JOINERS[(cls, poly_key, id_col)] = cls(id_col=id_col,
+                                                    _polygons=polygons)
+    return j
 
 
 def pip_join_holes(points_ds, polygons=None, id_col: str = "page_id"):
@@ -223,25 +215,12 @@ def pip_join_holes(points_ds, polygons=None, id_col: str = "page_id"):
     if polygons is not None:
         poly_key = hash(tuple(
             (pid, tuple(tuple(r) for r in rings)) for pid, rings in polygons))
-
-    def run(batch: pa.Table) -> pa.Table:
-        j = _HOLE_JOINERS.get((poly_key, id_col))
-        if j is None:
-            j = _HOLE_JOINERS[(poly_key, id_col)] = PIPHolesJoin(
-                polys=polygons, id_col=id_col)
-        return j(batch)
-
-    return points_ds.map_batches(run, batch_format="pyarrow", batch_size=None)
-
-
-_JOINERS: dict = {}
-
-
-def _cached_joiner(poly_key, polygons, id_col: str) -> PIPJoin:
-    j = _JOINERS.get((poly_key, id_col))
-    if j is None:
-        j = _JOINERS[(poly_key, id_col)] = PIPJoin(id_col=id_col, _polygons=polygons)
-    return j
+    return points_ds.map_batches(
+        lambda batch: _cached_joiner(poly_key, polygons, id_col,
+                                     cls=PIPHolesJoin)(batch),
+        batch_format="pyarrow",
+        batch_size=None,
+    )
 
 
 def pip_join(points_ds, polygons=None, id_col: str = "page_id", concurrency=None,

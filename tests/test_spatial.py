@@ -341,3 +341,13 @@ def test_pip_holes_is_simple_pip_minus_hole(points_ds):
     for pid in excluded:
         la, lo = pts.loc[pid, "lat"], pts.loc[pid, "lon"]
         assert 36.0 <= la <= 42.0 and -102.0 <= lo <= -92.0
+
+
+def test_pip_holes_explicit_empty_polygon_set(points_ds):
+    """polygons=[] means NO polygons (empty result), never the default set
+    (the falsy-fallback regression)."""
+    from cuda_gis_smoothing_ray.stages.pip import pip_join_holes
+
+    ds, _ = points_ds
+    out = pip_join_holes(ds, polygons=[]).to_pandas()
+    assert len(out) == 0
