@@ -890,6 +890,47 @@ def _q_minhash_tiny(sf_dir: str):
     ).sort(["a", "b"])
 
 
+def _q_dedup_recall(sf_dir: str):
+    """Dedup-pipeline EVALUATION: recall/precision of the MinHash-LSH
+    candidate set (tiny bit-exact params, shingle features) against exact
+    word-set Jaccard >= 0.5 ground truth — the candidate-quality readout a
+    production dedup run reports.  Feature spaces intentionally differ
+    (estimator: 3-char shingles; truth: word sets) — this measures the
+    deployed pipeline against the exact metric, not the estimator against
+    itself.  Fully distributed: packed-pair semi-join + three counts."""
+    import math
+
+    from cuda_gis_smoothing_ray.stages import textops
+    from cuda_gis_smoothing_ray.stages.join import hash_semi_join
+
+    t = 0.5
+    ex = textops.jaccard_pairs(_docs(sf_dir), threshold=t, max_df=None)
+    mh = textops.minhash_pairs(_docs(sf_dir), threshold=t, num_perms=4,
+                               shingle_k=3, bands=2)
+
+    def pack(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"k": pa.array(a * (np.int64(1) << np.int64(32)) + b)})
+
+    exk = ex.map_batches(pack, batch_format="pyarrow")
+    mhk = mh.map_batches(pack, batch_format="pyarrow")
+    n_hit = hash_semi_join(mhk, exk, left_key="k").count()
+    n_true = ex.count()
+    n_cand = mh.count()
+    recall = (math.floor(n_hit / n_true * 1e6 + 0.5) / 1e6) if n_true else 0.0
+    prec = (math.floor(n_hit / n_cand * 1e6 + 0.5) / 1e6) if n_cand else 0.0
+    return pa.table(
+        {
+            "n_true": pa.array([n_true], pa.int64()),
+            "n_candidates": pa.array([n_cand], pa.int64()),
+            "n_hit": pa.array([n_hit], pa.int64()),
+            "recall": pa.array([recall], pa.float64()),
+            "precision": pa.array([prec], pa.float64()),
+        }
+    )
+
+
 def _q_simhash_tiny(sf_dir: str):
     """SQL-checkable SimHash: md5 token hashes (identical in DuckDB)."""
     from cuda_gis_smoothing_ray.stages import textops
@@ -2024,6 +2065,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "profile_documents": _q_profile,
         "minhash_pairs_tiny": _q_minhash_tiny,
+        "dedup_recall": _q_dedup_recall,
         "simhash_pairs_tiny": _q_simhash_tiny,
         "dedup_components": _q_dedup_components,
         "neardup_components": _q_neardup_components,
@@ -2199,6 +2241,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": oc.pack_sequences_sql(),
         "profile_documents": oc.profile_documents_sql(),
         "minhash_pairs_tiny": oc.minhash_pairs_tiny_sql(0.5, 4, 3, 2),
+        "dedup_recall": oc.dedup_recall_sql(0.5),
         "simhash_pairs_tiny": oc.simhash_pairs_tiny_sql(),
         # production parameters: the same parametric HUGEINT CTEs, scaled
         # to 64 perms / 5-shingles / 16 bands (minhash) and the vectorized

@@ -2316,6 +2316,32 @@ FROM ranked WHERE rn = 1
 ORDER BY url"""
 
 
+def dedup_recall_sql(threshold: float = 0.5) -> str:
+    """Oracle of the dedup-evaluation query: MinHash-LSH candidates (tiny
+    bit-exact params) scored against exact word-set Jaccard >= threshold
+    ground truth — counts + floor-rounded recall/precision."""
+    mh_sql = minhash_pairs_tiny_sql(threshold, 4, 3, 2)
+    ex_sql = jaccard_pairs_sql(threshold)
+    return f"""WITH mh AS MATERIALIZED (
+  SELECT a, b FROM ({mh_sql})
+), ex AS MATERIALIZED (
+  SELECT a, b FROM ({ex_sql})
+), c AS (
+  SELECT
+    CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_true,
+    CAST((SELECT count(*) FROM mh) AS BIGINT) AS n_candidates,
+    CAST((SELECT count(*) FROM mh JOIN ex USING (a, b)) AS BIGINT) AS n_hit
+)
+SELECT n_true, n_candidates, n_hit,
+  CASE WHEN n_true = 0 THEN 0.0
+       ELSE floor(CAST(n_hit AS DOUBLE) / n_true * 1000000 + 0.5) / 1000000
+  END AS recall,
+  CASE WHEN n_candidates = 0 THEN 0.0
+       ELSE floor(CAST(n_hit AS DOUBLE) / n_candidates * 1000000 + 0.5)
+            / 1000000 END AS precision
+FROM c"""
+
+
 def _bpe_chain(rounds: int) -> str:
     """The shared BPE-training CTE chain: word-type histogram ``w0`` plus
     ``rounds`` unrolled merge supersteps ending in ``b{r}`` (the round's
