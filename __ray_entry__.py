@@ -890,6 +890,15 @@ def _q_minhash_tiny(sf_dir: str):
     ).sort(["a", "b"])
 
 
+def _q_linear_probe(sf_dir: str):
+    """Distributed OLS linear probe (n_chars ~ n_tokens): exact int64
+    moment shuffle, closed-form normal-equations solve with the SQL twin's
+    float expression tree."""
+    from cuda_gis_smoothing_ray.stages.sketch import linear_probe
+
+    return linear_probe(_docs(sf_dir))
+
+
 def _q_dedup_recall(sf_dir: str):
     """Dedup-pipeline EVALUATION: recall/precision of the MinHash-LSH
     candidate set (tiny bit-exact params, shingle features) against exact
@@ -2066,6 +2075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_documents": _q_profile,
         "minhash_pairs_tiny": _q_minhash_tiny,
         "dedup_recall": _q_dedup_recall,
+        "linear_probe": _q_linear_probe,
         "simhash_pairs_tiny": _q_simhash_tiny,
         "dedup_components": _q_dedup_components,
         "neardup_components": _q_neardup_components,
@@ -2242,6 +2252,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_documents": oc.profile_documents_sql(),
         "minhash_pairs_tiny": oc.minhash_pairs_tiny_sql(0.5, 4, 3, 2),
         "dedup_recall": oc.dedup_recall_sql(0.5),
+        "linear_probe": oc.linear_probe_sql(),
         "simhash_pairs_tiny": oc.simhash_pairs_tiny_sql(),
         # production parameters: the same parametric HUGEINT CTEs, scaled
         # to 64 perms / 5-shingles / 16 bands (minhash) and the vectorized

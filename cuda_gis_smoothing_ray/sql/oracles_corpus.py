@@ -2316,6 +2316,33 @@ FROM ranked WHERE rn = 1
 ORDER BY url"""
 
 
+def linear_probe_sql() -> str:
+    """Oracle of sketch.linear_probe: exact integer moments, then the
+    IDENTICAL float expression tree (same associativity) for slope /
+    intercept / R², rounded with the canonical floor(x*1e6+0.5)/1e6."""
+    from .oracles import round6
+
+    n_tokens = _re_count("text", textstats.TOKEN_RE)
+    return f"""WITH raw AS (
+  SELECT length(text) AS y, {n_tokens} AS x FROM documents
+), f AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+    CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(x * y) AS DOUBLE) AS sxy,
+    CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM raw
+), g AS (
+  SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b FROM f
+), h AS (
+  SELECT *, (sy - b * sx) / n AS a FROM g
+)
+SELECT CAST(n AS BIGINT) AS n_docs,
+  {round6('b')} AS slope,
+  {round6('a')} AS intercept,
+  {round6('1.0 - (syy - a * sy - b * sxy) / (syy - sy * sy / n)')} AS r2
+FROM h"""
+
+
 def dedup_recall_sql(threshold: float = 0.5) -> str:
     """Oracle of the dedup-evaluation query: MinHash-LSH candidates (tiny
     bit-exact params) scored against exact word-set Jaccard >= threshold

@@ -292,6 +292,68 @@ def quantile_filter(ds, group_col: str, col_fn, lo: float = 0.05, hi: float = 0.
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def linear_probe(docs_ds):
+    """Distributed supervised MODEL FIT: ordinary-least-squares linear
+    probe ``n_chars ~ intercept + slope * n_tokens`` over the corpus — the
+    closed-form normal-equations path (count, Σx, Σy, Σx², Σxy, Σy² — all
+    EXACT int64 moments summed batch-locally, one bounded aggregate), then
+    one driver-side solve whose float expression tree is shared verbatim
+    with the SQL twin, so slope/intercept/R² reproduce bit-for-bit after
+    the canonical 1e-6 rounding.
+
+    This is the supervised sibling of :func:`grouped_corr` / the kmeans
+    stage: the fit itself never shuffles rows, only 6 integers per batch.
+    -> one row (n_docs, slope, intercept, r2)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ..functions import textstats
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bc = textstats.byte_class_counts(batch.column("text"))
+        x = bc["n_tokens"].astype(np.int64)
+        y = bc["n_chars"].astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "sx": pa.array([int(x.sum())], pa.int64()),
+                "sy": pa.array([int(y.sum())], pa.int64()),
+                "sxx": pa.array([int((x * x).sum())], pa.int64()),
+                "sxy": pa.array([int((x * y).sum())], pa.int64()),
+                "syy": pa.array([int((y * y).sum())], pa.int64()),
+            }
+        )
+
+    agg = docs_ds.map_batches(partial, batch_format="pyarrow").aggregate(
+        *[Sum(c, alias_name=c) for c in ("n", "sx", "sy", "sxx", "sxy", "syy")]
+    )
+    n = float(int(agg["n"] or 0))
+    sx, sy = float(int(agg["sx"] or 0)), float(int(agg["sy"] or 0))
+    sxx, sxy = float(int(agg["sxx"] or 0)), float(int(agg["sxy"] or 0))
+    syy = float(int(agg["syy"] or 0))
+    if n == 0.0 or (n * sxx - sx * sx) == 0.0 or (syy - sy * sy / n) == 0.0:
+        raise ValueError(
+            "linear_probe: degenerate design (empty corpus, constant "
+            "n_tokens, or constant n_chars) — the fit is singular")
+    # the EXACT expression tree of the SQL twin (same associativity)
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    r2 = 1.0 - (syy - a * sy - b * sxy) / (syy - sy * sy / n)
+
+    def r6(v: float) -> float:
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    return pa.table(
+        {
+            "n_docs": pa.array([int(n)], pa.int64()),
+            "slope": pa.array([r6(b)], pa.float64()),
+            "intercept": pa.array([r6(a)], pa.float64()),
+            "r2": pa.array([r6(r2)], pa.float64()),
+        }
+    )
+
+
 def grouped_corr(ds):
     """documents -> per-language covariance/correlation of
     (text length in chars, whitespace token count).

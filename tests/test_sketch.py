@@ -292,3 +292,41 @@ def test_sampled_quantiles_error_gate():
     for q in exact.index:
         rel = abs(got1[q] - exact[q]) / max(exact[q], 1)
         assert rel < 0.05, (q, got1[q], exact[q])
+
+
+def test_linear_probe_hand_fit():
+    """y = 10x + 7 exactly: slope 10, intercept 7, r2 = 1 on planted docs
+    (n_chars = len(text), n_tokens = whitespace tokens)."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import linear_probe
+
+    # k tokens of 9 chars + (k-1) separators = 10k - 1 chars... build texts
+    # with EXACT n_chars = 10 * n_tokens + 7: pad with leading spaces
+    texts = []
+    for k in (1, 2, 3, 5, 8):
+        body = " ".join(["x" * 9] * k)          # 10k - 1 chars, k tokens
+        texts.append(" " * 8 + body)            # +8 -> 10k + 7 chars
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+    })).repartition(2)
+    out = linear_probe(ds).to_pandas()
+    assert out["n_docs"].tolist() == [5]
+    assert out["slope"].tolist() == [10.0]
+    assert out["intercept"].tolist() == [7.0]
+    assert out["r2"].tolist() == [1.0]
+
+
+def test_linear_probe_degenerate_raises():
+    import pytest
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import linear_probe
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a b", "c d"], pa.string()),  # constant n_tokens
+    }))
+    with pytest.raises(ValueError, match="singular"):
+        linear_probe(ds)
