@@ -920,6 +920,8 @@ def _q_dedup_recall(sf_dir: str):
     def pack(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
         b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        textops._check_pack_ids(a)
+        textops._check_pack_ids(b)
         return pa.table({"k": pa.array(a * (np.int64(1) << np.int64(32)) + b)})
 
     exk = ex.map_batches(pack, batch_format="pyarrow")
