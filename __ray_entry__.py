@@ -899,6 +899,14 @@ def _q_linear_probe(sf_dir: str):
     return linear_probe(_docs(sf_dir))
 
 
+def _q_grouped_linear_probe(sf_dir: str):
+    """Per-language OLS probe: exact per-group int64 moments (np.add.at),
+    bounded-key aggregate, shared-float-tree solve per group."""
+    from cuda_gis_smoothing_ray.stages.sketch import grouped_linear_probe
+
+    return grouped_linear_probe(_docs(sf_dir, ("doc_id", "text", "lang")))
+
+
 def _q_dedup_recall(sf_dir: str):
     """Dedup-pipeline EVALUATION: recall/precision of the MinHash-LSH
     candidate set (tiny bit-exact params, shingle features) against exact
@@ -2078,6 +2086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pairs_tiny": _q_minhash_tiny,
         "dedup_recall": _q_dedup_recall,
         "linear_probe": _q_linear_probe,
+        "grouped_linear_probe": _q_grouped_linear_probe,
         "simhash_pairs_tiny": _q_simhash_tiny,
         "dedup_components": _q_dedup_components,
         "neardup_components": _q_neardup_components,
@@ -2255,6 +2264,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs_tiny": oc.minhash_pairs_tiny_sql(0.5, 4, 3, 2),
         "dedup_recall": oc.dedup_recall_sql(0.5),
         "linear_probe": oc.linear_probe_sql(),
+        "grouped_linear_probe": oc.grouped_linear_probe_sql(),
         "simhash_pairs_tiny": oc.simhash_pairs_tiny_sql(),
         # production parameters: the same parametric HUGEINT CTEs, scaled
         # to 64 perms / 5-shingles / 16 bands (minhash) and the vectorized

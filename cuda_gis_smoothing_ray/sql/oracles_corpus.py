@@ -2343,6 +2343,33 @@ SELECT CAST(n AS BIGINT) AS n_docs,
 FROM h"""
 
 
+def grouped_linear_probe_sql() -> str:
+    """Oracle of sketch.grouped_linear_probe: per-language exact moments,
+    identical per-group float tree as linear_probe_sql."""
+    from .oracles import round6
+
+    n_tokens = _re_count("text", textstats.TOKEN_RE)
+    return f"""WITH raw AS (
+  SELECT lang, length(text) AS y, {n_tokens} AS x FROM documents
+), f AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n,
+    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+    CAST(sum(x * x) AS DOUBLE) AS sxx, CAST(sum(x * y) AS DOUBLE) AS sxy,
+    CAST(sum(y * y) AS DOUBLE) AS syy
+  FROM raw GROUP BY lang
+), g AS (
+  SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b FROM f
+), h AS (
+  SELECT *, (sy - b * sx) / n AS a FROM g
+)
+SELECT lang, CAST(n AS BIGINT) AS n_docs,
+  {round6('b')} AS slope,
+  {round6('a')} AS intercept,
+  {round6('1.0 - (syy - a * sy - b * sxy) / (syy - sy * sy / n)')} AS r2
+FROM h
+ORDER BY lang"""
+
+
 def dedup_recall_sql(threshold: float = 0.5) -> str:
     """Oracle of the dedup-evaluation query: MinHash-LSH candidates (tiny
     bit-exact params) scored against exact word-set Jaccard >= threshold

@@ -354,6 +354,74 @@ def linear_probe(docs_ds):
     )
 
 
+def grouped_linear_probe(docs_ds, group_col: str = "lang"):
+    """Per-GROUP OLS linear probe (n_chars ~ n_tokens within each language):
+    batch-local per-group exact int64 moment partials (np.add.at — never
+    float bincount, so sums stay exact), one bounded-key aggregate, then
+    the same shared-float-tree Cramer solve as :func:`linear_probe` per
+    group.  Groups are report-sized (languages), so the solve runs on a
+    driver-side table like any GROUP BY result.
+    -> (group, n_docs, slope, intercept, r2) per group."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from ..functions import textstats
+
+    cols = ("n", "sx", "sy", "sxx", "sxy", "syy")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bc = textstats.byte_class_counts(batch.column("text"))
+        x = bc["n_tokens"].astype(np.int64)
+        y = bc["n_chars"].astype(np.int64)
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(g, return_inverse=True)
+        out = {group_col: pa.array([str(u) for u in uniq], pa.string())}
+        vals = {
+            "n": np.ones(len(x), np.int64), "sx": x, "sy": y,
+            "sxx": x * x, "sxy": x * y, "syy": y * y,
+        }
+        for c in cols:
+            acc = np.zeros(len(uniq), np.int64)
+            np.add.at(acc, inv, vals[c])
+            out[c] = pa.array(acc)
+        return pa.table(out)
+
+    agg = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+        .take_all()
+    )
+
+    def r6(v: float) -> float:
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    rows = []
+    for rec in sorted(agg, key=lambda r: r[group_col]):
+        n = float(int(rec["n"]))
+        sx, sy = float(int(rec["sx"])), float(int(rec["sy"]))
+        sxx, sxy = float(int(rec["sxx"])), float(int(rec["sxy"]))
+        syy = float(int(rec["syy"]))
+        if (n * sxx - sx * sx) == 0.0 or (syy - sy * sy / n) == 0.0:
+            raise ValueError(
+                f"grouped_linear_probe: singular fit for group "
+                f"{rec[group_col]!r} (constant x or y)")
+        b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        a = (sy - b * sx) / n
+        r2 = 1.0 - (syy - a * sy - b * sxy) / (syy - sy * sy / n)
+        rows.append((rec[group_col], int(n), r6(b), r6(a), r6(r2)))
+    return pa.table(
+        {
+            group_col: pa.array([r[0] for r in rows], pa.string()),
+            "n_docs": pa.array([r[1] for r in rows], pa.int64()),
+            "slope": pa.array([r[2] for r in rows], pa.float64()),
+            "intercept": pa.array([r[3] for r in rows], pa.float64()),
+            "r2": pa.array([r[4] for r in rows], pa.float64()),
+        }
+    )
+
+
 def grouped_corr(ds):
     """documents -> per-language covariance/correlation of
     (text length in chars, whitespace token count).
