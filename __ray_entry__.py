@@ -364,6 +364,51 @@ def _q_pip(sf_dir: str):
     return pip_join(_geocoded(sf_dir)).sort(["page_id", "poly_id"])
 
 
+def _q_polygon_density(sf_dir: str):
+    """Per-polygon page DENSITY: containment counts (the PIP join's
+    poly_id aggregate) normalized by exact shoelace area — the standard
+    choropleth-normalization step.  Area is a constant fold over the
+    polygon table, evaluated with the identical left-associative term
+    order in both engines (the one float-sum-order trap in SQL)."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    from cuda_gis_smoothing_ray.stages.pip import POLYGONS, pip_join
+
+    pairs = pip_join(_geocoded(sf_dir))
+    counts = {
+        int(r["poly_id"]): int(r["n_pages"])
+        for r in pairs.groupby("poly_id")
+        .aggregate(Count(alias_name="n_pages")).take_all()
+    }
+
+    def r6(v: float) -> float:
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    pids, areas, ns, dens = [], [], [], []
+    for pid, ring in POLYGONS:
+        s = 0.0
+        for i in range(len(ring)):  # left-associative fold, ring order
+            y1, x1 = ring[i]
+            y2, x2 = ring[(i + 1) % len(ring)]
+            s = s + (x1 * y2 - x2 * y1)
+        area = abs(s) / 2.0
+        n = counts.get(pid, 0)
+        pids.append(pid)
+        areas.append(r6(area))
+        ns.append(n)
+        dens.append(r6(n / area))
+    return pa.table(
+        {
+            "poly_id": pa.array(pids, pa.int64()),
+            "area_deg2": pa.array(areas, pa.float64()),
+            "n_pages": pa.array(ns, pa.int64()),
+            "density": pa.array(dens, pa.float64()),
+        }
+    )
+
+
 def _q_pip_holes(sf_dir: str):
     """PIP against multiring polygons with interior HOLES: even-odd
     crossing parity over all rings — points in a hole are excluded."""
@@ -2026,6 +2071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
         "pip_join": _q_pip,
         "pip_join_holes": _q_pip_holes,
+        "polygon_density": _q_polygon_density,
         "knn_join": _q_knn,
         "polyfill": _q_polyfill,
         "distance_join": _q_distance_join,
@@ -2357,6 +2403,7 @@ def oracle_sql() -> dict[str, str]:
         # simhash_pairs are SQL-checked at production parameters (above).
         "pip_join": o.pip_join_sql(RES),
         "pip_join_holes": o.pip_join_holes_sql(RES),
+        "polygon_density": o.polygon_density_sql(RES),
         "polyfill": o.polyfill_sql(RES),
         "distance_join": o.distance_join_sql(RES, 1.0),
         "zonal_stats": o.zonal_stats_sql(RES),

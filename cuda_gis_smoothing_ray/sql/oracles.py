@@ -313,6 +313,49 @@ WHERE n_cross % 2 = 1
 ORDER BY page_id, poly_id"""
 
 
+def polygon_density_sql(res: int) -> str:
+    """Oracle of the per-polygon density query: PIP containment counts per
+    polygon, divided by the shoelace area emitted as an explicit
+    LEFT-ASSOCIATIVE constant expression per polygon (SQL SUM() order is
+    unspecified for floats, so the fold is spelled out instead)."""
+    from ..stages.pip import POLYGONS, polygon_edges
+
+    rows = []
+    for pid, ring in POLYGONS:
+        terms = []
+        for i in range(len(ring)):
+            y1, x1 = ring[i]
+            y2, x2 = ring[(i + 1) % len(ring)]
+            terms.append(f"({D(x1)} * {D(y2)} - {D(x2)} * {D(y1)})")
+        fold = terms[0]
+        for t in terms[1:]:
+            fold = f"({fold} + {t})"
+        rows.append(f"({pid}, abs({fold}) / 2.0)")
+    areas = ",\n    ".join(rows)
+    return f"""{prelude(res)},
+edges(poly_id, y1, x1, y2, x2) AS (VALUES
+    {", ".join(f"({pid}, {D(y1)}, {D(x1)}, {D(y2)}, {D(x2)})"
+               for pid, y1, x1, y2, x2 in polygon_edges())}),
+areas(poly_id, area) AS (VALUES
+    {areas}),
+crossings AS (
+  SELECT p.page_id, e.poly_id, count(*) AS n_cross
+  FROM geocoded p
+  JOIN edges e
+    ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+   AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+  GROUP BY p.page_id, e.poly_id
+), counts AS (
+  SELECT poly_id, CAST(count(*) AS BIGINT) AS n_pages
+  FROM crossings WHERE n_cross % 2 = 1 GROUP BY poly_id
+)
+SELECT a.poly_id, {round6('a.area')} AS area_deg2,
+  CAST(coalesce(c.n_pages, 0) AS BIGINT) AS n_pages,
+  {round6('coalesce(c.n_pages, 0) / a.area')} AS density
+FROM areas a LEFT JOIN counts c USING (poly_id)
+ORDER BY a.poly_id"""
+
+
 def pip_join_holes_sql(res: int) -> str:
     """Oracle of stages/pip.pip_join_holes: the SAME crossing-parity query
     as pip_join_sql over the multiring edge table (outer + hole edges in
