@@ -1,0 +1,96 @@
+"""Zone-mapped clustered parquet output: the "prune at the read" storage
+layout for key-ranged re-reads.
+
+``write_clustered`` sorts the dataset by an int64 key and writes one parquet
+file per block, recording each file's (key_min, key_max, rows) in a
+``zonemap.json`` manifest — file-level statistics a reader can consult
+WITHOUT opening any parquet footer.  ``read_pruned`` then serves a key-range
+query by reading only the files whose zone overlaps the range (plus one
+exact row filter for straddling files).
+
+At 100 TB this is the difference between a range query scanning the world
+and scanning a handful of files: the sort clusters each key range into few
+files, the manifest is O(files) and lives beside the data, and a resumable
+consumer can fetch it in one read.  Parquet row-group min/max stats give the
+same pruning WITHIN a file (and ``read_pruned`` still passes the row filter
+down so row groups prune too); the zone map adds the cross-FILE level.
+
+Reference analog: the S5/S6 ordered-save contract (results written in a
+deterministic key order) — generalized to a partitioned, statistics-indexed
+layout instead of one file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ZONEMAP_NAME = "zonemap.json"
+
+
+def write_clustered(ds, out_dir: str, key: str) -> dict:
+    """Sort ``ds`` by int64 ``key`` and write one parquet file per block
+    plus a ``zonemap.json`` manifest of per-file (min, max, rows).
+
+    The per-file write runs INSIDE the map tasks (data never funnels
+    through the driver); only the tiny per-file stats rows come back to
+    assemble the manifest.  Returns the manifest dict."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"file": pa.array([], pa.string()),
+                             "key_min": pa.array([], pa.int64()),
+                             "key_max": pa.array([], pa.int64()),
+                             "rows": pa.array([], pa.int64())})
+        k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        lo, hi = int(k.min()), int(k.max())
+        name = f"part-{lo}-{hi}-{len(batch)}.parquet"
+        pq.write_table(batch, os.path.join(out_dir, name))
+        return pa.table({"file": pa.array([name], pa.string()),
+                         "key_min": pa.array([lo], pa.int64()),
+                         "key_max": pa.array([hi], pa.int64()),
+                         "rows": pa.array([len(batch)], pa.int64())})
+
+    stats = (
+        ds.sort(key)
+        .map_batches(write_block, batch_format="pyarrow", batch_size=None)
+        .take_all()
+    )
+    zones = sorted(
+        ({"file": r["file"], "key_min": int(r["key_min"]),
+          "key_max": int(r["key_max"]), "rows": int(r["rows"])}
+         for r in stats),
+        key=lambda z: (z["key_min"], z["file"]),
+    )
+    manifest = {"key": key, "zones": zones}
+    with open(os.path.join(out_dir, ZONEMAP_NAME), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def read_pruned(out_dir: str, lo: int, hi: int):
+    """Key-range read ``lo <= key <= hi`` against a clustered directory:
+    consult the zone map, read ONLY overlapping files, and push the exact
+    range predicate into the parquet read (row-group pruning inside the
+    survivors).  Returns (Dataset, n_files_read, n_files_total)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    with open(os.path.join(out_dir, ZONEMAP_NAME)) as f:
+        manifest = json.load(f)
+    key = manifest["key"]
+    zones = manifest["zones"]
+    hit = [z for z in zones if z["key_min"] <= hi and z["key_max"] >= lo]
+    if not hit:
+        return None, 0, len(zones)
+    paths = [os.path.join(out_dir, z["file"]) for z in hit]
+    ds = rd.read_parquet(
+        paths,
+        filter=(pads.field(key) >= lo) & (pads.field(key) <= hi),
+    )
+    return ds, len(hit), len(zones)

@@ -7,6 +7,7 @@ import json
 import os
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 
@@ -97,3 +98,38 @@ def test_curation_resumable_param_change_no_stale_rows(tmp_path, sf_dir):
     df2 = curation_resumable(sf_dir, out, n_shards=2, ppm_per_word=10_000).to_pandas()
     assert df2["doc_id"].is_unique
     assert len(df2) >= len(df1)  # higher keep rate can only add docs
+
+
+def test_zonemap_clustered_write_and_pruned_read(tmp_path):
+    """write_clustered sorts + writes per-block files with a zone manifest;
+    read_pruned serves a narrow key range from a strict subset of files and
+    returns exactly the full-scan-filter row set."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.state.zonemap import read_pruned, write_clustered
+
+    n = 20_000
+    rng = np.random.default_rng(3)
+    keys = rng.permutation(n).astype(np.int64)
+    vals = (keys * 7) % 1000
+    ds = rd.from_arrow(pa.table({"cell": pa.array(keys),
+                                 "v": pa.array(vals)})).repartition(8)
+    out = str(tmp_path / "clustered")
+    manifest = write_clustered(ds, out, key="cell")
+    assert sum(z["rows"] for z in manifest["zones"]) == n
+    assert len(manifest["zones"]) > 1
+    # zones are disjoint after the sort (clustering property)
+    zs = manifest["zones"]
+    assert all(zs[i]["key_max"] < zs[i + 1]["key_min"] for i in range(len(zs) - 1))
+
+    lo, hi = 5_000, 5_499
+    pruned, n_read, n_total = read_pruned(out, lo, hi)
+    assert n_read < n_total  # file-level pruning actually pruned
+    got = pruned.to_pandas().sort_values("cell").reset_index(drop=True)
+    want_keys = np.sort(keys[(keys >= lo) & (keys <= hi)])
+    assert (got["cell"].to_numpy() == want_keys).all()
+    assert (got["v"].to_numpy() == (want_keys * 7) % 1000).all()
+
+    # empty range outside every zone: no files touched
+    none, n0, _ = read_pruned(out, n + 10, n + 20)
+    assert none is None and n0 == 0
