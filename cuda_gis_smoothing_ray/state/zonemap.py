@@ -73,6 +73,56 @@ def write_clustered(ds, out_dir: str, key: str) -> dict:
     return manifest
 
 
+def compact_clustered(out_dir: str, target_rows: int = 1_000_000) -> dict:
+    """The small-file maintenance pass every clustered layout needs at
+    10^12 rows: greedily merge ADJACENT zones (the sort made key ranges
+    disjoint, so adjacency preserves clustering) until each output file
+    holds ~``target_rows``, rewrite the merged files, refresh the zone map,
+    and delete the absorbed inputs.
+
+    Merges stream file-group by file-group (never the whole table in
+    memory); zones already at target size are left untouched, so re-running
+    compaction is idempotent."""
+    with open(os.path.join(out_dir, ZONEMAP_NAME)) as f:
+        manifest = json.load(f)
+    key = manifest["key"]
+    zones = manifest["zones"]
+    groups: list[list[dict]] = []
+    cur: list[dict] = []
+    cur_rows = 0
+    for z in zones:
+        cur.append(z)
+        cur_rows += z["rows"]
+        if cur_rows >= target_rows:
+            groups.append(cur)
+            cur, cur_rows = [], 0
+    if cur:
+        groups.append(cur)
+
+    new_zones = []
+    for g in groups:
+        if len(g) == 1:  # already compact: keep as-is (idempotence)
+            new_zones.append(g[0])
+            continue
+        t = pa.concat_tables(
+            [pq.read_table(os.path.join(out_dir, z["file"])) for z in g]
+        ).combine_chunks()
+        lo = min(z["key_min"] for z in g)
+        hi = max(z["key_max"] for z in g)
+        name = f"part-{lo}-{hi}-{len(t)}.parquet"
+        pq.write_table(t, os.path.join(out_dir, name))
+        for z in g:
+            if z["file"] != name:
+                os.remove(os.path.join(out_dir, z["file"]))
+        new_zones.append({"file": name, "key_min": lo, "key_max": hi,
+                          "rows": len(t)})
+    out = {"key": key, "zones": sorted(new_zones,
+                                       key=lambda z: (z["key_min"], z["file"]))}
+    with open(os.path.join(out_dir, ZONEMAP_NAME), "w") as f:
+        json.dump(out, f, indent=1)
+    return out
+
+
 def read_pruned(out_dir: str, lo: int, hi: int):
     """Key-range read ``lo <= key <= hi`` against a clustered directory:
     consult the zone map, read ONLY overlapping files, and push the exact

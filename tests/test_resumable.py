@@ -133,3 +133,38 @@ def test_zonemap_clustered_write_and_pruned_read(tmp_path):
     # empty range outside every zone: no files touched
     none, n0, _ = read_pruned(out, n + 10, n + 20)
     assert none is None and n0 == 0
+
+
+def test_zonemap_compaction_preserves_rows_and_pruning(tmp_path):
+    """Compaction merges adjacent zones to the target size, keeps ranges
+    disjoint, deletes absorbed files, stays idempotent, and pruned reads
+    return the identical row set afterwards."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.state.zonemap import (
+        compact_clustered, read_pruned, write_clustered,
+    )
+
+    n = 20_000
+    keys = np.arange(n, dtype=np.int64)[::-1].copy()
+    ds = rd.from_arrow(pa.table({"cell": pa.array(keys)})).repartition(10)
+    out = str(tmp_path / "clustered")
+    m0 = write_clustered(ds, out, key="cell")
+    assert len(m0["zones"]) >= 4
+
+    m1 = compact_clustered(out, target_rows=n // 2)
+    assert len(m1["zones"]) < len(m0["zones"])
+    assert sum(z["rows"] for z in m1["zones"]) == n
+    zs = m1["zones"]
+    assert all(zs[i]["key_max"] < zs[i + 1]["key_min"] for i in range(len(zs) - 1))
+    # absorbed files are gone; manifest files all exist
+    files = {f for f in os.listdir(out) if f.endswith(".parquet")}
+    assert files == {z["file"] for z in zs}
+    # idempotent: a second pass changes nothing
+    m2 = compact_clustered(out, target_rows=n // 2)
+    assert m2 == m1
+
+    pruned, n_read, n_total = read_pruned(out, 100, 199)
+    got = np.sort(pruned.to_pandas()["cell"].to_numpy())
+    assert (got == np.arange(100, 200)).all()
+    assert n_read <= n_total
