@@ -168,3 +168,37 @@ def test_zonemap_compaction_preserves_rows_and_pruning(tmp_path):
     got = np.sort(pruned.to_pandas()["cell"].to_numpy())
     assert (got == np.arange(100, 200)).all()
     assert n_read <= n_total
+
+
+def test_zonemap_token_bloom_skip_index(tmp_path):
+    """Per-file token blooms: a marker token present in one key range reads
+    few files and returns exactly its rows; an absent token returns zero
+    rows (false positives never reach the result)."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.state.zonemap import (
+        attach_token_blooms, read_token_pruned, write_clustered,
+    )
+
+    n = 8_000
+    keys = np.arange(n, dtype=np.int64)
+    texts = ["common words here"] * n
+    for i in range(100, 120):
+        texts[i] = "common MARKER words"
+    ds = rd.from_arrow(pa.table({
+        "cell": pa.array(keys), "text": pa.array(texts),
+    })).repartition(8)
+    out = str(tmp_path / "clustered")
+    write_clustered(ds, out, key="cell")
+    m = attach_token_blooms(out)
+    assert all(z.get("bloom") for z in m["zones"])
+
+    got, n_read, n_total = read_token_pruned(out, "MARKER")
+    rows = got.to_pandas().sort_values("cell")
+    assert rows["cell"].tolist() == list(range(100, 120))
+    assert n_read < n_total  # the skip index skipped files
+
+    none, n0, _ = read_token_pruned(out, "ABSENT_TOKEN_xyz")
+    assert n0 <= n_total
+    if none is not None:  # bloom false positive: exact filter still wins
+        assert len(none.to_pandas()) == 0
