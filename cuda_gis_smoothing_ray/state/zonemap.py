@@ -30,6 +30,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 ZONEMAP_NAME = "zonemap.json"
+_WRITE_SEQ = [0]  # per-worker-process block counter (filename uniquifier)
 
 
 def write_clustered(ds, out_dir: str, key: str) -> dict:
@@ -49,7 +50,10 @@ def write_clustered(ds, out_dir: str, key: str) -> dict:
                              "rows": pa.array([], pa.int64())})
         k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
         lo, hi = int(k.min()), int(k.max())
-        name = f"part-{lo}-{hi}-{len(batch)}.parquet"
+        # pid+counter uniquifier: two blocks full of the SAME duplicate key
+        # would otherwise share (lo, hi, rows) and silently overwrite
+        seq = _WRITE_SEQ[0] = _WRITE_SEQ[0] + 1
+        name = f"part-{lo}-{hi}-{os.getpid()}-{seq}.parquet"
         pq.write_table(batch, os.path.join(out_dir, name))
         return pa.table({"file": pa.array([name], pa.string()),
                          "key_min": pa.array([lo], pa.int64()),

@@ -202,3 +202,22 @@ def test_zonemap_token_bloom_skip_index(tmp_path):
     assert n0 <= n_total
     if none is not None:  # bloom false positive: exact filter still wins
         assert len(none.to_pandas()) == 0
+
+
+def test_zonemap_duplicate_key_blocks_do_not_collide(tmp_path):
+    """A table dominated by ONE key value spans several sorted blocks with
+    identical (min, max): every block must still land in its own file."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.state.zonemap import read_pruned, write_clustered
+
+    n = 9_000
+    ds = rd.from_arrow(pa.table({
+        "cell": pa.array(np.full(n, 42, np.int64)),
+        "v": pa.array(np.arange(n, dtype=np.int64)),
+    })).repartition(6)
+    out = str(tmp_path / "dup")
+    m = write_clustered(ds, out, key="cell")
+    assert sum(z["rows"] for z in m["zones"]) == n
+    got, _, _ = read_pruned(out, 42, 42)
+    assert len(got.to_pandas()) == n
