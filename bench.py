@@ -98,7 +98,19 @@ def headline_queries(sf_dir: str, replicate: int):
         "pip_join_volume": _pip_volume,
         "knn_join": _q("knn_join"),
     }
-    extras = {"latest_capture_volume": _latest_capture_volume}
+    def _bpe_train_volume():
+        # tokenizer training at corpus scale: the word-type histogram pass
+        # runs over every replicated page; the merge rounds then run on the
+        # (replication-invariant) type table
+        from cuda_gis_smoothing_ray.sources.pages import read_pages
+        from cuda_gis_smoothing_ray.stages.lm import bpe_merges
+
+        return bpe_merges(
+            read_pages(sf_dir, replicate=replicate, include_html=False),
+            rounds=3)
+
+    extras = {"latest_capture_volume": _latest_capture_volume,
+              "bpe_train_volume": _bpe_train_volume}
     return qs, extras
 
 
