@@ -1452,6 +1452,39 @@ def _q_tpch_q10(sf_dir: str):
     return tpch_q10(sf_dir)
 
 
+def _q_tpch_q13(sf_dir: str):
+    """TPC-H Q13 analog: customer order-count distribution — join-free
+    double aggregation (orders-side counts + arithmetic zero bucket)."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q13
+
+    return tpch_q13(sf_dir)
+
+
+def _q_tpch_q17(sf_dir: str):
+    """TPC-H Q17 analog: small-quantity-order revenue — per-part
+    correlated-average threshold as exact integer math, brand partkeys
+    broadcast, two pruned scans."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q17
+
+    return tpch_q17(sf_dir)
+
+
+def _q_tpch_q18(sf_dir: str):
+    """TPC-H Q18 analog: large-volume customers — HAVING survivors
+    broadcast back into orders, top-k by (o_totalprice DESC, o_orderkey)."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q18
+
+    return tpch_q18(sf_dir)
+
+
+def _q_tpch_q22(sf_dir: str):
+    """TPC-H Q22 analog: dormant above-average-balance customers per
+    nation — broadcast scalar average (exact ints) + windowed anti-join."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q22
+
+    return tpch_q22(sf_dir).sort("c_nationkey")
+
+
 def _q_rollup_revenue(sf_dir: str):
     """ROLLUP (o_orderpriority, l_returnflag): fine level + per-priority
     subtotals + grand total from ONE fact shuffle; coarser levels derived
@@ -2195,6 +2228,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q12": _q_tpch_q12,
         "tpch_q14": _q_tpch_q14,
         "tpch_q10": _q_tpch_q10,
+        "tpch_q13": _q_tpch_q13,
+        "tpch_q17": _q_tpch_q17,
+        "tpch_q18": _q_tpch_q18,
+        "tpch_q22": _q_tpch_q22,
         "cube_lineitem": _q_cube_lineitem,
         "customer_order_stats": _q_customer_order_stats,
         "join_orders_by_nation": _q_join_orders_by_nation,
@@ -2374,6 +2411,10 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q12": oc.tpch_q12_sql(),
         "tpch_q14": oc.tpch_q14_sql(),
         "tpch_q10": oc.tpch_q10_sql(),
+        "tpch_q13": oc.tpch_q13_sql(),
+        "tpch_q17": oc.tpch_q17_sql(),
+        "tpch_q18": oc.tpch_q18_sql(),
+        "tpch_q22": oc.tpch_q22_sql(),
         "cube_lineitem": oc.cube_lineitem_sql(),
         "customer_order_stats": oc.customer_order_stats_sql(),
         "join_orders_by_nation": oc.join_orders_by_nation_sql(),

@@ -2817,3 +2817,98 @@ JOIN uni u1 ON u1.tok = bg.w1
 JOIN uni u2 ON u2.tok = bg.w2
 CROSS JOIN n
 ORDER BY bg.w1, bg.w2"""
+
+
+def tpch_q13_sql() -> str:
+    """Oracle of stages/relagg.tpch_q13 (customer order-count distribution;
+    the LEFT JOIN surfaces the zero bucket the engine derives
+    arithmetically)."""
+    return """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC"""
+
+
+def tpch_q17_sql() -> str:
+    """Oracle of stages/relagg.tpch_q17 (small-quantity-order revenue for
+    one brand; the correlated-average threshold is the engine's exact
+    integer rewrite qty_centi * cnt * 5 < sum_centi * 100, so summation
+    order cannot matter)."""
+    from ..stages import relagg
+
+    return f"""WITH bl AS (
+  SELECT l_partkey,
+    CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qc,
+    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = '{relagg.Q17_BRAND}'
+), st AS (
+  SELECT l_partkey, CAST(sum(qc) AS BIGINT) AS sum_qc,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM bl GROUP BY l_partkey
+), q AS (
+  SELECT bl.cents FROM bl JOIN st USING (l_partkey)
+  WHERE bl.qc * st.cnt * 5 < st.sum_qc * 100
+)
+SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) AS total_cents,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(coalesce(sum(cents), 0) // 7 AS BIGINT) AS avg_yearly_cents
+FROM q"""
+
+
+def tpch_q18_sql() -> str:
+    """Oracle of stages/relagg.tpch_q18 (large-volume customers: HAVING
+    semi-join back into orders, top-k by (o_totalprice DESC, o_orderkey);
+    sum_qty re-derived from the exact x100 integer sum)."""
+    from ..stages import relagg
+
+    return f"""WITH pq AS (
+  SELECT l_orderkey, CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5)
+                                   AS BIGINT)) AS BIGINT) AS sum_qc
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+         > {int(relagg.Q18_MIN_QTY) * 100}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       pq.sum_qc / 100.0 AS sum_qty,
+       CAST(row_number() OVER (ORDER BY o.o_totalprice DESC, o.o_orderkey)
+            AS BIGINT) AS rank
+FROM pq
+JOIN orders o ON pq.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_totalprice DESC, o.o_orderkey
+LIMIT {relagg.Q18_K}"""
+
+
+def tpch_q22_sql() -> str:
+    """Oracle of stages/relagg.tpch_q22 (dormant above-average-balance
+    customers per nation; the above-average predicate is the engine's
+    exact integer rewrite bal_centi * cnt > sum_centi)."""
+    from ..stages import relagg
+
+    return f"""WITH bc AS (
+  SELECT c_custkey, c_nationkey,
+    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+), avgpos AS (
+  SELECT CAST(sum(bal_cents) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n
+  FROM bc WHERE bal_cents > 0
+), dormant AS (
+  SELECT bc.c_nationkey, bc.bal_cents
+  FROM bc, avgpos
+  WHERE bc.bal_cents * avgpos.n > avgpos.s
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = bc.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '{relagg.Q22_CUTOFF} 00:00:00'
+    )
+)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+FROM dormant
+GROUP BY c_nationkey
+ORDER BY c_nationkey"""

@@ -813,3 +813,341 @@ def tpch_q10(sf_dir: str, start: str = Q10_START, end: str = Q10_END,
 
     out = enriched.map_batches(tidy, batch_format="pyarrow")
     return topk(out, k=k, by="revenue_cents", tie_cols=("c_custkey",))
+
+
+def tpch_q13(sf_dir: str):
+    """TPC-H Q13 analog — customer order-count distribution.
+
+    The canonical plan is customer LEFT JOIN orders -> per-customer count
+    -> histogram of counts.  Join-free re-plan: the left join only exists
+    to surface zero-order customers, so compute the histogram over
+    customers that DO order (orders-side double aggregation, no customer
+    rows ever shuffle) and derive the zero bucket arithmetically as
+    |customer| - |distinct ordering customers| — two scalars.
+
+    Scale plan: orders scan reads only o_custkey; batch-local
+    (custkey, n) partials -> custkey groupby -> batch-local histogram
+    partials -> c_count groupby (result bounded by the max per-customer
+    order count, ~dozens of rows).  The customer table contributes ONE
+    count aggregate.  -> (c_count, custdist), custdist DESC, c_count DESC.
+    """
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .join import read_table
+
+    def per_cust_partial(batch: pa.Table) -> pa.Table:
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(ck, return_counts=True)
+        return pa.table({"o_custkey": pa.array(uniq),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    per_cust = (
+        read_table(sf_dir, "orders", ["o_custkey"])
+        .map_batches(per_cust_partial, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("n", alias_name="c_count"))
+    )
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        c = batch.column("c_count").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(c, return_counts=True)
+        return pa.table({"c_count": pa.array(uniq),
+                         "custdist": pa.array(cnt.astype(np.int64))})
+
+    hist = (
+        per_cust.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("custdist", alias_name="custdist"))
+        .to_pandas()  # bounded: one row per distinct order count
+    )
+    n_customers = read_table(sf_dir, "customer", ["c_custkey"]).count()
+    n_ordering = int(hist["custdist"].sum())
+    if n_customers > n_ordering:  # the LEFT JOIN's zero bucket
+        hist.loc[len(hist)] = [0, n_customers - n_ordering]
+    hist = hist.sort_values(["custdist", "c_count"], ascending=[False, False],
+                            kind="mergesort").reset_index(drop=True)
+    hist["c_count"] = hist["c_count"].astype(np.int64)
+    hist["custdist"] = hist["custdist"].astype(np.int64)
+    return rd.from_pandas(hist)
+
+
+Q17_BRAND = "Brand#23"
+
+
+def tpch_q17(sf_dir: str, brand: str = Q17_BRAND):
+    """TPC-H Q17 analog — small-quantity-order revenue for one brand
+    (per-key correlated-average threshold).
+
+    The correlated subquery ``l_quantity < 0.2 * avg(l_quantity) per
+    part`` needs every part's average before any row can qualify, so it is
+    two passes over the SAME brand-pruned scan: pass 1 aggregates
+    (sum_qty, cnt) per partkey; pass 2 re-reads and qualifies each line.
+    The threshold compare is exact integer math — ``qty < sum/(5*cnt)``
+    rewritten as ``qty_centi * cnt * 5 < sum_centi * 100`` (quantities
+    scaled x100; no float division anywhere), so the DuckDB oracle matches
+    bit-for-bit regardless of summation order.
+
+    Scale plan: the brand's partkeys (|parts|/|brands|, small) broadcast
+    once as a sorted membership array; both lineitem scans read 3 columns
+    and drop non-brand rows batch-locally, so only one brand's lines ever
+    aggregate.  The per-part threshold table (same small cardinality)
+    broadcasts back for pass 2.  One-row result: exact total cents of
+    qualifying lines, their count, and avg_yearly_cents = total // 7.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand"])
+    mask = pc.equal(part.column("p_brand"), brand)
+    brand_keys = np.sort(
+        part.filter(mask).column("p_partkey").to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    keys_ref = ray.put(brand_keys)
+
+    def brand_lines(batch: pa.Table) -> pa.Table:
+        bk = ray.get(keys_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(bk) == 0:
+            return batch.slice(0, 0)
+        pos = np.minimum(np.searchsorted(bk, pk), len(bk) - 1)
+        return batch.filter(pa.array(bk[pos] == pk))
+
+    def scan():
+        return rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"],
+        ).map_batches(brand_lines, batch_format="pyarrow", batch_size=None)
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        qc = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        uniq, inv = np.unique(pk, return_inverse=True)
+        s = np.bincount(inv, weights=qc.astype(np.float64),
+                        minlength=len(uniq)).astype(np.int64)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"l_partkey": pa.array(uniq), "sum_qc": pa.array(s),
+                         "cnt": pa.array(n)})
+
+    stats = (
+        scan().map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("sum_qc", alias_name="sum_qc"),
+                   Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # one row per part of ONE brand — small by construction
+    )
+    pk_sorted = stats["l_partkey"].to_numpy().astype(np.int64)
+    order = np.argsort(pk_sorted, kind="stable")
+    thr_ref = ray.put((pk_sorted[order],
+                       stats["sum_qc"].to_numpy().astype(np.int64)[order],
+                       stats["cnt"].to_numpy().astype(np.int64)[order]))
+
+    def qualify_partial(batch: pa.Table) -> pa.Table:
+        pks, sums, cnts = ray.get(thr_ref)
+        pk = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(pks) == 0:
+            keep = np.zeros(len(pk), dtype=bool)
+            total = np.int64(0)
+        else:
+            pos = np.minimum(np.searchsorted(pks, pk), len(pks) - 1)
+            hit = pks[pos] == pk
+            qc = np.floor(
+                batch.column("l_quantity").to_numpy(zero_copy_only=False)
+                * 100.0 + 0.5
+            ).astype(np.int64)
+            # qty < sum/(5*cnt)  <=>  qc * cnt * 5 < sum_qc * 100  (exact)
+            keep = hit & (qc * cnts[pos] * 5 < sums[pos] * 100)
+            cents = np.floor(
+                batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                * 100.0 + 0.5
+            ).astype(np.int64)
+            total = cents[keep].sum()
+        return pa.table({"total_cents": pa.array([int(total)], pa.int64()),
+                         "n_lines": pa.array([int(keep.sum())], pa.int64())})
+
+    agg = scan().map_batches(qualify_partial, batch_format="pyarrow") \
+        .sum(["total_cents", "n_lines"])
+    total = int(agg["sum(total_cents)"])
+    return rd.from_arrow(pa.table({
+        "total_cents": pa.array([total], pa.int64()),
+        "n_lines": pa.array([int(agg["sum(n_lines)"])], pa.int64()),
+        "avg_yearly_cents": pa.array([total // 7], pa.int64()),
+    }))
+
+
+Q18_MIN_QTY = 300
+Q18_K = 100
+
+
+def tpch_q18(sf_dir: str, min_qty: int = Q18_MIN_QTY, k: int = Q18_K):
+    """TPC-H Q18 analog — large-volume-customer report (GROUP BY ... HAVING
+    semi-join back into the fact's parents).
+
+    Scale plan: lineitem reads 2 columns; batch-local per-order qty
+    partials -> one orderkey groupby; the HAVING filter leaves a tiny
+    survivor table (orders whose total quantity clears ``min_qty``) that
+    broadcasts into the orders scan — orders and customer never shuffle.
+    Quantities aggregate as exact x100 integers; the reported sum_qty is
+    sum_centi/100.0, exact in float64 for any realistic magnitude.  Final
+    report is top-k by (o_totalprice DESC, o_orderkey) via local-head +
+    single-partition merge.  -> (c_custkey, c_name, o_orderkey,
+    o_orderdate, o_totalprice, sum_qty)."""
+    import numpy as np
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .gridops import topk
+    from .join import broadcast_hash_join, read_table
+
+    def qty_partial(batch: pa.Table) -> pa.Table:
+        ok = batch.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        qc = np.floor(
+            batch.column("l_quantity").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        uniq, inv = np.unique(ok, return_inverse=True)
+        s = np.bincount(inv, weights=qc.astype(np.float64),
+                        minlength=len(uniq)).astype(np.int64)
+        return pa.table({"l_orderkey": pa.array(uniq), "sum_qc": pa.array(s)})
+
+    per_order = (
+        read_table(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(qty_partial, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("sum_qc", alias_name="sum_qc"))
+    )
+    big = per_order.filter(
+        expr=f"sum_qc > {int(min_qty) * 100}"
+    ).to_pandas()  # HAVING survivors: tiny by construction
+    if big.empty:  # zero survivors: typed empty (repartition on all-empty
+        # blocks loses the schema downstream, so don't run the probe at all)
+        return rd.from_arrow(pa.table({
+            "c_custkey": pa.array([], pa.int64()),
+            "c_name": pa.array([], pa.string()),
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_orderdate": pa.array([], pa.timestamp("us")),
+            "o_totalprice": pa.array([], pa.float64()),
+            "sum_qty": pa.array([], pa.float64()),
+            "rank": pa.array([], pa.int64()),
+        }))
+    ok = big["l_orderkey"].to_numpy().astype(np.int64)
+    sq = big["sum_qc"].to_numpy().astype(np.int64)
+    order = np.argsort(ok, kind="stable")
+    surv_ref = ray.put((ok[order], sq[order]))
+
+    def pick_orders(batch: pa.Table) -> pa.Table:
+        ks, sq = ray.get(surv_ref)
+        okey = batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ks) == 0:
+            return batch.slice(0, 0).append_column(
+                "sum_qty", pa.array([], pa.float64()))
+        pos = np.minimum(np.searchsorted(ks, okey), len(ks) - 1)
+        hit = ks[pos] == okey
+        out = batch.filter(pa.array(hit))
+        return out.append_column(
+            "sum_qty", pa.array(sq[pos][hit] / 100.0, pa.float64()))
+
+    orders = read_table(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ).map_batches(pick_orders, batch_format="pyarrow", batch_size=None)
+    enriched = broadcast_hash_join(orders, sf_dir, "customer",
+                                   left_key="o_custkey", right_key="c_custkey",
+                                   take_cols=["c_name"])
+
+    def tidy(batch: pa.Table) -> pa.Table:
+        batch = batch.rename_columns(
+            ["c_custkey" if c == "o_custkey" else c for c in batch.column_names]
+        )
+        return batch.select(["c_custkey", "c_name", "o_orderkey",
+                             "o_orderdate", "o_totalprice", "sum_qty"])
+
+    return topk(enriched.map_batches(tidy, batch_format="pyarrow"),
+                k=k, by="o_totalprice", tie_cols=("o_orderkey",))
+
+
+Q22_CUTOFF = "2000-07-01"
+
+
+def tpch_q22(sf_dir: str, cutoff: str = Q22_CUTOFF):
+    """TPC-H Q22 analog — global sales opportunity (broadcast-scalar
+    correlated average + windowed NOT EXISTS anti-join).
+
+    The driver's customer has no phone, so the report dimension is
+    c_nationkey, and "has no orders" is re-based on the columns that
+    exist: no order ON OR AFTER ``cutoff`` (dormant customers).  The
+    above-average predicate is exact integer math — ``bal > sum/cnt`` over
+    positive balances rewritten as ``bal_centi * cnt > sum_centi`` — so no
+    float average is ever materialized.
+
+    Scale plan: pass 1 over customer produces two scalars (sum, count of
+    positive balances) via batch partials; the anti-join uses
+    :func:`..stages.join.hash_semi_join` (distinct recent custkeys
+    shuffle, never order rows); the final per-nation aggregate sees only
+    qualifying customers.  -> (c_nationkey, numcust, totacctbal_cents)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .join import hash_semi_join, read_table
+
+    def bal_partial(batch: pa.Table) -> pa.Table:
+        bc = np.floor(
+            batch.column("c_acctbal").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        pos = bc > 0
+        return pa.table({"s": pa.array([int(bc[pos].sum())], pa.int64()),
+                         "n": pa.array([int(pos.sum())], pa.int64())})
+
+    cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+    agg = read_table(sf_dir, "customer", cust_cols) \
+        .map_batches(bal_partial, batch_format="pyarrow").sum(["s", "n"])
+    sum_c, cnt = int(agg["sum(s)"]), int(agg["sum(n)"])
+    if cnt == 0:
+        raise ValueError("tpch_q22: no customer with positive acctbal — "
+                         "the above-average predicate is undefined")
+
+    def rich(batch: pa.Table) -> pa.Table:
+        bc = np.floor(
+            batch.column("c_acctbal").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        # bal > sum/cnt  <=>  bal_centi * cnt > sum_centi  (exact)
+        keep = bc * cnt > sum_c
+        return batch.filter(pa.array(keep)).append_column(
+            "bal_cents", pa.array(bc[keep], pa.int64()))
+
+    rich_cust = read_table(sf_dir, "customer", cust_cols) \
+        .map_batches(rich, batch_format="pyarrow", batch_size=None)
+    recent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey"],
+        filter=pads.field("o_orderdate") >= np.datetime64(cutoff, "ns"),
+    )
+    dormant = hash_semi_join(rich_cust, recent, left_key="c_custkey",
+                             right_key="o_custkey", anti=True)
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        bc = batch.column("bal_cents").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(nk, return_inverse=True)
+        s = np.bincount(inv, weights=bc.astype(np.float64),
+                        minlength=len(uniq)).astype(np.int64)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"c_nationkey": pa.array(uniq),
+                         "numcust": pa.array(n),
+                         "totacctbal_cents": pa.array(s)})
+
+    return (
+        dormant.map_batches(nation_partial, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(Sum("numcust", alias_name="numcust"),
+                   Sum("totacctbal_cents", alias_name="totacctbal_cents"))
+    )

@@ -395,3 +395,75 @@ def test_group_head_first_n_per_group():
         got = out[out["g"] == g].sort_values("rank")
         assert got["id"].tolist() == want["id"].tolist()
         assert got["rank"].tolist() == [1, 2, 3]
+
+
+def _write_pq(path, tbl):
+    import pyarrow.parquet as pq
+
+    pq.write_table(tbl, path)
+
+
+def test_tpch_q13_zero_bucket(tmp_path):
+    """Customers with no orders land in the arithmetically-derived zero
+    bucket; ordering is (custdist DESC, c_count DESC)."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q13
+
+    _write_pq(tmp_path / "customer.parquet", pa.table(
+        {"c_custkey": pa.array([1, 2, 3, 4], pa.int64())}))
+    _write_pq(tmp_path / "orders.parquet", pa.table(
+        {"o_custkey": pa.array([1, 1, 2], pa.int64())}))
+    out = tpch_q13(str(tmp_path)).to_pandas()
+    assert out.values.tolist() == [[0, 2], [2, 1], [1, 1]]
+
+
+def test_tpch_q22_exact_average_and_dormancy(tmp_path):
+    """Above-average uses bal_centi * cnt > sum_centi over POSITIVE
+    balances only; a recent order disqualifies."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q22
+
+    _write_pq(tmp_path / "customer.parquet", pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "c_nationkey": pa.array([0, 1, 2, 3], pa.int32()),
+        "c_acctbal": pa.array([300.0, 250.0, 100.0, -50.0]),
+    }))
+    # avg over positives = 650/3; bal > avg for custkeys 1 and 2;
+    # custkey 1 has a recent order -> only customer 2 survives
+    _write_pq(tmp_path / "orders.parquet", pa.table({
+        "o_custkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array(np.array(
+            ["2001-01-01", "1999-01-01", "2001-01-01"], dtype="datetime64[us]")),
+    }))
+    out = tpch_q22(str(tmp_path)).to_pandas().values.tolist()
+    assert out == [[1, 1, 25000]]
+
+
+def test_tpch_q18_no_survivors(tmp_path):
+    """A threshold no order clears yields an empty report with the full
+    schema (the broadcast-survivor path handles the empty set)."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q18
+
+    _write_pq(tmp_path / "lineitem.parquet", pa.table({
+        "l_orderkey": pa.array([10, 10, 20], pa.int64()),
+        "l_quantity": pa.array([5.0, 7.0, 3.0]),
+    }))
+    _write_pq(tmp_path / "orders.parquet", pa.table({
+        "o_orderkey": pa.array([10, 20], pa.int64()),
+        "o_custkey": pa.array([1, 2], pa.int64()),
+        "o_orderdate": pa.array(np.array(
+            ["1996-01-01", "1996-02-01"], dtype="datetime64[us]")),
+        "o_totalprice": pa.array([100.0, 200.0]),
+    }))
+    _write_pq(tmp_path / "customer.parquet", pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_name": pa.array(["a", "b"], pa.string()),
+    }))
+    ds = tpch_q18(str(tmp_path), min_qty=1000)
+    # ray's to_pandas() drops columns on zero-row datasets; the schema is
+    # the contract here
+    assert set(ds.schema().names) >= {"c_custkey", "c_name", "o_orderkey",
+                                      "o_orderdate", "o_totalprice", "sum_qty"}
+    assert ds.count() == 0
+    # and a low threshold returns both orders, highest totalprice first
+    out2 = tpch_q18(str(tmp_path), min_qty=2).to_pandas()
+    assert out2["o_orderkey"].tolist() == [20, 10]
+    assert out2["sum_qty"].tolist() == [3.0, 12.0]
