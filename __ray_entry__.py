@@ -607,6 +607,14 @@ def _q_contamination(sf_dir: str):
     return textops.contamination(_docs(sf_dir)).sort("doc_id")
 
 
+def _q_passage_dedup(sf_dir: str):
+    """Cross-doc duplicated-passage counts over non-overlapping token
+    windows (stages/textops.passage_dedup)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.passage_dedup(_docs(sf_dir)).sort("doc_id")
+
+
 def _q_pack_sequences(sf_dir: str):
     """GPT-style sequence packing via distributed prefix sum
     (stages/textops.pack_sequences)."""
@@ -2134,6 +2142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": _q_top_bigrams,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
+        "passage_dedup": _q_passage_dedup,
         "pagerank": _q_pagerank,
         "bfs_hops": _q_bfs_hops,
         "lm_score": _q_lm_score,
@@ -2311,6 +2320,7 @@ def oracle_sql() -> dict[str, str]:
         "top_bigrams": oc.top_bigrams_sql(20),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
+        "passage_dedup": oc.passage_dedup_sql(),
         "pagerank": oc.pagerank_sql(),
         "bfs_hops": oc.bfs_hops_sql(),
         "hll_registers": oc.hll_registers_sql(),

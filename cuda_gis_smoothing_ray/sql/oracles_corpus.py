@@ -2912,3 +2912,46 @@ SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
 FROM dormant
 GROUP BY c_nationkey
 ORDER BY c_nationkey"""
+
+
+def passage_dedup_sql(w: int | None = None) -> str:
+    """Oracle of stages/textops.passage_dedup: non-overlapping ``w``-token
+    windows per doc (tail dropped), passage identity = splitmix64(rolling
+    FNV fold) of the space-joined window — the IDENTICAL uint64 hash the
+    engine computes (``functions.hashing.poly_hash64``), wrapped per step in
+    HUGEINT, so a hash collision cannot diverge the two sides.  Same ASCII
+    codepoints-vs-bytes caveat as simhash_pairs_fnv_sql."""
+    if w is None:
+        from ..stages.textops import PASSAGE_W as w
+    fold = (f"list_reduce(list_transform(string_split(win, ''), "
+            f"c -> ascii(c)::HUGEINT), "
+            f"(h, b) -> ((h * {_FNV}) % {_M64} + b) % {_M64})")
+    return f"""WITH lt AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), s -> s != '') AS l
+  FROM documents
+), win AS (
+  SELECT doc_id,
+    array_to_string(l[(i * {w} + 1):((i + 1) * {w})], ' ') AS win
+  FROM (SELECT doc_id, l, unnest(range(len(l) // {w})) AS i FROM lt)
+), p0 AS (
+  SELECT doc_id, {fold} AS h0 FROM win
+), z1 AS (
+  SELECT doc_id, (h0 + 11400714819323198485) % {_M64} AS z1 FROM p0
+), z2 AS (
+  SELECT doc_id, {_mulmod64("xor(z1, z1 >> 30)", "13787848793156543929")} AS z2 FROM z1
+), z3 AS (
+  SELECT doc_id, {_mulmod64("xor(z2, z2 >> 27)", "10723151780598845931")} AS z3 FROM z2
+), th AS (
+  SELECT doc_id, CAST(xor(z3, z3 >> 31) AS UBIGINT) AS h FROM z3
+), c AS (
+  SELECT doc_id, h, CAST(count(*) AS BIGINT) AS cnt FROM th GROUP BY doc_id, h
+), dp AS (
+  SELECT h, count(*) AS n_docs FROM c GROUP BY h
+)
+SELECT c.doc_id, CAST(sum(c.cnt) AS BIGINT) AS n_passages,
+  CAST(sum(CASE WHEN dp.n_docs >= 2 THEN c.cnt ELSE 0 END) AS BIGINT)
+    AS n_dup_passages
+FROM c JOIN dp USING (h)
+GROUP BY c.doc_id
+ORDER BY c.doc_id"""

@@ -2162,3 +2162,94 @@ def bigram_pmi(ds, min_pair: int = PMI_MIN_PAIR, n_parts: int = _PAIR_PARTS):
         )
 
     return j.map_batches(pmi, batch_format="pyarrow")
+
+
+PASSAGE_W = 8
+_PASSAGE_PARTS = 64
+
+
+def passage_dedup(ds, w: int = PASSAGE_W, n_parts: int = _PASSAGE_PARTS):
+    """documents -> (doc_id, n_passages, n_dup_passages): chunk each doc
+    into NON-OVERLAPPING full windows of ``w`` whitespace tokens (the
+    RefinedWeb/CCNet passage-hashing granularity — tail tokens short of a
+    full window are dropped), and count per doc how many of those passage
+    instances also occur in at least one OTHER document.  Docs shorter than
+    ``w`` tokens emit no row.
+
+    Scale shape: one stateless tokenize+window ``map_batches`` pass emits
+    (doc_id, passage_hash, cnt) with batch-local (doc, hash) dedup-to-
+    counts — a doc never splits across batches, so these pairs are globally
+    distinct and the heaviest shuffle moves 20 bytes per DISTINCT passage
+    per doc, never text.  Passages then hash-partition (same
+    partition-count pattern as :func:`..stages.join.grouped_distinct_count`)
+    so "appears in >= 2 docs" is one vectorized ``value_counts`` per
+    partition; per-doc rollup is a bounded Sum groupby.  The passage
+    identity is :func:`..functions.hashing.poly_hash64` of the
+    space-joined window — the ORACLE computes the identical hash (HUGEINT
+    FNV fold + splitmix64), so even a 2^-64 collision cannot diverge the
+    comparison.
+    """
+    from ray.data.aggregate import Sum
+
+    def windows(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "h": pa.array([], pa.int64()),
+            "cnt": pa.array([], pa.int64()),
+            "__part": pa.array([], pa.int64()),
+        })
+        doc_idx, toks = _doc_tokens(batch)
+        n = len(doc_idx)
+        if n == 0:
+            return empty
+        bnd = np.flatnonzero(np.diff(doc_idx) != 0) + 1
+        run_starts = np.concatenate((np.zeros(1, np.int64), bnd))
+        run_lens = np.diff(np.concatenate((run_starts, [n])))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(run_starts, run_lens)
+        rl = np.repeat(run_lens, run_lens)
+        s = np.flatnonzero((pos % w == 0) & (pos + w <= rl))
+        if len(s) == 0:
+            return empty
+        parts = [pc.take(toks, pa.array(s + j)) for j in range(w)]
+        wins = pc.binary_join_element_wise(*parts, " ")
+        if isinstance(wins, pa.ChunkedArray):
+            wins = wins.combine_chunks()
+        h = hashing.poly_hash64(wins).view(np.int64)
+        wdoc = doc_idx[s]
+        order = np.lexsort((h, wdoc))
+        hs, ds_ = h[order], wdoc[order]
+        new = np.ones(len(hs), dtype=bool)
+        new[1:] = (hs[1:] != hs[:-1]) | (ds_[1:] != ds_[:-1])
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.concatenate((starts, [len(hs)])))
+        hu, du = hs[starts], ds_[starts]
+        part = (hu.view(np.uint64) % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(du),
+            "h": pa.array(hu),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            "__part": pa.array(part),
+        })
+
+    def mark(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        # rows are globally-distinct (doc, h) pairs: docs-per-passage is
+        # the plain row count per h within its partition
+        n_docs = df.groupby("h")["doc_id"].transform("size")
+        dup = (n_docs >= 2).to_numpy()
+        cnt = df["cnt"].to_numpy()
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_passages": cnt,
+            "n_dup_passages": np.where(dup, cnt, 0).astype(np.int64),
+        })
+
+    return (
+        ds.map_batches(windows, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(mark, batch_format="pandas")
+        .groupby("doc_id")
+        .aggregate(Sum("n_passages", alias_name="n_passages"),
+                   Sum("n_dup_passages", alias_name="n_dup_passages"))
+    )

@@ -162,3 +162,29 @@ def test_simhash_fnv_null_text_sanitized():
     got = simhash64(pa.array(["abc def", None, ""]), token_hash="fnv")
     want = simhash64(pa.array(["abc def", "", ""]), token_hash="fnv")
     assert (got == want).all()
+
+
+def test_passage_dedup_window_semantics(ray_session):
+    """Windows are NON-overlapping, aligned to position 0, tail dropped;
+    dup = the window text appears in >= 2 distinct docs; docs shorter than
+    w emit no row; within-doc repeats count every instance."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import passage_dedup
+
+    docs = [
+        "a b c d e",        # windows: "a b", "c d" ("e" tail dropped)
+        "c d a b x y",      # windows: "c d", "a b", "x y"
+        "a b a b",          # two instances of "a b" -> both dup
+        "z",                # shorter than w: no row
+        "b c d e",          # "b c", "d e" -- misaligned vs doc0: no dup
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+        "text": pa.array(docs),
+    })).repartition(3)
+    out = passage_dedup(ds, w=2).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [0, 1, 2, 4]
+    assert out["n_passages"].tolist() == [2, 3, 2, 2]
+    # "a b" in docs 0,1,2; "c d" in docs 0,1; "b c"/"d e"/"x y" unique
+    assert out["n_dup_passages"].tolist() == [2, 2, 2, 0]
