@@ -110,6 +110,16 @@ def _q_cell_metrics(sf_dir: str):
     return _round6_cols(_cells(sf_dir), ["chars_mean", "en_share", "mention_rate"]).sort("cell")
 
 
+def _q_hex_gradient(sf_dir: str):
+    """Per-cell max |neighbor - center| of chars_mean over present ring-1
+    neighbors — the edge-detection high-pass complement of the K-family
+    (stages/smooth.hex_gradient: scatter + ONE mixed max/min/sum reduce)."""
+    from cuda_gis_smoothing_ray.stages.smooth import hex_gradient
+
+    return _round6_cols(hex_gradient(_cells(sf_dir), "chars_mean"),
+                        ["grad"]).sort("cell")
+
+
 def _q_neighbor_stats(sf_dir: str):
     """Global min/max/avg/total of per-cell neighbor counts, computed with
     Dataset.aggregate — the driver receives ONE dict, never the cell table
@@ -2267,6 +2277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_capture": _q_latest_capture,
         "geocode_cells": _q_geocode_cells,
         "cell_metrics": _q_cell_metrics,
+        "hex_gradient": _q_hex_gradient,
         "neighbor_stats": _q_neighbor_stats,
         "ring2_stats": _q_ring2_stats,
         "hotspot_gi": _q_hotspot_gi,
@@ -2503,6 +2514,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": o.stratified_sample_sql(
             STRAT_RATES, STRAT_DEFAULT_PPM, gridops.SAMPLE_MULT, gridops.SAMPLE_MOD
         ),
+        "hex_gradient": o.hex_gradient_sql(RES, "chars_mean"),
         "smooth_uniform_k1": o.smooth_sql(RES, 1, "uniform", ["chars_mean"]),
         "smooth_salted_k1": o.smooth_sql(RES, 1, "uniform", ["chars_mean"]),
         "smooth_gauss_k1": o.smooth_sql(RES, 1, "gaussian", ["chars_mean"]),

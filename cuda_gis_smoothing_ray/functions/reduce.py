@@ -22,15 +22,21 @@ import pyarrow as pa
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
-def hash_groupby(ds, key_col: str, cols: list[str], how: str = "sum",
-                 n_parts: int = 64):
+def hash_groupby(ds, key_col: str, cols: list[str],
+                 how: str | dict[str, str] = "sum", n_parts: int = 64):
     """Dataset -> Dataset(key_col, *cols) with a per-key reduction.
 
-    ``how``: "sum" (float64 sums), "isum" (exact int64 sums), or "min"
-    (dtype-preserving int/float min).
+    ``how``: "sum" (float64 sums), "isum" (exact int64 sums), "min" or
+    "max" (dtype-preserving int/float extremes) — one string for every
+    column, or a dict mapping each column to its own reduction (mixed
+    sum/min/max in ONE shuffle).
     Keys may be any int64-compatible column.  One all-to-all (by coarse hash
     partition), vectorized reduce, no per-key Python.
     """
+    hows = {c: how for c in cols} if isinstance(how, str) else dict(how)
+    missing = [c for c in cols if c not in hows]
+    if missing:
+        raise ValueError(f"hash_groupby: no reduction given for {missing}")
 
     def add_part(batch: pa.Table) -> pa.Table:
         from .hashing import coarse_partition
@@ -44,23 +50,29 @@ def hash_groupby(ds, key_col: str, cols: list[str], how: str = "sum",
         out = {key_col: uniq}
         for c in cols:
             v = df[c].to_numpy()
-            if how == "sum":
+            h = hows[c]
+            if h == "sum":
                 out[c] = np.bincount(
                     inv, weights=v.astype(np.float64), minlength=len(uniq)
                 )
-            elif how == "isum":
+            elif h == "isum":
                 # exact int64 sum (np.bincount weights are float64 — lossy
                 # past 2^53); order-independent, for fixed-point pipelines
                 acc = np.zeros(len(uniq), np.int64)
                 np.add.at(acc, inv, v.astype(np.int64))
                 out[c] = acc
-            elif how == "min":
+            elif h == "min":
                 acc = np.full(len(uniq), np.iinfo(np.int64).max if v.dtype.kind == "i"
                               else np.inf, dtype=v.dtype)
                 np.minimum.at(acc, inv, v)
                 out[c] = acc
+            elif h == "max":
+                acc = np.full(len(uniq), np.iinfo(np.int64).min if v.dtype.kind == "i"
+                              else -np.inf, dtype=v.dtype)
+                np.maximum.at(acc, inv, v)
+                out[c] = acc
             else:
-                raise ValueError(f"unknown how={how!r}")
+                raise ValueError(f"unknown how={h!r}")
         return pd.DataFrame(out)
 
     return (

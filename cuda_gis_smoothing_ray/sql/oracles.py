@@ -1259,3 +1259,26 @@ SELECT
           "        * (st.syy - st.n * st.ybar * st.ybar))")} AS morans_ixy,
   CAST(agg.s0 AS BIGINT) AS s0, CAST(st.n AS BIGINT) AS n_cells
 FROM agg, st"""
+
+
+def hex_gradient_sql(res: int, value_col: str = "chars_mean",
+                     ring: int = 1) -> str:
+    """Oracle of stages/smooth.hex_gradient: per-cell max |neighbor - center|
+    of ``value_col`` over PRESENT ring-``ring`` neighbors (inner join drops
+    neighborless cells, like the engine's n_nbr >= 1 filter).  The per-pair
+    abs-difference max equals the engine's (max_n - v_c, v_c - min_n) form
+    IEEE-exactly because subtraction by a constant is monotone and exactly
+    rounded."""
+    offs = []
+    for rg in range(1, ring + 1):
+        offs += hexgrid.ring_offsets(rg)
+    return f"""{prelude(res)},
+offsets(dq, dr) AS (VALUES
+    {", ".join(f"({dq}, {dr})" for dq, dr in offs)})
+SELECT c.cell AS cell, CAST(count(n.cell) AS BIGINT) AS n_neighbors,
+  {round6(f'max(abs(n.{value_col} - c.{value_col}))')} AS grad
+FROM cells c
+CROSS JOIN offsets o
+JOIN cells n ON n.q = c.q + o.dq AND n.r = c.r + o.dr
+GROUP BY c.cell
+ORDER BY c.cell"""

@@ -284,3 +284,82 @@ def _enrich_shuffle_join(sm, geocoded_ds, value_cols: list[str], id_col: str,
         geocoded_ds.map_batches(page_rows, batch_format="pyarrow",
                                 batch_size=None))
     return unioned.groupby("__part").map_groups(join, batch_format="pandas")
+
+
+def hex_gradient(cells_ds, value_col: str, ring: int = 1):
+    """Cell-table Dataset -> (cell, n_neighbors, grad): per-cell maximum
+    absolute difference of ``value_col`` against its PRESENT ring-``ring``
+    neighbors — the high-pass (edge-detection) complement of the K-family
+    smoothing low-pass.  Cells with no present neighbor emit no row (a
+    gradient over an empty set is undefined).
+
+    Scale shape: same scatter -> shuffle discipline as
+    :func:`smooth_cells` — each cell emits its value toward its neighbors
+    (and itself, flagged), contributions batch-combine by target before the
+    ONE cell-level shuffle, and the reduce is mixed max/min/sum in a single
+    vectorized :func:`..functions.reduce.hash_groupby` pass (no per-cell
+    Python).  max|v_n - v_c| finalizes as
+    ``max(max_n v_n - v_c, v_c - min_n v_n)`` — IEEE-identical to the
+    per-pair form because subtraction by a constant is monotone and exactly
+    rounded, which is what lets the reduce ship 2 floats per target instead
+    of every pair."""
+    import pyarrow.compute as pc_
+
+    from ..functions.reduce import hash_groupby
+
+    ring_offs = hexgrid.ring_offsets(ring)
+    dq = np.array([o[0] for o in ring_offs], dtype=np.int64)
+    dr = np.array([o[1] for o in ring_offs], dtype=np.int64)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        res, q, r = hexgrid.unpack(cell)
+        res0 = int(res[0]) if len(res) else hexgrid.RES_MIN
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        n, m = len(cell), len(dq)
+        nbr_targets = hexgrid.pack(
+            res0, q[:, None] + dq[None, :], r[:, None] + dr[None, :]
+        ).ravel()
+        targets = np.concatenate((cell, nbr_targets))
+        vals = np.concatenate((v, np.repeat(v, m)))
+        is_ctr = np.concatenate((np.ones(n, bool), np.zeros(n * m, bool)))
+        uniq, inv = np.unique(targets, return_inverse=True)
+        nbr_max = np.full(len(uniq), -np.inf)
+        np.maximum.at(nbr_max, inv[~is_ctr], vals[~is_ctr])
+        neg_nbr_min = np.full(len(uniq), -np.inf)
+        np.maximum.at(neg_nbr_min, inv[~is_ctr], -vals[~is_ctr])
+        center_val = np.full(len(uniq), -np.inf)
+        np.maximum.at(center_val, inv[is_ctr], vals[is_ctr])
+        return pa.table({
+            "cell": pa.array(uniq),
+            "nbr_max": pa.array(nbr_max),
+            "neg_nbr_min": pa.array(neg_nbr_min),
+            "center_val": pa.array(center_val),
+            "n_nbr": pa.array(np.bincount(inv[~is_ctr], minlength=len(uniq))
+                              .astype(np.int64)),
+            "c_cnt": pa.array(np.bincount(inv[is_ctr], minlength=len(uniq))
+                              .astype(np.int64)),
+        })
+
+    reduced = hash_groupby(
+        cells_ds.map_batches(expand, batch_format="pyarrow"),
+        "cell",
+        ["nbr_max", "neg_nbr_min", "center_val", "n_nbr", "c_cnt"],
+        how={"nbr_max": "max", "neg_nbr_min": "max", "center_val": "max",
+             "n_nbr": "isum", "c_cnt": "isum"},
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        keep = pc_.and_(pc_.greater(batch.column("c_cnt"), 0),
+                        pc_.greater(batch.column("n_nbr"), 0))
+        t = batch.filter(keep)
+        vc = t.column("center_val").to_numpy(zero_copy_only=False)
+        up = t.column("nbr_max").to_numpy(zero_copy_only=False) - vc
+        dn = vc - (-t.column("neg_nbr_min").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "cell": t.column("cell"),
+            "n_neighbors": t.column("n_nbr"),
+            "grad": pa.array(np.maximum(up, dn)),
+        })
+
+    return reduced.map_batches(finalize, batch_format="pyarrow")

@@ -203,3 +203,34 @@ def test_enrich_pages_shuffle_join_arm_matches_broadcast():
     assert list(shuf.columns) == list(bcast.columns)
     np.testing.assert_array_equal(shuf["cell"].to_numpy(), bcast["cell"].to_numpy())
     np.testing.assert_array_equal(shuf["v_sm"].to_numpy(), bcast["v_sm"].to_numpy())
+
+
+def test_hex_gradient_matches_numpy_oracle(ray_session):
+    """hex_gradient == per-cell max |v_n - v_c| over present ring-1
+    neighbors (brute-force gather oracle); neighborless cells emit no row."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.smooth import hex_gradient
+
+    tbl = make_cells(n=300, seed=11)
+    cell = tbl.column("cell").to_numpy()
+    v = tbl.column("v").to_numpy()
+    _, q, r = hg.unpack(cell)
+    pos = {(int(qq), int(rr)): i for i, (qq, rr) in enumerate(zip(q, r))}
+    want = {}
+    for i in range(len(cell)):
+        diffs = []
+        for dq, dr in hg.ring_offsets(1):
+            j = pos.get((int(q[i]) + dq, int(r[i]) + dr))
+            if j is not None:
+                diffs.append(abs(v[j] - v[i]))
+        if diffs:
+            want[int(cell[i])] = (len(diffs), max(diffs))
+
+    out = hex_gradient(rd.from_arrow(tbl).repartition(5), "v").to_pandas()
+    got = {int(c): (int(n), g) for c, n, g in
+           zip(out["cell"], out["n_neighbors"], out["grad"])}
+    assert set(got) == set(want)
+    for c, (n, g) in want.items():
+        assert got[c][0] == n
+        assert got[c][1] == pytest.approx(g, abs=0, rel=0)  # bit-exact
