@@ -1954,6 +1954,17 @@ def _q_hosts_except(sf_dir: str, anti: bool = True, col: str = "host"):
     )
 
 
+def _q_host_gini(sf_dir: str):
+    """Per-TLD Gini coefficient of host page counts — crawl-concentration
+    inequality from the count HISTOGRAM, never a global rank
+    (stages/textops.host_gini)."""
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.textops import host_gini
+
+    return host_gini(
+        read_pages(sf_dir, include_html=False).select_columns(["url"]))
+
+
 def _q_top_hosts_by_lang(sf_dir: str):
     from cuda_gis_smoothing_ray.sources.pages import read_pages
     from cuda_gis_smoothing_ray.stages.gridops import grouped_topk
@@ -2266,6 +2277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_len_quantiles_cont": _q_text_len_quantiles_cont,
         "lang_len_quantiles_cont": _q_lang_len_quantiles_cont,
         "top_hosts_by_lang": _q_top_hosts_by_lang,
+        "host_gini": _q_host_gini,
         "hosts_en_not_de": _q_hosts_except,
         "hosts_union": _q_hosts_union,
         "host_split": _q_host_split,
@@ -2451,6 +2463,7 @@ def oracle_sql() -> dict[str, str]:
         "text_len_quantiles_cont": oc.text_len_quantiles_cont_sql(),
         "lang_len_quantiles_cont": oc.lang_len_quantiles_cont_sql(),
         "top_hosts_by_lang": o.top_hosts_by_lang_sql(5),
+        "host_gini": o.host_gini_sql(),
         "hosts_en_not_de": o.hosts_except_sql(),
         "hosts_union": o.hosts_except_sql("UNION"),
         "host_split": oc.host_split_sql(),

@@ -1282,3 +1282,32 @@ CROSS JOIN offsets o
 JOIN cells n ON n.q = c.q + o.dq AND n.r = c.r + o.dr
 GROUP BY c.cell
 ORDER BY c.cell"""
+
+
+def host_gini_sql() -> str:
+    """Oracle of stages/textops.host_gini: per-TLD Gini of host page counts.
+    row_number over (x, host) — the tie order is irrelevant because
+    sum(i * x) is invariant within runs of equal x, which is exactly why
+    the engine can close the formula from the count histogram.  Moments in
+    HUGEINT (n * total overflows BIGINT at web scale); the one float is the
+    identical final division."""
+    return f"""WITH {pages_cte()},
+h AS (
+  SELECT string_split(split_part(url, '/', 3), '.')[-1] AS tld,
+         split_part(url, '/', 3) AS host, count(*) AS x
+  FROM pages GROUP BY 1, 2
+),
+r AS (
+  SELECT tld, x,
+    row_number() OVER (PARTITION BY tld ORDER BY x, host) AS i
+  FROM h
+),
+a AS (
+  SELECT tld, CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS s0,
+         CAST(sum(CAST(i AS HUGEINT) * x) AS HUGEINT) AS s1
+  FROM r GROUP BY tld
+)
+SELECT tld, CAST(n AS BIGINT) AS n_hosts, CAST(s0 AS BIGINT) AS n_pages,
+  {round6('CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) / CAST(n * s0 AS DOUBLE)')} AS gini
+FROM a
+ORDER BY tld"""

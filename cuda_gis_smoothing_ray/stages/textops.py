@@ -2253,3 +2253,79 @@ def passage_dedup(ds, w: int = PASSAGE_W, n_parts: int = _PASSAGE_PARTS):
         .aggregate(Sum("n_passages", alias_name="n_passages"),
                    Sum("n_dup_passages", alias_name="n_dup_passages"))
     )
+
+
+def host_gini(pages_ds):
+    """pages -> (tld, n_hosts, n_pages, gini): per-TLD Gini coefficient of
+    the host page-count distribution — the crawl-concentration inequality
+    metric (gini 0 = every host equal, -> 1 = one host dominates), the
+    domain-diversity health check a corpus-curation pipeline runs before
+    sampling.
+
+    Exactness: ranks enter Gini only through ``sum(rank * x)`` over counts
+    sorted ascending, which is TIE-ORDER INVARIANT — so the engine never
+    ranks at all.  It reduces (tld, host) page counts (one shuffle over
+    distinct hosts), histograms them to (tld, count_value, multiplicity)
+    (bounded by distinct count VALUES — tiny), and closes the formula per
+    run of equal values: a run of m hosts with count x starting at rank s
+    contributes ``x * (m*s + m*(m-1)/2)``.  All moments are arbitrary-
+    precision Python ints (n * total overflows int64 at web scale); the one
+    float is the final ``(2*S1 - (n+1)*S0) / (n*S0)`` division, identical
+    expression tree to the HUGEINT oracle."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def local(batch: pa.Table) -> pa.Table:
+        url = batch.column("url")
+        if isinstance(url, pa.ChunkedArray):
+            url = url.combine_chunks()
+        host = pc.list_element(pc.split_pattern(url, pattern="/"), 2)
+        tld = pc.list_element(
+            pc.split_pattern(host, pattern=".", max_splits=1, reverse=True), 1
+        )
+        df = pd.DataFrame({
+            "tld": tld.to_numpy(zero_copy_only=False),
+            "host": host.to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby(["tld", "host"], sort=False).size().reset_index(name="x")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (
+        pages_ds.map_batches(local, batch_format="pyarrow", batch_size=None)
+        .groupby(["tld", "host"])
+        .aggregate(Sum("x", alias_name="x"))
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "tld": batch.column("tld").to_numpy(zero_copy_only=False),
+            "x": batch.column("x").to_numpy(zero_copy_only=False).astype(np.int64),
+        })
+        g = df.groupby(["tld", "x"], sort=False).size().reset_index(name="m")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    histo = (
+        counts.map_batches(hist, batch_format="pyarrow")
+        .groupby(["tld", "x"])
+        .aggregate(Sum("m", alias_name="m"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for tld, g in df.groupby("tld", sort=True):
+            g = g.sort_values("x", kind="mergesort")
+            s, s0, s1, n = 1, 0, 0, 0   # python ints: exact at any scale
+            for x, m in zip(g["x"].tolist(), g["m"].tolist()):
+                x, m = int(x), int(m)
+                s1 += x * (m * s + m * (m - 1) // 2)
+                s0 += x * m
+                n += m
+                s += m
+            gini = float(2 * s1 - (n + 1) * s0) / float(n * s0)
+            rows.append((tld, n, s0,
+                         np.floor(gini * 1e6 + 0.5) / 1e6))
+        return pd.DataFrame(rows, columns=["tld", "n_hosts", "n_pages", "gini"])
+
+    return histo.repartition(1).map_batches(finish, batch_format="pandas",
+                                            batch_size=None)

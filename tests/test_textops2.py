@@ -188,3 +188,21 @@ def test_passage_dedup_window_semantics(ray_session):
     assert out["n_passages"].tolist() == [2, 3, 2, 2]
     # "a b" in docs 0,1,2; "c d" in docs 0,1; "b c"/"d e"/"x y" unique
     assert out["n_dup_passages"].tolist() == [2, 2, 2, 0]
+
+
+def test_host_gini_hand_math(ray_session):
+    """Gini from the count histogram == the rank-formula on paper.
+    Hosts: a.com x1, b.com x1, c.com x4  (sorted x: 1,1,4; i*x = 1+2+12)
+    G = (2*15 - 4*6) / (3*6) = 6/18 = 0.333333.  One-host TLD -> G=0."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import host_gini
+
+    urls = (["https://a.com/p/1"] + ["https://b.com/p/2"]
+            + ["https://c.com/p/3"] * 4 + ["https://solo.net/p/9"] * 7)
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls)})).repartition(3)
+    out = host_gini(ds).to_pandas().sort_values("tld").reset_index(drop=True)
+    assert out["tld"].tolist() == ["com", "net"]
+    assert out["n_hosts"].tolist() == [3, 1]
+    assert out["n_pages"].tolist() == [6, 7]
+    assert out["gini"].tolist() == [0.333333, 0.0]
