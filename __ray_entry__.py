@@ -110,6 +110,22 @@ def _q_cell_metrics(sf_dir: str):
     return _round6_cols(_cells(sf_dir), ["chars_mean", "en_share", "mention_rate"]).sort("cell")
 
 
+def _q_ripley_k(sf_dir: str):
+    """Ripley's K point-pattern statistic at three radii — one bucket+halo
+    pair sweep, fixed-arity count partials (stages/spatialjoin.ripley_k)."""
+    from cuda_gis_smoothing_ray.stages.spatialjoin import ripley_k
+
+    return ripley_k(_geocoded(sf_dir))
+
+
+def _q_kde_density(sf_dir: str):
+    """Ring-2 kernel-density heat accumulation over page counts — the
+    un-normalized choropleth heatmap (stages/smooth.kde_density)."""
+    from cuda_gis_smoothing_ray.stages.smooth import kde_density
+
+    return _round6_cols(kde_density(_cells(sf_dir)), ["density"]).sort("cell")
+
+
 def _q_hex_gradient(sf_dir: str):
     """Per-cell max |neighbor - center| of chars_mean over present ring-1
     neighbors — the edge-detection high-pass complement of the K-family
@@ -2129,6 +2145,14 @@ def _q_sessionize(sf_dir: str):
     return events.sessionize(events.read_events(sf_dir)).sort("event_id")
 
 
+def _q_rfm_segments(sf_dir: str):
+    """RFM customer segmentation: one user shuffle, exact per-dimension
+    terciles, value-comparison 1..3 labels (stages/events.rfm_segments)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.rfm_segments(events.read_events(sf_dir)).sort("user_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     q: dict[str, Callable[[str], Any]] = {
         "pip_join": _q_pip,
@@ -2164,6 +2188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
+        "rfm_segments": _q_rfm_segments,
         "pagerank": _q_pagerank,
         "bfs_hops": _q_bfs_hops,
         "lm_score": _q_lm_score,
@@ -2290,6 +2315,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geocode_cells": _q_geocode_cells,
         "cell_metrics": _q_cell_metrics,
         "hex_gradient": _q_hex_gradient,
+        "kde_density": _q_kde_density,
+        "ripley_k": _q_ripley_k,
         "neighbor_stats": _q_neighbor_stats,
         "ring2_stats": _q_ring2_stats,
         "hotspot_gi": _q_hotspot_gi,
@@ -2344,6 +2371,7 @@ def oracle_sql() -> dict[str, str]:
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),
+        "rfm_segments": oc.rfm_segments_sql(),
         "pagerank": oc.pagerank_sql(),
         "bfs_hops": oc.bfs_hops_sql(),
         "hll_registers": oc.hll_registers_sql(),
@@ -2528,6 +2556,8 @@ def oracle_sql() -> dict[str, str]:
             STRAT_RATES, STRAT_DEFAULT_PPM, gridops.SAMPLE_MULT, gridops.SAMPLE_MOD
         ),
         "hex_gradient": o.hex_gradient_sql(RES, "chars_mean"),
+        "kde_density": o.kde_density_sql(RES),
+        "ripley_k": o.ripley_k_sql(RES),
         "smooth_uniform_k1": o.smooth_sql(RES, 1, "uniform", ["chars_mean"]),
         "smooth_salted_k1": o.smooth_sql(RES, 1, "uniform", ["chars_mean"]),
         "smooth_gauss_k1": o.smooth_sql(RES, 1, "gaussian", ["chars_mean"]),

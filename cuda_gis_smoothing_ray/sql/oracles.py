@@ -1311,3 +1311,54 @@ SELECT tld, CAST(n AS BIGINT) AS n_hosts, CAST(s0 AS BIGINT) AS n_pages,
   {round6('CAST(2 * s1 - (n + 1) * s0 AS DOUBLE) / CAST(n * s0 AS DOUBLE)')} AS gini
 FROM a
 ORDER BY tld"""
+
+
+def kde_density_sql(res: int, value_col: str = "page_count", k: int = 2,
+                    profile: str = "gaussian") -> str:
+    """Oracle of stages/smooth.kde_density: the gather form of the heat
+    accumulation — sum(w * v) over present {center} + rings<=k, no
+    normalization (the smooth_sql numerator)."""
+    return f"""{prelude(res)},
+offsets(dq, dr, w) AS (VALUES
+    {offsets_values(k, profile)})
+SELECT c.cell AS cell,
+  {round6(f'sum(n.{value_col} * o.w)')} AS density
+FROM cells c
+CROSS JOIN offsets o
+JOIN cells n ON n.q = c.q + o.dq AND n.r = c.r + o.dr
+GROUP BY c.cell
+ORDER BY c.cell"""
+
+
+def ripley_k_sql(res: int, radii: tuple[float, ...] | None = None) -> str:
+    """Oracle of stages/spatialjoin.ripley_k: pair set = RAW equirectangular
+    d2 <= max(radii)^2 (the distance_join predicate), per-radius membership
+    on round6(d2) (the join's emitted value), K-hat = the identical
+    area * 2.0 * n_pairs / (n * (n-1)) expression tree."""
+    if radii is None:
+        from ..stages.spatialjoin import RIPLEY_RADII as radii
+    radii = tuple(sorted(radii))
+    max_radius = max(radii)
+    rows = ", ".join(f"({D(r)})" for r in radii)
+    d2 = "(a.lat - b.lat) * (a.lat - b.lat) + (a.lon - b.lon) * (a.lon - b.lon)"
+    return f"""{prelude_geo(res)},
+pr AS (
+  SELECT {round6(d2)} AS d2r
+  FROM geocoded a JOIN geocoded b
+    ON a.page_id < b.page_id AND {d2} <= {D(max_radius * max_radius)}
+),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    min(lat) AS la0, max(lat) AS la1, min(lon) AS lo0, max(lon) AS lo1
+  FROM geocoded
+),
+radii(r) AS (VALUES {rows}),
+cnt AS (
+  SELECT r, CAST(count(pr.d2r) AS BIGINT) AS n_pairs
+  FROM radii LEFT JOIN pr ON pr.d2r <= r * r
+  GROUP BY r
+)
+SELECT cnt.r AS radius, cnt.n_pairs,
+  {round6('((st.la1 - st.la0) * (st.lo1 - st.lo0)) * 2.0 * cnt.n_pairs / (st.n * (st.n - 1))')} AS k_hat
+FROM cnt, st
+ORDER BY radius"""

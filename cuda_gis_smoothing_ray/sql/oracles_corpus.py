@@ -2955,3 +2955,54 @@ SELECT c.doc_id, CAST(sum(c.cnt) AS BIGINT) AS n_passages,
 FROM c JOIN dp USING (h)
 GROUP BY c.doc_id
 ORDER BY c.doc_id"""
+
+
+def rfm_segments_sql() -> str:
+    """Oracle of stages/events.rfm_segments: per-user recency (whole days
+    to the global max ts) / frequency / purchase-cents, exact tercile
+    thresholds at rank floor((n-1)*q) per dimension (the ccnet_buckets
+    pattern), value-comparison 1..3 labels (3 = best)."""
+
+    def ranked(col: str, name: str) -> str:
+        return (f"{name} AS (SELECT {col} AS v, "
+                f"row_number() OVER (ORDER BY {col}) - 1 AS rk, "
+                f"count(*) OVER () AS n FROM d)")
+
+    def th(name: str, q: str) -> str:
+        return (f"(SELECT v FROM {name} WHERE rk = "
+                f"CAST(floor((n - 1) * ({q})) AS BIGINT) LIMIT 1)")
+
+    return f"""WITH pu AS (
+  SELECT user_id, max(ts) AS last_ts, CAST(count(*) AS BIGINT) AS frequency,
+    CAST(sum(CASE WHEN event_type = 'purchase'
+                  THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS monetary_cents
+  FROM events GROUP BY user_id
+), g AS (SELECT max(last_ts) AS gmax FROM pu),
+d AS (
+  SELECT pu.user_id, pu.frequency, pu.monetary_cents,
+    date_diff('microsecond', pu.last_ts, g.gmax) // 86400000000
+      AS recency_days
+  FROM pu, g
+),
+{ranked('recency_days', 'rr')},
+{ranked('frequency', 'rf')},
+{ranked('monetary_cents', 'rm')},
+th AS (
+  SELECT {th('rr', '1.0/3.0')} AS tr1, {th('rr', '2.0/3.0')} AS tr2,
+         {th('rf', '1.0/3.0')} AS tf1, {th('rf', '2.0/3.0')} AS tf2,
+         {th('rm', '1.0/3.0')} AS tm1, {th('rm', '2.0/3.0')} AS tm2
+)
+SELECT d.user_id, CAST(d.recency_days AS BIGINT) AS recency_days,
+  d.frequency, d.monetary_cents,
+  CAST(3 - (CASE WHEN d.recency_days > th.tr1 THEN 1 ELSE 0 END)
+         - (CASE WHEN d.recency_days > th.tr2 THEN 1 ELSE 0 END)
+       AS BIGINT) AS r_seg,
+  CAST(1 + (CASE WHEN d.frequency > th.tf1 THEN 1 ELSE 0 END)
+         + (CASE WHEN d.frequency > th.tf2 THEN 1 ELSE 0 END)
+       AS BIGINT) AS f_seg,
+  CAST(1 + (CASE WHEN d.monetary_cents > th.tm1 THEN 1 ELSE 0 END)
+         + (CASE WHEN d.monetary_cents > th.tm2 THEN 1 ELSE 0 END)
+       AS BIGINT) AS m_seg
+FROM d, th
+ORDER BY d.user_id"""

@@ -1058,3 +1058,93 @@ def ab_lift(ds, conv_type: str = "purchase", conv_value: float = AB_CONV_VALUE,
             "z_score": pa.array([float(z)], pa.float64()),
         }
     )
+
+
+RFM_QS = (1.0 / 3.0, 2.0 / 3.0)
+_DAY_US = 86_400_000_000
+
+
+def rfm_segments(events_ds):
+    """events -> (user_id, recency_days, frequency, monetary_cents, r_seg,
+    f_seg, m_seg): classic RFM customer segmentation — recency = whole days
+    between the user's last event (any type) and the latest event in the
+    data, frequency = total event count, monetary = exact cents of
+    'purchase' values; each dimension labeled 1..3 by VALUE comparison
+    against exact corpus terciles (3 = best: most recent / most frequent /
+    highest spend), so threshold ties land deterministically in one bucket
+    on both engines.
+
+    Scale shape: ONE user shuffle builds the narrow per-user table
+    (batch-local max/count/sum partials through the mixed-reduction
+    :func:`..functions.reduce.hash_groupby`), materialized once — the
+    honest cost of exact terciles, which need the global max timestamp and
+    three value-histogram quantile passes (:func:`..stages.sketch
+    .quantiles`: only (value, count) pairs shuffle) before the label pass
+    re-reads it.  Raw events are scanned exactly once."""
+    from .sketch import quantiles
+    from ..functions.reduce import hash_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").view(np.int64)
+        val = batch.column("value").to_numpy(zero_copy_only=False)
+        is_buy = batch.column("event_type").to_numpy(zero_copy_only=False) == "purchase"
+        cents = np.where(
+            is_buy, np.floor(val * 100.0 + 0.5).astype(np.int64), np.int64(0))
+        uniq, inv = np.unique(u, return_inverse=True)
+        last = np.full(len(uniq), np.iinfo(np.int64).min)
+        np.maximum.at(last, inv, ts)
+        m = np.zeros(len(uniq), np.int64)
+        np.add.at(m, inv, cents)
+        return pa.table({
+            "user_id": pa.array(uniq),
+            "last_ts": pa.array(last),
+            "frequency": pa.array(np.bincount(inv, minlength=len(uniq))
+                                  .astype(np.int64)),
+            "monetary_cents": pa.array(m),
+        })
+
+    per_user = hash_groupby(
+        events_ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id", ["last_ts", "frequency", "monetary_cents"],
+        how={"last_ts": "max", "frequency": "isum", "monetary_cents": "isum"},
+    ).materialize()  # narrow |users| rows; 5 cheap passes follow
+
+    gmax = int(per_user.max("last_ts"))
+
+    def days_of(batch: pa.Table) -> np.ndarray:
+        last = batch.column("last_ts").to_numpy(zero_copy_only=False).astype(np.int64)
+        return (gmax - last) // _DAY_US
+
+    def freq_of(batch: pa.Table) -> np.ndarray:
+        return batch.column("frequency").to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def money_of(batch: pa.Table) -> np.ndarray:
+        return batch.column("monetary_cents").to_numpy(zero_copy_only=False).astype(np.int64)
+
+    tr = [int(v) for v in quantiles(per_user, days_of, qs=RFM_QS)
+          .column("value").to_pylist()]
+    tf = [int(v) for v in quantiles(per_user, freq_of, qs=RFM_QS)
+          .column("value").to_pylist()]
+    tm = [int(v) for v in quantiles(per_user, money_of, qs=RFM_QS)
+          .column("value").to_pylist()]
+
+    def label(batch: pa.Table) -> pa.Table:
+        d = days_of(batch)
+        f = freq_of(batch)
+        m = money_of(batch)
+        r_seg = 3 - ((d > tr[0]).astype(np.int64) + (d > tr[1]).astype(np.int64))
+        f_seg = 1 + (f > tf[0]).astype(np.int64) + (f > tf[1]).astype(np.int64)
+        m_seg = 1 + (m > tm[0]).astype(np.int64) + (m > tm[1]).astype(np.int64)
+        return pa.table({
+            "user_id": batch.column("user_id"),
+            "recency_days": pa.array(d),
+            "frequency": pa.array(f),
+            "monetary_cents": pa.array(m),
+            "r_seg": pa.array(r_seg),
+            "f_seg": pa.array(f_seg),
+            "m_seg": pa.array(m_seg),
+        })
+
+    return per_user.map_batches(label, batch_format="pyarrow")

@@ -363,3 +363,41 @@ def hex_gradient(cells_ds, value_col: str, ring: int = 1):
         })
 
     return reduced.map_batches(finalize, batch_format="pyarrow")
+
+
+def kde_density(cells_ds, value_col: str = "page_count", k: int = 2,
+                profile: str = "gaussian"):
+    """Cell-table Dataset -> (cell, density): kernel-density heat
+    accumulation — ``density(c) = sum over j in {c} + rings<=k of
+    w(ring(j)) * v(j)`` — the UN-normalized numerator of the K-family
+    weighted mean, i.e. a choropleth heatmap (each page radiates weighted
+    mass into its k-ring) rather than a low-pass filter.  Missing neighbors
+    simply contribute nothing; cells absent from the data emit no row.
+
+    Scale shape: identical to :func:`smooth_cells` — the same
+    :func:`expand_contributions` scatter with batch-local combine and ONE
+    vectorized cell-level reduce; only the finalize differs (no divide)."""
+    from ..functions.reduce import hash_groupby_sum
+
+    dq, dr, w = _offsets_and_weights(k, profile)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        return expand_contributions(batch, [value_col], dq, dr, w)
+
+    reduced = hash_groupby_sum(
+        cells_ds.map_batches(expand, batch_format="pyarrow"),
+        "cell", ["w_sum", "c_sum", f"wv_{value_col}"],
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        c_sum = batch.column("c_sum").to_numpy(zero_copy_only=False)
+        mask = c_sum > 0.5
+        return pa.table({
+            "cell": pa.array(
+                batch.column("cell").to_numpy(zero_copy_only=False)[mask]),
+            "density": pa.array(
+                batch.column(f"wv_{value_col}").to_numpy(
+                    zero_copy_only=False)[mask]),
+        })
+
+    return reduced.map_batches(finalize, batch_format="pyarrow")

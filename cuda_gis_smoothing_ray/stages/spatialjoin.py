@@ -509,3 +509,59 @@ def pip_join_indexed(points_ds, res: int = 7, polygons=None,
         )
 
     return points_ds.map_batches(probe, batch_format="pyarrow")
+
+
+RIPLEY_RADII = (0.25, 0.5, 1.0)
+
+
+def ripley_k(points_ds, radii: tuple[float, ...] = RIPLEY_RADII,
+             bucket_res: int = 6, id_col: str = "page_id"):
+    """points -> (radius, n_pairs, k_hat): Ripley's K point-pattern
+    statistic — for each radius r, the count of unordered point pairs
+    within r (equirectangular degrees) and the K estimate
+    ``K(r) = A * 2 * n_pairs / (n * (n - 1))`` with A the observed
+    bounding-box area.  K(r) >> pi*r^2 reads as clustering at scale r,
+    << as dispersion — the spatial-statistics companion of Moran's I /
+    Gi* already in the engine.
+
+    Scale shape: ONE bucket+halo pair sweep at max(radii) (the
+    :func:`distance_join` plan — never an all-pairs join), then a per-batch
+    fixed-arity count partial (one column per radius) that reduces to a
+    single row; the bbox/count moments are one aggregate over the points.
+    Per-radius membership tests the ROUNDED pair distance (the join's
+    emitted round6(dist2)) so the oracle can replay the identical
+    predicate.  Pairs are exact, not border-corrected (K-hat naive form).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min
+
+    radii = tuple(sorted(radii))
+    st = points_ds.aggregate(Min("lat", alias_name="la0"),
+                             Max("lat", alias_name="la1"),
+                             Min("lon", alias_name="lo0"),
+                             Max("lon", alias_name="lo1"),
+                             Count(alias_name="n"))
+    n = int(st["n"])
+    if n < 2:
+        raise ValueError("ripley_k: need at least 2 points")
+    area = (st["la1"] - st["la0"]) * (st["lo1"] - st["lo0"])
+
+    pairs = distance_join(points_ds, radius=max(radii),
+                          bucket_res=bucket_res, id_col=id_col)
+    cols = [f"c{i}" for i in range(len(radii))]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d2 = batch.column("dist2").to_numpy(zero_copy_only=False)
+        return pa.table({c: pa.array([int((d2 <= r * r).sum())], pa.int64())
+                         for c, r in zip(cols, radii)})
+
+    agg = pairs.map_batches(partial, batch_format="pyarrow").sum(cols)
+    n_pairs = [int(agg[f"sum({c})"]) if agg else 0 for c in cols]
+    denom = n * (n - 1)
+    k_hat = [np.floor(area * 2.0 * p / denom * 1e6 + 0.5) / 1e6
+             for p in n_pairs]
+    return rd.from_arrow(pa.table({
+        "radius": pa.array(list(radii), pa.float64()),
+        "n_pairs": pa.array(n_pairs, pa.int64()),
+        "k_hat": pa.array(k_hat, pa.float64()),
+    }))

@@ -390,3 +390,42 @@ def test_audio_resample_real_nearest_mapping():
     assert row["n_in"] == 6 and row["n_out"] == 12 and row["src_rate"] == 8000
     assert row["v_sum"] == int(want.sum())
     assert row["checksum"] == int((np.arange(12) * want).sum())
+
+
+def test_rfm_segments_hand_math(ray_session):
+    """3 users: terciles at rank floor((n-1)/3)=0 and floor(2(n-1)/3)=1 of
+    each sorted dimension; labels compare by VALUE (3 = best)."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import rfm_segments
+
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+    day = np.timedelta64(1, "D")
+    rows = [
+        # user 1: last day 10, 3 events, 2 purchases of 1.00 + 2.50
+        (1, t0 + 10 * day, 1, "purchase", 1.0),
+        (2, t0 + 9 * day, 1, "purchase", 2.5),
+        (3, t0 + 8 * day, 1, "view", 99.0),      # non-purchase: no money
+        # user 2: last day 4, 1 event, no purchase
+        (4, t0 + 4 * day, 2, "view", 5.0),
+        # user 3: last day 0, 2 events, one purchase of 0.40
+        (5, t0, 3, "purchase", 0.4),
+        (6, t0 - 3 * day, 3, "click", 0.0),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], dtype="datetime64[us]")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([float(r[4]) for r in rows]),
+    })).repartition(2)
+    out = rfm_segments(ds).to_pandas().sort_values("user_id").reset_index(drop=True)
+    assert out["recency_days"].tolist() == [0, 6, 10]
+    assert out["frequency"].tolist() == [3, 1, 2]
+    assert out["monetary_cents"].tolist() == [350, 0, 40]
+    # recency sorted [0,6,10] -> t1=0, t2=6: u1 d=0 ->3, u2 d=6 ->2, u3 d=10 ->1
+    assert out["r_seg"].tolist() == [3, 2, 1]
+    # frequency sorted [1,2,3] -> t1=1, t2=2: u1 f=3 ->3, u2 f=1 ->1, u3 f=2 ->2
+    assert out["f_seg"].tolist() == [3, 1, 2]
+    # money sorted [0,40,350] -> t1=0, t2=40: u1 ->3, u2 ->1, u3 ->2
+    assert out["m_seg"].tolist() == [3, 1, 2]

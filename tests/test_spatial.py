@@ -351,3 +351,40 @@ def test_pip_holes_explicit_empty_polygon_set(points_ds):
     ds, _ = points_ds
     out = pip_join_holes(ds, polygons=[]).to_pandas()
     assert len(out) == 0
+
+
+def test_ripley_k_hand_math(ray_session):
+    """3 points with pair distances 0.3 / 0.4 / 0.5; inclusive predicate
+    keeps the 0.5 pair at r=0.5; K-hat = area * 2 * pairs / (n*(n-1))."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.spatialjoin import ripley_k
+
+    ds = rd.from_arrow(pa.table({
+        "page_id": pa.array([1, 2, 3], pa.int64()),
+        "lat": pa.array([0.0, 0.3, 0.0]),
+        "lon": pa.array([0.0, 0.0, 0.4]),
+    }))
+    out = ripley_k(ds).to_pandas()
+    assert out["radius"].tolist() == [0.25, 0.5, 1.0]
+    assert out["n_pairs"].tolist() == [0, 3, 3]
+    # area = 0.3 * 0.4; k = area * 2 * 3 / (3*2) = 0.12
+    assert out["k_hat"].tolist() == [0.0, 0.12, 0.12]
+
+
+def test_kde_density_hand_math(ray_session):
+    """Two adjacent cells, uniform k=1 weights: each cell's density is its
+    own value plus the neighbor's (no normalization)."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.functions import hexgrid as hg
+    from cuda_gis_smoothing_ray.stages.smooth import kde_density
+
+    cells = hg.pack(7, np.array([0, 1]), np.array([0, 0]))
+    ds = rd.from_arrow(pa.table({
+        "cell": pa.array(cells),
+        "page_count": pa.array([1.0, 2.0]),
+    }))
+    out = kde_density(ds, k=1, profile="uniform").to_pandas() \
+        .sort_values("cell").reset_index(drop=True)
+    assert out["density"].tolist() == [3.0, 3.0]
