@@ -1519,6 +1519,30 @@ def _q_tpch_q22(sf_dir: str):
     return tpch_q22(sf_dir).sort("c_nationkey")
 
 
+def _q_tpch_q15(sf_dir: str):
+    """TPC-H Q15 analog: top supplier(s) by quarterly revenue — revenue
+    view, driver-scalar max, == tie filter, broadcast supplier dim."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q15
+
+    return tpch_q15(sf_dir).sort("s_suppkey")
+
+
+def _q_tpch_q19(sf_dir: str):
+    """TPC-H Q19 analog: disjunctive brand/size/quantity revenue — one
+    scan, broadcast part attrs, vectorized OR-of-ANDs mask."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q19
+
+    return tpch_q19(sf_dir)
+
+
+def _q_tpch_q7(sf_dir: str):
+    """TPC-H Q7 analog: two-nation volume shipping by year — customer
+    nation rides the orders side, one fact shuffle, broadcast supplier."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q7
+
+    return tpch_q7(sf_dir)
+
+
 def _q_rollup_revenue(sf_dir: str):
     """ROLLUP (o_orderpriority, l_returnflag): fine level + per-priority
     subtotals + grand total from ONE fact shuffle; coarser levels derived
@@ -2287,6 +2311,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q17": _q_tpch_q17,
         "tpch_q18": _q_tpch_q18,
         "tpch_q22": _q_tpch_q22,
+        "tpch_q15": _q_tpch_q15,
+        "tpch_q19": _q_tpch_q19,
+        "tpch_q7": _q_tpch_q7,
         "cube_lineitem": _q_cube_lineitem,
         "customer_order_stats": _q_customer_order_stats,
         "join_orders_by_nation": _q_join_orders_by_nation,
@@ -2476,6 +2503,9 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q17": oc.tpch_q17_sql(),
         "tpch_q18": oc.tpch_q18_sql(),
         "tpch_q22": oc.tpch_q22_sql(),
+        "tpch_q15": oc.tpch_q15_sql(),
+        "tpch_q19": oc.tpch_q19_sql(),
+        "tpch_q7": oc.tpch_q7_sql(),
         "cube_lineitem": oc.cube_lineitem_sql(),
         "customer_order_stats": oc.customer_order_stats_sql(),
         "join_orders_by_nation": oc.join_orders_by_nation_sql(),

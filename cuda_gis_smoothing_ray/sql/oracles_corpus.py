@@ -3006,3 +3006,68 @@ SELECT d.user_id, CAST(d.recency_days AS BIGINT) AS recency_days,
        AS BIGINT) AS m_seg
 FROM d, th
 ORDER BY d.user_id"""
+
+
+def tpch_q15_sql() -> str:
+    """Oracle of stages/relagg.tpch_q15 (top supplier(s) by quarterly
+    revenue — the revenue view + max tie filter, exact integer cents)."""
+    from ..stages import relagg
+
+    return f"""WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{relagg.Q15_START} 00:00:00'
+    AND l_shipdate < TIMESTAMP '{relagg.Q15_END} 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, s.s_acctbal, r.total_revenue_cents
+FROM rev r JOIN supplier s ON r.s_suppkey = s.s_suppkey
+WHERE r.total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
+ORDER BY s.s_suppkey"""
+
+
+def tpch_q19_sql() -> str:
+    """Oracle of stages/relagg.tpch_q19 (disjunctive brand/size/quantity
+    arms over one scan, exact integer cents)."""
+    from ..stages import relagg
+
+    arm_sql = " OR ".join(
+        f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+        f" AND l_quantity >= {qlo} AND l_quantity <= {qhi})"
+        for b, slo, shi, qlo, qhi in relagg.Q19_ARMS
+    )
+    return f"""WITH q AS (
+  SELECT CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+              AS BIGINT) AS cents
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE {arm_sql}
+)
+SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM q"""
+
+
+def tpch_q7_sql() -> str:
+    """Oracle of stages/relagg.tpch_q7 (two-nation volume shipping matrix
+    by ship year, exact integer cents)."""
+    from ..stages import relagg
+
+    n1, n2 = relagg.Q7_NATIONS
+    return f"""SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN supplier s ON l_suppkey = s_suppkey
+JOIN orders o ON l_orderkey = o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '{relagg.Q7_START} 00:00:00'
+  AND l_shipdate < TIMESTAMP '{relagg.Q7_END} 00:00:00'
+  AND ((s.s_nationkey = {n1} AND c.c_nationkey = {n2})
+    OR (s.s_nationkey = {n2} AND c.c_nationkey = {n1}))
+GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year"""

@@ -1151,3 +1151,223 @@ def tpch_q22(sf_dir: str, cutoff: str = Q22_CUTOFF):
         .aggregate(Sum("numcust", alias_name="numcust"),
                    Sum("totacctbal_cents", alias_name="totacctbal_cents"))
     )
+
+
+Q15_START, Q15_END = "1996-01-01", "1996-04-01"
+
+
+def tpch_q15(sf_dir: str, start: str = Q15_START, end: str = Q15_END):
+    """TPC-H Q15 analog — top supplier(s) by quarterly revenue (the
+    revenue VIEW + global-max tie filter).
+
+    Scale plan: lineitem reads 3 columns with the quarter pushed into the
+    parquet scan; batch-local (suppkey, cents) partials -> one suppkey
+    groupby (bounded by |suppliers|); the global max is a driver scalar
+    over that aggregate, the == max filter keeps EVERY tied supplier (the
+    spec's deliberate edge), and the supplier dim joins by broadcast.
+    Revenue is exact integer cents.  -> (s_suppkey, s_name, s_acctbal,
+    total_revenue_cents), suppkey order."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .join import broadcast_hash_join
+
+    start_ns = np.datetime64(start, "ns")
+    end_ns = np.datetime64(end, "ns")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= start_ns)
+        & (pads.field("l_shipdate") < end_ns),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sk = batch.column("l_suppkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False))
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        uniq, inv = np.unique(sk, return_inverse=True)
+        acc = np.zeros(len(uniq), np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({"s_suppkey": pa.array(uniq),
+                         "total_revenue_cents": pa.array(acc)})
+
+    rev = (
+        li.map_batches(partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("total_revenue_cents", alias_name="total_revenue_cents"))
+        .materialize()  # |suppliers| rows; read twice (max + filter)
+    )
+    best = rev.max("total_revenue_cents")
+    if best is None:
+        raise ValueError(f"tpch_q15: no lineitem shipped in [{start}, {end})")
+    top = rev.filter(expr=f"total_revenue_cents == {int(best)}")
+    return broadcast_hash_join(
+        top, sf_dir, "supplier", left_key="s_suppkey", right_key="s_suppkey",
+        take_cols=["s_name", "s_acctbal"],
+    ).map_batches(
+        lambda b: b.select(["s_suppkey", "s_name", "s_acctbal",
+                            "total_revenue_cents"]),
+        batch_format="pyarrow",
+    )
+
+
+Q19_ARMS = (("Brand#11", 1, 5, 1, 11), ("Brand#22", 1, 10, 10, 20),
+            ("Brand#33", 1, 15, 20, 30))
+
+
+def tpch_q19(sf_dir: str, arms: tuple = Q19_ARMS):
+    """TPC-H Q19 analog — discounted-revenue sum under a DISJUNCTION of
+    per-brand (size range x quantity range) arms (the OR-of-ANDs predicate
+    the classic plan must not decompose into three scans).
+
+    Scale plan: ONE lineitem scan (3 columns); part's (brand, size)
+    broadcast once as aligned sorted arrays; the whole predicate is a
+    batch-local vectorized mask (one searchsorted + |arms| compares), so
+    the driver receives a single (revenue_cents, n_lines) row."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    part = pq.read_table(f"{sf_dir}/part.parquet",
+                         columns=["p_partkey", "p_brand", "p_size"])
+    pk = part.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pk, kind="stable")
+    ref = ray.put((pk[order],
+                   part.column("p_brand").to_numpy(zero_copy_only=False)[order],
+                   part.column("p_size").to_numpy(zero_copy_only=False)
+                   .astype(np.int64)[order]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pks, brands, sizes = ray.get(ref)
+        lpk = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(pks, lpk), max(len(pks) - 1, 0))
+        hit = (pks[pos] == lpk) if len(pks) else np.zeros(len(lpk), bool)
+        keep = np.zeros(len(lpk), bool)
+        for brand, s_lo, s_hi, q_lo, q_hi in arms:
+            keep |= (hit & (brands[pos] == brand)
+                     & (sizes[pos] >= s_lo) & (sizes[pos] <= s_hi)
+                     & (qty >= q_lo) & (qty <= q_hi))
+        cents = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False))
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table({
+            "revenue_cents": pa.array([int(cents[keep].sum())], pa.int64()),
+            "n_lines": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    agg = li.map_batches(partial, batch_format="pyarrow") \
+        .sum(["revenue_cents", "n_lines"])
+    return rd.from_arrow(pa.table({
+        "revenue_cents": pa.array([int(agg["sum(revenue_cents)"])], pa.int64()),
+        "n_lines": pa.array([int(agg["sum(n_lines)"])], pa.int64()),
+    }))
+
+
+Q7_START, Q7_END = "1996-01-01", "1998-01-01"
+Q7_NATIONS = (1, 2)
+
+
+def tpch_q7(sf_dir: str, start: str = Q7_START, end: str = Q7_END,
+            nations: tuple[int, int] = Q7_NATIONS):
+    """TPC-H Q7 analog — volume shipping between two nations: revenue of
+    lines whose SUPPLIER sits in one of the two nations and whose
+    CUSTOMER sits in the other, by (supp_nation, cust_nation, ship year).
+
+    Scale plan: the customer nation rides the ORDERS side — orders
+    shuffle-join customer once (both keyed by custkey; the fact table is
+    not involved), then the fact joins that enriched-orders table with its
+    single orderkey shuffle; supplier nationkey is a broadcast dim.  The
+    two-nation filter drops rows batch-locally BEFORE the year split, so
+    the final groupby sees (2 x |years|) partial keys.  Names come from
+    the 25-row nation map on the driver.  -> (supp_nation, cust_nation,
+    l_year, revenue_cents)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .join import broadcast_hash_join, read_table, shuffle_join
+
+    n1, n2 = nations
+    start_ns = np.datetime64(start, "ns")
+    end_ns = np.datetime64(end, "ns")
+
+    orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders_enr = shuffle_join(orders, cust, on="o_custkey",
+                              right_on="c_custkey", num_partitions=8)
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= start_ns)
+        & (pads.field("l_shipdate") < end_ns),
+    )
+    li = broadcast_hash_join(li, sf_dir, "supplier", left_key="l_suppkey",
+                             right_key="s_suppkey", take_cols=["s_nationkey"])
+    j = shuffle_join(li, orders_enr, on="l_orderkey", right_on="o_orderkey",
+                     num_partitions=8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sn = batch.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cn = batch.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = ((sn == n1) & (cn == n2)) | ((sn == n2) & (cn == n1))
+        t = batch.filter(pa.array(keep))
+        sn, cn = sn[keep], cn[keep]
+        year = t.column("l_shipdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        cents = np.floor(
+            t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - t.column("l_discount").to_numpy(zero_copy_only=False))
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        key = sn * 10000 + year  # (supp_nation, year) packed; cust follows
+        uniq, inv = np.unique(key, return_inverse=True)
+        acc = np.zeros(len(uniq), np.int64)
+        np.add.at(acc, inv, cents)
+        return pa.table({"key": pa.array(uniq), "revenue_cents": pa.array(acc)})
+
+    red = (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .to_pandas()  # 2 nations x |years| rows
+    )
+    if red.empty:  # no qualifying pair-nation lines: typed empty
+        return rd.from_arrow(pa.table({
+            "supp_nation": pa.array([], pa.string()),
+            "cust_nation": pa.array([], pa.string()),
+            "l_year": pa.array([], pa.int64()),
+            "revenue_cents": pa.array([], pa.int64()),
+        }))
+    names = pq.read_table(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(names.column("n_nationkey").to_numpy(zero_copy_only=False),
+                    names.column("n_name").to_pylist()))
+    key = red["key"].to_numpy().astype(np.int64)
+    sn = key // 10000
+    year = key % 10000
+    cn = np.where(sn == n1, n2, n1)
+    out = pa.table({
+        "supp_nation": pa.array([nmap[int(v)] for v in sn], pa.string()),
+        "cust_nation": pa.array([nmap[int(v)] for v in cn], pa.string()),
+        "l_year": pa.array(year),
+        "revenue_cents": pa.array(
+            red["revenue_cents"].to_numpy().astype(np.int64)),
+    })
+    return rd.from_arrow(out).sort(["supp_nation", "cust_nation", "l_year"])

@@ -467,3 +467,45 @@ def test_tpch_q18_no_survivors(tmp_path):
     out2 = tpch_q18(str(tmp_path), min_qty=2).to_pandas()
     assert out2["o_orderkey"].tolist() == [20, 10]
     assert out2["sum_qty"].tolist() == [3.0, 12.0]
+
+
+def test_tpch_q15_keeps_every_tied_top_supplier(tmp_path):
+    """Two suppliers with identical max revenue both survive the == max
+    filter (the spec's deliberate edge)."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q15
+
+    _write_pq(tmp_path / "lineitem.parquet", pa.table({
+        "l_suppkey": pa.array([1, 2, 2, 3], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 60.0, 40.0, 10.0]),
+        "l_discount": pa.array([0.0, 0.0, 0.0, 0.0]),
+        "l_shipdate": pa.array(np.array(
+            ["1996-02-01"] * 4, dtype="datetime64[us]")),
+    }))
+    _write_pq(tmp_path / "supplier.parquet", pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["s1", "s2", "s3"], pa.string()),
+        "s_acctbal": pa.array([1.0, 2.0, 3.0]),
+    }))
+    out = tpch_q15(str(tmp_path)).to_pandas().sort_values("s_suppkey")
+    assert out["s_suppkey"].tolist() == [1, 2]
+    assert out["total_revenue_cents"].tolist() == [10000, 10000]
+
+
+def test_tpch_q19_no_matching_arm(tmp_path):
+    """Lines matching no arm yield the zero row (coalesce contract)."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q19
+
+    _write_pq(tmp_path / "lineitem.parquet", pa.table({
+        "l_partkey": pa.array([1], pa.int64()),
+        "l_quantity": pa.array([99.0]),
+        "l_extendedprice": pa.array([10.0]),
+        "l_discount": pa.array([0.0]),
+    }))
+    _write_pq(tmp_path / "part.parquet", pa.table({
+        "p_partkey": pa.array([1], pa.int64()),
+        "p_brand": pa.array(["Brand#11"], pa.string()),
+        "p_size": pa.array([3], pa.int32()),
+    }))
+    out = tpch_q19(str(tmp_path)).to_pandas()
+    assert out["revenue_cents"].tolist() == [0]
+    assert out["n_lines"].tolist() == [0]
