@@ -212,10 +212,21 @@ def jaccard_pairs(ds, threshold: float = 0.8, max_df: int | None = JACCARD_MAX_D
                     "nb": np.empty(0, np.int64)}
         _check_pack_ids(ids)
         iu, ju = np.triu_indices(len(ids), k=1)
+        na = sizes[iu].astype(np.int64)
+        nb = sizes[ju].astype(np.int64)
+        # size filter (exact): J <= min/max because shared <= min and
+        # union >= max; the bound is computed with the SAME float division
+        # the final reduce applies at shared == min, so no qualifying pair
+        # is ever dropped.  Kills the small-vs-huge candidate tail before
+        # it shuffles.
+        lo = np.minimum(na, nb).astype(np.float64)
+        hi = np.maximum(na, nb).astype(np.float64)
+        ok = lo / hi >= threshold
+        iu, ju, na, nb = iu[ok], ju[ok], na[ok], nb[ok]
         return {
             "pk": (ids[iu].astype(np.int64) << np.int64(31)) | ids[ju].astype(np.int64),
-            "na": sizes[iu].astype(np.int64),
-            "nb": sizes[ju].astype(np.int64),
+            "na": na,
+            "nb": nb,
         }
 
     N_PARTS = 64
