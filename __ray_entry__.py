@@ -662,6 +662,19 @@ def _q_pagerank(sf_dir: str):
     return pr.pagerank(docs, n_docs=n_docs).sort("host")
 
 
+def _q_personalized_pagerank(sf_dir: str):
+    """Personalized PageRank — teleport restricted to the seed set
+    (stages/pagerank.personalized_pagerank, shared superstep loop)."""
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages import pagerank as pr
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    docs = read_documents(sf_dir, columns=("doc_id",))
+    return pr.personalized_pagerank(docs, n_docs=n_docs).sort("host")
+
+
 def _q_bfs_hops(sf_dir: str):
     """Multi-source BFS hop distance over the host graph
     (stages/pagerank.bfs_hops, fixed relaxation rounds)."""
@@ -2214,6 +2227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "passage_dedup": _q_passage_dedup,
         "rfm_segments": _q_rfm_segments,
         "pagerank": _q_pagerank,
+        "personalized_pagerank": _q_personalized_pagerank,
         "bfs_hops": _q_bfs_hops,
         "lm_score": _q_lm_score,
         "ccnet_buckets": _q_ccnet_buckets,
@@ -2400,6 +2414,7 @@ def oracle_sql() -> dict[str, str]:
         "passage_dedup": oc.passage_dedup_sql(),
         "rfm_segments": oc.rfm_segments_sql(),
         "pagerank": oc.pagerank_sql(),
+        "personalized_pagerank": oc.personalized_pagerank_sql(),
         "bfs_hops": oc.bfs_hops_sql(),
         "hll_registers": oc.hll_registers_sql(),
         "lm_score": oc.lm_score_sql(),

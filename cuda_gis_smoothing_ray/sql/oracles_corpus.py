@@ -3071,3 +3071,66 @@ WHERE l_shipdate >= TIMESTAMP '{relagg.Q7_START} 00:00:00'
     OR (s.s_nationkey = {n2} AND c.c_nationkey = {n1}))
 GROUP BY sn.n_name, cn.n_name, year(l_shipdate)
 ORDER BY supp_nation, cust_nation, l_year"""
+
+
+def personalized_pagerank_sql(iterations: int = 8,
+                              seed_mod: int | None = None) -> str:
+    """Oracle of stages/pagerank.personalized_pagerank: the pagerank_sql
+    CTE chain with the teleport branched to the seed set — init mass and
+    damp base are CASE host % seed_mod = 0, both in exact int64 fixed
+    point."""
+    from ..functions import geocode
+    from ..stages import pagerank as pr
+
+    if seed_mod is None:
+        seed_mod = pr.PPR_SEED_MOD
+    mult = geocode.TLD_MULT
+    mod = geocode.HOST_MOD
+    host = f"(doc_id * {mult}) % {mod}"
+    nd = "(SELECT count(*) FROM documents)"
+    dhost1 = f"(((doc_id * {pr.EDGE_MULT} + {pr.EDGE_ADD}) % {nd}) * {mult}) % {mod}"
+    dhost2 = f"(((doc_id * doc_id * {pr.EDGE_MULT2} + {pr.EDGE_ADD2}) % {nd}) * {mult}) % {mod}"
+    steps = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""r{i} AS (
+  SELECT h.host,
+    CAST(CASE WHEN h.host % {seed_mod} = 0 THEN (SELECT base FROM consts)
+              ELSE 0 END
+      + ({pr.DAMP_NUM} * COALESCE(s.contrib, 0)) // {pr.DAMP_DEN} AS BIGINT) AS rank
+  FROM hosts h LEFT JOIN (
+    SELECT e.dst AS host, CAST(sum(r.rank // e.outdeg) AS BIGINT) AS contrib
+    FROM edges e JOIN {prev} r ON e.src = r.host
+    GROUP BY 1
+  ) s ON h.host = s.host
+)""")
+        prev = f"r{i}"
+    chain = ",\n".join(steps)
+    return f"""WITH hosts AS (
+  SELECT DISTINCT {host} AS host FROM documents
+), e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT {host} AS src, {dhost1} AS dst FROM documents
+    UNION ALL
+    SELECT {host} AS src, {dhost2} AS dst FROM documents
+  )
+), edeg AS (
+  SELECT src, dst, CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS outdeg
+  FROM e0 WHERE src <> dst
+), edges AS (
+  SELECT * FROM edeg
+), nseeds AS (
+  SELECT count(*) AS ns FROM hosts WHERE host % {seed_mod} = 0
+), consts AS (
+  SELECT CAST({pr.SCALE} * {pr.DAMP_DEN - pr.DAMP_NUM} AS BIGINT)
+           // ({pr.DAMP_DEN} * (SELECT ns FROM nseeds)) AS base,
+         CAST({pr.SCALE} AS BIGINT) // (SELECT ns FROM nseeds) AS init
+), r0 AS (
+  SELECT host,
+    CASE WHEN host % {seed_mod} = 0 THEN (SELECT init FROM consts)
+         ELSE 0 END AS rank
+  FROM hosts
+),
+{chain}
+SELECT host, rank FROM {prev}
+ORDER BY host"""

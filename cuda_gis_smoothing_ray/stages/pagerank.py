@@ -133,12 +133,68 @@ def host_graph(docs_ds, n_docs: int):
     return edges_deg, hosts
 
 
+def _tag_rank(batch: pa.Table) -> pa.Table:
+    return pa.table({"key": batch.column("host"), "a": batch.column("rank"),
+                     "b": pa.array(np.zeros(len(batch), np.int64)),
+                     "kind": pa.array(np.zeros(len(batch), np.int8))})
+
+
+def _tag_edge(batch: pa.Table) -> pa.Table:
+    return pa.table({"key": batch.column("src"), "a": batch.column("dst"),
+                     "b": batch.column("outdeg"),
+                     "kind": pa.array(np.ones(len(batch), np.int8))})
+
+
+def _scatter(df: pd.DataFrame) -> pd.DataFrame:
+    # co-partitioned by source host: one merge pushes rank/outdeg along
+    # every out-edge; zero rows keep in-degree-0 hosts alive downstream
+    rk = df[df["kind"] == 0][["key", "a"]].rename(columns={"a": "rank"})
+    ed = df[df["kind"] == 1][["key", "a", "b"]].rename(
+        columns={"a": "dst", "b": "outdeg"})
+    m = ed.merge(rk, on="key")
+    contrib = m["rank"].to_numpy(np.int64) // m["outdeg"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "host": np.concatenate([m["dst"].to_numpy(np.int64),
+                                rk["key"].to_numpy(np.int64)]),
+        "contrib": np.concatenate([contrib, np.zeros(len(rk), np.int64)]),
+    })
+
+
+def _rank_loop(edges, ranks, iterations: int, damp_fn):
+    """Shared BSP superstep loop: scatter rank/outdeg along co-partitioned
+    edges, exact-int gather by destination, ``damp_fn(hosts, contrib) ->
+    rank`` finishes each round (the only piece pagerank and its
+    personalized variant differ in)."""
+    from ..functions.reduce import hash_groupby
+
+    for _ in range(iterations):
+        pushed = (
+            ranks.map_batches(_tag_rank, batch_format="pyarrow", batch_size=None)
+            .union(edges.map_batches(_tag_edge, batch_format="pyarrow", batch_size=None))
+            .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
+            .groupby("__part")
+            .map_groups(_scatter)
+        )
+        summed = hash_groupby(pushed, "host", ["contrib"], how="isum")
+
+        def damp(batch: pa.Table) -> pa.Table:
+            h = batch.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
+            s = batch.column("contrib").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"host": batch.column("host"),
+                             "rank": pa.array(damp_fn(h, s))})
+
+        # repartition caps the block count: union + groupby multiply blocks
+        # every superstep, and per-block overhead dominates at rank-table
+        # sizes (same pathology measured at 3x/round in stages/triangles)
+        ranks = summed.map_batches(damp, batch_format="pyarrow",
+                                   batch_size=None).repartition(16).materialize()
+    return ranks
+
+
 def pagerank(docs_ds, n_docs: int, iterations: int = 8):
     """documents -> (host, rank) after ``iterations`` exact fixed-point
     PageRank supersteps on the deterministic host graph; rank is the int64
     fixed-point value (SCALE = 10**12)."""
-    from ..functions.reduce import hash_groupby
-
     edges, hosts = host_graph(docs_ds, n_docs)
     edges = edges.materialize()
     hosts = hosts.materialize()
@@ -152,52 +208,61 @@ def pagerank(docs_ds, n_docs: int, iterations: int = 8):
         batch_format="pyarrow", batch_size=None,
     ).materialize()
 
-    def tag_rank(batch: pa.Table) -> pa.Table:
-        return pa.table({"key": batch.column("host"), "a": batch.column("rank"),
-                         "b": pa.array(np.zeros(len(batch), np.int64)),
-                         "kind": pa.array(np.zeros(len(batch), np.int8))})
+    def damp_fn(host: np.ndarray, s: np.ndarray) -> np.ndarray:
+        return base + (DAMP_NUM * s) // DAMP_DEN
 
-    def tag_edge(batch: pa.Table) -> pa.Table:
-        return pa.table({"key": batch.column("src"), "a": batch.column("dst"),
-                         "b": batch.column("outdeg"),
-                         "kind": pa.array(np.ones(len(batch), np.int8))})
+    return _rank_loop(edges, ranks, iterations, damp_fn)
 
-    def scatter(df: pd.DataFrame) -> pd.DataFrame:
-        # co-partitioned by source host: one merge pushes rank/outdeg along
-        # every out-edge; zero rows keep in-degree-0 hosts alive downstream
-        rk = df[df["kind"] == 0][["key", "a"]].rename(columns={"a": "rank"})
-        ed = df[df["kind"] == 1][["key", "a", "b"]].rename(
-            columns={"a": "dst", "b": "outdeg"})
-        m = ed.merge(rk, on="key")
-        contrib = m["rank"].to_numpy(np.int64) // m["outdeg"].to_numpy(np.int64)
-        return pd.DataFrame({
-            "host": np.concatenate([m["dst"].to_numpy(np.int64),
-                                    rk["key"].to_numpy(np.int64)]),
-            "contrib": np.concatenate([contrib, np.zeros(len(rk), np.int64)]),
+
+PPR_SEED_MOD = 10
+
+
+def personalized_pagerank(docs_ds, n_docs: int, iterations: int = 8,
+                          seed_mod: int = PPR_SEED_MOD):
+    """documents -> (host, rank): PERSONALIZED PageRank — the teleport mass
+    returns only to the seed set (hosts ``% seed_mod == 0``) instead of
+    uniformly, so rank measures proximity to the seeds (the
+    random-walk-with-restart relevance score behind related-domain
+    discovery and seed-expanded crawl frontiers).
+
+    Same exact int64 fixed-point supersteps as :func:`pagerank` (shared
+    :func:`_rank_loop`); only the initialization (seed-uniform) and the
+    damp base (teleport to seeds only: ``base`` on seeds, 0 elsewhere)
+    differ — both the engine and the unrolled-CTE oracle branch on
+    ``host % seed_mod`` by value, so the match stays bit-exact."""
+    edges, hosts = host_graph(docs_ds, n_docs)
+    edges = edges.materialize()
+    hosts = hosts.materialize()
+
+    def count_seeds(batch: pa.Table) -> pa.Table:
+        h = batch.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"n": pa.array([int((h % seed_mod == 0).sum())],
+                                       pa.int64())})
+
+    n_seeds = int(hosts.map_batches(count_seeds, batch_format="pyarrow",
+                                    batch_size=None).sum("n"))
+    if n_seeds == 0:
+        raise ValueError(f"personalized_pagerank: no host % {seed_mod} == 0 "
+                         "seeds — the teleport vector would be empty")
+    base = (SCALE * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * n_seeds)
+    init = SCALE // n_seeds
+
+    def init_ranks(batch: pa.Table) -> pa.Table:
+        h = batch.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "host": batch.column("host"),
+            "rank": pa.array(np.where(h % seed_mod == 0, init, 0)
+                             .astype(np.int64)),
         })
 
-    for _ in range(iterations):
-        pushed = (
-            ranks.map_batches(tag_rank, batch_format="pyarrow", batch_size=None)
-            .union(edges.map_batches(tag_edge, batch_format="pyarrow", batch_size=None))
-            .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
-            .groupby("__part")
-            .map_groups(scatter)
-        )
-        summed = hash_groupby(pushed, "host", ["contrib"], how="isum")
+    ranks = hosts.map_batches(init_ranks, batch_format="pyarrow",
+                              batch_size=None).materialize()
 
-        def damp(batch: pa.Table) -> pa.Table:
-            s = batch.column("contrib").to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.table({"host": batch.column("host"),
-                             "rank": pa.array(base + (DAMP_NUM * s) // DAMP_DEN)})
+    def damp_fn(host: np.ndarray, s: np.ndarray) -> np.ndarray:
+        b = np.where(host % seed_mod == 0, base, 0).astype(np.int64)
+        return b + (DAMP_NUM * s) // DAMP_DEN
 
-        # repartition caps the block count: union + groupby multiply blocks
-        # every superstep, and per-block overhead dominates at rank-table
-        # sizes (same pathology measured at 3x/round in stages/triangles)
-        ranks = summed.map_batches(damp, batch_format="pyarrow",
-                                   batch_size=None).repartition(16).materialize()
-
-    return ranks
+    return _rank_loop(edges, ranks, iterations, damp_fn)
 
 
 #: BFS defaults — seeds are hosts divisible by SEED_MOD (~10% of hosts);
