@@ -2182,6 +2182,16 @@ def _q_sessionize(sf_dir: str):
     return events.sessionize(events.read_events(sf_dir)).sort("event_id")
 
 
+def _q_session_overlap(sf_dir: str):
+    """Cross-user concurrent-session interval overlap join — time-bucket
+    scatter + owner-bucket exactly-once pair dedup
+    (stages/events.session_overlap)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.session_overlap(events.read_events(sf_dir)) \
+        .sort(["user_a", "sess_a", "user_b", "sess_b"])
+
+
 def _q_rfm_segments(sf_dir: str):
     """RFM customer segmentation: one user shuffle, exact per-dimension
     terciles, value-comparison 1..3 labels (stages/events.rfm_segments)."""
@@ -2226,6 +2236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
         "rfm_segments": _q_rfm_segments,
+        "session_overlap": _q_session_overlap,
         "pagerank": _q_pagerank,
         "personalized_pagerank": _q_personalized_pagerank,
         "bfs_hops": _q_bfs_hops,
@@ -2413,6 +2424,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),
         "rfm_segments": oc.rfm_segments_sql(),
+        "session_overlap": oc.session_overlap_sql(),
         "pagerank": oc.pagerank_sql(),
         "personalized_pagerank": oc.personalized_pagerank_sql(),
         "bfs_hops": oc.bfs_hops_sql(),

@@ -3134,3 +3134,37 @@ def personalized_pagerank_sql(iterations: int = 8,
 {chain}
 SELECT host, rank FROM {prev}
 ORDER BY host"""
+
+
+def session_overlap_sql(gap_us: int | None = None) -> str:
+    """Oracle of stages/events.session_overlap: gap-based sessions (same
+    recurrence as sessionize: ties in ts break by event_id, a strictly
+    greater-than-gap delta opens a session), then the all-pairs inclusive
+    interval overlap join across users."""
+    from ..stages import events as ev
+
+    if gap_us is None:
+        gap_us = ev.SESSION_GAP_US
+    return f"""WITH e AS (
+  SELECT user_id, ts, event_id,
+    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+    sum(CASE WHEN prev IS NULL
+              OR date_diff('microsecond', prev, ts) > {gap_us}
+             THEN 1 ELSE 0 END)
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS sidx
+  FROM e
+), iv AS (
+  SELECT user_id, CAST(sidx AS BIGINT) AS sidx,
+         min(ts) AS sts, max(ts) AS ets
+  FROM s GROUP BY user_id, sidx
+)
+SELECT a.user_id AS user_a, a.sidx AS sess_a,
+       b.user_id AS user_b, b.sidx AS sess_b,
+  CAST(date_diff('microsecond', greatest(a.sts, b.sts),
+                 least(a.ets, b.ets)) AS BIGINT) AS overlap_us
+FROM iv a JOIN iv b
+  ON a.user_id < b.user_id AND a.sts <= b.ets AND b.sts <= a.ets
+ORDER BY user_a, sess_a, user_b, sess_b"""

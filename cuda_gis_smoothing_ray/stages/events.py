@@ -1148,3 +1148,108 @@ def rfm_segments(events_ds):
         })
 
     return per_user.map_batches(label, batch_format="pyarrow")
+
+
+OVERLAP_BUCKET_US = 3_600_000_000  # 1h time buckets for the interval join
+
+
+def session_overlap(events_ds, gap_us: int = SESSION_GAP_US,
+                    bucket_us: int = OVERLAP_BUCKET_US):
+    """events -> (user_a, sess_a, user_b, sess_b, overlap_us): the INTERVAL
+    OVERLAP JOIN — every pair of concurrent sessions belonging to DIFFERENT
+    users (inclusive endpoints: s_a <= e_b AND s_b <= e_a), each pair
+    exactly once, with the overlap length in microseconds.  The concurrency
+    graph behind co-browsing/fraud-ring analysis.
+
+    Scale shape (the temporal analog of :func:`..stages.spatialjoin
+    .distance_join`'s bucket+halo plan): sessions reduce per user first
+    (ONE user shuffle, segmented min/max — never raw events into the join),
+    then each interval scatters to every ``bucket_us`` time bucket it
+    spans; pairs are generated per bucket with one vectorized O(k^2) mask
+    and DEDUPED BY OWNERSHIP — a pair is emitted only by the bucket
+    containing ``max(s_a, s_b)``, which every overlapping pair hits exactly
+    once (the overlap starts there).  Gap-based sessions are bounded by
+    activity, so per-interval bucket fan-out stays small; pair order is
+    user_a < user_b (one user's sessions never overlap by construction)."""
+
+    def intervals(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_user, starts, _seg = _user_segments(uid)
+        new_sess = new_user.copy()
+        if len(uid) > 1:
+            new_sess[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        sess_global = np.cumsum(new_sess) - 1
+        sidx = sess_global - sess_global[starts][_seg]
+        bounds = np.flatnonzero(new_sess)
+        s_us = ts[bounds]
+        e_us = np.concatenate((ts[bounds[1:] - 1], ts[-1:]))
+        return pd.DataFrame({
+            "user_id": uid[bounds],
+            "session_idx": sidx[bounds],
+            "s_us": s_us,
+            "e_us": e_us,
+        })
+
+    iv = _by_user(events_ds, intervals)
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        s = batch.column("s_us").to_numpy(zero_copy_only=False).astype(np.int64)
+        e = batch.column("e_us").to_numpy(zero_copy_only=False).astype(np.int64)
+        b0, b1 = s // bucket_us, e // bucket_us
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s), dtype=np.int64), reps)
+        off = np.arange(len(idx), dtype=np.int64) - np.repeat(
+            np.cumsum(reps) - reps, reps)
+        return pa.table({
+            "bucket": pa.array(b0[idx] + off),
+            "user_id": pa.array(
+                batch.column("user_id").to_numpy(zero_copy_only=False)
+                .astype(np.int64)[idx]),
+            "session_idx": pa.array(
+                batch.column("session_idx").to_numpy(zero_copy_only=False)
+                .astype(np.int64)[idx]),
+            "s_us": pa.array(s[idx]),
+            "e_us": pa.array(e[idx]),
+        })
+
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "user_a": pd.Series([], dtype="int64"),
+            "sess_a": pd.Series([], dtype="int64"),
+            "user_b": pd.Series([], dtype="int64"),
+            "sess_b": pd.Series([], dtype="int64"),
+            "overlap_us": pd.Series([], dtype="int64"),
+        })
+        k = len(df)
+        if k < 2:
+            return empty
+        bucket = int(df["bucket"].iloc[0])
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        sid = df["session_idx"].to_numpy().astype(np.int64)
+        s = df["s_us"].to_numpy().astype(np.int64)
+        e = df["e_us"].to_numpy().astype(np.int64)
+        i, j = np.triu_indices(k, k=1)
+        lo = np.maximum(s[i], s[j])
+        hi = np.minimum(e[i], e[j])
+        # overlap, cross-user, owned by THIS bucket (where the overlap starts)
+        hit = (lo <= hi) & (uid[i] != uid[j]) & (lo // bucket_us == bucket)
+        i, j = i[hit], j[hit]
+        flip = uid[i] > uid[j]
+        ia, ib = np.where(flip, j, i), np.where(flip, i, j)
+        out = pd.DataFrame({
+            "user_a": uid[ia], "sess_a": sid[ia],
+            "user_b": uid[ib], "sess_b": sid[ib],
+            "overlap_us": (np.minimum(e[ia], e[ib])
+                           - np.maximum(s[ia], s[ib])).astype(np.int64),
+        })
+        return out if len(out) else empty
+
+    return (
+        iv.map_batches(scatter, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(solve, batch_format="pandas")
+    )

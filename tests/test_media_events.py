@@ -429,3 +429,43 @@ def test_rfm_segments_hand_math(ray_session):
     assert out["f_seg"].tolist() == [3, 1, 2]
     # money sorted [0,40,350] -> t1=0, t2=40: u1 ->3, u2 ->1, u3 ->2
     assert out["m_seg"].tolist() == [3, 1, 2]
+
+
+def test_session_overlap_owner_bucket_exactly_once(ray_session):
+    """Two sessions overlapping across MANY time buckets emit their pair
+    exactly once; disjoint and same-user pairs don't appear; zero-length
+    single-event sessions overlap when instantaneously concurrent."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import session_overlap
+
+    t0 = np.datetime64("2025-01-01T00:00:00", "us")
+    h = np.timedelta64(1, "h")
+    rows = [
+        # user 1 session 0: spans 0h..5h (events every 20min keep it alive)
+        *[(100 + i, t0 + i * np.timedelta64(20, "m"), 1, "view", 0)
+          for i in range(16)],
+        # user 2 session 0: 2h..3h05 (25-min steps stay under the 30-min
+        # gap) -> ONE session crossing the 2h->3h bucket boundary
+        (200, t0 + 2 * h, 2, "view", 0),
+        (201, t0 + 2 * h + np.timedelta64(25, "m"), 2, "view", 0),
+        (203, t0 + 2 * h + np.timedelta64(50, "m"), 2, "view", 0),
+        (204, t0 + 3 * h + np.timedelta64(5, "m"), 2, "view", 0),
+        # user 2 session 1: 50h, disjoint from everything
+        (202, t0 + 50 * h, 2, "view", 0),
+        # user 3: single event exactly at user 2's session start
+        (300, t0 + 2 * h, 3, "view", 0),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], dtype="datetime64[us]")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], pa.string()),
+        "value": pa.array([float(r[4]) for r in rows]),
+    })).repartition(3)
+    out = session_overlap(ds).to_pandas() \
+        .sort_values(["user_a", "sess_a", "user_b", "sess_b"]).reset_index(drop=True)
+    got = list(zip(out["user_a"], out["sess_a"], out["user_b"], out["sess_b"]))
+    assert got == [(1, 0, 2, 0), (1, 0, 3, 0), (2, 0, 3, 0)]
+    # u1 x u2: 2h00..3h05 = 65 min, exactly ONCE despite spanning 2 buckets
+    assert out["overlap_us"].tolist() == [65 * 60_000_000, 0, 0]
