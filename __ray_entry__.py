@@ -881,6 +881,52 @@ def _q_incremental_dedup(sf_dir: str):
     return out.select_columns(["doc_id", "text_md5"]).sort("doc_id")
 
 
+def _q_len_percentile(sf_dir: str):
+    """Exact percent_rank by document length — one bounded value-histogram
+    shuffle + broadcast CDF (stages/textops.len_percentile)."""
+    from cuda_gis_smoothing_ray.stages.textops import (
+        len_percentile, read_documents,
+    )
+
+    return len_percentile(
+        read_documents(sf_dir, columns=("doc_id", "n_chars"))).sort("doc_id")
+
+
+def _q_snapshot_merge(sf_dir: str):
+    """CDC MERGE INTO: even-doc_id base snapshot + odd-doc_id changeset
+    (upserts and deletes keyed at doc_id - 1) resolved in one key shuffle
+    (stages/textops.snapshot_merge)."""
+    from cuda_gis_smoothing_ray.stages.textops import (
+        read_documents, snapshot_merge,
+    )
+
+    docs = read_documents(sf_dir, columns=("doc_id", "text", "lang"))
+
+    def base(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(d % 2 == 0))
+        return t.rename_columns(
+            ["key" if c == "doc_id" else c for c in t.column_names])
+
+    def changes(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(d % 2 == 1))
+        dd = t.column("doc_id").to_numpy(zero_copy_only=False)
+        op = np.where(dd % 10 == 9, "delete", "upsert")
+        t = t.append_column("op", pa.array(op.astype(object), pa.string()))
+        t = t.set_column(t.column_names.index("doc_id"), "key",
+                         pa.array(dd - 1, pa.int64()))
+        return t
+
+    base_ds = docs.map_batches(base, batch_format="pyarrow")
+    ch_ds = read_documents(sf_dir, columns=("doc_id", "text", "lang")) \
+        .map_batches(changes, batch_format="pyarrow")
+    return snapshot_merge(base_ds, ch_ds).select_columns(
+        ["key", "text", "lang"]).sort("key")
+
+
 def _q_mixture_sample(sf_dir: str):
     """Training-data mixing: resample toward per-source target weights —
     bounded per-source count shuffle, data-derived integer acceptance
@@ -2252,6 +2298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_resample": _q_quality_resample,
         "mixture_sample": _q_mixture_sample,
         "incremental_dedup": _q_incremental_dedup,
+        "snapshot_merge": _q_snapshot_merge,
+        "len_percentile": _q_len_percentile,
         "curate_corpus": _q_curate_corpus,
         "host_quality": _q_host_quality,
         "bigram_pmi": _q_bigram_pmi,
@@ -2445,6 +2493,8 @@ def oracle_sql() -> dict[str, str]:
             gridops.SAMPLE_MULT, gridops.SAMPLE_MOD
         ),
         "incremental_dedup": oc.incremental_dedup_sql(),
+        "snapshot_merge": oc.snapshot_merge_sql(),
+        "len_percentile": oc.len_percentile_sql(),
         "curate_corpus": oc.curate_corpus_sql(),
         "host_quality": oc.host_quality_sql(level="tld"),
         "bigram_pmi": oc.bigram_pmi_sql(),

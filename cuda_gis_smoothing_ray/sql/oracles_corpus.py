@@ -3168,3 +3168,38 @@ SELECT a.user_id AS user_a, a.sidx AS sess_a,
 FROM iv a JOIN iv b
   ON a.user_id < b.user_id AND a.sts <= b.ets AND b.sts <= a.ets
 ORDER BY user_a, sess_a, user_b, sess_b"""
+
+
+def snapshot_merge_sql() -> str:
+    """Oracle of textops.snapshot_merge with the driver split: base = even
+    doc_ids keyed by doc_id; changeset = odd doc_ids targeting key
+    doc_id - 1 (delete when doc_id % 10 = 9, else upsert with the odd
+    doc's payload)."""
+    return """WITH base AS (
+  SELECT doc_id AS key, text, lang FROM documents WHERE doc_id % 2 = 0
+), ch AS (
+  SELECT doc_id - 1 AS key, text, lang,
+    CASE WHEN doc_id % 10 = 9 THEN 'delete' ELSE 'upsert' END AS op
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT key, text, lang FROM base WHERE key NOT IN (SELECT key FROM ch)
+UNION ALL
+SELECT key, text, lang FROM ch WHERE op = 'upsert'
+ORDER BY key"""
+
+
+def len_percentile_sql() -> str:
+    """Oracle of textops.len_percentile: percent_rank by n_chars computed
+    manually — (rank() - 1) / (n - 1) with ties at the minimum rank, the
+    identical final division."""
+    return """WITH d AS (
+  SELECT doc_id, n_chars,
+    rank() OVER (ORDER BY n_chars) - 1 AS r,
+    count(*) OVER () AS n
+  FROM documents
+)
+SELECT doc_id, n_chars,
+  floor(CAST(r AS DOUBLE) / (n - 1) * 1000000.0 + 0.5) / 1000000.0
+    AS pct_rank
+FROM d
+ORDER BY doc_id"""

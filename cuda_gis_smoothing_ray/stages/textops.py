@@ -2340,3 +2340,121 @@ def host_gini(pages_ds):
 
     return histo.repartition(1).map_batches(finish, batch_format="pandas",
                                             batch_size=None)
+
+
+def snapshot_merge(base_ds, changes_ds, key_col: str = "key"):
+    """MERGE INTO semantics in one key shuffle: apply a changeset of
+    upserts and deletes to a base snapshot — the CDC-apply step of any
+    incrementally-maintained corpus (crawl refresh with removals, GDPR
+    deletes, re-extraction fixups).
+
+    ``base_ds``: rows with ``key_col`` + payload columns.  ``changes_ds``:
+    same payload columns plus ``op`` ('upsert' | 'delete'); at most one
+    change per key (the caller's CDC compaction contract — violated input
+    raises).  Result: base rows whose key has no change, minus deleted
+    keys, plus upserted rows (replacing the base row when the key exists).
+
+    Scale shape: both sides hash-partition by key (one all-to-all each, no
+    broadcast — the changeset can be any size), and each partition resolves
+    with one vectorized sorted-membership pass: a base row survives iff its
+    key is absent from the change keys; upsert rows pass through."""
+    import ray
+
+    from ..functions.hashing import coarse_partition
+
+    N_PARTS = 64
+
+    payload = [c for c in base_ds.schema().names if c != key_col]
+
+    def tag_base(batch: pa.Table) -> pa.Table:
+        # union needs identical schemas: base rows carry op='' (never read)
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch.select([key_col, *payload])
+        t = t.append_column("op", pa.array([""] * len(k), pa.string()))
+        return t.append_column(
+            "__kind", pa.array(np.zeros(len(k), np.int8))
+        ).append_column("__part", pa.array(coarse_partition(k, N_PARTS)))
+
+    def tag_change(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = batch.select([key_col, *payload, "op"])
+        return t.append_column(
+            "__kind", pa.array(np.ones(len(k), np.int8))
+        ).append_column("__part", pa.array(coarse_partition(k, N_PARTS)))
+
+    def resolve(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        ch = df[df["__kind"] == 1]
+        ck = ch[key_col].to_numpy().astype(np.int64)
+        if len(np.unique(ck)) != len(ck):
+            raise ValueError(
+                "snapshot_merge: multiple changes for one key — compact the "
+                "changeset (latest change per key) before applying")
+        base = df[df["__kind"] == 0]
+        bk = base[key_col].to_numpy().astype(np.int64)
+        cks = np.sort(ck)
+        if len(cks):
+            pos = np.minimum(np.searchsorted(cks, bk), len(cks) - 1)
+            keep = cks[pos] != bk
+        else:
+            keep = np.ones(len(bk), bool)
+        out = pd.concat(
+            [base[keep][[key_col, *payload]],
+             ch[ch["op"] == "upsert"][[key_col, *payload]]],
+            ignore_index=True,
+        )
+        return out
+
+    tagged = base_ds.map_batches(tag_base, batch_format="pyarrow") \
+        .union(changes_ds.map_batches(tag_change, batch_format="pyarrow"))
+    return tagged.groupby("__part").map_groups(resolve, batch_format="pandas")
+
+
+def len_percentile(docs_ds):
+    """documents -> (doc_id, n_chars, pct_rank): each document's exact
+    percentile rank by length — ``percent_rank()``: (count of strictly
+    shorter docs) / (n - 1), ties share the minimum rank.  The
+    corpus-curation primitive behind 'drop the bottom X% by length'
+    policies when the cut must be exact and reproducible.
+
+    Scale shape: ONE bounded value-histogram shuffle (only (n_chars, count)
+    pairs move — cardinality = |distinct lengths|), the cumulative
+    strictly-less table broadcasts (tiny), and the label pass is a
+    stateless searchsorted per batch.  The one float is the final
+    division, identical expression tree to the SQL twin."""
+    import ray
+
+    from ..functions.reduce import hash_groupby
+
+    def counts(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"value": pa.array(uniq),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    hist = hash_groupby(
+        docs_ds.map_batches(counts, batch_format="pyarrow", batch_size=None),
+        "value", ["cnt"], how="isum",
+    ).to_pandas().sort_values("value")
+    v = hist["value"].to_numpy().astype(np.int64)
+    c = hist["cnt"].to_numpy().astype(np.int64)
+    n = int(c.sum())
+    if n < 2:
+        raise ValueError("len_percentile: needs >= 2 documents — "
+                         "percent_rank over n-1 is undefined")
+    cum_lt = np.concatenate(([0], np.cumsum(c)[:-1]))  # strictly-less count
+    ref = ray.put((v, cum_lt))
+
+    def label(batch: pa.Table) -> pa.Table:
+        vs, lts = ray.get(ref)
+        x = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(vs, x)  # x is always present in vs
+        pct = lts[pos].astype(np.float64) / (n - 1)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array(x),
+            "pct_rank": pa.array(np.floor(pct * 1e6 + 0.5) / 1e6),
+        })
+
+    return docs_ds.map_batches(label, batch_format="pyarrow")

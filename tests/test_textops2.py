@@ -206,3 +206,47 @@ def test_host_gini_hand_math(ray_session):
     assert out["n_hosts"].tolist() == [3, 1]
     assert out["n_pages"].tolist() == [6, 7]
     assert out["gini"].tolist() == [0.333333, 0.0]
+
+
+def test_snapshot_merge_semantics(ray_session):
+    """Upsert replaces, delete removes, new-key upsert inserts, untouched
+    base rows pass through; two changes for one key raise."""
+    import pytest
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import snapshot_merge
+
+    base = rd.from_arrow(pa.table({
+        "key": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a", "b", "c"]),
+    }))
+    ch = rd.from_arrow(pa.table({
+        "key": pa.array([2, 3, 9], pa.int64()),
+        "text": pa.array(["B", "", "new"]),
+        "op": pa.array(["upsert", "delete", "upsert"]),
+    }))
+    out = snapshot_merge(base, ch).to_pandas().sort_values("key")
+    assert list(zip(out["key"], out["text"])) == [(1, "a"), (2, "B"), (9, "new")]
+
+    dup = rd.from_arrow(pa.table({
+        "key": pa.array([2, 2], pa.int64()),
+        "text": pa.array(["x", "y"]),
+        "op": pa.array(["upsert", "delete"]),
+    }))
+    with pytest.raises(Exception, match="compact the"):
+        snapshot_merge(base, dup).to_pandas()
+
+
+def test_len_percentile_tie_semantics(ray_session):
+    """Ties share the minimum rank: lengths [3,3,5,9] -> strictly-less
+    counts [0,0,2,3] over n-1=3."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import len_percentile
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "n_chars": pa.array([3, 3, 5, 9], pa.int64()),
+    })).repartition(2)
+    out = len_percentile(ds).to_pandas().sort_values("doc_id")
+    assert out["pct_rank"].tolist() == [0.0, 0.0, 0.666667, 1.0]
