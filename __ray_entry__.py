@@ -1602,6 +1602,24 @@ def _q_tpch_q7(sf_dir: str):
     return tpch_q7(sf_dir)
 
 
+def _q_tpch_q8(sf_dir: str):
+    """TPC-H Q8 analog: national market share by order year — broadcast
+    part/supplier dims, region-filtered customers ride the orders side,
+    one fact shuffle, exact-cents numerator/denominator."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q8
+
+    return tpch_q8(sf_dir)
+
+
+def _q_tpch_q21(sf_dir: str):
+    """TPC-H Q21 analog: sole-late-supplier waiting counts — per-order
+    exists/anti-exists resolved on coarse orderkey hash partitions with
+    one segmented numpy solve (never per distinct order)."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q21
+
+    return tpch_q21(sf_dir)
+
+
 def _q_rollup_revenue(sf_dir: str):
     """ROLLUP (o_orderpriority, l_returnflag): fine level + per-priority
     subtotals + grand total from ONE fact shuffle; coarser levels derived
@@ -2387,6 +2405,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15": _q_tpch_q15,
         "tpch_q19": _q_tpch_q19,
         "tpch_q7": _q_tpch_q7,
+        "tpch_q8": _q_tpch_q8,
+        "tpch_q21": _q_tpch_q21,
         "cube_lineitem": _q_cube_lineitem,
         "customer_order_stats": _q_customer_order_stats,
         "join_orders_by_nation": _q_join_orders_by_nation,
@@ -2583,6 +2603,8 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q15": oc.tpch_q15_sql(),
         "tpch_q19": oc.tpch_q19_sql(),
         "tpch_q7": oc.tpch_q7_sql(),
+        "tpch_q8": o.tpch_q8_sql(),
+        "tpch_q21": o.tpch_q21_sql(),
         "cube_lineitem": oc.cube_lineitem_sql(),
         "customer_order_stats": oc.customer_order_stats_sql(),
         "join_orders_by_nation": oc.join_orders_by_nation_sql(),

@@ -109,8 +109,25 @@ def headline_queries(sf_dir: str, replicate: int):
             read_pages(sf_dir, replicate=replicate, include_html=False),
             rounds=3)
 
+    def _passage_dedup_volume():
+        # passage hashing at volume: tokenize + window-hash every replicated
+        # page, (doc, passage) pairs shuffle, per-doc dup rollup
+        from cuda_gis_smoothing_ray.sources.pages import read_pages
+        from cuda_gis_smoothing_ray.stages.textops import passage_dedup
+
+        pages = read_pages(sf_dir, replicate=replicate, include_html=False)
+
+        def as_docs(batch):
+            return batch.select(["page_id", "text"]).rename_columns(
+                ["doc_id", "text"])
+
+        return passage_dedup(
+            pages.map_batches(as_docs, batch_format="pyarrow",
+                              batch_size=None))
+
     extras = {"latest_capture_volume": _latest_capture_volume,
-              "bpe_train_volume": _bpe_train_volume}
+              "bpe_train_volume": _bpe_train_volume,
+              "passage_dedup_volume": _passage_dedup_volume}
     return qs, extras
 
 

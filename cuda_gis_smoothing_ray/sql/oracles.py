@@ -1362,3 +1362,61 @@ SELECT cnt.r AS radius, cnt.n_pairs,
   {round6('((st.la1 - st.la0) * (st.lo1 - st.lo0)) * 2.0 * cnt.n_pairs / (st.n * (st.n - 1))')} AS k_hat
 FROM cnt, st
 ORDER BY radius"""
+
+
+def tpch_q8_sql() -> str:
+    """Oracle of stages/relagg.tpch_q8 (national market share by order
+    year: exact integer cents for numerator/denominator, share rounded
+    with the engine's own floor(x*1e6+0.5)/1e6)."""
+    from ..stages import relagg
+
+    return f"""WITH vol AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+         AS BIGINT) AS cents,
+    s.s_nationkey AS sn
+  FROM lineitem
+  JOIN part p ON l_partkey = p.p_partkey
+  JOIN supplier s ON l_suppkey = s.s_suppkey
+  JOIN orders o ON l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey
+  WHERE p.p_type = '{relagg.Q8_TYPE}'
+    AND r.r_name = '{relagg.Q8_REGION}'
+    AND o.o_orderdate >= TIMESTAMP '{relagg.Q8_START} 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '{relagg.Q8_END} 00:00:00'
+)
+SELECT o_year,
+  CAST(sum(CASE WHEN sn = {relagg.Q8_NATION} THEN cents ELSE 0 END)
+       AS BIGINT) AS nation_cents,
+  CAST(sum(cents) AS BIGINT) AS total_cents,
+  floor(CAST(sum(CASE WHEN sn = {relagg.Q8_NATION} THEN cents ELSE 0 END)
+             AS DOUBLE)
+        / CAST(sum(cents) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS mkt_share
+FROM vol GROUP BY o_year ORDER BY o_year"""
+
+
+def tpch_q21_sql() -> str:
+    """Oracle of stages/relagg.tpch_q21 (sole-late-supplier waiting counts
+    on finished multi-supplier orders; lateness adapted to
+    l_shipdate > o_orderdate + late_days, declared in the stage)."""
+    from ..stages import relagg
+
+    return f"""WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+    l_shipdate > o_orderdate + INTERVAL {relagg.Q21_LATE_DAYS} DAY AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey,
+    count(DISTINCT l_suppkey) AS nsupp,
+    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nlate,
+    min(CASE WHEN late THEN l_suppkey END) AS late_supp
+  FROM l GROUP BY l_orderkey
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE nsupp >= 2 AND nlate = 1 AND s_nationkey = {relagg.Q21_NATION}
+GROUP BY s_name
+ORDER BY numwait DESC, s_name"""

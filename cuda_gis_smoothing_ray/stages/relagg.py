@@ -1371,3 +1371,250 @@ def tpch_q7(sf_dir: str, start: str = Q7_START, end: str = Q7_END,
             red["revenue_cents"].to_numpy().astype(np.int64)),
     })
     return rd.from_arrow(out).sort(["supp_nation", "cust_nation", "l_year"])
+
+
+Q8_TYPE = "PROMO"
+Q8_REGION = "ASIA"
+Q8_NATION = 7
+Q8_START, Q8_END = "1996-01-01", "1998-01-01"
+
+
+def tpch_q8(sf_dir: str, p_type: str = Q8_TYPE, region: str = Q8_REGION,
+            nation: int = Q8_NATION, start: str = Q8_START,
+            end: str = Q8_END):
+    """TPC-H Q8 analog — national market share: for orders placed by
+    customers in one REGION on parts of one TYPE, the share of revenue
+    supplied by one NATION, per order year.
+
+    Scale plan: part and supplier are broadcast dims (p_type string and
+    s_nationkey ride the fact batches; the type filter drops rows
+    batch-locally right after the part lookup so the orderkey shuffle only
+    moves qualifying lines).  The region predicate collapses driver-side
+    to a nationkey set via the 25/5-row nation+region tables (Q5 pattern);
+    customer pre-filters to it BEFORE its custkey shuffle with the
+    date-filtered orders.  The numerator/denominator split is a CASE
+    inside the batch-local partial, so the final groupby sees |years|
+    keys.  Exact int64 cents; the share itself is emitted as the one
+    derived double, rounded to 1e-6 with the oracle's own expression.
+    -> (o_year, nation_cents, total_cents, mkt_share)."""
+    import numpy as np
+    import pyarrow.parquet as pq_
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .join import broadcast_hash_join, read_table, shuffle_join
+
+    nat = pq_.read_table(f"{sf_dir}/nation.parquet").combine_chunks()
+    reg = pq_.read_table(f"{sf_dir}/region.parquet").combine_chunks()
+    rname = dict(zip(reg.column("r_regionkey").to_pylist(),
+                     reg.column("r_name").to_pylist()))
+    nation_keys = np.array(sorted(
+        int(k) for k, r in zip(nat.column("n_nationkey").to_pylist(),
+                               nat.column("n_regionkey").to_pylist())
+        if rname[int(r)] == region), dtype=np.int64)
+
+    start_ns = np.datetime64(start, "ns")
+    end_ns = np.datetime64(end, "ns")
+
+    def order_filter(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[ns]")
+        return batch.filter(pa.array((v >= start_ns) & (v < end_ns)))
+
+    def cust_filter(batch: pa.Table) -> pa.Table:
+        ck = batch.column("c_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        pos = np.searchsorted(nation_keys, ck)
+        ok = pos < len(nation_keys)
+        ok &= np.where(
+            ok, nation_keys[np.minimum(pos, len(nation_keys) - 1)] == ck,
+            False)
+        return batch.filter(pa.array(ok)).select(["c_custkey"])
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(order_filter, batch_format="pyarrow", batch_size=None)
+    cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
+        .map_batches(cust_filter, batch_format="pyarrow", batch_size=None)
+    oc = shuffle_join(orders, cust, on="o_custkey", right_on="c_custkey",
+                      num_partitions=8)
+
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_extendedprice", "l_discount"])
+    li = broadcast_hash_join(li, sf_dir, "part", left_key="l_partkey",
+                             right_key="p_partkey", take_cols=["p_type"])
+
+    def type_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        return batch.filter(pc_.equal(batch.column("p_type"), p_type)) \
+            .select(["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"])
+
+    li = li.map_batches(type_filter, batch_format="pyarrow", batch_size=None)
+    li = broadcast_hash_join(li, sf_dir, "supplier", left_key="l_suppkey",
+                             right_key="s_suppkey", take_cols=["s_nationkey"])
+    j = shuffle_join(li, oc, on="l_orderkey", right_on="o_orderkey",
+                     num_partitions=8)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        year = batch.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[Y]").astype(np.int64) + 1970
+        cents = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * (1.0 - batch.column("l_discount").to_numpy(zero_copy_only=False))
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        is_n = (batch.column("s_nationkey").to_numpy(zero_copy_only=False)
+                .astype(np.int64) == nation)
+        uniq, inv = np.unique(year, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        nc = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, cents)
+        np.add.at(nc, inv, np.where(is_n, cents, 0))
+        return pa.table({"o_year": pa.array(uniq),
+                         "nation_cents": pa.array(nc),
+                         "total_cents": pa.array(tot)})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nc = batch.column("nation_cents").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        tot = batch.column("total_cents").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        share = np.floor(nc / tot * 1e6 + 0.5) / 1e6
+        return batch.append_column("mkt_share", pa.array(share))
+
+    return (
+        j.map_batches(partial, batch_format="pyarrow")
+        .groupby("o_year")
+        .aggregate(Sum("nation_cents", alias_name="nation_cents"),
+                   Sum("total_cents", alias_name="total_cents"))
+        .map_batches(finish, batch_format="pyarrow")
+        .sort("o_year")
+    )
+
+
+Q21_LATE_DAYS = 90
+Q21_NATION = 3
+
+
+def tpch_q21(sf_dir: str, late_days: int = Q21_LATE_DAYS,
+             nation: int = Q21_NATION, n_parts: int = 64):
+    """TPC-H Q21 analog — suppliers who kept orders waiting: for finished
+    ('F') multi-supplier orders where EXACTLY ONE supplier shipped late,
+    count per supplier (in one nation) how many orders it alone held up.
+
+    ADAPTATION (declared): the testdata lineitem has no
+    l_commitdate/l_receiptdate, so "late" is ``l_shipdate > o_orderdate +
+    late_days`` — the exists/not-exists self-join STRUCTURE of Q21 is
+    preserved exactly (>=2 distinct suppliers on the order; exactly 1
+    distinct late supplier).
+
+    Scale plan: one orderkey shuffle joins the fact to status-filtered
+    orders; the per-order exists/anti-exists logic then runs on COARSE
+    hash partitions of orderkey (never per distinct order — the
+    events-family segmented-solve discipline): each partition sorts by
+    (orderkey, suppkey) once and resolves every order's distinct-supplier
+    and distinct-late-supplier counts with np.diff segment math.  Only
+    (suppkey, 1) survivors leave the partition; supplier name + nation are
+    a broadcast dim on that tiny stream.  -> (s_name, numwait) ordered by
+    (numwait desc, s_name)."""
+    import numpy as np
+    import pyarrow.compute as pc_
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions import hashing
+    from .join import broadcast_hash_join, read_table, shuffle_join
+
+    orders = read_table(sf_dir, "orders",
+                        ["o_orderkey", "o_orderstatus", "o_orderdate"])
+
+    def status_filter(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc_.equal(batch.column("o_orderstatus"), "F")
+        ).select(["o_orderkey", "o_orderdate"])
+
+    orders = orders.map_batches(status_filter, batch_format="pyarrow",
+                                batch_size=None)
+    li = read_table(sf_dir, "lineitem",
+                    ["l_orderkey", "l_suppkey", "l_shipdate"])
+    j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
+                     num_partitions=8)
+
+    late_ns = np.timedelta64(late_days, "D").astype("timedelta64[ns]")
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        ok_ = batch.column("l_orderkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[ns]")
+        od = batch.column("o_orderdate").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[ns]")
+        return pa.table({
+            "l_orderkey": pa.array(ok_),
+            "l_suppkey": batch.column("l_suppkey"),
+            "late": pa.array(ship > od + late_ns),
+            "__part": pa.array(hashing.coarse_partition(ok_, n_parts)),
+        })
+
+    def solve(df: "pd.DataFrame") -> "pd.DataFrame":
+        ok_ = df["l_orderkey"].to_numpy().astype(np.int64)
+        sk = df["l_suppkey"].to_numpy().astype(np.int64)
+        late = df["late"].to_numpy().astype(bool)
+        order = np.lexsort((sk, ok_))
+        ok_, sk, late = ok_[order], sk[order], late[order]
+        n = len(ok_)
+        if n == 0:
+            return pd.DataFrame({"l_suppkey": np.array([], np.int64),
+                                 "numwait": np.array([], np.int64)})
+        new_o = np.ones(n, dtype=bool)
+        new_o[1:] = ok_[1:] != ok_[:-1]
+        new_s = new_o.copy()
+        new_s[1:] |= sk[1:] != sk[:-1]
+        seg = np.cumsum(new_o) - 1  # order segment id per row
+        nseg = seg[-1] + 1
+        nsupp = np.bincount(seg, weights=new_s.astype(np.int64),
+                            minlength=nseg).astype(np.int64)
+        # distinct LATE suppliers per order: a (order, supp) run counts
+        # once if ANY of its rows is late
+        run = np.cumsum(new_s) - 1
+        run_late = np.bincount(run[late], minlength=run[-1] + 1) > 0
+        run_seg = seg[new_s]
+        run_sk = sk[new_s]
+        nlate = np.bincount(run_seg, weights=run_late.astype(np.int64),
+                            minlength=nseg).astype(np.int64)
+        # the sole late supplier of each qualifying order: min late suppkey
+        # (unique when nlate == 1, so min is exact)
+        big = np.int64(2**62)
+        late_sk = np.where(run_late, run_sk, big)
+        sole = np.full(nseg, big, np.int64)
+        np.minimum.at(sole, run_seg, late_sk)
+        keep = (nsupp >= 2) & (nlate == 1)
+        winners = sole[keep]
+        u, c = np.unique(winners, return_counts=True)
+        return pd.DataFrame({"l_suppkey": u, "numwait": c.astype(np.int64)})
+
+    waits = (
+        j.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(solve, batch_format="pandas")
+        .groupby("l_suppkey")
+        .aggregate(Sum("numwait", alias_name="numwait"))
+    )
+    waits = broadcast_hash_join(waits, sf_dir, "supplier",
+                                left_key="l_suppkey", right_key="s_suppkey",
+                                take_cols=["s_name", "s_nationkey"])
+
+    def nation_filter(batch: pa.Table) -> pa.Table:
+        nk = batch.column("s_nationkey").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return batch.filter(pa.array(nk == nation)) \
+            .select(["s_name", "numwait"])
+
+    return (
+        waits.map_batches(nation_filter, batch_format="pyarrow",
+                          batch_size=None)
+        .sort(["numwait", "s_name"], descending=[True, False])
+    )

@@ -65,3 +65,46 @@ def test_flagship_exact_after_injected_failures(ray_session, sf_dir):
     b = failed_run.sort_values("cell").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
     assert os.path.exists(marker)
+
+
+def test_csv_and_jsonl_source_round_trip(ray_session, tmp_path):
+    """Source-format breadth: the engine's operators run unchanged over
+    ray.data.read_csv / read_json inputs — write the events table to CSV
+    and JSONL, read both back, and get identical sessionize output to the
+    parquet path (schema-normalizing ts on the way in)."""
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import sessionize
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                        columns=["event_id", "ts", "user_id", "event_type",
+                                 "value"])
+    want = sessionize(rd.from_arrow(src)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+
+    csv_path = tmp_path / "events.csv"
+    pacsv.write_csv(src, str(csv_path))
+    got_csv = sessionize(rd.read_csv(str(csv_path))).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert got_csv.equals(want)
+
+    jsonl_path = tmp_path / "events.json"
+    df = src.to_pandas()
+    df.to_json(str(jsonl_path), orient="records", lines=True,
+               date_format="iso", date_unit="us")
+
+    def fix_ts(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        i = batch.column_names.index("ts")
+        return batch.set_column(
+            i, "ts", pc.cast(batch.column("ts"), pa.timestamp("us")))
+
+    got_json = sessionize(
+        rd.read_json(str(jsonl_path))
+        .map_batches(fix_ts, batch_format="pyarrow")
+    ).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert got_json.equals(want)
