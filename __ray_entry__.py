@@ -976,6 +976,19 @@ def _q_triangles(sf_dir: str):
     return tri.triangle_counts(docs, n_docs=n_docs).sort("comm")
 
 
+def _q_clustering_coeff(sf_dir: str):
+    """Local clustering coefficient per community-graph node: bounded
+    degree + per-node triangle aggregates, tagged coarse-partition join."""
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages import triangles as tri
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    docs = read_documents(sf_dir, columns=("doc_id",))
+    return tri.clustering_coeff(docs, n_docs=n_docs)
+
+
 def _q_kcore(sf_dir: str):
     """k-core of the community graph via fixed-round synchronous peeling
     (stages/triangles.kcore)."""
@@ -1780,6 +1793,14 @@ def _q_event_gaps(sf_dir: str):
     return events.event_gaps(events.read_events(sf_dir)).sort("event_id")
 
 
+def _q_event_transitions(sf_dir: str):
+    """Markov transition matrix of event types: LAG pairs pre-aggregated
+    per user partition, bounded two-key reduce, single-pass normalize."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.event_transitions(events.read_events(sf_dir))
+
+
 def _q_user_activity_full(sf_dir: str):
     """FULL OUTER join of HAVING-filtered per-user aggregates
     (stages/events.user_activity_full); all three outer regions non-empty."""
@@ -2310,6 +2331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokenize": _q_bpe_tokenize,
         "collapse_repeats": _q_collapse_repeats,
         "triangle_counts": _q_triangles,
+        "clustering_coeff": _q_clustering_coeff,
         "dup_ngram_stats": _q_dup_ngrams,
         "remove_boilerplate": _q_remove_boilerplate,
         "gopher_quality": _q_gopher_quality,
@@ -2376,6 +2398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_lift": _q_ab_lift,
         "running_totals": _q_running_totals,
         "event_gaps": _q_event_gaps,
+        "event_transitions": _q_event_transitions,
         "event_context": _q_event_context,
         "user_activity_full": _q_user_activity_full,
         "moving_sum": _q_moving_sum,
@@ -2503,6 +2526,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokenize": oc.bpe_tokenize_sql(),
         "collapse_repeats": oc.collapse_repeats_sql(),
         "triangle_counts": oc.triangles_sql(),
+        "clustering_coeff": oc.clustering_coeff_sql(),
         "dup_ngram_stats": oc.dup_ngram_stats_sql(),
         "remove_boilerplate": oc.remove_boilerplate_sql(n=5, min_df=2),
         "gopher_quality": oc.gopher_quality_sql(),
@@ -2574,6 +2598,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_lift": oc.ab_lift_sql(),
         "running_totals": oc.running_totals_sql(),
         "event_gaps": oc.event_gaps_sql(),
+        "event_transitions": oc.event_transitions_sql(),
         "event_context": oc.event_context_sql(),
         "user_activity_full": oc.user_activity_full_sql(),
         "moving_sum": oc.moving_sum_sql(),

@@ -3203,3 +3203,71 @@ SELECT doc_id, n_chars,
     AS pct_rank
 FROM d
 ORDER BY doc_id"""
+
+
+def event_transitions_sql() -> str:
+    """Oracle of stages/events.event_transitions (first-order Markov
+    transition matrix over per-user event sequences, row-normalized with
+    the engine's floor(x*1e6+0.5)/1e6 rounding)."""
+    return """WITH seq AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS to_type
+  FROM events
+), cnt AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+  floor(CAST(n AS DOUBLE)
+        / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE)
+        * 1e6 + 0.5) / 1e6 AS prob
+FROM cnt ORDER BY from_type, to_type"""
+
+
+def clustering_coeff_sql(comm_mod: int | None = None) -> str:
+    """Oracle of stages/triangles.clustering_coeff: the triangles_sql edge
+    CTE + degree explode + per-node triangle counts, left-joined, with the
+    engine's own 2T/(deg*(deg-1)) rounding."""
+    from ..functions import geocode
+    from ..stages import pagerank as pr
+    from ..stages import triangles as tri
+
+    cm = comm_mod if comm_mod is not None else tri.COMM_MOD
+    mult, mod = geocode.TLD_MULT, geocode.HOST_MOD
+    nd = "(SELECT count(*) FROM documents)"
+    host = f"((doc_id * {mult}) % {mod}) % {cm}"
+    dhost1 = (f"((((doc_id * {pr.EDGE_MULT} + {pr.EDGE_ADD}) % {nd})"
+              f" * {mult}) % {mod}) % {cm}")
+    dhost2 = (f"((((doc_id * doc_id * {pr.EDGE_MULT2} + {pr.EDGE_ADD2}) % {nd})"
+              f" * {mult}) % {mod}) % {cm}")
+    return f"""WITH e0 AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+    SELECT {host} AS s, {dhost1} AS t FROM documents
+    UNION ALL
+    SELECT {host} AS s, {dhost2} AS t FROM documents
+  ) WHERE s <> t
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0
+  ) GROUP BY node
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+), tcnt AS (
+  SELECT comm, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT x AS comm FROM tri
+    UNION ALL SELECT y FROM tri
+    UNION ALL SELECT z FROM tri
+  ) GROUP BY comm
+)
+SELECT node AS comm, deg,
+  CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+  CASE WHEN deg >= 2 THEN
+    floor(CAST(2 * coalesce(n_triangles, 0) AS DOUBLE)
+          / CAST(deg * (deg - 1) AS DOUBLE) * 1e6 + 0.5) / 1e6
+  ELSE 0.0 END AS coeff
+FROM deg LEFT JOIN tcnt ON node = comm
+ORDER BY comm"""

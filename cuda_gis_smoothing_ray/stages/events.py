@@ -1253,3 +1253,57 @@ def session_overlap(events_ds, gap_us: int = SESSION_GAP_US,
         .groupby("bucket")
         .map_groups(solve, batch_format="pandas")
     )
+
+
+def event_transitions(ds):
+    """events -> (from_type, to_type, n, prob): the first-order Markov
+    transition matrix of event types — for every consecutive pair of a
+    user's events in (ts, event_id) order, count (from, to) occurrences
+    and row-normalize into transition probabilities.
+
+    Scale shape: the pair extraction is the LAG pattern
+    (:func:`event_gaps`) on the shared coarse user shuffle, but what
+    leaves each partition is the PRE-AGGREGATED (from, to, n) matrix —
+    |types|^2 rows per partition, never the pair stream.  The global
+    reduce is a bounded two-key groupby; normalization runs on the final
+    |types|^2-row table in one single-partition pass (its per-from totals
+    need the whole matrix, which is aggregate-sized by construction).
+    ``prob`` is the one derived double, rounded floor(x*1e6+0.5)/1e6 with
+    the oracle."""
+    from ray.data.aggregate import Sum
+
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        et = df["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, et = uid[order], et[order]
+        new_user, _, _ = _user_segments(uid)
+        keep = np.flatnonzero(~new_user)
+        types, codes = np.unique(et, return_inverse=True)
+        key = codes[keep - 1].astype(np.int64) * len(types) + codes[keep]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame({
+            "from_type": types[uk // len(types)],
+            "to_type": types[uk % len(types)],
+            "n": cnt.astype(np.int64),
+        })
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        ft = batch.column("from_type").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(ft, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, n)
+        prob = np.floor(n.astype(np.float64) / tot[inv] * 1e6 + 0.5) / 1e6
+        return batch.append_column("prob", pa.array(prob))
+
+    return (
+        _by_user(ds, solve)
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .repartition(1)
+        .map_batches(normalize, batch_format="pyarrow", batch_size=None)
+        .sort(["from_type", "to_type"])
+    )

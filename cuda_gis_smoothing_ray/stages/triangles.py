@@ -316,3 +316,67 @@ def kcore(docs_ds, n_docs: int, k: int = KCORE_K, comm_mod: int = KCORE_MOD,
 
     return degrees(edges).map_batches(finalize, batch_format="pyarrow",
                                       batch_size=None)
+
+
+def clustering_coeff(docs_ds, n_docs: int, comm_mod: int = COMM_MOD):
+    """documents -> (comm, deg, n_triangles, coeff): the LOCAL clustering
+    coefficient of every community-graph node — triangles through the node
+    over its wedge count, ``coeff = 2*T / (deg*(deg-1))`` (0 when deg < 2),
+    rounded floor(x*1e6+0.5)/1e6 with the oracle.
+
+    Scale shape: degree and per-node triangle counts are the two existing
+    bounded aggregates (:func:`community_edges` degree explode and
+    :func:`triangle_counts`); the left join of the two (nodes in no
+    triangle keep T=0) is the tagged-union coarse-hash-partition merge —
+    node-keyed, fixed-width int64 rows, never the edge stream."""
+    from ..functions.reduce import hash_groupby
+
+    edges = community_edges(docs_ds, n_docs, comm_mod)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([a, b])),
+                         "one": pa.array(np.ones(2 * len(a), np.int64))})
+
+    deg = hash_groupby(
+        edges.map_batches(explode, batch_format="pyarrow", batch_size=None),
+        "node", ["one"], how="isum",
+    )
+    tri = triangle_counts(docs_ds, n_docs, comm_mod)
+
+    def tag_deg(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("node"),
+                         "n": batch.column("one"),
+                         "kind": pa.array(np.zeros(len(batch), np.int8))})
+
+    def tag_tri(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("comm"),
+                         "n": batch.column("n_triangles"),
+                         "kind": pa.array(np.ones(len(batch), np.int8))})
+
+    def join(df: pd.DataFrame) -> pd.DataFrame:
+        dg = df[df["kind"] == 0]
+        tr = df[df["kind"] == 1]
+        m = dg[["key", "n"]].merge(tr[["key", "n"]], on="key", how="left",
+                                   suffixes=("_deg", "_tri"))
+        node = m["key"].to_numpy(np.int64)
+        d = m["n_deg"].to_numpy(np.int64)
+        t = np.nan_to_num(m["n_tri"].to_numpy(np.float64)).astype(np.int64)
+        wedges = d * (d - 1)
+        coeff = np.where(
+            wedges > 0,
+            np.floor(2.0 * t / np.maximum(wedges, 1) * 1e6 + 0.5) / 1e6,
+            0.0)
+        return pd.DataFrame({"comm": node, "deg": d, "n_triangles": t,
+                             "coeff": coeff})
+
+    return (
+        deg.map_batches(tag_deg, batch_format="pyarrow", batch_size=None)
+        .union(tri.map_batches(tag_tri, batch_format="pyarrow",
+                               batch_size=None))
+        .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(join)
+        .sort("comm")
+    )
