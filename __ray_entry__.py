@@ -1843,6 +1843,22 @@ def _q_grouped_quantiles(sf_dir: str):
     return grouped_quantiles(docs, "lang", text_len).sort(["lang", "q"])
 
 
+def _q_robust_stats(sf_dir: str):
+    """Per-lang robust stats (median / MAD / trimmed mean) from ONE
+    (lang, len) histogram shuffle — all three from the same cumsum."""
+    import pyarrow.compute as pc_
+
+    from cuda_gis_smoothing_ray.stages.sketch import robust_stats
+
+    def text_len(batch: pa.Table) -> np.ndarray:
+        return pc_.utf8_length(batch.column("text")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+
+    docs = _docs(sf_dir, ("doc_id", "text", "lang"))
+    return robust_stats(docs, "lang", text_len).sort("lang")
+
+
 def _q_quantile_filter(sf_dir: str):
     """Length-outlier scrub: keep documents whose text length sits inside
     their language's exact [p05, p95] band (two-stage: grouped quantiles ->
@@ -2407,6 +2423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_ranks": _q_event_ranks,
         "events_pivot": _q_events_pivot,
         "grouped_quantiles": _q_grouped_quantiles,
+        "robust_stats": _q_robust_stats,
         "quantile_filtered_docs": _q_quantile_filter,
         "customers_with_orders": _q_semi_join,
         "customers_without_orders": _q_anti_join,
@@ -2607,6 +2624,7 @@ def oracle_sql() -> dict[str, str]:
         "event_ranks": oc.event_ranks_sql(),
         "events_pivot": oc.events_pivot_sql(),
         "grouped_quantiles": oc.grouped_quantiles_sql(),
+        "robust_stats": oc.robust_stats_sql(),
         "quantile_filtered_docs": oc.quantile_filter_sql(),
         "customers_with_orders": oc.customers_with_orders_sql(),
         "customers_without_orders": oc.customers_with_orders_sql(anti=True, priority="1-URGENT"),

@@ -3271,3 +3271,42 @@ SELECT node AS comm, deg,
   ELSE 0.0 END AS coeff
 FROM deg LEFT JOIN tcnt ON node = comm
 ORDER BY comm"""
+
+
+def robust_stats_sql(trim: float | None = None) -> str:
+    """Oracle of stages/sketch.robust_stats (per-lang median / MAD /
+    trimmed mean, rank floor((n-1)*0.5) and trim window [floor(n*trim),
+    n - floor(n*trim)), engine rounding on the one derived double)."""
+    from ..stages import sketch
+
+    t = sketch.TRIM_FRAC if trim is None else trim
+    return f"""WITH lens AS (
+  SELECT lang, CAST(length(text) AS BIGINT) AS v FROM documents
+), st AS (
+  SELECT lang, v,
+    row_number() OVER (PARTITION BY lang ORDER BY v) - 1 AS rk,
+    count(*) OVER (PARTITION BY lang) AS n
+  FROM lens
+), med AS (
+  SELECT lang, CAST(n AS BIGINT) AS n, min(v) AS median
+  FROM st WHERE rk = (n - 1) // 2 GROUP BY lang, n
+), dst AS (
+  SELECT l.lang, abs(l.v - m.median) AS d,
+    row_number() OVER (PARTITION BY l.lang ORDER BY abs(l.v - m.median)) - 1
+      AS rk,
+    count(*) OVER (PARTITION BY l.lang) AS n
+  FROM lens l JOIN med m ON l.lang = m.lang
+), mad AS (
+  SELECT lang, min(d) AS mad FROM dst WHERE rk = (n - 1) // 2 GROUP BY lang
+), tr AS (
+  SELECT lang, CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+  FROM st
+  WHERE rk >= CAST(floor(n * {t}) AS BIGINT)
+    AND rk < n - CAST(floor(n * {t}) AS BIGINT)
+  GROUP BY lang
+)
+SELECT m.lang, m.n, m.median, mad.mad,
+  floor(CAST(s AS DOUBLE) / CAST(c AS DOUBLE) * 1e6 + 0.5) / 1e6
+    AS trimmed_mean
+FROM med m JOIN mad ON m.lang = mad.lang JOIN tr ON m.lang = tr.lang
+ORDER BY m.lang"""

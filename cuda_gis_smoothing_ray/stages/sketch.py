@@ -837,3 +837,72 @@ def grouped_quantiles_cont(ds, group_col: str, col_fn,
         .groupby(group_col)
         .map_groups(solve)
     )
+
+
+TRIM_FRAC = 0.1
+
+
+def robust_stats(ds, group_col: str, col_fn, trim: float = TRIM_FRAC):
+    """-> (<group_col>, n, median, mad, trimmed_mean): robust per-group
+    location/scale statistics over a bounded-domain integer metric —
+    median (rank floor((n-1)*0.5), the :func:`grouped_quantiles`
+    definition), MAD (median of |v - median|, same rank rule), and the
+    two-sided ``trim``-fraction trimmed mean (drop floor(n*trim) lowest
+    and highest ranks; exact int64 sum over the survivors, the mean being
+    the one derived double, floor(x*1e6+0.5)/1e6).
+
+    Scale shape: the :func:`grouped_quantiles` histogram plan — batch-local
+    (group, value) counts are the only shuffle (|groups| x |domain| rows),
+    then ONE vectorized cumsum solve per group computes all three
+    statistics from the same histogram; MAD needs no second data pass
+    because folding the histogram around the median preserves counts."""
+    import pandas as pd
+
+    def counts(batch: pa.Table) -> pa.Table:
+        v = col_fn(batch)
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"g": g, "v": v})
+        agg = df.groupby(["g", "v"], sort=True).size().reset_index(name="cnt")
+        return pa.table({
+            group_col: pa.array(agg["g"]),
+            "value": pa.array(agg["v"].to_numpy().astype(np.int64)),
+            "cnt": pa.array(agg["cnt"].to_numpy().astype(np.int64)),
+        })
+
+    def solve(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("value")
+        v = g["value"].to_numpy()
+        uniq, inv = np.unique(v, return_inverse=True)
+        c = np.bincount(inv, weights=g["cnt"].to_numpy().astype(np.float64),
+                        minlength=len(uniq)).astype(np.int64)
+        n = int(c.sum())
+        cum = np.cumsum(c)
+        med = int(uniq[np.searchsorted(cum, (n - 1) // 2 + 1)])
+        # MAD: fold the histogram around the median, re-aggregate, re-rank
+        d = np.abs(uniq - med)
+        du = np.unique(d)
+        dc = np.zeros(len(du), np.int64)
+        np.add.at(dc, np.searchsorted(du, d), c)
+        mad = int(du[np.searchsorted(np.cumsum(dc), (n - 1) // 2 + 1)])
+        # trimmed mean: per-value overlap of [cum_prev, cum) with the kept
+        # rank window [t, n - 1 - t]
+        t = int(np.floor(n * trim))
+        lo, hi = t, n - t  # kept ranks are [lo, hi) half-open
+        prev = np.concatenate(([0], cum[:-1]))
+        kept = np.clip(np.minimum(cum, hi) - np.maximum(prev, lo), 0, None)
+        ksum = int(np.sum(uniq * kept))
+        kn = int(np.sum(kept))
+        tmean = np.floor(ksum / kn * 1e6 + 0.5) / 1e6 if kn else 0.0
+        return pd.DataFrame({
+            group_col: [g[group_col].iloc[0]],
+            "n": np.array([n], np.int64),
+            "median": np.array([med], np.int64),
+            "mad": np.array([mad], np.int64),
+            "trimmed_mean": np.array([tmean], np.float64),
+        })
+
+    return (
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
+        .groupby(group_col)
+        .map_groups(solve)
+    )

@@ -2200,7 +2200,6 @@ def passage_dedup(ds, w: int = PASSAGE_W, n_parts: int = _PASSAGE_PARTS):
     FNV fold + splitmix64), so even a 2^-64 collision cannot diverge the
     comparison.
     """
-    from ray.data.aggregate import Sum
 
     def windows(batch: pa.Table) -> pa.Table:
         empty = pa.table({
@@ -2256,13 +2255,13 @@ def passage_dedup(ds, w: int = PASSAGE_W, n_parts: int = _PASSAGE_PARTS):
             "n_dup_passages": np.where(dup, cnt, 0).astype(np.int64),
         })
 
-    return (
+    from ..functions.reduce import hash_groupby
+
+    return hash_groupby(
         ds.map_batches(windows, batch_format="pyarrow")
         .groupby("__part")
-        .map_groups(mark, batch_format="pandas")
-        .groupby("doc_id")
-        .aggregate(Sum("n_passages", alias_name="n_passages"),
-                   Sum("n_dup_passages", alias_name="n_dup_passages"))
+        .map_groups(mark, batch_format="pandas"),
+        "doc_id", ["n_passages", "n_dup_passages"], how="isum",
     )
 
 

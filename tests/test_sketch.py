@@ -330,3 +330,32 @@ def test_linear_probe_degenerate_raises():
     }))
     with pytest.raises(ValueError, match="singular"):
         linear_probe(ds)
+
+
+def test_robust_stats_matches_numpy(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import robust_stats
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 3, 500)
+    v = rng.integers(0, 40, 500).astype(np.int64)
+    v[g == 2] += 1000  # distinct location per group
+    ds = rd.from_arrow(pa.table({"grp": pa.array(g.astype(np.int64)),
+                                 "v": pa.array(v)})).repartition(8)
+    out = robust_stats(
+        ds, "grp", lambda b: b.column("v").to_numpy(zero_copy_only=False)
+    ).to_pandas().sort_values("grp").reset_index(drop=True)
+
+    for i in range(3):
+        x = np.sort(v[g == i])
+        n = len(x)
+        med = int(x[(n - 1) // 2])
+        mad = int(np.sort(np.abs(x - med))[(n - 1) // 2])
+        t = int(np.floor(n * 0.1))
+        kept = x[t:n - t]
+        tmean = np.floor(kept.sum() / len(kept) * 1e6 + 0.5) / 1e6
+        row = out.iloc[i]
+        assert (row["n"], row["median"], row["mad"]) == (n, med, mad)
+        assert row["trimmed_mean"] == tmean
