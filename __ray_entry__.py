@@ -1024,6 +1024,16 @@ def _q_tfidf(sf_dir: str):
     return textops.tfidf(_docs(sf_dir)).sort(["doc_id", "token"])
 
 
+def _q_nb_lang_classify(sf_dir: str):
+    """Naive-Bayes-style lang classifier with exact integer scoring:
+    token-hash-partitioned model join, packed (doc, lang) reduce, coarse
+    doc-keyed argmax."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.nb_lang_classify(
+        _docs(sf_dir, ("doc_id", "text", "lang"))).sort("doc_id")
+
+
 def _q_doc_fingerprints(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import textops
 
@@ -2331,6 +2341,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash,
         "doc_fingerprints": _q_doc_fingerprints,
         "tfidf": _q_tfidf,
+        "nb_lang_classify": _q_nb_lang_classify,
         "zscore_text_len": _q_zscore,
         "top_bigrams": _q_top_bigrams,
         "split_assign": _q_split_assign,
@@ -2526,6 +2537,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_pairs": oc.jaccard_pairs_sql(JACCARD_T),
         "doc_fingerprints": oc.doc_fingerprints_sql(),
         "tfidf": oc.tfidf_sql(),
+        "nb_lang_classify": oc.nb_lang_classify_sql(),
         "zscore_text_len": oc.zscore_text_len_sql(),
         "top_bigrams": oc.top_bigrams_sql(20),
         "split_assign": oc.split_assign_sql(),

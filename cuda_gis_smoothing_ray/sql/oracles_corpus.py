@@ -3310,3 +3310,31 @@ SELECT m.lang, m.n, m.median, mad.mad,
     AS trimmed_mean
 FROM med m JOIN mad ON m.lang = mad.lang JOIN tr ON m.lang = tr.lang
 ORDER BY m.lang"""
+
+
+def nb_lang_classify_sql(train_mod: int | None = None) -> str:
+    """Oracle of stages/textops.nb_lang_classify (exact integer additive
+    NB scoring; train half = doc_id % train_mod = 0; argmax with lang-asc
+    tie-break; docs sharing no train token absent = inner join)."""
+    from ..stages import textops
+
+    tm = textops.NB_TRAIN_MOD if train_mod is None else train_mod
+    return f"""WITH toks AS (
+  SELECT doc_id, lang,
+    unnest(list_filter(regexp_split_to_array(text, '\\s+'), s -> s != ''))
+      AS token
+  FROM documents
+), model AS (
+  SELECT token, lang, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks WHERE doc_id % {tm} = 0 GROUP BY token, lang
+), scores AS (
+  SELECT t.doc_id, m.lang AS cand, CAST(sum(m.cnt) AS BIGINT) AS score
+  FROM toks t JOIN model m ON t.token = m.token
+  GROUP BY t.doc_id, m.lang
+), ranked AS (
+  SELECT doc_id, cand, score,
+    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rn
+  FROM scores
+)
+SELECT doc_id, cand AS pred_lang, score
+FROM ranked WHERE rn = 1 ORDER BY doc_id"""

@@ -2457,3 +2457,163 @@ def len_percentile(docs_ds):
         })
 
     return docs_ds.map_batches(label, batch_format="pyarrow")
+
+
+NB_TRAIN_MOD = 2
+
+
+def nb_lang_classify(ds, train_mod: int = NB_TRAIN_MOD,
+                     n_parts: int = _PAIR_PARTS):
+    """documents -> (doc_id, pred_lang, score): a multinomial
+    naive-Bayes-style language classifier with EXACT INTEGER scoring —
+    train per-(token, lang) instance counts on the ``doc_id % train_mod
+    == 0`` half, then score every doc as ``sum over its token instances
+    of the train count for each candidate lang`` and pick the argmax
+    (ties -> lexicographically smallest lang).  Integer additive scoring
+    (instead of log-prob floats) keeps train + inference bit-reproducible
+    in DuckDB — the same reason :func:`tfidf` uses rational idf.
+
+    Scale shape: ONE scan emits both sides tagged — (doc, token, tf)
+    postings for every doc and per-batch-pre-aggregated (token, lang, cnt)
+    model partials for train docs — keyed by the 64-bit token hash
+    (:func:`..functions.hashing.fnv_token_hash64`, the tfidf df
+    discipline: a 2^-64 cross-token collision is the accepted risk);
+    each coarse hash partition then finishes the model counts and scores
+    its postings with ONE pandas hash-merge.  Per-doc totals reduce
+    through a packed (doc, lang) int64 hash_groupby, and the argmax is a
+    coarse doc-keyed partition with one lexsort — Python per partition,
+    never per doc.  Docs sharing no token with the train vocabulary are
+    absent from the output (inner-join semantics, mirrored in SQL)."""
+    import pyarrow.compute as pc_
+
+    from ..functions.hashing import fnv_token_hash64
+    from ..functions.reduce import hash_groupby
+
+    langs = sorted(ds.unique("lang"))  # bounded label set (an aggregate)
+    n_l = len(langs)
+    lang_keys = pa.array(langs, pa.string())
+    lang_np = np.array(langs)
+
+    EMPTY = pa.schema([
+        ("key", pa.int64()), ("kind", pa.int8()), ("doc_id", pa.int64()),
+        ("lang_code", pa.int64()), ("n", pa.int64()), ("__part", pa.int64()),
+    ])
+
+    def tagged(batch: pa.Table) -> pa.Table:
+        doc_idx, toks = _doc_tokens(batch)
+        if len(doc_idx) == 0:
+            return EMPTY.empty_table()
+        dic = toks.dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_codes = codes.max() + 1
+        # (doc, token) tf rows
+        packed = doc_idx * n_codes + codes
+        u, tf = np.unique(packed, return_counts=True)
+        u_doc, u_code = u // n_codes, u % n_codes
+        thash = fnv_token_hash64(dic.dictionary.take(pa.array(u_code))) \
+            .view(np.int64)
+        post = pa.table({
+            "key": pa.array(thash),
+            "kind": pa.array(np.ones(len(u), np.int8)),
+            "doc_id": pa.array(u_doc),
+            "lang_code": pa.array(np.zeros(len(u), np.int64)),
+            "n": pa.array(tf.astype(np.int64)),
+            "__part": pa.array(hashing.coarse_partition(thash, n_parts)),
+        })
+        # model partials: train docs only, (token, lang) instance counts
+        lc_of_row = pc_.index_in(batch.column("lang"), value_set=lang_keys) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        d_ids = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # doc_idx holds doc IDS; recover batch row position to fetch lang
+        # (ids are unique per batch; argsort+searchsorted handles any order)
+        sort_idx = np.argsort(d_ids, kind="stable")
+        row_of = sort_idx[np.searchsorted(d_ids[sort_idx], u_doc)]
+        is_train = (u_doc % train_mod) == 0
+        m_code, m_lang, m_tf = (u_code[is_train], lc_of_row[row_of[is_train]],
+                                tf[is_train].astype(np.int64))
+        mp = m_code * n_l + m_lang
+        mu, minv = np.unique(mp, return_inverse=True)
+        mcnt = np.zeros(len(mu), np.int64)
+        np.add.at(mcnt, minv, m_tf)
+        mhash = fnv_token_hash64(
+            dic.dictionary.take(pa.array(mu // n_l))).view(np.int64)
+        model = pa.table({
+            "key": pa.array(mhash),
+            "kind": pa.array(np.zeros(len(mu), np.int8)),
+            "doc_id": pa.array(np.zeros(len(mu), np.int64)),
+            "lang_code": pa.array(mu % n_l),
+            "n": pa.array(mcnt),
+            "__part": pa.array(hashing.coarse_partition(mhash, n_parts)),
+        })
+        return pa.concat_tables([post, model]).combine_chunks()
+
+    def score_part(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        model = df[df["kind"] == 0]
+        post = df[df["kind"] == 1]
+        # finish the model counts (partials from many batches repeat keys);
+        # lexsort + reduceat, NOT key*n_l packing — hash keys span the full
+        # int64 range, so packing would wrap
+        k = model["key"].to_numpy(np.int64)
+        lc = model["lang_code"].to_numpy(np.int64)
+        mn = model["n"].to_numpy(np.int64)
+        order = np.lexsort((lc, k))
+        k, lc, mn = k[order], lc[order], mn[order]
+        if len(k):
+            new = np.ones(len(k), dtype=bool)
+            new[1:] = (k[1:] != k[:-1]) | (lc[1:] != lc[:-1])
+            starts = np.flatnonzero(new)
+            mtab = pd.DataFrame({"key": k[starts], "lang_code": lc[starts],
+                                 "cnt": np.add.reduceat(mn, starts)})
+        else:
+            mtab = pd.DataFrame({"key": k, "lang_code": lc, "cnt": mn})
+        m = post[["key", "doc_id", "n"]].merge(mtab, on="key")
+        if m.empty:
+            return pd.DataFrame({"pk": np.array([], np.int64),
+                                 "score": np.array([], np.int64)})
+        pk = m["doc_id"].to_numpy(np.int64) * n_l \
+            + m["lang_code"].to_numpy(np.int64)
+        sc = m["n"].to_numpy(np.int64) * m["cnt"].to_numpy(np.int64)
+        pu, pinv = np.unique(pk, return_inverse=True)
+        acc = np.zeros(len(pu), np.int64)
+        np.add.at(acc, pinv, sc)
+        return pd.DataFrame({"pk": pu, "score": acc})
+
+    scores = hash_groupby(
+        ds.map_batches(tagged, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(score_part, batch_format="pandas"),
+        "pk", ["score"], how="isum",
+    )
+
+    def add_doc_part(batch: pa.Table) -> pa.Table:
+        d = batch.column("pk").to_numpy(zero_copy_only=False) // n_l
+        return batch.append_column(
+            "__part", pa.array(hashing.coarse_partition(d, n_parts)))
+
+    def pick(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        pk = df["pk"].to_numpy(np.int64)
+        sc = df["score"].to_numpy(np.int64)
+        doc, code = pk // n_l, pk % n_l
+        order = np.lexsort((code, -sc, doc))
+        doc, code, sc = doc[order], code[order], sc[order]
+        first = np.ones(len(doc), dtype=bool)
+        first[1:] = doc[1:] != doc[:-1]
+        return pd.DataFrame({
+            "doc_id": doc[first],
+            "pred_lang": lang_np[code[first]],
+            "score": sc[first],
+        })
+
+    return (
+        scores.map_batches(add_doc_part, batch_format="pyarrow",
+                           batch_size=None)
+        .groupby("__part")
+        .map_groups(pick, batch_format="pandas")
+    )
