@@ -115,7 +115,10 @@ def headline_queries(sf_dir: str, replicate: int):
         from cuda_gis_smoothing_ray.sources.pages import read_pages
         from cuda_gis_smoothing_ray.stages.textops import passage_dedup
 
-        pages = read_pages(sf_dir, replicate=replicate, include_html=False)
+        # CPU-heavy tokenize+hash stage: smaller tasks spread the work
+        # across every core (the text_quality pages_per_task discipline)
+        pages = read_pages(sf_dir, replicate=replicate, include_html=False,
+                           pages_per_task=250_000)
 
         def as_docs(batch):
             return batch.select(["page_id", "text"]).rename_columns(

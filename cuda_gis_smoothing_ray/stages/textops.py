@@ -2258,7 +2258,7 @@ def passage_dedup(ds, w: int = PASSAGE_W, n_parts: int = _PASSAGE_PARTS):
     from ..functions.reduce import hash_groupby
 
     return hash_groupby(
-        ds.map_batches(windows, batch_format="pyarrow")
+        ds.map_batches(windows, batch_format="pyarrow", batch_size=None)
         .groupby("__part")
         .map_groups(mark, batch_format="pandas"),
         "doc_id", ["n_passages", "n_dup_passages"], how="isum",
