@@ -1420,3 +1420,28 @@ FROM per_order JOIN supplier ON late_supp = s_suppkey
 WHERE nsupp >= 2 AND nlate = 1 AND s_nationkey = {relagg.Q21_NATION}
 GROUP BY s_name
 ORDER BY numwait DESC, s_name"""
+
+
+def semivariogram_sql(res: int, max_d: int | None = None) -> str:
+    """Oracle of stages/hotspot.semivariogram (per-lag pair sums over the
+    cell table; ordered pairs / 2, engine rounding on gamma)."""
+    from ..functions import hexgrid
+    from ..stages import hotspot
+
+    k = hotspot.SEMIVAR_MAX_D if max_d is None else max_d
+    rows = []
+    for d in range(1, k + 1):
+        rows += [f"({dq}, {dr}, {d})" for dq, dr in hexgrid.ring_offsets(d)]
+    return f"""{prelude(res)},
+offsets(dq, dr, d) AS (VALUES {", ".join(rows)}),
+pairs AS (
+  SELECT o.d, c.page_count AS zc, n.page_count AS zn
+  FROM cells c
+  CROSS JOIN offsets o
+  JOIN cells n ON n.q = c.q + o.dq AND n.r = c.r + o.dr
+)
+SELECT d, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+  floor(CAST(sum((zc - zn) * (zc - zn)) AS DOUBLE)
+        / (CAST(2.0 AS DOUBLE) * CAST(count(*) AS DOUBLE))
+        * 1e6 + 0.5) / 1e6 AS gamma
+FROM pairs GROUP BY d ORDER BY d"""

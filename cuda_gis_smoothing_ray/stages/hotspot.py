@@ -418,3 +418,114 @@ def bivariate_morans(cells_ds, col_x: str = "en_share", col_y: str = "mention_ra
             "n_cells": pa.array([n], pa.int64()),
         }
     )
+
+
+SEMIVAR_MAX_D = 3
+
+
+def semivariogram(cells_ds, value_col: str = "page_count",
+                  max_d: int = SEMIVAR_MAX_D):
+    """cells -> (d, n_pairs, gamma): the empirical SEMIVARIOGRAM of an
+    integer cell metric by exact hex-grid distance — for each lag
+    d = 1..max_d, ``gamma(d) = sum over pairs at distance d of
+    (z_i - z_j)^2 / (2 * n_pairs)``, the geostatistics range/sill/nugget
+    diagnostic that tells a GIS user how far spatial correlation reaches
+    (the smoothing kernels' k should sit inside the range).
+
+    Scale shape: the smoothing scatter-combine, with one channel PER LAG —
+    each cell emits, per ring-d offset, its value and squared value to the
+    target cell key; ONE cell-keyed exact-int ``hash_groupby`` later,
+    every present cell holds (count, sum z, sum z^2) of its distance-d
+    neighbors, and the pair identity ``sum (z_c - z_n)^2 = nc*z_c^2 -
+    2*z_c*sx + sxx`` closes the lag sums batch-locally.  The final reduce
+    is ``max_d`` keys.  No cell-pair ever shuffles.  Ordered pairs are
+    accumulated (each unordered pair at both ends), so ``n_pairs =
+    cnt_ordered / 2`` and ``gamma = sum_ordered / (2 * cnt_ordered)`` —
+    the one derived double, floor(x*1e6+0.5)/1e6 with the oracle.  Sums
+    are exact int64 (overflow bound: n_cells * z_max^2 * 6d must fit
+    2^63 — at larger scale promote the tiny final reduce to Python ints,
+    the host_gini discipline)."""
+    import ray.data as rd
+    from ..functions.reduce import hash_groupby
+
+    if not 1 <= max_d <= 6:
+        raise ValueError(f"semivariogram: max_d must be in [1, 6], got {max_d}")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        z = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(cell)
+        res, q, r = hexgrid.unpack(cell)
+        res0 = int(np.atleast_1d(res)[0]) if n else hexgrid.RES_MIN
+        targets = [cell]
+        chan = {f"nc_{d}": [np.zeros(n, np.int64)] for d in range(1, max_d + 1)}
+        chan.update({f"sx_{d}": [np.zeros(n, np.int64)] for d in range(1, max_d + 1)})
+        chan.update({f"sxx_{d}": [np.zeros(n, np.int64)] for d in range(1, max_d + 1)})
+        chan["oz"] = [z]
+        chan["c_sum"] = [np.ones(n, np.int64)]
+        for d in range(1, max_d + 1):
+            offs = hexgrid.ring_offsets(d)
+            dq = np.array([o[0] for o in offs], np.int64)
+            dr = np.array([o[1] for o in offs], np.int64)
+            t = hexgrid.pack(res0, q[:, None] + dq[None, :],
+                             r[:, None] + dr[None, :]).ravel()
+            m = len(offs)
+            targets.append(t)
+            zz = np.broadcast_to(z[:, None], (n, m)).ravel()
+            for dd in range(1, max_d + 1):
+                same = dd == d
+                chan[f"nc_{dd}"].append(
+                    np.ones(n * m, np.int64) if same else np.zeros(n * m, np.int64))
+                chan[f"sx_{dd}"].append(zz if same else np.zeros(n * m, np.int64))
+                chan[f"sxx_{dd}"].append(zz * zz if same else np.zeros(n * m, np.int64))
+            chan["oz"].append(np.zeros(n * m, np.int64))
+            chan["c_sum"].append(np.zeros(n * m, np.int64))
+        all_t = np.concatenate(targets)
+        uniq, inv = np.unique(all_t, return_inverse=True)
+        out = {"cell": pa.array(uniq)}
+        for name, parts in chan.items():
+            v = np.concatenate(parts)
+            acc = np.zeros(len(uniq), np.int64)
+            np.add.at(acc, inv, v)
+            out[name] = pa.array(acc)
+        return pa.table(out)
+
+    sum_cols = [f"{p}_{d}" for d in range(1, max_d + 1)
+                for p in ("nc", "sx", "sxx")] + ["oz", "c_sum"]
+    sums = hash_groupby(
+        cells_ds.map_batches(expand, batch_format="pyarrow"),
+        "cell", sum_cols, how="isum",
+    )
+
+    def close_lags(batch: pa.Table) -> pa.Table:
+        present = batch.column("c_sum").to_numpy(zero_copy_only=False) > 0
+        z = batch.column("oz").to_numpy(zero_copy_only=False)[present]
+        out_d, out_s, out_c = [], [], []
+        for d in range(1, max_d + 1):
+            nc = batch.column(f"nc_{d}").to_numpy(zero_copy_only=False)[present]
+            sx = batch.column(f"sx_{d}").to_numpy(zero_copy_only=False)[present]
+            sxx = batch.column(f"sxx_{d}").to_numpy(zero_copy_only=False)[present]
+            s = int(np.sum(nc * z * z - 2 * z * sx + sxx))
+            out_d.append(d)
+            out_s.append(s)
+            out_c.append(int(nc.sum()))
+        return pa.table({"d": pa.array(out_d, pa.int64()),
+                         "s": pa.array(out_s, pa.int64()),
+                         "c": pa.array(out_c, pa.int64())})
+
+    red = hash_groupby(
+        sums.map_batches(close_lags, batch_format="pyarrow"),
+        "d", ["s", "c"], how="isum",
+    ).to_pandas().sort_values("d")
+
+    n_pairs = red["c"].to_numpy(np.int64) // 2
+    gamma = np.where(
+        red["c"].to_numpy(np.int64) > 0,
+        np.floor(red["s"].to_numpy(np.float64)
+                 / (2.0 * red["c"].to_numpy(np.float64)) * 1e6 + 0.5) / 1e6,
+        0.0)
+    return rd.from_arrow(pa.table({
+        "d": pa.array(red["d"].to_numpy(np.int64)),
+        "n_pairs": pa.array(n_pairs),
+        "gamma": pa.array(gamma),
+    }))
