@@ -1032,6 +1032,14 @@ def _q_tfidf(sf_dir: str):
     return textops.tfidf(_docs(sf_dir)).sort(["doc_id", "token"])
 
 
+def _q_pareto_docs(sf_dir: str):
+    """Skyline (Pareto frontier) over (n_tokens, n_distinct): sound
+    batch-local pruning, frontier-sized final resolve."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.pareto_docs(_docs(sf_dir)).sort("doc_id")
+
+
 def _q_nb_lang_classify(sf_dir: str):
     """Naive-Bayes-style lang classifier with exact integer scoring:
     token-hash-partitioned model join, packed (doc, lang) reduce, coarse
@@ -1150,6 +1158,16 @@ def _q_ann_topk(sf_dir: str):
 
     return ann.ann_bruteforce(ann.read_embeddings(sf_dir), sf_dir, k=ANN_K).sort(
         ["query_id", "rank"]
+    )
+
+
+def _q_ann_range(sf_dir: str):
+    """Cosine range search (all neighbors >= tau): broadcast query matrix,
+    blocked column-sequential cosine, streaming filter — no merge stage."""
+    from cuda_gis_smoothing_ray.stages import ann
+
+    return ann.ann_range_search(ann.read_embeddings(sf_dir), sf_dir).sort(
+        ["query_id", "vec_id"]
     )
 
 
@@ -2350,6 +2368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "tfidf": _q_tfidf,
         "nb_lang_classify": _q_nb_lang_classify,
+        "pareto_docs": _q_pareto_docs,
         "zscore_text_len": _q_zscore,
         "top_bigrams": _q_top_bigrams,
         "split_assign": _q_split_assign,
@@ -2403,6 +2422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
         "ann_recall": _q_ann_recall,
+        "ann_range_search": _q_ann_range,
         "embedding_neardup": _q_neardup,
         "label_centroids": _q_label_centroids,
         "quantize_int8": _q_quantize_int8,
@@ -2547,6 +2567,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": oc.doc_fingerprints_sql(),
         "tfidf": oc.tfidf_sql(),
         "nb_lang_classify": oc.nb_lang_classify_sql(),
+        "pareto_docs": oc.pareto_docs_sql(),
         "zscore_text_len": oc.zscore_text_len_sql(),
         "top_bigrams": oc.top_bigrams_sql(20),
         "split_assign": oc.split_assign_sql(),
@@ -2604,6 +2625,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": oc.dedup_components_sql(JACCARD_T),
         "neardup_components": oc.neardup_components_sql(),
         "ann_cosine_topk": oc.ann_topk_sql(ANN_K),
+        "ann_range_search": oc.ann_range_sql(),
         "knn_graph": oc.ann_topk_sql(KNN_GRAPH_K, n_queries=1 << 40),
         "semantic_dedup": oc.semantic_dedup_sql(NEARDUP_T),
         "embedding_neardup": oc.embedding_neardup_sql(NEARDUP_T),

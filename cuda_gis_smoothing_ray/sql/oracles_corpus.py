@@ -3338,3 +3338,52 @@ def nb_lang_classify_sql(train_mod: int | None = None) -> str:
 )
 SELECT doc_id, cand AS pred_lang, score
 FROM ranked WHERE rn = 1 ORDER BY doc_id"""
+
+
+def ann_range_sql(tau: float | None = None, n_queries: int | None = None,
+                  dim: int | None = None) -> str:
+    """Oracle of stages/ann.ann_range_search (cosine >= tau range search;
+    raw-cosine predicate, round6 output, same left-assoc dot fold)."""
+    from ..stages import ann
+
+    t = ann.RANGE_TAU if tau is None else tau
+    nq_ = ann.N_QUERIES if n_queries is None else n_queries
+    d = ann.DIM if dim is None else dim
+    dot = _dot_expr("e.embedding", "q.embedding", d)
+    ne = _dot_expr("e.embedding", "e.embedding", d)
+    nq = _dot_expr("q.embedding", "q.embedding", d)
+    return f"""WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings
+  WHERE vec_id < {nq_}
+), sims AS (
+  SELECT q.query_id, e.vec_id,
+    ({dot}) / (sqrt({ne}) * sqrt({nq})) AS cos_raw
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, {round6('cos_raw')} AS cosine
+FROM sims WHERE cos_raw >= {D(t)}
+ORDER BY query_id, vec_id"""
+
+
+def pareto_docs_sql() -> str:
+    """Oracle of stages/textops.pareto_docs (skyline by NOT EXISTS
+    domination — a completely different plan than the engine's sorted
+    group-cummax, so it checks the algorithm, not the transcription)."""
+    return """WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(text, '\\s+'), s -> s != ''))
+      AS token
+  FROM documents
+), m AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(count(DISTINCT token) AS BIGINT) AS n_distinct
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct FROM m a
+WHERE NOT EXISTS (
+  SELECT 1 FROM m b
+  WHERE (b.n_tokens > a.n_tokens AND b.n_distinct >= a.n_distinct)
+     OR (b.n_tokens = a.n_tokens AND b.n_distinct > a.n_distinct)
+)
+ORDER BY doc_id"""

@@ -787,3 +787,43 @@ def ann_recall(sf_dir: str, k: int = 10, n_queries: int = N_QUERIES):
         out["min_query_recall"].append(np.floor(per_q.min() * 1e4 + 0.5) / 1e4)
         out["n_queries"].append(len(gt))
     return pa.table({k2: pa.array(v) for k2, v in out.items()})
+
+
+RANGE_TAU = 0.25
+
+
+def ann_range_search(ds, sf_dir: str, tau: float = RANGE_TAU,
+                     n_queries: int = N_QUERIES):
+    """-> (query_id, vec_id, cosine): RANGE search — every vector whose
+    cosine to the query is >= ``tau`` (the query itself excluded), the
+    retrieval mode dedup/recall pipelines want when "how many" is unknown
+    (top-k truncates; range search returns the whole neighborhood).
+
+    Scale shape: the :func:`ann_bruteforce` discipline — queries are a
+    broadcast (m, d) matrix via ``ray.put``, each batch computes the
+    (m, n) cosine block with the column-sequential :func:`seq_dot_blocked`
+    (bit-identical to the SQL left-assoc fold) and emits only the
+    >= tau survivors; there is NO per-query merge step at all (no top-k
+    semantics to reconcile), so the output streams straight out of the
+    map."""
+    import ray
+
+    q_ids, q_mat = load_queries(sf_dir, n_queries)
+    q_norm = np.sqrt(seq_sq_norm(q_mat))
+    q_ref = ray.put((q_mat, q_norm))
+
+    def local_range(batch: pa.Table) -> pa.Table:
+        qm, qn = ray.get(q_ref)
+        x = _emb_matrix(batch)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        xn = np.sqrt(seq_sq_norm(x))
+        sims = seq_dot_blocked(qm, x) / (qn[:, None] * xn[None, :])
+        qi, xi = np.nonzero((sims >= tau) & (vid[None, :] != q_ids[:, None]))
+        cos = np.floor(sims[qi, xi] * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "query_id": pa.array(q_ids[qi]),
+            "vec_id": pa.array(vid[xi]),
+            "cosine": pa.array(cos),
+        })
+
+    return ds.map_batches(local_range, batch_format="pyarrow")

@@ -2617,3 +2617,76 @@ def nb_lang_classify(ds, train_mod: int = NB_TRAIN_MOD,
         .groupby("__part")
         .map_groups(pick, batch_format="pandas")
     )
+
+
+def pareto_docs(ds):
+    """documents -> (doc_id, n_tokens, n_distinct): the PARETO FRONTIER
+    (skyline) of docs over (token count, distinct-token count) — rows not
+    dominated by any other doc (``b`` dominates ``a`` iff ``b.x >= a.x``
+    and ``b.y >= a.y`` with at least one strict).  The "best corpus
+    exemplars under two criteria at once" query; no weighting needed.
+
+    Scale shape: the skyline's defining property — batch-local pruning is
+    SOUND (a row dominated inside its batch is dominated globally) — makes
+    this a map-then-resolve plan: each batch reduces to its local frontier
+    with one vectorized sort + group-cummax pass (expected frontier of n
+    random points is O(log n)), survivors union into a single partition,
+    and the same pass resolves the global frontier.  The final resolve is
+    declared frontier-sized (worst case — a fully anti-correlated metric
+    pair — degenerates to all rows; these two metrics are positively
+    correlated, the favorable case)."""
+
+    def _metrics(batch: pa.Table):
+        doc_idx, toks = _doc_tokens(batch)
+        dic = toks.dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        docs = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_codes = codes.max() + 1 if len(codes) else 1
+        packed = doc_idx * n_codes + codes
+        up = np.unique(packed)
+        d_tok = np.zeros(len(docs), np.int64)
+        d_dis = np.zeros(len(docs), np.int64)
+        # doc ids are unique per batch: map via sorted positions
+        order = np.argsort(docs, kind="stable")
+        pos_tok = order[np.searchsorted(docs[order], doc_idx)]
+        np.add.at(d_tok, pos_tok, 1)
+        pos_dis = order[np.searchsorted(docs[order], up // n_codes)]
+        np.add.at(d_dis, pos_dis, 1)
+        keep = d_tok > 0  # empty docs have no tokens: not comparable, drop
+        return docs[keep], d_tok[keep], d_dis[keep]
+
+    def _frontier(doc: np.ndarray, x: np.ndarray, y: np.ndarray):
+        # sort x desc, y desc; survivors: y == group-max(y) of their x AND
+        # that max strictly exceeds the running max over greater x
+        order = np.lexsort((doc, -y, -x))
+        doc, x, y = doc[order], x[order], y[order]
+        new_x = np.ones(len(x), dtype=bool)
+        new_x[1:] = x[1:] != x[:-1]
+        gid = np.cumsum(new_x) - 1
+        gmax = y[new_x]  # first row of each x-group has its max y (sorted)
+        before = np.concatenate(([np.iinfo(np.int64).min],
+                                 np.maximum.accumulate(gmax)[:-1]))
+        keep = (y == gmax[gid]) & (gmax[gid] > before[gid])
+        return doc[keep], x[keep], y[keep]
+
+    def local(batch: pa.Table) -> pa.Table:
+        doc, x, y = _metrics(batch)
+        doc, x, y = _frontier(doc, x, y)
+        return pa.table({"doc_id": pa.array(doc), "n_tokens": pa.array(x),
+                         "n_distinct": pa.array(y)})
+
+    def resolve(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        x = batch.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch.column("n_distinct").to_numpy(zero_copy_only=False).astype(np.int64)
+        doc, x, y = _frontier(doc, x, y)
+        return pa.table({"doc_id": pa.array(doc), "n_tokens": pa.array(x),
+                         "n_distinct": pa.array(y)})
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow", batch_size=None)
+        .repartition(1)
+        .map_batches(resolve, batch_format="pyarrow", batch_size=None)
+    )
