@@ -195,6 +195,14 @@ def _q_hotspot_gi(sf_dir: str):
     return _round6_cols(hotspot_gi(_cells(sf_dir), "page_count", k=1), ["gi_z"]).sort("cell")
 
 
+def _q_otsu_threshold(sf_dir: str):
+    """Otsu segmentation threshold on the page_count raster: one bounded
+    value-histogram shuffle, exact big-int fraction argmax."""
+    from cuda_gis_smoothing_ray.stages.hotspot import otsu_threshold
+
+    return otsu_threshold(_cells(sf_dir), "page_count")
+
+
 def _q_semivariogram(sf_dir: str):
     """Empirical semivariogram of page_count by exact hex lag d=1..3 —
     per-lag channels on the smoothing scatter-combine, no pair shuffle."""
@@ -2520,6 +2528,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ring2_stats": _q_ring2_stats,
         "hotspot_gi": _q_hotspot_gi,
         "semivariogram": _q_semivariogram,
+        "otsu_threshold": _q_otsu_threshold,
         "raster_morphology": _q_raster_morphology,
         "spatiotemporal_counts": _q_spatiotemporal_counts,
         "morans_i": _q_morans_i,
@@ -2748,6 +2757,7 @@ def oracle_sql() -> dict[str, str]:
         "ring2_stats": o.neighbor_stats_sql(RES, ring=2),
         "hotspot_gi": o.hotspot_gi_sql(RES, k=1),
         "semivariogram": o.semivariogram_sql(RES),
+        "otsu_threshold": o.otsu_threshold_sql(RES),
         "raster_morphology": o.raster_morphology_sql(RES, k=1),
         "spatiotemporal_counts": o.spatiotemporal_counts_sql(RES, replicate=3),
         "morans_i": o.morans_i_sql(RES, k=1),

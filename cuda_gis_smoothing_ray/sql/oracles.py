@@ -1445,3 +1445,34 @@ SELECT d, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
         / (CAST(2.0 AS DOUBLE) * CAST(count(*) AS DOUBLE))
         * 1e6 + 0.5) / 1e6 AS gamma
 FROM pairs GROUP BY d ORDER BY d"""
+
+
+def otsu_threshold_sql(res: int) -> str:
+    """Oracle of stages/hotspot.otsu_threshold (between-class-variance
+    argmax by HUGEINT cross-multiplied fractions, ties -> smallest t —
+    the anti-join plan vs the engine's sequential exact scan)."""
+    return f"""{prelude(res)},
+hist AS (
+  SELECT page_count AS v, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY page_count
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS tn, CAST(sum(v * cnt) AS BIGINT) AS ts
+  FROM hist
+), cum AS (
+  SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS n0,
+    CAST(sum(v * cnt) OVER (ORDER BY v) AS BIGINT) AS s0
+  FROM hist
+), cand AS (
+  SELECT v AS t, n0, tn,
+    CAST(s0 * (tn - n0) - (ts - s0) * n0 AS HUGEINT) AS df,
+    CAST(n0 * (tn - n0) AS HUGEINT) AS den
+  FROM cum, tot WHERE n0 < tn
+)
+SELECT a.t AS threshold, a.n0 AS n_below,
+  CAST(a.tn - a.n0 AS BIGINT) AS n_above
+FROM cand a
+WHERE NOT EXISTS (
+  SELECT 1 FROM cand b
+  WHERE b.df * b.df * a.den > a.df * a.df * b.den
+     OR (b.df * b.df * a.den = a.df * a.df * b.den AND b.t < a.t)
+)"""

@@ -529,3 +529,56 @@ def semivariogram(cells_ds, value_col: str = "page_count",
         "n_pairs": pa.array(n_pairs),
         "gamma": pa.array(gamma),
     }))
+
+
+def otsu_threshold(cells_ds, value_col: str = "page_count"):
+    """cells -> ONE row (threshold, n_below, n_above): Otsu's raster
+    segmentation threshold over an integer cell metric — the t maximizing
+    between-class variance ``w0*w1*(mu0-mu1)^2``, i.e. the data-driven
+    dense/sparse cut the density-cluster stage would otherwise take as a
+    magic constant.
+
+    EXACT: the variance ratio is ``(s0*n1 - s1*n0)^2 / (n0*n1)`` in pure
+    integers (s/n = class sum/count below vs above t); candidates are
+    compared by CROSS-MULTIPLIED fractions in arbitrary-precision Python
+    ints — no float enters the argmax, so the oracle (a NOT EXISTS
+    anti-join on the same products) matches bit-for-bit, ties -> smallest
+    t.  Scale shape: one bounded value-histogram shuffle (the
+    :func:`..stages.sketch.quantiles` plan), then the argmax runs on the
+    |distinct values|-sized histogram — an aggregate by the same
+    assumption every quantile/histogram op makes."""
+    import ray.data as rd
+    from ..functions.reduce import hash_groupby
+
+    def counts(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uniq),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    hist = hash_groupby(
+        cells_ds.map_batches(counts, batch_format="pyarrow"),
+        "v", ["cnt"], how="isum",
+    ).to_pandas().sort_values("v")
+
+    v = hist["v"].to_numpy(np.int64)
+    c = hist["cnt"].to_numpy(np.int64)
+    if len(v) < 2:
+        raise ValueError("otsu_threshold: need >= 2 distinct values")
+    n0 = np.cumsum(c)
+    s0 = np.cumsum(c * v)
+    N, S = int(n0[-1]), int(s0[-1])
+    best_t, best_num, best_den = None, -1, 1
+    for i in range(len(v) - 1):  # threshold t = v[i]: below <= t < above
+        a, b = int(n0[i]), N - int(n0[i])
+        sa = int(s0[i])
+        num = (sa * b - (S - sa) * a) ** 2
+        den = a * b
+        if best_t is None or num * best_den > best_num * den:
+            best_t, best_num, best_den = int(v[i]), num, den
+    i = int(np.searchsorted(v, best_t))
+    return rd.from_arrow(pa.table({
+        "threshold": pa.array([best_t], pa.int64()),
+        "n_below": pa.array([int(n0[i])], pa.int64()),
+        "n_above": pa.array([N - int(n0[i])], pa.int64()),
+    }))
