@@ -1837,6 +1837,22 @@ def _q_event_gaps(sf_dir: str):
     return events.event_gaps(events.read_events(sf_dir)).sort("event_id")
 
 
+def _q_host_rank(sf_dir: str):
+    """Per-host length-rank window: one coarse host shuffle, segmented
+    lexsort rank per partition."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.host_rank(_docs(sf_dir)).sort("doc_id")
+
+
+def _q_attribution(sf_dir: str):
+    """Last-touch attribution: running last-view index per user with a
+    segment-floored maximum.accumulate — no self-join."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.attribution(events.read_events(sf_dir)).sort("event_id")
+
+
 def _q_event_transitions(sf_dir: str):
     """Markov transition matrix of event types: LAG pairs pre-aggregated
     per user partition, bounded two-key reduce, single-pass normalize."""
@@ -2462,6 +2478,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": _q_running_totals,
         "event_gaps": _q_event_gaps,
         "event_transitions": _q_event_transitions,
+        "attribution": _q_attribution,
+        "host_rank": _q_host_rank,
         "event_context": _q_event_context,
         "user_activity_full": _q_user_activity_full,
         "moving_sum": _q_moving_sum,
@@ -2668,6 +2686,8 @@ def oracle_sql() -> dict[str, str]:
         "running_totals": oc.running_totals_sql(),
         "event_gaps": oc.event_gaps_sql(),
         "event_transitions": oc.event_transitions_sql(),
+        "attribution": oc.attribution_sql(),
+        "host_rank": oc.host_rank_sql(),
         "event_context": oc.event_context_sql(),
         "user_activity_full": oc.user_activity_full_sql(),
         "moving_sum": oc.moving_sum_sql(),

@@ -3387,3 +3387,41 @@ WHERE NOT EXISTS (
      OR (b.n_tokens = a.n_tokens AND b.n_distinct > a.n_distinct)
 )
 ORDER BY doc_id"""
+
+
+def host_rank_sql() -> str:
+    """Oracle of stages/textops.host_rank (per-host length rank window)."""
+    from ..functions import geocode
+
+    host = f"(doc_id * {geocode.TLD_MULT}) % {geocode.HOST_MOD}"
+    return f"""WITH d AS (
+  SELECT doc_id, {host} AS host, CAST(length(text) AS BIGINT) AS len
+  FROM documents
+)
+SELECT doc_id, host,
+  CAST(row_number() OVER (PARTITION BY host ORDER BY len, doc_id)
+       AS BIGINT) AS rk,
+  CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS n_host
+FROM d ORDER BY doc_id"""
+
+
+def attribution_sql(touch: str | None = None, conv: str | None = None) -> str:
+    """Oracle of stages/events.attribution (last-touch before each
+    conversion per user; IGNORE NULLS running last_value)."""
+    from ..stages import events
+
+    t = events.ATTR_TOUCH if touch is None else touch
+    c = events.ATTR_CONV if conv is None else conv
+    return f"""WITH seq AS (
+  SELECT event_id, user_id, epoch_us(ts) AS tus, event_type,
+    last_value(CASE WHEN event_type = '{t}' THEN event_id END IGNORE NULLS)
+      OVER w AS touch_event_id,
+    last_value(CASE WHEN event_type = '{t}' THEN epoch_us(ts) END
+               IGNORE NULLS) OVER w AS touch_tus
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, touch_event_id, tus - touch_tus AS lag_us
+FROM seq WHERE event_type = '{c}' AND touch_event_id IS NOT NULL
+ORDER BY event_id"""

@@ -1307,3 +1307,51 @@ def event_transitions(ds):
         .map_batches(normalize, batch_format="pyarrow", batch_size=None)
         .sort(["from_type", "to_type"])
     )
+
+
+ATTR_TOUCH = "view"
+ATTR_CONV = "purchase"
+
+
+def attribution(ds, touch: str = ATTR_TOUCH, conv: str = ATTR_CONV):
+    """events -> (event_id, user_id, touch_event_id, lag_us): LAST-TOUCH
+    attribution — for every ``conv`` event, the user's most recent
+    STRICTLY-PRIOR ``touch`` event (by (ts, event_id) order) and the
+    elapsed microseconds; conversions with no prior touch are dropped
+    (non-nullable int64 columns, the :func:`event_gaps` convention).
+
+    Scale shape: the shared coarse user shuffle; per partition ONE lexsort
+    + a running last-touch-index forward fill (np.maximum.accumulate over
+    touch positions, reset per user via the segment floor) — no per-user
+    Python, no self-join."""
+
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        et = df["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, et = uid[order], ts[order], eid[order], et[order]
+        n = len(uid)
+        _, starts, seg = _user_segments(uid)
+        pos = np.arange(n, dtype=np.int64)
+        # index of the latest touch at-or-before each row, floored at the
+        # user's segment start (so no cross-user bleed)
+        touch_pos = np.where(et == touch, pos, -1)
+        last_touch = np.maximum.accumulate(touch_pos)
+        valid = last_touch >= starts[seg]
+        is_conv = et == conv
+        # STRICTLY prior: a conversion row that is itself... conv != touch
+        # by construction, so at-or-before == strictly-before here
+        keep = np.flatnonzero(is_conv & valid)
+        lt = last_touch[keep]
+        return pd.DataFrame({
+            "event_id": eid[keep],
+            "user_id": uid[keep],
+            "touch_event_id": eid[lt],
+            "lag_us": ts[keep] - ts[lt],
+        })
+
+    if touch == conv:
+        raise ValueError("attribution: touch and conv types must differ")
+    return _by_user(ds, solve)

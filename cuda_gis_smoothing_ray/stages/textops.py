@@ -2690,3 +2690,49 @@ def pareto_docs(ds):
         .repartition(1)
         .map_batches(resolve, batch_format="pyarrow", batch_size=None)
     )
+
+
+def host_rank(ds):
+    """documents -> (doc_id, host, rk, n_host): the per-HOST length rank
+    window — ``rk`` = 1-based rank of the doc inside its host by
+    (text length, doc_id) and ``n_host`` = host size; the within-site
+    ordering a per-host quota sampler consumes.
+
+    Scale shape: the events-family discipline — ONE coarse host-keyed
+    shuffle, then each partition ranks every host it owns with one lexsort
+    + segment-relative positions (Python per PARTITION, never per host)."""
+    from ..functions import geocode
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        host = geocode.host_id(d)
+        ln = pc.utf8_length(batch.column("text")).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(d), "host": pa.array(host),
+            "len": pa.array(ln),
+            "__part": pa.array(hashing.coarse_partition(host, 64)),
+        })
+
+    def solve(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        h = df["host"].to_numpy(np.int64)
+        ln = df["len"].to_numpy(np.int64)
+        d = df["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((d, ln, h))
+        h, ln, d = h[order], ln[order], d[order]
+        new = np.ones(len(h), dtype=bool)
+        new[1:] = h[1:] != h[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        rk = np.arange(len(h), dtype=np.int64) - starts[seg] + 1
+        sizes = np.diff(np.concatenate((starts, [len(h)])))
+        return pd.DataFrame({"doc_id": d, "host": h, "rk": rk,
+                             "n_host": sizes[seg]})
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(solve, batch_format="pandas")
+    )

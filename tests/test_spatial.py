@@ -388,3 +388,63 @@ def test_kde_density_hand_math(ray_session):
     out = kde_density(ds, k=1, profile="uniform").to_pandas() \
         .sort_values("cell").reset_index(drop=True)
     assert out["density"].tolist() == [3.0, 3.0]
+
+
+def test_semivariogram_vs_brute_pairs(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.functions import hexgrid as hg
+    from cuda_gis_smoothing_ray.stages.hotspot import semivariogram
+
+    rng = np.random.default_rng(3)
+    q = rng.integers(-4, 5, 40)
+    r = rng.integers(-4, 5, 40)
+    qr = np.unique(q * 100 + r)
+    q, r = qr // 100, qr % 100
+    z = rng.integers(0, 20, len(q)).astype(np.int64)
+    cells = hg.pack(7, q, r)
+    ds = rd.from_arrow(pa.table({"cell": pa.array(cells),
+                                 "page_count": pa.array(z)})).repartition(4)
+    out = semivariogram(ds, "page_count", max_d=3).to_pandas() \
+        .sort_values("d").reset_index(drop=True)
+
+    d_full = hg.hex_distance(q[:, None], r[:, None], q[None, :], r[None, :])
+    for d in (1, 2, 3):
+        i, j = np.nonzero(np.triu(d_full == d, 1))
+        n_pairs = len(i)
+        row = out[out["d"] == d].iloc[0]
+        assert row["n_pairs"] == n_pairs
+        if n_pairs:
+            want = np.floor(((z[i] - z[j]).astype(np.float64) ** 2).sum()
+                            / (2.0 * n_pairs) * 1e6 + 0.5) / 1e6
+            # engine computes sum_ordered/(2*cnt_ordered) == same value
+            assert abs(row["gamma"] - want) < 2e-6
+
+
+def test_otsu_vs_brute(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.functions import hexgrid as hg
+    from cuda_gis_smoothing_ray.stages.hotspot import otsu_threshold
+
+    rng = np.random.default_rng(5)
+    z = np.concatenate([rng.integers(0, 6, 60),
+                        rng.integers(18, 25, 40)]).astype(np.int64)
+    cells = hg.pack(7, np.arange(len(z)), np.zeros(len(z), np.int64))
+    ds = rd.from_arrow(pa.table({"cell": pa.array(cells),
+                                 "page_count": pa.array(z)})).repartition(4)
+    got = otsu_threshold(ds, "page_count").to_pandas().iloc[0]
+
+    vs = np.unique(z)
+    best_t, best = None, (-1, 1)
+    for t in vs[:-1]:
+        a = int((z <= t).sum()); b = len(z) - a
+        sa = int(z[z <= t].sum()); sb = int(z.sum()) - sa
+        num, den = (sa * b - sb * a) ** 2, a * b
+        if best_t is None or num * best[1] > best[0] * den:
+            best_t, best = int(t), (num, den)
+    assert got["threshold"] == best_t
+    assert got["n_below"] == int((z <= best_t).sum())
+    assert got["threshold"] < 18 and got["threshold"] >= 5  # the gap

@@ -250,3 +250,71 @@ def test_len_percentile_tie_semantics(ray_session):
     })).repartition(2)
     out = len_percentile(ds).to_pandas().sort_values("doc_id")
     assert out["pct_rank"].tolist() == [0.0, 0.0, 0.666667, 1.0]
+
+
+def test_pareto_docs_anticorrelated_frontier(ray_session):
+    """Adversarial skyline: n_tokens up while n_distinct down -> EVERY doc
+    is on the frontier (the worst case the docstring declares)."""
+    import numpy as np
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import pareto_docs
+
+    texts = []
+    for i in range(6):
+        words = [f"w{j}" for j in range(6 - i)]
+        texts.append(" ".join(words + ["w0"] * (2 * i)))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(6, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+    })).repartition(3)
+    out = pareto_docs(ds).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == list(range(6))
+    assert out["n_tokens"].tolist() == [6 + i for i in range(6)]
+    assert out["n_distinct"].tolist() == [6 - i for i in range(6)]
+
+
+def test_pareto_docs_duplicates_and_dominated(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import pareto_docs
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b c",      # (3, 3): frontier
+            "a b c",      # (3, 3): equal point -> also frontier
+            "a b",        # (2, 2): dominated by (3, 3)
+            "a a b b",    # (4, 2): frontier (more tokens, fewer distinct)
+        ], pa.string()),
+    })).repartition(2)
+    out = pareto_docs(ds).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 1, 3]
+
+
+def test_nb_lang_classify_tiebreak_and_inner_join(ray_session):
+    """Score ties break to the lexicographically smallest lang; docs with
+    no train-vocab token are absent."""
+    import numpy as np
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import nb_lang_classify
+
+    # train docs (ids 0, 2): one 'de', one 'en', disjoint vocab + one
+    # shared token "x" with equal counts
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 2, 1, 3], pa.int64()),
+        "lang": pa.array(["de", "en", "fr", "fr"], pa.string()),
+        "text": pa.array([
+            "hund x", "dog x",
+            "x",            # scores de=1, en=1 -> tie -> "de"
+            "zzz",          # no train token -> absent
+        ], pa.string()),
+    })).repartition(2)
+    out = nb_lang_classify(ds, train_mod=2).to_pandas() \
+        .set_index("doc_id")
+    assert out.loc[1, "pred_lang"] == "de"
+    assert out.loc[1, "score"] == 1
+    assert 3 not in out.index
+    assert out.loc[0, "pred_lang"] == "de"  # own vocab dominates
