@@ -1476,3 +1476,21 @@ WHERE NOT EXISTS (
   WHERE b.df * b.df * a.den > a.df * a.df * b.den
      OR (b.df * b.df * a.den = a.df * a.df * b.den AND b.t < a.t)
 )"""
+
+
+def hist_equalize_sql(res: int, levels: int = 256) -> str:
+    """Oracle of stages/hotspot.hist_equalize (integer CDF contrast
+    stretch, floor division — bit-exact)."""
+    return f"""{prelude(res)},
+hist AS (
+  SELECT page_count AS v, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY page_count
+), cdf AS (
+  SELECT v, CAST(sum(cnt) OVER (ORDER BY v) AS BIGINT) AS c FROM hist
+), st AS (
+  SELECT min(c) AS cmin, max(c) AS n FROM cdf
+)
+SELECT cell, page_count AS v,
+  CAST(((c - cmin) * {levels - 1}) // (n - cmin) AS BIGINT) AS eq
+FROM cells JOIN cdf ON page_count = cdf.v CROSS JOIN st
+ORDER BY cell"""

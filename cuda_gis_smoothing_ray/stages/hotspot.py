@@ -582,3 +582,43 @@ def otsu_threshold(cells_ds, value_col: str = "page_count"):
         "n_below": pa.array([int(n0[i])], pa.int64()),
         "n_above": pa.array([N - int(n0[i])], pa.int64()),
     }))
+
+
+def hist_equalize(cells_ds, value_col: str = "page_count", levels: int = 256):
+    """cells -> (cell, v, eq): HISTOGRAM EQUALIZATION of an integer cell
+    raster — remap each value to ``(cdf(v) - cdf_min) * (levels-1) //
+    (n - cdf_min)``, the classic contrast-stretch that makes a choropleth
+    of a heavy-tailed count column readable.  Pure integer arithmetic
+    end to end (floor division), so the oracle matches bit-for-bit.
+
+    Scale shape: ONE bounded value-histogram shuffle builds the CDF
+    codebook (|distinct values| rows — an aggregate, the
+    :func:`..stages.sketch.quantile_filter` discipline), which is carried
+    into a second streaming pass as a sorted-array closure; the cell
+    stream itself never shuffles."""
+    from ..functions.reduce import hash_groupby
+
+    def counts(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uniq),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    hist = hash_groupby(
+        cells_ds.map_batches(counts, batch_format="pyarrow"),
+        "v", ["cnt"], how="isum",
+    ).to_pandas().sort_values("v")
+    vs = hist["v"].to_numpy(np.int64)
+    cdf = np.cumsum(hist["cnt"].to_numpy(np.int64))
+    n, cmin = int(cdf[-1]), int(cdf[0])
+    if n == cmin:
+        raise ValueError("hist_equalize: constant raster — nothing to stretch")
+    eq_of = ((cdf - cmin) * (levels - 1)) // (n - cmin)
+
+    def remap(batch: pa.Table) -> pa.Table:
+        v = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(vs, v)  # every cell value is in the codebook
+        return pa.table({"cell": batch.column("cell"), "v": pa.array(v),
+                         "eq": pa.array(eq_of[pos])})
+
+    return cells_ds.map_batches(remap, batch_format="pyarrow")
