@@ -3425,3 +3425,23 @@ def attribution_sql(touch: str | None = None, conv: str | None = None) -> str:
 SELECT event_id, user_id, touch_event_id, tus - touch_tus AS lag_us
 FROM seq WHERE event_type = '{c}' AND touch_event_id IS NOT NULL
 ORDER BY event_id"""
+
+
+def embedding_gram_sql(scale: int | None = None) -> str:
+    """Oracle of stages/ann.embedding_gram (fixed-point integer Gram
+    matrix, bit-exact — no float summation order anywhere)."""
+    from ..stages import ann
+
+    s = ann.GRAM_SCALE if scale is None else scale
+    return f"""WITH e AS (
+  SELECT vec_id, unnest(embedding) AS x,
+    generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), f AS (
+  SELECT vec_id, i,
+    CAST(floor(CAST(x AS DOUBLE) * {s}.0 + 0.5) AS BIGINT) AS xf
+  FROM e
+)
+SELECT a.i AS i, b.i AS j, CAST(sum(a.xf * b.xf) AS BIGINT) AS gram
+FROM f a JOIN f b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY a.i, b.i ORDER BY i, j"""

@@ -827,3 +827,49 @@ def ann_range_search(ds, sf_dir: str, tau: float = RANGE_TAU,
         })
 
     return ds.map_batches(local_range, batch_format="pyarrow")
+
+
+GRAM_SCALE = 1 << 20
+
+
+def embedding_gram(ds, scale: int = GRAM_SCALE):
+    """embeddings -> (i, j, gram): the EXACT Gram matrix X^T X of the
+    embedding table in fixed point — each coordinate is quantized to
+    ``floor(x * scale + 0.5)`` int64 once, then the (dim x dim) upper
+    triangle accumulates in pure integers.  The covariance/PCA/whitening
+    precursor, made bit-reproducible (float dot products would differ from
+    SQL by summation order; integers cannot).
+
+    Scale shape: each batch computes its OWN dim x dim integer matmul
+    (``Xf.T @ Xf`` — one vectorized contraction per batch, n_rows never
+    leaves the task) and emits the 2080-row (dim*(dim+1)/2) upper
+    triangle; ONE packed-key ``hash_groupby`` sums the partials.  Shuffle
+    volume is dim^2 per batch, independent of row count.  Overflow bound:
+    n_rows * (max|x| * scale)^2 must fit 2^63 — at 10^12 rows drop
+    ``scale`` or promote the (tiny) final reduce to Python ints.
+    1-based (i, j), j >= i, matching SQL generate_subscripts."""
+    from ..functions.reduce import hash_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _emb_matrix(batch).astype(np.float64)
+        xf = np.floor(x * float(scale) + 0.5).astype(np.int64)
+        g = xf.T @ xf  # (d, d) exact int64
+        d = g.shape[0]
+        iu, ju = np.triu_indices(d)
+        return pa.table({
+            "key": pa.array((iu + 1) * 1000 + (ju + 1)),
+            "gram": pa.array(g[iu, ju]),
+        })
+
+    red = hash_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "key", ["gram"], how="isum",
+    )
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy(zero_copy_only=False)
+        return pa.table({"i": pa.array(k // 1000), "j": pa.array(k % 1000),
+                         "gram": batch.column("gram")})
+
+    return red.map_batches(unpack, batch_format="pyarrow",
+                           batch_size=None).sort(["i", "j"])
