@@ -1287,6 +1287,16 @@ def _q_kmeans(sf_dir: str):
     return kmeans_assign(read_embeddings(sf_dir)).sort("vec_id")
 
 
+def _q_cluster_terms(sf_dir: str):
+    """Top tokens per k-means embedding cluster (BERTopic-style report):
+    exact fixed-point assignment + doc-keyed tagged merge + grouped top-k."""
+    from cuda_gis_smoothing_ray.stages.ann import kmeans_assign, read_embeddings
+    from cuda_gis_smoothing_ray.stages.textops import cluster_terms
+
+    return cluster_terms(_docs(sf_dir), kmeans_assign(read_embeddings(sf_dir))) \
+        .sort(["cluster", "rank"])
+
+
 def _q_label_centroids(sf_dir: str):
     from cuda_gis_smoothing_ray.stages.ann import label_centroids
 
@@ -1919,6 +1929,21 @@ def _q_grouped_quantiles(sf_dir: str):
     return grouped_quantiles(docs, "lang", text_len).sort(["lang", "q"])
 
 
+def _q_ks_test(sf_dir: str):
+    """Two-sample Kolmogorov-Smirnov over en-vs-de text lengths: bounded
+    histogram shuffle, exact big-int cross-multiplied ECDF argmax."""
+    import pyarrow.compute as pc_
+
+    from cuda_gis_smoothing_ray.stages.sketch import ks_test
+
+    def text_len(batch: pa.Table) -> np.ndarray:
+        return pc_.utf8_length(batch.column("text")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+
+    return ks_test(_docs(sf_dir, ("doc_id", "text", "lang")), "lang", text_len)
+
+
 def _q_robust_stats(sf_dir: str):
     """Per-lang robust stats (median / MAD / trimmed mean) from ONE
     (lang, len) histogram shuffle — all three from the same cumsum."""
@@ -2468,6 +2493,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": _q_label_centroids,
         "quantize_int8": _q_quantize_int8,
         "kmeans_clusters": _q_kmeans,
+        "cluster_terms": _q_cluster_terms,
         "media_decode": _q_media_decode,
         "media_decode_real": _q_media_decode_real,
         "media_resize_real": _q_media_resize_real,
@@ -2506,6 +2532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "grouped_quantiles": _q_grouped_quantiles,
         "robust_stats": _q_robust_stats,
+        "ks_test": _q_ks_test,
         "quantile_filtered_docs": _q_quantile_filter,
         "customers_with_orders": _q_semi_join,
         "customers_without_orders": _q_anti_join,
@@ -2678,6 +2705,7 @@ def oracle_sql() -> dict[str, str]:
         "label_centroids": oc.label_centroids_sql(),
         "quantize_int8": oc.quantize_int8_sql(),
         "kmeans_clusters": oc.kmeans_sql(),
+        "cluster_terms": oc.cluster_terms_sql(),
         "media_decode": oc.media_decode_sql(),
         "media_decode_real": oc.media_decode_real_sql(),
         "media_resize_real": oc.media_resize_real_sql(),
@@ -2716,6 +2744,7 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": oc.events_pivot_sql(),
         "grouped_quantiles": oc.grouped_quantiles_sql(),
         "robust_stats": oc.robust_stats_sql(),
+        "ks_test": oc.ks_test_sql(),
         "quantile_filtered_docs": oc.quantile_filter_sql(),
         "customers_with_orders": oc.customers_with_orders_sql(),
         "customers_without_orders": oc.customers_with_orders_sql(anti=True, priority="1-URGENT"),

@@ -3445,3 +3445,61 @@ def embedding_gram_sql(scale: int | None = None) -> str:
 SELECT a.i AS i, b.i AS j, CAST(sum(a.xf * b.xf) AS BIGINT) AS gram
 FROM f a JOIN f b ON a.vec_id = b.vec_id AND b.i >= a.i
 GROUP BY a.i, b.i ORDER BY i, j"""
+
+
+def cluster_terms_sql(top_k: int = 5) -> str:
+    """Oracle of stages/textops.cluster_terms (top tokens per k-means
+    cluster; the whole bit-exact kmeans_sql chain rides as a subquery)."""
+    return f"""WITH assign AS (
+  SELECT vec_id, cluster FROM ({kmeans_sql()}) sub
+), toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(text, '\\s+'), s -> s != ''))
+      AS token
+  FROM documents
+), ct AS (
+  SELECT a.cluster, t.token, CAST(count(*) AS BIGINT) AS n
+  FROM toks t JOIN assign a ON t.doc_id = a.vec_id
+  GROUP BY a.cluster, t.token
+), r AS (
+  SELECT cluster, token, n,
+    row_number() OVER (PARTITION BY cluster ORDER BY n DESC, token) AS rk
+  FROM ct
+)
+SELECT cluster, CAST(rk AS BIGINT) AS rank, token, n
+FROM r WHERE rk <= {top_k} ORDER BY cluster, rank"""
+
+
+def ks_test_sql(groups: tuple[str, str] | None = None) -> str:
+    """Oracle of stages/sketch.ks_test (two-sample KS over text length;
+    exact HUGEINT cross-multiplied ECDF argmax, ties -> smallest v)."""
+    from ..stages import sketch
+
+    ga, gb = sketch.KS_LANGS if groups is None else groups
+    return f"""WITH lens AS (
+  SELECT lang AS g, CAST(length(text) AS BIGINT) AS v FROM documents
+  WHERE lang IN ('{ga}', '{gb}')
+), hist AS (
+  SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM lens GROUP BY g, v
+), tot AS (
+  SELECT CAST(sum(CASE WHEN g = '{ga}' THEN cnt ELSE 0 END) AS BIGINT) AS na,
+    CAST(sum(CASE WHEN g = '{gb}' THEN cnt ELSE 0 END) AS BIGINT) AS nb
+  FROM hist
+), vals AS (
+  SELECT DISTINCT v FROM hist
+), cdf AS (
+  SELECT vals.v,
+    CAST(coalesce(sum(CASE WHEN h.g = '{ga}' THEN h.cnt END), 0)
+         AS BIGINT) AS ca,
+    CAST(coalesce(sum(CASE WHEN h.g = '{gb}' THEN h.cnt END), 0)
+         AS BIGINT) AS cb
+  FROM vals LEFT JOIN hist h ON h.v <= vals.v GROUP BY vals.v
+), d AS (
+  SELECT v, abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na) AS df,
+    na, nb
+  FROM cdf, tot
+)
+SELECT v AS at_value, na AS n_a, nb AS n_b,
+  floor(CAST(df AS DOUBLE) / CAST(na * nb AS DOUBLE) * 1e6 + 0.5) / 1e6
+    AS ks_d
+FROM d ORDER BY df DESC, v LIMIT 1"""

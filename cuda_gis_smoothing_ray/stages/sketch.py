@@ -906,3 +906,64 @@ def robust_stats(ds, group_col: str, col_fn, trim: float = TRIM_FRAC):
         .groupby(group_col)
         .map_groups(solve)
     )
+
+
+KS_LANGS = ("en", "de")
+
+
+def ks_test(ds, group_col: str, col_fn, groups: tuple[str, str] = KS_LANGS):
+    """-> ONE row (at_value, n_a, n_b, ks_d): the two-sample
+    KOLMOGOROV-SMIRNOV statistic between two groups' integer-metric
+    distributions — ``D = max over v of |ECDF_a(v) - ECDF_b(v)|`` and the
+    value attaining it (ties -> smallest v), the standard distribution-
+    drift test a corpus pipeline runs between two sources/snapshots.
+
+    EXACT: the argmax compares |c_a * n_b - c_b * n_a| in integers
+    (cross-multiplied ECDFs — no float enters the scan); only the final
+    reported ``ks_d`` divides once, with the shared rounding.  Scale
+    shape: one bounded (group, value) histogram shuffle (the
+    :func:`grouped_quantiles` plan), then the scan runs on the merged
+    |value domain|-sized histogram."""
+    import pandas as pd
+    import ray.data as rd
+
+    ga, gb = groups
+
+    def counts(batch: pa.Table) -> pa.Table:
+        v = col_fn(batch)
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        keep = (g == ga) | (g == gb)
+        df = pd.DataFrame({"g": g[keep], "v": v[keep]})
+        agg = df.groupby(["g", "v"], sort=True).size().reset_index(name="cnt")
+        return pa.table({
+            "g": pa.array(agg["g"]),
+            "v": pa.array(agg["v"].to_numpy().astype(np.int64)),
+            "cnt": pa.array(agg["cnt"].to_numpy().astype(np.int64)),
+        })
+
+    hist = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby(["g", "v"])
+        .sum("cnt")
+        .to_pandas()
+    )
+    col = "sum(cnt)"
+    a = hist[hist["g"] == ga].sort_values("v")
+    b = hist[hist["g"] == gb].sort_values("v")
+    if a.empty or b.empty:
+        raise ValueError(f"ks_test: empty group among {groups}")
+    va, ca = a["v"].to_numpy(np.int64), np.cumsum(a[col].to_numpy(np.int64))
+    vb, cb = b["v"].to_numpy(np.int64), np.cumsum(b[col].to_numpy(np.int64))
+    na, nb = int(ca[-1]), int(cb[-1])
+    vs = np.union1d(va, vb)
+    cdf_a = np.concatenate(([0], ca))[np.searchsorted(va, vs, side="right")]
+    cdf_b = np.concatenate(([0], cb))[np.searchsorted(vb, vs, side="right")]
+    diff = np.abs(cdf_a.astype(object) * nb - cdf_b.astype(object) * na)
+    best = int(np.argmax(diff))  # first occurrence = smallest v on ties
+    ks_d = np.floor(float(diff[best]) / float(na * nb) * 1e6 + 0.5) / 1e6
+    return rd.from_arrow(pa.table({
+        "at_value": pa.array([int(vs[best])], pa.int64()),
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "ks_d": pa.array([ks_d], pa.float64()),
+    }))

@@ -2736,3 +2736,76 @@ def host_rank(ds):
         .groupby("__part")
         .map_groups(solve, batch_format="pandas")
     )
+
+
+def cluster_terms(docs_ds, assign_ds, top_k: int = 5):
+    """(documents, kmeans assignment) -> (cluster, rank, token, n): the
+    top tokens per embedding cluster — the BERTopic-style "what is this
+    cluster about" report, composing the exact fixed-point k-means
+    assignment with the corpus tokenizer.
+
+    Scale shape: assignment rows and per-doc (token, tf) partials meet in
+    ONE doc-keyed tagged coarse-partition merge (both sides are |docs|-
+    scale — neither broadcasts); each partition re-expands to (cluster,
+    token) instance rows which feed :func:`..stages.gridops.grouped_topk`
+    (its batch-local pre-count collapses them again before the bounded
+    (cluster, token) shuffle).  Ties -> token ascending, matching SQL."""
+    from .gridops import grouped_topk
+
+    EMPTY = pa.schema([
+        ("key", pa.int64()), ("kind", pa.int8()), ("token", pa.string()),
+        ("tf", pa.int64()), ("cluster", pa.int64()), ("__part", pa.int64()),
+    ])
+
+    def doc_tokens(batch: pa.Table) -> pa.Table:
+        doc_idx, toks = _doc_tokens(batch)
+        if len(doc_idx) == 0:
+            return EMPTY.empty_table()
+        dic = toks.dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_codes = codes.max() + 1
+        packed = doc_idx * n_codes + codes
+        u, tf = np.unique(packed, return_counts=True)
+        u_doc, u_code = u // n_codes, u % n_codes
+        return pa.table({
+            "key": pa.array(u_doc),
+            "kind": pa.array(np.ones(len(u), np.int8)),
+            "token": dic.dictionary.take(pa.array(u_code)),
+            "tf": pa.array(tf.astype(np.int64)),
+            "cluster": pa.array(np.zeros(len(u), np.int64)),
+            "__part": pa.array(hashing.coarse_partition(u_doc, 64)),
+        })
+
+    def assign_rows(batch: pa.Table) -> pa.Table:
+        v = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "key": pa.array(v),
+            "kind": pa.array(np.zeros(len(v), np.int8)),
+            "token": pa.array([""] * len(v), pa.string()),
+            "tf": pa.array(np.zeros(len(v), np.int64)),
+            "cluster": batch.column("cluster"),
+            "__part": pa.array(hashing.coarse_partition(v, 64)),
+        })
+
+    def join_expand(df: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        a = df[df["kind"] == 0][["key", "cluster"]]
+        t = df[df["kind"] == 1][["key", "token", "tf"]]
+        m = t.merge(a, on="key")
+        idx = np.repeat(np.arange(len(m)), m["tf"].to_numpy(np.int64))
+        return pd.DataFrame({
+            "cluster": m["cluster"].to_numpy(np.int64)[idx],
+            "token": m["token"].to_numpy()[idx],
+        })
+
+    joined = (
+        docs_ds.map_batches(doc_tokens, batch_format="pyarrow")
+        .union(assign_ds.map_batches(assign_rows, batch_format="pyarrow",
+                                     batch_size=None))
+        .groupby("__part")
+        .map_groups(join_expand, batch_format="pandas")
+    )
+    return grouped_topk(joined, "cluster", "token", by="n", k=top_k)

@@ -359,3 +359,38 @@ def test_robust_stats_matches_numpy(ray_session):
         row = out.iloc[i]
         assert (row["n"], row["median"], row["mad"]) == (n, med, mad)
         assert row["trimmed_mean"] == tmean
+
+
+def test_ks_test_hand_math(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import ks_test
+
+    # a: {1,2,3,4}, b: {3,4,5,6} -> D = 1/2 at v=2
+    g = np.array(["a"] * 4 + ["b"] * 4)
+    v = np.array([1, 2, 3, 4, 3, 4, 5, 6], np.int64)
+    ds = rd.from_arrow(pa.table({"lang": pa.array(g), "v": pa.array(v)})) \
+        .repartition(3)
+    out = ks_test(ds, "lang",
+                  lambda b: b.column("v").to_numpy(zero_copy_only=False),
+                  groups=("a", "b")).to_pandas().iloc[0]
+    assert out["at_value"] == 2
+    assert out["n_a"] == 4 and out["n_b"] == 4
+    assert out["ks_d"] == 0.5
+
+
+def test_ks_test_identical_distributions(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import ks_test
+
+    v = np.tile(np.arange(10, dtype=np.int64), 2)
+    g = np.array(["a"] * 10 + ["b"] * 10)
+    ds = rd.from_arrow(pa.table({"lang": pa.array(g), "v": pa.array(v)}))
+    out = ks_test(ds, "lang",
+                  lambda b: b.column("v").to_numpy(zero_copy_only=False),
+                  groups=("a", "b")).to_pandas().iloc[0]
+    assert out["ks_d"] == 0.0
+    assert out["at_value"] == 0  # ties -> smallest v

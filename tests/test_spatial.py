@@ -448,3 +448,19 @@ def test_otsu_vs_brute(ray_session):
     assert got["threshold"] == best_t
     assert got["n_below"] == int((z <= best_t).sum())
     assert got["threshold"] < 18 and got["threshold"] >= 5  # the gap
+
+
+def test_hist_equalize_hand_math(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.functions import hexgrid as hg
+    from cuda_gis_smoothing_ray.stages.hotspot import hist_equalize
+
+    # values 1,1,2,3: cdf 2,3,4; cmin=2, n=4 -> eq = (c-2)*255 // 2
+    z = np.array([1, 1, 2, 3], np.int64)
+    cells = hg.pack(7, np.arange(4), np.zeros(4, np.int64))
+    ds = rd.from_arrow(pa.table({"cell": pa.array(cells),
+                                 "page_count": pa.array(z)})).repartition(2)
+    out = hist_equalize(ds, "page_count").to_pandas().sort_values("cell")
+    assert out["eq"].tolist() == [0, 0, 127, 255]
