@@ -195,6 +195,14 @@ def _q_hotspot_gi(sf_dir: str):
     return _round6_cols(hotspot_gi(_cells(sf_dir), "page_count", k=1), ["gi_z"]).sort("cell")
 
 
+def _q_distance_transform(sf_dir: str):
+    """Clipped distance transform: closed-form seed-disk scatter + ONE
+    min-reduce (no BFS supersteps at small max_d)."""
+    from cuda_gis_smoothing_ray.stages.hotspot import distance_transform
+
+    return distance_transform(_cells(sf_dir), "page_count").sort("cell")
+
+
 def _q_hist_equalize(sf_dir: str):
     """Histogram equalization of the page_count raster: bounded CDF
     codebook, streaming integer remap — bit-exact floor division."""
@@ -2592,6 +2600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semivariogram": _q_semivariogram,
         "otsu_threshold": _q_otsu_threshold,
         "hist_equalize": _q_hist_equalize,
+        "distance_transform": _q_distance_transform,
         "raster_morphology": _q_raster_morphology,
         "spatiotemporal_counts": _q_spatiotemporal_counts,
         "morans_i": _q_morans_i,
@@ -2827,6 +2836,7 @@ def oracle_sql() -> dict[str, str]:
         "semivariogram": o.semivariogram_sql(RES),
         "otsu_threshold": o.otsu_threshold_sql(RES),
         "hist_equalize": o.hist_equalize_sql(RES),
+        "distance_transform": o.distance_transform_sql(RES),
         "raster_morphology": o.raster_morphology_sql(RES, k=1),
         "spatiotemporal_counts": o.spatiotemporal_counts_sql(RES, replicate=3),
         "morans_i": o.morans_i_sql(RES, k=1),

@@ -1494,3 +1494,26 @@ SELECT cell, page_count AS v,
   CAST(((c - cmin) * {levels - 1}) // (n - cmin) AS BIGINT) AS eq
 FROM cells JOIN cdf ON page_count = cdf.v CROSS JOIN st
 ORDER BY cell"""
+
+
+def distance_transform_sql(res: int, min_count: int | None = None,
+                           max_d: int | None = None) -> str:
+    """Oracle of stages/hotspot.distance_transform (min hex distance to a
+    seed cell over the 0..max_d offset disk)."""
+    from ..functions import hexgrid
+    from ..stages import hotspot
+
+    mc = hotspot.DT_MIN_COUNT if min_count is None else min_count
+    k = hotspot.DT_MAX_D if max_d is None else max_d
+    rows = ["(0, 0, 0)"]
+    for d in range(1, k + 1):
+        rows += [f"({dq}, {dr}, {d})" for dq, dr in hexgrid.ring_offsets(d)]
+    return f"""{prelude(res)},
+offsets(dq, dr, d) AS (VALUES {", ".join(rows)})
+SELECT c.cell AS cell, CAST(min(o.d) AS BIGINT) AS dist
+FROM cells s
+CROSS JOIN offsets o
+JOIN cells c ON c.q = s.q + o.dq AND c.r = s.r + o.dr
+WHERE s.page_count >= {mc}
+GROUP BY c.cell
+ORDER BY c.cell"""
