@@ -203,6 +203,15 @@ def _q_distance_transform(sf_dir: str):
     return distance_transform(_cells(sf_dir), "page_count").sort("cell")
 
 
+def _q_hex_voronoi(sf_dir: str):
+    """Discrete Voronoi assignment to the nearest dense seed: (dist, seed)
+    packed into one int64 min key — integer min IS the lexicographic
+    argmin."""
+    from cuda_gis_smoothing_ray.stages.hotspot import hex_voronoi
+
+    return hex_voronoi(_cells(sf_dir), "page_count").sort("cell")
+
+
 def _q_hist_equalize(sf_dir: str):
     """Histogram equalization of the page_count raster: bounded CDF
     codebook, streaming integer remap — bit-exact floor division."""
@@ -2601,6 +2610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "otsu_threshold": _q_otsu_threshold,
         "hist_equalize": _q_hist_equalize,
         "distance_transform": _q_distance_transform,
+        "hex_voronoi": _q_hex_voronoi,
         "raster_morphology": _q_raster_morphology,
         "spatiotemporal_counts": _q_spatiotemporal_counts,
         "morans_i": _q_morans_i,
@@ -2837,6 +2847,7 @@ def oracle_sql() -> dict[str, str]:
         "otsu_threshold": o.otsu_threshold_sql(RES),
         "hist_equalize": o.hist_equalize_sql(RES),
         "distance_transform": o.distance_transform_sql(RES),
+        "hex_voronoi": o.hex_voronoi_sql(RES),
         "raster_morphology": o.raster_morphology_sql(RES, k=1),
         "spatiotemporal_counts": o.spatiotemporal_counts_sql(RES, replicate=3),
         "morans_i": o.morans_i_sql(RES, k=1),

@@ -1517,3 +1517,32 @@ JOIN cells c ON c.q = s.q + o.dq AND c.r = s.r + o.dr
 WHERE s.page_count >= {mc}
 GROUP BY c.cell
 ORDER BY c.cell"""
+
+
+def hex_voronoi_sql(res: int, min_count: int | None = None,
+                    max_d: int | None = None) -> str:
+    """Oracle of stages/hotspot.hex_voronoi (nearest-seed argmin with
+    (dist, seed) tie order)."""
+    from ..functions import hexgrid
+    from ..stages import hotspot
+
+    mc = hotspot.DT_MIN_COUNT if min_count is None else min_count
+    k = hotspot.DT_MAX_D if max_d is None else max_d
+    rows = ["(0, 0, 0)"]
+    for d in range(1, k + 1):
+        rows += [f"({dq}, {dr}, {d})" for dq, dr in hexgrid.ring_offsets(d)]
+    return f"""{prelude(res)},
+offsets(dq, dr, d) AS (VALUES {", ".join(rows)}),
+cand AS (
+  SELECT c.cell, o.d, s.cell AS seed
+  FROM cells s
+  CROSS JOIN offsets o
+  JOIN cells c ON c.q = s.q + o.dq AND c.r = s.r + o.dr
+  WHERE s.page_count >= {mc}
+), r AS (
+  SELECT cell, d, seed,
+    row_number() OVER (PARTITION BY cell ORDER BY d, seed) AS rn
+  FROM cand
+)
+SELECT cell, CAST(d AS BIGINT) AS dist, seed
+FROM r WHERE rn = 1 ORDER BY cell"""

@@ -694,3 +694,74 @@ def distance_transform(cells_ds, value_col: str = "page_count",
         })
 
     return red.map_batches(finalize, batch_format="pyarrow")
+
+
+def hex_voronoi(cells_ds, value_col: str = "page_count",
+                min_count: int = DT_MIN_COUNT, max_d: int = DT_MAX_D):
+    """cells -> (cell, dist, seed): the discrete VORONOI assignment of the
+    cell raster — every present cell within ``max_d`` of a seed
+    (``value_col >= min_count``) gets its NEAREST seed's cell id (ties ->
+    smallest seed), the "assign each page cluster to its serving dense
+    region" op (nearest-facility / service-area analysis).
+
+    Scale shape: :func:`distance_transform`'s closed-form seed-disk
+    scatter, with (dist, seed) packed into ONE int64 key
+    (``d << 60 | seed``; cells occupy < 2^60, so integer min IS the
+    lexicographic (dist, seed) argmin) — one mixed min/presence-sum
+    hash_groupby, no iteration, no per-cell Python."""
+    from ..functions.reduce import hash_groupby
+
+    if not 0 < max_d <= 6:
+        raise ValueError(f"hex_voronoi: max_d must be in [1, 6], got {max_d}")
+    sentinel = np.int64((max_d + 1)) << np.int64(60)
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        z = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        res, q, r = hexgrid.unpack(cell)
+        res0 = int(np.atleast_1d(res)[0]) if len(cell) else hexgrid.RES_MIN
+        seeds = z >= min_count
+        sq, sr, sc = q[seeds], r[seeds], cell[seeds]
+        targets = [cell]
+        keys = [np.where(seeds, cell, sentinel).astype(np.int64)]  # d=0: self
+        pres = [np.ones(len(cell), np.int64)]
+        for d in range(1, max_d + 1):
+            offs = hexgrid.ring_offsets(d)
+            dq = np.array([o[0] for o in offs], np.int64)
+            dr = np.array([o[1] for o in offs], np.int64)
+            m = len(offs)
+            t = hexgrid.pack(res0, sq[:, None] + dq[None, :],
+                             sr[:, None] + dr[None, :]).ravel()
+            targets.append(t)
+            keys.append((np.int64(d) << np.int64(60))
+                        | np.repeat(sc, m))
+            pres.append(np.zeros(len(t), np.int64))
+        all_t = np.concatenate(targets)
+        all_k = np.concatenate(keys)
+        all_p = np.concatenate(pres)
+        uniq, inv = np.unique(all_t, return_inverse=True)
+        kmin = np.full(len(uniq), sentinel, np.int64)
+        np.minimum.at(kmin, inv, all_k)
+        psum = np.zeros(len(uniq), np.int64)
+        np.add.at(psum, inv, all_p)
+        return pa.table({"cell": pa.array(uniq), "k": pa.array(kmin),
+                         "c_sum": pa.array(psum)})
+
+    red = hash_groupby(
+        cells_ds.map_batches(scatter, batch_format="pyarrow"),
+        "cell", ["k", "c_sum"], how={"k": "min", "c_sum": "isum"},
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        present = batch.column("c_sum").to_numpy(zero_copy_only=False) > 0
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        keep = present & (k < sentinel)
+        k = k[keep]
+        return pa.table({
+            "cell": pa.array(batch.column("cell").to_numpy(
+                zero_copy_only=False)[keep]),
+            "dist": pa.array(k >> np.int64(60)),
+            "seed": pa.array(k & ((np.int64(1) << np.int64(60)) - 1)),
+        })
+
+    return red.map_batches(finalize, batch_format="pyarrow")
