@@ -110,6 +110,25 @@ def _q_cell_metrics(sf_dir: str):
     return _round6_cols(_cells(sf_dir), ["chars_mean", "en_share", "mention_rate"]).sort("cell")
 
 
+def _q_unpivot_cells(sf_dir: str):
+    """UNPIVOT/melt of the wide cell-metrics table: pure streaming map,
+    no shuffle."""
+    from cuda_gis_smoothing_ray.stages.relagg import unpivot
+
+    long = unpivot(_cells(sf_dir), "cell",
+                   ["page_count", "chars_mean", "en_share", "mention_rate"])
+    return _round6_cols(long, ["value"]).sort(["cell", "metric"])
+
+
+def _q_hosts_division(sf_dir: str):
+    """Relational division: hosts whose EVERY doc is English — one
+    host-keyed (total, matching) reduce, division closes as equality."""
+    from cuda_gis_smoothing_ray.stages.textops import hosts_division
+
+    return hosts_division(
+        _docs(sf_dir, ("doc_id", "lang"))).sort("host")
+
+
 def _q_ripley_k(sf_dir: str):
     """Ripley's K point-pattern statistic at three radii — one bucket+halo
     pair sweep, fixed-arity count partials (stages/spatialjoin.ripley_k)."""
@@ -2611,6 +2630,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hist_equalize": _q_hist_equalize,
         "distance_transform": _q_distance_transform,
         "hex_voronoi": _q_hex_voronoi,
+        "unpivot_cells": _q_unpivot_cells,
+        "hosts_division": _q_hosts_division,
         "raster_morphology": _q_raster_morphology,
         "spatiotemporal_counts": _q_spatiotemporal_counts,
         "morans_i": _q_morans_i,
@@ -2848,6 +2869,8 @@ def oracle_sql() -> dict[str, str]:
         "hist_equalize": o.hist_equalize_sql(RES),
         "distance_transform": o.distance_transform_sql(RES),
         "hex_voronoi": o.hex_voronoi_sql(RES),
+        "unpivot_cells": o.unpivot_cells_sql(RES),
+        "hosts_division": oc.hosts_division_sql(),
         "raster_morphology": o.raster_morphology_sql(RES, k=1),
         "spatiotemporal_counts": o.spatiotemporal_counts_sql(RES, replicate=3),
         "morans_i": o.morans_i_sql(RES, k=1),

@@ -1546,3 +1546,17 @@ cand AS (
 )
 SELECT cell, CAST(d AS BIGINT) AS dist, seed
 FROM r WHERE rn = 1 ORDER BY cell"""
+
+
+def unpivot_cells_sql(res: int) -> str:
+    """Oracle of stages/relagg.unpivot over the cell-metrics table."""
+    return f"""{prelude(res)},
+m AS (
+  SELECT cell, 'page_count' AS metric, CAST(page_count AS DOUBLE) AS v
+  FROM cells
+  UNION ALL SELECT cell, 'chars_mean', chars_mean FROM cells
+  UNION ALL SELECT cell, 'en_share', en_share FROM cells
+  UNION ALL SELECT cell, 'mention_rate', mention_rate FROM cells
+)
+SELECT cell, metric, {round6('v')} AS value
+FROM m ORDER BY cell, metric"""

@@ -3503,3 +3503,18 @@ SELECT v AS at_value, na AS n_a, nb AS n_b,
   floor(CAST(df AS DOUBLE) / CAST(na * nb AS DOUBLE) * 1e6 + 0.5) / 1e6
     AS ks_d
 FROM d ORDER BY df DESC, v LIMIT 1"""
+
+
+def hosts_division_sql(lang: str = "en") -> str:
+    """Oracle of stages/textops.hosts_division (relational division:
+    hosts whose EVERY doc is in `lang`)."""
+    from ..functions import geocode
+
+    host = f"(doc_id * {geocode.TLD_MULT}) % {geocode.HOST_MOD}"
+    return f"""WITH d AS (
+  SELECT {host} AS host, lang FROM documents
+)
+SELECT host, CAST(count(*) AS BIGINT) AS n_docs
+FROM d GROUP BY host
+HAVING count(*) = sum(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END)
+ORDER BY host"""

@@ -1618,3 +1618,29 @@ def tpch_q21(sf_dir: str, late_days: int = Q21_LATE_DAYS,
                           batch_size=None)
         .sort(["numwait", "s_name"], descending=[True, False])
     )
+
+
+def unpivot(ds, id_col: str, value_cols: list[str]):
+    """Wide -> long (UNPIVOT / melt): (id_col, metric, value) with one row
+    per (row, metric).  Pure streaming map — each batch emits its own
+    melted rows, no shuffle; value columns cast to float64 (the common
+    supertype of the cell-metrics family)."""
+    import numpy as np
+    import pyarrow as pa_
+
+    def melt(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out_id = np.tile(ids, len(value_cols))
+        metric = np.repeat(np.array(value_cols, dtype=object), n)
+        vals = np.concatenate([
+            batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in value_cols
+        ])
+        return pa_.table({
+            id_col: pa_.array(out_id),
+            "metric": pa_.array(metric.astype(str), pa.string()),
+            "value": pa_.array(vals),
+        })
+
+    return ds.map_batches(melt, batch_format="pyarrow")

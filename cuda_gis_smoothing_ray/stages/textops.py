@@ -2809,3 +2809,47 @@ def cluster_terms(docs_ds, assign_ds, top_k: int = 5):
         .map_groups(join_expand, batch_format="pandas")
     )
     return grouped_topk(joined, "cluster", "token", by="n", k=top_k)
+
+
+def hosts_division(ds, lang: str = "en"):
+    """documents -> (host, n_docs): hosts where EVERY doc is in ``lang`` —
+    relational DIVISION (the "suppliers who supply all parts" operator
+    shape), here "sites that are monolingually {lang}".
+
+    Scale shape: one host-keyed exact reduce carrying (total, matching)
+    counts — division closes batch-locally as total == matching; the
+    shuffle moves two ints per distinct host."""
+    import pyarrow.compute as pc_
+
+    from ..functions import geocode
+    from ..functions.reduce import hash_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        host = geocode.host_id(d)
+        is_l = pc_.equal(batch.column("lang"), lang).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(host, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        match = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, 1)
+        np.add.at(match, inv, is_l)
+        return pa.table({"host": pa.array(uniq), "tot": pa.array(tot),
+                         "match": pa.array(match)})
+
+    red = hash_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "host", ["tot", "match"], how="isum",
+    )
+
+    def keep_all(batch: pa.Table) -> pa.Table:
+        tot = batch.column("tot").to_numpy(zero_copy_only=False)
+        match = batch.column("match").to_numpy(zero_copy_only=False)
+        k = tot == match
+        return pa.table({
+            "host": pa.array(batch.column("host").to_numpy(
+                zero_copy_only=False)[k]),
+            "n_docs": pa.array(tot[k]),
+        })
+
+    return red.map_batches(keep_all, batch_format="pyarrow")
