@@ -1965,6 +1965,23 @@ def _q_grouped_quantiles(sf_dir: str):
     return grouped_quantiles(docs, "lang", text_len).sort(["lang", "q"])
 
 
+def _q_quantile_normalize(sf_dir: str):
+    """Quantile normalization of text length across langs: pooled order
+    statistic at the proportional rank from a broadcast histogram."""
+    import pyarrow.compute as pc_
+
+    from cuda_gis_smoothing_ray.stages.sketch import quantile_normalize
+
+    def text_len(batch: pa.Table) -> np.ndarray:
+        return pc_.utf8_length(batch.column("text")).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+
+    return quantile_normalize(
+        _docs(sf_dir, ("doc_id", "text", "lang")), "lang", text_len
+    ).sort("doc_id")
+
+
 def _q_ks_test(sf_dir: str):
     """Two-sample Kolmogorov-Smirnov over en-vs-de text lengths: bounded
     histogram shuffle, exact big-int cross-multiplied ECDF argmax."""
@@ -2569,6 +2586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_quantiles": _q_grouped_quantiles,
         "robust_stats": _q_robust_stats,
         "ks_test": _q_ks_test,
+        "quantile_normalize": _q_quantile_normalize,
         "quantile_filtered_docs": _q_quantile_filter,
         "customers_with_orders": _q_semi_join,
         "customers_without_orders": _q_anti_join,
@@ -2785,6 +2803,7 @@ def oracle_sql() -> dict[str, str]:
         "grouped_quantiles": oc.grouped_quantiles_sql(),
         "robust_stats": oc.robust_stats_sql(),
         "ks_test": oc.ks_test_sql(),
+        "quantile_normalize": oc.quantile_normalize_sql(),
         "quantile_filtered_docs": oc.quantile_filter_sql(),
         "customers_with_orders": oc.customers_with_orders_sql(),
         "customers_without_orders": oc.customers_with_orders_sql(anti=True, priority="1-URGENT"),

@@ -3518,3 +3518,24 @@ SELECT host, CAST(count(*) AS BIGINT) AS n_docs
 FROM d GROUP BY host
 HAVING count(*) = sum(CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END)
 ORDER BY host"""
+
+
+def quantile_normalize_sql() -> str:
+    """Oracle of stages/sketch.quantile_normalize (pooled order statistic
+    at the proportional rank, exact integers)."""
+    return """WITH d AS (
+  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len FROM documents
+), r AS (
+  SELECT doc_id, lang, len,
+    row_number() OVER (PARTITION BY lang ORDER BY len, doc_id) AS rk,
+    count(*) OVER (PARTITION BY lang) AS ng
+  FROM d
+), p AS (
+  SELECT len AS v, row_number() OVER (ORDER BY len, doc_id) AS rn FROM d
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM d
+)
+SELECT r.doc_id, r.len, p.v AS qnorm
+FROM r CROSS JOIN tot
+JOIN p ON p.rn = ((r.rk - 1) * tot.n) // r.ng + 1
+ORDER BY r.doc_id"""

@@ -967,3 +967,73 @@ def ks_test(ds, group_col: str, col_fn, groups: tuple[str, str] = KS_LANGS):
         "n_b": pa.array([nb], pa.int64()),
         "ks_d": pa.array([ks_d], pa.float64()),
     }))
+
+
+def quantile_normalize(ds, group_col: str, col_fn):
+    """-> (doc_id, len, qnorm): QUANTILE NORMALIZATION of an integer
+    metric across groups — each group's r-th smallest value maps to the
+    POOLED distribution's value at the proportional rank
+    (``pooled_sorted[(r-1) * N // n_group]``), the standard batch-effect
+    removal that forces every group onto one reference distribution
+    (exact-integer variant: pooled order statistic, not an interpolated
+    mean).
+
+    Scale shape: ONE coarse group-keyed shuffle ranks each group
+    (segmented lexsort, the :func:`..stages.textops.host_rank`
+    discipline); the pooled reference is the bounded VALUE HISTOGRAM
+    (cumsum codebook, broadcast as a closure) — order statistics at any
+    index come from one searchsorted, so the pooled data itself never
+    re-sorts or re-shuffles."""
+    import pandas as pd
+
+    from ..functions import hashing
+
+    def counts(batch: pa.Table) -> pa.Table:
+        v = col_fn(batch)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uniq.astype(np.int64)),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    from ..functions.reduce import hash_groupby
+
+    hist = hash_groupby(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        "v", ["cnt"], how="isum",
+    ).to_pandas().sort_values("v")
+    vs = hist["v"].to_numpy(np.int64)
+    cum = np.cumsum(hist["cnt"].to_numpy(np.int64))
+    n_total = int(cum[-1])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        v = col_fn(batch)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        gid = hashing.poly_hash64(g.combine_chunks() if isinstance(
+            g, pa.ChunkedArray) else g).view(np.int64)
+        return pa.table({
+            "doc_id": pa.array(d), "gid": pa.array(gid),
+            "len": pa.array(v.astype(np.int64)),
+            "__part": pa.array(hashing.coarse_partition(gid, 64)),
+        })
+
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        gid = df["gid"].to_numpy(np.int64)
+        ln = df["len"].to_numpy(np.int64)
+        d = df["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((d, ln, gid))
+        gid, ln, d = gid[order], ln[order], d[order]
+        new = np.ones(len(gid), dtype=bool)
+        new[1:] = gid[1:] != gid[:-1]
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        rk = np.arange(len(gid), dtype=np.int64) - starts[seg]  # 0-based
+        ng = np.diff(np.concatenate((starts, [len(gid)])))[seg]
+        idx = rk * n_total // ng  # 0-based pooled index
+        qnorm = vs[np.searchsorted(cum, idx + 1)]
+        return pd.DataFrame({"doc_id": d, "len": ln, "qnorm": qnorm})
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(solve, batch_format="pandas")
+    )
