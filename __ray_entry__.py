@@ -1084,6 +1084,14 @@ def _q_tfidf(sf_dir: str):
     return textops.tfidf(_docs(sf_dir)).sort(["doc_id", "token"])
 
 
+def _q_quota_sample(sf_dir: str):
+    """Deterministic k-per-lang quota sample by multiplicative hash:
+    batch-local k-prune before the bounded per-group resolve."""
+    from cuda_gis_smoothing_ray.stages.textops import quota_sample
+
+    return quota_sample(_docs(sf_dir, ("doc_id", "lang"))).sort("doc_id")
+
+
 def _q_pareto_docs(sf_dir: str):
     """Skyline (Pareto frontier) over (n_tokens, n_distinct): sound
     batch-local pruning, frontier-sized final resolve."""
@@ -1907,6 +1915,14 @@ def _q_host_rank(sf_dir: str):
     return textops.host_rank(_docs(sf_dir)).sort("doc_id")
 
 
+def _q_event_autocorr(sf_dir: str):
+    """ACF of the hourly event-count series (dense, zeros filled): one
+    bounded hour reduce, exact big-int moments, one rounded division."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.event_autocorr(events.read_events(sf_dir))
+
+
 def _q_attribution(sf_dir: str):
     """Last-touch attribution: running last-view index per user with a
     segment-floored maximum.accumulate — no self-join."""
@@ -2487,6 +2503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf": _q_tfidf,
         "nb_lang_classify": _q_nb_lang_classify,
         "pareto_docs": _q_pareto_docs,
+        "quota_sample": _q_quota_sample,
         "zscore_text_len": _q_zscore,
         "top_bigrams": _q_top_bigrams,
         "split_assign": _q_split_assign,
@@ -2575,6 +2592,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": _q_event_gaps,
         "event_transitions": _q_event_transitions,
         "attribution": _q_attribution,
+        "event_autocorr": _q_event_autocorr,
         "host_rank": _q_host_rank,
         "event_context": _q_event_context,
         "user_activity_full": _q_user_activity_full,
@@ -2698,6 +2716,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf": oc.tfidf_sql(),
         "nb_lang_classify": oc.nb_lang_classify_sql(),
         "pareto_docs": oc.pareto_docs_sql(),
+        "quota_sample": oc.quota_sample_sql(),
         "zscore_text_len": oc.zscore_text_len_sql(),
         "top_bigrams": oc.top_bigrams_sql(20),
         "split_assign": oc.split_assign_sql(),
@@ -2792,6 +2811,7 @@ def oracle_sql() -> dict[str, str]:
         "event_gaps": oc.event_gaps_sql(),
         "event_transitions": oc.event_transitions_sql(),
         "attribution": oc.attribution_sql(),
+        "event_autocorr": oc.event_autocorr_sql(),
         "host_rank": oc.host_rank_sql(),
         "event_context": oc.event_context_sql(),
         "user_activity_full": oc.user_activity_full_sql(),

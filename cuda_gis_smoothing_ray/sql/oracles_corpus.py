@@ -3539,3 +3539,61 @@ SELECT r.doc_id, r.len, p.v AS qnorm
 FROM r CROSS JOIN tot
 JOIN p ON p.rn = ((r.rk - 1) * tot.n) // r.ng + 1
 ORDER BY r.doc_id"""
+
+
+def quota_sample_sql(k: int | None = None) -> str:
+    """Oracle of stages/textops.quota_sample (k smallest hash buckets per
+    group, doc_id tie-break)."""
+    from ..stages import textops
+
+    kk = textops.QUOTA_K if k is None else k
+    mult, mod = textops.SPLIT_MULT, textops.SPLIT_MOD
+    return f"""WITH d AS (
+  SELECT doc_id, lang,
+    ((doc_id % {mod}) * ({mult} % {mod})) % {mod} AS bucket
+  FROM documents
+), r AS (
+  SELECT doc_id, lang, bucket,
+    row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rn
+  FROM d
+)
+SELECT doc_id, lang, CAST(bucket AS BIGINT) AS bucket
+FROM r WHERE rn <= {kk} ORDER BY doc_id"""
+
+
+def event_autocorr_sql(lags: int | None = None) -> str:
+    """Oracle of stages/events.event_autocorr (dense hourly series, exact
+    HUGEINT moments, the same mean-cleared closed form)."""
+    from ..stages import events
+
+    k = events.ACF_LAGS if lags is None else lags
+    vals = ", ".join(f"({i})" for i in range(1, k + 1))
+    return f"""WITH h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+), dense AS (
+  SELECT g.hr, CAST(coalesce(h.cnt, 0) AS BIGINT) AS x
+  FROM (SELECT unnest(generate_series((SELECT min(hr) FROM h),
+                                      (SELECT max(hr) FROM h))) AS hr) g
+  LEFT JOIN h ON h.hr = g.hr
+), st AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS s,
+    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+  FROM dense
+), lags(k) AS (VALUES {vals}),
+m AS (
+  SELECT l.k,
+    CAST(sum(CAST(a.x AS HUGEINT) * b.x) AS HUGEINT) AS p,
+    CAST(sum(a.x) AS HUGEINT) AS sa,
+    CAST(sum(b.x) AS HUGEINT) AS sb
+  FROM lags l
+  JOIN dense a ON TRUE
+  JOIN dense b ON b.hr = a.hr + l.k
+  GROUP BY l.k
+)
+SELECT m.k AS lag, CAST(st.n AS BIGINT) AS n_hours,
+  floor(CAST(st.n * st.n * m.p - st.n * st.s * (m.sa + m.sb)
+             + (st.n - m.k) * st.s * st.s AS DOUBLE)
+        / CAST(st.n * st.n * st.q - st.n * st.s * st.s AS DOUBLE)
+        * 1e6 + 0.5) / 1e6 AS r
+FROM m, st ORDER BY lag"""

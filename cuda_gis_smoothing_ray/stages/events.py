@@ -1355,3 +1355,67 @@ def attribution(ds, touch: str = ATTR_TOUCH, conv: str = ATTR_CONV):
     if touch == conv:
         raise ValueError("attribution: touch and conv types must differ")
     return _by_user(ds, solve)
+
+
+ACF_LAGS = 3
+
+
+def event_autocorr(ds, lags: int = ACF_LAGS):
+    """events -> (lag, n_hours, r): the AUTOCORRELATION FUNCTION of the
+    hourly event-count series at lags 1..``lags`` — the seasonality /
+    burstiness diagnostic of a crawl or traffic stream (r(24) high = daily
+    cycle).  Missing hours count as ZERO events (the series is made dense
+    over [min hour, max hour] — silently skipping empty buckets would
+    correlate the wrong neighbors).
+
+    EXACT: the ACF closed form is cleared of the rational mean mu = S/n
+    by multiplying through by n^2 — numerator ``n^2*P - n*S*(A+B) +
+    (n-k)*S^2`` and denominator ``n^2*Q - n*S^2`` are arbitrary-precision
+    Python ints (P = sum x_t*x_{t+k}, A/B = edge partial sums, Q = sum
+    x^2); one float division at the end, shared rounding.  Scale shape:
+    ONE bounded hour-keyed count reduce (|hours| rows — an aggregate);
+    the lag products run on the dense driver-side series."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    def counts(batch: pa.Table) -> pa.Table:
+        h = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[h]").astype(np.int64)
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(uniq),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    hist = hash_groupby(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        "h", ["cnt"], how="isum",
+    ).to_pandas().sort_values("h")
+    hs = hist["h"].to_numpy(np.int64)
+    lo, hi = int(hs[0]), int(hs[-1])
+    x = np.zeros(hi - lo + 1, dtype=object)
+    x[hs - lo] = hist["cnt"].to_numpy(np.int64)
+    x = np.array([int(v) for v in x], dtype=object)
+    n = len(x)
+    if n <= lags:
+        raise ValueError(f"event_autocorr: need > {lags} hours, got {n}")
+    S = int(np.sum(x))
+    Q = int(np.sum(x * x))
+    den = n * n * Q - n * S * S
+    if den == 0:
+        raise ValueError("event_autocorr: constant series — ACF undefined")
+    out_lag, out_r = [], []
+    for k in range(1, lags + 1):
+        P = int(np.sum(x[:-k] * x[k:]))
+        A = int(np.sum(x[:-k]))
+        B = int(np.sum(x[k:]))
+        num = n * n * P - n * S * (A + B) + (n - k) * S * S
+        out_lag.append(k)
+        # float() each side FIRST (mirrors SQL CAST(... AS DOUBLE) /
+        # CAST(... AS DOUBLE)) — exact-ratio division could differ in the
+        # last ulp once num/den exceed 2^53
+        out_r.append(np.floor(float(num) / float(den) * 1e6 + 0.5) / 1e6)
+    return rd.from_arrow(pa.table({
+        "lag": pa.array(out_lag, pa.int64()),
+        "n_hours": pa.array([n] * lags, pa.int64()),
+        "r": pa.array(out_r, pa.float64()),
+    }))

@@ -2853,3 +2853,42 @@ def hosts_division(ds, lang: str = "en"):
         })
 
     return red.map_batches(keep_all, batch_format="pyarrow")
+
+
+QUOTA_K = 20
+
+
+def quota_sample(ds, group_col: str = "lang", k: int = QUOTA_K,
+                 mult: int = SPLIT_MULT, mod: int = SPLIT_MOD):
+    """documents -> (doc_id, <group_col>, bucket): a DETERMINISTIC k-PER-
+    GROUP sample — each group keeps its k docs with the smallest
+    multiplicative-hash bucket (ties -> doc_id), the quota/stratified
+    sampler that gives every language equal representation regardless of
+    prior (and, unlike RNG reservoirs, is reproducible across engines,
+    reruns and partitionings — the :func:`split_assign` argument).
+
+    Scale shape: per batch, each group pre-prunes to its local k BEFORE
+    anything shuffles (a batch can only contribute k survivors per
+    group), then one bounded groupwise resolve over <= k * n_batches
+    candidate rows."""
+    import pandas as pd
+
+    def local(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        b = ((d % mod) * (mult % mod)) % mod
+        df = pd.DataFrame({"doc_id": d, group_col: g, "bucket": b})
+        df = df.sort_values(["bucket", "doc_id"], kind="mergesort") \
+            .groupby(group_col, sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.sort_values(["bucket", "doc_id"], kind="mergesort") \
+            .groupby(group_col, sort=False).head(k)
+        return out.reset_index(drop=True)
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow", batch_size=None)
+        .groupby(group_col)
+        .map_groups(resolve, batch_format="pandas")
+    )
