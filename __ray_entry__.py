@@ -1084,6 +1084,14 @@ def _q_tfidf(sf_dir: str):
     return textops.tfidf(_docs(sf_dir)).sort(["doc_id", "token"])
 
 
+def _q_dup_span_coverage(sf_dir: str):
+    """Exact-substring span coverage: overlapping 8-gram cross-doc marks,
+    one gram-hash shuffle + one doc-keyed interval-union pass."""
+    from cuda_gis_smoothing_ray.stages.textops import dup_span_coverage
+
+    return dup_span_coverage(_docs(sf_dir)).sort("doc_id")
+
+
 def _q_quota_sample(sf_dir: str):
     """Deterministic k-per-lang quota sample by multiplicative hash:
     batch-local k-prune before the bounded per-group resolve."""
@@ -2504,6 +2512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_classify": _q_nb_lang_classify,
         "pareto_docs": _q_pareto_docs,
         "quota_sample": _q_quota_sample,
+        "dup_span_coverage": _q_dup_span_coverage,
         "zscore_text_len": _q_zscore,
         "top_bigrams": _q_top_bigrams,
         "split_assign": _q_split_assign,
@@ -2717,6 +2726,7 @@ def oracle_sql() -> dict[str, str]:
         "nb_lang_classify": oc.nb_lang_classify_sql(),
         "pareto_docs": oc.pareto_docs_sql(),
         "quota_sample": oc.quota_sample_sql(),
+        "dup_span_coverage": oc.dup_span_coverage_sql(),
         "zscore_text_len": oc.zscore_text_len_sql(),
         "top_bigrams": oc.top_bigrams_sql(20),
         "split_assign": oc.split_assign_sql(),

@@ -3597,3 +3597,39 @@ SELECT m.k AS lag, CAST(st.n AS BIGINT) AS n_hours,
         / CAST(st.n * st.n * st.q - st.n * st.s * st.s AS DOUBLE)
         * 1e6 + 0.5) / 1e6 AS r
 FROM m, st ORDER BY lag"""
+
+
+def dup_span_coverage_sql(w: int | None = None) -> str:
+    """Oracle of stages/textops.dup_span_coverage (overlapping w-gram
+    cross-doc duplication, per-doc covered-position count via DISTINCT
+    unnested ranges — a completely different plan than the engine's
+    interval union)."""
+    from ..stages import textops
+
+    ww = textops.SPAN_W if w is None else w
+    joined = " || ' ' || ".join(f"toks[pos + {j}]" for j in range(ww))
+    return f"""WITH t AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, pos, {joined} AS gram FROM (
+    SELECT doc_id, toks, unnest(range(1, len(toks) - {ww - 2})) AS pos
+    FROM t WHERE len(toks) >= {ww}
+  )
+), dup AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), p AS (
+  SELECT DISTINCT doc_id, pos FROM g JOIN dup USING (gram)
+), cov AS (
+  SELECT doc_id, CAST(count(DISTINCT c) AS BIGINT) AS covered FROM (
+    SELECT doc_id, unnest(generate_series(pos, pos + {ww - 1})) AS c FROM p
+  ) GROUP BY doc_id
+), meta AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+  FROM t WHERE len(toks) >= {ww}
+)
+SELECT m.doc_id, m.n_tokens, CAST(coalesce(cov.covered, 0) AS BIGINT)
+  AS covered
+FROM meta m LEFT JOIN cov ON m.doc_id = cov.doc_id
+ORDER BY m.doc_id"""

@@ -2892,3 +2892,143 @@ def quota_sample(ds, group_col: str = "lang", k: int = QUOTA_K,
         .groupby(group_col)
         .map_groups(resolve, batch_format="pandas")
     )
+
+
+SPAN_W = 8
+
+
+def dup_span_coverage(ds, w: int = SPAN_W, n_parts: int = _PAIR_PARTS):
+    """documents -> (doc_id, n_tokens, covered): EXACT-SUBSTRING span
+    coverage — slide an OVERLAPPING ``w``-token window (stride 1) over
+    every doc, mark windows whose gram also appears in ANOTHER doc, and
+    count per doc how many token positions fall under at least one marked
+    window (the interval-union "how much of this doc is copied" metric;
+    :func:`passage_dedup`'s non-overlapping windows count instances, this
+    measures coverage).  Docs shorter than w emit no row.
+
+    Scale shape: (gram-hash, doc, pos) rows hash-partition once — the
+    cross-doc test is a distinct-doc count per hash inside its partition;
+    surviving (doc, pos) rows take ONE doc-keyed coarse shuffle where a
+    segmented sorted-starts pass closes the interval union
+    (``sum min(next_start - start, w)`` + w per last run) — Python per
+    partition, never per doc.  Gram identity is the 64-bit token-sequence
+    hash (the tfidf df discipline: 2^-64 cross-gram collision accepted)."""
+    import pandas as pd
+    import pyarrow.compute as pc_
+
+    def grams(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "key": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "pos": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "__part": pa.array([], pa.int64()),
+        })
+        doc_idx, toks = _doc_tokens(batch)
+        n = len(doc_idx)
+        if n == 0:
+            return empty
+        bnd = np.flatnonzero(np.diff(doc_idx) != 0) + 1
+        run_starts = np.concatenate((np.zeros(1, np.int64), bnd))
+        run_lens = np.diff(np.concatenate((run_starts, [n])))
+        pos = np.arange(n, dtype=np.int64) - np.repeat(run_starts, run_lens)
+        rl = np.repeat(run_lens, run_lens)
+        s = np.flatnonzero(pos + w <= rl)  # every stride-1 window start
+        meta_doc = doc_idx[run_starts]
+        meta_len = run_lens
+        keep_meta = meta_len >= w
+        if len(s) == 0:
+            return empty
+        parts = [pc_.take(toks, pa.array(s + j)) for j in range(w)]
+        wins = pc_.binary_join_element_wise(*parts, " ")
+        if isinstance(wins, pa.ChunkedArray):
+            wins = wins.combine_chunks()
+        h = hashing.poly_hash64(wins).view(np.int64)
+        meta = pa.table({
+            "key": pa.array(np.zeros(int(keep_meta.sum()), np.int64)),
+            "doc_id": pa.array(meta_doc[keep_meta]),
+            "pos": pa.array(np.full(int(keep_meta.sum()), -1, np.int64)),
+            "n_tokens": pa.array(meta_len[keep_meta]),
+            "__part": pa.array(hashing.coarse_partition(
+                meta_doc[keep_meta], n_parts) + n_parts),  # meta channel
+        })
+        gram_rows = pa.table({
+            "key": pa.array(h),
+            "doc_id": pa.array(doc_idx[s]),
+            "pos": pa.array(pos[s]),
+            "n_tokens": pa.array(np.zeros(len(s), np.int64)),
+            "__part": pa.array(hashing.coarse_partition(h, n_parts)),
+        })
+        return pa.concat_tables([gram_rows, meta]).combine_chunks()
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": np.array([], np.int64),
+                                 "pos": np.array([], np.int64),
+                                 "n_tokens": np.array([], np.int64)})
+        if df["__part"].iloc[0] >= n_parts:
+            return df[["doc_id", "pos", "n_tokens"]]  # meta passthrough
+        k = df["key"].to_numpy(np.int64)
+        d = df["doc_id"].to_numpy(np.int64)
+        order = np.lexsort((d, k))
+        ks, ds_ = k[order], d[order]
+        new_k = np.ones(len(ks), dtype=bool)
+        new_k[1:] = ks[1:] != ks[:-1]
+        new_kd = new_k.copy()
+        new_kd[1:] |= ds_[1:] != ds_[:-1]
+        seg = np.cumsum(new_k) - 1
+        ndocs = np.bincount(seg[new_kd], minlength=seg[-1] + 1 if len(seg) else 0)
+        dup = ndocs[seg] >= 2
+        keep = np.zeros(len(df), dtype=bool)
+        keep[order] = dup
+        out = df[keep]
+        return pd.DataFrame({
+            "doc_id": out["doc_id"].to_numpy(np.int64),
+            "pos": out["pos"].to_numpy(np.int64),
+            "n_tokens": np.zeros(len(out), np.int64),
+        })
+
+    def add_doc_part(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "__p2", pa.array(hashing.coarse_partition(d, n_parts)))
+
+    def coverage(df: pd.DataFrame) -> pd.DataFrame:
+        meta = df[df["pos"] < 0]
+        posr = df[df["pos"] >= 0]
+        d = posr["doc_id"].to_numpy(np.int64)
+        p = posr["pos"].to_numpy(np.int64)
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        cov = np.zeros(0, np.int64)
+        du = np.zeros(0, np.int64)
+        if len(d):
+            new = np.ones(len(d), dtype=bool)
+            new[1:] = d[1:] != d[:-1]
+            seg = np.cumsum(new) - 1
+            nseg = seg[-1] + 1
+            gap = np.empty(len(d), np.int64)
+            gap[:-1] = p[1:] - p[:-1]
+            gap[-1] = w
+            last = np.zeros(len(d), dtype=bool)
+            last[:-1] = new[1:]
+            last[-1] = True
+            contrib = np.where(last, w, np.minimum(gap, w))
+            cov = np.bincount(seg, weights=contrib, minlength=nseg) \
+                .astype(np.int64)
+            du = d[new]
+        md = meta["doc_id"].to_numpy(np.int64)
+        mn = meta["n_tokens"].to_numpy(np.int64)
+        pos_map = pd.Series(cov, index=du)
+        covered = pos_map.reindex(md).fillna(0).to_numpy().astype(np.int64)
+        return pd.DataFrame({"doc_id": md, "n_tokens": mn,
+                             "covered": covered})
+
+    rows = ds.map_batches(grams, batch_format="pyarrow", batch_size=None)
+    marked = rows.groupby("__part").map_groups(mark, batch_format="pandas")
+    return (
+        marked.map_batches(add_doc_part, batch_format="pyarrow",
+                           batch_size=None)
+        .groupby("__p2")
+        .map_groups(coverage, batch_format="pandas")
+    )

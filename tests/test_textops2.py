@@ -318,3 +318,26 @@ def test_nb_lang_classify_tiebreak_and_inner_join(ray_session):
     assert out.loc[1, "score"] == 1
     assert 3 not in out.index
     assert out.loc[0, "pred_lang"] == "de"  # own vocab dominates
+
+
+def test_dup_span_coverage_interval_union(ray_session):
+    """Two docs share a 10-token run -> overlapping marked windows must
+    union to 10 covered tokens, not 3 windows x 8."""
+    import numpy as np
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import dup_span_coverage
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([
+            shared + " a0 a1 a2",          # 13 tokens, 10 covered
+            "b0 b1 " + shared,             # 12 tokens, 10 covered
+            "c0 c1 c2 c3 c4 c5 c6 c7 c8",  # 9 tokens, nothing shared
+        ], pa.string()),
+    })).repartition(2)
+    out = dup_span_coverage(ds).to_pandas().set_index("doc_id")
+    assert out.loc[0, "covered"] == 10 and out.loc[0, "n_tokens"] == 13
+    assert out.loc[1, "covered"] == 10 and out.loc[1, "n_tokens"] == 12
+    assert out.loc[2, "covered"] == 0 and out.loc[2, "n_tokens"] == 9
