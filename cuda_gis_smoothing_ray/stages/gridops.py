@@ -219,6 +219,17 @@ def grouped_topk(ds, group_col: str, key_col: str, by: str, k: int):
     Ties break ascending on ``key_col``; emits ``rank`` 1..k per group.
     """
 
+    from ..functions import hashing
+
+    def _pair_part(g: np.ndarray, key: np.ndarray) -> np.ndarray:
+        # coarse partition on the (group, key) PAIR — generic over dtypes
+        # via the string render + poly_hash64 (partition-only, like every
+        # string partitioner in the engine)
+        pair = pa.array(np.char.add(np.char.add(
+            g.astype(str), "\x1f"), key.astype(str)))
+        h = hashing.poly_hash64(pair).view(np.int64)
+        return hashing.coarse_partition(h, 64)
+
     def local(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame(
             {
@@ -227,14 +238,22 @@ def grouped_topk(ds, group_col: str, key_col: str, by: str, k: int):
             }
         )
         g = df.groupby([group_col, key_col], sort=False).size().reset_index(name=by)
+        g["__part"] = _pair_part(g[group_col].to_numpy(), g[key_col].to_numpy())
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    from ray.data.aggregate import Sum
+    def finish_counts(df: pd.DataFrame) -> pd.DataFrame:
+        # all partials of a (group, key) pair land here: ONE vectorized
+        # groupby-sum per partition — never Ray's native many-key
+        # aggregate (measured ~12 s / 158k rows x 64 blocks, scaling with
+        # blocks x distinct keys)
+        out = df.groupby([group_col, key_col], sort=False)[by].sum() \
+            .reset_index()
+        return out
 
     counts = (
         ds.map_batches(local, batch_format="pyarrow", batch_size=None)
-        .groupby([group_col, key_col])
-        .aggregate(Sum(by, alias_name=by))
+        .groupby("__part")
+        .map_groups(finish_counts, batch_format="pandas")
     )
 
     def head(group: pd.DataFrame) -> pd.DataFrame:
