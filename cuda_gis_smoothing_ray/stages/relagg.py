@@ -1596,12 +1596,13 @@ def tpch_q21(sf_dir: str, late_days: int = Q21_LATE_DAYS,
         u, c = np.unique(winners, return_counts=True)
         return pd.DataFrame({"l_suppkey": u, "numwait": c.astype(np.int64)})
 
-    waits = (
+    from ..functions.reduce import hash_groupby
+
+    waits = hash_groupby(
         j.map_batches(add_part, batch_format="pyarrow", batch_size=None)
         .groupby("__part")
-        .map_groups(solve, batch_format="pandas")
-        .groupby("l_suppkey")
-        .aggregate(Sum("numwait", alias_name="numwait"))
+        .map_groups(solve, batch_format="pandas"),
+        "l_suppkey", ["numwait"], how="isum",
     )
     waits = broadcast_hash_join(waits, sf_dir, "supplier",
                                 left_key="l_suppkey", right_key="s_suppkey",
