@@ -1755,6 +1755,51 @@ def _q_tpch_q21(sf_dir: str):
     return tpch_q21(sf_dir)
 
 
+def _q_tpch_q2(sf_dir: str):
+    """TPC-H Q2 analog: min-unit-price supplier per part (region-filtered,
+    exact integer micro-unit-price, q17-style two bounded part-keyed
+    reduces; partsupp-free adaptation declared in the stage docstring)."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q2
+
+    return tpch_q2(sf_dir)
+
+
+def _q_tpch_q9(sf_dir: str):
+    """TPC-H Q9 analog: product-type profit per (nation, year) — broadcast
+    part-name filter + supplier dim, ONE orderkey fact shuffle, bounded
+    (nation x year) partials."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q9
+
+    return tpch_q9(sf_dir)
+
+
+def _q_tpch_q11(sf_dir: str):
+    """TPC-H Q11 analog: important-stock parts by traded-value share
+    through one region's suppliers; exact integer cross-multiplied HAVING
+    threshold over ONE part-keyed bounded reduce."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q11
+
+    return tpch_q11(sf_dir)
+
+
+def _q_tpch_q16(sf_dir: str):
+    """TPC-H Q16 analog: distinct qualifying suppliers per (brand, type,
+    size) — dense combo ids, batch-local pair dedup, two bounded
+    reduces."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q16
+
+    return tpch_q16(sf_dir)
+
+
+def _q_tpch_q20(sf_dir: str):
+    """TPC-H Q20 analog: suppliers carrying an outsized exact-integer
+    share of one year's movement of prefix-named parts (generic pair-hash
+    partitioned (part, supp) sums, per-part totals broadcast back)."""
+    from cuda_gis_smoothing_ray.stages.relagg import tpch_q20
+
+    return tpch_q20(sf_dir)
+
+
 def _q_rollup_revenue(sf_dir: str):
     """ROLLUP (o_orderpriority, l_returnflag): fine level + per-priority
     subtotals + grand total from ONE fact shuffle; coarser levels derived
@@ -2637,6 +2682,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q7": _q_tpch_q7,
         "tpch_q8": _q_tpch_q8,
         "tpch_q21": _q_tpch_q21,
+        "tpch_q2": _q_tpch_q2,
+        "tpch_q9": _q_tpch_q9,
+        "tpch_q11": _q_tpch_q11,
+        "tpch_q16": _q_tpch_q16,
+        "tpch_q20": _q_tpch_q20,
         "cube_lineitem": _q_cube_lineitem,
         "customer_order_stats": _q_customer_order_stats,
         "join_orders_by_nation": _q_join_orders_by_nation,
@@ -2857,6 +2907,11 @@ def oracle_sql() -> dict[str, str]:
         "tpch_q7": oc.tpch_q7_sql(),
         "tpch_q8": o.tpch_q8_sql(),
         "tpch_q21": o.tpch_q21_sql(),
+        "tpch_q2": o.tpch_q2_sql(),
+        "tpch_q9": o.tpch_q9_sql(),
+        "tpch_q11": o.tpch_q11_sql(),
+        "tpch_q16": o.tpch_q16_sql(),
+        "tpch_q20": o.tpch_q20_sql(),
         "cube_lineitem": oc.cube_lineitem_sql(),
         "customer_order_stats": oc.customer_order_stats_sql(),
         "join_orders_by_nation": oc.join_orders_by_nation_sql(),

@@ -1560,3 +1560,141 @@ m AS (
 )
 SELECT cell, metric, {round6('v')} AS value
 FROM m ORDER BY cell, metric"""
+
+
+def tpch_q2_sql() -> str:
+    """Oracle of stages/relagg.tpch_q2 (min-unit-price supplier per part;
+    unit_micro = cents * 10^6 // qty_centi is exact integer on both
+    sides, supplier tie-break by min suppkey)."""
+    from ..stages import relagg
+
+    return f"""WITH ql AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qc,
+    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_type = '{relagg.Q2_TYPE}' AND r_name = '{relagg.Q2_REGION}'
+    AND floor(l_quantity * 100.0 + 0.5) > 0
+), um AS (
+  SELECT l_partkey, l_suppkey, cents * 1000000 // qc AS unit_micro FROM ql
+), mn AS (
+  SELECT l_partkey, min(unit_micro) AS min_unit_micro
+  FROM um GROUP BY l_partkey
+), best AS (
+  SELECT um.l_partkey, CAST(min(um.l_suppkey) AS BIGINT) AS s_suppkey,
+         mn.min_unit_micro
+  FROM um JOIN mn
+    ON um.l_partkey = mn.l_partkey AND um.unit_micro = mn.min_unit_micro
+  GROUP BY um.l_partkey, mn.min_unit_micro
+)
+SELECT b.l_partkey AS p_partkey, '{relagg.Q2_TYPE}' AS p_type,
+       CAST(b.min_unit_micro AS BIGINT) AS min_unit_micro,
+       b.s_suppkey, s.s_name, n.n_name, s.s_acctbal
+FROM best b
+JOIN supplier s ON b.s_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+ORDER BY p_partkey"""
+
+
+def tpch_q9_sql() -> str:
+    """Oracle of stages/relagg.tpch_q9 (product-type profit per nation and
+    order year; revenue-only profit — partsupp absent, adaptation declared
+    in the engine docstring)."""
+    from ..stages import relagg
+
+    return f"""WITH f AS (
+  SELECT s.s_nationkey AS nk, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+         AS BIGINT) AS cents
+  FROM lineitem
+  JOIN part p ON l_partkey = p.p_partkey
+  JOIN supplier s ON l_suppkey = s.s_suppkey
+  JOIN orders o ON l_orderkey = o.o_orderkey
+  WHERE p.p_name LIKE '%{relagg.Q9_NAME_SUB}%'
+)
+SELECT n.n_name, f.o_year, CAST(sum(f.cents) AS BIGINT) AS profit_cents
+FROM f JOIN nation n ON f.nk = n.n_nationkey
+GROUP BY n.n_name, f.o_year
+ORDER BY n.n_name, f.o_year DESC"""
+
+
+def tpch_q11_sql() -> str:
+    """Oracle of stages/relagg.tpch_q11 (important stock: per-part traded
+    value through one region's suppliers, HAVING value above an exact
+    integer cross-multiplied multiple of the mean per-part value)."""
+    from ..stages import relagg
+
+    return f"""WITH v AS (
+  SELECT l_partkey,
+    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem
+  JOIN supplier s ON l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{relagg.Q11_REGION}'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, value_cents FROM v
+WHERE CAST(value_cents AS HUGEINT) * (SELECT count(*) FROM v)
+        * {relagg.Q11_MULT_DEN}
+      > (SELECT CAST(sum(value_cents) AS HUGEINT) FROM v)
+        * {relagg.Q11_MULT_NUM}
+ORDER BY value_cents DESC, l_partkey"""
+
+
+def tpch_q16_sql() -> str:
+    """Oracle of stages/relagg.tpch_q16 (distinct qualifying suppliers per
+    (brand, type, size) from lineitem evidence; complaints analog =
+    account-balance floor, declared in the engine docstring)."""
+    from ..stages import relagg
+
+    sizes = ", ".join(str(int(s)) for s in relagg.Q16_SIZES)
+    return f"""WITH pairs AS (
+  SELECT DISTINCT p.p_brand, p.p_type, p.p_size, l.l_suppkey
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE p.p_brand <> '{relagg.Q16_EXCL_BRAND}'
+    AND p.p_type <> '{relagg.Q16_EXCL_TYPE}'
+    AND p.p_size IN ({sizes})
+    AND s.s_acctbal >= {relagg.Q16_MIN_BAL}
+)
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(*) AS BIGINT) AS supplier_cnt
+FROM pairs GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+
+def tpch_q20_sql() -> str:
+    """Oracle of stages/relagg.tpch_q20 (potential part promotion:
+    suppliers carrying an outsized exact-integer share of one year's
+    movement of prefix-named parts, reported for one nation)."""
+    from ..stages import relagg
+
+    return f"""WITH pq AS (
+  SELECT l_partkey, l_suppkey,
+    CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+         AS BIGINT) AS q
+  FROM lineitem JOIN part p ON l_partkey = p.p_partkey
+  WHERE p.p_name LIKE '{relagg.Q20_NAME_PREFIX}%'
+    AND l_shipdate >= TIMESTAMP '{relagg.Q20_YEAR}-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '{relagg.Q20_YEAR + 1}-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+), tot AS (
+  SELECT l_partkey, CAST(sum(q) AS BIGINT) AS tq FROM pq GROUP BY l_partkey
+), w AS (
+  SELECT DISTINCT pq.l_suppkey FROM pq JOIN tot USING (l_partkey)
+  WHERE CAST(pq.q AS HUGEINT) * {relagg.Q20_SHARE_DEN}
+        > CAST(tot.tq AS HUGEINT)
+)
+SELECT s.s_suppkey, s.s_name
+FROM w
+JOIN supplier s ON w.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name = '{relagg.Q20_NATION_NAME}'
+ORDER BY s.s_suppkey"""
