@@ -722,6 +722,20 @@ def _q_pagerank(sf_dir: str):
     return pr.pagerank(docs, n_docs=n_docs).sort("host")
 
 
+def _q_hits(sf_dir: str):
+    """HITS hubs/authorities over the deterministic host graph
+    (stages/pagerank.hits, exact-integer supersteps with ceil-shift
+    renormalization)."""
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages import pagerank as pr
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    docs = read_documents(sf_dir, columns=("doc_id",))
+    return pr.hits(docs, n_docs=n_docs)
+
+
 def _q_personalized_pagerank(sf_dir: str):
     """Personalized PageRank — teleport restricted to the seed set
     (stages/pagerank.personalized_pagerank, shared superstep loop)."""
@@ -2566,6 +2580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": _q_rfm_segments,
         "session_overlap": _q_session_overlap,
         "pagerank": _q_pagerank,
+        "hits_scores": _q_hits,
         "personalized_pagerank": _q_personalized_pagerank,
         "bfs_hops": _q_bfs_hops,
         "lm_score": _q_lm_score,
@@ -2785,6 +2800,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": oc.rfm_segments_sql(),
         "session_overlap": oc.session_overlap_sql(),
         "pagerank": oc.pagerank_sql(),
+        "hits_scores": oc.hits_sql(),
         "personalized_pagerank": oc.personalized_pagerank_sql(),
         "bfs_hops": oc.bfs_hops_sql(),
         "hll_registers": oc.hll_registers_sql(),

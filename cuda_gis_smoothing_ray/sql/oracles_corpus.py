@@ -3633,3 +3633,61 @@ SELECT m.doc_id, m.n_tokens, CAST(coalesce(cov.covered, 0) AS BIGINT)
   AS covered
 FROM meta m LEFT JOIN cov ON m.doc_id = cov.doc_id
 ORDER BY m.doc_id"""
+
+
+def hits_sql(iterations: int | None = None) -> str:
+    """Oracle of stages/pagerank.hits: the same K exact-integer HITS
+    supersteps unrolled as chained CTEs over the deterministic host graph.
+    Each half-step renormalizes by the ceil shift divisor
+    ``GREATEST(1, (max_raw + SCALE - 1) // SCALE)`` — all int64 floor
+    division, order-independent, bit-exact vs the engine."""
+    from ..functions import geocode
+    from ..stages import pagerank as pr
+
+    iterations = pr.HITS_ITERS if iterations is None else iterations
+    mult = geocode.TLD_MULT
+    mod = geocode.HOST_MOD
+    host = f"(doc_id * {mult}) % {mod}"
+    nd = "(SELECT count(*) FROM documents)"
+    dhost1 = f"(((doc_id * {pr.EDGE_MULT} + {pr.EDGE_ADD}) % {nd}) * {mult}) % {mod}"
+    dhost2 = f"(((doc_id * doc_id * {pr.EDGE_MULT2} + {pr.EDGE_ADD2}) % {nd}) * {mult}) % {mod}"
+    S = pr.SCALE
+    steps = []
+    prev_h = "h0"
+    for i in range(1, iterations + 1):
+        steps.append(f"""ar{i} AS MATERIALIZED (
+  SELECT h.host, COALESCE(s.v, 0) AS v FROM hosts h LEFT JOIN (
+    SELECT e.dst AS host, CAST(sum(p.v) AS BIGINT) AS v
+    FROM edges e JOIN {prev_h} p ON e.src = p.host GROUP BY 1
+  ) s ON h.host = s.host
+), a{i} AS MATERIALIZED (
+  SELECT host, CAST(v // GREATEST(1,
+    ((SELECT max(v) FROM ar{i}) + {S} - 1) // {S}) AS BIGINT) AS v
+  FROM ar{i}
+), hr{i} AS MATERIALIZED (
+  SELECT h.host, COALESCE(s.v, 0) AS v FROM hosts h LEFT JOIN (
+    SELECT e.src AS host, CAST(sum(p.v) AS BIGINT) AS v
+    FROM edges e JOIN a{i} p ON e.dst = p.host GROUP BY 1
+  ) s ON h.host = s.host
+), h{i} AS MATERIALIZED (
+  SELECT host, CAST(v // GREATEST(1,
+    ((SELECT max(v) FROM hr{i}) + {S} - 1) // {S}) AS BIGINT) AS v
+  FROM hr{i}
+)""")
+        prev_h = f"h{i}"
+    chain = ",\n".join(steps)
+    return f"""WITH hosts AS (
+  SELECT DISTINCT {host} AS host FROM documents
+), edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT {host} AS src, {dhost1} AS dst FROM documents
+    UNION ALL
+    SELECT {host} AS src, {dhost2} AS dst FROM documents
+  ) WHERE src <> dst
+), h0 AS MATERIALIZED (
+  SELECT host, CAST({S} AS BIGINT) AS v FROM hosts
+),
+{chain}
+SELECT h.host, h.v AS hub, a.v AS auth
+FROM h{iterations} h JOIN a{iterations} a ON h.host = a.host
+ORDER BY h.host"""

@@ -337,3 +337,119 @@ def bfs_hops(docs_ds, n_docs: int, seed_mod: int = BFS_SEED_MOD,
                             ).repartition(16).materialize()
 
     return dist
+
+
+HITS_ITERS = 4
+
+
+def hits(docs_ds, n_docs: int, iterations: int = HITS_ITERS):
+    """documents -> (host, hub, auth): HITS hubs-and-authorities over the
+    same deterministic host graph as :func:`pagerank`, as ``iterations``
+    exact-integer BSP supersteps (the other classic link-analysis
+    fixed-point iteration — hubs score by the authorities they point AT,
+    authorities by the hubs pointing at THEM).
+
+    **Exact normalization without overflow**: the textbook L2/L1 renorm is
+    float; instead each half-step divides by the shift divisor
+    ``d = max(1, (max_raw + SCALE - 1) // SCALE)`` (ceil), which keeps
+    every value <= SCALE in pure int64 (raw <= max_degree * SCALE, safe
+    while max_degree < 2^63 / SCALE ~ 9.2e6 — re-scale SCALE down for
+    denser graphs) and is order-independent, so the unrolled-CTE DuckDB
+    oracle (``sql/oracles_corpus.hits_sql``) matches bit-for-bit.
+
+    Scale shape per half-step: one co-partitioned (host-keyed) scatter
+    along edges, one bounded gather keyed by the opposite endpoint, and
+    ONE scalar (the max) to the driver — the score tables never leave the
+    cluster."""
+    from ..functions.reduce import hash_groupby
+
+    edges, hosts = host_graph(docs_ds, n_docs)
+    edges = edges.materialize()
+    hosts = hosts.materialize()
+
+    def init(batch: pa.Table) -> pa.Table:
+        return pa.table({"host": batch.column("host"),
+                         "v": pa.array(np.full(len(batch), SCALE, np.int64))})
+
+    def _push(vals, key_col: str, out_col: str):
+        # scatter vals[v] along edges keyed by key_col, gather by the
+        # opposite endpoint; zero rows keep degree-0 hosts alive
+        def tag_vals(batch: pa.Table) -> pa.Table:
+            return pa.table({"key": batch.column("host"),
+                             "a": batch.column("v"),
+                             "kind": pa.array(np.zeros(len(batch), np.int8))})
+
+        def tag_edges(batch: pa.Table) -> pa.Table:
+            return pa.table({"key": batch.column(key_col),
+                             "a": batch.column(out_col),
+                             "kind": pa.array(np.ones(len(batch), np.int8))})
+
+        def scatter(df: pd.DataFrame) -> pd.DataFrame:
+            vv = df[df["kind"] == 0][["key", "a"]].rename(columns={"a": "v"})
+            ed = df[df["kind"] == 1][["key", "a"]].rename(columns={"a": "other"})
+            m = ed.merge(vv, on="key")
+            return pd.DataFrame({
+                "host": np.concatenate([m["other"].to_numpy(np.int64),
+                                        vv["key"].to_numpy(np.int64)]),
+                "v": np.concatenate([m["v"].to_numpy(np.int64),
+                                     np.zeros(len(vv), np.int64)]),
+            })
+
+        pushed = (
+            vals.map_batches(tag_vals, batch_format="pyarrow", batch_size=None)
+            .union(edges.map_batches(tag_edges, batch_format="pyarrow",
+                                     batch_size=None))
+            .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
+            .groupby("__part")
+            .map_groups(scatter)
+        )
+        return hash_groupby(pushed, "host", ["v"], how="isum") \
+            .repartition(16).materialize()
+
+    def _normalize(raw):
+        mx = raw.max("v")
+        mx = int(mx) if mx is not None else 0
+        d = max(1, (mx + SCALE - 1) // SCALE)
+
+        def div(batch: pa.Table) -> pa.Table:
+            v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"host": batch.column("host"),
+                             "v": pa.array(v // d)})
+
+        return raw.map_batches(div, batch_format="pyarrow",
+                               batch_size=None).materialize()
+
+    hub = hosts.map_batches(init, batch_format="pyarrow",
+                            batch_size=None).materialize()
+    auth = None
+    for _ in range(iterations):
+        # auth(j) = sum of hub(i) over edges i -> j
+        auth = _normalize(_push(hub, "src", "dst"))
+        # hub(i) = sum of auth(j) over edges i -> j
+        hub = _normalize(_push(auth, "dst", "src"))
+
+    def tag_hub(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("host"), "a": batch.column("v"),
+                         "kind": pa.array(np.zeros(len(batch), np.int8))})
+
+    def tag_auth(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("host"), "a": batch.column("v"),
+                         "kind": pa.array(np.ones(len(batch), np.int8))})
+
+    def zip_scores(df: pd.DataFrame) -> pd.DataFrame:
+        hb = df[df["kind"] == 0][["key", "a"]].rename(columns={"a": "hub"})
+        au = df[df["kind"] == 1][["key", "a"]].rename(columns={"a": "auth"})
+        m = hb.merge(au, on="key")
+        return pd.DataFrame({"host": m["key"].to_numpy(np.int64),
+                             "hub": m["hub"].to_numpy(np.int64),
+                             "auth": m["auth"].to_numpy(np.int64)})
+
+    return (
+        hub.map_batches(tag_hub, batch_format="pyarrow", batch_size=None)
+        .union(auth.map_batches(tag_auth, batch_format="pyarrow",
+                                batch_size=None))
+        .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(zip_scores)
+        .sort("host")
+    )
