@@ -585,6 +585,15 @@ def _q_cell_parent(sf_dir: str):
     return cell_parent_rollup(_geocoded(sf_dir), parent_res=RES - 1).sort("parent_cell")
 
 
+def _q_compact_cells(sf_dir: str):
+    """H3 compact analog: complete sibling groups roll up to the parent
+    (stages/gridops.compact_cells; arithmetic child-set enumeration, no
+    stored hierarchy)."""
+    from cuda_gis_smoothing_ray.stages.gridops import compact_cells
+
+    return compact_cells(_geocoded(sf_dir), res=RES)
+
+
 def _q_grid_disk(sf_dir: str):
     from cuda_gis_smoothing_ray.stages.gridops import grid_disk
 
@@ -2557,6 +2566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bbox_query": _q_bbox_query,
         "cell_boundary": _q_cell_boundary,
         "cell_parent": _q_cell_parent,
+        "compact_cells": _q_compact_cells,
         "grid_disk": _q_grid_disk,
         "dedup_canonical": _q_dedup_canonical,
         "len_histogram": _q_len_histogram,
@@ -2972,6 +2982,7 @@ def oracle_sql() -> dict[str, str]:
         "bbox_query": o.bbox_query_sql(RES, BBOX),
         "cell_boundary": o.cell_boundary_sql(RES),
         "cell_parent": o.cell_parent_sql(RES, RES - 1),
+        "compact_cells": o.compact_cells_sql(RES),
         "grid_disk": o.grid_disk_sql(RES, 1),
         "dedup_canonical": oc.dedup_canonical_sql(JACCARD_T),
         "len_histogram": oc.len_histogram_sql(50),

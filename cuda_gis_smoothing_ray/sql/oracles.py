@@ -1698,3 +1698,128 @@ JOIN supplier s ON w.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE n.n_name = '{relagg.Q20_NATION_NAME}'
 ORDER BY s.s_suppkey"""
+
+
+def compact_cells_sql(res: int) -> str:
+    """Oracle of stages/gridops.compact_cells: the same three cube-round
+    encodes (child->parent, parent-center->child-res anchor, 19 k-ring-2
+    candidate probes->parent) in the shared SQL block, completeness by
+    exact count compare."""
+    size = hexgrid.edge_size(res)
+    parent_res = res - 1
+    psize = hexgrid.edge_size(parent_res)
+    offs = hexgrid.ring_offsets(1) + hexgrid.ring_offsets(2) + [(0, 0)]
+    vals = ",\n    ".join(f"({dq}, {dr})" for dq, dr in offs)
+    return f"""{prelude(res)},
+pc0 AS (
+  SELECT cell, {D(size)} * 1.5 * r AS clat,
+         {D(size)} * sqrt(3) * (q + r / 2.0) AS clon
+  FROM cells
+),
+pe0 AS (
+  SELECT *, (sqrt(3)/3 * clon - clat/3) / {D(psize)} AS qf,
+            (2 * clat / 3) / {D(psize)} AS rf
+  FROM pc0
+),
+pe1 AS (
+  SELECT *, floor(qf + 0.5) AS rx, floor(-qf - rf + 0.5) AS ry,
+            floor(rf + 0.5) AS rz
+  FROM pe0
+),
+pe2 AS (
+  SELECT *, abs(rx - qf) AS dx, abs(ry - (-qf - rf)) AS dy,
+            abs(rz - rf) AS dz
+  FROM pe1
+),
+penc AS (
+  SELECT cell,
+    CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END
+         AS BIGINT) AS pq,
+    CAST(CASE WHEN dx > dy AND dx > dz THEN rz
+              WHEN dy > dz THEN rz
+              ELSE -rx - ry END AS BIGINT) AS pr
+  FROM pe2
+),
+par AS (
+  SELECT pq, pr, CAST(count(*) AS BIGINT) AS n FROM penc GROUP BY pq, pr
+),
+an0 AS (
+  SELECT pq, pr, n, {D(psize)} * 1.5 * pr AS plat,
+         {D(psize)} * sqrt(3) * (pq + pr / 2.0) AS plon
+  FROM par
+),
+ae0 AS (
+  SELECT *, (sqrt(3)/3 * plon - plat/3) / {D(size)} AS aqf,
+            (2 * plat / 3) / {D(size)} AS arf
+  FROM an0
+),
+ae1 AS (
+  SELECT *, floor(aqf + 0.5) AS arx, floor(-aqf - arf + 0.5) AS ary,
+            floor(arf + 0.5) AS arz
+  FROM ae0
+),
+ae2 AS (
+  SELECT *, abs(arx - aqf) AS adx, abs(ary - (-aqf - arf)) AS ady,
+            abs(arz - arf) AS adz
+  FROM ae1
+),
+aenc AS (
+  SELECT pq, pr, n,
+    CAST(CASE WHEN adx > ady AND adx > adz THEN -ary - arz ELSE arx END
+         AS BIGINT) AS aq,
+    CAST(CASE WHEN adx > ady AND adx > adz THEN arz
+              WHEN ady > adz THEN arz
+              ELSE -arx - ary END AS BIGINT) AS ar
+  FROM ae2
+),
+offs(dq, dr) AS (VALUES
+    {vals}),
+cand AS (
+  SELECT a.pq, a.pr, a.n, a.aq + o.dq AS ccq, a.ar + o.dr AS ccr
+  FROM aenc a CROSS JOIN offs o
+),
+cc0 AS (
+  SELECT *, {D(size)} * 1.5 * ccr AS cclat,
+         {D(size)} * sqrt(3) * (ccq + ccr / 2.0) AS cclon
+  FROM cand
+),
+ce0 AS (
+  SELECT *, (sqrt(3)/3 * cclon - cclat/3) / {D(psize)} AS cqf,
+            (2 * cclat / 3) / {D(psize)} AS crf
+  FROM cc0
+),
+ce1 AS (
+  SELECT *, floor(cqf + 0.5) AS crx, floor(-cqf - crf + 0.5) AS cry,
+            floor(crf + 0.5) AS crz
+  FROM ce0
+),
+ce2 AS (
+  SELECT *, abs(crx - cqf) AS cdx, abs(cry - (-cqf - crf)) AS cdy,
+            abs(crz - crf) AS cdz
+  FROM ce1
+),
+cenc AS (
+  SELECT pq, pr, n,
+    CAST(CASE WHEN cdx > cdy AND cdx > cdz THEN -cry - crz ELSE crx END
+         AS BIGINT) AS epq,
+    CAST(CASE WHEN cdx > cdy AND cdx > cdz THEN crz
+              WHEN cdy > cdz THEN crz
+              ELSE -crx - cry END AS BIGINT) AS epr
+  FROM ce2
+),
+flags AS (
+  SELECT pq, pr, any_value(n) = sum(CASE WHEN epq = pq AND epr = pr
+                                         THEN 1 ELSE 0 END) AS compact
+  FROM cenc GROUP BY pq, pr
+),
+cover AS (
+  SELECT CAST({parent_res} AS BIGINT) * {1 << 56}
+           + (pq + {hexgrid.OFF}) * {1 << 28} + (pr + {hexgrid.OFF}) AS cell,
+         CAST(1 AS BIGINT) AS is_parent
+  FROM flags WHERE compact
+  UNION ALL
+  SELECT p.cell, CAST(0 AS BIGINT) AS is_parent
+  FROM penc p JOIN flags f ON p.pq = f.pq AND p.pr = f.pr
+  WHERE NOT f.compact
+)
+SELECT cell, is_parent FROM cover ORDER BY cell"""

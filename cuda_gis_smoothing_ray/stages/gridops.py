@@ -745,3 +745,117 @@ def mixture_sample(ds, group_col: str = "source", id_col: str = "doc_id",
         )
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def compact_cells(geocoded, res: int, n_parts: int = 64):
+    """H3 ``compact_cells`` analog: replace every COMPLETE sibling group of
+    populated cells at ``res`` with its parent cell at ``res - 1``, keep
+    incomplete groups as-is -> (cell, is_parent) where ``cell`` is either
+    a parent id (complete group, is_parent=1) or an original populated
+    cell (is_parent=0).
+
+    "Complete" is arithmetic, no stored hierarchy: a child belongs to
+    parent P iff its center cube-rounds into P (the shared
+    ``cell_to_parent`` relation), and P's full child set is enumerated by
+    re-encoding the parent center back at ``res`` and probing its k-ring-2
+    disc (19 candidates — a child center lies within 2 parent-edge
+    lengths = 2x the child circumradius of the parent center, so hex
+    distance <= floor(3s / s*sqrt(3)) = 2 from the anchor; the aperture-4
+    grid has ~4 true children among the 19).
+
+    Scale shape: distinct-cell partials, ONE parent-keyed bounded shuffle
+    for group sizes (expected counts are computed vectorized on the
+    parent rows, 19 probes wide), one parent-keyed co-partitioned merge
+    to emit the cover — pages never reshuffle, the driver holds nothing.
+    """
+    import pandas as pd
+
+    from ..functions import hashing
+
+    if res - 1 < hexgrid.RES_MIN:
+        raise ValueError(f"compact_cells needs res-1 >= {hexgrid.RES_MIN}")
+    parent_res = res - 1
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        _, q, r = hexgrid.unpack(cell)
+        clat, clon = hexgrid.axial_to_latlon(q, r, res)
+        parent = hexgrid.latlon_to_cell(clat, clon, parent_res)
+        return pa.table({"cell": pa.array(cell), "parent": pa.array(parent),
+                         "one": pa.array(np.ones(len(cell), np.int64))})
+
+    pairs = cell_counts(geocoded, n_parts).map_batches(
+        to_pairs, batch_format="pyarrow", batch_size=None).materialize()
+
+    counts = hash_groupby(
+        pairs.map_batches(
+            lambda b: pa.table({"parent": b.column("parent"),
+                                "one": b.column("one")}),
+            batch_format="pyarrow", batch_size=None),
+        "parent", ["one"], how="isum", n_parts=n_parts,
+    )
+
+    offs = hexgrid.ring_offsets(1) + hexgrid.ring_offsets(2) + [(0, 0)]
+    dq = np.array([o[0] for o in offs], dtype=np.int64)
+    dr = np.array([o[1] for o in offs], dtype=np.int64)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        parent = batch.column("parent").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        n_present = batch.column("one").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        _, pq, pr = hexgrid.unpack(parent)
+        plat, plon = hexgrid.axial_to_latlon(pq, pr, parent_res)
+        aq, ar = hexgrid.latlon_to_axial(plat, plon, res)
+        cq = aq[:, None] + dq[None, :]
+        cr = ar[:, None] + dr[None, :]
+        clat, clon = hexgrid.axial_to_latlon(cq, cr, res)
+        pq2, pr2 = hexgrid.latlon_to_axial(clat, clon, parent_res)
+        expected = ((pq2 == pq[:, None]) & (pr2 == pr[:, None])) \
+            .sum(axis=1).astype(np.int64)
+        return pa.table({"parent": pa.array(parent),
+                         "compact": pa.array(n_present == expected)})
+
+    flags = counts.map_batches(flag, batch_format="pyarrow", batch_size=None)
+
+    def tag_flag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch.column("parent"),
+            "a": pa.array(batch.column("compact").to_numpy(
+                zero_copy_only=False).astype(np.int64)),
+            "kind": pa.array(np.zeros(len(batch), np.int8)),
+        })
+
+    def tag_pair(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("parent"),
+                         "a": batch.column("cell"),
+                         "kind": pa.array(np.ones(len(batch), np.int8))})
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "__part", pa.array(hashing.coarse_partition(k, n_parts)))
+
+    def emit_cover(df: pd.DataFrame) -> pd.DataFrame:
+        fl = df[df["kind"] == 0][["key", "a"]].rename(columns={"a": "compact"})
+        ch = df[df["kind"] == 1][["key", "a"]].rename(columns={"a": "cell"})
+        m = ch.merge(fl, on="key")
+        keep_child = m[m["compact"] == 0]
+        parents = fl[fl["compact"] == 1]
+        return pd.DataFrame({
+            "cell": np.concatenate([parents["key"].to_numpy(np.int64),
+                                    keep_child["cell"].to_numpy(np.int64)]),
+            "is_parent": np.concatenate([
+                np.ones(len(parents), np.int64),
+                np.zeros(len(keep_child), np.int64)]),
+        })
+
+    return (
+        flags.map_batches(tag_flag, batch_format="pyarrow", batch_size=None)
+        .union(pairs.map_batches(tag_pair, batch_format="pyarrow",
+                                 batch_size=None))
+        .map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(emit_cover)
+        .sort("cell")
+    )
