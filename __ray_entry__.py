@@ -897,6 +897,35 @@ def _q_inverted_index(sf_dir: str):
     return textops.inverted_index(_docs(sf_dir)).sort("token")
 
 
+def _q_oov_rate(sf_dir: str):
+    """Per-doc out-of-vocabulary rate vs the corpus-learned top-k df
+    vocabulary (stages/textops.oov_rate; exact string membership)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.oov_rate(_docs(sf_dir))
+
+
+def _q_token_budget_select(sf_dir: str):
+    """Greedy token-budget curation: longest docs first until 1/4 of the
+    corpus token total (stages/textops.token_budget_select; bounded
+    value-histogram CDF + one-bin boundary resolve)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.token_budget_select(
+        _docs(sf_dir, cols=("doc_id", "text", "n_chars")))
+
+
+def _q_decision_stump(sf_dir: str):
+    """Optimal 1-D decision stump predicting lang=='en' from n_chars
+    (stages/sketch.decision_stump; exact misclassification argmin over
+    the bounded value histogram)."""
+    from cuda_gis_smoothing_ray.stages.sketch import decision_stump
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    return decision_stump(read_documents(sf_dir,
+                                         columns=("doc_id", "n_chars", "lang")))
+
+
 def _q_bigram_pmi(sf_dir: str):
     """PMI collocation extraction over consecutive token pairs (two keyed
     shuffle joins onto the unigram table — vocabulary never broadcast)."""
@@ -2613,6 +2642,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": _q_bigram_pmi,
         "kcore": _q_kcore,
         "inverted_index": _q_inverted_index,
+        "oov_rate": _q_oov_rate,
+        "token_budget_select": _q_token_budget_select,
+        "decision_stump": _q_decision_stump,
         "grouped_corr": _q_grouped_corr,
         "heavy_hitters": _q_heavy_hitters,
         "cms_user_counts": _q_cms_user_counts,
@@ -2838,6 +2870,9 @@ def oracle_sql() -> dict[str, str]:
         "bigram_pmi": oc.bigram_pmi_sql(),
         "kcore": oc.kcore_sql(),
         "inverted_index": oc.inverted_index_sql(),
+        "oov_rate": oc.oov_rate_sql(),
+        "token_budget_select": oc.token_budget_select_sql(),
+        "decision_stump": oc.decision_stump_sql(),
         "grouped_corr": oc.grouped_corr_sql(),
         "heavy_hitters": oc.heavy_hitters_sql(),
         "cms_user_counts": oc.cms_user_counts_sql(),

@@ -3691,3 +3691,79 @@ def hits_sql(iterations: int | None = None) -> str:
 SELECT h.host, h.v AS hub, a.v AS auth
 FROM h{iterations} h JOIN a{iterations} a ON h.host = a.host
 ORDER BY h.host"""
+
+
+def oov_rate_sql(vocab_k: int | None = None) -> str:
+    """Oracle of stages/textops.oov_rate: same \\s+ tokenization, top-k df
+    vocabulary (df DESC, token ASC), per-doc OOV fraction in the engine's
+    canonical rounding."""
+    from ..stages import textops
+
+    vocab_k = textops.OOV_VOCAB_K if vocab_k is None else vocab_k
+    return f"""WITH tok AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> '')) AS token
+  FROM documents
+), df AS (
+  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM tok GROUP BY token
+), vocab AS (
+  SELECT token FROM df ORDER BY df DESC, token LIMIT {vocab_k}
+), pd AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(sum(CASE WHEN token IN (SELECT token FROM vocab)
+                  THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+  FROM tok GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_oov,
+  {round6('CAST(n_oov AS DOUBLE) / n_tokens')} AS oov_rate
+FROM pd ORDER BY doc_id"""
+
+
+def token_budget_select_sql(budget_den: int | None = None) -> str:
+    """Oracle of stages/textops.token_budget_select: window running token
+    sum in (n_chars DESC, doc_id) order, keep while cum <= total //
+    budget_den."""
+    from ..stages import textops
+
+    budget_den = textops.TOKEN_BUDGET_DEN if budget_den is None else budget_den
+    return f"""WITH t AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), b AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) // {budget_den} AS budget FROM t
+), w AS (
+  SELECT *, sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id) AS cum FROM t
+)
+SELECT doc_id, n_chars, n_tokens FROM w
+WHERE cum <= (SELECT budget FROM b)
+ORDER BY doc_id"""
+
+
+def decision_stump_sql() -> str:
+    """Oracle of stages/sketch.decision_stump: cumulative class counts
+    over the n_chars value histogram, majority-vote misclassification
+    argmin (ties: smallest threshold)."""
+    return f"""WITH h AS (
+  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos
+  FROM documents GROUP BY n_chars
+), c AS (
+  SELECT v, sum(n) OVER (ORDER BY v) AS nL,
+         sum(pos) OVER (ORDER BY v) AS posL,
+         (SELECT sum(n) FROM h) AS n_tot,
+         (SELECT sum(pos) FROM h) AS pos_tot
+  FROM h
+), s AS (
+  SELECT v, nL, n_tot - nL AS nR,
+    least(posL, nL - posL)
+      + least(pos_tot - posL, (n_tot - nL) - (pos_tot - posL)) AS err,
+    n_tot
+  FROM c
+)
+SELECT CAST(v AS BIGINT) AS threshold, CAST(nL AS BIGINT) AS n_left,
+       CAST(nR AS BIGINT) AS n_right, CAST(err AS BIGINT) AS err,
+       {round6('1.0 - CAST(err AS DOUBLE) / n_tot')} AS acc
+FROM s ORDER BY err, v LIMIT 1"""

@@ -1037,3 +1037,57 @@ def quantile_normalize(ds, group_col: str, col_fn):
         .groupby("__part")
         .map_groups(solve, batch_format="pandas")
     )
+
+
+def decision_stump(docs_ds):
+    """documents -> one-row (threshold, n_left, n_right, err, acc): the
+    optimal 1-D decision stump predicting ``lang == 'en'`` from
+    ``n_chars`` — the split value minimizing total misclassifications
+    when each side votes its majority class (ties: smaller threshold).
+    The supervised-split primitive under every tree learner, exact.
+
+    Scale shape: ONE bounded value-histogram shuffle — batch-local
+    (n_chars, n, n_pos) partials, distinct-value keyed reduce — then the
+    driver walks the CDF once (histogram-sized, never doc rows).  All
+    integer math; ``acc`` is the engine's canonical
+    ``floor(x * 1e6 + 0.5) / 1e6`` of the exact fraction."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        en = (np.asarray(batch.column("lang").to_pylist(), dtype=object)
+              == "en").astype(np.int64)
+        uniq, inv = np.unique(v, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        p = np.zeros(len(uniq), np.int64)
+        np.add.at(p, inv, en)
+        return pa.table({"v": pa.array(uniq), "n": pa.array(n),
+                         "pos": pa.array(p)})
+
+    hist = hash_groupby(
+        docs_ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "v", ["n", "pos"], how="isum",
+    ).to_pandas()  # bounded by distinct n_chars values
+    hist = hist.sort_values("v").reset_index(drop=True)
+    v = hist["v"].to_numpy(np.int64)
+    n = hist["n"].to_numpy(np.int64)
+    pos = hist["pos"].to_numpy(np.int64)
+    n_tot, pos_tot = int(n.sum()), int(pos.sum())
+    nL = np.cumsum(n)
+    posL = np.cumsum(pos)
+    negL = nL - posL
+    nR = n_tot - nL
+    posR = pos_tot - posL
+    negR = nR - posR
+    err = np.minimum(posL, negL) + np.minimum(posR, negR)
+    best = int(np.argmin(err))  # np.argmin takes the FIRST min — smallest v
+    acc = float(np.floor((1.0 - err[best] / n_tot) * 1e6 + 0.5) / 1e6)
+    return rd.from_arrow(pa.table({
+        "threshold": pa.array([int(v[best])], pa.int64()),
+        "n_left": pa.array([int(nL[best])], pa.int64()),
+        "n_right": pa.array([int(nR[best])], pa.int64()),
+        "err": pa.array([int(err[best])], pa.int64()),
+        "acc": pa.array([acc], pa.float64()),
+    }))

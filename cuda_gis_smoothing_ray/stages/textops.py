@@ -3032,3 +3032,224 @@ def dup_span_coverage(ds, w: int = SPAN_W, n_parts: int = _PAIR_PARTS):
         .groupby("__p2")
         .map_groups(coverage, batch_format="pandas")
     )
+
+
+OOV_VOCAB_K = 1000
+
+
+def oov_rate(ds, vocab_k: int = OOV_VOCAB_K, n_parts: int = _PAIR_PARTS):
+    """documents -> (doc_id, n_tokens, n_oov, oov_rate): per-document
+    out-of-vocabulary rate against a vocabulary LEARNED from the corpus —
+    the top ``vocab_k`` whitespace tokens by document frequency
+    (ties: token ascending).  The tokenizer-coverage diagnostic every
+    vocab-bounded training pipeline needs (is this doc mostly tokens the
+    model has never seen?).
+
+    Scale shape: phase A reuses the distinct-(doc, token) partials of
+    :func:`tfidf` -> one token-hash bounded shuffle for df -> per-partition
+    local top-k, driver merges n_parts * k rows (k-bounded, never the
+    vocabulary); phase B broadcasts the k-token vocab once (``ray.put``)
+    and scans docs batch-locally — exact STRING membership via pandas
+    ``isin`` on each batch's token dictionary (never per-token hash
+    equality, which could silently collide).  No doc rows ever shuffle.
+    Docs with zero tokens are absent (no denominator), matching the SQL.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc_
+
+    from ..functions.hashing import fnv_token_hash64
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(doc_id) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "__part": pa.array([], pa.int64())})
+        split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        n_words = split.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = split.flatten()
+        row_idx = np.repeat(np.arange(len(doc_id), dtype=np.int64), n_words)
+        nonempty = pc_.not_equal(flat, "")
+        row_idx = row_idx[nonempty.to_numpy(zero_copy_only=False)]
+        toks = flat.filter(nonempty)
+        if len(toks) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64()),
+                             "__part": pa.array([], pa.int64())})
+        dic = toks.dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = row_idx * (codes.max() + 1) + codes
+        _, uidx = np.unique(packed, return_index=True)
+        ucodes = codes[uidx]
+        uniq_c, cnt = np.unique(ucodes, return_counts=True)
+        tok_arr = dic.dictionary.take(pa.array(uniq_c))
+        thash = fnv_token_hash64(tok_arr).view(np.int64)
+        return pa.table({
+            "token": tok_arr,
+            "df": pa.array(cnt.astype(np.int64)),
+            "__part": pa.array(hashing.coarse_partition(thash, n_parts)),
+        })
+
+    def topk_of_part(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("token", sort=False)["df"].sum().reset_index()
+        g = g.sort_values(["df", "token"], ascending=[False, True],
+                          kind="mergesort").head(vocab_k)
+        return g[["token", "df"]]
+
+    local = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(topk_of_part, batch_format="pandas")
+        .to_pandas()  # n_parts * vocab_k rows — k-bounded, never |vocab|
+    )
+    local = local.sort_values(["df", "token"], ascending=[False, True],
+                              kind="mergesort").head(vocab_k)
+    vocab = set(local["token"].tolist())
+    import ray
+    vocab_ref = ray.put(vocab)
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        voc = ray.get(vocab_ref)
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "n_oov": pa.array([], pa.int64()),
+                          "oov_rate": pa.array([], pa.float64())})
+        if len(doc_id) == 0:
+            return empty
+        split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        n_words = split.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = split.flatten()
+        row_idx = np.repeat(np.arange(len(doc_id), dtype=np.int64), n_words)
+        nonempty = pc_.not_equal(flat, "")
+        row_idx = row_idx[nonempty.to_numpy(zero_copy_only=False)]
+        toks = flat.filter(nonempty)
+        if len(toks) == 0:
+            return empty
+        dic = toks.dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        in_vocab = pd.Series(dic.dictionary.to_pandas()).isin(voc).to_numpy()
+        n_tok = np.bincount(row_idx, minlength=len(doc_id)).astype(np.int64)
+        oov = np.bincount(row_idx, weights=(~in_vocab[codes]).astype(np.float64),
+                          minlength=len(doc_id)).astype(np.int64)
+        has = n_tok > 0
+        rate = np.floor(oov[has] / n_tok[has] * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "doc_id": pa.array(doc_id[has]),
+            "n_tokens": pa.array(n_tok[has]),
+            "n_oov": pa.array(oov[has]),
+            "oov_rate": pa.array(rate),
+        })
+
+    return ds.map_batches(per_doc, batch_format="pyarrow").sort("doc_id")
+
+
+#: select docs (best n_chars first) until this fraction of total tokens
+TOKEN_BUDGET_DEN = 4
+
+
+def token_budget_select(ds, budget_den: int = TOKEN_BUDGET_DEN,
+                        n_parts: int = _PAIR_PARTS):
+    """documents -> (doc_id, n_chars, n_tokens): greedy token-budget
+    curation — walk docs in (n_chars DESC, doc_id ASC) order and keep
+    every doc while the running token total stays <= total_tokens //
+    ``budget_den`` (the "fill a 25% token budget with the longest docs
+    first" selection a fixed-compute training run makes).
+
+    Scale shape: ONE scan computes per-doc token counts and batch-local
+    (n_chars, sum_tokens, n_docs) partials; the bounded value-histogram
+    shuffles (distinct n_chars values, not docs); the driver walks the
+    histogram CDF to find the threshold value and the leftover budget
+    INSIDE the boundary bucket; only boundary-bucket docs (one histogram
+    bin) go through the doc_id-ordered bounded resolve (the quota_sample
+    discipline).  Full-bucket docs stream out with a batch-local filter.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc_
+
+    from ..functions.reduce import hash_groupby
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        nch = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        n_words = split.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = split.flatten()
+        row_idx = np.repeat(np.arange(len(doc_id), dtype=np.int64), n_words)
+        nonempty = pc_.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        n_tok = np.bincount(row_idx[nonempty], minlength=len(doc_id)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(doc_id), "n_chars": pa.array(nch),
+                         "n_tokens": pa.array(n_tok)})
+
+    counted = ds.map_batches(tok_counts, batch_format="pyarrow").materialize()
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        t = batch.column("n_tokens").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(v, return_inverse=True)
+        st = np.zeros(len(uniq), np.int64)
+        np.add.at(st, inv, t)
+        return pa.table({"n_chars": pa.array(uniq), "sum_tok": pa.array(st)})
+
+    hist = hash_groupby(
+        counted.map_batches(hist_partial, batch_format="pyarrow",
+                            batch_size=None),
+        "n_chars", ["sum_tok"], how="isum", n_parts=n_parts,
+    ).to_pandas()  # bounded by distinct n_chars values
+    hist = hist.sort_values("n_chars", ascending=False).reset_index(drop=True)
+    total = int(hist["sum_tok"].sum())
+    budget = total // budget_den
+    cum = hist["sum_tok"].cumsum().to_numpy()
+    vals = hist["n_chars"].to_numpy().astype(np.int64)
+    # full buckets: every value v where cum(v) <= budget
+    n_full = int(np.searchsorted(cum, budget, side="right"))
+    thresh = int(vals[n_full - 1]) if n_full > 0 else None
+    spent = int(cum[n_full - 1]) if n_full > 0 else 0
+    boundary_val = int(vals[n_full]) if n_full < len(vals) else None
+    remaining = budget - spent
+
+    import ray
+    full_ref = ray.put(thresh)
+
+    def full_filter(batch: pa.Table) -> pa.Table:
+        th = ray.get(full_ref)
+        if th is None:
+            return batch.slice(0, 0)
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(v >= th))
+
+    out_full = counted.map_batches(full_filter, batch_format="pyarrow",
+                                   batch_size=None)
+    if boundary_val is None or remaining <= 0:
+        return out_full.sort("doc_id")
+
+    # bounded resolve: ONE histogram bin of docs, doc_id-ordered prefix
+    bval_ref = ray.put(boundary_val)
+
+    def boundary_filter(batch: pa.Table) -> pa.Table:
+        bv = ray.get(bval_ref)
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(v == bv))
+
+    bnd = counted.map_batches(boundary_filter, batch_format="pyarrow",
+                              batch_size=None) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    bcum = bnd["n_tokens"].cumsum().to_numpy()
+    keep = bnd[bcum <= remaining]
+    import ray.data as rd
+    out_bnd = rd.from_arrow(pa.table({
+        "doc_id": pa.array(keep["doc_id"].to_numpy(np.int64)),
+        "n_chars": pa.array(keep["n_chars"].to_numpy(np.int64)),
+        "n_tokens": pa.array(keep["n_tokens"].to_numpy(np.int64)),
+    }))
+    return out_full.union(out_bnd).sort("doc_id")
