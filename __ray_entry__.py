@@ -88,6 +88,16 @@ def _q_parse_urls(sf_dir: str):
     return parse_urls(read_pages(sf_dir, include_html=False)).sort("page_id")
 
 
+def _q_recrawl_stats(sf_dir: str):
+    """Per-host recapture-interval stats over 3 crawl snapshots
+    (stages/extract.recrawl_stats; one host-keyed shuffle, segmented
+    diffs, mixed isum/min/max reduce)."""
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.extract import recrawl_stats
+
+    return recrawl_stats(read_pages(sf_dir, replicate=3, include_html=False))
+
+
 def _q_latest_capture(sf_dir: str):
     """Crawl-refresh dedup: 3 snapshots per url (read_pages replicate=3),
     keep the newest capture — vectorized two-phase argmax, Python per
@@ -2020,6 +2030,15 @@ def _q_host_rank(sf_dir: str):
     return textops.host_rank(_docs(sf_dir)).sort("doc_id")
 
 
+def _q_burst_hours(sf_dir: str):
+    """Burst/anomaly hours of the dense hourly event series: count >
+    mean + 2 sigma, exact big-int cleared threshold
+    (stages/events.burst_hours)."""
+    from cuda_gis_smoothing_ray.stages import events as ev
+
+    return ev.burst_hours(ev.read_events(sf_dir))
+
+
 def _q_event_autocorr(sf_dir: str):
     """ACF of the hourly event-count series (dense, zeros filled): one
     bounded hour reduce, exact big-int moments, one rounded division."""
@@ -2704,6 +2723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "attribution": _q_attribution,
         "event_autocorr": _q_event_autocorr,
+        "burst_hours": _q_burst_hours,
         "host_rank": _q_host_rank,
         "event_context": _q_event_context,
         "user_activity_full": _q_user_activity_full,
@@ -2769,6 +2789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_text": _q_extract_text,
         "parse_urls": _q_parse_urls,
         "latest_capture": _q_latest_capture,
+        "recrawl_stats": _q_recrawl_stats,
         "geocode_cells": _q_geocode_cells,
         "cell_metrics": _q_cell_metrics,
         "hex_gradient": _q_hex_gradient,
@@ -2933,6 +2954,7 @@ def oracle_sql() -> dict[str, str]:
         "event_transitions": oc.event_transitions_sql(),
         "attribution": oc.attribution_sql(),
         "event_autocorr": oc.event_autocorr_sql(),
+        "burst_hours": oc.burst_hours_sql(),
         "host_rank": oc.host_rank_sql(),
         "event_context": oc.event_context_sql(),
         "user_activity_full": oc.user_activity_full_sql(),
@@ -3025,6 +3047,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_text": o.extract_text_sql(),
         "parse_urls": o.parse_urls_sql(),
         "latest_capture": oc.latest_capture_sql(),
+        "recrawl_stats": oc.recrawl_stats_sql(),
         "geocode_cells": o.geocode_cells_sql(RES),
         "cell_metrics": o.cell_metrics_sql(RES),
         "neighbor_stats": o.neighbor_stats_sql(RES),

@@ -3767,3 +3767,59 @@ SELECT CAST(v AS BIGINT) AS threshold, CAST(nL AS BIGINT) AS n_left,
        CAST(nR AS BIGINT) AS n_right, CAST(err AS BIGINT) AS err,
        {round6('1.0 - CAST(err AS DOUBLE) / n_tot')} AS acc
 FROM s ORDER BY err, v LIMIT 1"""
+
+
+def burst_hours_sql(sigmas: int | None = None) -> str:
+    """Oracle of stages/events.burst_hours: dense hourly series, exact
+    HUGEINT mean/variance-cleared threshold (c*n - S1)^2 > k^2*(n*S2 -
+    S1^2) with (c*n - S1) > 0."""
+    from ..stages import events
+
+    k = events.BURST_SIGMAS if sigmas is None else sigmas
+    return f"""WITH h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+), dense AS (
+  SELECT g.hr, CAST(coalesce(h.cnt, 0) AS BIGINT) AS x
+  FROM (SELECT unnest(generate_series((SELECT min(hr) FROM h),
+                                      (SELECT max(hr) FROM h))) AS hr) g
+  LEFT JOIN h ON h.hr = g.hr
+), st AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS s1,
+    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS s2
+  FROM dense
+)
+SELECT d.hr, d.x AS cnt
+FROM dense d, st
+WHERE CAST(d.x AS HUGEINT) * st.n - st.s1 > 0
+  AND (CAST(d.x AS HUGEINT) * st.n - st.s1)
+      * (CAST(d.x AS HUGEINT) * st.n - st.s1)
+      > {k * k} * (st.n * st.s2 - st.s1 * st.s1)
+ORDER BY d.hr"""
+
+
+def recrawl_stats_sql(replicate: int = 3) -> str:
+    """Oracle of stages/extract.recrawl_stats over read_pages(replicate):
+    LAG gaps per host over capture times, exact integer n/sum/min/max,
+    canonical rounded mean."""
+    from ..functions import geocode
+    from .oracles import pages_replicated_cte, round6
+
+    return f"""WITH {pages_replicated_cte(replicate)},
+hp AS (
+  SELECT (doc_id * {geocode.TLD_MULT}) % {geocode.HOST_MOD} AS host,
+         epoch_us(warc_ts) // 1000000 AS t
+  FROM pages_rep
+), g AS (
+  SELECT host, t - lag(t) OVER (PARTITION BY host ORDER BY t) AS gap
+  FROM hp
+), a AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_gaps,
+         CAST(sum(gap) AS BIGINT) AS sum_gap,
+         CAST(min(gap) AS BIGINT) AS min_gap_s,
+         CAST(max(gap) AS BIGINT) AS max_gap_s
+  FROM g WHERE gap IS NOT NULL GROUP BY host
+)
+SELECT host, n_gaps, min_gap_s, max_gap_s,
+  {round6('CAST(sum_gap AS DOUBLE) / n_gaps')} AS mean_gap_s
+FROM a ORDER BY host"""

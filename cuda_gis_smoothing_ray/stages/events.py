@@ -1419,3 +1419,55 @@ def event_autocorr(ds, lags: int = ACF_LAGS):
         "n_hours": pa.array([n] * lags, pa.int64()),
         "r": pa.array(out_r, pa.float64()),
     }))
+
+
+#: burst threshold in sigmas (integer so the compare stays exact)
+BURST_SIGMAS = 2
+
+
+def burst_hours(ds, sigmas: int = BURST_SIGMAS):
+    """events -> (hr, cnt): the hours whose event count exceeds
+    ``mean + sigmas * std`` of the dense hourly series — burst / anomaly
+    detection over a crawl or traffic stream (the alerting counterpart of
+    :func:`event_autocorr`; same dense zero-filled series, missing hours
+    ARE data).
+
+    EXACT: the threshold is cleared of the rational mean/variance —
+    flag iff ``c*n - S1 > 0`` AND ``(c*n - S1)^2 > sigmas^2 * (n*S2 -
+    S1^2)`` with arbitrary-precision Python ints (S1/S2 the series
+    moments), so the HUGEINT oracle matches bit-for-bit with no float
+    anywhere.  Scale shape: ONE bounded hour-keyed count reduce (an
+    aggregate, |hours| rows); the moment pass runs on the dense
+    driver-side series like the ACF."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    def counts(batch: pa.Table) -> pa.Table:
+        h = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[h]").astype(np.int64)
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(uniq),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    hist = hash_groupby(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        "h", ["cnt"], how="isum",
+    ).to_pandas().sort_values("h")
+    if len(hist) == 0:
+        raise ValueError("burst_hours: no events")
+    hs = hist["h"].to_numpy(np.int64)
+    lo, hi = int(hs[0]), int(hs[-1])
+    x = np.zeros(hi - lo + 1, dtype=np.int64)
+    x[hs - lo] = hist["cnt"].to_numpy(np.int64)
+    n = len(x)
+    s1 = int(x.sum())
+    s2 = int((x.astype(object) * x.astype(object)).sum())
+    var_n2 = n * s2 - s1 * s1  # n^2 * variance, exact
+    dev = x.astype(object) * n - s1  # n * (c - mean)
+    flag = (dev > 0) & (dev * dev > sigmas * sigmas * var_n2)
+    keep = np.flatnonzero(np.asarray(flag, dtype=bool))
+    return rd.from_arrow(pa.table({
+        "hr": pa.array((lo + keep).astype(np.int64)),
+        "cnt": pa.array(x[keep]),
+    }))

@@ -182,3 +182,90 @@ def latest_capture(ds, n_parts: int = 64):
     out = argmax_by(ds, "url", ["warc_ts", "page_id"], ["text"],
                     n_parts=n_parts)
     return out.select_columns(["url", "page_id", "warc_ts", "text"])
+
+
+def recrawl_stats(ds, n_parts: int = 64):
+    """pages (many crawl snapshots) -> per-host recapture-interval stats:
+    (host, n_gaps, min_gap_s, max_gap_s, mean_gap_s) over the gaps between
+    SUCCESSIVE captures of each host (any page of the host counts as a
+    capture) — the crawl-scheduling diagnostic behind refresh policies
+    (how stale does a host get between visits?).  Hosts with a single
+    capture have no interval and are absent, like the SQL LAG.
+
+    Scale shape: (host, t) rows shuffle ONCE by coarse host hash; each
+    partition lexsorts (host, t) and takes segmented diffs (np.diff with
+    run boundaries dropped) -> per-host (n, sum, min, max) partials; a
+    host-keyed mixed reduce (isum/min/max in ONE shuffle) finishes.
+    Python cost per PARTITION, never per host."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions import geocode, hashing
+    from ..functions.reduce import hash_groupby
+
+    def emit(batch: pa.Table) -> pa.Table:
+        from ..sources.pages import REP_STRIDE
+
+        pid = batch.column("page_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        host = geocode.host_id(pid % REP_STRIDE)  # doc_id = page_id % stride
+        t = batch.column("warc_ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64) // 1_000_000
+        return pa.table({
+            "host": pa.array(host.astype(np.int64)),
+            "t": pa.array(t),
+            "__part": pa.array(hashing.coarse_partition(
+                host.astype(np.int64), n_parts)),
+        })
+
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["host"].to_numpy(np.int64)
+        t = df["t"].to_numpy(np.int64)
+        order = np.lexsort((t, h))
+        h, t = h[order], t[order]
+        same = h[1:] == h[:-1]
+        gap = np.diff(t)[same]
+        gh = h[1:][same]
+        if len(gh) == 0:
+            return pd.DataFrame({"host": np.array([], np.int64),
+                                 "n_gaps": np.array([], np.int64),
+                                 "sum_gap": np.array([], np.int64),
+                                 "min_gap_s": np.array([], np.int64),
+                                 "max_gap_s": np.array([], np.int64)})
+        uniq, inv = np.unique(gh, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, inv, gap)
+        mn = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mn, inv, gap)
+        mx = np.full(len(uniq), np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(mx, inv, gap)
+        return pd.DataFrame({"host": uniq, "n_gaps": n, "sum_gap": s,
+                             "min_gap_s": mn, "max_gap_s": mx})
+
+    agg = hash_groupby(
+        ds.map_batches(emit, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(solve, batch_format="pandas"),
+        "host", ["n_gaps", "sum_gap", "min_gap_s", "max_gap_s"],
+        how={"n_gaps": "isum", "sum_gap": "isum",
+             "min_gap_s": "min", "max_gap_s": "max"},
+        n_parts=n_parts,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np_
+
+        n = batch.column("n_gaps").to_numpy(zero_copy_only=False)
+        s = batch.column("sum_gap").to_numpy(zero_copy_only=False)
+        mean = np_.floor(s.astype(np_.float64) / n * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "host": batch.column("host"),
+            "n_gaps": batch.column("n_gaps"),
+            "min_gap_s": batch.column("min_gap_s"),
+            "max_gap_s": batch.column("max_gap_s"),
+            "mean_gap_s": pa.array(mean),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None).sort("host")
