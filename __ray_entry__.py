@@ -1291,6 +1291,14 @@ def _q_ann_topk(sf_dir: str):
     )
 
 
+def _q_jl_project(sf_dir: str):
+    """Exact fixed-point Johnson-Lindenstrauss +-1 projection of the
+    embedding table (stages/ann.jl_project; streaming, no shuffle)."""
+    from cuda_gis_smoothing_ray.stages import ann
+
+    return ann.jl_project(ann.read_embeddings(sf_dir))
+
+
 def _q_embedding_gram(sf_dir: str):
     """Exact fixed-point Gram matrix of the embedding table: per-batch
     integer matmul partials, dim^2 shuffle independent of row count."""
@@ -2689,6 +2697,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall": _q_ann_recall,
         "ann_range_search": _q_ann_range,
         "embedding_gram": _q_embedding_gram,
+        "jl_project": _q_jl_project,
         "embedding_neardup": _q_neardup,
         "label_centroids": _q_label_centroids,
         "quantize_int8": _q_quantize_int8,
@@ -2918,6 +2927,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": oc.ann_topk_sql(ANN_K),
         "ann_range_search": oc.ann_range_sql(),
         "embedding_gram": oc.embedding_gram_sql(),
+        "jl_project": oc.jl_project_sql(),
         "knn_graph": oc.ann_topk_sql(KNN_GRAPH_K, n_queries=1 << 40),
         "semantic_dedup": oc.semantic_dedup_sql(NEARDUP_T),
         "embedding_neardup": oc.embedding_neardup_sql(NEARDUP_T),

@@ -3823,3 +3823,33 @@ hp AS (
 SELECT host, n_gaps, min_gap_s, max_gap_s,
   {round6('CAST(sum_gap AS DOUBLE) / n_gaps')} AS mean_gap_s
 FROM a ORDER BY host"""
+
+
+def jl_project_sql(k: int | None = None, scale: int | None = None,
+                   dim: int = 64) -> str:
+    """Oracle of stages/ann.jl_project: the same fixed-point integer
+    matmul against the +-1 sign matrix, inlined as a VALUES table from
+    the SAME Python generator (``ann.jl_signs``)."""
+    from ..stages import ann
+
+    k = ann.JL_K if k is None else k
+    s = ann.GRAM_SCALE if scale is None else scale
+    signs = ann.jl_signs(dim, k)
+    vals = ",\n    ".join(
+        f"({i + 1}, {t + 1}, {int(signs[i, t])})"
+        for i in range(dim) for t in range(k))
+    return f"""WITH e AS (
+  SELECT vec_id, unnest(embedding) AS x,
+    generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), f AS (
+  SELECT vec_id, i,
+    CAST(floor(CAST(x AS DOUBLE) * {s}.0 + 0.5) AS BIGINT) AS xf
+  FROM e
+), signs(i, t, sgn) AS (VALUES
+    {vals})
+SELECT f.vec_id, CAST(s.t AS BIGINT) AS t,
+       CAST(sum(f.xf * s.sgn) AS BIGINT) AS proj
+FROM f JOIN signs s ON f.i = s.i
+GROUP BY f.vec_id, s.t
+ORDER BY f.vec_id, t"""

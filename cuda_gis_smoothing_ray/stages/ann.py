@@ -873,3 +873,54 @@ def embedding_gram(ds, scale: int = GRAM_SCALE):
 
     return red.map_batches(unpack, batch_format="pyarrow",
                            batch_size=None).sort(["i", "j"])
+
+
+JL_K = 16
+JL_SEED = 7
+
+
+def jl_signs(dim: int, k: int = JL_K, seed: int = JL_SEED) -> np.ndarray:
+    """The deterministic (dim, k) +-1 Johnson-Lindenstrauss sign matrix:
+    bit 0 of splitmix64(seed * 2^40 + i * 2^20 + t) — a shared constant
+    both the engine and the SQL-oracle builder derive from the same
+    function (the oracle inlines it as a VALUES table, like the smoothing
+    offsets)."""
+    from ..functions.hashing import splitmix64
+
+    i = np.arange(dim, dtype=np.int64)[:, None]
+    t = np.arange(k, dtype=np.int64)[None, :]
+    key = (np.int64(seed) << np.int64(40)) + (i << np.int64(20)) + t
+    bit = (splitmix64(key.reshape(-1)) & np.uint64(1)).astype(np.int64)
+    return (1 - 2 * bit).reshape(dim, k)
+
+
+def jl_project(ds, k: int = JL_K, scale: int = GRAM_SCALE,
+               seed: int = JL_SEED):
+    """embeddings -> (vec_id, t, proj): EXACT Johnson-Lindenstrauss
+    projection of every embedding onto ``k`` +-1 hash-sign directions —
+    the dimensionality-reduction front of LSH/sketching pipelines, in
+    fixed point so it is bit-reproducible (coordinates quantized once via
+    ``floor(x * scale + 0.5)``, then a pure int64 matmul against the sign
+    matrix; |proj| <= dim * max|x| * scale, far inside int64).
+
+    Scale shape: fully streaming — the (dim, k) sign matrix is a
+    per-worker constant (re-derived from the seed, nothing shipped), each
+    batch does ONE integer matmul, no shuffle at all.  ``t`` is 1-based
+    like the Gram indices."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _emb_matrix(batch).astype(np.float64)
+        xf = np.floor(x * float(scale) + 0.5).astype(np.int64)
+        signs = jl_signs(xf.shape[1], k, seed)
+        proj = xf @ signs  # (n, k) exact int64
+        n = len(batch)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vid, k)),
+            "t": pa.array(np.tile(np.arange(1, k + 1, dtype=np.int64), n)),
+            "proj": pa.array(proj.reshape(-1)),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .sort(["vec_id", "t"])
