@@ -539,6 +539,14 @@ def _q_zonal_stats(sf_dir: str):
     return zonal_stats(_geocoded(sf_dir)).sort("poly_id")
 
 
+def _q_zonal_majority(sf_dir: str):
+    """Per-polygon majority lang (raster-zone mode; |polys| x |langs|
+    bounded reduce, pages never shuffle)."""
+    from cuda_gis_smoothing_ray.stages.spatialjoin import zonal_majority
+
+    return zonal_majority(_geocoded(sf_dir))
+
+
 def _q_idw(sf_dir: str):
     from cuda_gis_smoothing_ray.stages.spatialjoin import idw_interpolate
 
@@ -602,6 +610,14 @@ def _q_compact_cells(sf_dir: str):
     from cuda_gis_smoothing_ray.stages.gridops import compact_cells
 
     return compact_cells(_geocoded(sf_dir), res=RES)
+
+
+def _q_uncompact_cells(sf_dir: str):
+    """Inverse of compact: expand complete parents back to full child
+    sets; oracle is the round-trip law (== original populated cells)."""
+    from cuda_gis_smoothing_ray.stages.gridops import uncompact_cells
+
+    return uncompact_cells(_geocoded(sf_dir), res=RES)
 
 
 def _q_grid_disk(sf_dir: str):
@@ -2612,6 +2628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polyfill": _q_polyfill,
         "distance_join": _q_distance_join,
         "zonal_stats": _q_zonal_stats,
+        "zonal_majority": _q_zonal_majority,
         "idw_interpolate": _q_idw,
         "nearest_polygon": _q_nearest_polygon,
         "geohash": _q_geohash,
@@ -2623,6 +2640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_boundary": _q_cell_boundary,
         "cell_parent": _q_cell_parent,
         "compact_cells": _q_compact_cells,
+        "uncompact_cells": _q_uncompact_cells,
         "grid_disk": _q_grid_disk,
         "dedup_canonical": _q_dedup_canonical,
         "len_histogram": _q_len_histogram,
@@ -3039,6 +3057,7 @@ def oracle_sql() -> dict[str, str]:
         "polyfill": o.polyfill_sql(RES),
         "distance_join": o.distance_join_sql(RES, 1.0),
         "zonal_stats": o.zonal_stats_sql(RES),
+        "zonal_majority": o.zonal_majority_sql(RES),
         "idw_interpolate": o.idw_interpolate_sql(RES, 25.0),
         "nearest_polygon": o.nearest_polygon_sql(RES),
         "geohash": o.geohash_sql(RES),
@@ -3050,6 +3069,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_boundary": o.cell_boundary_sql(RES),
         "cell_parent": o.cell_parent_sql(RES, RES - 1),
         "compact_cells": o.compact_cells_sql(RES),
+        "uncompact_cells": o.uncompact_cells_sql(RES),
         "grid_disk": o.grid_disk_sql(RES, 1),
         "dedup_canonical": oc.dedup_canonical_sql(JACCARD_T),
         "len_histogram": oc.len_histogram_sql(50),

@@ -1823,3 +1823,48 @@ cover AS (
   WHERE NOT f.compact
 )
 SELECT cell, is_parent FROM cover ORDER BY cell"""
+
+
+def uncompact_cells_sql(res: int) -> str:
+    """Oracle of stages/gridops.uncompact_cells via the ROUND-TRIP LAW:
+    uncompact(compact(populated cells)) must be exactly the original
+    distinct populated-cell set — so the oracle is simply that set.  A
+    match proves the whole compact -> expand chain (completeness flags,
+    anchor re-encode, 19-probe child enumeration) end-to-end."""
+    return f"""{prelude(res)}
+SELECT cell FROM cells ORDER BY cell"""
+
+
+def zonal_majority_sql(res: int) -> str:
+    """Oracle of stages/spatialjoin.zonal_majority: same crossing rule,
+    per-(polygon, lang) counts, argmax by (n DESC, lang ASC)."""
+    from ..stages.pip import polygon_edges
+
+    edges = ",\n    ".join(
+        f"({pid}, {D(y1)}, {D(x1)}, {D(y2)}, {D(x2)})"
+        for pid, y1, x1, y2, x2 in polygon_edges()
+    )
+    return f"""{prelude_geo(res)},
+edges(poly_id, y1, x1, y2, x2) AS (VALUES
+    {edges}),
+crossings AS (
+  SELECT p.page_id, e.poly_id, count(*) AS n_cross
+  FROM geocoded p
+  JOIN edges e
+    ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+   AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+  GROUP BY p.page_id, e.poly_id
+),
+inside AS (SELECT page_id, poly_id FROM crossings WHERE n_cross % 2 = 1),
+cl AS (
+  SELECT i.poly_id, p.lang, CAST(count(*) AS BIGINT) AS n
+  FROM inside i JOIN geocoded p ON i.page_id = p.page_id
+  GROUP BY i.poly_id, p.lang
+),
+rk AS (
+  SELECT poly_id, lang, n,
+    row_number() OVER (PARTITION BY poly_id ORDER BY n DESC, lang) AS r
+  FROM cl
+)
+SELECT poly_id, lang AS major_lang, n FROM rk WHERE r = 1
+ORDER BY poly_id"""

@@ -859,3 +859,43 @@ def compact_cells(geocoded, res: int, n_parts: int = 64):
         .map_groups(emit_cover)
         .sort("cell")
     )
+
+
+def uncompact_cells(geocoded, res: int, n_parts: int = 64):
+    """H3 ``uncompact_cells`` analog — the inverse of
+    :func:`compact_cells`: expand every parent row of the compacted cover
+    back to its FULL child set at ``res`` and pass child rows through
+    -> (cell,) at uniform resolution ``res``, sorted.
+
+    Round-trip law (regression-tested): uncompact(compact(cells)) == the
+    original populated-cell set — parents expand to exactly the sibling
+    groups that were complete.  Expansion is the same arithmetic 19-probe
+    candidate enumeration as compact (k-ring-2 of the anchor, keep
+    candidates whose center cube-rounds back into the parent); purely
+    batch-local, no shuffle beyond compact's own."""
+    cover = compact_cells(geocoded, res=res, n_parts=n_parts)
+    parent_res = res - 1
+    offs = hexgrid.ring_offsets(1) + hexgrid.ring_offsets(2) + [(0, 0)]
+    dq = np.array([o[0] for o in offs], dtype=np.int64)
+    dr = np.array([o[1] for o in offs], dtype=np.int64)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        isp = batch.column("is_parent").to_numpy(zero_copy_only=False) \
+            .astype(bool)
+        out = [cell[~isp]]
+        par = cell[isp]
+        if len(par):
+            _, pq, pr = hexgrid.unpack(par)
+            plat, plon = hexgrid.axial_to_latlon(pq, pr, parent_res)
+            aq, ar = hexgrid.latlon_to_axial(plat, plon, res)
+            cq = aq[:, None] + dq[None, :]
+            cr = ar[:, None] + dr[None, :]
+            clat, clon = hexgrid.axial_to_latlon(cq, cr, res)
+            pq2, pr2 = hexgrid.latlon_to_axial(clat, clon, parent_res)
+            ok = (pq2 == pq[:, None]) & (pr2 == pr[:, None])
+            out.append(hexgrid.pack(res, cq[ok], cr[ok]))
+        return pa.table({"cell": pa.array(np.concatenate(out))})
+
+    return cover.map_batches(expand, batch_format="pyarrow",
+                             batch_size=None).sort("cell")

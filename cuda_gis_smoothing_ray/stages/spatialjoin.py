@@ -565,3 +565,61 @@ def ripley_k(points_ds, radii: tuple[float, ...] = RIPLEY_RADII,
         "n_pairs": pa.array(n_pairs, pa.int64()),
         "k_hat": pa.array(k_hat, pa.float64()),
     }))
+
+
+def zonal_majority(points_ds):
+    """Per-polygon MAJORITY class: the most frequent ``lang`` among the
+    pages inside each polygon (ties: lexicographically smallest lang) ->
+    (poly_id, major_lang, n) — the categorical counterpart of
+    :func:`zonal_stats` (raster-zone mode, e.g. dominant land-cover class
+    per district).
+
+    Scale shape: identical to zonal_stats — each batch ray-casts against
+    the broadcast polygon set and reduces to |polys| x |langs| partial
+    rows (both bounded); one tiny keyed reduce and a per-polygon argmax
+    on the reduced table finish it.  Pages never shuffle."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ..functions.reduce import hash_groupby
+
+    polys = POLYGONS
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        lang = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        pid_o, lang_o, n_o = [], [], []
+        for pid, ring in polys:
+            inside = points_in_polygon(lat, lon, ring)
+            if not inside.any():
+                continue
+            uniq, cnt = np.unique(lang[inside].astype(str),
+                                  return_counts=True)
+            pid_o.extend([pid] * len(uniq))
+            lang_o.extend(uniq.tolist())
+            n_o.extend(cnt.astype(np.int64).tolist())
+        return pa.table({
+            "poly_id": pa.array(pid_o, pa.int64()),
+            "lang": pa.array(lang_o, pa.string()),
+            "n": pa.array(n_o, pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        points_ds.map_batches(partials, batch_format="pyarrow")
+        .groupby(["poly_id", "lang"])
+        .aggregate(Sum("n", alias_name="n"))  # |polys| x |langs| keys
+        .to_pandas()
+    )
+    counts = counts.sort_values(["poly_id", "n", "lang"],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+    top = counts.groupby("poly_id", sort=True).head(1)
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "poly_id": pa.array(top["poly_id"].to_numpy(np.int64)),
+        "major_lang": pa.array(top["lang"].tolist(), pa.string()),
+        "n": pa.array(top["n"].to_numpy(np.int64)),
+    }))
