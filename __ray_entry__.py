@@ -612,6 +612,15 @@ def _q_compact_cells(sf_dir: str):
     return compact_cells(_geocoded(sf_dir), res=RES)
 
 
+def _q_flow_accumulation(sf_dir: str):
+    """Steepest-descent drainage + K-superstep upstream counts over the
+    cell surface (stages/gridops.flow_accumulation; directed stencil,
+    integer BSP, cells-bounded shuffles)."""
+    from cuda_gis_smoothing_ray.stages.gridops import flow_accumulation
+
+    return flow_accumulation(_geocoded(sf_dir))
+
+
 def _q_uncompact_cells(sf_dir: str):
     """Inverse of compact: expand complete parents back to full child
     sets; oracle is the round-trip law (== original populated cells)."""
@@ -2641,6 +2650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_parent": _q_cell_parent,
         "compact_cells": _q_compact_cells,
         "uncompact_cells": _q_uncompact_cells,
+        "flow_accumulation": _q_flow_accumulation,
         "grid_disk": _q_grid_disk,
         "dedup_canonical": _q_dedup_canonical,
         "len_histogram": _q_len_histogram,
@@ -3070,6 +3080,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_parent": o.cell_parent_sql(RES, RES - 1),
         "compact_cells": o.compact_cells_sql(RES),
         "uncompact_cells": o.uncompact_cells_sql(RES),
+        "flow_accumulation": o.flow_accumulation_sql(RES),
         "grid_disk": o.grid_disk_sql(RES, 1),
         "dedup_canonical": oc.dedup_canonical_sql(JACCARD_T),
         "len_histogram": oc.len_histogram_sql(50),

@@ -1868,3 +1868,54 @@ rk AS (
 )
 SELECT poly_id, lang AS major_lang, n FROM rk WHERE r = 1
 ORDER BY poly_id"""
+
+
+def flow_accumulation_sql(res: int, steps: int | None = None) -> str:
+    """Oracle of stages/gridops.flow_accumulation: ring-1 argmin drains
+    (strictly lower, ties by neighbor id), K unrolled MATERIALIZED
+    accumulation supersteps — all integer, bit-exact."""
+    from ..stages import gridops
+
+    steps = gridops.FLOW_STEPS if steps is None else steps
+    offs = ",\n    ".join(f"({dq}, {dr})"
+                          for dq, dr in hexgrid.ring_offsets(1))
+    chain = []
+    prev = "a0"
+    for i in range(1, steps + 1):
+        chain.append(f"""a{i} AS MATERIALIZED (
+  SELECT c.cell, 1 + COALESCE(s.x, 0) AS acc
+  FROM cells c LEFT JOIN (
+    SELECT d.drain_to AS cell, CAST(sum(a.acc) AS BIGINT) AS x
+    FROM drains d JOIN {prev} a ON d.cell = a.cell
+    WHERE d.drain_to >= 0
+    GROUP BY 1
+  ) s ON c.cell = s.cell
+)""")
+        prev = f"a{i}"
+    steps_sql = ",\n".join(chain)
+    return f"""{prelude(res)},
+offs(dq, dr) AS (VALUES
+    {offs}),
+nb AS MATERIALIZED (
+  SELECT c.cell AS src, n.cell AS dst, n.page_count AS dv
+  FROM cells c CROSS JOIN offs o
+  JOIN cells n ON n.q = c.q + o.dq AND n.r = c.r + o.dr
+  WHERE n.page_count < c.page_count
+),
+dr0 AS (
+  SELECT src, dst,
+    row_number() OVER (PARTITION BY src ORDER BY dv, dst) AS rk
+  FROM nb
+),
+drains AS MATERIALIZED (
+  SELECT c.cell, COALESCE(d.dst, -1) AS drain_to
+  FROM cells c LEFT JOIN (SELECT src, dst FROM dr0 WHERE rk = 1) d
+    ON c.cell = d.src
+),
+a0 AS MATERIALIZED (
+  SELECT cell, CAST(1 AS BIGINT) AS acc FROM cells
+),
+{steps_sql}
+SELECT d.cell, d.drain_to, a.acc
+FROM drains d JOIN {prev} a ON d.cell = a.cell
+ORDER BY d.cell"""

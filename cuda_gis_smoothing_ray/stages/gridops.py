@@ -899,3 +899,177 @@ def uncompact_cells(geocoded, res: int, n_parts: int = 64):
 
     return cover.map_batches(expand, batch_format="pyarrow",
                              batch_size=None).sort("cell")
+
+
+FLOW_STEPS = 8
+
+
+def flow_accumulation(geocoded, steps: int = FLOW_STEPS, n_parts: int = 64):
+    """Steepest-descent drainage over the populated-cell surface ->
+    (cell, drain_to, acc): each cell drains to its strictly-LOWER
+    minimum-``page_count`` ring-1 neighbor (ties: lowest neighbor id;
+    no lower neighbor = sink, drain_to = -1), and ``acc`` counts the
+    cells within ``steps`` drainage hops upstream (itself included) —
+    the raster-hydrology flow-accumulation operator, the missing sibling
+    of the k-ring smoothing family (a DIRECTED per-cell stencil instead
+    of a symmetric one).
+
+    Exactness: values are int64 page counts, the drain choice is an
+    integer argmin, and the accumulation recurrence ``acc_{t+1} = 1 +
+    sum(acc_t over in-drains)`` is pure integer BSP — the K-step unrolled
+    MATERIALIZED-CTE oracle matches bit-for-bit (K fixed, like the
+    pagerank/BFS oracles; on a surface deeper than K hops acc is the
+    declared K-step partial sum).
+
+    Scale shape: one ring-1 value scatter (x7 fan-out over CELL rows, the
+    smoothing shuffle), argmin resolved per coarse target partition with
+    one vectorized lexsort; then ``steps`` co-partitioned pushes of
+    (cell, acc) int rows along drain edges — every table is
+    distinct-cell bounded, nothing touches pages after the first reduce.
+    """
+    import pandas as pd
+
+    from ..functions import hashing
+
+    cells = cell_counts(geocoded, n_parts).materialize()
+
+    r1 = hexgrid.ring_offsets(1) + [(0, 0)]
+    dq = np.array([o[0] for o in r1], dtype=np.int64)
+    dr = np.array([o[1] for o in r1], dtype=np.int64)
+
+    def scatter_vals(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        val = batch.column("page_count").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        res, q, r = hexgrid.unpack(cell)
+        res0 = int(res[0]) if len(res) else hexgrid.RES_MIN
+        tgt = hexgrid.pack(res0, q[:, None] + dq[None, :],
+                           r[:, None] + dr[None, :]).reshape(-1)
+        n = len(cell)
+        return pa.table({
+            "tgt": pa.array(tgt),
+            "frm": pa.array(np.repeat(cell, len(dq))),
+            "val": pa.array(np.repeat(val, len(dq))),
+            "__part": pa.array(hashing.coarse_partition(tgt, n_parts)),
+        })
+
+    def resolve_drain(df: pd.DataFrame) -> pd.DataFrame:
+        # per target cell: its own value rides the (0,0) offset row
+        # (frm == tgt); among strictly-lower neighbors pick (min val,
+        # min id) — one lexsort, run boundaries via flag cumsum
+        t = df["tgt"].to_numpy(np.int64)
+        f = df["frm"].to_numpy(np.int64)
+        v = df["val"].to_numpy(np.int64)
+        self_rows = t == f
+        own = pd.Series(v[self_rows], index=t[self_rows])
+        # drop targets that are not populated cells (halo of the scatter)
+        pop = own.index.to_numpy()
+        if len(pop) == 0:
+            return pd.DataFrame({"cell": np.array([], np.int64),
+                                 "drain_to": np.array([], np.int64)})
+        order = np.argsort(pop, kind="stable")
+        pop_sorted = pop[order]
+        own_sorted = own.to_numpy()[order]
+        pos = np.searchsorted(pop_sorted, t)
+        ok = (pos < len(pop_sorted))
+        pos_c = np.minimum(pos, len(pop_sorted) - 1)
+        ok &= pop_sorted[pos_c] == t
+        ok &= ~self_rows
+        lower = ok & (v < own_sorted[pos_c])
+        tt, ff, vv = t[lower], f[lower], v[lower]
+        o2 = np.lexsort((ff, vv, tt))
+        tt, ff = tt[o2], ff[o2]
+        first = np.ones(len(tt), dtype=bool)
+        first[1:] = tt[1:] != tt[:-1]
+        drain = pd.DataFrame({"cell": tt[first], "drain_to": ff[first]})
+        sinks = np.setdiff1d(pop_sorted, tt[first], assume_unique=False)
+        return pd.concat([drain, pd.DataFrame({
+            "cell": sinks, "drain_to": np.full(len(sinks), -1, np.int64)})],
+            ignore_index=True)
+
+    drains = (
+        cells.map_batches(scatter_vals, batch_format="pyarrow",
+                          batch_size=None)
+        .groupby("__part")
+        .map_groups(resolve_drain, batch_format="pandas")
+        .materialize()
+    )
+
+    # BSP: acc_{t+1}(v) = 1 + sum over in-drains of acc_t
+    def init_acc(batch: pa.Table) -> pa.Table:
+        return pa.table({"cell": batch.column("cell"),
+                         "acc": pa.array(np.ones(len(batch), np.int64))})
+
+    acc = cells.map_batches(init_acc, batch_format="pyarrow",
+                            batch_size=None).materialize()
+
+    def tag_acc(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("cell"), "a": batch.column("acc"),
+                         "kind": pa.array(np.zeros(len(batch), np.int8))})
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("cell"),
+                         "a": batch.column("drain_to"),
+                         "kind": pa.array(np.ones(len(batch), np.int8))})
+
+    def add_part_key(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "__part", pa.array(hashing.coarse_partition(k, n_parts)))
+
+    def push(df: pd.DataFrame) -> pd.DataFrame:
+        ac = df[df["kind"] == 0][["key", "a"]].rename(columns={"a": "acc"})
+        ed = df[df["kind"] == 1][["key", "a"]].rename(columns={"a": "dst"})
+        ed = ed[ed["dst"] >= 0]
+        m = ed.merge(ac, on="key")
+        return pd.DataFrame({
+            "cell": np.concatenate([m["dst"].to_numpy(np.int64),
+                                    ac["key"].to_numpy(np.int64)]),
+            "inflow": np.concatenate([m["acc"].to_numpy(np.int64),
+                                      np.zeros(len(ac), np.int64)]),
+        })
+
+    for _ in range(steps):
+        pushed = (
+            acc.map_batches(tag_acc, batch_format="pyarrow", batch_size=None)
+            .union(drains.map_batches(tag_edge, batch_format="pyarrow",
+                                      batch_size=None))
+            .map_batches(add_part_key, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby("__part")
+            .map_groups(push, batch_format="pandas")
+        )
+        summed = hash_groupby(pushed, "cell", ["inflow"], how="isum",
+                              n_parts=n_parts)
+
+        def bump(batch: pa.Table) -> pa.Table:
+            s = batch.column("inflow").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({"cell": batch.column("cell"),
+                             "acc": pa.array(1 + s)})
+
+        acc = summed.map_batches(bump, batch_format="pyarrow",
+                                 batch_size=None).repartition(16).materialize()
+
+    def tag_final_acc(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("cell"), "a": batch.column("acc"),
+                         "kind": pa.array(np.zeros(len(batch), np.int8))})
+
+    def zip_out(df: pd.DataFrame) -> pd.DataFrame:
+        ac = df[df["kind"] == 0][["key", "a"]].rename(columns={"a": "acc"})
+        ed = df[df["kind"] == 1][["key", "a"]].rename(columns={"a": "drain_to"})
+        m = ac.merge(ed, on="key")
+        return pd.DataFrame({"cell": m["key"].to_numpy(np.int64),
+                             "drain_to": m["drain_to"].to_numpy(np.int64),
+                             "acc": m["acc"].to_numpy(np.int64)})
+
+    return (
+        acc.map_batches(tag_final_acc, batch_format="pyarrow",
+                        batch_size=None)
+        .union(drains.map_batches(tag_edge, batch_format="pyarrow",
+                                  batch_size=None))
+        .map_batches(add_part_key, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(zip_out, batch_format="pandas")
+        .sort("cell")
+    )
