@@ -621,6 +621,14 @@ def _q_flow_accumulation(sf_dir: str):
     return flow_accumulation(_geocoded(sf_dir))
 
 
+def _q_watershed(sf_dir: str):
+    """Watershed basins: terminal sink per cell via pointer-doubling BSP
+    over the steepest-descent drain forest (stages/gridops.watershed)."""
+    from cuda_gis_smoothing_ray.stages.gridops import watershed
+
+    return watershed(_geocoded(sf_dir))
+
+
 def _q_uncompact_cells(sf_dir: str):
     """Inverse of compact: expand complete parents back to full child
     sets; oracle is the round-trip law (== original populated cells)."""
@@ -2651,6 +2659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_cells": _q_compact_cells,
         "uncompact_cells": _q_uncompact_cells,
         "flow_accumulation": _q_flow_accumulation,
+        "watershed": _q_watershed,
         "grid_disk": _q_grid_disk,
         "dedup_canonical": _q_dedup_canonical,
         "len_histogram": _q_len_histogram,
@@ -3081,6 +3090,7 @@ def oracle_sql() -> dict[str, str]:
         "compact_cells": o.compact_cells_sql(RES),
         "uncompact_cells": o.uncompact_cells_sql(RES),
         "flow_accumulation": o.flow_accumulation_sql(RES),
+        "watershed": o.watershed_sql(RES),
         "grid_disk": o.grid_disk_sql(RES, 1),
         "dedup_canonical": oc.dedup_canonical_sql(JACCARD_T),
         "len_histogram": oc.len_histogram_sql(50),

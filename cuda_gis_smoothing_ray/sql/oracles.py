@@ -1919,3 +1919,43 @@ a0 AS MATERIALIZED (
 SELECT d.cell, d.drain_to, a.acc
 FROM drains d JOIN {prev} a ON d.cell = a.cell
 ORDER BY d.cell"""
+
+
+def watershed_sql(res: int, jumps: int | None = None) -> str:
+    """Oracle of stages/gridops.watershed: the same drain derivation as
+    flow_accumulation_sql, then K unrolled pointer-DOUBLING jumps
+    (p := p(p)) as MATERIALIZED self-joins."""
+    from ..stages import gridops
+
+    jumps = gridops.WATERSHED_JUMPS if jumps is None else jumps
+    offs = ",\n    ".join(f"({dq}, {dr})"
+                          for dq, dr in hexgrid.ring_offsets(1))
+    chain = []
+    prev = "j0"
+    for i in range(1, jumps + 1):
+        chain.append(f"""j{i} AS MATERIALIZED (
+  SELECT a.cell, b.p FROM {prev} a JOIN {prev} b ON a.p = b.cell
+)""")
+        prev = f"j{i}"
+    steps_sql = ",\n".join(chain)
+    return f"""{prelude(res)},
+offs(dq, dr) AS (VALUES
+    {offs}),
+nb AS MATERIALIZED (
+  SELECT c.cell AS src, n.cell AS dst, n.page_count AS dv
+  FROM cells c CROSS JOIN offs o
+  JOIN cells n ON n.q = c.q + o.dq AND n.r = c.r + o.dr
+  WHERE n.page_count < c.page_count
+),
+dr0 AS (
+  SELECT src, dst,
+    row_number() OVER (PARTITION BY src ORDER BY dv, dst) AS rk
+  FROM nb
+),
+j0 AS MATERIALIZED (
+  SELECT c.cell, COALESCE(d.dst, c.cell) AS p
+  FROM cells c LEFT JOIN (SELECT src, dst FROM dr0 WHERE rk = 1) d
+    ON c.cell = d.src
+),
+{steps_sql}
+SELECT cell, p AS sink FROM {prev} ORDER BY cell"""

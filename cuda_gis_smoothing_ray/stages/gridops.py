@@ -1073,3 +1073,121 @@ def flow_accumulation(geocoded, steps: int = FLOW_STEPS, n_parts: int = 64):
         .map_groups(zip_out, batch_format="pandas")
         .sort("cell")
     )
+
+
+WATERSHED_JUMPS = 6
+
+
+def watershed(geocoded, jumps: int = WATERSHED_JUMPS, n_parts: int = 64):
+    """Watershed labeling of the populated-cell surface -> (cell, sink):
+    every cell labeled with the terminal sink its steepest-descent drain
+    path reaches — the basin decomposition that pairs with
+    :func:`flow_accumulation` (same drain forest).
+
+    POINTER DOUBLING, not path walking: after k jump supersteps every
+    cell sees its 2^k-hop ancestor, so ``jumps = 6`` resolves any path up
+    to 64 hops (declared bound, the pagerank-style fixed-K contract; the
+    oracle unrolls the same jumps).  Each jump is ONE co-partitioned
+    self-join of the (cell, p) pointer table — cells-bounded, integer,
+    order-free.
+    """
+    import pandas as pd
+
+    from ..functions import hashing
+
+    cells = cell_counts(geocoded, n_parts).materialize()
+    r1 = hexgrid.ring_offsets(1) + [(0, 0)]
+    dq = np.array([o[0] for o in r1], dtype=np.int64)
+    dr = np.array([o[1] for o in r1], dtype=np.int64)
+
+    def scatter_vals(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        val = batch.column("page_count").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        res, q, r = hexgrid.unpack(cell)
+        res0 = int(res[0]) if len(res) else hexgrid.RES_MIN
+        tgt = hexgrid.pack(res0, q[:, None] + dq[None, :],
+                           r[:, None] + dr[None, :]).reshape(-1)
+        return pa.table({
+            "tgt": pa.array(tgt),
+            "frm": pa.array(np.repeat(cell, len(dq))),
+            "val": pa.array(np.repeat(val, len(dq))),
+            "__part": pa.array(hashing.coarse_partition(tgt, n_parts)),
+        })
+
+    def resolve_p0(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["tgt"].to_numpy(np.int64)
+        f = df["frm"].to_numpy(np.int64)
+        v = df["val"].to_numpy(np.int64)
+        self_rows = t == f
+        pop = t[self_rows]
+        if len(pop) == 0:
+            return pd.DataFrame({"cell": np.array([], np.int64),
+                                 "p": np.array([], np.int64)})
+        own = v[self_rows]
+        order = np.argsort(pop, kind="stable")
+        pop_sorted, own_sorted = pop[order], own[order]
+        pos = np.searchsorted(pop_sorted, t)
+        ok = pos < len(pop_sorted)
+        pos_c = np.minimum(pos, len(pop_sorted) - 1)
+        ok &= pop_sorted[pos_c] == t
+        lower = ok & ~self_rows & (v < own_sorted[pos_c])
+        tt, ff, vv = t[lower], f[lower], v[lower]
+        o2 = np.lexsort((ff, vv, tt))
+        tt, ff = tt[o2], ff[o2]
+        first = np.ones(len(tt), dtype=bool)
+        first[1:] = tt[1:] != tt[:-1]
+        # sinks: p = self.  data MUST be a copy — sharing one buffer for
+        # index and data lets the .loc write below mutate the index labels
+        # (pandas does not copy on construction)
+        p = pd.Series(index=pop_sorted, data=pop_sorted.copy())
+        p.loc[tt[first]] = ff[first]
+        return pd.DataFrame({"cell": p.index.to_numpy(np.int64),
+                             "p": p.to_numpy(np.int64)})
+
+    ptr = (
+        cells.map_batches(scatter_vals, batch_format="pyarrow",
+                          batch_size=None)
+        .groupby("__part")
+        .map_groups(resolve_p0, batch_format="pandas")
+        .repartition(16).materialize()
+    )
+
+    def tag_both(batch: pa.Table) -> pa.Table:
+        # ONE pass emits the table in both roles (lookup keyed by cell,
+        # probe keyed by the current pointer) — self-union of one
+        # materialized dataset in a single DAG is avoided deliberately
+        cell = batch.column("cell").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p = batch.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = np.concatenate([cell, p])
+        a = np.concatenate([p, cell])
+        kind = np.concatenate([np.zeros(len(cell), np.int8),
+                               np.ones(len(cell), np.int8)])
+        return pa.table({
+            "key": pa.array(key), "a": pa.array(a), "kind": pa.array(kind),
+            "__part": pa.array(hashing.coarse_partition(key, n_parts)),
+        })
+
+    def jump(df: pd.DataFrame) -> pd.DataFrame:
+        lk = df[df["kind"] == 0][["key", "a"]].rename(columns={"a": "p"})
+        pr = df[df["kind"] == 1][["key", "a"]].rename(columns={"a": "cell"})
+        m = pr.merge(lk, on="key")  # p(cell) := p(p(cell))
+        return pd.DataFrame({"cell": m["cell"].to_numpy(np.int64),
+                             "p": m["p"].to_numpy(np.int64)})
+
+    for _ in range(jumps):
+        ptr = (
+            ptr.map_batches(tag_both, batch_format="pyarrow",
+                            batch_size=None)
+            .groupby("__part")
+            .map_groups(jump, batch_format="pandas")
+            .materialize()
+        )
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"cell": batch.column("cell"),
+                         "sink": batch.column("p")})
+
+    return ptr.map_batches(rename, batch_format="pyarrow",
+                           batch_size=None).sort("cell")

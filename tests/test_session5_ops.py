@@ -192,3 +192,22 @@ def test_q16_pack_width_guard(sf_dir):
     # and the real run still works
     out = tpch_q16(sf_dir).to_pandas()
     assert (out["supplier_cnt"] >= 1).all()
+
+
+def test_watershed_basins(sf_dir):
+    """Sinks are fixed points; every cell's sink is a true sink (drains to
+    -1 in flow_accumulation's drain table); pointer doubling resolved all
+    paths (no cell labeled with a non-sink)."""
+    from cuda_gis_smoothing_ray.stages import gridops
+
+    geo = _geocoded(sf_dir)
+    ws = gridops.watershed(geo).to_pandas()
+    fl = gridops.flow_accumulation(geo).to_pandas()
+    drain = dict(zip(fl["cell"], fl["drain_to"]))
+    sinks = {c for c, d in drain.items() if d == -1}
+    assert set(ws["cell"]) == set(fl["cell"])
+    assert set(ws["sink"]).issubset(sinks)
+    # each sink labels itself
+    for c, s in zip(ws["cell"], ws["sink"]):
+        if c in sinks:
+            assert s == c
