@@ -547,6 +547,14 @@ def _q_zonal_majority(sf_dir: str):
     return zonal_majority(_geocoded(sf_dir))
 
 
+def _q_zone_terms(sf_dir: str):
+    """Top tokens per polygon zone (stages/spatialjoin.zone_terms; PIP tag
+    + pair-hash partitioned counts + local top-k prune)."""
+    from cuda_gis_smoothing_ray.stages.spatialjoin import zone_terms
+
+    return zone_terms(_geocoded(sf_dir))
+
+
 def _q_idw(sf_dir: str):
     from cuda_gis_smoothing_ray.stages.spatialjoin import idw_interpolate
 
@@ -692,6 +700,14 @@ def _q_lang_id(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import textops
 
     return textops.lang_id(_docs(sf_dir, ("doc_id", "text", "lang"))).sort("doc_id")
+
+
+def _q_normalized_dedup(sf_dir: str):
+    """Casefold/whitespace-normalized exact dedup
+    (stages/textops.normalized_dedup)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.normalized_dedup(_docs(sf_dir)).sort("doc_id")
 
 
 def _q_exact_dedup(sf_dir: str):
@@ -2071,6 +2087,14 @@ def _q_host_rank(sf_dir: str):
     return textops.host_rank(_docs(sf_dir)).sort("doc_id")
 
 
+def _q_ema_win(sf_dir: str):
+    """Exact windowed EMA (alpha = 1/2, scaled integer) per user
+    (stages/events.ema_win; segmented shifted-array adds)."""
+    from cuda_gis_smoothing_ray.stages import events as ev
+
+    return ev.ema_win(ev.read_events(sf_dir)).sort("event_id")
+
+
 def _q_burst_hours(sf_dir: str):
     """Burst/anomaly hours of the dense hourly event series: count >
     mean + 2 sigma, exact big-int cleared threshold
@@ -2646,6 +2670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distance_join": _q_distance_join,
         "zonal_stats": _q_zonal_stats,
         "zonal_majority": _q_zonal_majority,
+        "zone_terms": _q_zone_terms,
         "idw_interpolate": _q_idw,
         "nearest_polygon": _q_nearest_polygon,
         "geohash": _q_geohash,
@@ -2666,6 +2691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "lang_id": _q_lang_id,
         "exact_dedup": _q_exact_dedup,
+        "normalized_dedup": _q_normalized_dedup,
         "jaccard_pairs": _q_jaccard,
         "minhash_pairs": _q_minhash,
         "simhash_pairs": _q_simhash,
@@ -2770,6 +2796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution": _q_attribution,
         "event_autocorr": _q_event_autocorr,
         "burst_hours": _q_burst_hours,
+        "ema_win": _q_ema_win,
         "host_rank": _q_host_rank,
         "event_context": _q_event_context,
         "user_activity_full": _q_user_activity_full,
@@ -2894,6 +2921,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": oc.text_stats_sql(),
         "lang_id": oc.lang_id_sql(),
         "exact_dedup": oc.exact_dedup_sql(),
+        "normalized_dedup": oc.normalized_dedup_sql(),
         "jaccard_pairs": oc.jaccard_pairs_sql(JACCARD_T),
         "doc_fingerprints": oc.doc_fingerprints_sql(),
         "tfidf": oc.tfidf_sql(),
@@ -3002,6 +3030,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution": oc.attribution_sql(),
         "event_autocorr": oc.event_autocorr_sql(),
         "burst_hours": oc.burst_hours_sql(),
+        "ema_win": oc.ema_win_sql(),
         "host_rank": oc.host_rank_sql(),
         "event_context": oc.event_context_sql(),
         "user_activity_full": oc.user_activity_full_sql(),
@@ -3077,6 +3106,7 @@ def oracle_sql() -> dict[str, str]:
         "distance_join": o.distance_join_sql(RES, 1.0),
         "zonal_stats": o.zonal_stats_sql(RES),
         "zonal_majority": o.zonal_majority_sql(RES),
+        "zone_terms": o.zone_terms_sql(RES),
         "idw_interpolate": o.idw_interpolate_sql(RES, 25.0),
         "nearest_polygon": o.nearest_polygon_sql(RES),
         "geohash": o.geohash_sql(RES),

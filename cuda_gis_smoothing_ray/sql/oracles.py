@@ -1959,3 +1959,45 @@ j0 AS MATERIALIZED (
 ),
 {steps_sql}
 SELECT cell, p AS sink FROM {prev} ORDER BY cell"""
+
+
+def zone_terms_sql(res: int, k: int | None = None) -> str:
+    """Oracle of stages/spatialjoin.zone_terms: same crossing rule, same
+    \\s+ tokenization, per-(polygon, token) counts, top-k by (n DESC,
+    token ASC)."""
+    from ..stages.pip import polygon_edges
+    from ..stages.spatialjoin import ZONE_TERMS_K
+
+    k = ZONE_TERMS_K if k is None else k
+    edges = ",\n    ".join(
+        f"({pid}, {D(y1)}, {D(x1)}, {D(y2)}, {D(x2)})"
+        for pid, y1, x1, y2, x2 in polygon_edges()
+    )
+    return f"""{prelude_geo(res)},
+edges(poly_id, y1, x1, y2, x2) AS (VALUES
+    {edges}),
+crossings AS (
+  SELECT p.page_id, e.poly_id, count(*) AS n_cross
+  FROM geocoded p
+  JOIN edges e
+    ON ((e.y1 > p.lat) <> (e.y2 > p.lat))
+   AND p.lon < (e.x2 - e.x1) * (p.lat - e.y1) / (e.y2 - e.y1) + e.x1
+  GROUP BY p.page_id, e.poly_id
+),
+inside AS (SELECT page_id, poly_id FROM crossings WHERE n_cross % 2 = 1),
+toks AS (
+  SELECT i.poly_id, unnest(list_filter(
+      regexp_split_to_array(p.text, '\\s+'), x -> x <> '')) AS token
+  FROM inside i JOIN geocoded p ON i.page_id = p.page_id
+),
+ct AS (
+  SELECT poly_id, token, CAST(count(*) AS BIGINT) AS n
+  FROM toks GROUP BY poly_id, token
+),
+rk AS (
+  SELECT poly_id, token, n,
+    row_number() OVER (PARTITION BY poly_id ORDER BY n DESC, token) AS r
+  FROM ct
+)
+SELECT poly_id, CAST(r AS BIGINT) AS rank, token, n
+FROM rk WHERE r <= {k} ORDER BY poly_id, rank"""

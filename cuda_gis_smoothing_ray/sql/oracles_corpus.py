@@ -3853,3 +3853,46 @@ SELECT f.vec_id, CAST(s.t AS BIGINT) AS t,
 FROM f JOIN signs s ON f.i = s.i
 GROUP BY f.vec_id, s.t
 ORDER BY f.vec_id, t"""
+
+
+def normalized_dedup_sql() -> str:
+    """Oracle of stages/textops.normalized_dedup (lower + RE2 \\s+
+    collapse, md5 group, min-id survivor + group size)."""
+    return """SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+         AS norm_md5,
+       min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents
+GROUP BY 1
+ORDER BY doc_id"""
+
+
+def ema_win_sql(window: int | None = None) -> str:
+    """Oracle of stages/events.ema_win: the same 2^(w-1-j)-weighted LAG
+    chain per user in (ts, event_id) order, all BIGINT."""
+    from ..stages import events
+
+    w = events.EMA_WINDOW if window is None else window
+    terms = []
+    counts = []
+    for j in range(w):
+        weight = 1 << (w - 1 - j)
+        if j == 0:
+            terms.append(f"cents * {weight}")
+            counts.append("1")
+        else:
+            lag = (f"lag(cents, {j}) OVER (PARTITION BY user_id "
+                   f"ORDER BY ts, event_id)")
+            terms.append(f"COALESCE({lag}, 0) * {weight}")
+            counts.append(f"CASE WHEN {lag} IS NULL THEN 0 ELSE 1 END")
+    ema = "\n      + ".join(terms)
+    cnt = "\n      + ".join(counts)
+    return f"""WITH e AS (
+  SELECT event_id, user_id, ts,
+    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+  CAST({cnt} AS BIGINT) AS n_terms,
+  CAST({ema} AS BIGINT) AS ema_scaled
+FROM e
+ORDER BY event_id"""

@@ -1471,3 +1471,50 @@ def burst_hours(ds, sigmas: int = BURST_SIGMAS):
         "hr": pa.array((lo + keep).astype(np.int64)),
         "cnt": pa.array(x[keep]),
     }))
+
+
+EMA_WINDOW = 8
+
+
+def ema_win(ds, window: int = EMA_WINDOW):
+    """events -> (event_id, user_id, n_terms, ema_scaled): EXACT
+    exponential moving average with alpha = 1/2 over the last ``window``
+    events per user in (ts, event_id) order — the j-th most recent event
+    weighs ``2^(window-1-j)``, so the weighted sum is a pure int64
+    (``ema_scaled = sum cents_j * 2^(window-1-j)``; divide by
+    ``2^window - 1``-ish normalizers downstream if a float EMA is wanted;
+    keeping the scaled integer makes the oracle bit-exact).  Rows with
+    fewer than ``window`` predecessors use the terms that exist
+    (``n_terms``), like SQL LAG chains.
+
+    Scale shape: the events-family standard — coarse user-hash shuffle,
+    ONE lexsort per partition, the window as ``window`` shifted-array
+    adds with segment-boundary masking (vectorized across all users, no
+    per-user Python)."""
+
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, eid, cents = uid[order], eid[order], cents[order]
+        n = len(uid)
+        ema = np.zeros(n, np.int64)
+        terms = np.zeros(n, np.int64)
+        for j in range(window):
+            w = np.int64(1) << np.int64(window - 1 - j)
+            if j == 0:
+                ema += cents * w
+                terms += 1
+                continue
+            valid = np.zeros(n, dtype=bool)
+            valid[j:] = uid[j:] == uid[:-j]
+            shifted = np.zeros(n, np.int64)
+            shifted[j:] = cents[:-j]
+            ema += np.where(valid, shifted, 0) * w
+            terms += valid
+        return pd.DataFrame({"event_id": eid, "user_id": uid,
+                             "n_terms": terms, "ema_scaled": ema})
+
+    return _by_user(ds, solve)

@@ -623,3 +623,99 @@ def zonal_majority(points_ds):
         "major_lang": pa.array(top["lang"].tolist(), pa.string()),
         "n": pa.array(top["n"].to_numpy(np.int64)),
     }))
+
+
+ZONE_TERMS_K = 5
+
+
+def zone_terms(points_ds, k: int = ZONE_TERMS_K, n_parts: int = 64):
+    """Top-``k`` tokens per polygon zone -> (poly_id, rank, token, n):
+    the geographic term profile (what is the corpus inside each region
+    talking about?) — the spatial twin of ``cluster_terms`` with PIP
+    containment instead of k-means assignment.
+
+    Scale shape: each batch ray-casts once per polygon (broadcast-small
+    set), tokenizes with the shared Arrow kernels and emits batch-local
+    (poly, token, n) partials; a (poly, token) pair-hash coarse-partition
+    reduce completes the counts (the grouped_topk discipline — one
+    vectorized groupby per PARTITION, never Ray's many-key aggregate);
+    per-partition local top-k then a |polys| x n_parts x k driver merge.
+    Ties: (n DESC, token ASC)."""
+    import pandas as pd
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    from ..functions import hashing
+
+    polys = POLYGONS
+
+    def partials(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        n_words = split.value_lengths().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = split.flatten()
+        row_idx = np.repeat(np.arange(len(batch), dtype=np.int64), n_words)
+        nonempty = pc_.not_equal(flat, "")
+        row_idx = row_idx[nonempty.to_numpy(zero_copy_only=False)]
+        toks = flat.filter(nonempty)
+        dic = toks.dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        ncodes = len(dic.dictionary)
+        out_p, out_tok, out_n = [], [], []
+        for pid, ring in polys:
+            inside = points_in_polygon(lat, lon, ring)
+            sel = inside[row_idx]
+            if not sel.any():
+                continue
+            cnt = np.bincount(codes[sel], minlength=ncodes)
+            nz = np.flatnonzero(cnt)
+            out_p.append(np.full(len(nz), pid, np.int64))
+            out_tok.append(dic.dictionary.take(pa.array(nz)))
+            out_n.append(cnt[nz].astype(np.int64))
+        if not out_p:
+            return pa.table({"poly_id": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "__part": pa.array([], pa.int64())})
+        pid_a = np.concatenate(out_p)
+        tok_a = pa.concat_arrays([t.cast(pa.string()) for t in out_tok])
+        n_a = np.concatenate(out_n)
+        pair = pa.array(np.char.add(np.char.add(
+            pid_a.astype(str), "\x1f"),
+            np.asarray(tok_a.to_pylist(), dtype=object).astype(str)))
+        h = hashing.poly_hash64(pair).view(np.int64)
+        return pa.table({"poly_id": pa.array(pid_a), "token": tok_a,
+                         "n": pa.array(n_a),
+                         "__part": pa.array(
+                             hashing.coarse_partition(h, n_parts))})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(["poly_id", "token"], sort=False)["n"].sum() \
+            .reset_index()
+        # local top-k per poly inside the partition
+        g = g.sort_values(["poly_id", "n", "token"],
+                          ascending=[True, False, True], kind="mergesort")
+        return g.groupby("poly_id", sort=False).head(k)
+
+    local = (
+        points_ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(finish, batch_format="pandas")
+        .to_pandas()  # |polys| x n_parts x k rows
+    )
+    local = local.sort_values(["poly_id", "n", "token"],
+                              ascending=[True, False, True], kind="mergesort")
+    top = local.groupby("poly_id", sort=True).head(k).reset_index(drop=True)
+    top["rank"] = top.groupby("poly_id").cumcount() + 1
+    return rd.from_arrow(pa.table({
+        "poly_id": pa.array(top["poly_id"].to_numpy(np.int64)),
+        "rank": pa.array(top["rank"].to_numpy(np.int64)),
+        "token": pa.array(top["token"].tolist(), pa.string()),
+        "n": pa.array(top["n"].to_numpy(np.int64)),
+    }))

@@ -3253,3 +3253,34 @@ def token_budget_select(ds, budget_den: int = TOKEN_BUDGET_DEN,
         "n_tokens": pa.array(keep["n_tokens"].to_numpy(np.int64)),
     }))
     return out_full.union(out_bnd).sort("doc_id")
+
+
+def normalized_dedup(ds):
+    """documents -> one survivor row (norm_md5, doc_id = min id, n_docs)
+    per distinct NORMALIZED text — casefolded, whitespace runs collapsed —
+    the canonicalizing dedup that catches trivially-reformatted copies
+    exact_dedup misses (the CCNet/RefinedWeb "normalize before hashing"
+    convention).  Both the lowercase and the \\s+ collapse are RE2/utf8
+    kernels with identical semantics in DuckDB, so the oracle is exact.
+
+    Scale shape: identical to exact_dedup — normalization + hashing are
+    batch-local Arrow kernels; only (hash, id, 1) rows shuffle."""
+    import pyarrow.compute as pc_
+
+    from ..functions.reduce import hash_groupby
+    from ray.data.aggregate import Count, Min
+
+    def key(batch: pa.Table) -> pa.Table:
+        norm = pc_.replace_substring_regex(
+            pc_.utf8_lower(batch.column("text")), r"\s+", " ")
+        return pa.table({
+            "norm_md5": pa.array(textstats.md5_hex(norm)),
+            "doc_id": batch.column("doc_id"),
+        })
+
+    return (
+        ds.map_batches(key, batch_format="pyarrow")
+        .groupby("norm_md5")
+        .aggregate(Min("doc_id", alias_name="doc_id"),
+                   Count(alias_name="n_docs"))
+    )
