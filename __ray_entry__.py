@@ -547,6 +547,14 @@ def _q_zonal_majority(sf_dir: str):
     return zonal_majority(_geocoded(sf_dir))
 
 
+def _q_host_extent(sf_dir: str):
+    """Per-host geographic bounding box + area (ONE mixed min/max/isum
+    host reduce; stages/spatialjoin.host_extent)."""
+    from cuda_gis_smoothing_ray.stages.spatialjoin import host_extent
+
+    return host_extent(_geocoded(sf_dir))
+
+
 def _q_zone_terms(sf_dir: str):
     """Top tokens per polygon zone (stages/spatialjoin.zone_terms; PIP tag
     + pair-hash partitioned counts + local top-k prune)."""
@@ -627,6 +635,15 @@ def _q_flow_accumulation(sf_dir: str):
     from cuda_gis_smoothing_ray.stages.gridops import flow_accumulation
 
     return flow_accumulation(_geocoded(sf_dir))
+
+
+def _q_cheapest_path(sf_dir: str):
+    """Least-cost routing field from the densest cell: K Bellman-Ford
+    relaxation supersteps over the arithmetic ring-1 adjacency
+    (stages/gridops.cheapest_path_cost)."""
+    from cuda_gis_smoothing_ray.stages.gridops import cheapest_path_cost
+
+    return cheapest_path_cost(_geocoded(sf_dir))
 
 
 def _q_watershed(sf_dir: str):
@@ -2671,6 +2688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": _q_zonal_stats,
         "zonal_majority": _q_zonal_majority,
         "zone_terms": _q_zone_terms,
+        "host_extent": _q_host_extent,
         "idw_interpolate": _q_idw,
         "nearest_polygon": _q_nearest_polygon,
         "geohash": _q_geohash,
@@ -2685,6 +2703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uncompact_cells": _q_uncompact_cells,
         "flow_accumulation": _q_flow_accumulation,
         "watershed": _q_watershed,
+        "cheapest_path": _q_cheapest_path,
         "grid_disk": _q_grid_disk,
         "dedup_canonical": _q_dedup_canonical,
         "len_histogram": _q_len_histogram,
@@ -3107,6 +3126,7 @@ def oracle_sql() -> dict[str, str]:
         "zonal_stats": o.zonal_stats_sql(RES),
         "zonal_majority": o.zonal_majority_sql(RES),
         "zone_terms": o.zone_terms_sql(RES),
+        "host_extent": o.host_extent_sql(RES),
         "idw_interpolate": o.idw_interpolate_sql(RES, 25.0),
         "nearest_polygon": o.nearest_polygon_sql(RES),
         "geohash": o.geohash_sql(RES),
@@ -3121,6 +3141,7 @@ def oracle_sql() -> dict[str, str]:
         "uncompact_cells": o.uncompact_cells_sql(RES),
         "flow_accumulation": o.flow_accumulation_sql(RES),
         "watershed": o.watershed_sql(RES),
+        "cheapest_path": o.cheapest_path_cost_sql(RES),
         "grid_disk": o.grid_disk_sql(RES, 1),
         "dedup_canonical": oc.dedup_canonical_sql(JACCARD_T),
         "len_histogram": oc.len_histogram_sql(50),

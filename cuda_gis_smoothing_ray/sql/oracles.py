@@ -2001,3 +2001,58 @@ rk AS (
 )
 SELECT poly_id, CAST(r AS BIGINT) AS rank, token, n
 FROM rk WHERE r <= {k} ORDER BY poly_id, rank"""
+
+
+def host_extent_sql(res: int) -> str:
+    """Oracle of stages/spatialjoin.host_extent (per-host bounding box of
+    page locations, canonical rounding on output)."""
+    from ..functions import geocode
+
+    return f"""{prelude_geo(res)}
+SELECT (page_id * {geocode.TLD_MULT}) % {geocode.HOST_MOD} AS host,
+  CAST(count(*) AS BIGINT) AS n_pages,
+  {round6('min(lat)')} AS min_lat, {round6('max(lat)')} AS max_lat,
+  {round6('min(lon)')} AS min_lon, {round6('max(lon)')} AS max_lon,
+  {round6('(max(lat) - min(lat)) * (max(lon) - min(lon))')} AS extent_deg2
+FROM geocoded
+GROUP BY 1 ORDER BY host"""
+
+
+def cheapest_path_cost_sql(res: int, rounds: int | None = None) -> str:
+    """Oracle of stages/gridops.cheapest_path_cost: the same K min-combine
+    relaxation rounds unrolled as MATERIALIZED CTEs (bfs_hops pattern,
+    with enter-cost weights)."""
+    from ..stages import gridops
+
+    rounds = gridops.COST_ROUNDS if rounds is None else rounds
+    offs = ",\n    ".join(f"({dq}, {dr})"
+                          for dq, dr in hexgrid.ring_offsets(1))
+    chain = []
+    prev = "d0"
+    for i in range(1, rounds + 1):
+        chain.append(f"""d{i} AS MATERIALIZED (
+  SELECT cell, CAST(min(d) AS BIGINT) AS d FROM (
+    SELECT cell, d FROM {prev}
+    UNION ALL
+    SELECT e.dst AS cell, p.d + e.dst_cost AS d
+    FROM edges e JOIN {prev} p ON e.src = p.cell
+  ) GROUP BY cell
+)""")
+        prev = f"d{i}"
+    steps_sql = ",\n".join(chain)
+    return f"""{prelude(res)},
+offs(dq, dr) AS (VALUES
+    {offs}),
+edges AS MATERIALIZED (
+  SELECT c.cell AS src, n.cell AS dst,
+         CAST(n.page_count AS BIGINT) AS dst_cost
+  FROM cells c CROSS JOIN offs o
+  JOIN cells n ON n.q = c.q + o.dq AND n.r = c.r + o.dr
+),
+d0 AS MATERIALIZED (
+  SELECT cell, CAST(0 AS BIGINT) AS d FROM (
+    SELECT cell FROM cells ORDER BY page_count DESC, cell LIMIT 1
+  )
+),
+{steps_sql}
+SELECT cell, d AS cost_dist FROM {prev} ORDER BY cell"""

@@ -1191,3 +1191,141 @@ def watershed(geocoded, jumps: int = WATERSHED_JUMPS, n_parts: int = 64):
 
     return ptr.map_batches(rename, batch_format="pyarrow",
                            batch_size=None).sort("cell")
+
+
+COST_ROUNDS = 10
+
+
+def cheapest_path_cost(geocoded, rounds: int = COST_ROUNDS,
+                       n_parts: int = 64):
+    """Weighted shortest-path COST field over the populated-cell surface
+    -> (cell, cost_dist): from the densest cell (max page_count, ties by
+    smallest id; cost_dist 0 there), the minimum total cost of any ring-1
+    path, where entering cell v costs ``page_count(v)`` — the
+    cost-surface routing operator (least-cost corridor analysis), i.e.
+    Dijkstra as ``rounds`` Bellman-Ford relaxation supersteps (fixed K,
+    the bfs_hops contract; unreached-within-K cells are absent).
+
+    Scale shape: the adjacency is arithmetic (ring-1 offsets between
+    populated cells, one value scatter to derive it); each round is one
+    co-partitioned scatter of (cell, dist) along edges + a min-combine —
+    all integer, all cells-bounded."""
+    import pandas as pd
+
+    from ..functions import hashing
+
+    cells = cell_counts(geocoded, n_parts).materialize()
+
+    # seed: argmax(page_count), tie min cell — two tiny aggregates
+    mx = cells.max("page_count")
+    seed_df = cells.map_batches(
+        lambda b: b.filter(pa.array(
+            b.column("page_count").to_numpy(zero_copy_only=False) == mx)),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    seed = int(seed_df["cell"].min())
+
+    r1 = hexgrid.ring_offsets(1) + [(0, 0)]
+    dq = np.array([o[0] for o in r1], dtype=np.int64)
+    dr = np.array([o[1] for o in r1], dtype=np.int64)
+
+    def scatter_vals(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
+        val = batch.column("page_count").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        res, q, r = hexgrid.unpack(cell)
+        res0 = int(res[0]) if len(res) else hexgrid.RES_MIN
+        tgt = hexgrid.pack(res0, q[:, None] + dq[None, :],
+                           r[:, None] + dr[None, :]).reshape(-1)
+        return pa.table({
+            "tgt": pa.array(tgt),
+            "frm": pa.array(np.repeat(cell, len(dq))),
+            "val": pa.array(np.repeat(val, len(dq))),
+            "__part": pa.array(hashing.coarse_partition(tgt, n_parts)),
+        })
+
+    def edges_of(df: pd.DataFrame) -> pd.DataFrame:
+        # keep (src=frm -> dst=tgt, dst_cost) where BOTH endpoints are
+        # populated: the self row carries the target's own cost
+        t = df["tgt"].to_numpy(np.int64)
+        f = df["frm"].to_numpy(np.int64)
+        v = df["val"].to_numpy(np.int64)
+        self_rows = t == f
+        pop = t[self_rows]
+        if len(pop) == 0:
+            return pd.DataFrame({"src": np.array([], np.int64),
+                                 "dst": np.array([], np.int64),
+                                 "dst_cost": np.array([], np.int64)})
+        own = v[self_rows]
+        order = np.argsort(pop, kind="stable")
+        pop_sorted, own_sorted = pop[order], own[order]
+        pos = np.searchsorted(pop_sorted, t)
+        ok = pos < len(pop_sorted)
+        pos_c = np.minimum(pos, len(pop_sorted) - 1)
+        ok &= pop_sorted[pos_c] == t
+        keep = ok & ~self_rows
+        return pd.DataFrame({"src": f[keep], "dst": t[keep],
+                             "dst_cost": own_sorted[pos_c[keep]]})
+
+    edges = (
+        cells.map_batches(scatter_vals, batch_format="pyarrow",
+                          batch_size=None)
+        .groupby("__part")
+        .map_groups(edges_of, batch_format="pandas")
+        .materialize()
+    )
+
+    import ray.data as rd
+    dist = rd.from_arrow(pa.table({
+        "cell": pa.array([seed], pa.int64()),
+        "d": pa.array([0], pa.int64()),
+    })).materialize()
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("src"), "a": batch.column("dst"),
+                         "b": batch.column("dst_cost"),
+                         "kind": pa.array(np.ones(len(batch), np.int8))})
+
+    def tag_dist(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("cell"), "a": batch.column("d"),
+                         "b": pa.array(np.zeros(len(batch), np.int64)),
+                         "kind": pa.array(np.zeros(len(batch), np.int8))})
+
+    def add_part_key(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "__part", pa.array(hashing.coarse_partition(k, n_parts)))
+
+    def relax(df: pd.DataFrame) -> pd.DataFrame:
+        dt = df[df["kind"] == 0][["key", "a"]].rename(columns={"a": "d"})
+        ed = df[df["kind"] == 1][["key", "a", "b"]].rename(
+            columns={"a": "dst", "b": "dst_cost"})
+        m = ed.merge(dt, on="key")
+        return pd.DataFrame({
+            "cell": np.concatenate([dt["key"].to_numpy(np.int64),
+                                    m["dst"].to_numpy(np.int64)]),
+            "d": np.concatenate([dt["d"].to_numpy(np.int64),
+                                 m["d"].to_numpy(np.int64)
+                                 + m["dst_cost"].to_numpy(np.int64)]),
+        })
+
+    from ..functions.reduce import hash_groupby as hgb
+    for _ in range(rounds):
+        pushed = (
+            dist.map_batches(tag_dist, batch_format="pyarrow",
+                             batch_size=None)
+            .union(edges.map_batches(tag_edge, batch_format="pyarrow",
+                                     batch_size=None))
+            .map_batches(add_part_key, batch_format="pyarrow",
+                         batch_size=None)
+            .groupby("__part")
+            .map_groups(relax, batch_format="pandas")
+        )
+        dist = hgb(pushed, "cell", ["d"], how="min",
+                   n_parts=n_parts).repartition(16).materialize()
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"cell": batch.column("cell"),
+                         "cost_dist": batch.column("d")})
+
+    return dist.map_batches(rename, batch_format="pyarrow",
+                            batch_size=None).sort("cell")

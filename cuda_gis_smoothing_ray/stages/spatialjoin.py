@@ -719,3 +719,70 @@ def zone_terms(points_ds, k: int = ZONE_TERMS_K, n_parts: int = 64):
         "token": pa.array(top["token"].tolist(), pa.string()),
         "n": pa.array(top["n"].to_numpy(np.int64)),
     }))
+
+
+def host_extent(points_ds, n_parts: int = 64):
+    """geocoded pages -> per-host geographic footprint: (host, n_pages,
+    min_lat, max_lat, min_lon, max_lon, extent_deg2) — the bounding box of
+    each host's page locations and its area in square degrees (a crawl-
+    coverage / geo-spread diagnostic: is this host local or global?).
+
+    Scale shape: batch-local per-host partial extremes (np.minimum/
+    maximum.at), then ONE host-keyed mixed reduce (min/min/max/max/isum
+    in a single shuffle).  Min/max of doubles is order-independent, so
+    the float columns stay exactly comparable; the area is the one
+    derived column, rounded canonically on both sides."""
+    import ray.data as rd
+
+    from ..functions import geocode
+    from ..functions.reduce import hash_groupby
+    from ..sources.pages import REP_STRIDE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pid = batch.column("page_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        host = geocode.host_id(pid % REP_STRIDE).astype(np.int64)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(host, return_inverse=True)
+        mn_lat = np.full(len(uniq), np.inf)
+        mx_lat = np.full(len(uniq), -np.inf)
+        mn_lon = np.full(len(uniq), np.inf)
+        mx_lon = np.full(len(uniq), -np.inf)
+        np.minimum.at(mn_lat, inv, lat)
+        np.maximum.at(mx_lat, inv, lat)
+        np.minimum.at(mn_lon, inv, lon)
+        np.maximum.at(mx_lon, inv, lon)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "host": pa.array(uniq), "n_pages": pa.array(n),
+            "min_lat": pa.array(mn_lat), "max_lat": pa.array(mx_lat),
+            "min_lon": pa.array(mn_lon), "max_lon": pa.array(mx_lon),
+        })
+
+    agg = hash_groupby(
+        points_ds.map_batches(partial, batch_format="pyarrow"),
+        "host",
+        ["n_pages", "min_lat", "max_lat", "min_lon", "max_lon"],
+        how={"n_pages": "isum", "min_lat": "min", "max_lat": "max",
+             "min_lon": "min", "max_lon": "max"},
+        n_parts=n_parts,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        mn_lat = batch.column("min_lat").to_numpy(zero_copy_only=False)
+        mx_lat = batch.column("max_lat").to_numpy(zero_copy_only=False)
+        mn_lon = batch.column("min_lon").to_numpy(zero_copy_only=False)
+        mx_lon = batch.column("max_lon").to_numpy(zero_copy_only=False)
+        area = np.floor((mx_lat - mn_lat) * (mx_lon - mn_lon) * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "host": batch.column("host"), "n_pages": batch.column("n_pages"),
+            "min_lat": pa.array(np.floor(mn_lat * 1e6 + 0.5) / 1e6),
+            "max_lat": pa.array(np.floor(mx_lat * 1e6 + 0.5) / 1e6),
+            "min_lon": pa.array(np.floor(mn_lon * 1e6 + 0.5) / 1e6),
+            "max_lon": pa.array(np.floor(mx_lon * 1e6 + 0.5) / 1e6),
+            "extent_deg2": pa.array(area),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None).sort("host")
