@@ -2104,6 +2104,14 @@ def _q_host_rank(sf_dir: str):
     return textops.host_rank(_docs(sf_dir)).sort("doc_id")
 
 
+def _q_events_by_segment(sf_dir: str):
+    """Behavioral rollup by customer market segment: broadcast dim join,
+    bounded (segment x type) partials (stages/events.events_by_segment)."""
+    from cuda_gis_smoothing_ray.stages import events as ev
+
+    return ev.events_by_segment(ev.read_events(sf_dir), sf_dir)
+
+
 def _q_ema_win(sf_dir: str):
     """Exact windowed EMA (alpha = 1/2, scaled integer) per user
     (stages/events.ema_win; segmented shifted-array adds)."""
@@ -2816,6 +2824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_autocorr": _q_event_autocorr,
         "burst_hours": _q_burst_hours,
         "ema_win": _q_ema_win,
+        "events_by_segment": _q_events_by_segment,
         "host_rank": _q_host_rank,
         "event_context": _q_event_context,
         "user_activity_full": _q_user_activity_full,
@@ -3050,6 +3059,7 @@ def oracle_sql() -> dict[str, str]:
         "event_autocorr": oc.event_autocorr_sql(),
         "burst_hours": oc.burst_hours_sql(),
         "ema_win": oc.ema_win_sql(),
+        "events_by_segment": oc.events_by_segment_sql(),
         "host_rank": oc.host_rank_sql(),
         "event_context": oc.event_context_sql(),
         "user_activity_full": oc.user_activity_full_sql(),

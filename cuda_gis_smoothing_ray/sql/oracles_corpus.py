@@ -3896,3 +3896,15 @@ SELECT event_id, user_id,
   CAST({ema} AS BIGINT) AS ema_scaled
 FROM e
 ORDER BY event_id"""
+
+
+def events_by_segment_sql() -> str:
+    """Oracle of stages/events.events_by_segment (inner fact-to-dimension
+    join, exact cents)."""
+    return """SELECT c.c_mktsegment, e.event_type,
+  CAST(count(*) AS BIGINT) AS n_events,
+  CAST(sum(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+    AS sum_cents
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+ORDER BY c.c_mktsegment, e.event_type"""

@@ -1518,3 +1518,81 @@ def ema_win(ds, window: int = EMA_WINDOW):
                              "n_terms": terms, "ema_scaled": ema})
 
     return _by_user(ds, solve)
+
+
+def events_by_segment(ds, sf_dir: str):
+    """events x customer dimension -> (mktsegment, event_type, n_events,
+    sum_cents): behavioral rollup by CUSTOMER ATTRIBUTE — the
+    fact-to-dimension enrichment shape (events carry only a user id; the
+    segment lives in the customer table).  Inner-join semantics: events
+    whose user has no customer row are dropped, like the SQL.
+
+    Scale shape: customer is the broadcast dim (``ray.put`` of two
+    parallel sorted arrays, read once per worker); each fact batch maps
+    user -> segment and reduces batch-locally to |segments| x |types|
+    partial rows, so the final groupby sees a bounded key space.  Exact
+    integer cents."""
+    import pyarrow.parquet as pq_
+    import ray
+    from ray.data.aggregate import Sum
+
+    cust = pq_.read_table(f"{sf_dir}/customer.parquet",
+                          columns=["c_custkey", "c_mktsegment"]).combine_chunks()
+    ck = cust.column("c_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
+    seg = np.asarray(cust.column("c_mktsegment").to_pylist(), dtype=object)
+    segs = sorted(set(seg.tolist()))
+    seg_id = {s: i for i, s in enumerate(segs)}
+    sid = np.array([seg_id[s] for s in seg], dtype=np.int64)
+    order = np.argsort(ck, kind="stable")
+    dim_ref = ray.put((ck[order], sid[order]))
+
+    types = sorted(EVENT_TYPES) if "EVENT_TYPES" in globals() else None
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cks, sids = ray.get(dim_ref)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(cks) == 0:
+            return pa.table({"seg": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "n_events": pa.array([], pa.int64()),
+                             "sum_cents": pa.array([], pa.int64())})
+        pos = np.minimum(np.searchsorted(cks, uid), len(cks) - 1)
+        hit = cks[pos] == uid
+        s = sids[pos[hit]]
+        et = np.asarray(batch.column("event_type").to_pylist(),
+                        dtype=object)[hit]
+        cents = np.floor(batch.column("value")
+                         .to_numpy(zero_copy_only=False)[hit] * 100.0 + 0.5) \
+            .astype(np.int64)
+        etc, et_inv = np.unique(et.astype(str), return_inverse=True)
+        pair = s * len(etc) + et_inv
+        uniq, inv = np.unique(pair, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        sc = np.zeros(len(uniq), np.int64)
+        np.add.at(sc, inv, cents)
+        return pa.table({
+            "seg": pa.array(uniq // len(etc)),
+            "event_type": pa.array(etc[uniq % len(etc)].tolist(), pa.string()),
+            "n_events": pa.array(n),
+            "sum_cents": pa.array(sc),
+        })
+
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["seg", "event_type"])
+        .aggregate(_Sum("n_events", alias_name="n_events"),
+                   _Sum("sum_cents", alias_name="sum_cents"))
+        .to_pandas()  # |segments| x |types| — bounded
+    )
+    agg = agg.sort_values(["seg", "event_type"]).reset_index(drop=True)
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "c_mktsegment": pa.array([segs[int(s)] for s in agg["seg"]],
+                                 pa.string()),
+        "event_type": pa.array(agg["event_type"].tolist(), pa.string()),
+        "n_events": pa.array(agg["n_events"].to_numpy(np.int64)),
+        "sum_cents": pa.array(agg["sum_cents"].to_numpy(np.int64)),
+    }))
