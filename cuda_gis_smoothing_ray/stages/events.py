@@ -1534,7 +1534,6 @@ def events_by_segment(ds, sf_dir: str):
     integer cents."""
     import pyarrow.parquet as pq_
     import ray
-    from ray.data.aggregate import Sum
 
     cust = pq_.read_table(f"{sf_dir}/customer.parquet",
                           columns=["c_custkey", "c_mktsegment"]).combine_chunks()
@@ -1545,8 +1544,6 @@ def events_by_segment(ds, sf_dir: str):
     sid = np.array([seg_id[s] for s in seg], dtype=np.int64)
     order = np.argsort(ck, kind="stable")
     dim_ref = ray.put((ck[order], sid[order]))
-
-    types = sorted(EVENT_TYPES) if "EVENT_TYPES" in globals() else None
 
     def partial(batch: pa.Table) -> pa.Table:
         cks, sids = ray.get(dim_ref)
