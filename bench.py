@@ -128,9 +128,28 @@ def headline_queries(sf_dir: str, replicate: int):
             pages.map_batches(as_docs, batch_format="pyarrow",
                               batch_size=None))
 
+    def _oov_rate_volume():
+        # vocabulary learning + OOV scoring at volume: TWO tokenize scans
+        # over every replicated page (df shuffle -> broadcast top-k vocab
+        # -> per-doc membership counts)
+        from cuda_gis_smoothing_ray.sources.pages import read_pages
+        from cuda_gis_smoothing_ray.stages.textops import oov_rate
+
+        pages = read_pages(sf_dir, replicate=replicate, include_html=False,
+                           pages_per_task=250_000)
+
+        def as_docs(batch):
+            return batch.select(["page_id", "text"]).rename_columns(
+                ["doc_id", "text"])
+
+        return oov_rate(
+            pages.map_batches(as_docs, batch_format="pyarrow",
+                              batch_size=None))
+
     extras = {"latest_capture_volume": _latest_capture_volume,
               "bpe_train_volume": _bpe_train_volume,
-              "passage_dedup_volume": _passage_dedup_volume}
+              "passage_dedup_volume": _passage_dedup_volume,
+              "oov_rate_volume": _oov_rate_volume}
     return qs, extras
 
 
