@@ -719,6 +719,15 @@ def _q_lang_id(sf_dir: str):
     return textops.lang_id(_docs(sf_dir, ("doc_id", "text", "lang"))).sort("doc_id")
 
 
+def _q_bm25_scores(sf_dir: str):
+    """Okapi BM25 relevance against a fixed query set: two streaming
+    scans, bounded stat partials, fixed-order float fold
+    (stages/textops.bm25_scores)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.bm25_scores(_docs(sf_dir))
+
+
 def _q_normalized_dedup(sf_dir: str):
     """Casefold/whitespace-normalized exact dedup
     (stages/textops.normalized_dedup)."""
@@ -2719,6 +2728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "exact_dedup": _q_exact_dedup,
         "normalized_dedup": _q_normalized_dedup,
+        "bm25_scores": _q_bm25_scores,
         "jaccard_pairs": _q_jaccard,
         "minhash_pairs": _q_minhash,
         "simhash_pairs": _q_simhash,
@@ -2950,6 +2960,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oc.lang_id_sql(),
         "exact_dedup": oc.exact_dedup_sql(),
         "normalized_dedup": oc.normalized_dedup_sql(),
+        "bm25_scores": oc.bm25_scores_sql(),
         "jaccard_pairs": oc.jaccard_pairs_sql(JACCARD_T),
         "doc_fingerprints": oc.doc_fingerprints_sql(),
         "tfidf": oc.tfidf_sql(),

@@ -3908,3 +3908,52 @@ def events_by_segment_sql() -> str:
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment, e.event_type
 ORDER BY c.c_mktsegment, e.event_type"""
+
+
+def bm25_scores_sql(query: tuple | None = None, k1: float | None = None,
+                    b: float | None = None) -> str:
+    """Oracle of stages/textops.bm25_scores: per-term tf/df columns
+    pivoted wide, the score summed with EXPLICIT left-associative
+    parentheses in term order (SQL SUM order is unspecified — the
+    polygon_density float-fold discipline), ln + canonical rounding."""
+    from ..stages import textops
+
+    query = textops.BM25_QUERY if query is None else query
+    k1 = textops.BM25_K1 if k1 is None else k1
+    b = textops.BM25_B if b is None else b
+    tf_cols = ",\n    ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(query))
+    df_cols = ",\n    ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(query)))
+    terms = []
+    for i in range(len(query)):
+        terms.append(
+            f"""CASE WHEN tf{i} = 0 THEN 0.0 ELSE
+      ln((CAST(n - df{i} AS DOUBLE) + 0.5) / (CAST(df{i} AS DOUBLE) + 0.5)
+          + 1.0)
+      * (CAST(tf{i} AS DOUBLE) * ({k1!r} + 1.0))
+      / (CAST(tf{i} AS DOUBLE)
+         + {k1!r} * (1.0 - {b!r} + {b!r} * CAST(dl AS DOUBLE)
+                     / (CAST(sdl AS DOUBLE) / n))) END""")
+    folded = terms[0]
+    for t in terms[1:]:
+        folded = f"({folded} + {t})"
+    return f"""WITH t AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), d AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+    {tf_cols}
+  FROM t
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sdl,
+    {df_cols}
+  FROM d
+)
+SELECT d.doc_id, d.dl,
+  {round6(folded)} AS bm25
+FROM d, g
+ORDER BY d.doc_id"""

@@ -3284,3 +3284,91 @@ def normalized_dedup(ds):
         .aggregate(Min("doc_id", alias_name="doc_id"),
                    Count(alias_name="n_docs"))
     )
+
+
+BM25_QUERY = ("data", "web", "model", "train")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_scores(ds, query: tuple = BM25_QUERY, k1: float = BM25_K1,
+                b: float = BM25_B):
+    """documents -> (doc_id, dl, bm25): Okapi BM25 relevance of every doc
+    against a fixed ``query`` term set — the ranking function behind the
+    inverted index (Lucene's +1 idf variant, so idf is never negative).
+
+    Float parity with the oracle: the per-term scores are summed in ONE
+    FIXED left-associative order (term 0 .. term Q-1 — SQL SUM order is
+    unspecified, so the oracle pivots per-term columns and adds them with
+    explicit parentheses, the polygon_density discipline); idf's ``ln``
+    agrees with DuckDB within the canonical 1e-6 rounding (proven by the
+    bigram_pmi / char_entropy oracles).
+
+    Scale shape: two streaming scans — pass 1 reduces each batch to ONE
+    row of corpus stats (N, total dl, per-term df); pass 2 recomputes
+    tf/dl batch-locally and scores with the broadcast stats.  Nothing
+    shuffles but the bounded stat partials."""
+    import pyarrow.compute as pc_
+    import ray
+    import ray.data as rd
+
+    q_terms = list(query)
+
+    def _tf_dl(batch: pa.Table):
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        n_words = split.value_lengths().to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = split.flatten()
+        row_idx = np.repeat(np.arange(len(doc_id), dtype=np.int64), n_words)
+        nonempty = pc_.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        row_idx = row_idx[nonempty]
+        toks = flat.filter(pa.array(nonempty))
+        dl = np.bincount(row_idx, minlength=len(doc_id)).astype(np.int64)
+        tfs = []
+        for t in q_terms:
+            hit = pc_.equal(toks, t).to_numpy(zero_copy_only=False)
+            tfs.append(np.bincount(row_idx[hit],
+                                   minlength=len(doc_id)).astype(np.int64))
+        return doc_id, dl, tfs
+
+    def stats(batch: pa.Table) -> pa.Table:
+        _, dl, tfs = _tf_dl(batch)
+        cols = {"n_docs": pa.array([len(dl)], pa.int64()),
+                "sum_dl": pa.array([int(dl.sum())], pa.int64())}
+        for i, tf in enumerate(tfs):
+            cols[f"df{i}"] = pa.array([int((tf > 0).sum())], pa.int64())
+        return pa.table(cols)
+
+    st = ds.map_batches(stats, batch_format="pyarrow") \
+        .sum(["n_docs", "sum_dl"] + [f"df{i}" for i in range(len(q_terms))])
+    n = int(st["sum(n_docs)"])
+    sdl = int(st["sum(sum_dl)"])
+    dfs = [int(st[f"sum(df{i})"]) for i in range(len(q_terms))]
+    stats_ref = ray.put((n, sdl, dfs))
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_, sdl_, dfs_ = ray.get(stats_ref)
+        doc_id, dl, tfs = _tf_dl(batch)
+        avgdl = float(sdl_) / n_
+        total = np.zeros(len(dl), np.float64)
+        dlf = dl.astype(np.float64)
+        # FIXED left-associative term order — mirrors the oracle's
+        # explicit parenthesized sum
+        for i, tf in enumerate(tfs):
+            idf = np.log((float(n_ - dfs_[i]) + 0.5)
+                         / (float(dfs_[i]) + 0.5) + 1.0)
+            tff = tf.astype(np.float64)
+            s = idf * (tff * (k1 + 1.0)) \
+                / (tff + k1 * (1.0 - b + b * dlf / avgdl))
+            total = total + np.where(tf > 0, s, 0.0)
+        return pa.table({
+            "doc_id": pa.array(doc_id),
+            "dl": pa.array(dl),
+            "bm25": pa.array(np.floor(total * 1e6 + 0.5) / 1e6),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
