@@ -719,6 +719,43 @@ def _q_lang_id(sf_dir: str):
     return textops.lang_id(_docs(sf_dir, ("doc_id", "text", "lang"))).sort("doc_id")
 
 
+def _q_bucketed_join(sf_dir: str):
+    """Hash-bucketed storage layout + shuffle-free co-located equi-join
+    (state/zonemap.write_bucketed / bucketed_join): pay the bucketing
+    shuffle once at write time, every later join is per-bucket local."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.state.zonemap import (bucketed_join,
+                                                      write_bucketed)
+
+    tmp = tempfile.mkdtemp(prefix="hexray_buckets_")
+    try:
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "n_chars"])
+        embs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "label"])
+        write_bucketed(docs, f"{tmp}/docs", key="doc_id", n_buckets=8)
+        write_bucketed(embs, f"{tmp}/embs", key="vec_id", n_buckets=8)
+        out = bucketed_join(f"{tmp}/docs", f"{tmp}/embs",
+                            key_a="doc_id", key_b="vec_id",
+                            cols_a=["doc_id", "n_chars"],
+                            cols_b=["vec_id", "label"]).to_pandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    import numpy as np
+    import pyarrow as pa
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].to_numpy(np.int64)),
+        "n_chars": pa.array(out["n_chars"].to_numpy(np.int64)),
+        "vec_id": pa.array(out["vec_id"].to_numpy(np.int64)),
+        "label": pa.array(out["label"].to_numpy(np.int64)),
+    })
+
+
 def _q_bm25_scores(sf_dir: str):
     """Okapi BM25 relevance against a fixed query set: two streaming
     scans, bounded stat partials, fixed-order float fold
@@ -2729,6 +2766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "normalized_dedup": _q_normalized_dedup,
         "bm25_scores": _q_bm25_scores,
+        "bucketed_join": _q_bucketed_join,
         "jaccard_pairs": _q_jaccard,
         "minhash_pairs": _q_minhash,
         "simhash_pairs": _q_simhash,
@@ -2961,6 +2999,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": oc.exact_dedup_sql(),
         "normalized_dedup": oc.normalized_dedup_sql(),
         "bm25_scores": oc.bm25_scores_sql(),
+        "bucketed_join": oc.bucketed_join_sql(),
         "jaccard_pairs": oc.jaccard_pairs_sql(JACCARD_T),
         "doc_fingerprints": oc.doc_fingerprints_sql(),
         "tfidf": oc.tfidf_sql(),

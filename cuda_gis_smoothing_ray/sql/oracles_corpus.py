@@ -3957,3 +3957,13 @@ SELECT d.doc_id, d.dl,
   {round6(folded)} AS bm25
 FROM d, g
 ORDER BY d.doc_id"""
+
+
+def bucketed_join_sql() -> str:
+    """Oracle of the bucketed_join driver query (documents x embeddings on
+    doc_id = vec_id): bucketing is a storage layout, the join RESULT must
+    equal the plain equi-join."""
+    return """SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars,
+       e.vec_id, CAST(e.label AS BIGINT) AS label
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+ORDER BY d.doc_id"""

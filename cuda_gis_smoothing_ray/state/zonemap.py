@@ -245,3 +245,118 @@ def read_pruned(out_dir: str, lo: int, hi: int):
         filter=(pads.field(key) >= lo) & (pads.field(key) <= hi),
     )
     return ds, len(hit), len(zones)
+
+
+BUCKET_MANIFEST = "buckets.json"
+
+
+def write_bucketed(ds, out_dir: str, key: str, n_buckets: int = 16) -> dict:
+    """Hash-bucketed parquet layout: route every row to
+    ``coarse_partition(key) % n_buckets`` and write each bucket's rows to
+    its own file set, recording a ``buckets.json`` manifest.  Two tables
+    bucketed with the SAME key hash and bucket count are join-co-located:
+    an equi-join needs NO shuffle at read time — bucket i of A only ever
+    matches bucket i of B (:func:`bucketed_join`).  The storage half of
+    the Hive/Spark bucketing contract, on the engine's own partitioner.
+
+    Files are written INSIDE the group tasks (data never funnels through
+    the driver); only the (bucket, rows, file) manifest rows come back.
+    """
+    import pandas as pd
+
+    from ..functions.hashing import coarse_partition
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = batch.column(key).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "__bucket", pa.array(coarse_partition(k, n_buckets)))
+
+    def write_group(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"bucket": [], "rows": [], "file": []})
+        b = int(df["__bucket"].iloc[0])
+        _WRITE_SEQ[0] += 1
+        name = f"bucket_{b:05d}_{os.getpid()}_{_WRITE_SEQ[0]}.parquet"
+        body = df.drop(columns="__bucket")
+        pq.write_table(pa.Table.from_pandas(body, preserve_index=False),
+                       os.path.join(out_dir, name))
+        return pd.DataFrame({"bucket": [b], "rows": [len(df)],
+                             "file": [name]})
+
+    manifest_df = (
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("__bucket")
+        .map_groups(write_group, batch_format="pandas")
+        .to_pandas()  # O(files), not data
+    )
+    buckets: dict[str, list] = {}
+    for _, row in manifest_df.iterrows():
+        buckets.setdefault(str(int(row["bucket"])), []).append(
+            {"file": row["file"], "rows": int(row["rows"])})
+    manifest = {"key": key, "n_buckets": n_buckets, "buckets": buckets}
+    with open(os.path.join(out_dir, BUCKET_MANIFEST), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def bucketed_join(dir_a: str, dir_b: str, key_a: str, key_b: str,
+                  cols_a: list[str], cols_b: list[str]):
+    """Shuffle-free equi-join of two :func:`write_bucketed` layouts with
+    the same bucket count: ONE task per bucket reads that bucket's files
+    from both sides and joins locally (inner).  At 100 TB this is the
+    payoff of paying the bucketing shuffle once at WRITE time — every
+    subsequent join of the co-bucketed tables is embarrassingly parallel
+    read + local hash join, no exchange.
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    with open(os.path.join(dir_a, BUCKET_MANIFEST)) as f:
+        ma = json.load(f)
+    with open(os.path.join(dir_b, BUCKET_MANIFEST)) as f:
+        mb = json.load(f)
+    if ma["n_buckets"] != mb["n_buckets"]:
+        raise ValueError(
+            f"bucketed_join: bucket counts differ "
+            f"({ma['n_buckets']} vs {mb['n_buckets']}) — re-bucket one side")
+    n = ma["n_buckets"]
+
+    # typed empty result (stable schema for empty buckets): join two
+    # zero-row slices of real files once, driver-side
+    def _any_file(d, m):
+        for ents in m["buckets"].values():
+            if ents:
+                return os.path.join(d, ents[0]["file"])
+        raise ValueError("bucketed_join: empty layout")
+
+    ea = pq.read_table(_any_file(dir_a, ma), columns=cols_a) \
+        .slice(0, 0).to_pandas()
+    eb = pq.read_table(_any_file(dir_b, mb), columns=cols_b) \
+        .slice(0, 0).to_pandas()
+    EMPTY = pa.Table.from_pandas(
+        ea.merge(eb, left_on=key_a, right_on=key_b), preserve_index=False)
+
+    def join_bucket(batch: pa.Table) -> pa.Table:
+        outs = []
+        for b in batch.column("id").to_pylist():
+            fa = [os.path.join(dir_a, e["file"])
+                  for e in ma["buckets"].get(str(b), [])]
+            fb = [os.path.join(dir_b, e["file"])
+                  for e in mb["buckets"].get(str(b), [])]
+            if not fa or not fb:
+                continue
+            ta = pa.concat_tables([pq.read_table(p, columns=cols_a)
+                                   for p in fa]).to_pandas()
+            tb = pa.concat_tables([pq.read_table(p, columns=cols_b)
+                                   for p in fb]).to_pandas()
+            m = ta.merge(tb, left_on=key_a, right_on=key_b)
+            outs.append(pa.Table.from_pandas(m, preserve_index=False)
+                        .cast(EMPTY.schema))
+        if not outs:
+            return EMPTY
+        return pa.concat_tables(outs)
+
+    return rd.range(n).map_batches(join_bucket, batch_format="pyarrow",
+                                   batch_size=1)

@@ -211,3 +211,41 @@ def test_watershed_basins(sf_dir):
     for c, s in zip(ws["cell"], ws["sink"]):
         if c in sinks:
             assert s == c
+
+
+def test_bucketed_layout_colocation(tmp_path):
+    """Every file of bucket i holds only keys hashing to i, and the
+    co-located join equals a plain merge."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.functions.hashing import coarse_partition
+    from cuda_gis_smoothing_ray.state.zonemap import (BUCKET_MANIFEST,
+                                                      bucketed_join,
+                                                      write_bucketed)
+
+    rng = np.random.RandomState(5)
+    n = 500
+    a = pa.table({"k": pa.array(rng.permutation(n).astype(np.int64)),
+                  "x": pa.array(np.arange(n, dtype=np.int64))})
+    b = pa.table({"k2": pa.array(rng.permutation(n)[: n // 2].astype(np.int64)),
+                  "y": pa.array(np.arange(n // 2, dtype=np.int64))})
+    da, db = str(tmp_path / "a"), str(tmp_path / "b")
+    write_bucketed(rd.from_arrow(a), da, key="k", n_buckets=8)
+    write_bucketed(rd.from_arrow(b), db, key="k2", n_buckets=8)
+    man = json.load(open(os.path.join(da, BUCKET_MANIFEST)))
+    for bkt, ents in man["buckets"].items():
+        for e in ents:
+            keys = pq.read_table(os.path.join(da, e["file"]))["k"] \
+                .to_numpy(zero_copy_only=False)
+            assert (coarse_partition(keys.astype(np.int64), 8)
+                    == int(bkt)).all()
+    got = bucketed_join(da, db, "k", "k2", ["k", "x"], ["k2", "y"]) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    want = a.to_pandas().merge(b.to_pandas(), left_on="k", right_on="k2") \
+        .sort_values("k").reset_index(drop=True)
+    assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
+    assert (got["y"].to_numpy() == want["y"].to_numpy()).all()
