@@ -2433,6 +2433,16 @@ def _q_hll_hosts(sf_dir: str):
     return hll_count(_pages_urls(sf_dir))
 
 
+def _q_hll_by_lang(sf_dir: str):
+    """Grouped HLL: one mergeable register table per language
+    (stages/sketch.hll_by_lang; |langs| x 2^p rows shuffle, bit-exact)."""
+    from cuda_gis_smoothing_ray.stages import sketch
+
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+
+    return sketch.hll_by_lang(read_pages(sf_dir, include_html=False))
+
+
 def _q_hll_registers(sf_dir: str):
     """Merged HLL register table over page hosts — the pure-integer witness
     of the sketch content (stages/sketch.hll_registers, poly_hash64)."""
@@ -2923,6 +2933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_hosts": _q_distinct_hosts,
         "hll_hosts": _q_hll_hosts,
         "hll_registers": _q_hll_registers,
+        "hll_by_lang": _q_hll_by_lang,
         "text_len_quantiles": _q_text_len_quantiles,
         "sampled_len_quantiles": _q_sampled_len_quantiles,
         "text_len_quantiles_cont": _q_text_len_quantiles_cont,
@@ -3019,6 +3030,7 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": oc.personalized_pagerank_sql(),
         "bfs_hops": oc.bfs_hops_sql(),
         "hll_registers": oc.hll_registers_sql(),
+        "hll_by_lang": oc.hll_by_lang_sql(),
         "lm_score": oc.lm_score_sql(),
         "ccnet_buckets": oc.ccnet_buckets_sql(),
         "bpe_merges": oc.bpe_merges_sql(),

@@ -3967,3 +3967,45 @@ def bucketed_join_sql() -> str:
        e.vec_id, CAST(e.label AS BIGINT) AS label
 FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
 ORDER BY d.doc_id"""
+
+
+def hll_by_lang_sql(p: int | None = None) -> str:
+    """Oracle of stages/sketch.hll_by_lang: the hll_registers_sql hash
+    chain threaded with the language key — per-(lang, register) max rho,
+    bit-exact."""
+    from .oracles import pages_cte
+    from ..stages import sketch
+
+    p = sketch.HLL_GROUP_P if p is None else p
+    fold = (f"list_reduce(list_transform(string_split(host, ''), "
+            f"c -> ascii(c)::HUGEINT), (h, b) -> ((h * {_FNV}) % {_M64} + b) % {_M64})")
+    return f"""WITH {pages_cte()}, hosts AS (
+  SELECT DISTINCT lang, split_part(url, '/', 3) AS host FROM pages
+), p0 AS (
+  SELECT lang, host,
+    CASE WHEN length(host) = 0 THEN 0::HUGEINT ELSE {fold} END AS h0
+  FROM hosts
+), z1 AS (
+  SELECT lang, (h0 + 11400714819323198485) % {_M64} AS z1 FROM p0
+), z2 AS (
+  SELECT lang, {_mulmod64("xor(z1, z1 >> 30)", "13787848793156543929")} AS z2
+  FROM z1
+), z3 AS (
+  SELECT lang, {_mulmod64("xor(z2, z2 >> 27)", "10723151780598845931")} AS z3
+  FROM z2
+), hh AS (
+  SELECT lang, xor(z3, z3 >> 31) AS h FROM z3
+), parts AS (
+  SELECT lang, CAST(h >> {64 - p} AS BIGINT) AS register,
+         (h * {1 << p}) % {_M64} AS rest
+  FROM hh
+), rhos AS (
+  SELECT lang, register,
+    COALESCE((SELECT min(i.i) + 1 FROM range(0, {64 - p}) i(i)
+              WHERE ((parts.rest >> CAST(63 - i.i AS INT)) % 2) = 1),
+             {64 - p + 1}) AS rho
+  FROM parts
+)
+SELECT lang, register, CAST(max(rho) AS BIGINT) AS rho
+FROM rhos GROUP BY lang, register
+ORDER BY lang, register"""

@@ -1091,3 +1091,56 @@ def decision_stump(docs_ds):
         "err": pa.array([int(err[best])], pa.int64()),
         "acc": pa.array([acc], pa.float64()),
     }))
+
+
+HLL_GROUP_P = 8  # 256 registers per group — the grouped-sketch default
+
+
+def hll_by_lang(ds, p: int = HLL_GROUP_P):
+    """pages -> (lang, register, rho): a MERGED HLL register table PER
+    LANGUAGE — the grouped-sketch shape (one mergeable distinct-count
+    sketch per group, union-able across shards by register max), bit-exact
+    and SQL-oracled like the global :func:`hll_registers`.  Distinct hosts
+    per language without a distinct-keys shuffle: only |langs| x 2^p
+    register rows ever move.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Max
+
+    from ..functions.hashing import poly_hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        host = _host_from_url(batch)
+        lang = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        pair = np.char.add(np.char.add(lang.astype(str), "\x1f"),
+                           host.astype(str))
+        uniq = np.unique(pair)
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "register": pa.array([], pa.int64()),
+                          "rho": pa.array([], pa.int64())})
+        if len(uniq) == 0:
+            return empty
+        split = np.char.partition(uniq.astype(str), "\x1f")
+        langs = split[:, 0]
+        hosts = split[:, 2]
+        outs = []
+        # _register_partial REDUCES to the per-register max — run it per
+        # language (bounded set) so the lang column stays aligned
+        for lg in np.unique(langs):
+            sel = langs == lg
+            t = _register_partial(
+                poly_hash64(pa.array(hosts[sel].astype(object))), p)
+            outs.append(pa.table({
+                "lang": pa.array([str(lg)] * len(t), pa.string()),
+                "register": t.column("register"),
+                "rho": t.column("rho"),
+            }))
+        return pa.concat_tables(outs) if outs else empty
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["lang", "register"])
+        .aggregate(Max("rho", alias_name="rho"))
+        .sort(["lang", "register"])
+    )
