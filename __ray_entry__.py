@@ -2158,6 +2158,15 @@ def _q_events_by_segment(sf_dir: str):
     return ev.events_by_segment(ev.read_events(sf_dir), sf_dir)
 
 
+def _q_cusum_change(sf_dir: str):
+    """CUSUM change-point of the dense hourly event series: argmax |S_t|
+    of the exact mean-cleared cumulative sum, earliest-hour ties
+    (stages/events.cusum_change)."""
+    from cuda_gis_smoothing_ray.stages import events as ev
+
+    return ev.cusum_change(ev.read_events(sf_dir))
+
+
 def _q_ema_win(sf_dir: str):
     """Exact windowed EMA (alpha = 1/2, scaled integer) per user
     (stages/events.ema_win; segmented shifted-array adds)."""
@@ -2881,6 +2890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "attribution": _q_attribution,
         "event_autocorr": _q_event_autocorr,
         "burst_hours": _q_burst_hours,
+        "cusum_change": _q_cusum_change,
         "ema_win": _q_ema_win,
         "events_by_segment": _q_events_by_segment,
         "host_rank": _q_host_rank,
@@ -3120,6 +3130,7 @@ def oracle_sql() -> dict[str, str]:
         "attribution": oc.attribution_sql(),
         "event_autocorr": oc.event_autocorr_sql(),
         "burst_hours": oc.burst_hours_sql(),
+        "cusum_change": oc.cusum_change_sql(),
         "ema_win": oc.ema_win_sql(),
         "events_by_segment": oc.events_by_segment_sql(),
         "host_rank": oc.host_rank_sql(),

@@ -3798,6 +3798,33 @@ WHERE CAST(d.x AS HUGEINT) * st.n - st.s1 > 0
 ORDER BY d.hr"""
 
 
+def cusum_change_sql() -> str:
+    """Oracle of stages/events.cusum_change: dense hourly series, exact
+    HUGEINT mean-cleared cumulative sum S_t = sum_{i<=t} (n*x_i - S1),
+    argmax |S_t| with earliest-hour ties."""
+    return """WITH h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+), dense AS (
+  SELECT g.hr, CAST(coalesce(h.cnt, 0) AS BIGINT) AS x
+  FROM (SELECT unnest(generate_series((SELECT min(hr) FROM h),
+                                      (SELECT max(hr) FROM h))) AS hr) g
+  LEFT JOIN h ON h.hr = g.hr
+), st AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS s1
+  FROM dense
+), c AS (
+  SELECT d.hr,
+    sum(CAST(d.x AS HUGEINT) * st.n - st.s1)
+      OVER (ORDER BY d.hr ROWS UNBOUNDED PRECEDING) AS cusum
+  FROM dense d, st
+)
+SELECT c.hr AS chg_hr, CAST(c.cusum AS BIGINT) AS cusum,
+  CAST(st.n AS BIGINT) AS n_hours
+FROM c, st
+ORDER BY abs(c.cusum) DESC, c.hr ASC LIMIT 1"""
+
+
 def recrawl_stats_sql(replicate: int = 3) -> str:
     """Oracle of stages/extract.recrawl_stats over read_pages(replicate):
     LAG gaps per host over capture times, exact integer n/sum/min/max,

@@ -1473,6 +1473,54 @@ def burst_hours(ds, sigmas: int = BURST_SIGMAS):
     }))
 
 
+def cusum_change(ds):
+    """events -> ONE row (chg_hr, cusum, n_hours): CUSUM change-point
+    detection over the dense hourly event-count series — the hour ``t``
+    maximizing ``|S_t|`` where ``S_t = sum_{i<=t} (n*x_i - S1)`` (the
+    mean-cleared cumulative sum scaled by ``n`` so every term is an exact
+    integer; ``S1`` the series total).  The classic "where did the level
+    shift" statistic for crawl-rate / traffic monitoring, sibling of
+    :func:`burst_hours` (same dense zero-filled series — missing hours ARE
+    data) and :func:`event_autocorr`.
+
+    EXACT: arbitrary-precision Python ints end to end; ties on ``|S_t|``
+    resolve to the EARLIEST hour, so the HUGEINT window oracle matches
+    bit-for-bit.  Scale shape: ONE bounded hour-keyed count reduce
+    (|hours| rows); the cumulative pass runs on the bounded driver-side
+    series like the ACF/burst ops."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    def counts(batch: pa.Table) -> pa.Table:
+        h = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[h]").astype(np.int64)
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(uniq),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    hist = hash_groupby(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        "h", ["cnt"], how="isum",
+    ).to_pandas().sort_values("h")
+    if len(hist) == 0:
+        raise ValueError("cusum_change: no events")
+    hs = hist["h"].to_numpy(np.int64)
+    lo, hi = int(hs[0]), int(hs[-1])
+    x = np.zeros(hi - lo + 1, dtype=np.int64)
+    x[hs - lo] = hist["cnt"].to_numpy(np.int64)
+    n = len(x)
+    s1 = int(x.sum())
+    cum = np.cumsum(x.astype(object) * n - s1)  # exact object ints
+    mag = np.abs(cum)
+    best = int(np.argmax(mag))  # np.argmax returns the FIRST maximum
+    return rd.from_arrow(pa.table({
+        "chg_hr": pa.array([lo + best], pa.int64()),
+        "cusum": pa.array([int(cum[best])], pa.int64()),
+        "n_hours": pa.array([n], pa.int64()),
+    }))
+
+
 EMA_WINDOW = 8
 
 

@@ -123,6 +123,36 @@ def test_burst_hours_math():
     assert len(burst_hours(flat).to_pandas()) == 0
 
 
+def test_cusum_change_level_shift():
+    """Planted level shift: 20 hours at 1 event/h then 20 hours at 5/h.
+    The CUSUM |S_t| over the mean-cleared series peaks exactly at the last
+    pre-shift hour; a constant series yields S_t = 0 everywhere with the
+    earliest-hour tie."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import cusum_change
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = []
+    for h in range(20):
+        ts += [base + np.timedelta64(h, "h")] * 1
+    for h in range(20, 40):
+        ts += [base + np.timedelta64(h, "h")] * 5
+    ds = rd.from_arrow(pa.table({"ts": pa.array(ts, pa.timestamp("us"))}))
+    out = cusum_change(ds).to_pandas()
+    assert len(out) == 1
+    assert int(out["n_hours"].iloc[0]) == 40
+    base_hr = int(np.datetime64("2024-01-01T00", "h").astype(np.int64))
+    assert int(out["chg_hr"].iloc[0]) == base_hr + 19  # last low hour
+    # hand math: n=40, S1=120; at t=19 cum = 20*(40*1-120) = -1600
+    assert int(out["cusum"].iloc[0]) == -1600
+    flat = rd.from_arrow(pa.table(
+        {"ts": pa.array(ts[:20], pa.timestamp("us"))}))
+    f = cusum_change(flat).to_pandas()
+    assert int(f["cusum"].iloc[0]) == 0
+    assert int(f["chg_hr"].iloc[0]) == base_hr  # earliest tie
+
+
 def test_token_budget_boundary():
     """The kept set is exactly the SQL window-prefix: docs in (n_chars
     DESC, doc_id) order while cumulative tokens <= total // 4."""
