@@ -1197,6 +1197,19 @@ def _q_dup_ngrams(sf_dir: str):
     return textops.dup_ngram_stats(_docs(sf_dir)).sort("doc_id")
 
 
+def _q_common_neighbors(sf_dir: str):
+    """Link prediction by common-neighbor counting: non-adjacent community
+    pairs sharing >= CN_MIN neighbors (stages/triangles.common_neighbors)."""
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages import triangles as tri
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    docs = read_documents(sf_dir, columns=("doc_id",))
+    return tri.common_neighbors(docs, n_docs)
+
+
 def _q_triangles(sf_dir: str):
     """Per-community triangle counts via the degree-ordered node-iterator
     (stages/triangles.triangle_counts)."""
@@ -2812,6 +2825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokenize": _q_bpe_tokenize,
         "collapse_repeats": _q_collapse_repeats,
         "triangle_counts": _q_triangles,
+        "common_neighbors": _q_common_neighbors,
         "clustering_coeff": _q_clustering_coeff,
         "dup_ngram_stats": _q_dup_ngrams,
         "remove_boilerplate": _q_remove_boilerplate,
@@ -3047,6 +3061,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokenize": oc.bpe_tokenize_sql(),
         "collapse_repeats": oc.collapse_repeats_sql(),
         "triangle_counts": oc.triangles_sql(),
+        "common_neighbors": oc.common_neighbors_sql(),
         "clustering_coeff": oc.clustering_coeff_sql(),
         "dup_ngram_stats": oc.dup_ngram_stats_sql(),
         "remove_boilerplate": oc.remove_boilerplate_sql(n=5, min_df=2),

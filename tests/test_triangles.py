@@ -109,3 +109,53 @@ def test_kcore_matches_peel_to_convergence():
     got = dict(zip(out["comm"].tolist(), out["deg"].tolist()))
     assert got == want
     assert len(want) > 5  # non-vacuous: core survives on this graph
+
+
+def test_common_neighbors_vs_brute():
+    """Engine common-neighbor link prediction vs a brute-force set
+    intersection over the same derived graph, plus: no reported pair is an
+    existing edge, and the max_degree cap only ever shrinks counts."""
+    from cuda_gis_smoothing_ray.functions import geocode
+    from cuda_gis_smoothing_ray.stages import pagerank as pr
+    from cuda_gis_smoothing_ray.stages.triangles import common_neighbors
+
+    n, cm, mc = 300, 53, 2
+    d = np.arange(n, dtype=np.int64)
+    src = np.concatenate([geocode.host_id(d), geocode.host_id(d)]) % cm
+    dst = np.concatenate([
+        geocode.host_id((d * pr.EDGE_MULT + pr.EDGE_ADD) % n),
+        geocode.host_id((d * d * pr.EDGE_MULT2 + pr.EDGE_ADD2) % n),
+    ]) % cm
+    keep = src != dst
+    pairs = np.unique(np.minimum(src[keep], dst[keep]) * cm
+                      + np.maximum(src[keep], dst[keep]))
+    edge_set = set(pairs.tolist())
+    adj: dict[int, set[int]] = {}
+    for p in pairs:
+        x, y = int(p) // cm, int(p) % cm
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    want = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for w in nodes[i + 1:]:
+            if u * cm + w in edge_set:
+                continue
+            c = len(adj[u] & adj[w])
+            if c >= mc:
+                want[(u, w)] = c
+
+    out = common_neighbors(_docs_ds(n), n_docs=n, comm_mod=cm,
+                           min_cn=mc).to_pandas()
+    got = {(int(r.u), int(r.w)): int(r.cn) for r in out.itertuples()}
+    assert got == want
+    assert all(u * cm + w not in edge_set for (u, w) in got)
+
+    capped = common_neighbors(_docs_ds(n), n_docs=n, comm_mod=cm,
+                              min_cn=1, max_degree=4).to_pandas()
+    gc = {(int(r.u), int(r.w)): int(r.cn) for r in capped.itertuples()}
+    full = common_neighbors(_docs_ds(n), n_docs=n, comm_mod=cm,
+                            min_cn=1).to_pandas()
+    gf = {(int(r.u), int(r.w)): int(r.cn) for r in full.itertuples()}
+    assert set(gc) <= set(gf)
+    assert all(gc[k] <= gf[k] for k in gc)
