@@ -1432,6 +1432,14 @@ def _q_embedding_gram(sf_dir: str):
     return ann.embedding_gram(ann.read_embeddings(sf_dir))
 
 
+def _q_pca_power(sf_dir: str):
+    """Top principal direction of the embedding table: exact-integer power
+    iteration over the fixed-point Gram matrix (stages/ann.pca_power)."""
+    from cuda_gis_smoothing_ray.stages import ann
+
+    return ann.pca_power(ann.read_embeddings(sf_dir))
+
+
 def _q_ann_range(sf_dir: str):
     """Cosine range search (all neighbors >= tau): broadcast query matrix,
     blocked column-sequential cosine, streaming filter — no merge stage."""
@@ -2868,6 +2876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall": _q_ann_recall,
         "ann_range_search": _q_ann_range,
         "embedding_gram": _q_embedding_gram,
+        "pca_power": _q_pca_power,
         "jl_project": _q_jl_project,
         "embedding_neardup": _q_neardup,
         "label_centroids": _q_label_centroids,
@@ -3107,6 +3116,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": oc.ann_topk_sql(ANN_K),
         "ann_range_search": oc.ann_range_sql(),
         "embedding_gram": oc.embedding_gram_sql(),
+        "pca_power": oc.pca_power_sql(),
         "jl_project": oc.jl_project_sql(),
         "knn_graph": oc.ann_topk_sql(KNN_GRAPH_K, n_queries=1 << 40),
         "semantic_dedup": oc.semantic_dedup_sql(NEARDUP_T),

@@ -3486,6 +3486,55 @@ FROM f a JOIN f b ON a.vec_id = b.vec_id AND b.i >= a.i
 GROUP BY a.i, b.i ORDER BY i, j"""
 
 
+def pca_power_sql(scale: int | None = None, iters: int | None = None,
+                  vscale: int | None = None) -> str:
+    """Oracle of stages/ann.pca_power: the same K exact-integer power-
+    iteration supersteps over the fixed-point Gram matrix, unrolled as
+    MATERIALIZED CTEs in HUGEINT.  Signed floor division is spelled
+    ``(w - ((w % d) + d) % d) // d`` (the numerator is exactly divisible,
+    so // truncation vs floor cannot differ)."""
+    from ..stages import ann
+
+    s = ann.GRAM_SCALE if scale is None else scale
+    k = ann.PCA_ITERS if iters is None else iters
+    V = ann.PCA_VSCALE if vscale is None else vscale
+    steps = []
+    prev = "v0"
+    for t in range(1, k + 1):
+        steps.append(f"""w{t} AS MATERIALIZED (
+  SELECT g.i, CAST(sum(CAST(g.gram AS HUGEINT) * p.v) AS HUGEINT) AS w
+  FROM gram g JOIN {prev} p ON p.i = g.j GROUP BY 1
+), m{t} AS MATERIALIZED (
+  SELECT GREATEST(CAST(1 AS HUGEINT),
+    ((SELECT max(abs(w)) FROM w{t}) + {V} - 1) // {V}) AS d
+), v{t} AS MATERIALIZED (
+  SELECT i, (w - (((w % d) + d) % d)) // d AS v FROM w{t}, m{t}
+)""")
+        prev = f"v{t}"
+    chain = ",\n".join(steps)
+    return f"""WITH e AS (
+  SELECT vec_id, unnest(embedding) AS x,
+    generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), f AS (
+  SELECT vec_id, i,
+    CAST(floor(CAST(x AS DOUBLE) * {s}.0 + 0.5) AS BIGINT) AS xf
+  FROM e
+), gu AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, CAST(sum(a.xf * b.xf) AS BIGINT) AS gram
+  FROM f a JOIN f b ON a.vec_id = b.vec_id AND b.i >= a.i
+  GROUP BY a.i, b.i
+), gram AS MATERIALIZED (
+  SELECT i, j, gram FROM gu
+  UNION ALL
+  SELECT j, i, gram FROM gu WHERE j > i
+), v0 AS (
+  SELECT DISTINCT i, CAST({V} AS HUGEINT) AS v FROM gram
+),
+{chain}
+SELECT i, CAST(v AS BIGINT) AS v FROM {prev} ORDER BY i"""
+
+
 def cluster_terms_sql(top_k: int = 5) -> str:
     """Oracle of stages/textops.cluster_terms (top tokens per k-means
     cluster; the whole bit-exact kmeans_sql chain rides as a subquery)."""

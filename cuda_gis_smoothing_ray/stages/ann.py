@@ -924,3 +924,54 @@ def jl_project(ds, k: int = JL_K, scale: int = GRAM_SCALE,
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .sort(["vec_id", "t"])
+
+
+PCA_ITERS = 8
+PCA_VSCALE = 10**4
+
+
+def pca_power(ds, scale: int = GRAM_SCALE, iters: int = PCA_ITERS,
+              vscale: int = PCA_VSCALE):
+    """embeddings -> (i, v): ``iters`` exact-integer POWER-ITERATION
+    supersteps toward the top principal direction of the embedding table,
+    over the fixed-point Gram matrix — the PCA/whitening first step, made
+    bit-exact (the float power iteration differs across engines in
+    summation order; this one cannot).  The contract is "K steps", not
+    the eigenvector itself: convergence is governed by the data's
+    eigengap (the test pins |cos| > 0.999 against the float iteration at
+    the same K).
+
+    Math per step (the :func:`~..stages.pagerank.hits` ceil-shift renorm
+    discipline, extended to SIGNED values): ``w = G @ v`` in
+    arbitrary-precision ints, divisor ``d = max(1, ceil(max|w| /
+    vscale))``, ``v' = floor(w / d)`` — Python FLOOR division, mirrored in
+    SQL as ``(w - ((w % d) + d) % d) // d`` in HUGEINT (the numerator is
+    exactly divisible, so truncation vs floor cannot differ).  Start
+    vector: all ``vscale``.  Sign convention follows the start vector;
+    components are bounded by ``vscale`` after every step.
+
+    Scale shape: the distributed work IS :func:`embedding_gram` (dim^2
+    shuffle independent of row count); the iteration runs on the bounded
+    dim x dim integer table driver-side, like the normal-equation solve
+    of ``linear_probe``."""
+    import ray.data as rd
+
+    gram = embedding_gram(ds, scale).to_pandas()
+    d = int(gram["j"].max())
+    G = np.zeros((d, d), dtype=object)
+    ii = gram["i"].to_numpy(np.int64) - 1
+    jj = gram["j"].to_numpy(np.int64) - 1
+    gg = gram["gram"].to_numpy(np.int64)
+    for a, b, g in zip(ii, jj, gg):
+        G[a, b] = int(g)
+        G[b, a] = int(g)
+    v = np.full(d, int(vscale), dtype=object)
+    for _ in range(iters):
+        w = G @ v  # object ints, exact
+        m = max(int(abs(x)) for x in w)
+        div = max(1, -(-m // int(vscale)))  # ceil(m / vscale)
+        v = np.array([int(x) // div for x in w], dtype=object)
+    return rd.from_arrow(pa.table({
+        "i": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+        "v": pa.array([int(x) for x in v], pa.int64()),
+    }))

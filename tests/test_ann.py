@@ -361,3 +361,39 @@ def test_ann_recall_surfacing(sf_dir):
     assert ((df["recall_at_k"] >= 0.0) & (df["recall_at_k"] <= 1.0)).all()
     assert (df["min_query_recall"] <= df["recall_at_k"]).all()
     assert (df["n_queries"] > 0).all()
+
+
+def test_pca_power_matches_float_power_iteration(sf_dir):
+    """The exact-integer supersteps track the FLOAT power iteration run
+    for the same K with the same start (|cos| > 0.999) — the operator's
+    contract is "K power-iteration steps", not the eigenvector itself
+    (this Gram's eigengap is tiny: lambda2/lambda1 ~ 0.98, so no power
+    method isolates the eigenvector in few steps).  Also: the renorm keeps
+    every component within vscale, and the Rayleigh quotient improves over
+    the start vector."""
+    import numpy as np
+
+    from cuda_gis_smoothing_ray.stages import ann
+
+    ds = ann.read_embeddings(sf_dir)
+    out = ann.pca_power(ds).to_pandas().sort_values("i")
+    v = out["v"].to_numpy(np.float64)
+    assert np.abs(v).max() <= ann.PCA_VSCALE
+
+    gram = ann.embedding_gram(ann.read_embeddings(sf_dir)).to_pandas()
+    d = int(gram["j"].max())
+    G = np.zeros((d, d))
+    for i, j, g in zip(gram["i"], gram["j"], gram["gram"]):
+        G[i - 1, j - 1] = g
+        G[j - 1, i - 1] = g
+    f = np.ones(d)
+    for _ in range(ann.PCA_ITERS):
+        f = G @ f
+        f /= np.abs(f).max()
+    cos = abs(f @ v) / (np.linalg.norm(f) * np.linalg.norm(v))
+    assert cos > 0.999
+
+    def rayleigh(x):
+        return (x @ G @ x) / (x @ x)
+
+    assert rayleigh(v) > rayleigh(np.ones(d))
