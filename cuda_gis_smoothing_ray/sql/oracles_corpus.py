@@ -409,6 +409,44 @@ ORDER BY cnt DESC, w1, w2
 LIMIT {k}"""
 
 
+def zipf_slope_sql(k: int | None = None) -> str:
+    """Oracle of stages/textops.zipf_slope: top-k token counts (ties
+    ascending on the token), OLS of ln(cnt) on ln(rank) with all four
+    moment sums folded left-associatively in rank order via
+    list_reduce(list(... ORDER BY r)), round6 outputs."""
+    from ..stages import textops
+    from .oracles import round6
+
+    kk = textops.ZIPF_K if k is None else k
+    slope = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+    intercept = f"((sy - {slope} * sx) / n)"
+    return f"""WITH lt AS (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'), s -> s != '') AS l
+  FROM documents
+), tc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(l) AS tok FROM lt) GROUP BY 1
+), top AS (
+  SELECT tok, cnt,
+    CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS r
+  FROM tc ORDER BY cnt DESC, tok LIMIT {kk}
+), xy AS (
+  SELECT r, ln(CAST(r AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+  FROM top
+), folds AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+    list_reduce(list(x ORDER BY r), (a, b) -> a + b) AS sx,
+    list_reduce(list(y ORDER BY r), (a, b) -> a + b) AS sy,
+    list_reduce(list(x * y ORDER BY r), (a, b) -> a + b) AS sxy,
+    list_reduce(list(x * x ORDER BY r), (a, b) -> a + b) AS sxx
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS k_used,
+  {round6(slope)} AS slope,
+  {round6(intercept)} AS intercept
+FROM folds"""
+
+
 def split_assign_sql() -> str:
     """Oracle of stages/textops.split_assign (hash-bucket train/val/test)."""
     from ..stages import textops as t

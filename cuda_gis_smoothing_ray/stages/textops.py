@@ -3372,3 +3372,98 @@ def bm25_scores(ds, query: tuple = BM25_QUERY, k1: float = BM25_K1,
         })
 
     return ds.map_batches(score, batch_format="pyarrow").sort("doc_id")
+
+
+ZIPF_K = 64
+
+
+def zipf_slope(ds, k: int = ZIPF_K, n_parts: int = _PAIR_PARTS):
+    """documents -> ONE row (k_used, slope, intercept): the ZIPF-LAW fit
+    of the corpus — OLS regression of ``ln(count)`` on ``ln(rank)`` over
+    the top-``k`` whitespace tokens (rank ties ascending on the token, so
+    the x-axis is deterministic).  A natural-language corpus sits near
+    slope -1; boilerplate-heavy or templated crawls flatten it — the
+    corpus-level health metric next to the per-doc Gopher rules.
+
+    Float discipline (the ``linear_probe``/BM25 rules): token counts are
+    exact ints; ``ln`` is the platform libm in both engines; the four
+    moment sums fold LEFT-ASSOCIATIVELY in rank order (mirrored by the
+    oracle's ``list_reduce(list(... ORDER BY r)))``); the two outputs
+    round6.  Scale shape: batch-local unique-token counts, token-hash-
+    partitioned vectorized global count, local-top-k + single-partition
+    merge (``k * n_blocks`` rows move) — the regression itself is k rows
+    on the driver."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    from ..functions.hashing import fnv_token_hash64
+    from ..functions import hashing
+    from .gridops import topk
+
+    def token_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"tok": pa.array([], pa.string()), "cnt": pa.array([], pa.int64()),
+             "__part": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.flatten()
+        nonempty = pc_.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = flat.filter(pa.array(nonempty))
+        if len(toks) == 0:
+            return empty
+        dic = toks.dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(codes, return_counts=True)
+        words = dic.dictionary.take(pa.array(uniq))
+        key = fnv_token_hash64(words).view(np.int64)
+        part = hashing.coarse_partition(key, n_parts)
+        return pa.table({"tok": words, "cnt": pa.array(cnt.astype(np.int64)),
+                         "__part": pa.array(part.astype(np.int64))})
+
+    def reduce_part(part: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        df = pd_.DataFrame({"tok": part.column("tok").to_pylist(),
+                            "cnt": part.column("cnt").to_numpy(
+                                zero_copy_only=False)})
+        g = df.groupby("tok", sort=False)["cnt"].sum().reset_index()
+        return pa.table({"tok": pa.array(g["tok"], pa.string()),
+                         "cnt": pa.array(g["cnt"].to_numpy(np.int64))})
+
+    counted = (
+        ds.map_batches(token_counts, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    )
+    top = topk(counted, k, by="cnt", tie_cols=("tok",)).to_pandas()
+    if len(top) < 2:
+        raise ValueError("zipf_slope: need at least 2 distinct tokens")
+    cnts = top["cnt"].to_numpy(np.int64)  # already (cnt desc, tok) order
+    n = len(cnts)
+    sx = sy = sxy = sxx = 0.0
+    first = True
+    for r in range(1, n + 1):
+        x = float(np.log(float(r)))
+        y = float(np.log(float(cnts[r - 1])))
+        if first:
+            sx, sy, sxy, sxx = x, y, x * y, x * x
+            first = False
+        else:
+            sx += x
+            sy += y
+            sxy += x * y
+            sxx += x * x
+    nf = float(n)
+    slope = (nf * sxy - sx * sy) / (nf * sxx - sx * sx)
+    intercept = (sy - slope * sx) / nf
+    r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return rd.from_arrow(pa.table({
+        "k_used": pa.array([n], pa.int64()),
+        "slope": pa.array([r6(slope)], pa.float64()),
+        "intercept": pa.array([r6(intercept)], pa.float64()),
+    }))

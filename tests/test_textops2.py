@@ -341,3 +341,35 @@ def test_dup_span_coverage_interval_union(ray_session):
     assert out.loc[0, "covered"] == 10 and out.loc[0, "n_tokens"] == 13
     assert out.loc[1, "covered"] == 10 and out.loc[1, "n_tokens"] == 12
     assert out.loc[2, "covered"] == 0 and out.loc[2, "n_tokens"] == 9
+
+
+def test_zipf_slope_hand_fit():
+    """A synthetic corpus with token counts C/r (an exact Zipf law) must
+    fit slope ~ -1, and the operator's OLS agrees with numpy's lstsq on
+    the same (ln r, ln cnt) points to 1e-6."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import zipf_slope
+
+    k = 16
+    words = [f"w{i:02d}" for i in range(k)]
+    toks = []
+    for r, w in enumerate(words, start=1):
+        toks += [w] * (1200 // r)
+    text = " ".join(toks)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                 "text": pa.array([text], pa.string())}))
+    out = zipf_slope(ds, k=k).to_pandas()
+    assert int(out["k_used"].iloc[0]) == k
+    slope = float(out["slope"].iloc[0])
+    assert -1.05 < slope < -0.95
+    cnts = np.array(sorted([1200 // r for r in range(1, k + 1)],
+                           reverse=True), dtype=np.float64)
+    x = np.log(np.arange(1, k + 1, dtype=np.float64))
+    y = np.log(cnts)
+    A = np.vstack([x, np.ones(k)]).T
+    ls_slope, ls_int = np.linalg.lstsq(A, y, rcond=None)[0]
+    assert abs(slope - ls_slope) < 1e-6
+    assert abs(float(out["intercept"].iloc[0]) - ls_int) < 1e-6
