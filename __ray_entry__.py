@@ -1218,6 +1218,20 @@ def _q_common_neighbors(sf_dir: str):
     return tri.common_neighbors(docs, n_docs)
 
 
+def _q_adamic_adar(sf_dir: str):
+    """Adamic-Adar weighted link prediction: inverse-log-degree weights
+    quantized once per center to micro-units, pure-integer pair sums
+    (stages/triangles.adamic_adar)."""
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages import triangles as tri
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    docs = read_documents(sf_dir, columns=("doc_id",))
+    return tri.adamic_adar(docs, n_docs)
+
+
 def _q_triangles(sf_dir: str):
     """Per-community triangle counts via the degree-ordered node-iterator
     (stages/triangles.triangle_counts)."""
@@ -2843,6 +2857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collapse_repeats": _q_collapse_repeats,
         "triangle_counts": _q_triangles,
         "common_neighbors": _q_common_neighbors,
+        "adamic_adar": _q_adamic_adar,
         "clustering_coeff": _q_clustering_coeff,
         "dup_ngram_stats": _q_dup_ngrams,
         "remove_boilerplate": _q_remove_boilerplate,
@@ -3081,6 +3096,7 @@ def oracle_sql() -> dict[str, str]:
         "collapse_repeats": oc.collapse_repeats_sql(),
         "triangle_counts": oc.triangles_sql(),
         "common_neighbors": oc.common_neighbors_sql(),
+        "adamic_adar": oc.adamic_adar_sql(),
         "clustering_coeff": oc.clustering_coeff_sql(),
         "dup_ngram_stats": oc.dup_ngram_stats_sql(),
         "remove_boilerplate": oc.remove_boilerplate_sql(n=5, min_df=2),

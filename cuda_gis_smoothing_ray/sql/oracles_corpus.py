@@ -1535,6 +1535,55 @@ WHERE cn >= {mc}
 ORDER BY cn DESC, u, w"""
 
 
+def adamic_adar_sql(comm_mod: int | None = None,
+                    min_cn: int | None = None) -> str:
+    """Oracle of stages/triangles.adamic_adar: per-node weight quantized
+    once to micro-units (floor(1e6/ln(deg)+0.5)), then pure-integer pair
+    sums — order-free, so plain SQL sum() is safe."""
+    from ..functions import geocode
+    from ..stages import pagerank as pr
+    from ..stages import triangles as tri
+
+    cm = comm_mod if comm_mod is not None else tri.COMM_MOD
+    mc = min_cn if min_cn is not None else tri.CN_MIN
+    ws = tri.AA_WSCALE
+    mult, mod = geocode.TLD_MULT, geocode.HOST_MOD
+    nd = "(SELECT count(*) FROM documents)"
+    host = f"((doc_id * {mult}) % {mod}) % {cm}"
+    dhost1 = (f"((((doc_id * {pr.EDGE_MULT} + {pr.EDGE_ADD}) % {nd})"
+              f" * {mult}) % {mod}) % {cm}")
+    dhost2 = (f"((((doc_id * doc_id * {pr.EDGE_MULT2} + {pr.EDGE_ADD2}) % {nd})"
+              f" * {mult}) % {mod}) % {cm}")
+    return f"""WITH e0 AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+    SELECT {host} AS s, {dhost1} AS t FROM documents
+    UNION ALL
+    SELECT {host} AS s, {dhost2} AS t FROM documents
+  ) WHERE s <> t
+), adj AS (
+  SELECT a AS node, b AS nbr FROM e0
+  UNION ALL
+  SELECT b, a FROM e0
+), wt AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg,
+    CASE WHEN count(*) >= 2 THEN CAST(floor(
+      {ws}.0 / ln(CAST(count(*) AS DOUBLE)) + 0.5) AS BIGINT)
+    ELSE 0 END AS w_micro
+  FROM adj GROUP BY 1
+), cand AS (
+  SELECT n1.nbr AS u, n2.nbr AS w, CAST(count(*) AS BIGINT) AS cn,
+    CAST(sum(wt.w_micro) AS BIGINT) AS aa_micro
+  FROM adj n1
+  JOIN adj n2 ON n1.node = n2.node AND n1.nbr < n2.nbr
+  JOIN wt ON wt.node = n1.node
+  GROUP BY 1, 2
+)
+SELECT u, w, cn, aa_micro FROM cand c
+WHERE cn >= {mc}
+  AND NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = c.u AND e0.b = c.w)
+ORDER BY aa_micro DESC, u, w"""
+
+
 def kcore_sql(k: int | None = None, comm_mod: int | None = None,
               rounds: int | None = None) -> str:
     """Oracle of stages/triangles.kcore: the same fixed-round synchronous

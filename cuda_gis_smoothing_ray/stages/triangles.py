@@ -472,3 +472,104 @@ def common_neighbors(docs_ds, n_docs: int, comm_mod: int = COMM_MOD,
         .map_groups(anti)
         .sort(["cn", "u", "w"], descending=[True, False, False])
     )
+
+
+AA_WSCALE = 10**6
+
+
+def adamic_adar(docs_ds, n_docs: int, comm_mod: int = COMM_MOD,
+                min_cn: int = CN_MIN, max_degree: int | None = None):
+    """documents -> Dataset(u, w, cn, aa_micro): ADAMIC-ADAR link
+    prediction — :func:`common_neighbors` upgraded with the classic
+    inverse-log-degree weight: each shared neighbor ``z`` contributes
+    ``1 / ln(deg(z))`` (rare hubs count more than busy ones).
+
+    **Float-free distribution trick**: the per-CENTER weight is quantized
+    ONCE to micro-units — ``w(z) = floor(AA_WSCALE / ln(deg(z)) + 0.5)``
+    (int64) — so the per-pair score is a pure INTEGER sum, order-
+    independent across partitions and bit-exact against the SQL oracle
+    (a float sum would depend on partition arrival order).  ``ln`` is
+    evaluated once per node on its global degree; deg(z) >= 2 whenever z
+    centers a wedge, so ln > 0.
+
+    Same scale shape as :func:`common_neighbors` (sum(deg^2) wedges,
+    ``max_degree`` hub cap, partition-presummed (cn, aa) partials,
+    co-partitioned anti-join); the global degree of each center is its
+    group size in the center-keyed partition — no extra degree shuffle."""
+    from ..functions.reduce import hash_groupby
+
+    cm = np.int64(comm_mod)
+    edges = community_edges(docs_ds, n_docs, comm_mod).materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({"key": pa.array(np.concatenate([a, b])),
+                         "nbr": pa.array(np.concatenate([b, a]))})
+
+    def wedge_partials(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["key", "nbr"], kind="stable")
+        c = d["key"].to_numpy(np.int64)
+        v = d["nbr"].to_numpy(np.int64)
+        _, starts, counts = np.unique(c, return_index=True,
+                                      return_counts=True)
+        if max_degree is not None:
+            keep = np.repeat(counts <= max_degree, counts)
+            c, v = c[keep], v[keep]
+            _, starts, counts = np.unique(c, return_index=True,
+                                          return_counts=True)
+        # global degree == group size (partition holds ALL neighbors of c)
+        wnode = np.zeros(len(counts), np.int64)
+        multi = counts >= 2
+        wnode[multi] = np.floor(
+            AA_WSCALE / np.log(counts[multi].astype(np.float64)) + 0.5
+        ).astype(np.int64)
+        wrow = np.repeat(wnode, counts)
+        first, second = _pairs_within_groups(c)
+        pack = v[first] * cm + v[second]
+        uniq, inv = np.unique(pack, return_inverse=True)
+        cn = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        aa = np.zeros(len(uniq), np.int64)
+        np.add.at(aa, inv, wrow[first])
+        return pd.DataFrame({"key": uniq, "cn": cn, "aa": aa})
+
+    pair_cn = hash_groupby(
+        edges.map_batches(explode, batch_format="pyarrow", batch_size=None)
+        .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(wedge_partials),
+        "key", ["cn", "aa"], how="isum",
+    )
+
+    def tag_cn(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("key"), "cn": batch.column("cn"),
+                         "aa": batch.column("aa"),
+                         "kind": pa.array(np.ones(len(batch), np.int8))})
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+        z = np.zeros(len(batch), np.int64)
+        return pa.table({"key": pa.array(a * cm + b), "cn": pa.array(z),
+                         "aa": pa.array(z),
+                         "kind": pa.array(np.zeros(len(batch), np.int8))})
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        have = df[df["kind"] == 0]["key"].to_numpy(np.int64)
+        cand = df[df["kind"] == 1]
+        k = cand["key"].to_numpy(np.int64)
+        cn = cand["cn"].to_numpy(np.int64)
+        aa = cand["aa"].to_numpy(np.int64)
+        keep = ~np.isin(k, have) & (cn >= min_cn)
+        return pd.DataFrame({"u": k[keep] // cm, "w": k[keep] % cm,
+                             "cn": cn[keep], "aa_micro": aa[keep]})
+
+    return (
+        pair_cn.map_batches(tag_cn, batch_format="pyarrow", batch_size=None)
+        .union(edges.map_batches(tag_edge, batch_format="pyarrow",
+                                 batch_size=None))
+        .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("__part")
+        .map_groups(anti)
+        .sort(["aa_micro", "u", "w"], descending=[True, False, False])
+    )

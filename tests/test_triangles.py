@@ -159,3 +159,54 @@ def test_common_neighbors_vs_brute():
     gf = {(int(r.u), int(r.w)): int(r.cn) for r in full.itertuples()}
     assert set(gc) <= set(gf)
     assert all(gc[k] <= gf[k] for k in gc)
+
+
+def test_adamic_adar_vs_brute():
+    """AA micro-scores equal a brute-force recomputation: per-node weight
+    floor(1e6/ln(deg)+0.5) summed over the shared neighbors of every
+    non-adjacent pair; cn column matches common_neighbors exactly."""
+    import math
+
+    from cuda_gis_smoothing_ray.functions import geocode
+    from cuda_gis_smoothing_ray.stages import pagerank as pr
+    from cuda_gis_smoothing_ray.stages.triangles import (AA_WSCALE,
+                                                         adamic_adar,
+                                                         common_neighbors)
+
+    n, cm, mc = 300, 53, 2
+    d = np.arange(n, dtype=np.int64)
+    src = np.concatenate([geocode.host_id(d), geocode.host_id(d)]) % cm
+    dst = np.concatenate([
+        geocode.host_id((d * pr.EDGE_MULT + pr.EDGE_ADD) % n),
+        geocode.host_id((d * d * pr.EDGE_MULT2 + pr.EDGE_ADD2) % n),
+    ]) % cm
+    keep = src != dst
+    pairs = np.unique(np.minimum(src[keep], dst[keep]) * cm
+                      + np.maximum(src[keep], dst[keep]))
+    edge_set = set(pairs.tolist())
+    adj: dict[int, set[int]] = {}
+    for p in pairs:
+        x, y = int(p) // cm, int(p) % cm
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    wt = {z: int(math.floor(AA_WSCALE / math.log(len(nb)) + 0.5))
+          for z, nb in adj.items() if len(nb) >= 2}
+    want = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for w in nodes[i + 1:]:
+            if u * cm + w in edge_set:
+                continue
+            shared = adj[u] & adj[w]
+            if len(shared) >= mc:
+                want[(u, w)] = (len(shared), sum(wt[z] for z in shared))
+
+    out = adamic_adar(_docs_ds(n), n_docs=n, comm_mod=cm, min_cn=mc).to_pandas()
+    got = {(int(r.u), int(r.w)): (int(r.cn), int(r.aa_micro))
+           for r in out.itertuples()}
+    assert got == want
+
+    cn_out = common_neighbors(_docs_ds(n), n_docs=n, comm_mod=cm,
+                              min_cn=mc).to_pandas()
+    cn_map = {(int(r.u), int(r.w)): int(r.cn) for r in cn_out.itertuples()}
+    assert cn_map == {k: v[0] for k, v in got.items()}
