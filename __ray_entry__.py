@@ -817,6 +817,14 @@ def _q_top_bigrams(sf_dir: str):
     return textops.top_bigrams(_docs(sf_dir), k=20)
 
 
+def _q_phrase_search(sf_dir: str):
+    """Exact positional phrase query as a streaming scan: shifted
+    vectorized equality masks, no shuffle (stages/textops.phrase_search)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.phrase_search(_docs(sf_dir))
+
+
 def _q_zipf_slope(sf_dir: str):
     """Zipf-law fit of the corpus: OLS of ln(count) on ln(rank) over the
     top-64 tokens, left-assoc folds (stages/textops.zipf_slope)."""
@@ -2841,6 +2849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_text_len": _q_zscore,
         "top_bigrams": _q_top_bigrams,
         "zipf_slope": _q_zipf_slope,
+        "phrase_search": _q_phrase_search,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3078,6 +3087,7 @@ def oracle_sql() -> dict[str, str]:
         "zscore_text_len": oc.zscore_text_len_sql(),
         "top_bigrams": oc.top_bigrams_sql(20),
         "zipf_slope": oc.zipf_slope_sql(),
+        "phrase_search": oc.phrase_search_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -409,6 +409,30 @@ ORDER BY cnt DESC, w1, w2
 LIMIT {k}"""
 
 
+def phrase_search_sql(phrase: tuple[str, ...] | None = None) -> str:
+    """Oracle of stages/textops.phrase_search: the classic positional
+    pos-join chain t1.pos + j = t(j).pos within each document."""
+    from ..stages import textops
+
+    ph = textops.PHRASE if phrase is None else phrase
+    joins = "\n  ".join(
+        f"JOIN toks t{j} ON t{j}.doc_id = t0.doc_id"
+        f" AND t{j}.pos = t0.pos + {j} AND t{j}.tok = '{w}'"
+        for j, w in enumerate(ph) if j > 0)
+    return f"""WITH lt AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), s -> s != '') AS l
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM lt
+)
+SELECT t0.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM toks t0
+  {joins}
+WHERE t0.tok = '{ph[0]}'
+GROUP BY 1 ORDER BY 1"""
+
+
 def zipf_slope_sql(k: int | None = None) -> str:
     """Oracle of stages/textops.zipf_slope: top-k token counts (ties
     ascending on the token), OLS of ln(cnt) on ln(rank) with all four

@@ -3467,3 +3467,61 @@ def zipf_slope(ds, k: int = ZIPF_K, n_parts: int = _PAIR_PARTS):
         "slope": pa.array([r6(slope)], pa.float64()),
         "intercept": pa.array([r6(intercept)], pa.float64()),
     }))
+
+
+PHRASE = ("table", "hash")
+
+
+def phrase_search(ds, phrase: tuple[str, ...] = PHRASE):
+    """documents -> (doc_id, n_hits): exact PHRASE QUERY — documents whose
+    token stream contains ``phrase`` as consecutive whitespace tokens,
+    with the occurrence count (the positional-index primitive of an IR
+    stack, run as the streaming form: position joins collapse to shifted
+    vectorized equality masks because a document's tokens never cross a
+    row boundary).
+
+    Scale shape: NO shuffle at all — one map_batches pass, P-1 shifted
+    AND masks over the flattened token array (with a same-doc guard),
+    per-doc hit counts via np.unique on the match starts.  Exact integer
+    output; the oracle is the classic pos-join chain."""
+    import pyarrow.compute as pc_
+
+    P = len(phrase)
+    assert P >= 2, "phrase_search: need a multi-token phrase"
+
+    def scan(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_hits": pa.array([], pa.int64())})
+        n_docs = len(batch)
+        if n_docs == 0:
+            return empty
+        split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        counts = split.value_lengths().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = split.flatten()
+        doc_pos = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        nonempty = pc_.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_pos = doc_pos[nonempty]
+        toks = flat.filter(pa.array(nonempty))
+        T = len(toks)
+        if T < P:
+            return empty
+        eq = [pc_.equal(toks, w).to_numpy(zero_copy_only=False)
+              for w in phrase]
+        m = eq[0][: T - P + 1].copy()
+        for j in range(1, P):
+            m &= eq[j][j: T - P + 1 + j]
+        # same-doc guard: all P tokens in one document
+        m &= doc_pos[: T - P + 1] == doc_pos[P - 1:]
+        starts = np.flatnonzero(m)
+        if len(starts) == 0:
+            return empty
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(doc_pos[starts], return_counts=True)
+        return pa.table({"doc_id": pa.array(ids[uniq]),
+                         "n_hits": pa.array(cnt.astype(np.int64))})
+
+    return ds.map_batches(scan, batch_format="pyarrow").sort("doc_id")

@@ -373,3 +373,31 @@ def test_zipf_slope_hand_fit():
     ls_slope, ls_int = np.linalg.lstsq(A, y, rcond=None)[0]
     assert abs(slope - ls_slope) < 1e-6
     assert abs(float(out["intercept"].iloc[0]) - ls_int) < 1e-6
+
+
+def test_phrase_search_hand_cases():
+    """Overlapping occurrences count individually; a 3-token phrase
+    requires full consecutive order; phrases never span documents."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import phrase_search
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "a a a b",          # overlapping "a a": 2 hits
+            "x a",              # ends with first term -> no hit alone
+            "a y a a",          # one hit at the tail
+            "b a",              # phrase reversed -> no hit
+        ], pa.string()),
+    })
+    out = phrase_search(rd.from_arrow(docs), phrase=("a", "a")).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_hits"]))
+    assert got == {1: 2, 3: 1}
+
+    tri = phrase_search(rd.from_arrow(docs), phrase=("a", "a", "a")).to_pandas()
+    assert dict(zip(tri["doc_id"], tri["n_hits"])) == {1: 1}
+
+    # doc boundary: doc2 ends "a", doc3 starts "a" — must NOT match across
+    assert 2 not in got
