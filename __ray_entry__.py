@@ -2187,6 +2187,16 @@ def _q_moving_sum(sf_dir: str):
     return events.moving_sum(events.read_events(sf_dir)).sort("event_id")
 
 
+def _q_trailing_window_sum(sf_dir: str):
+    """Time-based RANGE window frame (trailing 1 hour, peers included):
+    segment-offset searchsorted, exact cents
+    (stages/events.trailing_window_sum)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.trailing_window_sum(
+        events.read_events(sf_dir)).sort("event_id")
+
+
 def _q_event_gaps(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import events
 
@@ -2953,6 +2963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_context": _q_event_context,
         "user_activity_full": _q_user_activity_full,
         "moving_sum": _q_moving_sum,
+        "trailing_window_sum": _q_trailing_window_sum,
         "latest_event_per_user": _q_latest_event,
         "user_event_paths": _q_user_event_paths,
         "event_ranks": _q_event_ranks,
@@ -3198,6 +3209,7 @@ def oracle_sql() -> dict[str, str]:
         "event_context": oc.event_context_sql(),
         "user_activity_full": oc.user_activity_full_sql(),
         "moving_sum": oc.moving_sum_sql(),
+        "trailing_window_sum": oc.trailing_window_sum_sql(),
         "latest_event_per_user": oc.latest_event_sql(),
         "user_event_paths": oc.user_event_paths_sql(),
         "event_ranks": oc.event_ranks_sql(),

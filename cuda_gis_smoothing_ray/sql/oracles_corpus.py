@@ -729,6 +729,22 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 ORDER BY event_id"""
 
 
+def trailing_window_sum_sql(window_us: int | None = None) -> str:
+    """Oracle of stages/events.trailing_window_sum (time-based RANGE
+    frame, peers included, exact cents)."""
+    from ..stages import events
+
+    w = events.TRAIL_WINDOW_US if window_us is None else window_us
+    return f"""SELECT event_id, user_id,
+  CAST(count(*) OVER w AS BIGINT) AS win_n,
+  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS win_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL '{w} microseconds' PRECEDING
+                       AND CURRENT ROW)
+ORDER BY event_id"""
+
+
 def event_gaps_sql() -> str:
     """Oracle of stages/events.event_gaps (LAG; first-per-user rows dropped
     so every column stays non-nullable int64)."""

@@ -493,6 +493,53 @@ def moving_sum(ds, preceding: int = 3):
     return _by_user(ds, solve)
 
 
+TRAIL_WINDOW_US = 3_600_000_000  # 1 hour
+
+
+def trailing_window_sum(ds, window_us: int = TRAIL_WINDOW_US):
+    """events -> (event_id, user_id, win_n, win_cents): TIME-based window
+    frame — for each event, the count and exact-cents sum of the same
+    user's events with ``ts`` in ``[ts_i - window, ts_i]`` (SQL ``RANGE
+    BETWEEN INTERVAL ... PRECEDING AND CURRENT ROW``; peers at the same
+    timestamp are IN the frame on both sides, per RANGE semantics —
+    unlike the ROWS frame of :func:`moving_sum`).
+
+    Vectorized across all users in a partition with NO per-user Python:
+    after the (user, ts) lexsort, timestamps are re-based per user
+    segment — ``t' = (ts - min_ts) + (seg + 1) * (span + window + 1)`` —
+    so the partition-wide array is strictly segment-separated and ONE
+    pair of global ``np.searchsorted`` calls yields every row's frame
+    bounds without crossing a user boundary.  Frame sums come from the
+    cumsum difference.  Exact integer cents end to end."""
+
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, eid, cents = uid[order], ts[order], eid[order], cents[order]
+        _, _, seg = _user_segments(uid)
+        span = int(ts.max() - ts.min()) if len(ts) else 0
+        stride = np.int64(span + window_us + 1)
+        # guard the composite-key construction against int64 overflow
+        n_seg = int(seg[-1]) + 1 if len(seg) else 0
+        if n_seg and (n_seg + 1) > (2**62) // max(int(stride), 1):
+            raise OverflowError(
+                "trailing_window_sum: segment-offset key would overflow "
+                "int64; raise N_USER_PARTS or shrink the window")
+        tp = (ts - (ts.min() if len(ts) else 0)) + (seg + 1) * stride
+        lo = np.searchsorted(tp, tp - window_us, side="left")
+        hi = np.searchsorted(tp, tp, side="right")
+        cum = np.cumsum(cents)
+        win = cum[hi - 1] - np.where(lo > 0, cum[np.maximum(lo - 1, 0)], 0)
+        return pd.DataFrame({"event_id": eid, "user_id": uid,
+                             "win_n": (hi - lo).astype(np.int64),
+                             "win_cents": win})
+
+    return _by_user(ds, solve)
+
+
 def event_gaps(ds):
     """events -> (event_id, user_id, prev_event_id, gap_us): the LAG window
     function — for each event (after the user's first), the previous event

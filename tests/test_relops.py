@@ -509,3 +509,43 @@ def test_tpch_q19_no_matching_arm(tmp_path):
     out = tpch_q19(str(tmp_path)).to_pandas()
     assert out["revenue_cents"].tolist() == [0]
     assert out["n_lines"].tolist() == [0]
+
+
+def test_trailing_window_sum_range_semantics():
+    """RANGE frame hand case: same-ts peers are BOTH in each other's
+    frame; an event exactly window_us earlier is included (inclusive
+    bound); one microsecond earlier than that is out; users never share
+    frames."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import (TRAIL_WINDOW_US,
+                                                      trailing_window_sum)
+
+    W = TRAIL_WINDOW_US
+    base = np.datetime64("2024-03-01T12:00:00", "us").astype(np.int64)
+    rows = [
+        # user 1: boundary + peers
+        (1, 1, base - W - 1, 1.00),   # 1us out of frame for event 3
+        (2, 1, base - W, 2.00),       # exactly W before -> IN frame
+        (3, 1, base, 4.00),
+        (4, 1, base, 8.00),           # peer of 3 (same ts)
+        # user 2: same timestamps, must not mix with user 1
+        (5, 2, base, 16.00),
+    ]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[2] for r in rows],
+                                dtype=np.int64).view("datetime64[us]")),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    })
+    out = trailing_window_sum(rd.from_arrow(t)).to_pandas()
+    got = {int(r.event_id): (int(r.win_n), int(r.win_cents))
+           for r in out.itertuples()}
+    assert got[1] == (1, 100)
+    assert got[2] == (2, 300)            # includes event 1 (within W of it)
+    assert got[3] == (3, 1400)           # event 2 + both peers, event 1 out
+    assert got[4] == (3, 1400)           # identical frame (peer semantics)
+    assert got[5] == (1, 1600)           # user 2 isolated
