@@ -2464,6 +2464,15 @@ def _q_ab_lift(sf_dir: str):
     return t
 
 
+def _q_cuped_lift(sf_dir: str):
+    """CUPED variance-reduced A/B readout: pre-period spend covariate,
+    exact integer moments, shared float tree
+    (stages/events.cuped_lift; outputs pre-rounded round6)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.cuped_lift(events.read_events(sf_dir))
+
+
 def _q_range_join(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import events
 
@@ -2950,6 +2959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
         "ab_lift": _q_ab_lift,
+        "cuped_lift": _q_cuped_lift,
         "running_totals": _q_running_totals,
         "event_gaps": _q_event_gaps,
         "event_transitions": _q_event_transitions,
@@ -3196,6 +3206,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join": oc.asof_join_sql(),
         "range_join": oc.range_join_sql(),
         "ab_lift": oc.ab_lift_sql(),
+        "cuped_lift": oc.cuped_lift_sql(),
         "running_totals": oc.running_totals_sql(),
         "event_gaps": oc.event_gaps_sql(),
         "event_transitions": oc.event_transitions_sql(),

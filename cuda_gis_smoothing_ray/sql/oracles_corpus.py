@@ -2918,6 +2918,62 @@ FROM h
 ORDER BY host"""
 
 
+def cuped_lift_sql() -> str:
+    """Oracle of stages/events.cuped_lift: same midpoint split, exact
+    HUGEINT moments, and the IDENTICAL float expression tree for theta /
+    xbar / adjusted means, round6 outputs."""
+    from ..stages import events
+    from .oracles import round6
+
+    mult, mod = events.AB_MULT, events.AB_MOD
+    theta = ("CASE WHEN (n * sxx - sx * sx) = 0 THEN 0.0 ELSE "
+             "CAST(n * sxy - sx * sy AS DOUBLE)"
+             " / CAST(n * sxx - sx * sx AS DOUBLE) END")
+    return f"""WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS t,
+    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+), m AS (
+  SELECT (min(t) + max(t)) // 2 AS mid FROM ev
+), pu AS (
+  SELECT user_id,
+    CAST(sum(CASE WHEN t < mid THEN cents ELSE 0 END) AS BIGINT) AS x,
+    CAST(sum(CASE WHEN t >= mid THEN cents ELSE 0 END) AS BIGINT) AS y
+  FROM ev, m GROUP BY user_id
+), a AS (
+  SELECT (((user_id % {mod}) * ({mult % mod})) % {mod}) % 2 AS arm,
+    CAST(count(*) AS HUGEINT) AS n,
+    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+  FROM pu GROUP BY 1
+), s AS (
+  SELECT
+    (SELECT n FROM a WHERE arm = 0) AS n_a,
+    (SELECT n FROM a WHERE arm = 1) AS n_b,
+    (SELECT sx FROM a WHERE arm = 0) AS sx_a,
+    (SELECT sx FROM a WHERE arm = 1) AS sx_b,
+    (SELECT sy FROM a WHERE arm = 0) AS sy_a,
+    (SELECT sy FROM a WHERE arm = 1) AS sy_b,
+    sum(n) AS n, sum(sx) AS sx, sum(sy) AS sy,
+    sum(sxx) AS sxx, sum(sxy) AS sxy
+  FROM a
+), f AS (
+  SELECT n_a, n_b, sx_a, sx_b, sy_a, sy_b,
+    {theta} AS theta,
+    CAST(sx AS DOUBLE) / n AS xbar
+  FROM s
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+  {round6('theta')} AS theta,
+  {round6('CAST(sy_a AS DOUBLE) / n_a')} AS mean_raw_a,
+  {round6('CAST(sy_b AS DOUBLE) / n_b')} AS mean_raw_b,
+  {round6('(CAST(sy_a AS DOUBLE) - theta * (CAST(sx_a AS DOUBLE) - n_a * xbar)) / n_a')} AS mean_adj_a,
+  {round6('(CAST(sy_b AS DOUBLE) - theta * (CAST(sx_b AS DOUBLE) - n_b * xbar)) / n_b')} AS mean_adj_b,
+  {round6('((CAST(sy_b AS DOUBLE) - theta * (CAST(sx_b AS DOUBLE) - n_b * xbar)) / n_b) - ((CAST(sy_a AS DOUBLE) - theta * (CAST(sx_a AS DOUBLE) - n_a * xbar)) / n_a)')} AS lift_adj
+FROM f"""
+
+
 def ab_lift_sql(conv_type: str = "purchase") -> str:
     """Oracle of events.ab_lift (pooled two-proportion z, arm = sample
     hash % 2; float expressions mirror the numpy order)."""

@@ -1688,3 +1688,110 @@ def events_by_segment(ds, sf_dir: str):
         "n_events": pa.array(agg["n_events"].to_numpy(np.int64)),
         "sum_cents": pa.array(agg["sum_cents"].to_numpy(np.int64)),
     }))
+
+
+def cuped_lift(ds, mult: int = AB_MULT, mod: int = AB_MOD):
+    """events -> one-row CUPED experiment readout: the A/B lift on
+    per-user POST-period spend, variance-reduced with the user's
+    PRE-period spend as the covariate (theta = cov(X, Y)/var(X) pooled
+    across arms; Y_adj = Y - theta * (X - mean(X))) — the standard
+    experimentation-platform estimator next to :func:`ab_lift`'s
+    two-proportion z.
+
+    Period split: the midpoint of the observed event time range
+    ((min+max)//2 epoch-us, one tiny pre-pass aggregate); PRE = ts <
+    mid, POST = ts >= mid.  Arms = the same deterministic user hash as
+    ``ab_lift``.
+
+    Exactness: X/Y are integer cents; all five moments (n, Sx, Sy, Sxx,
+    Sxy) reduce as exact int64 sums; theta and the adjusted means are ONE
+    shared float expression tree over those integers (mirrored verbatim
+    in the oracle), outputs round6.  Scale shape: per-batch (user, x, y)
+    partials -> ONE user-keyed reduce -> 2-row arm aggregate; finalize is
+    driver math on ten scalars."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.reduce import hash_groupby
+
+    lohi = ds.map_batches(
+        lambda b: pa.table({
+            "lo": pa.array([b.column("ts").to_numpy(zero_copy_only=False)
+                            .astype("datetime64[us]").astype(np.int64).min()]),
+            "hi": pa.array([b.column("ts").to_numpy(zero_copy_only=False)
+                            .astype("datetime64[us]").astype(np.int64).max()]),
+        }),
+        batch_format="pyarrow",
+    ).to_pandas()
+    mid = (int(lohi["lo"].min()) + int(lohi["hi"].max())) // 2
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        cents = np.floor(batch.column("value").to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        x = np.zeros(len(uniq), np.int64)
+        y = np.zeros(len(uniq), np.int64)
+        pre = ts < mid
+        np.add.at(x, inv[pre], cents[pre])
+        np.add.at(y, inv[~pre], cents[~pre])
+        return pa.table({"user_id": pa.array(uniq), "x": pa.array(x),
+                         "y": pa.array(y)})
+
+    users = hash_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "user_id", ["x", "y"], how="isum",
+    )
+
+    def arm_partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x = batch.column("x").to_numpy(zero_copy_only=False)
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        arm = (((uid % mod) * (mult % mod)) % mod) % 2
+        out = {"arm": np.arange(2, dtype=np.int64)}
+        out["n"] = np.bincount(arm, minlength=2).astype(np.int64)
+        # int64 np.add.at, NOT float-weighted bincount: batch sums of x*x
+        # can exceed 2^53 and would silently round in float64
+        for name, v in (("sx", x), ("sy", y), ("sxx", x * x), ("sxy", x * y)):
+            acc = np.zeros(2, np.int64)
+            np.add.at(acc, arm, v.astype(np.int64))
+            out[name] = acc
+        return pa.table({k: pa.array(v) for k, v in out.items()})
+
+    agg = users.map_batches(arm_partial, batch_format="pyarrow") \
+        .groupby("arm").aggregate(
+            Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+            Sum("sxy", alias_name="sxy"))
+    rows = {int(r["arm"]): r for r in agg.take_all()}
+    if 0 not in rows or 1 not in rows:
+        raise ValueError("cuped_lift: an arm has no users — cannot compare")
+    n_a, n_b = int(rows[0]["n"]), int(rows[1]["n"])
+    sx_a, sx_b = int(rows[0]["sx"]), int(rows[1]["sx"])
+    sy_a, sy_b = int(rows[0]["sy"]), int(rows[1]["sy"])
+    n = n_a + n_b
+    sx, sy = sx_a + sx_b, sy_a + sy_b
+    sxx = int(rows[0]["sxx"]) + int(rows[1]["sxx"])
+    sxy = int(rows[0]["sxy"]) + int(rows[1]["sxy"])
+    den = n * sxx - sx * sx  # exact object int
+    theta = float(n * sxy - sx * sy) / float(den) if den != 0 else 0.0
+    xbar = float(sx) / n
+    mean_raw_a = float(sy_a) / n_a
+    mean_raw_b = float(sy_b) / n_b
+    mean_adj_a = (float(sy_a) - theta * (float(sx_a) - n_a * xbar)) / n_a
+    mean_adj_b = (float(sy_b) - theta * (float(sx_b) - n_b * xbar)) / n_b
+    lift_adj = mean_adj_b - mean_adj_a
+    r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "theta": pa.array([r6(theta)], pa.float64()),
+        "mean_raw_a": pa.array([r6(mean_raw_a)], pa.float64()),
+        "mean_raw_b": pa.array([r6(mean_raw_b)], pa.float64()),
+        "mean_adj_a": pa.array([r6(mean_adj_a)], pa.float64()),
+        "mean_adj_b": pa.array([r6(mean_adj_b)], pa.float64()),
+        "lift_adj": pa.array([r6(lift_adj)], pa.float64()),
+    })

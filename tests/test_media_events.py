@@ -469,3 +469,35 @@ def test_session_overlap_owner_bucket_exactly_once(ray_session):
     assert got == [(1, 0, 2, 0), (1, 0, 3, 0), (2, 0, 3, 0)]
     # u1 x u2: 2h00..3h05 = 65 min, exactly ONCE despite spanning 2 buckets
     assert out["overlap_us"].tolist() == [65 * 60_000_000, 0, 0]
+
+
+def test_cuped_lift_perfect_covariate():
+    """When post-period spend equals pre-period spend exactly, theta = 1
+    and the adjusted lift collapses to 0 even though the raw arm means
+    differ — CUPED's defining property, hand-checkable."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import cuped_lift
+
+    rngs = np.arange(1, 201, dtype=np.int64)
+    vals = (rngs * 7 % 50 + 1).astype(np.float64)  # varied per-user spend
+    pre_ts = np.full(200, np.datetime64("2024-01-01T00:00:00", "us"))
+    post_ts = np.full(200, np.datetime64("2024-01-03T00:00:00", "us"))
+    t = pa.table({
+        "event_id": pa.array(np.arange(400, dtype=np.int64)),
+        "user_id": pa.array(np.concatenate([rngs, rngs])),
+        "ts": pa.array(np.concatenate([pre_ts, post_ts])),
+        "value": pa.array(np.concatenate([vals, vals])),
+    })
+    out = cuped_lift(rd.from_arrow(t)).to_pandas()
+    assert abs(float(out["theta"].iloc[0]) - 1.0) < 1e-9
+    assert abs(float(out["lift_adj"].iloc[0])) < 1e-6
+    # raw means differ across the hash arms (the case CUPED corrects)
+    assert (abs(float(out["mean_raw_b"].iloc[0])
+                - float(out["mean_raw_a"].iloc[0])) > 1e-6)
+    # adjusted means both equal the global pre-period mean
+    xbar = float((vals * 100).round().sum()) / 200
+    assert abs(float(out["mean_adj_a"].iloc[0]) - xbar) < 1e-6
+    assert abs(float(out["mean_adj_b"].iloc[0]) - xbar) < 1e-6
