@@ -224,6 +224,15 @@ def _q_hotspot_gi(sf_dir: str):
     return _round6_cols(hotspot_gi(_cells(sf_dir), "page_count", k=1), ["gi_z"]).sort("cell")
 
 
+def _q_isoline_cells(sf_dir: str):
+    """Contour/isoline cells at the exact corpus-mean level set: inner and
+    outer boundary cells of the page_count field
+    (stages/hotspot.isoline_cells)."""
+    from cuda_gis_smoothing_ray.stages.hotspot import isoline_cells
+
+    return isoline_cells(_cells(sf_dir), "page_count", k=1)
+
+
 def _q_distance_transform(sf_dir: str):
     """Clipped distance transform: closed-form seed-disk scatter + ONE
     min-reduce (no BFS supersteps at small max_d)."""
@@ -3045,6 +3054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighbor_stats": _q_neighbor_stats,
         "ring2_stats": _q_ring2_stats,
         "hotspot_gi": _q_hotspot_gi,
+        "isoline_cells": _q_isoline_cells,
         "semivariogram": _q_semivariogram,
         "otsu_threshold": _q_otsu_threshold,
         "hist_equalize": _q_hist_equalize,
@@ -3322,6 +3332,7 @@ def oracle_sql() -> dict[str, str]:
         "neighbor_stats": o.neighbor_stats_sql(RES),
         "ring2_stats": o.neighbor_stats_sql(RES, ring=2),
         "hotspot_gi": o.hotspot_gi_sql(RES, k=1),
+        "isoline_cells": o.isoline_cells_sql(RES, k=1),
         "semivariogram": o.semivariogram_sql(RES),
         "otsu_threshold": o.otsu_threshold_sql(RES),
         "hist_equalize": o.hist_equalize_sql(RES),

@@ -1011,6 +1011,36 @@ FROM nbrcnt n LEFT JOIN cells p ON p.q = n.q AND p.r = n.r
 ORDER BY cell"""
 
 
+def isoline_cells_sql(res: int, k: int = 1) -> str:
+    """Oracle of stages/hotspot.isoline_cells: exact mean-cleared hi flag
+    (page_count * n >= S1, all integers), present-neighbor hi/lo counts
+    over the k-ring, contour filter."""
+    return f"""{prelude(res)},
+offsets(dq, dr) AS (VALUES {_ring_offsets_values(k, False)}),
+st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(page_count) AS BIGINT) AS s1
+  FROM cells),
+flag AS (
+  SELECT c.cell, c.q, c.r,
+    CASE WHEN CAST(c.page_count AS BIGINT) * st.n >= st.s1
+         THEN 1 ELSE 0 END AS hi
+  FROM cells c, st),
+nbr AS (
+  SELECT c.cell, max(c.hi) AS own_hi,
+    CAST(coalesce(sum(n.hi), 0) AS BIGINT) AS n_hi,
+    CAST(coalesce(sum(1 - n.hi), 0) AS BIGINT) AS n_lo
+  FROM flag c
+  CROSS JOIN offsets o
+  LEFT JOIN flag n ON n.q = c.q + o.dq AND n.r = c.r + o.dr
+  GROUP BY c.cell)
+SELECT cell, CAST(own_hi AS BIGINT) AS own_hi, n_hi, n_lo,
+  CAST(own_hi AS BIGINT) AS side
+FROM nbr
+WHERE (own_hi = 1 AND n_lo >= 1) OR (own_hi = 0 AND n_hi >= 1)
+ORDER BY cell"""
+
+
 def morans_i_sql(res: int, k: int = 1) -> str:
     """Oracle of stages/hotspot.morans_i: global Moran's I over the cell
     table, binary k-ring weights excluding self (x = page_count)."""

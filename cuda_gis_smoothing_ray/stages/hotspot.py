@@ -765,3 +765,81 @@ def hex_voronoi(cells_ds, value_col: str = "page_count",
         })
 
     return red.map_batches(finalize, batch_format="pyarrow")
+
+
+def isoline_cells(cells_ds, value_col: str = "page_count", k: int = 1):
+    """cell raster -> (cell, own_hi, n_hi, n_lo, side): CONTOUR / ISOLINE
+    extraction at the exact corpus-mean threshold — the cells where the
+    value field crosses the level set.  A PRESENT cell is on the contour
+    iff it sits on the high side with >= 1 present low ring-k neighbor
+    (``side = 1``, the inner contour) or on the low side with >= 1 high
+    neighbor (``side = 0``, the outer contour).  The raster<->vector step
+    between :func:`raster_morphology` (binary) and :func:`hist_equalize`
+    (value remap).
+
+    EXACT threshold: "value >= mean" is cleared of the rational mean —
+    ``hi iff value * n_cells >= S1`` with integer page counts, so the
+    oracle needs no float anywhere.  Scale shape: one tiny (n, S1)
+    aggregate, then ONE scatter-combine over the k-ring (hi/lo indicator
+    channels, batch-local combine) and a bounded cell-keyed sum — the
+    :func:`hotspot_gi` shuffle with different channels."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.reduce import hash_groupby_sum
+
+    agg = cells_ds.map_batches(
+        lambda b: pa.table({"x": b.column(value_col)}),
+        batch_format="pyarrow",
+    ).aggregate(Sum("x", alias_name="s1"), Count(alias_name="n"))
+    n, s1 = int(agg["n"]), int(agg["s1"])
+    if n == 0:
+        raise ValueError("isoline_cells: empty cell table")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        hi = (x * n >= s1).astype(np.float64)
+        t2 = hexgrid.kring_cells(cell, k, include_center=False)
+        nn, m = t2.shape
+        targets = t2.ravel()
+        hiv = np.broadcast_to(hi[:, None], (nn, m)).ravel()
+        all_t = np.concatenate([targets, cell])
+        all_hi = np.concatenate([hiv, np.zeros(nn)])
+        all_lo = np.concatenate([1.0 - hiv, np.zeros(nn)])
+        all_c = np.concatenate([np.zeros(nn * m), np.ones(nn)])
+        all_oh = np.concatenate([np.zeros(nn * m), hi])
+        uniq, inv = np.unique(all_t, return_inverse=True)
+        mk = lambda w: pa.array(  # noqa: E731
+            np.bincount(inv, weights=w, minlength=len(uniq)))
+        return pa.table({"cell": pa.array(uniq), "nhi": mk(all_hi),
+                         "nlo": mk(all_lo), "c_sum": mk(all_c),
+                         "oh": mk(all_oh)})
+
+    sums = hash_groupby_sum(
+        cells_ds.map_batches(expand, batch_format="pyarrow"),
+        "cell", ["nhi", "nlo", "c_sum", "oh"],
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        present = batch.column("c_sum").to_numpy(zero_copy_only=False) > 0.5
+        cell = batch.column("cell").to_numpy(zero_copy_only=False)[present]
+        nhi = batch.column("nhi").to_numpy(
+            zero_copy_only=False)[present].astype(np.int64)
+        nlo = batch.column("nlo").to_numpy(
+            zero_copy_only=False)[present].astype(np.int64)
+        hi = batch.column("oh").to_numpy(
+            zero_copy_only=False)[present] > 0.5
+        inner = hi & (nlo >= 1)
+        outer = ~hi & (nhi >= 1)
+        keep = inner | outer
+        return pa.table({
+            "cell": pa.array(cell[keep]),
+            "own_hi": pa.array(hi[keep].astype(np.int64)),
+            "n_hi": pa.array(nhi[keep]),
+            "n_lo": pa.array(nlo[keep]),
+            "side": pa.array(inner[keep].astype(np.int64)),
+        })
+
+    return sums.map_batches(finalize, batch_format="pyarrow").sort("cell")

@@ -174,3 +174,35 @@ def test_raster_morphology_hexagon_blob():
     assert len(out) == 19
     halo = out[out["present"] == 0]
     assert len(halo) == 12 and (halo["eroded"] == 0).all()
+
+
+def test_isoline_cells_plateau_edge():
+    """Hand raster: a 3-cell high plateau inside a low field — the inner
+    contour is exactly the plateau cells adjacent to a low cell, the
+    outer contour exactly the low cells adjacent to a high cell; interior
+    low cells far from the plateau are silent."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.functions import hexgrid
+    from cuda_gis_smoothing_ray.stages.hotspot import isoline_cells
+
+    res = 7
+    # a line of 7 cells; cells 2,3,4 get value 100, the rest value 1
+    qs = np.arange(7, dtype=np.int64)
+    rs = np.zeros(7, dtype=np.int64)
+    cells = hexgrid.pack(res, qs, rs)
+    vals = np.where((qs >= 2) & (qs <= 4), 100, 1).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"cell": pa.array(cells),
+                                 "page_count": pa.array(vals)}))
+    out = isoline_cells(ds, "page_count", k=1).to_pandas()
+    got = {int(r.cell): (int(r.own_hi), int(r.side))
+           for r in out.itertuples()}
+    c = {int(q): int(hexgrid.pack(res, np.array([q]), np.array([0]))[0])
+         for q in qs}
+    # mean = (3*100 + 4*1)/7 -> hi iff v*7 >= 304 -> only the 100s are hi
+    assert got[c[2]] == (1, 1) and got[c[4]] == (1, 1)   # plateau edges
+    # the plateau interior has only PRESENT-hi neighbors (absent cells
+    # contribute neither side), so it is NOT on the contour
+    assert c[3] not in got
+    assert got[c[1]] == (0, 0) and got[c[5]] == (0, 0)   # outer contour
+    assert c[0] not in got and c[6] not in got           # far low cells
