@@ -826,6 +826,14 @@ def _q_top_bigrams(sf_dir: str):
     return textops.top_bigrams(_docs(sf_dir), k=20)
 
 
+def _q_unigram_drift(sf_dir: str):
+    """Unigram KL drift between even/odd snapshot halves, add-1 smoothing
+    over the union vocab, ordered folds (stages/textops.unigram_drift)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.unigram_drift(_docs(sf_dir))
+
+
 def _q_phrase_search(sf_dir: str):
     """Exact positional phrase query as a streaming scan: shifted
     vectorized equality masks, no shuffle (stages/textops.phrase_search)."""
@@ -2473,6 +2481,16 @@ def _q_ab_lift(sf_dir: str):
     return t
 
 
+def _q_benford_deviation(sf_dir: str):
+    """Benford first-digit profile of event cents with exact expected
+    micro-counts and chi2 contributions (stages/sketch.benford_deviation)."""
+    from cuda_gis_smoothing_ray.stages import sketch
+
+    from cuda_gis_smoothing_ray.stages.events import read_events
+
+    return sketch.benford_deviation(read_events(sf_dir))
+
+
 def _q_cuped_lift(sf_dir: str):
     """CUPED variance-reduced A/B readout: pre-period spend covariate,
     exact integer moments, shared float tree
@@ -2878,6 +2896,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": _q_top_bigrams,
         "zipf_slope": _q_zipf_slope,
         "phrase_search": _q_phrase_search,
+        "unigram_drift": _q_unigram_drift,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -2969,6 +2988,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": _q_range_join,
         "ab_lift": _q_ab_lift,
         "cuped_lift": _q_cuped_lift,
+        "benford_deviation": _q_benford_deviation,
         "running_totals": _q_running_totals,
         "event_gaps": _q_event_gaps,
         "event_transitions": _q_event_transitions,
@@ -3119,6 +3139,7 @@ def oracle_sql() -> dict[str, str]:
         "top_bigrams": oc.top_bigrams_sql(20),
         "zipf_slope": oc.zipf_slope_sql(),
         "phrase_search": oc.phrase_search_sql(),
+        "unigram_drift": oc.unigram_drift_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),
@@ -3217,6 +3238,7 @@ def oracle_sql() -> dict[str, str]:
         "range_join": oc.range_join_sql(),
         "ab_lift": oc.ab_lift_sql(),
         "cuped_lift": oc.cuped_lift_sql(),
+        "benford_deviation": oc.benford_deviation_sql(),
         "running_totals": oc.running_totals_sql(),
         "event_gaps": oc.event_gaps_sql(),
         "event_transitions": oc.event_transitions_sql(),

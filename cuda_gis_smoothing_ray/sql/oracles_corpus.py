@@ -409,6 +409,45 @@ ORDER BY cnt DESC, w1, w2
 LIMIT {k}"""
 
 
+def unigram_drift_sql() -> str:
+    """Oracle of stages/textops.unigram_drift: even/odd doc halves,
+    union-vocab add-1 unigram KL both ways, terms folded left-assoc in
+    token byte order via list_reduce, round6."""
+    from .oracles import round6
+
+    p = "(CAST(h.a + 1 AS DOUBLE) / (st.ta + st.nv))"
+    q = "(CAST(h.b + 1 AS DOUBLE) / (st.tb + st.nv))"
+    return f"""WITH lt AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), s -> s != '') AS l
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(l) AS token FROM lt
+), h AS (
+  SELECT token,
+    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b
+  FROM toks GROUP BY 1
+), st AS (
+  SELECT CAST(count(*) AS BIGINT) AS nv, CAST(sum(a) AS BIGINT) AS ta,
+    CAST(sum(b) AS BIGINT) AS tb
+  FROM h
+), terms AS (
+  SELECT h.token,
+    {p} * ln({p} / {q}) AS t_ab,
+    {q} * ln({q} / {p}) AS t_ba
+  FROM h, st
+), folds AS (
+  SELECT
+    list_reduce(list(t_ab ORDER BY token), (x, y) -> x + y) AS kl_ab,
+    list_reduce(list(t_ba ORDER BY token), (x, y) -> x + y) AS kl_ba
+  FROM terms
+)
+SELECT st.nv AS n_vocab, st.ta AS n_a, st.tb AS n_b,
+  {round6('f.kl_ab')} AS kl_ab, {round6('f.kl_ba')} AS kl_ba
+FROM folds f, st"""
+
+
 def phrase_search_sql(phrase: tuple[str, ...] | None = None) -> str:
     """Oracle of stages/textops.phrase_search: the classic positional
     pos-join chain t1.pos + j = t(j).pos within each document."""
@@ -2916,6 +2955,36 @@ SELECT host, CAST(n_pages AS BIGINT) AS n_pages, CAST(n_pass AS BIGINT) AS n_pas
   (n_pages >= {HOST_MIN_PAGES} AND rate < {D(HOST_MIN_PASS_RATE)}) AS blocked
 FROM h
 ORDER BY host"""
+
+
+def benford_deviation_sql() -> str:
+    """Oracle of stages/sketch.benford_deviation: first digit via the
+    decimal string head (== the engine's repeated integer division),
+    expectation/chi2 with the identical float tree, round6."""
+    from .oracles import round6
+
+    e = "(n.n * log10(1.0 + 1.0 / d.digit))"
+    chi2 = (f"(CAST(coalesce(h.obs, 0) AS DOUBLE) - {e})"
+            f" * (CAST(coalesce(h.obs, 0) AS DOUBLE) - {e}) / {e}")
+    return f"""WITH ev AS (
+  SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents FROM events
+), pos AS (
+  SELECT cents FROM ev WHERE cents > 0
+), h AS (
+  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+    CAST(count(*) AS BIGINT) AS obs
+  FROM pos GROUP BY 1
+), d AS (
+  SELECT unnest(range(1, 10)) AS digit
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM pos
+)
+SELECT CAST(d.digit AS BIGINT) AS digit,
+  CAST(coalesce(h.obs, 0) AS BIGINT) AS obs,
+  CAST(floor({e} * 1000000.0 + 0.5) AS BIGINT) AS exp_micro,
+  {round6(chi2)} AS chi2_contrib
+FROM d LEFT JOIN h ON h.digit = d.digit, n
+ORDER BY digit"""
 
 
 def cuped_lift_sql() -> str:

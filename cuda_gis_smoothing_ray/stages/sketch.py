@@ -1144,3 +1144,59 @@ def hll_by_lang(ds, p: int = HLL_GROUP_P):
         .aggregate(Max("rho", alias_name="rho"))
         .sort(["lang", "register"])
     )
+
+
+def benford_deviation(ds):
+    """events -> 9 rows (digit, obs, exp_micro, chi2_contrib): the
+    FIRST-DIGIT (Benford) profile of the event cents — the classic
+    fabricated-data / instrumentation-bug screen for a value column.
+    ``exp_micro = floor(n * log10(1 + 1/d) * 1e6 + 0.5)`` (the expected
+    count in exact micro-units) and ``chi2_contrib = (obs - n*p_d)^2 /
+    (n*p_d)`` with the shared float tree, round6.
+
+    EXACT digit extraction: integer repeated-division (ten vectorized
+    halving passes, never float log10, whose boundary rounding at powers
+    of ten differs between libms).  Scale shape: per-batch 9-bin digit
+    histograms, one bounded 9-key reduce; the expectation math is driver
+    arithmetic on ten scalars.  Zero-cent rows are excluded (no leading
+    digit), mirrored by the oracle."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    def digits(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch.column("value").to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        c = cents[cents > 0]
+        while True:
+            big = c >= 10
+            if not big.any():
+                break
+            c = np.where(big, c // 10, c)
+        obs = np.bincount(c, minlength=10)[1:10].astype(np.int64)
+        return pa.table({"digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+                         "obs": pa.array(obs)})
+
+    hist = hash_groupby(
+        ds.map_batches(digits, batch_format="pyarrow"),
+        "digit", ["obs"], how="isum",
+    ).to_pandas().sort_values("digit")
+    obs = np.zeros(9, np.int64)
+    obs[hist["digit"].to_numpy(np.int64) - 1] = hist["obs"].to_numpy(np.int64)
+    n = int(obs.sum())
+    if n == 0:
+        raise ValueError("benford_deviation: no positive values")
+    r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    exp_micro = np.empty(9, np.int64)
+    chi2 = np.empty(9, np.float64)
+    for d in range(1, 10):
+        p = np.log10(1.0 + 1.0 / d)
+        e = n * p
+        exp_micro[d - 1] = int(np.floor(e * 1e6 + 0.5))
+        chi2[d - 1] = r6((obs[d - 1] - e) * (obs[d - 1] - e) / e)
+    return rd.from_arrow(pa.table({
+        "digit": pa.array(np.arange(1, 10, dtype=np.int64)),
+        "obs": pa.array(obs),
+        "exp_micro": pa.array(exp_micro),
+        "chi2_contrib": pa.array(chi2, pa.float64()),
+    }))

@@ -3525,3 +3525,110 @@ def phrase_search(ds, phrase: tuple[str, ...] = PHRASE):
                          "n_hits": pa.array(cnt.astype(np.int64))})
 
     return ds.map_batches(scan, batch_format="pyarrow").sort("doc_id")
+
+
+DRIFT_MAX_VOCAB = 65536
+
+
+def unigram_drift(ds, max_vocab: int = DRIFT_MAX_VOCAB):
+    """documents -> ONE row (n_vocab, n_a, n_b, kl_ab, kl_ba): corpus
+    DRIFT between two snapshot halves (even vs odd ``doc_id`` — the
+    deterministic stand-in for consecutive crawls) as the two
+    add-1-smoothed unigram KL divergences — the distribution-shift
+    monitor a training pipeline runs before mixing a new crawl in.
+
+    ``KL(P||Q) = sum_t p_t * ln(p_t / q_t)`` with ``p_t = (a_t + 1) /
+    (A + V)`` over the UNION vocabulary; the sum folds LEFT-ASSOCIATIVELY
+    in token byte order, mirrored by the oracle's ``list_reduce(list(...
+    ORDER BY token))``; outputs round6.  Scale shape: batch-local
+    (token, a, b) partials, one token-keyed vectorized reduce; the fold
+    runs on the bounded vocabulary histogram driver-side (``max_vocab``
+    guards the pull — at web scale cap to top-K + an OTHER bucket
+    first)."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    from ..functions.hashing import fnv_token_hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"token": pa.array([], pa.string()),
+                          "a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "__part": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        did = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        counts = split.value_lengths().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = split.flatten()
+        row = np.repeat(np.arange(len(did), dtype=np.int64), counts)
+        nonempty = pc_.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        row = row[nonempty]
+        toks = flat.filter(pa.array(nonempty))
+        if len(toks) == 0:
+            return empty
+        dic = toks.dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        even = (did[row] % 2) == 0
+        nv = len(dic.dictionary)
+        a = np.bincount(codes[even], minlength=nv).astype(np.int64)
+        b = np.bincount(codes[~even], minlength=nv).astype(np.int64)
+        key = fnv_token_hash64(dic.dictionary).view(np.int64)
+        part = hashing.coarse_partition(key, _PAIR_PARTS)
+        return pa.table({"token": dic.dictionary, "a": pa.array(a),
+                         "b": pa.array(b),
+                         "__part": pa.array(part.astype(np.int64))})
+
+    def reduce_part(part: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        df = pd_.DataFrame({"token": part.column("token").to_pylist(),
+                            "a": part.column("a").to_numpy(
+                                zero_copy_only=False),
+                            "b": part.column("b").to_numpy(
+                                zero_copy_only=False)})
+        g = df.groupby("token", sort=False)[["a", "b"]].sum().reset_index()
+        return pa.table({"token": pa.array(g["token"], pa.string()),
+                         "a": pa.array(g["a"].to_numpy(np.int64)),
+                         "b": pa.array(g["b"].to_numpy(np.int64))})
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    ).to_pandas()
+    if len(hist) > max_vocab:
+        raise ValueError(
+            f"unigram_drift: vocabulary {len(hist)} exceeds max_vocab="
+            f"{max_vocab}; cap to top-K + OTHER before the fold")
+    hist = hist.sort_values("token", kind="mergesort")
+    a = hist["a"].to_numpy(np.int64)
+    b = hist["b"].to_numpy(np.int64)
+    V = len(hist)
+    A, B = int(a.sum()), int(b.sum())
+    kl_ab = kl_ba = 0.0
+    first = True
+    for i in range(V):
+        p = (int(a[i]) + 1) / (A + V)
+        q = (int(b[i]) + 1) / (B + V)
+        t_ab = p * float(np.log(p / q))
+        t_ba = q * float(np.log(q / p))
+        if first:
+            kl_ab, kl_ba, first = t_ab, t_ba, False
+        else:
+            kl_ab += t_ab
+            kl_ba += t_ba
+    r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return rd.from_arrow(pa.table({
+        "n_vocab": pa.array([V], pa.int64()),
+        "n_a": pa.array([A], pa.int64()),
+        "n_b": pa.array([B], pa.int64()),
+        "kl_ab": pa.array([r6(kl_ab)], pa.float64()),
+        "kl_ba": pa.array([r6(kl_ba)], pa.float64()),
+    }))

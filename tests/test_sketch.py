@@ -394,3 +394,31 @@ def test_ks_test_identical_distributions(ray_session):
                   groups=("a", "b")).to_pandas().iloc[0]
     assert out["ks_d"] == 0.0
     assert out["at_value"] == 0  # ties -> smallest v
+
+
+def test_benford_deviation_hand_counts():
+    """First digits extracted by integer division: 1.23 -> 123 -> 1,
+    0.05 -> 5, 99.0 -> 9900 -> 9; zero values are excluded; obs sums to
+    the positive-row count and expected micro-counts follow Benford."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import benford_deviation
+
+    vals = [1.23, 0.05, 99.0, 0.0, 2.5, 19.99, 0.01]
+    ds = rd.from_arrow(pa.table({
+        "value": pa.array(vals, pa.float64()),
+    }))
+    out = benford_deviation(ds).to_pandas().sort_values("digit")
+    obs = dict(zip(out["digit"], out["obs"]))
+    # digits: 123->1, 5->5, 9900->9, (0 skipped), 250->2, 1999->1, 1->1
+    assert obs == {1: 3, 2: 1, 3: 0, 4: 0, 5: 1, 6: 0, 7: 0, 8: 0, 9: 1}
+    n = 6
+    import math
+    for d in range(1, 10):
+        e = n * math.log10(1 + 1 / d)
+        row = out[out["digit"] == d].iloc[0]
+        assert int(row["exp_micro"]) == int(math.floor(e * 1e6 + 0.5))
+        assert abs(float(row["chi2_contrib"])
+                   - (obs[d] - e) ** 2 / e) < 1e-5

@@ -401,3 +401,31 @@ def test_phrase_search_hand_cases():
 
     # doc boundary: doc2 ends "a", doc3 starts "a" — must NOT match across
     assert 2 not in got
+
+
+def test_unigram_drift_identical_halves_zero():
+    """Even and odd docs with identical token histograms give exactly
+    KL = 0 both ways; making the odd half skewed gives strictly positive
+    divergences and preserves the count columns."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import unigram_drift
+
+    same = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["x y y z", "x y y z", "z x", "z x"], pa.string()),
+    })
+    out = unigram_drift(rd.from_arrow(same)).to_pandas()
+    assert float(out["kl_ab"].iloc[0]) == 0.0
+    assert float(out["kl_ba"].iloc[0]) == 0.0
+    assert int(out["n_vocab"].iloc[0]) == 3
+    assert int(out["n_a"].iloc[0]) == int(out["n_b"].iloc[0]) == 6
+
+    skew = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["x x x x y", "y y y y x"], pa.string()),
+    })
+    o2 = unigram_drift(rd.from_arrow(skew)).to_pandas()
+    assert float(o2["kl_ab"].iloc[0]) > 0.0
+    assert float(o2["kl_ba"].iloc[0]) > 0.0
