@@ -2481,6 +2481,15 @@ def _q_ab_lift(sf_dir: str):
     return t
 
 
+def _q_als_rank1(sf_dir: str):
+    """Rank-1 ALS over the user x event-type spend matrix: 2 exact-integer
+    alternating sweeps, one co-partitioned pass each
+    (stages/events.als_rank1)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.als_rank1(events.read_events(sf_dir))
+
+
 def _q_benford_deviation(sf_dir: str):
     """Benford first-digit profile of event cents with exact expected
     micro-counts and chi2 contributions (stages/sketch.benford_deviation)."""
@@ -2989,6 +2998,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_lift": _q_ab_lift,
         "cuped_lift": _q_cuped_lift,
         "benford_deviation": _q_benford_deviation,
+        "als_rank1": _q_als_rank1,
         "running_totals": _q_running_totals,
         "event_gaps": _q_event_gaps,
         "event_transitions": _q_event_transitions,
@@ -3239,6 +3249,7 @@ def oracle_sql() -> dict[str, str]:
         "ab_lift": oc.ab_lift_sql(),
         "cuped_lift": oc.cuped_lift_sql(),
         "benford_deviation": oc.benford_deviation_sql(),
+        "als_rank1": oc.als_rank1_sql(),
         "running_totals": oc.running_totals_sql(),
         "event_gaps": oc.event_gaps_sql(),
         "event_transitions": oc.event_transitions_sql(),

@@ -2957,6 +2957,56 @@ FROM h
 ORDER BY host"""
 
 
+def als_rank1_sql(sweeps: int | None = None, uscale: int | None = None,
+                  vscale: int | None = None) -> str:
+    """Oracle of stages/events.als_rank1: the same K rank-1 ALS sweeps
+    unrolled as CTEs in HUGEINT — user half-step, item half-step, ceil
+    renorm — every division an exact nonneg floor (``//``)."""
+    from ..stages import events
+
+    k = events.ALS_SWEEPS if sweeps is None else sweeps
+    us = events.ALS_USCALE if uscale is None else uscale
+    vs = events.ALS_VSCALE if vscale is None else vscale
+    steps = []
+    prev = "v0"
+    for i in range(1, k + 1):
+        steps.append(f"""d{i} AS MATERIALIZED (
+  SELECT sum(v * v) AS den FROM {prev}
+), u{i} AS MATERIALIZED (
+  SELECT r.user_id,
+    (sum(CAST(r.r AS HUGEINT) * p.v) * {us}) // max(d{i}.den) AS u
+  FROM r JOIN {prev} p USING (event_type), d{i}
+  GROUP BY r.user_id
+), s{i} AS MATERIALIZED (
+  SELECT sum(u * u) AS u2 FROM u{i}
+), w{i} AS MATERIALIZED (
+  SELECT r.event_type,
+    (sum(CAST(r.r AS HUGEINT) * u{i}.u) * {vs}) // max(s{i}.u2) AS v
+  FROM r JOIN u{i} USING (user_id), s{i}
+  GROUP BY r.event_type
+), m{i} AS MATERIALIZED (
+  SELECT GREATEST(CAST(1 AS HUGEINT),
+    ((SELECT max(v) FROM w{i}) + {vs} - 1) // {vs}) AS d
+), v{i} AS MATERIALIZED (
+  SELECT event_type, v // d AS v FROM w{i}, m{i}
+)""")
+        prev = f"v{i}"
+    chain = ",\n".join(steps)
+    return f"""WITH ev AS (
+  SELECT user_id, event_type,
+    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+), r AS MATERIALIZED (
+  SELECT user_id, event_type, CAST(sum(cents) AS BIGINT) AS r
+  FROM ev GROUP BY 1, 2
+), v0 AS (
+  SELECT DISTINCT event_type, CAST({vs} AS HUGEINT) AS v FROM r
+),
+{chain}
+SELECT event_type, CAST(v AS BIGINT) AS v FROM {prev}
+ORDER BY event_type"""
+
+
 def benford_deviation_sql() -> str:
     """Oracle of stages/sketch.benford_deviation: first digit via the
     decimal string head (== the engine's repeated integer division),

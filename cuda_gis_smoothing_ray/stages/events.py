@@ -1795,3 +1795,125 @@ def cuped_lift(ds, mult: int = AB_MULT, mod: int = AB_MOD):
         "mean_adj_b": pa.array([r6(mean_adj_b)], pa.float64()),
         "lift_adj": pa.array([r6(lift_adj)], pa.float64()),
     })
+
+
+ALS_SWEEPS = 2
+ALS_USCALE = 10**4
+ALS_VSCALE = 10**6
+
+
+def als_rank1(ds, sweeps: int = ALS_SWEEPS, uscale: int = ALS_USCALE,
+              vscale: int = ALS_VSCALE):
+    """events -> (event_type, v): ``sweeps`` rank-1 ALS sweeps over the
+    user x event-type spend matrix ``R`` (total cents) — the distributed
+    matrix-factorization / recommender primitive, in EXACT integers.
+
+    Per sweep, with the item vector ``v`` broadcast (|types| entries):
+    ``u_i = floor(sum_j R_ij v_j * uscale / sum_j v_j^2)`` per user, then
+    ``v_j = floor(sum_i R_ij u_i * vscale / sum_i u_i^2)`` per type — the
+    alternating least-squares normal equations for rank 1, each half-step
+    quantized by ONE exact floor division (the HITS renorm discipline),
+    so the unrolled-CTE oracle matches bit-for-bit.  All quantities are
+    nonneg, so ``//`` truncation == floor in both engines.
+
+    Scale shape: R materializes once ((user, type) cents, ONE user-hash
+    shuffle); each sweep is ONE co-partitioned pass over R — ``u`` is
+    computed AND consumed inside the partition (per-type partial products
+    + the u^2 partial leave, |types|+1 rows per partition); the per-type
+    division runs on the driver with arbitrary-precision ints (numerator
+    * vscale exceeds int64 by design; the table is |types| rows)."""
+    import ray.data as rd
+
+    types_tbl = sorted(set(
+        ds.map_batches(
+            lambda b: pa.table({"t": pa.array(
+                list(set(b.column("event_type").to_pylist())), pa.string())}),
+            batch_format="pyarrow",
+        ).to_pandas()["t"]))
+    t_id = {t: i for i, t in enumerate(types_tbl)}
+    nt = len(types_tbl)
+
+    def r_partial(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        cents = np.floor(batch.column("value").to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        tid = np.array([t_id[t] for t in et], dtype=np.int64)
+        pack = uid * nt + tid
+        uniq, inv = np.unique(pack, return_inverse=True)
+        r = np.zeros(len(uniq), np.int64)
+        np.add.at(r, inv, cents)
+        return pa.table({"key": pa.array(uniq), "r": pa.array(r)})
+
+    from ..functions.reduce import hash_groupby
+
+    R = hash_groupby(
+        ds.map_batches(r_partial, batch_format="pyarrow"),
+        "key", ["r"], how="isum",
+    ).materialize()
+
+    v = np.full(nt, vscale, dtype=object)
+    for _ in range(sweeps):
+        vq = [int(x) for x in v]
+        den_v = sum(x * x for x in vq)
+
+        def sweep(df: pd.DataFrame, vq=vq, den_v=den_v) -> pd.DataFrame:
+            key = df["key"].to_numpy(np.int64)
+            r = df["r"].to_numpy(np.int64)
+            uid, tid = key // nt, key % nt
+            order = np.argsort(uid, kind="stable")
+            uid, tid, r = uid[order], tid[order], r[order]
+            varr = np.array(vq, dtype=np.int64)
+            prod = r * varr[tid]  # R_ij * v_j, int64
+            uu, starts = np.unique(uid, return_index=True)
+            num = np.add.reduceat(prod, starts)
+            u = (num * np.int64(uscale)) // np.int64(den_v)
+            urow = u[np.searchsorted(uu, uid)]
+            tnum = np.zeros(nt, np.int64)
+            np.add.at(tnum, tid, r * urow)
+            u2 = int((u.astype(object) * u.astype(object)).sum())
+            return pd.DataFrame({
+                "tid": np.concatenate([np.arange(nt, dtype=np.int64),
+                                       [np.int64(-1)]]),
+                "num": np.concatenate([tnum, [np.int64(0)]]),
+                "u2a": np.concatenate([np.zeros(nt, np.int64),
+                                       [np.int64(u2)]]),
+            })
+
+        parts = hash_groupby(
+            R.map_batches(_als_add_part(nt), batch_format="pyarrow",
+                          batch_size=None)
+            .groupby("__part")
+            .map_groups(sweep),
+            "tid", ["num", "u2a"], how="isum",
+        ).to_pandas().sort_values("tid")
+        num = {int(t): int(n) for t, n in zip(parts["tid"], parts["num"])}
+        u2 = int(parts[parts["tid"] == -1]["u2a"].sum())
+        if u2 == 0:
+            raise ValueError("als_rank1: zero user vector — no signal")
+        v = np.array([(num.get(j, 0) * vscale) // u2 for j in range(nt)],
+                     dtype=object)
+        # HITS-style renorm keeps v <= vscale so the next sweep's int64
+        # products stay bounded (rank-1 ALS direction is scale-invariant)
+        mv = max(int(x) for x in v)
+        d = max(1, -(-mv // vscale))
+        v = np.array([int(x) // d for x in v], dtype=object)
+
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(types_tbl, pa.string()),
+        "v": pa.array([int(x) for x in v], pa.int64()),
+    }))
+
+
+def _als_add_part(nt: int):
+    from ..functions import hashing
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        uid = k // nt
+        return batch.append_column(
+            "__part", pa.array(hashing.coarse_partition(uid, N_USER_PARTS)
+                               .astype(np.int64)))
+
+    return add_part

@@ -501,3 +501,37 @@ def test_cuped_lift_perfect_covariate():
     xbar = float((vals * 100).round().sum()) / 200
     assert abs(float(out["mean_adj_a"].iloc[0]) - xbar) < 1e-6
     assert abs(float(out["mean_adj_b"].iloc[0]) - xbar) < 1e-6
+
+
+def test_als_rank1_recovers_rank1_structure():
+    """Events built from an exactly rank-1 spend matrix R = outer(c, w):
+    the learned item vector is proportional to w (within quantization),
+    and is invariant to user scaling (direction only)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import als_rank1
+
+    types = ["a", "b", "c", "d"]
+    w = np.array([1.0, 2.0, 4.0, 8.0])
+    cs = np.array([1.0, 3.0, 5.0])
+    rows_u, rows_t, rows_v = [], [], []
+    for i, cu in enumerate(cs):
+        for j, t in enumerate(types):
+            rows_u.append(i + 1)
+            rows_t.append(t)
+            rows_v.append(cu * w[j])
+    n = len(rows_u)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(np.array(rows_u, dtype=np.int64)),
+        "ts": pa.array(np.full(n, np.datetime64("2024-01-01", "us"))),
+        "event_type": pa.array(rows_t, pa.string()),
+        "value": pa.array(np.array(rows_v, dtype=np.float64)),
+    })
+    out = als_rank1(rd.from_arrow(t)).to_pandas().set_index("event_type")
+    v = out.loc[types, "v"].to_numpy(np.float64)
+    ratios = v / w
+    assert np.all(v > 0)
+    assert ratios.max() / ratios.min() < 1.001  # direction == w
