@@ -224,6 +224,14 @@ def _q_hotspot_gi(sf_dir: str):
     return _round6_cols(hotspot_gi(_cells(sf_dir), "page_count", k=1), ["gi_z"]).sort("cell")
 
 
+def _q_geary_c(sf_dir: str):
+    """Geary's C spatial autocorrelation (ring-1 binary weights): exact
+    integer num/den, one float division (stages/hotspot.geary_c)."""
+    from cuda_gis_smoothing_ray.stages.hotspot import geary_c
+
+    return geary_c(_cells(sf_dir), "page_count")
+
+
 def _q_isoline_cells(sf_dir: str):
     """Contour/isoline cells at the exact corpus-mean level set: inner and
     outer boundary cells of the page_count field
@@ -3085,6 +3093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ring2_stats": _q_ring2_stats,
         "hotspot_gi": _q_hotspot_gi,
         "isoline_cells": _q_isoline_cells,
+        "geary_c": _q_geary_c,
         "semivariogram": _q_semivariogram,
         "otsu_threshold": _q_otsu_threshold,
         "hist_equalize": _q_hist_equalize,
@@ -3366,6 +3375,7 @@ def oracle_sql() -> dict[str, str]:
         "ring2_stats": o.neighbor_stats_sql(RES, ring=2),
         "hotspot_gi": o.hotspot_gi_sql(RES, k=1),
         "isoline_cells": o.isoline_cells_sql(RES, k=1),
+        "geary_c": o.geary_c_sql(RES),
         "semivariogram": o.semivariogram_sql(RES),
         "otsu_threshold": o.otsu_threshold_sql(RES),
         "hist_equalize": o.hist_equalize_sql(RES),

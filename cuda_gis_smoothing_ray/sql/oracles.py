@@ -1011,6 +1011,31 @@ FROM nbrcnt n LEFT JOIN cells p ON p.q = n.q AND p.r = n.r
 ORDER BY cell"""
 
 
+def geary_c_sql(res: int) -> str:
+    """Oracle of stages/hotspot.geary_c: ordered ring-1 pair join, exact
+    HUGEINT numerator/denominator, ONE float division round6."""
+    return f"""{prelude(res)},
+offsets(dq, dr) AS (VALUES {_ring_offsets_values(1, False)}),
+st AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+    CAST(sum(page_count) AS HUGEINT) AS sx,
+    CAST(sum(CAST(page_count AS HUGEINT) * page_count) AS HUGEINT) AS sxx
+  FROM cells),
+pr AS (
+  SELECT CAST(sum(CAST(c.page_count - n.page_count AS HUGEINT)
+                  * (c.page_count - n.page_count)) AS HUGEINT) AS num,
+    CAST(count(*) AS HUGEINT) AS s0
+  FROM cells c
+  CROSS JOIN offsets o
+  JOIN cells n ON n.q = c.q + o.dq AND n.r = c.r + o.dr)
+SELECT CAST(st.n AS BIGINT) AS n_cells, CAST(pr.s0 AS BIGINT) AS s0,
+  CAST(pr.num AS BIGINT) AS num,
+  {round6('CAST((st.n - 1) * pr.num * st.n AS DOUBLE)'
+          ' / CAST(2 * pr.s0 * (st.n * st.sxx - st.sx * st.sx) AS DOUBLE)')}
+    AS geary_c
+FROM pr, st"""
+
+
 def isoline_cells_sql(res: int, k: int = 1) -> str:
     """Oracle of stages/hotspot.isoline_cells: exact mean-cleared hi flag
     (page_count * n >= S1, all integers), present-neighbor hi/lo counts

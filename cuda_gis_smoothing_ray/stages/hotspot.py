@@ -843,3 +843,99 @@ def isoline_cells(cells_ds, value_col: str = "page_count", k: int = 1):
         })
 
     return sums.map_batches(finalize, batch_format="pyarrow").sort("cell")
+
+
+def geary_c(cells_ds, value_col: str = "page_count"):
+    """cells -> ONE row (n_cells, s0, num, geary_c): GEARY'S C spatial
+    autocorrelation over the present-cell raster with binary ring-1
+    weights — the local-difference complement of :func:`morans_i`
+    (C < 1 = positive autocorrelation, C > 1 = negative):
+
+        C = ((n-1) * sum_w (x_i - x_j)^2) / (2 * S0 * sum (x_i - xbar)^2)
+
+    EXACT: the pair sum collapses per cell via the semivariogram identity
+    ``nc*z^2 - 2*z*sx + sxx`` (ordered pairs; S0 = ordered edge count),
+    the variance clears the rational mean (``n*sxx - sx^2``), and the
+    whole statistic is ONE float division of two arbitrary-precision
+    integers, round6.  Scale shape: one ring-1 scatter-combine + a tiny
+    moment aggregate — no cell pair ever shuffles."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    mom = cells_ds.map_batches(
+        lambda b: pa.table({
+            "n": pa.array([len(b)], pa.int64()),
+            "sx": pa.array([int(b.column(value_col).to_numpy(
+                zero_copy_only=False).astype(np.int64).sum())], pa.int64()),
+            "sxx": pa.array([int((b.column(value_col).to_numpy(
+                zero_copy_only=False).astype(np.int64) ** 2).sum())],
+                pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).to_pandas()
+    n = int(mom["n"].sum())
+    sx = int(mom["sx"].sum())
+    sxx = int(mom["sxx"].sum())
+    if n < 2:
+        raise ValueError("geary_c: need >= 2 cells")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        z = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nn = len(cell)
+        t2 = hexgrid.kring_cells(cell, 1, include_center=False)
+        m = t2.shape[1]
+        targets = np.concatenate([t2.ravel(), cell])
+        zz = np.broadcast_to(z[:, None], (nn, m)).ravel()
+        nc = np.concatenate([np.ones(nn * m, np.int64),
+                             np.zeros(nn, np.int64)])
+        sn = np.concatenate([zz, np.zeros(nn, np.int64)])
+        snn = np.concatenate([zz * zz, np.zeros(nn, np.int64)])
+        oz = np.concatenate([np.zeros(nn * m, np.int64), z])
+        cs = np.concatenate([np.zeros(nn * m, np.int64),
+                             np.ones(nn, np.int64)])
+        uniq, inv = np.unique(targets, return_inverse=True)
+        out = {"cell": pa.array(uniq)}
+        for name, w in (("nc", nc), ("sn", sn), ("snn", snn), ("oz", oz),
+                        ("cs", cs)):
+            acc = np.zeros(len(uniq), np.int64)
+            np.add.at(acc, inv, w)
+            out[name] = pa.array(acc)
+        return pa.table(out)
+
+    sums = hash_groupby(
+        cells_ds.map_batches(expand, batch_format="pyarrow"),
+        "cell", ["nc", "sn", "snn", "oz", "cs"], how="isum",
+    )
+
+    def close(batch: pa.Table) -> pa.Table:
+        present = batch.column("cs").to_numpy(zero_copy_only=False) > 0
+        z = batch.column("oz").to_numpy(zero_copy_only=False)[present]
+        nc = batch.column("nc").to_numpy(zero_copy_only=False)[present]
+        sn = batch.column("sn").to_numpy(zero_copy_only=False)[present]
+        snn = batch.column("snn").to_numpy(zero_copy_only=False)[present]
+        s = int(np.sum(nc * z * z - 2 * z * sn + snn))
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "num": pa.array([s], pa.int64()),
+                         "s0": pa.array([int(nc.sum())], pa.int64())})
+
+    red = hash_groupby(
+        sums.map_batches(close, batch_format="pyarrow"),
+        "k", ["num", "s0"], how="isum",
+    ).to_pandas()
+    num = int(red["num"].sum())
+    s0 = int(red["s0"].sum())
+    if s0 == 0:
+        raise ValueError("geary_c: no adjacent present cells")
+    den = 2 * s0 * (n * sxx - sx * sx)  # exact object ints
+    c = float((n - 1) * num * n) / float(den)
+    r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return rd.from_arrow(pa.table({
+        "n_cells": pa.array([n], pa.int64()),
+        "s0": pa.array([s0], pa.int64()),
+        "num": pa.array([num], pa.int64()),
+        "geary_c": pa.array([r6(c)], pa.float64()),
+    }))

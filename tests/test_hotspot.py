@@ -206,3 +206,49 @@ def test_isoline_cells_plateau_edge():
     assert c[3] not in got
     assert got[c[1]] == (0, 0) and got[c[5]] == (0, 0)   # outer contour
     assert c[0] not in got and c[6] not in got           # far low cells
+
+
+def test_geary_c_sign_cases():
+    """A smooth gradient field gives C < 1 (positive autocorrelation); a
+    checkerboard gives C > 1 (negative); values match a brute-force pair
+    recomputation exactly."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.functions import hexgrid
+    from cuda_gis_smoothing_ray.stages.hotspot import geary_c
+
+    res = 7
+
+    def build(vals_fn, n=6):
+        qs, rs = np.meshgrid(np.arange(n), np.arange(n))
+        qs, rs = qs.ravel().astype(np.int64), rs.ravel().astype(np.int64)
+        cells = hexgrid.pack(res, qs, rs)
+        v = vals_fn(qs, rs).astype(np.int64)
+        return cells, qs, rs, v
+
+    def brute_c(qs, rs, v):
+        pos = {(int(q), int(r)): int(x) for q, r, x in zip(qs, rs, v)}
+        num = s0 = 0
+        for (q, r), x in pos.items():
+            for dq, dr in hexgrid.ring_offsets(1):
+                nb = pos.get((q + dq, r + dr))
+                if nb is not None:
+                    num += (x - nb) ** 2
+                    s0 += 1
+        n = len(pos)
+        sx = sum(pos.values())
+        sxx = sum(x * x for x in pos.values())
+        return ((n - 1) * num * n) / (2 * s0 * (n * sxx - sx * sx))
+
+    for fn, expect_low in (
+        (lambda q, r: 10 * q + 10 * r, True),              # smooth gradient
+        (lambda q, r: ((q + r) % 2) * 100, False),          # checkerboard
+    ):
+        cells, qs, rs, v = build(fn)
+        ds = rd.from_arrow(pa.table({"cell": pa.array(cells),
+                                     "page_count": pa.array(v)}))
+        out = geary_c(ds, "page_count").to_pandas()
+        c = float(out["geary_c"].iloc[0])
+        want = brute_c(qs, rs, v)
+        assert abs(c - want) < 1e-6
+        assert (c < 1.0) == expect_low
