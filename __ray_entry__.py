@@ -2489,6 +2489,15 @@ def _q_ab_lift(sf_dir: str):
     return t
 
 
+def _q_km_survival(sf_dir: str):
+    """Kaplan-Meier survival of time-to-first-purchase per user;
+    never-purchasers right-censored at their last event
+    (stages/events.km_survival)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.km_survival(events.read_events(sf_dir))
+
+
 def _q_als_rank1(sf_dir: str):
     """Rank-1 ALS over the user x event-type spend matrix: 2 exact-integer
     alternating sweeps, one co-partitioned pass each
@@ -3007,6 +3016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cuped_lift": _q_cuped_lift,
         "benford_deviation": _q_benford_deviation,
         "als_rank1": _q_als_rank1,
+        "km_survival": _q_km_survival,
         "running_totals": _q_running_totals,
         "event_gaps": _q_event_gaps,
         "event_transitions": _q_event_transitions,
@@ -3259,6 +3269,7 @@ def oracle_sql() -> dict[str, str]:
         "cuped_lift": oc.cuped_lift_sql(),
         "benford_deviation": oc.benford_deviation_sql(),
         "als_rank1": oc.als_rank1_sql(),
+        "km_survival": oc.km_survival_sql(),
         "running_totals": oc.running_totals_sql(),
         "event_gaps": oc.event_gaps_sql(),
         "event_transitions": oc.event_transitions_sql(),

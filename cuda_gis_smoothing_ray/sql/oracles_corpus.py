@@ -2957,6 +2957,45 @@ FROM h
 ORDER BY host"""
 
 
+def km_survival_sql(conv_type: str | None = None) -> str:
+    """Oracle of stages/events.km_survival: time to first conversion per
+    user (never-converters censored at their last event),
+    reverse-cumulative risk sets, correlated list_reduce prefix product
+    (identical left-assoc fold), round6."""
+    from ..stages import events
+    from .oracles import round6
+
+    ct = events.KM_CONV_TYPE if conv_type is None else conv_type
+    return f"""WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+), u AS (
+  SELECT user_id, min(t) AS f, max(t) AS l,
+    min(CASE WHEN event_type = '{ct}' THEN t END) AS fc
+  FROM ev GROUP BY 1
+), d AS (
+  SELECT (coalesce(u.fc, u.l) - u.f) // 3600000000 AS t,
+    CASE WHEN u.fc IS NULL THEN 1 ELSE 0 END AS c
+  FROM u
+), km0 AS (
+  SELECT t, CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS deaths,
+    CAST(count(*) AS BIGINT) AS total
+  FROM d GROUP BY t
+), km1 AS (
+  SELECT t, deaths,
+    CAST(sum(total) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk
+  FROM km0
+), km AS MATERIALIZED (
+  SELECT t, n_risk, deaths AS n_events FROM km1 WHERE deaths > 0
+)
+SELECT km.t, km.n_risk, km.n_events,
+  {round6('(SELECT list_reduce('
+          'list(1.0 - CAST(k2.n_events AS DOUBLE) / k2.n_risk '
+          'ORDER BY k2.t), (a, b) -> a * b) '
+          'FROM km k2 WHERE k2.t <= km.t)')} AS surv
+FROM km ORDER BY t"""
+
+
 def als_rank1_sql(sweeps: int | None = None, uscale: int | None = None,
                   vscale: int | None = None) -> str:
     """Oracle of stages/events.als_rank1: the same K rank-1 ALS sweeps

@@ -535,3 +535,38 @@ def test_als_rank1_recovers_rank1_structure():
     ratios = v / w
     assert np.all(v > 0)
     assert ratios.max() / ratios.min() < 1.001  # direction == w
+
+
+def test_km_survival_hand_curve():
+    """Textbook KM hand case: 4 users — conversions at t=1h (x2) and
+    t=3h, one censored at t=2h.  S(1)=1-2/4=0.5; at t=3 the censored
+    user has left the risk set: S(3)=0.5*(1-1/1)=0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import km_survival
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    H = np.timedelta64(1, "h")
+    rows = [
+        # (user, ts_offset_hours, type)
+        (1, 0, "view"), (1, 1, "purchase"),
+        (2, 0, "view"), (2, 1, "purchase"),
+        (3, 0, "view"), (3, 2, "view"),           # censored at t=2
+        (4, 0, "view"), (4, 3, "purchase"),
+    ]
+    t = pa.table({
+        "event_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+        "user_id": pa.array(np.array([r[0] for r in rows], np.int64)),
+        "ts": pa.array([base + r[1] * H for r in rows]),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array(np.ones(len(rows))),
+    })
+    out = km_survival(rd.from_arrow(t)).to_pandas().set_index("t")
+    assert list(out.index) == [1, 3]
+    assert int(out.loc[1, "n_risk"]) == 4
+    assert int(out.loc[1, "n_events"]) == 2
+    assert abs(float(out.loc[1, "surv"]) - 0.5) < 1e-9
+    assert int(out.loc[3, "n_risk"]) == 1     # censored user left at t=2
+    assert float(out.loc[3, "surv"]) == 0.0
