@@ -2489,6 +2489,15 @@ def _q_ab_lift(sf_dir: str):
     return t
 
 
+def _q_seasonality_profile(sf_dir: str):
+    """Hour-of-day seasonal profile over the DENSE hourly series (missing
+    hours are zeros), exact integer means
+    (stages/events.seasonality_profile)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.seasonality_profile(events.read_events(sf_dir))
+
+
 def _q_km_survival(sf_dir: str):
     """Kaplan-Meier survival of time-to-first-purchase per user;
     never-purchasers right-censored at their last event
@@ -3017,6 +3026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_deviation": _q_benford_deviation,
         "als_rank1": _q_als_rank1,
         "km_survival": _q_km_survival,
+        "seasonality_profile": _q_seasonality_profile,
         "running_totals": _q_running_totals,
         "event_gaps": _q_event_gaps,
         "event_transitions": _q_event_transitions,
@@ -3270,6 +3280,7 @@ def oracle_sql() -> dict[str, str]:
         "benford_deviation": oc.benford_deviation_sql(),
         "als_rank1": oc.als_rank1_sql(),
         "km_survival": oc.km_survival_sql(),
+        "seasonality_profile": oc.seasonality_profile_sql(),
         "running_totals": oc.running_totals_sql(),
         "event_gaps": oc.event_gaps_sql(),
         "event_transitions": oc.event_transitions_sql(),

@@ -2957,6 +2957,33 @@ FROM h
 ORDER BY host"""
 
 
+def seasonality_profile_sql() -> str:
+    """Oracle of stages/events.seasonality_profile: dense hourly series,
+    hour-of-day rollup, exact integer floor-division means."""
+    return """WITH h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+), dense AS (
+  SELECT g.hr, CAST(coalesce(h.cnt, 0) AS BIGINT) AS x
+  FROM (SELECT unnest(generate_series((SELECT min(hr) FROM h),
+                                      (SELECT max(hr) FROM h))) AS hr) g
+  LEFT JOIN h ON h.hr = g.hr
+), p AS (
+  SELECT hr % 24 AS how, CAST(count(*) AS BIGINT) AS n_hours,
+    CAST(sum(x) AS BIGINT) AS cnt_sum
+  FROM dense GROUP BY 1
+)
+SELECT CAST(d.how AS BIGINT) AS how,
+  CAST(coalesce(p.n_hours, 0) AS BIGINT) AS n_hours,
+  CAST(coalesce(p.cnt_sum, 0) AS BIGINT) AS cnt_sum,
+  CAST(CASE WHEN coalesce(p.n_hours, 0) > 0
+       THEN (p.cnt_sum * 1000000) // p.n_hours ELSE 0 END AS BIGINT)
+    AS mean_micro
+FROM (SELECT unnest(range(24)) AS how) d
+LEFT JOIN p ON p.how = d.how
+ORDER BY how"""
+
+
 def km_survival_sql(conv_type: str | None = None) -> str:
     """Oracle of stages/events.km_survival: time to first conversion per
     user (never-converters censored at their last event),

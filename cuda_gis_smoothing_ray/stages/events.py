@@ -2019,3 +2019,50 @@ def km_survival(ds, conv_type: str = KM_CONV_TYPE):
         "n_events": pa.array(out_d, pa.int64()),
         "surv": pa.array(out_s, pa.float64()),
     }))
+
+
+def seasonality_profile(ds):
+    """events -> 24 rows (how, n_hours, cnt_sum, mean_micro): the
+    HOUR-OF-DAY seasonal profile of the event stream over the DENSE
+    hourly series — missing hours count as zero (they ARE data, the
+    :func:`burst_hours` discipline), which is what makes this different
+    from a plain GROUP BY hour(ts): an hour-of-day that the crawl never
+    hits still divides by its full slot count.
+
+    EXACT: ``mean_micro = cnt_sum * 1e6 // n_hours`` (integer floor
+    division, no float).  Scale shape: ONE bounded hour-keyed count
+    reduce; the dense fold is 24-slot driver arithmetic."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    def counts(batch: pa.Table) -> pa.Table:
+        h = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[h]").astype(np.int64)
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(uniq),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    hist = hash_groupby(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        "h", ["cnt"], how="isum",
+    ).to_pandas().sort_values("h")
+    if len(hist) == 0:
+        raise ValueError("seasonality_profile: no events")
+    hs = hist["h"].to_numpy(np.int64)
+    lo, hi = int(hs[0]), int(hs[-1])
+    dense = np.zeros(hi - lo + 1, dtype=np.int64)
+    dense[hs - lo] = hist["cnt"].to_numpy(np.int64)
+    how = (lo + np.arange(len(dense), dtype=np.int64)) % 24
+    n_slots = np.bincount(how, minlength=24).astype(np.int64)
+    sums = np.zeros(24, np.int64)
+    np.add.at(sums, how, dense)
+    mean_micro = np.where(n_slots > 0,
+                          (sums * np.int64(10**6)) // np.maximum(n_slots, 1),
+                          0)
+    return rd.from_arrow(pa.table({
+        "how": pa.array(np.arange(24, dtype=np.int64)),
+        "n_hours": pa.array(n_slots),
+        "cnt_sum": pa.array(sums),
+        "mean_micro": pa.array(mean_micro.astype(np.int64)),
+    }))

@@ -570,3 +570,29 @@ def test_km_survival_hand_curve():
     assert abs(float(out.loc[1, "surv"]) - 0.5) < 1e-9
     assert int(out.loc[3, "n_risk"]) == 1     # censored user left at t=2
     assert float(out.loc[3, "surv"]) == 0.0
+
+
+def test_seasonality_profile_dense_semantics():
+    """Missing hours are zeros: a series spanning 48 hours with events
+    only at hour-of-day 5 gives every slot n_hours=2 and means that
+    divide by the FULL slot count, not just populated hours."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import seasonality_profile
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")  # midnight UTC
+    H = np.timedelta64(1, "h")
+    # anchor hours 0 and 47 so the dense span is exactly 48 slots
+    ts = [base, base + 47 * H]
+    ts += [base + 5 * H] * 6          # day 1, 05:00 -> 6 events
+    ts += [base + 29 * H] * 2         # day 2, 05:00 -> 2 events
+    ds = rd.from_arrow(pa.table({"ts": pa.array(ts)}))
+    out = seasonality_profile(ds).to_pandas().set_index("how")
+    assert (out["n_hours"] == 2).all()
+    assert int(out.loc[5, "cnt_sum"]) == 8
+    assert int(out.loc[5, "mean_micro"]) == 4_000_000
+    assert int(out.loc[0, "cnt_sum"]) == 1    # the anchor event
+    assert int(out.loc[12, "cnt_sum"]) == 0
+    assert int(out.loc[12, "mean_micro"]) == 0
