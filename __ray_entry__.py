@@ -2489,6 +2489,14 @@ def _q_ab_lift(sf_dir: str):
     return t
 
 
+def _q_cross_correlation(sf_dir: str):
+    """Cross-correlation of click vs purchase hourly series at lags -3..3
+    (stages/events.cross_correlation)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.cross_correlation(events.read_events(sf_dir))
+
+
 def _q_seasonality_profile(sf_dir: str):
     """Hour-of-day seasonal profile over the DENSE hourly series (missing
     hours are zeros), exact integer means
@@ -3027,6 +3035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "als_rank1": _q_als_rank1,
         "km_survival": _q_km_survival,
         "seasonality_profile": _q_seasonality_profile,
+        "cross_correlation": _q_cross_correlation,
         "running_totals": _q_running_totals,
         "event_gaps": _q_event_gaps,
         "event_transitions": _q_event_transitions,
@@ -3281,6 +3290,7 @@ def oracle_sql() -> dict[str, str]:
         "als_rank1": oc.als_rank1_sql(),
         "km_survival": oc.km_survival_sql(),
         "seasonality_profile": oc.seasonality_profile_sql(),
+        "cross_correlation": oc.cross_correlation_sql(),
         "running_totals": oc.running_totals_sql(),
         "event_gaps": oc.event_gaps_sql(),
         "event_transitions": oc.event_transitions_sql(),

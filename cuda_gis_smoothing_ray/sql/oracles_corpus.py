@@ -2957,6 +2957,56 @@ FROM h
 ORDER BY host"""
 
 
+def cross_correlation_sql(types: tuple[str, str] | None = None,
+                          max_lag: int | None = None) -> str:
+    """Oracle of stages/events.cross_correlation: dense two-type hourly
+    series over the types' own hour range, per-lag HUGEINT moments, the
+    identical sqrt float tree, round6."""
+    from ..stages import events
+    from .oracles import round6
+
+    ta, tb = events.XCORR_TYPES if types is None else types
+    L = events.XCORR_MAX_LAG if max_lag is None else max_lag
+    tree = ("CAST(m * sab - sa * sb AS DOUBLE)"
+            " / (sqrt(CAST(m * saa - sa * sa AS DOUBLE))"
+            " * sqrt(CAST(m * sbb - sb * sb AS DOUBLE)))")
+    return f"""WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hr
+  FROM events WHERE event_type IN ('{ta}', '{tb}')
+), h AS (
+  SELECT hr,
+    CAST(sum(CASE WHEN event_type = '{ta}' THEN 1 ELSE 0 END) AS BIGINT)
+      AS a,
+    CAST(sum(CASE WHEN event_type = '{tb}' THEN 1 ELSE 0 END) AS BIGINT)
+      AS b
+  FROM ev GROUP BY 1
+), dense AS (
+  SELECT g.hr, CAST(coalesce(h.a, 0) AS BIGINT) AS a,
+    CAST(coalesce(h.b, 0) AS BIGINT) AS b
+  FROM (SELECT unnest(generate_series((SELECT min(hr) FROM h),
+                                      (SELECT max(hr) FROM h))) AS hr) g
+  LEFT JOIN h ON h.hr = g.hr
+), lags AS (
+  SELECT unnest(range(-{L}, {L + 1})) AS lag
+), pr AS (
+  SELECT l.lag, x.a AS ax, y.b AS bx
+  FROM lags l
+  JOIN dense x ON true
+  JOIN dense y ON y.hr = x.hr + l.lag
+), mom AS (
+  SELECT lag, CAST(count(*) AS HUGEINT) AS m,
+    CAST(sum(ax) AS HUGEINT) AS sa, CAST(sum(bx) AS HUGEINT) AS sb,
+    CAST(sum(CAST(ax AS HUGEINT) * bx) AS HUGEINT) AS sab,
+    CAST(sum(CAST(ax AS HUGEINT) * ax) AS HUGEINT) AS saa,
+    CAST(sum(CAST(bx AS HUGEINT) * bx) AS HUGEINT) AS sbb
+  FROM pr GROUP BY 1
+)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(m AS BIGINT) AS m,
+  CASE WHEN m = 0 OR m * saa - sa * sa = 0 OR m * sbb - sb * sb = 0
+       THEN 0.0 ELSE {round6(tree)} END AS corr
+FROM mom ORDER BY lag"""
+
+
 def seasonality_profile_sql() -> str:
     """Oracle of stages/events.seasonality_profile: dense hourly series,
     hour-of-day rollup, exact integer floor-division means."""

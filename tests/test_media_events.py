@@ -596,3 +596,33 @@ def test_seasonality_profile_dense_semantics():
     assert int(out.loc[0, "cnt_sum"]) == 1    # the anchor event
     assert int(out.loc[12, "cnt_sum"]) == 0
     assert int(out.loc[12, "mean_micro"]) == 0
+
+
+def test_cross_correlation_planted_lead():
+    """Series b is exactly series a shifted by +2 hours: corr peaks at
+    lag = +2 with value 1.0; m shrinks by |lag|."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import cross_correlation
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    H = np.timedelta64(1, "h")
+    rng = np.array([3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8], dtype=np.int64)
+    ts, types = [], []
+    for i, c in enumerate(rng):
+        ts += [base + i * H] * int(c)
+        types += ["click"] * int(c)
+        ts += [base + (i + 2) * H] * int(c)
+        types += ["purchase"] * int(c)
+    ds = rd.from_arrow(pa.table({
+        "ts": pa.array(ts),
+        "event_type": pa.array(types, pa.string()),
+    }))
+    out = cross_correlation(ds).to_pandas().set_index("lag")
+    n = 14  # hours 0..13 (purchases extend 2 past clicks)
+    assert int(out.loc[2, "m"]) == n - 2
+    assert abs(float(out.loc[2, "corr"]) - 1.0) < 1e-6
+    assert float(out.loc[2, "corr"]) > float(out.loc[0, "corr"])
+    assert float(out.loc[2, "corr"]) > float(out.loc[-2, "corr"])
