@@ -41,19 +41,26 @@ def _partial_metrics(batch: pa.Table) -> pa.Table:
     )
 
 
-def cell_metrics(geocoded_ds):
-    """Geocoded pages -> cell table with the 4 fused metric columns.
+PARTIAL_COLS = ["n", "s_chars", "s_en", "s_mention"]
 
-    Partial-agg inside map_batches, then a small groupby over partials — the
-    page->cell reduction never ships page rows through the shuffle.
-    """
+
+def cell_partials(geocoded_ds):
+    """Geocoded pages -> mergeable per-cell PARTIAL table (cell, n,
+    s_chars, s_en, s_mention).  All sums are integer-valued (counts and
+    0/1 flags and byte counts), so merging partials in ANY grouping order
+    reproduces the full-scan result exactly below 2^53 — the property
+    :mod:`..state.incr` relies on for incremental maintenance."""
     from ..functions.reduce import hash_groupby_sum
 
-    reduced = hash_groupby_sum(
+    return hash_groupby_sum(
         geocoded_ds.map_batches(_partial_metrics, batch_format="pyarrow", batch_size=None),
         "cell",
-        ["n", "s_chars", "s_en", "s_mention"],
+        PARTIAL_COLS,
     )
+
+
+def finalize_metrics(partials_ds):
+    """Partial table -> the cell metric table (the divide step)."""
 
     def finalize(batch: pa.Table) -> pa.Table:
         n = batch.column("n").to_numpy(zero_copy_only=False)
@@ -67,7 +74,16 @@ def cell_metrics(geocoded_ds):
             }
         )
 
-    return reduced.map_batches(finalize, batch_format="pyarrow")
+    return partials_ds.map_batches(finalize, batch_format="pyarrow")
+
+
+def cell_metrics(geocoded_ds):
+    """Geocoded pages -> cell table with the 4 fused metric columns.
+
+    Partial-agg inside map_batches, then a small groupby over partials — the
+    page->cell reduction never ships page rows through the shuffle.
+    """
+    return finalize_metrics(cell_partials(geocoded_ds))
 
 
 def flagship(sf_dir: str, res: int = 7, k: int = 1, profile: str = "gaussian",

@@ -221,3 +221,43 @@ def test_zonemap_duplicate_key_blocks_do_not_collide(tmp_path):
     assert sum(z["rows"] for z in m["zones"]) == n
     got, _, _ = read_pruned(out, 42, 42)
     assert len(got.to_pandas()) == n
+
+
+def test_incremental_metrics_exact_parity(sf_dir, tmp_path):
+    """Incremental maintenance: partials written from the BASE half plus a
+    merge of the DELTA half reproduce the full-rescan cell metric table
+    EXACTLY (integer-valued sums are order-independent in float64), and
+    the delta path never reads base pages (it reads the partial files)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from cuda_gis_smoothing_ray.pipelines.flagship import cell_metrics
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.geoencode import geo_encode
+    from cuda_gis_smoothing_ray.state import incr
+
+    def half(parity):
+        def f(batch: pa.Table) -> pa.Table:
+            pid = batch.column("page_id").to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(pid % 2 == parity))
+        return f
+
+    def geocoded():
+        return geo_encode(read_pages(sf_dir, include_html=False), res=7)
+
+    base = geocoded().map_batches(half(0), batch_format="pyarrow")
+    delta = geocoded().map_batches(half(1), batch_format="pyarrow")
+
+    out = str(tmp_path / "partials")
+    man = incr.write_partials(base, out)
+    assert man["pages"] > 0 and man["rows_cells"] > 0
+
+    inc = incr.incremental_metrics(out, delta).to_pandas() \
+        .sort_values("cell").reset_index(drop=True)
+    full = cell_metrics(geocoded()).to_pandas() \
+        .sort_values("cell").reset_index(drop=True)
+    assert len(inc) == len(full)
+    assert (inc["cell"].to_numpy() == full["cell"].to_numpy()).all()
+    assert (inc["page_count"].to_numpy() == full["page_count"].to_numpy()).all()
+    for c in ("chars_mean", "en_share", "mention_rate"):
+        assert np.array_equal(inc[c].to_numpy(), full[c].to_numpy())
