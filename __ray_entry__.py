@@ -834,6 +834,14 @@ def _q_top_bigrams(sf_dir: str):
     return textops.top_bigrams(_docs(sf_dir), k=20)
 
 
+def _q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of the BM25 and exact-integer TF-IDF top-50
+    lists, integer 1e6//(60+rank) sums (stages/textops.rrf_fusion)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.rrf_fusion(_docs(sf_dir))
+
+
 def _q_unigram_drift(sf_dir: str):
     """Unigram KL drift between even/odd snapshot halves, add-1 smoothing
     over the union vocab, ordered folds (stages/textops.unigram_drift)."""
@@ -2940,6 +2948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_slope": _q_zipf_slope,
         "phrase_search": _q_phrase_search,
         "unigram_drift": _q_unigram_drift,
+        "rrf_fusion": _q_rrf_fusion,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3188,6 +3197,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_slope": oc.zipf_slope_sql(),
         "phrase_search": oc.phrase_search_sql(),
         "unigram_drift": oc.unigram_drift_sql(),
+        "rrf_fusion": oc.rrf_fusion_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -409,6 +409,57 @@ ORDER BY cnt DESC, w1, w2
 LIMIT {k}"""
 
 
+def rrf_fusion_sql(query: tuple | None = None, list_k: int | None = None,
+                   top: int | None = None, rrf_k: int | None = None) -> str:
+    """Oracle of stages/textops.rrf_fusion: the bm25_sql chain rides as
+    list 1; list 2 is the exact-integer common-denominator TF-IDF score;
+    both ranked (score DESC, doc_id) LIMIT k, fused by integer
+    floor(1e6/(rrf_k+rank)) sums."""
+    from ..stages import textops
+
+    q = list(textops.BM25_QUERY if query is None else query)
+    lk = textops.RRF_LIST if list_k is None else list_k
+    tp = textops.RRF_TOP if top is None else top
+    rk = textops.RRF_K if rrf_k is None else rrf_k
+    tf_cols = ",\n    ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(q))
+    df_cols = ",\n    ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(q)))
+    terms = []
+    for i in range(len(q)):
+        prod = " * ".join(f"(g.df{j} + 1)" for j in range(len(q)) if j != i)
+        terms.append(f"CAST(d.tf{i} AS HUGEINT) * (g.n + 1) * ({prod})")
+    s2 = " + ".join(terms)
+    return f"""WITH t AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), d AS (
+  SELECT doc_id,
+    {tf_cols}
+  FROM t
+), g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    {df_cols}
+  FROM d
+), s2tbl AS (
+  SELECT d.doc_id, {s2} AS score2 FROM d, g
+), rb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+  FROM ({bm25_scores_sql()}) ORDER BY bm25 DESC, doc_id LIMIT {lk}
+), rt AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score2 DESC, doc_id) AS rk
+  FROM s2tbl ORDER BY score2 DESC, doc_id LIMIT {lk}
+), f AS (
+  SELECT doc_id, CAST(sum(1000000 // ({rk} + rk)) AS BIGINT) AS rrf_micro
+  FROM (SELECT * FROM rb UNION ALL SELECT * FROM rt) GROUP BY 1
+)
+SELECT doc_id, rrf_micro FROM f
+ORDER BY rrf_micro DESC, doc_id LIMIT {tp}"""
+
+
 def unigram_drift_sql() -> str:
     """Oracle of stages/textops.unigram_drift: even/odd doc halves,
     union-vocab add-1 unigram KL both ways, terms folded left-assoc in

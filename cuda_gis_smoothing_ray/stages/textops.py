@@ -3632,3 +3632,99 @@ def unigram_drift(ds, max_vocab: int = DRIFT_MAX_VOCAB):
         "kl_ab": pa.array([r6(kl_ab)], pa.float64()),
         "kl_ba": pa.array([r6(kl_ba)], pa.float64()),
     }))
+
+
+RRF_K = 60
+RRF_LIST = 50
+RRF_TOP = 20
+
+
+def rrf_fusion(ds, query: tuple = BM25_QUERY, list_k: int = RRF_LIST,
+               top: int = RRF_TOP, rrf_k: int = RRF_K):
+    """documents -> top-``top`` (doc_id, rrf_micro): RECIPROCAL RANK
+    FUSION of two retrieval systems over the fixed ``query`` — the BM25
+    list (:func:`bm25_scores`) and a rational-idf TF-IDF list — the
+    standard way an IR stack merges heterogeneous scorers
+    (``RRF(d) = sum_lists 1/(rrf_k + rank_d)``).
+
+    EXACT fusion: ranks are deterministic (score desc, doc_id asc; the
+    TF-IDF score is an exact INTEGER — each term's rational
+    ``tf*(N+1)/(df+1)`` is put over the common denominator
+    ``prod(df_j+1)``, so ranking needs no float at all), and the fused
+    score is ``sum floor(1e6 / (rrf_k + rank))`` in pure ints.
+
+    Scale shape: each list is a local-top-k + single-partition merge
+    (never a global sort); the fusion runs on 2*``list_k`` driver rows."""
+    import pyarrow.compute as pc_
+    import ray
+    import ray.data as rd
+
+    from .gridops import topk
+
+    q_terms = list(query)
+
+    # ---- list 1: BM25 top-k ----
+    bm = topk(bm25_scores(ds, query=query), list_k, by="bm25",
+              tie_cols=("doc_id",)).to_pandas()
+
+    # ---- list 2: exact-integer TF-IDF query score top-k ----
+    def _tf(batch: pa.Table):
+        doc_id = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        n_words = split.value_lengths().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = split.flatten()
+        row_idx = np.repeat(np.arange(len(doc_id), dtype=np.int64), n_words)
+        nonempty = pc_.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        row_idx = row_idx[nonempty]
+        toks = flat.filter(pa.array(nonempty))
+        tfs = []
+        for t in q_terms:
+            hit = pc_.equal(toks, t).to_numpy(zero_copy_only=False)
+            tfs.append(np.bincount(row_idx[hit],
+                                   minlength=len(doc_id)).astype(np.int64))
+        return doc_id, tfs
+
+    def stats(batch: pa.Table) -> pa.Table:
+        doc_id, tfs = _tf(batch)
+        cols = {"n_docs": pa.array([len(doc_id)], pa.int64())}
+        for i, tf in enumerate(tfs):
+            cols[f"df{i}"] = pa.array([int((tf > 0).sum())], pa.int64())
+        return pa.table(cols)
+
+    st = ds.map_batches(stats, batch_format="pyarrow") \
+        .sum(["n_docs"] + [f"df{i}" for i in range(len(q_terms))])
+    n = int(st["sum(n_docs)"])
+    dfs = [int(st[f"sum(df{i})"]) for i in range(len(q_terms))]
+    den = [d + 1 for d in dfs]
+    import math
+    common = math.prod(den)
+    mults = [(n + 1) * (common // d) for d in den]  # exact ints
+    stats_ref = ray.put(mults)
+
+    def score2(batch: pa.Table) -> pa.Table:
+        m = ray.get(stats_ref)
+        doc_id, tfs = _tf(batch)
+        total = np.zeros(len(doc_id), np.int64)
+        for i, tf in enumerate(tfs):
+            total = total + tf * np.int64(m[i])
+        return pa.table({"doc_id": pa.array(doc_id),
+                         "score2": pa.array(total)})
+
+    t2 = topk(ds.map_batches(score2, batch_format="pyarrow"),
+              list_k, by="score2", tie_cols=("doc_id",)).to_pandas()
+
+    # ---- fuse (2 * list_k driver rows) ----
+    fused: dict[int, int] = {}
+    for lst in (bm, t2):
+        for rank, doc in enumerate(lst["doc_id"].tolist(), start=1):
+            fused[int(doc)] = fused.get(int(doc), 0) \
+                + 10**6 // (rrf_k + rank)
+    rows = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "rrf_micro": pa.array([r[1] for r in rows], pa.int64()),
+    }))

@@ -429,3 +429,36 @@ def test_unigram_drift_identical_halves_zero():
     o2 = unigram_drift(rd.from_arrow(skew)).to_pandas()
     assert float(o2["kl_ab"].iloc[0]) > 0.0
     assert float(o2["kl_ba"].iloc[0]) > 0.0
+
+
+def test_rrf_fusion_hand_math():
+    """Two tiny lists with a doc ranked #1 by one scorer and absent from
+    the other: fused scores are exact integer 1e6//(60+rank) sums, and a
+    doc on BOTH lists beats a same-rank doc on one list."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import rrf_fusion
+
+    # doc 1: both query terms often (top of both lists)
+    # doc 2: term 'aa' only; doc 3: term 'bb' only; doc 4: neither
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "aa bb aa bb aa",
+            "aa aa x x x x x x x x x x x x x x",
+            "bb x",
+            "zz zz",
+        ], pa.string()),
+    })
+    out = rrf_fusion(rd.from_arrow(docs), query=("aa", "bb"),
+                     list_k=3, top=4, rrf_k=60).to_pandas()
+    got = dict(zip(out["doc_id"], out["rrf_micro"]))
+    # doc 1 is rank 1 in the integer tf-idf list (most hits) and rank 1
+    # by bm25 too -> 2 * 1e6 // 61
+    assert got[1] == 2 * (10**6 // 61)
+    assert got[1] == max(got.values())
+    # every fused score is a sum of exact reciprocal-rank quanta
+    quanta = {10**6 // (60 + r) for r in range(1, 4)}
+    for v in got.values():
+        assert v in quanta or any(v - q in quanta | {0} for q in quanta)
