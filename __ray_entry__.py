@@ -1259,6 +1259,19 @@ def _q_common_neighbors(sf_dir: str):
     return tri.common_neighbors(docs, n_docs)
 
 
+def _q_graph_modularity(sf_dir: str):
+    """Newman modularity of the linear-rule components under the full
+    community graph (stages/triangles.graph_modularity)."""
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages import triangles as tri
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    docs = read_documents(sf_dir, columns=("doc_id",))
+    return tri.graph_modularity(docs, n_docs)
+
+
 def _q_adamic_adar(sf_dir: str):
     """Adamic-Adar weighted link prediction: inverse-log-degree weights
     quantized once per center to micro-units, pure-integer pair sums
@@ -2966,6 +2979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": _q_triangles,
         "common_neighbors": _q_common_neighbors,
         "adamic_adar": _q_adamic_adar,
+        "graph_modularity": _q_graph_modularity,
         "clustering_coeff": _q_clustering_coeff,
         "dup_ngram_stats": _q_dup_ngrams,
         "remove_boilerplate": _q_remove_boilerplate,
@@ -3217,6 +3231,7 @@ def oracle_sql() -> dict[str, str]:
         "triangle_counts": oc.triangles_sql(),
         "common_neighbors": oc.common_neighbors_sql(),
         "adamic_adar": oc.adamic_adar_sql(),
+        "graph_modularity": oc.graph_modularity_sql(),
         "clustering_coeff": oc.clustering_coeff_sql(),
         "dup_ngram_stats": oc.dup_ngram_stats_sql(),
         "remove_boilerplate": oc.remove_boilerplate_sql(n=5, min_df=2),

@@ -1626,6 +1626,70 @@ GROUP BY comm
 ORDER BY comm"""
 
 
+def graph_modularity_sql(comm_mod: int | None = None,
+                         rounds: int = 12) -> str:
+    """Oracle of stages/triangles.graph_modularity: hook+jump CC over the
+    linear-rule subgraph, label joins on the full edge set, exact HUGEINT
+    q_num = 4m*intra - sum d_c^2, one float division round6."""
+    from ..functions import geocode
+    from ..stages import pagerank as pr
+    from ..stages import triangles as tri
+    from .oracles import hook_jump_chain, round6
+
+    cm = comm_mod if comm_mod is not None else tri.COMM_MOD
+    mult, mod = geocode.TLD_MULT, geocode.HOST_MOD
+    nd = "(SELECT count(*) FROM documents)"
+    host = f"((doc_id * {mult}) % {mod}) % {cm}"
+    dhost1 = (f"((((doc_id * {pr.EDGE_MULT} + {pr.EDGE_ADD}) % {nd})"
+              f" * {mult}) % {mod}) % {cm}")
+    dhost2 = (f"((((doc_id * doc_id * {pr.EDGE_MULT2} + {pr.EDGE_ADD2}) % {nd})"
+              f" * {mult}) % {mod}) % {cm}")
+    chain, prev = hook_jump_chain(rounds)
+    return f"""WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+    SELECT {host} AS s, {dhost1} AS t FROM documents
+    UNION ALL
+    SELECT {host} AS s, {dhost2} AS t FROM documents
+  ) WHERE s <> t
+), el AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+    SELECT {host} AS s, {dhost1} AS t FROM documents
+  ) WHERE s <> t
+), edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM el
+  UNION ALL
+  SELECT b, a FROM el
+), nodes AS (
+  SELECT a AS v FROM e0 UNION SELECT b FROM e0
+), l0 AS MATERIALIZED (
+  SELECT v, v AS l FROM nodes
+),
+{chain},
+lab AS MATERIALIZED (
+  SELECT v, l FROM {prev}
+), ej AS MATERIALIZED (
+  SELECT la.l AS la, lb.l AS lb
+  FROM e0 JOIN lab la ON la.v = e0.a JOIN lab lb ON lb.v = e0.b
+), st AS (
+  SELECT CAST(count(*) AS HUGEINT) AS m,
+    CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS HUGEINT) AS intra
+  FROM ej
+), dc AS (
+  SELECT l, CAST(count(*) AS HUGEINT) AS d
+  FROM (SELECT la AS l FROM ej UNION ALL SELECT lb FROM ej) GROUP BY l
+), ag AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_comm,
+    CAST(sum(d * d) AS HUGEINT) AS dc2
+  FROM dc
+)
+SELECT ag.n_comm, CAST(st.m AS BIGINT) AS m, CAST(st.intra AS BIGINT)
+    AS intra,
+  CAST(4 * st.m * st.intra - ag.dc2 AS BIGINT) AS q_num,
+  {round6('CAST(4 * st.m * st.intra - ag.dc2 AS DOUBLE)'
+          ' / CAST(4 * st.m * st.m AS DOUBLE)')} AS modularity
+FROM st, ag"""
+
+
 def common_neighbors_sql(comm_mod: int | None = None,
                          min_cn: int | None = None) -> str:
     """Oracle of stages/triangles.common_neighbors: same DISTINCT edge

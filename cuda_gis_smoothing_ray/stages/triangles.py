@@ -53,12 +53,27 @@ def _add_part(batch: pa.Table) -> pa.Table:
     return batch.append_column("__part", pa.array(_part_of(k)))
 
 
-def community_edges(docs_ds, n_docs: int, comm_mod: int = COMM_MOD):
+def community_edges(docs_ds, n_docs: int, comm_mod: int = COMM_MOD,
+                    linear_only: bool = False):
     """documents -> Dataset(a, b): DISTINCT undirected community edges
-    (a < b), using the same two link rules per doc as :func:`pr.host_graph`."""
+    (a < b), using the same two link rules per doc as :func:`pr.host_graph`
+    (``linear_only=True`` keeps just the bijective linear rule — the
+    sparser subgraph :func:`graph_modularity` partitions by)."""
     from ..functions.reduce import hash_groupby
 
     cm = np.int64(comm_mod)
+
+    def emit_linear(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        src = geocode.host_id(d) % cm
+        dst = geocode.host_id((d * pr.EDGE_MULT + pr.EDGE_ADD) % n_docs) % cm
+        keep = src != dst
+        a = np.minimum(src[keep], dst[keep])
+        b = np.maximum(src[keep], dst[keep])
+        pack = a * cm + b
+        return pa.table({"pack": pa.array(np.unique(pack)),
+                         "one": pa.array(np.ones(len(np.unique(pack)),
+                                                 np.int64))})
 
     def emit(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -75,7 +90,8 @@ def community_edges(docs_ds, n_docs: int, comm_mod: int = COMM_MOD):
                          "one": pa.array(np.ones(len(np.unique(pack)), np.int64))})
 
     distinct = hash_groupby(
-        docs_ds.map_batches(emit, batch_format="pyarrow", batch_size=None),
+        docs_ds.map_batches(emit_linear if linear_only else emit,
+                            batch_format="pyarrow", batch_size=None),
         "pack", ["one"], how="min",
     )
 
@@ -573,3 +589,129 @@ def adamic_adar(docs_ds, n_docs: int, comm_mod: int = COMM_MOD,
         .map_groups(anti)
         .sort(["aa_micro", "u", "w"], descending=[True, False, False])
     )
+
+
+def graph_modularity(docs_ds, n_docs: int, comm_mod: int = COMM_MOD):
+    """documents -> ONE row (n_comm, m, intra, q_num, modularity): the
+    NEWMAN MODULARITY of the community graph under the partition given by
+    the connected components of its LINEAR-rule subgraph (the affine
+    bijection's cycles) — "how community-like is that sparser structure
+    under the full topology", the standard partition-quality statistic.
+
+        Q = intra/m - sum_c (d_c / 2m)^2
+          = (4m * intra - sum_c d_c^2) / (4 m^2)
+
+    EXACT: intra (edges with both endpoints in one component), m, and the
+    per-component degree sums are integers; ``q_num = 4m*intra - sum
+    d_c^2`` is an exact arbitrary-precision numerator and the statistic
+    is ONE float division by ``4m^2``, round6.
+
+    Scale shape: CC label propagation over the sparse subgraph (bounded
+    shuffles per superstep, :func:`..stages.cc.connected_components`),
+    then TWO co-partitioned label joins (one per edge endpoint) and a
+    bounded per-label degree reduce — no pair shuffle, nothing per-node
+    on the driver."""
+    from ..functions.reduce import hash_groupby
+    from .cc import connected_components
+
+    cm = np.int64(comm_mod)
+    full = community_edges(docs_ds, n_docs, comm_mod).materialize()
+    lin = community_edges(docs_ds, n_docs, comm_mod, linear_only=True)
+
+    def nodes_of(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        u = np.unique(np.concatenate([a, b]))
+        return pa.table({"node": pa.array(u),
+                         "one": pa.array(np.ones(len(u), np.int64))})
+
+    nodes = hash_groupby(
+        full.map_batches(nodes_of, batch_format="pyarrow", batch_size=None),
+        "node", ["one"], how="min",
+    )
+    labels = connected_components(lin, nodes, node_col="node").materialize()
+
+    # attach the component label to each endpoint (tagged co-partition)
+    def _attach_label(es, side: str, out_col: str):
+        def tag_edge(batch: pa.Table) -> pa.Table:
+            cols = {"key": batch.column(side),
+                    "kind": pa.array(np.ones(len(batch), np.int8))}
+            for c in es.schema().names:
+                if c != side:
+                    cols[c] = batch.column(c)
+            return pa.table(cols)
+
+        def tag_lab(batch: pa.Table) -> pa.Table:
+            return pa.table({"key": batch.column("node"),
+                             "kind": pa.array(np.zeros(len(batch), np.int8)),
+                             out_col: batch.column("component")})
+
+        carry = [c for c in es.schema().names if c != side]
+
+        def join(df: pd.DataFrame) -> pd.DataFrame:
+            lb = df[df["kind"] == 0][["key", out_col]]
+            ed = df[df["kind"] == 1][["key"] + carry]
+            m = ed.merge(lb, on="key")
+            out = {side: m["key"].to_numpy(np.int64)}
+            for c in carry + [out_col]:
+                out[c] = m[c].to_numpy(np.int64)
+            return pd.DataFrame(out)
+
+        return (
+            es.map_batches(tag_edge, batch_format="pyarrow", batch_size=None)
+            .union(labels.map_batches(tag_lab, batch_format="pyarrow",
+                                      batch_size=None))
+            .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
+            .groupby("__part")
+            .map_groups(join)
+        )
+
+    labeled = _attach_label(_attach_label(full, "a", "la"), "b", "lb")
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        la = batch.column("la").to_numpy(zero_copy_only=False)
+        lb = batch.column("lb").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "m": pa.array([len(batch)], pa.int64()),
+            "intra": pa.array([int((la == lb).sum())], pa.int64()),
+        })
+
+    tot = hash_groupby(
+        labeled.map_batches(edge_partials, batch_format="pyarrow",
+                            batch_size=None),
+        "k", ["m", "intra"], how="isum",
+    ).to_pandas()
+    m = int(tot["m"].sum())
+    intra = int(tot["intra"].sum())
+    if m == 0:
+        raise ValueError("graph_modularity: empty graph")
+
+    # per-component degree sums: explode endpoints with their labels
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        la = batch.column("la").to_numpy(zero_copy_only=False)
+        lb = batch.column("lb").to_numpy(zero_copy_only=False)
+        lab = np.concatenate([la, lb])
+        uniq, cnt = np.unique(lab, return_counts=True)
+        return pa.table({"lab": pa.array(uniq),
+                         "d": pa.array(cnt.astype(np.int64))})
+
+    degs = hash_groupby(
+        labeled.map_batches(deg_rows, batch_format="pyarrow",
+                            batch_size=None),
+        "lab", ["d"], how="isum",
+    ).to_pandas()
+    dc2 = sum(int(d) * int(d) for d in degs["d"])
+    n_comm = len(degs)
+    q_num = 4 * m * intra - dc2  # exact
+    q = float(q_num) / float(4 * m * m)
+    r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "n_comm": pa.array([n_comm], pa.int64()),
+        "m": pa.array([m], pa.int64()),
+        "intra": pa.array([intra], pa.int64()),
+        "q_num": pa.array([q_num], pa.int64()),
+        "modularity": pa.array([r6(q)], pa.float64()),
+    }))

@@ -210,3 +210,53 @@ def test_adamic_adar_vs_brute():
                               min_cn=mc).to_pandas()
     cn_map = {(int(r.u), int(r.w)): int(r.cn) for r in cn_out.itertuples()}
     assert cn_map == {k: v[0] for k, v in got.items()}
+
+
+def test_graph_modularity_brute():
+    """Modularity equals a brute-force recomputation: CC of the linear
+    subgraph via python union-find, then Q = intra/m - sum (d_c/2m)^2
+    over the full graph (m/intra/Q all pinned)."""
+    from cuda_gis_smoothing_ray.functions import geocode
+    from cuda_gis_smoothing_ray.stages import pagerank as pr
+    from cuda_gis_smoothing_ray.stages.triangles import graph_modularity
+
+    n, cm = 300, 53
+    d = np.arange(n, dtype=np.int64)
+
+    def undirected(src, dst):
+        keep = src != dst
+        return set(zip(np.minimum(src[keep], dst[keep]).tolist(),
+                       np.maximum(src[keep], dst[keep]).tolist()))
+
+    h = geocode.host_id(d) % cm
+    lin = undirected(h, geocode.host_id((d * pr.EDGE_MULT + pr.EDGE_ADD) % n) % cm)
+    quad = undirected(h, geocode.host_id(
+        (d * d * pr.EDGE_MULT2 + pr.EDGE_ADD2) % n) % cm)
+    full = lin | quad
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = {x for e in full for x in e}
+    for x in nodes:
+        parent.setdefault(x, x)
+    for a, b in lin:
+        parent[find(a)] = find(b)
+    lab = {x: find(x) for x in nodes}
+    m = len(full)
+    intra = sum(1 for a, b in full if lab[a] == lab[b])
+    dc: dict[int, int] = {}
+    for a, b in full:
+        dc[lab[a]] = dc.get(lab[a], 0) + 1
+        dc[lab[b]] = dc.get(lab[b], 0) + 1
+    q = (4 * m * intra - sum(v * v for v in dc.values())) / (4 * m * m)
+
+    out = graph_modularity(_docs_ds(n), n_docs=n, comm_mod=cm).to_pandas()
+    assert int(out["m"].iloc[0]) == m
+    assert int(out["intra"].iloc[0]) == intra
+    assert abs(float(out["modularity"].iloc[0]) - q) < 1e-6
