@@ -2510,6 +2510,15 @@ def _q_ab_lift(sf_dir: str):
     return t
 
 
+def _q_markov_stationary(sf_dir: str):
+    """Stationary distribution of the event-type Markov chain: K floored
+    integer power steps over the transition counts
+    (stages/events.markov_stationary)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.markov_stationary(events.read_events(sf_dir))
+
+
 def _q_cross_correlation(sf_dir: str):
     """Cross-correlation of click vs purchase hourly series at lags -3..3
     (stages/events.cross_correlation)."""
@@ -3059,6 +3068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "km_survival": _q_km_survival,
         "seasonality_profile": _q_seasonality_profile,
         "cross_correlation": _q_cross_correlation,
+        "markov_stationary": _q_markov_stationary,
         "running_totals": _q_running_totals,
         "event_gaps": _q_event_gaps,
         "event_transitions": _q_event_transitions,
@@ -3316,6 +3326,7 @@ def oracle_sql() -> dict[str, str]:
         "km_survival": oc.km_survival_sql(),
         "seasonality_profile": oc.seasonality_profile_sql(),
         "cross_correlation": oc.cross_correlation_sql(),
+        "markov_stationary": oc.markov_stationary_sql(),
         "running_totals": oc.running_totals_sql(),
         "event_gaps": oc.event_gaps_sql(),
         "event_transitions": oc.event_transitions_sql(),

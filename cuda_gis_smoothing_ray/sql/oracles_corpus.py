@@ -3797,6 +3797,57 @@ SELECT from_type, to_type, n,
 FROM cnt ORDER BY from_type, to_type"""
 
 
+def markov_stationary_sql(steps: int | None = None,
+                          scale: int | None = None) -> str:
+    """Oracle of stages/events.markov_stationary: the same K floored
+    power-iteration steps pi'_j = sum_i (pi_i * n_ij) // r_i over the
+    transition counts, ceil-shift renormalized, unrolled as MATERIALIZED
+    CTEs in HUGEINT."""
+    from ..stages import events
+
+    k = events.MARKOV_STEPS if steps is None else steps
+    S = events.MARKOV_SCALE if scale is None else scale
+    chain = []
+    prev = "p0"
+    for t in range(1, k + 1):
+        chain.append(f"""w{t} AS MATERIALIZED (
+  SELECT ty.ty, coalesce(s.w, CAST(0 AS HUGEINT)) AS w FROM ty LEFT JOIN (
+    SELECT c.to_type AS ty,
+      CAST(sum((p.v * c.n) // r.r) AS HUGEINT) AS w
+    FROM cnt c
+    JOIN {prev} p ON p.ty = c.from_type
+    JOIN rt r ON r.ty = c.from_type
+    GROUP BY 1
+  ) s ON s.ty = ty.ty
+), m{t} AS MATERIALIZED (
+  SELECT GREATEST(CAST(1 AS HUGEINT),
+    ((SELECT max(w) FROM w{t}) + {S} - 1) // {S}) AS d
+), p{t} AS MATERIALIZED (
+  SELECT ty, w // d AS v FROM w{t}, m{t}
+)""")
+        prev = f"p{t}"
+    steps_sql = ",\n".join(chain)
+    return f"""WITH seq AS (
+  SELECT event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS to_type
+  FROM events
+), cnt AS MATERIALIZED (
+  SELECT from_type, to_type, CAST(count(*) AS HUGEINT) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type
+), ty AS MATERIALIZED (
+  SELECT from_type AS ty FROM cnt UNION SELECT to_type FROM cnt
+), rt AS MATERIALIZED (
+  SELECT from_type AS ty, CAST(sum(n) AS HUGEINT) AS r
+  FROM cnt GROUP BY 1
+), p0 AS MATERIALIZED (
+  SELECT ty, CAST({S} AS HUGEINT) AS v FROM ty
+),
+{steps_sql}
+SELECT ty AS event_type, CAST(v AS BIGINT) AS pi FROM {prev}
+ORDER BY event_type"""
+
+
 def clustering_coeff_sql(comm_mod: int | None = None) -> str:
     """Oracle of stages/triangles.clustering_coeff: the triangles_sql edge
     CTE + degree explode + per-node triangle counts, left-joined, with the

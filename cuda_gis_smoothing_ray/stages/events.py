@@ -2148,3 +2148,52 @@ def cross_correlation(ds, types: tuple[str, str] = XCORR_TYPES,
         "m": pa.array(out_m, pa.int64()),
         "corr": pa.array(out_c, pa.float64()),
     }))
+
+
+MARKOV_STEPS = 8
+MARKOV_SCALE = 10**6
+
+
+def markov_stationary(ds, steps: int = MARKOV_STEPS,
+                      scale: int = MARKOV_SCALE):
+    """events -> (event_type, pi): the (approximate) STATIONARY
+    DISTRIBUTION of the event-type Markov chain — ``steps`` exact-integer
+    power-iteration steps of pi' = pi P over the transition counts of
+    :func:`event_transitions`, the "where does user behavior settle"
+    readout.
+
+    EXACT: each step's term is the FLOORED rational
+    ``(pi_i * n_ij) // r_i`` (r_i = row total), summed per destination in
+    pure ints, then ceil-shift renormalized to ``scale`` (the HITS
+    discipline) — so the unrolled-CTE oracle matches bit-for-bit.  Types
+    with no outgoing transitions drop out of the chain (their mass is
+    redistributed by the renorm), a documented convention shared with the
+    oracle's inner join.
+
+    Scale shape: the distributed work is the bounded |types|^2 transition
+    count reduce; the iteration runs on that driver-side matrix."""
+    import ray.data as rd
+
+    counts = event_transitions(ds).to_pandas()  # (from_type, to_type, n, ...)
+    frm = counts["from_type"].to_numpy()
+    to = counts["to_type"].to_numpy()
+    n = counts["n"].to_numpy(np.int64)
+    types = sorted(set(frm) | set(to))
+    tid = {t: i for i, t in enumerate(types)}
+    fi = np.array([tid[t] for t in frm], np.int64)
+    ti = np.array([tid[t] for t in to], np.int64)
+    r = np.zeros(len(types), dtype=object)
+    for i, c in zip(fi, n):
+        r[i] += int(c)
+    pi = np.full(len(types), int(scale), dtype=object)
+    for _ in range(steps):
+        w = np.zeros(len(types), dtype=object)
+        for i, j, c in zip(fi, ti, n):
+            w[j] += (int(pi[i]) * int(c)) // int(r[i])
+        mx = max(int(x) for x in w) if len(w) else 0
+        d = max(1, -(-mx // int(scale)))
+        pi = np.array([int(x) // d for x in w], dtype=object)
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "pi": pa.array([int(x) for x in pi], pa.int64()),
+    }))

@@ -626,3 +626,35 @@ def test_cross_correlation_planted_lead():
     assert abs(float(out.loc[2, "corr"]) - 1.0) < 1e-6
     assert float(out.loc[2, "corr"]) > float(out.loc[0, "corr"])
     assert float(out.loc[2, "corr"]) > float(out.loc[-2, "corr"])
+
+
+def test_markov_stationary_two_state_chain():
+    """Hand chain: A->B always, B->A always — the stationary distribution
+    is uniform; a chain biased 3:1 toward staying in A puts more mass on
+    A than B."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import markov_stationary
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    H = np.timedelta64(1, "h")
+
+    def build(seq):
+        return rd.from_arrow(pa.table({
+            "event_id": pa.array(np.arange(len(seq), dtype=np.int64)),
+            "user_id": pa.array(np.ones(len(seq), np.int64)),
+            "ts": pa.array([base + i * H for i in range(len(seq))]),
+            "event_type": pa.array(list(seq), pa.string()),
+            "value": pa.array(np.ones(len(seq))),
+        }))
+
+    out = markov_stationary(build("ABABABABAB")).to_pandas() \
+        .set_index("event_type")
+    assert abs(int(out.loc["A", "pi"]) - int(out.loc["B", "pi"])) <= 1
+
+    # A->A x3 for each A->B; B always returns to A
+    biased = "AAABA" * 8
+    o2 = markov_stationary(build(biased)).to_pandas().set_index("event_type")
+    assert int(o2.loc["A", "pi"]) > 2 * int(o2.loc["B", "pi"])
