@@ -834,6 +834,14 @@ def _q_top_bigrams(sf_dir: str):
     return textops.top_bigrams(_docs(sf_dir), k=20)
 
 
+def _q_coverage_curve(sf_dir: str):
+    """Top-20-host corpus concentration curve with exact cumulative counts
+    (stages/textops.coverage_curve)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.coverage_curve(_pages_urls(sf_dir))
+
+
 def _q_rrf_fusion(sf_dir: str):
     """Reciprocal-rank fusion of the BM25 and exact-integer TF-IDF top-50
     lists, integer 1e6//(60+rank) sums (stages/textops.rrf_fusion)."""
@@ -2971,6 +2979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _q_phrase_search,
         "unigram_drift": _q_unigram_drift,
         "rrf_fusion": _q_rrf_fusion,
+        "coverage_curve": _q_coverage_curve,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3222,6 +3231,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": oc.phrase_search_sql(),
         "unigram_drift": oc.unigram_drift_sql(),
         "rrf_fusion": oc.rrf_fusion_sql(),
+        "coverage_curve": oc.coverage_curve_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

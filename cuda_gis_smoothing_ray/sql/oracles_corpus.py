@@ -409,6 +409,31 @@ ORDER BY cnt DESC, w1, w2
 LIMIT {k}"""
 
 
+def coverage_curve_sql(k: int | None = None) -> str:
+    """Oracle of stages/textops.coverage_curve: host page counts, top-k by
+    (pages DESC, host), cumulative window, one round6 share."""
+    from ..stages import textops
+    from .oracles import pages_cte, round6
+
+    kk = textops.COVERAGE_K if k is None else k
+    return f"""WITH {pages_cte()},
+hc AS (
+  SELECT split_part(url, '/', 3) AS host, CAST(count(*) AS BIGINT) AS pages
+  FROM pages GROUP BY 1
+), tot AS (
+  SELECT CAST(sum(pages) AS BIGINT) AS t FROM hc
+), top AS (
+  SELECT host, pages,
+    CAST(row_number() OVER (ORDER BY pages DESC, host) AS BIGINT) AS rank
+  FROM hc ORDER BY pages DESC, host LIMIT {kk}
+)
+SELECT rank, host, pages,
+  CAST(sum(pages) OVER (ORDER BY rank) AS BIGINT) AS cum_pages,
+  {round6('CAST(sum(pages) OVER (ORDER BY rank) AS DOUBLE) / tot.t')}
+    AS cum_share
+FROM top, tot ORDER BY rank"""
+
+
 def rrf_fusion_sql(query: tuple | None = None, list_k: int | None = None,
                    top: int | None = None, rrf_k: int | None = None) -> str:
     """Oracle of stages/textops.rrf_fusion: the bm25_sql chain rides as

@@ -3728,3 +3728,72 @@ def rrf_fusion(ds, query: tuple = BM25_QUERY, list_k: int = RRF_LIST,
         "doc_id": pa.array([r[0] for r in rows], pa.int64()),
         "rrf_micro": pa.array([r[1] for r in rows], pa.int64()),
     }))
+
+
+COVERAGE_K = 20
+
+
+def coverage_curve(pages_ds, k: int = COVERAGE_K):
+    """pages -> k rows (rank, host, pages, cum_pages, cum_share): the
+    corpus CONCENTRATION curve — what share of all pages the top-k hosts
+    account for, cumulatively (the "is this crawl dominated by a handful
+    of domains" diagnostic next to :func:`host_gini`; DoReMi-style mixture
+    decisions read exactly this curve).
+
+    EXACT: counts and cumulative counts are ints; ``cum_share`` is the one
+    division, round6.  Scale shape: per-batch host counts,
+    host-hash-partitioned vectorized reduce, local-top-k + single-
+    partition merge (never a global sort); the cumulative pass is k
+    driver rows."""
+    import ray.data as rd
+
+    from ..functions.hashing import fnv_token_hash64
+    from ..functions import hashing
+    from .gridops import topk
+    from .sketch import _host_from_url
+
+    def host_counts(batch: pa.Table) -> pa.Table:
+        host = _host_from_url(batch)
+        uniq, cnt = np.unique(host.astype(str), return_counts=True)
+        harr = pa.array(uniq.astype(object), pa.string())
+        key = fnv_token_hash64(harr).view(np.int64)
+        part = hashing.coarse_partition(key, _PAIR_PARTS)
+        return pa.table({"host": harr,
+                         "pages": pa.array(cnt.astype(np.int64)),
+                         "__part": pa.array(part.astype(np.int64))})
+
+    def reduce_part(part: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        df = pd_.DataFrame({"host": part.column("host").to_pylist(),
+                            "pages": part.column("pages").to_numpy(
+                                zero_copy_only=False)})
+        g = df.groupby("host", sort=False)["pages"].sum().reset_index()
+        return pa.table({"host": pa.array(g["host"], pa.string()),
+                         "pages": pa.array(g["pages"].to_numpy(np.int64))})
+
+    counted = (
+        pages_ds.map_batches(host_counts, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    ).materialize()
+    total = int(counted.sum("pages"))
+    top = topk(counted, k, by="pages", tie_cols=("host",)).to_pandas()
+    cum = 0
+    rows = {"rank": [], "host": [], "pages": [], "cum_pages": [],
+            "cum_share": []}
+    r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    for i, rec in enumerate(top.itertuples(), start=1):
+        cum += int(rec.pages)
+        rows["rank"].append(i)
+        rows["host"].append(rec.host)
+        rows["pages"].append(int(rec.pages))
+        rows["cum_pages"].append(cum)
+        rows["cum_share"].append(r6(cum / total))
+    return rd.from_arrow(pa.table({
+        "rank": pa.array(rows["rank"], pa.int64()),
+        "host": pa.array(rows["host"], pa.string()),
+        "pages": pa.array(rows["pages"], pa.int64()),
+        "cum_pages": pa.array(rows["cum_pages"], pa.int64()),
+        "cum_share": pa.array(rows["cum_share"], pa.float64()),
+    }))

@@ -462,3 +462,27 @@ def test_rrf_fusion_hand_math():
     quanta = {10**6 // (60 + r) for r in range(1, 4)}
     for v in got.values():
         assert v in quanta or any(v - q in quanta | {0} for q in quanta)
+
+
+def test_coverage_curve_hand_counts():
+    """Hand corpus: hosts with 4/3/2/1 pages — ranks, cumulative counts
+    and shares are exact; ties break ascending on the host string."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import coverage_curve
+
+    urls = (["https://a.com/x"] * 4 + ["https://b.com/x"] * 3
+            + ["https://c.com/x"] * 2 + ["https://d.com/x"])
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls, pa.string())}))
+    out = coverage_curve(ds, k=3).to_pandas()
+    assert list(out["host"]) == ["a.com", "b.com", "c.com"]
+    assert list(out["pages"]) == [4, 3, 2]
+    assert list(out["cum_pages"]) == [4, 7, 9]
+    assert abs(float(out["cum_share"].iloc[2]) - 0.9) < 1e-9
+
+    # tie case: two hosts at 2 pages -> ascending host order
+    urls2 = ["https://z.com/x"] * 2 + ["https://y.com/x"] * 2
+    o2 = coverage_curve(rd.from_arrow(
+        pa.table({"url": pa.array(urls2, pa.string())})), k=2).to_pandas()
+    assert list(o2["host"]) == ["y.com", "z.com"]
