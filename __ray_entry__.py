@@ -2518,6 +2518,15 @@ def _q_ab_lift(sf_dir: str):
     return t
 
 
+def _q_haar_energy(sf_dir: str):
+    """Haar wavelet energy spectrum of the dense hourly series: exact
+    integer cascade over 1024 zero-padded slots
+    (stages/events.haar_energy)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.haar_energy(events.read_events(sf_dir))
+
+
 def _q_markov_stationary(sf_dir: str):
     """Stationary distribution of the event-type Markov chain: K floored
     integer power steps over the transition counts
@@ -3078,6 +3087,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonality_profile": _q_seasonality_profile,
         "cross_correlation": _q_cross_correlation,
         "markov_stationary": _q_markov_stationary,
+        "haar_energy": _q_haar_energy,
         "running_totals": _q_running_totals,
         "event_gaps": _q_event_gaps,
         "event_transitions": _q_event_transitions,
@@ -3337,6 +3347,7 @@ def oracle_sql() -> dict[str, str]:
         "seasonality_profile": oc.seasonality_profile_sql(),
         "cross_correlation": oc.cross_correlation_sql(),
         "markov_stationary": oc.markov_stationary_sql(),
+        "haar_energy": oc.haar_energy_sql(),
         "running_totals": oc.running_totals_sql(),
         "event_gaps": oc.event_gaps_sql(),
         "event_transitions": oc.event_transitions_sql(),

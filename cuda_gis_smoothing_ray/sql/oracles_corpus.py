@@ -3822,6 +3822,40 @@ SELECT from_type, to_type, n,
 FROM cnt ORDER BY from_type, to_type"""
 
 
+def haar_energy_sql(levels: int | None = None) -> str:
+    """Oracle of stages/events.haar_energy: the same unnormalized Haar
+    cascade unrolled as pairwise GROUP BY CTEs in HUGEINT (smooth = a+b,
+    detail = a-b via signed sums over i//2 pairs)."""
+    from ..stages import events
+
+    L = events.HAAR_LEVELS if levels is None else levels
+    N = 1 << L
+    chain, sel = [], []
+    prev = "s0"
+    for j in range(1, L + 1):
+        chain.append(f"""t{j} AS MATERIALIZED (
+  SELECT i // 2 AS i, CAST(sum(v) AS HUGEINT) AS v,
+    CAST(sum(CASE WHEN i % 2 = 0 THEN v ELSE -v END) AS HUGEINT) AS d
+  FROM {prev} GROUP BY 1
+)""")
+        sel.append(f"SELECT {j} AS level, CAST({N >> j} AS BIGINT)"
+                   f" AS n_coeffs,\n"
+                   f"  (SELECT CAST(sum(d * d) AS BIGINT) FROM t{j})"
+                   f" AS energy")
+        prev = f"t{j}"
+    return f"""WITH h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+), s0 AS MATERIALIZED (
+  SELECT g.i, CAST(coalesce(h.cnt, 0) AS HUGEINT) AS v
+  FROM (SELECT unnest(range({N})) AS i) g
+  LEFT JOIN h ON h.hr - (SELECT min(hr) FROM h) = g.i
+),
+{", ".join(chain)}
+{" UNION ALL ".join(sel)}
+ORDER BY level"""
+
+
 def markov_stationary_sql(steps: int | None = None,
                           scale: int | None = None) -> str:
     """Oracle of stages/events.markov_stationary: the same K floored

@@ -658,3 +658,38 @@ def test_markov_stationary_two_state_chain():
     biased = "AAABA" * 8
     o2 = markov_stationary(build(biased)).to_pandas().set_index("event_type")
     assert int(o2.loc["A", "pi"]) > 2 * int(o2.loc["B", "pi"])
+
+
+def test_haar_energy_parseval_and_hand():
+    """A constant series has zero energy at EVERY level (all pairs
+    cancel); the unnormalized Parseval identity holds on a random
+    series: sum_j energy_j / 2^j + (total)^2 / 2^L == sum x^2 (exact
+    rationals — checked cleared of denominators)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import haar_energy
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    H = np.timedelta64(1, "h")
+
+    def build(counts):
+        ts = []
+        for i, c in enumerate(counts):
+            ts += [base + i * H] * int(c)
+        return rd.from_arrow(pa.table({"ts": pa.array(ts)}))
+
+    L = 4
+    const = haar_energy(build([3] * 16), levels=L).to_pandas()
+    assert (const["energy"] == 0).all()
+
+    x = np.array([3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8, 9, 7, 9, 3],
+                 dtype=object)
+    out = haar_energy(build(x), levels=L).to_pandas()
+    # Parseval (unnormalized Haar): sum_j E_j * 2^(L-j) + total^2
+    #   == 2^L * sum x^2
+    lhs = sum(int(e) * (1 << (L - j))
+              for j, e in zip(out["level"], out["energy"]))
+    lhs += int(x.sum()) ** 2
+    assert lhs == (1 << L) * int((x * x).sum())
