@@ -2518,6 +2518,14 @@ def _q_ab_lift(sf_dir: str):
     return t
 
 
+def _q_type_burstiness(sf_dir: str):
+    """Per-type Fano factor of hourly counts over the global hour range
+    (stages/events.type_burstiness)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.type_burstiness(events.read_events(sf_dir))
+
+
 def _q_haar_energy(sf_dir: str):
     """Haar wavelet energy spectrum of the dense hourly series: exact
     integer cascade over 1024 zero-padded slots
@@ -3088,6 +3096,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_correlation": _q_cross_correlation,
         "markov_stationary": _q_markov_stationary,
         "haar_energy": _q_haar_energy,
+        "type_burstiness": _q_type_burstiness,
         "running_totals": _q_running_totals,
         "event_gaps": _q_event_gaps,
         "event_transitions": _q_event_transitions,
@@ -3348,6 +3357,7 @@ def oracle_sql() -> dict[str, str]:
         "cross_correlation": oc.cross_correlation_sql(),
         "markov_stationary": oc.markov_stationary_sql(),
         "haar_energy": oc.haar_energy_sql(),
+        "type_burstiness": oc.type_burstiness_sql(),
         "running_totals": oc.running_totals_sql(),
         "event_gaps": oc.event_gaps_sql(),
         "event_transitions": oc.event_transitions_sql(),

@@ -3822,6 +3822,30 @@ SELECT from_type, to_type, n,
 FROM cnt ORDER BY from_type, to_type"""
 
 
+def type_burstiness_sql() -> str:
+    """Oracle of stages/events.type_burstiness: per-type hourly counts
+    over the GLOBAL hour range, fano = (n*S2 - S1^2)/(n*S1) in HUGEINT,
+    round6."""
+    from .oracles import round6
+
+    return f"""WITH ev AS (
+  SELECT event_type AS t, epoch_us(ts) // 3600000000 AS hr FROM events
+), rng AS (
+  SELECT CAST(max(hr) - min(hr) + 1 AS HUGEINT) AS n FROM ev
+), h AS (
+  SELECT t, hr, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1, 2
+), mom AS (
+  SELECT t, CAST(sum(c) AS HUGEINT) AS s1,
+    CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS s2
+  FROM h GROUP BY 1
+)
+SELECT t AS event_type, CAST(rng.n AS BIGINT) AS n_hours,
+  CAST(s1 AS BIGINT) AS total,
+  {round6('CAST(rng.n * s2 - s1 * s1 AS DOUBLE)'
+          ' / CAST(rng.n * s1 AS DOUBLE)')} AS fano
+FROM mom, rng ORDER BY event_type"""
+
+
 def haar_energy_sql(levels: int | None = None) -> str:
     """Oracle of stages/events.haar_energy: the same unnormalized Haar
     cascade unrolled as pairwise GROUP BY CTEs in HUGEINT (smooth = a+b,

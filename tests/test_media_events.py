@@ -693,3 +693,30 @@ def test_haar_energy_parseval_and_hand():
               for j, e in zip(out["level"], out["energy"]))
     lhs += int(x.sum()) ** 2
     assert lhs == (1 << L) * int((x * x).sum())
+
+
+def test_type_burstiness_poisson_vs_burst():
+    """A perfectly regular type (1 event every hour) has fano = 0; a type
+    with all events in one hour has fano ~ total (maximal burst); exact
+    values hand-checked."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import type_burstiness
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    H = np.timedelta64(1, "h")
+    ts, types = [], []
+    for i in range(16):             # regular: one per hour
+        ts.append(base + i * H)
+        types.append("steady")
+    ts += [base + 3 * H] * 16       # bursty: all 16 in one hour
+    types += ["burst"] * 16
+    ds = rd.from_arrow(pa.table({
+        "ts": pa.array(ts), "event_type": pa.array(types, pa.string())}))
+    out = type_burstiness(ds).to_pandas().set_index("event_type")
+    assert (out["n_hours"] == 16).all()
+    assert float(out.loc["steady", "fano"]) == 0.0
+    # burst: n=16, S1=16, S2=256 -> (16*256 - 256) / (16*16) = 15.0
+    assert abs(float(out.loc["burst", "fano"]) - 15.0) < 1e-9
