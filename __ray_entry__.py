@@ -2891,6 +2891,25 @@ def _q_fuzzy_hosts(sf_dir: str):
     ).sort(["a", "b"])
 
 
+def _q_typo_clusters(sf_dir: str):
+    """Typo clusters: CC of the edit-distance-<=1 host graph, cluster id =
+    smallest member (stages/textops.typo_clusters)."""
+    import pyarrow.compute as pc_
+
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.textops import typo_clusters
+
+    pages = read_pages(sf_dir, include_html=False).select_columns(["url"])
+
+    def hosts(batch: pa.Table) -> pa.Table:
+        h = pc_.list_element(pc_.split_pattern(batch.column("url"),
+                                               pattern="/"), 2)
+        return pa.table({"host": h})
+
+    return typo_clusters(pages.map_batches(hosts, batch_format="pyarrow"),
+                         "host")
+
+
 def _q_lang_share(sf_dir: str):
     from cuda_gis_smoothing_ray.sources.pages import read_pages
     from cuda_gis_smoothing_ray.stages.relagg import ratio_to_report
@@ -2997,6 +3016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_drift": _q_unigram_drift,
         "rrf_fusion": _q_rrf_fusion,
         "coverage_curve": _q_coverage_curve,
+        "typo_clusters": _q_typo_clusters,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3251,6 +3271,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_drift": oc.unigram_drift_sql(),
         "rrf_fusion": oc.rrf_fusion_sql(),
         "coverage_curve": oc.coverage_curve_sql(),
+        "typo_clusters": oc.typo_clusters_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

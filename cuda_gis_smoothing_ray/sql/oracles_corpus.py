@@ -2269,6 +2269,32 @@ FROM hosts a JOIN hosts b
 ORDER BY a, b"""
 
 
+def typo_clusters_sql(rounds: int = 8) -> str:
+    """Oracle of stages/textops.typo_clusters: levenshtein<=1 pairs over
+    distinct hosts, hook+jump min-label CC over VARCHAR labels (min() on
+    strings is the same lexicographic min as the engine's union-by-min)."""
+    from .oracles import hook_jump_chain, pages_cte
+
+    chain, prev = hook_jump_chain(rounds)
+    return f"""WITH {pages_cte()},
+hosts AS (SELECT DISTINCT split_part(url, '/', 3) AS h FROM pages),
+e AS MATERIALIZED (
+  SELECT a.h AS a, b.h AS b
+  FROM hosts a JOIN hosts b
+    ON a.h < b.h AND levenshtein(a.h, b.h) <= 1
+), edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e
+  UNION ALL
+  SELECT b, a FROM e
+), nodes AS (
+  SELECT a AS v FROM e UNION SELECT b FROM e
+), l0 AS MATERIALIZED (
+  SELECT v, v AS l FROM nodes
+),
+{chain}
+SELECT v AS member, l AS cluster FROM {prev} ORDER BY member"""
+
+
 def char_entropy_sql() -> str:
     """Oracle of stages/textops.char_entropy (per-codepoint counts; the
     synthetic corpus is ASCII so codepoint == byte)."""

@@ -3797,3 +3797,41 @@ def coverage_curve(pages_ds, k: int = COVERAGE_K):
         "cum_pages": pa.array(rows["cum_pages"], pa.int64()),
         "cum_share": pa.array(rows["cum_share"], pa.float64()),
     }))
+
+
+def typo_clusters(values_ds, col: str = "host"):
+    """values -> (member, cluster): TYPO CLUSTERS — connected components
+    of the edit-distance-<=1 graph over distinct values, cluster id = the
+    lexicographically smallest member (the entity-resolution step after
+    :func:`fuzzy_value_join`: 'exampel.com' and 'example.com' collapse to
+    one canonical host).  Only values participating in >= 1 fuzzy pair
+    are emitted (singletons are their own trivial cluster).
+
+    Scale shape: the distributed work is the deletion-neighborhood fuzzy
+    join (distinct values x (len+1) variant rows — never all-pairs); the
+    surviving pair set is SMALL by construction (real typos are rare), so
+    the union-find runs on the bounded driver-side pair list — for an
+    adversarial corpus where fuzzy pairs are dense, swap the finalize for
+    :func:`..stages.cc.connected_components` (documented trade)."""
+    import ray.data as rd
+
+    pairs = fuzzy_value_join(values_ds, col).to_pandas()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["a"], pairs["b"]):
+        ra, rb = find(str(a)), find(str(b))
+        if ra != rb:
+            # union by MIN so the root is always the smallest member
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    members = sorted(parent)
+    return rd.from_arrow(pa.table({
+        "member": pa.array(members, pa.string()),
+        "cluster": pa.array([find(m) for m in members], pa.string()),
+    }))

@@ -486,3 +486,24 @@ def test_coverage_curve_hand_counts():
     o2 = coverage_curve(rd.from_arrow(
         pa.table({"url": pa.array(urls2, pa.string())})), k=2).to_pandas()
     assert list(o2["host"]) == ["y.com", "z.com"]
+
+
+def test_typo_clusters_chain_and_min_root():
+    """A 3-link edit-1 chain collapses into one cluster labeled by its
+    smallest member; an unrelated pair forms its own; distance-2 values
+    never join directly (but chains bridge them transitively)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import typo_clusters
+
+    vals = ["abcd.com", "abxd.com", "abxdd.com",   # chain: 1-apart links
+            "zz.net", "zy.net",                     # separate pair
+            "lonely.org"]                           # no fuzzy partner
+    ds = rd.from_arrow(pa.table({"host": pa.array(vals, pa.string())}))
+    out = typo_clusters(ds).to_pandas()
+    got = dict(zip(out["member"], out["cluster"]))
+    assert got["abcd.com"] == got["abxd.com"] == got["abxdd.com"] \
+        == "abcd.com"
+    assert got["zz.net"] == got["zy.net"] == "zy.net"
+    assert "lonely.org" not in got  # singleton: no pair, not emitted
