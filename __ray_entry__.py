@@ -224,6 +224,20 @@ def _q_hotspot_gi(sf_dir: str):
     return _round6_cols(hotspot_gi(_cells(sf_dir), "page_count", k=1), ["gi_z"]).sort("cell")
 
 
+def _q_emerging_hotspots(sf_dir: str):
+    """Emerging-hot-spot analysis over the 3-snapshot spatiotemporal cube:
+    per-day exact mean-cleared hot flags, persistent/emerging classes
+    (stages/hotspot.emerging_hotspots)."""
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.geoencode import geo_encode
+    from cuda_gis_smoothing_ray.stages.gridops import spatiotemporal_counts
+    from cuda_gis_smoothing_ray.stages.hotspot import emerging_hotspots
+
+    geo = geo_encode(read_pages(sf_dir, replicate=3, include_html=False),
+                     res=RES)
+    return emerging_hotspots(spatiotemporal_counts(geo))
+
+
 def _q_geary_c(sf_dir: str):
     """Geary's C spatial autocorrelation (ring-1 binary weights): exact
     integer num/den, one float division (stages/hotspot.geary_c)."""
@@ -3204,6 +3218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hotspot_gi": _q_hotspot_gi,
         "isoline_cells": _q_isoline_cells,
         "geary_c": _q_geary_c,
+        "emerging_hotspots": _q_emerging_hotspots,
         "semivariogram": _q_semivariogram,
         "otsu_threshold": _q_otsu_threshold,
         "hist_equalize": _q_hist_equalize,
@@ -3496,6 +3511,7 @@ def oracle_sql() -> dict[str, str]:
         "hotspot_gi": o.hotspot_gi_sql(RES, k=1),
         "isoline_cells": o.isoline_cells_sql(RES, k=1),
         "geary_c": o.geary_c_sql(RES),
+        "emerging_hotspots": o.emerging_hotspots_sql(RES, 3),
         "semivariogram": o.semivariogram_sql(RES),
         "otsu_threshold": o.otsu_threshold_sql(RES),
         "hist_equalize": o.hist_equalize_sql(RES),

@@ -1011,6 +1011,34 @@ FROM nbrcnt n LEFT JOIN cells p ON p.q = n.q AND p.r = n.r
 ORDER BY cell"""
 
 
+def emerging_hotspots_sql(res: int, replicate: int = 3) -> str:
+    """Oracle of stages/hotspot.emerging_hotspots over the spatiotemporal
+    cube: per-day exact mean-cleared hot flags, per-cell day rollup,
+    persistent/emerging/none classes."""
+    return f"""WITH st AS (
+  SELECT * FROM ({spatiotemporal_counts_sql(res, replicate)})
+), dt AS (
+  SELECT day, CAST(count(*) AS HUGEINT) AS n_day,
+    CAST(sum(page_count) AS HUGEINT) AS tot
+  FROM st GROUP BY 1
+), flag AS (
+  SELECT st.cell, st.day,
+    CASE WHEN CAST(st.page_count AS HUGEINT) * dt.n_day >= dt.tot
+         THEN 1 ELSE 0 END AS hot
+  FROM st JOIN dt ON dt.day = st.day
+), roll AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_days,
+    CAST(sum(hot) AS BIGINT) AS days_hot,
+    CAST(sum(CASE WHEN day = (SELECT max(day) FROM st) THEN hot ELSE 0 END)
+         AS BIGINT) AS last_hot
+  FROM flag GROUP BY 1
+)
+SELECT cell, n_days, days_hot, last_hot,
+  CAST(CASE WHEN last_hot = 1 AND days_hot = n_days AND n_days >= 2 THEN 2
+            WHEN last_hot = 1 THEN 1 ELSE 0 END AS BIGINT) AS category
+FROM roll ORDER BY cell"""
+
+
 def geary_c_sql(res: int) -> str:
     """Oracle of stages/hotspot.geary_c: ordered ring-1 pair join, exact
     HUGEINT numerator/denominator, ONE float division round6."""

@@ -939,3 +939,56 @@ def geary_c(cells_ds, value_col: str = "page_count"):
         "num": pa.array([num], pa.int64()),
         "geary_c": pa.array([r6(c)], pa.float64()),
     }))
+
+
+def emerging_hotspots(st_ds):
+    """(cell, day, page_count) cube -> (cell, n_days, days_hot, last_hot,
+    category): EMERGING-HOT-SPOT analysis over the spatiotemporal cube —
+    per day, a cell is HOT iff its count clears that day's exact mean
+    (``cnt * n_cells_day >= total_day``, the integer-cleared threshold);
+    then each cell is classified over the day sequence:
+
+    - ``persistent`` (2): hot on EVERY day it is observed and on >= 2 days
+    - ``emerging`` (1): hot on the LAST observed day but not all days
+    - ``none`` (0): not hot on the last day
+
+    The space-TIME trend readout (ArcGIS "emerging hot spot" family) over
+    the crawl snapshots.  Exact ints everywhere; scale shape: the cube is
+    already bounded (cell x day); per-day thresholds are a |days|-row
+    aggregate; the classification is one cell-keyed reduce."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    cube = st_ds.to_pandas()  # bounded: |cells| x |days|
+    if len(cube) == 0:
+        raise ValueError("emerging_hotspots: empty cube")
+    day = cube["day"].to_numpy().astype("datetime64[us]").astype(np.int64)
+    cnt = cube["page_count"].to_numpy(np.int64)
+    cell = cube["cell"].to_numpy(np.int64)
+    # per-day exact thresholds
+    udays, dinv = np.unique(day, return_inverse=True)
+    n_day = np.bincount(dinv).astype(np.int64)
+    tot_day = np.zeros(len(udays), np.int64)
+    np.add.at(tot_day, dinv, cnt)
+    hot = cnt.astype(object) * n_day[dinv] >= tot_day[dinv]
+    hot = np.asarray(hot, dtype=bool)
+    last_day = int(udays[-1])
+    # per-cell rollup
+    ucell, cinv = np.unique(cell, return_inverse=True)
+    n_days = np.bincount(cinv).astype(np.int64)
+    days_hot = np.zeros(len(ucell), np.int64)
+    np.add.at(days_hot, cinv, hot.astype(np.int64))
+    last_hot = np.zeros(len(ucell), np.int64)
+    on_last = day == last_day
+    np.add.at(last_hot, cinv[on_last], hot[on_last].astype(np.int64))
+    cat = np.zeros(len(ucell), np.int64)
+    cat[(last_hot == 1)] = 1                                  # emerging
+    cat[(last_hot == 1) & (days_hot == n_days) & (n_days >= 2)] = 2
+    return rd.from_arrow(pa.table({
+        "cell": pa.array(ucell),
+        "n_days": pa.array(n_days),
+        "days_hot": pa.array(days_hot),
+        "last_hot": pa.array(last_hot),
+        "category": pa.array(cat),
+    })).sort("cell")

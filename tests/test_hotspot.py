@@ -252,3 +252,31 @@ def test_geary_c_sign_cases():
         want = brute_c(qs, rs, v)
         assert abs(c - want) < 1e-6
         assert (c < 1.0) == expect_low
+
+
+def test_emerging_hotspots_classes():
+    """Hand cube over 3 days, 3 cells: one always-hot (persistent), one
+    hot only on the last day (emerging), one never hot on the last day
+    (none) — per-day thresholds are the exact day means."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.hotspot import emerging_hotspots
+
+    days = [np.datetime64(f"2024-01-0{d}", "us") for d in (1, 2, 3)]
+    rows = []
+    # day means: counts (10, 1, 1) -> mean 4 -> only the 10 clears it
+    for d in days[:2]:
+        rows += [(100, d, 10), (200, d, 1), (300, d, 1)]
+    # last day: (10, 9, 1) -> mean 20/3 -> 10 and 9 clear it
+    rows += [(100, days[2], 10), (200, days[2], 9), (300, days[2], 1)]
+    cube = rd.from_arrow(pa.table({
+        "cell": pa.array([r[0] for r in rows], pa.int64()),
+        "day": pa.array([r[1] for r in rows]),
+        "page_count": pa.array([r[2] for r in rows], pa.int64()),
+    }))
+    out = emerging_hotspots(cube).to_pandas().set_index("cell")
+    assert int(out.loc[100, "category"]) == 2   # persistent (hot 3/3)
+    assert int(out.loc[200, "category"]) == 1   # emerging (last day only)
+    assert int(out.loc[300, "category"]) == 0
+    assert int(out.loc[200, "days_hot"]) == 1
+    assert int(out.loc[100, "days_hot"]) == 3
