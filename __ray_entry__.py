@@ -1530,6 +1530,15 @@ def _q_embedding_gram(sf_dir: str):
     return ann.embedding_gram(ann.read_embeddings(sf_dir))
 
 
+def _q_kmeans_inertia(sf_dir: str):
+    """Per-cluster k-means quality report: exact down-quantized within-
+    cluster SSE against final-partition centroids
+    (stages/ann.kmeans_inertia)."""
+    from cuda_gis_smoothing_ray.stages import ann
+
+    return ann.kmeans_inertia(ann.read_embeddings(sf_dir))
+
+
 def _q_pca_power(sf_dir: str):
     """Top principal direction of the embedding table: exact-integer power
     iteration over the fixed-point Gram matrix (stages/ann.pca_power)."""
@@ -3092,6 +3101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_range_search": _q_ann_range,
         "embedding_gram": _q_embedding_gram,
         "pca_power": _q_pca_power,
+        "kmeans_inertia": _q_kmeans_inertia,
         "jl_project": _q_jl_project,
         "embedding_neardup": _q_neardup,
         "label_centroids": _q_label_centroids,
@@ -3353,6 +3363,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_range_search": oc.ann_range_sql(),
         "embedding_gram": oc.embedding_gram_sql(),
         "pca_power": oc.pca_power_sql(),
+        "kmeans_inertia": oc.kmeans_inertia_sql(),
         "jl_project": oc.jl_project_sql(),
         "knn_graph": oc.ann_topk_sql(KNN_GRAPH_K, n_queries=1 << 40),
         "semantic_dedup": oc.semantic_dedup_sql(NEARDUP_T),

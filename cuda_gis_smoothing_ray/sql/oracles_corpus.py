@@ -732,6 +732,88 @@ SELECT v AS vec_id, CAST(k AS BIGINT) AS cluster FROM (
 ORDER BY vec_id"""
 
 
+def kmeans_inertia_sql(k: int | None = None, iters: int | None = None,
+                       dim: int = 64) -> str:
+    """Oracle of stages/ann.kmeans_inertia: the kmeans_sql Lloyd chain,
+    final-partition centroid recompute (same explicit floor division),
+    2^12 down-quantization of both sides, exact integer sse per cluster."""
+    from ..stages import ann
+
+    k = k if k is not None else ann.KMEANS_K
+    iters = iters if iters is not None else ann.KMEANS_ITERS
+    scale = ann.CENTROID_SCALE
+    # CENTROID_SCALE is a float constant — the divisor MUST interpolate as
+    # an int or DuckDB's ``// 4096.0`` is float division (no floor) and the
+    # BIGINT cast rounds
+    down = int(scale) // ann.INERTIA_SCALE
+    fdiv = ("CASE WHEN s.sq >= 0 THEN s.sq // s.cnt "
+            "ELSE -((-s.sq + s.cnt - 1) // s.cnt) END")
+
+    def floordiv(expr: str, d: int) -> str:
+        return (f"CASE WHEN {expr} >= 0 THEN ({expr}) // {d} "
+                f"ELSE -((-({expr}) + {d} - 1) // {d}) END")
+
+    steps = []
+    prev = "c0"
+    for t in range(1, iters + 1):
+        steps.append(f"""d{t} AS MATERIALIZED (
+  SELECT ev.v, c.k, sum((ev.q - c.val) * (ev.q - c.val)) AS d
+  FROM ev JOIN {prev} c ON ev.j = c.j GROUP BY ev.v, c.k
+), a{t} AS MATERIALIZED (
+  SELECT v, k FROM (
+    SELECT v, k, row_number() OVER (PARTITION BY v ORDER BY d, k) AS rn
+    FROM d{t}
+  ) WHERE rn = 1
+), s{t} AS MATERIALIZED (
+  SELECT a.k, ev.j, sum(ev.q) AS sq, count(*) AS cnt
+  FROM ev JOIN a{t} a ON ev.v = a.v GROUP BY a.k, ev.j
+), c{t} AS MATERIALIZED (
+  SELECT c.k, c.j, CAST(coalesce({fdiv}, c.val) AS BIGINT) AS val
+  FROM {prev} c LEFT JOIN s{t} s ON c.k = s.k AND c.j = s.j
+)""")
+        prev = f"c{t}"
+    chain = ",\n".join(steps)
+    return f"""WITH ev AS MATERIALIZED (
+  SELECT vec_id AS v, i - 1 AS j,
+    CAST(floor(CAST(embedding[i] AS DOUBLE) * {scale} + 0.5) AS BIGINT) AS q
+  FROM embeddings, unnest(generate_series(1, {dim})) AS s(i)
+), c0 AS MATERIALIZED (
+  SELECT v AS k, j, q AS val FROM ev WHERE v < {k}
+),
+{chain},
+dF AS MATERIALIZED (
+  SELECT ev.v, c.k, sum((ev.q - c.val) * (ev.q - c.val)) AS d
+  FROM ev JOIN {prev} c ON ev.j = c.j GROUP BY ev.v, c.k
+), aF AS MATERIALIZED (
+  SELECT v, k FROM (
+    SELECT v, k, row_number() OVER (PARTITION BY v ORDER BY d, k) AS rn
+    FROM dF
+  ) WHERE rn = 1
+), sF AS MATERIALIZED (
+  SELECT a.k, ev.j, sum(ev.q) AS sq, count(*) AS cnt
+  FROM ev JOIN aF a ON ev.v = a.v GROUP BY a.k, ev.j
+), cP AS MATERIALIZED (
+  SELECT c.k, c.j, CAST(coalesce({fdiv}, c.val) AS BIGINT) AS val
+  FROM {prev} c LEFT JOIN sF s ON c.k = s.k AND c.j = s.j
+), c12 AS MATERIALIZED (
+  SELECT k, j, CAST({floordiv('val', down)} AS BIGINT) AS val FROM cP
+), q12 AS MATERIALIZED (
+  SELECT v, j, CAST({floordiv('q', down)} AS BIGINT) AS q FROM ev
+), sse AS (
+  SELECT a.k AS cluster,
+    CAST(sum((q12.q - c12.val) * (q12.q - c12.val)) AS BIGINT) AS sse12
+  FROM q12
+  JOIN aF a ON a.v = q12.v
+  JOIN c12 ON c12.k = a.k AND c12.j = q12.j
+  GROUP BY 1
+), nn AS (
+  SELECT k AS cluster, CAST(count(*) AS BIGINT) AS n FROM aF GROUP BY 1
+)
+SELECT nn.cluster AS cluster, nn.n, coalesce(sse.sse12, 0) AS sse12
+FROM nn LEFT JOIN sse ON sse.cluster = nn.cluster
+ORDER BY nn.cluster"""
+
+
 def rollup_revenue_sql() -> str:
     """Oracle of stages/relagg.rollup_sums over lineitem x orders (rolled-up
     keys coalesce to the 'ALL' sentinel on both sides)."""

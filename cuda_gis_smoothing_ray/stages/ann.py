@@ -639,22 +639,10 @@ KMEANS_K = 8
 KMEANS_ITERS = 3  # fixed Lloyd sweeps -> oracle-checkable as unrolled CTEs
 
 
-def kmeans_assign(ds, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
-    """embeddings -> (vec_id, cluster): distributed Lloyd k-means in EXACT
-    fixed-point arithmetic (quantize to floor(x*2^24+0.5) int64; distances,
-    argmin ties->lowest k, and the floor-division centroid update are all
-    integer ops), so the assignment is bit-identical across engines and
-    partition orders — unlike float k-means, whose sums are order-dependent.
-
-    Seeding: centroid c = the vector with vec_id == c (c < k) — a pushdown
-    filter, no sort.  Empty clusters keep their previous centroid.
-
-    Scale shape per sweep: ONE streaming pass over the source (no
-    materialized copy — lineage re-reads parquet each sweep, the 100 TB
-    pattern); centroids (k x dim int64, ~4 KB) broadcast via ``ray.put``;
-    each batch folds to k x dim partial-sum rows + counts, merged by one
-    bounded groupby, so shuffle volume per sweep is O(k*dim*batches), never
-    O(rows).  The final labeling is one more broadcast-assign pass."""
+def _kmeans_centroids(ds, k: int, iters: int) -> np.ndarray:
+    """The Lloyd sweep loop of :func:`kmeans_assign`, returning the FINAL
+    (k, dim) fixed-point centroid matrix (shared by the labeling pass and
+    :func:`kmeans_inertia`)."""
     import ray
     from ray.data.aggregate import Sum
 
@@ -669,17 +657,12 @@ def kmeans_assign(ds, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
         * CENTROID_SCALE + 0.5).astype(np.int64)
     dim = cent.shape[1]
 
-    def _assign(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
-        # (n,k) exact int64 distances; argmin takes the first (lowest k) tie
-        d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        return d.argmin(axis=1)
-
     for _ in range(iters):
         ref = ray.put(cent)
 
         def partial(batch: pa.Table, ref=ref) -> pa.Table:
             Q = _quant(batch)
-            a = _assign(Q, ray.get(ref))
+            a = _assign_int(Q, ray.get(ref))
             sums = np.zeros((k, dim), np.int64)
             np.add.at(sums, a, Q)
             cnt = np.bincount(a, minlength=k).astype(np.int64)
@@ -701,14 +684,44 @@ def kmeans_assign(ds, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
         ci = agg["cluster"].to_numpy(np.int64)
         di = agg["dim"].to_numpy(np.int64)
         sums[ci, di] = agg["sq"].to_numpy(np.int64)
-        cnts[ci] = agg["n"].to_numpy(np.int64)  # same count repeated per dim
+        cnts[ci] = agg["n"].to_numpy(np.int64)
         occ = cnts > 0
         cent = np.where(occ[:, None], sums // np.maximum(cnts, 1)[:, None], cent)
+    return cent
 
+
+def _assign_int(Q: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n,k) exact int64 distances; argmin takes the first (lowest k) tie."""
+    d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    return d.argmin(axis=1)
+
+
+def kmeans_assign(ds, k: int = KMEANS_K, iters: int = KMEANS_ITERS):
+    """embeddings -> (vec_id, cluster): distributed Lloyd k-means in EXACT
+    fixed-point arithmetic (quantize to floor(x*2^24+0.5) int64; distances,
+    argmin ties->lowest k, and the floor-division centroid update are all
+    integer ops), so the assignment is bit-identical across engines and
+    partition orders — unlike float k-means, whose sums are order-dependent.
+
+    Seeding: centroid c = the vector with vec_id == c (c < k) — a pushdown
+    filter, no sort.  Empty clusters keep their previous centroid.
+
+    Scale shape per sweep: ONE streaming pass over the source (no
+    materialized copy — lineage re-reads parquet each sweep, the 100 TB
+    pattern); centroids (k x dim int64, ~4 KB) broadcast via ``ray.put``;
+    each batch folds to k x dim partial-sum rows + counts, merged by one
+    bounded groupby, so shuffle volume per sweep is O(k*dim*batches), never
+    O(rows).  The final labeling is one more broadcast-assign pass."""
+    import ray
+
+    cent = _kmeans_centroids(ds, k, iters)
     ref = ray.put(cent)
 
+    def _quant(batch: pa.Table) -> np.ndarray:
+        return np.floor(_emb_matrix(batch) * CENTROID_SCALE + 0.5).astype(np.int64)
+
     def label(batch: pa.Table, ref=ref) -> pa.Table:
-        a = _assign(_quant(batch), ray.get(ref))
+        a = _assign_int(_quant(batch), ray.get(ref))
         return pa.table({"vec_id": batch.column("vec_id"),
                          "cluster": pa.array(a.astype(np.int64))})
 
@@ -975,3 +988,94 @@ def pca_power(ds, scale: int = GRAM_SCALE, iters: int = PCA_ITERS,
         "i": pa.array(np.arange(1, d + 1, dtype=np.int64)),
         "v": pa.array([int(x) for x in v], pa.int64()),
     }))
+
+
+INERTIA_SCALE = 1 << 12
+
+
+def kmeans_inertia(ds, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                   report_scale: int = INERTIA_SCALE):
+    """embeddings -> (cluster, n, sse12): the CLUSTERING-QUALITY report of
+    :func:`kmeans_assign` — per final cluster, its size and the exact
+    within-cluster sum of squared distances to the centroid RECOMPUTED
+    from the final partition (the standard inertia-after-assignment).
+
+    EXACT in REPORTING units: both the vectors and the recomputed
+    centroids are down-quantized to ``report_scale`` (= 2^12; the full
+    2^24 working precision would overflow int64 in the squared sums at
+    realistic row counts — the documented trade: inertia is a report, not
+    a pipeline input), so ``sse12`` is a pure int sum the oracle matches
+    bit-for-bit.  Scale shape: the Lloyd sweeps of ``kmeans_assign``
+    (O(k*dim) shuffle per sweep), plus TWO more streaming passes — one
+    for the final partition's centroid sums, one for the sse partials —
+    both bounded reduces."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cent = _kmeans_centroids(ds, k, iters)
+    ref = ray.put(cent)
+
+    def _quant(batch: pa.Table) -> np.ndarray:
+        return np.floor(_emb_matrix(batch) * CENTROID_SCALE + 0.5).astype(np.int64)
+
+    dim = cent.shape[1]
+
+    def csum_partial(batch: pa.Table) -> pa.Table:
+        Q = _quant(batch)
+        a = _assign_int(Q, ray.get(ref))
+        sums = np.zeros((k, dim), np.int64)
+        np.add.at(sums, a, Q)
+        cnt = np.bincount(a, minlength=k).astype(np.int64)
+        return pa.table({
+            "cluster": pa.array(np.repeat(np.arange(k, dtype=np.int64), dim)),
+            "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), k)),
+            "sq": pa.array(sums.ravel()),
+            "n": pa.array(np.repeat(cnt, dim)),
+        })
+
+    agg = (
+        ds.map_batches(csum_partial, batch_format="pyarrow")
+        .groupby(["cluster", "dim"])
+        .aggregate(Sum("sq", alias_name="sq"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    sums = np.zeros((k, dim), np.int64)
+    cnts = np.zeros(k, np.int64)
+    sums[agg["cluster"].to_numpy(np.int64), agg["dim"].to_numpy(np.int64)] \
+        = agg["sq"].to_numpy(np.int64)
+    cnts[agg["cluster"].to_numpy(np.int64)] = agg["n"].to_numpy(np.int64)
+    cprime = np.where(cnts[:, None] > 0,
+                      sums // np.maximum(cnts, 1)[:, None], cent)
+    down = int(CENTROID_SCALE // report_scale)
+    c12 = np.floor_divide(cprime, down)
+    refs = ray.put(c12)
+
+    def sse_partial(batch: pa.Table) -> pa.Table:
+        Q = _quant(batch)
+        a = _assign_int(Q, ray.get(ref))
+        q12 = np.floor_divide(Q, down)
+        d = q12 - ray.get(refs)[a]
+        sse = np.zeros(k, np.int64)
+        np.add.at(sse, a, (d * d).sum(axis=1))
+        cnt = np.bincount(a, minlength=k).astype(np.int64)
+        return pa.table({"cluster": pa.array(np.arange(k, dtype=np.int64)),
+                         "n": pa.array(cnt),
+                         "sse12": pa.array(sse)})
+
+    out = (
+        ds.map_batches(sse_partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("n", alias_name="n"), Sum("sse12", alias_name="sse12"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = n > 0  # empty clusters are not part of the partition
+        return pa.table({
+            "cluster": pa.array(batch.column("cluster").to_numpy(
+                zero_copy_only=False).astype(np.int64)[keep]),
+            "n": pa.array(n[keep]),
+            "sse12": pa.array(batch.column("sse12").to_numpy(
+                zero_copy_only=False).astype(np.int64)[keep])})
+
+    return out.map_batches(finalize, batch_format="pyarrow").sort("cluster")

