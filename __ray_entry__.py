@@ -1281,6 +1281,19 @@ def _q_common_neighbors(sf_dir: str):
     return tri.common_neighbors(docs, n_docs)
 
 
+def _q_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the community graph: stub-degree Pearson r
+    in exact integers (stages/triangles.degree_assortativity)."""
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages import triangles as tri
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    docs = read_documents(sf_dir, columns=("doc_id",))
+    return tri.degree_assortativity(docs, n_docs)
+
+
 def _q_graph_modularity(sf_dir: str):
     """Newman modularity of the linear-rule components under the full
     community graph (stages/triangles.graph_modularity)."""
@@ -3058,6 +3071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "common_neighbors": _q_common_neighbors,
         "adamic_adar": _q_adamic_adar,
         "graph_modularity": _q_graph_modularity,
+        "degree_assortativity": _q_degree_assortativity,
         "clustering_coeff": _q_clustering_coeff,
         "dup_ngram_stats": _q_dup_ngrams,
         "remove_boilerplate": _q_remove_boilerplate,
@@ -3317,6 +3331,7 @@ def oracle_sql() -> dict[str, str]:
         "common_neighbors": oc.common_neighbors_sql(),
         "adamic_adar": oc.adamic_adar_sql(),
         "graph_modularity": oc.graph_modularity_sql(),
+        "degree_assortativity": oc.degree_assortativity_sql(),
         "clustering_coeff": oc.clustering_coeff_sql(),
         "dup_ngram_stats": oc.dup_ngram_stats_sql(),
         "remove_boilerplate": oc.remove_boilerplate_sql(n=5, min_df=2),

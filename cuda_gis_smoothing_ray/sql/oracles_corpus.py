@@ -1733,6 +1733,50 @@ GROUP BY comm
 ORDER BY comm"""
 
 
+def degree_assortativity_sql(comm_mod: int | None = None) -> str:
+    """Oracle of stages/triangles.degree_assortativity: stub-degree
+    moments over both edge orientations, exact HUGEINT, one round6
+    division (the symmetric Pearson form — no sqrt)."""
+    from ..functions import geocode
+    from ..stages import pagerank as pr
+    from ..stages import triangles as tri
+    from .oracles import round6
+
+    cm = comm_mod if comm_mod is not None else tri.COMM_MOD
+    mult, mod = geocode.TLD_MULT, geocode.HOST_MOD
+    nd = "(SELECT count(*) FROM documents)"
+    host = f"((doc_id * {mult}) % {mod}) % {cm}"
+    dhost1 = (f"((((doc_id * {pr.EDGE_MULT} + {pr.EDGE_ADD}) % {nd})"
+              f" * {mult}) % {mod}) % {cm}")
+    dhost2 = (f"((((doc_id * doc_id * {pr.EDGE_MULT2} + {pr.EDGE_ADD2}) % {nd})"
+              f" * {mult}) % {mod}) % {cm}")
+    return f"""WITH e0 AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+    SELECT {host} AS s, {dhost1} AS t FROM documents
+    UNION ALL
+    SELECT {host} AS s, {dhost2} AS t FROM documents
+  ) WHERE s <> t
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0
+  ) GROUP BY 1
+), ed AS (
+  SELECT da.d AS x, db.d AS y
+  FROM e0 JOIN deg da ON da.node = e0.a JOIN deg db ON db.node = e0.b
+), mom AS (
+  SELECT CAST(2 * count(*) AS HUGEINT) AS m2,
+    CAST(sum(x) + sum(y) AS HUGEINT) AS sx,
+    CAST(2 * sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+    CAST(sum(CAST(x AS HUGEINT) * x) + sum(CAST(y AS HUGEINT) * y)
+         AS HUGEINT) AS sxx
+  FROM ed
+)
+SELECT CAST(m2 // 2 AS BIGINT) AS m,
+  {round6('CAST(m2 * sxy - sx * sx AS DOUBLE)'
+          ' / CAST(m2 * sxx - sx * sx AS DOUBLE)')} AS r
+FROM mom"""
+
+
 def graph_modularity_sql(comm_mod: int | None = None,
                          rounds: int = 12) -> str:
     """Oracle of stages/triangles.graph_modularity: hook+jump CC over the

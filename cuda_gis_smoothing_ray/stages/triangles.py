@@ -715,3 +715,103 @@ def graph_modularity(docs_ds, n_docs: int, comm_mod: int = COMM_MOD):
         "q_num": pa.array([q_num], pa.int64()),
         "modularity": pa.array([r6(q)], pa.float64()),
     }))
+
+
+def degree_assortativity(docs_ds, n_docs: int, comm_mod: int = COMM_MOD):
+    """documents -> ONE row (m, r): DEGREE ASSORTATIVITY of the community
+    graph — the Pearson correlation of endpoint degrees over all DIRECTED
+    edge stubs (each undirected edge contributes both orientations, the
+    standard Newman convention): r < 0 = hubs attach to leaves
+    (disassortative, the web-graph signature), r > 0 = hubs club together.
+
+    EXACT: with x, y the stub endpoint degrees, the five moments (M = 2m,
+    Sx, Sy = Sx, Sxy, Sxx = Syy by symmetry) are integer sums;
+    ``r = (M*Sxy - Sx*Sy) / (M*Sxx - Sx^2)`` is ONE float division of two
+    arbitrary-precision integers (the symmetric form needs no sqrt),
+    round6.  Scale shape: the degree reduce + two co-partitioned label
+    joins of :func:`triangle_counts`'s `_attach`; moments pre-sum per
+    partition."""
+    from ..functions.reduce import hash_groupby
+
+    edges = community_edges(docs_ds, n_docs, comm_mod).materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([a, b])),
+                         "one": pa.array(np.ones(2 * len(a), np.int64))})
+
+    deg = hash_groupby(
+        edges.map_batches(explode, batch_format="pyarrow", batch_size=None),
+        "node", ["one"], how="isum",
+    ).materialize()
+
+    def _attach(es, side: str, out_col: str):
+        def tag_edge(batch: pa.Table) -> pa.Table:
+            cols = {"key": batch.column(side),
+                    "kind": pa.array(np.ones(len(batch), np.int8))}
+            for c in es.schema().names:
+                if c != side:
+                    cols[c] = batch.column(c)
+            return pa.table(cols)
+
+        def tag_deg(batch: pa.Table) -> pa.Table:
+            return pa.table({"key": batch.column("node"),
+                             "kind": pa.array(np.zeros(len(batch), np.int8)),
+                             out_col: batch.column("one")})
+
+        carry = [c for c in es.schema().names if c != side]
+
+        def join(df: pd.DataFrame) -> pd.DataFrame:
+            dg = df[df["kind"] == 0][["key", out_col]]
+            ed = df[df["kind"] == 1][["key"] + carry]
+            mm = ed.merge(dg, on="key")
+            out = {side: mm["key"].to_numpy(np.int64)}
+            for c in carry + [out_col]:
+                out[c] = mm[c].to_numpy(np.int64)
+            return pd.DataFrame(out)
+
+        return (
+            es.map_batches(tag_edge, batch_format="pyarrow", batch_size=None)
+            .union(deg.map_batches(tag_deg, batch_format="pyarrow",
+                                   batch_size=None))
+            .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
+            .groupby("__part")
+            .map_groups(join)
+        )
+
+    with_deg = _attach(_attach(edges, "a", "da"), "b", "db")
+
+    def moments(batch: pa.Table) -> pa.Table:
+        da = batch.column("da").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = batch.column("db").to_numpy(zero_copy_only=False).astype(np.int64)
+        # both stub orientations: x = [da, db], y = [db, da]
+        sx = int(da.sum() + db.sum())
+        sxy = int(2 * (da * db).sum())
+        sxx = int((da * da).sum() + (db * db).sum())
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "m2": pa.array([2 * len(batch)], pa.int64()),
+                         "sx": pa.array([sx], pa.int64()),
+                         "sxy": pa.array([sxy], pa.int64()),
+                         "sxx": pa.array([sxx], pa.int64())})
+
+    mom = hash_groupby(
+        with_deg.map_batches(moments, batch_format="pyarrow",
+                             batch_size=None),
+        "k", ["m2", "sx", "sxy", "sxx"], how="isum",
+    ).to_pandas()
+    M = int(mom["m2"].sum())
+    sx = int(mom["sx"].sum())
+    sxy = int(mom["sxy"].sum())
+    sxx = int(mom["sxx"].sum())
+    den = M * sxx - sx * sx
+    if den == 0:
+        raise ValueError("degree_assortativity: degenerate degree sequence")
+    r = float(M * sxy - sx * sx) / float(den)
+    r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "m": pa.array([M // 2], pa.int64()),
+        "r": pa.array([r6(r)], pa.float64()),
+    }))

@@ -260,3 +260,34 @@ def test_graph_modularity_brute():
     assert int(out["m"].iloc[0]) == m
     assert int(out["intra"].iloc[0]) == intra
     assert abs(float(out["modularity"].iloc[0]) - q) < 1e-6
+
+
+def test_degree_assortativity_vs_networkx_formula():
+    """r equals a brute-force recomputation with the stub-moment formula,
+    and matches numpy's Pearson correlation over the directed stub list."""
+    from cuda_gis_smoothing_ray.functions import geocode
+    from cuda_gis_smoothing_ray.stages import pagerank as pr
+    from cuda_gis_smoothing_ray.stages.triangles import degree_assortativity
+
+    n, cm = 300, 53
+    d = np.arange(n, dtype=np.int64)
+    src = np.concatenate([geocode.host_id(d), geocode.host_id(d)]) % cm
+    dst = np.concatenate([
+        geocode.host_id((d * pr.EDGE_MULT + pr.EDGE_ADD) % n),
+        geocode.host_id((d * d * pr.EDGE_MULT2 + pr.EDGE_ADD2) % n),
+    ]) % cm
+    keep = src != dst
+    pairs = np.unique(np.minimum(src[keep], dst[keep]) * cm
+                      + np.maximum(src[keep], dst[keep]))
+    a, b = pairs // cm, pairs % cm
+    deg: dict[int, int] = {}
+    for x, y in zip(a.tolist(), b.tolist()):
+        deg[x] = deg.get(x, 0) + 1
+        deg[y] = deg.get(y, 0) + 1
+    x = np.array([deg[v] for v in np.concatenate([a, b])], np.float64)
+    y = np.array([deg[v] for v in np.concatenate([b, a])], np.float64)
+    want = np.corrcoef(x, y)[0, 1]
+
+    out = degree_assortativity(_docs_ds(n), n_docs=n, comm_mod=cm).to_pandas()
+    assert int(out["m"].iloc[0]) == len(pairs)
+    assert abs(float(out["r"].iloc[0]) - want) < 1e-6
