@@ -2927,6 +2927,15 @@ def _q_fuzzy_hosts(sf_dir: str):
     ).sort(["a", "b"])
 
 
+def _q_cohen_kappa(sf_dir: str):
+    """Cohen's kappa between the stored lang label and the lang_id
+    heuristic: exact chance-cleared integers
+    (stages/textops.cohen_kappa)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.cohen_kappa(_docs(sf_dir, ("doc_id", "text", "lang")))
+
+
 def _q_typo_clusters(sf_dir: str):
     """Typo clusters: CC of the edit-distance-<=1 host graph, cluster id =
     smallest member (stages/textops.typo_clusters)."""
@@ -3053,6 +3062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": _q_rrf_fusion,
         "coverage_curve": _q_coverage_curve,
         "typo_clusters": _q_typo_clusters,
+        "cohen_kappa": _q_cohen_kappa,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3311,6 +3321,7 @@ def oracle_sql() -> dict[str, str]:
         "rrf_fusion": oc.rrf_fusion_sql(),
         "coverage_curve": oc.coverage_curve_sql(),
         "typo_clusters": oc.typo_clusters_sql(),
+        "cohen_kappa": oc.cohen_kappa_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

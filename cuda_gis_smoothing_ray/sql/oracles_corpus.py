@@ -2314,6 +2314,38 @@ GROUP BY lang, pred_lang
 ORDER BY lang, pred_lang"""
 
 
+def cohen_kappa_sql() -> str:
+    """Oracle of stages/textops.cohen_kappa: the lang_id confusion chain,
+    chance-cleared kappa = (N*agree - E)/(N^2 - E) in HUGEINT."""
+    from .oracles import round6
+
+    base = lang_id_sql()
+    return f"""WITH pred AS ({base}),
+conf AS (
+  SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+  FROM pred GROUP BY 1, 2
+), st AS (
+  SELECT CAST(sum(n) AS HUGEINT) AS nn,
+    CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS HUGEINT)
+      AS agree
+  FROM conf
+), mr AS (
+  SELECT lang AS c, CAST(sum(n) AS HUGEINT) AS r FROM conf GROUP BY 1
+), mc AS (
+  SELECT pred_lang AS c, CAST(sum(n) AS HUGEINT) AS col
+  FROM conf GROUP BY 1
+), e AS (
+  SELECT CAST(coalesce(sum(mr.r * mc.col), 0) AS HUGEINT) AS ev
+  FROM mr JOIN mc ON mc.c = mr.c
+)
+SELECT CAST(st.nn AS BIGINT) AS n, CAST(st.agree AS BIGINT) AS agree,
+  CAST(st.nn * st.agree - e.ev AS BIGINT) AS kappa_num,
+  CAST(st.nn * st.nn - e.ev AS BIGINT) AS kappa_den,
+  {round6('CAST(st.nn * st.agree - e.ev AS DOUBLE)'
+          ' / CAST(st.nn * st.nn - e.ev AS DOUBLE)')} AS kappa
+FROM st, e"""
+
+
 def text_len_quantiles_cont_sql(qs=(0.5, 0.9, 0.99)) -> str:
     """Oracle of stages/sketch.quantiles_cont over text length: explicit
     rank + linear-interpolation expression (v_lo + frac * (v_hi - v_lo)),

@@ -3835,3 +3835,40 @@ def typo_clusters(values_ds, col: str = "host"):
         "member": pa.array(members, pa.string()),
         "cluster": pa.array([find(m) for m in members], pa.string()),
     }))
+
+
+def cohen_kappa(ds):
+    """documents -> ONE row (n, agree, kappa_num, kappa_den, kappa):
+    COHEN'S KAPPA between the stored ``lang`` label and the heuristic
+    ``lang_id`` prediction — chance-corrected agreement, the one-number
+    classifier-quality readout over :func:`lang_confusion`'s matrix
+    (kappa ~ 0 means the classifier is no better than guessing the label
+    marginals).
+
+    EXACT: with N docs, ``agree`` the diagonal count and ``E = sum over
+    classes of row_total * col_total``, the chance-cleared form is
+    ``kappa = (N*agree - E) / (N*N - E)`` — integer numerator and
+    denominator, ONE round6 float division.  Scale shape: rides the same
+    bounded |langs|^2 confusion reduce; the kappa arithmetic is driver
+    math on the tiny matrix."""
+    import ray.data as rd
+
+    conf = lang_confusion(ds).to_pandas()
+    n = int(conf["n_docs"].sum())
+    agree = int(conf[conf["lang"] == conf["pred_lang"]]["n_docs"].sum())
+    row = conf.groupby("lang")["n_docs"].sum()
+    col = conf.groupby("pred_lang")["n_docs"].sum()
+    classes = set(row.index) | set(col.index)
+    E = sum(int(row.get(c, 0)) * int(col.get(c, 0)) for c in classes)
+    num = n * agree - E
+    den = n * n - E
+    if den == 0:
+        raise ValueError("cohen_kappa: degenerate marginals")
+    r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "agree": pa.array([agree], pa.int64()),
+        "kappa_num": pa.array([num], pa.int64()),
+        "kappa_den": pa.array([den], pa.int64()),
+        "kappa": pa.array([r6(float(num) / float(den))], pa.float64()),
+    }))

@@ -507,3 +507,37 @@ def test_typo_clusters_chain_and_min_root():
         == "abcd.com"
     assert got["zz.net"] == got["zy.net"] == "zy.net"
     assert "lonely.org" not in got  # singleton: no pair, not emitted
+
+
+def test_cohen_kappa_perfect_and_chance():
+    """kappa = 1 for perfect agreement; kappa ~ 0 when the prediction is
+    independent of the label (hand 2x2 matrices via the exact formula)."""
+    # exact formula check, independent of lang_id: perfect agreement
+    # n=4, agree=4, E = 2*2 + 2*2 = 8 -> (16-8)/(16-8) = 1
+    n, agree, E = 4, 4, 8
+    assert (n * agree - E) / (n * n - E) == 1.0
+    # independence: 2x2 with all cells equal -> agree = n/2,
+    # E = (n/2)^2 * 2 = n^2/2 -> numerator n*n/2 - n^2/2 = 0
+    n, agree, E = 8, 4, 32
+    assert (n * agree - E) == 0
+
+    # engine smoke on a tiny table where lang == lang_id prediction is
+    # guaranteed agree-or-not deterministic: just assert bounds
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import cohen_kappa
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["the of and to", "el la de que",
+                          "der die und das", "the the the of"], pa.string()),
+        "lang": pa.array(["en", "es", "de", "en"], pa.string()),
+    })
+    out = cohen_kappa(rd.from_arrow(docs)).to_pandas()
+    k = float(out["kappa"].iloc[0])
+    assert -1.0 <= k <= 1.0
+    assert int(out["n"].iloc[0]) == 4
+    # exact identity between the reported ratio and its integer pieces
+    assert abs(k - int(out["kappa_num"].iloc[0])
+               / int(out["kappa_den"].iloc[0])) < 1e-6
