@@ -2554,6 +2554,14 @@ def _q_ab_lift(sf_dir: str):
     return t
 
 
+def _q_theil_sen_trend(sf_dir: str):
+    """Theil-Sen robust daily trend: exact integer median of lcm-scaled
+    pairwise slopes (stages/events.theil_sen_trend)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.theil_sen_trend(events.read_events(sf_dir))
+
+
 def _q_type_burstiness(sf_dir: str):
     """Per-type Fano factor of hourly counts over the global hour range
     (stages/events.type_burstiness)."""
@@ -3165,6 +3173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_stationary": _q_markov_stationary,
         "haar_energy": _q_haar_energy,
         "type_burstiness": _q_type_burstiness,
+        "theil_sen_trend": _q_theil_sen_trend,
         "running_totals": _q_running_totals,
         "event_gaps": _q_event_gaps,
         "event_transitions": _q_event_transitions,
@@ -3431,6 +3440,7 @@ def oracle_sql() -> dict[str, str]:
         "markov_stationary": oc.markov_stationary_sql(),
         "haar_energy": oc.haar_energy_sql(),
         "type_burstiness": oc.type_burstiness_sql(),
+        "theil_sen_trend": oc.theil_sen_trend_sql(),
         "running_totals": oc.running_totals_sql(),
         "event_gaps": oc.event_gaps_sql(),
         "event_transitions": oc.event_transitions_sql(),

@@ -4006,6 +4006,50 @@ SELECT from_type, to_type, n,
 FROM cnt ORDER BY from_type, to_type"""
 
 
+def theil_sen_trend_sql(max_days: int | None = None) -> str:
+    """Oracle of stages/events.theil_sen_trend: dense daily series, all
+    pairwise slopes scaled by the FIXED lcm(1..max_days) so the median
+    selection is pure-integer, round6 of med2/(2L)."""
+    from math import gcd
+
+    from ..stages import events
+    from .oracles import round6
+
+    md = events.THEIL_MAX_DAYS if max_days is None else max_days
+    L = 1
+    for i in range(1, md + 1):
+        L = L * i // gcd(L, i)
+    return f"""WITH ev AS (
+  SELECT epoch_us(ts) // 86400000000 AS d FROM events
+), h AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1
+), dense AS (
+  SELECT g.d - (SELECT min(d) FROM h) AS i,
+    CAST(coalesce(h.c, 0) AS BIGINT) AS c
+  FROM (SELECT unnest(generate_series((SELECT min(d) FROM h),
+                                      (SELECT max(d) FROM h))) AS d) g
+  LEFT JOIN h ON h.d = g.d
+), pairs AS MATERIALIZED (
+  SELECT CAST(b.c - a.c AS HUGEINT) * ({L} // (b.i - a.i)) AS s
+  FROM dense a JOIN dense b ON b.i > a.i
+), st AS (
+  SELECT CAST(count(*) AS BIGINT) AS np FROM pairs
+), ranked AS MATERIALIZED (
+  SELECT s, row_number() OVER (ORDER BY s) AS rn FROM pairs
+), med AS (
+  SELECT st.np,
+    CASE WHEN st.np % 2 = 1
+      THEN 2 * (SELECT s FROM ranked WHERE rn = (st.np + 1) // 2)
+      ELSE (SELECT s FROM ranked WHERE rn = st.np // 2)
+         + (SELECT s FROM ranked WHERE rn = st.np // 2 + 1) END AS med2
+  FROM st
+)
+SELECT CAST((SELECT count(*) FROM dense) AS BIGINT) AS n_days,
+  med.np AS n_pairs,
+  {round6(f'CAST(med.med2 AS DOUBLE) / CAST(2 * {L} AS DOUBLE)')} AS slope
+FROM med"""
+
+
 def type_burstiness_sql() -> str:
     """Oracle of stages/events.type_burstiness: per-type hourly counts
     over the GLOBAL hour range, fano = (n*S2 - S1^2)/(n*S1) in HUGEINT,

@@ -2316,3 +2316,74 @@ def type_burstiness(ds):
         "total": pa.array(out_s1, pa.int64()),
         "fano": pa.array(out_f, pa.float64()),
     }))
+
+
+THEIL_MAX_DAYS = 30
+
+
+def theil_sen_trend(ds, max_days: int = THEIL_MAX_DAYS):
+    """events -> ONE row (n_days, n_pairs, slope): the THEIL-SEN robust
+    trend of the dense DAILY event-count series — the median of all
+    pairwise slopes ``(y_j - y_i)/(j - i)``, the outlier-immune
+    alternative to the OLS trend (one crawler outage day cannot bend it).
+
+    EXACT median of RATIONALS: every slope is scaled by ``L = lcm(1..D-1)``
+    (D <= ``max_days`` + 1 dense days; L(30) ~ 2.3e12 fits int64) so the
+    candidate set is pure integers with a total order — no float enters
+    the selection.  ``slope = round6(med2 / (2 * L))`` where ``med2`` is
+    the middle value doubled (odd count) or the sum of the two middles
+    (even), ONE shared float division.  Scale shape: one bounded
+    day-keyed count reduce; the O(D^2) pair set (<= 465 rows) is driver
+    arithmetic."""
+    import ray.data as rd
+
+    from math import gcd
+
+    from ..functions.reduce import hash_groupby
+
+    def counts(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table({"d": pa.array(uniq),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    hist = hash_groupby(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        "d", ["cnt"], how="isum",
+    ).to_pandas().sort_values("d")
+    if len(hist) == 0:
+        raise ValueError("theil_sen_trend: no events")
+    dd = hist["d"].to_numpy(np.int64)
+    lo, hi = int(dd[0]), int(dd[-1])
+    D = hi - lo + 1
+    if D - 1 > max_days:
+        raise ValueError(
+            f"theil_sen_trend: {D} days exceeds max_days={max_days} — the "
+            "lcm scale would overflow; bucket to weeks first")
+    y = np.zeros(D, dtype=np.int64)
+    y[dd - lo] = hist["cnt"].to_numpy(np.int64)
+    # FIXED scale L = lcm(1..max_days) (constant, shared with the oracle —
+    # a data-dependent lcm could not be interpolated into the SQL)
+    L = 1
+    for i in range(1, max_days + 1):
+        L = L * i // gcd(L, i)
+    slopes = []
+    for i in range(D):
+        for j in range(i + 1, D):
+            slopes.append((int(y[j]) - int(y[i])) * (L // (j - i)))
+    slopes.sort()
+    n_pairs = len(slopes)
+    if n_pairs == 0:
+        raise ValueError("theil_sen_trend: need >= 2 days")
+    if n_pairs % 2 == 1:
+        med2 = 2 * slopes[n_pairs // 2]
+    else:
+        med2 = slopes[n_pairs // 2 - 1] + slopes[n_pairs // 2]
+    slope = float(med2) / float(2 * L)
+    r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return rd.from_arrow(pa.table({
+        "n_days": pa.array([D], pa.int64()),
+        "n_pairs": pa.array([n_pairs], pa.int64()),
+        "slope": pa.array([r6(slope)], pa.float64()),
+    }))

@@ -720,3 +720,33 @@ def test_type_burstiness_poisson_vs_burst():
     assert float(out.loc["steady", "fano"]) == 0.0
     # burst: n=16, S1=16, S2=256 -> (16*256 - 256) / (16*16) = 15.0
     assert abs(float(out.loc["burst", "fano"]) - 15.0) < 1e-9
+
+
+def test_theil_sen_outlier_immunity():
+    """A clean slope-2 daily series gives exactly slope 2; corrupting one
+    day with a huge outlier leaves the Theil-Sen median unchanged (the
+    defining robustness property) while the OLS slope would move."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import theil_sen_trend
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    DAY = np.timedelta64(1, "D").astype("timedelta64[us]")
+
+    def build(counts):
+        ts = []
+        for i, c in enumerate(counts):
+            ts += [base + i * DAY] * int(c)
+        return rd.from_arrow(pa.table({"ts": pa.array(ts)}))
+
+    clean = [2 * i + 3 for i in range(9)]
+    out = theil_sen_trend(build(clean)).to_pandas()
+    assert abs(float(out["slope"].iloc[0]) - 2.0) < 1e-9
+    assert int(out["n_pairs"].iloc[0]) == 36
+
+    dirty = list(clean)
+    dirty[4] += 500  # one crawler-burst day
+    o2 = theil_sen_trend(build(dirty)).to_pandas()
+    assert abs(float(o2["slope"].iloc[0]) - 2.0) < 1e-9
