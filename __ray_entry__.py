@@ -224,6 +224,14 @@ def _q_hotspot_gi(sf_dir: str):
     return _round6_cols(hotspot_gi(_cells(sf_dir), "page_count", k=1), ["gi_z"]).sort("cell")
 
 
+def _q_directional_variogram(sf_dir: str):
+    """Directional lag-1 semivariogram (6 hex directions): anisotropy
+    diagnostic (stages/hotspot.directional_variogram)."""
+    from cuda_gis_smoothing_ray.stages.hotspot import directional_variogram
+
+    return directional_variogram(_cells(sf_dir), "page_count")
+
+
 def _q_emerging_hotspots(sf_dir: str):
     """Emerging-hot-spot analysis over the 3-snapshot spatiotemporal cube:
     per-day exact mean-cleared hot flags, persistent/emerging classes
@@ -3262,6 +3270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "isoline_cells": _q_isoline_cells,
         "geary_c": _q_geary_c,
         "emerging_hotspots": _q_emerging_hotspots,
+        "directional_variogram": _q_directional_variogram,
         "semivariogram": _q_semivariogram,
         "otsu_threshold": _q_otsu_threshold,
         "hist_equalize": _q_hist_equalize,
@@ -3559,6 +3568,7 @@ def oracle_sql() -> dict[str, str]:
         "isoline_cells": o.isoline_cells_sql(RES, k=1),
         "geary_c": o.geary_c_sql(RES),
         "emerging_hotspots": o.emerging_hotspots_sql(RES, 3),
+        "directional_variogram": o.directional_variogram_sql(RES),
         "semivariogram": o.semivariogram_sql(RES),
         "otsu_threshold": o.otsu_threshold_sql(RES),
         "hist_equalize": o.hist_equalize_sql(RES),

@@ -1011,6 +1011,33 @@ FROM nbrcnt n LEFT JOIN cells p ON p.q = n.q AND p.r = n.r
 ORDER BY cell"""
 
 
+def directional_variogram_sql(res: int) -> str:
+    """Oracle of stages/hotspot.directional_variogram: per ring-1 offset,
+    exact HUGEINT pair sums of (z_i - z_j)^2 and counts, round6 gamma;
+    directions with no present pair emit zeros."""
+    rows = ", ".join(f"({i}, {dq}, {dr})"
+                     for i, (dq, dr) in enumerate(hexgrid.ring_offsets(1)))
+    return f"""{prelude(res)},
+offsets(oi, dq, dr) AS (VALUES {rows}),
+pr AS (
+  SELECT o.oi,
+    CAST(sum(CAST(c.page_count - n.page_count AS HUGEINT)
+             * (c.page_count - n.page_count)) AS BIGINT) AS s,
+    CAST(count(*) AS BIGINT) AS c
+  FROM offsets o
+  JOIN cells c ON true
+  JOIN cells n ON n.q = c.q + o.dq AND n.r = c.r + o.dr
+  GROUP BY 1
+)
+SELECT CAST(o.dq AS BIGINT) AS dq, CAST(o.dr AS BIGINT) AS dr,
+  CAST(coalesce(pr.c, 0) AS BIGINT) AS n_pairs,
+  CASE WHEN coalesce(pr.c, 0) > 0
+    THEN {round6('CAST(pr.s AS DOUBLE) / (2.0 * pr.c)')}
+    ELSE 0.0 END AS gamma
+FROM offsets o LEFT JOIN pr ON pr.oi = o.oi
+ORDER BY o.oi"""
+
+
 def emerging_hotspots_sql(res: int, replicate: int = 3) -> str:
     """Oracle of stages/hotspot.emerging_hotspots over the spatiotemporal
     cube: per-day exact mean-cleared hot flags, per-cell day rollup,

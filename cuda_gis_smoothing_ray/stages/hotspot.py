@@ -992,3 +992,113 @@ def emerging_hotspots(st_ds):
         "last_hot": pa.array(last_hot),
         "category": pa.array(cat),
     })).sort("cell")
+
+
+def directional_variogram(cells_ds, value_col: str = "page_count"):
+    """cells -> 6 rows (dq, dr, n_pairs, gamma): the DIRECTIONAL
+    semivariogram at lag 1 — ``gamma_o = sum over present pairs along
+    offset o of (z_i - z_j)^2 / (2 * n_pairs_o)`` separately for each of
+    the 6 hex directions, the ANISOTROPY diagnostic (a north-south
+    gradient shows as unequal direction gammas; the omnidirectional
+    :func:`semivariogram` averages it away).
+
+    Same exactness/scale shape as the semivariogram: one scatter-combine
+    with per-DIRECTION channels, the per-cell closed form ``nc*z^2 -
+    2*z*sx + sxx`` (here nc is 0/1: one neighbor per direction), a
+    6-key exact reduce, one round6 division per direction.  Ordered
+    pairs: offset o and -o are distinct rows (each unordered pair appears
+    once in each of the two opposite directions)."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    offs = hexgrid.ring_offsets(1)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        z = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nn = len(cell)
+        res, q, r = hexgrid.unpack(cell)
+        res0 = int(np.atleast_1d(res)[0]) if nn else 7
+        targets = [cell]
+        chan: dict[str, list] = {}
+        for oi in range(len(offs)):
+            chan[f"nc_{oi}"] = [np.zeros(nn, np.int64)]
+            chan[f"sx_{oi}"] = [np.zeros(nn, np.int64)]
+            chan[f"sxx_{oi}"] = [np.zeros(nn, np.int64)]
+        chan["oz"] = [z]
+        chan["cs"] = [np.ones(nn, np.int64)]
+        for oi, (dq, dr) in enumerate(offs):
+            # scatter MY value to the neighbor at offset o; at the reduce,
+            # the TARGET cell sees its offset -o... to keep direction
+            # attribution at the CENTER, scatter to cell + o and store in
+            # channel oi: the receiving cell's channel oi then holds the
+            # value of its neighbor at offset -o.  Pairing (cell, cell+o)
+            # once per direction is exactly this.
+            t = hexgrid.pack(res0, q + dq, r + dr)
+            targets.append(t)
+            for oj in range(len(offs)):
+                same = oj == oi
+                chan[f"nc_{oj}"].append(
+                    np.ones(nn, np.int64) if same else np.zeros(nn, np.int64))
+                chan[f"sx_{oj}"].append(z if same else np.zeros(nn, np.int64))
+                chan[f"sxx_{oj}"].append(
+                    z * z if same else np.zeros(nn, np.int64))
+            chan["oz"].append(np.zeros(nn, np.int64))
+            chan["cs"].append(np.zeros(nn, np.int64))
+        all_t = np.concatenate(targets)
+        uniq, inv = np.unique(all_t, return_inverse=True)
+        out = {"cell": pa.array(uniq)}
+        for name, parts in chan.items():
+            acc = np.zeros(len(uniq), np.int64)
+            np.add.at(acc, inv, np.concatenate(parts))
+            out[name] = pa.array(acc)
+        return pa.table(out)
+
+    cols = [f"{p}_{i}" for i in range(len(offs))
+            for p in ("nc", "sx", "sxx")] + ["oz", "cs"]
+    sums = hash_groupby(
+        cells_ds.map_batches(expand, batch_format="pyarrow"),
+        "cell", cols, how="isum",
+    )
+
+    def close(batch: pa.Table) -> pa.Table:
+        present = batch.column("cs").to_numpy(zero_copy_only=False) > 0
+        z = batch.column("oz").to_numpy(zero_copy_only=False)[present]
+        out_i, out_s, out_c = [], [], []
+        for oi in range(len(offs)):
+            nc = batch.column(f"nc_{oi}").to_numpy(
+                zero_copy_only=False)[present]
+            sx = batch.column(f"sx_{oi}").to_numpy(
+                zero_copy_only=False)[present]
+            sxx = batch.column(f"sxx_{oi}").to_numpy(
+                zero_copy_only=False)[present]
+            out_i.append(oi)
+            out_s.append(int(np.sum(nc * z * z - 2 * z * sx + sxx)))
+            out_c.append(int(nc.sum()))
+        return pa.table({"oi": pa.array(out_i, pa.int64()),
+                         "s": pa.array(out_s, pa.int64()),
+                         "c": pa.array(out_c, pa.int64())})
+
+    red = hash_groupby(
+        sums.map_batches(close, batch_format="pyarrow"),
+        "oi", ["s", "c"], how="isum",
+    ).to_pandas().sort_values("oi")
+    r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    rows = {"dq": [], "dr": [], "n_pairs": [], "gamma": []}
+    sc = {int(i): (int(s), int(c))
+          for i, s, c in zip(red["oi"], red["s"], red["c"])}
+    for oi, (dq, dr) in enumerate(offs):
+        s, c = sc.get(oi, (0, 0))
+        rows["dq"].append(dq)
+        rows["dr"].append(dr)
+        rows["n_pairs"].append(c)
+        rows["gamma"].append(r6(s / (2.0 * c)) if c > 0 else 0.0)
+    return rd.from_arrow(pa.table({
+        "dq": pa.array(rows["dq"], pa.int64()),
+        "dr": pa.array(rows["dr"], pa.int64()),
+        "n_pairs": pa.array(rows["n_pairs"], pa.int64()),
+        "gamma": pa.array(rows["gamma"], pa.float64()),
+    }))

@@ -280,3 +280,34 @@ def test_emerging_hotspots_classes():
     assert int(out.loc[300, "category"]) == 0
     assert int(out.loc[200, "days_hot"]) == 1
     assert int(out.loc[100, "days_hot"]) == 3
+
+
+def test_directional_variogram_anisotropy():
+    """A pure q-gradient field: gamma is positive exactly along the two
+    +-(1,0) directions, zero along (0,+-1) (constant in r... the axial
+    (0,1) offset changes r only — value constant), and opposite
+    directions are equal by construction; cross-checked brute force."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.functions import hexgrid
+    from cuda_gis_smoothing_ray.stages.hotspot import directional_variogram
+
+    res = 7
+    qs, rs = np.meshgrid(np.arange(5), np.arange(5))
+    qs, rs = qs.ravel().astype(np.int64), rs.ravel().astype(np.int64)
+    v = (10 * qs).astype(np.int64)  # varies with q only
+    ds = rd.from_arrow(pa.table({
+        "cell": pa.array(hexgrid.pack(res, qs, rs)),
+        "page_count": pa.array(v)}))
+    out = directional_variogram(ds, "page_count").to_pandas()
+    g = {(int(r.dq), int(r.dr)): (float(r.gamma), int(r.n_pairs))
+         for r in out.itertuples()}
+    # opposite directions identical
+    for (dq, dr), (gam, n) in g.items():
+        assert g[(-dq, -dr)] == (gam, n)
+    assert g[(1, 0)][0] == 50.0     # (10)^2 / 2
+    assert g[(0, 1)][0] == 0.0      # value constant along r
+    # diagonal (1,-1): dq=1 -> value diff 10 -> gamma 50
+    assert g[(1, -1)][0] == 50.0
+    # brute pair count along (1,0): 4 pairs per row x 5 rows
+    assert g[(1, 0)][1] == 20
