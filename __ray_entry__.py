@@ -2562,6 +2562,14 @@ def _q_ab_lift(sf_dir: str):
     return t
 
 
+def _q_hot_runs(sf_dir: str):
+    """Gaps-and-islands: maximal runs of above-mean hours in the dense
+    series (stages/events.hot_runs)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.hot_runs(events.read_events(sf_dir))
+
+
 def _q_theil_sen_trend(sf_dir: str):
     """Theil-Sen robust daily trend: exact integer median of lcm-scaled
     pairwise slopes (stages/events.theil_sen_trend)."""
@@ -3182,6 +3190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "haar_energy": _q_haar_energy,
         "type_burstiness": _q_type_burstiness,
         "theil_sen_trend": _q_theil_sen_trend,
+        "hot_runs": _q_hot_runs,
         "running_totals": _q_running_totals,
         "event_gaps": _q_event_gaps,
         "event_transitions": _q_event_transitions,
@@ -3450,6 +3459,7 @@ def oracle_sql() -> dict[str, str]:
         "haar_energy": oc.haar_energy_sql(),
         "type_burstiness": oc.type_burstiness_sql(),
         "theil_sen_trend": oc.theil_sen_trend_sql(),
+        "hot_runs": oc.hot_runs_sql(),
         "running_totals": oc.running_totals_sql(),
         "event_gaps": oc.event_gaps_sql(),
         "event_transitions": oc.event_transitions_sql(),

@@ -4006,6 +4006,31 @@ SELECT from_type, to_type, n,
 FROM cnt ORDER BY from_type, to_type"""
 
 
+def hot_runs_sql() -> str:
+    """Oracle of stages/events.hot_runs: the classic gaps-and-islands
+    row_number-difference grouping over the dense hourly series, exact
+    HUGEINT mean-cleared hot flag."""
+    return """WITH h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+), dense AS (
+  SELECT g.hr, CAST(coalesce(h.cnt, 0) AS BIGINT) AS x
+  FROM (SELECT unnest(generate_series((SELECT min(hr) FROM h),
+                                      (SELECT max(hr) FROM h))) AS hr) g
+  LEFT JOIN h ON h.hr = g.hr
+), st AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS s1
+  FROM dense
+), isl AS (
+  SELECT d.hr, d.hr - row_number() OVER (ORDER BY d.hr) AS grp
+  FROM dense d, st
+  WHERE CAST(d.x AS HUGEINT) * st.n >= st.s1
+)
+SELECT CAST(min(hr) AS BIGINT) AS run_start,
+  CAST(count(*) AS BIGINT) AS run_len
+FROM isl GROUP BY grp ORDER BY run_start"""
+
+
 def theil_sen_trend_sql(max_days: int | None = None) -> str:
     """Oracle of stages/events.theil_sen_trend: dense daily series, all
     pairwise slopes scaled by the FIXED lcm(1..max_days) so the median

@@ -2387,3 +2387,49 @@ def theil_sen_trend(ds, max_days: int = THEIL_MAX_DAYS):
         "n_pairs": pa.array([n_pairs], pa.int64()),
         "slope": pa.array([r6(slope)], pa.float64()),
     }))
+
+
+def hot_runs(ds):
+    """events -> (run_start, run_len): the ISLANDS of the hourly series —
+    maximal runs of consecutive hours whose count clears the exact series
+    mean (``x*n >= S1``), ordered by start hour.  The gaps-and-islands
+    pattern (SQL: row_number difference groups) over the same dense
+    zero-filled series as :func:`burst_hours` — "how long do hot periods
+    last", complementing the per-hour flags.
+
+    EXACT integer threshold and run arithmetic; scale shape: one bounded
+    hour-keyed reduce, the run-length pass is a vectorized np.diff on the
+    bounded dense series."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    def counts(batch: pa.Table) -> pa.Table:
+        h = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[h]").astype(np.int64)
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(uniq),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    hist = hash_groupby(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        "h", ["cnt"], how="isum",
+    ).to_pandas().sort_values("h")
+    if len(hist) == 0:
+        raise ValueError("hot_runs: no events")
+    hs = hist["h"].to_numpy(np.int64)
+    lo, hi = int(hs[0]), int(hs[-1])
+    x = np.zeros(hi - lo + 1, dtype=np.int64)
+    x[hs - lo] = hist["cnt"].to_numpy(np.int64)
+    n = len(x)
+    s1 = int(x.sum())
+    hot = (x.astype(object) * n >= s1)
+    hot = np.asarray(hot, dtype=bool)
+    padded = np.concatenate([[False], hot, [False]])
+    d = np.diff(padded.astype(np.int8))
+    starts = np.flatnonzero(d == 1)
+    ends = np.flatnonzero(d == -1)
+    return rd.from_arrow(pa.table({
+        "run_start": pa.array((lo + starts).astype(np.int64)),
+        "run_len": pa.array((ends - starts).astype(np.int64)),
+    }))

@@ -750,3 +750,27 @@ def test_theil_sen_outlier_immunity():
     dirty[4] += 500  # one crawler-burst day
     o2 = theil_sen_trend(build(dirty)).to_pandas()
     assert abs(float(o2["slope"].iloc[0]) - 2.0) < 1e-9
+
+
+def test_hot_runs_islands():
+    """Hand series: two islands of above-mean hours with a gap — runs are
+    (start, len) = exactly the islands; a run touching the series end
+    closes properly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import hot_runs
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    H = np.timedelta64(1, "h")
+    # counts per hour: [9, 9, 1, 1, 9, 9, 9] -> mean 47/7 ~ 6.7
+    counts = [9, 9, 1, 1, 9, 9, 9]
+    ts = []
+    for i, c in enumerate(counts):
+        ts += [base + i * H] * c
+    out = hot_runs(rd.from_arrow(
+        pa.table({"ts": pa.array(ts)}))).to_pandas()
+    h0 = int(np.datetime64("2024-01-01T00", "h").astype(np.int64))
+    got = list(zip(out["run_start"], out["run_len"]))
+    assert got == [(h0, 2), (h0 + 4, 3)]
