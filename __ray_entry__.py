@@ -1289,6 +1289,19 @@ def _q_common_neighbors(sf_dir: str):
     return tri.common_neighbors(docs, n_docs)
 
 
+def _q_graph_reciprocity(sf_dir: str):
+    """Reciprocity of the directed host graph: mutual-edge fraction in
+    exact integers (stages/pagerank.graph_reciprocity)."""
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages import pagerank as pr
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    docs = read_documents(sf_dir, columns=("doc_id",))
+    return pr.graph_reciprocity(docs, n_docs)
+
+
 def _q_degree_assortativity(sf_dir: str):
     """Degree assortativity of the community graph: stub-degree Pearson r
     in exact integers (stages/triangles.degree_assortativity)."""
@@ -3106,6 +3119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar": _q_adamic_adar,
         "graph_modularity": _q_graph_modularity,
         "degree_assortativity": _q_degree_assortativity,
+        "graph_reciprocity": _q_graph_reciprocity,
         "clustering_coeff": _q_clustering_coeff,
         "dup_ngram_stats": _q_dup_ngrams,
         "remove_boilerplate": _q_remove_boilerplate,
@@ -3370,6 +3384,7 @@ def oracle_sql() -> dict[str, str]:
         "adamic_adar": oc.adamic_adar_sql(),
         "graph_modularity": oc.graph_modularity_sql(),
         "degree_assortativity": oc.degree_assortativity_sql(),
+        "graph_reciprocity": oc.graph_reciprocity_sql(),
         "clustering_coeff": oc.clustering_coeff_sql(),
         "dup_ngram_stats": oc.dup_ngram_stats_sql(),
         "remove_boilerplate": oc.remove_boilerplate_sql(n=5, min_df=2),

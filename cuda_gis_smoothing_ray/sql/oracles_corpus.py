@@ -1733,6 +1733,38 @@ GROUP BY comm
 ORDER BY comm"""
 
 
+def graph_reciprocity_sql() -> str:
+    """Oracle of stages/pagerank.graph_reciprocity: DISTINCT directed
+    host edges, mutual = edges whose reverse exists (self-join), one
+    round6 division."""
+    from ..functions import geocode
+    from ..stages import pagerank as pr
+    from .oracles import round6
+
+    mult, mod = geocode.TLD_MULT, geocode.HOST_MOD
+    nd = "(SELECT count(*) FROM documents)"
+    host = f"(doc_id * {mult}) % {mod}"
+    dhost1 = f"(((doc_id * {pr.EDGE_MULT} + {pr.EDGE_ADD}) % {nd}) * {mult}) % {mod}"
+    dhost2 = (f"(((doc_id * doc_id * {pr.EDGE_MULT2} + {pr.EDGE_ADD2}) % {nd})"
+              f" * {mult}) % {mod}")
+    return f"""WITH e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT {host} AS src, {dhost1} AS dst FROM documents
+    UNION ALL
+    SELECT {host} AS src, {dhost2} AS dst FROM documents
+  ) WHERE src <> dst
+), st AS (
+  SELECT CAST(count(*) AS BIGINT) AS m,
+    CAST(sum(CASE WHEN EXISTS (
+      SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)
+      THEN 1 ELSE 0 END) AS BIGINT) AS mutual
+  FROM e
+)
+SELECT m, mutual,
+  {round6('CAST(mutual AS DOUBLE) / m')} AS reciprocity
+FROM st"""
+
+
 def degree_assortativity_sql(comm_mod: int | None = None) -> str:
     """Oracle of stages/triangles.degree_assortativity: stub-degree
     moments over both edge orientations, exact HUGEINT, one round6

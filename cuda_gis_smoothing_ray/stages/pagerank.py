@@ -453,3 +453,82 @@ def hits(docs_ds, n_docs: int, iterations: int = HITS_ITERS):
         .map_groups(zip_scores)
         .sort("host")
     )
+
+
+def graph_reciprocity(docs_ds, n_docs: int):
+    """documents -> ONE row (m, mutual, reciprocity): RECIPROCITY of the
+    directed host graph — the fraction of directed edges whose reverse
+    edge also exists (mutual links; near 0 for a broadcast-shaped web,
+    near 1 for a social graph).  Uses the same DISTINCT directed edge set
+    as :func:`pagerank`.
+
+    EXACT: m and the mutual count are integers (a directed edge (u,v) is
+    mutual iff (v,u) exists — detected by one packed-key co-partition
+    with both orientations tagged), one round6 division.  Scale shape:
+    the host_graph dedup shuffle + ONE more packed-key partition pass."""
+    from ..functions.reduce import hash_groupby
+
+    mod = np.int64(geocode.HOST_MOD)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        src = np.concatenate([geocode.host_id(d), geocode.host_id(d)])
+        dst = np.concatenate([
+            geocode.host_id((d * EDGE_MULT + EDGE_ADD) % n_docs),
+            geocode.host_id((d * d * EDGE_MULT2 + EDGE_ADD2) % n_docs),
+        ])
+        keep = src != dst
+        pack = src[keep] * mod + dst[keep]
+        u = np.unique(pack)
+        return pa.table({"key": pa.array(u),
+                         "one": pa.array(np.ones(len(u), np.int64))})
+
+    edges = hash_groupby(
+        docs_ds.map_batches(emit, batch_format="pyarrow", batch_size=None),
+        "key", ["one"], how="min",
+    ).materialize()
+
+    # tag each edge under its UNORDERED pair key with a direction bit;
+    # a pair seen in both directions contributes 2 mutual edges
+    def unordered(batch: pa.Table) -> pa.Table:
+        p = batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        s, t = p // mod, p % mod
+        a = np.minimum(s, t)
+        b = np.maximum(s, t)
+        fwd = (s < t).astype(np.int64)
+        return pa.table({"key": pa.array(a * mod + b),
+                         "fwd": pa.array(fwd),
+                         "bwd": pa.array(1 - fwd)})
+
+    pairs = hash_groupby(
+        edges.map_batches(unordered, batch_format="pyarrow",
+                          batch_size=None),
+        "key", ["fwd", "bwd"], how="isum",
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        f = batch.column("fwd").to_numpy(zero_copy_only=False)
+        b = batch.column("bwd").to_numpy(zero_copy_only=False)
+        mutual = int((2 * ((f > 0) & (b > 0)).sum()))
+        m = int(f.sum() + b.sum())
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "m": pa.array([m], pa.int64()),
+                         "mutual": pa.array([mutual], pa.int64())})
+
+    red = hash_groupby(
+        pairs.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        "k", ["m", "mutual"], how="isum",
+    ).to_pandas()
+    m = int(red["m"].sum())
+    mutual = int(red["mutual"].sum())
+    if m == 0:
+        raise ValueError("graph_reciprocity: empty graph")
+    r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "m": pa.array([m], pa.int64()),
+        "mutual": pa.array([mutual], pa.int64()),
+        "reciprocity": pa.array([r6(mutual / m)], pa.float64()),
+    }))

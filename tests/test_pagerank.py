@@ -120,3 +120,34 @@ def test_bfs_hops_matches_numpy():
     assert got == want
     # non-vacuous: seeds at 0, and at least two other distance levels reached
     assert len(set(want.values())) >= 3
+
+
+def test_graph_reciprocity_brute():
+    """Reciprocity equals the brute-force directed-edge check, with
+    mutual always even and bounded by m."""
+    import numpy as np
+
+    from cuda_gis_smoothing_ray.functions import geocode
+    from cuda_gis_smoothing_ray.stages import pagerank as pr
+
+    n = 300
+    d = np.arange(n, dtype=np.int64)
+    src = np.concatenate([geocode.host_id(d), geocode.host_id(d)])
+    dst = np.concatenate([
+        geocode.host_id((d * pr.EDGE_MULT + pr.EDGE_ADD) % n),
+        geocode.host_id((d * d * pr.EDGE_MULT2 + pr.EDGE_ADD2) % n),
+    ])
+    keep = src != dst
+    edges = set(zip(src[keep].tolist(), dst[keep].tolist()))
+    mutual = sum(1 for (u, v) in edges if (v, u) in edges)
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    docs = rd.from_arrow(pa.table(
+        {"doc_id": pa.array(np.arange(n, dtype=np.int64))}))
+    out = pr.graph_reciprocity(docs, n).to_pandas()
+    assert int(out["m"].iloc[0]) == len(edges)
+    assert int(out["mutual"].iloc[0]) == mutual
+    assert mutual % 2 == 0
+    assert 0 <= mutual <= len(edges)
