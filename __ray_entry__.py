@@ -224,6 +224,14 @@ def _q_hotspot_gi(sf_dir: str):
     return _round6_cols(hotspot_gi(_cells(sf_dir), "page_count", k=1), ["gi_z"]).sort("cell")
 
 
+def _q_moran_correlogram(sf_dir: str):
+    """Spatial correlogram: Moran's I at exact hex lags 1..3
+    (stages/hotspot.moran_correlogram)."""
+    from cuda_gis_smoothing_ray.stages.hotspot import moran_correlogram
+
+    return moran_correlogram(_cells(sf_dir), "page_count")
+
+
 def _q_directional_variogram(sf_dir: str):
     """Directional lag-1 semivariogram (6 hex directions): anisotropy
     diagnostic (stages/hotspot.directional_variogram)."""
@@ -3294,6 +3302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geary_c": _q_geary_c,
         "emerging_hotspots": _q_emerging_hotspots,
         "directional_variogram": _q_directional_variogram,
+        "moran_correlogram": _q_moran_correlogram,
         "semivariogram": _q_semivariogram,
         "otsu_threshold": _q_otsu_threshold,
         "hist_equalize": _q_hist_equalize,
@@ -3594,6 +3603,7 @@ def oracle_sql() -> dict[str, str]:
         "geary_c": o.geary_c_sql(RES),
         "emerging_hotspots": o.emerging_hotspots_sql(RES, 3),
         "directional_variogram": o.directional_variogram_sql(RES),
+        "moran_correlogram": o.moran_correlogram_sql(RES),
         "semivariogram": o.semivariogram_sql(RES),
         "otsu_threshold": o.otsu_threshold_sql(RES),
         "hist_equalize": o.hist_equalize_sql(RES),

@@ -1011,6 +1011,46 @@ FROM nbrcnt n LEFT JOIN cells p ON p.q = n.q AND p.r = n.r
 ORDER BY cell"""
 
 
+def moran_correlogram_sql(res: int, max_d: int = 3) -> str:
+    """Oracle of stages/hotspot.moran_correlogram: exact-lag binary
+    weights per d, HUGEINT mean-cleared cross term numI = sum (n*x - Sx)
+    * (n*rx - Sx*rc) (cells with no lag-d neighbor contribute 0 — the
+    inner join is exact), one round6 division per lag."""
+    rows = []
+    for d in range(1, max_d + 1):
+        rows += [f"({d}, {dq}, {dr})" for dq, dr in hexgrid.ring_offsets(d)]
+    lag_rows = ", ".join(f"({d})" for d in range(1, max_d + 1))
+    return f"""{prelude(res)},
+offsets(d, dq, dr) AS (VALUES {", ".join(rows)}),
+st AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+    CAST(sum(page_count) AS HUGEINT) AS sx,
+    CAST(sum(CAST(page_count AS HUGEINT) * page_count) AS HUGEINT) AS sxx
+  FROM cells),
+nbr AS (
+  SELECT o.d AS d, c.cell, CAST(c.page_count AS HUGEINT) AS x,
+    CAST(sum(nb.page_count) AS HUGEINT) AS rx,
+    CAST(count(*) AS HUGEINT) AS rc
+  FROM cells c
+  CROSS JOIN offsets o
+  JOIN cells nb ON nb.q = c.q + o.dq AND nb.r = c.r + o.dr
+  GROUP BY 1, 2, c.page_count),
+agg AS (
+  SELECT d, CAST(sum(rc) AS HUGEINT) AS s0,
+    CAST(sum((st.n * x - st.sx) * (st.n * rx - st.sx * rc)) AS HUGEINT)
+      AS num
+  FROM nbr, st GROUP BY d)
+SELECT CAST(l.d AS BIGINT) AS d,
+  CAST(coalesce(agg.s0, 0) AS BIGINT) AS s0,
+  CASE WHEN coalesce(agg.s0, 0) > 0
+    THEN {round6('CAST(agg.num AS DOUBLE) / CAST(agg.s0'
+                 ' * (st.n * st.sxx - st.sx * st.sx) AS DOUBLE)')}
+    ELSE 0.0 END AS morans_i
+FROM (VALUES {lag_rows}) l(d)
+LEFT JOIN agg ON agg.d = l.d, st
+ORDER BY l.d"""
+
+
 def directional_variogram_sql(res: int) -> str:
     """Oracle of stages/hotspot.directional_variogram: per ring-1 offset,
     exact HUGEINT pair sums of (z_i - z_j)^2 and counts, round6 gamma;

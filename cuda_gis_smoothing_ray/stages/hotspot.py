@@ -1102,3 +1102,107 @@ def directional_variogram(cells_ds, value_col: str = "page_count"):
         "n_pairs": pa.array(rows["n_pairs"], pa.int64()),
         "gamma": pa.array(rows["gamma"], pa.float64()),
     }))
+
+
+def moran_correlogram(cells_ds, value_col: str = "page_count",
+                      max_d: int = 3):
+    """cells -> (d, s0, morans_i) for exact hex lags d = 1..max_d: the
+    SPATIAL CORRELOGRAM — Moran's I computed with exact-distance-d binary
+    weights per lag (how autocorrelation decays with distance; the
+    inferential twin of the :func:`semivariogram` and the lag profile
+    :func:`morans_i`'s cumulative k-ring blurs).
+
+        I_d = (n / S0_d) * sum_i (x_i - xbar)(rx_d_i - xbar * rc_d_i)
+              / sum_i (x_i - xbar)^2
+
+    Scale shape: ONE scatter-combine with per-lag (count, sum) channels
+    (the semivariogram plan without the squares), a bounded cell reduce,
+    exact integer moments; one float expression per lag, round6."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    if not 1 <= max_d <= 6:
+        raise ValueError("moran_correlogram: max_d must be in [1, 6]")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        z = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nn = len(cell)
+        res, q, r = hexgrid.unpack(cell)
+        res0 = int(np.atleast_1d(res)[0]) if nn else 7
+        targets = [cell]
+        chan: dict[str, list] = {}
+        for d in range(1, max_d + 1):
+            chan[f"rc_{d}"] = [np.zeros(nn, np.int64)]
+            chan[f"rx_{d}"] = [np.zeros(nn, np.int64)]
+        chan["oz"] = [z]
+        chan["cs"] = [np.ones(nn, np.int64)]
+        for d in range(1, max_d + 1):
+            offs = hexgrid.ring_offsets(d)
+            dq = np.array([o[0] for o in offs], np.int64)
+            dr = np.array([o[1] for o in offs], np.int64)
+            t = hexgrid.pack(res0, q[:, None] + dq[None, :],
+                             r[:, None] + dr[None, :]).ravel()
+            m = len(offs)
+            targets.append(t)
+            zz = np.broadcast_to(z[:, None], (nn, m)).ravel()
+            for dd in range(1, max_d + 1):
+                same = dd == d
+                chan[f"rc_{dd}"].append(
+                    np.ones(nn * m, np.int64) if same
+                    else np.zeros(nn * m, np.int64))
+                chan[f"rx_{dd}"].append(
+                    zz if same else np.zeros(nn * m, np.int64))
+            chan["oz"].append(np.zeros(nn * m, np.int64))
+            chan["cs"].append(np.zeros(nn * m, np.int64))
+        all_t = np.concatenate(targets)
+        uniq, inv = np.unique(all_t, return_inverse=True)
+        out = {"cell": pa.array(uniq)}
+        for name, parts in chan.items():
+            acc = np.zeros(len(uniq), np.int64)
+            np.add.at(acc, inv, np.concatenate(parts))
+            out[name] = pa.array(acc)
+        return pa.table(out)
+
+    cols = [f"{p}_{d}" for d in range(1, max_d + 1)
+            for p in ("rc", "rx")] + ["oz", "cs"]
+    sums = hash_groupby(
+        cells_ds.map_batches(expand, batch_format="pyarrow"),
+        "cell", cols, how="isum",
+    )
+
+    # finalize on the driver over the bounded cell table (the same
+    # aggregate-sized assumption as the raster codebook ops) so the
+    # mean-cleared cross term is an EXACT arbitrary-precision integer —
+    # a distributed float reduce would be partition-order dependent:
+    #   I_d = numI_d / (S0_d * (n*Sxx - Sx^2)),
+    #   numI_d = sum_i (n*x_i - Sx) * (n*rx_i - Sx*rc_i)
+    tab = sums.to_pandas()
+    present = tab["cs"].to_numpy(np.int64) > 0
+    z = tab["oz"].to_numpy(np.int64)[present].astype(object)
+    n = int(present.sum())
+    if n < 2:
+        raise ValueError("moran_correlogram: need >= 2 present cells")
+    sx = int(z.sum())
+    sxx = int((z * z).sum())
+    den_base = n * sxx - sx * sx
+    r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    rows = {"d": [], "s0": [], "morans_i": []}
+    for d in range(1, max_d + 1):
+        rc = tab[f"rc_{d}"].to_numpy(np.int64)[present].astype(object)
+        rx = tab[f"rx_{d}"].to_numpy(np.int64)[present].astype(object)
+        num = int(((z * n - sx) * (rx * n - sx * rc)).sum())
+        s0 = int(rc.sum())
+        rows["d"].append(d)
+        rows["s0"].append(s0)
+        rows["morans_i"].append(
+            r6(float(num) / float(s0 * den_base))
+            if s0 > 0 and den_base != 0 else 0.0)
+    return rd.from_arrow(pa.table({
+        "d": pa.array(rows["d"], pa.int64()),
+        "s0": pa.array(rows["s0"], pa.int64()),
+        "morans_i": pa.array(rows["morans_i"], pa.float64()),
+    }))

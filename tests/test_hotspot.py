@@ -311,3 +311,24 @@ def test_directional_variogram_anisotropy():
     assert g[(1, -1)][0] == 50.0
     # brute pair count along (1,0): 4 pairs per row x 5 rows
     assert g[(1, 0)][1] == 20
+
+
+def test_moran_correlogram_decay():
+    """A clustered field decays: I at lag 1 exceeds I at lag 3; lag-1 I
+    equals the standalone morans_i value on the same grid (same exact
+    formula, k=1 binary ring weights)."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.hotspot import (moran_correlogram,
+                                                       morans_i)
+
+    clustered = {(0, 0): 10, (1, 0): 9, (0, 1): 10, (1, -1): 9,
+                 (8, 8): 1, (9, 8): 2, (8, 9): 1, (9, 7): 2}
+    ds = _cells_ds(clustered)
+    out = moran_correlogram(ds, "page_count").to_pandas().set_index("d")
+    i1 = float(out.loc[1, "morans_i"])
+    i3 = float(out.loc[3, "morans_i"])
+    assert i1 > 0.5
+    assert i1 > i3
+    t = morans_i(_cells_ds(clustered), "page_count", k=1)
+    assert abs(i1 - t.column("morans_i")[0].as_py()) < 1e-6
