@@ -896,6 +896,14 @@ def _q_phrase_search(sf_dir: str):
     return textops.phrase_search(_docs(sf_dir))
 
 
+def _q_hapax_rate(sf_dir: str):
+    """Hapax legomena statistics: once-occurring vocabulary share, exact
+    counts (stages/textops.hapax_rate)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.hapax_rate(_docs(sf_dir))
+
+
 def _q_zipf_slope(sf_dir: str):
     """Zipf-law fit of the corpus: OLS of ln(count) on ln(rank) over the
     top-64 tokens, left-assoc folds (stages/textops.zipf_slope)."""
@@ -3102,6 +3110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_text_len": _q_zscore,
         "top_bigrams": _q_top_bigrams,
         "zipf_slope": _q_zipf_slope,
+        "hapax_rate": _q_hapax_rate,
         "phrase_search": _q_phrase_search,
         "unigram_drift": _q_unigram_drift,
         "rrf_fusion": _q_rrf_fusion,
@@ -3366,6 +3375,7 @@ def oracle_sql() -> dict[str, str]:
         "zscore_text_len": oc.zscore_text_len_sql(),
         "top_bigrams": oc.top_bigrams_sql(20),
         "zipf_slope": oc.zipf_slope_sql(),
+        "hapax_rate": oc.hapax_rate_sql(),
         "phrase_search": oc.phrase_search_sql(),
         "unigram_drift": oc.unigram_drift_sql(),
         "rrf_fusion": oc.rrf_fusion_sql(),

@@ -548,6 +548,29 @@ WHERE t0.tok = '{ph[0]}'
 GROUP BY 1 ORDER BY 1"""
 
 
+def hapax_rate_sql() -> str:
+    """Oracle of stages/textops.hapax_rate: token counts, hapax counts,
+    two round6 shares."""
+    from .oracles import round6
+
+    return f"""WITH lt AS (
+  SELECT list_filter(regexp_split_to_array(text, '\\s+'), s -> s != '') AS l
+  FROM documents
+), tc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(l) AS tok FROM lt) GROUP BY 1
+), st AS (
+  SELECT CAST(count(*) AS BIGINT) AS vocab,
+    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+    CAST(sum(cnt) AS BIGINT) AS n_tokens
+  FROM tc
+)
+SELECT vocab, n_hapax, n_tokens,
+  {round6('CAST(n_hapax AS DOUBLE) / vocab')} AS hapax_share,
+  {round6('CAST(n_hapax AS DOUBLE) / n_tokens')} AS token_share
+FROM st"""
+
+
 def zipf_slope_sql(k: int | None = None) -> str:
     """Oracle of stages/textops.zipf_slope: top-k token counts (ties
     ascending on the token), OLS of ln(cnt) on ln(rank) with all four

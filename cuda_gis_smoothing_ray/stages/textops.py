@@ -3872,3 +3872,80 @@ def cohen_kappa(ds):
         "kappa_den": pa.array([den], pa.int64()),
         "kappa": pa.array([r6(float(num) / float(den))], pa.float64()),
     }))
+
+
+def hapax_rate(ds, n_parts: int = _PAIR_PARTS):
+    """documents -> ONE row (vocab, n_hapax, n_tokens, hapax_share,
+    token_share): HAPAX LEGOMENA statistics — how much of the vocabulary
+    occurs exactly once (and what fraction of the token mass that is),
+    the classic productivity/OOV-pressure diagnostic a tokenizer-training
+    pipeline reads before fixing a vocab size (high hapax share = heavy
+    tail = bigger vocab or aggressive normalization needed).
+
+    EXACT integer counts; the two shares are round6 divisions.  Scale
+    shape: batch-local token counts, token-hash-partitioned vectorized
+    reduce, then a 3-scalar partial per partition — the vocabulary never
+    reaches the driver."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    from ..functions.hashing import fnv_token_hash64
+
+    def token_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"tok": pa.array([], pa.string()), "cnt": pa.array([], pa.int64()),
+             "__part": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.flatten()
+        nonempty = pc_.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = flat.filter(pa.array(nonempty))
+        if len(toks) == 0:
+            return empty
+        dic = toks.dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(codes, return_counts=True)
+        words = dic.dictionary.take(pa.array(uniq))
+        key = fnv_token_hash64(words).view(np.int64)
+        part = hashing.coarse_partition(key, n_parts)
+        return pa.table({"tok": words, "cnt": pa.array(cnt.astype(np.int64)),
+                         "__part": pa.array(part.astype(np.int64))})
+
+    def reduce_part(part: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        df = pd_.DataFrame({"tok": part.column("tok").to_pylist(),
+                            "cnt": part.column("cnt").to_numpy(
+                                zero_copy_only=False)})
+        g = df.groupby("tok", sort=False)["cnt"].sum()
+        c = g.to_numpy(np.int64)
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "vocab": pa.array([len(c)], pa.int64()),
+            "n_hapax": pa.array([int((c == 1).sum())], pa.int64()),
+            "n_tokens": pa.array([int(c.sum())], pa.int64()),
+        })
+
+    red = (
+        ds.map_batches(token_counts, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    ).to_pandas()
+    vocab = int(red["vocab"].sum())
+    n_hapax = int(red["n_hapax"].sum())
+    n_tokens = int(red["n_tokens"].sum())
+    if vocab == 0:
+        raise ValueError("hapax_rate: empty corpus")
+    r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return rd.from_arrow(pa.table({
+        "vocab": pa.array([vocab], pa.int64()),
+        "n_hapax": pa.array([n_hapax], pa.int64()),
+        "n_tokens": pa.array([n_tokens], pa.int64()),
+        "hapax_share": pa.array([r6(n_hapax / vocab)], pa.float64()),
+        "token_share": pa.array([r6(n_hapax / n_tokens)], pa.float64()),
+    }))

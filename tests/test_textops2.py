@@ -541,3 +541,23 @@ def test_cohen_kappa_perfect_and_chance():
     # exact identity between the reported ratio and its integer pieces
     assert abs(k - int(out["kappa_num"].iloc[0])
                / int(out["kappa_den"].iloc[0])) < 1e-6
+
+
+def test_hapax_rate_hand_counts():
+    """Hand corpus: 'a a b c' + 'c d' -> vocab {a,b,c,d}, hapax {b,d},
+    token mass 6; cross-batch merges count correctly (a token that is
+    hapax per batch but repeated globally is NOT hapax)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import hapax_rate
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["a a b c", "c d"], pa.string()),
+    })
+    out = hapax_rate(rd.from_arrow(docs)).to_pandas()
+    assert int(out["vocab"].iloc[0]) == 4
+    assert int(out["n_hapax"].iloc[0]) == 2      # b and d; c repeats across docs
+    assert int(out["n_tokens"].iloc[0]) == 6
+    assert abs(float(out["hapax_share"].iloc[0]) - 0.5) < 1e-9
