@@ -2591,6 +2591,14 @@ def _q_ab_lift(sf_dir: str):
     return t
 
 
+def _q_mann_kendall(sf_dir: str):
+    """Mann-Kendall monotone-trend test over daily counts: exact integer
+    S and tie-corrected variance (stages/events.mann_kendall)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.mann_kendall(events.read_events(sf_dir))
+
+
 def _q_hot_runs(sf_dir: str):
     """Gaps-and-islands: maximal runs of above-mean hours in the dense
     series (stages/events.hot_runs)."""
@@ -3222,6 +3230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_burstiness": _q_type_burstiness,
         "theil_sen_trend": _q_theil_sen_trend,
         "hot_runs": _q_hot_runs,
+        "mann_kendall": _q_mann_kendall,
         "running_totals": _q_running_totals,
         "event_gaps": _q_event_gaps,
         "event_transitions": _q_event_transitions,
@@ -3494,6 +3503,7 @@ def oracle_sql() -> dict[str, str]:
         "type_burstiness": oc.type_burstiness_sql(),
         "theil_sen_trend": oc.theil_sen_trend_sql(),
         "hot_runs": oc.hot_runs_sql(),
+        "mann_kendall": oc.mann_kendall_sql(),
         "running_totals": oc.running_totals_sql(),
         "event_gaps": oc.event_gaps_sql(),
         "event_transitions": oc.event_transitions_sql(),

@@ -4061,6 +4061,43 @@ SELECT from_type, to_type, n,
 FROM cnt ORDER BY from_type, to_type"""
 
 
+def mann_kendall_sql() -> str:
+    """Oracle of stages/events.mann_kendall: dense daily series, exact
+    integer S and tie-corrected 18*Var, continuity-corrected z round6."""
+    from .oracles import round6
+
+    z = ("CASE WHEN s.s > 0 THEN (s.s - 1) / sqrt(v.var18 / 18.0) "
+         "WHEN s.s < 0 THEN (s.s + 1) / sqrt(v.var18 / 18.0) "
+         "ELSE 0.0 END")
+    return f"""WITH ev AS (
+  SELECT epoch_us(ts) // 86400000000 AS d FROM events
+), h AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS c FROM ev GROUP BY 1
+), dense AS (
+  SELECT g.d AS i, CAST(coalesce(h.c, 0) AS BIGINT) AS c
+  FROM (SELECT unnest(generate_series((SELECT min(d) FROM h),
+                                      (SELECT max(d) FROM h))) AS d) g
+  LEFT JOIN h ON h.d = g.d
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM dense
+), s AS (
+  SELECT CAST(coalesce(sum(CASE WHEN b.c > a.c THEN 1
+                    WHEN b.c < a.c THEN -1 ELSE 0 END), 0) AS BIGINT) AS s
+  FROM dense a JOIN dense b ON b.i > a.i
+), tg AS (
+  SELECT CAST(coalesce(sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)), 0)
+              AS BIGINT) AS tie
+  FROM (SELECT count(*) AS t FROM dense GROUP BY c)
+), v AS (
+  SELECT CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - tg.tie AS BIGINT)
+    AS var18
+  FROM nn, tg
+)
+SELECT nn.n AS n_days, s.s, v.var18,
+  CASE WHEN v.var18 <= 0 THEN 0.0 ELSE {round6(z)} END AS z
+FROM nn, s, v"""
+
+
 def hot_runs_sql() -> str:
     """Oracle of stages/events.hot_runs: the classic gaps-and-islands
     row_number-difference grouping over the dense hourly series, exact

@@ -2433,3 +2433,68 @@ def hot_runs(ds):
         "run_start": pa.array((lo + starts).astype(np.int64)),
         "run_len": pa.array((ends - starts).astype(np.int64)),
     }))
+
+
+def mann_kendall(ds):
+    """events -> ONE row (n_days, s, var4, z): the MANN-KENDALL trend
+    TEST over the dense daily count series — ``S = sum over pairs of
+    sign(y_j - y_i)``, the non-parametric "is there a monotone trend"
+    significance companion to :func:`theil_sen_trend`'s slope.
+
+    EXACT: S is an integer; the tie-corrected variance is rational with
+    denominator 18 — ``var18 = n(n-1)(2n+5) - sum_t t(t-1)(2t+5)`` is the
+    exact integer ``18*Var`` (no division before the final z);
+    ``z = (S -+ 1) / sqrt(var18 / 18.0)`` with the continuity correction,
+    one shared float expression, round6.  Scale shape: one bounded
+    day-keyed reduce; the O(D^2) pair scan is driver arithmetic on <= 31
+    days (the dense-series discipline)."""
+    import math
+
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    def counts(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table({"d": pa.array(uniq),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    hist = hash_groupby(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        "d", ["cnt"], how="isum",
+    ).to_pandas().sort_values("d")
+    if len(hist) == 0:
+        raise ValueError("mann_kendall: no events")
+    dd = hist["d"].to_numpy(np.int64)
+    lo, hi = int(dd[0]), int(dd[-1])
+    D = hi - lo + 1
+    y = np.zeros(D, dtype=np.int64)
+    y[dd - lo] = hist["cnt"].to_numpy(np.int64)
+    s = 0
+    for i in range(D):
+        for j in range(i + 1, D):
+            v = int(y[j]) - int(y[i])
+            s += (v > 0) - (v < 0)
+    # tie groups over the VALUE domain
+    _, tcnt = np.unique(y, return_counts=True)
+    tie_term = sum(int(t) * (int(t) - 1) * (2 * int(t) + 5) for t in tcnt)
+    var18 = D * (D - 1) * (2 * D + 5) - tie_term  # 18 * Var, exact
+    if var18 <= 0:
+        z = 0.0
+    else:
+        var = var18 / 18.0
+        if s > 0:
+            z = (s - 1) / math.sqrt(var)
+        elif s < 0:
+            z = (s + 1) / math.sqrt(var)
+        else:
+            z = 0.0
+    r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return rd.from_arrow(pa.table({
+        "n_days": pa.array([D], pa.int64()),
+        "s": pa.array([s], pa.int64()),
+        "var18": pa.array([var18], pa.int64()),
+        "z": pa.array([r6(z)], pa.float64()),
+    }))

@@ -774,3 +774,32 @@ def test_hot_runs_islands():
     h0 = int(np.datetime64("2024-01-01T00", "h").astype(np.int64))
     got = list(zip(out["run_start"], out["run_len"]))
     assert got == [(h0, 2), (h0 + 4, 3)]
+
+
+def test_mann_kendall_trend_and_flat():
+    """A strictly increasing daily series: S = D(D-1)/2 (max), z > 0; a
+    constant series: S = 0, variance fully eaten by the single tie group
+    (var18 = 0) -> z = 0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import mann_kendall
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    DAY = np.timedelta64(1, "D").astype("timedelta64[us]")
+
+    def build(counts):
+        ts = []
+        for i, c in enumerate(counts):
+            ts += [base + i * DAY] * int(c)
+        return rd.from_arrow(pa.table({"ts": pa.array(ts)}))
+
+    up = mann_kendall(build([i + 1 for i in range(10)])).to_pandas()
+    assert int(up["s"].iloc[0]) == 45
+    assert float(up["z"].iloc[0]) > 2.0
+
+    flat = mann_kendall(build([7] * 10)).to_pandas()
+    assert int(flat["s"].iloc[0]) == 0
+    assert int(flat["var18"].iloc[0]) == 0
+    assert float(flat["z"].iloc[0]) == 0.0
