@@ -2988,6 +2988,14 @@ def _q_fuzzy_hosts(sf_dir: str):
     ).sort(["a", "b"])
 
 
+def _q_spearman_corr(sf_dir: str):
+    """Spearman rank correlation of chars vs tokens per doc: exact doubled
+    tie ranks from value histograms (stages/sketch.spearman_corr)."""
+    from cuda_gis_smoothing_ray.stages import sketch
+
+    return sketch.spearman_corr(_docs(sf_dir, ("doc_id", "text", "n_chars")))
+
+
 def _q_cohen_kappa(sf_dir: str):
     """Cohen's kappa between the stored lang label and the lang_id
     heuristic: exact chance-cleared integers
@@ -3125,6 +3133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_curve": _q_coverage_curve,
         "typo_clusters": _q_typo_clusters,
         "cohen_kappa": _q_cohen_kappa,
+        "spearman_corr": _q_spearman_corr,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3391,6 +3400,7 @@ def oracle_sql() -> dict[str, str]:
         "coverage_curve": oc.coverage_curve_sql(),
         "typo_clusters": oc.typo_clusters_sql(),
         "cohen_kappa": oc.cohen_kappa_sql(),
+        "spearman_corr": oc.spearman_corr_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

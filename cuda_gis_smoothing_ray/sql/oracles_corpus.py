@@ -2369,6 +2369,48 @@ GROUP BY lang, pred_lang
 ORDER BY lang, pred_lang"""
 
 
+def spearman_corr_sql() -> str:
+    """Oracle of stages/sketch.spearman_corr: doubled average tie ranks
+    from the two value histograms (2*cnt_less + cnt_eq + 1), exact
+    HUGEINT Pearson moments over the rank pairs, one round6 division."""
+    from .oracles import round6
+
+    tree = ("CAST(n * sxy - sx * sy AS DOUBLE)"
+            " / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))"
+            " * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))")
+    return f"""WITH t AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS a,
+    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         s -> s <> '')) AS BIGINT) AS b
+  FROM documents
+), ha AS (
+  SELECT a AS v, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1
+), ra AS (
+  SELECT v, 2 * CAST(coalesce(sum(c) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    + c + 1 AS r2
+  FROM ha
+), hb AS (
+  SELECT b AS v, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1
+), rb AS (
+  SELECT v, 2 * CAST(coalesce(sum(c) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+    + c + 1 AS r2
+  FROM hb
+), j AS (
+  SELECT CAST(ra.r2 AS HUGEINT) AS x, CAST(rb.r2 AS HUGEINT) AS y
+  FROM t JOIN ra ON ra.v = t.a JOIN rb ON rb.v = t.b
+), mom AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n,
+    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+    CAST(sum(x * y) AS HUGEINT) AS sxy,
+    CAST(sum(x * x) AS HUGEINT) AS sxx,
+    CAST(sum(y * y) AS HUGEINT) AS syy
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n, {round6(tree)} AS rho FROM mom"""
+
+
 def cohen_kappa_sql() -> str:
     """Oracle of stages/textops.cohen_kappa: the lang_id confusion chain,
     chance-cleared kappa = (N*agree - E)/(N^2 - E) in HUGEINT."""

@@ -1200,3 +1200,102 @@ def benford_deviation(ds):
         "exp_micro": pa.array(exp_micro),
         "chi2_contrib": pa.array(chi2, pa.float64()),
     }))
+
+
+def spearman_corr(docs_ds):
+    """documents -> ONE row (n, rho): SPEARMAN rank correlation between
+    per-doc characters (``n_chars``) and whitespace token counts — the
+    robust monotone-association companion to :func:`linear_probe`'s OLS
+    (outliers bend Pearson, not ranks).
+
+    EXACT ranks from the two VALUE HISTOGRAMS: the average tie rank
+    doubled is the integer ``2r(v) = 2*cnt_less(v) + cnt_eq(v) + 1``, so
+    every doc's rank pair is integer and the five Pearson moments over
+    (2ra, 2rb) are exact int sums; rho is one float expression over them
+    (the doubling cancels), round6.  Scale shape: two bounded value
+    histograms -> broadcast rank codebooks -> ONE streaming moment pass;
+    nothing per-doc on the driver."""
+    import pyarrow.compute as pc_
+    import ray
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    def vals(batch: pa.Table):
+        chars = batch.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.flatten()
+        n_words = split.value_lengths().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        row = np.repeat(np.arange(len(batch), dtype=np.int64), n_words)
+        nonempty = pc_.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = np.bincount(row[nonempty], minlength=len(batch)).astype(np.int64)
+        return chars, toks
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        chars, toks = vals(batch)
+        out_k, out_v, out_c = [], [], []
+        for which, arr in ((0, chars), (1, toks)):
+            u, c = np.unique(arr, return_counts=True)
+            out_k += [which] * len(u)
+            out_v += u.tolist()
+            out_c += c.tolist()
+        return pa.table({"key": pa.array(
+            [k * (1 << 40) + v for k, v in zip(out_k, out_v)], pa.int64()),
+            "c": pa.array(out_c, pa.int64())})
+
+    hist = hash_groupby(
+        docs_ds.map_batches(hist_partial, batch_format="pyarrow"),
+        "key", ["c"], how="isum",
+    ).to_pandas()
+    key = hist["key"].to_numpy(np.int64)
+    cnt = hist["c"].to_numpy(np.int64)
+    books = []
+    for which in (0, 1):
+        m = (key >> 40) == which
+        v = key[m] & ((1 << 40) - 1)
+        order = np.argsort(v)
+        v, c = v[order], cnt[m][order]
+        less = np.concatenate([[0], np.cumsum(c)[:-1]])
+        r2 = 2 * less + c + 1  # doubled average tie rank, exact int
+        books.append((v, r2.astype(np.int64)))
+    ref = ray.put(books)
+
+    def moments(batch: pa.Table) -> pa.Table:
+        (va, ra), (vb, rb) = ray.get(ref)
+        chars, toks = vals(batch)
+        x = ra[np.searchsorted(va, chars)]
+        y = rb[np.searchsorted(vb, toks)]
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "n": pa.array([len(chars)], pa.int64()),
+            "sx": pa.array([int(x.sum())], pa.int64()),
+            "sy": pa.array([int(y.sum())], pa.int64()),
+            "sxy": pa.array([int((x.astype(object) * y).sum())], pa.int64()),
+            "sxx": pa.array([int((x.astype(object) * x).sum())], pa.int64()),
+            "syy": pa.array([int((y.astype(object) * y).sum())], pa.int64()),
+        })
+
+    mom = hash_groupby(
+        docs_ds.map_batches(moments, batch_format="pyarrow"),
+        "k", ["n", "sx", "sy", "sxy", "sxx", "syy"], how="isum",
+    ).to_pandas()
+    n = int(mom["n"].sum())
+    sx, sy = int(mom["sx"].sum()), int(mom["sy"].sum())
+    sxy = int(mom["sxy"].sum())
+    sxx, syy = int(mom["sxx"].sum()), int(mom["syy"].sum())
+    import math
+    da = n * sxx - sx * sx
+    db = n * syy - sy * sy
+    if da == 0 or db == 0:
+        raise ValueError("spearman_corr: a rank vector is constant")
+    rho = float(n * sxy - sx * sy) / (
+        math.sqrt(float(da)) * math.sqrt(float(db)))
+    r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "rho": pa.array([r6(rho)], pa.float64()),
+    }))

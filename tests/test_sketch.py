@@ -422,3 +422,30 @@ def test_benford_deviation_hand_counts():
         assert int(row["exp_micro"]) == int(math.floor(e * 1e6 + 0.5))
         assert abs(float(row["chi2_contrib"])
                    - (obs[d] - e) ** 2 / e) < 1e-5
+
+
+def test_spearman_matches_scipy_formula(sf_dir):
+    """The histogram-rank Spearman equals a direct average-tie-rank
+    Pearson computed with pandas rank(method='average') on the same
+    per-doc (chars, tokens) pairs."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages import sketch
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    out = sketch.spearman_corr(
+        read_documents(sf_dir, columns=("doc_id", "text", "n_chars"))
+    ).to_pandas()
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["text", "n_chars"]).to_pandas()
+    toks = t["text"].map(
+        lambda s: len([w for w in re.split(r"\s+", s) if w]))
+    ra = t["n_chars"].rank(method="average")
+    rb = toks.rank(method="average")
+    want = np.corrcoef(ra, rb)[0, 1]
+    assert abs(float(out["rho"].iloc[0]) - want) < 1e-6
+    assert int(out["n"].iloc[0]) == len(t)
