@@ -864,6 +864,17 @@ def _q_top_bigrams(sf_dir: str):
     return textops.top_bigrams(_docs(sf_dir), k=20)
 
 
+def _q_mutual_information(sf_dir: str):
+    """Mutual information between TLD and language (plus marginal
+    entropies), ordered folds (stages/textops.mutual_information)."""
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.textops import mutual_information
+
+    return mutual_information(
+        read_pages(sf_dir, include_html=False).select_columns(
+            ["url", "lang"]))
+
+
 def _q_coverage_curve(sf_dir: str):
     """Top-20-host corpus concentration curve with exact cumulative counts
     (stages/textops.coverage_curve)."""
@@ -3131,6 +3142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_drift": _q_unigram_drift,
         "rrf_fusion": _q_rrf_fusion,
         "coverage_curve": _q_coverage_curve,
+        "mutual_information": _q_mutual_information,
         "typo_clusters": _q_typo_clusters,
         "cohen_kappa": _q_cohen_kappa,
         "spearman_corr": _q_spearman_corr,
@@ -3398,6 +3410,7 @@ def oracle_sql() -> dict[str, str]:
         "unigram_drift": oc.unigram_drift_sql(),
         "rrf_fusion": oc.rrf_fusion_sql(),
         "coverage_curve": oc.coverage_curve_sql(),
+        "mutual_information": oc.mutual_information_sql(),
         "typo_clusters": oc.typo_clusters_sql(),
         "cohen_kappa": oc.cohen_kappa_sql(),
         "spearman_corr": oc.spearman_corr_sql(),

@@ -409,6 +409,50 @@ ORDER BY cnt DESC, w1, w2
 LIMIT {k}"""
 
 
+def mutual_information_sql() -> str:
+    """Oracle of stages/textops.mutual_information: bounded (tld, lang)
+    contingency, identical float term trees, left-assoc ordered folds via
+    list_reduce, round6."""
+    from .oracles import pages_cte, round6
+
+    term = ("(CAST(ct.c AS DOUBLE) / st.n)"
+            " * ln((CAST(ct.c AS DOUBLE) / st.n) * st.n * st.n"
+            " / (r.rc * cl.cc))")
+    return f"""WITH {pages_cte()},
+ct AS (
+  SELECT tld, lang, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT string_split(split_part(url, '/', 3), '.')[-1] AS tld, lang
+    FROM pages
+  ) GROUP BY 1, 2
+), st AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM ct
+), r AS (
+  SELECT tld, CAST(sum(c) AS BIGINT) AS rc FROM ct GROUP BY 1
+), cl AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS cc FROM ct GROUP BY 1
+), terms AS (
+  SELECT ct.tld, ct.lang, {term} AS t
+  FROM ct JOIN r ON r.tld = ct.tld JOIN cl ON cl.lang = ct.lang, st
+), f AS (
+  SELECT list_reduce(list(t ORDER BY tld, lang), (a, b) -> a + b) AS mi
+  FROM terms
+), hr AS (
+  SELECT list_reduce(list(
+    -(CAST(rc AS DOUBLE) / st.n) * ln(CAST(rc AS DOUBLE) / st.n)
+    ORDER BY tld), (a, b) -> a + b) AS h
+  FROM r, st
+), hc AS (
+  SELECT list_reduce(list(
+    -(CAST(cc AS DOUBLE) / st.n) * ln(CAST(cc AS DOUBLE) / st.n)
+    ORDER BY lang), (a, b) -> a + b) AS h
+  FROM cl, st
+)
+SELECT st.n AS n, (SELECT CAST(count(*) AS BIGINT) FROM ct) AS n_cells,
+  {round6('f.mi')} AS mi, {round6('hr.h')} AS h_tld,
+  {round6('hc.h')} AS h_lang
+FROM f, hr, hc, st"""
+
+
 def coverage_curve_sql(k: int | None = None) -> str:
     """Oracle of stages/textops.coverage_curve: host page counts, top-k by
     (pages DESC, host), cumulative window, one round6 share."""

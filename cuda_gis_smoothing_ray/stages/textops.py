@@ -3949,3 +3949,78 @@ def hapax_rate(ds, n_parts: int = _PAIR_PARTS):
         "hapax_share": pa.array([r6(n_hapax / vocab)], pa.float64()),
         "token_share": pa.array([r6(n_hapax / n_tokens)], pa.float64()),
     }))
+
+
+def mutual_information(pages_ds):
+    """pages -> ONE row (n, n_cells, mi, h_tld, h_lang): the MUTUAL
+    INFORMATION between a page's TLD and its language label (plus the two
+    marginal entropies, so normalized variants are one division away) —
+    the categorical-association readout a pipeline uses to decide whether
+    a cheap column (TLD) can proxy an expensive one (language) for
+    routing/stratification.
+
+    ``MI = sum_ij p_ij * ln(p_ij * N / (r_i * c_j))`` over the bounded
+    (tld, lang) contingency table; counts are exact ints and the float
+    terms fold LEFT-ASSOCIATIVELY in (tld, lang) order, mirrored by the
+    oracle's ``list_reduce(list(... ORDER BY tld, lang))``; round6.
+    Scale shape: batch-local pair counts, one bounded two-key reduce; the
+    fold runs on the tiny contingency table."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        parts = pc_.split_pattern(batch.column("url"), pattern="/")
+        host = pc_.list_element(parts, 2)
+        tld = pc_.list_element(
+            pc_.split_pattern(host, pattern=".", max_splits=1, reverse=True),
+            1)
+        df = pd_.DataFrame({
+            "tld": tld.to_pylist(),
+            "lang": batch.column("lang").to_pylist(),
+        })
+        g = df.groupby(["tld", "lang"], sort=False).size().reset_index(
+            name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    conf = (
+        pages_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["tld", "lang"])
+        .aggregate(Sum("c", alias_name="c"))
+    ).to_pandas().sort_values(["tld", "lang"], kind="mergesort")
+    n = int(conf["c"].sum())
+    if n == 0:
+        raise ValueError("mutual_information: no pages")
+    row = conf.groupby("tld")["c"].sum()
+    col = conf.groupby("lang")["c"].sum()
+    mi = 0.0
+    first = True
+    for rec in conf.itertuples():
+        p = int(rec.c)
+        term = (p / n) * float(np.log(
+            (p / n) * n * n / (int(row[rec.tld]) * int(col[rec.lang]))))
+        if first:
+            mi, first = term, False
+        else:
+            mi += term
+    def ordered_entropy(series) -> float:
+        h = 0.0
+        first = True
+        for c in series.sort_index():
+            t = -(int(c) / n) * float(np.log(int(c) / n))
+            if first:
+                h, first = t, False
+            else:
+                h += t
+        return h
+
+    r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "n_cells": pa.array([len(conf)], pa.int64()),
+        "mi": pa.array([r6(mi)], pa.float64()),
+        "h_tld": pa.array([r6(ordered_entropy(row))], pa.float64()),
+        "h_lang": pa.array([r6(ordered_entropy(col))], pa.float64()),
+    }))

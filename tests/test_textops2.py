@@ -561,3 +561,36 @@ def test_hapax_rate_hand_counts():
     assert int(out["n_hapax"].iloc[0]) == 2      # b and d; c repeats across docs
     assert int(out["n_tokens"].iloc[0]) == 6
     assert abs(float(out["hapax_share"].iloc[0]) - 0.5) < 1e-9
+
+
+def test_mutual_information_independence_and_identity():
+    """Independent columns give MI ~ 0; a column perfectly determined by
+    the other gives MI == H(lang); marginal entropies are exact hand
+    values."""
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import mutual_information
+
+    # perfectly dependent: tld determines lang
+    urls = (["https://a.de/x"] * 4 + ["https://b.fr/x"] * 4)
+    langs = ["de"] * 4 + ["fr"] * 4
+    out = mutual_information(rd.from_arrow(pa.table({
+        "url": pa.array(urls, pa.string()),
+        "lang": pa.array(langs, pa.string())}))).to_pandas()
+    h = math.log(2)
+    assert abs(float(out["mi"].iloc[0]) - h) < 1e-6
+    assert abs(float(out["h_lang"].iloc[0]) - h) < 1e-6
+
+    # independent: every (tld, lang) combination equally likely
+    urls2, langs2 = [], []
+    for t in ("de", "fr"):
+        for lg in ("en", "es"):
+            urls2 += [f"https://h.{t}/x"] * 3
+            langs2 += [lg] * 3
+    o2 = mutual_information(rd.from_arrow(pa.table({
+        "url": pa.array(urls2, pa.string()),
+        "lang": pa.array(langs2, pa.string())}))).to_pandas()
+    assert abs(float(o2["mi"].iloc[0])) < 1e-9
