@@ -2999,6 +2999,15 @@ def _q_fuzzy_hosts(sf_dir: str):
     ).sort(["a", "b"])
 
 
+def _q_weighted_median_len(sf_dir: str):
+    """Token-mass-weighted median document length: exact histogram CDF,
+    no division (stages/sketch.weighted_median_len)."""
+    from cuda_gis_smoothing_ray.stages import sketch
+
+    return sketch.weighted_median_len(
+        _docs(sf_dir, ("doc_id", "text", "n_chars")))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3146,6 +3155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "typo_clusters": _q_typo_clusters,
         "cohen_kappa": _q_cohen_kappa,
         "spearman_corr": _q_spearman_corr,
+        "weighted_median_len": _q_weighted_median_len,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3414,6 +3424,7 @@ def oracle_sql() -> dict[str, str]:
         "typo_clusters": oc.typo_clusters_sql(),
         "cohen_kappa": oc.cohen_kappa_sql(),
         "spearman_corr": oc.spearman_corr_sql(),
+        "weighted_median_len": oc.weighted_median_len_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -2413,6 +2413,30 @@ GROUP BY lang, pred_lang
 ORDER BY lang, pred_lang"""
 
 
+def weighted_median_len_sql() -> str:
+    """Oracle of stages/sketch.weighted_median_len: (length -> token
+    mass) histogram, cumulative window, smallest length with
+    2*cum >= total."""
+    return """WITH t AS (
+  SELECT CAST(n_chars AS BIGINT) AS len,
+    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         s -> s <> '')) AS BIGINT) AS w
+  FROM documents
+), h AS (
+  SELECT len, CAST(sum(w) AS BIGINT) AS w FROM t GROUP BY 1
+), st AS (
+  SELECT CAST(sum(w) AS BIGINT) AS total FROM h
+), c AS (
+  SELECT len, CAST(sum(w) OVER (ORDER BY len) AS BIGINT) AS cum FROM h
+)
+SELECT st.total AS total_tokens,
+  CAST(min(c.len) AS BIGINT) AS median_len,
+  CAST(min(c.cum) AS BIGINT) AS mass_below
+FROM c, st
+WHERE 2 * c.cum >= st.total
+GROUP BY st.total"""
+
+
 def spearman_corr_sql() -> str:
     """Oracle of stages/sketch.spearman_corr: doubled average tie ranks
     from the two value histograms (2*cnt_less + cnt_eq + 1), exact

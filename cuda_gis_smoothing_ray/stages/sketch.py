@@ -1299,3 +1299,58 @@ def spearman_corr(docs_ds):
         "n": pa.array([n], pa.int64()),
         "rho": pa.array([r6(rho)], pa.float64()),
     }))
+
+
+def weighted_median_len(docs_ds):
+    """documents -> ONE row (total_tokens, median_len, mass_below): the
+    TOKEN-MASS-weighted median document length — the smallest ``n_chars``
+    L such that documents with length <= L hold at least HALF the corpus
+    token mass.  "Half the tokens live in docs shorter than X" is the
+    curation statistic behind length-proportional sampling and packing
+    decisions (the unweighted median treats a 10-token and a 10k-token
+    doc alike).
+
+    EXACT: the (length -> token mass) histogram is integer; the boundary
+    test is ``2 * cumsum >= total`` with no division.  Scale shape: one
+    bounded value-histogram shuffle (the quantiles plan with a weight
+    channel), driver CDF walk."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        chars = batch.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.flatten()
+        n_words = split.value_lengths().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        row = np.repeat(np.arange(len(batch), dtype=np.int64), n_words)
+        nonempty = pc_.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = np.bincount(row[nonempty],
+                           minlength=len(batch)).astype(np.int64)
+        uniq, inv = np.unique(chars, return_inverse=True)
+        w = np.zeros(len(uniq), np.int64)
+        np.add.at(w, inv, toks)
+        return pa.table({"len": pa.array(uniq), "w": pa.array(w)})
+
+    hist = hash_groupby(
+        docs_ds.map_batches(partial, batch_format="pyarrow"),
+        "len", ["w"], how="isum",
+    ).to_pandas().sort_values("len")
+    total = int(hist["w"].sum())
+    if total == 0:
+        raise ValueError("weighted_median_len: no tokens")
+    cum = 0
+    for rec in hist.itertuples():
+        cum += int(rec.w)
+        if 2 * cum >= total:
+            return rd.from_arrow(pa.table({
+                "total_tokens": pa.array([total], pa.int64()),
+                "median_len": pa.array([int(rec.len)], pa.int64()),
+                "mass_below": pa.array([cum], pa.int64()),
+            }))
+    raise AssertionError("unreachable")

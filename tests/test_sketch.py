@@ -449,3 +449,23 @@ def test_spearman_matches_scipy_formula(sf_dir):
     want = np.corrcoef(ra, rb)[0, 1]
     assert abs(float(out["rho"].iloc[0]) - want) < 1e-6
     assert int(out["n"].iloc[0]) == len(t)
+
+
+def test_weighted_median_len_hand():
+    """One long doc holding most tokens dominates the weighted median:
+    docs of length (10, 20, 30) with token masses (1, 1, 8) -> the
+    weighted median is 30 even though the unweighted median is 20."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import weighted_median_len
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a", "b", " ".join(["w"] * 8)], pa.string()),
+        "n_chars": pa.array([10, 20, 30], pa.int64()),
+    })
+    out = weighted_median_len(rd.from_arrow(docs)).to_pandas()
+    assert int(out["median_len"].iloc[0]) == 30
+    assert int(out["total_tokens"].iloc[0]) == 10
+    assert int(out["mass_below"].iloc[0]) == 10
