@@ -3008,6 +3008,15 @@ def _q_weighted_median_len(sf_dir: str):
         _docs(sf_dir, ("doc_id", "text", "n_chars")))
 
 
+def _q_mann_whitney(sf_dir: str):
+    """Mann-Whitney U / ROC-AUC between en and de document lengths:
+    bounded (group, value) histogram shuffle, exact doubled-U integers
+    and tie-corrected variance (stages/sketch.mann_whitney)."""
+    from cuda_gis_smoothing_ray.stages.sketch import mann_whitney
+
+    return mann_whitney(_docs(sf_dir, ("doc_id", "n_chars", "lang")))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3156,6 +3165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohen_kappa": _q_cohen_kappa,
         "spearman_corr": _q_spearman_corr,
         "weighted_median_len": _q_weighted_median_len,
+        "mann_whitney": _q_mann_whitney,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3425,6 +3435,7 @@ def oracle_sql() -> dict[str, str]:
         "cohen_kappa": oc.cohen_kappa_sql(),
         "spearman_corr": oc.spearman_corr_sql(),
         "weighted_median_len": oc.weighted_median_len_sql(),
+        "mann_whitney": oc.mann_whitney_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

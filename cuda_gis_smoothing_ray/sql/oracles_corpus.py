@@ -5246,3 +5246,55 @@ def hll_by_lang_sql(p: int | None = None) -> str:
 SELECT lang, register, CAST(max(rho) AS BIGINT) AS rho
 FROM rhos GROUP BY lang, register
 ORDER BY lang, register"""
+
+
+def mann_whitney_sql(groups: tuple[str, str] | None = None) -> str:
+    """Oracle of stages/sketch.mann_whitney: doubled U from the
+    per-(group, value) histograms via one cumulative window, the
+    tie-corrected variance numerator in HUGEINT, auc / z as the same
+    single-division float trees (no continuity correction)."""
+    from .oracles import round6
+
+    from ..stages import sketch
+
+    ga, gb = sketch.KS_LANGS if groups is None else groups
+    return f"""WITH t AS (
+  SELECT CASE WHEN lang = '{ga}' THEN 0 ELSE 1 END AS g,
+         CAST(n_chars AS BIGINT) AS v
+  FROM documents WHERE lang IN ('{ga}', '{gb}')
+), hist AS (
+  SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(CASE WHEN g = 0 THEN cnt ELSE 0 END) AS HUGEINT) AS na,
+         CAST(sum(CASE WHEN g = 1 THEN cnt ELSE 0 END) AS HUGEINT) AS nb
+  FROM hist
+), vals AS (
+  SELECT v,
+    CAST(coalesce(sum(CASE WHEN g = 0 THEN cnt END), 0) AS HUGEINT) AS ca,
+    CAST(coalesce(sum(CASE WHEN g = 1 THEN cnt END), 0) AS HUGEINT) AS cb
+  FROM hist GROUP BY v
+), w AS (
+  SELECT v, ca, cb,
+    CAST(coalesce(sum(cb) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT)
+      AS bless
+  FROM vals
+), u AS (
+  SELECT CAST(sum(ca * (2 * bless + cb)) AS HUGEINT) AS u2 FROM w
+), ties AS (
+  SELECT CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+              AS HUGEINT) AS sumt
+  FROM vals
+), fin AS (
+  SELECT tot.na, tot.nb, tot.na + tot.nb AS n, u.u2,
+    tot.na * tot.nb * ((tot.na + tot.nb + 1) * (tot.na + tot.nb)
+      * (tot.na + tot.nb - 1) - ties.sumt) AS varnum
+  FROM tot, u, ties
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+  CAST(u2 AS BIGINT) AS u2,
+  {round6("CAST(u2 AS DOUBLE) / CAST(2 * na * nb AS DOUBLE)")} AS auc,
+  {round6("CAST(u2 - na * nb AS DOUBLE)"
+          " / (2 * sqrt(CAST(varnum AS DOUBLE)"
+          " / CAST(12 * n * (n - 1) AS DOUBLE)))")} AS z
+FROM fin"""

@@ -469,3 +469,52 @@ def test_weighted_median_len_hand():
     assert int(out["median_len"].iloc[0]) == 30
     assert int(out["total_tokens"].iloc[0]) == 10
     assert int(out["mass_below"].iloc[0]) == 10
+
+
+def test_mann_whitney_brute_force(sf_dir):
+    """The histogram U/AUC/z equal a direct all-pairs computation with
+    the textbook tie-corrected normal approximation."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages.sketch import mann_whitney
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    out = mann_whitney(
+        read_documents(sf_dir, columns=("doc_id", "n_chars", "lang"))
+    ).to_pandas()
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["n_chars", "lang"]).to_pandas()
+    a = t.loc[t["lang"] == "en", "n_chars"].to_numpy()
+    b = t.loc[t["lang"] == "de", "n_chars"].to_numpy()
+    gt = (a[:, None] > b[None, :]).sum()
+    eq = (a[:, None] == b[None, :]).sum()
+    u2 = int(2 * gt + eq)
+    assert int(out["u2"].iloc[0]) == u2
+    na, nb = len(a), len(b)
+    n = na + nb
+    _, tc = np.unique(np.concatenate([a, b]), return_counts=True)
+    sum_t = int((tc.astype(object) ** 3 - tc).sum())
+    var = na * nb * ((n + 1) * n * (n - 1) - sum_t) / (12 * n * (n - 1))
+    z = (u2 / 2 - na * nb / 2) / math.sqrt(var)
+    assert abs(float(out["z"].iloc[0]) - z) < 1e-6
+    assert abs(float(out["auc"].iloc[0]) - u2 / (2 * na * nb)) < 1e-6
+
+
+def test_mann_whitney_dominance_hand():
+    """A group strictly above B gives AUC = 1 and positive z."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import mann_whitney
+
+    t = pa.table({
+        "lang": pa.array(["en"] * 3 + ["de"] * 3),
+        "n_chars": pa.array([10, 11, 12, 1, 2, 3], pa.int64()),
+    })
+    out = mann_whitney(rd.from_arrow(t)).to_pandas()
+    assert float(out["auc"].iloc[0]) == 1.0
+    assert int(out["u2"].iloc[0]) == 18
+    assert float(out["z"].iloc[0]) > 0
