@@ -3017,6 +3017,16 @@ def _q_mann_whitney(sf_dir: str):
     return mann_whitney(_docs(sf_dir, ("doc_id", "n_chars", "lang")))
 
 
+def _q_kmv_distinct(sf_dir: str):
+    """K-minimum-values distinct-user sketch per event type next to the
+    exact count: splitmix64 order statistics, floor-division estimator
+    (stages/sketch.kmv_distinct)."""
+    from cuda_gis_smoothing_ray.stages import events
+    from cuda_gis_smoothing_ray.stages.sketch import kmv_distinct
+
+    return kmv_distinct(events.read_events(sf_dir)).sort("event_type")
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3166,6 +3176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_corr": _q_spearman_corr,
         "weighted_median_len": _q_weighted_median_len,
         "mann_whitney": _q_mann_whitney,
+        "kmv_distinct": _q_kmv_distinct,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3436,6 +3447,7 @@ def oracle_sql() -> dict[str, str]:
         "spearman_corr": oc.spearman_corr_sql(),
         "weighted_median_len": oc.weighted_median_len_sql(),
         "mann_whitney": oc.mann_whitney_sql(),
+        "kmv_distinct": oc.kmv_distinct_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

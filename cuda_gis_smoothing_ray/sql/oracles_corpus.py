@@ -5298,3 +5298,46 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
           " / (2 * sqrt(CAST(varnum AS DOUBLE)"
           " / CAST(12 * n * (n - 1) AS DOUBLE)))")} AS z
 FROM fin"""
+
+
+def kmv_distinct_sql(k: int = 64) -> str:
+    """Oracle of stages/sketch.kmv_distinct: per-type splitmix64(user_id)
+    in HUGEINT mod 2^64 (identical mixing chain to hll_registers_sql),
+    k-th order statistic via row_number, floor-division estimator."""
+    from .oracles import round6
+
+    g = "11400714819323198485"
+    return f"""WITH tu AS (
+  SELECT DISTINCT event_type, CAST(user_id AS HUGEINT) AS u FROM events
+), z1 AS (
+  SELECT event_type, (u + {g}) % {_M64} AS z1 FROM tu
+), z2 AS (
+  SELECT event_type,
+    {_mulmod64("xor(z1, z1 >> 30)", "13787848793156543929")} AS z2 FROM z1
+), z3 AS (
+  SELECT event_type,
+    {_mulmod64("xor(z2, z2 >> 27)", "10723151780598845931")} AS z3 FROM z2
+), hh AS (
+  SELECT event_type, xor(z3, z3 >> 31) AS h FROM z3
+), rk AS (
+  SELECT event_type, h,
+    row_number() OVER (PARTITION BY event_type ORDER BY h) AS r
+  FROM hh
+), n AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_distinct FROM hh GROUP BY 1
+), kth AS (
+  SELECT rk.event_type, rk.h AS hk
+  FROM rk JOIN n ON n.event_type = rk.event_type
+  WHERE rk.r = least({k}, n.n_distinct)
+), est AS (
+  SELECT n.event_type, n.n_distinct,
+    CAST(least({k}, n.n_distinct) AS BIGINT) AS kmv_k,
+    CAST(CASE WHEN n.n_distinct <= {k} THEN CAST(n.n_distinct AS HUGEINT)
+         ELSE ({k - 1} * CAST('{_M64}' AS HUGEINT)) // greatest(kth.hk, 1)
+         END AS BIGINT) AS kmv_est
+  FROM n JOIN kth ON kth.event_type = n.event_type
+)
+SELECT event_type, n_distinct, kmv_k, kmv_est,
+  {round6("CAST(kmv_est - n_distinct AS DOUBLE)"
+          " / CAST(n_distinct AS DOUBLE)")} AS rel_err
+FROM est ORDER BY event_type"""

@@ -1433,3 +1433,79 @@ def mann_whitney(ds, group_col: str = "lang", value_col: str = "n_chars",
         "auc": pa.array([auc], pa.float64()),
         "z": pa.array([z], pa.float64()),
     }))
+
+
+KMV_K = 64
+
+
+def kmv_distinct(events_ds, k: int = KMV_K):
+    """events -> one row per event_type (event_type, n_distinct, kmv_k,
+    kmv_est, rel_err): the K-MINIMUM-VALUES distinct-count sketch next
+    to the exact answer — the order-statistics alternative to
+    :func:`hll_registers` (KMV keeps the k smallest hash values instead
+    of register maxima; its state merges by multiset-min and its error
+    is ~1/sqrt(k-2)).
+
+    DETERMINISTIC + exact integers: the estimator is the classic
+    ``(k-1) * 2^64 // h_(k)`` over splitmix64(user_id) hashes, floor
+    division on both engines; a type with <= k distinct users reports
+    the EXACT count (the sketch degenerates to the full multiset).
+    ``rel_err`` = (est - n)/n, one round6 division.  Scale shape: one
+    (type, user) dedup shuffle, then <= k hashes + one count per type
+    per partition stream to the driver (a |types| x k merge) — the same
+    mergeable shape as HLL, never the raw events."""
+    import ray.data as rd
+
+    from ..functions.hashing import splitmix64
+
+    pairs = events_ds.map_batches(
+        lambda b: pa.table({"event_type": b.column("event_type"),
+                            "user_id": b.column("user_id")}),
+        batch_format="pyarrow",
+    ).groupby(["event_type", "user_id"]).count()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        u = batch.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        h = splitmix64(u.astype(np.uint64))
+        types, cnts, hs = [], [], []
+        for t in np.unique(et):
+            m = et == t
+            hh = np.sort(h[m])
+            types.append(str(t))
+            cnts.append(int(m.sum()))
+            hs.append(hh[: min(k, len(hh))].tolist())
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "cnt": pa.array(cnts, pa.int64()),
+            "hs": pa.array(hs, pa.list_(pa.uint64())),
+        })
+
+    part = pairs.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if part.empty:
+        raise ValueError("kmv_distinct: no events")
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    rows = {"event_type": [], "n_distinct": [], "kmv_k": [],
+            "kmv_est": [], "rel_err": []}
+    for t, grp in part.groupby("event_type", sort=True):
+        n = int(grp["cnt"].sum())
+        allh = np.sort(np.concatenate(
+            [np.asarray(x, dtype=np.uint64) for x in grp["hs"]]))
+        if n <= k:
+            est = n
+        else:
+            hk = int(allh[k - 1])
+            est = (k - 1) * (1 << 64) // max(hk, 1)
+        rows["event_type"].append(t)
+        rows["n_distinct"].append(n)
+        rows["kmv_k"].append(min(k, n))
+        rows["kmv_est"].append(est)
+        rows["rel_err"].append(r6(float(est - n) / float(n)))
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(rows["event_type"], pa.string()),
+        "n_distinct": pa.array(rows["n_distinct"], pa.int64()),
+        "kmv_k": pa.array(rows["kmv_k"], pa.int64()),
+        "kmv_est": pa.array(rows["kmv_est"], pa.int64()),
+        "rel_err": pa.array(rows["rel_err"], pa.float64()),
+    }))

@@ -518,3 +518,45 @@ def test_mann_whitney_dominance_hand():
     assert float(out["auc"].iloc[0]) == 1.0
     assert int(out["u2"].iloc[0]) == 18
     assert float(out["z"].iloc[0]) > 0
+
+
+def test_kmv_distinct_exact_tail_and_estimate():
+    """A type with <= k distinct users reports the exact count; a type
+    above k estimates with the (k-1)*2^64/h_k rule and bounded error."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import kmv_distinct
+
+    small_users = list(range(10))            # exact tail
+    big_users = list(range(1000, 1500))      # 500 > k=64 -> estimated
+    t = pa.table({
+        "event_type": pa.array(["s"] * 10 + ["b"] * 500),
+        "user_id": pa.array(small_users + big_users, pa.int64()),
+    })
+    out = kmv_distinct(rd.from_arrow(t), k=64).to_pandas() \
+        .set_index("event_type")
+    assert int(out.loc["s", "n_distinct"]) == 10
+    assert int(out.loc["s", "kmv_est"]) == 10
+    assert int(out.loc["s", "kmv_k"]) == 10
+    assert int(out.loc["b", "n_distinct"]) == 500
+    assert int(out.loc["b", "kmv_k"]) == 64
+    # ~1/sqrt(k-2) ~ 13% expected error; assert a generous 3-sigma bound
+    assert abs(float(out.loc["b", "rel_err"])) < 0.4
+
+
+def test_kmv_distinct_duplicates_collapse():
+    """Repeated (type, user) events do not inflate the distinct count."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import kmv_distinct
+
+    t = pa.table({
+        "event_type": pa.array(["x"] * 9),
+        "user_id": pa.array([1, 1, 1, 2, 2, 3, 3, 3, 3], pa.int64()),
+    })
+    out = kmv_distinct(rd.from_arrow(t)).to_pandas()
+    assert int(out["n_distinct"].iloc[0]) == 3
+    assert int(out["kmv_est"].iloc[0]) == 3
+    assert float(out["rel_err"].iloc[0]) == 0.0
