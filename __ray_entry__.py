@@ -3027,6 +3027,15 @@ def _q_kmv_distinct(sf_dir: str):
     return kmv_distinct(events.read_events(sf_dir)).sort("event_type")
 
 
+def _q_dft_power24(sf_dir: str):
+    """Diurnal spectrum: DFT power at 1/2/3 cycles per day via shared
+    micro-unit cos/sin tables, exact integer dot products
+    (stages/events.dft_power24)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.dft_power24(events.read_events(sf_dir)).sort("harmonic")
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3177,6 +3186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_len": _q_weighted_median_len,
         "mann_whitney": _q_mann_whitney,
         "kmv_distinct": _q_kmv_distinct,
+        "dft_power24": _q_dft_power24,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3448,6 +3458,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_median_len": oc.weighted_median_len_sql(),
         "mann_whitney": oc.mann_whitney_sql(),
         "kmv_distinct": oc.kmv_distinct_sql(),
+        "dft_power24": oc.dft_power24_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

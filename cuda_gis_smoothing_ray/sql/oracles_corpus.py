@@ -5341,3 +5341,34 @@ SELECT event_type, n_distinct, kmv_k, kmv_est,
   {round6("CAST(kmv_est - n_distinct AS DOUBLE)"
           " / CAST(n_distinct AS DOUBLE)")} AS rel_err
 FROM est ORDER BY event_type"""
+
+
+def dft_power24_sql(harmonics: tuple[int, ...] | None = None) -> str:
+    """Oracle of stages/events.dft_power24: the SAME micro-unit cos/sin
+    tables (imported from the engine module) joined on (epoch_hour *
+    m) % 24, HUGEINT dot products, one sqrt float tree."""
+    from .oracles import round6
+
+    from ..stages import events as ev
+
+    hs = ev.DFT_HARMONICS if harmonics is None else harmonics
+    trig = " UNION ALL ".join(
+        f"SELECT {k} AS ph, CAST({ev.DFT_COS24[k]} AS HUGEINT) AS c,"
+        f" CAST({ev.DFT_SIN24[k]} AS HUGEINT) AS s"
+        for k in range(24))
+    harm = " UNION ALL ".join(f"SELECT {m} AS m" for m in hs)
+    return f"""WITH trig AS ({trig}), harm AS ({harm}), eh AS (
+  SELECT epoch_us(ts) // 3600000000 AS h FROM events
+), ph AS (
+  SELECT harm.m, ((eh.h % 24) * harm.m) % 24 AS ph FROM eh, harm
+), dot AS (
+  SELECT ph.m, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(trig.c) AS HUGEINT) AS re,
+    CAST(sum(trig.s) AS HUGEINT) AS im
+  FROM ph JOIN trig ON trig.ph = ph.ph
+  GROUP BY ph.m
+)
+SELECT m AS harmonic, n, CAST(re AS BIGINT) AS re, CAST(im AS BIGINT) AS im,
+  {round6("sqrt(CAST(re * re + im * im AS DOUBLE))"
+          " / CAST(n * 1000000 AS DOUBLE)")} AS amp_ratio
+FROM dot ORDER BY m"""

@@ -2498,3 +2498,72 @@ def mann_kendall(ds):
         "var18": pa.array([var18], pa.int64()),
         "z": pa.array([r6(z)], pa.float64()),
     }))
+
+
+DFT_HARMONICS = (1, 2, 3)
+#: cos/sin of 2*pi*k/24 quantized to micro-units ONCE here — both the
+#: engine kernel and the SQL oracle interpolate THIS table, so the
+#: integer dot products agree bit-for-bit.
+DFT_COS24 = tuple(int(np.floor(np.cos(2 * np.pi * k / 24) * 1e6 + 0.5))
+                  for k in range(24))
+DFT_SIN24 = tuple(int(np.floor(np.sin(2 * np.pi * k / 24) * 1e6 + 0.5))
+                  for k in range(24))
+
+
+def dft_power24(ds, harmonics: tuple[int, ...] = DFT_HARMONICS):
+    """events -> one row per harmonic (harmonic, n, re, im, amp_ratio):
+    the DIURNAL SPECTRUM — discrete-Fourier power of the event stream at
+    1, 2 and 3 cycles/day, the quantitative companion to
+    :func:`seasonality_profile` (the profile shows the shape; the
+    harmonic amplitudes say how MUCH of the traffic is periodic and
+    whether the day has one peak or two).
+
+    EXACT integer dot products: each event at epoch-hour h contributes
+    the micro-unit table entries ``DFT_COS24[(h*m) % 24]`` /
+    ``DFT_SIN24[(h*m) % 24]`` (quantized ONCE, shared with the oracle),
+    so re/im are order-free int sums; ``amp_ratio = sqrt(re^2 + im^2) /
+    (n * 1e6)`` is the one float tree (the normalized amplitude in
+    [0, ~1]).  Missing hours contribute nothing to a sum, so the dense
+    series is implicit.  Scale shape: per-batch 3-row partials -> one
+    |harmonics|-keyed reduce; nothing per-event leaves a partition."""
+    import math
+
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    cos_t = np.array(DFT_COS24, dtype=np.int64)
+    sin_t = np.array(DFT_SIN24, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[h]").astype(np.int64)
+        ms, res, ims, ns = [], [], [], []
+        for m in harmonics:
+            ph = (h * m) % 24
+            ms.append(m)
+            res.append(int(cos_t[ph].sum()))
+            ims.append(int(sin_t[ph].sum()))
+            ns.append(len(h))
+        return pa.table({"m": pa.array(ms, pa.int64()),
+                         "re": pa.array(res, pa.int64()),
+                         "im": pa.array(ims, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    agg = hash_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "m", ["re", "im", "n"], how="isum",
+    ).to_pandas().sort_values("m")
+    if agg.empty:
+        raise ValueError("dft_power24: no events")
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    amp = [r6(math.sqrt(float(int(re) * int(re) + int(im) * int(im)))
+              / float(int(n) * 10**6))
+           for re, im, n in zip(agg["re"], agg["im"], agg["n"])]
+    return rd.from_arrow(pa.table({
+        "harmonic": pa.array(agg["m"].to_numpy(np.int64)),
+        "n": pa.array(agg["n"].to_numpy(np.int64)),
+        "re": pa.array(agg["re"].to_numpy(np.int64)),
+        "im": pa.array(agg["im"].to_numpy(np.int64)),
+        "amp_ratio": pa.array(amp, pa.float64()),
+    }))

@@ -803,3 +803,27 @@ def test_mann_kendall_trend_and_flat():
     assert int(flat["s"].iloc[0]) == 0
     assert int(flat["var18"].iloc[0]) == 0
     assert float(flat["z"].iloc[0]) == 0.0
+
+
+def test_dft_power24_pure_diurnal():
+    """A perfectly diurnal stream (all events at hour-of-day 0) has
+    amp_ratio 1.0 at every harmonic; a uniform one over a full day has
+    ~0 at harmonic 1."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import dft_power24
+
+    day0 = np.datetime64("2024-01-01T00:00:00", "us")
+    spike = [day0 + np.timedelta64(24 * 3600 * 10**6 * d, "us")
+             for d in range(4)]
+    t = pa.table({"ts": pa.array(spike, pa.timestamp("us"))})
+    out = dft_power24(rd.from_arrow(t)).to_pandas()
+    assert (out["amp_ratio"] == 1.0).all()
+
+    flat = [day0 + np.timedelta64(3600 * 10**6 * h, "us") for h in range(24)]
+    t2 = pa.table({"ts": pa.array(flat, pa.timestamp("us"))})
+    out2 = dft_power24(rd.from_arrow(t2)).to_pandas().set_index("harmonic")
+    # exact-integer table sums cancel to ~0 (quantization residue only)
+    assert float(out2.loc[1, "amp_ratio"]) < 1e-4
