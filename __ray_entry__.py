@@ -3036,6 +3036,15 @@ def _q_dft_power24(sf_dir: str):
     return events.dft_power24(events.read_events(sf_dir)).sort("harmonic")
 
 
+def _q_proximity_search(sf_dir: str):
+    """Proximity query: docs with 'table' and 'hash' within 3 tokens —
+    zero-shuffle composite-key searchsorted scan
+    (stages/textops.proximity_search)."""
+    from cuda_gis_smoothing_ray.stages.textops import proximity_search
+
+    return proximity_search(_docs(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3187,6 +3196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mann_whitney": _q_mann_whitney,
         "kmv_distinct": _q_kmv_distinct,
         "dft_power24": _q_dft_power24,
+        "proximity_search": _q_proximity_search,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3459,6 +3469,7 @@ def oracle_sql() -> dict[str, str]:
         "mann_whitney": oc.mann_whitney_sql(),
         "kmv_distinct": oc.kmv_distinct_sql(),
         "dft_power24": oc.dft_power24_sql(),
+        "proximity_search": oc.proximity_search_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

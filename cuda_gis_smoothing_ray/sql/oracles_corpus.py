@@ -5372,3 +5372,30 @@ SELECT m AS harmonic, n, CAST(re AS BIGINT) AS re, CAST(im AS BIGINT) AS im,
   {round6("sqrt(CAST(re * re + im * im AS DOUBLE))"
           " / CAST(n * 1000000 AS DOUBLE)")} AS amp_ratio
 FROM dot ORDER BY m"""
+
+
+def proximity_search_sql(terms: tuple[str, str] | None = None,
+                         window: int | None = None) -> str:
+    """Oracle of stages/textops.proximity_search: the classic
+    |posA - posB| <= w positional self-join per document."""
+    from ..stages import textops
+
+    ta, tb = textops.PROX_TERMS if terms is None else terms
+    w = textops.PROX_WINDOW if window is None else window
+    return f"""WITH lt AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), s -> s != '') AS l
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM lt
+), a AS (
+  SELECT doc_id, pos FROM toks WHERE tok = '{ta}'
+), b AS (
+  SELECT doc_id, pos FROM toks WHERE tok = '{tb}'
+), p AS (
+  SELECT a.doc_id, abs(a.pos - b.pos) AS gap
+  FROM a JOIN b ON b.doc_id = a.doc_id AND abs(a.pos - b.pos) <= {w}
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+  CAST(min(gap) AS BIGINT) AS min_gap
+FROM p GROUP BY 1 ORDER BY 1"""

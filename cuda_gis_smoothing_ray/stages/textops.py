@@ -4024,3 +4024,88 @@ def mutual_information(pages_ds):
         "h_tld": pa.array([r6(ordered_entropy(row))], pa.float64()),
         "h_lang": pa.array([r6(ordered_entropy(col))], pa.float64()),
     }))
+
+
+PROX_TERMS = ("table", "hash")
+PROX_WINDOW = 3
+
+
+def proximity_search(ds, terms: tuple[str, str] = PROX_TERMS,
+                     window: int = PROX_WINDOW):
+    """documents -> (doc_id, n_pairs, min_gap): PROXIMITY QUERY — the
+    IR companion to :func:`phrase_search` that relaxes adjacency to a
+    token window: documents where ``terms[0]`` and ``terms[1]`` occur
+    within ``window`` tokens of each other, with the qualifying
+    (posA, posB) pair count and the closest gap.
+
+    Scale shape: NO shuffle — one map_batches scan; within a batch the
+    position lists collapse to ONE composite-key searchsorted pair
+    (``doc * 2^32 + pos`` keeps windows from leaking across documents
+    because 2^32 >> window), so pair counting is two binary searches per
+    occurrence, never a quadratic expansion.  Exact integers; the oracle
+    is the classic |posA - posB| <= w position self-join."""
+    import pyarrow.compute as pc_
+
+    ta, tb = terms
+    assert ta != tb and window >= 1
+
+    def scan(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_pairs": pa.array([], pa.int64()),
+                          "min_gap": pa.array([], pa.int64())})
+        n_docs = len(batch)
+        if n_docs == 0:
+            return empty
+        split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        counts = split.value_lengths().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = split.flatten()
+        doc_pos = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        nonempty = pc_.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_pos = doc_pos[nonempty]
+        toks = flat.filter(pa.array(nonempty))
+        T = len(toks)
+        if T == 0:
+            return empty
+        # 1-based position within each document's filtered token list
+        # (mirrors the oracle's generate_subscripts)
+        new_doc = np.flatnonzero(np.diff(doc_pos, prepend=np.int64(-1)))
+        seg_len = np.diff(np.append(new_doc, T))
+        seg_start = np.repeat(new_doc, seg_len)
+        pos = np.arange(T, dtype=np.int64) - seg_start + 1
+        key = doc_pos * (np.int64(1) << np.int64(32)) + pos
+        ia = np.flatnonzero(pc_.equal(toks, ta).to_numpy(zero_copy_only=False))
+        ib = np.flatnonzero(pc_.equal(toks, tb).to_numpy(zero_copy_only=False))
+        if len(ia) == 0 or len(ib) == 0:
+            return empty
+        ka, kb = key[ia], key[ib]  # both ascending by construction
+        lo = np.searchsorted(kb, ka - window, side="left")
+        hi = np.searchsorted(kb, ka + window, side="right")
+        cnt = hi - lo
+        has = cnt > 0
+        if not has.any():
+            return empty
+        # nearest in-window partner per A occurrence: the two neighbors
+        # of the insertion point, clipped into [lo, hi)
+        ip = np.searchsorted(kb, ka)
+        gap = np.full(len(ka), np.int64(1) << np.int64(40))
+        below_ok = (ip - 1 >= lo) & (ip - 1 < hi) & (ip >= 1)
+        gap[below_ok] = ka[below_ok] - kb[(ip - 1)[below_ok]]
+        above_ok = (ip >= lo) & (ip < hi) & (ip < len(kb))
+        np.minimum.at(gap, np.flatnonzero(above_ok),
+                      np.abs(kb[ip[above_ok]] - ka[above_ok]))
+        docs_a = doc_pos[ia]
+        n_pairs = np.zeros(n_docs, np.int64)
+        np.add.at(n_pairs, docs_a, cnt)
+        best = np.full(n_docs, np.int64(1) << np.int64(40))
+        np.minimum.at(best, docs_a[has], gap[has])
+        hit = np.flatnonzero(n_pairs > 0)
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids[hit]),
+                         "n_pairs": pa.array(n_pairs[hit]),
+                         "min_gap": pa.array(best[hit])})
+
+    return ds.map_batches(scan, batch_format="pyarrow").sort("doc_id")

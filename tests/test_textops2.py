@@ -594,3 +594,47 @@ def test_mutual_information_independence_and_identity():
         "url": pa.array(urls2, pa.string()),
         "lang": pa.array(langs2, pa.string())}))).to_pandas()
     assert abs(float(o2["mi"].iloc[0])) < 1e-9
+
+
+def test_proximity_search_hand_cases():
+    """Pair counting, window boundary, min gap, doc isolation, and the
+    brute-force parity on a multi-occurrence doc."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import proximity_search
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "table x hash",            # gap 2 -> hit
+            "table a b c hash",        # gap 4 > 3 -> miss
+            "hash table hash x table", # pairs: (2,1)g1 (2,3)... brute below
+            "table only here",         # no partner -> miss
+        ]),
+    })
+    out = proximity_search(rd.from_arrow(docs), ("table", "hash"), 3) \
+        .to_pandas().set_index("doc_id")
+    assert list(out.index) == [1, 3]
+    assert int(out.loc[1, "n_pairs"]) == 1
+    assert int(out.loc[1, "min_gap"]) == 2
+    # doc 3: table at pos 2,5; hash at 1,3.  |2-1|=1,|2-3|=1,|5-3|=2,|5-1|=4
+    assert int(out.loc[3, "n_pairs"]) == 3
+    assert int(out.loc[3, "min_gap"]) == 1
+
+
+def test_proximity_search_no_cross_doc_leak():
+    """A 'hash' ending one doc and a 'table' starting the next are NOT a
+    pair even though they are adjacent in the flattened token stream."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import proximity_search
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["x y hash", "table z w"]),
+    })
+    out = proximity_search(rd.from_arrow(docs), ("table", "hash"), 3) \
+        .to_pandas()
+    assert len(out) == 0
