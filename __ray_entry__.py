@@ -3045,6 +3045,18 @@ def _q_proximity_search(sf_dir: str):
     return proximity_search(_docs(sf_dir))
 
 
+def _q_chi2_independence(sf_dir: str):
+    """Pearson chi-square independence test + Cramer's V between TLD and
+    language over the same bounded contingency as mutual_information
+    (stages/textops.chi2_independence)."""
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.textops import chi2_independence
+
+    return chi2_independence(
+        read_pages(sf_dir, include_html=False).select_columns(
+            ["url", "lang"]))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3197,6 +3209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct": _q_kmv_distinct,
         "dft_power24": _q_dft_power24,
         "proximity_search": _q_proximity_search,
+        "chi2_independence": _q_chi2_independence,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3470,6 +3483,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_distinct": oc.kmv_distinct_sql(),
         "dft_power24": oc.dft_power24_sql(),
         "proximity_search": oc.proximity_search_sql(),
+        "chi2_independence": oc.chi2_independence_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

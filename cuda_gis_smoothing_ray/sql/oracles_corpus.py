@@ -5399,3 +5399,43 @@ def proximity_search_sql(terms: tuple[str, str] | None = None,
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
   CAST(min(gap) AS BIGINT) AS min_gap
 FROM p GROUP BY 1 ORDER BY 1"""
+
+
+def chi2_independence_sql() -> str:
+    """Oracle of stages/textops.chi2_independence: same contingency CTEs
+    as mutual_information_sql, O^2/(r*c) terms folded in (tld, lang)
+    order, chi2 = N*S - N, Cramer's V over the same unrounded tree."""
+    from .oracles import pages_cte, round6
+
+    return f"""WITH {pages_cte()},
+ct AS (
+  SELECT tld, lang, CAST(count(*) AS BIGINT) AS c FROM (
+    SELECT string_split(split_part(url, '/', 3), '.')[-1] AS tld, lang
+    FROM pages
+  ) GROUP BY 1, 2
+), st AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n FROM ct
+), r AS (
+  SELECT tld, CAST(sum(c) AS BIGINT) AS rc FROM ct GROUP BY 1
+), cl AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS cc FROM ct GROUP BY 1
+), terms AS (
+  SELECT ct.tld, ct.lang,
+    CAST(ct.c * ct.c AS DOUBLE) / CAST(r.rc * cl.cc AS DOUBLE) AS t
+  FROM ct JOIN r ON r.tld = ct.tld JOIN cl ON cl.lang = ct.lang
+), f AS (
+  SELECT list_reduce(list(t ORDER BY tld, lang), (a, b) -> a + b) AS s
+  FROM terms
+), dims AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_rows,
+         (SELECT CAST(count(*) AS BIGINT) FROM cl) AS n_cols
+), c2 AS (
+  SELECT CAST(st.n AS DOUBLE) * f.s - CAST(st.n AS DOUBLE) AS v
+  FROM st, f
+)
+SELECT st.n AS n, dims.n_rows, dims.n_cols,
+  (dims.n_rows - 1) * (dims.n_cols - 1) AS dof,
+  {round6('c2.v')} AS chi2,
+  {round6('sqrt(c2.v / CAST(st.n * least(dims.n_rows - 1,'
+          ' dims.n_cols - 1) AS DOUBLE))')} AS cramers_v
+FROM st, f, dims, c2"""

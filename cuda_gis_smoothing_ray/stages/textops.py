@@ -4109,3 +4109,77 @@ def proximity_search(ds, terms: tuple[str, str] = PROX_TERMS,
                          "min_gap": pa.array(best[hit])})
 
     return ds.map_batches(scan, batch_format="pyarrow").sort("doc_id")
+
+
+def chi2_independence(pages_ds):
+    """pages -> ONE row (n, n_rows, n_cols, dof, chi2, cramers_v): the
+    PEARSON CHI-SQUARE independence test between a page's TLD and its
+    language label, with Cramer's V effect size — the significance
+    companion to :func:`mutual_information` over the same bounded
+    contingency table (MI measures shared information; chi2/V say
+    whether the association survives a null model).
+
+    Zero-observed cells are handled ALGEBRAICALLY: ``chi2 = N * sum_obs
+    O_ij^2 / (r_i * c_j) - N`` (the missing-cell expected masses
+    telescope into the -N), so only observed cells enter the float fold
+    — LEFT-ASSOCIATIVE in (tld, lang) order, mirrored by the oracle's
+    ``list_reduce(list(t ORDER BY tld, lang))``.  Counts are exact ints;
+    chi2 and V are two divisions over the shared tree, round6.  Scale
+    shape: batch-local pair counts, one bounded two-key reduce."""
+    import math
+
+    import pyarrow.compute as pc_
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        parts = pc_.split_pattern(batch.column("url"), pattern="/")
+        host = pc_.list_element(parts, 2)
+        tld = pc_.list_element(
+            pc_.split_pattern(host, pattern=".", max_splits=1, reverse=True),
+            1)
+        df = pd_.DataFrame({
+            "tld": tld.to_pylist(),
+            "lang": batch.column("lang").to_pylist(),
+        })
+        g = df.groupby(["tld", "lang"], sort=False).size().reset_index(
+            name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    conf = (
+        pages_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["tld", "lang"])
+        .aggregate(Sum("c", alias_name="c"))
+    ).to_pandas().sort_values(["tld", "lang"], kind="mergesort")
+    n = int(conf["c"].sum())
+    if n == 0:
+        raise ValueError("chi2_independence: no pages")
+    row = conf.groupby("tld")["c"].sum()
+    col = conf.groupby("lang")["c"].sum()
+    n_rows, n_cols = len(row), len(col)
+    dof = (n_rows - 1) * (n_cols - 1)
+    if dof == 0:
+        raise ValueError("chi2_independence: degenerate 1xK table")
+    s = 0.0
+    first = True
+    for rec in conf.itertuples():
+        p = int(rec.c)
+        term = float(p * p) / float(int(row[rec.tld]) * int(col[rec.lang]))
+        if first:
+            s, first = term, False
+        else:
+            s += term
+    chi2 = float(n) * s - float(n)
+    kmin = min(n_rows - 1, n_cols - 1)
+    v = math.sqrt(chi2 / float(n * kmin))
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "n_rows": pa.array([n_rows], pa.int64()),
+        "n_cols": pa.array([n_cols], pa.int64()),
+        "dof": pa.array([dof], pa.int64()),
+        "chi2": pa.array([r6(chi2)], pa.float64()),
+        "cramers_v": pa.array([r6(v)], pa.float64()),
+    }))

@@ -638,3 +638,29 @@ def test_proximity_search_no_cross_doc_leak():
     out = proximity_search(rd.from_arrow(docs), ("table", "hash"), 3) \
         .to_pandas()
     assert len(out) == 0
+
+
+def test_chi2_independence_hand_cases():
+    """A perfectly dependent 2x2 table gives chi2 = N and V = 1; an
+    exactly independent table gives chi2 = 0."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import chi2_independence
+
+    def pages(rows):
+        return rd.from_arrow(pa.table({
+            "url": pa.array([f"https://h.{t}/p{i}"
+                             for i, (t, _) in enumerate(rows)]),
+            "lang": pa.array([l for _, l in rows]),
+        }))
+
+    dep = pages([("com", "en")] * 5 + [("de", "de")] * 5)
+    out = chi2_independence(dep).to_pandas()
+    assert float(out["chi2"].iloc[0]) == 10.0
+    assert float(out["cramers_v"].iloc[0]) == 1.0
+    assert int(out["dof"].iloc[0]) == 1
+
+    ind = pages([("com", "en"), ("com", "de"), ("de", "en"), ("de", "de")])
+    out2 = chi2_independence(ind).to_pandas()
+    assert abs(float(out2["chi2"].iloc[0])) < 1e-9
