@@ -3057,6 +3057,15 @@ def _q_chi2_independence(sf_dir: str):
             ["url", "lang"]))
 
 
+def _q_perceptron_train(sf_dir: str):
+    """Batch-perceptron supersteps over the fixed-point embedding table:
+    integer margins and updates, dim-sized partials only
+    (stages/ann.perceptron_train)."""
+    from cuda_gis_smoothing_ray.stages.ann import perceptron_train
+
+    return perceptron_train(sf_dir).sort("i")
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3210,6 +3219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dft_power24": _q_dft_power24,
         "proximity_search": _q_proximity_search,
         "chi2_independence": _q_chi2_independence,
+        "perceptron_train": _q_perceptron_train,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3484,6 +3494,7 @@ def oracle_sql() -> dict[str, str]:
         "dft_power24": oc.dft_power24_sql(),
         "proximity_search": oc.proximity_search_sql(),
         "chi2_independence": oc.chi2_independence_sql(),
+        "perceptron_train": oc.perceptron_train_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

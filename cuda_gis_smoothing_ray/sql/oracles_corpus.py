@@ -5439,3 +5439,50 @@ SELECT st.n AS n, dims.n_rows, dims.n_cols,
   {round6('sqrt(c2.v / CAST(st.n * least(dims.n_rows - 1,'
           ' dims.n_cols - 1) AS DOUBLE))')} AS cramers_v
 FROM st, f, dims, c2"""
+
+
+def perceptron_train_sql(iters: int | None = None,
+                         scale: int | None = None) -> str:
+    """Oracle of stages/ann.perceptron_train: unrolled MATERIALIZED
+    supersteps — per-step margins via a (vec, dim) join against the
+    previous weight vector, misclassified update summed per dim, all in
+    HUGEINT (identical integer math, order-free)."""
+    from ..stages import ann
+
+    k = ann.PERC_ITERS if iters is None else iters
+    sc = ann.PERC_SCALE if scale is None else scale
+    pos = ann.PERC_POS_BELOW
+    ctes = [f"""x AS MATERIALIZED (
+  SELECT vec_id,
+    CASE WHEN label < {pos} THEN CAST(1 AS HUGEINT)
+         ELSE CAST(-1 AS HUGEINT) END AS y,
+    generate_subscripts(embedding, 1) AS i,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {sc} + 0.5)
+         AS HUGEINT) AS v
+  FROM embeddings
+)""", """w1 AS MATERIALIZED (
+  SELECT i, CAST(sum(y * v) AS HUGEINT) AS w FROM x GROUP BY i
+)"""]
+    for t in range(2, k + 1):
+        ctes.append(f"""m{t - 1} AS MATERIALIZED (
+  SELECT x.vec_id, x.y, CAST(sum(w{t - 1}.w * x.v) AS HUGEINT) AS dot
+  FROM x JOIN w{t - 1} ON w{t - 1}.i = x.i GROUP BY x.vec_id, x.y
+)""")
+        ctes.append(f"""u{t - 1} AS (
+  SELECT x.i, CAST(sum(x.y * x.v) AS HUGEINT) AS u
+  FROM x JOIN m{t - 1} ON m{t - 1}.vec_id = x.vec_id
+  WHERE m{t - 1}.y * m{t - 1}.dot <= 0 GROUP BY x.i
+)""")
+        ctes.append(f"""w{t} AS MATERIALIZED (
+  SELECT w{t - 1}.i, w{t - 1}.w + coalesce(u{t - 1}.u, 0) AS w
+  FROM w{t - 1} LEFT JOIN u{t - 1} ON u{t - 1}.i = w{t - 1}.i
+)""")
+    ctes.append(f"""mf AS (
+  SELECT x.vec_id, x.y, CAST(sum(w{k}.w * x.v) AS HUGEINT) AS dot
+  FROM x JOIN w{k} ON w{k}.i = x.i GROUP BY x.vec_id, x.y
+)""")
+    body = ",\n".join(ctes)
+    return f"""WITH {body}
+SELECT i, CAST(w AS BIGINT) AS w,
+  (SELECT CAST(count(*) AS BIGINT) FROM mf WHERE y * dot <= 0) AS n_mis
+FROM w{k} ORDER BY i"""

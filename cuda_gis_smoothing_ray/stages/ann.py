@@ -1079,3 +1079,86 @@ def kmeans_inertia(ds, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
                 zero_copy_only=False).astype(np.int64)[keep])})
 
     return out.map_batches(finalize, batch_format="pyarrow").sort("cluster")
+
+
+PERC_ITERS = 4
+PERC_SCALE = 4096
+PERC_POS_BELOW = 5  # labels < 5 -> +1, else -1
+
+
+def perceptron_train(sf_dir: str, iters: int = PERC_ITERS,
+                     scale: int = PERC_SCALE):
+    """embeddings -> (i, w, n_mis): ``iters`` BATCH-PERCEPTRON supersteps
+    over the fixed-point embedding table — the simplest oracle-able
+    supervised linear learner (labels ``< PERC_POS_BELOW`` are +1, the
+    rest -1; the margin test and every update are pure integers, so K
+    steps are bit-reproducible across engines where a float SGD would
+    not be).
+
+    Per step: ``mis = { y_i * (x_i . w) <= 0 }`` (w0 = 0 makes step 1
+    update on every row), ``w += sum_mis y_i * x_i`` — order-free int
+    sums of ``floor(x * scale + 0.5)`` coordinates.  ``n_mis`` is the
+    misclassified count under the FINAL w (one extra eval pass).  Scale
+    shape: each superstep ships only a dim-sized update partial per
+    batch (one ``hash_groupby`` on the coordinate index); w broadcasts
+    in the task closure; rows never shuffle.  Overflow: |w| grows by
+    <= n * scale * max|x| per step — asserted against 2^62 before each
+    integer matmul."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+    from .. import tune_data_context
+    tune_data_context()
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding", "label"])
+
+    def make_partial(wv):
+        def partial(batch: pa.Table) -> pa.Table:
+            empty = pa.table({"i": pa.array([], pa.int64()),
+                              "u": pa.array([], pa.int64()),
+                              "m": pa.array([], pa.int64())})
+            if len(batch) == 0:
+                return empty
+            xq = np.floor(_emb_matrix(batch) * float(scale) + 0.5) \
+                .astype(np.int64)
+            lab = batch.column("label").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            y = np.where(lab < PERC_POS_BELOW, np.int64(1), np.int64(-1))
+            if wv is None:
+                mis = np.ones(len(xq), bool)
+            else:
+                bound = (int(np.abs(wv).max(initial=0))
+                         * int(np.abs(xq).max(initial=0)) * xq.shape[1])
+                assert bound < (1 << 62), "perceptron_train: margin overflow"
+                mis = y * (xq @ wv) <= 0
+            upd = (y[mis, None] * xq[mis]).sum(axis=0, dtype=np.int64)
+            d = len(upd)
+            return pa.table({
+                "i": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+                "u": pa.array(upd),
+                "m": pa.array(np.full(d, int(mis.sum()), dtype=np.int64)),
+            })
+        return partial
+
+    w = None
+    for _ in range(iters):
+        agg = hash_groupby(
+            ds.map_batches(make_partial(None if w is None else w.copy()),
+                           batch_format="pyarrow"),
+            "i", ["u", "m"], how="isum",
+        ).to_pandas().sort_values("i")
+        upd = agg["u"].to_numpy(np.int64)
+        w = upd if w is None else w + upd
+    # misclassified count under the FINAL w
+    fin = hash_groupby(
+        ds.map_batches(make_partial(w.copy()), batch_format="pyarrow"),
+        "i", ["u", "m"], how="isum",
+    ).to_pandas().sort_values("i")
+    n_mis = int(fin["m"].iloc[0])
+    d = len(w)
+    return rd.from_arrow(pa.table({
+        "i": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+        "w": pa.array(w),
+        "n_mis": pa.array(np.full(d, n_mis, dtype=np.int64)),
+    }))

@@ -416,3 +416,33 @@ def test_kmeans_inertia_consistency(sf_dir):
         assert int(sizes.loc[int(r.cluster)]) == int(r.n)
     assert (inert["sse12"] >= 0).all()
     assert (inert["n"] > 0).all()
+
+
+def test_perceptron_train_separable(tmp_path):
+    """On a linearly separable fixture the K-step batch perceptron drives
+    the misclassified count to zero, and step-1 weights equal sum(y*x)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages.ann import perceptron_train
+
+    rng = np.random.default_rng(7)
+    pos = rng.normal(3.0, 0.2, (20, 4)).astype(np.float32)
+    neg = rng.normal(-3.0, 0.2, (20, 4)).astype(np.float32)
+    vecs = np.vstack([pos, neg])
+    labels = np.array([0] * 20 + [9] * 20, dtype=np.int32)  # <5 -> +1
+    t = pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = perceptron_train(str(tmp_path), iters=2).to_pandas()
+    assert int(out["n_mis"].iloc[0]) == 0
+    xq = np.floor(vecs.astype(np.float64) * 4096 + 0.5).astype(np.int64)
+    y = np.where(labels < 5, 1, -1)
+    w1 = (y[:, None] * xq).sum(axis=0)
+    # step 2 finds no misclassified rows, so w stays at step-1's value
+    assert (out["w"].to_numpy() == w1).all()
