@@ -3066,6 +3066,15 @@ def _q_perceptron_train(sf_dir: str):
     return perceptron_train(sf_dir).sort("i")
 
 
+def _q_holt_linear(sf_dir: str):
+    """Holt's linear double exponential smoothing of the dense daily
+    count series (alpha = beta = 1/2): exact 4^(t-1)-scaled integer
+    recursion, one-step forecast (stages/events.holt_linear)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.holt_linear(events.read_events(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3220,6 +3229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "proximity_search": _q_proximity_search,
         "chi2_independence": _q_chi2_independence,
         "perceptron_train": _q_perceptron_train,
+        "holt_linear": _q_holt_linear,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3495,6 +3505,7 @@ def oracle_sql() -> dict[str, str]:
         "proximity_search": oc.proximity_search_sql(),
         "chi2_independence": oc.chi2_independence_sql(),
         "perceptron_train": oc.perceptron_train_sql(),
+        "holt_linear": oc.holt_linear_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

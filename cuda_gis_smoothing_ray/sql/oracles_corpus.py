@@ -5486,3 +5486,44 @@ def perceptron_train_sql(iters: int | None = None,
 SELECT i, CAST(w AS BIGINT) AS w,
   (SELECT CAST(count(*) AS BIGINT) FROM mf WHERE y * dot <= 0) AS n_mis
 FROM w{k} ORDER BY i"""
+
+
+def holt_linear_sql() -> str:
+    """Oracle of stages/events.holt_linear: the identical 4^(t-1)-scaled
+    integer recursion as a recursive CTE with HUGEINT shifts over the
+    dense daily series (missing days are zeros)."""
+    from .oracles import round6
+
+    return f"""WITH RECURSIVE cnts AS (
+  SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), ext AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM cnts
+), dense AS (
+  SELECT row_number() OVER (ORDER BY g.d) AS t,
+    CAST(coalesce(c.c, 0) AS HUGEINT) AS y
+  FROM (SELECT unnest(generate_series((SELECT lo FROM ext),
+                                      (SELECT hi FROM ext))) AS d) g
+  LEFT JOIN cnts c ON c.d = g.d
+), rec AS (
+  SELECT CAST(1 AS BIGINT) AS t,
+    (SELECT y FROM dense WHERE t = 1) AS l,
+    (SELECT y FROM dense WHERE t = 2) - (SELECT y FROM dense WHERE t = 1)
+      AS b
+  UNION ALL
+  SELECT rec.t + 1,
+    (CAST(1 AS HUGEINT) << (2 * (rec.t + 1) - 3)) * d.y
+      + 2 * (rec.l + rec.b),
+    (CAST(1 AS HUGEINT) << (2 * (rec.t + 1) - 4)) * d.y
+      - rec.l + 3 * rec.b
+  FROM rec JOIN dense d ON d.t = rec.t + 1
+), last AS (
+  SELECT rec.t, rec.l, rec.b,
+    (CAST(1 AS HUGEINT) << (2 * (rec.t - 1))) AS den
+  FROM rec ORDER BY rec.t DESC LIMIT 1
+)
+SELECT CAST(t AS BIGINT) AS n_days,
+  {round6("CAST(l AS DOUBLE) / CAST(den AS DOUBLE)")} AS level,
+  {round6("CAST(b AS DOUBLE) / CAST(den AS DOUBLE)")} AS trend,
+  {round6("CAST(l + b AS DOUBLE) / CAST(den AS DOUBLE)")} AS forecast
+FROM last"""

@@ -2567,3 +2567,61 @@ def dft_power24(ds, harmonics: tuple[int, ...] = DFT_HARMONICS):
         "im": pa.array(agg["im"].to_numpy(np.int64)),
         "amp_ratio": pa.array(amp, pa.float64()),
     }))
+
+
+def holt_linear(ds):
+    """events -> ONE row (n_days, level, trend, forecast): HOLT'S LINEAR
+    (double exponential) smoothing of the dense daily count series with
+    alpha = beta = 1/2 — the one-step-ahead load forecast a crawl
+    scheduler runs nightly; the trend-aware upgrade of the plain EMA
+    (:func:`ema_win`).
+
+    EXACT integers throughout the recursion: with l_1 = y_1, b_1 =
+    y_2 - y_1 and both states scaled by 4^(t-1) —
+    ``L_t = 2^(2t-3) * y_t + 2*(L_{t-1} + B_{t-1})`` and
+    ``B_t = 2^(2t-4) * y_t - L_{t-1} + 3*B_{t-1}`` — halvings never
+    divide (power-of-two denominators are carried, Python bigints /
+    HUGEINT); level/trend/forecast each divide ONCE at the end, round6.
+    The oracle runs the identical recursion as a recursive CTE with
+    HUGEINT shifts.  Scale shape: one bounded day-keyed count reduce;
+    the recursion is driver arithmetic on <= |days| slots (the dense-
+    series discipline — missing days are zeros and move the forecast).
+    Denominator bound: 4^(days-1) needs HUGEINT headroom, fine for
+    month-scale windows; re-base the scaling for year-long series."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    def counts(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table({"d": pa.array(uniq),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    hist = hash_groupby(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        "d", ["cnt"], how="isum",
+    ).to_pandas().sort_values("d")
+    if len(hist) == 0:
+        raise ValueError("holt_linear: no events")
+    dd = hist["d"].to_numpy(np.int64)
+    lo, hi = int(dd[0]), int(dd[-1])
+    T = hi - lo + 1
+    if T < 2:
+        raise ValueError("holt_linear: need at least 2 days")
+    y = np.zeros(T, dtype=np.int64)
+    y[dd - lo] = hist["cnt"].to_numpy(np.int64)
+    L, B = int(y[0]), int(y[1]) - int(y[0])
+    for t in range(2, T + 1):  # 1-indexed day t
+        yt = int(y[t - 1])
+        L, B = ((1 << (2 * t - 3)) * yt + 2 * (L + B),
+                (1 << (2 * t - 4)) * yt - L + 3 * B)
+    den = 1 << (2 * (T - 1))
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return rd.from_arrow(pa.table({
+        "n_days": pa.array([T], pa.int64()),
+        "level": pa.array([r6(float(L) / float(den))], pa.float64()),
+        "trend": pa.array([r6(float(B) / float(den))], pa.float64()),
+        "forecast": pa.array([r6(float(L + B) / float(den))], pa.float64()),
+    }))

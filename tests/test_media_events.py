@@ -827,3 +827,38 @@ def test_dft_power24_pure_diurnal():
     out2 = dft_power24(rd.from_arrow(t2)).to_pandas().set_index("harmonic")
     # exact-integer table sums cancel to ~0 (quantization residue only)
     assert float(out2.loc[1, "amp_ratio"]) < 1e-4
+
+
+def test_holt_linear_exact_line_and_float_parity():
+    """On an exact arithmetic progression Holt locks on: level = last
+    value, trend = the step, forecast extrapolates; and the scaled-int
+    recursion equals a direct float recursion to round6 precision."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import holt_linear
+
+    day0 = np.datetime64("2024-01-01T12:00:00", "us")
+    DAY = np.timedelta64(24 * 3600 * 10**6, "us")
+    # counts per day: 1, 2, 3, 4, 5  (perfect line, step 1)
+    ts = [day0 + d * DAY for d in range(5) for _ in range(d + 1)]
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us"))})
+    out = holt_linear(rd.from_arrow(t)).to_pandas()
+    assert int(out["n_days"].iloc[0]) == 5
+    assert float(out["level"].iloc[0]) == 5.0
+    assert float(out["trend"].iloc[0]) == 1.0
+    assert float(out["forecast"].iloc[0]) == 6.0
+
+    # float-recursion parity on a bumpy series
+    y = [3, 0, 7, 2, 2, 9]
+    ts2 = [day0 + d * DAY for d, c in enumerate(y) for _ in range(c)]
+    out2 = holt_linear(rd.from_arrow(
+        pa.table({"ts": pa.array(ts2, pa.timestamp("us"))}))).to_pandas()
+    l, b = float(y[0]), float(y[1] - y[0])
+    for v in y[1:]:
+        l_new = (v + l + b) / 2
+        b = (l_new - l + b) / 2
+        l = l_new
+    assert abs(float(out2["level"].iloc[0]) - l) < 1e-6
+    assert abs(float(out2["forecast"].iloc[0]) - (l + b)) < 1e-6
