@@ -3075,6 +3075,15 @@ def _q_holt_linear(sf_dir: str):
     return events.holt_linear(events.read_events(sf_dir))
 
 
+def _q_kruskal_wallis(sf_dir: str):
+    """Kruskal-Wallis omnibus rank test of document length across all
+    languages: one (group, value) histogram, doubled tie ranks, ordered
+    folds (stages/sketch.kruskal_wallis)."""
+    from cuda_gis_smoothing_ray.stages.sketch import kruskal_wallis
+
+    return kruskal_wallis(_docs(sf_dir, ("doc_id", "n_chars", "lang")))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3230,6 +3239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_independence": _q_chi2_independence,
         "perceptron_train": _q_perceptron_train,
         "holt_linear": _q_holt_linear,
+        "kruskal_wallis": _q_kruskal_wallis,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3506,6 +3516,7 @@ def oracle_sql() -> dict[str, str]:
         "chi2_independence": oc.chi2_independence_sql(),
         "perceptron_train": oc.perceptron_train_sql(),
         "holt_linear": oc.holt_linear_sql(),
+        "kruskal_wallis": oc.kruskal_wallis_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -5527,3 +5527,48 @@ SELECT CAST(t AS BIGINT) AS n_days,
   {round6("CAST(b AS DOUBLE) / CAST(den AS DOUBLE)")} AS trend,
   {round6("CAST(l + b AS DOUBLE) / CAST(den AS DOUBLE)")} AS forecast
 FROM last"""
+
+
+def kruskal_wallis_sql() -> str:
+    """Oracle of stages/sketch.kruskal_wallis: doubled tie ranks from
+    the merged value histogram (one cumulative window), HUGEINT group
+    rank sums, ordered list_reduce fold of R'^2/(4n_g), two shared
+    float trees."""
+    from .oracles import round6
+
+    return f"""WITH t AS (
+  SELECT lang AS g, CAST(n_chars AS BIGINT) AS v FROM documents
+), hist AS (
+  SELECT g, v, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY 1, 2
+), gvh AS (
+  SELECT v, CAST(sum(cnt) AS BIGINT) AS c FROM hist GROUP BY v
+), rk AS (
+  SELECT v, 2 * CAST(coalesce(sum(c) OVER (ORDER BY v
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT)
+    + c + 1 AS r2
+  FROM gvh
+), st AS (
+  SELECT CAST(sum(c) AS HUGEINT) AS n,
+    CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS sumt
+  FROM gvh
+), gr AS (
+  SELECT hist.g, CAST(sum(CAST(hist.cnt AS HUGEINT) * rk.r2) AS HUGEINT)
+      AS rp,
+    CAST(sum(hist.cnt) AS HUGEINT) AS ng
+  FROM hist JOIN rk ON rk.v = hist.v GROUP BY hist.g
+), f AS (
+  SELECT list_reduce(list(
+    CAST(rp * rp AS DOUBLE) / CAST(4 * ng AS DOUBLE) ORDER BY g),
+    (a, b) -> a + b) AS s,
+    CAST(count(*) AS BIGINT) AS n_groups
+  FROM gr
+), hh AS (
+  SELECT 12 * f.s / CAST(st.n * (st.n + 1) AS DOUBLE)
+    - CAST(3 * (st.n + 1) AS DOUBLE) AS h
+  FROM f, st
+)
+SELECT CAST(st.n AS BIGINT) AS n, f.n_groups,
+  {round6('hh.h')} AS h,
+  {round6('hh.h / (1 - CAST(st.sumt AS DOUBLE)'
+          ' / CAST(st.n * st.n * st.n - st.n AS DOUBLE))')} AS h_tie
+FROM st, f, hh"""

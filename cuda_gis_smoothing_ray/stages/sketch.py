@@ -1509,3 +1509,79 @@ def kmv_distinct(events_ds, k: int = KMV_K):
         "kmv_est": pa.array(rows["kmv_est"], pa.int64()),
         "rel_err": pa.array(rows["rel_err"], pa.float64()),
     }))
+
+
+def kruskal_wallis(ds, group_col: str = "lang", value_col: str = "n_chars"):
+    """-> ONE row (n, n_groups, h, h_tie): the KRUSKAL-WALLIS H test —
+    "do ANY of the language groups differ in document length?" — the
+    k-group extension of :func:`mann_whitney` (one omnibus rank test
+    instead of k^2 pairwise ones).
+
+    EXACT rank sums from ONE (group, value) histogram: with doubled
+    average tie ranks ``2r(v) = 2*cnt_less(v) + cnt(v) + 1`` (integers),
+    each group's doubled rank sum ``R'_g = sum_v cnt_g(v) * 2r(v)`` is
+    an exact bigint; the per-group float terms ``R'_g^2 / (4 * n_g)``
+    fold LEFT-ASSOCIATIVELY in group order (mirrored by the oracle's
+    ``list_reduce(list(t ORDER BY g))``), then
+    ``H = 12*S/(n*(n+1)) - 3*(n+1)`` and the tie-corrected
+    ``H / (1 - sum_t(t^3 - t)/(n^3 - n))`` — two shared float trees,
+    round6.  Scale shape: one bounded (group, value) histogram shuffle;
+    everything after runs on the histogram."""
+    import pandas as pd
+    import ray.data as rd
+
+    def counts(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"g": g, "v": v})
+        agg = df.groupby(["g", "v"], sort=True).size().reset_index(name="cnt")
+        return pa.table({
+            "g": pa.array(agg["g"]),
+            "v": pa.array(agg["v"].to_numpy().astype(np.int64)),
+            "cnt": pa.array(agg["cnt"].to_numpy().astype(np.int64)),
+        })
+
+    hist = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby(["g", "v"])
+        .sum("cnt")
+        .to_pandas()
+    )
+    col = "sum(cnt)"
+    if hist.empty:
+        raise ValueError("kruskal_wallis: no rows")
+    # global doubled tie ranks from the merged value histogram
+    glob = hist.groupby("v")[col].sum().sort_index()
+    vals = glob.index.to_numpy(np.int64)
+    t_counts = glob.to_numpy(np.int64)
+    less = np.concatenate([[0], np.cumsum(t_counts)[:-1]])
+    r2 = 2 * less + t_counts + 1  # doubled average rank, exact int
+    n = int(t_counts.sum())
+    sum_t = sum(int(t) ** 3 - int(t) for t in t_counts)
+    if sum_t == n ** 3 - n:
+        raise ValueError("kruskal_wallis: all values tied")
+    s = 0.0
+    first = True
+    n_groups = 0
+    for g, grp in hist.groupby("g", sort=True):
+        n_groups += 1
+        gv = grp["v"].to_numpy(np.int64)
+        gc = grp[col].to_numpy(np.int64)
+        rp = int((gc.astype(object)
+                  * r2[np.searchsorted(vals, gv)].astype(object)).sum())
+        ng = int(gc.sum())
+        term = float(rp * rp) / float(4 * ng)
+        if first:
+            s, first = term, False
+        else:
+            s += term
+    h = 12.0 * s / float(n * (n + 1)) - float(3 * (n + 1))
+    h_tie = h / (1.0 - float(sum_t) / float(n ** 3 - n))
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "n_groups": pa.array([n_groups], pa.int64()),
+        "h": pa.array([r6(h)], pa.float64()),
+        "h_tie": pa.array([r6(h_tie)], pa.float64()),
+    }))

@@ -560,3 +560,30 @@ def test_kmv_distinct_duplicates_collapse():
     assert int(out["n_distinct"].iloc[0]) == 3
     assert int(out["kmv_est"].iloc[0]) == 3
     assert float(out["rel_err"].iloc[0]) == 0.0
+
+
+def test_kruskal_wallis_matches_pandas_ranks():
+    """H equals the textbook formula computed with pandas average ranks,
+    including the tie correction; identical groups give H ~ 0."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import kruskal_wallis
+
+    vals = [5, 7, 7, 9, 1, 2, 2, 3, 7, 8, 8, 10]
+    grps = ["a"] * 4 + ["b"] * 4 + ["c"] * 4
+    out = kruskal_wallis(rd.from_arrow(pa.table({
+        "lang": pa.array(grps), "n_chars": pa.array(vals, pa.int64()),
+    }))).to_pandas()
+    df = pd.DataFrame({"g": grps, "v": vals})
+    df["r"] = df["v"].rank(method="average")
+    n = len(df)
+    s = sum(g["r"].sum() ** 2 / len(g) for _, g in df.groupby("g"))
+    h = 12 * s / (n * (n + 1)) - 3 * (n + 1)
+    _, tc = np.unique(vals, return_counts=True)
+    h_tie = h / (1 - (tc.astype(float) ** 3 - tc).sum() / (n**3 - n))
+    assert abs(float(out["h"].iloc[0]) - h) < 1e-6
+    assert abs(float(out["h_tie"].iloc[0]) - h_tie) < 1e-6
+    assert int(out["n_groups"].iloc[0]) == 3
