@@ -3084,6 +3084,15 @@ def _q_kruskal_wallis(sf_dir: str):
     return kruskal_wallis(_docs(sf_dir, ("doc_id", "n_chars", "lang")))
 
 
+def _q_lang_diversity(sf_dir: str):
+    """Simpson language-diversity index per source: bounded two-key
+    reduce, exact rational (stages/textops.lang_diversity)."""
+    from cuda_gis_smoothing_ray.stages.textops import lang_diversity
+
+    return lang_diversity(
+        _docs(sf_dir, ("doc_id", "source", "lang"))).sort("source")
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3240,6 +3249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perceptron_train": _q_perceptron_train,
         "holt_linear": _q_holt_linear,
         "kruskal_wallis": _q_kruskal_wallis,
+        "lang_diversity": _q_lang_diversity,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3517,6 +3527,7 @@ def oracle_sql() -> dict[str, str]:
         "perceptron_train": oc.perceptron_train_sql(),
         "holt_linear": oc.holt_linear_sql(),
         "kruskal_wallis": oc.kruskal_wallis_sql(),
+        "lang_diversity": oc.lang_diversity_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -5572,3 +5572,23 @@ SELECT CAST(st.n AS BIGINT) AS n, f.n_groups,
   {round6('hh.h / (1 - CAST(st.sumt AS DOUBLE)'
           ' / CAST(st.n * st.n * st.n - st.n AS DOUBLE))')} AS h_tie
 FROM st, f, hh"""
+
+
+def lang_diversity_sql() -> str:
+    """Oracle of stages/textops.lang_diversity: (source, lang) counts,
+    unbiased Simpson 1 - sum n_i(n_i-1)/(N(N-1)), one round6 division."""
+    from .oracles import round6
+
+    return f"""WITH ct AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), agg AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n,
+    CAST(count(*) AS BIGINT) AS n_langs,
+    CAST(sum(c * (c - 1)) AS BIGINT) AS num
+  FROM ct GROUP BY source
+)
+SELECT source, n, n_langs,
+  {round6('1 - CAST(num AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)')}
+    AS simpson
+FROM agg ORDER BY source"""

@@ -4183,3 +4183,55 @@ def chi2_independence(pages_ds):
         "chi2": pa.array([r6(chi2)], pa.float64()),
         "cramers_v": pa.array([r6(v)], pa.float64()),
     }))
+
+
+def lang_diversity(docs_ds):
+    """documents -> one row per source (source, n, n_langs, simpson):
+    the SIMPSON DIVERSITY index of language labels within each source —
+    ``1 - sum_i n_i*(n_i - 1) / (N*(N - 1))``, the probability two
+    random docs from the source differ in language.  The per-source
+    mixture-health readout a curation pipeline uses to spot
+    single-language collection bugs.
+
+    EXACT rational until ONE round6 division per source (the unbiased
+    finite-sample form, not p^2 — no per-class float enters).  Scale
+    shape: batch-local (source, lang) pair counts, one bounded two-key
+    reduce, driver finalize on the tiny contingency."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": batch.column("source").to_pylist(),
+            "lang": batch.column("lang").to_pylist(),
+        })
+        g = df.groupby(["source", "lang"], sort=False).size() \
+            .reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    conf = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .aggregate(Sum("c", alias_name="c"))
+    ).to_pandas()
+    if conf.empty:
+        raise ValueError("lang_diversity: no documents")
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    rows = {"source": [], "n": [], "n_langs": [], "simpson": []}
+    for src, grp in conf.groupby("source", sort=True):
+        cs = grp["c"].to_numpy(np.int64)
+        n = int(cs.sum())
+        if n < 2:
+            raise ValueError(f"lang_diversity: source {src} has < 2 docs")
+        num = sum(int(c) * (int(c) - 1) for c in cs)
+        rows["source"].append(src)
+        rows["n"].append(n)
+        rows["n_langs"].append(len(cs))
+        rows["simpson"].append(r6(1.0 - float(num) / float(n * (n - 1))))
+    return rd.from_arrow(pa.table({
+        "source": pa.array(rows["source"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "n_langs": pa.array(rows["n_langs"], pa.int64()),
+        "simpson": pa.array(rows["simpson"], pa.float64()),
+    }))

@@ -664,3 +664,23 @@ def test_chi2_independence_hand_cases():
     ind = pages([("com", "en"), ("com", "de"), ("de", "en"), ("de", "de")])
     out2 = chi2_independence(ind).to_pandas()
     assert abs(float(out2["chi2"].iloc[0])) < 1e-9
+
+
+def test_lang_diversity_bounds():
+    """Monoculture gives simpson = 0; a perfectly even 2-lang source
+    gives the unbiased maximum n/(2(n-1))... computed directly."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import lang_diversity
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "source": pa.array(["mono"] * 4 + ["even"] * 4),
+        "lang": pa.array(["en"] * 4 + ["en", "en", "de", "de"]),
+    })
+    out = lang_diversity(rd.from_arrow(t)).to_pandas().set_index("source")
+    assert float(out.loc["mono", "simpson"]) == 0.0
+    assert int(out.loc["mono", "n_langs"]) == 1
+    # even: 1 - (2*1 + 2*1)/(4*3) = 1 - 4/12
+    assert abs(float(out.loc["even", "simpson"]) - (1 - 4 / 12)) < 1e-6
