@@ -3093,6 +3093,20 @@ def _q_lang_diversity(sf_dir: str):
         _docs(sf_dir, ("doc_id", "source", "lang"))).sort("source")
 
 
+def _q_jaccard_neighborhood(sf_dir: str):
+    """Neighborhood-Jaccard link prediction: common-neighbor counts
+    normalized by the degree union, two co-partitioned degree joins
+    (stages/triangles.jaccard_neighborhood)."""
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages import triangles as tri
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    docs = read_documents(sf_dir, columns=("doc_id",))
+    return tri.jaccard_neighborhood(docs, n_docs)
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3250,6 +3264,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "holt_linear": _q_holt_linear,
         "kruskal_wallis": _q_kruskal_wallis,
         "lang_diversity": _q_lang_diversity,
+        "jaccard_neighborhood": _q_jaccard_neighborhood,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3528,6 +3543,7 @@ def oracle_sql() -> dict[str, str]:
         "holt_linear": oc.holt_linear_sql(),
         "kruskal_wallis": oc.kruskal_wallis_sql(),
         "lang_diversity": oc.lang_diversity_sql(),
+        "jaccard_neighborhood": oc.jaccard_neighborhood_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

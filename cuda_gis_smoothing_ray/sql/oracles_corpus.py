@@ -5592,3 +5592,51 @@ SELECT source, n, n_langs,
   {round6('1 - CAST(num AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)')}
     AS simpson
 FROM agg ORDER BY source"""
+
+
+def jaccard_neighborhood_sql(comm_mod: int | None = None,
+                             min_cn: int | None = None) -> str:
+    """Oracle of stages/triangles.jaccard_neighborhood: the
+    common_neighbors wedge chain plus a degree CTE (count per node over
+    both stub directions), union by inclusion-exclusion, one round6
+    division."""
+    from ..functions import geocode
+    from ..stages import pagerank as pr
+    from ..stages import triangles as tri
+    from .oracles import round6
+
+    cm = comm_mod if comm_mod is not None else tri.COMM_MOD
+    mc = min_cn if min_cn is not None else tri.CN_MIN
+    mult, mod = geocode.TLD_MULT, geocode.HOST_MOD
+    nd = "(SELECT count(*) FROM documents)"
+    host = f"((doc_id * {mult}) % {mod}) % {cm}"
+    dhost1 = (f"((((doc_id * {pr.EDGE_MULT} + {pr.EDGE_ADD}) % {nd})"
+              f" * {mult}) % {mod}) % {cm}")
+    dhost2 = (f"((((doc_id * doc_id * {pr.EDGE_MULT2} + {pr.EDGE_ADD2}) % {nd})"
+              f" * {mult}) % {mod}) % {cm}")
+    return f"""WITH e0 AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+    SELECT {host} AS s, {dhost1} AS t FROM documents
+    UNION ALL
+    SELECT {host} AS s, {dhost2} AS t FROM documents
+  ) WHERE s <> t
+), adj AS (
+  SELECT a AS node, b AS nbr FROM e0
+  UNION ALL
+  SELECT b, a FROM e0
+), dg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1
+), cand AS (
+  SELECT n1.nbr AS u, n2.nbr AS w, CAST(count(*) AS BIGINT) AS cn
+  FROM adj n1 JOIN adj n2 ON n1.node = n2.node AND n1.nbr < n2.nbr
+  GROUP BY 1, 2
+), keep AS (
+  SELECT u, w, cn FROM cand c
+  WHERE cn >= {mc}
+    AND NOT EXISTS (SELECT 1 FROM e0 WHERE e0.a = c.u AND e0.b = c.w)
+)
+SELECT k.u, k.w, k.cn, du.deg + dw.deg - k.cn AS un,
+  {round6('CAST(k.cn AS DOUBLE) / CAST(du.deg + dw.deg - k.cn AS DOUBLE)')}
+    AS jacc
+FROM keep k JOIN dg du ON du.node = k.u JOIN dg dw ON dw.node = k.w
+ORDER BY k.u, k.w"""

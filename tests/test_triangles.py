@@ -291,3 +291,46 @@ def test_degree_assortativity_vs_networkx_formula():
     out = degree_assortativity(_docs_ds(n), n_docs=n, comm_mod=cm).to_pandas()
     assert int(out["m"].iloc[0]) == len(pairs)
     assert abs(float(out["r"].iloc[0]) - want) < 1e-6
+
+
+def test_jaccard_neighborhood_vs_brute():
+    """jacc = |N(u) & N(w)| / |N(u) | N(w)| against a brute-force set
+    computation over the same derived graph."""
+    from cuda_gis_smoothing_ray.functions import geocode
+    from cuda_gis_smoothing_ray.stages import pagerank as pr
+    from cuda_gis_smoothing_ray.stages.triangles import jaccard_neighborhood
+
+    n, cm, mc = 300, 53, 2
+    d = np.arange(n, dtype=np.int64)
+    src = np.concatenate([geocode.host_id(d), geocode.host_id(d)]) % cm
+    dst = np.concatenate([
+        geocode.host_id((d * pr.EDGE_MULT + pr.EDGE_ADD) % n),
+        geocode.host_id((d * d * pr.EDGE_MULT2 + pr.EDGE_ADD2) % n),
+    ]) % cm
+    keep = src != dst
+    pairs = np.unique(np.minimum(src[keep], dst[keep]) * cm
+                      + np.maximum(src[keep], dst[keep]))
+    edge_set = set(pairs.tolist())
+    adj: dict[int, set[int]] = {}
+    for p in pairs:
+        x, y = int(p) // cm, int(p) % cm
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    want = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for w in nodes[i + 1:]:
+            if u * cm + w in edge_set:
+                continue
+            c = len(adj[u] & adj[w])
+            if c >= mc:
+                want[(u, w)] = (c, len(adj[u] | adj[w]))
+
+    out = jaccard_neighborhood(_docs_ds(n), n_docs=n, comm_mod=cm,
+                               min_cn=mc).to_pandas()
+    got = {(int(r.u), int(r.w)): (int(r.cn), int(r.un))
+           for r in out.itertuples()}
+    assert got == want
+    for r in out.itertuples():
+        assert abs(float(r.jacc) - r.cn / r.un) < 1e-6
+        assert 0 < float(r.jacc) <= 1
