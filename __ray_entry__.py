@@ -3107,6 +3107,15 @@ def _q_jaccard_neighborhood(sf_dir: str):
     return tri.jaccard_neighborhood(docs, n_docs)
 
 
+def _q_support_hull(sf_dir: str):
+    """Directional support hull (convex K-gon) of each TLD's page cloud:
+    mergeable per-direction argmax partials, exact micro-degree integers
+    and shoelace area (stages/spatialjoin.support_hull)."""
+    from cuda_gis_smoothing_ray.stages.spatialjoin import support_hull
+
+    return support_hull(_geocoded(sf_dir)).sort(["tld", "dir"])
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3265,6 +3274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kruskal_wallis": _q_kruskal_wallis,
         "lang_diversity": _q_lang_diversity,
         "jaccard_neighborhood": _q_jaccard_neighborhood,
+        "support_hull": _q_support_hull,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3544,6 +3554,7 @@ def oracle_sql() -> dict[str, str]:
         "kruskal_wallis": oc.kruskal_wallis_sql(),
         "lang_diversity": oc.lang_diversity_sql(),
         "jaccard_neighborhood": oc.jaccard_neighborhood_sql(),
+        "support_hull": oc.support_hull_sql(RES),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -5640,3 +5640,39 @@ SELECT k.u, k.w, k.cn, du.deg + dw.deg - k.cn AS un,
     AS jacc
 FROM keep k JOIN dg du ON du.node = k.u JOIN dg dw ON dw.node = k.w
 ORDER BY k.u, k.w"""
+
+
+def support_hull_sql(res: int) -> str:
+    """Oracle of stages/spatialjoin.support_hull: the SAME micro-unit
+    direction table as a VALUES CTE, per-(tld, dir) argmax via
+    row_number (dot DESC, x, y), consecutive-direction shoelace."""
+    from ..stages import spatialjoin as sj
+    from .oracles import geocoded_cte, pages_cte
+
+    K = sj.HULL_DIRS
+    dirs = " UNION ALL ".join(
+        f"SELECT {k} AS k, CAST({sj.HULL_DX[k]} AS BIGINT) AS dx,"
+        f" CAST({sj.HULL_DY[k]} AS BIGINT) AS dy"
+        for k in range(K))
+    return f"""WITH {pages_cte()}, {geocoded_cte(res)},
+dirs AS ({dirs}),
+pts AS (
+  SELECT string_split(split_part(url, '/', 3), '.')[-1] AS tld,
+    CAST(floor(lat * 1e6 + 0.5) AS BIGINT) AS x,
+    CAST(floor(lon * 1e6 + 0.5) AS BIGINT) AS y
+  FROM geocoded
+), sup AS (
+  SELECT pts.tld, dirs.k, pts.x, pts.y,
+    row_number() OVER (PARTITION BY pts.tld, dirs.k
+      ORDER BY dirs.dx * pts.x + dirs.dy * pts.y DESC, pts.x, pts.y) AS rn
+  FROM pts CROSS JOIN dirs
+), pick AS (
+  SELECT tld, k, x, y FROM sup WHERE rn = 1
+), area AS (
+  SELECT a.tld, CAST(sum(a.x * b.y - b.x * a.y) AS BIGINT) AS area2
+  FROM pick a JOIN pick b ON b.tld = a.tld AND b.k = (a.k + 1) % {K}
+  GROUP BY a.tld
+)
+SELECT pick.tld, pick.k AS dir, pick.x, pick.y, area.area2
+FROM pick JOIN area ON area.tld = pick.tld
+ORDER BY pick.tld, pick.k"""

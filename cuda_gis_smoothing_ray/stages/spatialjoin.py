@@ -786,3 +786,99 @@ def host_extent(points_ds, n_parts: int = 64):
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            batch_size=None).sort("host")
+
+
+HULL_DIRS = 16
+#: unit directions of the K-gon support hull, quantized ONCE to
+#: micro-units — shared verbatim with the SQL oracle's VALUES table.
+HULL_DX = tuple(int(np.floor(np.cos(2 * np.pi * k / HULL_DIRS) * 1e6 + 0.5))
+                for k in range(HULL_DIRS))
+HULL_DY = tuple(int(np.floor(np.sin(2 * np.pi * k / HULL_DIRS) * 1e6 + 0.5))
+                for k in range(HULL_DIRS))
+
+
+def support_hull(points_ds):
+    """geocoded pages -> per (tld, direction) row (tld, dir, x, y,
+    area2): the DIRECTIONAL SUPPORT HULL of each TLD's page cloud — the
+    convex K-gon whose vertex in direction k is the point maximizing
+    ``dx_k * x + dy_k * y`` (micro-degree integer coordinates), plus the
+    doubled shoelace area of that K-gon.  The classic distributed
+    convex-hull shape: support maxima are MERGEABLE (max of maxima), so
+    each partition ships K points per TLD and the hull-of-hulls is
+    exact for the sampled directions — no pairwise geometry ever
+    shuffles.
+
+    EXACT: coordinates quantize once to micro-degrees, directions come
+    from the shared micro-unit table, the dot products / tie-breaks
+    (max dot, then min (x, y)) and the shoelace ``sum(x_k * y_{k+1} -
+    x_{k+1} * y_k)`` are pure int64.  Scale shape: batch-local argmax
+    partials -> driver merge over |tlds| x K x |batches| rows."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    dx = np.array(HULL_DX, dtype=np.int64)
+    dy = np.array(HULL_DY, dtype=np.int64)
+    K = HULL_DIRS
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"tld": pa.array([], pa.string()),
+                             "dir": pa.array([], pa.int64()),
+                             "dot": pa.array([], pa.int64()),
+                             "x": pa.array([], pa.int64()),
+                             "y": pa.array([], pa.int64())})
+        parts = pc_.split_pattern(batch.column("url"), pattern="/")
+        host = pc_.list_element(parts, 2)
+        tld_arr = pc_.list_element(
+            pc_.split_pattern(host, pattern=".", max_splits=1, reverse=True),
+            1)
+        tlds = np.asarray(tld_arr.to_pylist(), dtype=object)
+        x = np.floor(batch.column("lat").to_numpy(zero_copy_only=False)
+                     * 1e6 + 0.5).astype(np.int64)
+        y = np.floor(batch.column("lon").to_numpy(zero_copy_only=False)
+                     * 1e6 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(tlds, return_inverse=True)
+        out_t, out_k, out_d, out_x, out_y = [], [], [], [], []
+        for k in range(K):
+            dot = dx[k] * x + dy[k] * y
+            order = np.lexsort((y, x, -dot, inv))
+            _, first = np.unique(inv[order], return_index=True)
+            sel = order[first]
+            out_t += uniq.tolist()
+            out_k += [k] * len(sel)
+            out_d += dot[sel].tolist()
+            out_x += x[sel].tolist()
+            out_y += y[sel].tolist()
+        return pa.table({"tld": pa.array(out_t, pa.string()),
+                         "dir": pa.array(out_k, pa.int64()),
+                         "dot": pa.array(out_d, pa.int64()),
+                         "x": pa.array(out_x, pa.int64()),
+                         "y": pa.array(out_y, pa.int64())})
+
+    part = points_ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if part.empty:
+        raise ValueError("support_hull: no pages")
+    # merge: max dot then min (x, y) per (tld, dir)
+    part = part.sort_values(["tld", "dir", "dot", "x", "y"],
+                            ascending=[True, True, False, True, True],
+                            kind="mergesort")
+    pick = part.groupby(["tld", "dir"], sort=True).head(1) \
+        .reset_index(drop=True)
+    rows = {"tld": [], "dir": [], "x": [], "y": [], "area2": []}
+    for tld, grp in pick.groupby("tld", sort=True):
+        g = grp.sort_values("dir")
+        xs = g["x"].to_numpy(np.int64)
+        ys = g["y"].to_numpy(np.int64)
+        a2 = int((xs * np.roll(ys, -1) - np.roll(xs, -1) * ys).sum())
+        rows["tld"] += [tld] * len(g)
+        rows["dir"] += g["dir"].tolist()
+        rows["x"] += xs.tolist()
+        rows["y"] += ys.tolist()
+        rows["area2"] += [a2] * len(g)
+    return rd.from_arrow(pa.table({
+        "tld": pa.array(rows["tld"], pa.string()),
+        "dir": pa.array(rows["dir"], pa.int64()),
+        "x": pa.array(rows["x"], pa.int64()),
+        "y": pa.array(rows["y"], pa.int64()),
+        "area2": pa.array(rows["area2"], pa.int64()),
+    }))

@@ -464,3 +464,35 @@ def test_hist_equalize_hand_math(ray_session):
                                  "page_count": pa.array(z)})).repartition(2)
     out = hist_equalize(ds, "page_count").to_pandas().sort_values("cell")
     assert out["eq"].tolist() == [0, 0, 127, 255]
+
+
+def test_support_hull_square_cloud():
+    """On an axis-aligned square of points the 16-gon support hull
+    recovers the square's corners/edges and the doubled shoelace area
+    equals 2 * side^2; hull area always >= bbox of any subset point."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.spatialjoin import support_hull
+
+    # a 2x2-degree square grid of points for one tld, plus one inner point
+    lats, lons, urls = [], [], []
+    for la in (0.0, 2.0):
+        for lo in (0.0, 2.0):
+            lats.append(la); lons.append(lo)
+            urls.append("https://x.com/p")
+    lats.append(1.0); lons.append(1.0); urls.append("https://x.com/q")
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(urls), "lat": pa.array(lats, pa.float64()),
+        "lon": pa.array(lons, pa.float64()),
+    }))
+    out = support_hull(ds).to_pandas()
+    assert (out["tld"] == "com").all()
+    assert len(out) == 16
+    # doubled area of the square in micro-degrees^2: 2 * (2e6)^2
+    assert int(out["area2"].iloc[0]) == 2 * (2 * 10**6) ** 2
+    # every support vertex is one of the 4 corners (inner point never wins)
+    corners = {(0, 0), (0, 2 * 10**6), (2 * 10**6, 0),
+               (2 * 10**6, 2 * 10**6)}
+    assert set(zip(out["x"].astype(int), out["y"].astype(int))) <= corners
