@@ -3116,6 +3116,15 @@ def _q_support_hull(sf_dir: str):
     return support_hull(_geocoded(sf_dir)).sort(["tld", "dir"])
 
 
+def _q_welch_ttest(sf_dir: str):
+    """Welch's unequal-variance t test of en-vs-de mean doc length:
+    exact integer moments, shared float trees
+    (stages/sketch.welch_ttest)."""
+    from cuda_gis_smoothing_ray.stages.sketch import welch_ttest
+
+    return welch_ttest(_docs(sf_dir, ("doc_id", "n_chars", "lang")))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3275,6 +3284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_diversity": _q_lang_diversity,
         "jaccard_neighborhood": _q_jaccard_neighborhood,
         "support_hull": _q_support_hull,
+        "welch_ttest": _q_welch_ttest,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3555,6 +3565,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_diversity": oc.lang_diversity_sql(),
         "jaccard_neighborhood": oc.jaccard_neighborhood_sql(),
         "support_hull": oc.support_hull_sql(RES),
+        "welch_ttest": oc.welch_ttest_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

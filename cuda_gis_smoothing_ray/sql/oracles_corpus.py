@@ -5676,3 +5676,35 @@ pts AS (
 SELECT pick.tld, pick.k AS dir, pick.x, pick.y, area.area2
 FROM pick JOIN area ON area.tld = pick.tld
 ORDER BY pick.tld, pick.k"""
+
+
+def welch_ttest_sql(groups: tuple[str, str] | None = None) -> str:
+    """Oracle of stages/sketch.welch_ttest: HUGEINT per-group moments,
+    the identical a/b variance-over-n trees, t and Welch-Satterthwaite
+    dof as shared float expressions."""
+    from ..stages import sketch
+    from .oracles import round6
+
+    ga, gb = sketch.KS_LANGS if groups is None else groups
+    mk = lambda s: (f"CAST({s}n * {s}s2 - {s}s1 * {s}s1 AS DOUBLE)"
+                    f" / CAST({s}n * ({s}n - 1) AS DOUBLE)"
+                    f" / CAST({s}n AS DOUBLE)")  # noqa: E731
+    a, b = mk("a."), mk("b.")
+    ma = "CAST(a.s1 AS DOUBLE) / CAST(a.n AS DOUBLE)"
+    mb = "CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE)"
+    return f"""WITH t AS (
+  SELECT lang AS g, CAST(n_chars AS HUGEINT) AS v FROM documents
+  WHERE lang IN ('{ga}', '{gb}')
+), m AS (
+  SELECT g, CAST(count(*) AS HUGEINT) AS n, CAST(sum(v) AS HUGEINT) AS s1,
+    CAST(sum(v * v) AS HUGEINT) AS s2
+  FROM t GROUP BY g
+), a AS (SELECT * FROM m WHERE g = '{ga}'),
+b AS (SELECT * FROM m WHERE g = '{gb}')
+SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+  {round6(ma)} AS mean_a, {round6(mb)} AS mean_b,
+  {round6(f"(({ma}) - ({mb})) / sqrt(({a}) + ({b}))")} AS t,
+  {round6(f"(({a}) + ({b})) * (({a}) + ({b}))"
+          f" / (({a}) * ({a}) / CAST(a.n - 1 AS DOUBLE)"
+          f" + ({b}) * ({b}) / CAST(b.n - 1 AS DOUBLE))")} AS dof
+FROM a, b"""

@@ -1585,3 +1585,69 @@ def kruskal_wallis(ds, group_col: str = "lang", value_col: str = "n_chars"):
         "h": pa.array([r6(h)], pa.float64()),
         "h_tie": pa.array([r6(h_tie)], pa.float64()),
     }))
+
+
+def welch_ttest(ds, group_col: str = "lang", value_col: str = "n_chars",
+                groups: tuple[str, str] = KS_LANGS):
+    """-> ONE row (n_a, n_b, mean_a, mean_b, t, dof): WELCH'S unequal-
+    variance t test between two groups' integer metric — the parametric
+    member of the two-sample family (:func:`ks_test` for shape,
+    :func:`mann_whitney` for rank dominance, this for means when the
+    CLT is trusted).
+
+    EXACT integer moments (n, S1, S2) per group in ONE mixed reduce;
+    every float after that is a single shared expression tree —
+    ``a = (n*S2 - S1^2)/(n*(n-1))/n`` per group (the sample variance
+    over n), ``t = (m_a - m_b)/sqrt(a + b)``, Welch-Satterthwaite
+    ``dof = (a+b)^2 / (a^2/(n_a-1) + b^2/(n_b-1))``, round6.  Scale
+    shape: 2x3 scalars leave the partitions; nothing else moves."""
+    import math
+
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    ga, gb = groups
+
+    def moments(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rows_k, rows_n, rows_s1, rows_s2 = [], [], [], []
+        for k, name in ((0, ga), (1, gb)):
+            m = g == name
+            vv = v[m]
+            rows_k.append(k)
+            rows_n.append(int(m.sum()))
+            rows_s1.append(int(vv.sum()))
+            rows_s2.append(int((vv.astype(object) * vv).sum()))
+        return pa.table({"k": pa.array(rows_k, pa.int64()),
+                         "n": pa.array(rows_n, pa.int64()),
+                         "s1": pa.array(rows_s1, pa.int64()),
+                         "s2": pa.array(rows_s2, pa.int64())})
+
+    mom = hash_groupby(
+        ds.map_batches(moments, batch_format="pyarrow"),
+        "k", ["n", "s1", "s2"], how="isum",
+    ).to_pandas().sort_values("k")
+    if len(mom) != 2 or (mom["n"] < 2).any():
+        raise ValueError(f"welch_ttest: a group among {groups} has < 2 rows")
+    (na, s1a, s2a), (nb, s1b, s2b) = (
+        (int(r.n), int(r.s1), int(r.s2)) for r in mom.itertuples())
+    ma = float(s1a) / float(na)
+    mb = float(s1b) / float(nb)
+    a = float(na * s2a - s1a * s1a) / float(na * (na - 1)) / float(na)
+    b = float(nb * s2b - s1b * s1b) / float(nb * (nb - 1)) / float(nb)
+    if a + b == 0.0:
+        raise ValueError("welch_ttest: zero variance in both groups")
+    t = (ma - mb) / math.sqrt(a + b)
+    dof = (a + b) * (a + b) / (a * a / float(na - 1) + b * b / float(nb - 1))
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return rd.from_arrow(pa.table({
+        "n_a": pa.array([na], pa.int64()),
+        "n_b": pa.array([nb], pa.int64()),
+        "mean_a": pa.array([r6(ma)], pa.float64()),
+        "mean_b": pa.array([r6(mb)], pa.float64()),
+        "t": pa.array([r6(t)], pa.float64()),
+        "dof": pa.array([r6(dof)], pa.float64()),
+    }))

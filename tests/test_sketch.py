@@ -587,3 +587,25 @@ def test_kruskal_wallis_matches_pandas_ranks():
     assert abs(float(out["h"].iloc[0]) - h) < 1e-6
     assert abs(float(out["h_tie"].iloc[0]) - h_tie) < 1e-6
     assert int(out["n_groups"].iloc[0]) == 3
+
+
+def test_welch_ttest_textbook():
+    """t and dof match the textbook Welch formulas computed directly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import welch_ttest
+
+    a = np.array([10, 12, 14, 16, 50], dtype=np.int64)   # high variance
+    b = np.array([11, 11, 12, 12], dtype=np.int64)       # low variance
+    t = pa.table({
+        "lang": pa.array(["en"] * len(a) + ["de"] * len(b)),
+        "n_chars": pa.array(np.concatenate([a, b]), pa.int64()),
+    })
+    out = welch_ttest(rd.from_arrow(t)).to_pandas()
+    va, vb = a.var(ddof=1) / len(a), b.var(ddof=1) / len(b)
+    tt = (a.mean() - b.mean()) / np.sqrt(va + vb)
+    dof = (va + vb) ** 2 / (va**2 / (len(a) - 1) + vb**2 / (len(b) - 1))
+    assert abs(float(out["t"].iloc[0]) - tt) < 1e-6
+    assert abs(float(out["dof"].iloc[0]) - dof) < 1e-6
