@@ -3125,6 +3125,18 @@ def _q_welch_ttest(sf_dir: str):
     return welch_ttest(_docs(sf_dir, ("doc_id", "n_chars", "lang")))
 
 
+def _q_heaps_law(sf_dir: str):
+    """Heaps'-law vocabulary-growth fit over doc_id-prefix quartiles:
+    token-min-doc reduce (vocabulary never reaches the driver), ordered
+    OLS folds (stages/textops.heaps_law)."""
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages.textops import heaps_law
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return heaps_law(_docs(sf_dir), n_docs).sort("q")
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3285,6 +3297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_neighborhood": _q_jaccard_neighborhood,
         "support_hull": _q_support_hull,
         "welch_ttest": _q_welch_ttest,
+        "heaps_law": _q_heaps_law,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3566,6 +3579,7 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_neighborhood": oc.jaccard_neighborhood_sql(),
         "support_hull": oc.support_hull_sql(RES),
         "welch_ttest": oc.welch_ttest_sql(),
+        "heaps_law": oc.heaps_law_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -5708,3 +5708,50 @@ SELECT CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
           f" / (({a}) * ({a}) / CAST(a.n - 1 AS DOUBLE)"
           f" + ({b}) * ({b}) / CAST(b.n - 1 AS DOUBLE))")} AS dof
 FROM a, b"""
+
+
+def heaps_law_sql(quarters: int | None = None) -> str:
+    """Oracle of stages/textops.heaps_law: prefix quartiles by
+    doc_id < (N*q)//Q, vocabulary via per-token min(doc_id), ordered
+    list_reduce OLS folds of ln V on ln n."""
+    from ..stages import textops
+    from .oracles import round6
+
+    Q = textops.HEAPS_Q if quarters is None else quarters
+    return f"""WITH toks AS (
+  SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(text, '\\s+'), s -> s != ''))
+      AS tok
+  FROM documents
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+), th AS (
+  SELECT CAST(q.q AS BIGINT) AS q, (nd.n * q.q) // {Q} AS t
+  FROM (SELECT unnest(range(1, {Q + 1})) AS q) q, nd
+), ntok AS (
+  SELECT th.q, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM toks JOIN th ON toks.doc_id < th.t GROUP BY th.q
+), tmin AS (
+  SELECT tok, min(doc_id) AS mind FROM toks GROUP BY tok
+), voc AS (
+  SELECT th.q, CAST(count(*) AS BIGINT) AS vocab
+  FROM tmin JOIN th ON tmin.mind < th.t GROUP BY th.q
+), pts AS (
+  SELECT ntok.q, ntok.n_tokens, voc.vocab,
+    ln(CAST(ntok.n_tokens AS DOUBLE)) AS x,
+    ln(CAST(voc.vocab AS DOUBLE)) AS y
+  FROM ntok JOIN voc ON voc.q = ntok.q
+), mom AS (
+  SELECT list_reduce(list(x ORDER BY q), (a, b) -> a + b) AS sx,
+    list_reduce(list(y ORDER BY q), (a, b) -> a + b) AS sy,
+    list_reduce(list(x * y ORDER BY q), (a, b) -> a + b) AS sxy,
+    list_reduce(list(x * x ORDER BY q), (a, b) -> a + b) AS sxx
+  FROM pts
+), fit AS (
+  SELECT ({Q} * sxy - sx * sy) / ({Q} * sxx - sx * sx) AS beta, sx, sy
+  FROM mom
+)
+SELECT pts.q, pts.n_tokens, pts.vocab,
+  {round6('fit.beta')} AS beta,
+  {round6(f'(fit.sy - fit.beta * fit.sx) / {Q}')} AS lnk
+FROM pts, fit ORDER BY pts.q"""

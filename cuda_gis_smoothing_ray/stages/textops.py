@@ -4235,3 +4235,146 @@ def lang_diversity(docs_ds):
         "n_langs": pa.array(rows["n_langs"], pa.int64()),
         "simpson": pa.array(rows["simpson"], pa.float64()),
     }))
+
+
+HEAPS_Q = 4
+
+
+def heaps_law(ds, n_docs: int, quarters: int = HEAPS_Q,
+              n_parts: int = _PAIR_PARTS):
+    """documents -> ``quarters`` rows (q, n_tokens, vocab, beta, lnk):
+    the HEAPS'-LAW vocabulary-growth fit — distinct-token count V(n)
+    against total token occurrences n at each doc_id-prefix quartile of
+    the corpus, with the OLS fit of ``ln V = lnk + beta * ln n`` (a
+    natural corpus sits near beta ~ 0.5; templated crawls go flat).
+    The companion to :func:`zipf_slope` on the other axis of vocabulary
+    structure, and the planning input for vocab-size/OOV budgeting.
+
+    EXACT counts: prefix membership is the integer test ``doc_id <
+    (N*q)//Q``; vocabulary attribution is each token's min doc_id
+    (order-free), so both channels are exact integer reduces.  The 2x2
+    OLS over the Q points folds LEFT-ASSOCIATIVELY in q order (oracle:
+    ``list_reduce(list(... ORDER BY q))``), round6.  Scale shape: one
+    token-hash-partitioned min reduce (the vocabulary never reaches the
+    driver — per-part quartile counts do), one Q-row count reduce."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    from ..functions import hashing
+    from ..functions.hashing import fnv_token_hash64
+    from ..functions.reduce import hash_groupby
+
+    Q = quarters
+    ths = [(n_docs * j) // Q for j in range(1, Q + 1)]
+
+    def tok_flat(batch: pa.Table):
+        split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        counts = split.value_lengths().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = split.flatten()
+        nonempty = pc_.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), counts)
+        return flat.filter(pa.array(nonempty)), doc_idx[nonempty]
+
+    def min_doc_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"tok": pa.array([], pa.string()),
+                          "mind": pa.array([], pa.int64()),
+                          "__part": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        toks, rows = tok_flat(batch)
+        if len(toks) == 0:
+            return empty
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        did = ids[rows]
+        dic = toks.dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((did, codes))
+        codes_s, did_s = codes[order], did[order]
+        first = np.flatnonzero(np.diff(codes_s, prepend=np.int64(-1)))
+        uniq, mind = codes_s[first], did_s[first]
+        words = dic.dictionary.take(pa.array(uniq))
+        key = fnv_token_hash64(words).view(np.int64)
+        part = hashing.coarse_partition(key, n_parts)
+        return pa.table({"tok": words, "mind": pa.array(mind),
+                         "__part": pa.array(part.astype(np.int64))})
+
+    def reduce_min(part: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        df = pd_.DataFrame({"tok": part.column("tok").to_pylist(),
+                            "mind": part.column("mind").to_numpy(
+                                zero_copy_only=False)})
+        g = df.groupby("tok", sort=False)["mind"].min().reset_index()
+        return pa.table({"tok": pa.array(g["tok"], pa.string()),
+                         "mind": pa.array(g["mind"].to_numpy(np.int64))})
+
+    def vocab_counts(batch: pa.Table) -> pa.Table:
+        mind = batch.column("mind").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "q": pa.array(np.arange(1, Q + 1, dtype=np.int64)),
+            "v": pa.array([int((mind < t).sum()) for t in ths], pa.int64()),
+        })
+
+    voc = hash_groupby(
+        ds.map_batches(min_doc_partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_min, batch_format="pyarrow")
+        .map_batches(vocab_counts, batch_format="pyarrow"),
+        "q", ["v"], how="isum",
+    ).to_pandas().sort_values("q")
+
+    def ntok_partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"q": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        _, rows = tok_flat(batch)
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        did = ids[rows]
+        return pa.table({
+            "q": pa.array(np.arange(1, Q + 1, dtype=np.int64)),
+            "c": pa.array([int((did < t).sum()) for t in ths], pa.int64()),
+        })
+
+    ntok = hash_groupby(
+        ds.map_batches(ntok_partial, batch_format="pyarrow"),
+        "q", ["c"], how="isum",
+    ).to_pandas().sort_values("q")
+
+    vs = voc["v"].to_numpy(np.int64)
+    ns = ntok["c"].to_numpy(np.int64)
+    if (vs <= 0).any() or (ns <= 0).any():
+        raise ValueError("heaps_law: an empty prefix quartile")
+    import math
+
+    sx = sy = sxy = sxx = 0.0
+    first = True
+    for nn, vv in zip(ns, vs):
+        x, y = math.log(float(nn)), math.log(float(vv))
+        if first:
+            sx, sy, sxy, sxx = x, y, x * y, x * x
+            first = False
+        else:
+            sx += x
+            sy += y
+            sxy += x * y
+            sxx += x * x
+    den = Q * sxx - sx * sx
+    if den == 0.0:
+        raise ValueError("heaps_law: degenerate x values")
+    beta = (Q * sxy - sx * sy) / den
+    lnk = (sy - beta * sx) / Q
+    r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return rd.from_arrow(pa.table({
+        "q": pa.array(np.arange(1, Q + 1, dtype=np.int64)),
+        "n_tokens": pa.array(ns),
+        "vocab": pa.array(vs),
+        "beta": pa.array([r6(beta)] * Q, pa.float64()),
+        "lnk": pa.array([r6(lnk)] * Q, pa.float64()),
+    }))

@@ -684,3 +684,34 @@ def test_lang_diversity_bounds():
     assert int(out.loc["mono", "n_langs"]) == 1
     # even: 1 - (2*1 + 2*1)/(4*3) = 1 - 4/12
     assert abs(float(out.loc["even", "simpson"]) - (1 - 4 / 12)) < 1e-6
+
+
+def test_heaps_law_hand():
+    """Vocabulary growth over 4 docs with known prefixes: vocab counts by
+    min-doc attribution, token totals, and the exact-power-law fit when
+    the points sit on a line in log space."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import heaps_law
+
+    # doc prefixes (doc_id 0..3, Q=4 -> thresholds 1,2,3,4)
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "a b",            # prefix1: 2 toks, vocab {a,b}
+            "a c",            # prefix2: 4 toks, vocab {a,b,c}
+            "b d e",          # prefix3: 7 toks, vocab {a..e}
+            "a f",            # prefix4: 9 toks, vocab {a..f}
+        ]),
+    })
+    out = heaps_law(rd.from_arrow(docs), n_docs=4).to_pandas()
+    assert out["n_tokens"].tolist() == [2, 4, 7, 9]
+    assert out["vocab"].tolist() == [2, 3, 5, 6]
+    # OLS parity with numpy lstsq on the same points
+    x = np.log(np.array([2, 4, 7, 9], float))
+    y = np.log(np.array([2, 3, 5, 6], float))
+    beta, lnk = np.polyfit(x, y, 1)
+    assert abs(float(out["beta"].iloc[0]) - beta) < 1e-6
+    assert abs(float(out["lnk"].iloc[0]) - lnk) < 1e-6
