@@ -3137,6 +3137,14 @@ def _q_heaps_law(sf_dir: str):
     return heaps_law(_docs(sf_dir), n_docs).sort("q")
 
 
+def _q_cume_dist_len(sf_dir: str):
+    """Per-doc CUME_DIST of length within language: broadcast rank
+    codebook, one searchsorted per row (stages/sketch.cume_dist_len)."""
+    from cuda_gis_smoothing_ray.stages.sketch import cume_dist_len
+
+    return cume_dist_len(_docs(sf_dir, ("doc_id", "n_chars", "lang")))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3298,6 +3306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "support_hull": _q_support_hull,
         "welch_ttest": _q_welch_ttest,
         "heaps_law": _q_heaps_law,
+        "cume_dist_len": _q_cume_dist_len,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3580,6 +3589,7 @@ def oracle_sql() -> dict[str, str]:
         "support_hull": oc.support_hull_sql(RES),
         "welch_ttest": oc.welch_ttest_sql(),
         "heaps_law": oc.heaps_law_sql(),
+        "cume_dist_len": oc.cume_dist_len_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

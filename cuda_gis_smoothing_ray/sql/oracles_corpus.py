@@ -5755,3 +5755,13 @@ SELECT pts.q, pts.n_tokens, pts.vocab,
   {round6('fit.beta')} AS beta,
   {round6(f'(fit.sy - fit.beta * fit.sx) / {Q}')} AS lnk
 FROM pts, fit ORDER BY pts.q"""
+
+
+def cume_dist_len_sql() -> str:
+    """Oracle of stages/sketch.cume_dist_len: the window function
+    itself, rounded canonically."""
+    from .oracles import round6
+
+    return f"""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+  {round6('cume_dist() OVER (PARTITION BY lang ORDER BY n_chars)')} AS cume
+FROM documents ORDER BY doc_id"""

@@ -1651,3 +1651,69 @@ def welch_ttest(ds, group_col: str = "lang", value_col: str = "n_chars",
         "t": pa.array([r6(t)], pa.float64()),
         "dof": pa.array([r6(dof)], pa.float64()),
     }))
+
+
+def cume_dist_len(ds, group_col: str = "lang", value_col: str = "n_chars"):
+    """documents -> per-doc (doc_id, lang, n_chars, cume): the CUME_DIST
+    window function over document length within each language —
+    ``count(v' <= v) / n_group``, every document's ECDF position, the
+    per-row form of :func:`grouped_quantiles` (useful as a
+    length-percentile feature column for curation filters).
+
+    Scale shape: the broadcast-codebook plan — one bounded
+    (group, value) histogram shuffle, cumulative counts become a
+    per-group rank codebook in the object store (``ray.put`` once), and
+    a second streaming pass maps every row through ONE searchsorted;
+    rows never shuffle.  The single float division per row is shared
+    with SQL's ``cume_dist()`` definition, round6."""
+    import ray
+    import ray.data as rd
+    import pandas as pd
+
+    def counts(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"g": g, "v": v})
+        agg = df.groupby(["g", "v"], sort=True).size().reset_index(name="cnt")
+        return pa.table({
+            "g": pa.array(agg["g"]),
+            "v": pa.array(agg["v"].to_numpy().astype(np.int64)),
+            "cnt": pa.array(agg["cnt"].to_numpy().astype(np.int64)),
+        })
+
+    hist = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby(["g", "v"])
+        .sum("cnt")
+        .to_pandas()
+    )
+    col = "sum(cnt)"
+    books = {}
+    for g, grp in hist.groupby("g", sort=True):
+        s = grp.sort_values("v")
+        vs = s["v"].to_numpy(np.int64)
+        le = np.cumsum(s[col].to_numpy(np.int64))
+        books[g] = (vs, le, int(le[-1]))
+    ref = ray.put(books)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        bks = ray.get(ref)
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        out = np.empty(len(v), np.float64)
+        for name in np.unique(g):
+            vs, le, n = bks[name]
+            m = g == name
+            c = le[np.searchsorted(vs, v[m])]
+            out[m] = np.floor(c.astype(np.float64) / float(n) * 1e6
+                              + 0.5) / 1e6
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column(group_col),
+            "n_chars": batch.column(value_col),
+            "cume": pa.array(out),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow").sort("doc_id")

@@ -609,3 +609,21 @@ def test_welch_ttest_textbook():
     dof = (va + vb) ** 2 / (va**2 / (len(a) - 1) + vb**2 / (len(b) - 1))
     assert abs(float(out["t"].iloc[0]) - tt) < 1e-6
     assert abs(float(out["dof"].iloc[0]) - dof) < 1e-6
+
+
+def test_cume_dist_len_matches_pandas():
+    """cume equals pandas' ECDF rank (count <= v) / n within each group."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import cume_dist_len
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "lang": pa.array(["en", "en", "en", "de", "de", "de"]),
+        "n_chars": pa.array([5, 5, 9, 1, 2, 3], pa.int64()),
+    })
+    out = cume_dist_len(rd.from_arrow(t)).to_pandas()
+    want = [2 / 3, 2 / 3, 1.0, 1 / 3, 2 / 3, 1.0]
+    for got, w in zip(out.sort_values("doc_id")["cume"], want):
+        assert abs(float(got) - w) < 1e-6
