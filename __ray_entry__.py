@@ -3145,6 +3145,15 @@ def _q_cume_dist_len(sf_dir: str):
     return cume_dist_len(_docs(sf_dir, ("doc_id", "n_chars", "lang")))
 
 
+def _q_jitter_rose(sf_dir: str):
+    """Compass rose of page displacement from the TLD base centroid:
+    integer micro-degree sectors, no trig
+    (stages/spatialjoin.jitter_rose)."""
+    from cuda_gis_smoothing_ray.stages.spatialjoin import jitter_rose
+
+    return jitter_rose(_geocoded(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3307,6 +3316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "welch_ttest": _q_welch_ttest,
         "heaps_law": _q_heaps_law,
         "cume_dist_len": _q_cume_dist_len,
+        "jitter_rose": _q_jitter_rose,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3590,6 +3600,7 @@ def oracle_sql() -> dict[str, str]:
         "welch_ttest": oc.welch_ttest_sql(),
         "heaps_law": oc.heaps_law_sql(),
         "cume_dist_len": oc.cume_dist_len_sql(),
+        "jitter_rose": oc.jitter_rose_sql(RES),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -5765,3 +5765,32 @@ def cume_dist_len_sql() -> str:
     return f"""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
   {round6('cume_dist() OVER (PARTITION BY lang ORDER BY n_chars)')} AS cume
 FROM documents ORDER BY doc_id"""
+
+
+def jitter_rose_sql(res: int) -> str:
+    """Oracle of stages/spatialjoin.jitter_rose: micro-degree integer
+    displacements from the base TLD centroid (_tld_case without the
+    jitter term), pure sign/abs sector CASE."""
+    from ..functions import geocode
+    from .oracles import _tld_case, geocoded_cte, pages_cte
+
+    m = f"(doc_id * {geocode.TLD_MULT}) % {geocode.ZIPF_MOD}"
+    return f"""WITH {pages_cte()}, {geocoded_cte(res)},
+disp AS (
+  SELECT {_tld_case(m, 0)} AS tld,
+    CAST(floor(g.lat * 1e6 + 0.5) AS BIGINT)
+      - CAST(floor(({_tld_case(m, 1)}) * 1e6 + 0.5) AS BIGINT) AS dx,
+    CAST(floor(g.lon * 1e6 + 0.5) AS BIGINT)
+      - CAST(floor(({_tld_case(m, 2)}) * 1e6 + 0.5) AS BIGINT) AS dy
+  FROM geocoded g JOIN documents d ON d.doc_id = g.page_id
+), sec AS (
+  SELECT tld,
+    2 * (CASE WHEN dx >= 0 AND dy >= 0 THEN 0
+              WHEN dx < 0 AND dy >= 0 THEN 1
+              WHEN dx < 0 THEN 2 ELSE 3 END)
+    + (CASE WHEN abs(dy) > abs(dx) THEN 1 ELSE 0 END) AS sector
+  FROM disp
+)
+SELECT tld, CAST(sector AS BIGINT) AS sector,
+  CAST(count(*) AS BIGINT) AS n
+FROM sec GROUP BY 1, 2 ORDER BY 1, 2"""

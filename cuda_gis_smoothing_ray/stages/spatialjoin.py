@@ -882,3 +882,56 @@ def support_hull(points_ds):
         "y": pa.array(rows["y"], pa.int64()),
         "area2": pa.array(rows["area2"], pa.int64()),
     }))
+
+
+def jitter_rose(points_ds):
+    """geocoded pages -> (tld, sector, n): the COMPASS ROSE of page
+    displacements from their TLD's base centroid — counts per 8
+    half-quadrant sectors (``sector = 2*quadrant + [|dlat| < |dlon|]``),
+    the anisotropy readout of the geocoder: jitter-only TLDs are near-
+    uniform across sectors, lat/lon-mention pages skew the rose toward
+    where the mentions actually are.
+
+    EXACT: displacements are micro-degree integer differences (both
+    coordinates quantized with the shared floor(x*1e6+0.5) rule) and the
+    sector is pure sign/|.| comparisons — no trigonometry, no float.
+    The zero vector lands in sector 0 by the half-open rule (declared).
+    Scale shape: batch-local (tld, sector) counts, one bounded two-key
+    reduce."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions import geocode
+    from ..sources.pages import REP_STRIDE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        pid = batch.column("page_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc = pid % REP_STRIDE
+        idx = geocode.tld_index(doc)
+        names = np.array([t[0] for t in geocode.TLD_TABLE], dtype=object)
+        base_lat = np.array([t[1] for t in geocode.TLD_TABLE])
+        base_lon = np.array([t[2] for t in geocode.TLD_TABLE])
+        x = np.floor(batch.column("lat").to_numpy(zero_copy_only=False)
+                     * 1e6 + 0.5).astype(np.int64)
+        y = np.floor(batch.column("lon").to_numpy(zero_copy_only=False)
+                     * 1e6 + 0.5).astype(np.int64)
+        dx = x - np.floor(base_lat[idx] * 1e6 + 0.5).astype(np.int64)
+        dy = y - np.floor(base_lon[idx] * 1e6 + 0.5).astype(np.int64)
+        quad = np.where(dx >= 0,
+                        np.where(dy >= 0, 0, 3),
+                        np.where(dy >= 0, 1, 2)).astype(np.int64)
+        sector = 2 * quad + (np.abs(dy) > np.abs(dx)).astype(np.int64)
+        df = pd_.DataFrame({"tld": names[idx], "sector": sector})
+        g = df.groupby(["tld", "sector"], sort=False).size() \
+            .reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        points_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["tld", "sector"])
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["tld", "sector"])
+    )

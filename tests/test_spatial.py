@@ -496,3 +496,28 @@ def test_support_hull_square_cloud():
     corners = {(0, 0), (0, 2 * 10**6), (2 * 10**6, 0),
                (2 * 10**6, 2 * 10**6)}
     assert set(zip(out["x"].astype(int), out["y"].astype(int))) <= corners
+
+
+def test_jitter_rose_sector_rule():
+    """Known displacements land in the declared sectors: 2*quadrant +
+    [|dlat| < |dlon|], zero vector in sector 0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.functions import geocode
+    from cuda_gis_smoothing_ray.stages.spatialjoin import jitter_rose
+
+    # doc_id 0's TLD + base centroid
+    idx = int(geocode.tld_index(np.array([0], np.int64))[0])
+    name, blat, blon = geocode.TLD_TABLE[idx]
+    # displacements: NE lat-dominant (s0), NE lon-dominant (s1), zero (s0)
+    ds = rd.from_arrow(pa.table({
+        "page_id": pa.array([0, 0, 0], pa.int64()),
+        "lat": pa.array([blat + 2.0, blat + 1.0, blat], pa.float64()),
+        "lon": pa.array([blon + 1.0, blon + 2.0, blon], pa.float64()),
+    }))
+    out = jitter_rose(ds).to_pandas()
+    got = dict(zip(out["sector"].astype(int), out["n"].astype(int)))
+    assert got == {0: 2, 1: 1}
+    assert (out["tld"] == name).all()
