@@ -3154,6 +3154,15 @@ def _q_jitter_rose(sf_dir: str):
     return jitter_rose(_geocoded(sf_dir))
 
 
+def _q_join_counts(sf_dir: str):
+    """Join-count statistics (BB/BW/WW) of English-majority cells over
+    ring-1 hex adjacency, with non-free-sampling expectations
+    (stages/hotspot.join_counts)."""
+    from cuda_gis_smoothing_ray.stages.hotspot import join_counts
+
+    return join_counts(_geocoded(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3317,6 +3326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heaps_law": _q_heaps_law,
         "cume_dist_len": _q_cume_dist_len,
         "jitter_rose": _q_jitter_rose,
+        "join_counts": _q_join_counts,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3601,6 +3611,7 @@ def oracle_sql() -> dict[str, str]:
         "heaps_law": oc.heaps_law_sql(),
         "cume_dist_len": oc.cume_dist_len_sql(),
         "jitter_rose": oc.jitter_rose_sql(RES),
+        "join_counts": oc.join_counts_sql(RES),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

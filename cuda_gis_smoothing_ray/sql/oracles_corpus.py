@@ -5794,3 +5794,43 @@ disp AS (
 SELECT tld, CAST(sector AS BIGINT) AS sector,
   CAST(count(*) AS BIGINT) AS n
 FROM sec GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def join_counts_sql(res: int) -> str:
+    """Oracle of stages/hotspot.join_counts: per-(q, r) cell colors,
+    3-positive-direction adjacency join (each undirected edge once),
+    non-free-sampling expectations with one division each."""
+    from .oracles import geocoded_cte, pages_cte, round6
+
+    return f"""WITH {pages_cte()}, {geocoded_cte(res)},
+cells AS (
+  SELECT q, r, CAST(count(*) AS BIGINT) AS pages,
+    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en
+  FROM geocoded GROUP BY q, r
+), col AS (
+  SELECT q, r, (2 * en >= pages) AS black FROM cells
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN black THEN 1 ELSE 0 END) AS BIGINT) AS m
+  FROM col
+), e AS (
+  SELECT a.black AS ba, b.black AS bb
+  FROM col a JOIN col b ON
+    (b.q = a.q + 1 AND b.r = a.r) OR
+    (b.q = a.q AND b.r = a.r + 1) OR
+    (b.q = a.q + 1 AND b.r = a.r - 1)
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS edges,
+    CAST(sum(CASE WHEN ba AND bb THEN 1 ELSE 0 END) AS BIGINT) AS bb,
+    CAST(sum(CASE WHEN NOT ba AND NOT bb THEN 1 ELSE 0 END) AS BIGINT)
+      AS ww,
+    CAST(sum(CASE WHEN ba <> bb THEN 1 ELSE 0 END) AS BIGINT) AS bw
+  FROM e
+)
+SELECT tot.n AS n_cells, tot.m AS n_black, agg.edges, agg.bb, agg.bw,
+  agg.ww,
+  {round6('CAST(agg.edges * tot.m * (tot.m - 1) AS DOUBLE)'
+          ' / CAST(tot.n * (tot.n - 1) AS DOUBLE)')} AS e_bb,
+  {round6('CAST(agg.edges * 2 * tot.m * (tot.n - tot.m) AS DOUBLE)'
+          ' / CAST(tot.n * (tot.n - 1) AS DOUBLE)')} AS e_bw
+FROM tot, agg"""

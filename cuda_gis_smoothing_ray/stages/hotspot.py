@@ -1206,3 +1206,77 @@ def moran_correlogram(cells_ds, value_col: str = "page_count",
         "s0": pa.array(rows["s0"], pa.int64()),
         "morans_i": pa.array(rows["morans_i"], pa.float64()),
     }))
+
+
+def join_counts(points_ds):
+    """geocoded pages -> ONE row (n_cells, n_black, edges, bb, bw, ww,
+    e_bb, e_bw): JOIN COUNT STATISTICS over the ring-1 hex lattice —
+    the classic binary spatial-association test (Cliff & Ord): color a
+    cell BLACK when English pages hold the majority (``2*en >=
+    pages``, ties black — declared), count the adjacent same/different
+    pairs, and compare with the non-free-sampling expectations
+    ``E[BB] = E*m*(m-1)/(n*(n-1))`` / ``E[BW] = E*2*m*(n-m)/(n*(n-1))``.
+    BW >> E[BW] means languages interleave; BB >> E[BB] means English
+    clusters spatially.
+
+    EXACT: cell colors, adjacency and pair counts are pure integers —
+    each undirected edge is found ONCE by probing the 3 positive axial
+    directions (+q, +r, +q-r) against the sorted present-cell array;
+    the expectations divide once each, round6.  Scale shape: one
+    cell-keyed (pages, en) reduce; the edge scan is driver arithmetic
+    on the bounded cell table (the ``moran_correlogram`` discipline)."""
+    import ray.data as rd
+
+    from ..functions import hexgrid
+    from ..functions.reduce import hash_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        en = (batch.column("lang").to_numpy(zero_copy_only=False)
+              == "en").astype(np.int64)
+        uniq, inv = np.unique(cell, return_inverse=True)
+        pages = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        ens = np.zeros(len(uniq), np.int64)
+        np.add.at(ens, inv, en)
+        return pa.table({"cell": pa.array(uniq), "pages": pa.array(pages),
+                         "en": pa.array(ens)})
+
+    cells = hash_groupby(
+        points_ds.map_batches(partial, batch_format="pyarrow"),
+        "cell", ["pages", "en"], how="isum",
+    ).to_pandas().sort_values("cell")
+    if cells.empty:
+        raise ValueError("join_counts: no cells")
+    cell = cells["cell"].to_numpy(np.int64)
+    black = (2 * cells["en"].to_numpy(np.int64)
+             >= cells["pages"].to_numpy(np.int64))
+    n = len(cell)
+    m = int(black.sum())
+    # each undirected ring-1 edge once: positive axial directions
+    bb = bw = ww = edges = 0
+    for dq, dr in ((1, 0), (0, 1), (1, -1)):
+        nbr = cell + dq * (np.int64(1) << np.int64(28)) + dr
+        idx = np.searchsorted(cell, nbr)
+        ok = (idx < n) & (cell[np.minimum(idx, n - 1)] == nbr)
+        a = black[ok]
+        b = black[idx[ok]]
+        edges += int(ok.sum())
+        bb += int((a & b).sum())
+        ww += int((~a & ~b).sum())
+        bw += int((a ^ b).sum())
+    if n < 2:
+        raise ValueError("join_counts: need >= 2 cells")
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    e_bb = r6(float(edges * m * (m - 1)) / float(n * (n - 1)))
+    e_bw = r6(float(edges * 2 * m * (n - m)) / float(n * (n - 1)))
+    return rd.from_arrow(pa.table({
+        "n_cells": pa.array([n], pa.int64()),
+        "n_black": pa.array([m], pa.int64()),
+        "edges": pa.array([edges], pa.int64()),
+        "bb": pa.array([bb], pa.int64()),
+        "bw": pa.array([bw], pa.int64()),
+        "ww": pa.array([ww], pa.int64()),
+        "e_bb": pa.array([e_bb], pa.float64()),
+        "e_bw": pa.array([e_bw], pa.float64()),
+    }))

@@ -332,3 +332,38 @@ def test_moran_correlogram_decay():
     assert i1 > i3
     t = morans_i(_cells_ds(clustered), "page_count", k=1)
     assert abs(i1 - t.column("morans_i")[0].as_py()) < 1e-6
+
+
+def test_join_counts_checkerboard_vs_stripe():
+    """A checkerboard coloring is all-BW on the probed directions; a
+    half/half stripe has exactly one BW edge per boundary row; edge
+    enumeration counts each undirected edge once."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.functions import hexgrid
+    from cuda_gis_smoothing_ray.stages.hotspot import join_counts
+
+    def mk(qs, rs, langs):
+        res = 7
+        cells = (np.int64(res) << np.int64(56)) \
+            + (np.asarray(qs, np.int64) + hexgrid.OFF) * (1 << 28) \
+            + (np.asarray(rs, np.int64) + hexgrid.OFF)
+        return rd.from_arrow(pa.table({
+            "cell": pa.array(cells), "lang": pa.array(langs)}))
+
+    # 1-D strip of 4 cells along +q: colors B W B W (checkerboard)
+    out = join_counts(mk([0, 1, 2, 3], [0, 0, 0, 0],
+                         ["en", "de", "en", "de"])).to_pandas()
+    assert int(out["edges"].iloc[0]) == 3
+    assert int(out["bb"].iloc[0]) == 0
+    assert int(out["ww"].iloc[0]) == 0
+    assert int(out["bw"].iloc[0]) == 3
+
+    # stripe: B B W W -> one BW boundary edge
+    out2 = join_counts(mk([0, 1, 2, 3], [0, 0, 0, 0],
+                          ["en", "en", "de", "de"])).to_pandas()
+    assert int(out2["bw"].iloc[0]) == 1
+    assert int(out2["bb"].iloc[0]) == 1
+    assert int(out2["ww"].iloc[0]) == 1
