@@ -3163,6 +3163,15 @@ def _q_join_counts(sf_dir: str):
     return join_counts(_geocoded(sf_dir))
 
 
+def _q_top_docs_by_lang(sf_dir: str):
+    """k longest docs per language WITH ties (dense_rank <= k): broadcast
+    top-value codebook, rows never shuffle
+    (stages/sketch.top_docs_by_lang)."""
+    from cuda_gis_smoothing_ray.stages.sketch import top_docs_by_lang
+
+    return top_docs_by_lang(_docs(sf_dir, ("doc_id", "n_chars", "lang")))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3327,6 +3336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cume_dist_len": _q_cume_dist_len,
         "jitter_rose": _q_jitter_rose,
         "join_counts": _q_join_counts,
+        "top_docs_by_lang": _q_top_docs_by_lang,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3612,6 +3622,7 @@ def oracle_sql() -> dict[str, str]:
         "cume_dist_len": oc.cume_dist_len_sql(),
         "jitter_rose": oc.jitter_rose_sql(RES),
         "join_counts": oc.join_counts_sql(RES),
+        "top_docs_by_lang": oc.top_docs_by_lang_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -5834,3 +5834,17 @@ SELECT tot.n AS n_cells, tot.m AS n_black, agg.edges, agg.bb, agg.bw,
   {round6('CAST(agg.edges * 2 * tot.m * (tot.n - tot.m) AS DOUBLE)'
           ' / CAST(tot.n * (tot.n - 1) AS DOUBLE)')} AS e_bw
 FROM tot, agg"""
+
+
+def top_docs_by_lang_sql(k: int | None = None) -> str:
+    """Oracle of stages/sketch.top_docs_by_lang: dense_rank() <= k."""
+    from ..stages import sketch
+
+    kk = sketch.TOPDOC_K if k is None else k
+    return f"""SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(rnk AS BIGINT) AS rnk
+FROM (
+  SELECT doc_id, lang, n_chars,
+    dense_rank() OVER (PARTITION BY lang ORDER BY n_chars DESC) AS rnk
+  FROM documents
+) WHERE rnk <= {kk} ORDER BY doc_id"""

@@ -1717,3 +1717,71 @@ def cume_dist_len(ds, group_col: str = "lang", value_col: str = "n_chars"):
         })
 
     return ds.map_batches(assign, batch_format="pyarrow").sort("doc_id")
+
+
+TOPDOC_K = 3
+
+
+def top_docs_by_lang(ds, k: int = TOPDOC_K):
+    """documents -> (doc_id, lang, n_chars, rnk): the k longest documents
+    per language WITH TIES — ``dense_rank() <= k`` semantics, the
+    window-function form of grouped top-k (every doc sharing a top-k
+    length survives, unlike the row-limited :func:`~.gridops.topk`).
+
+    Scale shape: the broadcast-threshold plan — one bounded
+    (group, value) histogram shuffle finds each group's k-th distinct
+    value; a second streaming pass filters ``v >= thr`` and assigns the
+    dense rank from the same broadcast codebook (rank = position among
+    the distinct top values).  Rows never shuffle; ties cost nothing.
+    Exact integers throughout."""
+    import pandas as pd
+    import ray
+    import ray.data as rd
+
+    def counts(batch: pa.Table) -> pa.Table:
+        g = batch.column("lang").to_numpy(zero_copy_only=False)
+        v = batch.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"g": g, "v": v})
+        agg = df.groupby(["g", "v"], sort=True).size().reset_index(name="c")
+        return pa.table({"g": pa.array(agg["g"]),
+                         "v": pa.array(agg["v"].to_numpy(np.int64)),
+                         "c": pa.array(agg["c"].to_numpy(np.int64))})
+
+    hist = (
+        ds.map_batches(counts, batch_format="pyarrow")
+        .groupby(["g", "v"])
+        .sum("c")
+        .to_pandas()
+    )
+    if hist.empty:
+        raise ValueError("top_docs_by_lang: no documents")
+    books = {}
+    for g, grp in hist.groupby("g", sort=True):
+        top_vals = np.sort(grp["v"].to_numpy(np.int64))[::-1][:k]
+        books[g] = top_vals  # descending; rank = index + 1
+    ref = ray.put(books)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        bks = ray.get(ref)
+        g = batch.column("lang").to_numpy(zero_copy_only=False)
+        v = batch.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = np.zeros(len(v), bool)
+        rnk = np.zeros(len(v), np.int64)
+        for name in np.unique(g):
+            tv = bks[name]
+            m = g == name
+            pos = np.searchsorted(-tv, -v[m])  # tv descending
+            hit = (pos < len(tv)) & (tv[np.minimum(pos, len(tv) - 1)] == v[m])
+            idx = np.flatnonzero(m)[hit]
+            keep[idx] = True
+            rnk[idx] = pos[hit] + 1
+        return pa.table({"doc_id": pa.array(ids[keep]),
+                         "lang": pa.array(g[keep]),
+                         "n_chars": pa.array(v[keep]),
+                         "rnk": pa.array(rnk[keep])})
+
+    return ds.map_batches(pick, batch_format="pyarrow").sort("doc_id")

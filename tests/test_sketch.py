@@ -627,3 +627,21 @@ def test_cume_dist_len_matches_pandas():
     want = [2 / 3, 2 / 3, 1.0, 1 / 3, 2 / 3, 1.0]
     for got, w in zip(out.sort_values("doc_id")["cume"], want):
         assert abs(float(got) - w) < 1e-6
+
+
+def test_top_docs_by_lang_ties():
+    """dense_rank <= 2 keeps ALL docs tied at a surviving value."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import top_docs_by_lang
+
+    t = pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "lang": pa.array(["en"] * 6),
+        "n_chars": pa.array([9, 9, 7, 7, 7, 1], pa.int64()),
+    })
+    out = top_docs_by_lang(rd.from_arrow(t), k=2).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 1, 2, 3, 4]
+    assert out.set_index("doc_id")["rnk"].to_dict() == {
+        0: 1, 1: 1, 2: 2, 3: 2, 4: 2}
