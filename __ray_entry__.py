@@ -3172,6 +3172,16 @@ def _q_top_docs_by_lang(sf_dir: str):
     return top_docs_by_lang(_docs(sf_dir, ("doc_id", "n_chars", "lang")))
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (A-ES keys
+    from splitmix64 uniforms, weight = length); mergeable local top-k
+    (stages/sketch.weighted_sample)."""
+    from cuda_gis_smoothing_ray.stages.sketch import weighted_sample
+
+    return weighted_sample(_docs(sf_dir, ("doc_id", "n_chars"))) \
+        .sort("doc_id")
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3337,6 +3347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jitter_rose": _q_jitter_rose,
         "join_counts": _q_join_counts,
         "top_docs_by_lang": _q_top_docs_by_lang,
+        "weighted_sample": _q_weighted_sample,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3623,6 +3634,7 @@ def oracle_sql() -> dict[str, str]:
         "jitter_rose": oc.jitter_rose_sql(RES),
         "join_counts": oc.join_counts_sql(RES),
         "top_docs_by_lang": oc.top_docs_by_lang_sql(),
+        "weighted_sample": oc.weighted_sample_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

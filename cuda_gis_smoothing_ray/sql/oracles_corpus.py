@@ -5848,3 +5848,33 @@ FROM (
     dense_rank() OVER (PARTITION BY lang ORDER BY n_chars DESC) AS rnk
   FROM documents
 ) WHERE rnk <= {kk} ORDER BY doc_id"""
+
+
+def weighted_sample_sql(k: int | None = None) -> str:
+    """Oracle of stages/sketch.weighted_sample: identical splitmix64
+    chain, exact HUGEINT priority floor(w * 2^64 / (h + 1)), ORDER BY
+    priority DESC, doc_id LIMIT k (float-free ordering — see the
+    engine docstring for why ln keys are not usable)."""
+    from ..stages import sketch
+
+    kk = sketch.WSAMPLE_K if k is None else k
+    g = "11400714819323198485"
+    return f"""WITH z1 AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+    (CAST(doc_id AS HUGEINT) + {g}) % {_M64} AS z1
+  FROM documents
+), z2 AS (
+  SELECT doc_id, w,
+    {_mulmod64("xor(z1, z1 >> 30)", "13787848793156543929")} AS z2 FROM z1
+), z3 AS (
+  SELECT doc_id, w,
+    {_mulmod64("xor(z2, z2 >> 27)", "10723151780598845931")} AS z3 FROM z2
+), hh AS (
+  SELECT doc_id, w, xor(z3, z3 >> 31) AS h FROM z3
+), keyed AS (
+  SELECT doc_id, w AS n_chars,
+    (CAST(w AS HUGEINT) << 64) // (h + 1) AS pri
+  FROM hh
+)
+SELECT doc_id, n_chars, CAST(pri AS DOUBLE) AS priority
+FROM keyed ORDER BY pri DESC, doc_id LIMIT {kk}"""

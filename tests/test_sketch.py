@@ -645,3 +645,25 @@ def test_top_docs_by_lang_ties():
     assert sorted(out["doc_id"].tolist()) == [0, 1, 2, 3, 4]
     assert out.set_index("doc_id")["rnk"].to_dict() == {
         0: 1, 1: 1, 2: 2, 3: 2, 4: 2}
+
+
+def test_weighted_sample_deterministic_and_weighted():
+    """The draw is a pure function of doc_id (two runs agree), holds
+    exactly k rows, and heavy docs are overrepresented vs uniform."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import weighted_sample
+
+    n = 400
+    w = np.where(np.arange(n) < 40, 5000, 10).astype(np.int64)  # 10% heavy
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "n_chars": pa.array(w)})
+    a = weighted_sample(rd.from_arrow(t), k=40).to_pandas()
+    b = weighted_sample(rd.from_arrow(t), k=40).to_pandas()
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert len(a) == 40
+    heavy = (a["doc_id"] < 40).sum()
+    # heavy docs hold 95% of the weight; uniform would give ~4 of 40
+    assert heavy >= 20
