@@ -3182,6 +3182,15 @@ def _q_weighted_sample(sf_dir: str):
         .sort("doc_id")
 
 
+def _q_kwic_snippets(sf_dir: str):
+    """Keyword-in-context extraction: first occurrence position + a
+    clamped character window, zero shuffle
+    (stages/textops.kwic_snippets)."""
+    from cuda_gis_smoothing_ray.stages.textops import kwic_snippets
+
+    return kwic_snippets(_docs(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3348,6 +3357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_counts": _q_join_counts,
         "top_docs_by_lang": _q_top_docs_by_lang,
         "weighted_sample": _q_weighted_sample,
+        "kwic_snippets": _q_kwic_snippets,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3635,6 +3645,7 @@ def oracle_sql() -> dict[str, str]:
         "join_counts": oc.join_counts_sql(RES),
         "top_docs_by_lang": oc.top_docs_by_lang_sql(),
         "weighted_sample": oc.weighted_sample_sql(),
+        "kwic_snippets": oc.kwic_snippets_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

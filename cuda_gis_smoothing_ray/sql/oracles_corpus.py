@@ -5878,3 +5878,21 @@ def weighted_sample_sql(k: int | None = None) -> str:
 )
 SELECT doc_id, n_chars, CAST(pri AS DOUBLE) AS priority
 FROM keyed ORDER BY pri DESC, doc_id LIMIT {kk}"""
+
+
+def kwic_snippets_sql(term: str | None = None, ctx: int | None = None) -> str:
+    """Oracle of stages/textops.kwic_snippets: strpos + substr with the
+    same clamped window arithmetic."""
+    from ..stages import textops
+
+    t = textops.KWIC_TERM if term is None else term
+    c = textops.KWIC_CTX if ctx is None else ctx
+    return f"""WITH hits AS (
+  SELECT doc_id, CAST(strpos(text, '{t}') AS BIGINT) AS pos, text
+  FROM documents WHERE strpos(text, '{t}') > 0
+)
+SELECT doc_id, pos,
+  substr(text, CAST(greatest(1, pos - {c}) AS BIGINT),
+         CAST(pos + {len(t)} + {c} - greatest(1, pos - {c}) AS BIGINT))
+    AS snippet
+FROM hits ORDER BY doc_id"""

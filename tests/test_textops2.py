@@ -715,3 +715,28 @@ def test_heaps_law_hand():
     beta, lnk = np.polyfit(x, y, 1)
     assert abs(float(out["beta"].iloc[0]) - beta) < 1e-6
     assert abs(float(out["lnk"].iloc[0]) - lnk) < 1e-6
+
+
+def test_kwic_snippets_window_and_clamp():
+    """First-occurrence position is 1-based; the window clamps at the
+    string start and is byte-verbatim."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import kwic_snippets
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "hash at the very start",          # clamped left
+            "x" * 30 + " hash " + "y" * 30,    # full window
+            "no match here",
+        ]),
+    })
+    out = kwic_snippets(rd.from_arrow(docs), term="hash", ctx=5) \
+        .to_pandas().set_index("doc_id")
+    assert list(out.index) == [1, 2]
+    assert int(out.loc[1, "pos"]) == 1
+    assert out.loc[1, "snippet"] == "hash at t"      # 0..4+4+5
+    assert int(out.loc[2, "pos"]) == 32
+    assert out.loc[2, "snippet"] == "xxxxx hash yyyy"
