@@ -739,4 +739,4 @@ def test_kwic_snippets_window_and_clamp():
     assert int(out.loc[1, "pos"]) == 1
     assert out.loc[1, "snippet"] == "hash at t"      # 0..4+4+5
     assert int(out.loc[2, "pos"]) == 32
-    assert out.loc[2, "snippet"] == "xxxxx hash yyyy"
+    assert out.loc[2, "snippet"] == "xxxx hash yyyy"
