@@ -3191,6 +3191,15 @@ def _q_kwic_snippets(sf_dir: str):
     return kwic_snippets(_docs(sf_dir))
 
 
+def _q_mst_cells(sf_dir: str):
+    """Boruvka minimum spanning forest of the ring-1 cell graph
+    (weight = |delta page_count|): deterministic total-order edge
+    selection + pointer-doubling merges (stages/hotspot.mst_cells)."""
+    from cuda_gis_smoothing_ray.stages.hotspot import mst_cells
+
+    return mst_cells(_geocoded(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3358,6 +3367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_by_lang": _q_top_docs_by_lang,
         "weighted_sample": _q_weighted_sample,
         "kwic_snippets": _q_kwic_snippets,
+        "mst_cells": _q_mst_cells,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3646,6 +3656,7 @@ def oracle_sql() -> dict[str, str]:
         "top_docs_by_lang": oc.top_docs_by_lang_sql(),
         "weighted_sample": oc.weighted_sample_sql(),
         "kwic_snippets": oc.kwic_snippets_sql(),
+        "mst_cells": oc.mst_cells_sql(RES),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

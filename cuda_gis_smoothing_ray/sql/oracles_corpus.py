@@ -5896,3 +5896,69 @@ SELECT doc_id, pos,
          CAST(pos + {len(t)} + {c} - greatest(1, pos - {c}) AS BIGINT))
     AS snippet
 FROM hits ORDER BY doc_id"""
+
+
+def mst_cells_sql(res: int, rounds: int | None = None,
+                  jumps: int | None = None) -> str:
+    """Oracle of stages/hotspot.mst_cells: unrolled Boruvka — per round a
+    MATERIALIZED min-cross-edge selection under (wt, u, w), the same
+    mutual-pair least() break, and ``jumps`` pointer-doubling CTEs."""
+    from ..stages import hotspot as hs
+    from .oracles import geocoded_cte, pages_cte
+
+    R = hs.MST_ROUNDS if rounds is None else rounds
+    J = hs.MST_JUMPS if jumps is None else jumps
+    parts = [f"""cells AS (
+  SELECT min(cell) AS cell, q, r, CAST(count(*) AS BIGINT) AS pages
+  FROM geocoded GROUP BY q, r
+), edges AS MATERIALIZED (
+  SELECT a.cell AS u, b.cell AS w, abs(a.pages - b.pages) AS wt
+  FROM cells a JOIN cells b ON
+    (b.q = a.q + 1 AND b.r = a.r) OR
+    (b.q = a.q AND b.r = a.r + 1) OR
+    (b.q = a.q + 1 AND b.r = a.r - 1)
+), lab0 AS (
+  SELECT cell AS node, cell AS comp FROM cells
+)"""]
+    for t in range(R):
+        parts.append(f"""ce{t} AS MATERIALIZED (
+  SELECT e.u, e.w, e.wt, la.comp AS cu, lb.comp AS cw
+  FROM edges e JOIN lab{t} la ON la.node = e.u
+  JOIN lab{t} lb ON lb.node = e.w
+  WHERE la.comp <> lb.comp
+), st{t} AS (
+  SELECT cu AS comp, cw AS other, u, w, wt FROM ce{t}
+  UNION ALL
+  SELECT cw AS comp, cu AS other, u, w, wt FROM ce{t}
+), sel{t} AS MATERIALIZED (
+  SELECT comp, other, u, w, wt FROM (
+    SELECT *, row_number() OVER (PARTITION BY comp
+      ORDER BY wt, u, w) AS rn
+    FROM st{t}
+  ) WHERE rn = 1
+), un{t} AS (
+  SELECT DISTINCT comp FROM lab{t}
+), h0_{t} AS (
+  SELECT un{t}.comp, coalesce(s.other, un{t}.comp) AS ptr
+  FROM un{t} LEFT JOIN sel{t} s ON s.comp = un{t}.comp
+), j0_{t} AS MATERIALIZED (
+  SELECT a.comp,
+    CASE WHEN b.ptr = a.comp THEN least(a.comp, a.ptr) ELSE a.ptr END AS ptr
+  FROM h0_{t} a JOIN h0_{t} b ON b.comp = a.ptr
+)""")
+        for k in range(1, J + 1):
+            parts.append(f"""j{k}_{t} AS MATERIALIZED (
+  SELECT a.comp, b.ptr FROM j{k - 1}_{t} a JOIN j{k - 1}_{t} b
+  ON b.comp = a.ptr
+)""")
+        parts.append(f"""lab{t + 1} AS MATERIALIZED (
+  SELECT l.node, j.ptr AS comp
+  FROM lab{t} l JOIN j{J}_{t} j ON j.comp = l.comp
+)""")
+    sel_union = " UNION ALL ".join(
+        f"SELECT u, w, wt FROM sel{t}" for t in range(R))
+    body = ",\n".join(parts)
+    return f"""WITH {pages_cte()}, {geocoded_cte(res)},
+{body}
+SELECT DISTINCT u, w, CAST(wt AS BIGINT) AS wt
+FROM ({sel_union}) ORDER BY u, w"""

@@ -1280,3 +1280,98 @@ def join_counts(points_ds):
         "e_bb": pa.array([e_bb], pa.float64()),
         "e_bw": pa.array([e_bw], pa.float64()),
     }))
+
+
+MST_ROUNDS = 8
+MST_JUMPS = 8
+
+
+def mst_cells(points_ds, rounds: int = MST_ROUNDS, jumps: int = MST_JUMPS):
+    """geocoded pages -> (u, w, wt): the MINIMUM SPANNING FOREST of the
+    ring-1 cell-adjacency graph, edge weight = |Δ page_count| — BORUVKA
+    supersteps (each component hooks its minimum cross edge under the
+    total order (wt, u, w); mutual pairs break to the smaller id;
+    pointer DOUBLING resolves the merge forest), the classic
+    distributed-MST algorithm.  The density-gradient skeleton of the
+    crawl's spatial surface: MST edges connect cells through the
+    SMOOTHEST density transitions (region-merging segmentation's first
+    step).
+
+    DETERMINISTIC + exact: the total edge order makes the forest
+    unique; weights/ids are ints end to end.  The contract is
+    ``rounds`` supersteps with ``jumps`` doubling steps each (the
+    :func:`~.ann.pca_power` discipline) — components at least halve per
+    round, so 2^rounds covers the bounded cell graph (asserted).  Scale
+    shape: one cell-keyed count reduce; Boruvka itself runs on the
+    bounded cell table (at an unbounded cell count each superstep is
+    the same bounded-degree edge-local selection + label shuffle as
+    :func:`~.pagerank.pagerank`)."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(uniq),
+                         "pages": pa.array(cnt.astype(np.int64))})
+
+    cells = hash_groupby(
+        points_ds.map_batches(partial, batch_format="pyarrow"),
+        "cell", ["pages"], how="isum",
+    ).to_pandas().sort_values("cell")
+    nodes = cells["cell"].to_numpy(np.int64)
+    pc = cells["pages"].to_numpy(np.int64)
+    n = len(nodes)
+    if n == 0:
+        raise ValueError("mst_cells: no cells")
+    assert (1 << rounds) >= n, "mst_cells: rounds too small for cell count"
+    eu, ew, ewt = [], [], []
+    for dq, dr in ((1, 0), (0, 1), (1, -1)):
+        nbr = nodes + dq * (np.int64(1) << np.int64(28)) + dr
+        idx = np.searchsorted(nodes, nbr)
+        ok = (idx < n) & (nodes[np.minimum(idx, n - 1)] == nbr)
+        eu.append(np.flatnonzero(ok))
+        ew.append(idx[ok])
+        ewt.append(np.abs(pc[ok] - pc[idx[ok]]))
+    eu = np.concatenate(eu)   # positions; nodes[eu] < nodes[ew]
+    ew = np.concatenate(ew)
+    ewt = np.concatenate(ewt)
+    comp = np.arange(n, dtype=np.int64)   # per-node comp position
+    picked = []
+    for _ in range(rounds):
+        cu, cw = comp[eu], comp[ew]
+        cross = cu != cw
+        if not cross.any():
+            break
+        cs = np.concatenate([cu[cross], cw[cross]])
+        other = np.concatenate([cw[cross], cu[cross]])
+        su = np.concatenate([eu[cross], eu[cross]])
+        sw = np.concatenate([ew[cross], ew[cross]])
+        swt = np.concatenate([ewt[cross], ewt[cross]])
+        order = np.lexsort((nodes[sw], nodes[su], swt, cs))
+        _, first = np.unique(cs[order], return_index=True)
+        sel = order[first]
+        picked.append(np.stack([su[sel], sw[sel], swt[sel]], axis=1))
+        raw = np.arange(n, dtype=np.int64)
+        raw[cs[sel]] = other[sel]
+        ptr = raw.copy()
+        mutual = raw[raw] == np.arange(n)
+        ptr[mutual] = np.minimum(np.arange(n)[mutual], raw[mutual])
+        for _ in range(jumps):
+            ptr = ptr[ptr]
+        comp = ptr[comp]
+    if not picked:
+        raise ValueError("mst_cells: no adjacent cells")
+    allp = np.concatenate(picked)
+    key = allp[:, 0] * n + allp[:, 1]
+    _, fi = np.unique(key, return_index=True)
+    allp = allp[fi]
+    order = np.lexsort((allp[:, 1], allp[:, 0]))
+    allp = allp[order]
+    return rd.from_arrow(pa.table({
+        "u": pa.array(nodes[allp[:, 0]]),
+        "w": pa.array(nodes[allp[:, 1]]),
+        "wt": pa.array(allp[:, 2]),
+    }))
