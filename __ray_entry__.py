@@ -3200,6 +3200,23 @@ def _q_mst_cells(sf_dir: str):
     return mst_cells(_geocoded(sf_dir))
 
 
+def _q_jsonl_roundtrip(sf_dir: str):
+    """JSONL sink + source round trip of the documents table — byte-
+    verbatim text through JSON escaping
+    (sources/pages.jsonl_roundtrip)."""
+    from cuda_gis_smoothing_ray.sources.pages import jsonl_roundtrip
+
+    return jsonl_roundtrip(sf_dir)
+
+
+def _q_langs_concat(sf_dir: str):
+    """Ordered string aggregation: sorted distinct language list per
+    source (stages/textops.langs_concat)."""
+    from cuda_gis_smoothing_ray.stages.textops import langs_concat
+
+    return langs_concat(_docs(sf_dir, ("doc_id", "source", "lang")))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3368,6 +3385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": _q_weighted_sample,
         "kwic_snippets": _q_kwic_snippets,
         "mst_cells": _q_mst_cells,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "langs_concat": _q_langs_concat,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3657,6 +3676,8 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample": oc.weighted_sample_sql(),
         "kwic_snippets": oc.kwic_snippets_sql(),
         "mst_cells": oc.mst_cells_sql(RES),
+        "jsonl_roundtrip": oc.jsonl_roundtrip_sql(),
+        "langs_concat": oc.langs_concat_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -16,6 +16,8 @@ replicate=1.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -189,3 +191,32 @@ def generate_pages_table(n: int, seed: int = 42, mention_rate: float = 0.1) -> p
         }
     )
     return pages_from_documents_batch(tbl)
+
+
+def jsonl_roundtrip(sf_dir: str, scratch: str | None = None):
+    """documents -> write JSONL shards -> read them back: the
+    source/sink ROUND-TRIP proof for the JSONL format (the other
+    interchange format a crawl pipeline meets besides Parquet/CSV/.bin).
+    Returns the re-read (doc_id, lang, n_chars, text) — the oracle
+    compares against the original table directly, so a MATCH proves the
+    sink and source preserve every row BYTE-VERBATIM (text goes through
+    JSON escaping and back).
+
+    Scale shape: ``write_json`` streams one shard per block (resumable-
+    output discipline: a directory of shards, never one giant file);
+    the re-read is a plain streaming source."""
+    import shutil
+
+    import ray.data as rd
+
+    from .. import tune_data_context
+    tune_data_context()
+
+    out = scratch or f"/tmp/graft_jsonl/{os.path.basename(sf_dir.rstrip('/'))}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    rd.read_parquet(f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "lang", "n_chars", "text"]) \
+        .write_json(out)
+    return rd.read_json(out) \
+        .select_columns(["doc_id", "lang", "n_chars", "text"]).sort("doc_id")

@@ -5962,3 +5962,19 @@ def mst_cells_sql(res: int, rounds: int | None = None,
 {body}
 SELECT DISTINCT u, w, CAST(wt AS BIGINT) AS wt
 FROM ({sel_union}) ORDER BY u, w"""
+
+
+def jsonl_roundtrip_sql() -> str:
+    """Oracle of sources/pages.jsonl_roundtrip: the original table — a
+    MATCH proves the JSONL sink+source preserve rows byte-verbatim."""
+    return """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, text
+FROM documents ORDER BY doc_id"""
+
+
+def langs_concat_sql() -> str:
+    """Oracle of stages/textops.langs_concat: string_agg(DISTINCT lang
+    ORDER BY lang)."""
+    return """SELECT source,
+  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+  string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+FROM documents GROUP BY source ORDER BY source"""

@@ -4424,3 +4424,43 @@ def kwic_snippets(ds, term: str = KWIC_TERM, ctx: int = KWIC_CTX):
                          "snippet": pa.array(snips, pa.string())})
 
     return ds.map_batches(scan, batch_format="pyarrow").sort("doc_id")
+
+
+def langs_concat(docs_ds):
+    """documents -> (source, n_langs, langs): ORDERED STRING AGGREGATION
+    — the comma-joined sorted distinct language list per source
+    (SQL's ``string_agg(DISTINCT ... ORDER BY ...)``), the report-
+    formatting primitive that needs deterministic order to be
+    comparable at all.
+
+    Scale shape: batch-local (source, lang) distinct pairs, one bounded
+    two-key reduce, driver joins the tiny per-source lists.  Exact
+    string output."""
+    import pandas as pd
+    import ray.data as rd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "source": batch.column("source").to_pylist(),
+            "lang": batch.column("lang").to_pylist(),
+        }).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    pairs = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source", "lang"])
+        .count()
+    ).to_pandas()
+    if pairs.empty:
+        raise ValueError("langs_concat: no documents")
+    rows = {"source": [], "n_langs": [], "langs": []}
+    for src, grp in pairs.groupby("source", sort=True):
+        ls = sorted(grp["lang"].tolist())
+        rows["source"].append(src)
+        rows["n_langs"].append(len(ls))
+        rows["langs"].append(",".join(ls))
+    return rd.from_arrow(pa.table({
+        "source": pa.array(rows["source"], pa.string()),
+        "n_langs": pa.array(rows["n_langs"], pa.int64()),
+        "langs": pa.array(rows["langs"], pa.string()),
+    }))

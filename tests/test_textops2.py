@@ -740,3 +740,36 @@ def test_kwic_snippets_window_and_clamp():
     assert out.loc[1, "snippet"] == "hash at t"      # 0..4+4+5
     assert int(out.loc[2, "pos"]) == 32
     assert out.loc[2, "snippet"] == "xxxx hash yyyy"
+
+
+def test_langs_concat_order():
+    """The list is sorted and distinct regardless of input order."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import langs_concat
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "source": pa.array(["s"] * 4),
+        "lang": pa.array(["zh", "en", "zh", "de"]),
+    })
+    out = langs_concat(rd.from_arrow(t)).to_pandas()
+    assert out["langs"].iloc[0] == "de,en,zh"
+    assert int(out["n_langs"].iloc[0]) == 3
+
+
+def test_jsonl_roundtrip_byte_verbatim(tmp_path, sf_dir):
+    """Text survives the JSONL sink + source byte-for-byte."""
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.sources.pages import jsonl_roundtrip
+
+    out = jsonl_roundtrip(sf_dir, scratch=str(tmp_path / "j")) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars", "text"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (out["text"] == want["text"]).all()
+    assert (out["doc_id"] == want["doc_id"]).all()
