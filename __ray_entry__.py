@@ -3217,6 +3217,14 @@ def _q_langs_concat(sf_dir: str):
     return langs_concat(_docs(sf_dir, ("doc_id", "source", "lang")))
 
 
+def _q_boolean_search(sf_dir: str):
+    """Boolean CNF retrieval (must / should / must-not whole-token
+    terms), zero shuffle (stages/textops.boolean_search)."""
+    from cuda_gis_smoothing_ray.stages.textops import boolean_search
+
+    return boolean_search(_docs(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3387,6 +3395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mst_cells": _q_mst_cells,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "langs_concat": _q_langs_concat,
+        "boolean_search": _q_boolean_search,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3678,6 +3687,7 @@ def oracle_sql() -> dict[str, str]:
         "mst_cells": oc.mst_cells_sql(RES),
         "jsonl_roundtrip": oc.jsonl_roundtrip_sql(),
         "langs_concat": oc.langs_concat_sql(),
+        "boolean_search": oc.boolean_search_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

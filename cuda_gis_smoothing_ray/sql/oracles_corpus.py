@@ -5978,3 +5978,28 @@ def langs_concat_sql() -> str:
   CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
   string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
 FROM documents GROUP BY source ORDER BY source"""
+
+
+def boolean_search_sql(must: tuple[str, ...] | None = None,
+                       should: tuple[str, ...] | None = None,
+                       must_not: tuple[str, ...] | None = None) -> str:
+    """Oracle of stages/textops.boolean_search: list_contains over the
+    filtered token array, CNF in SQL."""
+    from ..stages import textops
+
+    m = textops.BOOL_MUST if must is None else must
+    s = textops.BOOL_SHOULD if should is None else should
+    nn = textops.BOOL_NOT if must_not is None else must_not
+    conds = [f"list_contains(l, '{t}')" for t in m]
+    conds += [f"NOT list_contains(l, '{t}')" for t in nn]
+    shd = " + ".join(
+        f"CASE WHEN list_contains(l, '{t}') THEN 1 ELSE 0 END" for t in s)
+    return f"""WITH lt AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS l
+  FROM documents
+)
+SELECT doc_id, CAST({shd} AS BIGINT) AS n_should
+FROM lt
+WHERE {' AND '.join(conds)} AND ({shd}) > 0
+ORDER BY doc_id"""

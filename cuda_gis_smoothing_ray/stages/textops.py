@@ -4464,3 +4464,58 @@ def langs_concat(docs_ds):
         "n_langs": pa.array(rows["n_langs"], pa.int64()),
         "langs": pa.array(rows["langs"], pa.string()),
     }))
+
+
+BOOL_MUST = ("table", "hash")
+BOOL_SHOULD = ("spark", "vector")
+BOOL_NOT = ("error",)
+
+
+def boolean_search(ds, must: tuple[str, ...] = BOOL_MUST,
+                   should: tuple[str, ...] = BOOL_SHOULD,
+                   must_not: tuple[str, ...] = BOOL_NOT):
+    """documents -> (doc_id, n_should): BOOLEAN QUERY — docs containing
+    ALL ``must`` terms, NONE of the ``must_not`` terms, and AT LEAST ONE
+    ``should`` term, with the matched-should count (the conjunctive-
+    normal-form retrieval primitive; :func:`phrase_search` /
+    :func:`proximity_search` are its positional refinements).
+
+    Scale shape: NO shuffle — one vectorized scan; each term is one
+    Arrow equality pass over the flattened token array, collapsed to a
+    per-doc presence bit via np.bincount (whole-token matching, not
+    substring).  Exact integers."""
+    import pyarrow.compute as pc_
+
+    def scan(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_should": pa.array([], pa.int64())})
+        n_docs = len(batch)
+        if n_docs == 0:
+            return empty
+        split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        counts = split.value_lengths().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = split.flatten()
+        doc_pos = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+
+        def present(term: str) -> np.ndarray:
+            m = pc_.equal(flat, term).to_numpy(zero_copy_only=False)
+            return np.bincount(doc_pos[m], minlength=n_docs) > 0
+
+        keep = np.ones(n_docs, bool)
+        for t in must:
+            keep &= present(t)
+        for t in must_not:
+            keep &= ~present(t)
+        n_should = np.zeros(n_docs, np.int64)
+        for t in should:
+            n_should += present(t).astype(np.int64)
+        keep &= n_should > 0
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(ids[keep]),
+                         "n_should": pa.array(n_should[keep])})
+
+    return ds.map_batches(scan, batch_format="pyarrow").sort("doc_id")

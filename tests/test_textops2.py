@@ -773,3 +773,25 @@ def test_jsonl_roundtrip_byte_verbatim(tmp_path, sf_dir):
         .sort_values("doc_id").reset_index(drop=True)
     assert (out["text"] == want["text"]).all()
     assert (out["doc_id"] == want["doc_id"]).all()
+
+
+def test_boolean_search_cnf():
+    """must AND, must_not NOT, should >= 1 with matched count."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import boolean_search
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "table hash spark",          # hit, n_should=1
+            "table hash spark vector",   # hit, n_should=2
+            "table hash error spark",    # must_not kills it
+            "table spark",               # missing 'hash'
+            "table hash",                # no should term
+        ]),
+    })
+    out = boolean_search(rd.from_arrow(docs)).to_pandas()
+    assert out["doc_id"].tolist() == [1, 2]
+    assert out["n_should"].tolist() == [1, 2]
