@@ -3225,6 +3225,18 @@ def _q_boolean_search(sf_dir: str):
     return boolean_search(_docs(sf_dir))
 
 
+def _q_k_truss(sf_dir: str):
+    """k-truss of the community graph: fixed-round synchronous edge peel
+    by triangle support (stages/triangles.k_truss)."""
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages import triangles as tri
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return tri.k_truss(read_documents(sf_dir, columns=("doc_id",)), n_docs)
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3396,6 +3408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "langs_concat": _q_langs_concat,
         "boolean_search": _q_boolean_search,
+        "k_truss": _q_k_truss,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3688,6 +3701,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_roundtrip": oc.jsonl_roundtrip_sql(),
         "langs_concat": oc.langs_concat_sql(),
         "boolean_search": oc.boolean_search_sql(),
+        "k_truss": oc.k_truss_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

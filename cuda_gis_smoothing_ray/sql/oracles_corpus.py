@@ -6003,3 +6003,56 @@ SELECT doc_id, CAST({shd} AS BIGINT) AS n_should
 FROM lt
 WHERE {' AND '.join(conds)} AND ({shd}) > 0
 ORDER BY doc_id"""
+
+
+def k_truss_sql(k: int | None = None, comm_mod: int | None = None,
+                rounds: int | None = None) -> str:
+    """Oracle of stages/triangles.k_truss: the same fixed-round edge
+    peel unrolled — per round a wedge-count support join (MATERIALIZED,
+    the kcore discipline) and a support >= k-2 filter."""
+    from ..functions import geocode
+    from ..stages import pagerank as pr
+    from ..stages import triangles as tri
+
+    kk = tri.TRUSS_K if k is None else k
+    cm = tri.COMM_MOD if comm_mod is None else comm_mod
+    R = tri.TRUSS_ROUNDS if rounds is None else rounds
+    mult, mod = geocode.TLD_MULT, geocode.HOST_MOD
+    nd = "(SELECT count(*) FROM documents)"
+    host = f"((doc_id * {mult}) % {mod}) % {cm}"
+    dhost1 = (f"((((doc_id * {pr.EDGE_MULT} + {pr.EDGE_ADD}) % {nd})"
+              f" * {mult}) % {mod}) % {cm}")
+    dhost2 = (f"((((doc_id * doc_id * {pr.EDGE_MULT2} + {pr.EDGE_ADD2}) % {nd})"
+              f" * {mult}) % {mod}) % {cm}")
+    steps = []
+    prev = "e0"
+    for t in range(1, R + 2):  # R peels + 1 final support readout
+        steps.append(f"""adj{t} AS MATERIALIZED (
+  SELECT a AS node, b AS nbr FROM {prev}
+  UNION ALL
+  SELECT b, a FROM {prev}
+), s{t} AS MATERIALIZED (
+  SELECT e.a, e.b, coalesce(w.cn, 0) AS support
+  FROM {prev} e LEFT JOIN (
+    SELECT n1.nbr AS u, n2.nbr AS w, CAST(count(*) AS BIGINT) AS cn
+    FROM adj{t} n1 JOIN adj{t} n2
+      ON n1.node = n2.node AND n1.nbr < n2.nbr
+    GROUP BY 1, 2
+  ) w ON w.u = e.a AND w.w = e.b
+)""")
+        if t <= R:
+            steps.append(f"""e{t} AS MATERIALIZED (
+  SELECT a, b FROM s{t} WHERE support >= {kk - 2}
+)""")
+            prev = f"e{t}"
+    body = ",\n".join(steps)
+    return f"""WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+    SELECT {host} AS s, {dhost1} AS t FROM documents
+    UNION ALL
+    SELECT {host} AS s, {dhost2} AS t FROM documents
+  ) WHERE s <> t
+),
+{body}
+SELECT a AS u, b AS w, CAST(support AS BIGINT) AS support
+FROM s{R + 1} ORDER BY u, w"""

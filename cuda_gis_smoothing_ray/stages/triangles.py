@@ -900,3 +900,106 @@ def jaccard_neighborhood(docs_ds, n_docs: int, comm_mod: int = COMM_MOD,
 
     return with_deg.map_batches(finish, batch_format="pyarrow") \
         .sort(["u", "w"])
+
+
+TRUSS_K = 4
+TRUSS_ROUNDS = 4
+
+
+def k_truss(docs_ds, n_docs: int, k: int = TRUSS_K,
+            comm_mod: int = COMM_MOD, rounds: int = TRUSS_ROUNDS):
+    """documents -> (u, w, support): the k-TRUSS of the community graph
+    after ``rounds`` synchronous peeling supersteps — each round drops
+    every edge whose TRIANGLE SUPPORT (common neighbors of its
+    endpoints in the current subgraph) is below ``k - 2``; survivors
+    report their support in the FINAL subgraph.  The edge-analog of
+    :func:`kcore` and the standard cohesive-subgraph refinement
+    (every k-truss edge sits in a (k-1)-core, but not vice versa).
+
+    Fixed round count keeps the semantics oracle-checkable as unrolled
+    CTEs (the :func:`kcore` discipline; extra rounds are no-ops once
+    converged — the pytest pins convergence).  Scale shape per round:
+    one wedge pass (sum(deg^2) pair generation, partition-presummed)
+    + one co-partitioned pair join — exactly the
+    :func:`common_neighbors` plan with the anti-join flipped to a
+    semi-join; nothing reaches the driver until the final edge list."""
+    from ..functions.reduce import hash_groupby
+
+    cm = np.int64(comm_mod)
+    edges = community_edges(docs_ds, n_docs, comm_mod).materialize()
+
+    def support(es):
+        def explode(batch: pa.Table) -> pa.Table:
+            a = batch.column("a").to_numpy(zero_copy_only=False)
+            b = batch.column("b").to_numpy(zero_copy_only=False)
+            return pa.table({"key": pa.array(np.concatenate([a, b])),
+                             "nbr": pa.array(np.concatenate([b, a]))})
+
+        def wedge_counts(df: pd.DataFrame) -> pd.DataFrame:
+            d = df.sort_values(["key", "nbr"], kind="stable")
+            c = d["key"].to_numpy(np.int64)
+            v = d["nbr"].to_numpy(np.int64)
+            first, second = _pairs_within_groups(c)
+            pack = v[first] * cm + v[second]
+            uniq, cnt = np.unique(pack, return_counts=True)
+            return pd.DataFrame({"key": uniq, "cn": cnt.astype(np.int64)})
+
+        pair_cn = hash_groupby(
+            es.map_batches(explode, batch_format="pyarrow", batch_size=None)
+            .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
+            .groupby("__part")
+            .map_groups(wedge_counts),
+            "key", ["cn"], how="isum",
+        )
+
+        def tag_cn(batch: pa.Table) -> pa.Table:
+            return pa.table({"key": batch.column("key"),
+                             "cn": batch.column("cn"),
+                             "kind": pa.array(np.ones(len(batch), np.int8))})
+
+        def tag_edge(batch: pa.Table) -> pa.Table:
+            a = batch.column("a").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            b = batch.column("b").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            return pa.table({"key": pa.array(a * cm + b),
+                             "cn": pa.array(np.zeros(len(batch), np.int64)),
+                             "kind": pa.array(np.zeros(len(batch), np.int8))})
+
+        def semi(df: pd.DataFrame) -> pd.DataFrame:
+            ed = df[df["kind"] == 0][["key"]]
+            cn = df[df["kind"] == 1][["key", "cn"]]
+            mm = ed.merge(cn, on="key", how="left")
+            kk = mm["key"].to_numpy(np.int64)
+            s = mm["cn"].fillna(0).to_numpy(np.int64)
+            return pd.DataFrame({"a": kk // cm, "b": kk % cm, "support": s})
+
+        return (
+            pair_cn.map_batches(tag_cn, batch_format="pyarrow",
+                                batch_size=None)
+            .union(es.map_batches(tag_edge, batch_format="pyarrow",
+                                  batch_size=None))
+            .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
+            .groupby("__part")
+            .map_groups(semi)
+        )
+
+    def keep_ab(batch: pa.Table) -> pa.Table:
+        s = batch.column("support").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        m = s >= k - 2
+        return pa.table({
+            "a": pa.array(batch.column("a").to_numpy(
+                zero_copy_only=False).astype(np.int64)[m]),
+            "b": pa.array(batch.column("b").to_numpy(
+                zero_copy_only=False).astype(np.int64)[m]),
+        })
+
+    for _ in range(rounds):
+        edges = support(edges).map_batches(
+            keep_ab, batch_format="pyarrow", batch_size=None).materialize()
+    return support(edges).map_batches(
+        lambda t: pa.table({
+            "u": t.column("a"), "w": t.column("b"),
+            "support": t.column("support")}),
+        batch_format="pyarrow").sort(["u", "w"])

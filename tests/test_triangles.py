@@ -334,3 +334,45 @@ def test_jaccard_neighborhood_vs_brute():
     for r in out.itertuples():
         assert abs(float(r.jacc) - r.cn / r.un) < 1e-6
         assert 0 < float(r.jacc) <= 1
+
+
+def test_k_truss_vs_brute_peel():
+    """The fixed-round engine truss equals a brute-force iterate-to-
+    convergence edge peel on the same derived graph, and one extra
+    round is a no-op (converged within the contract rounds)."""
+    from cuda_gis_smoothing_ray.functions import geocode
+    from cuda_gis_smoothing_ray.stages import pagerank as pr
+    from cuda_gis_smoothing_ray.stages.triangles import k_truss
+
+    n, cm, k = 300, 53, 4
+    d = np.arange(n, dtype=np.int64)
+    src = np.concatenate([geocode.host_id(d), geocode.host_id(d)]) % cm
+    dst = np.concatenate([
+        geocode.host_id((d * pr.EDGE_MULT + pr.EDGE_ADD) % n),
+        geocode.host_id((d * d * pr.EDGE_MULT2 + pr.EDGE_ADD2) % n),
+    ]) % cm
+    keep = src != dst
+    pairs = set(map(tuple, np.stack(
+        [np.minimum(src[keep], dst[keep]),
+         np.maximum(src[keep], dst[keep])], axis=1).tolist()))
+
+    def supports(es):
+        adj = {}
+        for u, w in es:
+            adj.setdefault(u, set()).add(w)
+            adj.setdefault(w, set()).add(u)
+        return {(u, w): len(adj[u] & adj[w]) for u, w in es}
+
+    es = set(pairs)
+    while True:
+        sup = supports(es)
+        nxt = {e for e in es if sup[e] >= k - 2}
+        if nxt == es:
+            break
+        es = nxt
+    want = {(u, w): s for (u, w), s in supports(es).items()}
+
+    out = k_truss(_docs_ds(n), n_docs=n, comm_mod=cm, k=k).to_pandas()
+    got = {(int(r.u), int(r.w)): int(r.support) for r in out.itertuples()}
+    assert got == want
+    assert len(got) > 10  # non-vacuous truss survives
