@@ -3237,6 +3237,14 @@ def _q_k_truss(sf_dir: str):
     return tri.k_truss(read_documents(sf_dir, columns=("doc_id",)), n_docs)
 
 
+def _q_trigram_transitions(sf_dir: str):
+    """Second-order Markov transition counts (three consecutive events
+    per user), support-pruned (stages/events.trigram_transitions)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.trigram_transitions(events.read_events(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3409,6 +3417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langs_concat": _q_langs_concat,
         "boolean_search": _q_boolean_search,
         "k_truss": _q_k_truss,
+        "trigram_transitions": _q_trigram_transitions,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3702,6 +3711,7 @@ def oracle_sql() -> dict[str, str]:
         "langs_concat": oc.langs_concat_sql(),
         "boolean_search": oc.boolean_search_sql(),
         "k_truss": oc.k_truss_sql(),
+        "trigram_transitions": oc.trigram_transitions_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

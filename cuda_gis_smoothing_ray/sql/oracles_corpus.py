@@ -6056,3 +6056,19 @@ def k_truss_sql(k: int | None = None, comm_mod: int | None = None,
 {body}
 SELECT a AS u, b AS w, CAST(support AS BIGINT) AS support
 FROM s{R + 1} ORDER BY u, w"""
+
+
+def trigram_transitions_sql(min_n: int = 2) -> str:
+    """Oracle of stages/events.trigram_transitions: two LAGs over the
+    same (ts, event_id) order, support-pruned."""
+    return f"""WITH seq AS (
+  SELECT user_id, event_type AS t3,
+    lag(event_type, 1) OVER w AS t2,
+    lag(event_type, 2) OVER w AS t1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE t1 IS NOT NULL
+GROUP BY 1, 2, 3 HAVING count(*) >= {min_n}
+ORDER BY 1, 2, 3"""

@@ -2625,3 +2625,56 @@ def holt_linear(ds):
         "trend": pa.array([r6(float(B) / float(den))], pa.float64()),
         "forecast": pa.array([r6(float(L + B) / float(den))], pa.float64()),
     }))
+
+
+def trigram_transitions(ds, min_n: int = 2):
+    """events -> (t1, t2, t3, n): the SECOND-ORDER Markov transition
+    counts — every three consecutive events of a user in (ts, event_id)
+    order — the sequence-mining upgrade of :func:`event_transitions`
+    (first-order chains can't see "view -> click -> purchase" vs
+    "click -> view -> purchase"); rows below ``min_n`` are pruned (the
+    support threshold of frequent-sequence mining).
+
+    Scale shape: the shared coarse user shuffle; each partition emits
+    its PRE-AGGREGATED |types|^3-bounded count table (two same-user
+    shifted-array guards, never a triple stream), then one bounded
+    three-key reduce."""
+    from ray.data.aggregate import Sum
+
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        et = df["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, et = uid[order], et[order]
+        new_user, _, _ = _user_segments(uid)
+        # position i anchors (i-2, i-1, i): needs both i and i-1 to be
+        # non-segment-starts
+        ok = ~new_user.copy()
+        ok[1:] &= ~new_user[:-1]
+        keep = np.flatnonzero(ok)
+        keep = keep[keep >= 2]
+        types, codes = np.unique(et, return_inverse=True)
+        T = np.int64(len(types))
+        key = (codes[keep - 2].astype(np.int64) * T * T
+               + codes[keep - 1].astype(np.int64) * T + codes[keep])
+        uk, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame({
+            "t1": types[uk // (T * T)],
+            "t2": types[(uk // T) % T],
+            "t3": types[uk % T],
+            "n": cnt.astype(np.int64),
+        })
+
+    def prune(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(n >= min_n))
+
+    return (
+        _by_user(ds, solve)
+        .groupby(["t1", "t2", "t3"])
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(prune, batch_format="pyarrow", batch_size=None)
+        .sort(["t1", "t2", "t3"])
+    )

@@ -862,3 +862,31 @@ def test_holt_linear_exact_line_and_float_parity():
         l = l_new
     assert abs(float(out2["level"].iloc[0]) - l) < 1e-6
     assert abs(float(out2["forecast"].iloc[0]) - (l + b)) < 1e-6
+
+
+def test_trigram_transitions_hand():
+    """Triples never cross user boundaries; counts and support prune."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import trigram_transitions
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    S = np.timedelta64(10**6, "us")
+    rows = [
+        # user 1: a b c a b c  -> abc x2, bca, cab
+        *[(1, i, ty) for i, ty in enumerate("abcabc")],
+        # user 2: b c (too short for a triple with user 1's tail)
+        (2, 10, "b"), (2, 11, "c"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        "ts": pa.array([t0 + r[1] * S for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+    })
+    out = trigram_transitions(rd.from_arrow(t), min_n=2).to_pandas()
+    assert len(out) == 1
+    assert tuple(out.iloc[0][["t1", "t2", "t3"]]) == ("a", "b", "c")
+    assert int(out["n"].iloc[0]) == 2
