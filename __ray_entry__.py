@@ -3245,6 +3245,15 @@ def _q_trigram_transitions(sf_dir: str):
     return events.trigram_transitions(events.read_events(sf_dir))
 
 
+def _q_mad_outlier_days(sf_dir: str):
+    """Robust daily anomaly days: |cnt - median| > k*MAD over the dense
+    series, exact integer medians
+    (stages/events.mad_outlier_days)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.mad_outlier_days(events.read_events(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3418,6 +3427,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_search": _q_boolean_search,
         "k_truss": _q_k_truss,
         "trigram_transitions": _q_trigram_transitions,
+        "mad_outlier_days": _q_mad_outlier_days,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3712,6 +3722,7 @@ def oracle_sql() -> dict[str, str]:
         "boolean_search": oc.boolean_search_sql(),
         "k_truss": oc.k_truss_sql(),
         "trigram_transitions": oc.trigram_transitions_sql(),
+        "mad_outlier_days": oc.mad_outlier_days_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

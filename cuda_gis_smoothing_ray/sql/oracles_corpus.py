@@ -6072,3 +6072,37 @@ SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n
 FROM seq WHERE t1 IS NOT NULL
 GROUP BY 1, 2, 3 HAVING count(*) >= {min_n}
 ORDER BY 1, 2, 3"""
+
+
+def mad_outlier_days_sql(k: int | None = None) -> str:
+    """Oracle of stages/events.mad_outlier_days: dense daily series,
+    rank-rule medians (rn = (n-1)//2 + 1), integer k*MAD comparison."""
+    from ..stages import events as ev
+
+    kk = ev.MAD_K if k is None else k
+    return f"""WITH cnts AS (
+  SELECT epoch_us(ts) // 86400000000 AS d, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), dense AS (
+  SELECT g.d, CAST(coalesce(c.c, 0) AS BIGINT) AS cnt
+  FROM (SELECT unnest(generate_series((SELECT min(d) FROM cnts),
+                                      (SELECT max(d) FROM cnts))) AS d) g
+  LEFT JOIN cnts c ON c.d = g.d
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM dense
+), med AS (
+  SELECT cnt AS med FROM (
+    SELECT cnt, row_number() OVER (ORDER BY cnt) AS rn FROM dense
+  ), n WHERE rn = (n.n - 1) // 2 + 1
+), devs AS (
+  SELECT dense.d, dense.cnt, abs(dense.cnt - med.med) AS dev
+  FROM dense, med
+), mad AS (
+  SELECT dev AS mad FROM (
+    SELECT dev, row_number() OVER (ORDER BY dev) AS rn FROM devs
+  ), n WHERE rn = (n.n - 1) // 2 + 1
+)
+SELECT devs.d AS day, devs.cnt, devs.dev, med.med, mad.mad
+FROM devs, med, mad
+WHERE devs.dev > {kk} * mad.mad
+ORDER BY day"""

@@ -2678,3 +2678,56 @@ def trigram_transitions(ds, min_n: int = 2):
         .map_batches(prune, batch_format="pyarrow", batch_size=None)
         .sort(["t1", "t2", "t3"])
     )
+
+
+MAD_K = 3
+
+
+def mad_outlier_days(ds, k: int = MAD_K):
+    """events -> (day, cnt, dev, med, mad): ROBUST daily anomaly
+    detection over the dense daily count series — days where
+    ``|cnt - median| > k * MAD`` (median absolute deviation), the
+    outlier rule that a single crawler-gone-wild day cannot poison,
+    unlike :func:`burst_hours`' mean+sigma (one huge day inflates sigma
+    and hides itself).
+
+    EXACT integers end to end: both medians use the rank
+    ``floor((n-1)*0.5)`` rule on sorted values (the
+    :func:`~.sketch.robust_stats` definition), deviations and the
+    ``k * MAD`` comparison never touch floats, and missing days are
+    zeros (the dense-series discipline).  Scale shape: one bounded
+    day-keyed count reduce; the scan is driver arithmetic on the dense
+    series."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    def counts(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        uniq, cnt = np.unique(d, return_counts=True)
+        return pa.table({"d": pa.array(uniq),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    hist = hash_groupby(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        "d", ["cnt"], how="isum",
+    ).to_pandas().sort_values("d")
+    if len(hist) == 0:
+        raise ValueError("mad_outlier_days: no events")
+    dd = hist["d"].to_numpy(np.int64)
+    lo, hi = int(dd[0]), int(dd[-1])
+    T = hi - lo + 1
+    y = np.zeros(T, dtype=np.int64)
+    y[dd - lo] = hist["cnt"].to_numpy(np.int64)
+    med = int(np.sort(y)[(T - 1) // 2])
+    dev = np.abs(y - med)
+    mad = int(np.sort(dev)[(T - 1) // 2])
+    out = np.flatnonzero(dev > k * mad)
+    return rd.from_arrow(pa.table({
+        "day": pa.array(lo + out),
+        "cnt": pa.array(y[out]),
+        "dev": pa.array(dev[out]),
+        "med": pa.array(np.full(len(out), med, np.int64)),
+        "mad": pa.array(np.full(len(out), mad, np.int64)),
+    }))

@@ -890,3 +890,24 @@ def test_trigram_transitions_hand():
     assert len(out) == 1
     assert tuple(out.iloc[0][["t1", "t2", "t3"]]) == ("a", "b", "c")
     assert int(out["n"].iloc[0]) == 2
+
+
+def test_mad_outlier_days_robust_to_one_spike():
+    """One huge day is flagged (MAD ignores it), while mean+sigma logic
+    would be dragged; quiet days stay unflagged."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import mad_outlier_days
+
+    day0 = np.datetime64("2024-01-01T00:00:00", "us")
+    DAY = np.timedelta64(24 * 3600 * 10**6, "us")
+    y = [5, 6, 5, 7, 200, 6, 5]  # day 4 is the anomaly
+    ts = [day0 + d * DAY for d, c in enumerate(y) for _ in range(c)]
+    out = mad_outlier_days(rd.from_arrow(
+        pa.table({"ts": pa.array(ts, pa.timestamp("us"))}))).to_pandas()
+    assert len(out) == 1
+    assert int(out["cnt"].iloc[0]) == 200
+    assert int(out["med"].iloc[0]) == 6
+    assert int(out["mad"].iloc[0]) == 1
