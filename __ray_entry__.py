@@ -3254,6 +3254,23 @@ def _q_mad_outlier_days(sf_dir: str):
     return events.mad_outlier_days(events.read_events(sf_dir))
 
 
+def _q_path_entropy(sf_dir: str):
+    """Per-user event-type Shannon entropy in micro-nats (order-free
+    integer sums of once-quantized terms)
+    (stages/events.path_entropy)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.path_entropy(events.read_events(sf_dir))
+
+
+def _q_hill_tail_index(sf_dir: str):
+    """Hill estimator of the document-length tail index over the top-k
+    order statistics (stages/textops.hill_tail_index)."""
+    from cuda_gis_smoothing_ray.stages.textops import hill_tail_index
+
+    return hill_tail_index(_docs(sf_dir, ("doc_id", "n_chars")))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3428,6 +3445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_truss": _q_k_truss,
         "trigram_transitions": _q_trigram_transitions,
         "mad_outlier_days": _q_mad_outlier_days,
+        "path_entropy": _q_path_entropy,
+        "hill_tail_index": _q_hill_tail_index,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3723,6 +3742,8 @@ def oracle_sql() -> dict[str, str]:
         "k_truss": oc.k_truss_sql(),
         "trigram_transitions": oc.trigram_transitions_sql(),
         "mad_outlier_days": oc.mad_outlier_days_sql(),
+        "path_entropy": oc.path_entropy_sql(),
+        "hill_tail_index": oc.hill_tail_index_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

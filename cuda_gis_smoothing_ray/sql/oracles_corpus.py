@@ -6106,3 +6106,51 @@ SELECT devs.d AS day, devs.cnt, devs.dev, med.med, mad.mad
 FROM devs, med, mad
 WHERE devs.dev > {kk} * mad.mad
 ORDER BY day"""
+
+
+def path_entropy_sql() -> str:
+    """Oracle of stages/events.path_entropy: per-(user, type) counts,
+    the identical micro-quantized term, integer sum per user."""
+    return """WITH ct AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+    CAST(count(*) AS BIGINT) AS n_types
+  FROM ct GROUP BY user_id
+), terms AS (
+  SELECT ct.user_id,
+    CAST(floor(-(CAST(ct.c AS DOUBLE) / tot.n)
+               * ln(CAST(ct.c AS DOUBLE) / tot.n) * 1e6 + 0.5)
+         AS BIGINT) AS t
+  FROM ct JOIN tot ON tot.user_id = ct.user_id
+)
+SELECT tot.user_id, tot.n AS n_events, tot.n_types,
+  (SELECT CAST(sum(t) AS BIGINT) FROM terms
+   WHERE terms.user_id = tot.user_id) AS h_micro
+FROM tot ORDER BY tot.user_id"""
+
+
+def hill_tail_index_sql(k: int | None = None) -> str:
+    """Oracle of stages/textops.hill_tail_index: top-(k+1) lengths by
+    row_number, ordered ln-difference fold, one division."""
+    from ..stages import textops
+    from .oracles import round6
+
+    kk = textops.HILL_K if k is None else k
+    return f"""WITH ranked AS (
+  SELECT CAST(n_chars AS BIGINT) AS v,
+    row_number() OVER (ORDER BY n_chars DESC) AS rn
+  FROM documents
+), xk AS (
+  SELECT v AS x_k FROM ranked WHERE rn = {kk + 1}
+), f AS (
+  SELECT list_reduce(list(
+    ln(CAST(r.v AS DOUBLE)) - ln(CAST(xk.x_k AS DOUBLE))
+    ORDER BY r.v DESC), (a, b) -> a + b) AS s
+  FROM ranked r, xk WHERE r.rn <= {kk}
+)
+SELECT CAST({kk} AS BIGINT) AS k, xk.x_k,
+  {round6(f'f.s / {kk}')} AS hill,
+  {round6(f'1.0 / (f.s / {kk})')} AS alpha
+FROM f, xk"""

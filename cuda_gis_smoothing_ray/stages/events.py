@@ -2731,3 +2731,40 @@ def mad_outlier_days(ds, k: int = MAD_K):
         "med": pa.array(np.full(len(out), med, np.int64)),
         "mad": pa.array(np.full(len(out), mad, np.int64)),
     }))
+
+
+def path_entropy(ds):
+    """events -> (user_id, n_events, n_types, h_micro): per-user
+    BEHAVIORAL DIVERSITY — the Shannon entropy of each user's
+    event-type distribution in micro-nats, the single-number "does this
+    account do one thing or many" feature behind bot filtering and
+    engagement segmentation.
+
+    Float discipline (the :func:`~.triangles.adamic_adar` trick): each
+    type's term is quantized ONCE —
+    ``floor(-(c/n) * ln(c/n) * 1e6 + 0.5)`` int64 — so the per-user
+    entropy is a pure INTEGER sum, order-independent across engines.
+    Scale shape: the shared coarse user shuffle, per-partition
+    vectorized segmented solve (sort by (user, type), one np.add.at) —
+    never per-user Python."""
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        et = df["event_type"].to_numpy()
+        _, tcode = np.unique(et, return_inverse=True)
+        order = np.lexsort((tcode, uid))
+        uid, tcode = uid[order], tcode[order].astype(np.int64)
+        key = uid * np.int64(1 << 16) + tcode
+        uk, counts = np.unique(key, return_counts=True)
+        users = uk >> np.int64(16)
+        uu, inv = np.unique(users, return_inverse=True)
+        n_ev = np.zeros(len(uu), np.int64)
+        np.add.at(n_ev, inv, counts)
+        p = counts.astype(np.float64) / n_ev[inv].astype(np.float64)
+        terms = np.floor(-p * np.log(p) * 1e6 + 0.5).astype(np.int64)
+        h = np.zeros(len(uu), np.int64)
+        np.add.at(h, inv, terms)
+        n_ty = np.bincount(inv, minlength=len(uu)).astype(np.int64)
+        return pd.DataFrame({"user_id": uu, "n_events": n_ev,
+                             "n_types": n_ty, "h_micro": h})
+
+    return _by_user(ds, solve).sort("user_id")

@@ -4519,3 +4519,69 @@ def boolean_search(ds, must: tuple[str, ...] = BOOL_MUST,
                          "n_should": pa.array(n_should[keep])})
 
     return ds.map_batches(scan, batch_format="pyarrow").sort("doc_id")
+
+
+HILL_K = 100
+
+
+def hill_tail_index(docs_ds, k: int = HILL_K):
+    """documents -> ONE row (k, x_k, hill, alpha): the HILL ESTIMATOR of
+    the document-length tail index — ``hill = (1/k) * sum_{i<k}
+    ln(x_(i) / x_(k))`` over the k largest lengths, ``alpha = 1/hill``
+    (alpha ~ 1-2 = heavy Zipf-like tail; large alpha = thin tail).  The
+    heavy-tail diagnostic that decides whether max-length truncation
+    loses real mass; the order-statistics sibling of
+    :func:`zipf_slope`.
+
+    Scale shape: the k largest values (with multiplicity) come off the
+    bounded value histogram — one histogram shuffle, driver fold.  The
+    ln terms fold LEFT-ASSOCIATIVELY in descending-value order
+    (mirrored by the oracle's ``list_reduce(list(... ORDER BY v
+    DESC))``; ties share a value, so intra-tie order cannot matter),
+    one division, round6."""
+    import math
+
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    def counts(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(uniq),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    hist = hash_groupby(
+        docs_ds.map_batches(counts, batch_format="pyarrow"),
+        "v", ["c"], how="isum",
+    ).to_pandas().sort_values("v", ascending=False)
+    vs = hist["v"].to_numpy(np.int64)
+    cs = hist["c"].to_numpy(np.int64)
+    n = int(cs.sum())
+    if n <= k:
+        raise ValueError("hill_tail_index: need more than k documents")
+    top = np.repeat(vs, np.minimum(cs, k + 1))[:k + 1]
+    if len(top) < k + 1:
+        raise ValueError("hill_tail_index: histogram shorter than k+1")
+    xk = int(top[k])  # the (k+1)-th largest is the threshold x_(k)
+    if xk <= 0:
+        raise ValueError("hill_tail_index: non-positive threshold")
+    s = 0.0
+    first = True
+    for x in top[:k]:
+        t = math.log(float(int(x))) - math.log(float(xk))
+        if first:
+            s, first = t, False
+        else:
+            s += t
+    hill = s / k
+    if hill == 0.0:
+        raise ValueError("hill_tail_index: degenerate (all top values tied)")
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return rd.from_arrow(pa.table({
+        "k": pa.array([k], pa.int64()),
+        "x_k": pa.array([xk], pa.int64()),
+        "hill": pa.array([r6(hill)], pa.float64()),
+        "alpha": pa.array([r6(1.0 / hill)], pa.float64()),
+    }))

@@ -911,3 +911,26 @@ def test_mad_outlier_days_robust_to_one_spike():
     assert int(out["cnt"].iloc[0]) == 200
     assert int(out["med"].iloc[0]) == 6
     assert int(out["mad"].iloc[0]) == 1
+
+
+def test_path_entropy_bounds():
+    """Single-type user has 0 entropy; a uniform 4-type user has
+    ln(4) micro-nats (up to per-term quantization)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import path_entropy
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = [(1, "a")] * 5 + [(2, t) for t in "abcd" * 2]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        "ts": pa.array([t0] * len(rows), pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows]),
+    })
+    out = path_entropy(rd.from_arrow(t)).to_pandas().set_index("user_id")
+    assert int(out.loc[1, "h_micro"]) == 0
+    assert int(out.loc[1, "n_types"]) == 1
+    assert abs(int(out.loc[2, "h_micro"]) - round(np.log(4) * 1e6)) <= 4

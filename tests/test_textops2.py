@@ -795,3 +795,21 @@ def test_boolean_search_cnf():
     out = boolean_search(rd.from_arrow(docs)).to_pandas()
     assert out["doc_id"].tolist() == [1, 2]
     assert out["n_should"].tolist() == [1, 2]
+
+
+def test_hill_tail_index_pareto():
+    """On exact Pareto(alpha) order statistics x_(i) = (n/i)^(1/alpha)
+    the Hill estimator recovers alpha approximately."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import hill_tail_index
+
+    alpha, n = 2.0, 2000
+    i = np.arange(1, n + 1)
+    x = np.floor(1000.0 * (n / i) ** (1 / alpha)).astype(np.int64)
+    t = pa.table({"doc_id": pa.array(i.astype(np.int64)),
+                  "n_chars": pa.array(x)})
+    out = hill_tail_index(rd.from_arrow(t), k=100).to_pandas()
+    assert abs(float(out["alpha"].iloc[0]) - alpha) < 0.2
