@@ -3271,6 +3271,24 @@ def _q_hill_tail_index(sf_dir: str):
     return hill_tail_index(_docs(sf_dir, ("doc_id", "n_chars")))
 
 
+def _q_forecast_backtest(sf_dir: str):
+    """One-step-ahead backtest of three naive forecasters over the dense
+    hourly series — exact integer absolute errors, MASE
+    (stages/events.forecast_backtest)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.forecast_backtest(events.read_events(sf_dir))
+
+
+def _q_spatial_thin(sf_dir: str):
+    """Spatial thinning: one deterministic representative page per hex
+    cell (min page_id) with the cell count — mergeable payload argmin
+    (stages/gridops.spatial_thin)."""
+    from cuda_gis_smoothing_ray.stages.gridops import spatial_thin
+
+    return spatial_thin(_geocoded(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3447,6 +3465,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outlier_days": _q_mad_outlier_days,
         "path_entropy": _q_path_entropy,
         "hill_tail_index": _q_hill_tail_index,
+        "forecast_backtest": _q_forecast_backtest,
+        "spatial_thin": _q_spatial_thin,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3744,6 +3764,8 @@ def oracle_sql() -> dict[str, str]:
         "mad_outlier_days": oc.mad_outlier_days_sql(),
         "path_entropy": oc.path_entropy_sql(),
         "hill_tail_index": oc.hill_tail_index_sql(),
+        "forecast_backtest": oc.forecast_backtest_sql(),
+        "spatial_thin": oc.spatial_thin_sql(RES),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

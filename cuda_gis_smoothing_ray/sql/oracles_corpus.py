@@ -6154,3 +6154,64 @@ SELECT CAST({kk} AS BIGINT) AS k, xk.x_k,
   {round6(f'f.s / {kk}')} AS hill,
   {round6(f'1.0 / (f.s / {kk})')} AS alpha
 FROM f, xk"""
+
+
+def forecast_backtest_sql() -> str:
+    """Oracle of stages/events.forecast_backtest: dense hourly series,
+    LAG-based naive predictions, integer absolute-error sums."""
+    from .oracles import round6
+
+    return f"""WITH h AS (
+  SELECT epoch_us(ts) // 3600000000 AS hr, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1
+), dense AS (
+  SELECT g.hr, CAST(coalesce(h.c, 0) AS BIGINT) AS y
+  FROM (SELECT unnest(generate_series((SELECT min(hr) FROM h),
+                                      (SELECT max(hr) FROM h))) AS hr) g
+  LEFT JOIN h ON h.hr = g.hr
+), lagged AS (
+  SELECT hr, y,
+    lag(y, 1) OVER w AS l1, lag(y, 2) OVER w AS l2,
+    lag(y, 24) OVER w AS l24,
+    row_number() OVER w AS rn
+  FROM dense WINDOW w AS (ORDER BY hr)
+), scored AS (
+  SELECT * FROM lagged WHERE rn > 24
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(abs(y - (2 * l1 - l2))) AS BIGINT) AS e_drift,
+    CAST(sum(abs(y - l1)) AS BIGINT) AS e_last,
+    CAST(sum(abs(y - l24)) AS BIGINT) AS e_seas
+  FROM scored
+)
+SELECT 'drift2' AS model, n AS n_preds, e_drift AS sum_abs_err,
+  {round6('CAST(e_drift AS DOUBLE) / CAST(n AS DOUBLE)')} AS mae,
+  {round6('CAST(e_drift AS DOUBLE) / CAST(e_last AS DOUBLE)')} AS mase
+FROM agg
+UNION ALL
+SELECT 'last_value', n, e_last,
+  {round6('CAST(e_last AS DOUBLE) / CAST(n AS DOUBLE)')},
+  {round6('CAST(e_last AS DOUBLE) / CAST(e_last AS DOUBLE)')}
+FROM agg
+UNION ALL
+SELECT 'seasonal_24', n, e_seas,
+  {round6('CAST(e_seas AS DOUBLE) / CAST(n AS DOUBLE)')},
+  {round6('CAST(e_seas AS DOUBLE) / CAST(e_last AS DOUBLE)')}
+FROM agg
+ORDER BY model"""
+
+
+def spatial_thin_sql(res: int) -> str:
+    """Oracle of stages/gridops.spatial_thin: min page_id per cell with
+    its row payload via row_number, plus the per-cell count."""
+    from .oracles import geocoded_cte, pages_cte
+
+    return f"""WITH {pages_cte()}, {geocoded_cte(res)},
+ranked AS (
+  SELECT cell, page_id, lat, lon,
+    row_number() OVER (PARTITION BY cell ORDER BY page_id) AS rn,
+    CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS n_in_cell
+  FROM geocoded
+)
+SELECT cell, page_id, lat, lon, n_in_cell
+FROM ranked WHERE rn = 1 ORDER BY cell"""

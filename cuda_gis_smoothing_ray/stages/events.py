@@ -2768,3 +2768,71 @@ def path_entropy(ds):
                              "n_types": n_ty, "h_micro": h})
 
     return _by_user(ds, solve).sort("user_id")
+
+
+def forecast_backtest(ds):
+    """events -> 3 rows (model, n_preds, sum_abs_err, mae, mase): a
+    ONE-STEP-AHEAD BACKTEST of the three naive forecasters over the
+    dense hourly count series — ``last_value`` (y_hat = y_{t-1}),
+    ``seasonal_24`` (y_hat = y_{t-24}) and ``drift2`` (y_hat =
+    2*y_{t-1} - y_{t-2}) — scored where every input lag exists.  MASE
+    (error relative to last_value) is THE scale-free forecast metric;
+    this is the evaluation harness a forecasting stage (e.g.
+    :func:`holt_linear`) is judged against.
+
+    EXACT: absolute errors are integers (drift2's prediction is an
+    integer expression), summed order-free; mae / mase divide once
+    each, round6.  All three models score over the SAME prediction
+    window (t >= 24), so their counts match and MASE is comparable.
+    Scale shape: one bounded hour-keyed count reduce; the backtest is
+    driver arithmetic on the dense series."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    def counts(batch: pa.Table) -> pa.Table:
+        h = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[h]").astype(np.int64)
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(uniq),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    hist = hash_groupby(
+        ds.map_batches(counts, batch_format="pyarrow"),
+        "h", ["cnt"], how="isum",
+    ).to_pandas().sort_values("h")
+    if len(hist) == 0:
+        raise ValueError("forecast_backtest: no events")
+    hs = hist["h"].to_numpy(np.int64)
+    lo, hi = int(hs[0]), int(hs[-1])
+    T = hi - lo + 1
+    if T < 26:
+        raise ValueError("forecast_backtest: need > 25 dense hours")
+    y = np.zeros(T, dtype=np.int64)
+    y[hs - lo] = hist["cnt"].to_numpy(np.int64)
+    t = np.arange(24, T)
+    preds = {
+        "drift2": 2 * y[t - 1] - y[t - 2],
+        "last_value": y[t - 1],
+        "seasonal_24": y[t - 24],
+    }
+    base = int(np.abs(y[t] - preds["last_value"]).sum())
+    if base == 0:
+        raise ValueError("forecast_backtest: constant series")
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    rows = {"model": [], "n_preds": [], "sum_abs_err": [], "mae": [],
+            "mase": []}
+    for name in sorted(preds):
+        e = int(np.abs(y[t] - preds[name]).sum())
+        rows["model"].append(name)
+        rows["n_preds"].append(len(t))
+        rows["sum_abs_err"].append(e)
+        rows["mae"].append(r6(float(e) / float(len(t))))
+        rows["mase"].append(r6(float(e) / float(base)))
+    return rd.from_arrow(pa.table({
+        "model": pa.array(rows["model"], pa.string()),
+        "n_preds": pa.array(rows["n_preds"], pa.int64()),
+        "sum_abs_err": pa.array(rows["sum_abs_err"], pa.int64()),
+        "mae": pa.array(rows["mae"], pa.float64()),
+        "mase": pa.array(rows["mase"], pa.float64()),
+    }))

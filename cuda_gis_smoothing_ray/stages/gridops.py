@@ -1329,3 +1329,67 @@ def cheapest_path_cost(geocoded, rounds: int = COST_ROUNDS,
 
     return dist.map_batches(rename, batch_format="pyarrow",
                             batch_size=None).sort("cell")
+
+
+def spatial_thin(points_ds, n_parts: int = 64):
+    """geocoded pages -> (cell, page_id, lat, lon, n_in_cell): SPATIAL
+    THINNING — one deterministic representative page per hex cell (the
+    smallest page_id), with the cell's total count.  The standard
+    cartographic/ML decluttering step: a map (or a spatially-balanced
+    training sample) wants one point per cell, not a thousand.
+
+    Scale shape: batch-local per-cell argmin partials CARRY the
+    winner's payload (page_id, lat, lon) plus the local count; one
+    coarse cell-keyed shuffle re-runs the same vectorized argmin per
+    partition with counts summed — min-by-key with payload is
+    mergeable, so the winning row's coordinates survive verbatim and
+    nothing is re-derived or re-scanned.  Exact integers."""
+    import ray.data as rd
+
+    from ..functions import hashing
+
+    def argmin_partial(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pid = batch.column(
+            "pid" if "pid" in batch.schema.names else "page_id"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        if "n" in batch.schema.names:
+            n = batch.column("n").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        else:
+            n = np.ones(len(cell), np.int64)
+        order = np.lexsort((pid, cell))
+        cs = cell[order]
+        first = np.flatnonzero(np.diff(cs, prepend=np.int64(-1)))
+        seg = np.diff(np.append(first, len(cs)))
+        tot = np.add.reduceat(n[order], first) if len(cs) else n[:0]
+        sel = order[first]
+        return pa.table({
+            "cell": pa.array(cell[sel]),
+            "pid": pa.array(pid[sel]),
+            "lat": pa.array(lat[sel]),
+            "lon": pa.array(lon[sel]),
+            "n": pa.array(tot.astype(np.int64)),
+            "__part": pa.array(hashing.coarse_partition(
+                cell[sel], n_parts).astype(np.int64)),
+        })
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        t = pa.Table.from_pandas(
+            df.drop(columns="__part"), preserve_index=False)
+        out = argmin_partial(t)
+        return out.drop(["__part"]).to_pandas()
+
+    return (
+        points_ds.map_batches(argmin_partial, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(merge)
+        .map_batches(lambda t: pa.table({
+            "cell": t.column("cell"), "page_id": t.column("pid"),
+            "lat": t.column("lat"), "lon": t.column("lon"),
+            "n_in_cell": t.column("n")}), batch_format="pyarrow")
+        .sort("cell")
+    )

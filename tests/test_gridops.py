@@ -243,3 +243,25 @@ def test_geohash_matches_reference_algorithm():
     out = geohash_encode(ds).to_pandas().sort_values("page_id")
     for i, (la, lo) in enumerate(pts):
         assert out["geohash"].iloc[i] == ref_geohash(la, lo), (la, lo)
+
+
+def test_spatial_thin_argmin_payload():
+    """The representative is the min page_id per cell and its OWN
+    coordinates ride along; counts are per-cell totals across batches."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.gridops import spatial_thin
+
+    t = pa.table({
+        "cell": pa.array([5, 5, 5, 9], pa.int64()),
+        "page_id": pa.array([30, 10, 20, 7], pa.int64()),
+        "lat": pa.array([3.0, 1.0, 2.0, 9.0], pa.float64()),
+        "lon": pa.array([30.0, 10.0, 20.0, 90.0], pa.float64()),
+    })
+    out = spatial_thin(rd.from_arrow(t)).to_pandas().set_index("cell")
+    assert int(out.loc[5, "page_id"]) == 10
+    assert float(out.loc[5, "lat"]) == 1.0   # the winner's payload
+    assert int(out.loc[5, "n_in_cell"]) == 3
+    assert int(out.loc[9, "n_in_cell"]) == 1
