@@ -3289,6 +3289,17 @@ def _q_spatial_thin(sf_dir: str):
     return spatial_thin(_geocoded(sf_dir))
 
 
+def _q_event_doc_join(sf_dir: str):
+    """Cross-table enrichment: events' JSON props doc reference joined
+    to the documents dimension (broadcast once), per-lang rollup with
+    exact cents (stages/events.event_doc_join)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.event_doc_join(
+        events.read_events(sf_dir, columns=("event_id", "props", "value")),
+        sf_dir)
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3467,6 +3478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hill_tail_index": _q_hill_tail_index,
         "forecast_backtest": _q_forecast_backtest,
         "spatial_thin": _q_spatial_thin,
+        "event_doc_join": _q_event_doc_join,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3766,6 +3778,7 @@ def oracle_sql() -> dict[str, str]:
         "hill_tail_index": oc.hill_tail_index_sql(),
         "forecast_backtest": oc.forecast_backtest_sql(),
         "spatial_thin": oc.spatial_thin_sql(RES),
+        "event_doc_join": oc.event_doc_join_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -6215,3 +6215,20 @@ ranked AS (
 )
 SELECT cell, page_id, lat, lon, n_in_cell
 FROM ranked WHERE rn = 1 ORDER BY cell"""
+
+
+def event_doc_join_sql() -> str:
+    """Oracle of stages/events.event_doc_join: regexp k extraction,
+    inner join to documents, per-lang rollup with exact cents."""
+    return """WITH ev AS (
+  SELECT TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), j AS (
+  SELECT d.lang, ev.k, ev.cents
+  FROM ev JOIN documents d ON d.doc_id = ev.k
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_events,
+  CAST(count(DISTINCT k) AS BIGINT) AS n_docs,
+  CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM j GROUP BY lang ORDER BY lang"""

@@ -2836,3 +2836,80 @@ def forecast_backtest(ds):
         "mae": pa.array(rows["mae"], pa.float64()),
         "mase": pa.array(rows["mase"], pa.float64()),
     }))
+
+
+def event_doc_join(events_ds, sf_dir: str):
+    """events ⋈ documents -> (lang, n_events, n_docs, sum_cents): the
+    CROSS-TABLE enrichment join — each event's JSON ``props`` carries a
+    document reference ``{"k": <doc_id>}``; extract it, broadcast-join
+    the (bounded) documents dimension, and roll event counts / distinct
+    referenced docs / exact cent totals up to the document's language.
+    The "clickstream joined to content metadata" report every web
+    pipeline runs.
+
+    Scale shape: the dimension is ``ray.put`` ONCE (the
+    :func:`events_by_segment` discipline — never re-shipped per batch);
+    extraction is one vectorized regexp; partials are |langs|-bounded
+    with a per-partial distinct-doc BITSET (docs are the bounded
+    500-row table, so a (lang, doc) dedup rides as exact per-batch
+    distinct pairs).  Cents are exact ``floor(value*100 + 0.5)``
+    integers."""
+    import pyarrow.compute as pc_
+    import pyarrow.parquet as pq_
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    docs = pq_.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "lang"]).combine_chunks()
+    did = docs.column("doc_id").to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    lang = np.asarray(docs.column("lang").to_pylist(), dtype=object)
+    order = np.argsort(did, kind="stable")
+    dim_ref = ray.put((did[order], lang[order]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dids, langs = ray.get(dim_ref)
+        k = pc_.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        ks = pc_.struct_field(k, "k")
+        valid = pc_.is_valid(ks).to_numpy(zero_copy_only=False)
+        kk = np.where(valid,
+                      pc_.cast(ks, pa.int64()).fill_null(0)
+                      .to_numpy(zero_copy_only=False), -1).astype(np.int64)
+        pos = np.minimum(np.searchsorted(dids, kk),
+                         max(len(dids) - 1, 0))
+        hit = valid & (len(dids) > 0) & (dids[pos] == kk)
+        cents = np.floor(batch.column("value").to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        lg = langs[pos[hit]]
+        cc = cents[hit]
+        dd = kk[hit]
+        df = pd.DataFrame({"lang": lg, "doc": dd, "cents": cc})
+        g = df.groupby(["lang", "doc"], sort=False).agg(
+            n=("cents", "size"), s=("cents", "sum")).reset_index()
+        return pa.table({
+            "lang": pa.array(g["lang"], pa.string()),
+            "doc": pa.array(g["doc"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "s": pa.array(g["s"].to_numpy(np.int64)),
+        })
+
+    pairs = (
+        events_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "doc"])
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    ).to_pandas()
+    if pairs.empty:
+        raise ValueError("event_doc_join: no joinable events")
+    rows = {"lang": [], "n_events": [], "n_docs": [], "sum_cents": []}
+    for lg, grp in pairs.groupby("lang", sort=True):
+        rows["lang"].append(lg)
+        rows["n_events"].append(int(grp["n"].sum()))
+        rows["n_docs"].append(len(grp))
+        rows["sum_cents"].append(int(grp["s"].sum()))
+    return rd.from_arrow(pa.table({
+        "lang": pa.array(rows["lang"], pa.string()),
+        "n_events": pa.array(rows["n_events"], pa.int64()),
+        "n_docs": pa.array(rows["n_docs"], pa.int64()),
+        "sum_cents": pa.array(rows["sum_cents"], pa.int64()),
+    }))

@@ -934,3 +934,33 @@ def test_path_entropy_bounds():
     assert int(out.loc[1, "h_micro"]) == 0
     assert int(out.loc[1, "n_types"]) == 1
     assert abs(int(out.loc[2, "h_micro"]) - round(np.log(4) * 1e6)) <= 4
+
+
+def test_event_doc_join_hand(tmp_path):
+    """props k joins to the documents dim; unmatched k drops; cents are
+    exact."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import event_doc_join
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "lang": pa.array(["en", "de"]),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    ev = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "props": pa.array(['{"k": 0}', '{"k": 0}', '{"k": 1}',
+                           '{"k": 99}']),
+        "value": pa.array([1.005, 2.0, 3.5, 100.0], pa.float64()),
+    })
+    out = event_doc_join(rd.from_arrow(ev), str(tmp_path)).to_pandas() \
+        .set_index("lang")
+    assert int(out.loc["en", "n_events"]) == 2
+    assert int(out.loc["en", "n_docs"]) == 1
+    assert int(out.loc["en", "sum_cents"]) == 101 + 200
+    assert int(out.loc["de", "sum_cents"]) == 350
+    assert "99" not in out.index
