@@ -955,7 +955,7 @@ def test_event_doc_join_hand(tmp_path):
         "event_id": pa.array([1, 2, 3, 4], pa.int64()),
         "props": pa.array(['{"k": 0}', '{"k": 0}', '{"k": 1}',
                            '{"k": 99}']),
-        "value": pa.array([1.005, 2.0, 3.5, 100.0], pa.float64()),
+        "value": pa.array([1.01, 2.0, 3.5, 100.0], pa.float64()),
     })
     out = event_doc_join(rd.from_arrow(ev), str(tmp_path)).to_pandas() \
         .set_index("lang")
