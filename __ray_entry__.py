@@ -3300,6 +3300,14 @@ def _q_event_doc_join(sf_dir: str):
         sf_dir)
 
 
+def _q_transition_dwell(sf_dir: str):
+    """Time-weighted Markov transitions: exact microsecond dwell totals
+    per (from, to) pair (stages/events.transition_dwell)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.transition_dwell(events.read_events(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3479,6 +3487,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "forecast_backtest": _q_forecast_backtest,
         "spatial_thin": _q_spatial_thin,
         "event_doc_join": _q_event_doc_join,
+        "transition_dwell": _q_transition_dwell,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3779,6 +3788,7 @@ def oracle_sql() -> dict[str, str]:
         "forecast_backtest": oc.forecast_backtest_sql(),
         "spatial_thin": oc.spatial_thin_sql(RES),
         "event_doc_join": oc.event_doc_join_sql(),
+        "transition_dwell": oc.transition_dwell_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -6232,3 +6232,20 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_events,
   CAST(count(DISTINCT k) AS BIGINT) AS n_docs,
   CAST(sum(cents) AS BIGINT) AS sum_cents
 FROM j GROUP BY lang ORDER BY lang"""
+
+
+def transition_dwell_sql() -> str:
+    """Oracle of stages/events.transition_dwell: LAG pairs with integer
+    microsecond gaps, floor-division mean."""
+    return """WITH seq AS (
+  SELECT user_id, event_type AS to_type,
+    lag(event_type) OVER w AS from_type,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(gap_us) AS BIGINT) AS total_gap_us,
+  CAST(sum(gap_us) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_gap_us
+FROM seq WHERE from_type IS NOT NULL
+GROUP BY 1, 2 ORDER BY 1, 2"""

@@ -2913,3 +2913,60 @@ def event_doc_join(events_ds, sf_dir: str):
         "n_docs": pa.array(rows["n_docs"], pa.int64()),
         "sum_cents": pa.array(rows["sum_cents"], pa.int64()),
     }))
+
+
+def transition_dwell(ds):
+    """events -> (from_type, to_type, n, total_gap_us, mean_gap_us): the
+    TIME-WEIGHTED transition matrix — for every consecutive same-user
+    event pair, how long the user dwelt on ``from_type`` before moving
+    to ``to_type``.  :func:`event_transitions` says where users go;
+    this says how fast — the input to dwell-time Markov models and
+    engagement scoring.
+
+    EXACT: gaps are integer microseconds summed order-free;
+    ``mean_gap_us = total // n`` is FLOOR division (no float).  Scale
+    shape: identical to :func:`event_transitions` — pre-aggregated
+    |types|^2 partials on the shared coarse user shuffle."""
+    from ray.data.aggregate import Sum
+
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        et = df["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        new_user, _, _ = _user_segments(uid)
+        keep = np.flatnonzero(~new_user)
+        gaps = ts[keep] - ts[keep - 1]
+        types, codes = np.unique(et, return_inverse=True)
+        key = codes[keep - 1].astype(np.int64) * len(types) + codes[keep]
+        uk, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        tot = np.zeros(len(uk), np.int64)
+        np.add.at(tot, inv, gaps)
+        return pd.DataFrame({
+            "from_type": types[uk // len(types)],
+            "to_type": types[uk % len(types)],
+            "n": n,
+            "g": tot,
+        })
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = batch.column("g").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "from_type": batch.column("from_type"),
+            "to_type": batch.column("to_type"),
+            "n": pa.array(n),
+            "total_gap_us": pa.array(g),
+            "mean_gap_us": pa.array(g // n),
+        })
+
+    return (
+        _by_user(ds, solve)
+        .groupby(["from_type", "to_type"])
+        .aggregate(Sum("n", alias_name="n"), Sum("g", alias_name="g"))
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+        .sort(["from_type", "to_type"])
+    )

@@ -964,3 +964,29 @@ def test_event_doc_join_hand(tmp_path):
     assert int(out.loc["en", "sum_cents"]) == 101 + 200
     assert int(out.loc["de", "sum_cents"]) == 350
     assert "99" not in out.index
+
+
+def test_transition_dwell_hand():
+    """Gaps attach to the (from, to) pair; floor-division mean."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import transition_dwell
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    S = np.timedelta64(10**6, "us")
+    # user 1: a --3s--> b --5s--> a ; user 2: a --2s--> b
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array([t0, t0 + 3 * S, t0 + 8 * S, t0, t0 + 2 * S],
+                       pa.timestamp("us")),
+        "event_type": pa.array(["a", "b", "a", "a", "b"]),
+    })
+    out = transition_dwell(rd.from_arrow(t)).to_pandas() \
+        .set_index(["from_type", "to_type"])
+    assert int(out.loc[("a", "b"), "n"]) == 2
+    assert int(out.loc[("a", "b"), "total_gap_us"]) == 5 * 10**6
+    assert int(out.loc[("a", "b"), "mean_gap_us"]) == 2_500_000
+    assert int(out.loc[("b", "a"), "total_gap_us"]) == 5 * 10**6
