@@ -3308,6 +3308,20 @@ def _q_transition_dwell(sf_dir: str):
     return events.transition_dwell(events.read_events(sf_dir))
 
 
+def _q_diameter_sweep(sf_dir: str):
+    """Double-sweep diameter lower bound of the undirected host graph:
+    two fixed-round BFS relaxation chains
+    (stages/pagerank.diameter_sweep)."""
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages.pagerank import diameter_sweep
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return diameter_sweep(read_documents(sf_dir, columns=("doc_id",)),
+                          n_docs)
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3488,6 +3502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spatial_thin": _q_spatial_thin,
         "event_doc_join": _q_event_doc_join,
         "transition_dwell": _q_transition_dwell,
+        "diameter_sweep": _q_diameter_sweep,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3789,6 +3804,7 @@ def oracle_sql() -> dict[str, str]:
         "spatial_thin": oc.spatial_thin_sql(RES),
         "event_doc_join": oc.event_doc_join_sql(),
         "transition_dwell": oc.transition_dwell_sql(),
+        "diameter_sweep": oc.diameter_sweep_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -6249,3 +6249,65 @@ SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n,
   CAST(sum(gap_us) AS BIGINT) // CAST(count(*) AS BIGINT) AS mean_gap_us
 FROM seq WHERE from_type IS NOT NULL
 GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
+def diameter_sweep_sql(rounds: int | None = None) -> str:
+    """Oracle of stages/pagerank.diameter_sweep: two unrolled BFS
+    relaxation chains over the undirected edge set, argmax hop by
+    (dist DESC, host) between them."""
+    from ..functions import geocode
+    from ..stages import pagerank as pr
+
+    R = pr.SWEEP_ROUNDS if rounds is None else rounds
+    mult = geocode.TLD_MULT
+    mod = geocode.HOST_MOD
+    host = f"(doc_id * {mult}) % {mod}"
+    nd = "(SELECT count(*) FROM documents)"
+    dhost1 = (f"(((doc_id * {pr.EDGE_MULT} + {pr.EDGE_ADD}) % {nd})"
+              f" * {mult}) % {mod}")
+    dhost2 = (f"(((doc_id * doc_id * {pr.EDGE_MULT2} + {pr.EDGE_ADD2})"
+              f" % {nd}) * {mult}) % {mod}")
+
+    def chain(tag: str, seed_cte: str):
+        steps = []
+        prev = f"{tag}0"
+        for i in range(1, R + 1):
+            steps.append(f"""{tag}{i} AS MATERIALIZED (
+  SELECT host, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT host, dist FROM {prev}
+    UNION ALL
+    SELECT e.dst AS host, d.dist + 1 AS dist
+    FROM uedges e JOIN {prev} d ON e.src = d.host
+  ) GROUP BY host
+)""")
+            prev = f"{tag}{i}"
+        return f"{seed_cte},\n" + ",\n".join(steps), prev
+
+    c1, last1 = chain("a", """a0 AS (
+  SELECT (SELECT min(host) FROM hosts) AS host, CAST(0 AS BIGINT) AS dist
+)""")
+    c2, last2 = chain("b", f"""far AS (
+  SELECT host AS fh, dist AS ecc1 FROM {last1}
+  ORDER BY dist DESC, host LIMIT 1
+), b0 AS (
+  SELECT fh AS host, CAST(0 AS BIGINT) AS dist FROM far
+)""")
+    return f"""WITH hosts AS (
+  SELECT DISTINCT {host} AS host FROM documents
+), uedges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT {host} AS src, {dhost1} AS dst FROM documents
+    UNION ALL
+    SELECT {host} AS src, {dhost2} AS dst FROM documents
+    UNION ALL
+    SELECT {dhost1} AS src, {host} AS dst FROM documents
+    UNION ALL
+    SELECT {dhost2} AS src, {host} AS dst FROM documents
+  ) WHERE src <> dst
+),
+{c1},
+{c2}
+SELECT (SELECT min(host) FROM hosts) AS start,
+  far.ecc1, far.fh AS far_node,
+  (SELECT CAST(max(dist) AS BIGINT) FROM {last2}) AS ecc2
+FROM far"""

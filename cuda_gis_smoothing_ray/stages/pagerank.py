@@ -532,3 +532,93 @@ def graph_reciprocity(docs_ds, n_docs: int):
         "mutual": pa.array([mutual], pa.int64()),
         "reciprocity": pa.array([r6(mutual / m)], pa.float64()),
     }))
+
+
+SWEEP_ROUNDS = 8
+
+
+def diameter_sweep(docs_ds, n_docs: int, rounds: int = SWEEP_ROUNDS):
+    """documents -> ONE row (start, ecc1, far_node, ecc2): the DOUBLE-
+    SWEEP diameter lower bound of the undirected host graph — BFS from
+    the smallest host id, hop to the farthest reached node (ties ->
+    smallest id), BFS again; the second eccentricity is the classic
+    tight diameter estimate (exact on trees, near-exact on web graphs)
+    at the cost of TWO BFS instead of all-pairs.
+
+    Pure integer BSP: each sweep is ``rounds`` relaxation supersteps of
+    :func:`bfs_hops` (undirected edge set — both orientations), the
+    argmax hop is (dist DESC, host ASC) over the bounded reached table.
+    Unreached nodes never appear, so eccentricities are over the seed's
+    component (declared).  Scale shape: two fixed-round BFS chains, one
+    bounded-table argmax between them."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    edges, hosts = host_graph(docs_ds, n_docs)
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = batch.column("dst").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"src": pa.array(np.concatenate([s, d])),
+                         "dst": pa.array(np.concatenate([d, s]))})
+
+    uedges = edges.select_columns(["src", "dst"]).map_batches(
+        undirect, batch_format="pyarrow", batch_size=None).materialize()
+
+    def tag_dist(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("host"),
+                         "a": batch.column("dist"),
+                         "kind": pa.array(np.zeros(len(batch), np.int8))})
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("src"),
+                         "a": batch.column("dst"),
+                         "kind": pa.array(np.ones(len(batch), np.int8))})
+
+    def relax(df: pd.DataFrame) -> pd.DataFrame:
+        dt = df[df["kind"] == 0][["key", "a"]].rename(columns={"a": "dist"})
+        ed = df[df["kind"] == 1][["key", "a"]].rename(columns={"a": "dst"})
+        m = ed.merge(dt, on="key")
+        return pd.DataFrame({
+            "host": np.concatenate([dt["key"].to_numpy(np.int64),
+                                    m["dst"].to_numpy(np.int64)]),
+            "dist": np.concatenate([dt["dist"].to_numpy(np.int64),
+                                    m["dist"].to_numpy(np.int64) + 1]),
+        })
+
+    def bfs_from(seed_host: int):
+        dist = rd.from_arrow(pa.table({
+            "host": pa.array([seed_host], pa.int64()),
+            "dist": pa.array([0], pa.int64())})).materialize()
+        for _ in range(rounds):
+            pushed = (
+                dist.map_batches(tag_dist, batch_format="pyarrow",
+                                 batch_size=None)
+                .union(uedges.map_batches(tag_edge, batch_format="pyarrow",
+                                          batch_size=None))
+                .map_batches(_add_part, batch_format="pyarrow",
+                             batch_size=None)
+                .groupby("__part")
+                .map_groups(relax)
+            )
+            dist = hash_groupby(pushed, "host", ["dist"], how="min"
+                                ).repartition(16).materialize()
+        return dist.to_pandas()
+
+    start = int(hosts.to_pandas()["host"].min())
+    d1 = bfs_from(start)
+    d1 = d1.sort_values(["dist", "host"], ascending=[False, True])
+    far = int(d1["host"].iloc[0])
+    ecc1 = int(d1["dist"].iloc[0])
+    d2 = bfs_from(far).sort_values(["dist", "host"],
+                                   ascending=[False, True])
+    ecc2 = int(d2["dist"].iloc[0])
+    return rd.from_arrow(pa.table({
+        "start": pa.array([start], pa.int64()),
+        "ecc1": pa.array([ecc1], pa.int64()),
+        "far_node": pa.array([far], pa.int64()),
+        "ecc2": pa.array([ecc2], pa.int64()),
+    }))

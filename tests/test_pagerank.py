@@ -151,3 +151,50 @@ def test_graph_reciprocity_brute():
     assert int(out["mutual"].iloc[0]) == mutual
     assert mutual % 2 == 0
     assert 0 <= mutual <= len(edges)
+
+
+def test_diameter_sweep_vs_brute():
+    """ecc2 equals the true eccentricity of the far node (brute BFS) on
+    the derived host graph, and ecc2 >= ecc1 (sweep property)."""
+    from collections import deque
+
+    import numpy as np
+
+    from cuda_gis_smoothing_ray.functions import geocode
+    from cuda_gis_smoothing_ray.stages import pagerank as pr
+    from cuda_gis_smoothing_ray.stages.pagerank import diameter_sweep
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    sf = "/root/testdata/sf0.001"
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
+    out = diameter_sweep(read_documents(sf, columns=("doc_id",)),
+                         n_docs).to_pandas()
+    # brute undirected adjacency
+    d = np.arange(n_docs, dtype=np.int64)
+    h = geocode.host_id(d)
+    d1 = geocode.host_id((d * pr.EDGE_MULT + pr.EDGE_ADD) % n_docs)
+    d2 = geocode.host_id((d * d * pr.EDGE_MULT2 + pr.EDGE_ADD2) % n_docs)
+    adj: dict[int, set[int]] = {}
+    for s_, t_ in list(zip(h, d1)) + list(zip(h, d2)):
+        if s_ == t_:
+            continue
+        adj.setdefault(int(s_), set()).add(int(t_))
+        adj.setdefault(int(t_), set()).add(int(s_))
+
+    def bfs(src):
+        dist = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    far = int(out["far_node"].iloc[0])
+    want_ecc2 = max(bfs(far).values())
+    assert int(out["ecc2"].iloc[0]) == want_ecc2
+    assert int(out["ecc2"].iloc[0]) >= int(out["ecc1"].iloc[0])
