@@ -3322,6 +3322,15 @@ def _q_diameter_sweep(sf_dir: str):
                           n_docs)
 
 
+def _q_circular_stats(sf_dir: str):
+    """Circular statistics of jitter directions per TLD: once-quantized
+    unit vectors -> order-free integer sums, mean resultant length
+    (stages/spatialjoin.circular_stats)."""
+    from cuda_gis_smoothing_ray.stages.spatialjoin import circular_stats
+
+    return circular_stats(_geocoded(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3503,6 +3512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_doc_join": _q_event_doc_join,
         "transition_dwell": _q_transition_dwell,
         "diameter_sweep": _q_diameter_sweep,
+        "circular_stats": _q_circular_stats,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3805,6 +3815,7 @@ def oracle_sql() -> dict[str, str]:
         "event_doc_join": oc.event_doc_join_sql(),
         "transition_dwell": oc.transition_dwell_sql(),
         "diameter_sweep": oc.diameter_sweep_sql(),
+        "circular_stats": oc.circular_stats_sql(RES),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -6311,3 +6311,37 @@ SELECT (SELECT min(host) FROM hosts) AS start,
   far.ecc1, far.fh AS far_node,
   (SELECT CAST(max(dist) AS BIGINT) FROM {last2}) AS ecc2
 FROM far"""
+
+
+def circular_stats_sql(res: int) -> str:
+    """Oracle of stages/spatialjoin.circular_stats: the same
+    once-quantized unit vectors (sqrt is IEEE-exact), integer sums,
+    one sqrt tree per TLD."""
+    from ..functions import geocode
+    from .oracles import _tld_case, geocoded_cte, pages_cte, round6
+
+    m = f"(doc_id * {geocode.TLD_MULT}) % {geocode.ZIPF_MOD}"
+    return f"""WITH {pages_cte()}, {geocoded_cte(res)},
+disp AS (
+  SELECT {_tld_case(m, 0)} AS tld,
+    CAST(CAST(floor(g.lat * 1e6 + 0.5) AS BIGINT)
+      - CAST(floor(({_tld_case(m, 1)}) * 1e6 + 0.5) AS BIGINT)
+      AS DOUBLE) AS dx,
+    CAST(CAST(floor(g.lon * 1e6 + 0.5) AS BIGINT)
+      - CAST(floor(({_tld_case(m, 2)}) * 1e6 + 0.5) AS BIGINT)
+      AS DOUBLE) AS dy
+  FROM geocoded g JOIN documents d ON d.doc_id = g.page_id
+), unit AS (
+  SELECT tld,
+    CAST(floor(dx / sqrt(dx * dx + dy * dy) * 1e6 + 0.5) AS BIGINT) AS cx,
+    CAST(floor(dy / sqrt(dx * dx + dy * dy) * 1e6 + 0.5) AS BIGINT) AS cy
+  FROM disp WHERE sqrt(dx * dx + dy * dy) > 0
+), agg AS (
+  SELECT tld, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(cx) AS BIGINT) AS sum_cx, CAST(sum(cy) AS BIGINT) AS sum_cy
+  FROM unit GROUP BY tld
+)
+SELECT tld, n, sum_cx, sum_cy,
+  {round6("sqrt(CAST(sum_cx * sum_cx + sum_cy * sum_cy AS DOUBLE))"
+          " / CAST(n * 1000000 AS DOUBLE)")} AS r_len
+FROM agg ORDER BY tld"""

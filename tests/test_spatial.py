@@ -521,3 +521,30 @@ def test_jitter_rose_sector_rule():
     got = dict(zip(out["sector"].astype(int), out["n"].astype(int)))
     assert got == {0: 2, 1: 1}
     assert (out["tld"] == name).all()
+
+
+def test_circular_stats_concentration():
+    """All displacements one way -> R = 1; two opposite displacements
+    cancel -> R = 0; zero displacement rows are skipped."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.functions import geocode
+    from cuda_gis_smoothing_ray.stages.spatialjoin import circular_stats
+
+    idx = int(geocode.tld_index(np.array([0], np.int64))[0])
+    name, blat, blon = geocode.TLD_TABLE[idx]
+    ds = rd.from_arrow(pa.table({
+        "page_id": pa.array([0, 0, 0, 0, 0], pa.int64()),
+        "lat": pa.array([blat + 1, blat + 2, blat - 1, blat + 1, blat],
+                        pa.float64()),
+        "lon": pa.array([blon, blon, blon, blon + 0.0, blon],
+                        pa.float64()),
+    }))
+    out = circular_stats(ds).to_pandas()
+    # vectors: +lat, +lat, -lat, +lat (unit) -> sum = 2 units of 1e6
+    assert int(out["n"].iloc[0]) == 4      # the zero row dropped
+    assert int(out["sum_cx"].iloc[0]) == 2 * 10**6
+    assert int(out["sum_cy"].iloc[0]) == 0
+    assert abs(float(out["r_len"].iloc[0]) - 0.5) < 1e-6
