@@ -3331,6 +3331,15 @@ def _q_circular_stats(sf_dir: str):
     return circular_stats(_geocoded(sf_dir))
 
 
+def _q_active_time(sf_dir: str):
+    """Per-user active time (union of 5-minute activity windows): exact
+    integer interval union via one segmented sweep
+    (stages/events.active_time)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.active_time(events.read_events(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3513,6 +3522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transition_dwell": _q_transition_dwell,
         "diameter_sweep": _q_diameter_sweep,
         "circular_stats": _q_circular_stats,
+        "active_time": _q_active_time,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3816,6 +3826,7 @@ def oracle_sql() -> dict[str, str]:
         "transition_dwell": oc.transition_dwell_sql(),
         "diameter_sweep": oc.diameter_sweep_sql(),
         "circular_stats": oc.circular_stats_sql(RES),
+        "active_time": oc.active_time_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

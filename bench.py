@@ -146,10 +146,29 @@ def headline_queries(sf_dir: str, replicate: int):
             pages.map_batches(as_docs, batch_format="pyarrow",
                               batch_size=None))
 
+    def _proximity_search_volume():
+        # zero-shuffle positional text scan at volume: tokenize every
+        # replicated page, composite-key searchsorted window counting —
+        # the pure map-throughput datapoint (no shuffle at all)
+        from cuda_gis_smoothing_ray.sources.pages import read_pages
+        from cuda_gis_smoothing_ray.stages.textops import proximity_search
+
+        pages = read_pages(sf_dir, replicate=replicate, include_html=False,
+                           pages_per_task=500_000)
+
+        def as_docs(batch):
+            return batch.select(["page_id", "text"]).rename_columns(
+                ["doc_id", "text"])
+
+        return proximity_search(
+            pages.map_batches(as_docs, batch_format="pyarrow",
+                              batch_size=None))
+
     extras = {"latest_capture_volume": _latest_capture_volume,
               "bpe_train_volume": _bpe_train_volume,
               "passage_dedup_volume": _passage_dedup_volume,
-              "oov_rate_volume": _oov_rate_volume}
+              "oov_rate_volume": _oov_rate_volume,
+              "proximity_search_volume": _proximity_search_volume}
     return qs, extras
 
 

@@ -6345,3 +6345,32 @@ SELECT tld, n, sum_cx, sum_cy,
   {round6("sqrt(CAST(sum_cx * sum_cx + sum_cy * sum_cy AS DOUBLE))"
           " / CAST(n * 1000000 AS DOUBLE)")} AS r_len
 FROM agg ORDER BY tld"""
+
+
+def active_time_sql(window_us: int | None = None) -> str:
+    """Oracle of stages/events.active_time: gaps-and-islands span ids
+    via the LAG > window flag, span extents, exact integer union."""
+    from ..stages import events as ev
+
+    w = ev.ACTIVE_WINDOW_US if window_us is None else window_us
+    return f"""WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS t,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts) > {w}
+         OR lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_span
+  FROM events
+), spans AS (
+  SELECT user_id, t,
+    sum(new_span) OVER (PARTITION BY user_id ORDER BY t
+      ROWS UNBOUNDED PRECEDING) AS span_id
+  FROM seq
+), ext AS (
+  SELECT user_id, span_id,
+    max(t) - min(t) + {w} AS dur
+  FROM spans GROUP BY user_id, span_id
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_spans,
+  CAST(sum(dur) AS BIGINT) AS active_us
+FROM ext GROUP BY user_id ORDER BY user_id"""

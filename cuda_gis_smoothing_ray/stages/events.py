@@ -2970,3 +2970,48 @@ def transition_dwell(ds):
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
         .sort(["from_type", "to_type"])
     )
+
+
+ACTIVE_WINDOW_US = 5 * 60 * 1_000_000
+
+
+def active_time(ds, window_us: int = ACTIVE_WINDOW_US):
+    """events -> (user_id, n_spans, active_us): per-user ACTIVE TIME —
+    the measure of the UNION of [ts, ts + window) intervals, the
+    engagement-minutes metric that double-counts nothing no matter how
+    events cluster (a burst of 50 events in one minute is ~6 active
+    minutes, not 250).  The interval-union primitive behind billing
+    and engagement dashboards.
+
+    EXACT integer microseconds: within each user's sorted timestamps a
+    new span starts where ``gap > window`` (the sessionize rule);
+    covered time = sum over spans of (last - first + window).  Scale
+    shape: the shared coarse user shuffle, one vectorized segmented
+    sweep (sort + diff + boundary flags) per partition — never per-user
+    Python."""
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_user, _, _ = _user_segments(uid)
+        gap = np.empty(len(ts), np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        new_span = new_user | (gap > window_us)
+        span_id = np.cumsum(new_span) - 1
+        n_sp = int(span_id[-1]) + 1 if len(span_id) else 0
+        first = np.full(n_sp, np.iinfo(np.int64).max, np.int64)
+        last = np.full(n_sp, np.iinfo(np.int64).min, np.int64)
+        np.minimum.at(first, span_id, ts)
+        np.maximum.at(last, span_id, ts)
+        span_user = uid[np.flatnonzero(new_span)]
+        dur = last - first + window_us
+        uu, inv = np.unique(span_user, return_inverse=True)
+        n_spans = np.bincount(inv, minlength=len(uu)).astype(np.int64)
+        act = np.zeros(len(uu), np.int64)
+        np.add.at(act, inv, dur)
+        return pd.DataFrame({"user_id": uu, "n_spans": n_spans,
+                             "active_us": act})
+
+    return _by_user(ds, solve).sort("user_id")

@@ -990,3 +990,29 @@ def test_transition_dwell_hand():
     assert int(out.loc[("a", "b"), "total_gap_us"]) == 5 * 10**6
     assert int(out.loc[("a", "b"), "mean_gap_us"]) == 2_500_000
     assert int(out.loc[("b", "a"), "total_gap_us"]) == 5 * 10**6
+
+
+def test_active_time_union():
+    """Clustered events do not double count; a gap > window opens a new
+    span."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import active_time
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    M = np.timedelta64(60 * 10**6, "us")  # one minute
+    # user 1: events at 0,1,2 min (one span: 2min + 5min window)
+    #         then at 60 min (second span: 0 + 5)
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([t0, t0 + M, t0 + 2 * M, t0 + 60 * M],
+                       pa.timestamp("us")),
+        "event_type": pa.array(["a"] * 4),
+    })
+    out = active_time(rd.from_arrow(t)).to_pandas()
+    assert int(out["n_spans"].iloc[0]) == 2
+    want = (2 * 60 + 5 * 60) * 10**6 + 5 * 60 * 10**6
+    assert int(out["active_us"].iloc[0]) == want
