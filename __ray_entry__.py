@@ -3340,6 +3340,15 @@ def _q_active_time(sf_dir: str):
     return events.active_time(events.read_events(sf_dir))
 
 
+def _q_fisher_ratio(sf_dir: str):
+    """Fisher class-separability ratio of the labeled embedding table:
+    exact fixed-point class moments, ordered float folds
+    (stages/ann.fisher_ratio)."""
+    from cuda_gis_smoothing_ray.stages.ann import fisher_ratio
+
+    return fisher_ratio(sf_dir)
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3523,6 +3532,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diameter_sweep": _q_diameter_sweep,
         "circular_stats": _q_circular_stats,
         "active_time": _q_active_time,
+        "fisher_ratio": _q_fisher_ratio,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3827,6 +3837,7 @@ def oracle_sql() -> dict[str, str]:
         "diameter_sweep": oc.diameter_sweep_sql(),
         "circular_stats": oc.circular_stats_sql(RES),
         "active_time": oc.active_time_sql(),
+        "fisher_ratio": oc.fisher_ratio_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -6374,3 +6374,56 @@ def active_time_sql(window_us: int | None = None) -> str:
 SELECT user_id, CAST(count(*) AS BIGINT) AS n_spans,
   CAST(sum(dur) AS BIGINT) AS active_us
 FROM ext GROUP BY user_id ORDER BY user_id"""
+
+
+def fisher_ratio_sql(scale: int | None = None) -> str:
+    """Oracle of stages/ann.fisher_ratio: per-(label, dim) HUGEINT sums,
+    exact |s|^2 ints, per-class float terms with dim folds ORDER BY dim
+    and label folds ORDER BY label (all left-associative)."""
+    from ..stages import ann
+
+    sc = ann.FISHER_SCALE if scale is None else scale
+    return f"""WITH x AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS j,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {sc} + 0.5)
+         AS HUGEINT) AS v
+  FROM embeddings
+), sums AS (
+  SELECT label, j, CAST(sum(v) AS HUGEINT) AS s FROM x GROUP BY 1, 2
+), cls AS (
+  SELECT label, CAST(count(DISTINCT vec_id) AS HUGEINT) AS nc,
+    CAST(sum(v * v) AS HUGEINT) AS ssq
+  FROM x GROUP BY label
+), gl AS (
+  SELECT j, CAST(sum(s) AS HUGEINT) AS gs FROM sums GROUP BY j
+), gn AS (
+  SELECT CAST(sum(nc) AS HUGEINT) AS n FROM cls
+), s2 AS (
+  SELECT label, CAST(sum(s * s) AS HUGEINT) AS s2 FROM sums GROUP BY label
+), bterm AS (
+  SELECT sums.label,
+    list_reduce(list(
+      (CAST(sums.s AS DOUBLE) / CAST(cls.nc AS DOUBLE)
+       - CAST(gl.gs AS DOUBLE) / CAST(gn.n AS DOUBLE))
+      * (CAST(sums.s AS DOUBLE) / CAST(cls.nc AS DOUBLE)
+         - CAST(gl.gs AS DOUBLE) / CAST(gn.n AS DOUBLE))
+      ORDER BY sums.j), (a, b) -> a + b) AS bsum
+  FROM sums JOIN cls ON cls.label = sums.label
+  JOIN gl ON gl.j = sums.j, gn
+  GROUP BY sums.label
+), terms AS (
+  SELECT cls.label,
+    CAST(cls.ssq AS DOUBLE)
+      - CAST(s2.s2 AS DOUBLE) / CAST(cls.nc AS DOUBLE) AS w,
+    CAST(cls.nc AS DOUBLE) * bterm.bsum AS b
+  FROM cls JOIN s2 ON s2.label = cls.label
+  JOIN bterm ON bterm.label = cls.label
+), f AS (
+  SELECT list_reduce(list(w ORDER BY label), (a, b) -> a + b) AS within,
+    list_reduce(list(b ORDER BY label), (a, b) -> a + b) AS between
+  FROM terms
+)
+SELECT CAST(gn.n AS BIGINT) AS n,
+  (SELECT CAST(count(*) AS BIGINT) FROM cls) AS n_classes,
+  floor(f.between / f.within * 1000000.0 + 0.5) / 1000000.0 AS fisher
+FROM f, gn"""

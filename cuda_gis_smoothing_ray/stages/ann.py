@@ -1162,3 +1162,112 @@ def perceptron_train(sf_dir: str, iters: int = PERC_ITERS,
         "w": pa.array(w),
         "n_mis": pa.array(np.full(d, n_mis, dtype=np.int64)),
     }))
+
+
+FISHER_SCALE = 4096
+
+
+def fisher_ratio(sf_dir: str, scale: int = FISHER_SCALE):
+    """embeddings -> ONE row (n, n_classes, fisher): the FISHER
+    separability ratio of the labeled embedding table —
+    ``tr(S_between) / tr(S_within)`` over fixed-point coordinates, the
+    one-number "are these classes linearly separable at all" readout
+    that gates whether a :func:`linear probe <perceptron_train>` is
+    worth running.
+
+    EXACT integer moments per class (n_c, sum vector, sum of squared
+    norms) in one label-keyed reduce; the per-class float terms —
+    ``within_c = ssq_c - |s_c|^2 / n_c`` and ``between_c = n_c *
+    |s_c/n_c - S/N|^2`` — fold LEFT-ASSOCIATIVELY in label order
+    (mirrored by list_reduce), one division, round6.  Scale shape:
+    dim-sized partials per batch, |classes| x dim reduce, driver fold
+    on the bounded class table."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+    from .. import tune_data_context
+    tune_data_context()
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding", "label"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        xq = np.floor(_emb_matrix(batch) * float(scale) + 0.5) \
+            .astype(np.int64)
+        lab = batch.column("label").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        d = xq.shape[1]
+        keys, vals = [], []
+        for i, c in enumerate(uniq):
+            m = inv == i
+            s = xq[m].sum(axis=0)
+            ssq = int((xq[m].astype(object) ** 2).sum())
+            nc = int(m.sum())
+            # key layout: label * (d + 2) + slot; slot d = count,
+            # slot d+1 = sum of squared norms
+            keys += [int(c) * (d + 2) + j for j in range(d)]
+            vals += [int(x) for x in s]
+            keys += [int(c) * (d + 2) + d, int(c) * (d + 2) + d + 1]
+            vals += [nc, ssq]
+        return pa.table({"key": pa.array(keys, pa.int64()),
+                         "v": pa.array(vals, pa.int64())})
+
+    agg = hash_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "key", ["v"], how="isum",
+    ).to_pandas()
+    key = agg["key"].to_numpy(np.int64)
+    val = agg["v"].to_numpy(np.int64)
+    import pyarrow.parquet as pq_
+
+    emb0 = pq_.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["embedding"]).column("embedding")
+    d = len(emb0[0])
+    lab = key // (d + 2)
+    slot = key % (d + 2)
+    sums = {}
+    for c in np.unique(lab):
+        m = lab == c
+        row = np.zeros(d + 2, dtype=object)
+        row[slot[m]] = val[m]
+        sums[int(c)] = row
+    N = sum(int(sums[c][d]) for c in sums)
+    S = np.zeros(d, dtype=object)
+    for c in sums:
+        S = S + sums[c][:d]
+    within = between = 0.0
+    first = True
+    for c in sorted(sums):
+        nc = int(sums[c][d])
+        ssq = int(sums[c][d + 1])
+        s2 = sum(int(x) * int(x) for x in sums[c][:d])  # exact int
+        w = float(ssq) - float(s2) / float(nc)
+        # per-dim squared mean difference, LEFT-ASSOCIATIVE over dims
+        b_acc = 0.0
+        bfirst = True
+        for j in range(d):
+            t = (float(int(sums[c][j])) / float(nc)
+                 - float(int(S[j])) / float(N))
+            t = t * t
+            if bfirst:
+                b_acc, bfirst = t, False
+            else:
+                b_acc += t
+        b = float(nc) * b_acc
+        if first:
+            within, between, first = w, b, False
+        else:
+            within += w
+            between += b
+    if within == 0.0:
+        raise ValueError("fisher_ratio: zero within-class variance")
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return rd.from_arrow(pa.table({
+        "n": pa.array([N], pa.int64()),
+        "n_classes": pa.array([len(sums)], pa.int64()),
+        "fisher": pa.array([r6(between / within)], pa.float64()),
+    }))

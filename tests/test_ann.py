@@ -446,3 +446,36 @@ def test_perceptron_train_separable(tmp_path):
     w1 = (y[:, None] * xq).sum(axis=0)
     # step 2 finds no misclassified rows, so w stays at step-1's value
     assert (out["w"].to_numpy() == w1).all()
+
+
+def test_fisher_ratio_separated_vs_mixed(tmp_path):
+    """Well-separated classes give a much larger Fisher ratio than the
+    same clouds with shuffled labels."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages.ann import fisher_ratio
+
+    rng = np.random.default_rng(3)
+    a = rng.normal(2.0, 0.1, (30, 8)).astype(np.float32)
+    b = rng.normal(-2.0, 0.1, (30, 8)).astype(np.float32)
+    vecs = np.vstack([a, b])
+
+    def write(labels, name):
+        t = pa.table({
+            "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        })
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(t, d / "embeddings.parquet")
+        return str(d)
+
+    sep = fisher_ratio(write([0] * 30 + [1] * 30, "sep")).to_pandas()
+    mixed_labels = ([0, 1] * 30)[:60]
+    mix = fisher_ratio(write(mixed_labels, "mix")).to_pandas()
+    assert float(sep["fisher"].iloc[0]) > 100 * float(mix["fisher"].iloc[0])
+    assert int(sep["n"].iloc[0]) == 60
