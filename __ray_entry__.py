@@ -3349,6 +3349,15 @@ def _q_fisher_ratio(sf_dir: str):
     return fisher_ratio(sf_dir)
 
 
+def _q_anova_eta(sf_dir: str):
+    """One-way ANOVA (F + eta^2) of document length across languages:
+    exact integer group moments, ordered folds
+    (stages/sketch.anova_eta)."""
+    from cuda_gis_smoothing_ray.stages.sketch import anova_eta
+
+    return anova_eta(_docs(sf_dir, ("doc_id", "n_chars", "lang")))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3533,6 +3542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "circular_stats": _q_circular_stats,
         "active_time": _q_active_time,
         "fisher_ratio": _q_fisher_ratio,
+        "anova_eta": _q_anova_eta,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3838,6 +3848,7 @@ def oracle_sql() -> dict[str, str]:
         "circular_stats": oc.circular_stats_sql(RES),
         "active_time": oc.active_time_sql(),
         "fisher_ratio": oc.fisher_ratio_sql(),
+        "anova_eta": oc.anova_eta_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -6427,3 +6427,39 @@ SELECT CAST(gn.n AS BIGINT) AS n,
   (SELECT CAST(count(*) AS BIGINT) FROM cls) AS n_classes,
   floor(f.between / f.within * 1000000.0 + 0.5) / 1000000.0 AS fisher
 FROM f, gn"""
+
+
+def anova_eta_sql() -> str:
+    """Oracle of stages/sketch.anova_eta: HUGEINT group moments,
+    S_g^2/n_g terms folded ORDER BY group, shared ratio trees."""
+    from .oracles import round6
+
+    return f"""WITH m AS (
+  SELECT lang AS g, CAST(count(*) AS HUGEINT) AS n,
+    CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS s,
+    CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS ss
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(n) AS HUGEINT) AS nn, CAST(sum(s) AS HUGEINT) AS stot,
+    CAST(sum(ss) AS HUGEINT) AS ssq,
+    CAST(count(*) AS BIGINT) AS k
+  FROM m
+), f AS (
+  SELECT list_reduce(list(
+    CAST(s * s AS DOUBLE) / CAST(n AS DOUBLE) ORDER BY g),
+    (a, b) -> a + b) AS bsum
+  FROM m
+), parts AS (
+  SELECT tot.nn, tot.k,
+    f.bsum - CAST(tot.stot * tot.stot AS DOUBLE)
+      / CAST(tot.nn AS DOUBLE) AS ssb,
+    CAST(tot.ssq AS DOUBLE) - f.bsum AS ssw,
+    CAST(tot.ssq AS DOUBLE) - CAST(tot.stot * tot.stot AS DOUBLE)
+      / CAST(tot.nn AS DOUBLE) AS sst
+  FROM tot, f
+)
+SELECT CAST(nn AS BIGINT) AS n, k,
+  {round6('(ssb / CAST(k - 1 AS DOUBLE))'
+          ' / (ssw / CAST(nn - k AS DOUBLE))')} AS f_stat,
+  {round6('ssb / sst')} AS eta2
+FROM parts"""

@@ -1839,3 +1839,70 @@ def weighted_sample(ds, k: int = WSAMPLE_K):
         "n_chars": pa.array(part["n_chars"].to_numpy(np.int64)),
         "priority": pa.array(part["pri"].to_numpy(np.float64)),
     }))
+
+
+def anova_eta(ds, group_col: str = "lang", value_col: str = "n_chars"):
+    """-> ONE row (n, k, f_stat, eta2): ONE-WAY ANOVA of document
+    length across all languages — the F statistic and the eta-squared
+    effect size (share of variance explained by the grouping), the
+    parametric omnibus companion to :func:`kruskal_wallis` and the
+    k-group extension of :func:`welch_ttest` (pooled-variance form).
+
+    EXACT integer moments per group (n_g, S_g, and one global sum of
+    squares); the only floats are the per-group ``S_g^2 / n_g`` terms
+    folded LEFT-ASSOCIATIVELY in group order (list_reduce oracle) and
+    the two final ratios, round6.  Scale shape: a |groups| x 2 moment
+    reduce plus one scalar — nothing else moves."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    def moments(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        v = batch.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"g": g, "v": v, "vv": v.astype(object) * v})
+        agg = df.groupby("g", sort=True).agg(
+            n=("v", "size"), s=("v", "sum"), ss=("vv", "sum")).reset_index()
+        return pa.table({
+            "g": pa.array(agg["g"]),
+            "n": pa.array(agg["n"].to_numpy(np.int64)),
+            "s": pa.array(agg["s"].to_numpy(np.int64)),
+            "ss": pa.array([int(x) for x in agg["ss"]], pa.int64()),
+        })
+
+    mom = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby("g")
+        .sum(["n", "s", "ss"])
+    ).to_pandas().sort_values("g")
+    ncol, scol, sscol = "sum(n)", "sum(s)", "sum(ss)"
+    if len(mom) < 2:
+        raise ValueError("anova_eta: need >= 2 groups")
+    N = int(mom[ncol].sum())
+    S = int(mom[scol].sum())
+    SSq = int(mom[sscol].sum())
+    k = len(mom)
+    bsum = 0.0
+    first = True
+    for ng, sg in zip(mom[ncol].tolist(), mom[scol].tolist()):
+        t = float(int(sg) * int(sg)) / float(int(ng))
+        if first:
+            bsum, first = t, False
+        else:
+            bsum += t
+    ssb = bsum - float(S * S) / float(N)
+    ssw = float(SSq) - bsum
+    sst = float(SSq) - float(S * S) / float(N)
+    if ssw == 0.0 or sst == 0.0:
+        raise ValueError("anova_eta: degenerate variance")
+    f = (ssb / float(k - 1)) / (ssw / float(N - k))
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return rd.from_arrow(pa.table({
+        "n": pa.array([N], pa.int64()),
+        "k": pa.array([k], pa.int64()),
+        "f_stat": pa.array([r6(f)], pa.float64()),
+        "eta2": pa.array([r6(ssb / sst)], pa.float64()),
+    }))

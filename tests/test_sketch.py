@@ -667,3 +667,28 @@ def test_weighted_sample_deterministic_and_weighted():
     heavy = (a["doc_id"] < 40).sum()
     # heavy docs hold 95% of the weight; uniform would give ~4 of 40
     assert heavy >= 20
+
+
+def test_anova_eta_textbook():
+    """F and eta2 match the textbook one-way ANOVA computed directly."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import anova_eta
+
+    groups = {"a": [1, 2, 3, 4], "b": [8, 9, 10, 11], "c": [2, 3, 4, 5]}
+    langs = [g for g, vs in groups.items() for _ in vs]
+    vals = [v for vs in groups.values() for v in vs]
+    out = anova_eta(rd.from_arrow(pa.table({
+        "lang": pa.array(langs), "n_chars": pa.array(vals, pa.int64()),
+    }))).to_pandas()
+    all_v = np.array(vals, float)
+    gm = all_v.mean()
+    ssb = sum(len(v) * (np.mean(v) - gm) ** 2 for v in groups.values())
+    ssw = sum(((np.array(v, float) - np.mean(v)) ** 2).sum()
+              for v in groups.values())
+    k, n = len(groups), len(all_v)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert abs(float(out["f_stat"].iloc[0]) - f) < 1e-5
+    assert abs(float(out["eta2"].iloc[0]) - ssb / (ssb + ssw)) < 1e-6
