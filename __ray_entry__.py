@@ -3358,6 +3358,14 @@ def _q_anova_eta(sf_dir: str):
     return anova_eta(_docs(sf_dir, ("doc_id", "n_chars", "lang")))
 
 
+def _q_bounce_rate(sf_dir: str):
+    """Per-day bounce rate (share of single-event sessions under the
+    30-min gap rule) (stages/events.bounce_rate)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.bounce_rate(events.read_events(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3543,6 +3551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_time": _q_active_time,
         "fisher_ratio": _q_fisher_ratio,
         "anova_eta": _q_anova_eta,
+        "bounce_rate": _q_bounce_rate,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3849,6 +3858,7 @@ def oracle_sql() -> dict[str, str]:
         "active_time": oc.active_time_sql(),
         "fisher_ratio": oc.fisher_ratio_sql(),
         "anova_eta": oc.anova_eta_sql(),
+        "bounce_rate": oc.bounce_rate_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -6463,3 +6463,37 @@ SELECT CAST(nn AS BIGINT) AS n, k,
           ' / (ssw / CAST(nn - k AS DOUBLE))')} AS f_stat,
   {round6('ssb / sst')} AS eta2
 FROM parts"""
+
+
+def bounce_rate_sql(gap_us: int | None = None) -> str:
+    """Oracle of stages/events.bounce_rate: sessionize islands, per-
+    session size + start day, per-day rollup."""
+    from ..stages import events as ev
+
+    g = ev.SESSION_GAP_US if gap_us is None else gap_us
+    return f"""WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS t,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts) > {g}
+         OR lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id, t,
+    sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM seq
+), per AS (
+  SELECT user_id, sid, min(t) // 86400000000 AS day,
+    count(*) AS sz
+  FROM sess GROUP BY user_id, sid
+), agg AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n_sessions,
+    CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce
+  FROM per GROUP BY day
+)
+SELECT CAST(day AS BIGINT) AS day, n_sessions, n_bounce,
+  floor(CAST(n_bounce AS DOUBLE) / CAST(n_sessions AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS rate
+FROM agg ORDER BY day"""

@@ -3015,3 +3015,60 @@ def active_time(ds, window_us: int = ACTIVE_WINDOW_US):
                              "active_us": act})
 
     return _by_user(ds, solve).sort("user_id")
+
+
+def bounce_rate(ds, gap_us: int = SESSION_GAP_US):
+    """events -> (day, n_sessions, n_bounce, rate): per-day BOUNCE RATE
+    — the share of sessions (the :func:`sessionize` 30-min-gap rule)
+    containing exactly ONE event, keyed by the session's START day.
+    The classic engagement-health KPI over the sessionized stream.
+
+    EXACT: session boundaries and single-event flags are integer tests;
+    one round6 division per day.  Scale shape: the shared coarse user
+    shuffle; each partition emits a bounded (day, partial) table from
+    one segmented sweep."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        new_user, _, _ = _user_segments(uid)
+        gap = np.empty(len(ts), np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        new_sess = new_user | (gap > gap_us)
+        sess_id = np.cumsum(new_sess) - 1
+        n_sess = int(sess_id[-1]) + 1 if len(sess_id) else 0
+        size = np.bincount(sess_id, minlength=n_sess)
+        start = ts[np.flatnonzero(new_sess)]
+        day = start // 86_400_000_000
+        uniq, inv = np.unique(day, return_inverse=True)
+        tot = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        bounce = np.zeros(len(uniq), np.int64)
+        np.add.at(bounce, inv, (size == 1).astype(np.int64))
+        return pd.DataFrame({"day": uniq, "n_sessions": tot,
+                             "n_bounce": bounce})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_sessions").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b = batch.column("n_bounce").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rate = np.floor(b.astype(np.float64) / n.astype(np.float64)
+                        * 1e6 + 0.5) / 1e6
+        return pa.table({"day": batch.column("day"),
+                         "n_sessions": pa.array(n),
+                         "n_bounce": pa.array(b),
+                         "rate": pa.array(rate)})
+
+    return (
+        _by_user(ds, solve)
+        .groupby("day")
+        .aggregate(Sum("n_sessions", alias_name="n_sessions"),
+                   Sum("n_bounce", alias_name="n_bounce"))
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+        .sort("day")
+    )

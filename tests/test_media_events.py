@@ -1016,3 +1016,30 @@ def test_active_time_union():
     assert int(out["n_spans"].iloc[0]) == 2
     want = (2 * 60 + 5 * 60) * 10**6 + 5 * 60 * 10**6
     assert int(out["active_us"].iloc[0]) == want
+
+
+def test_bounce_rate_hand():
+    """Single-event sessions count as bounces, keyed by start day."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import bounce_rate
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    H = np.timedelta64(3600 * 10**6, "us")
+    # user 1: two events 1 min apart (one session, not a bounce)
+    # user 2: one event (bounce), next day another single event (bounce)
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2, 2], pa.int64()),
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([t0, t0 + np.timedelta64(60 * 10**6, "us"),
+                        t0 + H, t0 + 30 * H], pa.timestamp("us")),
+        "event_type": pa.array(["a"] * 4),
+    })
+    out = bounce_rate(rd.from_arrow(t)).to_pandas().set_index("day")
+    d0 = int(t0.astype("datetime64[D]").astype(int))
+    assert int(out.loc[d0, "n_sessions"]) == 2
+    assert int(out.loc[d0, "n_bounce"]) == 1
+    assert float(out.loc[d0, "rate"]) == 0.5
+    assert int(out.loc[d0 + 1, "n_bounce"]) == 1
