@@ -3366,6 +3366,23 @@ def _q_bounce_rate(sf_dir: str):
     return events.bounce_rate(events.read_events(sf_dir))
 
 
+def _q_doc_keywords(sf_dir: str):
+    """Per-document top-k TF-IDF keywords (rational scores — float
+    ordering is safe because both engines evaluate the identical ratio)
+    (stages/textops.doc_keywords)."""
+    from cuda_gis_smoothing_ray.stages.textops import doc_keywords
+
+    return doc_keywords(_docs(sf_dir))
+
+
+def _q_wilson_ci(sf_dir: str):
+    """Per-language corpus share with the 95% Wilson score interval
+    (stages/textops.wilson_ci)."""
+    from cuda_gis_smoothing_ray.stages.textops import wilson_ci
+
+    return wilson_ci(_docs(sf_dir, ("doc_id", "lang")))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3552,6 +3569,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fisher_ratio": _q_fisher_ratio,
         "anova_eta": _q_anova_eta,
         "bounce_rate": _q_bounce_rate,
+        "doc_keywords": _q_doc_keywords,
+        "wilson_ci": _q_wilson_ci,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3859,6 +3878,8 @@ def oracle_sql() -> dict[str, str]:
         "fisher_ratio": oc.fisher_ratio_sql(),
         "anova_eta": oc.anova_eta_sql(),
         "bounce_rate": oc.bounce_rate_sql(),
+        "doc_keywords": oc.doc_keywords_sql(),
+        "wilson_ci": oc.wilson_ci_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

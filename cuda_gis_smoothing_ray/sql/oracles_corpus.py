@@ -6497,3 +6497,44 @@ SELECT CAST(day AS BIGINT) AS day, n_sessions, n_bounce,
   floor(CAST(n_bounce AS DOUBLE) / CAST(n_sessions AS DOUBLE)
         * 1000000.0 + 0.5) / 1000000.0 AS rate
 FROM agg ORDER BY day"""
+
+
+def doc_keywords_sql(k: int | None = None) -> str:
+    """Oracle of stages/textops.doc_keywords: the tfidf chain wrapped
+    with row_number() (score DESC, token)."""
+    from ..stages import textops
+
+    kk = textops.KEYWORDS_K if k is None else k
+    base = tfidf_sql()
+    return f"""WITH base AS ({base})
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, token, score FROM (
+  SELECT doc_id, token, score,
+    row_number() OVER (PARTITION BY doc_id
+      ORDER BY score DESC, token) AS rnk
+  FROM base
+) WHERE rnk <= {kk} ORDER BY doc_id, rnk"""
+
+
+def wilson_ci_sql() -> str:
+    """Oracle of stages/textops.wilson_ci: identical float trees with
+    the shared micro-unit z constant."""
+    from ..stages import textops
+    from .oracles import round6
+
+    z = f"(CAST({textops.WILSON_Z6} AS DOUBLE) / 1e6)"
+    p = "(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))"
+    t = "CAST(total AS DOUBLE)"
+    denom = f"(1 + {z} * {z} / {t})"
+    center = f"({p} + {z} * {z} / (2 * {t}))"
+    half = (f"({z} * sqrt({p} * (1 - {p}) / {t}"
+            f" + {z} * {z} / (4 * {t} * {t})))")
+    return f"""WITH c AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang
+), t AS (
+  SELECT lang, n, (SELECT CAST(sum(n) AS BIGINT) FROM c) AS total FROM c
+)
+SELECT lang, n, total,
+  {round6(p)} AS share,
+  {round6(f'({center} - {half}) / {denom}')} AS lo,
+  {round6(f'({center} + {half}) / {denom}')} AS hi
+FROM t ORDER BY lang"""

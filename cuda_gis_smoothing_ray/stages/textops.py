@@ -4585,3 +4585,105 @@ def hill_tail_index(docs_ds, k: int = HILL_K):
         "hill": pa.array([r6(hill)], pa.float64()),
         "alpha": pa.array([r6(1.0 / hill)], pa.float64()),
     }))
+
+
+KEYWORDS_K = 3
+
+
+def doc_keywords(ds, k: int = KEYWORDS_K):
+    """documents -> (doc_id, rnk, token, score): per-document KEYWORD
+    EXTRACTION — the top ``k`` tokens by the rational TF-IDF of
+    :func:`tfidf`, ties broken on the token.  The summarization/tagging
+    primitive ("what is this page about") next to the corpus-level
+    :func:`top_bigrams`.
+
+    Ordering floats across engines is safe HERE because the score is a
+    ratio of exact ints evaluated identically on both sides (the tfidf
+    gate hash-proves it) — unlike ln-derived keys (see
+    ``weighted_sample``).  Scale shape: the tfidf plan, then one coarse
+    doc-keyed shuffle with a vectorized grouped head-k per partition
+    (pandas groupby.head — no per-doc Python)."""
+    from ..functions import hashing
+
+    scored = tfidf(ds)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "__part", pa.array(hashing.coarse_partition(d, 64)
+                               .astype(np.int64)))
+
+    def headk(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.sort_values(["doc_id", "score", "token"],
+                           ascending=[True, False, True], kind="mergesort")
+        top = d.groupby("doc_id", sort=False).head(k).copy()
+        top["rnk"] = top.groupby("doc_id", sort=False).cumcount() + 1
+        return top[["doc_id", "rnk", "token", "score"]]
+
+    return (
+        scored.map_batches(add_part, batch_format="pyarrow",
+                           batch_size=None)
+        .groupby("__part")
+        .map_groups(headk)
+        .sort(["doc_id", "rnk"])
+    )
+
+
+WILSON_Z6 = 1_959_964  # z_{0.975} = 1.959964 quantized to micro-units
+
+
+def wilson_ci(docs_ds):
+    """documents -> (lang, n, total, share, lo, hi): each language's
+    corpus share with its 95% WILSON score interval — the ratio-metric
+    CI that behaves at share ~ 0/1 where the normal interval collapses;
+    what a curation dashboard should print next to every proportion.
+
+    EXACT counts; z is the micro-unit constant ``WILSON_Z6 / 1e6``
+    shared with the oracle, and lo/hi are one float tree each
+    (sqrt is IEEE-exact), round6.  Scale shape: one bounded lang
+    reduce."""
+    import math
+
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    def counts(batch: pa.Table) -> pa.Table:
+        g = batch.column("lang").to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(g, return_counts=True)
+        return pa.table({"lang": pa.array(uniq),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    agg = (
+        docs_ds.map_batches(counts, batch_format="pyarrow")
+        .groupby("lang")
+        .sum("n")
+    ).to_pandas().sort_values("lang")
+    col = "sum(n)"
+    total = int(agg[col].sum())
+    if total == 0:
+        raise ValueError("wilson_ci: no documents")
+    z = float(WILSON_Z6) / 1e6
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    rows = {"lang": [], "n": [], "share": [], "lo": [], "hi": []}
+    for lang, n in zip(agg["lang"], agg[col]):
+        n = int(n)
+        p = float(n) / float(total)
+        denom = 1.0 + z * z / float(total)
+        center = p + z * z / (2.0 * float(total))
+        half = z * math.sqrt(p * (1.0 - p) / float(total)
+                             + z * z / (4.0 * float(total) * float(total)))
+        rows["lang"].append(lang)
+        rows["n"].append(n)
+        rows["share"].append(r6(p))
+        rows["lo"].append(r6((center - half) / denom))
+        rows["hi"].append(r6((center + half) / denom))
+    return rd.from_arrow(pa.table({
+        "lang": pa.array(rows["lang"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "total": pa.array([total] * len(rows["n"]), pa.int64()),
+        "share": pa.array(rows["share"], pa.float64()),
+        "lo": pa.array(rows["lo"], pa.float64()),
+        "hi": pa.array(rows["hi"], pa.float64()),
+    }))

@@ -813,3 +813,45 @@ def test_hill_tail_index_pareto():
                   "n_chars": pa.array(x)})
     out = hill_tail_index(rd.from_arrow(t), k=100).to_pandas()
     assert abs(float(out["alpha"].iloc[0]) - alpha) < 0.2
+
+
+def test_doc_keywords_rank_and_ties():
+    """Rarer tokens outrank common ones; ties break on the token."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import doc_keywords
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "common rare common zz",   # rare & zz df=1; common df=3
+            "common other",
+            "common other zz2",
+        ]),
+    })
+    out = doc_keywords(rd.from_arrow(docs), k=2).to_pandas()
+    d1 = out[out["doc_id"] == 1]
+    # df=1 tokens score tf*(N+1)/2 = 2; 'common' tf=2 scores 2*4/4 = 2 too
+    # -> three-way tie at 2.0, token order: common < rare < zz
+    assert d1["token"].tolist() == ["common", "rare"]
+    assert d1["rnk"].tolist() == [1, 2]
+
+
+def test_wilson_ci_brackets_share():
+    """lo <= share <= hi, interval shrinks with more data."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import wilson_ci
+
+    small = pa.table({"doc_id": pa.array(list(range(10)), pa.int64()),
+                      "lang": pa.array(["en"] * 5 + ["de"] * 5)})
+    big = pa.table({"doc_id": pa.array(list(range(1000)), pa.int64()),
+                    "lang": pa.array((["en"] * 5 + ["de"] * 5) * 100)})
+    s = wilson_ci(rd.from_arrow(small)).to_pandas().set_index("lang")
+    b = wilson_ci(rd.from_arrow(big)).to_pandas().set_index("lang")
+    for df in (s, b):
+        assert ((df["lo"] <= df["share"]) & (df["share"] <= df["hi"])).all()
+    assert (b.loc["en", "hi"] - b.loc["en", "lo"]) < \
+        (s.loc["en", "hi"] - s.loc["en", "lo"])
