@@ -3383,6 +3383,14 @@ def _q_wilson_ci(sf_dir: str):
     return wilson_ci(_docs(sf_dir, ("doc_id", "lang")))
 
 
+def _q_returning_users(sf_dir: str):
+    """Day-over-day retention: DAU and the share active on the previous
+    calendar day (stages/events.returning_users)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.returning_users(events.read_events(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3571,6 +3579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounce_rate": _q_bounce_rate,
         "doc_keywords": _q_doc_keywords,
         "wilson_ci": _q_wilson_ci,
+        "returning_users": _q_returning_users,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3880,6 +3889,7 @@ def oracle_sql() -> dict[str, str]:
         "bounce_rate": oc.bounce_rate_sql(),
         "doc_keywords": oc.doc_keywords_sql(),
         "wilson_ci": oc.wilson_ci_sql(),
+        "returning_users": oc.returning_users_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

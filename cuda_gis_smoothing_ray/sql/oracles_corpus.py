@@ -6538,3 +6538,24 @@ SELECT lang, n, total,
   {round6(f'({center} - {half}) / {denom}')} AS lo,
   {round6(f'({center} + {half}) / {denom}')} AS hi
 FROM t ORDER BY lang"""
+
+
+def returning_users_sql() -> str:
+    """Oracle of stages/events.returning_users: (user, day) dedup, a
+    LAG over each user's day list, day-difference test."""
+    return """WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+), flg AS (
+  SELECT day,
+    CASE WHEN day - lag(day) OVER (PARTITION BY user_id ORDER BY day) = 1
+         THEN 1 ELSE 0 END AS ret
+  FROM ud
+), agg AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau,
+    CAST(sum(ret) AS BIGINT) AS ret_users
+  FROM flg GROUP BY day
+)
+SELECT CAST(day AS BIGINT) AS day, dau, ret_users,
+  floor(CAST(ret_users AS DOUBLE) / CAST(dau AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS rate
+FROM agg ORDER BY day"""

@@ -3072,3 +3072,55 @@ def bounce_rate(ds, gap_us: int = SESSION_GAP_US):
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
         .sort("day")
     )
+
+
+def returning_users(ds):
+    """events -> (day, dau, ret_users, rate): per-day ACTIVE USERS and
+    the share who were ALSO active the previous calendar day — the
+    day-over-day retention KPI (stickiness) next to
+    :func:`cohort_retention`'s cohort matrix.
+
+    EXACT: activity is a (user, day) dedup; "ret_users" is the integer
+    test ``day - prev_active_day == 1`` inside each user's sorted day
+    list.  Scale shape: the shared coarse user shuffle; each partition
+    emits bounded (day, dau_partial, returning_partial) rows from one
+    segmented diff — never the (user, day) stream."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        day = df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        key = uid * np.int64(1 << 20) + day  # days since epoch < 2^20
+        uk = np.unique(key)
+        u = uk >> np.int64(20)
+        d = uk & np.int64((1 << 20) - 1)
+        new_user = np.empty(len(u), bool)
+        new_user[0] = True
+        new_user[1:] = u[1:] != u[:-1]
+        ret = np.zeros(len(u), np.int64)
+        ret[1:] = ((~new_user[1:]) & (d[1:] - d[:-1] == 1)).astype(np.int64)
+        uniq, inv = np.unique(d, return_inverse=True)
+        dau = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        rr = np.zeros(len(uniq), np.int64)
+        np.add.at(rr, inv, ret)
+        return pd.DataFrame({"day": uniq, "dau": dau, "ret_users": rr})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch.column("dau").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        r = batch.column("ret_users").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rate = np.floor(r.astype(np.float64) / n.astype(np.float64)
+                        * 1e6 + 0.5) / 1e6
+        return pa.table({"day": batch.column("day"), "dau": pa.array(n),
+                         "ret_users": pa.array(r), "rate": pa.array(rate)})
+
+    return (
+        _by_user(ds, solve)
+        .groupby("day")
+        .aggregate(Sum("dau", alias_name="dau"),
+                   Sum("ret_users", alias_name="ret_users"))
+        .map_batches(finish, batch_format="pyarrow", batch_size=None)
+        .sort("day")
+    )

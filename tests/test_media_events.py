@@ -1043,3 +1043,32 @@ def test_bounce_rate_hand():
     assert int(out.loc[d0, "n_bounce"]) == 1
     assert float(out.loc[d0, "rate"]) == 0.5
     assert int(out.loc[d0 + 1, "n_bounce"]) == 1
+
+
+def test_returning_users_hand():
+    """A user active two consecutive days counts as returning on day 2;
+    a gap day breaks the streak."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import returning_users
+
+    t0 = np.datetime64("2024-01-01T10:00:00", "us")
+    DAY = np.timedelta64(24 * 3600 * 10**6, "us")
+    # user 1: days 0, 1, 3 ; user 2: day 1 only
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([t0, t0 + DAY, t0 + 3 * DAY, t0 + DAY],
+                       pa.timestamp("us")),
+        "event_type": pa.array(["a"] * 4),
+    })
+    out = returning_users(rd.from_arrow(t)).to_pandas().set_index("day")
+    d0 = int(t0.astype("datetime64[D]").astype(int))
+    assert int(out.loc[d0, "dau"]) == 1
+    assert int(out.loc[d0, "ret_users"]) == 0
+    assert int(out.loc[d0 + 1, "dau"]) == 2
+    assert int(out.loc[d0 + 1, "ret_users"]) == 1
+    assert float(out.loc[d0 + 1, "rate"]) == 0.5
+    assert int(out.loc[d0 + 3, "ret_users"]) == 0
