@@ -3391,6 +3391,14 @@ def _q_returning_users(sf_dir: str):
     return events.returning_users(events.read_events(sf_dir))
 
 
+def _q_cell_lang_shift(sf_dir: str):
+    """Spatial drift: cells whose majority language flips between the
+    even/odd snapshot halves (stages/hotspot.cell_lang_shift)."""
+    from cuda_gis_smoothing_ray.stages.hotspot import cell_lang_shift
+
+    return cell_lang_shift(_geocoded(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3580,6 +3588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": _q_doc_keywords,
         "wilson_ci": _q_wilson_ci,
         "returning_users": _q_returning_users,
+        "cell_lang_shift": _q_cell_lang_shift,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3890,6 +3899,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_keywords": oc.doc_keywords_sql(),
         "wilson_ci": oc.wilson_ci_sql(),
         "returning_users": oc.returning_users_sql(),
+        "cell_lang_shift": oc.cell_lang_shift_sql(RES),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

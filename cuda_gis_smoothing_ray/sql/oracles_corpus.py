@@ -6559,3 +6559,26 @@ SELECT CAST(day AS BIGINT) AS day, dau, ret_users,
   floor(CAST(ret_users AS DOUBLE) / CAST(dau AS DOUBLE)
         * 1000000.0 + 0.5) / 1000000.0 AS rate
 FROM agg ORDER BY day"""
+
+
+def cell_lang_shift_sql(res: int) -> str:
+    """Oracle of stages/hotspot.cell_lang_shift: per-(cell, half, lang)
+    counts, row_number majority with (cnt DESC, lang) ties, flip join."""
+    from .oracles import geocoded_cte, pages_cte
+
+    return f"""WITH {pages_cte()}, {geocoded_cte(res)},
+ct AS (
+  SELECT cell, page_id % 2 AS half, lang, CAST(count(*) AS BIGINT) AS c
+  FROM geocoded GROUP BY 1, 2, 3
+), top AS (
+  SELECT cell, half, lang, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY cell, half
+      ORDER BY c DESC, lang) AS rn
+    FROM ct
+  ) WHERE rn = 1
+)
+SELECT a.cell, a.lang AS lang_a, b.lang AS lang_b,
+  a.c AS n_a, b.c AS n_b
+FROM top a JOIN top b ON b.cell = a.cell AND a.half = 0 AND b.half = 1
+WHERE a.lang <> b.lang
+ORDER BY a.cell"""

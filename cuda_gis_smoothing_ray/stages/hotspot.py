@@ -1375,3 +1375,59 @@ def mst_cells(points_ds, rounds: int = MST_ROUNDS, jumps: int = MST_JUMPS):
         "w": pa.array(nodes[allp[:, 1]]),
         "wt": pa.array(allp[:, 2]),
     }))
+
+
+def cell_lang_shift(points_ds):
+    """geocoded pages -> (cell, lang_a, lang_b, n_a, n_b): SPATIAL
+    DRIFT detection — hex cells whose MAJORITY language differs between
+    the even-doc_id and odd-doc_id snapshot halves (the
+    :func:`~.textops.unigram_drift` split applied to the map): where on
+    the grid did the corpus change?  Only flipped cells with both
+    halves non-empty are reported.
+
+    EXACT: majority = (lang, count) argmax with ties to the LEXICALLY
+    SMALLEST language (declared, mirrored by the oracle's ORDER BY cnt
+    DESC, lang); counts are integers.  Scale shape: one bounded
+    (cell, half, lang) reduce, vectorized argmax per (cell, half),
+    driver compare on the bounded cell table."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pid = batch.column("page_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        half = (pid % 2).astype(np.int64)
+        df = pd.DataFrame({"cell": cell, "half": half, "lang": lang})
+        g = df.groupby(["cell", "half", "lang"], sort=False).size() \
+            .reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        points_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["cell", "half", "lang"])
+        .aggregate(Sum("c", alias_name="c"))
+    ).to_pandas()
+    if agg.empty:
+        raise ValueError("cell_lang_shift: no pages")
+    agg = agg.sort_values(["cell", "half", "c", "lang"],
+                          ascending=[True, True, False, True],
+                          kind="mergesort")
+    top = agg.groupby(["cell", "half"], sort=True).head(1)
+    a = top[top["half"] == 0].set_index("cell")
+    b = top[top["half"] == 1].set_index("cell")
+    common = a.index.intersection(b.index)
+    la = a.loc[common, "lang"]
+    lb = b.loc[common, "lang"]
+    flip = la.to_numpy() != lb.to_numpy()
+    cells = np.asarray(common, np.int64)[flip]
+    return rd.from_arrow(pa.table({
+        "cell": pa.array(cells),
+        "lang_a": pa.array(la.to_numpy()[flip], pa.string()),
+        "lang_b": pa.array(lb.to_numpy()[flip], pa.string()),
+        "n_a": pa.array(a.loc[common, "c"].to_numpy(np.int64)[flip]),
+        "n_b": pa.array(b.loc[common, "c"].to_numpy(np.int64)[flip]),
+    })).sort("cell")

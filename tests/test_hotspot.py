@@ -427,3 +427,32 @@ def test_mst_cells_matches_kruskal():
                   out["wt"].astype(int)))
     assert got == want
     assert len(got) > 50  # non-vacuous forest
+
+
+def test_cell_lang_shift_flip_and_tie():
+    """A flipped majority is reported; identical majorities are not;
+    ties break to the lexically smallest language on both halves."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.hotspot import cell_lang_shift
+
+    # cell 5: even half en-majority, odd half de-majority -> flip
+    # cell 9: both halves en -> no row
+    # cell 7: odd half ties en/de -> majority 'de' (lex) -> flip vs en
+    rows = [
+        (5, 0, "en"), (5, 2, "en"), (5, 4, "de"),
+        (5, 1, "de"), (5, 3, "de"), (5, 5, "en"),
+        (9, 0, "en"), (9, 1, "en"),
+        (7, 0, "en"), (7, 1, "en"), (7, 3, "de"),
+    ]
+    t = pa.table({
+        "cell": pa.array([r[0] for r in rows], pa.int64()),
+        "page_id": pa.array([r[1] for r in rows], pa.int64()),
+        "lang": pa.array([r[2] for r in rows]),
+    })
+    out = cell_lang_shift(rd.from_arrow(t)).to_pandas().set_index("cell")
+    assert list(out.index) == [5, 7]
+    assert out.loc[5, "lang_a"] == "en" and out.loc[5, "lang_b"] == "de"
+    assert out.loc[7, "lang_a"] == "en" and out.loc[7, "lang_b"] == "de"
