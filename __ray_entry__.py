@@ -3399,6 +3399,14 @@ def _q_cell_lang_shift(sf_dir: str):
     return cell_lang_shift(_geocoded(sf_dir))
 
 
+def _q_decayed_counts(sf_dir: str):
+    """Time-decayed event counts (power-of-two integer half-life decay,
+    no float pow) (stages/events.decayed_counts)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.decayed_counts(events.read_events(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3589,6 +3597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wilson_ci": _q_wilson_ci,
         "returning_users": _q_returning_users,
         "cell_lang_shift": _q_cell_lang_shift,
+        "decayed_counts": _q_decayed_counts,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3900,6 +3909,7 @@ def oracle_sql() -> dict[str, str]:
         "wilson_ci": oc.wilson_ci_sql(),
         "returning_users": oc.returning_users_sql(),
         "cell_lang_shift": oc.cell_lang_shift_sql(RES),
+        "decayed_counts": oc.decayed_counts_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -6582,3 +6582,23 @@ SELECT a.cell, a.lang AS lang_a, b.lang AS lang_b,
 FROM top a JOIN top b ON b.cell = a.cell AND a.half = 0 AND b.half = 1
 WHERE a.lang <> b.lang
 ORDER BY a.cell"""
+
+
+def decayed_counts_sql(half_life_h: int | None = None) -> str:
+    """Oracle of stages/events.decayed_counts: identical integer
+    right-shift decay against the max timestamp."""
+    from ..stages import events as ev
+
+    h = ev.DECAY_HALF_LIFE_H if half_life_h is None else half_life_h
+    return f"""WITH mx AS (
+  SELECT max(epoch_us(ts)) AS m FROM events
+), w AS (
+  SELECT event_type,
+    CAST({ev.DECAY_UNIT} AS BIGINT)
+      >> CAST(least((mx.m - epoch_us(ts)) // {h * 3_600_000_000}, 40)
+              AS INT) AS wt
+  FROM events, mx
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(wt) AS BIGINT) AS decayed_micro
+FROM w GROUP BY event_type ORDER BY event_type"""

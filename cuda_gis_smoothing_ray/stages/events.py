@@ -3124,3 +3124,66 @@ def returning_users(ds):
         .map_batches(finish, batch_format="pyarrow", batch_size=None)
         .sort("day")
     )
+
+
+DECAY_HALF_LIFE_H = 12
+DECAY_UNIT = 1_000_000
+
+
+def decayed_counts(ds, half_life_h: int = DECAY_HALF_LIFE_H):
+    """events -> (event_type, n, decayed_micro): TIME-DECAYED counts —
+    each event contributes ``10^6 >> min(age // half_life, 40)``
+    micro-units of weight relative to the stream's LAST timestamp, the
+    streaming-freshness score behind trending-topics dashboards (an
+    event one half-life old counts half).
+
+    EXACT: the decay is a pure integer RIGHT SHIFT on the bucketed age
+    (power-of-two halving — floats and pow() never appear, so there is
+    no cross-engine exp/ln hazard; cf. the ``weighted_sample`` ulp
+    note), summed order-free.  Two streaming scans: one bounded max-ts
+    reduce, one weighted count reduce (the :func:`~.textops.oov_rate`
+    two-pass cost class)."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    def ts_max(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "m": pa.array([int(t.max()) if len(t) else
+                                        -(1 << 62)], pa.int64())})
+
+    mx = hash_groupby(
+        ds.map_batches(ts_max, batch_format="pyarrow"),
+        "k", ["m"], how="max",
+    ).to_pandas()
+    t_max = int(mx["m"].iloc[0])
+    hl_us = half_life_h * 3_600_000_000
+
+    def weights(batch: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        t = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        bucket = np.minimum((t_max - t) // hl_us, 40).astype(np.int64)
+        w = np.right_shift(np.int64(DECAY_UNIT), bucket)
+        df = pd_.DataFrame({"event_type": et, "w": w})
+        g = df.groupby("event_type", sort=False).agg(
+            n=("w", "size"), s=("w", "sum")).reset_index()
+        return pa.table({
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "s": pa.array(g["s"].to_numpy(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(weights, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("s", alias_name="decayed_micro"))
+        .sort("event_type")
+    )

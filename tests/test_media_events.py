@@ -1072,3 +1072,24 @@ def test_returning_users_hand():
     assert int(out.loc[d0 + 1, "ret_users"]) == 1
     assert float(out.loc[d0 + 1, "rate"]) == 0.5
     assert int(out.loc[d0 + 3, "ret_users"]) == 0
+
+
+def test_decayed_counts_half_life():
+    """An event one half-life old weighs exactly half; very old events
+    saturate at the 40-shift floor."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import decayed_counts
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    H12 = np.timedelta64(12 * 3600 * 10**6, "us")
+    t = pa.table({
+        "event_type": pa.array(["a", "a", "a"]),
+        "ts": pa.array([t0 + 2 * H12, t0 + H12, t0], pa.timestamp("us")),
+    })
+    out = decayed_counts(rd.from_arrow(t)).to_pandas()
+    # newest: 1e6, one half-life: 5e5, two: 2.5e5
+    assert int(out["decayed_micro"].iloc[0]) == 10**6 + 500_000 + 250_000
+    assert int(out["n"].iloc[0]) == 3
