@@ -3407,6 +3407,15 @@ def _q_decayed_counts(sf_dir: str):
     return events.decayed_counts(events.read_events(sf_dir))
 
 
+def _q_dup_rate_by_source(sf_dir: str):
+    """Per-source duplication health: share of docs sharing exact text
+    with any document corpus-wide
+    (stages/textops.dup_rate_by_source)."""
+    from cuda_gis_smoothing_ray.stages.textops import dup_rate_by_source
+
+    return dup_rate_by_source(_docs(sf_dir, ("doc_id", "text", "source")))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3598,6 +3607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returning_users": _q_returning_users,
         "cell_lang_shift": _q_cell_lang_shift,
         "decayed_counts": _q_decayed_counts,
+        "dup_rate_by_source": _q_dup_rate_by_source,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3910,6 +3920,7 @@ def oracle_sql() -> dict[str, str]:
         "returning_users": oc.returning_users_sql(),
         "cell_lang_shift": oc.cell_lang_shift_sql(RES),
         "decayed_counts": oc.decayed_counts_sql(),
+        "dup_rate_by_source": oc.dup_rate_by_source_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -6602,3 +6602,23 @@ def decayed_counts_sql(half_life_h: int | None = None) -> str:
 SELECT event_type, CAST(count(*) AS BIGINT) AS n,
   CAST(sum(wt) AS BIGINT) AS decayed_micro
 FROM w GROUP BY event_type ORDER BY event_type"""
+
+
+def dup_rate_by_source_sql() -> str:
+    """Oracle of stages/textops.dup_rate_by_source: window count over
+    the text itself, per-source rollup."""
+    from .oracles import round6
+
+    return f"""WITH flagged AS (
+  SELECT source,
+    CASE WHEN count(*) OVER (PARTITION BY text) > 1 THEN 1 ELSE 0 END
+      AS is_dup
+  FROM documents
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(is_dup) AS BIGINT) AS n_dup
+  FROM flagged GROUP BY source
+)
+SELECT source, n_docs, n_dup,
+  {round6('CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE)')} AS dup_rate
+FROM agg ORDER BY source"""

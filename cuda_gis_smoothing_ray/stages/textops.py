@@ -4687,3 +4687,57 @@ def wilson_ci(docs_ds):
         "lo": pa.array(rows["lo"], pa.float64()),
         "hi": pa.array(rows["hi"], pa.float64()),
     }))
+
+
+def dup_rate_by_source(docs_ds):
+    """documents -> (source, n_docs, n_dup, dup_rate): per-source
+    DUPLICATION HEALTH — how many of each source's documents share
+    their exact text with ANY document corpus-wide (cross-source
+    included), the per-feed report that localizes where duplication
+    enters a crawl (exact_dedup says how much; this says from where).
+
+    EXACT: grouping is by 64-bit content hash in the engine and by the
+    text itself in the oracle (identical partitions barring a 2^-64
+    collision — the :func:`exact_dedup` discipline); one round6
+    division per source.  Scale shape: batch-local (hash, source)
+    counts, one bounded two-key reduce, driver rollup over the bounded
+    group table (at open-web volume the global-count flag joins back by
+    hash co-partition instead)."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import text_hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = text_hash64(batch.column("text").to_pylist()).view(np.int64)
+        df = pd.DataFrame({
+            "h": h, "source": batch.column("source").to_pylist()})
+        g = df.groupby(["h", "source"], sort=False).size() \
+            .reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    pairs = (
+        docs_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["h", "source"])
+        .aggregate(Sum("c", alias_name="c"))
+    ).to_pandas()
+    if pairs.empty:
+        raise ValueError("dup_rate_by_source: no documents")
+    glob = pairs.groupby("h")["c"].sum()
+    dup_h = set(glob[glob > 1].index.tolist())
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    rows = {"source": [], "n_docs": [], "n_dup": [], "dup_rate": []}
+    for src, grp in pairs.groupby("source", sort=True):
+        n = int(grp["c"].sum())
+        d = int(grp.loc[grp["h"].isin(dup_h), "c"].sum())
+        rows["source"].append(src)
+        rows["n_docs"].append(n)
+        rows["n_dup"].append(d)
+        rows["dup_rate"].append(r6(float(d) / float(n)))
+    return rd.from_arrow(pa.table({
+        "source": pa.array(rows["source"], pa.string()),
+        "n_docs": pa.array(rows["n_docs"], pa.int64()),
+        "n_dup": pa.array(rows["n_dup"], pa.int64()),
+        "dup_rate": pa.array(rows["dup_rate"], pa.float64()),
+    }))

@@ -855,3 +855,22 @@ def test_wilson_ci_brackets_share():
         assert ((df["lo"] <= df["share"]) & (df["share"] <= df["hi"])).all()
     assert (b.loc["en", "hi"] - b.loc["en", "lo"]) < \
         (s.loc["en", "hi"] - s.loc["en", "lo"])
+
+
+def test_dup_rate_by_source_cross_source():
+    """A duplicate pair SPLIT ACROSS sources flags both sides."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import dup_rate_by_source
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["same", "same", "unique a", "unique b"]),
+        "source": pa.array(["s1", "s2", "s1", "s2"]),
+    })
+    out = dup_rate_by_source(rd.from_arrow(t)).to_pandas() \
+        .set_index("source")
+    assert int(out.loc["s1", "n_dup"]) == 1
+    assert int(out.loc["s2", "n_dup"]) == 1
+    assert float(out.loc["s1", "dup_rate"]) == 0.5
