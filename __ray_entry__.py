@@ -3416,6 +3416,14 @@ def _q_dup_rate_by_source(sf_dir: str):
     return dup_rate_by_source(_docs(sf_dir, ("doc_id", "text", "source")))
 
 
+def _q_spend_gini(sf_dir: str):
+    """Gini coefficient of per-user total spend: tie-invariant closed
+    form off the totals histogram (stages/events.spend_gini)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.spend_gini(events.read_events(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3608,6 +3616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_lang_shift": _q_cell_lang_shift,
         "decayed_counts": _q_decayed_counts,
         "dup_rate_by_source": _q_dup_rate_by_source,
+        "spend_gini": _q_spend_gini,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3921,6 +3930,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_lang_shift": oc.cell_lang_shift_sql(RES),
         "decayed_counts": oc.decayed_counts_sql(),
         "dup_rate_by_source": oc.dup_rate_by_source_sql(),
+        "spend_gini": oc.spend_gini_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

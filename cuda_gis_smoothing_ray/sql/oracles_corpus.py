@@ -6622,3 +6622,26 @@ def dup_rate_by_source_sql() -> str:
 SELECT source, n_docs, n_dup,
   {round6('CAST(n_dup AS DOUBLE) / CAST(n_docs AS DOUBLE)')} AS dup_rate
 FROM agg ORDER BY source"""
+
+
+def spend_gini_sql() -> str:
+    """Oracle of stages/events.spend_gini: per-user cent totals,
+    row_number over (x, user_id) — tie order irrelevant (sum(i*x) is
+    run-invariant), HUGEINT moments, one division."""
+    from .oracles import round6
+
+    return f"""WITH t AS (
+  SELECT user_id,
+    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY user_id
+), r AS (
+  SELECT x, row_number() OVER (ORDER BY x, user_id) AS i FROM t
+), a AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x) AS HUGEINT) AS s0,
+    CAST(sum(CAST(i AS HUGEINT) * x) AS HUGEINT) AS s1
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_users, CAST(s0 AS BIGINT) AS total_cents,
+  {round6('CAST(2 * s1 - (n + 1) * s0 AS DOUBLE)'
+          ' / CAST(n * s0 AS DOUBLE)')} AS gini
+FROM a"""

@@ -3187,3 +3187,67 @@ def decayed_counts(ds, half_life_h: int = DECAY_HALF_LIFE_H):
                    Sum("s", alias_name="decayed_micro"))
         .sort("event_type")
     )
+
+
+def spend_gini(ds):
+    """events -> ONE row (n_users, total_cents, gini): the GINI
+    coefficient of per-user total spend — the monetization-inequality
+    readout ("do 1% of users carry the revenue?"), the user-side twin
+    of :func:`~.textops.host_gini` and the scalar summary behind
+    :func:`~.textops.coverage_curve`-style concentration reports.
+
+    EXACT: per-user cent totals reduce on the shared coarse user
+    shuffle; the rank term ``sum(i * x)`` is tie-order invariant, so
+    the engine closes the formula from the (total -> multiplicity)
+    HISTOGRAM per run of equal values — Python bigints, one float
+    division, round6."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def cents(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        c = np.floor(batch.column("value").to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, c)
+        return pa.table({"user_id": pa.array(uniq), "c": pa.array(tot)})
+
+    totals = (
+        ds.map_batches(cents, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        x = batch.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, m = np.unique(x, return_counts=True)
+        return pa.table({"x": pa.array(uniq),
+                         "m": pa.array(m.astype(np.int64))})
+
+    histo = (
+        totals.map_batches(hist, batch_format="pyarrow")
+        .groupby("x")
+        .sum("m")
+    ).to_pandas().sort_values("x")
+    if histo.empty:
+        raise ValueError("spend_gini: no events")
+    col = "sum(m)"
+    s, s0, s1, n = 1, 0, 0, 0
+    for x, m in zip(histo["x"].tolist(), histo[col].tolist()):
+        x, m = int(x), int(m)
+        s1 += x * (m * s + m * (m - 1) // 2)
+        s0 += x * m
+        n += m
+        s += m
+    if n < 2 or s0 == 0:
+        raise ValueError("spend_gini: degenerate spend distribution")
+    gini = float(2 * s1 - (n + 1) * s0) / float(n * s0)
+    r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return rd.from_arrow(pa.table({
+        "n_users": pa.array([n], pa.int64()),
+        "total_cents": pa.array([s0], pa.int64()),
+        "gini": pa.array([r6(gini)], pa.float64()),
+    }))

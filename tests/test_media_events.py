@@ -1093,3 +1093,24 @@ def test_decayed_counts_half_life():
     # newest: 1e6, one half-life: 5e5, two: 2.5e5
     assert int(out["decayed_micro"].iloc[0]) == 10**6 + 500_000 + 250_000
     assert int(out["n"].iloc[0]) == 3
+
+
+def test_spend_gini_bounds():
+    """Equal spenders give gini 0; one dominant spender pushes it near
+    (n-1)/n."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import spend_gini
+
+    def ev(vals):
+        return rd.from_arrow(pa.table({
+            "user_id": pa.array(list(range(len(vals))), pa.int64()),
+            "value": pa.array(vals, pa.float64()),
+        }))
+
+    eq = spend_gini(ev([5.0] * 10)).to_pandas()
+    assert float(eq["gini"].iloc[0]) == 0.0
+    dom = spend_gini(ev([0.01] * 9 + [10000.0])).to_pandas()
+    assert float(dom["gini"].iloc[0]) > 0.85
