@@ -3424,6 +3424,14 @@ def _q_spend_gini(sf_dir: str):
     return events.spend_gini(events.read_events(sf_dir))
 
 
+def _q_geo_dispersion(sf_dir: str):
+    """Per-TLD mean pairwise squared distance, closed from moments — no
+    pair materializes (stages/spatialjoin.geo_dispersion)."""
+    from cuda_gis_smoothing_ray.stages.spatialjoin import geo_dispersion
+
+    return geo_dispersion(_geocoded(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3617,6 +3625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_counts": _q_decayed_counts,
         "dup_rate_by_source": _q_dup_rate_by_source,
         "spend_gini": _q_spend_gini,
+        "geo_dispersion": _q_geo_dispersion,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3931,6 +3940,7 @@ def oracle_sql() -> dict[str, str]:
         "decayed_counts": oc.decayed_counts_sql(),
         "dup_rate_by_source": oc.dup_rate_by_source_sql(),
         "spend_gini": oc.spend_gini_sql(),
+        "geo_dispersion": oc.geo_dispersion_sql(RES),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -6645,3 +6645,28 @@ SELECT CAST(n AS BIGINT) AS n_users, CAST(s0 AS BIGINT) AS total_cents,
   {round6('CAST(2 * s1 - (n + 1) * s0 AS DOUBLE)'
           ' / CAST(n * s0 AS DOUBLE)')} AS gini
 FROM a"""
+
+
+def geo_dispersion_sql(res: int) -> str:
+    """Oracle of stages/spatialjoin.geo_dispersion: the same
+    milli-degree quantization and moment closure in HUGEINT."""
+    from ..functions import geocode
+    from .oracles import _tld_case, geocoded_cte, pages_cte, round6
+
+    m = f"(doc_id * {geocode.TLD_MULT}) % {geocode.ZIPF_MOD}"
+    return f"""WITH {pages_cte()}, {geocoded_cte(res)},
+pts AS (
+  SELECT {_tld_case(m, 0)} AS tld,
+    CAST(floor(g.lat * 1e3 + 0.5) AS HUGEINT) AS x,
+    CAST(floor(g.lon * 1e3 + 0.5) AS HUGEINT) AS y
+  FROM geocoded g JOIN documents d ON d.doc_id = g.page_id
+), agg AS (
+  SELECT tld, CAST(count(*) AS HUGEINT) AS n,
+    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+    CAST(sum(x * x + y * y) AS HUGEINT) AS sq
+  FROM pts GROUP BY tld
+)
+SELECT tld, CAST(n AS BIGINT) AS n,
+  {round6('CAST(2 * (n * sq - sx * sx - sy * sy) AS DOUBLE)'
+          ' / CAST(n * (n - 1) AS DOUBLE)')} AS msd
+FROM agg WHERE n >= 2 ORDER BY tld"""

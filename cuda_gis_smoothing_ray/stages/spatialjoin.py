@@ -1009,3 +1009,65 @@ def circular_stats(points_ds):
         "sum_cy": pa.array(agg["sy"].to_numpy(np.int64)),
         "r_len": pa.array(rl, pa.float64()),
     })).sort("tld")
+
+
+def geo_dispersion(points_ds):
+    """geocoded pages -> (tld, n, msd): per-TLD GEOGRAPHIC DISPERSION —
+    the mean pairwise squared distance between a TLD's pages in
+    milli-degree^2, CLOSED FROM MOMENTS: ``sum_{i<j} |p_i - p_j|^2 =
+    n * sum|p|^2 - |sum p|^2``, so no pair ever materializes (the
+    identity behind :func:`~.stages.hotspot.geary_c`'s pair closure).
+    The scalar spread measure next to :func:`host_extent`'s bbox —
+    robust to a single outlier page in a way the bbox is not.
+
+    EXACT: coordinates quantize once to milli-degrees (declared
+    precision — squared micro-degrees would overflow int64 partials at
+    volume), moments are integer sums, one round6 division.  Scale
+    shape: batch-local (tld, 4-scalar) partials, one bounded reduce."""
+    import ray.data as rd
+
+    from ..functions import geocode
+    from ..functions.reduce import hash_groupby
+    from ..sources.pages import REP_STRIDE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pid = batch.column("page_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        idx = geocode.tld_index(pid % REP_STRIDE).astype(np.int64)
+        x = np.floor(batch.column("lat").to_numpy(zero_copy_only=False)
+                     * 1e3 + 0.5).astype(np.int64)
+        y = np.floor(batch.column("lon").to_numpy(zero_copy_only=False)
+                     * 1e3 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(idx, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        sx = np.zeros(len(uniq), np.int64)
+        sy = np.zeros(len(uniq), np.int64)
+        sq = np.zeros(len(uniq), np.int64)
+        np.add.at(sx, inv, x)
+        np.add.at(sy, inv, y)
+        np.add.at(sq, inv, x * x + y * y)
+        return pa.table({"tid": pa.array(uniq), "n": pa.array(n),
+                         "sx": pa.array(sx), "sy": pa.array(sy),
+                         "sq": pa.array(sq)})
+
+    agg = hash_groupby(
+        points_ds.map_batches(partial, batch_format="pyarrow"),
+        "tid", ["n", "sx", "sy", "sq"], how="isum",
+    ).to_pandas().sort_values("tid")
+    if agg.empty:
+        raise ValueError("geo_dispersion: no pages")
+    r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    rows = {"tld": [], "n": [], "msd": []}
+    for rec in agg.itertuples():
+        n, sx, sy, sq = (int(rec.n), int(rec.sx), int(rec.sy), int(rec.sq))
+        if n < 2:
+            continue  # a single page has no pairs (declared)
+        num = n * sq - sx * sx - sy * sy  # python ints, exact
+        rows["tld"].append(geocode.TLD_TABLE[int(rec.tid)][0])
+        rows["n"].append(n)
+        rows["msd"].append(r6(float(2 * num) / float(n * (n - 1))))
+    return rd.from_arrow(pa.table({
+        "tld": pa.array(rows["tld"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "msd": pa.array(rows["msd"], pa.float64()),
+    })).sort("tld")

@@ -548,3 +548,28 @@ def test_circular_stats_concentration():
     assert int(out["sum_cx"].iloc[0]) == 2 * 10**6
     assert int(out["sum_cy"].iloc[0]) == 0
     assert abs(float(out["r_len"].iloc[0]) - 0.5) < 1e-6
+
+
+def test_geo_dispersion_matches_brute_pairs():
+    """The moment closure equals the brute-force mean over all pairs."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.functions import geocode
+    from cuda_gis_smoothing_ray.stages.spatialjoin import geo_dispersion
+
+    lats = [0.0, 1.0, 2.0, 5.0]
+    lons = [0.0, 0.5, 1.0, 3.0]
+    ds = rd.from_arrow(pa.table({
+        "page_id": pa.array([0, 0, 0, 0], pa.int64()),
+        "lat": pa.array(lats, pa.float64()),
+        "lon": pa.array(lons, pa.float64()),
+    }))
+    out = geo_dispersion(ds).to_pandas()
+    x = np.floor(np.array(lats) * 1e3 + 0.5)
+    y = np.floor(np.array(lons) * 1e3 + 0.5)
+    d2 = [(x[i] - x[j]) ** 2 + (y[i] - y[j]) ** 2
+          for i in range(4) for j in range(i + 1, 4)]
+    assert abs(float(out["msd"].iloc[0]) - np.mean(d2)) < 1e-5
+    assert int(out["n"].iloc[0]) == 4
