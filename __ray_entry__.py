@@ -3432,6 +3432,21 @@ def _q_geo_dispersion(sf_dir: str):
     return geo_dispersion(_geocoded(sf_dir))
 
 
+def _q_value_robust_by_type(sf_dir: str):
+    """Robust per-type value statistics (median / MAD / trimmed mean of
+    exact cents) — the generic histogram-rank robust_stats pointed at
+    the events stream (stages/sketch.robust_stats)."""
+    from cuda_gis_smoothing_ray.stages import events
+    from cuda_gis_smoothing_ray.stages.sketch import robust_stats
+
+    def cents(batch: pa.Table) -> np.ndarray:
+        return np.floor(batch.column("value").to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+
+    return robust_stats(events.read_events(sf_dir), "event_type",
+                        cents).sort("event_type")
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3626,6 +3641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_rate_by_source": _q_dup_rate_by_source,
         "spend_gini": _q_spend_gini,
         "geo_dispersion": _q_geo_dispersion,
+        "value_robust_by_type": _q_value_robust_by_type,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3941,6 +3957,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_rate_by_source": oc.dup_rate_by_source_sql(),
         "spend_gini": oc.spend_gini_sql(),
         "geo_dispersion": oc.geo_dispersion_sql(RES),
+        "value_robust_by_type": oc.value_robust_by_type_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -6670,3 +6670,45 @@ SELECT tld, CAST(n AS BIGINT) AS n,
   {round6('CAST(2 * (n * sq - sx * sx - sy * sy) AS DOUBLE)'
           ' / CAST(n * (n - 1) AS DOUBLE)')} AS msd
 FROM agg WHERE n >= 2 ORDER BY tld"""
+
+
+def value_robust_by_type_sql(trim: float | None = None) -> str:
+    """Oracle of robust_stats over event cents per type (the
+    robust_stats_sql chain re-pointed at events)."""
+    from ..stages import sketch
+
+    t = sketch.TRIM_FRAC if trim is None else trim
+    return f"""WITH lens AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+), st AS (
+  SELECT event_type, v,
+    row_number() OVER (PARTITION BY event_type ORDER BY v) - 1 AS rk,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM lens
+), med AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n, min(v) AS median
+  FROM st WHERE rk = (n - 1) // 2 GROUP BY event_type, n
+), dst AS (
+  SELECT l.event_type, abs(l.v - m.median) AS d,
+    row_number() OVER (PARTITION BY l.event_type
+      ORDER BY abs(l.v - m.median)) - 1 AS rk,
+    count(*) OVER (PARTITION BY l.event_type) AS n
+  FROM lens l JOIN med m ON l.event_type = m.event_type
+), mad AS (
+  SELECT event_type, min(d) AS mad FROM dst WHERE rk = (n - 1) // 2
+  GROUP BY event_type
+), tr AS (
+  SELECT event_type, CAST(sum(v) AS BIGINT) AS s,
+    CAST(count(*) AS BIGINT) AS c
+  FROM st
+  WHERE rk >= CAST(floor(n * {t}) AS BIGINT)
+    AND rk < n - CAST(floor(n * {t}) AS BIGINT)
+  GROUP BY event_type
+)
+SELECT m.event_type, m.n, m.median, mad.mad,
+  floor(CAST(s AS DOUBLE) / CAST(c AS DOUBLE) * 1e6 + 0.5) / 1e6
+    AS trimmed_mean
+FROM med m JOIN mad ON m.event_type = mad.event_type
+JOIN tr ON m.event_type = tr.event_type
+ORDER BY m.event_type"""
