@@ -3447,6 +3447,15 @@ def _q_value_robust_by_type(sf_dir: str):
                         cents).sort("event_type")
 
 
+def _q_clark_evans(sf_dir: str):
+    """Clark-Evans nearest-neighbor aggregation index: per-point NN
+    distances quantized once, order-free integer sum
+    (stages/spatialjoin.clark_evans)."""
+    from cuda_gis_smoothing_ray.stages.spatialjoin import clark_evans
+
+    return clark_evans(_geocoded(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3642,6 +3651,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_gini": _q_spend_gini,
         "geo_dispersion": _q_geo_dispersion,
         "value_robust_by_type": _q_value_robust_by_type,
+        "clark_evans": _q_clark_evans,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3958,6 +3968,7 @@ def oracle_sql() -> dict[str, str]:
         "spend_gini": oc.spend_gini_sql(),
         "geo_dispersion": oc.geo_dispersion_sql(RES),
         "value_robust_by_type": oc.value_robust_by_type_sql(),
+        "clark_evans": oc.clark_evans_sql(RES),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

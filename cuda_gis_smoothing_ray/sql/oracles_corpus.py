@@ -6712,3 +6712,32 @@ SELECT m.event_type, m.n, m.median, mad.mad,
 FROM med m JOIN mad ON m.event_type = mad.event_type
 JOIN tr ON m.event_type = tr.event_type
 ORDER BY m.event_type"""
+
+
+def clark_evans_sql(res: int) -> str:
+    """Oracle of stages/spatialjoin.clark_evans: brute cross-join NN
+    (min d2 then one sqrt, micro-quantized per point), bbox expected
+    mean, shared R tree."""
+    from .oracles import geocoded_cte, pages_cte, round6
+
+    return f"""WITH {pages_cte()}, {geocoded_cte(res)},
+pts AS (
+  SELECT page_id, lat, lon FROM geocoded
+), nn AS (
+  SELECT a.page_id,
+    CAST(floor(sqrt(min((a.lat - b.lat) * (a.lat - b.lat)
+                        + (a.lon - b.lon) * (a.lon - b.lon)))
+               * 1e6 + 0.5) AS BIGINT) AS q
+  FROM pts a JOIN pts b ON b.page_id <> a.page_id
+  GROUP BY a.page_id
+), agg AS (
+  SELECT CAST(sum(q) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+  FROM nn
+), bbox AS (
+  SELECT (max(lat) - min(lat)) * (max(lon) - min(lon)) AS area FROM pts
+)
+SELECT agg.c AS n, agg.s AS sum_nn_micro,
+  {round6("(CAST(agg.s AS DOUBLE) / CAST(agg.c AS DOUBLE) / 1e6)"
+          " / (0.5 / sqrt(CAST(agg.c AS DOUBLE) / bbox.area))")}
+    AS r_index
+FROM agg, bbox"""

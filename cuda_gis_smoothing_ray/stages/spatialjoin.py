@@ -1071,3 +1071,75 @@ def geo_dispersion(points_ds):
         "n": pa.array(rows["n"], pa.int64()),
         "msd": pa.array(rows["msd"], pa.float64()),
     })).sort("tld")
+
+
+def clark_evans(points_ds):
+    """geocoded pages -> ONE row (n, sum_nn_micro, r_index): the
+    CLARK-EVANS aggregation index — observed mean nearest-neighbor
+    distance over the expected mean under complete spatial randomness
+    in the bounding box, ``R = mean(d_NN) / (0.5 / sqrt(n / A))``
+    (R < 1 clustered, ~1 random, > 2 dispersed).  THE classic
+    point-pattern first test, next to :func:`~.stages.spatialjoin`'s
+    Ripley K curve.
+
+    EXACT aggregation: each page's NN distance (equirectangular degree
+    metric, the :func:`distance_join` convention) is quantized ONCE to
+    micro-degrees (IEEE sqrt — exact), so the sum is an order-free
+    integer; bbox extremes are exact float min/max; R is one shared
+    float tree.  Scale shape: the candidate set is broadcast once
+    (bounded pages table — at open-web volume the ring-expanding
+    bucket+halo NN join replaces it, same output); per batch ONE
+    vectorized (batch x n) distance matrix with self-exclusion."""
+    import math
+
+    import ray
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    all_pts = points_ds.map_batches(
+        lambda b: pa.table({"page_id": b.column("page_id"),
+                            "lat": b.column("lat"),
+                            "lon": b.column("lon")}),
+        batch_format="pyarrow").to_pandas()
+    n = len(all_pts)
+    if n < 2:
+        raise ValueError("clark_evans: need >= 2 pages")
+    ref = ray.put((all_pts["page_id"].to_numpy(np.int64),
+                   all_pts["lat"].to_numpy(np.float64),
+                   all_pts["lon"].to_numpy(np.float64)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_all, lat_all, lon_all = ray.get(ref)
+        pid = batch.column("page_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        d2 = ((lat[:, None] - lat_all[None, :]) ** 2
+              + (lon[:, None] - lon_all[None, :]) ** 2)
+        d2[pid[:, None] == ids_all[None, :]] = np.inf  # self-exclusion
+        nn = np.sqrt(d2.min(axis=1))
+        q = np.floor(nn * 1e6 + 0.5).astype(np.int64)
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "s": pa.array([int(q.sum())], pa.int64()),
+                         "c": pa.array([len(q)], pa.int64())})
+
+    agg = hash_groupby(
+        points_ds.map_batches(partial, batch_format="pyarrow"),
+        "k", ["s", "c"], how="isum",
+    ).to_pandas()
+    s = int(agg["s"].sum())
+    cnt = int(agg["c"].sum())
+    lat_lo, lat_hi = float(all_pts["lat"].min()), float(all_pts["lat"].max())
+    lon_lo, lon_hi = float(all_pts["lon"].min()), float(all_pts["lon"].max())
+    area = (lat_hi - lat_lo) * (lon_hi - lon_lo)
+    if area <= 0.0:
+        raise ValueError("clark_evans: degenerate bounding box")
+    obs = float(s) / float(cnt) / 1e6
+    exp = 0.5 / math.sqrt(float(cnt) / area)
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return rd.from_arrow(pa.table({
+        "n": pa.array([cnt], pa.int64()),
+        "sum_nn_micro": pa.array([s], pa.int64()),
+        "r_index": pa.array([r6(obs / exp)], pa.float64()),
+    }))

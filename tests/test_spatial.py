@@ -573,3 +573,36 @@ def test_geo_dispersion_matches_brute_pairs():
           for i in range(4) for j in range(i + 1, 4)]
     assert abs(float(out["msd"].iloc[0]) - np.mean(d2)) < 1e-5
     assert int(out["n"].iloc[0]) == 4
+
+
+def test_clark_evans_clustered_vs_grid():
+    """Two tight clusters give R << 1; a regular grid gives R > 1."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.spatialjoin import clark_evans
+
+    def mk(lats, lons):
+        return rd.from_arrow(pa.table({
+            "page_id": pa.array(np.arange(len(lats), dtype=np.int64)),
+            "lat": pa.array(lats, pa.float64()),
+            "lon": pa.array(lons, pa.float64()),
+        }))
+
+    # clustered: 2 blobs of 8 points 0.01 deg apart, blobs 10 deg apart
+    lats, lons = [], []
+    for cx in (0.0, 10.0):
+        for i in range(8):
+            lats.append(cx + 0.01 * i)
+            lons.append(cx)
+    r_clu = float(clark_evans(mk(lats, lons)).to_pandas()
+                  ["r_index"].iloc[0])
+    # regular 4x4 grid over the same extent
+    g = np.linspace(0, 10, 4)
+    glats = [a for a in g for _ in g]
+    glons = [b for _ in g for b in g]
+    r_grid = float(clark_evans(mk(glats, glons)).to_pandas()
+                   ["r_index"].iloc[0])
+    assert r_clu < 0.5
+    assert r_grid > 1.0
