@@ -3456,6 +3456,15 @@ def _q_clark_evans(sf_dir: str):
     return clark_evans(_geocoded(sf_dir))
 
 
+def _q_containment_pairs(sf_dir: str):
+    """Asymmetric near-dup pairs by set containment |A&B|/min (subset
+    duplicates Jaccard misses); exact all-pairs semantics for the gate
+    (stages/textops.containment_pairs)."""
+    from cuda_gis_smoothing_ray.stages.textops import containment_pairs
+
+    return containment_pairs(_docs(sf_dir), max_df=None).sort(["a", "b"])
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3652,6 +3661,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_dispersion": _q_geo_dispersion,
         "value_robust_by_type": _q_value_robust_by_type,
         "clark_evans": _q_clark_evans,
+        "containment_pairs": _q_containment_pairs,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3969,6 +3979,7 @@ def oracle_sql() -> dict[str, str]:
         "geo_dispersion": oc.geo_dispersion_sql(RES),
         "value_robust_by_type": oc.value_robust_by_type_sql(),
         "clark_evans": oc.clark_evans_sql(RES),
+        "containment_pairs": oc.containment_pairs_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

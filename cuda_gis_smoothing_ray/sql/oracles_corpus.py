@@ -6741,3 +6741,30 @@ SELECT agg.c AS n, agg.s AS sum_nn_micro,
           " / (0.5 / sqrt(CAST(agg.c AS DOUBLE) / bbox.area))")}
     AS r_index
 FROM agg, bbox"""
+
+
+def containment_pairs_sql(threshold: float = 0.9) -> str:
+    """Oracle of stages/textops.containment_pairs (max_df=None exact
+    semantics): distinct postings self-join, |A & B| / min(|A|, |B|)."""
+    from .oracles import D, round6
+
+    return f"""WITH toks AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_filter(regexp_split_to_array(text, '\\s+'), s -> s != ''))
+      AS token
+  FROM documents
+), sz AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS s FROM toks GROUP BY doc_id
+), inter AS (
+  SELECT t1.doc_id AS a, t2.doc_id AS b, CAST(count(*) AS BIGINT) AS sh
+  FROM toks t1 JOIN toks t2
+    ON t2.token = t1.token AND t2.doc_id > t1.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b,
+  {round6('CAST(i.sh AS DOUBLE) / CAST(least(sa.s, sb.s) AS DOUBLE)')}
+    AS containment
+FROM inter i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+WHERE CAST(i.sh AS DOUBLE) / CAST(least(sa.s, sb.s) AS DOUBLE)
+      >= {D(threshold)}
+ORDER BY i.a, i.b"""

@@ -4741,3 +4741,102 @@ def dup_rate_by_source(docs_ds):
         "n_dup": pa.array(rows["n_dup"], pa.int64()),
         "dup_rate": pa.array(rows["dup_rate"], pa.float64()),
     }))
+
+
+def containment_pairs(ds, threshold: float = 0.9,
+                      max_df: int | None = JACCARD_MAX_DF):
+    """documents -> (a, b, containment): near-dup pairs by SET
+    CONTAINMENT ``|A & B| / min(|A|, |B|)`` — the asymmetric metric
+    that catches SUBSET duplicates (a page embedded inside a longer
+    one) which Jaccard structurally misses (a 100-word doc inside a
+    10k-word doc has J ~ 0.01 but containment 1.0).  The
+    :func:`jaccard_pairs` inverted-index plan with the size filter
+    REMOVED — containment admits no min/max size pruning, that is its
+    point — so ``max_df`` is the only fan-out bound (documented
+    approximation, same as there).
+
+    Exact integers until one float division per pair, shared with the
+    oracle."""
+    import pyarrow.compute as pc_
+
+    def postings(batch: pa.Table) -> pa.Table:
+        EMPTY = pa.schema([("token", pa.string()), ("doc_id", pa.int64()),
+                           ("set_size", pa.int64())])
+        doc_id = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        if len(doc_id) == 0:
+            return EMPTY.empty_table()
+        split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        n_words = split.value_lengths().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = split.flatten()
+        row_idx = np.repeat(np.arange(len(doc_id), dtype=np.int64), n_words)
+        nonempty = pc_.not_equal(flat, "")
+        row_idx = row_idx[nonempty.to_numpy(zero_copy_only=False)]
+        toks = flat.filter(nonempty)
+        if len(toks) == 0:
+            return EMPTY.empty_table()
+        dic = toks.dictionary_encode()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        packed = row_idx * (codes.max() + 1) + codes
+        _, uidx = np.unique(packed, return_index=True)
+        u_row, u_code = row_idx[uidx], codes[uidx]
+        set_size = np.bincount(u_row, minlength=len(doc_id)).astype(np.int64)
+        return pa.table({
+            "token": dic.dictionary.take(pa.array(u_code)),
+            "doc_id": pa.array(doc_id[u_row]),
+            "set_size": pa.array(set_size[u_row]),
+        })
+
+    def pairs_of_group(df):
+        d = df.sort_values("doc_id")
+        ids = d["doc_id"].to_numpy()
+        sizes = d["set_size"].to_numpy()
+        if max_df is not None and len(ids) > max_df:
+            return {"pk": np.empty(0, np.int64), "na": np.empty(0, np.int64),
+                    "nb": np.empty(0, np.int64)}
+        _check_pack_ids(ids)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        return {
+            "pk": (ids[iu].astype(np.int64) << np.int64(31))
+            | ids[ju].astype(np.int64),
+            "na": sizes[iu].astype(np.int64),
+            "nb": sizes[ju].astype(np.int64),
+        }
+
+    N_PARTS = 64
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        pk = batch.column("pk").to_numpy(zero_copy_only=False)
+        part = (pk.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
+            >> np.uint64(58)
+        return batch.append_column(
+            "part", pa.array(part.astype(np.int64) % N_PARTS))
+
+    def reduce_part(df):
+        pk = df["pk"].to_numpy()
+        order = np.argsort(pk, kind="stable")
+        pk = pk[order]
+        na = df["na"].to_numpy()[order].astype(np.float64)
+        nb = df["nb"].to_numpy()[order].astype(np.float64)
+        uniq, first_idx, cnt = np.unique(pk, return_index=True,
+                                         return_counts=True)
+        c = cnt.astype(np.float64) / np.minimum(na[first_idx], nb[first_idx])
+        keep = c >= threshold
+        return {
+            "a": (uniq[keep] >> np.int64(31)).astype(np.int64),
+            "b": (uniq[keep] & np.int64((1 << 31) - 1)).astype(np.int64),
+            "containment": np.floor(c[keep] * 1e6 + 0.5) / 1e6,
+        }
+
+    posted = ds.map_batches(postings, batch_format="pyarrow")
+    pairs = posted.groupby("token").map_groups(pairs_of_group)
+    return (
+        pairs.map_batches(add_part, batch_format="pyarrow", batch_size=None)
+        .groupby("part")
+        .map_groups(reduce_part)
+    )

@@ -874,3 +874,24 @@ def test_dup_rate_by_source_cross_source():
     assert int(out.loc["s1", "n_dup"]) == 1
     assert int(out.loc["s2", "n_dup"]) == 1
     assert float(out.loc["s1", "dup_rate"]) == 0.5
+
+
+def test_containment_pairs_subset_dup():
+    """A short doc fully contained in a long one scores containment 1.0
+    even though its Jaccard is tiny."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import containment_pairs
+
+    long_doc = " ".join(f"w{i}" for i in range(100))
+    short_doc = "w1 w2 w3"
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([long_doc, short_doc, "x y z"]),
+    })
+    out = containment_pairs(rd.from_arrow(docs), threshold=0.9,
+                            max_df=None).to_pandas()
+    assert len(out) == 1
+    assert (int(out["a"].iloc[0]), int(out["b"].iloc[0])) == (1, 2)
+    assert float(out["containment"].iloc[0]) == 1.0
