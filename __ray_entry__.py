@@ -3465,6 +3465,14 @@ def _q_containment_pairs(sf_dir: str):
     return containment_pairs(_docs(sf_dir), max_df=None).sort(["a", "b"])
 
 
+def _q_cell_lang_entropy(sf_dir: str):
+    """Per-cell language Shannon entropy map (micro-nat once-quantized
+    terms -> order-free sums) (stages/hotspot.cell_lang_entropy)."""
+    from cuda_gis_smoothing_ray.stages.hotspot import cell_lang_entropy
+
+    return cell_lang_entropy(_geocoded(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3662,6 +3670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_robust_by_type": _q_value_robust_by_type,
         "clark_evans": _q_clark_evans,
         "containment_pairs": _q_containment_pairs,
+        "cell_lang_entropy": _q_cell_lang_entropy,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3980,6 +3989,7 @@ def oracle_sql() -> dict[str, str]:
         "value_robust_by_type": oc.value_robust_by_type_sql(),
         "clark_evans": oc.clark_evans_sql(RES),
         "containment_pairs": oc.containment_pairs_sql(),
+        "cell_lang_entropy": oc.cell_lang_entropy_sql(RES),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -6768,3 +6768,29 @@ FROM inter i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
 WHERE CAST(i.sh AS DOUBLE) / CAST(least(sa.s, sb.s) AS DOUBLE)
       >= {D(threshold)}
 ORDER BY i.a, i.b"""
+
+
+def cell_lang_entropy_sql(res: int) -> str:
+    """Oracle of stages/hotspot.cell_lang_entropy: the identical
+    micro-quantized term, integer sum per cell."""
+    from .oracles import geocoded_cte, pages_cte
+
+    return f"""WITH {pages_cte()}, {geocoded_cte(res)},
+ct AS (
+  SELECT cell, lang, CAST(count(*) AS BIGINT) AS c
+  FROM geocoded GROUP BY 1, 2
+), tot AS (
+  SELECT cell, CAST(sum(c) AS BIGINT) AS n,
+    CAST(count(*) AS BIGINT) AS n_langs
+  FROM ct GROUP BY cell
+), terms AS (
+  SELECT ct.cell,
+    CAST(floor(-(CAST(ct.c AS DOUBLE) / tot.n)
+               * ln(CAST(ct.c AS DOUBLE) / tot.n) * 1e6 + 0.5)
+         AS BIGINT) AS t
+  FROM ct JOIN tot ON tot.cell = ct.cell
+)
+SELECT tot.cell, tot.n, tot.n_langs,
+  (SELECT CAST(sum(t) AS BIGINT) FROM terms
+   WHERE terms.cell = tot.cell) AS h_micro
+FROM tot ORDER BY tot.cell"""

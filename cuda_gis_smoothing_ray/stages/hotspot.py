@@ -1431,3 +1431,55 @@ def cell_lang_shift(points_ds):
         "n_a": pa.array(a.loc[common, "c"].to_numpy(np.int64)[flip]),
         "n_b": pa.array(b.loc[common, "c"].to_numpy(np.int64)[flip]),
     })).sort("cell")
+
+
+def cell_lang_entropy(points_ds):
+    """geocoded pages -> (cell, n, n_langs, h_micro): the LANGUAGE
+    ENTROPY MAP — per-cell Shannon entropy of language labels in
+    micro-nats, the spatial "is this area monolingual" layer behind
+    :func:`cell_lang_shift` (shift says where the majority flipped;
+    this says where majorities are weak to begin with).
+
+    Float discipline: per-(cell, lang) terms are quantized ONCE
+    (``floor(-(c/n) * ln(c/n) * 1e6 + 0.5)``, the
+    :func:`~.stages.events.path_entropy` trick) so per-cell sums are
+    order-free integers.  Scale shape: one bounded (cell, lang)
+    reduce, vectorized segmented finalize."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "cell": batch.column("cell").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "lang": batch.column("lang").to_pylist(),
+        })
+        g = df.groupby(["cell", "lang"], sort=False).size() \
+            .reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        points_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["cell", "lang"])
+        .aggregate(Sum("c", alias_name="c"))
+    ).to_pandas()
+    if agg.empty:
+        raise ValueError("cell_lang_entropy: no pages")
+    agg = agg.sort_values(["cell", "lang"], kind="mergesort")
+    cell = agg["cell"].to_numpy(np.int64)
+    c = agg["c"].to_numpy(np.int64)
+    uniq, inv = np.unique(cell, return_inverse=True)
+    n = np.zeros(len(uniq), np.int64)
+    np.add.at(n, inv, c)
+    p = c.astype(np.float64) / n[inv].astype(np.float64)
+    terms = np.floor(-p * np.log(p) * 1e6 + 0.5).astype(np.int64)
+    h = np.zeros(len(uniq), np.int64)
+    np.add.at(h, inv, terms)
+    nl = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+    return rd.from_arrow(pa.table({
+        "cell": pa.array(uniq),
+        "n": pa.array(n),
+        "n_langs": pa.array(nl),
+        "h_micro": pa.array(h),
+    })).sort("cell")

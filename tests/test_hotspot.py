@@ -456,3 +456,20 @@ def test_cell_lang_shift_flip_and_tie():
     assert list(out.index) == [5, 7]
     assert out.loc[5, "lang_a"] == "en" and out.loc[5, "lang_b"] == "de"
     assert out.loc[7, "lang_a"] == "en" and out.loc[7, "lang_b"] == "de"
+
+
+def test_cell_lang_entropy_bounds():
+    """Monolingual cell -> 0; an even 2-lang cell -> ln(2) micro-nats."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.hotspot import cell_lang_entropy
+
+    t = pa.table({
+        "cell": pa.array([1, 1, 2, 2], pa.int64()),
+        "lang": pa.array(["en", "en", "en", "de"]),
+    })
+    out = cell_lang_entropy(rd.from_arrow(t)).to_pandas().set_index("cell")
+    assert int(out.loc[1, "h_micro"]) == 0
+    assert abs(int(out.loc[2, "h_micro"]) - round(np.log(2) * 1e6)) <= 2
