@@ -3473,6 +3473,14 @@ def _q_cell_lang_entropy(sf_dir: str):
     return cell_lang_entropy(_geocoded(sf_dir))
 
 
+def _q_type_drift_days(sf_dir: str):
+    """Per-day chi-square drift of the event-type mix vs the global
+    composition (stages/events.type_drift_days)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.type_drift_days(events.read_events(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3671,6 +3679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clark_evans": _q_clark_evans,
         "containment_pairs": _q_containment_pairs,
         "cell_lang_entropy": _q_cell_lang_entropy,
+        "type_drift_days": _q_type_drift_days,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -3990,6 +3999,7 @@ def oracle_sql() -> dict[str, str]:
         "clark_evans": oc.clark_evans_sql(RES),
         "containment_pairs": oc.containment_pairs_sql(),
         "cell_lang_entropy": oc.cell_lang_entropy_sql(RES),
+        "type_drift_days": oc.type_drift_days_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

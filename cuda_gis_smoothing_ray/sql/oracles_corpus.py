@@ -6794,3 +6794,30 @@ SELECT tot.cell, tot.n, tot.n_langs,
   (SELECT CAST(sum(t) AS BIGINT) FROM terms
    WHERE terms.cell = tot.cell) AS h_micro
 FROM tot ORDER BY tot.cell"""
+
+
+def type_drift_days_sql() -> str:
+    """Oracle of stages/events.type_drift_days: per-(day, type) counts,
+    O^2/G terms folded ORDER BY type per day, (N/n)*S - n."""
+    from .oracles import round6
+
+    return f"""WITH ct AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+    CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), g AS (
+  SELECT event_type, CAST(sum(c) AS BIGINT) AS gc FROM ct GROUP BY 1
+), nn AS (
+  SELECT CAST(sum(gc) AS BIGINT) AS n FROM g
+), per AS (
+  SELECT ct.day, CAST(sum(ct.c) AS BIGINT) AS nd,
+    list_reduce(list(
+      CAST(ct.c * ct.c AS DOUBLE) / CAST(g.gc AS DOUBLE)
+      ORDER BY ct.event_type), (a, b) -> a + b) AS s
+  FROM ct JOIN g ON g.event_type = ct.event_type
+  GROUP BY ct.day
+)
+SELECT CAST(per.day AS BIGINT) AS day, per.nd AS n,
+  {round6('CAST(nn.n AS DOUBLE) / CAST(per.nd AS DOUBLE) * per.s'
+          ' - CAST(per.nd AS DOUBLE)')} AS chi2
+FROM per, nn ORDER BY day"""

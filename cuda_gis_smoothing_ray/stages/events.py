@@ -3251,3 +3251,61 @@ def spend_gini(ds):
         "total_cents": pa.array([s0], pa.int64()),
         "gini": pa.array([r6(gini)], pa.float64()),
     }))
+
+
+def type_drift_days(ds):
+    """events -> (day, n, chi2): per-day CHI-SQUARE drift of the
+    event-type mix against the global composition — the monitoring
+    timeline that flags WHICH day the traffic mix broke (the pointwise
+    companion to :func:`~.textops.unigram_drift`'s two-half KL).
+
+    Algebra: with global type totals G_t (sum N), ``chi2_d =
+    (N / n_d) * sum_t O_dt^2 / G_t - n_d`` — zero-observed cells
+    contribute EXACTLY 0.0 so only present (day, type) cells enter the
+    LEFT-ASSOCIATIVE per-day fold (ORDER BY type, mirrored by
+    list_reduce; adding 0.0 is an IEEE identity, so skipping absent
+    cells is exact).  Counts are integers; two divisions per day.
+    Scale shape: one bounded (day, type) reduce + a |types| broadcast."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"day": d, "event_type": et})
+        g = df.groupby(["day", "event_type"], sort=False).size() \
+            .reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("c", alias_name="c"))
+    ).to_pandas().sort_values(["day", "event_type"], kind="mergesort")
+    if agg.empty:
+        raise ValueError("type_drift_days: no events")
+    glob = agg.groupby("event_type")["c"].sum()
+    N = int(glob.sum())
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    rows = {"day": [], "n": [], "chi2": []}
+    for day, grp in agg.groupby("day", sort=True):
+        nd = int(grp["c"].sum())
+        s = 0.0
+        first = True
+        for et, o in zip(grp["event_type"], grp["c"]):
+            t = float(int(o) * int(o)) / float(int(glob[et]))
+            if first:
+                s, first = t, False
+            else:
+                s += t
+        chi2 = float(N) / float(nd) * s - float(nd)
+        rows["day"].append(int(day))
+        rows["n"].append(nd)
+        rows["chi2"].append(r6(chi2))
+    return rd.from_arrow(pa.table({
+        "day": pa.array(rows["day"], pa.int64()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "chi2": pa.array(rows["chi2"], pa.float64()),
+    }))

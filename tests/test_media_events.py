@@ -1114,3 +1114,28 @@ def test_spend_gini_bounds():
     assert float(eq["gini"].iloc[0]) == 0.0
     dom = spend_gini(ev([0.01] * 9 + [10000.0])).to_pandas()
     assert float(dom["gini"].iloc[0]) > 0.85
+
+
+def test_type_drift_days_flags_anomalous_day():
+    """A day whose mix matches the global scores ~0; a flipped-mix day
+    scores high."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import type_drift_days
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    DAY = np.timedelta64(24 * 3600 * 10**6, "us")
+    rows = []
+    # days 0,1: 9 a + 1 b each; day 2: 1 a + 9 b (the drifted day)
+    for d, (na, nb) in enumerate([(9, 1), (9, 1), (1, 9)]):
+        rows += [(d, "a")] * na + [(d, "b")] * nb
+    t = pa.table({
+        "ts": pa.array([t0 + r[0] * DAY for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows]),
+    })
+    out = type_drift_days(rd.from_arrow(t)).to_pandas()
+    chi = out["chi2"].to_numpy()
+    assert chi[2] > 5 * max(chi[0], chi[1])
