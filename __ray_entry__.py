@@ -3481,6 +3481,14 @@ def _q_type_drift_days(sf_dir: str):
     return events.type_drift_days(events.read_events(sf_dir))
 
 
+def _q_spend_rate(sf_dir: str):
+    """Per-user spend per active second: cents + interval-union active
+    time fused in one segmented solve (stages/events.spend_rate)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.spend_rate(events.read_events(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3680,6 +3688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment_pairs,
         "cell_lang_entropy": _q_cell_lang_entropy,
         "type_drift_days": _q_type_drift_days,
+        "spend_rate": _q_spend_rate,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -4000,6 +4009,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": oc.containment_pairs_sql(),
         "cell_lang_entropy": oc.cell_lang_entropy_sql(RES),
         "type_drift_days": oc.type_drift_days_sql(),
+        "spend_rate": oc.spend_rate_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -6821,3 +6821,40 @@ SELECT CAST(per.day AS BIGINT) AS day, per.nd AS n,
   {round6('CAST(nn.n AS DOUBLE) / CAST(per.nd AS DOUBLE) * per.s'
           ' - CAST(per.nd AS DOUBLE)')} AS chi2
 FROM per, nn ORDER BY day"""
+
+
+def spend_rate_sql(window_us: int | None = None) -> str:
+    """Oracle of stages/events.spend_rate: the active_time islands plus
+    per-user cent totals, cents per active second."""
+    from ..stages import events as ev
+
+    w = ev.ACTIVE_WINDOW_US if window_us is None else window_us
+    return f"""WITH seq AS (
+  SELECT user_id, epoch_us(ts) AS t,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts) > {w}
+         OR lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_span
+  FROM events
+), spans AS (
+  SELECT user_id, t,
+    sum(new_span) OVER (PARTITION BY user_id ORDER BY t
+      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM seq
+), act AS (
+  SELECT user_id, CAST(sum(dur) AS BIGINT) AS active_us FROM (
+    SELECT user_id, max(t) - min(t) + {w} AS dur
+    FROM spans GROUP BY user_id, sid
+  ) GROUP BY user_id
+), sp AS (
+  SELECT user_id,
+    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY user_id
+)
+SELECT sp.user_id, sp.cents, act.active_us,
+  floor(CAST(sp.cents AS DOUBLE)
+        / (CAST(act.active_us AS DOUBLE) / 1e6) * 1000000.0 + 0.5)
+    / 1000000.0 AS rate
+FROM sp JOIN act ON act.user_id = sp.user_id
+ORDER BY sp.user_id"""

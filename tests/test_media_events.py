@@ -1141,3 +1141,25 @@ def test_type_drift_days_flags_anomalous_day():
     # the global mix includes the drifted day, so normal days
     # deviate a little too; the flipped day still dominates
     assert chi[2] > 3 * max(chi[0], chi[1])
+
+
+def test_spend_rate_hand():
+    """cents / active seconds with the window tail included."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import spend_rate
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    M = np.timedelta64(60 * 10**6, "us")
+    t = pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([t0, t0 + M], pa.timestamp("us")),
+        "value": pa.array([2.0, 1.0], pa.float64()),
+    })
+    out = spend_rate(rd.from_arrow(t)).to_pandas()
+    # one span: 60 s + 300 s window = 360 s; 300 cents -> 300/360
+    assert int(out["cents"].iloc[0]) == 300
+    assert int(out["active_us"].iloc[0]) == 360 * 10**6
+    assert abs(float(out["rate"].iloc[0]) - 300 / 360) < 1e-6
