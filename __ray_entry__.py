@@ -3489,6 +3489,20 @@ def _q_spend_rate(sf_dir: str):
     return events.spend_rate(events.read_events(sf_dir))
 
 
+def _q_shard_conductance(sf_dir: str):
+    """Conductance of the contiguous range-sharding of the community
+    graph — the graph-placement cut-quality readout
+    (stages/triangles.shard_conductance)."""
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages import triangles as tri
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return tri.shard_conductance(
+        read_documents(sf_dir, columns=("doc_id",)), n_docs)
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3689,6 +3703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_lang_entropy": _q_cell_lang_entropy,
         "type_drift_days": _q_type_drift_days,
         "spend_rate": _q_spend_rate,
+        "shard_conductance": _q_shard_conductance,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -4010,6 +4025,7 @@ def oracle_sql() -> dict[str, str]:
         "cell_lang_entropy": oc.cell_lang_entropy_sql(RES),
         "type_drift_days": oc.type_drift_days_sql(),
         "spend_rate": oc.spend_rate_sql(),
+        "shard_conductance": oc.shard_conductance_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

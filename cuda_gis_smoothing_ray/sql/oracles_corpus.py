@@ -6858,3 +6858,53 @@ SELECT sp.user_id, sp.cents, act.active_us,
     / 1000000.0 AS rate
 FROM sp JOIN act ON act.user_id = sp.user_id
 ORDER BY sp.user_id"""
+
+
+def shard_conductance_sql(comm_mod: int | None = None,
+                          k: int | None = None) -> str:
+    """Oracle of stages/triangles.shard_conductance: arithmetic shard
+    labels (node // ceil(cm/k)), per-shard intra/cut rollups,
+    phi = cut / least(vol, 2m - vol)."""
+    from ..functions import geocode
+    from ..stages import pagerank as pr
+    from ..stages import triangles as tri
+    from .oracles import round6
+
+    cm = comm_mod if comm_mod is not None else tri.COMM_MOD
+    kk = tri.SHARD_K if k is None else k
+    w = (cm + kk - 1) // kk
+    mult, mod = geocode.TLD_MULT, geocode.HOST_MOD
+    nd = "(SELECT count(*) FROM documents)"
+    host = f"((doc_id * {mult}) % {mod}) % {cm}"
+    dhost1 = (f"((((doc_id * {pr.EDGE_MULT} + {pr.EDGE_ADD}) % {nd})"
+              f" * {mult}) % {mod}) % {cm}")
+    dhost2 = (f"((((doc_id * doc_id * {pr.EDGE_MULT2} + {pr.EDGE_ADD2}) % {nd})"
+              f" * {mult}) % {mod}) % {cm}")
+    return f"""WITH e0 AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+    SELECT {host} AS s, {dhost1} AS t FROM documents
+    UNION ALL
+    SELECT {host} AS s, {dhost2} AS t FROM documents
+  ) WHERE s <> t
+), ej AS (
+  SELECT a // {w} AS la, b // {w} AS lb FROM e0
+), per AS (
+  SELECT l, CAST(sum(i) AS BIGINT) AS intra, CAST(sum(c) AS BIGINT) AS cut
+  FROM (
+    SELECT la AS l, 1 AS i, 0 AS c FROM ej WHERE la = lb
+    UNION ALL
+    SELECT la, 0, 1 FROM ej WHERE la <> lb
+    UNION ALL
+    SELECT lb, 0, 1 FROM ej WHERE la <> lb
+  ) GROUP BY l
+), mm AS (
+  SELECT CAST(sum(intra) + sum(cut) // 2 AS BIGINT) AS m FROM per
+)
+SELECT per.l AS shard, 2 * per.intra + per.cut AS vol, per.cut,
+  {round6('CAST(per.cut AS DOUBLE)'
+          ' / CAST(least(2 * per.intra + per.cut,'
+          ' 2 * mm.m - 2 * per.intra - per.cut) AS DOUBLE)')} AS phi
+FROM per, mm
+WHERE least(2 * per.intra + per.cut,
+            2 * mm.m - 2 * per.intra - per.cut) > 0
+ORDER BY shard"""

@@ -1003,3 +1003,78 @@ def k_truss(docs_ds, n_docs: int, k: int = TRUSS_K,
             "u": t.column("a"), "w": t.column("b"),
             "support": t.column("support")}),
         batch_format="pyarrow").sort(["u", "w"])
+
+
+SHARD_K = 8
+
+
+def shard_conductance(docs_ds, n_docs: int, comm_mod: int = COMM_MOD,
+                      k: int = SHARD_K):
+    """documents -> (shard, vol, cut, phi): CONDUCTANCE of the default
+    contiguous range-sharding of the community graph — nodes land on
+    shard ``node // ceil(|V|/k)`` and ``phi = cut / min(vol, 2m - vol)``
+    measures how much edge traffic each shard exchanges with the rest.
+    The graph-PLACEMENT quality readout this engine's own distributed
+    graph ops depend on (a shuffle-heavy superstep pays for every cut
+    edge twice per round); contrast with :func:`graph_modularity`,
+    which scores a structural partition.
+
+    EXACT integers (vol = 2*intra_s + cut_s; m = sum(intra) +
+    sum(cut)/2); one round6 division per shard; shards whose complement
+    holds no edges are skipped (phi undefined — declared).  Scale
+    shape: shard labels are ARITHMETIC (no label join at all), one
+    bounded per-shard reduce."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    full = community_edges(docs_ds, n_docs, comm_mod).materialize()
+    w = (comm_mod + k - 1) // k
+
+    def partials(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        b = batch.column("b").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        la, lb = a // w, b // w
+        same = la == lb
+        lab = np.concatenate([la[same], la[~same], lb[~same]])
+        intra = np.concatenate([np.ones(same.sum(), np.int64),
+                                np.zeros(2 * (~same).sum(), np.int64)])
+        cut = np.concatenate([np.zeros(same.sum(), np.int64),
+                              np.ones(2 * (~same).sum(), np.int64)])
+        uniq, inv = np.unique(lab, return_inverse=True)
+        i_s = np.zeros(len(uniq), np.int64)
+        c_s = np.zeros(len(uniq), np.int64)
+        np.add.at(i_s, inv, intra)
+        np.add.at(c_s, inv, cut)
+        return pa.table({"l": pa.array(uniq), "i": pa.array(i_s),
+                         "c": pa.array(c_s)})
+
+    agg = hash_groupby(
+        full.map_batches(partials, batch_format="pyarrow",
+                         batch_size=None),
+        "l", ["i", "c"], how="isum",
+    ).to_pandas().sort_values("l")
+    intra_t = int(agg["i"].sum())
+    cut_t = int(agg["c"].sum())
+    m = intra_t + cut_t // 2
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    rows = {"shard": [], "vol": [], "cut": [], "phi": []}
+    for rec in agg.itertuples():
+        vol = 2 * int(rec.i) + int(rec.c)
+        den = min(vol, 2 * m - vol)
+        if den <= 0:
+            continue
+        rows["shard"].append(int(rec.l))
+        rows["vol"].append(vol)
+        rows["cut"].append(int(rec.c))
+        rows["phi"].append(r6(float(int(rec.c)) / float(den)))
+    if not rows["shard"]:
+        raise ValueError("shard_conductance: degenerate sharding")
+    return rd.from_arrow(pa.table({
+        "shard": pa.array(rows["shard"], pa.int64()),
+        "vol": pa.array(rows["vol"], pa.int64()),
+        "cut": pa.array(rows["cut"], pa.int64()),
+        "phi": pa.array(rows["phi"], pa.float64()),
+    }))

@@ -376,3 +376,44 @@ def test_k_truss_vs_brute_peel():
     got = {(int(r.u), int(r.w)): int(r.support) for r in out.itertuples()}
     assert got == want
     assert len(got) > 10  # non-vacuous truss survives
+
+
+def test_shard_conductance_vs_brute():
+    """Per-shard vol/cut/phi match a brute-force edge classification."""
+    import numpy as np
+
+    from cuda_gis_smoothing_ray.functions import geocode
+    from cuda_gis_smoothing_ray.stages import pagerank as pr
+    from cuda_gis_smoothing_ray.stages.triangles import (SHARD_K,
+                                                         shard_conductance)
+    from cuda_gis_smoothing_ray.stages.triangles import COMM_MOD
+
+    n = 300
+    d = np.arange(n, dtype=np.int64)
+    cm = COMM_MOD
+    a0 = geocode.host_id(d) % cm
+    b1 = geocode.host_id((d * pr.EDGE_MULT + pr.EDGE_ADD) % n) % cm
+    b2 = geocode.host_id((d * d * pr.EDGE_MULT2 + pr.EDGE_ADD2) % n) % cm
+    pairs = set()
+    for s_, t_ in list(zip(a0, b1)) + list(zip(a0, b2)):
+        if s_ != t_:
+            pairs.add((min(int(s_), int(t_)), max(int(s_), int(t_))))
+    w = (cm + SHARD_K - 1) // SHARD_K
+    intra, cut = {}, {}
+    for u, v in pairs:
+        lu, lv = u // w, v // w
+        if lu == lv:
+            intra[lu] = intra.get(lu, 0) + 1
+        else:
+            cut[lu] = cut.get(lu, 0) + 1
+            cut[lv] = cut.get(lv, 0) + 1
+    m = len(pairs)
+    out = shard_conductance(_docs_ds(n), n_docs=n).to_pandas() \
+        .set_index("shard")
+    for s_ in out.index:
+        vol = 2 * intra.get(s_, 0) + cut.get(s_, 0)
+        assert int(out.loc[s_, "vol"]) == vol
+        assert int(out.loc[s_, "cut"]) == cut.get(s_, 0)
+        den = min(vol, 2 * m - vol)
+        assert abs(float(out.loc[s_, "phi"])
+                   - cut.get(s_, 0) / den) < 1e-6
