@@ -3503,6 +3503,15 @@ def _q_shard_conductance(sf_dir: str):
         read_documents(sf_dir, columns=("doc_id",)), n_docs)
 
 
+def _q_smooth_residuals(sf_dir: str):
+    """Smoothing QA: cells whose |raw - k-ring-smoothed| residual sits
+    in the top decile — micro-quantized exact selection
+    (stages/smooth.smooth_residuals)."""
+    from cuda_gis_smoothing_ray.stages.smooth import smooth_residuals
+
+    return smooth_residuals(_cells(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3704,6 +3713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "type_drift_days": _q_type_drift_days,
         "spend_rate": _q_spend_rate,
         "shard_conductance": _q_shard_conductance,
+        "smooth_residuals": _q_smooth_residuals,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -4026,6 +4036,7 @@ def oracle_sql() -> dict[str, str]:
         "type_drift_days": oc.type_drift_days_sql(),
         "spend_rate": oc.spend_rate_sql(),
         "shard_conductance": oc.shard_conductance_sql(),
+        "smooth_residuals": oc.smooth_residuals_sql(RES),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

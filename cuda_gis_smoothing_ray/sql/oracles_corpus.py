@@ -6908,3 +6908,37 @@ FROM per, mm
 WHERE least(2 * per.intra + per.cut,
             2 * mm.m - 2 * per.intra - per.cut) > 0
 ORDER BY shard"""
+
+
+def smooth_residuals_sql(res: int, k: int = 1, profile: str = "uniform",
+                         pct_num: int = 9, pct_den: int = 10) -> str:
+    """Oracle of stages/smooth.smooth_residuals: the smooth_sql gather
+    tree quantized to micro-units, integer residuals, rank threshold."""
+    from .oracles import offsets_values, prelude
+
+    return f"""{prelude(res)},
+offsets(dq, dr, w) AS (VALUES
+    {offsets_values(k, profile)}),
+sm AS (
+  SELECT c.cell, c.page_count,
+    CAST(floor(sum(n.page_count * o.w) / sum(o.w) * 1e6 + 0.5) AS BIGINT)
+      AS sm_micro
+  FROM cells c
+  CROSS JOIN offsets o
+  JOIN cells n ON n.q = c.q + o.dq AND n.r = c.r + o.dr
+  GROUP BY c.cell, c.page_count
+), resid AS (
+  SELECT cell, page_count,
+    CAST(page_count AS BIGINT) * 1000000 - sm_micro AS rm
+  FROM sm
+), th AS (
+  SELECT abs(rm) AS a, row_number() OVER (ORDER BY abs(rm)) AS rn,
+    count(*) OVER () AS n
+  FROM resid
+), thr AS (
+  SELECT a FROM th WHERE rn = ((n - 1) * {pct_num}) // {pct_den} + 1
+)
+SELECT resid.cell, CAST(resid.page_count AS BIGINT) AS page_count,
+  resid.rm AS resid_micro, CAST(thr.a AS BIGINT) AS thr_micro
+FROM resid, thr WHERE abs(resid.rm) >= thr.a
+ORDER BY resid.cell"""

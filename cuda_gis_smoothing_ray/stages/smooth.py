@@ -401,3 +401,47 @@ def kde_density(cells_ds, value_col: str = "page_count", k: int = 2,
         })
 
     return reduced.map_batches(finalize, batch_format="pyarrow")
+
+
+def smooth_residuals(cells_ds, value_col: str = "page_count", k: int = 1,
+                     profile: str = "uniform", pct_num: int = 9,
+                     pct_den: int = 10):
+    """cell table -> (cell, page_count, resid_micro, thr_micro): the
+    SMOOTHING QA layer — cells whose |raw - smoothed| residual sits in
+    the top decile, i.e. where the k-ring kernel disagrees most with
+    the data (genuine hotspots, sensor glitches, or boundary cells the
+    kernel cannot explain).  The diagnostic a smoothing pipeline ships
+    next to its output.
+
+    EXACT selection: the smoothed mean quantizes ONCE to micro-units
+    (``floor(sm * 1e6 + 0.5)`` — the engine and oracle compute
+    identical IEEE doubles from identical sum trees, observed exact in
+    the K-family gates), so residuals and the rank-``floor((n-1) *
+    9/10)`` threshold compare as integers.  Scale shape: the
+    :func:`smooth_cells` plan plus a driver join/threshold on the
+    bounded cell table."""
+    import ray.data as rd
+
+    sm = smooth_cells(cells_ds, [value_col], k=k, profile=profile) \
+        .to_pandas()
+    raw = cells_ds.to_pandas()
+    j = raw[["cell", value_col]].merge(
+        sm[["cell", f"{value_col}_sm"]], on="cell")
+    pc_i = j[value_col].to_numpy(np.int64)
+    smv = j[f"{value_col}_sm"].to_numpy(np.float64)
+    sm_micro = np.floor(smv * 1e6 + 0.5).astype(np.int64)
+    rm = pc_i * np.int64(10**6) - sm_micro
+    n = len(rm)
+    if n == 0:
+        raise ValueError("smooth_residuals: no cells")
+    a = np.sort(np.abs(rm))
+    thr = int(a[((n - 1) * pct_num) // pct_den])
+    keep = np.abs(rm) >= thr
+    cells = j["cell"].to_numpy(np.int64)
+    order = np.argsort(cells[keep])
+    return rd.from_arrow(pa.table({
+        "cell": pa.array(cells[keep][order]),
+        "page_count": pa.array(pc_i[keep][order]),
+        "resid_micro": pa.array(rm[keep][order]),
+        "thr_micro": pa.array(np.full(int(keep.sum()), thr, np.int64)),
+    }))

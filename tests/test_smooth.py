@@ -234,3 +234,35 @@ def test_hex_gradient_matches_numpy_oracle(ray_session):
     for c, (n, g) in want.items():
         assert got[c][0] == n
         assert got[c][1] == pytest.approx(g, abs=0, rel=0)  # bit-exact
+
+
+def test_smooth_residuals_flags_spike():
+    """A single spiked cell in a flat field carries the largest
+    |raw - smoothed| residual and is always selected."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.functions import hexgrid
+    from cuda_gis_smoothing_ray.stages.smooth import smooth_residuals
+
+    # 5x5 axial block, flat value 10 except a spike of 100 at (2, 2)
+    qs, rs, vals = [], [], []
+    for q in range(5):
+        for r in range(5):
+            qs.append(q)
+            rs.append(r)
+            vals.append(100 if (q, r) == (2, 2) else 10)
+    res = 7
+    cells = (np.int64(res) << np.int64(56)) \
+        + (np.asarray(qs, np.int64) + hexgrid.OFF) * (1 << 28) \
+        + (np.asarray(rs, np.int64) + hexgrid.OFF)
+    ds = rd.from_arrow(pa.table({
+        "cell": pa.array(cells),
+        "page_count": pa.array(vals, pa.int64()),
+    }))
+    out = smooth_residuals(ds).to_pandas()
+    spike_cell = int(cells[2 * 5 + 2])
+    assert spike_cell in set(out["cell"].astype(int))
+    row = out[out["cell"] == spike_cell].iloc[0]
+    assert int(row["resid_micro"]) == out["resid_micro"].abs().max()
