@@ -3512,6 +3512,14 @@ def _q_smooth_residuals(sf_dir: str):
     return smooth_residuals(_cells(sf_dir))
 
 
+def _q_embedding_stats(sf_dir: str):
+    """Embedding-health diagnostics: mean norm + anisotropy |sum x| /
+    sum |x| in exact fixed point (stages/ann.embedding_stats)."""
+    from cuda_gis_smoothing_ray.stages.ann import embedding_stats
+
+    return embedding_stats(sf_dir)
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3714,6 +3722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_rate": _q_spend_rate,
         "shard_conductance": _q_shard_conductance,
         "smooth_residuals": _q_smooth_residuals,
+        "embedding_stats": _q_embedding_stats,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -4037,6 +4046,7 @@ def oracle_sql() -> dict[str, str]:
         "spend_rate": oc.spend_rate_sql(),
         "shard_conductance": oc.shard_conductance_sql(),
         "smooth_residuals": oc.smooth_residuals_sql(RES),
+        "embedding_stats": oc.embedding_stats_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -6942,3 +6942,35 @@ SELECT resid.cell, CAST(resid.page_count AS BIGINT) AS page_count,
   resid.rm AS resid_micro, CAST(thr.a AS BIGINT) AS thr_micro
 FROM resid, thr WHERE abs(resid.rm) >= thr.a
 ORDER BY resid.cell"""
+
+
+def embedding_stats_sql(scale: int | None = None) -> str:
+    """Oracle of stages/ann.embedding_stats: per-vector integer squared
+    norms (one IEEE sqrt each, micro-quantized), HUGEINT mean-vector
+    sum of squares, shared anisotropy tree."""
+    from ..stages import ann
+
+    sc = ann.FISHER_SCALE if scale is None else scale
+    return f"""WITH x AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS j,
+    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {sc} + 0.5)
+         AS HUGEINT) AS v
+  FROM embeddings
+), pern AS (
+  SELECT vec_id,
+    CAST(floor(sqrt(CAST(sum(v * v) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+      AS nm
+  FROM x GROUP BY vec_id
+), dims AS (
+  SELECT j, CAST(sum(v) AS HUGEINT) AS s FROM x GROUP BY j
+), tot AS (
+  SELECT CAST(sum(nm) AS BIGINT) AS snm,
+    (SELECT CAST(count(*) AS BIGINT) FROM pern) AS n,
+    (SELECT CAST(count(*) AS BIGINT) FROM dims) AS dim,
+    (SELECT CAST(sum(s * s) AS HUGEINT) FROM dims) AS ss
+  FROM pern
+)
+SELECT n, dim, snm AS sum_norm_micro,
+  floor(sqrt(CAST(ss AS DOUBLE)) / (CAST(snm AS DOUBLE) / 1e6)
+        * 1000000.0 + 0.5) / 1000000.0 AS anisotropy
+FROM tot"""

@@ -1271,3 +1271,65 @@ def fisher_ratio(sf_dir: str, scale: int = FISHER_SCALE):
         "n_classes": pa.array([len(sums)], pa.int64()),
         "fisher": pa.array([r6(between / within)], pa.float64()),
     }))
+
+
+def embedding_stats(sf_dir: str, scale: int = FISHER_SCALE):
+    """embeddings -> ONE row (n, dim, sum_norm_micro, anisotropy): the
+    embedding-health diagnostics — mean vector norm and ANISOTROPY
+    ``|sum x| / sum |x|`` in [0, 1] (0 = directions cancel/centered,
+    -> 1 = all vectors point one way — the classic "embedding collapse"
+    smell that ruins cosine retrieval).
+
+    EXACT: coordinates quantize once to fixed point; each vector's norm
+    is one IEEE sqrt of an exact integer, quantized to micro-units
+    (order-free integer sum); the mean-vector norm is one sqrt of an
+    exact HUGEINT sum of squares.  Scale shape: dim+1-sized partials
+    per batch, one bounded reduce."""
+    import math
+
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+    from .. import tune_data_context
+    tune_data_context()
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "v": pa.array([], pa.int64())})
+        xq = np.floor(_emb_matrix(batch) * float(scale) + 0.5) \
+            .astype(np.int64)
+        d = xq.shape[1]
+        ssq_row = (xq * xq).sum(axis=1)  # exact int64 (|x| small)
+        norm_micro = np.floor(np.sqrt(ssq_row.astype(np.float64))
+                              * 1e6 + 0.5).astype(np.int64)
+        s = xq.sum(axis=0)
+        keys = list(range(d)) + [d, d + 1]
+        vals = [int(x) for x in s] + [int(norm_micro.sum()), len(xq)]
+        return pa.table({"key": pa.array(keys, pa.int64()),
+                         "v": pa.array(vals, pa.int64())})
+
+    agg = hash_groupby(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "key", ["v"], how="isum",
+    ).to_pandas().sort_values("key")
+    key = agg["key"].to_numpy(np.int64)
+    val = agg["v"].to_numpy(np.int64)
+    d = int(key.max()) - 1
+    S = val[key < d]
+    snm = int(val[key == d][0])
+    n = int(val[key == d + 1][0])
+    if snm == 0:
+        raise ValueError("embedding_stats: all-zero embeddings")
+    ss = sum(int(x) * int(x) for x in S)
+    aniso = math.sqrt(float(ss)) / (float(snm) / 1e6)
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "dim": pa.array([d], pa.int64()),
+        "sum_norm_micro": pa.array([snm], pa.int64()),
+        "anisotropy": pa.array([r6(aniso)], pa.float64()),
+    }))

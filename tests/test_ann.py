@@ -479,3 +479,31 @@ def test_fisher_ratio_separated_vs_mixed(tmp_path):
     mix = fisher_ratio(write(mixed_labels, "mix")).to_pandas()
     assert float(sep["fisher"].iloc[0]) > 100 * float(mix["fisher"].iloc[0])
     assert int(sep["n"].iloc[0]) == 60
+
+
+def test_embedding_stats_anisotropy_bounds(tmp_path):
+    """Identical vectors give anisotropy 1; exact opposite pairs give
+    ~0."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages.ann import embedding_stats
+
+    def write(vecs, name):
+        t = pa.table({
+            "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        })
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(t, d / "embeddings.parquet")
+        return str(d)
+
+    same = [[1.0, 0.0, 0.0, 0.0]] * 8
+    out1 = embedding_stats(write(same, "same")).to_pandas()
+    assert abs(float(out1["anisotropy"].iloc[0]) - 1.0) < 1e-6
+    opp = [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]] * 4
+    out2 = embedding_stats(write(opp, "opp")).to_pandas()
+    assert float(out2["anisotropy"].iloc[0]) < 1e-6
