@@ -3520,6 +3520,14 @@ def _q_embedding_stats(sf_dir: str):
     return embedding_stats(sf_dir)
 
 
+def _q_entry_paths(sf_dir: str):
+    """Entry-path analysis: user groups sharing the same first-3-event
+    sequence (stages/events.entry_paths)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.entry_paths(events.read_events(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3723,6 +3731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shard_conductance": _q_shard_conductance,
         "smooth_residuals": _q_smooth_residuals,
         "embedding_stats": _q_embedding_stats,
+        "entry_paths": _q_entry_paths,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -4047,6 +4056,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_conductance": oc.shard_conductance_sql(),
         "smooth_residuals": oc.smooth_residuals_sql(RES),
         "embedding_stats": oc.embedding_stats_sql(),
+        "entry_paths": oc.entry_paths_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

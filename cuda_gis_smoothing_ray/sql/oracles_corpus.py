@@ -6974,3 +6974,20 @@ SELECT n, dim, snm AS sum_norm_micro,
   floor(sqrt(CAST(ss AS DOUBLE)) / (CAST(snm AS DOUBLE) / 1e6)
         * 1000000.0 + 0.5) / 1000000.0 AS anisotropy
 FROM tot"""
+
+
+def entry_paths_sql(max_len: int = 3, min_users: int = 2) -> str:
+    """Oracle of stages/events.entry_paths: per-user ordered string_agg
+    capped at max_len, path groups with HAVING."""
+    return f"""WITH seq AS (
+  SELECT user_id, event_type,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+), paths AS (
+  SELECT user_id, string_agg(event_type, ',' ORDER BY rn) AS path
+  FROM seq WHERE rn <= {max_len} GROUP BY user_id
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_users,
+  CAST(min(user_id) AS BIGINT) AS min_user
+FROM paths GROUP BY path HAVING count(*) >= {min_users}
+ORDER BY path"""

@@ -3356,3 +3356,44 @@ def spend_rate(ds, window_us: int = ACTIVE_WINDOW_US):
                              "active_us": act, "rate": rate})
 
     return _by_user(ds, solve).sort("user_id")
+
+
+def entry_paths(ds, max_len: int = 3, min_users: int = 2):
+    """events -> (path, n_users, min_user): ENTRY-PATH analysis —
+    groups of users sharing the same first-``max_len`` event-type
+    sequence, the "how do sessions start" funnel-entry report (at
+    max_len = 50 the same op is a behavioral-clone / bot-ring detector;
+    the synthetic streams have no full-length clones, so the gate runs
+    the entry form).
+
+    EXACT strings; groups below ``min_users`` are dropped; the sample
+    member is the smallest user id.  Scale shape: the
+    :func:`user_event_paths` coarse-user solve, then one path-keyed
+    groupby whose min/count partials are mergeable — the path string is
+    the shuffle key (a fingerprint hash replaces it at open-web
+    volume)."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    paths = user_event_paths(ds, max_len=max_len)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "path": batch.column("path"),
+            "u": batch.column("user_id"),
+            "one": pa.array(np.ones(len(batch), np.int64)),
+        })
+
+    agg = (
+        paths.map_batches(tag, batch_format="pyarrow", batch_size=None)
+        .groupby("path")
+        .aggregate(Sum("one", alias_name="n_users"),
+                   Min("u", alias_name="min_user"))
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_users").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(n >= min_users))
+
+    return agg.map_batches(keep, batch_format="pyarrow",
+                           batch_size=None).sort("path")

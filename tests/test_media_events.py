@@ -1163,3 +1163,32 @@ def test_spend_rate_hand():
     assert int(out["cents"].iloc[0]) == 300
     assert int(out["active_us"].iloc[0]) == 360 * 10**6
     assert abs(float(out["rate"].iloc[0]) - 300 / 360) < 1e-6
+
+
+def test_entry_paths_grouping():
+    """Users sharing the first-3 sequence group; short users keep their
+    truncated path; singletons drop."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import entry_paths
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    S = np.timedelta64(10**6, "us")
+    rows = []
+    for u, seq in [(1, "abc"), (2, "abc"), (3, "abd"), (4, "ab"),
+                   (5, "ab")]:
+        for i, ty in enumerate(seq):
+            rows.append((u, i, ty))
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        "ts": pa.array([t0 + r[1] * S for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+    })
+    out = entry_paths(rd.from_arrow(t)).to_pandas().set_index("path")
+    assert int(out.loc["a,b,c", "n_users"]) == 2
+    assert int(out.loc["a,b,c", "min_user"]) == 1
+    assert int(out.loc["a,b", "n_users"]) == 2
+    assert "a,b,d" not in out.index  # singleton dropped
