@@ -3528,6 +3528,14 @@ def _q_entry_paths(sf_dir: str):
     return events.entry_paths(events.read_events(sf_dir))
 
 
+def _q_quality_by_source(sf_dir: str):
+    """Per-source Gopher pass-rate + lift vs the corpus rate
+    (stages/textops.quality_by_source)."""
+    from cuda_gis_smoothing_ray.stages.textops import quality_by_source
+
+    return quality_by_source(_docs(sf_dir, ("doc_id", "text", "source")))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3732,6 +3740,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "smooth_residuals": _q_smooth_residuals,
         "embedding_stats": _q_embedding_stats,
         "entry_paths": _q_entry_paths,
+        "quality_by_source": _q_quality_by_source,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -4057,6 +4066,7 @@ def oracle_sql() -> dict[str, str]:
         "smooth_residuals": oc.smooth_residuals_sql(RES),
         "embedding_stats": oc.embedding_stats_sql(),
         "entry_paths": oc.entry_paths_sql(),
+        "quality_by_source": oc.quality_by_source_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -6991,3 +6991,28 @@ SELECT path, CAST(count(*) AS BIGINT) AS n_users,
   CAST(min(user_id) AS BIGINT) AS min_user
 FROM paths GROUP BY path HAVING count(*) >= {min_users}
 ORDER BY path"""
+
+
+def quality_by_source_sql() -> str:
+    """Oracle of stages/textops.quality_by_source: the gopher_quality
+    chain joined back to the source column, per-source rollup with
+    shared rate/lift trees."""
+    from .oracles import round6
+
+    base = gopher_quality_sql()
+    return f"""WITH gq AS ({base}),
+j AS (
+  SELECT d.source, CASE WHEN gq.passes THEN 1 ELSE 0 END AS p
+  FROM gq JOIN documents d ON d.doc_id = gq.doc_id
+), agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(p) AS BIGINT) AS np FROM j GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(np) AS BIGINT) AS pp
+  FROM agg
+)
+SELECT agg.source, agg.n, agg.np AS n_pass,
+  {round6('CAST(agg.np AS DOUBLE) / CAST(agg.n AS DOUBLE)')} AS rate,
+  {round6('(CAST(agg.np AS DOUBLE) / CAST(agg.n AS DOUBLE))'
+          ' / (CAST(tot.pp AS DOUBLE) / CAST(tot.nn AS DOUBLE))')} AS lift
+FROM agg, tot ORDER BY agg.source"""

@@ -4840,3 +4840,65 @@ def containment_pairs(ds, threshold: float = 0.9,
         .groupby("part")
         .map_groups(reduce_part)
     )
+
+
+def quality_by_source(ds):
+    """documents -> (source, n, n_pass, rate, lift): the per-source
+    GOPHER pass-rate report with lift against the corpus-wide rate —
+    WHICH feed ships the junk, the triage view over the per-doc
+    :func:`gopher_quality` flags (a source with lift << 1 gets its
+    crawler inspected, not its documents).
+
+    EXACT counts; rate and lift are two shared float trees (lift =
+    per-source rate / global rate), round6.  Scale shape: the zero-
+    shuffle gopher scan with the source column carried, one bounded
+    source reduce."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64()),
+                             "p": pa.array([], pa.int64())})
+        _, _, _, passes = _gopher_metrics(batch.column("text"))
+        df = pd.DataFrame({
+            "source": batch.column("source").to_pylist(),
+            "p": passes.astype(np.int64),
+        })
+        g = df.groupby("source", sort=False).agg(
+            n=("p", "size"), p=("p", "sum")).reset_index()
+        return pa.table({"source": pa.array(g["source"], pa.string()),
+                         "n": pa.array(g["n"].to_numpy(np.int64)),
+                         "p": pa.array(g["p"].to_numpy(np.int64))})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("n", alias_name="n"), Sum("p", alias_name="p"))
+    ).to_pandas().sort_values("source")
+    if agg.empty:
+        raise ValueError("quality_by_source: no documents")
+    N = int(agg["n"].sum())
+    P = int(agg["p"].sum())
+    if P == 0:
+        raise ValueError("quality_by_source: nothing passes globally")
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    rows = {"source": [], "n": [], "n_pass": [], "rate": [], "lift": []}
+    for rec in agg.itertuples():
+        n, p = int(rec.n), int(rec.p)
+        rate = float(p) / float(n)
+        lift = rate / (float(P) / float(N))
+        rows["source"].append(rec.source)
+        rows["n"].append(n)
+        rows["n_pass"].append(p)
+        rows["rate"].append(r6(rate))
+        rows["lift"].append(r6(lift))
+    return rd.from_arrow(pa.table({
+        "source": pa.array(rows["source"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "n_pass": pa.array(rows["n_pass"], pa.int64()),
+        "rate": pa.array(rows["rate"], pa.float64()),
+        "lift": pa.array(rows["lift"], pa.float64()),
+    }))

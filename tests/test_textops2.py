@@ -895,3 +895,26 @@ def test_containment_pairs_subset_dup():
     assert len(out) == 1
     assert (int(out["a"].iloc[0]), int(out["b"].iloc[0])) == (1, 2)
     assert float(out["containment"].iloc[0]) == 1.0
+
+
+def test_quality_by_source_lift():
+    """A source of junk docs gets lift < 1; a clean source > 1; global
+    rate anchors the lift."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import quality_by_source
+
+    good = ("the of and " + " ".join(f"w{i}" for i in range(60)))
+    junk = "x"  # word count far below the Gopher floor
+    t = pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": pa.array([good, good, good, good, junk, junk]),
+        "source": pa.array(["clean"] * 4 + ["junky"] * 2),
+    })
+    out = quality_by_source(rd.from_arrow(t)).to_pandas() \
+        .set_index("source")
+    assert int(out.loc["clean", "n_pass"]) == 4
+    assert int(out.loc["junky", "n_pass"]) == 0
+    assert float(out.loc["clean", "lift"]) > 1.0
+    assert float(out.loc["junky", "lift"]) == 0.0
