@@ -905,7 +905,8 @@ def test_quality_by_source_lift():
 
     from cuda_gis_smoothing_ray.stages.textops import quality_by_source
 
-    good = ("the of and " + " ".join(f"word{i:03d}" for i in range(60)))
+    # corpus-dialect stopwords: GOPHER_STOPWORDS in this engine
+    good = ("batch small scan " + " ".join(f"word{i:03d}" for i in range(60)))
     junk = "x"  # word count far below the Gopher floor
     t = pa.table({
         "doc_id": pa.array(list(range(6)), pa.int64()),
