@@ -3536,6 +3536,14 @@ def _q_quality_by_source(sf_dir: str):
     return quality_by_source(_docs(sf_dir, ("doc_id", "text", "source")))
 
 
+def _q_weekend_lift(sf_dir: str):
+    """Weekend-behavior lift per event type, day-count normalized over
+    the dense range (stages/events.weekend_lift)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.weekend_lift(events.read_events(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3741,6 +3749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_stats": _q_embedding_stats,
         "entry_paths": _q_entry_paths,
         "quality_by_source": _q_quality_by_source,
+        "weekend_lift": _q_weekend_lift,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -4067,6 +4076,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_stats": oc.embedding_stats_sql(),
         "entry_paths": oc.entry_paths_sql(),
         "quality_by_source": oc.quality_by_source_sql(),
+        "weekend_lift": oc.weekend_lift_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -7016,3 +7016,37 @@ SELECT agg.source, agg.n, agg.np AS n_pass,
   {round6('(CAST(agg.np AS DOUBLE) / CAST(agg.n AS DOUBLE))'
           ' / (CAST(tot.pp AS DOUBLE) / CAST(tot.nn AS DOUBLE))')} AS lift
 FROM agg, tot ORDER BY agg.source"""
+
+
+def weekend_lift_sql() -> str:
+    """Oracle of stages/events.weekend_lift: (epoch_day + 3) % 7
+    weekday convention, dense day-range denominators, shared lift
+    tree."""
+    from .oracles import round6
+
+    return f"""WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS d FROM events
+), rng AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM ev
+), days AS (
+  SELECT unnest(generate_series((SELECT lo FROM rng),
+                                (SELECT hi FROM rng))) AS d
+), dk AS (
+  SELECT CAST(sum(CASE WHEN (d + 3) % 7 >= 5 THEN 1 ELSE 0 END)
+              AS BIGINT) AS we_days,
+    CAST(sum(CASE WHEN (d + 3) % 7 >= 5 THEN 0 ELSE 1 END) AS BIGINT)
+      AS wd_days
+  FROM days
+), ct AS (
+  SELECT event_type,
+    CAST(sum(CASE WHEN (d + 3) % 7 >= 5 THEN 0 ELSE 1 END) AS BIGINT)
+      AS n_weekday,
+    CAST(sum(CASE WHEN (d + 3) % 7 >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_weekend
+  FROM ev GROUP BY event_type
+)
+SELECT ct.event_type, ct.n_weekday, ct.n_weekend,
+  {round6('(CAST(ct.n_weekend AS DOUBLE) / CAST(dk.we_days AS DOUBLE))'
+          ' / (CAST(ct.n_weekday AS DOUBLE) / CAST(dk.wd_days AS DOUBLE))')}
+    AS lift
+FROM ct, dk ORDER BY ct.event_type"""

@@ -3397,3 +3397,73 @@ def entry_paths(ds, max_len: int = 3, min_users: int = 2):
 
     return agg.map_batches(keep, batch_format="pyarrow",
                            batch_size=None).sort("path")
+
+
+def weekend_lift(ds):
+    """events -> (event_type, n_weekday, n_weekend, lift): the
+    WEEKEND-BEHAVIOR lift per event type — weekend events-per-day over
+    weekday events-per-day (normalized by how many weekend/weekday
+    CALENDAR DAYS the observed range contains, so a Saturday-launch
+    crawl cannot fake a weekend effect).  The day-of-week seasonality
+    readout next to :func:`seasonality_profile`'s hour-of-day.
+
+    EXACT: ``dow = (epoch_day + 3) % 7`` (Monday = 0 — pure integer,
+    identical on both engines), weekend = dow >= 5; day denominators
+    come from the dense day range.  One round6 division chain per type.
+    Scale shape: one bounded (type, is_weekend) reduce + one day-range
+    scalar reduce."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        we = ((d + 3) % 7 >= 5).astype(np.int64)
+        df = pd.DataFrame({"event_type": et, "we": we,
+                           "dlo": d, "dhi": d})
+        g = df.groupby(["event_type", "we"], sort=False).agg(
+            n=("we", "size"), dlo=("dlo", "min"), dhi=("dhi", "max")) \
+            .reset_index()
+        return pa.table({
+            "event_type": pa.array(g["event_type"], pa.string()),
+            "we": pa.array(g["we"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "dlo": pa.array(g["dlo"].to_numpy(np.int64)),
+            "dhi": pa.array(g["dhi"].to_numpy(np.int64)),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "we"])
+        .aggregate(Sum("n", alias_name="n"), Min("dlo", alias_name="dlo"),
+                   Max("dhi", alias_name="dhi"))
+    ).to_pandas()
+    if agg.empty:
+        raise ValueError("weekend_lift: no events")
+    lo, hi = int(agg["dlo"].min()), int(agg["dhi"].max())
+    days = np.arange(lo, hi + 1)
+    n_we_days = int(((days + 3) % 7 >= 5).sum())
+    n_wd_days = len(days) - n_we_days
+    if n_we_days == 0 or n_wd_days == 0:
+        raise ValueError("weekend_lift: range lacks both day kinds")
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    rows = {"event_type": [], "n_weekday": [], "n_weekend": [], "lift": []}
+    for et, grp in agg.groupby("event_type", sort=True):
+        nwd = int(grp.loc[grp["we"] == 0, "n"].sum())
+        nwe = int(grp.loc[grp["we"] == 1, "n"].sum())
+        if nwd == 0:
+            raise ValueError(f"weekend_lift: no weekday events for {et}")
+        lift = (float(nwe) / float(n_we_days)) \
+            / (float(nwd) / float(n_wd_days))
+        rows["event_type"].append(et)
+        rows["n_weekday"].append(nwd)
+        rows["n_weekend"].append(nwe)
+        rows["lift"].append(r6(lift))
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array(rows["event_type"], pa.string()),
+        "n_weekday": pa.array(rows["n_weekday"], pa.int64()),
+        "n_weekend": pa.array(rows["n_weekend"], pa.int64()),
+        "lift": pa.array(rows["lift"], pa.float64()),
+    }))

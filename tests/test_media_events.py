@@ -1192,3 +1192,28 @@ def test_entry_paths_grouping():
     assert int(out.loc["a,b,c", "min_user"]) == 1
     assert int(out.loc["a,b", "n_users"]) == 2
     assert "a,b,d" not in out.index  # singleton dropped
+
+
+def test_weekend_lift_normalization():
+    """A type with equal per-day intensity has lift 1 even when the
+    range holds more weekdays than weekend days."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import weekend_lift
+
+    # 1970-01-05 is a Monday (epoch day 4). Days 4..10 = Mon..Sun.
+    DAY = np.timedelta64(24 * 3600 * 10**6, "us")
+    t0 = np.datetime64("1970-01-05T00:00:00", "us")
+    ts, types = [], []
+    for d in range(7):  # 2 events per day, every day
+        for _ in range(2):
+            ts.append(t0 + d * DAY)
+            types.append("a")
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                  "event_type": pa.array(types)})
+    out = weekend_lift(rd.from_arrow(t)).to_pandas()
+    assert int(out["n_weekday"].iloc[0]) == 10
+    assert int(out["n_weekend"].iloc[0]) == 4
+    assert float(out["lift"].iloc[0]) == 1.0
