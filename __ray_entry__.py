@@ -3544,6 +3544,15 @@ def _q_weekend_lift(sf_dir: str):
     return events.weekend_lift(events.read_events(sf_dir))
 
 
+def _q_spend_outliers(sf_dir: str):
+    """Self-normalized spend anomalies: events > 3 sigma above the same
+    user's history — pure-integer cross-multiplied test
+    (stages/events.spend_outliers)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.spend_outliers(events.read_events(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3750,6 +3759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entry_paths": _q_entry_paths,
         "quality_by_source": _q_quality_by_source,
         "weekend_lift": _q_weekend_lift,
+        "spend_outliers": _q_spend_outliers,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -4077,6 +4087,7 @@ def oracle_sql() -> dict[str, str]:
         "entry_paths": oc.entry_paths_sql(),
         "quality_by_source": oc.quality_by_source_sql(),
         "weekend_lift": oc.weekend_lift_sql(),
+        "spend_outliers": oc.spend_outliers_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -7050,3 +7050,28 @@ SELECT ct.event_type, ct.n_weekday, ct.n_weekend,
           ' / (CAST(ct.n_weekday AS DOUBLE) / CAST(dk.wd_days AS DOUBLE))')}
     AS lift
 FROM ct, dk ORDER BY ct.event_type"""
+
+
+def spend_outliers_sql(k: int | None = None) -> str:
+    """Oracle of stages/events.spend_outliers: per-user HUGEINT window
+    moments, the identical cross-multiplied integer condition."""
+    from ..stages import events as ev
+
+    kk = ev.OUTLIER_SIGMAS if k is None else k
+    return f"""WITH c AS (
+  SELECT event_id, user_id,
+    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+), m AS (
+  SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+    CAST(sum(cents) AS HUGEINT) AS s1,
+    CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS s2
+  FROM c GROUP BY user_id
+)
+SELECT c.event_id, c.user_id, c.cents
+FROM c JOIN m ON m.user_id = c.user_id
+WHERE m.n >= 2
+  AND m.n * c.cents - m.s1 > 0
+  AND (m.n * c.cents - m.s1) * (m.n * c.cents - m.s1)
+      > {kk * kk} * (m.n * m.s2 - m.s1 * m.s1)
+ORDER BY c.event_id"""

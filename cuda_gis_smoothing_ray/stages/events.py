@@ -3467,3 +3467,42 @@ def weekend_lift(ds):
         "n_weekend": pa.array(rows["n_weekend"], pa.int64()),
         "lift": pa.array(rows["lift"], pa.float64()),
     }))
+
+
+OUTLIER_SIGMAS = 3
+
+
+def spend_outliers(ds, k: int = OUTLIER_SIGMAS):
+    """events -> (event_id, user_id, cents): events whose value sits
+    more than ``k`` standard deviations ABOVE the same user's own
+    spending history — the self-normalized fraud/anomaly flag (a $100
+    event is an outlier for a $1 user and routine for a whale; global
+    thresholds can't see that).
+
+    PURE-INTEGER test, no float ever: with per-user moments (n, S1,
+    S2), ``z > k`` is the cross-multiplied
+    ``n*x - S1 > 0 AND (n*x - S1)^2 > k^2 * (n*S2 - S1^2)`` — exact at
+    any scale (the :func:`burst_hours` discipline per user).  Users
+    with n < 2 never flag.  Scale shape: the shared coarse user
+    shuffle; moments and flags happen in the same segmented pass."""
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        cents = np.floor(df["value"].to_numpy() * 100.0 + 0.5) \
+            .astype(np.int64)
+        order = np.argsort(uid, kind="stable")
+        uid, eid, cents = uid[order], eid[order], cents[order]
+        uu, inv = np.unique(uid, return_inverse=True)
+        n = np.bincount(inv, minlength=len(uu)).astype(object)
+        s1 = np.zeros(len(uu), dtype=object)
+        s2 = np.zeros(len(uu), dtype=object)
+        np.add.at(s1, inv, cents.astype(object))
+        np.add.at(s2, inv, cents.astype(object) * cents.astype(object))
+        dev = n[inv] * cents.astype(object) - s1[inv]
+        var_n = n[inv] * s2[inv] - s1[inv] * s1[inv]
+        flag = (n[inv] >= 2) & (dev > 0) & (dev * dev > k * k * var_n)
+        flag = flag.astype(bool)
+        return pd.DataFrame({"event_id": eid[flag], "user_id": uid[flag],
+                             "cents": cents[flag]})
+
+    return _by_user(ds, solve).sort("event_id")

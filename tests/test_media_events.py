@@ -1217,3 +1217,29 @@ def test_weekend_lift_normalization():
     assert int(out["n_weekday"].iloc[0]) == 10
     assert int(out["n_weekend"].iloc[0]) == 4
     assert float(out["lift"].iloc[0]) == 1.0
+
+
+def test_spend_outliers_self_normalized():
+    """A $100 event flags for a $1-spender but not for a whale whose
+    history makes it routine."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import spend_outliers
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = []
+    # user 1: 9 small + one 100 -> outlier
+    rows += [(1, i, 1.0) for i in range(9)] + [(1, 9, 100.0)]
+    # user 2: values 90..109 -> 100 is routine
+    rows += [(2, 10 + i, 90.0 + i) for i in range(20)]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_id": pa.array([r[1] for r in rows], pa.int64()),
+        "ts": pa.array([t0] * len(rows), pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    out = spend_outliers(rd.from_arrow(t)).to_pandas()
+    assert out["event_id"].tolist() == [9]
+    assert int(out["cents"].iloc[0]) == 10000
