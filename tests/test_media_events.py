@@ -1230,10 +1230,11 @@ def test_spend_outliers_self_normalized():
 
     t0 = np.datetime64("2024-01-01T00:00:00", "us")
     rows = []
-    # user 1: 9 small + one 100 -> outlier
-    rows += [(1, i, 1.0) for i in range(9)] + [(1, 9, 100.0)]
+    # user 1: 20 small + one 100 -> outlier (note: a lone spike among
+    # n equal values has z^2 = n-1 exactly, so n must exceed k^2+1)
+    rows += [(1, i, 1.0) for i in range(20)] + [(1, 20, 100.0)]
     # user 2: values 90..109 -> 100 is routine
-    rows += [(2, 10 + i, 90.0 + i) for i in range(20)]
+    rows += [(2, 30 + i, 90.0 + i) for i in range(20)]
     t = pa.table({
         "user_id": pa.array([r[0] for r in rows], pa.int64()),
         "event_id": pa.array([r[1] for r in rows], pa.int64()),
@@ -1241,5 +1242,5 @@ def test_spend_outliers_self_normalized():
         "value": pa.array([r[2] for r in rows], pa.float64()),
     })
     out = spend_outliers(rd.from_arrow(t)).to_pandas()
-    assert out["event_id"].tolist() == [9]
+    assert out["event_id"].tolist() == [20]
     assert int(out["cents"].iloc[0]) == 10000
