@@ -3553,6 +3553,15 @@ def _q_spend_outliers(sf_dir: str):
     return events.spend_outliers(events.read_events(sf_dir))
 
 
+def _q_silhouette_lite(sf_dir: str):
+    """Centroid silhouette of the k-means partition (per-vector s
+    quantized once, per-cluster integer sums)
+    (stages/ann.silhouette_lite)."""
+    from cuda_gis_smoothing_ray.stages.ann import silhouette_lite
+
+    return silhouette_lite(sf_dir)
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3760,6 +3769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_by_source": _q_quality_by_source,
         "weekend_lift": _q_weekend_lift,
         "spend_outliers": _q_spend_outliers,
+        "silhouette_lite": _q_silhouette_lite,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -4088,6 +4098,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_by_source": oc.quality_by_source_sql(),
         "weekend_lift": oc.weekend_lift_sql(),
         "spend_outliers": oc.spend_outliers_sql(),
+        "silhouette_lite": oc.silhouette_lite_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -7075,3 +7075,66 @@ WHERE m.n >= 2
   AND (m.n * c.cents - m.s1) * (m.n * c.cents - m.s1)
       > {kk * kk} * (m.n * m.s2 - m.s1 * m.s1)
 ORDER BY c.event_id"""
+
+
+def silhouette_lite_sql(k: int | None = None, iters: int | None = None,
+                        dim: int = 64) -> str:
+    """Oracle of stages/ann.silhouette_lite: the kmeans Lloyd chain,
+    rank-1/rank-2 centroid distances per vector ((d, k) ties), the
+    identical per-vector quantized s, per-cluster integer sums."""
+    from ..stages import ann
+
+    k = k if k is not None else ann.KMEANS_K
+    iters = iters if iters is not None else ann.KMEANS_ITERS
+    scale = ann.CENTROID_SCALE
+    fdiv = ("CASE WHEN s.sq >= 0 THEN s.sq // s.cnt "
+            "ELSE -((-s.sq + s.cnt - 1) // s.cnt) END")
+    steps = []
+    prev = "c0"
+    for t in range(1, iters + 1):
+        steps.append(f"""d{t} AS MATERIALIZED (
+  SELECT ev.v, c.k, sum((ev.q - c.val) * (ev.q - c.val)) AS d
+  FROM ev JOIN {prev} c ON ev.j = c.j GROUP BY ev.v, c.k
+), a{t} AS MATERIALIZED (
+  SELECT v, k FROM (
+    SELECT v, k, row_number() OVER (PARTITION BY v ORDER BY d, k) AS rn
+    FROM d{t}
+  ) WHERE rn = 1
+), s{t} AS MATERIALIZED (
+  SELECT a.k, ev.j, sum(ev.q) AS sq, count(*) AS cnt
+  FROM ev JOIN a{t} a ON ev.v = a.v GROUP BY a.k, ev.j
+), c{t} AS MATERIALIZED (
+  SELECT c.k, c.j, CAST(coalesce({fdiv}, c.val) AS BIGINT) AS val
+  FROM {prev} c LEFT JOIN s{t} s ON c.k = s.k AND c.j = s.j
+)""")
+        prev = f"c{t}"
+    chain = ",\n".join(steps)
+    return f"""WITH ev AS MATERIALIZED (
+  SELECT vec_id AS v, i - 1 AS j,
+    CAST(floor(CAST(embedding[i] AS DOUBLE) * {scale} + 0.5) AS BIGINT) AS q
+  FROM embeddings, unnest(generate_series(1, {dim})) AS s(i)
+), c0 AS MATERIALIZED (
+  SELECT v AS k, j, q AS val FROM ev WHERE v < {k}
+),
+{chain},
+dF AS MATERIALIZED (
+  SELECT ev.v, c.k, sum((ev.q - c.val) * (ev.q - c.val)) AS d
+  FROM ev JOIN {prev} c ON ev.j = c.j GROUP BY ev.v, c.k
+), rk AS (
+  SELECT v, k, d, row_number() OVER (PARTITION BY v ORDER BY d, k) AS rn
+  FROM dF
+), pv AS (
+  SELECT r1.v, r1.k AS cluster,
+    CASE WHEN r2.d = 0 THEN CAST(0 AS BIGINT)
+         ELSE CAST(floor((1 - sqrt(CAST(r1.d AS DOUBLE))
+                          / sqrt(CAST(r2.d AS DOUBLE))) * 1e6 + 0.5)
+              AS BIGINT) END AS sm
+  FROM rk r1 JOIN rk r2 ON r2.v = r1.v AND r2.rn = 2
+  WHERE r1.rn = 1
+)
+SELECT CAST(cluster AS BIGINT) AS cluster,
+  CAST(count(*) AS BIGINT) AS n,
+  CAST(sum(sm) AS BIGINT) AS s_sum_micro,
+  floor(CAST(sum(sm) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
+        * 1000000.0 + 0.5) / 1000000.0 AS mean_s
+FROM pv GROUP BY cluster ORDER BY cluster"""

@@ -1333,3 +1333,72 @@ def embedding_stats(sf_dir: str, scale: int = FISHER_SCALE):
         "sum_norm_micro": pa.array([snm], pa.int64()),
         "anisotropy": pa.array([r6(aniso)], pa.float64()),
     }))
+
+
+def silhouette_lite(sf_dir: str, k: int = KMEANS_K,
+                    iters: int = KMEANS_ITERS):
+    """embeddings -> (cluster, n, s_sum_micro, mean_s): the CENTROID
+    SILHOUETTE of the k-means partition — per vector ``s = 1 -
+    d(own centroid) / d(2nd-nearest centroid)`` in [0, 1] (the
+    simplified silhouette; full silhouette's pairwise distances replace
+    centroid distances), averaged per cluster.  The geometric
+    cluster-quality readout next to :func:`kmeans_inertia`'s variance
+    one: low mean_s = clusters touch.
+
+    EXACT aggregation: squared centroid distances are exact ints,
+    ``s`` quantizes ONCE per vector (two IEEE sqrts, one division), the
+    per-cluster sums are order-free integers; one round6 mean per
+    cluster.  Tie discipline: nearest/2nd-nearest by (d, k) — ties give
+    s = 0 on both engines.  Scale shape: the Lloyd sweeps + ONE extra
+    streaming pass with k x dim broadcast."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .. import tune_data_context
+    tune_data_context()
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    cent = _kmeans_centroids(ds, k, iters)
+    ref = ray.put(cent)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        C = ray.get(ref)
+        Q = np.floor(_emb_matrix(batch) * CENTROID_SCALE + 0.5) \
+            .astype(np.int64)
+        d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1, kind="stable")  # ties -> lowest k
+        own = order[:, 0]
+        a2 = np.take_along_axis(d2, order[:, :1], axis=1)[:, 0]
+        b2 = np.take_along_axis(d2, order[:, 1:2], axis=1)[:, 0]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = 1.0 - np.sqrt(a2.astype(np.float64)) \
+                / np.sqrt(b2.astype(np.float64))
+        s = np.where(b2 == 0, 0.0, s)  # degenerate duplicate centroids
+        sm = np.floor(s * 1e6 + 0.5).astype(np.int64)
+        cl = np.zeros(k, np.int64)
+        tot = np.zeros(k, np.int64)
+        np.add.at(cl, own, 1)
+        np.add.at(tot, own, sm)
+        return pa.table({
+            "cluster": pa.array(np.arange(k, dtype=np.int64)),
+            "n": pa.array(cl),
+            "s": pa.array(tot),
+        })
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("cluster")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+    ).to_pandas().sort_values("cluster")
+    agg = agg[agg["n"] > 0]
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    means = [r6(float(int(s)) / float(int(n)) / 1e6)
+             for s, n in zip(agg["s"], agg["n"])]
+    return rd.from_arrow(pa.table({
+        "cluster": pa.array(agg["cluster"].to_numpy(np.int64)),
+        "n": pa.array(agg["n"].to_numpy(np.int64)),
+        "s_sum_micro": pa.array(agg["s"].to_numpy(np.int64)),
+        "mean_s": pa.array(means, pa.float64()),
+    }))

@@ -507,3 +507,30 @@ def test_embedding_stats_anisotropy_bounds(tmp_path):
     opp = [[1.0, 0.0, 0.0, 0.0], [-1.0, 0.0, 0.0, 0.0]] * 4
     out2 = embedding_stats(write(opp, "opp")).to_pandas()
     assert float(out2["anisotropy"].iloc[0]) < 1e-6
+
+
+def test_silhouette_lite_separated_clusters(tmp_path):
+    """Two well-separated blobs with seed vectors in each give mean_s
+    near 1 for both clusters."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages.ann import silhouette_lite
+
+    rng = np.random.default_rng(11)
+    a = rng.normal(5.0, 0.05, (20, 4)).astype(np.float32)
+    b = rng.normal(-5.0, 0.05, (20, 4)).astype(np.float32)
+    # vec_ids 0 and 1 must live in DIFFERENT blobs (they seed k-means)
+    vecs = np.empty((40, 4), np.float32)
+    vecs[0], vecs[1] = a[0], b[0]
+    vecs[2:21], vecs[21:] = a[1:], b[1:]
+    t = pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    out = silhouette_lite(str(tmp_path), k=2, iters=3).to_pandas()
+    assert len(out) == 2
+    assert (out["mean_s"] > 0.9).all()
