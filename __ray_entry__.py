@@ -3562,6 +3562,15 @@ def _q_silhouette_lite(sf_dir: str):
     return silhouette_lite(sf_dir)
 
 
+def _q_kendall_tau(sf_dir: str):
+    """Kendall's tau-b between chars and tokens per doc: exact
+    concordance counts off the joint value histogram
+    (stages/sketch.kendall_tau)."""
+    from cuda_gis_smoothing_ray.stages.sketch import kendall_tau
+
+    return kendall_tau(_docs(sf_dir, ("doc_id", "text", "n_chars")))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3770,6 +3779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekend_lift": _q_weekend_lift,
         "spend_outliers": _q_spend_outliers,
         "silhouette_lite": _q_silhouette_lite,
+        "kendall_tau": _q_kendall_tau,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -4099,6 +4109,7 @@ def oracle_sql() -> dict[str, str]:
         "weekend_lift": oc.weekend_lift_sql(),
         "spend_outliers": oc.spend_outliers_sql(),
         "silhouette_lite": oc.silhouette_lite_sql(),
+        "kendall_tau": oc.kendall_tau_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -7138,3 +7138,40 @@ SELECT CAST(cluster AS BIGINT) AS cluster,
   floor(CAST(sum(sm) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6
         * 1000000.0 + 0.5) / 1000000.0 AS mean_s
 FROM pv GROUP BY cluster ORDER BY cluster"""
+
+
+def kendall_tau_sql() -> str:
+    """Oracle of stages/sketch.kendall_tau: all-pairs concordance over
+    the (chars, tokens) pairs, HUGEINT tie corrections, shared sqrt
+    tree."""
+    from .oracles import round6
+
+    return f"""WITH t AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS x,
+    CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                         s -> s <> '')) AS BIGINT) AS y
+  FROM documents
+), pairs AS (
+  SELECT CAST(sum(CASE WHEN (b.x > a.x AND b.y > a.y)
+                         OR (b.x < a.x AND b.y < a.y)
+                       THEN 1 ELSE 0 END) AS HUGEINT) AS c,
+    CAST(sum(CASE WHEN (b.x > a.x AND b.y < a.y)
+                    OR (b.x < a.x AND b.y > a.y)
+                  THEN 1 ELSE 0 END) AS HUGEINT) AS d
+  FROM t a JOIN t b ON b.doc_id > a.doc_id
+), nn AS (
+  SELECT CAST(count(*) AS HUGEINT) AS n FROM t
+), n1 AS (
+  SELECT CAST(sum(c * (c - 1) // 2) AS HUGEINT) AS v FROM (
+    SELECT CAST(count(*) AS HUGEINT) AS c FROM t GROUP BY x)
+), n2 AS (
+  SELECT CAST(sum(c * (c - 1) // 2) AS HUGEINT) AS v FROM (
+    SELECT CAST(count(*) AS HUGEINT) AS c FROM t GROUP BY y)
+)
+SELECT CAST(nn.n AS BIGINT) AS n, CAST(pairs.c AS BIGINT) AS nc,
+  CAST(pairs.d AS BIGINT) AS nd,
+  {round6("CAST(pairs.c - pairs.d AS DOUBLE)"
+          " / (sqrt(CAST(nn.n * (nn.n - 1) // 2 - n1.v AS DOUBLE))"
+          " * sqrt(CAST(nn.n * (nn.n - 1) // 2 - n2.v AS DOUBLE)))")}
+    AS tau_b
+FROM pairs, nn, n1, n2"""

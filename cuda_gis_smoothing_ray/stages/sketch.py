@@ -1906,3 +1906,78 @@ def anova_eta(ds, group_col: str = "lang", value_col: str = "n_chars"):
         "f_stat": pa.array([r6(f)], pa.float64()),
         "eta2": pa.array([r6(ssb / sst)], pa.float64()),
     }))
+
+
+def kendall_tau(docs_ds):
+    """documents -> ONE row (n, nc, nd, tau_b): KENDALL'S TAU-B between
+    per-doc characters and whitespace tokens — the third member of the
+    correlation family (:func:`~.sketch.grouped_corr` Pearson,
+    :func:`spearman_corr` ranks, this one concordance), preferred when
+    ties are heavy because tau-b corrects both margins.
+
+    EXACT: concordant/discordant pair counts come from the JOINT value
+    histogram — for cell pairs, C += m1*m2 when both coordinates agree
+    in direction, D += m1*m2 when they oppose (an O(cells^2) driver scan
+    over the bounded histogram; at open-web volume the values quantize
+    into bounded bins first).  Tie corrections n1 = sum t_x(t_x-1)/2,
+    n2 likewise are integers; ``tau_b = (C - D) / (sqrt(n0 - n1) *
+    sqrt(n0 - n2))`` is one shared float tree.  Scale shape: one
+    bounded joint-histogram shuffle."""
+    import math
+
+    import pandas as pd
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    def joint(batch: pa.Table) -> pa.Table:
+        chars = batch.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.flatten()
+        n_words = split.value_lengths().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        row = np.repeat(np.arange(len(batch), dtype=np.int64), n_words)
+        nonempty = pc_.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = np.bincount(row[nonempty],
+                           minlength=len(batch)).astype(np.int64)
+        key = chars * np.int64(1 << 20) + toks
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uniq),
+                         "m": pa.array(cnt.astype(np.int64))})
+
+    hist = hash_groupby(
+        docs_ds.map_batches(joint, batch_format="pyarrow"),
+        "key", ["m"], how="isum",
+    ).to_pandas()
+    key = hist["key"].to_numpy(np.int64)
+    m = hist["m"].to_numpy(np.int64)
+    x = key >> np.int64(20)
+    y = key & np.int64((1 << 20) - 1)
+    n = int(m.sum())
+    C = D = 0
+    for i in range(len(key)):
+        gx = x > x[i]
+        c = int((m[i] * m[(gx) & (y > y[i])]).sum())
+        d = int((m[i] * m[(gx) & (y < y[i])]).sum())
+        C += c
+        D += d
+    n0 = n * (n - 1) // 2
+    tx = pd.Series(m).groupby(pd.Series(x)).sum().to_numpy()
+    ty = pd.Series(m).groupby(pd.Series(y)).sum().to_numpy()
+    n1 = sum(int(t) * (int(t) - 1) // 2 for t in tx)
+    n2 = sum(int(t) * (int(t) - 1) // 2 for t in ty)
+    if n0 == n1 or n0 == n2:
+        raise ValueError("kendall_tau: a margin is constant")
+    tau = float(C - D) / (math.sqrt(float(n0 - n1))
+                          * math.sqrt(float(n0 - n2)))
+    r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
+    return rd.from_arrow(pa.table({
+        "n": pa.array([n], pa.int64()),
+        "nc": pa.array([C], pa.int64()),
+        "nd": pa.array([D], pa.int64()),
+        "tau_b": pa.array([r6(tau)], pa.float64()),
+    }))

@@ -692,3 +692,37 @@ def test_anova_eta_textbook():
     f = (ssb / (k - 1)) / (ssw / (n - k))
     assert abs(float(out["f_stat"].iloc[0]) - f) < 1e-5
     assert abs(float(out["eta2"].iloc[0]) - ssb / (ssb + ssw)) < 1e-6
+
+
+def test_kendall_tau_hand():
+    """tau-b = 1 on a strictly monotone relation; ~0 with direction
+    flips; matches the brute pair formula with ties."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import kendall_tau
+
+    texts = ["w", "w w", "w w w", "w w", "w w w w w"]
+    chars = [1, 2, 3, 2, 9]  # tied x at 2 (both with y=2 -> tie both)
+    out = kendall_tau(rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(5)), pa.int64()),
+        "text": pa.array(texts),
+        "n_chars": pa.array(chars, pa.int64()),
+    }))).to_pandas()
+    x = np.array(chars)
+    y = np.array([1, 2, 3, 2, 5])
+    C = D = 0
+    for i in range(5):
+        for j in range(i + 1, 5):
+            s = (x[j] - x[i]) * (y[j] - y[i])
+            C += s > 0
+            D += s < 0
+    n0 = 10
+    n1 = sum(t * (t - 1) // 2 for t in np.unique(x, return_counts=True)[1])
+    n2 = sum(t * (t - 1) // 2 for t in np.unique(y, return_counts=True)[1])
+    want = (C - D) / (math.sqrt(n0 - n1) * math.sqrt(n0 - n2))
+    assert abs(float(out["tau_b"].iloc[0]) - want) < 1e-6
+    assert int(out["nc"].iloc[0]) == C and int(out["nd"].iloc[0]) == D
