@@ -3571,6 +3571,15 @@ def _q_kendall_tau(sf_dir: str):
     return kendall_tau(_docs(sf_dir, ("doc_id", "text", "n_chars")))
 
 
+def _q_choropleth_classes(sf_dir: str):
+    """Quartile choropleth classing of the smoothed density surface —
+    deterministic integer class rule over micro-quantized means
+    (stages/smooth.choropleth_classes)."""
+    from cuda_gis_smoothing_ray.stages.smooth import choropleth_classes
+
+    return choropleth_classes(_cells(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3780,6 +3789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_outliers": _q_spend_outliers,
         "silhouette_lite": _q_silhouette_lite,
         "kendall_tau": _q_kendall_tau,
+        "choropleth_classes": _q_choropleth_classes,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -4110,6 +4120,7 @@ def oracle_sql() -> dict[str, str]:
         "spend_outliers": oc.spend_outliers_sql(),
         "silhouette_lite": oc.silhouette_lite_sql(),
         "kendall_tau": oc.kendall_tau_sql(),
+        "choropleth_classes": oc.choropleth_classes_sql(RES),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

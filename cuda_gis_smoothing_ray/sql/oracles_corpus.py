@@ -7175,3 +7175,32 @@ SELECT CAST(nn.n AS BIGINT) AS n, CAST(pairs.c AS BIGINT) AS nc,
           " * sqrt(CAST(nn.n * (nn.n - 1) // 2 - n2.v AS DOUBLE)))")}
     AS tau_b
 FROM pairs, nn, n1, n2"""
+
+
+def choropleth_classes_sql(res: int, k: int = 1, profile: str = "uniform",
+                           n_classes: int = 4) -> str:
+    """Oracle of stages/smooth.choropleth_classes: the smooth gather
+    tree micro-quantized, row_number over (sm_micro, cell), the same
+    integer class rule."""
+    from .oracles import offsets_values, prelude
+
+    return f"""{prelude(res)},
+offsets(dq, dr, w) AS (VALUES
+    {offsets_values(k, profile)}),
+sm AS (
+  SELECT c.cell,
+    CAST(floor(sum(n.page_count * o.w) / sum(o.w) * 1e6 + 0.5) AS BIGINT)
+      AS sm_micro
+  FROM cells c
+  CROSS JOIN offsets o
+  JOIN cells n ON n.q = c.q + o.dq AND n.r = c.r + o.dr
+  GROUP BY c.cell
+), rk AS (
+  SELECT cell, sm_micro,
+    row_number() OVER (ORDER BY sm_micro, cell) AS rn,
+    count(*) OVER () AS n
+  FROM sm
+)
+SELECT cell, sm_micro,
+  CAST((rn - 1) * {n_classes} // n + 1 AS BIGINT) AS cls
+FROM rk ORDER BY cell"""

@@ -445,3 +445,44 @@ def smooth_residuals(cells_ds, value_col: str = "page_count", k: int = 1,
         "resid_micro": pa.array(rm[keep][order]),
         "thr_micro": pa.array(np.full(int(keep.sum()), thr, np.int64)),
     }))
+
+
+CHORO_CLASSES = 4
+
+
+def choropleth_classes(cells_ds, value_col: str = "page_count",
+                       k: int = 1, profile: str = "uniform",
+                       n_classes: int = CHORO_CLASSES):
+    """cell table -> (cell, sm_micro, cls): QUANTILE CLASSING of the
+    smoothed density surface — each cell's equal-count class
+    ``1..n_classes`` (the cartographic "quartile choropleth" styling
+    step that turns the smoothed field into a legend; equal-count
+    classes are the standard default because equal-interval ones
+    collapse under heavy tails).
+
+    DETERMINISTIC: cells rank by ``(sm_micro, cell)`` (the smoothed
+    mean quantized once to micro-units — identical IEEE doubles on both
+    engines) and ``cls = ((rank - 1) * n_classes) // n + 1`` is pure
+    integer arithmetic, so class boundaries cannot disagree.  Scale
+    shape: the :func:`smooth_cells` plan + a driver rank over the
+    bounded cell table."""
+    import ray.data as rd
+
+    sm = smooth_cells(cells_ds, [value_col], k=k, profile=profile) \
+        .to_pandas()
+    smv = sm[f"{value_col}_sm"].to_numpy(np.float64)
+    sm_micro = np.floor(smv * 1e6 + 0.5).astype(np.int64)
+    cells = sm["cell"].to_numpy(np.int64)
+    n = len(cells)
+    if n == 0:
+        raise ValueError("choropleth_classes: no cells")
+    order = np.lexsort((cells, sm_micro))
+    rank = np.empty(n, np.int64)
+    rank[order] = np.arange(1, n + 1)
+    cls = (rank - 1) * n_classes // n + 1
+    o = np.argsort(cells)
+    return rd.from_arrow(pa.table({
+        "cell": pa.array(cells[o]),
+        "sm_micro": pa.array(sm_micro[o]),
+        "cls": pa.array(cls[o]),
+    }))

@@ -266,3 +266,27 @@ def test_smooth_residuals_flags_spike():
     assert spike_cell in set(out["cell"].astype(int))
     row = out[out["cell"] == spike_cell].iloc[0]
     assert int(row["resid_micro"]) == out["resid_micro"].abs().max()
+
+
+def test_choropleth_classes_equal_counts():
+    """Classes are equal-count quartiles; tie cells split by cell id
+    deterministically."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.functions import hexgrid
+    from cuda_gis_smoothing_ray.stages.smooth import choropleth_classes
+
+    # 8 isolated cells far apart: smoothing leaves values unchanged
+    qs = [10 * i for i in range(8)]
+    res = 7
+    cells = (np.int64(res) << np.int64(56)) \
+        + (np.asarray(qs, np.int64) + hexgrid.OFF) * (1 << 28) \
+        + hexgrid.OFF
+    ds = rd.from_arrow(pa.table({
+        "cell": pa.array(cells),
+        "page_count": pa.array([1, 2, 3, 4, 5, 6, 7, 8], pa.int64()),
+    }))
+    out = choropleth_classes(ds).to_pandas().sort_values("sm_micro")
+    assert out["cls"].tolist() == [1, 1, 2, 2, 3, 3, 4, 4]
