@@ -3580,6 +3580,18 @@ def _q_choropleth_classes(sf_dir: str):
     return choropleth_classes(_cells(sf_dir))
 
 
+def _q_tld_lang_divergence(sf_dir: str):
+    """Per-TLD KL divergence of the language mix from the corpus mix
+    (add-1, micro-quantized terms)
+    (stages/textops.tld_lang_divergence)."""
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.textops import tld_lang_divergence
+
+    return tld_lang_divergence(
+        read_pages(sf_dir, include_html=False).select_columns(
+            ["url", "lang"]))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3790,6 +3802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "silhouette_lite": _q_silhouette_lite,
         "kendall_tau": _q_kendall_tau,
         "choropleth_classes": _q_choropleth_classes,
+        "tld_lang_divergence": _q_tld_lang_divergence,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -4121,6 +4134,7 @@ def oracle_sql() -> dict[str, str]:
         "silhouette_lite": oc.silhouette_lite_sql(),
         "kendall_tau": oc.kendall_tau_sql(),
         "choropleth_classes": oc.choropleth_classes_sql(RES),
+        "tld_lang_divergence": oc.tld_lang_divergence_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -7204,3 +7204,43 @@ sm AS (
 SELECT cell, sm_micro,
   CAST((rn - 1) * {n_classes} // n + 1 AS BIGINT) AS cls
 FROM rk ORDER BY cell"""
+
+
+def tld_lang_divergence_sql() -> str:
+    """Oracle of stages/textops.tld_lang_divergence: the full tld x
+    lang grid (zero cells included via a cross join), the identical
+    add-1 micro-quantized term, integer sums."""
+    from .oracles import pages_cte
+
+    return f"""WITH {pages_cte()},
+ct AS (
+  SELECT string_split(split_part(url, '/', 3), '.')[-1] AS tld, lang,
+    CAST(count(*) AS BIGINT) AS c
+  FROM pages GROUP BY 1, 2
+), langs AS (
+  SELECT DISTINCT lang FROM ct
+), tlds AS (
+  SELECT tld, CAST(sum(c) AS BIGINT) AS n FROM ct GROUP BY tld
+), gl AS (
+  SELECT lang, CAST(sum(c) AS BIGINT) AS g FROM ct GROUP BY lang
+), nn AS (
+  SELECT CAST(sum(g) AS BIGINT) AS total,
+    (SELECT CAST(count(*) AS BIGINT) FROM langs) AS L
+  FROM gl
+), grid AS (
+  SELECT tlds.tld, tlds.n, langs.lang, coalesce(ct.c, 0) AS c, gl.g
+  FROM tlds CROSS JOIN langs
+  LEFT JOIN ct ON ct.tld = tlds.tld AND ct.lang = langs.lang
+  JOIN gl ON gl.lang = langs.lang
+), terms AS (
+  SELECT tld, n,
+    CAST(floor(
+      (CAST(c + 1 AS DOUBLE) / CAST(n + nn.L AS DOUBLE))
+      * ln((CAST(c + 1 AS DOUBLE) / CAST(n + nn.L AS DOUBLE))
+           / (CAST(g + 1 AS DOUBLE) / CAST(nn.total + nn.L AS DOUBLE)))
+      * 1e6 + 0.5) AS BIGINT) AS t
+  FROM grid, nn
+)
+SELECT tld, CAST(min(n) AS BIGINT) AS n,
+  CAST(sum(t) AS BIGINT) AS kl_micro
+FROM terms GROUP BY tld ORDER BY tld"""

@@ -4902,3 +4902,67 @@ def quality_by_source(ds):
         "rate": pa.array(rows["rate"], pa.float64()),
         "lift": pa.array(rows["lift"], pa.float64()),
     }))
+
+
+def tld_lang_divergence(pages_ds):
+    """pages -> (tld, n, kl_micro): per-TLD KL divergence of the
+    language mix from the corpus-wide mix (add-1 smoothed over the
+    global language set) — WHICH domains deviate from the corpus
+    composition, the pointwise companion to :func:`mutual_information`
+    (MI averages this map into one number).
+
+    Float discipline: each (tld, lang) term
+    ``floor(p * ln(p/q) * 1e6 + 0.5)`` quantizes ONCE (the
+    :func:`~.stages.events.path_entropy` precedent), so per-TLD sums
+    are order-free integers.  Scale shape: one bounded (tld, lang)
+    reduce; the term table is |tlds| x |langs|."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        parts = pc_.split_pattern(batch.column("url"), pattern="/")
+        host = pc_.list_element(parts, 2)
+        tld = pc_.list_element(
+            pc_.split_pattern(host, pattern=".", max_splits=1, reverse=True),
+            1)
+        df = pd_.DataFrame({
+            "tld": tld.to_pylist(),
+            "lang": batch.column("lang").to_pylist(),
+        })
+        g = df.groupby(["tld", "lang"], sort=False).size() \
+            .reset_index(name="c")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    conf = (
+        pages_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["tld", "lang"])
+        .aggregate(Sum("c", alias_name="c"))
+    ).to_pandas()
+    if conf.empty:
+        raise ValueError("tld_lang_divergence: no pages")
+    langs = sorted(conf["lang"].unique().tolist())
+    L = len(langs)
+    glob = conf.groupby("lang")["c"].sum()
+    N = int(glob.sum())
+    rows = {"tld": [], "n": [], "kl_micro": []}
+    for tld, grp in conf.groupby("tld", sort=True):
+        cnt = {l: 0 for l in langs}
+        for l, c in zip(grp["lang"], grp["c"]):
+            cnt[l] = int(c)
+        n = sum(cnt.values())
+        kl = 0
+        for l in langs:  # fixed lang order; terms are ints so order-free
+            p = float(cnt[l] + 1) / float(n + L)
+            q = float(int(glob.get(l, 0)) + 1) / float(N + L)
+            kl += int(np.floor(p * np.log(p / q) * 1e6 + 0.5))
+        rows["tld"].append(tld)
+        rows["n"].append(n)
+        rows["kl_micro"].append(kl)
+    return rd.from_arrow(pa.table({
+        "tld": pa.array(rows["tld"], pa.string()),
+        "n": pa.array(rows["n"], pa.int64()),
+        "kl_micro": pa.array(rows["kl_micro"], pa.int64()),
+    }))

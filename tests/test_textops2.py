@@ -919,3 +919,26 @@ def test_quality_by_source_lift():
     assert int(out.loc["junky", "n_pass"]) == 0
     assert float(out.loc["clean", "lift"]) > 1.0
     assert float(out.loc["junky", "lift"]) == 0.0
+
+
+def test_tld_lang_divergence_deviant_tld():
+    """A TLD matching the corpus mix scores near 0; a monolingual TLD in
+    a mixed corpus scores much higher."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import tld_lang_divergence
+
+    urls, langs = [], []
+    # tld 'mix.com': 5 en + 5 de (matches global-ish); 'solo.de': 10 de
+    for i in range(5):
+        urls += [f"https://a.com/p{i}", f"https://b.com/q{i}"]
+        langs += ["en", "de"]
+    for i in range(10):
+        urls.append(f"https://c.de/r{i}")
+        langs.append("de")
+    ds = rd.from_arrow(pa.table({"url": pa.array(urls),
+                                 "lang": pa.array(langs)}))
+    out = tld_lang_divergence(ds).to_pandas().set_index("tld")
+    assert int(out.loc["de", "kl_micro"]) > 3 * int(out.loc["com",
+                                                            "kl_micro"])
