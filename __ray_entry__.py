@@ -3592,6 +3592,15 @@ def _q_tld_lang_divergence(sf_dir: str):
             ["url", "lang"]))
 
 
+def _q_top_type_share(sf_dir: str):
+    """Per-user dominant event type and its activity share (segmented
+    argmax, (cnt DESC, type) ties)
+    (stages/events.top_type_share)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.top_type_share(events.read_events(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3803,6 +3812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kendall_tau": _q_kendall_tau,
         "choropleth_classes": _q_choropleth_classes,
         "tld_lang_divergence": _q_tld_lang_divergence,
+        "top_type_share": _q_top_type_share,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -4135,6 +4145,7 @@ def oracle_sql() -> dict[str, str]:
         "kendall_tau": oc.kendall_tau_sql(),
         "choropleth_classes": oc.choropleth_classes_sql(RES),
         "tld_lang_divergence": oc.tld_lang_divergence_sql(),
+        "top_type_share": oc.top_type_share_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

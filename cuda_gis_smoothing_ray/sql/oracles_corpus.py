@@ -7244,3 +7244,25 @@ ct AS (
 SELECT tld, CAST(min(n) AS BIGINT) AS n,
   CAST(sum(t) AS BIGINT) AS kl_micro
 FROM terms GROUP BY tld ORDER BY tld"""
+
+
+def top_type_share_sql() -> str:
+    """Oracle of stages/events.top_type_share: row_number over
+    (cnt DESC, type), share of the user total."""
+    return """WITH ct AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), tot AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM ct GROUP BY user_id
+), top AS (
+  SELECT user_id, event_type, c FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+      ORDER BY c DESC, event_type) AS rn
+    FROM ct
+  ) WHERE rn = 1
+)
+SELECT top.user_id, top.event_type AS top_type, tot.n AS n_events,
+  floor(CAST(top.c AS DOUBLE) / CAST(tot.n AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS share
+FROM top JOIN tot ON tot.user_id = top.user_id
+ORDER BY top.user_id"""

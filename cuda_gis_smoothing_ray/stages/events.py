@@ -3506,3 +3506,44 @@ def spend_outliers(ds, k: int = OUTLIER_SIGMAS):
                              "cents": cents[flag]})
 
     return _by_user(ds, solve).sort("event_id")
+
+
+def top_type_share(ds):
+    """events -> (user_id, top_type, n_events, share): each user's
+    dominant event type and its share of their activity — the
+    behavioral-concentration feature (share ~ 1 = single-purpose
+    account; the argmax counterpart to :func:`path_entropy`'s entropy).
+
+    EXACT: per-(user, type) counts, argmax with (count DESC, type ASC)
+    ties (mirrored by the oracle's row_number), one round6 division.
+    Scale shape: the shared coarse user shuffle, one segmented
+    argmax."""
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        et = df["event_type"].to_numpy()
+        types, tcode = np.unique(et, return_inverse=True)
+        key = uid * np.int64(1 << 16) + tcode.astype(np.int64)
+        uk, cnt = np.unique(key, return_counts=True)
+        users = uk >> np.int64(16)
+        codes = uk & np.int64((1 << 16) - 1)
+        # argmax per user under (cnt DESC, type ASC): codes ascend within
+        # a user in uk order, so a stable sort by (-cnt) with user as the
+        # primary key keeps the smallest type first among count ties
+        order = np.lexsort((codes, -cnt, users))
+        users_s = users[order]
+        first = np.flatnonzero(np.diff(users_s, prepend=np.int64(-1)))
+        sel = order[first]
+        n_ev = np.zeros(len(first), np.int64)
+        uu, inv = np.unique(users, return_inverse=True)
+        tot = np.zeros(len(uu), np.int64)
+        np.add.at(tot, inv, cnt)
+        share = np.floor(cnt[sel].astype(np.float64)
+                         / tot.astype(np.float64) * 1e6 + 0.5) / 1e6
+        return pd.DataFrame({
+            "user_id": users[sel],
+            "top_type": types[codes[sel]],
+            "n_events": tot,
+            "share": share,
+        })
+
+    return _by_user(ds, solve).sort("user_id")

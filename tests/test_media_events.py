@@ -1244,3 +1244,28 @@ def test_spend_outliers_self_normalized():
     out = spend_outliers(rd.from_arrow(t)).to_pandas()
     assert out["event_id"].tolist() == [20]
     assert int(out["cents"].iloc[0]) == 10000
+
+
+def test_top_type_share_tie_rule():
+    """Count ties resolve to the lexically smallest type; shares are
+    exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import top_type_share
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = [(1, "b"), (1, "b"), (1, "a"), (1, "a"),  # tie -> 'a'
+            (2, "x"), (2, "x"), (2, "y")]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        "ts": pa.array([t0] * len(rows), pa.timestamp("us")),
+        "event_type": pa.array([r[1] for r in rows]),
+    })
+    out = top_type_share(rd.from_arrow(t)).to_pandas().set_index("user_id")
+    assert out.loc[1, "top_type"] == "a"
+    assert float(out.loc[1, "share"]) == 0.5
+    assert out.loc[2, "top_type"] == "x"
+    assert abs(float(out.loc[2, "share"]) - 2 / 3) < 1e-6
