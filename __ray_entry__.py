@@ -3601,6 +3601,15 @@ def _q_top_type_share(sf_dir: str):
     return events.top_type_share(events.read_events(sf_dir))
 
 
+def _q_source_len_drift(sf_dir: str):
+    """Per-source KS drift of the length distribution vs the rest of
+    the corpus — one histogram pays for all sources
+    (stages/sketch.source_len_drift)."""
+    from cuda_gis_smoothing_ray.stages.sketch import source_len_drift
+
+    return source_len_drift(_docs(sf_dir, ("doc_id", "n_chars", "source")))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3813,6 +3822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "choropleth_classes": _q_choropleth_classes,
         "tld_lang_divergence": _q_tld_lang_divergence,
         "top_type_share": _q_top_type_share,
+        "source_len_drift": _q_source_len_drift,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -4146,6 +4156,7 @@ def oracle_sql() -> dict[str, str]:
         "choropleth_classes": oc.choropleth_classes_sql(RES),
         "tld_lang_divergence": oc.tld_lang_divergence_sql(),
         "top_type_share": oc.top_type_share_sql(),
+        "source_len_drift": oc.source_len_drift_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

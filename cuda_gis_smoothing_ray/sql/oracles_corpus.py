@@ -7266,3 +7266,42 @@ SELECT top.user_id, top.event_type AS top_type, tot.n AS n_events,
         * 1000000.0 + 0.5) / 1000000.0 AS share
 FROM top JOIN tot ON tot.user_id = top.user_id
 ORDER BY top.user_id"""
+
+
+def source_len_drift_sql() -> str:
+    """Oracle of stages/sketch.source_len_drift: per-source ECDF vs the
+    complement over the global value set, HUGEINT cross-multiplied
+    argmax (ties -> smallest value)."""
+    from .oracles import round6
+
+    return f"""WITH lens AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+), vals AS (
+  SELECT DISTINCT v FROM lens
+), srcs AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS na FROM lens GROUP BY source
+), nn AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM lens
+), cdf AS (
+  SELECT s.source, vals.v, s.na,
+    CAST(coalesce((SELECT count(*) FROM lens l
+                   WHERE l.source = s.source AND l.v <= vals.v), 0)
+         AS HUGEINT) AS sa,
+    CAST((SELECT count(*) FROM lens l WHERE l.v <= vals.v)
+         AS HUGEINT) AS ga
+  FROM srcs s CROSS JOIN vals
+), d AS (
+  SELECT source, v, na,
+    abs(sa * (nn.n - na) - (ga - sa) * na) AS df
+  FROM cdf, nn
+), best AS (
+  SELECT source, v AS at_value, na, df FROM (
+    SELECT *, row_number() OVER (PARTITION BY source
+      ORDER BY df DESC, v) AS rn
+    FROM d
+  ) WHERE rn = 1
+)
+SELECT best.source, best.na AS n, best.at_value,
+  {round6('CAST(best.df AS DOUBLE)'
+          ' / CAST(best.na * (nn.n - best.na) AS DOUBLE)')} AS ks_d
+FROM best, nn ORDER BY best.source"""

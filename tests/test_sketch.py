@@ -726,3 +726,21 @@ def test_kendall_tau_hand():
     want = (C - D) / (math.sqrt(n0 - n1) * math.sqrt(n0 - n2))
     assert abs(float(out["tau_b"].iloc[0]) - want) < 1e-6
     assert int(out["nc"].iloc[0]) == C and int(out["nd"].iloc[0]) == D
+
+
+def test_source_len_drift_detects_shift():
+    """A source with uniformly longer docs dominates the drift table."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.sketch import source_len_drift
+
+    lens = list(range(100, 120)) * 2 + list(range(500, 520))
+    srcs = ["norm_a"] * 20 + ["norm_b"] * 20 + ["shifted"] * 20
+    out = source_len_drift(rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(60)), pa.int64()),
+        "n_chars": pa.array(lens, pa.int64()),
+        "source": pa.array(srcs),
+    }))).to_pandas().set_index("source")
+    assert float(out.loc["shifted", "ks_d"]) == 1.0
+    assert float(out.loc["norm_a", "ks_d"]) < 0.6
