@@ -3610,6 +3610,14 @@ def _q_source_len_drift(sf_dir: str):
     return source_len_drift(_docs(sf_dir, ("doc_id", "n_chars", "source")))
 
 
+def _q_wau_curve(sf_dir: str):
+    """Rolling 7-day active users per day: two segmented dedups on the
+    coarse user shuffle (stages/events.wau_curve)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.wau_curve(events.read_events(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3823,6 +3831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tld_lang_divergence": _q_tld_lang_divergence,
         "top_type_share": _q_top_type_share,
         "source_len_drift": _q_source_len_drift,
+        "wau_curve": _q_wau_curve,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -4157,6 +4166,7 @@ def oracle_sql() -> dict[str, str]:
         "tld_lang_divergence": oc.tld_lang_divergence_sql(),
         "top_type_share": oc.top_type_share_sql(),
         "source_len_drift": oc.source_len_drift_sql(),
+        "wau_curve": oc.wau_curve_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

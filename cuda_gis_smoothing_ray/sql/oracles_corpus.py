@@ -7305,3 +7305,23 @@ SELECT best.source, best.na AS n, best.at_value,
   {round6('CAST(best.df AS DOUBLE)'
           ' / CAST(best.na * (nn.n - best.na) AS DOUBLE)')} AS ks_d
 FROM best, nn ORDER BY best.source"""
+
+
+def wau_curve_sql(window: int | None = None) -> str:
+    """Oracle of stages/events.wau_curve: (user, day) dedup, window
+    projection, per-(user, target) dedup, range trim."""
+    from ..stages import events as ev
+
+    w = ev.WAU_WINDOW if window is None else window
+    return f"""WITH ud AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events
+), rng AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM ud
+), proj AS (
+  SELECT DISTINCT user_id, d + o.o AS day
+  FROM ud, (SELECT unnest(range({w})) AS o) o
+)
+SELECT CAST(day AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS wau
+FROM proj, rng
+WHERE day >= rng.lo AND day <= rng.hi
+GROUP BY day ORDER BY day"""

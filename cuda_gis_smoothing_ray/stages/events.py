@@ -3547,3 +3547,63 @@ def top_type_share(ds):
         })
 
     return _by_user(ds, solve).sort("user_id")
+
+
+WAU_WINDOW = 7
+
+
+def wau_curve(ds, window: int = WAU_WINDOW):
+    """events -> (day, wau): the ROLLING 7-DAY ACTIVE USERS curve —
+    for each calendar day, how many distinct users were active at least
+    once in the trailing ``window`` days.  THE engagement headline
+    metric (DAU is :func:`returning_users`' dau column; WAU/MAU need
+    the window dedup this op does).
+
+    EXACT: (user, active-day) dedup -> each active day projects onto
+    ``window`` target days -> a SECOND per-(user, target) dedup keeps a
+    user counted once per window (both dedups are segmented np.unique
+    passes on the coarse user shuffle — never per-user Python) -> one
+    bounded day-keyed count reduce.  Days outside the observed range
+    are trimmed (declared: the curve covers [min_day, max_day])."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        day = df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64)
+        key = np.unique(uid * np.int64(1 << 20) + day)
+        u = key >> np.int64(20)
+        d = key & np.int64((1 << 20) - 1)
+        tgt = (d[:, None] + np.arange(window, dtype=np.int64)[None, :]) \
+            .ravel()
+        uu = np.repeat(u, window)
+        key2 = np.unique(uu * np.int64(1 << 20) + tgt)
+        t2 = key2 & np.int64((1 << 20) - 1)
+        days, cnt = np.unique(t2, return_counts=True)
+        return pd.DataFrame({"day": days, "wau": cnt.astype(np.int64)})
+
+    curve = hash_groupby(
+        _by_user(ds, solve), "day", ["wau"], how="isum",
+    ).to_pandas().sort_values("day")
+
+    # trim to the observed day range (projection spills past max_day)
+    def drange(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "lo": pa.array([int(d.min())], pa.int64()),
+                         "hi": pa.array([int(d.max())], pa.int64())})
+
+    rng = hash_groupby(
+        ds.map_batches(drange, batch_format="pyarrow"),
+        "k", ["lo", "hi"], how={"lo": "min", "hi": "max"},
+    ).to_pandas()
+    lo, hi = int(rng["lo"].iloc[0]), int(rng["hi"].iloc[0])
+    keep = (curve["day"] >= lo) & (curve["day"] <= hi)
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({
+        "day": pa.array(curve["day"].to_numpy(np.int64)[keep]),
+        "wau": pa.array(curve["wau"].to_numpy(np.int64)[keep]),
+    })).sort("day")

@@ -1269,3 +1269,30 @@ def test_top_type_share_tie_rule():
     assert float(out.loc[1, "share"]) == 0.5
     assert out.loc[2, "top_type"] == "x"
     assert abs(float(out.loc[2, "share"]) - 2 / 3) < 1e-6
+
+
+def test_wau_curve_window_dedup():
+    """A user active twice inside one window counts once; activity ages
+    out after `window` days."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.events import wau_curve
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    DAY = np.timedelta64(24 * 3600 * 10**6, "us")
+    # user 1 active day 0 and day 2; user 2 active day 9 only
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([t0, t0 + 2 * DAY, t0 + 9 * DAY],
+                       pa.timestamp("us")),
+        "event_type": pa.array(["a"] * 3),
+    })
+    out = wau_curve(rd.from_arrow(t)).to_pandas().set_index("day")
+    d0 = int(t0.astype("datetime64[D]").astype(int))
+    assert int(out.loc[d0 + 2, "wau"]) == 1        # both activities, one user
+    assert int(out.loc[d0 + 6, "wau"]) == 1        # day 0 aged out, day 2 in
+    assert (d0 + 8) not in out.index               # user 1 aged out entirely
+    assert int(out.loc[d0 + 9, "wau"]) == 1        # user 2
