@@ -1294,5 +1294,5 @@ def test_wau_curve_window_dedup():
     d0 = int(t0.astype("datetime64[D]").astype(int))
     assert int(out.loc[d0 + 2, "wau"]) == 1        # both activities, one user
     assert int(out.loc[d0 + 6, "wau"]) == 1        # day 0 aged out, day 2 in
-    assert (d0 + 8) not in out.index               # user 1 aged out entirely
-    assert int(out.loc[d0 + 9, "wau"]) == 1        # user 2
+    assert int(out.loc[d0 + 8, "wau"]) == 1        # day-2 activity still in
+    assert int(out.loc[d0 + 9, "wau"]) == 1        # user 1 aged out; user 2 in
