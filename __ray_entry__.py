@@ -3618,6 +3618,22 @@ def _q_wau_curve(sf_dir: str):
     return events.wau_curve(events.read_events(sf_dir))
 
 
+def _q_gap_robust_by_type(sf_dir: str):
+    """Robust inter-event-time stats per type (median/MAD/trimmed mean
+    of microsecond gaps): the generic robust_stats over the segmented
+    gap stream (stages/events.gaps_by_type + stages/sketch.robust_stats)."""
+    from cuda_gis_smoothing_ray.stages import events
+    from cuda_gis_smoothing_ray.stages.sketch import robust_stats
+
+    gaps = events.gaps_by_type(events.read_events(sf_dir))
+
+    def gap_col(batch: pa.Table) -> np.ndarray:
+        return batch.column("gap_us").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+
+    return robust_stats(gaps, "event_type", gap_col).sort("event_type")
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3832,6 +3848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_type_share": _q_top_type_share,
         "source_len_drift": _q_source_len_drift,
         "wau_curve": _q_wau_curve,
+        "gap_robust_by_type": _q_gap_robust_by_type,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -4167,6 +4184,7 @@ def oracle_sql() -> dict[str, str]:
         "top_type_share": oc.top_type_share_sql(),
         "source_len_drift": oc.source_len_drift_sql(),
         "wau_curve": oc.wau_curve_sql(),
+        "gap_robust_by_type": oc.gap_robust_by_type_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

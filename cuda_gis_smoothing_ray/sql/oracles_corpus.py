@@ -7325,3 +7325,48 @@ SELECT CAST(day AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS wau
 FROM proj, rng
 WHERE day >= rng.lo AND day <= rng.hi
 GROUP BY day ORDER BY day"""
+
+
+def gap_robust_by_type_sql(trim: float | None = None) -> str:
+    """Oracle of robust_stats over per-type inter-event gaps (the
+    value_robust_by_type chain on the LAG-gap stream)."""
+    from ..stages import sketch
+
+    t = sketch.TRIM_FRAC if trim is None else trim
+    return f"""WITH lens AS (
+  SELECT lag(event_type) OVER w AS event_type,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER w AS v
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  QUALIFY lag(event_type) OVER w IS NOT NULL
+), st AS (
+  SELECT event_type, v,
+    row_number() OVER (PARTITION BY event_type ORDER BY v) - 1 AS rk,
+    count(*) OVER (PARTITION BY event_type) AS n
+  FROM lens
+), med AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n, min(v) AS median
+  FROM st WHERE rk = (n - 1) // 2 GROUP BY event_type, n
+), dst AS (
+  SELECT l.event_type, abs(l.v - m.median) AS d,
+    row_number() OVER (PARTITION BY l.event_type
+      ORDER BY abs(l.v - m.median)) - 1 AS rk,
+    count(*) OVER (PARTITION BY l.event_type) AS n
+  FROM lens l JOIN med m ON l.event_type = m.event_type
+), mad AS (
+  SELECT event_type, min(d) AS mad FROM dst WHERE rk = (n - 1) // 2
+  GROUP BY event_type
+), tr AS (
+  SELECT event_type, CAST(sum(v) AS BIGINT) AS s,
+    CAST(count(*) AS BIGINT) AS c
+  FROM st
+  WHERE rk >= CAST(floor(n * {t}) AS BIGINT)
+    AND rk < n - CAST(floor(n * {t}) AS BIGINT)
+  GROUP BY event_type
+)
+SELECT m.event_type, m.n, m.median, mad.mad,
+  floor(CAST(s AS DOUBLE) / CAST(c AS DOUBLE) * 1e6 + 0.5) / 1e6
+    AS trimmed_mean
+FROM med m JOIN mad ON m.event_type = mad.event_type
+JOIN tr ON m.event_type = tr.event_type
+ORDER BY m.event_type"""

@@ -3607,3 +3607,23 @@ def wau_curve(ds, window: int = WAU_WINDOW):
         "day": pa.array(curve["day"].to_numpy(np.int64)[keep]),
         "wau": pa.array(curve["wau"].to_numpy(np.int64)[keep]),
     })).sort("day")
+
+
+def gaps_by_type(ds):
+    """events -> (event_type, gap_us): every consecutive same-user gap,
+    keyed by the FROM event's type (the dwell attribution of
+    :func:`transition_dwell`, kept per-gap for distributional stats).
+    One segmented pass on the coarse user shuffle."""
+    def solve(df: pd.DataFrame) -> pd.DataFrame:
+        uid = df["user_id"].to_numpy().astype(np.int64)
+        ts = df["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        eid = df["event_id"].to_numpy().astype(np.int64)
+        et = df["event_type"].to_numpy()
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, et = uid[order], ts[order], et[order]
+        new_user, _, _ = _user_segments(uid)
+        keep = np.flatnonzero(~new_user)
+        return pd.DataFrame({"event_type": et[keep - 1],
+                             "gap_us": ts[keep] - ts[keep - 1]})
+
+    return _by_user(ds, solve)
