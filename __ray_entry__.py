@@ -3634,6 +3634,15 @@ def _q_gap_robust_by_type(sf_dir: str):
     return robust_stats(gaps, "event_type", gap_col).sort("event_type")
 
 
+def _q_lang_vocab_overlap(sf_dir: str):
+    """Pairwise Jaccard of per-language top-k vocabularies (token-hash-
+    partitioned counts, local top-k merge)
+    (stages/textops.lang_vocab_overlap)."""
+    from cuda_gis_smoothing_ray.stages.textops import lang_vocab_overlap
+
+    return lang_vocab_overlap(_docs(sf_dir, ("doc_id", "text", "lang")))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3849,6 +3858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_len_drift": _q_source_len_drift,
         "wau_curve": _q_wau_curve,
         "gap_robust_by_type": _q_gap_robust_by_type,
+        "lang_vocab_overlap": _q_lang_vocab_overlap,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -4185,6 +4195,7 @@ def oracle_sql() -> dict[str, str]:
         "source_len_drift": oc.source_len_drift_sql(),
         "wau_curve": oc.wau_curve_sql(),
         "gap_robust_by_type": oc.gap_robust_by_type_sql(),
+        "lang_vocab_overlap": oc.lang_vocab_overlap_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

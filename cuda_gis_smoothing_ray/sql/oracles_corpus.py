@@ -7370,3 +7370,41 @@ SELECT m.event_type, m.n, m.median, mad.mad,
 FROM med m JOIN mad ON m.event_type = mad.event_type
 JOIN tr ON m.event_type = tr.event_type
 ORDER BY m.event_type"""
+
+
+def lang_vocab_overlap_sql(k: int | None = None) -> str:
+    """Oracle of stages/textops.lang_vocab_overlap: per-lang top-k by
+    (cnt DESC, tok), pairwise intersect/union counts."""
+    from ..stages import textops
+    from .oracles import round6
+
+    kk = textops.VOCAB_TOPK if k is None else k
+    return f"""WITH toks AS (
+  SELECT lang,
+    unnest(list_filter(regexp_split_to_array(text, '\\s+'), s -> s != ''))
+      AS tok
+  FROM documents
+), ct AS (
+  SELECT lang, tok, CAST(count(*) AS BIGINT) AS cnt
+  FROM toks GROUP BY 1, 2
+), top AS (
+  SELECT lang, tok FROM (
+    SELECT *, row_number() OVER (PARTITION BY lang
+      ORDER BY cnt DESC, tok) AS rn
+    FROM ct
+  ) WHERE rn <= {kk}
+), sz AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS s FROM top GROUP BY lang
+), inter AS (
+  SELECT a.lang AS la, b.lang AS lb, CAST(count(*) AS BIGINT) AS ov
+  FROM top a JOIN top b ON b.tok = a.tok AND b.lang > a.lang
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT sa.lang AS lang_a, sb.lang AS lang_b,
+    coalesce(i.ov, 0) AS overlap, sa.s + sb.s - coalesce(i.ov, 0) AS un
+  FROM sz sa JOIN sz sb ON sb.lang > sa.lang
+  LEFT JOIN inter i ON i.la = sa.lang AND i.lb = sb.lang
+)
+SELECT lang_a, lang_b, CAST(overlap AS BIGINT) AS overlap,
+  {round6('CAST(overlap AS DOUBLE) / CAST(un AS DOUBLE)')} AS jaccard
+FROM pairs ORDER BY lang_a, lang_b"""

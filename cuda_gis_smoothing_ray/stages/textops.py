@@ -4966,3 +4966,104 @@ def tld_lang_divergence(pages_ds):
         "n": pa.array(rows["n"], pa.int64()),
         "kl_micro": pa.array(rows["kl_micro"], pa.int64()),
     }))
+
+
+VOCAB_TOPK = 100
+
+
+def lang_vocab_overlap(ds, k: int = VOCAB_TOPK, n_parts: int = _PAIR_PARTS):
+    """documents -> (lang_a, lang_b, overlap, jaccard): the pairwise
+    JACCARD of each language pair's top-``k`` token vocabulary — how
+    much surface vocabulary the languages share (code-switching /
+    shared-boilerplate diagnostic; near-zero for clean language
+    separation, high when sources leak templates across languages).
+
+    DETERMINISTIC top-k by (count DESC, token) per language (the
+    :func:`zipf_slope` rank rule); the pair math runs on the bounded
+    |langs| x k sets driver-side.  Scale shape: (lang, token)-hash-
+    partitioned counts, per-partition local top-k, tiny merge — the
+    vocabulary never reaches the driver, only k rows per language."""
+    import pyarrow.compute as pc_
+    import ray.data as rd
+
+    from ..functions import hashing
+    from ..functions.hashing import fnv_token_hash64
+
+    def token_counts(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"lang": pa.array([], pa.string()),
+                          "tok": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64()),
+                          "__part": pa.array([], pa.int64())})
+        if len(batch) == 0:
+            return empty
+        langs = np.asarray(batch.column("lang").to_pylist(), dtype=object)
+        split = pc_.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(split, pa.ChunkedArray):
+            split = split.combine_chunks()
+        flat = split.flatten()
+        n_words = split.value_lengths().to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        row = np.repeat(np.arange(len(batch), dtype=np.int64), n_words)
+        nonempty = pc_.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        row = row[nonempty]
+        toks = flat.filter(pa.array(nonempty))
+        if len(toks) == 0:
+            return empty
+        import pandas as pd_
+
+        df = pd_.DataFrame({"lang": langs[row], "tok": toks.to_pylist()})
+        g = df.groupby(["lang", "tok"], sort=False).size() \
+            .reset_index(name="cnt")
+        key = fnv_token_hash64(pa.array(g["tok"], pa.string())) \
+            .view(np.int64)
+        part = hashing.coarse_partition(key, n_parts)
+        return pa.table({"lang": pa.array(g["lang"], pa.string()),
+                         "tok": pa.array(g["tok"], pa.string()),
+                         "cnt": pa.array(g["cnt"].to_numpy(np.int64)),
+                         "__part": pa.array(part.astype(np.int64))})
+
+    def reduce_part(part: pa.Table) -> pa.Table:
+        import pandas as pd_
+
+        df = pd_.DataFrame({"lang": part.column("lang").to_pylist(),
+                            "tok": part.column("tok").to_pylist(),
+                            "cnt": part.column("cnt").to_numpy(
+                                zero_copy_only=False)})
+        g = df.groupby(["lang", "tok"], sort=False)["cnt"].sum() \
+            .reset_index()
+        # local top-k per lang is SAFE: a token's global count lives in
+        # exactly one token-hash partition
+        g = g.sort_values(["lang", "cnt", "tok"],
+                          ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("lang", sort=False).head(k)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    top = (
+        ds.map_batches(token_counts, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(reduce_part, batch_format="pyarrow")
+    ).to_pandas()
+    if top.empty:
+        raise ValueError("lang_vocab_overlap: no tokens")
+    sets = {}
+    for lang, grp in top.groupby("lang", sort=True):
+        g = grp.sort_values(["cnt", "tok"], ascending=[False, True],
+                            kind="mergesort").head(k)
+        sets[lang] = set(g["tok"].tolist())
+    langs = sorted(sets)
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    rows = {"lang_a": [], "lang_b": [], "overlap": [], "jaccard": []}
+    for i, a in enumerate(langs):
+        for b in langs[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            rows["lang_a"].append(a)
+            rows["lang_b"].append(b)
+            rows["overlap"].append(inter)
+            rows["jaccard"].append(r6(float(inter) / float(union)))
+    return rd.from_arrow(pa.table({
+        "lang_a": pa.array(rows["lang_a"], pa.string()),
+        "lang_b": pa.array(rows["lang_b"], pa.string()),
+        "overlap": pa.array(rows["overlap"], pa.int64()),
+        "jaccard": pa.array(rows["jaccard"], pa.float64()),
+    }))
