@@ -3643,6 +3643,14 @@ def _q_lang_vocab_overlap(sf_dir: str):
     return lang_vocab_overlap(_docs(sf_dir, ("doc_id", "text", "lang")))
 
 
+def _q_spend_concentration(sf_dir: str):
+    """Top-k spender concentration curve with exact cumulative shares
+    (stages/events.spend_concentration)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.spend_concentration(events.read_events(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3859,6 +3867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wau_curve": _q_wau_curve,
         "gap_robust_by_type": _q_gap_robust_by_type,
         "lang_vocab_overlap": _q_lang_vocab_overlap,
+        "spend_concentration": _q_spend_concentration,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -4196,6 +4205,7 @@ def oracle_sql() -> dict[str, str]:
         "wau_curve": oc.wau_curve_sql(),
         "gap_robust_by_type": oc.gap_robust_by_type_sql(),
         "lang_vocab_overlap": oc.lang_vocab_overlap_sql(),
+        "spend_concentration": oc.spend_concentration_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

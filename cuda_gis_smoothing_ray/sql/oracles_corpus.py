@@ -7408,3 +7408,33 @@ def lang_vocab_overlap_sql(k: int | None = None) -> str:
 SELECT lang_a, lang_b, CAST(overlap AS BIGINT) AS overlap,
   {round6('CAST(overlap AS DOUBLE) / CAST(un AS DOUBLE)')} AS jaccard
 FROM pairs ORDER BY lang_a, lang_b"""
+
+
+def spend_concentration_sql(k: int | None = None) -> str:
+    """Oracle of stages/events.spend_concentration: per-user cent
+    totals, (cents DESC, user_id) ranks, cumulative window, one round6
+    share."""
+    from ..stages import events as ev
+
+    kk = ev.SPEND_TOP_K if k is None else k
+    return f"""WITH t AS (
+  SELECT user_id,
+    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      AS cents
+  FROM events GROUP BY user_id
+), tot AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS g FROM t
+), rk AS (
+  SELECT user_id, cents,
+    row_number() OVER (ORDER BY cents DESC, user_id) AS rnk
+  FROM t
+), cum AS (
+  SELECT rnk, user_id, cents,
+    CAST(sum(cents) OVER (ORDER BY rnk
+      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+  FROM rk WHERE rnk <= {kk}
+)
+SELECT CAST(rnk AS BIGINT) AS rnk, user_id, cents, cum_cents,
+  floor(CAST(cum_cents AS DOUBLE) / CAST(tot.g AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS cum_share
+FROM cum, tot ORDER BY rnk"""

@@ -3627,3 +3627,79 @@ def gaps_by_type(ds):
                              "gap_us": ts[keep] - ts[keep - 1]})
 
     return _by_user(ds, solve)
+
+
+SPEND_TOP_K = 20
+
+
+def spend_concentration(ds, k: int = SPEND_TOP_K):
+    """events -> k rows (rnk, user_id, cents, cum_cents, cum_share):
+    the SPEND CONCENTRATION curve — the top-``k`` spenders by exact
+    cent totals with cumulative revenue shares ("the top 20 accounts
+    carry X% of revenue"), the scalar :func:`spend_gini`'s
+    who-exactly companion and the user-side mirror of
+    :func:`~.textops.coverage_curve`.
+
+    DETERMINISTIC: ranks by (cents DESC, user_id); cumulative sums are
+    exact ints; one round6 share per row.  Scale shape: per-user cent
+    reduce on the coarse user shuffle, per-partition local top-k, tiny
+    merge, plus one scalar total."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    def cents(batch: pa.Table) -> pa.Table:
+        uid = batch.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        c = np.floor(batch.column("value").to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, inv, c)
+        return pa.table({"user_id": pa.array(uniq), "c": pa.array(tot)})
+
+    totals = hash_groupby(
+        ds.map_batches(cents, batch_format="pyarrow"),
+        "user_id", ["c"], how="isum",
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        u = batch.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((u, -c))[: min(k, len(u))]
+        tot = int(c.sum())
+        return pa.table({"user_id": pa.array(u[order]),
+                         "c": pa.array(c[order]),
+                         "tot": pa.array(np.full(len(order), tot,
+                                                 np.int64))})
+
+    part = totals.map_batches(local_topk, batch_format="pyarrow") \
+        .to_pandas()
+    if part.empty:
+        raise ValueError("spend_concentration: no events")
+    # the grand total comes from its own scalar reduce (per-block 'tot'
+    # columns are partial sums and cannot be disentangled from the rows)
+    def tot_partial(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "s": pa.array([int(c.sum())], pa.int64())})
+
+    g = hash_groupby(
+        totals.map_batches(tot_partial, batch_format="pyarrow"),
+        "k", ["s"], how="isum",
+    ).to_pandas()
+    grand = int(g["s"].sum())
+    part = part.sort_values(["c", "user_id"], ascending=[False, True],
+                            kind="mergesort").head(k)
+    cum = part["c"].to_numpy(np.int64).cumsum()
+    r6 = lambda x: np.floor(x * 1e6 + 0.5) / 1e6  # noqa: E731
+    return rd.from_arrow(pa.table({
+        "rnk": pa.array(np.arange(1, len(part) + 1, dtype=np.int64)),
+        "user_id": pa.array(part["user_id"].to_numpy(np.int64)),
+        "cents": pa.array(part["c"].to_numpy(np.int64)),
+        "cum_cents": pa.array(cum),
+        "cum_share": pa.array(r6(cum.astype(np.float64) / float(grand))),
+    }))
