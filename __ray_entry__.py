@@ -3651,6 +3651,20 @@ def _q_spend_concentration(sf_dir: str):
     return events.spend_concentration(events.read_events(sf_dir))
 
 
+def _q_hub_robustness(sf_dir: str):
+    """Graph robustness under targeted hub removal: largest component
+    before/after dropping the top-degree nodes
+    (stages/triangles.hub_robustness)."""
+    import pyarrow.parquet as pq
+
+    from cuda_gis_smoothing_ray.stages import triangles as tri
+    from cuda_gis_smoothing_ray.stages.textops import read_documents
+
+    n_docs = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+    return tri.hub_robustness(
+        read_documents(sf_dir, columns=("doc_id",)), n_docs)
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3868,6 +3882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gap_robust_by_type": _q_gap_robust_by_type,
         "lang_vocab_overlap": _q_lang_vocab_overlap,
         "spend_concentration": _q_spend_concentration,
+        "hub_robustness": _q_hub_robustness,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -4206,6 +4221,7 @@ def oracle_sql() -> dict[str, str]:
         "gap_robust_by_type": oc.gap_robust_by_type_sql(),
         "lang_vocab_overlap": oc.lang_vocab_overlap_sql(),
         "spend_concentration": oc.spend_concentration_sql(),
+        "hub_robustness": oc.hub_robustness_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

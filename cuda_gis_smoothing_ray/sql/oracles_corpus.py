@@ -11,6 +11,8 @@ engine's column-sequential float64 accumulation bit-for-bit.
 
 from __future__ import annotations
 
+import re
+
 from ..functions import textstats
 from ..stages import ann, events, media
 from .oracles import D, hook_jump_chain, round6
@@ -7438,3 +7440,84 @@ SELECT CAST(rnk AS BIGINT) AS rnk, user_id, cents, cum_cents,
   floor(CAST(cum_cents AS DOUBLE) / CAST(tot.g AS DOUBLE)
         * 1000000.0 + 0.5) / 1000000.0 AS cum_share
 FROM cum, tot ORDER BY rnk"""
+
+
+def hub_robustness_sql(comm_mod: int | None = None,
+                       n_hubs: int | None = None,
+                       rounds: int = 12) -> str:
+    """Oracle of stages/triangles.hub_robustness: degree ranks pick the
+    hubs ((deg DESC, id)), two hook+jump CC chains (full and
+    hub-filtered), largest-label counts."""
+    from ..functions import geocode
+    from ..stages import pagerank as pr
+    from ..stages import triangles as tri
+    from .oracles import hook_jump_chain
+
+    cm = comm_mod if comm_mod is not None else tri.COMM_MOD
+    nh = tri.HUB_TOP if n_hubs is None else n_hubs
+    mult, mod = geocode.TLD_MULT, geocode.HOST_MOD
+    nd = "(SELECT count(*) FROM documents)"
+    host = f"((doc_id * {mult}) % {mod}) % {cm}"
+    dhost1 = (f"((((doc_id * {pr.EDGE_MULT} + {pr.EDGE_ADD}) % {nd})"
+              f" * {mult}) % {mod}) % {cm}")
+    dhost2 = (f"((((doc_id * doc_id * {pr.EDGE_MULT2} + {pr.EDGE_ADD2}) % {nd})"
+              f" * {mult}) % {mod}) % {cm}")
+    chain1, last1 = hook_jump_chain(rounds, start="l0")
+    chain2, last2 = hook_jump_chain(rounds, start="m0")
+    # second chain needs its own edge alias: rewrite its 'edges' to
+    # 'edges2' (hook_jump_chain reads a CTE literally named edges, so we
+    # wrap the filtered set under that name inside a separate query via
+    # naming: chain2 text references edges -> replace)
+    # the shared chain generator names its steps h{i}/l{i} and reads a
+    # CTE literally named `edges` — rename BOTH for the second chain
+    chain2 = re.sub(r"\b(h|l)(\d+)\b", r"\g<1>\g<2>x", chain2)
+    chain2 = chain2.replace("edges", "edges2").replace("m0x", "m0")
+    last2 = re.sub(r"\b(l)(\d+)\b", r"\g<1>\g<2>x", last2)
+    return f"""WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b FROM (
+    SELECT {host} AS s, {dhost1} AS t FROM documents
+    UNION ALL
+    SELECT {host} AS s, {dhost2} AS t FROM documents
+  ) WHERE s <> t
+), nodes AS (
+  SELECT a AS v FROM e0 UNION SELECT b FROM e0
+), dg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0
+  ) GROUP BY node
+), hubs AS (
+  SELECT node FROM (
+    SELECT node, row_number() OVER (ORDER BY deg DESC, node) AS rn
+    FROM dg
+  ) WHERE rn <= {nh}
+), edges AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e0
+  UNION ALL
+  SELECT b, a FROM e0
+), l0 AS MATERIALIZED (
+  SELECT v, v AS l FROM nodes
+),
+{chain1},
+e2 AS MATERIALIZED (
+  SELECT a, b FROM e0
+  WHERE a NOT IN (SELECT node FROM hubs)
+    AND b NOT IN (SELECT node FROM hubs)
+), edges2 AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM e2
+  UNION ALL
+  SELECT b, a FROM e2
+), m0 AS MATERIALIZED (
+  SELECT v, v AS l FROM nodes WHERE v NOT IN (SELECT node FROM hubs)
+),
+{chain2},
+szb AS (
+  SELECT CAST(max(c) AS BIGINT) AS lcc FROM (
+    SELECT count(*) AS c FROM {last1} GROUP BY l)
+), sza AS (
+  SELECT CAST(max(c) AS BIGINT) AS lcc FROM (
+    SELECT count(*) AS c FROM {last2} GROUP BY l)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+  szb.lcc AS lcc_before, CAST({nh} AS BIGINT) AS n_hubs,
+  sza.lcc AS lcc_after
+FROM szb, sza"""

@@ -1078,3 +1078,77 @@ def shard_conductance(docs_ds, n_docs: int, comm_mod: int = COMM_MOD,
         "cut": pa.array(rows["cut"], pa.int64()),
         "phi": pa.array(rows["phi"], pa.float64()),
     }))
+
+
+HUB_TOP = 5
+
+
+def hub_robustness(docs_ds, n_docs: int, comm_mod: int = COMM_MOD,
+                   n_hubs: int = HUB_TOP):
+    """documents -> ONE row (n_nodes, lcc_before, n_hubs, lcc_after):
+    GRAPH ROBUSTNESS under targeted attack — the largest connected
+    component of the community graph before and after removing the
+    ``n_hubs`` highest-degree nodes (ties -> smallest id).  Web graphs
+    are famously robust to random failure and fragile to hub removal;
+    this is the one-row readout of that fragility (crawler planning:
+    how much of the web disappears if the top hubs block you).
+
+    EXACT integers throughout: degrees, the (degree DESC, id) hub
+    selection, and both CC passes (min-label BSP).  Scale shape: one
+    degree reduce + a bounded hub broadcast + two CC label
+    propagations; component sizes come from a bounded label count."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+    from .cc import connected_components
+
+    edges = community_edges(docs_ds, n_docs, comm_mod).materialize()
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.concatenate([a, b])),
+                         "one": pa.array(np.ones(2 * len(a), np.int64))})
+
+    deg = hash_groupby(
+        edges.map_batches(explode, batch_format="pyarrow", batch_size=None),
+        "node", ["one"], how="isum",
+    ).to_pandas()
+    nodes = deg["node"].to_numpy(np.int64)
+    d = deg["one"].to_numpy(np.int64)
+    order = np.lexsort((nodes, -d))
+    hubs = set(nodes[order[:n_hubs]].tolist())
+    hub_ref = ray.put(hubs)
+
+    def lcc(es, drop_hubs: bool):
+        if drop_hubs:
+            def filt(batch: pa.Table) -> pa.Table:
+                hs = ray.get(hub_ref)
+                a = batch.column("a").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                b = batch.column("b").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                keep = np.array([int(x) not in hs and int(y) not in hs
+                                 for x, y in zip(a, b)], bool)
+                return pa.table({"a": pa.array(a[keep]),
+                                 "b": pa.array(b[keep])})
+            es = es.map_batches(filt, batch_format="pyarrow",
+                                batch_size=None)
+            keep_nodes = np.array(
+                [n for n in nodes if int(n) not in hubs], np.int64)
+        else:
+            keep_nodes = nodes
+        nds = rd.from_arrow(pa.table({"node": pa.array(keep_nodes)}))
+        labels = connected_components(es, nds, node_col="node").to_pandas()
+        sizes = labels.groupby("component").size()
+        return int(sizes.max())
+
+    before = lcc(edges, False)
+    after = lcc(edges, True)
+    return rd.from_arrow(pa.table({
+        "n_nodes": pa.array([len(nodes)], pa.int64()),
+        "lcc_before": pa.array([before], pa.int64()),
+        "n_hubs": pa.array([n_hubs], pa.int64()),
+        "lcc_after": pa.array([after], pa.int64()),
+    }))

@@ -417,3 +417,54 @@ def test_shard_conductance_vs_brute():
         den = min(vol, 2 * m - vol)
         assert abs(float(out.loc[s_, "phi"])
                    - cut.get(s_, 0) / den) < 1e-6
+
+
+def test_hub_robustness_vs_brute():
+    """lcc before/after hub removal matches a brute union-find, and
+    removal never grows the largest component."""
+    from cuda_gis_smoothing_ray.functions import geocode
+    from cuda_gis_smoothing_ray.stages import pagerank as pr
+    from cuda_gis_smoothing_ray.stages.triangles import (HUB_TOP,
+                                                         hub_robustness)
+    from cuda_gis_smoothing_ray.stages.triangles import COMM_MOD
+
+    n, cm = 300, COMM_MOD
+    d = np.arange(n, dtype=np.int64)
+    a0 = geocode.host_id(d) % cm
+    b1 = geocode.host_id((d * pr.EDGE_MULT + pr.EDGE_ADD) % n) % cm
+    b2 = geocode.host_id((d * d * pr.EDGE_MULT2 + pr.EDGE_ADD2) % n) % cm
+    pairs = set()
+    for s_, t_ in list(zip(a0, b1)) + list(zip(a0, b2)):
+        if s_ != t_:
+            pairs.add((min(int(s_), int(t_)), max(int(s_), int(t_))))
+    deg = {}
+    for u, v in pairs:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    hubs = set(sorted(deg, key=lambda x: (-deg[x], x))[:HUB_TOP])
+
+    def lcc(drop):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent.setdefault(parent[x], parent[x])
+                x = parent[x]
+            return x
+
+        nodes = set(deg) - (hubs if drop else set())
+        for x in nodes:
+            find(x)
+        for u, v in pairs:
+            if drop and (u in hubs or v in hubs):
+                continue
+            parent[find(u)] = find(v)
+        from collections import Counter
+
+        return max(Counter(find(x) for x in nodes).values())
+
+    out = hub_robustness(_docs_ds(n), n_docs=n).to_pandas()
+    assert int(out["lcc_before"].iloc[0]) == lcc(False)
+    assert int(out["lcc_after"].iloc[0]) == lcc(True)
+    assert int(out["lcc_after"].iloc[0]) <= int(out["lcc_before"].iloc[0])
