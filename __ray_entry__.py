@@ -3665,6 +3665,15 @@ def _q_hub_robustness(sf_dir: str):
         read_documents(sf_dir, columns=("doc_id",)), n_docs)
 
 
+def _q_integrity_audit(sf_dir: str):
+    """Data-contract audit of the event stream (dup keys, sub-cent
+    precision, non-positive values, timestamp span)
+    (stages/events.integrity_audit)."""
+    from cuda_gis_smoothing_ray.stages import events
+
+    return events.integrity_audit(events.read_events(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3883,6 +3892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_vocab_overlap": _q_lang_vocab_overlap,
         "spend_concentration": _q_spend_concentration,
         "hub_robustness": _q_hub_robustness,
+        "integrity_audit": _q_integrity_audit,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -4222,6 +4232,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_vocab_overlap": oc.lang_vocab_overlap_sql(),
         "spend_concentration": oc.spend_concentration_sql(),
         "hub_robustness": oc.hub_robustness_sql(),
+        "integrity_audit": oc.integrity_audit_sql(),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

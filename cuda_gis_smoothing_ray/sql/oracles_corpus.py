@@ -7521,3 +7521,23 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
   szb.lcc AS lcc_before, CAST({nh} AS BIGINT) AS n_hubs,
   sza.lcc AS lcc_after
 FROM szb, sza"""
+
+
+def integrity_audit_sql() -> str:
+    """Oracle of stages/events.integrity_audit: identical audit
+    predicates (sub-cent test on the same IEEE doubles)."""
+    return """WITH dups AS (
+  SELECT CAST(coalesce(sum(c), 0) AS BIGINT) AS d FROM (
+    SELECT count(*) AS c FROM events GROUP BY event_id HAVING count(*) > 1)
+), sc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(CASE WHEN floor(value * 100 + 0.5) / 100.0 <> value
+             THEN 1 ELSE 0 END) AS BIGINT) AS subcent,
+    CAST(sum(CASE WHEN value <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpos,
+    CAST(max(epoch_us(ts) // 86400000000)
+         - min(epoch_us(ts) // 86400000000) AS BIGINT) AS span
+  FROM events
+)
+SELECT sc.n AS n_rows, dups.d AS n_dup_ids, sc.subcent AS n_subcent,
+  sc.nonpos AS n_nonpos, sc.span AS ts_span_days
+FROM sc, dups"""

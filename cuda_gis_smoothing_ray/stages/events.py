@@ -3703,3 +3703,76 @@ def spend_concentration(ds, k: int = SPEND_TOP_K):
         "cum_cents": pa.array(cum),
         "cum_share": pa.array(r6(cum.astype(np.float64) / float(grand))),
     }))
+
+
+def integrity_audit(ds):
+    """events -> ONE row (n_rows, n_dup_ids, n_subcent, n_nonpos,
+    ts_span_days): the DATA-CONTRACT audit a pipeline runs before
+    trusting a feed — duplicate primary keys, values with sub-cent
+    precision (a currency column that was divided somewhere), non-
+    positive amounts, and the timestamp span.  Zero rows in the dup
+    column IS the assertion the rest of the engine relies on (exact
+    cents assume one event per id).
+
+    EXACT: dup ids via one id-keyed count reduce; the sub-cent test is
+    the integer comparison ``floor(v*100+0.5)/100 != v`` evaluated on
+    identical IEEE doubles in both engines.  Scale shape: one id
+    reduce + one scalar reduce."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    def idcounts(batch: pa.Table) -> pa.Table:
+        e = batch.column("event_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(e, return_counts=True)
+        return pa.table({"id": pa.array(uniq),
+                         "c": pa.array(cnt.astype(np.int64))})
+
+    ids = hash_groupby(
+        ds.map_batches(idcounts, batch_format="pyarrow"),
+        "id", ["c"], how="isum",
+    )
+
+    def dup_partial(batch: pa.Table) -> pa.Table:
+        c = batch.column("c").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"k": pa.array([0], pa.int64()),
+                         "d": pa.array([int((c[c > 1]).sum())], pa.int64())})
+
+    dups = hash_groupby(
+        ids.map_batches(dup_partial, batch_format="pyarrow"),
+        "k", ["d"], how="isum",
+    ).to_pandas()
+    n_dup = int(dups["d"].sum())
+
+    def scalar_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        t = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        cents = np.floor(v * 100.0 + 0.5)
+        subcent = int((cents / 100.0 != v).sum())
+        nonpos = int((v <= 0.0).sum())
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "n": pa.array([len(v)], pa.int64()),
+            "sc": pa.array([subcent], pa.int64()),
+            "np_": pa.array([nonpos], pa.int64()),
+            "lo": pa.array([int(t.min())], pa.int64()),
+            "hi": pa.array([int(t.max())], pa.int64()),
+        })
+
+    sc = hash_groupby(
+        ds.map_batches(scalar_partial, batch_format="pyarrow"),
+        "k", ["n", "sc", "np_", "lo", "hi"],
+        how={"n": "isum", "sc": "isum", "np_": "isum",
+             "lo": "min", "hi": "max"},
+    ).to_pandas()
+    return rd.from_arrow(pa.table({
+        "n_rows": pa.array([int(sc["n"].iloc[0])], pa.int64()),
+        "n_dup_ids": pa.array([n_dup], pa.int64()),
+        "n_subcent": pa.array([int(sc["sc"].iloc[0])], pa.int64()),
+        "n_nonpos": pa.array([int(sc["np_"].iloc[0])], pa.int64()),
+        "ts_span_days": pa.array(
+            [int(sc["hi"].iloc[0]) - int(sc["lo"].iloc[0])], pa.int64()),
+    }))
