@@ -3674,6 +3674,14 @@ def _q_integrity_audit(sf_dir: str):
     return events.integrity_audit(events.read_events(sf_dir))
 
 
+def _q_median_center(sf_dir: str):
+    """Robust spatial centrography per TLD: rank-rule median center +
+    IQR spread in micro-degrees (stages/spatialjoin.median_center)."""
+    from cuda_gis_smoothing_ray.stages.spatialjoin import median_center
+
+    return median_center(_geocoded(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3893,6 +3901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spend_concentration": _q_spend_concentration,
         "hub_robustness": _q_hub_robustness,
         "integrity_audit": _q_integrity_audit,
+        "median_center": _q_median_center,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -4233,6 +4242,7 @@ def oracle_sql() -> dict[str, str]:
         "spend_concentration": oc.spend_concentration_sql(),
         "hub_robustness": oc.hub_robustness_sql(),
         "integrity_audit": oc.integrity_audit_sql(),
+        "median_center": oc.median_center_sql(RES),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

@@ -7541,3 +7541,36 @@ def integrity_audit_sql() -> str:
 SELECT sc.n AS n_rows, dups.d AS n_dup_ids, sc.subcent AS n_subcent,
   sc.nonpos AS n_nonpos, sc.span AS ts_span_days
 FROM sc, dups"""
+
+
+def median_center_sql(res: int) -> str:
+    """Oracle of stages/spatialjoin.median_center: per-(tld, dim) rank
+    rules rn = ((n-1)*q)//den + 1 over micro-quantized coordinates."""
+    from ..functions import geocode
+    from .oracles import _tld_case, geocoded_cte, pages_cte
+
+    m = f"(doc_id * {geocode.TLD_MULT}) % {geocode.ZIPF_MOD}"
+
+    def pick(col, qn, qd):
+        return f"""(SELECT v FROM (
+    SELECT {col} AS v,
+      row_number() OVER (ORDER BY {col}) AS rn,
+      count(*) OVER () AS n
+    FROM pts p2 WHERE p2.tld = t.tld
+  ) WHERE rn = ((n - 1) * {qn}) // {qd} + 1)"""
+
+    return f"""WITH {pages_cte()}, {geocoded_cte(res)},
+pts AS (
+  SELECT {_tld_case(m, 0)} AS tld,
+    CAST(floor(g.lat * 1e6 + 0.5) AS BIGINT) AS x,
+    CAST(floor(g.lon * 1e6 + 0.5) AS BIGINT) AS y
+  FROM geocoded g JOIN documents d ON d.doc_id = g.page_id
+), t AS (
+  SELECT tld, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY tld
+)
+SELECT t.tld, t.n,
+  {pick('x', 1, 2)} AS med_lat_micro,
+  {pick('y', 1, 2)} AS med_lon_micro,
+  {pick('x', 3, 4)} - {pick('x', 1, 4)} AS iqr_lat_micro,
+  {pick('y', 3, 4)} - {pick('y', 1, 4)} AS iqr_lon_micro
+FROM t ORDER BY t.tld"""

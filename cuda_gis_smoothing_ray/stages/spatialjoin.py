@@ -1143,3 +1143,86 @@ def clark_evans(points_ds):
         "sum_nn_micro": pa.array([s], pa.int64()),
         "r_index": pa.array([r6(obs / exp)], pa.float64()),
     }))
+
+
+def median_center(points_ds):
+    """geocoded pages -> (tld, n, med_lat_micro, med_lon_micro,
+    iqr_lat_micro, iqr_lon_micro): robust SPATIAL CENTROGRAPHY — each
+    TLD cloud's per-dimension median center and interquartile spread in
+    micro-degrees (the robust siblings of the mean center /
+    :func:`host_extent` bbox: one runaway lat/lon mention cannot move
+    them).
+
+    EXACT: coordinates quantize once to micro-degrees; medians and
+    quartiles use the rank ``floor((n-1)*q)`` rule on the per-(tld,
+    dim) value histograms (the :func:`~.sketch.grouped_quantiles`
+    definition).  Scale shape: one bounded (tld, dim, value) histogram
+    shuffle, driver rank walks."""
+    import ray.data as rd
+
+    from ..functions import geocode
+    from ..functions.reduce import hash_groupby
+    from ..sources.pages import REP_STRIDE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pid = batch.column("page_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        idx = geocode.tld_index(pid % REP_STRIDE).astype(np.int64)
+        lat = np.floor(batch.column("lat").to_numpy(zero_copy_only=False)
+                       * 1e6 + 0.5).astype(np.int64)
+        lon = np.floor(batch.column("lon").to_numpy(zero_copy_only=False)
+                       * 1e6 + 0.5).astype(np.int64)
+        # key = tld * 2 + dim; value column carries the coordinate
+        import pandas as pd_
+
+        df = pd_.DataFrame({
+            "key": np.concatenate([idx * 2, idx * 2 + 1]),
+            "v": np.concatenate([lat, lon]),
+        })
+        g = df.groupby(["key", "v"], sort=False).size().reset_index(name="c")
+        return pa.table({"key": pa.array(g["key"].to_numpy(np.int64)),
+                         "v": pa.array(g["v"].to_numpy(np.int64)),
+                         "c": pa.array(g["c"].to_numpy(np.int64))})
+
+    hist = (
+        points_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["key", "v"])
+        .sum("c")
+    ).to_pandas()
+    col = "sum(c)"
+    if hist.empty:
+        raise ValueError("median_center: no pages")
+
+    def rank_val(vs, cs, q_num, q_den, n):
+        r = ((n - 1) * q_num) // q_den
+        cum = np.cumsum(cs)
+        return int(vs[np.searchsorted(cum, r + 1)])
+
+    out = {"tld": [], "n": [], "med_lat_micro": [], "med_lon_micro": [],
+           "iqr_lat_micro": [], "iqr_lon_micro": []}
+    keys = hist["key"].to_numpy(np.int64)
+    for t in np.unique(keys // 2):
+        stats = {}
+        for dim in (0, 1):
+            g = hist[keys == t * 2 + dim].sort_values("v")
+            vs = g["v"].to_numpy(np.int64)
+            cs = g[col].to_numpy(np.int64)
+            n = int(cs.sum())
+            med = rank_val(vs, cs, 1, 2, n)
+            q1 = rank_val(vs, cs, 1, 4, n)
+            q3 = rank_val(vs, cs, 3, 4, n)
+            stats[dim] = (n, med, q3 - q1)
+        out["tld"].append(geocode.TLD_TABLE[int(t)][0])
+        out["n"].append(stats[0][0])
+        out["med_lat_micro"].append(stats[0][1])
+        out["med_lon_micro"].append(stats[1][1])
+        out["iqr_lat_micro"].append(stats[0][2])
+        out["iqr_lon_micro"].append(stats[1][2])
+    return rd.from_arrow(pa.table({
+        "tld": pa.array(out["tld"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "med_lat_micro": pa.array(out["med_lat_micro"], pa.int64()),
+        "med_lon_micro": pa.array(out["med_lon_micro"], pa.int64()),
+        "iqr_lat_micro": pa.array(out["iqr_lat_micro"], pa.int64()),
+        "iqr_lon_micro": pa.array(out["iqr_lon_micro"], pa.int64()),
+    })).sort("tld")

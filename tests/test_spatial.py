@@ -606,3 +606,29 @@ def test_clark_evans_clustered_vs_grid():
                    ["r_index"].iloc[0])
     assert r_clu < 0.5
     assert r_grid > 1.0
+
+
+def test_median_center_outlier_immunity():
+    """One far-away mention barely moves the median center while it
+    would drag the mean; IQR matches the rank rule."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.functions import geocode
+    from cuda_gis_smoothing_ray.stages.spatialjoin import median_center
+
+    idx = int(geocode.tld_index(np.array([0], np.int64))[0])
+    name, blat, blon = geocode.TLD_TABLE[idx]
+    lats = [blat + 0.001 * i for i in range(9)] + [blat + 50.0]
+    lons = [blon] * 10
+    out = median_center(rd.from_arrow(pa.table({
+        "page_id": pa.array([0] * 10, pa.int64()),
+        "lat": pa.array(lats, pa.float64()),
+        "lon": pa.array(lons, pa.float64()),
+    }))).to_pandas()
+    med = int(out["med_lat_micro"].iloc[0])
+    # rank floor((10-1)/2) = 4 -> the 5th smallest = blat + 0.004
+    want = int(np.floor((blat + 0.004) * 1e6 + 0.5))
+    assert med == want
+    assert int(out["iqr_lon_micro"].iloc[0]) == 0
