@@ -3682,6 +3682,18 @@ def _q_median_center(sf_dir: str):
     return median_center(_geocoded(sf_dir))
 
 
+def _q_isolated_cells(sf_dir: str):
+    """Spatial islands: present cells with no present ring-1 neighbor,
+    at res 9 where the grid is sparse enough for genuine isolates at
+    every sf (stages/hotspot.isolated_cells)."""
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.stages.geoencode import geo_encode
+    from cuda_gis_smoothing_ray.stages.hotspot import isolated_cells
+
+    return isolated_cells(
+        geo_encode(read_pages(sf_dir, include_html=False), res=9))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3902,6 +3914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hub_robustness": _q_hub_robustness,
         "integrity_audit": _q_integrity_audit,
         "median_center": _q_median_center,
+        "isolated_cells": _q_isolated_cells,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -4243,6 +4256,7 @@ def oracle_sql() -> dict[str, str]:
         "hub_robustness": oc.hub_robustness_sql(),
         "integrity_audit": oc.integrity_audit_sql(),
         "median_center": oc.median_center_sql(RES),
+        "isolated_cells": oc.isolated_cells_sql(9),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

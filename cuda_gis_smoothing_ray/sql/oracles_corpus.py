@@ -7574,3 +7574,24 @@ SELECT t.tld, t.n,
   {pick('x', 3, 4)} - {pick('x', 1, 4)} AS iqr_lat_micro,
   {pick('y', 3, 4)} - {pick('y', 1, 4)} AS iqr_lon_micro
 FROM t ORDER BY t.tld"""
+
+
+def isolated_cells_sql(res: int) -> str:
+    """Oracle of stages/hotspot.isolated_cells: ring-1 NOT EXISTS over
+    the (q, r) cell table."""
+    from .oracles import geocoded_cte, pages_cte
+
+    return f"""WITH {pages_cte()}, {geocoded_cte(res)},
+cells AS (
+  SELECT min(cell) AS cell, q, r, CAST(count(*) AS BIGINT) AS pages
+  FROM geocoded GROUP BY q, r
+)
+SELECT c.cell, c.pages
+FROM cells c
+WHERE NOT EXISTS (
+  SELECT 1 FROM cells nb
+  WHERE (nb.q, nb.r) IN (
+    (c.q + 1, c.r), (c.q, c.r + 1), (c.q + 1, c.r - 1),
+    (c.q - 1, c.r), (c.q, c.r - 1), (c.q - 1, c.r + 1))
+)
+ORDER BY c.cell"""

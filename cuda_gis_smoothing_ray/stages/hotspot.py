@@ -1424,13 +1424,15 @@ def cell_lang_shift(points_ds):
     lb = b.loc[common, "lang"]
     flip = la.to_numpy() != lb.to_numpy()
     cells = np.asarray(common, np.int64)[flip]
+    # `common` is a sorted index, so rows are already cell-ordered; no
+    # trailing .sort() (it drops the schema of an empty dataset)
     return rd.from_arrow(pa.table({
         "cell": pa.array(cells),
         "lang_a": pa.array(la.to_numpy()[flip], pa.string()),
         "lang_b": pa.array(lb.to_numpy()[flip], pa.string()),
         "n_a": pa.array(a.loc[common, "c"].to_numpy(np.int64)[flip]),
         "n_b": pa.array(b.loc[common, "c"].to_numpy(np.int64)[flip]),
-    })).sort("cell")
+    }))
 
 
 def cell_lang_entropy(points_ds):
@@ -1483,3 +1485,52 @@ def cell_lang_entropy(points_ds):
         "n_langs": pa.array(nl),
         "h_micro": pa.array(h),
     })).sort("cell")
+
+
+def isolated_cells(points_ds):
+    """geocoded pages -> (cell, pages): ISOLATED cells — present cells
+    with NO present ring-1 neighbor (spatial islands: geocoding
+    glitches, genuinely remote pockets, or cells a smoothing kernel
+    leaves untouched because it has nothing to borrow from).  The
+    complement diagnostic of the smoothing family.
+
+    EXACT: presence probes are the 6 arithmetic neighbor keys against
+    the sorted present-cell array (the :func:`join_counts` probe,
+    both directions this time).  Scale shape: one cell-keyed count
+    reduce, driver probe on the bounded cell table."""
+    import ray.data as rd
+
+    from ..functions.reduce import hash_groupby
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cell = batch.column("cell").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        uniq, cnt = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(uniq),
+                         "pages": pa.array(cnt.astype(np.int64))})
+
+    cells = hash_groupby(
+        points_ds.map_batches(partial, batch_format="pyarrow"),
+        "cell", ["pages"], how="isum",
+    ).to_pandas().sort_values("cell")
+    if cells.empty:
+        raise ValueError("isolated_cells: no cells")
+    cell = cells["cell"].to_numpy(np.int64)
+    n = len(cell)
+    has_nbr = np.zeros(n, bool)
+    for dq, dr in ((1, 0), (0, 1), (1, -1), (-1, 0), (0, -1), (-1, 1)):
+        nbr = cell + dq * (np.int64(1) << np.int64(28)) + dr
+        idx = np.searchsorted(cell, nbr)
+        ok = (idx < n) & (cell[np.minimum(idx, n - 1)] == nbr)
+        has_nbr |= ok
+    iso = ~has_nbr
+    # returned as pandas: Ray drops the SCHEMA of any empty Dataset on
+    # to_pandas (measured — sort or not), and an all-connected grid
+    # legitimately yields zero isolates; the driver contract accepts
+    # DataFrames, which keep their columns when empty
+    import pandas as pd
+
+    return pd.DataFrame({
+        "cell": cell[iso],
+        "pages": cells["pages"].to_numpy(np.int64)[iso],
+    })

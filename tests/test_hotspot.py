@@ -473,3 +473,33 @@ def test_cell_lang_entropy_bounds():
     out = cell_lang_entropy(rd.from_arrow(t)).to_pandas().set_index("cell")
     assert int(out.loc[1, "h_micro"]) == 0
     assert abs(int(out.loc[2, "h_micro"]) - round(np.log(2) * 1e6)) <= 2
+
+
+def test_isolated_cells_probe():
+    """A lone far cell is isolated; adjacent cells are not; an empty
+    isolate set keeps its schema (pandas return)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.functions import hexgrid
+    from cuda_gis_smoothing_ray.stages.hotspot import isolated_cells
+
+    res = 9
+
+    def cellid(q, r):
+        return int((np.int64(res) << np.int64(56))
+                   + (q + hexgrid.OFF) * (1 << 28) + (r + hexgrid.OFF))
+
+    ds = rd.from_arrow(pa.table({
+        "cell": pa.array([cellid(0, 0), cellid(1, 0), cellid(50, 50)],
+                         pa.int64()),
+    }))
+    out = isolated_cells(ds)
+    assert out["cell"].tolist() == [cellid(50, 50)]
+
+    pair = rd.from_arrow(pa.table({
+        "cell": pa.array([cellid(0, 0), cellid(1, 0)], pa.int64())}))
+    empty = isolated_cells(pair)
+    assert list(empty.columns) == ["cell", "pages"]
+    assert len(empty) == 0
