@@ -3694,6 +3694,14 @@ def _q_isolated_cells(sf_dir: str):
         geo_encode(read_pages(sf_dir, include_html=False), res=9))
 
 
+def _q_top_cells_by_tld(sf_dir: str):
+    """Each TLD's densest hex cells (grouped spatial top-k, (pages DESC,
+    cell) ranks) (stages/gridops.top_cells_by_tld)."""
+    from cuda_gis_smoothing_ray.stages.gridops import top_cells_by_tld
+
+    return top_cells_by_tld(_geocoded(sf_dir))
+
+
 def _q_spearman_corr(sf_dir: str):
     """Spearman rank correlation of chars vs tokens per doc: exact doubled
     tie ranks from value histograms (stages/sketch.spearman_corr)."""
@@ -3915,6 +3923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "integrity_audit": _q_integrity_audit,
         "median_center": _q_median_center,
         "isolated_cells": _q_isolated_cells,
+        "top_cells_by_tld": _q_top_cells_by_tld,
         "split_assign": _q_split_assign,
         "contamination": _q_contamination,
         "passage_dedup": _q_passage_dedup,
@@ -4257,6 +4266,7 @@ def oracle_sql() -> dict[str, str]:
         "integrity_audit": oc.integrity_audit_sql(),
         "median_center": oc.median_center_sql(RES),
         "isolated_cells": oc.isolated_cells_sql(9),
+        "top_cells_by_tld": oc.top_cells_by_tld_sql(RES),
         "split_assign": oc.split_assign_sql(),
         "contamination": oc.contamination_sql(),
         "passage_dedup": oc.passage_dedup_sql(),

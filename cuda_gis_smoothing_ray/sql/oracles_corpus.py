@@ -7595,3 +7595,26 @@ WHERE NOT EXISTS (
     (c.q - 1, c.r), (c.q, c.r - 1), (c.q - 1, c.r + 1))
 )
 ORDER BY c.cell"""
+
+
+def top_cells_by_tld_sql(res: int, k: int | None = None) -> str:
+    """Oracle of stages/gridops.top_cells_by_tld: (pages DESC, cell)
+    row_number per TLD."""
+    from ..functions import geocode
+    from ..stages import gridops
+    from .oracles import _tld_case, geocoded_cte, pages_cte
+
+    kk = gridops.TLD_TOPK if k is None else k
+    m = f"(doc_id * {geocode.TLD_MULT}) % {geocode.ZIPF_MOD}"
+    return f"""WITH {pages_cte()}, {geocoded_cte(res)},
+ct AS (
+  SELECT {_tld_case(m, 0)} AS tld, g.cell, CAST(count(*) AS BIGINT)
+      AS pages
+  FROM geocoded g JOIN documents d ON d.doc_id = g.page_id
+  GROUP BY 1, 2
+)
+SELECT tld, CAST(rnk AS BIGINT) AS rnk, cell, pages FROM (
+  SELECT *, row_number() OVER (PARTITION BY tld
+    ORDER BY pages DESC, cell) AS rnk
+  FROM ct
+) WHERE rnk <= {kk} ORDER BY tld, rnk"""

@@ -1393,3 +1393,54 @@ def spatial_thin(points_ds, n_parts: int = 64):
             "n_in_cell": t.column("n")}), batch_format="pyarrow")
         .sort("cell")
     )
+
+
+TLD_TOPK = 3
+
+
+def top_cells_by_tld(points_ds, k: int = TLD_TOPK):
+    """geocoded pages -> (tld, rnk, cell, pages): each TLD's ``k``
+    densest hex cells — the grouped spatial top-k behind per-domain
+    map callouts ("where does .de concentrate?"), the grouped sibling
+    of :func:`top_cells`.
+
+    DETERMINISTIC ranks by (pages DESC, cell); exact integers.  Scale
+    shape: one bounded (tld, cell) count reduce, per-partition local
+    top-k (safe: a (tld, cell) pair lives in one partition), tiny
+    merge."""
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..functions import geocode
+    from ..sources.pages import REP_STRIDE
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pid = batch.column("page_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        idx = geocode.tld_index(pid % REP_STRIDE).astype(np.int64)
+        cell = batch.column("cell").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame({"tid": idx, "cell": cell})
+        g = df.groupby(["tid", "cell"], sort=False).size() \
+            .reset_index(name="pages")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        points_ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["tid", "cell"])
+        .aggregate(Sum("pages", alias_name="pages"))
+    ).to_pandas()
+    if agg.empty:
+        raise ValueError("top_cells_by_tld: no pages")
+    agg = agg.sort_values(["tid", "pages", "cell"],
+                          ascending=[True, False, True], kind="mergesort")
+    top = agg.groupby("tid", sort=True).head(k).copy()
+    top["rnk"] = top.groupby("tid", sort=False).cumcount() + 1
+    names = [geocode.TLD_TABLE[int(t)][0] for t in top["tid"]]
+    return rd.from_arrow(pa.table({
+        "tld": pa.array(names, pa.string()),
+        "rnk": pa.array(top["rnk"].to_numpy(np.int64)),
+        "cell": pa.array(top["cell"].to_numpy(np.int64)),
+        "pages": pa.array(top["pages"].to_numpy(np.int64)),
+    })).sort(["tld", "rnk"])
