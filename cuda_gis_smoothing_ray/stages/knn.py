@@ -64,13 +64,19 @@ def knn_broadcast(points_ds, k: int = 5, queries: list[tuple[int, float, float]]
         dlon = lon[None, :] - qmat[:, 1:2]
         d2 = dlat * dlat + dlon * dlon  # (m, n)
         kk = min(k, d2.shape[1])
-        part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
         out_q, out_id, out_d = [], [], []
         for qi in range(d2.shape[0]):
-            sel = part[qi]
-            out_q.append(np.full(kk, q_ids[qi]))
+            d = d2[qi]
+            # tie-consistent local prune (mirrors knn_haversine): keep every
+            # candidate at or under the kth distance, then (dist2, id)
+            # lexsort — so a batch boundary can never drop the tied candidate
+            # the oracle's ORDER BY dist2, id would keep.
+            thresh = np.partition(d, kk - 1)[kk - 1]
+            cand = np.flatnonzero(d <= thresh)
+            sel = cand[np.lexsort((ids[cand], d[cand]))][:kk]
+            out_q.append(np.full(len(sel), q_ids[qi]))
             out_id.append(ids[sel])
-            out_d.append(d2[qi, sel])
+            out_d.append(d[sel])
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q)),

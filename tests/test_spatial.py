@@ -70,6 +70,32 @@ def test_knn_broadcast_matches_brute(points_ds):
         assert (got == want).all(), (qid, got, want)
 
 
+def test_knn_broadcast_tie_across_batch_boundary():
+    """Adversarial case from the r3 verdict: duplicate-coordinate points with
+    identical distance to the query, straddling a batch boundary.  The
+    batch-local prune must keep ALL tied-at-kth candidates so the final
+    (dist2, id) merge matches the oracle's ORDER BY dist2, page_id."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.knn import knn_broadcast
+
+    # 6 points all at the SAME coordinates; high ids in the first block,
+    # low ids in the second — a naive argpartition keeps block-1's high ids
+    # and the merge then can't recover ids 0/1/2.
+    lat = np.full(6, 12.0)
+    lon = np.full(6, 34.0)
+    ids = np.array([100, 101, 102, 0, 1, 2], dtype=np.int64)
+    t = pa.table({"page_id": pa.array(ids), "lat": pa.array(lat), "lon": pa.array(lon)})
+    ds = rd.from_arrow([t.slice(0, 3), t.slice(3, 3)])  # two blocks -> two batches
+    out = (
+        knn_broadcast(ds, k=3, queries=[(7, 12.0, 34.0)])
+        .to_pandas()
+        .sort_values("rank")
+    )
+    assert out["page_id"].tolist() == [0, 1, 2]
+    assert (out["dist2"].to_numpy() == 0.0).all()
+
+
 def test_knn_cell_bucketed_agrees_with_broadcast_selfknn():
     """Self-kNN: bucketed search equals brute force when the kth neighbor is
     within the parent-cell ring (dense enough fixture guarantees it)."""
