@@ -18,12 +18,13 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from .scale import default_parts
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
 def hash_groupby(ds, key_col: str, cols: list[str],
-                 how: str | dict[str, str] = "sum", n_parts: int = 64):
+                 how: str | dict[str, str] = "sum", n_parts: int | None = None):
     """Dataset -> Dataset(key_col, *cols) with a per-key reduction.
 
     ``how``: "sum" (float64 sums), "isum" (exact int64 sums), "min" or
@@ -33,6 +34,7 @@ def hash_groupby(ds, key_col: str, cols: list[str],
     Keys may be any int64-compatible column.  One all-to-all (by coarse hash
     partition), vectorized reduce, no per-key Python.
     """
+    n_parts = default_parts() if n_parts is None else n_parts
     hows = {c: how for c in cols} if isinstance(how, str) else dict(how)
     missing = [c for c in cols if c not in hows]
     if missing:
@@ -82,5 +84,6 @@ def hash_groupby(ds, key_col: str, cols: list[str],
     )
 
 
-def hash_groupby_sum(ds, key_col: str, sum_cols: list[str], n_parts: int = 64):
+def hash_groupby_sum(ds, key_col: str, sum_cols: list[str], n_parts: int | None = None):
+    n_parts = default_parts() if n_parts is None else n_parts
     return hash_groupby(ds, key_col, sum_cols, how="sum", n_parts=n_parts)

@@ -22,11 +22,12 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions import hashing
+from ..functions.scale import default_parts
 
 N_USER_PARTS = 64
 
 
-def _by_user(ds, solve, n_parts: int = N_USER_PARTS):
+def _by_user(ds, solve, n_parts: int | None = None):
     """ONE coarse user-keyed shuffle + ONE vectorized solve per partition.
 
     ``solve`` receives a pandas DataFrame holding EVERY row of ~1/n_parts of
@@ -39,6 +40,7 @@ def _by_user(ds, solve, n_parts: int = N_USER_PARTS):
     model); the segmented solves sort/segment int64 ids.  A non-integer
     id column raises descriptively here instead of deep inside a solve."""
 
+    n_parts = default_parts() if n_parts is None else n_parts
     def add_part(batch: pa.Table) -> pa.Table:
         if not pa.types.is_integer(batch.schema.field("user_id").type):
             raise TypeError(

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 import pyarrow.compute as pc
+from ..functions.scale import default_parts
 
 HTML_PREFIX = b"<html><body>"
 HTML_SUFFIX = b"</body></html>"
@@ -165,7 +166,7 @@ def json_props(ds):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
-def latest_capture(ds, n_parts: int = 64):
+def latest_capture(ds, n_parts: int | None = None):
     """pages (possibly many crawl snapshots per url) -> newest row per url:
     DISTINCT ON (url) ORDER BY warc_ts DESC — the Common-Crawl "keep the
     latest capture of each page" dedup that fronts every crawl-refresh
@@ -177,6 +178,7 @@ def latest_capture(ds, n_parts: int = 64):
     never per url).  ``text`` is carried through verbatim so the driver's
     value-hash proves the byte-identity invariant survives the dedup.
     -> (url, page_id, warc_ts, text)."""
+    n_parts = default_parts() if n_parts is None else n_parts
     from .relagg import argmax_by
 
     out = argmax_by(ds, "url", ["warc_ts", "page_id"], ["text"],
@@ -184,7 +186,7 @@ def latest_capture(ds, n_parts: int = 64):
     return out.select_columns(["url", "page_id", "warc_ts", "text"])
 
 
-def recrawl_stats(ds, n_parts: int = 64):
+def recrawl_stats(ds, n_parts: int | None = None):
     """pages (many crawl snapshots) -> per-host recapture-interval stats:
     (host, n_gaps, min_gap_s, max_gap_s, mean_gap_s) over the gaps between
     SUCCESSIVE captures of each host (any page of the host counts as a
@@ -197,6 +199,7 @@ def recrawl_stats(ds, n_parts: int = 64):
     run boundaries dropped) -> per-host (n, sum, min, max) partials; a
     host-keyed mixed reduce (isum/min/max in ONE shuffle) finishes.
     Python cost per PARTITION, never per host."""
+    n_parts = default_parts() if n_parts is None else n_parts
     import numpy as np
     import pandas as pd
 

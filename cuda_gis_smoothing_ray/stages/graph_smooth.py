@@ -41,13 +41,15 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.weights import ring_weights
+from ..functions.scale import default_parts
 
 MAX_NEIGHBORS_2ND = 12  # hex_smooth_cuda_v5.cu:30
 N_PARTS = 64
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _part_of(key: np.ndarray, n_parts: int = N_PARTS) -> np.ndarray:
+def _part_of(key: np.ndarray, n_parts: int | None = None) -> np.ndarray:
+    n_parts = default_parts() if n_parts is None else n_parts
     return (
         (key.astype(np.int64).view(np.uint64) * _GOLDEN) >> np.uint64(52)
     ) % np.uint64(n_parts)
@@ -64,7 +66,8 @@ def _adjacency_flat(batch: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray
     return src, offs[1:] - offs[:-1], flat
 
 
-def _kinded(key, kind, src, n_parts=N_PARTS) -> pa.Table:
+def _kinded(key, kind, src, n_parts=None) -> pa.Table:
+    n_parts = default_parts() if n_parts is None else n_parts
     t = pa.table(
         {
             "key": pa.array(key.astype(np.int64)),
@@ -78,7 +81,7 @@ def _kinded(key, kind, src, n_parts=N_PARTS) -> pa.Table:
 _EDGES_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
 
 
-def second_order_edges(ds, n_parts: int = N_PARTS):
+def second_order_edges(ds, n_parts: int | None = None):
     """Dataset(cell_idx, neighbors) -> Dataset(src, dst) of 2nd-order edges,
     reference semantics (``hex_smooth_cuda_v5.cu:423-463``): for each cell i,
     dst ranges over the <=12 smallest ids reachable through a present
@@ -92,6 +95,7 @@ def second_order_edges(ds, n_parts: int = N_PARTS):
     """
 
     # --- A: key = n1; kind 0 rows carry n1's list entries, kind 1 rows the readers
+    n_parts = default_parts() if n_parts is None else n_parts
     def expand_rows(batch: pa.Table) -> pa.Table:
         src, counts, flat = _adjacency_flat(batch)
         owners = np.repeat(src, counts)
@@ -202,7 +206,7 @@ def second_order_edges(ds, n_parts: int = N_PARTS):
 
 def graph_smooth(ds, profile: str = "uniform", value_col: str = "ndvi",
                  value_cols: list[str] | None = None, k: int = 1,
-                 n_parts: int = N_PARTS):
+                 n_parts: int | None = None):
     """Dataset(cell_idx, <value cols>, neighbors:list<int32>) -> smoothed.
 
     Single variable (default): output (cell_idx, smoothed).
@@ -211,6 +215,7 @@ def graph_smooth(ds, profile: str = "uniform", value_col: str = "ndvi",
     join and one shuffle (the reference's fusion win, K5-K7).
     ``k=2`` adds the derived 2nd-order ring (weights per ``profile``).
     """
+    n_parts = default_parts() if n_parts is None else n_parts
     cols = list(value_cols) if value_cols is not None else [value_col]
     fused = value_cols is not None
     w = ring_weights(profile, k)

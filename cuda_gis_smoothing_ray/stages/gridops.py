@@ -33,6 +33,7 @@ import pyarrow.compute as pc
 
 from ..functions import hexgrid
 from ..functions.reduce import hash_groupby
+from ..functions.scale import default_parts
 
 RES_ALL = tuple(range(hexgrid.RES_MIN, hexgrid.RES_MAX + 1))  # 5..9
 
@@ -41,7 +42,7 @@ SAMPLE_MULT = 2654435761  # Knuth multiplicative constant, < 2^32
 SAMPLE_MOD = 1_000_000
 
 
-def multires_counts(geocoded, resolutions=RES_ALL, n_parts: int = 64):
+def multires_counts(geocoded, resolutions=RES_ALL, n_parts: int | None = None):
     """geocoded(lat, lon, ...) -> (res, cell, page_count) for every res.
 
     One map_batches emits the concatenated per-res cell ids (fan-out x5 on a
@@ -50,6 +51,7 @@ def multires_counts(geocoded, resolutions=RES_ALL, n_parts: int = 64):
     byte afterwards.  At 100 TB the shuffle moves only (cell, partial-count)
     rows because counts pre-aggregate per batch below.
     """
+    n_parts = default_parts() if n_parts is None else n_parts
     rs = tuple(resolutions)
 
     def expand(batch: pa.Table) -> pa.Table:
@@ -83,11 +85,12 @@ def multires_counts(geocoded, resolutions=RES_ALL, n_parts: int = 64):
     return counts.map_batches(finalize, batch_format="pyarrow")
 
 
-def tile_vector(geocoded, zoom: int, n_parts: int = 64):
+def tile_vector(geocoded, zoom: int, n_parts: int | None = None):
     """geocoded -> per-tile (tile_id, tile_x, tile_y, page_count, west,
     south, east, north): the raster grid re-emitted as vector bounding
     polygons (axis-aligned; corners listed as W/S/E/N degree bounds).
     """
+    n_parts = default_parts() if n_parts is None else n_parts
     n = 1 << zoom
 
     def assign(batch: pa.Table) -> pa.Table:
@@ -377,11 +380,12 @@ def _curve_locality(cells_ds, key_name: str, key_fn):
     )
 
 
-def cell_counts(geocoded, n_parts: int = 64):
+def cell_counts(geocoded, n_parts: int | None = None):
     """geocoded -> distinct (cell, page_count): batch-local ``np.unique``
     partials, one bounded hash-partition sum — the light cell table every
     hex-API op below starts from (no metric columns computed)."""
 
+    n_parts = default_parts() if n_parts is None else n_parts
     def partial(batch: pa.Table) -> pa.Table:
         cell = batch.column("cell").to_numpy(zero_copy_only=False)
         uniq, cnt = np.unique(cell, return_counts=True)
@@ -401,10 +405,11 @@ _CORNER_FL = np.array([2, 1, -1, -2, -1, 1], dtype=np.int64)
 _CORNER_FW = np.array([0, 1, 1, 0, -1, -1], dtype=np.int64)
 
 
-def cell_boundary(geocoded, n_parts: int = 64):
+def cell_boundary(geocoded, n_parts: int | None = None):
     """H3 ``cell_to_boundary`` analog: the 6 vertex coordinates of every
     distinct populated cell -> (cell, vertex, vlat, vlon)."""
 
+    n_parts = default_parts() if n_parts is None else n_parts
     def vertices(batch: pa.Table) -> pa.Table:
         cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
         res, q, r = hexgrid.unpack(cell)
@@ -426,7 +431,7 @@ def cell_boundary(geocoded, n_parts: int = 64):
     return cell_counts(geocoded, n_parts).map_batches(vertices, batch_format="pyarrow")
 
 
-def cell_parent_rollup(geocoded, parent_res: int, n_parts: int = 64):
+def cell_parent_rollup(geocoded, parent_res: int, n_parts: int | None = None):
     """H3 ``cell_to_parent`` analog + hierarchy rollup: re-encode each
     populated cell's CENTER at ``parent_res`` and aggregate ->
     (parent_cell, n_children, n_pages).
@@ -435,6 +440,7 @@ def cell_parent_rollup(geocoded, parent_res: int, n_parts: int = 64):
     cube-rounding), so the rollup is one bounded shuffle of distinct-cell
     rows — pages never reshuffle."""
 
+    n_parts = default_parts() if n_parts is None else n_parts
     def to_parent(batch: pa.Table) -> pa.Table:
         cell = batch.column("cell").to_numpy(zero_copy_only=False).astype(np.int64)
         res, q, r = hexgrid.unpack(cell)
@@ -462,11 +468,12 @@ def cell_parent_rollup(geocoded, parent_res: int, n_parts: int = 64):
     )
 
 
-def grid_disk(geocoded, k: int = 1, n_parts: int = 64):
+def grid_disk(geocoded, k: int = 1, n_parts: int | None = None):
     """H3 ``grid_disk`` analog: for every distinct populated cell, all cells
     at hex distance <= k with their ring index -> (cell, neighbor, ring).
     Pure integer offset arithmetic (no adjacency stored), mirroring the
     smoothing kernels' neighbor derivation."""
+    n_parts = default_parts() if n_parts is None else n_parts
     offs = [(0, 0, 0)]
     for ring in range(1, k + 1):
         offs += [(dq, dr, ring) for dq, dr in hexgrid.ring_offsets(ring)]
@@ -747,7 +754,7 @@ def mixture_sample(ds, group_col: str = "source", id_col: str = "doc_id",
     return ds.map_batches(f, batch_format="pyarrow")
 
 
-def compact_cells(geocoded, res: int, n_parts: int = 64):
+def compact_cells(geocoded, res: int, n_parts: int | None = None):
     """H3 ``compact_cells`` analog: replace every COMPLETE sibling group of
     populated cells at ``res`` with its parent cell at ``res - 1``, keep
     incomplete groups as-is -> (cell, is_parent) where ``cell`` is either
@@ -768,6 +775,7 @@ def compact_cells(geocoded, res: int, n_parts: int = 64):
     parent rows, 19 probes wide), one parent-keyed co-partitioned merge
     to emit the cover — pages never reshuffle, the driver holds nothing.
     """
+    n_parts = default_parts() if n_parts is None else n_parts
     import pandas as pd
 
     from ..functions import hashing
@@ -861,7 +869,7 @@ def compact_cells(geocoded, res: int, n_parts: int = 64):
     )
 
 
-def uncompact_cells(geocoded, res: int, n_parts: int = 64):
+def uncompact_cells(geocoded, res: int, n_parts: int | None = None):
     """H3 ``uncompact_cells`` analog — the inverse of
     :func:`compact_cells`: expand every parent row of the compacted cover
     back to its FULL child set at ``res`` and pass child rows through
@@ -873,6 +881,7 @@ def uncompact_cells(geocoded, res: int, n_parts: int = 64):
     candidate enumeration as compact (k-ring-2 of the anchor, keep
     candidates whose center cube-rounds back into the parent); purely
     batch-local, no shuffle beyond compact's own."""
+    n_parts = default_parts() if n_parts is None else n_parts
     cover = compact_cells(geocoded, res=res, n_parts=n_parts)
     parent_res = res - 1
     offs = hexgrid.ring_offsets(1) + hexgrid.ring_offsets(2) + [(0, 0)]
@@ -904,7 +913,7 @@ def uncompact_cells(geocoded, res: int, n_parts: int = 64):
 FLOW_STEPS = 8
 
 
-def flow_accumulation(geocoded, steps: int = FLOW_STEPS, n_parts: int = 64):
+def flow_accumulation(geocoded, steps: int = FLOW_STEPS, n_parts: int | None = None):
     """Steepest-descent drainage over the populated-cell surface ->
     (cell, drain_to, acc): each cell drains to its strictly-LOWER
     minimum-``page_count`` ring-1 neighbor (ties: lowest neighbor id;
@@ -927,6 +936,7 @@ def flow_accumulation(geocoded, steps: int = FLOW_STEPS, n_parts: int = 64):
     (cell, acc) int rows along drain edges — every table is
     distinct-cell bounded, nothing touches pages after the first reduce.
     """
+    n_parts = default_parts() if n_parts is None else n_parts
     import pandas as pd
 
     from ..functions import hashing
@@ -1078,7 +1088,7 @@ def flow_accumulation(geocoded, steps: int = FLOW_STEPS, n_parts: int = 64):
 WATERSHED_JUMPS = 6
 
 
-def watershed(geocoded, jumps: int = WATERSHED_JUMPS, n_parts: int = 64):
+def watershed(geocoded, jumps: int = WATERSHED_JUMPS, n_parts: int | None = None):
     """Watershed labeling of the populated-cell surface -> (cell, sink):
     every cell labeled with the terminal sink its steepest-descent drain
     path reaches — the basin decomposition that pairs with
@@ -1091,6 +1101,7 @@ def watershed(geocoded, jumps: int = WATERSHED_JUMPS, n_parts: int = 64):
     self-join of the (cell, p) pointer table — cells-bounded, integer,
     order-free.
     """
+    n_parts = default_parts() if n_parts is None else n_parts
     import pandas as pd
 
     from ..functions import hashing
@@ -1197,7 +1208,7 @@ COST_ROUNDS = 10
 
 
 def cheapest_path_cost(geocoded, rounds: int = COST_ROUNDS,
-                       n_parts: int = 64):
+                       n_parts: int | None = None):
     """Weighted shortest-path COST field over the populated-cell surface
     -> (cell, cost_dist): from the densest cell (max page_count, ties by
     smallest id; cost_dist 0 there), the minimum total cost of any ring-1
@@ -1210,6 +1221,7 @@ def cheapest_path_cost(geocoded, rounds: int = COST_ROUNDS,
     populated cells, one value scatter to derive it); each round is one
     co-partitioned scatter of (cell, dist) along edges + a min-combine —
     all integer, all cells-bounded."""
+    n_parts = default_parts() if n_parts is None else n_parts
     import pandas as pd
 
     from ..functions import hashing
@@ -1331,7 +1343,7 @@ def cheapest_path_cost(geocoded, rounds: int = COST_ROUNDS,
                             batch_size=None).sort("cell")
 
 
-def spatial_thin(points_ds, n_parts: int = 64):
+def spatial_thin(points_ds, n_parts: int | None = None):
     """geocoded pages -> (cell, page_id, lat, lon, n_in_cell): SPATIAL
     THINNING — one deterministic representative page per hex cell (the
     smallest page_id), with the cell's total count.  The standard
@@ -1344,6 +1356,7 @@ def spatial_thin(points_ds, n_parts: int = 64):
     partition with counts summed — min-by-key with payload is
     mergeable, so the winning row's coordinates survive verbatim and
     nothing is re-derived or re-scanned.  Exact integers."""
+    n_parts = default_parts() if n_parts is None else n_parts
     import ray.data as rd
 
     from ..functions import hashing

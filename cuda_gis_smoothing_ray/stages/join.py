@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+from ..functions.scale import default_parts
 
 
 def read_table(sf_dir: str, name: str, columns: list[str] | None = None):
@@ -163,7 +164,7 @@ def bloom_contains(bitmap: np.ndarray, keys: np.ndarray, m_bits: int,
 
 
 def bloom_semi_join(left, right, left_key: str, right_key: str | None = None,
-                    m_bits: int = 1 << 22, k_hashes: int = 4, n_parts: int = 64):
+                    m_bits: int = 1 << 22, k_hashes: int = 4, n_parts: int | None = None):
     """Semi join with a Bloom pre-filter: build a bitmap of the right keys
     (512 KB default), broadcast it once (``ray.put``), drop definite-miss
     left rows BEFORE the shuffle, then resolve exactly with
@@ -172,6 +173,7 @@ def bloom_semi_join(left, right, left_key: str, right_key: str | None = None,
     |left| to |matches| + eps.  This is the standard plan when the left side
     is 100 TB and most rows don't match; the pure :func:`hash_semi_join` is
     the fallback when most rows DO match (bitmap buys nothing)."""
+    n_parts = default_parts() if n_parts is None else n_parts
     import ray
 
     rk = right_key or left_key
@@ -187,12 +189,13 @@ def bloom_semi_join(left, right, left_key: str, right_key: str | None = None,
 
 
 def hash_semi_join(left, right, left_key: str, right_key: str | None = None,
-                   anti: bool = False, n_parts: int = 64):
+                   anti: bool = False, n_parts: int | None = None):
     """Scale-safe semi/anti join: keep left rows whose key does (semi) or
     does not (anti) appear in ``right``.  Only DISTINCT right keys shuffle
     (deduped per batch, then partitioned); each hash partition resolves
     membership with one vectorized sorted-membership pass — no broadcast of
     the right side, works at any right-side cardinality."""
+    n_parts = default_parts() if n_parts is None else n_parts
     rk = right_key or left_key
     _G = np.uint64(0x9E3779B97F4A7C15)
 
@@ -267,13 +270,14 @@ def hash_semi_join(left, right, left_key: str, right_key: str | None = None,
     return both.groupby("__part").map_groups(resolve, batch_format="pyarrow")
 
 
-def distinct_values(ds, col: str, n_parts: int = 64):
+def distinct_values(ds, col: str, n_parts: int | None = None):
     """Exact DISTINCT over ``col`` at any cardinality: batch-local
     ``np.unique`` shrinks each block to its distinct values, a 64-bit hash
     partitions them (Python cost per batch-distinct STRING value, vectorized
     for ints), and each partition finishes with one ``np.unique`` — Python
     per partition, never per global key.  The UNION set operation is
     ``distinct_values(a.union(b), col)``."""
+    n_parts = default_parts() if n_parts is None else n_parts
     from ..functions.hashing import md5_hash64
 
     def local(batch: pa.Table) -> pa.Table:
@@ -297,13 +301,14 @@ def distinct_values(ds, col: str, n_parts: int = 64):
     )
 
 
-def grouped_distinct_count(ds, group_col: str, value_col: str, n_parts: int = 64,
+def grouped_distinct_count(ds, group_col: str, value_col: str, n_parts: int | None = None,
                            out_col: str = "n_distinct"):
     """Exact ``count(DISTINCT value) GROUP BY group``: batch-local dedup of
     (group, value) pairs, hash-partition by VALUE (so each distinct pair is
     counted once even when a group spans partitions), per-partition
     vectorized pair-dedup + per-group partial counts, then one bounded-key
     sum.  Only distinct pairs shuffle, never raw rows."""
+    n_parts = default_parts() if n_parts is None else n_parts
     from ray.data.aggregate import Sum
 
     from ..functions.hashing import poly_hash64

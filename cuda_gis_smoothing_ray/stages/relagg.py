@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import pandas as pd
 import pyarrow as pa
+from ..functions.scale import default_parts
 
 
 def rollup_sums(ds, keys: list[str], sum_cols: list[str], all_label: str = "ALL"):
@@ -141,7 +142,7 @@ def pricing_summary(ds, cutoff: str = PRICING_CUTOFF):
 
 
 def argmax_by(ds, group_col: str, order_cols: list[str], keep_cols: list[str],
-              n_parts: int = 64):
+              n_parts: int | None = None):
     """ds -> one row per group: the row with the LARGEST (order_cols) tuple
     (ties impossible by construction when the last order col is unique, e.g.
     an id).  DISTINCT ON / deduplicate-to-latest — the standard "keep newest
@@ -156,6 +157,7 @@ def argmax_by(ds, group_col: str, order_cols: list[str], keep_cols: list[str],
     per distinct group (a ``groupby(group).map_groups`` finish would
     dispatch Python once per DISTINCT key: fatal for per-user / per-url
     argmax at corpus scale)."""
+    n_parts = default_parts() if n_parts is None else n_parts
     import numpy as np
 
     from ..functions.hashing import coarse_partition, poly_hash64
@@ -1500,7 +1502,7 @@ Q21_NATION = 3
 
 
 def tpch_q21(sf_dir: str, late_days: int = Q21_LATE_DAYS,
-             nation: int = Q21_NATION, n_parts: int = 64):
+             nation: int = Q21_NATION, n_parts: int | None = None):
     """TPC-H Q21 analog — suppliers who kept orders waiting: for finished
     ('F') multi-supplier orders where EXACTLY ONE supplier shipped late,
     count per supplier (in one nation) how many orders it alone held up.
@@ -1520,6 +1522,7 @@ def tpch_q21(sf_dir: str, late_days: int = Q21_LATE_DAYS,
     (suppkey, 1) survivors leave the partition; supplier name + nation are
     a broadcast dim on that tiny stream.  -> (s_name, numwait) ordered by
     (numwait desc, s_name)."""
+    n_parts = default_parts() if n_parts is None else n_parts
     import numpy as np
     import pyarrow.compute as pc_
     import ray.data as rd

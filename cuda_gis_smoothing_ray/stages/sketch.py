@@ -27,6 +27,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import splitmix64, text_hash64
+from ..functions.scale import default_parts
 
 HLL_P = 12  # 4096 registers
 
@@ -40,12 +41,13 @@ def _host_from_url(batch: pa.Table) -> np.ndarray:
     return pc.list_element(parts, 2).to_numpy(zero_copy_only=False)
 
 
-def distinct_count(ds, value_fn=_host_from_url, n_parts: int = 64):
+def distinct_count(ds, value_fn=_host_from_url, n_parts: int | None = None):
     """-> single-row table (n_distinct:int64): exact distributed distinct.
 
     Batch-local unique -> hash-partitioned shuffle of distinct values ->
     per-partition unique -> sum.
     """
+    n_parts = default_parts() if n_parts is None else n_parts
     from ray.data.aggregate import Sum
 
     def local(batch: pa.Table) -> pa.Table:
@@ -501,7 +503,7 @@ def grouped_corr(ds):
     )
 
 
-def heavy_hitters(ds, phi_den: int = 500, n_parts: int = 32):
+def heavy_hitters(ds, phi_den: int = 500, n_parts: int | None = None):
     """documents -> (token, cnt): every whitespace token whose total
     occurrence count is >= ceil(total_tokens / phi_den) — EXACT heavy
     hitters by the canonical two-pass pattern:
@@ -522,6 +524,7 @@ def heavy_hitters(ds, phi_den: int = 500, n_parts: int = 32):
     materialized state is the candidate set (<= phi_den per batch after
     dedup, in practice ~the true heavy-hitter count).
     """
+    n_parts = default_parts() if n_parts is None else n_parts
     import pyarrow.compute as pc_
 
     import ray

@@ -37,6 +37,7 @@ import pyarrow as pa
 
 from ..functions import hexgrid
 from ..functions.weights import ring_weights
+from ..functions.scale import default_parts
 
 
 def _offsets_and_weights(k: int, profile: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -226,12 +227,13 @@ def enrich_pages(geocoded_ds, cells_ds, value_cols: list[str], k: int = 1,
 
 
 def _enrich_shuffle_join(sm, geocoded_ds, value_cols: list[str], id_col: str,
-                         n_parts: int = 64):
+                         n_parts: int | None = None):
     """Cell-keyed shuffle-join arm of :func:`enrich_pages`: union the
     smoothed cell rows (kind 0) with the page rows (kind 1), ONE coarse
     hash-partition shuffle on cell, then a vectorized per-partition
     sort-merge lookup.  Output is identical to the broadcast arm (same
     1e-6 rounding of the smoothed values)."""
+    n_parts = default_parts() if n_parts is None else n_parts
     from ..functions.hashing import coarse_partition
 
     def _part(cell: np.ndarray) -> pa.Array:

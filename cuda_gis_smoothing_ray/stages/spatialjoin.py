@@ -45,6 +45,7 @@ import ray
 
 from ..functions import hexgrid
 from .pip import POLYGONS, points_in_polygon
+from ..functions.scale import default_parts
 
 
 def _stripe_items(res: int, polygons) -> list[dict]:
@@ -628,7 +629,7 @@ def zonal_majority(points_ds):
 ZONE_TERMS_K = 5
 
 
-def zone_terms(points_ds, k: int = ZONE_TERMS_K, n_parts: int = 64):
+def zone_terms(points_ds, k: int = ZONE_TERMS_K, n_parts: int | None = None):
     """Top-``k`` tokens per polygon zone -> (poly_id, rank, token, n):
     the geographic term profile (what is the corpus inside each region
     talking about?) — the spatial twin of ``cluster_terms`` with PIP
@@ -641,6 +642,7 @@ def zone_terms(points_ds, k: int = ZONE_TERMS_K, n_parts: int = 64):
     vectorized groupby per PARTITION, never Ray's many-key aggregate);
     per-partition local top-k then a |polys| x n_parts x k driver merge.
     Ties: (n DESC, token ASC)."""
+    n_parts = default_parts() if n_parts is None else n_parts
     import pandas as pd
     import pyarrow.compute as pc_
     import ray.data as rd
@@ -721,7 +723,7 @@ def zone_terms(points_ds, k: int = ZONE_TERMS_K, n_parts: int = 64):
     }))
 
 
-def host_extent(points_ds, n_parts: int = 64):
+def host_extent(points_ds, n_parts: int | None = None):
     """geocoded pages -> per-host geographic footprint: (host, n_pages,
     min_lat, max_lat, min_lon, max_lon, extent_deg2) — the bounding box of
     each host's page locations and its area in square degrees (a crawl-
@@ -732,6 +734,7 @@ def host_extent(points_ds, n_parts: int = 64):
     in a single shuffle).  Min/max of doubles is order-independent, so
     the float columns stay exactly comparable; the area is the one
     derived column, rounded canonically on both sides."""
+    n_parts = default_parts() if n_parts is None else n_parts
     import ray.data as rd
 
     from ..functions import geocode

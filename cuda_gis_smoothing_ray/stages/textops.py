@@ -27,6 +27,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions import hashing, textstats
+from ..functions.scale import default_parts
 
 
 _PACK_LIMIT = np.int64(1) << np.int64(31)
@@ -347,7 +348,7 @@ def _hasher(num_perms: int, shingle_k: int, bands: int) -> hashing.MinHasher:
 
 def minhash_pairs(ds, threshold: float = 0.7, num_perms: int = 64,
                   shingle_k: int = 5, bands: int = 16,
-                  n_parts: int = _PAIR_PARTS,
+                  n_parts: int | None = None,
                   max_bucket: int = 4096):
     """documents -> (a, b, est_jaccard) near-dup candidates.
 
@@ -379,6 +380,7 @@ def minhash_pairs(ds, threshold: float = 0.7, num_perms: int = 64,
     there).  Doc ids must be < 2^31 for the packed-pair key; use
     shard-local ids at 10^12-doc scale.
     """
+    n_parts = default_parts() if n_parts is None else n_parts
     mask31 = np.int64((1 << 31) - 1)
 
     def band_rows(batch: pa.Table) -> pa.Table:
@@ -608,7 +610,7 @@ def simhash_pairs(ds, max_hamming: int = 3, n_bands: int = 4,
         .groupby("part").map_groups(_reduce_packed_pairs("hamming"))
 
 
-def tfidf(ds, n_docs: int | None = None, n_parts: int = _PAIR_PARTS):
+def tfidf(ds, n_docs: int | None = None, n_parts: int | None = None):
     """documents -> (doc_id, token, tf, df, score): term-frequency /
     document-frequency scoring over whitespace tokens.
 
@@ -623,6 +625,7 @@ def tfidf(ds, n_docs: int | None = None, n_parts: int = _PAIR_PARTS):
     vectorized count joined back to the posting rows in the same shuffle
     (union + per-partition sort-merge) — Python cost per partition, never
     per vocab term."""
+    n_parts = default_parts() if n_parts is None else n_parts
     import pyarrow.compute as pc_
 
     from ..functions.hashing import fnv_token_hash64
@@ -786,7 +789,7 @@ def profile_documents(ds):
     )
 
 
-def top_bigrams(ds, k: int = 20, n_parts: int = _PAIR_PARTS):
+def top_bigrams(ds, k: int = 20, n_parts: int | None = None):
     """documents -> top-k word bigrams by corpus count (w1, w2, cnt, rank),
     ties ascending on (w1, w2) — the n-gram counting op over consecutive
     whitespace tokens (within-doc adjacency only, no cross-doc pairs).
@@ -795,6 +798,7 @@ def top_bigrams(ds, k: int = 20, n_parts: int = _PAIR_PARTS):
     via shifted slices, one np.unique), bigram-HASH-partitioned vectorized
     global count (strings ride along), then local-top-k + single-partition
     merge — never a full sort, never per-bigram Python."""
+    n_parts = default_parts() if n_parts is None else n_parts
     import pyarrow.compute as pc_
 
     from ..functions.hashing import fnv_token_hash64
@@ -871,7 +875,7 @@ def top_bigrams(ds, k: int = 20, n_parts: int = _PAIR_PARTS):
     return topk(counted, k, by="cnt", tie_cols=("w1", "w2"))
 
 
-def zscore_text_len(ds, n_parts: int = _PAIR_PARTS):
+def zscore_text_len(ds, n_parts: int | None = None):
     """documents -> (doc_id, lang, len, z): per-language z-score of the
     text byte length — the per-group feature-normalization op a training
     pipeline runs before thresholding.
@@ -882,6 +886,7 @@ def zscore_text_len(ds, n_parts: int = _PAIR_PARTS):
     normalizes every row in place.  z = (len*n - sum) / (n * sqrt(var))
     with var from the integer moments and IEEE sqrt (correctly rounded →
     identical across engines), so the round6 output is bit-reproducible."""
+    n_parts = default_parts() if n_parts is None else n_parts
     import pyarrow.compute as pc_
     import ray
 
@@ -1190,7 +1195,7 @@ def dup_ngram_stats(ds, n: int = 3):
 # inverted index build (token -> df + ordered posting list)
 # ---------------------------------------------------------------------------
 
-def inverted_index(ds, min_df: int = 2, n_parts: int = _PAIR_PARTS):
+def inverted_index(ds, min_df: int = 2, n_parts: int | None = None):
     """documents -> (token, df, doc_list): the retrieval-index build — for
     every whitespace token with document frequency >= ``min_df``, its df
     and the comma-joined ascending doc-id posting list.
@@ -1202,6 +1207,7 @@ def inverted_index(ds, min_df: int = 2, n_parts: int = _PAIR_PARTS):
     Python cost per PARTITION, never per vocabulary term.  Output work is
     inherently |index|-sized; nothing else is.
     """
+    n_parts = default_parts() if n_parts is None else n_parts
     import pyarrow.compute as pc_
 
     from ..functions.hashing import fnv_token_hash64
@@ -1488,7 +1494,7 @@ def _within_edit1(s: str, t: str) -> bool:
     return s[i:] == t[i + 1:]
 
 
-def fuzzy_value_join(ds, col: str, n_parts: int = 64):
+def fuzzy_value_join(ds, col: str, n_parts: int | None = None):
     """Similarity self-join at edit distance <= 1 via deletion-neighborhood
     blocking: every DISTINCT value emits itself plus each single-deletion
     variant as a blocking key; two values at distance <= 1 are guaranteed to
@@ -1500,6 +1506,7 @@ def fuzzy_value_join(ds, col: str, n_parts: int = 64):
     Scale shape: only distinct values x (len+1) variant rows shuffle — the
     standard typo-dedup join (hosts, brand names, near-identical titles) at
     any cardinality; no all-pairs comparison ever happens."""
+    n_parts = default_parts() if n_parts is None else n_parts
     from ..functions.hashing import md5_hash64
     from .join import distinct_values
 
@@ -1592,7 +1599,7 @@ def char_entropy(ds, text_col: str = "text"):
 
 def remove_boilerplate(ds, n: int = 5, min_df: int = 2,
                        max_freq_grams: int = 1_000_000,
-                       n_parts: int = _PAIR_PARTS):
+                       n_parts: int | None = None):
     """documents -> (doc_id, clean_text, n_removed): strip every token
     covered by an n-gram whose document frequency >= ``min_df`` — the
     CCNet/RefinedWeb-style boilerplate scrub (navigation chrome, cookie
@@ -1603,18 +1610,20 @@ def remove_boilerplate(ds, n: int = 5, min_df: int = 2,
     curation job can manifest the frequent-gram set as its own phase
     artifact.  At 100 TB both passes stream; the only materialization is
     the frequent set itself."""
+    n_parts = default_parts() if n_parts is None else n_parts
     return scrub_boilerplate(ds, frequent_grams(ds, n, min_df, max_freq_grams, n_parts), n)
 
 
 def frequent_grams(ds, n: int = 5, min_df: int = 2,
                    max_freq_grams: int = 1_000_000,
-                   n_parts: int = _PAIR_PARTS) -> pa.Array:
+                   n_parts: int | None = None) -> pa.Array:
     """Pass 1 of the boilerplate scrub: the corpus' n-grams with document
     frequency >= ``min_df``, as a (bounded, broadcastable) Arrow string
     array.  Batch-local distinct (doc, gram) extraction (:func:`_doc_ngrams`
     tokenization), gram-hash-partitioned vectorized global count with the
     gram STRINGS riding along (the top_bigrams reduce shape); only grams,
     never docs, enter the shuffle."""
+    n_parts = default_parts() if n_parts is None else n_parts
     from ..functions.hashing import coarse_partition, fnv_token_hash64
 
     def gram_partials(batch: pa.Table) -> pa.Table:
@@ -1896,7 +1905,7 @@ HOST_MIN_PASS_RATE = 0.34
 
 def host_quality(pages_ds, min_pages: int = HOST_MIN_PAGES,
                  min_pass_rate: float = HOST_MIN_PASS_RATE,
-                 level: str = "host", n_parts: int = 64):
+                 level: str = "host", n_parts: int | None = None):
     """pages -> (host, n_pages, n_pass, pass_rate, blocked): per-DOMAIN
     quality gating (the UT1/RefinedWeb "bad domain" list, derived from the
     data instead of curated): aggregate the Gopher pass flag per domain;
@@ -1912,6 +1921,7 @@ def host_quality(pages_ds, min_pages: int = HOST_MIN_PAGES,
     100 TB, far below page count); the blocklist this produces is
     broadcast-sized by construction and feeds a semi/anti join
     (:func:`..stages.join.hash_semi_join`) to filter the page stream."""
+    n_parts = default_parts() if n_parts is None else n_parts
     import pandas as pd
 
     from ..functions.hashing import coarse_partition, fnv_token_hash64
@@ -1974,7 +1984,7 @@ def host_quality(pages_ds, min_pages: int = HOST_MIN_PAGES,
 PMI_MIN_PAIR = 5
 
 
-def bigram_pmi(ds, min_pair: int = PMI_MIN_PAIR, n_parts: int = _PAIR_PARTS):
+def bigram_pmi(ds, min_pair: int = PMI_MIN_PAIR, n_parts: int | None = None):
     """documents -> (w1, w2, pair_count, pmi): pointwise mutual information
     of consecutive within-doc token pairs — the classic collocation
     extractor (pairs that co-occur far above chance):
@@ -1987,6 +1997,7 @@ def bigram_pmi(ds, min_pair: int = PMI_MIN_PAIR, n_parts: int = _PAIR_PARTS):
     keyed shuffle joins (vocabulary can be ~10^8 at web scale — never a
     broadcast); N is one scalar aggregate.  ``min_pair`` bounds the output
     to pairs with real evidence."""
+    n_parts = default_parts() if n_parts is None else n_parts
     import pyarrow.compute as pc_
     from ray.data.aggregate import Sum
 
@@ -2179,7 +2190,7 @@ PASSAGE_W = 8
 _PASSAGE_PARTS = 64
 
 
-def passage_dedup(ds, w: int = PASSAGE_W, n_parts: int = _PASSAGE_PARTS):
+def passage_dedup(ds, w: int = PASSAGE_W, n_parts: int | None = None):
     """documents -> (doc_id, n_passages, n_dup_passages): chunk each doc
     into NON-OVERLAPPING full windows of ``w`` whitespace tokens (the
     RefinedWeb/CCNet passage-hashing granularity — tail tokens short of a
@@ -2201,6 +2212,7 @@ def passage_dedup(ds, w: int = PASSAGE_W, n_parts: int = _PASSAGE_PARTS):
     comparison.
     """
 
+    n_parts = default_parts() if n_parts is None else n_parts
     def windows(batch: pa.Table) -> pa.Table:
         empty = pa.table({
             "doc_id": pa.array([], pa.int64()),
@@ -2463,7 +2475,7 @@ NB_TRAIN_MOD = 2
 
 
 def nb_lang_classify(ds, train_mod: int = NB_TRAIN_MOD,
-                     n_parts: int = _PAIR_PARTS):
+                     n_parts: int | None = None):
     """documents -> (doc_id, pred_lang, score): a multinomial
     naive-Bayes-style language classifier with EXACT INTEGER scoring —
     train per-(token, lang) instance counts on the ``doc_id % train_mod
@@ -2484,6 +2496,7 @@ def nb_lang_classify(ds, train_mod: int = NB_TRAIN_MOD,
     coarse doc-keyed partition with one lexsort — Python per partition,
     never per doc.  Docs sharing no token with the train vocabulary are
     absent from the output (inner-join semantics, mirrored in SQL)."""
+    n_parts = default_parts() if n_parts is None else n_parts
     import pyarrow.compute as pc_
 
     from ..functions.hashing import fnv_token_hash64
@@ -2897,7 +2910,7 @@ def quota_sample(ds, group_col: str = "lang", k: int = QUOTA_K,
 SPAN_W = 8
 
 
-def dup_span_coverage(ds, w: int = SPAN_W, n_parts: int = _PAIR_PARTS):
+def dup_span_coverage(ds, w: int = SPAN_W, n_parts: int | None = None):
     """documents -> (doc_id, n_tokens, covered): EXACT-SUBSTRING span
     coverage — slide an OVERLAPPING ``w``-token window (stride 1) over
     every doc, mark windows whose gram also appears in ANOTHER doc, and
@@ -2913,6 +2926,7 @@ def dup_span_coverage(ds, w: int = SPAN_W, n_parts: int = _PAIR_PARTS):
     (``sum min(next_start - start, w)`` + w per last run) — Python per
     partition, never per doc.  Gram identity is the 64-bit token-sequence
     hash (the tfidf df discipline: 2^-64 cross-gram collision accepted)."""
+    n_parts = default_parts() if n_parts is None else n_parts
     import pandas as pd
     import pyarrow.compute as pc_
 
@@ -3037,7 +3051,7 @@ def dup_span_coverage(ds, w: int = SPAN_W, n_parts: int = _PAIR_PARTS):
 OOV_VOCAB_K = 1000
 
 
-def oov_rate(ds, vocab_k: int = OOV_VOCAB_K, n_parts: int = _PAIR_PARTS):
+def oov_rate(ds, vocab_k: int = OOV_VOCAB_K, n_parts: int | None = None):
     """documents -> (doc_id, n_tokens, n_oov, oov_rate): per-document
     out-of-vocabulary rate against a vocabulary LEARNED from the corpus —
     the top ``vocab_k`` whitespace tokens by document frequency
@@ -3054,6 +3068,7 @@ def oov_rate(ds, vocab_k: int = OOV_VOCAB_K, n_parts: int = _PAIR_PARTS):
     equality, which could silently collide).  No doc rows ever shuffle.
     Docs with zero tokens are absent (no denominator), matching the SQL.
     """
+    n_parts = default_parts() if n_parts is None else n_parts
     import pandas as pd
     import pyarrow.compute as pc_
 
@@ -3157,7 +3172,7 @@ TOKEN_BUDGET_DEN = 4
 
 
 def token_budget_select(ds, budget_den: int = TOKEN_BUDGET_DEN,
-                        n_parts: int = _PAIR_PARTS):
+                        n_parts: int | None = None):
     """documents -> (doc_id, n_chars, n_tokens): greedy token-budget
     curation — walk docs in (n_chars DESC, doc_id ASC) order and keep
     every doc while the running token total stays <= total_tokens //
@@ -3172,6 +3187,7 @@ def token_budget_select(ds, budget_den: int = TOKEN_BUDGET_DEN,
     bin) go through the doc_id-ordered bounded resolve (the quota_sample
     discipline).  Full-bucket docs stream out with a batch-local filter.
     """
+    n_parts = default_parts() if n_parts is None else n_parts
     import pandas as pd
     import pyarrow.compute as pc_
 
@@ -3377,7 +3393,7 @@ def bm25_scores(ds, query: tuple = BM25_QUERY, k1: float = BM25_K1,
 ZIPF_K = 64
 
 
-def zipf_slope(ds, k: int = ZIPF_K, n_parts: int = _PAIR_PARTS):
+def zipf_slope(ds, k: int = ZIPF_K, n_parts: int | None = None):
     """documents -> ONE row (k_used, slope, intercept): the ZIPF-LAW fit
     of the corpus — OLS regression of ``ln(count)`` on ``ln(rank)`` over
     the top-``k`` whitespace tokens (rank ties ascending on the token, so
@@ -3393,6 +3409,7 @@ def zipf_slope(ds, k: int = ZIPF_K, n_parts: int = _PAIR_PARTS):
     partitioned vectorized global count, local-top-k + single-partition
     merge (``k * n_blocks`` rows move) — the regression itself is k rows
     on the driver."""
+    n_parts = default_parts() if n_parts is None else n_parts
     import pyarrow.compute as pc_
     import ray.data as rd
 
@@ -3874,7 +3891,7 @@ def cohen_kappa(ds):
     }))
 
 
-def hapax_rate(ds, n_parts: int = _PAIR_PARTS):
+def hapax_rate(ds, n_parts: int | None = None):
     """documents -> ONE row (vocab, n_hapax, n_tokens, hapax_share,
     token_share): HAPAX LEGOMENA statistics — how much of the vocabulary
     occurs exactly once (and what fraction of the token mass that is),
@@ -3886,6 +3903,7 @@ def hapax_rate(ds, n_parts: int = _PAIR_PARTS):
     shape: batch-local token counts, token-hash-partitioned vectorized
     reduce, then a 3-scalar partial per partition — the vocabulary never
     reaches the driver."""
+    n_parts = default_parts() if n_parts is None else n_parts
     import pyarrow.compute as pc_
     import ray.data as rd
 
@@ -4241,7 +4259,7 @@ HEAPS_Q = 4
 
 
 def heaps_law(ds, n_docs: int, quarters: int = HEAPS_Q,
-              n_parts: int = _PAIR_PARTS):
+              n_parts: int | None = None):
     """documents -> ``quarters`` rows (q, n_tokens, vocab, beta, lnk):
     the HEAPS'-LAW vocabulary-growth fit — distinct-token count V(n)
     against total token occurrences n at each doc_id-prefix quartile of
@@ -4257,6 +4275,7 @@ def heaps_law(ds, n_docs: int, quarters: int = HEAPS_Q,
     ``list_reduce(list(... ORDER BY q))``), round6.  Scale shape: one
     token-hash-partitioned min reduce (the vocabulary never reaches the
     driver — per-part quartile counts do), one Q-row count reduce."""
+    n_parts = default_parts() if n_parts is None else n_parts
     import pyarrow.compute as pc_
     import ray.data as rd
 
@@ -4971,7 +4990,7 @@ def tld_lang_divergence(pages_ds):
 VOCAB_TOPK = 100
 
 
-def lang_vocab_overlap(ds, k: int = VOCAB_TOPK, n_parts: int = _PAIR_PARTS):
+def lang_vocab_overlap(ds, k: int = VOCAB_TOPK, n_parts: int | None = None):
     """documents -> (lang_a, lang_b, overlap, jaccard): the pairwise
     JACCARD of each language pair's top-``k`` token vocabulary — how
     much surface vocabulary the languages share (code-switching /
@@ -4983,6 +5002,7 @@ def lang_vocab_overlap(ds, k: int = VOCAB_TOPK, n_parts: int = _PAIR_PARTS):
     |langs| x k sets driver-side.  Scale shape: (lang, token)-hash-
     partitioned counts, per-partition local top-k, tiny merge — the
     vocabulary never reaches the driver, only k rows per language."""
+    n_parts = default_parts() if n_parts is None else n_parts
     import pyarrow.compute as pc_
     import ray.data as rd
 

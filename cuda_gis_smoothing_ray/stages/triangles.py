@@ -37,13 +37,15 @@ import pyarrow as pa
 
 from ..functions import geocode
 from . import pagerank as pr
+from ..functions.scale import default_parts
 
 COMM_MOD = 149  # prime; 500 fixed docs -> ~149 nodes, ~950 edges, ~370 triangles
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 N_PARTS = 32
 
 
-def _part_of(key: np.ndarray, n_parts: int = N_PARTS) -> np.ndarray:
+def _part_of(key: np.ndarray, n_parts: int | None = None) -> np.ndarray:
+    n_parts = default_parts() if n_parts is None else n_parts
     return (((key.view(np.uint64) * _GOLDEN) >> np.uint64(52))
             % np.uint64(n_parts)).astype(np.int64)
 
