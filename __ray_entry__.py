@@ -1642,6 +1642,28 @@ def _q_ann_pq(sf_dir: str):
     )
 
 
+def _q_ann_ivf_tiny(sf_dir: str):
+    """Tiny-parameter EXACT-arithmetic IVF twin (n_list=2, n_probe=1):
+    fixed-point Lloyd coarse lists + exact int64 re-rank, bit-identical to
+    the unrolled-CTE oracle — the SQL gate for the ann_ivf_topk topology."""
+    from cuda_gis_smoothing_ray.stages import ann
+
+    return ann.ann_ivf_int(ann.read_embeddings(sf_dir)).sort(
+        ["query_id", "rank"]
+    )
+
+
+def _q_ann_pq_tiny(sf_dir: str):
+    """Tiny-parameter EXACT-arithmetic PQ twin (m=2, 2 codes/subspace):
+    per-subspace int64 codebooks, integer ADC lookup-sum ranking — the SQL
+    gate for the ann_pq_topk topology."""
+    from cuda_gis_smoothing_ray.stages import ann
+
+    return ann.ann_pq_int(ann.read_embeddings(sf_dir)).sort(
+        ["query_id", "rank"]
+    )
+
+
 def _q_ann_recall(sf_dir: str):
     """Recall@k of every approximate ANN variant vs exact brute force —
     surfaces the pytest-gated recall numbers in the driver artifact
@@ -3983,6 +4005,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
+        "ann_ivf_tiny": _q_ann_ivf_tiny,
+        "ann_pq_tiny": _q_ann_pq_tiny,
         "ann_recall": _q_ann_recall,
         "ann_range_search": _q_ann_range,
         "embedding_gram": _q_embedding_gram,
@@ -4457,7 +4481,10 @@ def oracle_sql() -> dict[str, str]:
         # ann_lsh_topk / ann_ivf_topk are approximate by construction:
         # rows-only checks; recall is gated in tests/test_ann.py and
         # surfaced by the ann_recall query below.  minhash_pairs /
-        # simhash_pairs are SQL-checked at production parameters (above).
+        # simhash_pairs are SQL-checked at production parameters (above);
+        # the IVF / PQ topologies get bit-exact tiny-parameter twins:
+        "ann_ivf_tiny": oc.ivf_tiny_sql(),
+        "ann_pq_tiny": oc.pq_tiny_sql(),
         "pip_join": o.pip_join_sql(RES),
         "pip_join_holes": o.pip_join_holes_sql(RES),
         "polygon_density": o.polygon_density_sql(RES),

@@ -7618,3 +7618,163 @@ SELECT tld, CAST(rnk AS BIGINT) AS rnk, cell, pages FROM (
     ORDER BY pages DESC, cell) AS rnk
   FROM ct
 ) WHERE rnk <= {kk} ORDER BY tld, rnk"""
+
+
+def ivf_tiny_sql(k: int | None = None, n_queries: int | None = None,
+                 n_list: int | None = None, n_probe: int | None = None,
+                 iters: int | None = None, dim: int = 64) -> str:
+    """Oracle of stages/ann.ann_ivf_int: the kmeans_sql Lloyd chain at
+    k=n_list, final assignments as the inverted lists, per-query probe of
+    the n_probe nearest centroids (ties -> lowest list id, same compound
+    ORDER BY d, k), exact int64 re-rank within probed lists, row_number
+    top-k by (dist2, vec_id) — every value integer end to end."""
+    from ..stages import ann
+
+    k = ann.IVF_TINY_K if k is None else k
+    n_queries = ann.IVF_TINY_NQ if n_queries is None else n_queries
+    n_list = ann.IVF_TINY_NLIST if n_list is None else n_list
+    n_probe = ann.IVF_TINY_NPROBE if n_probe is None else n_probe
+    iters = ann.IVF_TINY_ITERS if iters is None else iters
+    scale = ann.CENTROID_SCALE
+    fdiv = ("CASE WHEN u.sq >= 0 THEN u.sq // u.cnt "
+            "ELSE -((-u.sq + u.cnt - 1) // u.cnt) END")
+    steps = []
+    prev = "c0"
+    for t in range(1, iters + 1):
+        steps.append(f"""d{t} AS MATERIALIZED (
+  SELECT ev.v, c.k, sum((ev.q - c.val) * (ev.q - c.val)) AS d
+  FROM ev JOIN {prev} c ON ev.j = c.j GROUP BY ev.v, c.k
+), a{t} AS MATERIALIZED (
+  SELECT v, k FROM (
+    SELECT v, k, row_number() OVER (PARTITION BY v ORDER BY d, k) AS rn
+    FROM d{t}
+  ) WHERE rn = 1
+), s{t} AS MATERIALIZED (
+  SELECT a.k, ev.j, sum(ev.q) AS sq, count(*) AS cnt
+  FROM ev JOIN a{t} a ON ev.v = a.v GROUP BY a.k, ev.j
+), c{t} AS MATERIALIZED (
+  SELECT c.k, c.j, CAST(coalesce({fdiv}, c.val) AS BIGINT) AS val
+  FROM {prev} c LEFT JOIN s{t} u ON c.k = u.k AND c.j = u.j
+)""")
+        prev = f"c{t}"
+    chain = ",\n".join(steps)
+    return f"""WITH ev AS MATERIALIZED (
+  SELECT vec_id AS v, i - 1 AS j,
+    CAST(floor(CAST(embedding[i] AS DOUBLE) * {scale} + 0.5) AS BIGINT) AS q
+  FROM embeddings, unnest(generate_series(1, {dim})) AS s(i)
+), c0 AS MATERIALIZED (
+  SELECT v AS k, j, q AS val FROM ev WHERE v < {n_list}
+),
+{chain},
+dF AS MATERIALIZED (
+  SELECT ev.v, c.k, sum((ev.q - c.val) * (ev.q - c.val)) AS d
+  FROM ev JOIN {prev} c ON ev.j = c.j GROUP BY ev.v, c.k
+), aF AS MATERIALIZED (
+  SELECT v, k FROM (
+    SELECT v, k, row_number() OVER (PARTITION BY v ORDER BY d, k) AS rn
+    FROM dF
+  ) WHERE rn = 1
+), probe AS MATERIALIZED (
+  SELECT v AS qv, k FROM (
+    SELECT v, k, row_number() OVER (PARTITION BY v ORDER BY d, k) AS rn
+    FROM dF WHERE v < {n_queries}
+  ) WHERE rn <= {n_probe}
+), cand AS MATERIALIZED (
+  SELECT p.qv, a.v FROM probe p JOIN aF a ON a.k = p.k WHERE a.v <> p.qv
+), dist AS MATERIALIZED (
+  SELECT c.qv, c.v, sum((eq.q - ex.q) * (eq.q - ex.q)) AS d2
+  FROM cand c
+  JOIN ev eq ON eq.v = c.qv
+  JOIN ev ex ON ex.v = c.v AND ex.j = eq.j
+  GROUP BY c.qv, c.v
+)
+SELECT qv AS query_id, CAST(rn AS BIGINT) AS rank, v AS vec_id,
+       CAST(d2 AS BIGINT) AS dist2
+FROM (
+  SELECT qv, v, d2, row_number() OVER (PARTITION BY qv ORDER BY d2, v) AS rn
+  FROM dist
+) WHERE rn <= {k}
+ORDER BY query_id, rank"""
+
+
+def pq_tiny_sql(k: int | None = None, n_queries: int | None = None,
+                m: int | None = None, n_codes: int | None = None,
+                n_train: int | None = None, iters: int | None = None,
+                dim: int = 64) -> str:
+    """Oracle of stages/ann.ann_pq_int: per-subspace Lloyd chains over the
+    training slice (v < n_train, dims restricted to the subspace), codebook
+    union, exact int64 encoding (ties -> lowest code), per-query subspace
+    LUTs (= the encoding distances restricted to query rows), ADC as the
+    integer LUT sum, row_number top-k by (adc, vec_id)."""
+    from ..stages import ann
+
+    k = ann.PQ_TINY_K if k is None else k
+    n_queries = ann.PQ_TINY_NQ if n_queries is None else n_queries
+    m = ann.PQ_TINY_M if m is None else m
+    n_codes = ann.PQ_TINY_CODES if n_codes is None else n_codes
+    n_train = ann.PQ_TINY_NTRAIN if n_train is None else n_train
+    iters = ann.PQ_TINY_ITERS if iters is None else iters
+    scale = ann.CENTROID_SCALE
+    d_sub = dim // m
+    fdiv = ("CASE WHEN u.sq >= 0 THEN u.sq // u.cnt "
+            "ELSE -((-u.sq + u.cnt - 1) // u.cnt) END")
+    steps, finals = [], []
+    for s in range(m):
+        lo, hi = s * d_sub, (s + 1) * d_sub
+        steps.append(f"""p{s}c0 AS MATERIALIZED (
+  SELECT v AS k, j, q AS val FROM tv WHERE v < {n_codes} AND j >= {lo} AND j < {hi}
+)""")
+        prev = f"p{s}c0"
+        for t in range(1, iters + 1):
+            steps.append(f"""p{s}d{t} AS MATERIALIZED (
+  SELECT tv.v, c.k, sum((tv.q - c.val) * (tv.q - c.val)) AS d
+  FROM tv JOIN {prev} c ON tv.j = c.j GROUP BY tv.v, c.k
+), p{s}a{t} AS MATERIALIZED (
+  SELECT v, k FROM (
+    SELECT v, k, row_number() OVER (PARTITION BY v ORDER BY d, k) AS rn
+    FROM p{s}d{t}
+  ) WHERE rn = 1
+), p{s}s{t} AS MATERIALIZED (
+  SELECT a.k, tv.j, sum(tv.q) AS sq, count(*) AS cnt
+  FROM tv JOIN p{s}a{t} a ON tv.v = a.v
+  WHERE tv.j >= {lo} AND tv.j < {hi} GROUP BY a.k, tv.j
+), p{s}c{t} AS MATERIALIZED (
+  SELECT c.k, c.j, CAST(coalesce({fdiv}, c.val) AS BIGINT) AS val
+  FROM {prev} c LEFT JOIN p{s}s{t} u ON c.k = u.k AND c.j = u.j
+)""")
+            prev = f"p{s}c{t}"
+        finals.append(f"SELECT {s} AS s, k, j, val FROM {prev}")
+    chain = ",\n".join(steps)
+    books = "\nUNION ALL\n".join(finals)
+    return f"""WITH ev AS MATERIALIZED (
+  SELECT vec_id AS v, i - 1 AS j,
+    CAST(floor(CAST(embedding[i] AS DOUBLE) * {scale} + 0.5) AS BIGINT) AS q
+  FROM embeddings, unnest(generate_series(1, {dim})) AS s(i)
+), tv AS MATERIALIZED (
+  SELECT * FROM ev WHERE v < {n_train}
+),
+{chain},
+books AS MATERIALIZED (
+{books}
+), encd AS MATERIALIZED (
+  SELECT ev.v, b.s, b.k, sum((ev.q - b.val) * (ev.q - b.val)) AS d
+  FROM ev JOIN books b ON ev.j = b.j GROUP BY ev.v, b.s, b.k
+), codes AS MATERIALIZED (
+  SELECT v, s, k FROM (
+    SELECT v, s, k, row_number() OVER (PARTITION BY v, s ORDER BY d, k) AS rn
+    FROM encd
+  ) WHERE rn = 1
+), lut AS MATERIALIZED (
+  SELECT v AS qv, s, k, d FROM encd WHERE v < {n_queries}
+), adc AS MATERIALIZED (
+  SELECT l.qv, x.v, sum(l.d) AS adc
+  FROM codes x JOIN lut l ON l.s = x.s AND l.k = x.k
+  WHERE x.v <> l.qv GROUP BY l.qv, x.v
+)
+SELECT qv AS query_id, CAST(rn AS BIGINT) AS rank, v AS vec_id,
+       CAST(adc AS BIGINT) AS adc
+FROM (
+  SELECT qv, v, adc, row_number() OVER (PARTITION BY qv ORDER BY adc, v) AS rn
+  FROM adc
+) WHERE rn <= {k}
+ORDER BY query_id, rank"""

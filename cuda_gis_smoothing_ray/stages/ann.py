@@ -1402,3 +1402,199 @@ def silhouette_lite(sf_dir: str, k: int = KMEANS_K,
         "s_sum_micro": pa.array(agg["s"].to_numpy(np.int64)),
         "mean_s": pa.array(means, pa.float64()),
     }))
+
+
+# ---------------------------------------------------------------------------
+# Tiny-parameter EXACT-arithmetic twins of the IVF / PQ search paths
+# (VERDICT r3 item 4: shrink the rows-only class).  Same distributed
+# topology as ann_ivf / ann_pq — Lloyd-trained structures broadcast once,
+# ONE streaming scan with batch-local top-k, bounded per-query merge — but
+# every number is int64 fixed-point (floor(x*2^24+0.5)), distances are
+# exact integer sums, and every selection orders by the total key
+# (distance, id), so DuckDB reproduces the output bit-for-bit
+# (sql/oracles_corpus.ivf_tiny_sql / pq_tiny_sql).
+# ---------------------------------------------------------------------------
+
+IVF_TINY_K = 5
+IVF_TINY_NQ = 8
+IVF_TINY_NLIST = 2
+IVF_TINY_NPROBE = 1
+IVF_TINY_ITERS = 2
+
+PQ_TINY_K = 5
+PQ_TINY_NQ = 8
+PQ_TINY_M = 2
+PQ_TINY_CODES = 2
+PQ_TINY_NTRAIN = 64
+PQ_TINY_ITERS = 2
+
+
+def _quant_int(batch: pa.Table) -> np.ndarray:
+    return np.floor(_emb_matrix(batch) * CENTROID_SCALE + 0.5).astype(np.int64)
+
+
+def _query_matrix_int(ds, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
+    """First ``n_queries`` vec_ids, quantized — a pushdown filter, never a
+    full-table pull (same shape as load_queries / the kmeans seed read)."""
+    seed = (ds.filter(expr=f"vec_id < {n_queries}")
+              .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    q_ids = seed["vec_id"].to_numpy(np.int64)
+    Q = np.floor(np.stack(seed["embedding"].to_numpy()).astype(np.float64)
+                 * CENTROID_SCALE + 0.5).astype(np.int64)
+    return q_ids, Q
+
+
+_IVF_TINY_SCHEMA = pa.schema([
+    ("query_id", pa.int64()), ("vec_id", pa.int64()), ("dist2", pa.int64()),
+])
+
+
+def ann_ivf_int(ds, k: int = IVF_TINY_K, n_queries: int = IVF_TINY_NQ,
+                n_list: int = IVF_TINY_NLIST, n_probe: int = IVF_TINY_NPROBE,
+                iters: int = IVF_TINY_ITERS):
+    """IVF top-k with exact integer math: coarse centroids from the SAME
+    fixed-point Lloyd sweep as :func:`kmeans_assign` (k=n_list), each query
+    probes its ``n_probe`` nearest lists (ties -> lowest list id), candidates
+    re-ranked by exact int64 squared L2, batch-local AND global selection
+    both by the total key (dist2, vec_id).  -> (query_id, rank, vec_id,
+    dist2).  Max |q| = 2^25 per dim, so dist2 <= 64 * 2^50 < 2^57: no
+    overflow."""
+    import ray
+
+    cent = _kmeans_centroids(ds, n_list, iters)
+    q_ids, Q = _query_matrix_int(ds, n_queries)
+    dqc = ((Q[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    # ties -> lowest list id: argsort on the compound (d, list) via stable sort
+    probe = np.argsort(dqc, axis=1, kind="stable")[:, :n_probe]
+    ref = ray.put((q_ids, Q, cent, probe))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qi_, Qm, C, P = ray.get(ref)
+        X = _quant_int(batch)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        assign = _assign_int(X, C)
+        out_q, out_v, out_d = [], [], []
+        for i in range(len(qi_)):
+            cand = np.isin(assign, P[i]) & (vid != qi_[i])
+            if not cand.any():
+                continue
+            diff = X[cand] - Qm[i][None, :]
+            d2 = (diff * diff).sum(axis=1)
+            cv = vid[cand]
+            keep = np.lexsort((cv, d2))[:k]
+            out_q.append(np.full(len(keep), qi_[i], dtype=np.int64))
+            out_v.append(cv[keep])
+            out_d.append(d2[keep])
+        if not out_q:
+            return _IVF_TINY_SCHEMA.empty_table()
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "dist2": pa.array(np.concatenate(out_d)),
+        })
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["dist2", "vec_id"], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id", "dist2"]]
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge)
+    )
+
+
+def _pq_books_int(ds, m: int, n_codes: int, n_train: int,
+                  iters: int) -> np.ndarray:
+    """(m, n_codes, dim/m) int64 codebooks: per-subspace Lloyd on the
+    quantized training sample (vec_id < n_train, a pushdown filter).
+    Assignment ties -> lowest code; centroid update is FLOOR division
+    (numpy // semantics, mirrored by the oracle's explicit CASE); empty
+    codes keep their previous centroid — identical rules to
+    :func:`_kmeans_centroids`."""
+    sample = (ds.filter(expr=f"vec_id < {n_train}")
+                .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    X = np.floor(np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+                 * CENTROID_SCALE + 0.5).astype(np.int64)
+    d_sub = X.shape[1] // m
+    books = np.empty((m, n_codes, d_sub), dtype=np.int64)
+    for s in range(m):
+        xs = X[:, s * d_sub:(s + 1) * d_sub]
+        c = xs[:n_codes].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)  # first tie -> lowest code
+            for ci in range(n_codes):
+                sel = a == ci
+                if sel.any():
+                    c[ci] = xs[sel].sum(axis=0) // int(sel.sum())
+        books[s] = c
+    return books
+
+
+def _pq_codes_int(X: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, dim) int64 -> (n, m) codes; exact distances, ties -> lowest."""
+    m, _, d_sub = books.shape
+    codes = np.empty((len(X), m), dtype=np.int64)
+    for s in range(m):
+        xs = X[:, s * d_sub:(s + 1) * d_sub]
+        d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        codes[:, s] = d2.argmin(axis=1)
+    return codes
+
+
+def ann_pq_int(ds, k: int = PQ_TINY_K, n_queries: int = PQ_TINY_NQ,
+               m: int = PQ_TINY_M, n_codes: int = PQ_TINY_CODES,
+               n_train: int = PQ_TINY_NTRAIN, iters: int = PQ_TINY_ITERS):
+    """PQ asymmetric-distance top-k with exact integer math: per-subspace
+    int64 Lloyd codebooks (trained on vec_id < n_train), every vector
+    encoded by exact argmin (ties -> lowest code), per-query LUTs of exact
+    int64 subspace distances, ADC = LUT sum, selection by the total key
+    (adc, vec_id).  -> (query_id, rank, vec_id, adc)."""
+    import ray
+
+    books = _pq_books_int(ds, m, n_codes, n_train, iters)
+    q_ids, Q = _query_matrix_int(ds, n_queries)
+    d_sub = books.shape[2]
+    luts = np.empty((len(q_ids), m, n_codes), dtype=np.int64)
+    for qi in range(len(q_ids)):
+        for s in range(m):
+            qs = Q[qi, s * d_sub:(s + 1) * d_sub]
+            luts[qi, s] = ((books[s] - qs[None, :]) ** 2).sum(axis=1)
+    ref = ray.put((q_ids, books, luts))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qi_, bks, lt = ray.get(ref)
+        X = _quant_int(batch)
+        vid = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = _pq_codes_int(X, bks)
+        out_q, out_v, out_a = [], [], []
+        for i in range(len(qi_)):
+            adc = np.zeros(len(X), dtype=np.int64)
+            for s in range(codes.shape[1]):
+                adc += lt[i, s][codes[:, s]]
+            mask = vid != qi_[i]
+            cv, ca = vid[mask], adc[mask]
+            keep = np.lexsort((cv, ca))[:k]
+            out_q.append(np.full(len(keep), qi_[i], dtype=np.int64))
+            out_v.append(cv[keep])
+            out_a.append(ca[keep])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "adc": pa.array(np.concatenate(out_a)),
+        })
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["adc", "vec_id"], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id", "adc"]]
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge)
+    )

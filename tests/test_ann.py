@@ -534,3 +534,71 @@ def test_silhouette_lite_separated_clusters(tmp_path):
     out = silhouette_lite(str(tmp_path), k=2, iters=3).to_pandas()
     assert len(out) == 2
     assert (out["mean_s"] > 0.9).all()
+
+
+def _quant_all(clustered_dir):
+    from cuda_gis_smoothing_ray.stages.ann import CENTROID_SCALE
+
+    t = pq.read_table(f"{clustered_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    X = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    return np.floor(X * CENTROID_SCALE + 0.5).astype(np.int64)
+
+
+def test_ann_ivf_int_matches_driver_reference(clustered_dir):
+    """Independent driver-side re-derivation of the tiny IVF twin: exact
+    int64 assignment via the engine's own Lloyd result, then brute-force
+    (dist2, id)-ordered top-k inside probed lists."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages import ann
+
+    ds = rd.read_parquet(f"{clustered_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    got = ann.ann_ivf_int(ds).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+
+    X = _quant_all(clustered_dir)
+    cent = ann._kmeans_centroids(ds, ann.IVF_TINY_NLIST, ann.IVF_TINY_ITERS)
+    assign = ann._assign_int(X, cent)
+    rows = []
+    for q in range(ann.IVF_TINY_NQ):
+        dqc = ((X[q][None, :] - cent) ** 2).sum(axis=1)
+        probe = np.argsort(dqc, kind="stable")[: ann.IVF_TINY_NPROBE]
+        cand = np.nonzero(np.isin(assign, probe) & (np.arange(len(X)) != q))[0]
+        d2 = ((X[cand] - X[q][None, :]) ** 2).sum(axis=1)
+        order = np.lexsort((cand, d2))[: ann.IVF_TINY_K]
+        for r, o in enumerate(order, 1):
+            rows.append((q, r, int(cand[o]), int(d2[o])))
+    assert [tuple(r) for r in got.itertuples(index=False)] == rows
+
+
+def test_ann_pq_int_matches_driver_reference(clustered_dir):
+    """Same independent re-derivation for the tiny PQ twin: engine
+    codebooks, driver-side exact encode + ADC + (adc, id) top-k."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages import ann
+
+    ds = rd.read_parquet(f"{clustered_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    got = ann.ann_pq_int(ds).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+
+    X = _quant_all(clustered_dir)
+    books = ann._pq_books_int(ds, ann.PQ_TINY_M, ann.PQ_TINY_CODES,
+                              ann.PQ_TINY_NTRAIN, ann.PQ_TINY_ITERS)
+    codes = ann._pq_codes_int(X, books)
+    d_sub = books.shape[2]
+    rows = []
+    for q in range(ann.PQ_TINY_NQ):
+        adc = np.zeros(len(X), dtype=np.int64)
+        for s in range(ann.PQ_TINY_M):
+            qs = X[q, s * d_sub:(s + 1) * d_sub]
+            lut = ((books[s] - qs[None, :]) ** 2).sum(axis=1)
+            adc += lut[codes[:, s]]
+        cand = np.nonzero(np.arange(len(X)) != q)[0]
+        order = np.lexsort((cand, adc[cand]))[: ann.PQ_TINY_K]
+        for r, o in enumerate(order, 1):
+            rows.append((q, r, int(cand[o]), int(adc[cand[o]])))
+    assert [tuple(r) for r in got.itertuples(index=False)] == rows
