@@ -120,6 +120,39 @@ def _q_cell_metrics(sf_dir: str):
     return _round6_cols(_cells(sf_dir), ["chars_mean", "en_share", "mention_rate"]).sort("cell")
 
 
+def _q_incremental_metrics(sf_dir: str):
+    """Delta-ingest maintenance (state/incr): persist per-cell partials of
+    the BASE pages (page_id % 8 != 0), merge the DELTA (page_id % 8 == 0)
+    as stored-partials UNION delta-partials + one cell re-reduce — the base
+    pages are never rescanned.  Integer-exact partials make the result
+    bit-identical to the full-rescan cell_metrics oracle, which is exactly
+    the SQL this query is gated on."""
+    import shutil
+    import tempfile
+
+    from cuda_gis_smoothing_ray.state.incr import (incremental_metrics,
+                                                   write_partials)
+
+    import pyarrow.compute as pc
+
+    def _split(batch, want_delta: bool):
+        m = pc.equal(pc.bit_wise_and(batch.column("page_id"), 7), 0)
+        return batch.filter(m if want_delta else pc.invert(m))
+
+    g = _geocoded(sf_dir)
+    out = tempfile.mkdtemp(prefix="graft_incr_")
+    try:
+        base = g.map_batches(lambda b: _split(b, False), batch_format="pyarrow")
+        delta = g.map_batches(lambda b: _split(b, True), batch_format="pyarrow")
+        write_partials(base, out)
+        merged = incremental_metrics(out, delta)
+        return _round6_cols(
+            merged, ["chars_mean", "en_share", "mention_rate"]
+        ).sort("cell").to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _q_unpivot_cells(sf_dir: str):
     """UNPIVOT/melt of the wide cell-metrics table: pure streaming map,
     no shuffle."""
@@ -652,6 +685,17 @@ def _q_bbox_query(sf_dir: str):
     from cuda_gis_smoothing_ray.stages.spatialjoin import bbox_query
 
     return bbox_query(_geocoded(sf_dir)).sort("page_id")
+
+
+def _q_zonemap_range(sf_dir: str):
+    """Key-range aggregate served THROUGH the zone-mapped clustered layout
+    (state/zonemap.write_clustered -> read_pruned -> per-cell counts): the
+    oracle checks the answer; file-level pruning is asserted in
+    tests/test_zonemap.py."""
+    from cuda_gis_smoothing_ray.state.zonemap import clustered_range_counts
+
+    df, _n_read, _n_total = clustered_range_counts(_geocoded(sf_dir))
+    return df
 
 
 def _q_cell_boundary(sf_dir: str):
@@ -3834,6 +3878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "enrich_pages": _q_enrich_pages,
         "pip_anti": _q_pip_anti,
         "bbox_query": _q_bbox_query,
+        "zonemap_range": _q_zonemap_range,
         "cell_boundary": _q_cell_boundary,
         "cell_parent": _q_cell_parent,
         "compact_cells": _q_compact_cells,
@@ -4133,6 +4178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_stats": _q_recrawl_stats,
         "geocode_cells": _q_geocode_cells,
         "cell_metrics": _q_cell_metrics,
+        "incremental_metrics": _q_incremental_metrics,
         "hex_gradient": _q_hex_gradient,
         "kde_density": _q_kde_density,
         "ripley_k": _q_ripley_k,
@@ -4189,6 +4235,7 @@ def oracle_sql() -> dict[str, str]:
     from cuda_gis_smoothing_ray.sql import oracles_corpus as oc
     from cuda_gis_smoothing_ray.stages import gridops
     from cuda_gis_smoothing_ray.stages.spatialjoin import BBOX
+    from cuda_gis_smoothing_ray.state import zonemap as _zm
 
     return {
         "text_stats": oc.text_stats_sql(),
@@ -4502,6 +4549,8 @@ def oracle_sql() -> dict[str, str]:
         "enrich_pages": o.enrich_pages_sql(RES, 1, "gaussian", ["chars_mean"]),
         "pip_anti": o.pip_anti_sql(RES),
         "bbox_query": o.bbox_query_sql(RES, BBOX),
+        "zonemap_range": o.zonemap_range_sql(
+            RES, _zm.ZONE_RANGE_LO, _zm.ZONE_RANGE_HI),
         "cell_boundary": o.cell_boundary_sql(RES),
         "cell_parent": o.cell_parent_sql(RES, RES - 1),
         "compact_cells": o.compact_cells_sql(RES),
@@ -4519,6 +4568,8 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_stats": oc.recrawl_stats_sql(),
         "geocode_cells": o.geocode_cells_sql(RES),
         "cell_metrics": o.cell_metrics_sql(RES),
+        # incremental_metrics must equal the full rescan — same oracle:
+        "incremental_metrics": o.cell_metrics_sql(RES),
         "neighbor_stats": o.neighbor_stats_sql(RES),
         "ring2_stats": o.neighbor_stats_sql(RES, ring=2),
         "hotspot_gi": o.hotspot_gi_sql(RES, k=1),

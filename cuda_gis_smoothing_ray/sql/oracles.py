@@ -2206,3 +2206,16 @@ d0 AS MATERIALIZED (
 ),
 {steps_sql}
 SELECT cell, d AS cost_dist FROM {prev} ORDER BY cell"""
+
+
+def zonemap_range_sql(res: int, lo: int, hi: int) -> str:
+    """Oracle of state/zonemap.clustered_range_counts: the key-range
+    aggregate the zone-mapped layout answers by file pruning — in SQL it is
+    a plain WHERE over the full geocoded set (the oracle checks the ANSWER;
+    the pruning itself is asserted in tests/test_zonemap.py)."""
+    return f"""{prelude_geo(res)}
+SELECT cell, count(*) AS page_count
+FROM geocoded
+WHERE cell >= {lo} AND cell <= {hi}
+GROUP BY cell
+ORDER BY cell"""

@@ -261,3 +261,33 @@ def test_incremental_metrics_exact_parity(sf_dir, tmp_path):
     assert (inc["page_count"].to_numpy() == full["page_count"].to_numpy()).all()
     for c in ("chars_mean", "en_share", "mention_rate"):
         assert np.array_equal(inc[c].to_numpy(), full[c].to_numpy())
+
+
+def test_clustered_range_counts_prunes_and_counts(tmp_path):
+    """The driver-visible zonemap_range pipeline: clustered write, pruned
+    range read (files_read < files_total — the layout actually skipped
+    data), per-cell counts equal to a full-scan recount."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.state.zonemap import clustered_range_counts
+
+    n = 30_000
+    rng = np.random.default_rng(11)
+    cells = rng.integers(0, 600, n).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "cell": pa.array(cells),
+        "page_id": pa.array(np.arange(n, dtype=np.int64)),
+    })).repartition(8)
+    out = str(tmp_path / "zr")
+    lo, hi = 100, 199
+    df, n_read, n_total = clustered_range_counts(ds, lo, hi, out_dir=out)
+    assert 0 < n_read < n_total
+    sel = cells[(cells >= lo) & (cells <= hi)]
+    want_cells, want_counts = np.unique(sel, return_counts=True)
+    assert (df["cell"].to_numpy() == want_cells).all()
+    assert (df["page_count"].to_numpy() == want_counts).all()
+
+    # empty range -> typed empty pandas frame (schema survives zero rows)
+    empty, r0, _ = clustered_range_counts(ds, 10_000, 10_001, out_dir=out)
+    assert r0 == 0 and len(empty) == 0
+    assert list(empty.columns) == ["cell", "page_count"]
