@@ -87,3 +87,21 @@ def hash_groupby(ds, key_col: str, cols: list[str],
 def hash_groupby_sum(ds, key_col: str, sum_cols: list[str], n_parts: int | None = None):
     n_parts = default_parts() if n_parts is None else n_parts
     return hash_groupby(ds, key_col, sum_cols, how="sum", n_parts=n_parts)
+
+
+def ensure_cols(df, cols):
+    """Reindex a group DataFrame to a schema-stable column set.
+
+    The tagged-union joins (two map_batches streams with DIFFERENT columns
+    unioned, coarse-partitioned, solved per group) rely on Ray unifying the
+    block schemas with nulls — which holds when a group block spans both
+    input schemas but NOT when a partition happens to contain rows of only
+    one side: that group arrives with only that side's columns and a plain
+    column selection raises KeyError (observed once in a full-registry
+    sweep at 16 CPUs — block-layout-dependent).  Calling this first makes
+    every kind-filtered selection total: missing columns materialize as
+    null, and the side that owns them is empty in exactly that case."""
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        df = df.reindex(columns=[*df.columns, *missing])
+    return df

@@ -37,6 +37,7 @@ import pyarrow as pa
 
 from ..functions import geocode
 from . import pagerank as pr
+from ..functions.reduce import ensure_cols
 from ..functions.scale import default_parts
 
 COMM_MOD = 149  # prime; 500 fixed docs -> ~149 nodes, ~950 edges, ~370 triangles
@@ -161,6 +162,7 @@ def triangle_counts(docs_ds, n_docs: int, comm_mod: int = COMM_MOD):
         carry = [c for c in es.schema().names if c != side]
 
         def join(df: pd.DataFrame) -> pd.DataFrame:
+            df = ensure_cols(df, ["key", out_col, *carry])
             dg = df[df["kind"] == 0][["key", out_col]]
             ed = df[df["kind"] == 1][["key"] + carry]
             m = ed.merge(dg, on="key")
@@ -651,6 +653,7 @@ def graph_modularity(docs_ds, n_docs: int, comm_mod: int = COMM_MOD):
         carry = [c for c in es.schema().names if c != side]
 
         def join(df: pd.DataFrame) -> pd.DataFrame:
+            df = ensure_cols(df, ["key", out_col, *carry])
             lb = df[df["kind"] == 0][["key", out_col]]
             ed = df[df["kind"] == 1][["key"] + carry]
             m = ed.merge(lb, on="key")
@@ -765,6 +768,7 @@ def degree_assortativity(docs_ds, n_docs: int, comm_mod: int = COMM_MOD):
         carry = [c for c in es.schema().names if c != side]
 
         def join(df: pd.DataFrame) -> pd.DataFrame:
+            df = ensure_cols(df, ["key", out_col, *carry])
             dg = df[df["kind"] == 0][["key", out_col]]
             ed = df[df["kind"] == 1][["key"] + carry]
             mm = ed.merge(dg, on="key")
@@ -864,6 +868,7 @@ def jaccard_neighborhood(docs_ds, n_docs: int, comm_mod: int = COMM_MOD,
                              out_col: batch.column("one")})
 
         def join(df: pd.DataFrame) -> pd.DataFrame:
+            df = ensure_cols(df, ["key", out_col, *carry])
             dg = df[df["kind"] == 0][["key", out_col]]
             ed = df[df["kind"] == 1][["key"] + carry]
             mm = ed.merge(dg, on="key")

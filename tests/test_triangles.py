@@ -468,3 +468,24 @@ def test_hub_robustness_vs_brute():
     assert int(out["lcc_before"].iloc[0]) == lcc(False)
     assert int(out["lcc_after"].iloc[0]) == lcc(True)
     assert int(out["lcc_after"].iloc[0]) <= int(out["lcc_before"].iloc[0])
+
+
+def test_ensure_cols_makes_one_sided_groups_total():
+    """A coarse partition holding only degree rows arrives WITHOUT the
+    pair-side carry columns (block-layout dependent — observed once in a
+    16-CPU full sweep); ensure_cols must make the kind-filtered selections
+    total so the tagged join returns empty instead of raising."""
+    import pandas as pd
+
+    from cuda_gis_smoothing_ray.functions.reduce import ensure_cols
+
+    deg_only = pd.DataFrame({"key": [3, 9], "kind": [0, 0], "du": [2, 5]})
+    df = ensure_cols(deg_only, ["key", "du", "w", "cn"])
+    ed = df[df["kind"] == 1][["key", "w", "cn"]]   # would KeyError before
+    dg = df[df["kind"] == 0][["key", "du"]]
+    assert len(ed) == 0 and len(dg) == 2
+    m = ed.merge(dg, on="key")
+    assert len(m) == 0
+    # no-op when every column is present (fast path, no copy churn)
+    full = pd.DataFrame({"key": [1], "kind": [1], "du": [0], "w": [2], "cn": [1]})
+    assert ensure_cols(full, ["key", "du", "w", "cn"]) is full
