@@ -118,7 +118,8 @@ def headline_queries(sf_dir: str, replicate: int):
         # CPU-heavy tokenize+hash stage: smaller tasks spread the work
         # across every core (the text_quality pages_per_task discipline)
         pages = read_pages(sf_dir, replicate=replicate, include_html=False,
-                           pages_per_task=250_000)
+                           pages_per_task=250_000,
+                           columns=["page_id", "text"])
 
         def as_docs(batch):
             return batch.select(["page_id", "text"]).rename_columns(
@@ -136,7 +137,8 @@ def headline_queries(sf_dir: str, replicate: int):
         from cuda_gis_smoothing_ray.stages.textops import oov_rate
 
         pages = read_pages(sf_dir, replicate=replicate, include_html=False,
-                           pages_per_task=250_000)
+                           pages_per_task=250_000,
+                           columns=["page_id", "text"])
 
         def as_docs(batch):
             return batch.select(["page_id", "text"]).rename_columns(

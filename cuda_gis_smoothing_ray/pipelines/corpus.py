@@ -20,28 +20,39 @@ def text_quality_by_lang(sf_dir: str, replicate: int = 1):
     """pages -> (lang, n_pages, mean quality/punct/stop/token metrics)."""
     from ray.data.aggregate import Sum
 
-    # CPU-heavy consumer (~13 s of kernel CPU per 1M pages): small tasks so
-    # the byte-class scans spread across every core (sweep: 150k/task best)
+    # CPU-heavy consumer (~8 s of kernel CPU per 1M pages): small tasks so
+    # the byte-class scans spread across every core (sweep: 150k/task best);
+    # columns= prunes the synthesized page_id/warc_ts/url this pipeline
+    # never reads (the at-scale parquet-pruning rule applied to the source)
     pages = read_pages(sf_dir, replicate=replicate, include_html=False,
-                       pages_per_task=150_000)
+                       pages_per_task=150_000, columns=["text", "lang"])
 
     def partial(batch: pa.Table) -> pa.Table:
         st = textstats.text_stats(batch.column("text"))
-        lang = batch.column("lang").to_numpy(zero_copy_only=False)
-        df = pd.DataFrame(
-            {
-                "lang": lang,
-                "q": st["quality_score"],
-                "p": st["punct_ratio"],
-                "s": st["stopword_ratio"],
-                "t": st["n_tokens"].astype(np.float64),
-            }
-        )
-        g = df.groupby("lang", sort=True).agg(
-            n=("q", "size"), s_q=("q", "sum"), s_p=("p", "sum"),
-            s_s=("s", "sum"), s_t=("t", "sum"),
-        ).reset_index()
-        return pa.Table.from_pandas(g, preserve_index=False)
+        # dictionary_encode (C) + bincount, not a pandas groupby: the lang
+        # key has a handful of distinct values, so the whole batch-local
+        # reduce is 4 weighted bincounts over int32 codes
+        enc = batch.column("lang").combine_chunks().dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        langs = enc.dictionary.to_pylist()
+        k = len(langs)
+        order = np.argsort(np.asarray(langs, dtype=object), kind="stable")
+        n = np.bincount(codes, minlength=k)
+        s_q = np.bincount(codes, weights=st["quality_score"], minlength=k)
+        s_p = np.bincount(codes, weights=st["punct_ratio"], minlength=k)
+        s_s = np.bincount(codes, weights=st["stopword_ratio"], minlength=k)
+        s_t = np.bincount(codes, weights=st["n_tokens"].astype(np.float64),
+                          minlength=k)
+        return pa.table({
+            "lang": pa.array(np.asarray(langs, dtype=object)[order]),
+            "n": pa.array(n[order].astype(np.int64)),
+            "s_q": pa.array(s_q[order]),
+            "s_p": pa.array(s_p[order]),
+            "s_s": pa.array(s_s[order]),
+            "s_t": pa.array(s_t[order]),
+        })
 
     reduced = (
         pages.map_batches(partial, batch_format="pyarrow", batch_size=None)

@@ -39,75 +39,93 @@ PAGES_SCHEMA = pa.schema(
 )
 
 
-def pages_from_documents_batch(batch: pa.Table, replicate: int = 1) -> pa.Table:
+def pages_from_documents_batch(batch: pa.Table, replicate: int = 1,
+                               include_html: bool = True,
+                               columns: list[str] | None = None) -> pa.Table:
     """documents batch (doc_id, text, lang, ...) -> pages batch.
 
     Vectorized Arrow/numpy; zero Python-per-row work except the cheap
     url-string join (pyarrow kernel).  Used inside ``map_batches``.
-    """
+
+    ``include_html=False`` skips html SYNTHESIS entirely (not build-then-
+    drop: at replicate=2000 the html bytes are ~half the replication memcpy,
+    and every headline consumer runs html-free).  ``columns`` prunes the
+    SYNTHESIS the same way a parquet reader prunes a scan: only requested
+    columns are built and replicated (a text+lang consumer at replicate=2000
+    otherwise pays 10M-row page_id/warc_ts allocations and the url
+    build+memcpy for columns it drops)."""
+    want = set(PAGES_SCHEMA.names if columns is None else columns)
+    if not include_html:
+        want.discard("html")
     doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
     text = batch.column("text")
-    lang = batch.column("lang")
-    hid = geocode.host_id(doc_id)
-    idx = geocode.tld_index(doc_id)
-    tlds = np.array([t[0] for t in geocode.TLD_TABLE])
-    # all-Arrow string build (np.char.* is a Python loop per element; the
-    # int->string casts + joins below stay in C for the whole column)
-    url = pc.binary_join_element_wise(
-        "https://h",
-        pc.cast(pa.array(hid), pa.string()),
-        ".",
-        pa.array(tlds[idx]),
-        "/p/",
-        pc.cast(pa.array(doc_id), pa.string()),
-        "",
-    )
-    html = pc.binary_join_element_wise(
-        pa.scalar(b"<html><body>", pa.binary()),
-        text.cast(pa.binary()),
-        pa.scalar(b"</body></html>", pa.binary()),
-        b"",
-    )
-    n = len(doc_id)
+    base_cols: dict = {}
+    if "url" in want:
+        hid = geocode.host_id(doc_id)
+        idx = geocode.tld_index(doc_id)
+        tlds = np.array([t[0] for t in geocode.TLD_TABLE])
+        # all-Arrow string build (np.char.* is a Python loop per element;
+        # the int->string casts + joins below stay in C for the whole column)
+        base_cols["url"] = pc.binary_join_element_wise(
+            "https://h",
+            pc.cast(pa.array(hid), pa.string()),
+            ".",
+            pa.array(tlds[idx]),
+            "/p/",
+            pc.cast(pa.array(doc_id), pa.string()),
+            "",
+        )
+    if "html" in want:
+        base_cols["html"] = pc.binary_join_element_wise(
+            pa.scalar(b"<html><body>", pa.binary()),
+            text.cast(pa.binary()),
+            pa.scalar(b"</body></html>", pa.binary()),
+            b"",
+        )
+    if "text" in want:
+        base_cols["text"] = text
+    if "lang" in want:
+        base_cols["lang"] = batch.column("lang")
     # page_id/warc_ts are per-replica; everything else is the SAME Arrow
     # buffers referenced `replicate` times (zero-copy chunked concat, no
     # Python loop over replicas)
-    page_id = (
-        np.arange(replicate, dtype=np.int64)[:, None] * np.int64(REP_STRIDE) + doc_id[None, :]
-    ).ravel()
-    warc_ts = WARC_EPOCH + page_id.astype("timedelta64[s]").astype("timedelta64[us]")
-    if replicate == 1:
-        rep_url, rep_html, rep_text, rep_lang = url, html, text, lang
-    else:
-        base = pa.table({"url": url, "html": html, "text": text, "lang": lang})
+    per_rep: dict = {}
+    if "page_id" in want or "warc_ts" in want:
+        page_id = (
+            np.arange(replicate, dtype=np.int64)[:, None] * np.int64(REP_STRIDE)
+            + doc_id[None, :]
+        ).ravel()
+        if "page_id" in want:
+            per_rep["page_id"] = pa.array(page_id)
+        if "warc_ts" in want:
+            per_rep["warc_ts"] = pa.array(
+                WARC_EPOCH
+                + page_id.astype("timedelta64[s]").astype("timedelta64[us]"))
+    if replicate > 1 and base_cols:
+        base = pa.table(base_cols)
         # combine_chunks: one contiguous buffer instead of `replicate` tiny
         # chunks — downstream Arrow kernels pay per chunk, and thousands of
         # micro-chunks cost more than the one memcpy here
         rep = pa.concat_tables([base] * replicate).combine_chunks()
-        rep_url, rep_html, rep_text, rep_lang = (
-            rep.column("url"), rep.column("html"), rep.column("text"), rep.column("lang")
-        )
+        base_cols = {c: rep.column(c) for c in base_cols}
+    out_cols = {nm: (per_rep.get(nm) if nm in per_rep else base_cols.get(nm))
+                for nm in PAGES_SCHEMA.names if nm in want}
     return pa.table(
-        {
-            "page_id": pa.array(page_id),
-            "url": rep_url,
-            "warc_ts": pa.array(warc_ts),
-            "html": rep_html,
-            "text": rep_text,
-            "lang": rep_lang,
-        },
-        schema=PAGES_SCHEMA,
-    )
+        out_cols, schema=pa.schema([PAGES_SCHEMA.field(nm) for nm in out_cols]))
 
 
 def read_pages(sf_dir: str, replicate: int = 1, include_html: bool = True,
-               pages_per_task: int = 1_000_000):
+               pages_per_task: int = 1_000_000,
+               columns: list[str] | None = None):
     """documents.parquet -> pages Dataset.
 
     Column-pruned read (only doc_id/text/lang leave storage); html synthesis
     is optional so downstream pipelines that never touch html skip the bytes
     entirely (the "project the wide column away ASAP" rule — at 100 TB the
-    html column dominates the object store otherwise).
+    html column dominates the object store otherwise).  ``columns`` extends
+    the same pruning to the SYNTHESIZED columns: a consumer that only reads
+    (text, lang) skips the per-replica page_id/warc_ts allocations and the
+    url build entirely (see pages_from_documents_batch).
     """
     import ray.data as rd
 
@@ -146,10 +164,9 @@ def read_pages(sf_dir: str, replicate: int = 1, include_html: bool = True,
     )
 
     def build(batch: pa.Table) -> pa.Table:
-        t = pages_from_documents_batch(batch, replicate=replicate)
-        if not include_html:
-            t = t.drop_columns(["html"])
-        return t
+        return pages_from_documents_batch(batch, replicate=replicate,
+                                          include_html=include_html,
+                                          columns=columns)
 
     # batch_size=None = one batch per block: the replicate fan-out then runs
     # one task per input block (SplitBlocks gives ~2 blocks/CPU on small

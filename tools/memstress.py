@@ -1,0 +1,133 @@
+"""Memory-ceiling stress datapoint (VERDICT r3 item 7): run the flagship
+and passage_dedup pipelines at 100 M pages (replicate=20000 over the sf0.1
+documents) and record wall time, throughput, per-operator peak heap, object
+store usage and any spilling — the 128 GiB sandbox's closest stand-in for
+the 100 TB memory question.
+
+    python tools/memstress.py [sf_dir] [--replicate N] [--cpus N] [--out FILE]
+
+The pipelines must stream: success = no OOM, bounded per-operator peak
+heap, and object-store usage well under the store size (spill acceptable,
+crash not).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import resource
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def peak_heaps(stats: str) -> dict[str, float]:
+    """ds.stats() -> {operator: peak heap MiB (max across tasks)}."""
+    out: dict[str, float] = {}
+    op = None
+    for line in stats.splitlines():
+        m = re.match(r"\s*(?:Sub)?[Oo]perator \d+ (.+?):", line)
+        if m:
+            op = m.group(1)
+        m = re.search(r"Peak heap memory usage \(MiB\): .* ([0-9.]+) max", line)
+        if m and op:
+            out[op] = max(out.get(op, 0.0), float(m.group(1)))
+    return out
+
+
+def object_store_report() -> str:
+    try:
+        from ray._private.internal_api import memory_summary
+
+        return memory_summary(stats_only=True)
+    except Exception as ex:  # API moved — record why instead of crashing
+        return f"unavailable: {type(ex).__name__}: {ex}"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
+    ap.add_argument("--replicate", type=int, default=20_000)
+    ap.add_argument("--cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--out", default="/tmp/memstress.json")
+    ap.add_argument("--only", default="")
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    n_docs = pq.ParquetFile(f"{args.sf_dir}/documents.parquet").metadata.num_rows
+    n_pages = n_docs * args.replicate
+    report: dict = {"sf_dir": args.sf_dir, "replicate": args.replicate,
+                    "n_pages": n_pages, "num_cpus": args.cpus, "runs": {}}
+
+    def run(name: str, make):
+        t0 = time.time()
+        ds = make()
+        n_rows = 0
+        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            n_rows += len(b)
+        wall = time.time() - t0
+        heaps = peak_heaps(ds.stats())
+        rec = {
+            "wall_s": round(wall, 1),
+            "pages_per_sec": round(n_pages / wall, 1),
+            "out_rows": n_rows,
+            "peak_task_heap_mib": heaps,
+            "driver_peak_rss_mib": round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1),
+            "object_store": object_store_report(),
+        }
+        report["runs"][name] = rec
+        print(f"{name}: {wall:.1f}s, {rec['pages_per_sec']:.0f} pages/s, "
+              f"{n_rows} rows, max task heap "
+              f"{max(heaps.values()) if heaps else 0:.0f} MiB", flush=True)
+
+    def _flagship():
+        from cuda_gis_smoothing_ray.pipelines.flagship import flagship
+
+        return flagship(args.sf_dir, replicate=args.replicate)
+
+    def _passage():
+        import pyarrow as pa
+
+        from cuda_gis_smoothing_ray.sources.pages import read_pages
+        from cuda_gis_smoothing_ray.stages.textops import passage_dedup
+
+        pages = read_pages(args.sf_dir, replicate=args.replicate,
+                           include_html=False, pages_per_task=250_000,
+                           columns=["page_id", "text"])
+
+        def as_docs(batch: pa.Table) -> pa.Table:
+            return batch.select(["page_id", "text"]).rename_columns(
+                ["doc_id", "text"])
+
+        return passage_dedup(pages.map_batches(
+            as_docs, batch_format="pyarrow", batch_size=None))
+
+    jobs = {"flagship": _flagship, "passage_dedup": _passage}
+    for name, make in jobs.items():
+        if args.only and name != args.only:
+            continue
+        run(name, make)
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"-> {args.out}", flush=True)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
