@@ -687,6 +687,19 @@ def _q_bbox_query(sf_dir: str):
     return bbox_query(_geocoded(sf_dir)).sort("page_id")
 
 
+def _q_zonemap_token_search(sf_dir: str):
+    """Token-predicate read THROUGH the per-file Bloom layer
+    (state/zonemap.attach_token_blooms -> read_token_pruned): bloom
+    definite-no skips files, the exact whitespace-token filter removes
+    false positives — the oracle checks the final row set."""
+    from cuda_gis_smoothing_ray.sources.pages import read_pages
+    from cuda_gis_smoothing_ray.state.zonemap import clustered_token_search
+
+    df, _n_read, _n_total = clustered_token_search(
+        read_pages(sf_dir, include_html=False, columns=["page_id", "text"]))
+    return df
+
+
 def _q_zonemap_range(sf_dir: str):
     """Key-range aggregate served THROUGH the zone-mapped clustered layout
     (state/zonemap.write_clustered -> read_pruned -> per-cell counts): the
@@ -3879,6 +3892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_anti": _q_pip_anti,
         "bbox_query": _q_bbox_query,
         "zonemap_range": _q_zonemap_range,
+        "zonemap_token_search": _q_zonemap_token_search,
         "cell_boundary": _q_cell_boundary,
         "cell_parent": _q_cell_parent,
         "compact_cells": _q_compact_cells,
@@ -4551,6 +4565,7 @@ def oracle_sql() -> dict[str, str]:
         "bbox_query": o.bbox_query_sql(RES, BBOX),
         "zonemap_range": o.zonemap_range_sql(
             RES, _zm.ZONE_RANGE_LO, _zm.ZONE_RANGE_HI),
+        "zonemap_token_search": o.zonemap_token_search_sql(_zm.ZONE_TOKEN),
         "cell_boundary": o.cell_boundary_sql(RES),
         "cell_parent": o.cell_parent_sql(RES, RES - 1),
         "compact_cells": o.compact_cells_sql(RES),

@@ -2219,3 +2219,15 @@ FROM geocoded
 WHERE cell >= {lo} AND cell <= {hi}
 GROUP BY cell
 ORDER BY cell"""
+
+
+def zonemap_token_search_sql(token: str) -> str:
+    """Oracle of state/zonemap.clustered_token_search: the token-predicate
+    row set the bloom-pruned read must return exactly — a row matches iff
+    its RE2 whitespace tokenization contains ``token`` (both engines split
+    with RE2 ``\\s+``; bloom false positives are removed by the engine's
+    exact filter, so the SQL needs no bloom model)."""
+    return f"""WITH {pages_cte()}
+SELECT page_id FROM pages
+WHERE list_contains(regexp_split_to_array(text, '\\s+'), '{token}')
+ORDER BY page_id"""

@@ -406,3 +406,39 @@ def clustered_range_counts(geocoded, lo: int = ZONE_RANGE_LO,
     finally:
         if own:
             shutil.rmtree(out_dir, ignore_errors=True)
+
+
+ZONE_TOKEN = "value"  # mid-frequency marker word in the synthetic corpus
+
+
+def clustered_token_search(pages_ds, token: str = ZONE_TOKEN,
+                           out_dir: str | None = None):
+    """Second storage-index layer end to end: cluster pages by page_id,
+    attach per-file TOKEN Bloom filters, answer a token-predicate query
+    THROUGH :func:`read_token_pruned` (bloom definite-no skips files; the
+    exact whitespace-token row filter removes false positives).  Returns
+    ``(pandas(page_id), n_files_read, n_files_total)`` — the row set is
+    exactly "pages whose whitespace tokenization contains ``token``", which
+    is what the SQL oracle checks."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    own = out_dir is None
+    if own:
+        out_dir = tempfile.mkdtemp(prefix="graft_zonebloom_")
+    try:
+        write_clustered(pages_ds.select_columns(["page_id", "text"]),
+                        out_dir, "page_id")
+        attach_token_blooms(out_dir)
+        ds, n_read, n_total = read_token_pruned(out_dir, token)
+        if ds is None:
+            empty = pd.DataFrame({"page_id": pd.Series([], dtype="int64")})
+            return empty, 0, n_total
+        df = (ds.select_columns(["page_id"]).to_pandas()
+              .sort_values("page_id").reset_index(drop=True))
+        return df, n_read, n_total
+    finally:
+        if own:
+            shutil.rmtree(out_dir, ignore_errors=True)

@@ -291,3 +291,30 @@ def test_clustered_range_counts_prunes_and_counts(tmp_path):
     empty, r0, _ = clustered_range_counts(ds, 10_000, 10_001, out_dir=out)
     assert r0 == 0 and len(empty) == 0
     assert list(empty.columns) == ["cell", "page_count"]
+
+
+def test_clustered_token_search_prunes_and_filters(tmp_path):
+    """Bloom-layer pipeline: a rare token prunes most files at the bloom
+    probe, and the exact filter returns precisely the owning rows."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.state.zonemap import clustered_token_search
+
+    n = 4_000
+    texts = [f"filler words row {i}" for i in range(n)]
+    texts[1234] = "filler RAREMARK row"
+    texts[3456] = "RAREMARK alone"
+    ds = rd.from_arrow(pa.table({
+        "page_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts),
+    })).repartition(8)
+    out = str(tmp_path / "zb")
+    df, n_read, n_total = clustered_token_search(ds, "RAREMARK", out_dir=out)
+    assert 0 < n_read < n_total
+    assert df["page_id"].tolist() == [1234, 3456]
+    # token absent everywhere: bloom answers definite-no for every file
+    empty, r0, _ = clustered_token_search(ds, "NEVERSEEN", out_dir=out + "2")
+    assert r0 == 0 and len(empty) == 0
+    # substring of a longer token must NOT match (whitespace-token equality)
+    none2, _, _ = clustered_token_search(ds, "RARE", out_dir=out + "3")
+    assert len(none2) == 0

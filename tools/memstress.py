@@ -43,7 +43,27 @@ def object_store_report() -> str:
         from ray._private.internal_api import memory_summary
 
         return memory_summary(stats_only=True)
-    except Exception as ex:  # API moved — record why instead of crashing
+    except Exception as ex:  # API moved / grpc absent — record why
+        return f"unavailable: {type(ex).__name__}: {ex}"
+
+
+def spill_report() -> str:
+    """Last spill line from the live session's raylet log — cumulative
+    '(raylet) Spilled N MiB, M objects, write throughput T MiB/s'."""
+    import glob
+
+    try:
+        import ray
+
+        d = ray._private.worker.global_worker.node.get_session_dir_path()
+        last = ""
+        for p in glob.glob(os.path.join(d, "logs", "raylet.out")):
+            with open(p, errors="replace") as f:
+                for line in f:
+                    if "Spilled" in line:
+                        last = line.strip()
+        return last or "no spill lines in raylet.out"
+    except Exception as ex:
         return f"unavailable: {type(ex).__name__}: {ex}"
 
 
@@ -89,6 +109,7 @@ def main() -> None:
             "driver_peak_rss_mib": round(
                 resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024, 1),
             "object_store": object_store_report(),
+            "spill": spill_report(),
         }
         report["runs"][name] = rec
         print(f"{name}: {wall:.1f}s, {rec['pages_per_sec']:.0f} pages/s, "
