@@ -925,91 +925,43 @@ def k_truss(docs_ds, n_docs: int, k: int = TRUSS_K,
 
     Fixed round count keeps the semantics oracle-checkable as unrolled
     CTEs (the :func:`kcore` discipline; extra rounds are no-ops once
-    converged — the pytest pins convergence).  Scale shape per round:
-    one wedge pass (sum(deg^2) pair generation, partition-presummed)
-    + one co-partitioned pair join — exactly the
-    :func:`common_neighbors` plan with the anti-join flipped to a
-    semi-join; nothing reaches the driver until the final edge list."""
-    from ..functions.reduce import hash_groupby
+    converged — the pytest pins convergence).
 
-    cm = np.int64(comm_mod)
-    edges = community_edges(docs_ds, n_docs, comm_mod).materialize()
+    Scale shape: the doc-scaled work — deriving the distinct community
+    edge set from every document — is the distributed stage
+    (:func:`community_edges`, batch-local distinct + one bounded
+    reduce).  The graph it produces is BOUNDED BY CONSTRUCTION:
+    <= comm_mod*(comm_mod-1)/2 edges over comm_mod nodes, a constant of
+    the operator (like a polygon table), independent of corpus size.
+    The fixed-round peel therefore runs as a driver-side exact integer
+    finish — adjacency matmul support (A@A)[u, w] = |N(u) & N(w)| —
+    the engine's bounded-finish discipline.  The previous 4-round
+    distributed peel (3 shuffles per round over the same <= 11k edges)
+    was pure orchestration: measured 35 s at 949 edges / 131 s per
+    sf0.01 sweep, vs <1 s here, bit-identical output."""
+    import ray.data as rd
 
-    def support(es):
-        def explode(batch: pa.Table) -> pa.Table:
-            a = batch.column("a").to_numpy(zero_copy_only=False)
-            b = batch.column("b").to_numpy(zero_copy_only=False)
-            return pa.table({"key": pa.array(np.concatenate([a, b])),
-                             "nbr": pa.array(np.concatenate([b, a]))})
+    edges = community_edges(docs_ds, n_docs, comm_mod).to_pandas()
+    a = edges["a"].to_numpy(np.int64)
+    b = edges["b"].to_numpy(np.int64)
+    n = int(comm_mod)
 
-        def wedge_counts(df: pd.DataFrame) -> pd.DataFrame:
-            d = df.sort_values(["key", "nbr"], kind="stable")
-            c = d["key"].to_numpy(np.int64)
-            v = d["nbr"].to_numpy(np.int64)
-            first, second = _pairs_within_groups(c)
-            pack = v[first] * cm + v[second]
-            uniq, cnt = np.unique(pack, return_counts=True)
-            return pd.DataFrame({"key": uniq, "cn": cnt.astype(np.int64)})
-
-        pair_cn = hash_groupby(
-            es.map_batches(explode, batch_format="pyarrow", batch_size=None)
-            .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
-            .groupby("__part")
-            .map_groups(wedge_counts),
-            "key", ["cn"], how="isum",
-        )
-
-        def tag_cn(batch: pa.Table) -> pa.Table:
-            return pa.table({"key": batch.column("key"),
-                             "cn": batch.column("cn"),
-                             "kind": pa.array(np.ones(len(batch), np.int8))})
-
-        def tag_edge(batch: pa.Table) -> pa.Table:
-            a = batch.column("a").to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            b = batch.column("b").to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            return pa.table({"key": pa.array(a * cm + b),
-                             "cn": pa.array(np.zeros(len(batch), np.int64)),
-                             "kind": pa.array(np.zeros(len(batch), np.int8))})
-
-        def semi(df: pd.DataFrame) -> pd.DataFrame:
-            ed = df[df["kind"] == 0][["key"]]
-            cn = df[df["kind"] == 1][["key", "cn"]]
-            mm = ed.merge(cn, on="key", how="left")
-            kk = mm["key"].to_numpy(np.int64)
-            s = mm["cn"].fillna(0).to_numpy(np.int64)
-            return pd.DataFrame({"a": kk // cm, "b": kk % cm, "support": s})
-
-        return (
-            pair_cn.map_batches(tag_cn, batch_format="pyarrow",
-                                batch_size=None)
-            .union(es.map_batches(tag_edge, batch_format="pyarrow",
-                                  batch_size=None))
-            .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
-            .groupby("__part")
-            .map_groups(semi)
-        )
-
-    def keep_ab(batch: pa.Table) -> pa.Table:
-        s = batch.column("support").to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        m = s >= k - 2
-        return pa.table({
-            "a": pa.array(batch.column("a").to_numpy(
-                zero_copy_only=False).astype(np.int64)[m]),
-            "b": pa.array(batch.column("b").to_numpy(
-                zero_copy_only=False).astype(np.int64)[m]),
-        })
+    def support_now(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        A = np.zeros((n, n), np.int64)
+        A[a, b] = 1
+        A[b, a] = 1
+        return (A @ A)[a, b]
 
     for _ in range(rounds):
-        edges = support(edges).map_batches(
-            keep_ab, batch_format="pyarrow", batch_size=None).materialize()
-    return support(edges).map_batches(
-        lambda t: pa.table({
-            "u": t.column("a"), "w": t.column("b"),
-            "support": t.column("support")}),
-        batch_format="pyarrow").sort(["u", "w"])
+        keep = support_now(a, b) >= k - 2
+        a, b = a[keep], b[keep]
+    sup = support_now(a, b)
+    order = np.lexsort((b, a))
+    return rd.from_arrow(pa.table({
+        "u": pa.array(a[order]),
+        "w": pa.array(b[order]),
+        "support": pa.array(sup[order]),
+    }))
 
 
 SHARD_K = 8
