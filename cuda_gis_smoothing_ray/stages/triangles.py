@@ -610,104 +610,45 @@ def graph_modularity(docs_ds, n_docs: int, comm_mod: int = COMM_MOD):
     d_c^2`` is an exact arbitrary-precision numerator and the statistic
     is ONE float division by ``4m^2``, round6.
 
-    Scale shape: CC label propagation over the sparse subgraph (bounded
-    shuffles per superstep, :func:`..stages.cc.connected_components`),
-    then TWO co-partitioned label joins (one per edge endpoint) and a
-    bounded per-label degree reduce — no pair shuffle, nothing per-node
-    on the driver."""
-    from ..functions.reduce import hash_groupby
-    from .cc import connected_components
-
-    cm = np.int64(comm_mod)
-    full = community_edges(docs_ds, n_docs, comm_mod).materialize()
-    lin = community_edges(docs_ds, n_docs, comm_mod, linear_only=True)
-
-    def nodes_of(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False)
-        b = batch.column("b").to_numpy(zero_copy_only=False)
-        u = np.unique(np.concatenate([a, b]))
-        return pa.table({"node": pa.array(u),
-                         "one": pa.array(np.ones(len(u), np.int64))})
-
-    nodes = hash_groupby(
-        full.map_batches(nodes_of, batch_format="pyarrow", batch_size=None),
-        "node", ["one"], how="min",
-    )
-    labels = connected_components(lin, nodes, node_col="node").materialize()
-
-    # attach the component label to each endpoint (tagged co-partition)
-    def _attach_label(es, side: str, out_col: str):
-        def tag_edge(batch: pa.Table) -> pa.Table:
-            cols = {"key": batch.column(side),
-                    "kind": pa.array(np.ones(len(batch), np.int8))}
-            for c in es.schema().names:
-                if c != side:
-                    cols[c] = batch.column(c)
-            return pa.table(cols)
-
-        def tag_lab(batch: pa.Table) -> pa.Table:
-            return pa.table({"key": batch.column("node"),
-                             "kind": pa.array(np.zeros(len(batch), np.int8)),
-                             out_col: batch.column("component")})
-
-        carry = [c for c in es.schema().names if c != side]
-
-        def join(df: pd.DataFrame) -> pd.DataFrame:
-            df = ensure_cols(df, ["key", out_col, *carry])
-            lb = df[df["kind"] == 0][["key", out_col]]
-            ed = df[df["kind"] == 1][["key"] + carry]
-            m = ed.merge(lb, on="key")
-            out = {side: m["key"].to_numpy(np.int64)}
-            for c in carry + [out_col]:
-                out[c] = m[c].to_numpy(np.int64)
-            return pd.DataFrame(out)
-
-        return (
-            es.map_batches(tag_edge, batch_format="pyarrow", batch_size=None)
-            .union(labels.map_batches(tag_lab, batch_format="pyarrow",
-                                      batch_size=None))
-            .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
-            .groupby("__part")
-            .map_groups(join)
-        )
-
-    labeled = _attach_label(_attach_label(full, "a", "la"), "b", "lb")
-
-    def edge_partials(batch: pa.Table) -> pa.Table:
-        la = batch.column("la").to_numpy(zero_copy_only=False)
-        lb = batch.column("lb").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "k": pa.array([0], pa.int64()),
-            "m": pa.array([len(batch)], pa.int64()),
-            "intra": pa.array([int((la == lb).sum())], pa.int64()),
-        })
-
-    tot = hash_groupby(
-        labeled.map_batches(edge_partials, batch_format="pyarrow",
-                            batch_size=None),
-        "k", ["m", "intra"], how="isum",
-    ).to_pandas()
-    m = int(tot["m"].sum())
-    intra = int(tot["intra"].sum())
+    Scale shape: the doc-scaled stage is :func:`community_edges` (twice —
+    full and linear-only), distributed batch-local distinct + bounded
+    reduce.  Both edge sets are BOUNDED BY CONSTRUCTION
+    (<= comm_mod*(comm_mod-1)/2 rows, a constant of the operator), so the
+    CC labeling + label joins + degree rollup run as a driver-side exact
+    union-find finish — the k_truss bounded-finish discipline (was: CC
+    supersteps + 2 tagged co-partition joins over <= 11k rows, ~1 min of
+    pure orchestration per call)."""
+    full = community_edges(docs_ds, n_docs, comm_mod).to_pandas()
+    lin = community_edges(docs_ds, n_docs, comm_mod,
+                          linear_only=True).to_pandas()
+    a = full["a"].to_numpy(np.int64)
+    b = full["b"].to_numpy(np.int64)
+    m = len(full)
     if m == 0:
         raise ValueError("graph_modularity: empty graph")
 
-    # per-component degree sums: explode endpoints with their labels
-    def deg_rows(batch: pa.Table) -> pa.Table:
-        la = batch.column("la").to_numpy(zero_copy_only=False)
-        lb = batch.column("lb").to_numpy(zero_copy_only=False)
-        lab = np.concatenate([la, lb])
-        uniq, cnt = np.unique(lab, return_counts=True)
-        return pa.table({"lab": pa.array(uniq),
-                         "d": pa.array(cnt.astype(np.int64))})
+    # union-find over the linear subgraph, on the FULL graph's node set
+    # (nodes with no linear edge stay singleton components)
+    parent = np.arange(comm_mod, dtype=np.int64)
 
-    degs = hash_groupby(
-        labeled.map_batches(deg_rows, batch_format="pyarrow",
-                            batch_size=None),
-        "lab", ["d"], how="isum",
-    ).to_pandas()
-    dc2 = sum(int(d) * int(d) for d in degs["d"])
-    n_comm = len(degs)
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return int(x)
+
+    for u, v in zip(lin["a"].to_numpy(np.int64), lin["b"].to_numpy(np.int64)):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    label = np.array([find(i) for i in range(comm_mod)], dtype=np.int64)
+
+    la, lb = label[a], label[b]
+    intra = int((la == lb).sum())
+    lab_all = np.concatenate([la, lb])  # one degree stub per endpoint
+    uniq, cnt = np.unique(lab_all, return_counts=True)
+    dc2 = sum(int(d) * int(d) for d in cnt)
+    n_comm = len(uniq)
     q_num = 4 * m * intra - dc2  # exact
     q = float(q_num) / float(4 * m * m)
     r6 = lambda v: float(np.floor(v * 1e6 + 0.5) / 1e6)  # noqa: E731
