@@ -72,6 +72,10 @@ def main() -> None:
     ap.add_argument("--oracle-timeout", type=float, default=300.0)
     ap.add_argument("--cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "16")))
+    ap.add_argument("--order-by", default=None,
+                    help="prior sweep artifact: run cheapest-first by its "
+                         "per-query ray_s+oracle_s (max coverage early if "
+                         "the run is cut short)")
     args = ap.parse_args()
     excluded = [q for q in args.exclude.split(",") if q]
     only = {q for q in args.only.split(",") if q}
@@ -93,6 +97,15 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'")
 
     qs, sqls = e.queries(), e.oracle_sql()
+    if args.order_by:
+        with open(args.order_by) as f:
+            prior = json.load(f)["queries"]
+
+        def cost(name: str) -> float:
+            r = prior.get(name) or {}
+            return (r.get("ray_s") or 0.0) + (r.get("oracle_s") or 0.0)
+
+        qs = dict(sorted(qs.items(), key=lambda kv: cost(kv[0])))
     out: dict = {
         "sf_dir": args.sf_dir,
         "num_cpus": args.cpus,
@@ -102,12 +115,29 @@ def main() -> None:
         "queries": {},
     }
     t_all = time.time()
+    dest = args.out or f"/tmp/full_sweep_{os.path.basename(args.sf_dir)}.json"
+
+    def flush() -> None:
+        out.update(
+            wall_s=round(time.time() - t_all, 1),
+            n_queries=len(out["queries"]),
+            n_match=n_match,
+            n_fail=n_fail,
+            n_rows_only=n_rows_only,
+            n_oracle_timeout=n_timeout,
+        )
+        tmp = dest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=1)
+        os.replace(tmp, dest)
+
     n_match = n_fail = n_rows_only = n_timeout = 0
     for i, (name, fn) in enumerate(qs.items()):
         if only and name not in only:
             continue
         if name in excluded:
             out["queries"][name] = {"kind": "excluded"}
+            flush()
             continue
         rec: dict = {}
         t0 = time.time()
@@ -120,6 +150,7 @@ def main() -> None:
                        match=False, err=f"ray: {type(ex).__name__}: {ex}")
             n_fail += 1
             out["queries"][name] = rec
+            flush()
             print(f"[{i+1}/{len(qs)}] {name}: RAY ERROR {ex}", flush=True)
             traceback.print_exc()
             continue
@@ -127,6 +158,7 @@ def main() -> None:
             rec["kind"] = "rows_only"
             n_rows_only += 1
             out["queries"][name] = rec
+            flush()
             print(f"[{i+1}/{len(qs)}] {name}: rows-only "
                   f"({rec['rows']} rows, {rec['ray_s']}s)", flush=True)
             continue
@@ -146,6 +178,7 @@ def main() -> None:
                 n_fail += 1
                 print(f"[{i+1}/{len(qs)}] {name}: SQL ERROR {ex}", flush=True)
             out["queries"][name] = rec
+            flush()
             continue
         rec["oracle_s"] = round(time.time() - t1, 3)
         ok, reason = compare(ray_df, ora_df)
@@ -157,21 +190,12 @@ def main() -> None:
             rec["err"] = reason
             n_fail += 1
         out["queries"][name] = rec
+        flush()
         print(f"[{i+1}/{len(qs)}] {name}: {'MATCH' if ok else 'FAIL ' + reason}"
               f" ({rec['rows']} rows, ray {rec['ray_s']}s, "
               f"oracle {rec['oracle_s']}s)", flush=True)
 
-    out.update(
-        wall_s=round(time.time() - t_all, 1),
-        n_queries=len(out["queries"]),
-        n_match=n_match,
-        n_fail=n_fail,
-        n_rows_only=n_rows_only,
-        n_oracle_timeout=n_timeout,
-    )
-    dest = args.out or f"/tmp/full_sweep_{os.path.basename(args.sf_dir)}.json"
-    with open(dest, "w") as f:
-        json.dump(out, f, indent=1)
+    flush()
     print(f"\n{n_match} matched, {n_fail} failed, {n_rows_only} rows-only, "
           f"{n_timeout} oracle-timeout -> {dest}", flush=True)
     sys.exit(1 if n_fail else 0)
