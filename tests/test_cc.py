@@ -23,14 +23,18 @@ def test_cc_components_and_survivors():
         }
     )
     nodes = pa.table({"doc_id": pa.array(list(range(10)), pa.int64())})
-    out = (
-        connected_components(_ds(edges), _ds(nodes))
-        .to_pandas()
-        .sort_values("doc_id")
-        .reset_index(drop=True)
-    )
     want = [0, 0, 0, 0, 4, 5, 5, 7, 7, 9]
-    assert out["component"].tolist() == want
+    # both plans must agree: bounded driver finish (default at this size)
+    # and the distributed min-label BSP (forced with driver_max_edges=0)
+    for cap in (None, 0):
+        kw = {} if cap is None else {"driver_max_edges": cap}
+        out = (
+            connected_components(_ds(edges), _ds(nodes), **kw)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["component"].tolist() == want, f"cap={cap}"
 
     surv = dedup_survivors(_ds(edges), _ds(nodes)).to_pandas().sort_values("doc_id")
     assert surv["is_survivor"].tolist() == [
@@ -49,8 +53,38 @@ def test_cc_long_chain_converges():
         }
     )
     nodes = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64))})
-    out = connected_components(_ds(edges), _ds(nodes), max_rounds=20).to_pandas()
+    out = connected_components(
+        _ds(edges), _ds(nodes), max_rounds=20, driver_max_edges=0
+    ).to_pandas()
     assert (out["component"] == 0).all()
+
+
+def test_numpy_cc_hook_jump_matches_brute_union_find():
+    """Driver-finish kernel vs a brute-force union-find on a random-ish
+    deterministic graph with chains, blobs and isolated endpoints."""
+    from cuda_gis_smoothing_ray.stages.cc import _numpy_cc
+
+    rng = np.random.default_rng(20240819)
+    n = 500
+    a = rng.integers(0, n, 800).astype(np.int64) * 7  # sparse non-contiguous ids
+    b = rng.integers(0, n, 800).astype(np.int64) * 7
+    ids, comp = _numpy_cc(a, b)
+
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    want = {int(i): find(int(i)) for i in ids}
+    got = dict(zip(ids.tolist(), comp.tolist()))
+    assert got == want
 
 
 def test_dedup_canonical_keeps_longest_then_lowest_id():
