@@ -25,6 +25,19 @@ pre-summed per partition, and the gather is a second bounded shuffle keyed
 by destination host — identical to a production Pregel round.  The rank
 table never leaves the cluster; only the two scalar aggregates (host count,
 convergence checksum) reach the driver.
+
+**Two plans behind each contract** (the :mod:`.cc` bounded-finish
+discipline): the DISTINCT host edge list is at most 2x the doc count, so
+when one ``count()`` of the materialized edges fits
+``DRIVER_GRAPH_MAX_EDGES`` the iteration runs as a vectorized numpy loop
+on the driver (``np.add.at`` / ``np.minimum.at`` gathers — int64 sums and
+mins are order-independent, so the result is bit-identical to the BSP and
+to the unrolled-CTE oracles) and only the graph BUILD stays distributed.
+Measured at sf0.1 (500 docs, ~1k edges): pagerank 25.9 s -> ~2 s,
+diameter_sweep 43.0 s -> ~2 s — the supersteps were pure orchestration
+(8-16 union+groupby+materialize rounds) on a graph that fits in one L1
+cache.  Beyond the cap the BSP supersteps run unchanged (the 100 TB path);
+``driver_max_edges=0`` forces them for tests.
 """
 
 from __future__ import annotations
@@ -34,6 +47,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions import geocode
+from .cc import DRIVER_CC_MAX_EDGES as DRIVER_GRAPH_MAX_EDGES
 
 SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100
@@ -133,6 +147,58 @@ def host_graph(docs_ds, n_docs: int):
     return edges_deg, hosts
 
 
+def _graph_arrays(edges, hosts):
+    """Materialized edges + hosts -> (host ids sorted ASC, src index,
+    dst index[, outdeg]) numpy arrays for the bounded driver finish.
+    Host ids are remapped to dense positions in the sorted id array, so
+    ``hosts_sorted[i]`` is the host at index ``i``."""
+    e = edges.to_pandas()
+    h = np.sort(hosts.to_pandas()["host"].to_numpy(np.int64))
+    si = np.searchsorted(h, e["src"].to_numpy(np.int64))
+    di = np.searchsorted(h, e["dst"].to_numpy(np.int64))
+    if "outdeg" in e.columns:
+        return h, si, di, e["outdeg"].to_numpy(np.int64)
+    return h, si, di, None
+
+
+def _driver_rank_loop(edges, hosts, iterations: int, init_fn, damp_fn):
+    """Bounded finish for the rank family: same recurrence as
+    :func:`_rank_loop`, vectorized on the driver.  ``np.add.at`` is an
+    exact int64 scatter-sum (order-independent), so results are
+    bit-identical to the distributed supersteps and the oracle."""
+    import ray.data as rd
+
+    h, si, di, outdeg = _graph_arrays(edges, hosts)
+    rank = init_fn(h)
+    for _ in range(iterations):
+        s = np.zeros(len(h), np.int64)
+        if len(si):
+            np.add.at(s, di, rank[si] // outdeg)
+        rank = damp_fn(h, s)
+    return rd.from_arrow(pa.table({"host": pa.array(h),
+                                   "rank": pa.array(rank)}))
+
+
+#: unreached sentinel for the driver BFS (never emitted; filtered out)
+_BFS_INF = np.int64(1) << np.int64(60)
+
+
+def _driver_bfs(h: np.ndarray, si: np.ndarray, di: np.ndarray,
+                dist0: np.ndarray, rounds: int) -> np.ndarray:
+    """Bounded finish for the relaxation BFS: per round every node with a
+    known distance pushes ``dist+1`` along its out-edges and every node
+    min-combines — the identical recurrence to the distributed rounds
+    (min is order-independent).  Returns the dense distance array with
+    ``_BFS_INF`` marking unreached nodes."""
+    dist = dist0
+    for _ in range(rounds):
+        nxt = dist.copy()
+        if len(si):
+            np.minimum.at(nxt, di, dist[si] + 1)
+        dist = nxt
+    return dist
+
+
 def _tag_rank(batch: pa.Table) -> pa.Table:
     return pa.table({"key": batch.column("host"), "a": batch.column("rank"),
                      "b": pa.array(np.zeros(len(batch), np.int64)),
@@ -191,10 +257,13 @@ def _rank_loop(edges, ranks, iterations: int, damp_fn):
     return ranks
 
 
-def pagerank(docs_ds, n_docs: int, iterations: int = 8):
+def pagerank(docs_ds, n_docs: int, iterations: int = 8,
+             driver_max_edges: int = DRIVER_GRAPH_MAX_EDGES):
     """documents -> (host, rank) after ``iterations`` exact fixed-point
     PageRank supersteps on the deterministic host graph; rank is the int64
-    fixed-point value (SCALE = 10**12)."""
+    fixed-point value (SCALE = 10**12).  Plan selection (bounded driver
+    finish vs BSP supersteps) is by measured edge count — module
+    docstring; ``driver_max_edges=0`` forces the BSP path."""
     edges, hosts = host_graph(docs_ds, n_docs)
     edges = edges.materialize()
     hosts = hosts.materialize()
@@ -202,14 +271,20 @@ def pagerank(docs_ds, n_docs: int, iterations: int = 8):
     base = (SCALE * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * n_hosts)
     init = SCALE // n_hosts
 
+    def damp_fn(host: np.ndarray, s: np.ndarray) -> np.ndarray:
+        return base + (DAMP_NUM * s) // DAMP_DEN
+
+    if edges.count() <= driver_max_edges:
+        return _driver_rank_loop(
+            edges, hosts, iterations,
+            init_fn=lambda h: np.full(len(h), init, np.int64),
+            damp_fn=damp_fn)
+
     ranks = hosts.map_batches(
         lambda b: pa.table({"host": b.column("host"),
                             "rank": pa.array(np.full(len(b), init, np.int64))}),
         batch_format="pyarrow", batch_size=None,
     ).materialize()
-
-    def damp_fn(host: np.ndarray, s: np.ndarray) -> np.ndarray:
-        return base + (DAMP_NUM * s) // DAMP_DEN
 
     return _rank_loop(edges, ranks, iterations, damp_fn)
 
@@ -218,7 +293,8 @@ PPR_SEED_MOD = 10
 
 
 def personalized_pagerank(docs_ds, n_docs: int, iterations: int = 8,
-                          seed_mod: int = PPR_SEED_MOD):
+                          seed_mod: int = PPR_SEED_MOD,
+                          driver_max_edges: int = DRIVER_GRAPH_MAX_EDGES):
     """documents -> (host, rank): PERSONALIZED PageRank — the teleport mass
     returns only to the seed set (hosts ``% seed_mod == 0``) instead of
     uniformly, so rank measures proximity to the seeds (the
@@ -247,6 +323,17 @@ def personalized_pagerank(docs_ds, n_docs: int, iterations: int = 8,
     base = (SCALE * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * n_seeds)
     init = SCALE // n_seeds
 
+    def damp_fn(host: np.ndarray, s: np.ndarray) -> np.ndarray:
+        b = np.where(host % seed_mod == 0, base, 0).astype(np.int64)
+        return b + (DAMP_NUM * s) // DAMP_DEN
+
+    if edges.count() <= driver_max_edges:
+        return _driver_rank_loop(
+            edges, hosts, iterations,
+            init_fn=lambda h: np.where(h % seed_mod == 0, init, 0)
+            .astype(np.int64),
+            damp_fn=damp_fn)
+
     def init_ranks(batch: pa.Table) -> pa.Table:
         h = batch.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table({
@@ -257,10 +344,6 @@ def personalized_pagerank(docs_ds, n_docs: int, iterations: int = 8,
 
     ranks = hosts.map_batches(init_ranks, batch_format="pyarrow",
                               batch_size=None).materialize()
-
-    def damp_fn(host: np.ndarray, s: np.ndarray) -> np.ndarray:
-        b = np.where(host % seed_mod == 0, base, 0).astype(np.int64)
-        return b + (DAMP_NUM * s) // DAMP_DEN
 
     return _rank_loop(edges, ranks, iterations, damp_fn)
 
@@ -273,7 +356,8 @@ BFS_ROUNDS = 6
 
 
 def bfs_hops(docs_ds, n_docs: int, seed_mod: int = BFS_SEED_MOD,
-             rounds: int = BFS_ROUNDS):
+             rounds: int = BFS_ROUNDS,
+             driver_max_edges: int = DRIVER_GRAPH_MAX_EDGES):
     """documents -> (host, dist): multi-source BFS over the directed host
     link graph — hop distance from the seed set (hosts ``% seed_mod == 0``)
     after ``rounds`` synchronous frontier expansions.  Unreached hosts are
@@ -293,6 +377,16 @@ def bfs_hops(docs_ds, n_docs: int, seed_mod: int = BFS_SEED_MOD,
 
     edges, hosts = host_graph(docs_ds, n_docs)
     edges = edges.select_columns(["src", "dst"]).materialize()
+
+    if edges.count() <= driver_max_edges:
+        import ray.data as rd
+
+        h, si, di, _ = _graph_arrays(edges, hosts.materialize())
+        dist0 = np.where(h % seed_mod == 0, np.int64(0), _BFS_INF)
+        dist = _driver_bfs(h, si, di, dist0, rounds)
+        reach = dist < _BFS_INF
+        return rd.from_arrow(pa.table({"host": pa.array(h[reach]),
+                                       "dist": pa.array(dist[reach])}))
 
     def seed(batch: pa.Table) -> pa.Table:
         h = batch.column("host").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -342,7 +436,8 @@ def bfs_hops(docs_ds, n_docs: int, seed_mod: int = BFS_SEED_MOD,
 HITS_ITERS = 4
 
 
-def hits(docs_ds, n_docs: int, iterations: int = HITS_ITERS):
+def hits(docs_ds, n_docs: int, iterations: int = HITS_ITERS,
+         driver_max_edges: int = DRIVER_GRAPH_MAX_EDGES):
     """documents -> (host, hub, auth): HITS hubs-and-authorities over the
     same deterministic host graph as :func:`pagerank`, as ``iterations``
     exact-integer BSP supersteps (the other classic link-analysis
@@ -366,6 +461,31 @@ def hits(docs_ds, n_docs: int, iterations: int = HITS_ITERS):
     edges, hosts = host_graph(docs_ds, n_docs)
     edges = edges.materialize()
     hosts = hosts.materialize()
+
+    if edges.count() <= driver_max_edges:
+        import ray.data as rd
+
+        h, si, di, _ = _graph_arrays(edges, hosts)
+
+        def _norm(raw: np.ndarray) -> np.ndarray:
+            mx = int(raw.max()) if len(raw) else 0
+            d = max(1, (mx + SCALE - 1) // SCALE)
+            return raw // d
+
+        hub_v = np.full(len(h), SCALE, np.int64)
+        auth_v = np.zeros(len(h), np.int64)
+        for _ in range(iterations):
+            raw = np.zeros(len(h), np.int64)
+            if len(si):
+                np.add.at(raw, di, hub_v[si])
+            auth_v = _norm(raw)
+            raw = np.zeros(len(h), np.int64)
+            if len(si):
+                np.add.at(raw, si, auth_v[di])
+            hub_v = _norm(raw)
+        return rd.from_arrow(pa.table({"host": pa.array(h),
+                                       "hub": pa.array(hub_v),
+                                       "auth": pa.array(auth_v)}))
 
     def init(batch: pa.Table) -> pa.Table:
         return pa.table({"host": batch.column("host"),
@@ -537,7 +657,8 @@ def graph_reciprocity(docs_ds, n_docs: int):
 SWEEP_ROUNDS = 8
 
 
-def diameter_sweep(docs_ds, n_docs: int, rounds: int = SWEEP_ROUNDS):
+def diameter_sweep(docs_ds, n_docs: int, rounds: int = SWEEP_ROUNDS,
+                   driver_max_edges: int = DRIVER_GRAPH_MAX_EDGES):
     """documents -> ONE row (start, ecc1, far_node, ecc2): the DOUBLE-
     SWEEP diameter lower bound of the undirected host graph — BFS from
     the smallest host id, hop to the farthest reached node (ties ->
@@ -567,6 +688,29 @@ def diameter_sweep(docs_ds, n_docs: int, rounds: int = SWEEP_ROUNDS):
 
     uedges = edges.select_columns(["src", "dst"]).map_batches(
         undirect, batch_format="pyarrow", batch_size=None).materialize()
+
+    if uedges.count() <= driver_max_edges:
+        h, si, di, _ = _graph_arrays(uedges, hosts.materialize())
+        start = int(h.min())
+
+        def sweep(seed_host: int):
+            dist0 = np.where(h == seed_host, np.int64(0), _BFS_INF)
+            dist = _driver_bfs(h, si, di, dist0, rounds)
+            reach = dist < _BFS_INF
+            hr, dr = h[reach], dist[reach]
+            # (dist DESC, host ASC) argmax — hr is host-ASC already, so a
+            # stable argmax of dr picks the smallest host among ties
+            i = int(np.argmax(dr))
+            return int(hr[i]), int(dr[i])
+
+        far, ecc1 = sweep(start)
+        _, ecc2 = sweep(far)
+        return rd.from_arrow(pa.table({
+            "start": pa.array([start], pa.int64()),
+            "ecc1": pa.array([ecc1], pa.int64()),
+            "far_node": pa.array([far], pa.int64()),
+            "ecc2": pa.array([ecc2], pa.int64()),
+        }))
 
     def tag_dist(batch: pa.Table) -> pa.Table:
         return pa.table({"key": batch.column("host"),

@@ -49,15 +49,19 @@ def test_pagerank_matches_numpy_recurrence():
     from cuda_gis_smoothing_ray.stages.pagerank import pagerank
 
     n = 700
-    out = (
-        pagerank(_docs_ds(n), n_docs=n, iterations=3)
-        .to_pandas()
-        .sort_values("host")
-        .reset_index(drop=True)
-    )
     hosts, rank = _numpy_pagerank(n, iterations=3)
-    assert out["host"].to_numpy().tolist() == hosts.tolist()
-    assert out["rank"].to_numpy().tolist() == rank.tolist()
+    # both plans must agree: bounded driver finish (default at this size)
+    # and the distributed BSP supersteps (forced with driver_max_edges=0)
+    for cap in (None, 0):
+        kw = {} if cap is None else {"driver_max_edges": cap}
+        out = (
+            pagerank(_docs_ds(n), n_docs=n, iterations=3, **kw)
+            .to_pandas()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        assert out["host"].to_numpy().tolist() == hosts.tolist(), f"cap={cap}"
+        assert out["rank"].to_numpy().tolist() == rank.tolist(), f"cap={cap}"
     # the quadratic edge rule must create rank spread (hubs), or the test
     # would pass vacuously on a uniform vector
     assert len(np.unique(rank)) > 10
@@ -109,17 +113,46 @@ def test_bfs_hops_matches_numpy():
     from cuda_gis_smoothing_ray.stages.pagerank import bfs_hops
 
     n = 700
-    out = (
-        bfs_hops(_docs_ds(n), n_docs=n, seed_mod=7, rounds=4)
-        .to_pandas()
-        .sort_values("host")
-        .reset_index(drop=True)
-    )
     want = _numpy_bfs(n, seed_mod=7, rounds=4)
-    got = dict(zip(out["host"].astype(int), out["dist"].astype(int)))
-    assert got == want
+    for cap in (None, 0):  # driver finish AND forced BSP
+        kw = {} if cap is None else {"driver_max_edges": cap}
+        out = (
+            bfs_hops(_docs_ds(n), n_docs=n, seed_mod=7, rounds=4, **kw)
+            .to_pandas()
+            .sort_values("host")
+            .reset_index(drop=True)
+        )
+        got = dict(zip(out["host"].astype(int), out["dist"].astype(int)))
+        assert got == want, f"cap={cap}"
     # non-vacuous: seeds at 0, and at least two other distance levels reached
     assert len(set(want.values())) >= 3
+
+
+def test_hits_and_ppr_plans_agree():
+    """The bounded driver finish and the BSP supersteps are the same
+    exact-integer recurrence — results must be bit-identical."""
+    from cuda_gis_smoothing_ray.stages.pagerank import (
+        hits, personalized_pagerank)
+
+    n = 300
+    a = hits(_docs_ds(n), n_docs=n, iterations=2).to_pandas() \
+        .sort_values("host").reset_index(drop=True)
+    b = hits(_docs_ds(n), n_docs=n, iterations=2, driver_max_edges=0) \
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    assert a["host"].tolist() == b["host"].tolist()
+    assert a["hub"].tolist() == b["hub"].tolist()
+    assert a["auth"].tolist() == b["auth"].tolist()
+    assert int(a["hub"].max()) > 0 and int(a["auth"].max()) > 0
+
+    p = personalized_pagerank(_docs_ds(n), n_docs=n, iterations=2) \
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    q = personalized_pagerank(_docs_ds(n), n_docs=n, iterations=2,
+                              driver_max_edges=0) \
+        .to_pandas().sort_values("host").reset_index(drop=True)
+    assert p["host"].tolist() == q["host"].tolist()
+    assert p["rank"].tolist() == q["rank"].tolist()
+    # seeds hold extra teleport mass — non-uniform by construction
+    assert len(set(p["rank"].tolist())) > 3
 
 
 def test_graph_reciprocity_brute():
@@ -171,6 +204,10 @@ def test_diameter_sweep_vs_brute():
     n_docs = pq.ParquetFile(f"{sf}/documents.parquet").metadata.num_rows
     out = diameter_sweep(read_documents(sf, columns=("doc_id",)),
                          n_docs).to_pandas()
+    # forced-BSP plan returns the identical row
+    out_bsp = diameter_sweep(read_documents(sf, columns=("doc_id",)),
+                             n_docs, driver_max_edges=0).to_pandas()
+    assert out.to_dict("records") == out_bsp.to_dict("records")
     # brute undirected adjacency
     d = np.arange(n_docs, dtype=np.int64)
     h = geocode.host_id(d)
