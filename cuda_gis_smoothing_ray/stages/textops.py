@@ -146,12 +146,93 @@ def incremental_dedup(new_ds, prior_ds):
 JACCARD_MAX_DF = 256  # default document-frequency cap (see jaccard_pairs)
 
 
+def _segment_pairs(seg_start: np.ndarray,
+                   seg_len: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-segment index pairs (i < j), vectorized: one
+    ``np.triu_indices`` per DISTINCT segment length (<= max_df distinct
+    values) broadcast across every segment of that length — no per-segment
+    Python.  Returns global (ia, ib) index arrays into the sorted posting
+    arrays; segment members are doc-id-ascending, so ia's doc < ib's doc."""
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    for k in np.unique(seg_len):
+        if k < 2:
+            continue
+        starts = seg_start[seg_len == k]
+        iu, ju = np.triu_indices(int(k), k=1)
+        out_i.append((starts[:, None] + iu[None, :]).ravel())
+        out_j.append((starts[:, None] + ju[None, :]).ravel())
+    if not out_i:
+        e = np.empty(0, np.int64)
+        return e, e
+    return np.concatenate(out_i), np.concatenate(out_j)
+
+
+def _token_pair_candidates(posted, max_df: int | None, size_filter):
+    """Shared candidate stage for the inverted-index similarity joins:
+    postings (token, doc_id, set_size) -> (pk, na, nb) candidate rows.
+
+    ONE coarse token-hash shuffle (``default_parts()`` partitions) with a
+    vectorized per-partition solve — factorize tokens, lexsort by (token,
+    doc), :func:`_segment_pairs` over the segment table — instead of
+    ``groupby(token).map_groups`` paying Python dispatch per DISTINCT
+    token (measured: the whole-vocab dispatch made jaccard_pairs 52 s /
+    containment_pairs 75 s at 500 docs; this plan is ~3 s).  Tokens are
+    grouped inside the partition by STRING (factorize), so 64-bit token-
+    hash collisions cannot merge postings; ``size_filter(na, nb) -> keep``
+    prunes per-metric (Jaccard's min/max bound; containment has none)."""
+    import pandas as pd
+
+    from ..functions import hashing
+    from ..functions.scale import default_parts
+
+    n_parts = default_parts()
+
+    def add_tpart(batch: pa.Table) -> pa.Table:
+        th = hashing.poly_hash64(batch.column("token")).view(np.int64)
+        return batch.append_column(
+            "tpart", pa.array(hashing.coarse_partition(th, n_parts)))
+
+    def pairs_part(df: pd.DataFrame) -> dict:
+        codes, _ = pd.factorize(df["token"], sort=False)
+        ids = df["doc_id"].to_numpy(np.int64)
+        sizes = df["set_size"].to_numpy(np.int64)
+        order = np.lexsort((ids, codes))
+        codes, ids, sizes = codes[order], ids[order], sizes[order]
+        seg_start = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1]])
+        seg_len = np.diff(np.r_[seg_start, len(codes)])
+        if max_df is not None:
+            keep = seg_len <= max_df
+            seg_start, seg_len = seg_start[keep], seg_len[keep]
+        ia, ib = _segment_pairs(seg_start, seg_len)
+        _check_pack_ids(ids)
+        na = sizes[ia]
+        nb = sizes[ib]
+        if size_filter is not None:
+            ok = size_filter(na, nb)
+            ia, ib, na, nb = ia[ok], ib[ok], na[ok], nb[ok]
+        return {
+            "pk": (ids[ia] << np.int64(31)) | ids[ib],
+            "na": na,
+            "nb": nb,
+        }
+
+    return (
+        posted.map_batches(add_tpart, batch_format="pyarrow",
+                           batch_size=None)
+        .groupby("tpart")
+        .map_groups(pairs_part)
+    )
+
+
 def jaccard_pairs(ds, threshold: float = 0.8, max_df: int | None = JACCARD_MAX_DF):
     """documents -> (a, b, jaccard) pairs with word-set Jaccard >= threshold.
 
-    Inverted-index plan: distinct (token, doc, set_size) postings ->
-    groupby(token) -> per-group candidate pairs (a<b, sizes attached) ->
-    groupby(a,b) -> shared = group size, jaccard = shared/(na+nb-shared).
+    Inverted-index plan: distinct (token, doc, set_size) postings -> one
+    coarse token-hash shuffle with a vectorized per-partition candidate
+    solve (:func:`_token_pair_candidates`: a<b pairs per token segment,
+    sizes attached) -> packed-key pair reduce -> shared = pair count,
+    jaccard = shared/(na+nb-shared).
 
     ``max_df`` drops tokens whose document frequency exceeds it: a
     stopword-grade token otherwise fans out quadratically inside ONE
@@ -200,21 +281,7 @@ def jaccard_pairs(ds, threshold: float = 0.8, max_df: int | None = JACCARD_MAX_D
             }
         )
 
-    def pairs_of_group(df):
-        # df: pandas group for one token, columns doc_id/set_size.
-        # Pairs are packed into ONE int64 key (a<<31 | b): a single numeric
-        # shuffle key aggregates ~10x faster than a 4-column tuple key.
-        # (Packing assumes doc ids < 2^31 per shard; shard-local ids at scale.)
-        d = df.sort_values("doc_id")
-        ids = d["doc_id"].to_numpy()
-        sizes = d["set_size"].to_numpy()
-        if max_df is not None and len(ids) > max_df:
-            return {"pk": np.empty(0, np.int64), "na": np.empty(0, np.int64),
-                    "nb": np.empty(0, np.int64)}
-        _check_pack_ids(ids)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        na = sizes[iu].astype(np.int64)
-        nb = sizes[ju].astype(np.int64)
+    def size_filter(na: np.ndarray, nb: np.ndarray) -> np.ndarray:
         # size filter (exact): J <= min/max because shared <= min and
         # union >= max; the bound is computed with the SAME float division
         # the final reduce applies at shared == min, so no qualifying pair
@@ -222,13 +289,7 @@ def jaccard_pairs(ds, threshold: float = 0.8, max_df: int | None = JACCARD_MAX_D
         # it shuffles.
         lo = np.minimum(na, nb).astype(np.float64)
         hi = np.maximum(na, nb).astype(np.float64)
-        ok = lo / hi >= threshold
-        iu, ju, na, nb = iu[ok], ju[ok], na[ok], nb[ok]
-        return {
-            "pk": (ids[iu].astype(np.int64) << np.int64(31)) | ids[ju].astype(np.int64),
-            "na": na,
-            "nb": nb,
-        }
+        return lo / hi >= threshold
 
     N_PARTS = 64
 
@@ -258,7 +319,7 @@ def jaccard_pairs(ds, threshold: float = 0.8, max_df: int | None = JACCARD_MAX_D
         }
 
     posted = ds.map_batches(postings, batch_format="pyarrow")
-    pairs = posted.groupby("token").map_groups(pairs_of_group)
+    pairs = _token_pair_candidates(posted, max_df, size_filter)
     return (
         pairs.map_batches(add_part, batch_format="pyarrow", batch_size=None)
         .groupby("part")
@@ -4811,22 +4872,6 @@ def containment_pairs(ds, threshold: float = 0.9,
             "set_size": pa.array(set_size[u_row]),
         })
 
-    def pairs_of_group(df):
-        d = df.sort_values("doc_id")
-        ids = d["doc_id"].to_numpy()
-        sizes = d["set_size"].to_numpy()
-        if max_df is not None and len(ids) > max_df:
-            return {"pk": np.empty(0, np.int64), "na": np.empty(0, np.int64),
-                    "nb": np.empty(0, np.int64)}
-        _check_pack_ids(ids)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        return {
-            "pk": (ids[iu].astype(np.int64) << np.int64(31))
-            | ids[ju].astype(np.int64),
-            "na": sizes[iu].astype(np.int64),
-            "nb": sizes[ju].astype(np.int64),
-        }
-
     N_PARTS = 64
 
     def add_part(batch: pa.Table) -> pa.Table:
@@ -4853,7 +4898,7 @@ def containment_pairs(ds, threshold: float = 0.9,
         }
 
     posted = ds.map_batches(postings, batch_format="pyarrow")
-    pairs = posted.groupby("token").map_groups(pairs_of_group)
+    pairs = _token_pair_candidates(posted, max_df, None)
     return (
         pairs.map_batches(add_part, batch_format="pyarrow", batch_size=None)
         .groupby("part")
