@@ -17,12 +17,16 @@ in the arboricity bound even when a community has millions of members.
 Each triangle is then found exactly once: as the wedge (v, w) out of its
 minimum-order vertex u, closed by the oriented edge v -> w.
 
-Scale shape: four bounded hash shuffles (edge dedup, degree attach x2,
-wedge-closing join), all carrying fixed-width int64 rows; wedge fan-out
-is pre-bounded by the orientation and counts are pre-summed per
-partition before the final per-community reduce.  Python cost is per
-partition, never per row (the pair expansion is the vectorized
-cumsum-offset trick, not a per-node loop).
+Scale shape: the doc-scaled work is the distributed edge DERIVATION
+(batch-local distinct + one bounded reduce); the community graph itself
+is bounded by construction (<= comm_mod*(comm_mod-1)/2 edges — an
+operator constant, like a polygon table), so every analytic in this
+module finishes exactly on the driver with the same vectorized kernels
+the per-partition solves used (:func:`_local_edges` — the
+:func:`k_truss` bounded-finish discipline, extended to the whole family
+in round 4 after measuring the tagged co-partition rounds as pure
+orchestration).  Python cost is never per row (the pair expansion is
+the vectorized cumsum-offset trick, not a per-node loop).
 
 Everything is exact int64 arithmetic, so the DuckDB oracle (a 3-way
 self-join on the same DISTINCT edge CTE, ``sql/oracles_corpus
@@ -32,28 +36,12 @@ self-join on the same DISTINCT edge CTE, ``sql/oracles_corpus
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..functions import geocode
 from . import pagerank as pr
-from ..functions.reduce import ensure_cols
-from ..functions.scale import default_parts
 
 COMM_MOD = 149  # prime; 500 fixed docs -> ~149 nodes, ~950 edges, ~370 triangles
-_GOLDEN = np.uint64(0x9E3779B97F4A7C15)
-N_PARTS = 32
-
-
-def _part_of(key: np.ndarray, n_parts: int | None = None) -> np.ndarray:
-    n_parts = default_parts() if n_parts is None else n_parts
-    return (((key.view(np.uint64) * _GOLDEN) >> np.uint64(52))
-            % np.uint64(n_parts)).astype(np.int64)
-
-
-def _add_part(batch: pa.Table) -> pa.Table:
-    k = batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
-    return batch.append_column("__part", pa.array(_part_of(k)))
 
 
 def community_edges(docs_ds, n_docs: int, comm_mod: int = COMM_MOD,
@@ -105,6 +93,82 @@ def community_edges(docs_ds, n_docs: int, comm_mod: int = COMM_MOD,
     return distinct.map_batches(unpack, batch_format="pyarrow", batch_size=None)
 
 
+def _local_edges(docs_ds, n_docs: int, comm_mod: int):
+    """:func:`community_edges` -> driver numpy ``(a, b)``.  The community
+    graph is BOUNDED BY CONSTRUCTION — <= comm_mod*(comm_mod-1)/2
+    undirected edges over comm_mod nodes, an operator constant independent
+    of corpus size — so only the doc-scaled edge DERIVATION is distributed
+    (batch-local distinct + one bounded reduce) and the graph analytics
+    finish exactly on the driver: the :func:`k_truss` bounded-finish
+    discipline, applied to the whole family in round 4 (measured: the
+    tagged co-partition join rounds were pure orchestration —
+    clustering_coeff 30.7 s -> ~3 s, triangle_counts 21.7 s -> ~2 s,
+    kcore 8.4 s -> ~2 s at sf0.1)."""
+    df = community_edges(docs_ds, n_docs, comm_mod).to_pandas()
+    return df["a"].to_numpy(np.int64), df["b"].to_numpy(np.int64)
+
+
+def _local_triangle_counts(a: np.ndarray, b: np.ndarray, comm_mod: int):
+    """Exact per-community triangle participation counts of the DISTINCT
+    undirected edge list — the same degree-ordered compact-forward plan as
+    the previous distributed stages (orient low-(deg, id) -> high, expand
+    wedges at each minimum-order vertex, close against the oriented edge
+    set), fully vectorized.  Returns (comm ids, counts), communities in
+    >= 1 triangle only."""
+    cm = np.int64(comm_mod)
+    deg = np.bincount(np.concatenate([a, b]), minlength=comm_mod) \
+        .astype(np.int64)
+    orda, ordb = deg[a] * cm + a, deg[b] * cm + b
+    lo = orda <= ordb
+    u = np.where(lo, a, b)
+    v = np.where(lo, b, a)
+    ordv = np.where(lo, ordb, orda)
+    order = np.lexsort((ordv, u))
+    u, v = u[order], v[order]
+    first, second = _pairs_within_groups(u)
+    wkey = v[first] * cm + v[second]
+    ekey = u * cm + v
+    closed = np.isin(wkey, ekey)
+    comm = np.concatenate([u[first][closed], wkey[closed] // cm,
+                           wkey[closed] % cm])
+    uniq, cnt = np.unique(comm, return_counts=True)
+    return uniq.astype(np.int64), cnt.astype(np.int64)
+
+
+def _local_common_neighbors(a: np.ndarray, b: np.ndarray, comm_mod: int,
+                            max_degree: int | None):
+    """Wedge-count stage shared by the link-prediction family: packed
+    non-oriented neighbor pairs (id-ascending within each center) ->
+    (pack keys, cn counts, aa micro-weights).  Centers above
+    ``max_degree`` are dropped BEFORE pair expansion (the documented hub
+    cap), and the Adamic-Adar weight uses each center's degree AFTER the
+    cap filter — both exactly as the distributed plan did."""
+    cm = np.int64(comm_mod)
+    c = np.concatenate([a, b])
+    v = np.concatenate([b, a])
+    order = np.lexsort((v, c))
+    c, v = c[order], v[order]
+    _, starts, counts = np.unique(c, return_index=True, return_counts=True)
+    if max_degree is not None:
+        keep = np.repeat(counts <= max_degree, counts)
+        c, v = c[keep], v[keep]
+        _, starts, counts = np.unique(c, return_index=True,
+                                      return_counts=True)
+    wnode = np.zeros(len(counts), np.int64)
+    multi = counts >= 2
+    wnode[multi] = np.floor(
+        AA_WSCALE / np.log(counts[multi].astype(np.float64)) + 0.5
+    ).astype(np.int64)
+    wrow = np.repeat(wnode, counts)
+    first, second = _pairs_within_groups(c)
+    pack = v[first] * cm + v[second]
+    uniq, inv = np.unique(pack, return_inverse=True)
+    cn = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+    aa = np.zeros(len(uniq), np.int64)
+    np.add.at(aa, inv, wrow[first])
+    return uniq.astype(np.int64), cn, aa
+
+
 def _pairs_within_groups(grp: np.ndarray):
     """Vectorized within-group ordered pair expansion.
 
@@ -126,127 +190,20 @@ def _pairs_within_groups(grp: np.ndarray):
 
 def triangle_counts(docs_ds, n_docs: int, comm_mod: int = COMM_MOD):
     """documents -> Dataset(comm, n_triangles): per-community triangle
-    participation counts (communities in >= 1 triangle)."""
-    from ..functions.reduce import hash_groupby
+    participation counts (communities in >= 1 triangle).
 
-    cm = np.int64(comm_mod)
-    edges = community_edges(docs_ds, n_docs, comm_mod).materialize()
+    Distributed stage: the doc-scaled edge derivation.  The bounded
+    community graph then counts exactly on the driver
+    (:func:`_local_triangle_counts`, the degree-ordered compact-forward
+    plan — same orientation rule and wedge-close semantics the previous
+    distributed stages ran, minus ~5 all-to-all rounds of pure
+    orchestration; see :func:`_local_edges`)."""
+    import ray.data as rd
 
-    # degree per node (both endpoints of every distinct undirected edge)
-    def explode(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False)
-        b = batch.column("b").to_numpy(zero_copy_only=False)
-        return pa.table({"node": pa.array(np.concatenate([a, b])),
-                         "one": pa.array(np.ones(2 * len(a), np.int64))})
-
-    deg = hash_groupby(
-        edges.map_batches(explode, batch_format="pyarrow", batch_size=None),
-        "node", ["one"], how="isum",
-    )
-
-    # attach deg to each endpoint: one co-partitioned tagged join per side
-    def _attach(es, side: str, out_col: str):
-        def tag_edge(batch: pa.Table) -> pa.Table:
-            cols = {"key": batch.column(side), "kind": pa.array(
-                np.ones(len(batch), np.int8))}
-            for c in es.schema().names:
-                if c != side:
-                    cols[c] = batch.column(c)
-            return pa.table(cols)
-
-        def tag_deg(batch: pa.Table) -> pa.Table:
-            return pa.table({"key": batch.column("node"),
-                             "kind": pa.array(np.zeros(len(batch), np.int8)),
-                             out_col: batch.column("one")})
-
-        carry = [c for c in es.schema().names if c != side]
-
-        def join(df: pd.DataFrame) -> pd.DataFrame:
-            df = ensure_cols(df, ["key", out_col, *carry])
-            dg = df[df["kind"] == 0][["key", out_col]]
-            ed = df[df["kind"] == 1][["key"] + carry]
-            m = ed.merge(dg, on="key")
-            out = {side: m["key"].to_numpy(np.int64)}
-            for c in carry + [out_col]:
-                out[c] = m[c].to_numpy(np.int64)
-            return pd.DataFrame(out)
-
-        return (
-            es.map_batches(tag_edge, batch_format="pyarrow", batch_size=None)
-            .union(deg.map_batches(tag_deg, batch_format="pyarrow",
-                                   batch_size=None))
-            .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
-            .groupby("__part")
-            .map_groups(join)
-        )
-
-    with_deg = _attach(_attach(edges, "a", "deg_a"), "b", "deg_b")
-
-    # orient low-(deg, id) -> high-(deg, id); ord fits int64 (deg <= nodes
-    # <= comm_mod, id < comm_mod)
-    def orient(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-        da = batch.column("deg_a").to_numpy(zero_copy_only=False).astype(np.int64)
-        db = batch.column("deg_b").to_numpy(zero_copy_only=False).astype(np.int64)
-        orda, ordb = da * cm + a, db * cm + b
-        lo = orda <= ordb
-        u = np.where(lo, a, b)
-        v = np.where(lo, b, a)
-        ordv = np.where(lo, ordb, orda)
-        return pa.table({"key": pa.array(u), "v": pa.array(v),
-                         "ordv": pa.array(ordv)})
-
-    oriented = with_deg.map_batches(orient, batch_format="pyarrow",
-                                    batch_size=None).materialize()
-
-    # wedges: co-partition by source u, sort (u, ordv), expand ordered pairs
-    def wedges(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.sort_values(["key", "ordv"], kind="stable")
-        u = d["key"].to_numpy(np.int64)
-        v = d["v"].to_numpy(np.int64)
-        first, second = _pairs_within_groups(u)
-        return pd.DataFrame({"key": v[first] * cm + v[second],
-                             "u": u[first]})
-
-    wedge_rows = (
-        oriented.map_batches(_add_part, batch_format="pyarrow", batch_size=None)
-        .groupby("__part")
-        .map_groups(wedges)
-    )
-
-    # closing join: wedge (v, w) forms a triangle iff oriented edge v -> w
-    # exists (each triangle counted exactly once, at its min-order vertex)
-    def tag_wedge(batch: pa.Table) -> pa.Table:
-        return pa.table({"key": batch.column("key"), "u": batch.column("u"),
-                         "kind": pa.array(np.ones(len(batch), np.int8))})
-
-    def tag_closer(batch: pa.Table) -> pa.Table:
-        u = batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
-        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"key": pa.array(u * cm + v),
-                         "u": pa.array(np.zeros(len(batch), np.int64)),
-                         "kind": pa.array(np.zeros(len(batch), np.int8))})
-
-    def close_and_count(df: pd.DataFrame) -> pd.DataFrame:
-        ed = df[df["kind"] == 0][["key"]]
-        wd = df[df["kind"] == 1][["key", "u"]]
-        m = wd.merge(ed, on="key")
-        pk = m["key"].to_numpy(np.int64)
-        comm = np.concatenate([m["u"].to_numpy(np.int64), pk // cm, pk % cm])
-        uniq, cnt = np.unique(comm, return_counts=True)  # per-partition partial
-        return pd.DataFrame({"comm": uniq, "n_triangles": cnt.astype(np.int64)})
-
-    partials = (
-        wedge_rows.map_batches(tag_wedge, batch_format="pyarrow", batch_size=None)
-        .union(oriented.map_batches(tag_closer, batch_format="pyarrow",
-                                    batch_size=None))
-        .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
-        .groupby("__part")
-        .map_groups(close_and_count)
-    )
-
-    return hash_groupby(partials, "comm", ["n_triangles"], how="isum")
+    a, b = _local_edges(docs_ds, n_docs, comm_mod)
+    uniq, cnt = _local_triangle_counts(a, b, comm_mod)
+    return rd.from_arrow(pa.table({"comm": pa.array(uniq),
+                                   "n_triangles": pa.array(cnt)}))
 
 
 KCORE_K = 10
@@ -265,77 +222,23 @@ def kcore(docs_ds, n_docs: int, k: int = KCORE_K, comm_mod: int = KCORE_MOD,
     oracle-checkable as unrolled CTEs; the peel converges well inside
     ``rounds`` on the driver graph and extra rounds are no-ops.
 
-    Scale shape per round: one bounded degree shuffle (endpoint rows of
-    the CURRENT edge set) + two alive-set semi-join shuffles — the
-    standard synchronous k-core BSP; the alive set is never collected to
-    the driver."""
-    from ..functions.reduce import hash_groupby
+    Distributed stage: the doc-scaled edge derivation; the fixed-round
+    peel over the bounded graph finishes exactly on the driver (was: one
+    degree shuffle + two semi-join shuffles PER ROUND over <= 11k rows —
+    see :func:`_local_edges`)."""
+    import ray.data as rd
 
-    edges = community_edges(docs_ds, n_docs, comm_mod).materialize()
-
-    def degrees(es):
-        def explode(batch: pa.Table) -> pa.Table:
-            a = batch.column("a").to_numpy(zero_copy_only=False)
-            b = batch.column("b").to_numpy(zero_copy_only=False)
-            return pa.table({"node": pa.array(np.concatenate([a, b])),
-                             "one": pa.array(np.ones(2 * len(a), np.int64))})
-
-        return hash_groupby(
-            es.map_batches(explode, batch_format="pyarrow", batch_size=None),
-            "node", ["one"], how="isum",
-        )
-
-    def semi_filter(es, alive, side: str):
-        """Keep edges whose ``side`` endpoint is in the alive node set —
-        tagged co-partition join, vectorized per partition."""
-        other = "b" if side == "a" else "a"
-
-        def tag_edge(batch: pa.Table) -> pa.Table:
-            return pa.table({"key": batch.column(side),
-                             "other": batch.column(other),
-                             "kind": pa.array(np.ones(len(batch), np.int8))})
-
-        def tag_alive(batch: pa.Table) -> pa.Table:
-            return pa.table({"key": batch.column("node"),
-                             "other": pa.array(np.zeros(len(batch), np.int64)),
-                             "kind": pa.array(np.zeros(len(batch), np.int8))})
-
-        def join(df: pd.DataFrame) -> pd.DataFrame:
-            ok = df[df["kind"] == 0]["key"].to_numpy(np.int64)
-            ed = df[df["kind"] == 1]
-            keep = np.isin(ed["key"].to_numpy(np.int64), ok)
-            return pd.DataFrame({
-                side: ed["key"].to_numpy(np.int64)[keep],
-                other: ed["other"].to_numpy(np.int64)[keep],
-            })
-
-        return (
-            es.map_batches(tag_edge, batch_format="pyarrow", batch_size=None)
-            .union(alive.map_batches(tag_alive, batch_format="pyarrow",
-                                     batch_size=None))
-            .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
-            .groupby("__part")
-            .map_groups(join)
-        )
-
+    a, b = _local_edges(docs_ds, n_docs, comm_mod)
     for _ in range(rounds):
-        # materialize the (small) alive set so the two semi-join passes in
-        # one streaming execution don't each re-run the degree shuffle —
-        # lazy, this loop went 400 s; materialized, ~1 s per round
-        alive = degrees(edges).filter(expr=f"one >= {k}").select_columns(
-            ["node"]).materialize()
-        # repartition is load-bearing: union + groupby(__part) triples the
-        # block count every round (48 -> 1296 across 4 rounds measured),
-        # and per-block overhead dwarfs this much data — cap it per round
-        edges = semi_filter(semi_filter(edges, alive, "a"), alive, "b"
-                            ).repartition(N_PARTS // 2).materialize()
-
-    def finalize(batch: pa.Table) -> pa.Table:
-        return pa.table({"comm": batch.column("node"),
-                         "deg": batch.column("one")})
-
-    return degrees(edges).map_batches(finalize, batch_format="pyarrow",
-                                      batch_size=None)
+        deg = np.bincount(np.concatenate([a, b]), minlength=comm_mod)
+        alive = deg >= k
+        keep = alive[a] & alive[b]
+        a, b = a[keep], b[keep]
+    deg = np.bincount(np.concatenate([a, b]), minlength=comm_mod) \
+        .astype(np.int64)
+    nodes = np.flatnonzero(deg > 0).astype(np.int64)
+    return rd.from_arrow(pa.table({"comm": pa.array(nodes),
+                                   "deg": pa.array(deg[nodes])}))
 
 
 def clustering_coeff(docs_ds, n_docs: int, comm_mod: int = COMM_MOD):
@@ -344,62 +247,30 @@ def clustering_coeff(docs_ds, n_docs: int, comm_mod: int = COMM_MOD):
     over its wedge count, ``coeff = 2*T / (deg*(deg-1))`` (0 when deg < 2),
     rounded floor(x*1e6+0.5)/1e6 with the oracle.
 
-    Scale shape: degree and per-node triangle counts are the two existing
-    bounded aggregates (:func:`community_edges` degree explode and
-    :func:`triangle_counts`); the left join of the two (nodes in no
-    triangle keep T=0) is the tagged-union coarse-hash-partition merge —
-    node-keyed, fixed-width int64 rows, never the edge stream."""
-    from ..functions.reduce import hash_groupby
+    Distributed stage: the doc-scaled edge derivation; degree, triangle
+    counts and the left join (nodes in no triangle keep T=0) finish
+    exactly on the driver over the bounded graph (see
+    :func:`_local_edges`; ONE edge derivation instead of two)."""
+    import ray.data as rd
 
-    edges = community_edges(docs_ds, n_docs, comm_mod)
-
-    def explode(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False)
-        b = batch.column("b").to_numpy(zero_copy_only=False)
-        return pa.table({"node": pa.array(np.concatenate([a, b])),
-                         "one": pa.array(np.ones(2 * len(a), np.int64))})
-
-    deg = hash_groupby(
-        edges.map_batches(explode, batch_format="pyarrow", batch_size=None),
-        "node", ["one"], how="isum",
-    )
-    tri = triangle_counts(docs_ds, n_docs, comm_mod)
-
-    def tag_deg(batch: pa.Table) -> pa.Table:
-        return pa.table({"key": batch.column("node"),
-                         "n": batch.column("one"),
-                         "kind": pa.array(np.zeros(len(batch), np.int8))})
-
-    def tag_tri(batch: pa.Table) -> pa.Table:
-        return pa.table({"key": batch.column("comm"),
-                         "n": batch.column("n_triangles"),
-                         "kind": pa.array(np.ones(len(batch), np.int8))})
-
-    def join(df: pd.DataFrame) -> pd.DataFrame:
-        dg = df[df["kind"] == 0]
-        tr = df[df["kind"] == 1]
-        m = dg[["key", "n"]].merge(tr[["key", "n"]], on="key", how="left",
-                                   suffixes=("_deg", "_tri"))
-        node = m["key"].to_numpy(np.int64)
-        d = m["n_deg"].to_numpy(np.int64)
-        t = np.nan_to_num(m["n_tri"].to_numpy(np.float64)).astype(np.int64)
-        wedges = d * (d - 1)
-        coeff = np.where(
-            wedges > 0,
-            np.floor(2.0 * t / np.maximum(wedges, 1) * 1e6 + 0.5) / 1e6,
-            0.0)
-        return pd.DataFrame({"comm": node, "deg": d, "n_triangles": t,
-                             "coeff": coeff})
-
-    return (
-        deg.map_batches(tag_deg, batch_format="pyarrow", batch_size=None)
-        .union(tri.map_batches(tag_tri, batch_format="pyarrow",
-                               batch_size=None))
-        .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
-        .groupby("__part")
-        .map_groups(join)
-        .sort("comm")
-    )
+    a, b = _local_edges(docs_ds, n_docs, comm_mod)
+    deg = np.bincount(np.concatenate([a, b]), minlength=comm_mod) \
+        .astype(np.int64)
+    uniq, cnt = _local_triangle_counts(a, b, comm_mod)
+    t = np.zeros(comm_mod, np.int64)
+    t[uniq] = cnt
+    nodes = np.flatnonzero(deg > 0).astype(np.int64)
+    d = deg[nodes]
+    tn = t[nodes]
+    wedges = d * (d - 1)
+    coeff = np.where(
+        wedges > 0,
+        np.floor(2.0 * tn / np.maximum(wedges, 1) * 1e6 + 0.5) / 1e6,
+        0.0)
+    return rd.from_arrow(pa.table({
+        "comm": pa.array(nodes), "deg": pa.array(d),
+        "n_triangles": pa.array(tn), "coeff": pa.array(coeff),
+    }))
 
 
 CN_MIN = 3  # report pairs sharing at least this many neighbors
@@ -418,80 +289,27 @@ def common_neighbors(docs_ds, n_docs: int, comm_mod: int = COMM_MOD,
     NOT EXISTS anti-join on the same DISTINCT edge CTE) matches
     bit-for-bit.
 
-    Scale shape: wedge generation is inherently ``sum(deg^2)`` — unlike
+    Wedge generation is inherently ``sum(deg^2)`` — unlike
     :func:`triangle_counts` there is no orientation trick, every neighbor
     pair of every center is a candidate.  ``max_degree`` (None = exact)
     drops hub CENTERS above the cap, the documented approximation for
     power-law graphs (the ``JACCARD_MAX_DF`` discipline: a hub's common-
-    neighbor evidence is the least informative anyway).  Pair counts are
-    pre-summed per partition; the anti-join is a co-partitioned tagged
-    merge on the packed pair key — no broadcast of the edge set.
+    neighbor evidence is the least informative anyway).  Distributed
+    stage: the doc-scaled edge derivation; the wedge counts + edge
+    anti-join finish exactly on the driver over the bounded graph
+    (:func:`_local_common_neighbors`; see :func:`_local_edges`).
     """
-    from ..functions.reduce import hash_groupby
+    import ray.data as rd
 
     cm = np.int64(comm_mod)
-    edges = community_edges(docs_ds, n_docs, comm_mod).materialize()
-
-    # adjacency both directions, co-partitioned by center node
-    def explode(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False)
-        b = batch.column("b").to_numpy(zero_copy_only=False)
-        return pa.table({"key": pa.array(np.concatenate([a, b])),
-                         "nbr": pa.array(np.concatenate([b, a]))})
-
-    def wedge_counts(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.sort_values(["key", "nbr"], kind="stable")
-        c = d["key"].to_numpy(np.int64)
-        v = d["nbr"].to_numpy(np.int64)
-        if max_degree is not None:
-            _, starts, counts = np.unique(c, return_index=True,
-                                          return_counts=True)
-            keep = np.repeat(counts <= max_degree, counts)
-            c, v = c[keep], v[keep]
-        first, second = _pairs_within_groups(c)
-        # neighbors are id-sorted within each center, so v[first] < v[second]
-        pack = v[first] * cm + v[second]
-        uniq, cnt = np.unique(pack, return_counts=True)  # partition partial
-        return pd.DataFrame({"key": uniq, "cn": cnt.astype(np.int64)})
-
-    pair_cn = hash_groupby(
-        edges.map_batches(explode, batch_format="pyarrow", batch_size=None)
-        .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
-        .groupby("__part")
-        .map_groups(wedge_counts),
-        "key", ["cn"], how="isum",
-    )
-
-    # anti-join against existing edges on the packed key, then threshold
-    def tag_cn(batch: pa.Table) -> pa.Table:
-        return pa.table({"key": batch.column("key"), "cn": batch.column("cn"),
-                         "kind": pa.array(np.ones(len(batch), np.int8))})
-
-    def tag_edge(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({"key": pa.array(a * cm + b),
-                         "cn": pa.array(np.zeros(len(batch), np.int64)),
-                         "kind": pa.array(np.zeros(len(batch), np.int8))})
-
-    def anti(df: pd.DataFrame) -> pd.DataFrame:
-        have = df[df["kind"] == 0]["key"].to_numpy(np.int64)
-        cand = df[df["kind"] == 1]
-        k = cand["key"].to_numpy(np.int64)
-        cn = cand["cn"].to_numpy(np.int64)
-        keep = ~np.isin(k, have) & (cn >= min_cn)
-        return pd.DataFrame({"u": k[keep] // cm, "w": k[keep] % cm,
-                             "cn": cn[keep]})
-
-    return (
-        pair_cn.map_batches(tag_cn, batch_format="pyarrow", batch_size=None)
-        .union(edges.map_batches(tag_edge, batch_format="pyarrow",
-                                 batch_size=None))
-        .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
-        .groupby("__part")
-        .map_groups(anti)
-        .sort(["cn", "u", "w"], descending=[True, False, False])
-    )
+    a, b = _local_edges(docs_ds, n_docs, comm_mod)
+    pack, cn, _ = _local_common_neighbors(a, b, comm_mod, max_degree)
+    keep = ~np.isin(pack, a * cm + b) & (cn >= min_cn)
+    u, w, cn = pack[keep] // cm, pack[keep] % cm, cn[keep]
+    order = np.lexsort((w, u, -cn))
+    return rd.from_arrow(pa.table({"u": pa.array(u[order]),
+                                   "w": pa.array(w[order]),
+                                   "cn": pa.array(cn[order])}))
 
 
 AA_WSCALE = 10**6
@@ -512,87 +330,25 @@ def adamic_adar(docs_ds, n_docs: int, comm_mod: int = COMM_MOD,
     evaluated once per node on its global degree; deg(z) >= 2 whenever z
     centers a wedge, so ln > 0.
 
-    Same scale shape as :func:`common_neighbors` (sum(deg^2) wedges,
-    ``max_degree`` hub cap, partition-presummed (cn, aa) partials,
-    co-partitioned anti-join); the global degree of each center is its
-    group size in the center-keyed partition — no extra degree shuffle."""
-    from ..functions.reduce import hash_groupby
+    Same shape as :func:`common_neighbors` (sum(deg^2) wedges,
+    ``max_degree`` hub cap); the global degree of each center is its
+    neighbor-group size.  Distributed stage: the doc-scaled edge
+    derivation; the weighted wedge counts + anti-join finish exactly on
+    the driver over the bounded graph (:func:`_local_common_neighbors`;
+    see :func:`_local_edges`)."""
+    import ray.data as rd
 
     cm = np.int64(comm_mod)
-    edges = community_edges(docs_ds, n_docs, comm_mod).materialize()
-
-    def explode(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False)
-        b = batch.column("b").to_numpy(zero_copy_only=False)
-        return pa.table({"key": pa.array(np.concatenate([a, b])),
-                         "nbr": pa.array(np.concatenate([b, a]))})
-
-    def wedge_partials(df: pd.DataFrame) -> pd.DataFrame:
-        d = df.sort_values(["key", "nbr"], kind="stable")
-        c = d["key"].to_numpy(np.int64)
-        v = d["nbr"].to_numpy(np.int64)
-        _, starts, counts = np.unique(c, return_index=True,
-                                      return_counts=True)
-        if max_degree is not None:
-            keep = np.repeat(counts <= max_degree, counts)
-            c, v = c[keep], v[keep]
-            _, starts, counts = np.unique(c, return_index=True,
-                                          return_counts=True)
-        # global degree == group size (partition holds ALL neighbors of c)
-        wnode = np.zeros(len(counts), np.int64)
-        multi = counts >= 2
-        wnode[multi] = np.floor(
-            AA_WSCALE / np.log(counts[multi].astype(np.float64)) + 0.5
-        ).astype(np.int64)
-        wrow = np.repeat(wnode, counts)
-        first, second = _pairs_within_groups(c)
-        pack = v[first] * cm + v[second]
-        uniq, inv = np.unique(pack, return_inverse=True)
-        cn = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
-        aa = np.zeros(len(uniq), np.int64)
-        np.add.at(aa, inv, wrow[first])
-        return pd.DataFrame({"key": uniq, "cn": cn, "aa": aa})
-
-    pair_cn = hash_groupby(
-        edges.map_batches(explode, batch_format="pyarrow", batch_size=None)
-        .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
-        .groupby("__part")
-        .map_groups(wedge_partials),
-        "key", ["cn", "aa"], how="isum",
-    )
-
-    def tag_cn(batch: pa.Table) -> pa.Table:
-        return pa.table({"key": batch.column("key"), "cn": batch.column("cn"),
-                         "aa": batch.column("aa"),
-                         "kind": pa.array(np.ones(len(batch), np.int8))})
-
-    def tag_edge(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-        z = np.zeros(len(batch), np.int64)
-        return pa.table({"key": pa.array(a * cm + b), "cn": pa.array(z),
-                         "aa": pa.array(z),
-                         "kind": pa.array(np.zeros(len(batch), np.int8))})
-
-    def anti(df: pd.DataFrame) -> pd.DataFrame:
-        have = df[df["kind"] == 0]["key"].to_numpy(np.int64)
-        cand = df[df["kind"] == 1]
-        k = cand["key"].to_numpy(np.int64)
-        cn = cand["cn"].to_numpy(np.int64)
-        aa = cand["aa"].to_numpy(np.int64)
-        keep = ~np.isin(k, have) & (cn >= min_cn)
-        return pd.DataFrame({"u": k[keep] // cm, "w": k[keep] % cm,
-                             "cn": cn[keep], "aa_micro": aa[keep]})
-
-    return (
-        pair_cn.map_batches(tag_cn, batch_format="pyarrow", batch_size=None)
-        .union(edges.map_batches(tag_edge, batch_format="pyarrow",
-                                 batch_size=None))
-        .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
-        .groupby("__part")
-        .map_groups(anti)
-        .sort(["aa_micro", "u", "w"], descending=[True, False, False])
-    )
+    a, b = _local_edges(docs_ds, n_docs, comm_mod)
+    pack, cn, aa = _local_common_neighbors(a, b, comm_mod, max_degree)
+    keep = ~np.isin(pack, a * cm + b) & (cn >= min_cn)
+    u, w = pack[keep] // cm, pack[keep] % cm
+    cn, aa = cn[keep], aa[keep]
+    order = np.lexsort((w, u, -aa))
+    return rd.from_arrow(pa.table({
+        "u": pa.array(u[order]), "w": pa.array(w[order]),
+        "cn": pa.array(cn[order]), "aa_micro": pa.array(aa[order]),
+    }))
 
 
 def graph_modularity(docs_ds, n_docs: int, comm_mod: int = COMM_MOD):
@@ -674,83 +430,18 @@ def degree_assortativity(docs_ds, n_docs: int, comm_mod: int = COMM_MOD):
     Sx, Sy = Sx, Sxy, Sxx = Syy by symmetry) are integer sums;
     ``r = (M*Sxy - Sx*Sy) / (M*Sxx - Sx^2)`` is ONE float division of two
     arbitrary-precision integers (the symmetric form needs no sqrt),
-    round6.  Scale shape: the degree reduce + two co-partitioned label
-    joins of :func:`triangle_counts`'s `_attach`; moments pre-sum per
-    partition."""
-    from ..functions.reduce import hash_groupby
-
-    edges = community_edges(docs_ds, n_docs, comm_mod).materialize()
-
-    def explode(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False)
-        b = batch.column("b").to_numpy(zero_copy_only=False)
-        return pa.table({"node": pa.array(np.concatenate([a, b])),
-                         "one": pa.array(np.ones(2 * len(a), np.int64))})
-
-    deg = hash_groupby(
-        edges.map_batches(explode, batch_format="pyarrow", batch_size=None),
-        "node", ["one"], how="isum",
-    ).materialize()
-
-    def _attach(es, side: str, out_col: str):
-        def tag_edge(batch: pa.Table) -> pa.Table:
-            cols = {"key": batch.column(side),
-                    "kind": pa.array(np.ones(len(batch), np.int8))}
-            for c in es.schema().names:
-                if c != side:
-                    cols[c] = batch.column(c)
-            return pa.table(cols)
-
-        def tag_deg(batch: pa.Table) -> pa.Table:
-            return pa.table({"key": batch.column("node"),
-                             "kind": pa.array(np.zeros(len(batch), np.int8)),
-                             out_col: batch.column("one")})
-
-        carry = [c for c in es.schema().names if c != side]
-
-        def join(df: pd.DataFrame) -> pd.DataFrame:
-            df = ensure_cols(df, ["key", out_col, *carry])
-            dg = df[df["kind"] == 0][["key", out_col]]
-            ed = df[df["kind"] == 1][["key"] + carry]
-            mm = ed.merge(dg, on="key")
-            out = {side: mm["key"].to_numpy(np.int64)}
-            for c in carry + [out_col]:
-                out[c] = mm[c].to_numpy(np.int64)
-            return pd.DataFrame(out)
-
-        return (
-            es.map_batches(tag_edge, batch_format="pyarrow", batch_size=None)
-            .union(deg.map_batches(tag_deg, batch_format="pyarrow",
-                                   batch_size=None))
-            .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
-            .groupby("__part")
-            .map_groups(join)
-        )
-
-    with_deg = _attach(_attach(edges, "a", "da"), "b", "db")
-
-    def moments(batch: pa.Table) -> pa.Table:
-        da = batch.column("da").to_numpy(zero_copy_only=False).astype(np.int64)
-        db = batch.column("db").to_numpy(zero_copy_only=False).astype(np.int64)
-        # both stub orientations: x = [da, db], y = [db, da]
-        sx = int(da.sum() + db.sum())
-        sxy = int(2 * (da * db).sum())
-        sxx = int((da * da).sum() + (db * db).sum())
-        return pa.table({"k": pa.array([0], pa.int64()),
-                         "m2": pa.array([2 * len(batch)], pa.int64()),
-                         "sx": pa.array([sx], pa.int64()),
-                         "sxy": pa.array([sxy], pa.int64()),
-                         "sxx": pa.array([sxx], pa.int64())})
-
-    mom = hash_groupby(
-        with_deg.map_batches(moments, batch_format="pyarrow",
-                             batch_size=None),
-        "k", ["m2", "sx", "sxy", "sxx"], how="isum",
-    ).to_pandas()
-    M = int(mom["m2"].sum())
-    sx = int(mom["sx"].sum())
-    sxy = int(mom["sxy"].sum())
-    sxx = int(mom["sxx"].sum())
+    round6.  Distributed stage: the doc-scaled edge derivation; degrees
+    and moments finish exactly on the driver over the bounded graph
+    (see :func:`_local_edges`)."""
+    a, b = _local_edges(docs_ds, n_docs, comm_mod)
+    deg = np.bincount(np.concatenate([a, b]), minlength=comm_mod) \
+        .astype(np.int64)
+    da, db = deg[a], deg[b]
+    # both stub orientations: x = [da, db], y = [db, da]
+    M = 2 * len(a)
+    sx = int(da.sum() + db.sum())
+    sxy = int(2 * (da * db).sum())
+    sxx = int((da * da).sum() + (db * db).sum())
     den = M * sxx - sx * sx
     if den == 0:
         raise ValueError("degree_assortativity: degenerate degree sequence")
@@ -772,82 +463,29 @@ def jaccard_neighborhood(docs_ds, n_docs: int, comm_mod: int = COMM_MOD,
     hubs from dominating the raw count the way they do in ``cn`` alone.
 
     EXACT integers until one round6 division per pair: ``cn`` comes from
-    the wedge pipeline, degrees from one stub reduce, and the union is
-    ``du + dw - cn`` (inclusion-exclusion, no set materialized).  Scale
-    shape: the :func:`common_neighbors` wedge plan plus TWO
-    co-partitioned tagged degree joins (the ``degree_assortativity``
-    attach) — no broadcast, no per-pair Python."""
+    the wedge stage, degrees from one bincount, and the union is
+    ``du + dw - cn`` (inclusion-exclusion, no set materialized).
+    Distributed stage: the doc-scaled edge derivation; the wedge counts,
+    anti-join and degree attach finish exactly on the driver over the
+    bounded graph (see :func:`_local_edges`)."""
     import ray.data as rd
 
-    from ..functions.reduce import hash_groupby
-
-    pairs = common_neighbors(docs_ds, n_docs, comm_mod, min_cn, max_degree)
-    edges = community_edges(docs_ds, n_docs, comm_mod).materialize()
-
-    def explode(batch: pa.Table) -> pa.Table:
-        a = batch.column("a").to_numpy(zero_copy_only=False)
-        b = batch.column("b").to_numpy(zero_copy_only=False)
-        return pa.table({"node": pa.array(np.concatenate([a, b])),
-                         "one": pa.array(np.ones(2 * len(a), np.int64))})
-
-    deg = hash_groupby(
-        edges.map_batches(explode, batch_format="pyarrow", batch_size=None),
-        "node", ["one"], how="isum",
-    ).materialize()
-
-    def _attach(es, side: str, out_col: str, carry: list[str]):
-        def tag_pair(batch: pa.Table) -> pa.Table:
-            cols = {"key": batch.column(side),
-                    "kind": pa.array(np.ones(len(batch), np.int8))}
-            for c in carry:
-                cols[c] = batch.column(c)
-            return pa.table(cols)
-
-        def tag_deg(batch: pa.Table) -> pa.Table:
-            return pa.table({"key": batch.column("node"),
-                             "kind": pa.array(np.zeros(len(batch), np.int8)),
-                             out_col: batch.column("one")})
-
-        def join(df: pd.DataFrame) -> pd.DataFrame:
-            df = ensure_cols(df, ["key", out_col, *carry])
-            dg = df[df["kind"] == 0][["key", out_col]]
-            ed = df[df["kind"] == 1][["key"] + carry]
-            mm = ed.merge(dg, on="key")
-            out = {side: mm["key"].to_numpy(np.int64)}
-            for c in carry + [out_col]:
-                out[c] = mm[c].to_numpy(np.int64)
-            return pd.DataFrame(out)
-
-        return (
-            es.map_batches(tag_pair, batch_format="pyarrow", batch_size=None)
-            .union(deg.map_batches(tag_deg, batch_format="pyarrow",
-                                   batch_size=None))
-            .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
-            .groupby("__part")
-            .map_groups(join)
-        )
-
-    with_deg = _attach(_attach(pairs, "u", "du", ["w", "cn"]),
-                       "w", "dw", ["u", "cn", "du"])
-
-    def finish(batch: pa.Table) -> pa.Table:
-        cn = batch.column("cn").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        du = batch.column("du").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        dw = batch.column("dw").to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        un = du + dw - cn
-        jacc = np.floor(cn.astype(np.float64) / un.astype(np.float64)
-                        * 1e6 + 0.5) / 1e6
-        return pa.table({
-            "u": batch.column("u"), "w": batch.column("w"),
-            "cn": pa.array(cn), "un": pa.array(un),
-            "jacc": pa.array(jacc),
-        })
-
-    return with_deg.map_batches(finish, batch_format="pyarrow") \
-        .sort(["u", "w"])
+    cm = np.int64(comm_mod)
+    a, b = _local_edges(docs_ds, n_docs, comm_mod)
+    pack, cn, _ = _local_common_neighbors(a, b, comm_mod, max_degree)
+    keep = ~np.isin(pack, a * cm + b) & (cn >= min_cn)
+    u, w, cn = pack[keep] // cm, pack[keep] % cm, cn[keep]
+    deg = np.bincount(np.concatenate([a, b]), minlength=comm_mod) \
+        .astype(np.int64)
+    un = deg[u] + deg[w] - cn
+    jacc = np.floor(cn.astype(np.float64) / un.astype(np.float64)
+                    * 1e6 + 0.5) / 1e6
+    order = np.lexsort((w, u))
+    return rd.from_arrow(pa.table({
+        "u": pa.array(u[order]), "w": pa.array(w[order]),
+        "cn": pa.array(cn[order]), "un": pa.array(un[order]),
+        "jacc": pa.array(jacc[order]),
+    }))
 
 
 TRUSS_K = 4
