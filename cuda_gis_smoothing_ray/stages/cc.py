@@ -73,8 +73,14 @@ def _cc_driver_finish(pairs, nodes_ds, node_col: str):
     import ray
 
     pdf = pairs.to_pandas()
-    a = pdf["a"].to_numpy(dtype=np.int64)
-    b = pdf["b"].to_numpy(dtype=np.int64)
+    if "a" not in pdf.columns:
+        # Ray drops the schema of ANY empty Dataset on to_pandas (measured,
+        # see spatial islands note): zero edges -> every node is a singleton
+        a = np.empty(0, np.int64)
+        b = np.empty(0, np.int64)
+    else:
+        a = pdf["a"].to_numpy(dtype=np.int64)
+        b = pdf["b"].to_numpy(dtype=np.int64)
     if len(a):
         ids, comp = _numpy_cc(a, b)
     else:

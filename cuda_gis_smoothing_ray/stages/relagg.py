@@ -289,6 +289,11 @@ def tpch_q3(sf_dir: str, cutoff: str = Q3_CUTOFF, segment: str = Q3_SEGMENT,
     j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
                      num_partitions=8)
 
+    from ..functions.hashing import coarse_partition
+    from ..functions.scale import default_parts
+
+    n_parts = default_parts()
+
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
@@ -302,18 +307,25 @@ def tpch_q3(sf_dir: str, cutoff: str = Q3_CUTOFF, segment: str = Q3_SEGMENT,
             "o_orderpriority": df["o_orderpriority"].to_numpy(),
             "revenue_cents": cents,
         })
-        return (
+        g = (
             df.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"],
                        sort=False, as_index=False)["revenue_cents"].sum()
         )
+        g["__part"] = coarse_partition(
+            g["l_orderkey"].to_numpy(dtype=np.int64), n_parts)
+        return g
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        # ONE coarse orderkey-hash partition, not one dispatch per orderkey
+        # (the events._by_user lesson: per-key map_groups costs ~0.4 ms of
+        # scheduling per group — ruinous at ~100k surviving orders)
+        return df.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"],
+                          sort=False, as_index=False)["revenue_cents"].sum()
 
     per_order = (
         j.map_batches(partial, batch_format="pandas", batch_size=None)
-        .groupby("l_orderkey")
-        .map_groups(
-            lambda df: df.groupby(["l_orderkey", "o_orderdate",
-                                   "o_orderpriority"], sort=False,
-                                  as_index=False)["revenue_cents"].sum())
+        .groupby("__part")
+        .map_groups(combine, batch_format="pandas")
     )
     return topk(per_order, k, by="revenue_cents", tie_cols=("l_orderkey",))
 
