@@ -1892,7 +1892,7 @@ def _q_join_orders_by_nation(sf_dir: str):
 
     orders = read_table(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    j = shuffle_join(orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=8)
+    j = shuffle_join(orders, cust, on="o_custkey", right_on="c_custkey", num_partitions=None)
 
     def partial(batch: pa.Table) -> pa.Table:
         nk = batch.column("c_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1927,7 +1927,7 @@ def _q_join_revenue_by_priority(sf_dir: str):
 
     li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+    j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=None)
 
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -1991,7 +1991,7 @@ def _q_customer_order_stats(sf_dir: str):
     )
     cust = read_table(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     joined = shuffle_join(cust, agg, on="c_custkey", right_on="o_custkey",
-                          num_partitions=8, join_type="left_outer")
+                          num_partitions=None, join_type="left_outer")
 
     def zero_fill(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -2259,7 +2259,7 @@ def _q_rollup_revenue(sf_dir: str):
 
     li = read_table(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"])
     orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8)
+    j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=None)
 
     def partial(batch: pa.Table) -> pa.Table:
         import pandas as pd

@@ -52,3 +52,36 @@ def default_parts(floor: int = 64, per_cpu: int = 2, cap: int = 4096,
         except Exception:
             cpus = 0.0
     return int(min(cap, max(floor, per_cpu * int(cpus))))
+
+
+def join_parts(floor: int = 8, cpu_div: int = 4, cap: int = 1024,
+               cpus: float | None = None) -> int:
+    """Partition count for the NATIVE Ray ``Dataset.join`` hash shuffle.
+
+    Deliberately much lower than :func:`default_parts`: Ray's join
+    materializes one *actor* per output partition (measured on this box:
+    3-table TPC-H joins over 10 M rows run 2.3-3.0 s at 8 partitions but
+    6-8.8 s at 32 and slower still at 64, with 400+ worker processes
+    spawned), so partitions cost real per-actor overhead and the count
+    should track cluster CPUs divided down, not multiplied up:
+
+        n = min(cap, max(floor, CPUs // cpu_div))
+
+    32 CPUs -> 8 (today's verified single-box optimum, bit-identical
+    results); a 256-node x 64-core cluster -> 1024, where each join
+    partition of a 100 TB lineitem-scale side is ~100 GB of input streamed
+    through that actor's shuffle bucket — the cap is the point at which
+    per-partition input size, not actor count, should drive sizing (raise
+    ``cap`` data-size-aware beyond that).  Partition count never changes
+    join results — purely a performance knob."""
+    if cpus is None:
+        try:
+            import ray
+
+            if ray.is_initialized():
+                cpus = float(ray.cluster_resources().get("CPU", 0.0))
+            else:
+                cpus = 0.0
+        except Exception:
+            cpus = 0.0
+    return int(min(cap, max(floor, int(cpus) // cpu_div)))

@@ -96,12 +96,19 @@ def broadcast_hash_join(ds, sf_dir: str, small_table: str, left_key: str,
 
 
 def shuffle_join(left, right, on: str, right_on: str | None = None,
-                 num_partitions: int = 16, join_type: str = "inner"):
-    """Large-large hash shuffle join (native Ray Data ``Dataset.join``)."""
+                 num_partitions: int | None = None, join_type: str = "inner"):
+    """Large-large hash shuffle join (native Ray Data ``Dataset.join``).
+
+    ``num_partitions=None`` (the default every call site should use) sizes
+    the shuffle to the cluster via :func:`..functions.scale.join_parts` —
+    Ray's join runs one ACTOR per partition, so the count tracks CPUs
+    divided down (8 at 32 CPUs), not the coarse-shuffle ``default_parts``."""
+    from ..functions.scale import join_parts
+
     return left.join(
         right,
         join_type=join_type,
-        num_partitions=num_partitions,
+        num_partitions=num_partitions or join_parts(),
         on=(on,),
         right_on=(right_on or on,),
     )

@@ -287,7 +287,7 @@ def tpch_q3(sf_dir: str, cutoff: str = Q3_CUTOFF, segment: str = Q3_SEGMENT,
                      batch_format="pyarrow", batch_size=None)
     )
     j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
-                     num_partitions=8)
+                     num_partitions=None)
 
     from ..functions.hashing import coarse_partition
     from ..functions.scale import default_parts
@@ -447,11 +447,11 @@ def tpch_q5(sf_dir: str, region: str = Q5_REGION,
     cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
         .map_batches(cust_filter, batch_format="pyarrow", batch_size=None)
     oc = shuffle_join(orders, cust, on="o_custkey", right_on="c_custkey",
-                      num_partitions=8)
+                      num_partitions=None)
     li = read_table(sf_dir, "lineitem",
                     ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
     j = shuffle_join(li, oc, on="l_orderkey", right_on="o_orderkey",
-                     num_partitions=8)
+                     num_partitions=None)
     j = broadcast_hash_join(j, sf_dir, "supplier", left_key="l_suppkey",
                             right_key="s_suppkey", take_cols=["s_nationkey"])
 
@@ -588,7 +588,7 @@ def tpch_q4(sf_dir: str, start: str = Q4_START, end: str = Q4_END,
         filter=pads.field("l_shipdate") >= (start_ns + lag),
     )
     j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
-                     num_partitions=8)
+                     num_partitions=None)
 
     def late_pairs(batch: pa.Table) -> pa.Table:
         ship = batch.column("l_shipdate").to_numpy(zero_copy_only=False).astype(
@@ -641,7 +641,7 @@ def tpch_q12(sf_dir: str, start: str = Q12_START, end: str = Q12_END):
     )
     orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
-                     num_partitions=8)
+                     num_partitions=None)
 
     def partial(batch: pa.Table) -> pa.Table:
         hi = pc.is_in(
@@ -787,7 +787,7 @@ def tpch_q10(sf_dir: str, start: str = Q10_START, end: str = Q10_END,
         filter=pads.field("l_returnflag") == "R",
     )
     j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
-                     num_partitions=8)
+                     num_partitions=None)
 
     def partial(batch: pa.Table) -> pa.Table:
         ck = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -810,7 +810,7 @@ def tpch_q10(sf_dir: str, start: str = Q10_START, end: str = Q10_END,
     cust = read_table(sf_dir, "customer",
                       ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
     enriched = shuffle_join(rev, cust, on="o_custkey", right_on="c_custkey",
-                            num_partitions=8)
+                            num_partitions=None)
     # 25-row nation dim: the guarded broadcast lookup (unique-key check,
     # unmatched rows dropped like the SQL inner join)
     enriched = broadcast_hash_join(enriched, sf_dir, "nation",
@@ -1323,7 +1323,7 @@ def tpch_q7(sf_dir: str, start: str = Q7_START, end: str = Q7_END,
     orders = read_table(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders_enr = shuffle_join(orders, cust, on="o_custkey",
-                              right_on="c_custkey", num_partitions=8)
+                              right_on="c_custkey", num_partitions=None)
 
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
@@ -1335,7 +1335,7 @@ def tpch_q7(sf_dir: str, start: str = Q7_START, end: str = Q7_END,
     li = broadcast_hash_join(li, sf_dir, "supplier", left_key="l_suppkey",
                              right_key="s_suppkey", take_cols=["s_nationkey"])
     j = shuffle_join(li, orders_enr, on="l_orderkey", right_on="o_orderkey",
-                     num_partitions=8)
+                     num_partitions=None)
 
     def partial(batch: pa.Table) -> pa.Table:
         sn = batch.column("s_nationkey").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1451,7 +1451,7 @@ def tpch_q8(sf_dir: str, p_type: str = Q8_TYPE, region: str = Q8_REGION,
     cust = read_table(sf_dir, "customer", ["c_custkey", "c_nationkey"]) \
         .map_batches(cust_filter, batch_format="pyarrow", batch_size=None)
     oc = shuffle_join(orders, cust, on="o_custkey", right_on="c_custkey",
-                      num_partitions=8)
+                      num_partitions=None)
 
     li = read_table(sf_dir, "lineitem",
                     ["l_orderkey", "l_partkey", "l_suppkey",
@@ -1470,7 +1470,7 @@ def tpch_q8(sf_dir: str, p_type: str = Q8_TYPE, region: str = Q8_REGION,
     li = broadcast_hash_join(li, sf_dir, "supplier", left_key="l_suppkey",
                              right_key="s_suppkey", take_cols=["s_nationkey"])
     j = shuffle_join(li, oc, on="l_orderkey", right_on="o_orderkey",
-                     num_partitions=8)
+                     num_partitions=None)
 
     def partial(batch: pa.Table) -> pa.Table:
         year = batch.column("o_orderdate").to_numpy(zero_copy_only=False) \
@@ -1556,7 +1556,7 @@ def tpch_q21(sf_dir: str, late_days: int = Q21_LATE_DAYS,
     li = read_table(sf_dir, "lineitem",
                     ["l_orderkey", "l_suppkey", "l_shipdate"])
     j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
-                     num_partitions=8)
+                     num_partitions=None)
 
     late_ns = np.timedelta64(late_days, "D").astype("timedelta64[ns]")
 
@@ -1860,7 +1860,7 @@ def tpch_q9(sf_dir: str, name_sub: str = Q9_NAME_SUB):
     orders = read_table(sf_dir, "orders", ["o_orderkey", "o_orderdate"]) \
         .map_batches(project_orders, batch_format="pyarrow", batch_size=None)
     j = shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey",
-                     num_partitions=8)
+                     num_partitions=None)
 
     def partial(batch: pa.Table) -> pa.Table:
         nk = batch.column("s_nationkey").to_numpy(zero_copy_only=False) \
