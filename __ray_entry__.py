@@ -1605,6 +1605,17 @@ def _q_simhash_tiny(sf_dir: str):
     return textops.simhash_pairs(_docs(sf_dir), token_hash="md5").sort(["a", "b"])
 
 
+def _q_cross_source_neardup(sf_dir: str):
+    """Near-dup contamination matrix across sources: MinHash-LSH pairs at
+    production parameters cross-tabulated by unordered source pair — which
+    feeds duplicate each other (stages/textops.cross_source_neardup)."""
+    from cuda_gis_smoothing_ray.stages.textops import cross_source_neardup
+
+    return cross_source_neardup(
+        _docs(sf_dir, ("doc_id", "text", "source"))
+    ).sort(["source_a", "source_b"])
+
+
 def _q_neardup_components(sf_dir: str):
     """MinHash-LSH near-dup CLUSTERS at production parameters: the
     minhash_pairs edge set -> connected components -> one survivor per
@@ -3615,6 +3626,17 @@ def _q_quality_by_source(sf_dir: str):
     return quality_by_source(_docs(sf_dir, ("doc_id", "text", "source")))
 
 
+def _q_bh_fdr(sf_dir: str):
+    """FDR-controlled metric scan: Welch weekend-vs-weekday t per event
+    type, normal-approx p, Benjamini-Hochberg step-up adjustment across
+    the whole scan (stages/sketch.bh_fdr)."""
+    from cuda_gis_smoothing_ray.stages import events
+    from cuda_gis_smoothing_ray.stages.sketch import bh_fdr
+
+    return bh_fdr(events.read_events(
+        sf_dir, columns=("ts", "event_type", "value")))
+
+
 def _q_weekend_lift(sf_dir: str):
     """Weekend-behavior lift per event type, day-count normalized over
     the dense range (stages/events.weekend_lift)."""
@@ -3989,6 +4011,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "entry_paths": _q_entry_paths,
         "quality_by_source": _q_quality_by_source,
         "weekend_lift": _q_weekend_lift,
+        "bh_fdr": _q_bh_fdr,
         "spend_outliers": _q_spend_outliers,
         "silhouette_lite": _q_silhouette_lite,
         "kendall_tau": _q_kendall_tau,
@@ -4058,6 +4081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_tiny": _q_simhash_tiny,
         "dedup_components": _q_dedup_components,
         "neardup_components": _q_neardup_components,
+        "cross_source_neardup": _q_cross_source_neardup,
         "ann_cosine_topk": _q_ann_topk,
         "knn_graph": _q_knn_graph,
         "semantic_dedup": _q_semantic_dedup,
@@ -4336,6 +4360,7 @@ def oracle_sql() -> dict[str, str]:
         "entry_paths": oc.entry_paths_sql(),
         "quality_by_source": oc.quality_by_source_sql(),
         "weekend_lift": oc.weekend_lift_sql(),
+        "bh_fdr": oc.bh_fdr_sql(),
         "spend_outliers": oc.spend_outliers_sql(),
         "silhouette_lite": oc.silhouette_lite_sql(),
         "kendall_tau": oc.kendall_tau_sql(),
@@ -4413,6 +4438,7 @@ def oracle_sql() -> dict[str, str]:
         # to 64 perms / 5-shingles / 16 bands (minhash) and the vectorized
         # fnv token-hash path (simhash) — bit-exact, no longer rows-only.
         "minhash_pairs": oc.minhash_pairs_tiny_sql(0.7, 64, 5, 16),
+        "cross_source_neardup": oc.cross_source_neardup_sql(0.7, 64, 5, 16),
         "simhash_pairs": oc.simhash_pairs_fnv_sql(),
         "dedup_components": oc.dedup_components_sql(JACCARD_T),
         "neardup_components": oc.neardup_components_sql(),

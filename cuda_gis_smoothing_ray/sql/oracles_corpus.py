@@ -1442,6 +1442,23 @@ WHERE banded AND est >= {D(threshold)}
 ORDER BY a, b"""
 
 
+def cross_source_neardup_sql(threshold: float = 0.7, num_perms: int = 64,
+                             shingle_k: int = 5, bands: int = 16) -> str:
+    """Oracle of ``textops.cross_source_neardup``: the bit-exact
+    minhash-pair CTE cross-tabulated by unordered source pair (least /
+    greatest mirror the engine's elementwise string min/max)."""
+    pairs = minhash_pairs_tiny_sql(threshold, num_perms, shingle_k, bands)
+    return f"""WITH pairs AS ({pairs})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       count(*) AS n_pairs
+FROM pairs p
+JOIN documents da ON p.a = da.doc_id
+JOIN documents db ON p.b = db.doc_id
+GROUP BY 1, 2
+ORDER BY 1, 2"""
+
+
 def doc_fingerprints_sql(k: int = 8, window: int = 6) -> str:
     """Oracle of ``textops.doc_fingerprints`` (winnowing, Schleimer et al.
     2003): distinct sliding-window minima of the k-char shingle hashes; docs
@@ -7052,6 +7069,69 @@ SELECT ct.event_type, ct.n_weekday, ct.n_weekend,
           ' / (CAST(ct.n_weekday AS DOUBLE) / CAST(dk.wd_days AS DOUBLE))')}
     AS lift
 FROM ct, dk ORDER BY ct.event_type"""
+
+
+def bh_fdr_sql(alpha: float | None = None) -> str:
+    """Oracle of stages/sketch.bh_fdr: HUGEINT cents moments per
+    (event_type, is_weekend), the identical Welch variance-over-n trees,
+    A&S 7.1.26 erfc with the engine's exact constants, BH step-up ladder
+    over round6-quantized p (row_number / reverse-cummin windows)."""
+    from ..stages import sketch
+    from .oracles import D, round6
+
+    a_ = sketch.BH_ALPHA if alpha is None else alpha
+    a1, a2, a3, a4, a5 = sketch._ERFC_A
+    mkA = (lambda p: f"CAST({p}n * {p}s2 - {p}s1 * {p}s1 AS DOUBLE)"
+                     f" / CAST({p}n * ({p}n - 1) AS DOUBLE)"
+                     f" / CAST({p}n AS DOUBLE)")
+    A, B = mkA("wd"), mkA("we")
+    mwd = "CAST(wds1 AS DOUBLE) / CAST(wdn AS DOUBLE)"
+    mwe = "CAST(wes1 AS DOUBLE) / CAST(wen AS DOUBLE)"
+    poly = (f"(((({D(a5)} * u + {D(a4)}) * u + {D(a3)}) * u + {D(a2)}) * u"
+            f" + {D(a1)}) * u")
+    return f"""WITH ev AS (
+  SELECT event_type AS et,
+    CAST((epoch_us(ts) // 86400000000 + 3) % 7 >= 5 AS INT) AS we,
+    CAST(floor(value * 100.0 + 0.5) AS HUGEINT) AS c
+  FROM events
+), m0 AS (
+  SELECT et, we, CAST(count(*) AS HUGEINT) AS n, sum(c) AS s1,
+    sum(c * c) AS s2
+  FROM ev GROUP BY et, we
+), st AS (
+  SELECT w.et, w.n AS wdn, w.s1 AS wds1, w.s2 AS wds2,
+         e.n AS wen, e.s1 AS wes1, e.s2 AS wes2
+  FROM (SELECT * FROM m0 WHERE we = 0) w
+  JOIN (SELECT * FROM m0 WHERE we = 1) e USING (et)
+), tt AS (
+  SELECT et, CAST(wdn AS BIGINT) AS n_weekday, CAST(wen AS BIGINT) AS n_weekend,
+    (({mwe}) - ({mwd})) / sqrt(({A}) + ({B})) AS t_raw
+  FROM st
+), xx AS (
+  SELECT *, abs(t_raw) / sqrt(CAST(2.0 AS DOUBLE)) AS x FROM tt
+), uu AS (
+  SELECT *, CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + {D(sketch._ERFC_P)} * x) AS u
+  FROM xx
+), pp AS (
+  SELECT et, n_weekday, n_weekend, t_raw,
+    {round6(f"({poly}) * exp(-(x * x))")} AS p6
+  FROM uu
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY p6, et) AS rn,
+    count(*) OVER () AS m
+  FROM pp
+), ladder AS (
+  SELECT *, least(CAST(1.0 AS DOUBLE),
+    min(p6 * CAST(m AS DOUBLE) / CAST(rn AS DOUBLE))
+      OVER (ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    AS padj_raw
+  FROM ranked
+)
+SELECT et AS event_type, n_weekday, n_weekend,
+  {round6("t_raw")} AS t, p6 AS p_value,
+  {round6("padj_raw")} AS p_adj,
+  {round6("padj_raw")} <= {D(a_)} AS reject
+FROM ladder ORDER BY et"""
 
 
 def spend_outliers_sql(k: int | None = None) -> str:

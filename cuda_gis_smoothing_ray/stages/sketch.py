@@ -1656,6 +1656,117 @@ def welch_ttest(ds, group_col: str = "lang", value_col: str = "n_chars",
     }))
 
 
+BH_ALPHA = 0.05
+_ERFC_P = 0.3275911
+_ERFC_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+
+
+def _erfc_as(x: float) -> float:
+    """Abramowitz-Stegun 7.1.26 erfc(x) for x >= 0 — the SHARED float tree
+    the SQL oracle mirrors term for term (poly nested left-to-right, one
+    exp).  Max abs error 1.5e-7, inside the round6 contract."""
+    import math
+
+    a1, a2, a3, a4, a5 = _ERFC_A
+    u = 1.0 / (1.0 + _ERFC_P * x)
+    poly = ((((a5 * u + a4) * u + a3) * u + a2) * u + a1) * u
+    return poly * math.exp(-x * x)
+
+
+def bh_fdr(ds, alpha: float = BH_ALPHA):
+    """events -> (event_type, n_weekday, n_weekend, t, p_value, p_adj,
+    reject): the MULTIPLE-TESTING-CONTROLLED metric scan — Welch's t of
+    weekend-vs-weekday mean value per event type, two-sided normal-
+    approximation p (A&S 7.1.26 erfc of ``|t|/sqrt(2)``), then
+    Benjamini-Hochberg step-up FDR across ALL event types:
+    ``p_adj_(i) = min(1, min_{j>=i} p_(j) * m / j)`` over p ascending
+    (event_type tie-break), reject at ``p_adj <= alpha``.  The correction
+    a dashboard needs when it scans one hypothesis per segment — without
+    it, 20 segments at alpha=.05 produce a false "significant" weekly.
+
+    EXACT integer cents moments (n, S1, S2) per (type, is_weekend) in one
+    bounded reduce (Python-int finish, so ``n*S2`` can't overflow); the BH
+    ladder runs on the round6-QUANTIZED p values so cross-engine ordering
+    is deterministic.  Scale shape: 6 scalars per (type, weekend-ness)
+    leave the partitions; the ladder is |event_types|-sized by
+    construction."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def moments(batch: pa.Table) -> pa.Table:
+        d = batch.column("ts").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[D]").astype(np.int64)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        we = ((d + 3) % 7 >= 5).astype(np.int64)
+        df = pd.DataFrame({"et": et, "we": we, "s1": cents,
+                           "s2": cents * cents})
+        g = df.groupby(["et", "we"], sort=False).agg(
+            n=("we", "size"), s1=("s1", "sum"), s2=("s2", "sum")).reset_index()
+        return pa.table({
+            "et": pa.array(g["et"], pa.string()),
+            "we": pa.array(g["we"].to_numpy(np.int64)),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "s1": pa.array(g["s1"].to_numpy(np.int64)),
+            "s2": pa.array(g["s2"].to_numpy(np.int64)),
+        })
+
+    mom = (
+        ds.map_batches(moments, batch_format="pyarrow")
+        .groupby(["et", "we"])
+        .aggregate(Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+                   Sum("s2", alias_name="s2"))
+    ).to_pandas()
+    if mom.empty:
+        raise ValueError("bh_fdr: no events")
+
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    rows = []
+    for et, grp in mom.groupby("et", sort=True):
+        wd = grp[grp["we"] == 0]
+        we = grp[grp["we"] == 1]
+        if (len(wd) != 1 or len(we) != 1
+                or int(wd["n"].iloc[0]) < 2 or int(we["n"].iloc[0]) < 2):
+            raise ValueError(f"bh_fdr: event_type {et!r} lacks >= 2 events"
+                             " on both weekday and weekend")
+        nwd, s1wd, s2wd = (int(wd[c].iloc[0]) for c in ("n", "s1", "s2"))
+        nwe, s1we, s2we = (int(we[c].iloc[0]) for c in ("n", "s1", "s2"))
+        mwd = float(s1wd) / float(nwd)
+        mwe = float(s1we) / float(nwe)
+        a = float(nwd * s2wd - s1wd * s1wd) / float(nwd * (nwd - 1)) / float(nwd)
+        b = float(nwe * s2we - s1we * s1we) / float(nwe * (nwe - 1)) / float(nwe)
+        if a + b == 0.0:
+            raise ValueError(f"bh_fdr: zero variance for {et!r}")
+        t = (mwe - mwd) / math.sqrt(a + b)
+        p6 = r6(_erfc_as(abs(t) / math.sqrt(2.0)))
+        rows.append({"event_type": et, "n_weekday": nwd, "n_weekend": nwe,
+                     "t": t, "p6": p6})
+
+    m = len(rows)
+    order = sorted(range(m), key=lambda i: (rows[i]["p6"],
+                                            rows[i]["event_type"]))
+    adj = [0.0] * m
+    best = math.inf
+    for rank in range(m, 0, -1):
+        i = order[rank - 1]
+        best = min(best, rows[i]["p6"] * float(m) / float(rank))
+        adj[i] = min(1.0, best)
+    return rd.from_arrow(pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+        "n_weekday": pa.array([r["n_weekday"] for r in rows], pa.int64()),
+        "n_weekend": pa.array([r["n_weekend"] for r in rows], pa.int64()),
+        "t": pa.array([r6(r["t"]) for r in rows], pa.float64()),
+        "p_value": pa.array([r["p6"] for r in rows], pa.float64()),
+        "p_adj": pa.array([r6(a) for a in adj], pa.float64()),
+        "reject": pa.array([r6(a) <= alpha for a in adj], pa.bool_()),
+    }))
+
+
 def cume_dist_len(ds, group_col: str = "lang", value_col: str = "n_chars"):
     """documents -> per-doc (doc_id, lang, n_chars, cume): the CUME_DIST
     window function over document length within each language —

@@ -612,6 +612,111 @@ def minhash_pairs(ds, threshold: float = 0.7, num_perms: int = 64,
     )
 
 
+def cross_source_neardup(docs_ds, threshold: float = 0.7, num_perms: int = 64,
+                         shingle_k: int = 5, bands: int = 16,
+                         n_parts: int | None = None):
+    """Near-dup CONTAMINATION MATRIX across sources: MinHash-LSH near-dup
+    pairs cross-tabulated by unordered source pair ->
+    ``(source_a, source_b, n_pairs)`` with ``source_a <= source_b``
+    lexicographically.  The corpus-curation readout that tells you WHICH
+    feeds duplicate each other (mirrors, re-crawls, syndication) before
+    deciding what to drop — within-source mass sits on the diagonal.
+
+    Scale shape: the pair list is :func:`minhash_pairs` (banded, capped,
+    never all-pairs); each endpoint's source label is attached with ONE
+    tagged-union coarse hash shuffle keyed by that endpoint's doc_id (the
+    label table is corpus-sized, so it is never broadcast and no join
+    actors spin up); the final count reduces batch-local partials onto the
+    BOUNDED source-pair key set (|sources|^2/2 rows at most)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.scale import default_parts
+
+    n_parts = default_parts() if n_parts is None else n_parts
+
+    labels = docs_ds.map_batches(
+        lambda b: b.select(["doc_id", "source"]), batch_format="pyarrow",
+        batch_size=None)
+    edges = minhash_pairs(docs_ds, threshold=threshold, num_perms=num_perms,
+                          shingle_k=shingle_k, bands=bands, n_parts=n_parts)
+
+    def _attach(pairs, key_col: str, out_col: str, carry: list[str]):
+        def tag_lab(b: pa.Table) -> pa.Table:
+            n = len(b)
+            cols = {"key": b.column("doc_id"), out_col: b.column("source"),
+                    "kind": pa.array(np.zeros(n, np.int8))}
+            for c in carry:
+                cols[c] = (pa.nulls(n, pa.string()) if c.startswith("source")
+                           else pa.nulls(n, pa.int64()))
+            return pa.table(cols)
+
+        def tag_pair(b: pa.Table) -> pa.Table:
+            n = len(b)
+            cols = {"key": b.column(key_col),
+                    out_col: pa.nulls(n, pa.string()),
+                    "kind": pa.array(np.ones(n, np.int8))}
+            for c in carry:
+                cols[c] = b.column(c)
+            return pa.table(cols)
+
+        def add_part(b: pa.Table) -> pa.Table:
+            k = b.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+            return b.append_column(
+                "__part", pa.array(hashing.coarse_partition(k, n_parts)))
+
+        def resolve(part: pa.Table) -> pa.Table:
+            part = part.combine_chunks()
+            kind = part.column("kind").to_numpy(zero_copy_only=False)
+            key = part.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+            lmask = kind == 0
+            lk = key[lmask]
+            lv = part.column(out_col).filter(pa.array(lmask))
+            order = np.argsort(lk, kind="stable")
+            lk = lk[order]
+            rows = part.filter(pa.array(~lmask))
+            rk = rows.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+            out = {c: rows.column(c) for c in carry}
+            if len(lk) == 0:
+                out[out_col] = pa.nulls(len(rk), pa.string())
+            else:
+                # every pair endpoint's label hashes into THIS partition by
+                # the same key, so the probe always hits
+                pos = np.searchsorted(lk, rk)
+                out[out_col] = lv.take(pa.array(order[np.minimum(pos, len(lk) - 1)]))
+            return pa.table(out)
+
+        tagged = labels.map_batches(tag_lab, batch_format="pyarrow",
+                                    batch_size=None).union(
+            pairs.map_batches(tag_pair, batch_format="pyarrow",
+                              batch_size=None))
+        return (
+            tagged.map_batches(add_part, batch_format="pyarrow",
+                               batch_size=None)
+            .groupby("__part")
+            .map_groups(resolve, batch_format="pyarrow")
+        )
+
+    with_a = _attach(edges, "a", "source_a", carry=["b"])
+    with_ab = _attach(with_a, "b", "source_b", carry=["source_a"])
+
+    def partial(b: pa.Table) -> "pd.DataFrame":
+        import pandas as pd
+
+        sa = b.column("source_a").to_numpy(zero_copy_only=False)
+        sb = b.column("source_b").to_numpy(zero_copy_only=False)
+        lo = np.minimum(sa, sb)
+        hi = np.maximum(sa, sb)
+        g = pd.DataFrame({"source_a": lo, "source_b": hi})
+        return g.groupby(["source_a", "source_b"], sort=False,
+                         as_index=False).size().rename(columns={"size": "n_pairs"})
+
+    return (
+        with_ab.map_batches(partial, batch_format="pyarrow")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-duplicate pairs (Charikar 2002; banded blocking)
 # ---------------------------------------------------------------------------

@@ -744,3 +744,75 @@ def test_source_len_drift_detects_shift():
     }))).to_pandas().set_index("source")
     assert float(out.loc["shifted", "ks_d"]) == 1.0
     assert float(out.loc["norm_a", "ks_d"]) < 0.6
+
+
+def _bh_reference(p6, m):
+    """Textbook BH step-up on already-quantized p values."""
+    import math
+
+    order = sorted(range(m), key=lambda i: p6[i])
+    adj = [0.0] * m
+    best = math.inf
+    for rank in range(m, 0, -1):
+        i = order[rank - 1]
+        best = min(best, p6[i] * m / rank)
+        adj[i] = min(1.0, best)
+    return adj
+
+
+def test_bh_fdr_hand(ray_session):
+    """Two event types with a planted weekend effect, one without: the
+    effected types reject, the null type doesn't, and p_adj matches the
+    textbook step-up ladder recomputed from the emitted p values."""
+    import ray.data as rd
+
+    rows = {"ts": [], "event_type": [], "value": []}
+    # 2021-01-04 is a Monday (weekday); 2021-01-09 a Saturday (weekend)
+    wk = np.datetime64("2021-01-04T12:00:00", "us")
+    we = np.datetime64("2021-01-09T12:00:00", "us")
+    rng = np.random.default_rng(7)
+    for et, lift in (("buy", 50.0), ("view", 0.0), ("click", 80.0)):
+        for i in range(40):
+            rows["ts"].append(wk + np.timedelta64(i, "m"))
+            rows["event_type"].append(et)
+            rows["value"].append(
+                float(np.floor(10 * 100 + rng.normal(0, 2) * 100) / 100))
+        for i in range(40):
+            rows["ts"].append(we + np.timedelta64(i, "m"))
+            rows["event_type"].append(et)
+            rows["value"].append(
+                float(np.floor((10 + lift) * 100 + rng.normal(0, 2) * 100) / 100))
+    ds = rd.from_arrow(pa.table({
+        "ts": pa.array(rows["ts"], pa.timestamp("us")),
+        "event_type": pa.array(rows["event_type"], pa.string()),
+        "value": pa.array(rows["value"], pa.float64()),
+    })).repartition(5)
+
+    from cuda_gis_smoothing_ray.stages.sketch import bh_fdr
+
+    got = bh_fdr(ds).to_pandas().set_index("event_type")
+    assert bool(got.loc["buy", "reject"]) and bool(got.loc["click", "reject"])
+    assert not bool(got.loc["view", "reject"])
+    # the ladder is reproducible from the emitted p values
+    p6 = got["p_value"].to_list()
+    ref = _bh_reference(p6, len(p6))
+    r6 = lambda x: float(np.floor(x * 1e6 + 0.5) / 1e6)  # noqa: E731
+    assert [r6(a) for a in ref] == got["p_adj"].to_list()
+    # BH adjusted p is monotone in raw p
+    s = got.sort_values("p_value")
+    assert (np.diff(s["p_adj"].to_numpy()) >= -1e-12).all()
+
+
+def test_bh_fdr_contract_errors(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_arrow(pa.table({
+        "ts": pa.array([np.datetime64("2021-01-04T12:00:00", "us")] * 3,
+                       pa.timestamp("us")),
+        "event_type": pa.array(["only_weekday"] * 3, pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+    }))
+    from cuda_gis_smoothing_ray.stages.sketch import bh_fdr
+
+    with pytest.raises(ValueError, match="weekday and weekend"):
+        bh_fdr(ds).to_pandas()

@@ -358,3 +358,34 @@ def test_redact_terms_matches_python_re():
     assert out["n_redactions"].tolist() == [len(pat.findall(t)) for t in texts]
     # "sparkle" must survive: word-boundary semantics, not substring
     assert "sparkle" in out["text"][3]
+
+
+def test_cross_source_neardup_hand(ray_session):
+    """Planted exact duplicates across known sources: the pair matrix is
+    exactly the cross-tab of the duplicate clique's source labels, and
+    unrelated docs contribute nothing."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import cross_source_neardup
+
+    dup = BASE  # identical text -> est_jaccard 1.0, always banded together
+    other = "completely different words about oranges apples pears " * 3
+    rows = [
+        (1, dup, "crawl_a"),
+        (2, dup, "crawl_b"),
+        (3, dup, "crawl_a"),
+        (4, other, "crawl_c"),
+        (5, "yet another unrelated text with its own unique tokens here",
+         "crawl_b"),
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })).repartition(3)
+    got = cross_source_neardup(ds).to_pandas() \
+        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    # clique {1,2,3}: pairs (1,2) a-b, (1,3) a-a, (2,3) a-b
+    assert got["source_a"].to_list() == ["crawl_a", "crawl_a"]
+    assert got["source_b"].to_list() == ["crawl_a", "crawl_b"]
+    assert got["n_pairs"].to_list() == [1, 2]
