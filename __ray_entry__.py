@@ -1616,6 +1616,17 @@ def _q_cross_source_neardup(sf_dir: str):
     ).sort(["source_a", "source_b"])
 
 
+def _q_source_divergence_matrix(sf_dir: str):
+    """Pairwise Jensen-Shannon divergence (integer nano-nats) between every
+    two sources' unigram distributions — the mixture-design readout
+    (stages/textops.source_divergence_matrix)."""
+    from cuda_gis_smoothing_ray.stages.textops import source_divergence_matrix
+
+    return source_divergence_matrix(
+        _docs(sf_dir, ("text", "source"))
+    ).sort(["source_a", "source_b"])
+
+
 def _q_neardup_components(sf_dir: str):
     """MinHash-LSH near-dup CLUSTERS at production parameters: the
     minhash_pairs edge set -> connected components -> one survivor per
@@ -4082,6 +4093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": _q_dedup_components,
         "neardup_components": _q_neardup_components,
         "cross_source_neardup": _q_cross_source_neardup,
+        "source_divergence_matrix": _q_source_divergence_matrix,
         "ann_cosine_topk": _q_ann_topk,
         "knn_graph": _q_knn_graph,
         "semantic_dedup": _q_semantic_dedup,
@@ -4439,6 +4451,7 @@ def oracle_sql() -> dict[str, str]:
         # fnv token-hash path (simhash) — bit-exact, no longer rows-only.
         "minhash_pairs": oc.minhash_pairs_tiny_sql(0.7, 64, 5, 16),
         "cross_source_neardup": oc.cross_source_neardup_sql(0.7, 64, 5, 16),
+        "source_divergence_matrix": oc.source_divergence_matrix_sql(),
         "simhash_pairs": oc.simhash_pairs_fnv_sql(),
         "dedup_components": oc.dedup_components_sql(JACCARD_T),
         "neardup_components": oc.neardup_components_sql(),

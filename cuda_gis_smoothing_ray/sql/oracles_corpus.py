@@ -570,6 +570,53 @@ SELECT st.nv AS n_vocab, st.ta AS n_a, st.tb AS n_b,
 FROM folds f, st"""
 
 
+def source_divergence_matrix_sql() -> str:
+    """Oracle of stages/textops.source_divergence_matrix: per-source
+    unigram counts + totals, all source pairs i<j over the pair's union
+    vocabulary, each (token, pair) JSD term quantized to nano-nats exactly
+    like the engine (floor((t1+t2)*1e9+0.5), terms 0.5*p*ln(p/m), a c=0
+    side contributing 0), then exact BIGINT sums."""
+    t1 = ("CASE WHEN c1 > 0 THEN (0.5 * p1) * ln(p1 / m) ELSE 0.0 END")
+    t2 = ("CASE WHEN c2 > 0 THEN (0.5 * p2) * ln(p2 / m) ELSE 0.0 END")
+    return f"""WITH lt AS (
+  SELECT source,
+    list_filter(regexp_split_to_array(text, '\\s+'), s -> s != '') AS l
+  FROM documents
+), c AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT source, unnest(l) AS tok FROM lt) GROUP BY 1, 2
+), tot AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1
+), pairs AS (
+  SELECT a.source AS sa, b.source AS sb, a.n AS na, b.n AS nb
+  FROM tot a JOIN tot b ON a.source < b.source
+), v AS (
+  SELECT DISTINCT tok FROM c
+), grid AS (
+  SELECT p.sa, p.sb, p.na, p.nb,
+    COALESCE(ca.c, 0) AS c1, COALESCE(cb.c, 0) AS c2
+  FROM pairs p CROSS JOIN v
+  LEFT JOIN c ca ON ca.source = p.sa AND ca.tok = v.tok
+  LEFT JOIN c cb ON cb.source = p.sb AND cb.tok = v.tok
+  WHERE COALESCE(ca.c, 0) > 0 OR COALESCE(cb.c, 0) > 0
+), terms AS (
+  SELECT sa, sb,
+    CAST(floor(({t1} + {t2}) * 1e9 + 0.5) AS BIGINT) AS q
+  FROM (
+    SELECT sa, sb, c1, c2,
+      CAST(c1 AS DOUBLE) / CAST(na AS DOUBLE) AS p1,
+      CAST(c2 AS DOUBLE) / CAST(nb AS DOUBLE) AS p2,
+      (CAST(c1 AS DOUBLE) / CAST(na AS DOUBLE)
+       + CAST(c2 AS DOUBLE) / CAST(nb AS DOUBLE)) / 2.0 AS m
+    FROM grid
+  )
+)
+SELECT sa AS source_a, sb AS source_b,
+  CAST(count(*) AS BIGINT) AS n_tokens,
+  CAST(sum(q) AS BIGINT) AS jsd_nano
+FROM terms GROUP BY 1, 2 ORDER BY 1, 2"""
+
+
 def phrase_search_sql(phrase: tuple[str, ...] | None = None) -> str:
     """Oracle of stages/textops.phrase_search: the classic positional
     pos-join chain t1.pos + j = t(j).pos within each document."""

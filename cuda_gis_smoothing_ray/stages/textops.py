@@ -1145,6 +1145,29 @@ def _doc_tokens(batch: pa.Table):
     return doc_idx[nonempty], toks
 
 
+def _row_tokens(batch: pa.Table):
+    """batch -> (per-token ROW-POSITION int64 array, token StringArray):
+    the shared whitespace tokenization keyed by batch row position instead
+    of ``doc_id`` — for stages that need a non-key column (``source``,
+    ``lang``) per token without assuming doc_ids are sorted in the block."""
+    import pyarrow.compute as pc_
+
+    empty = (np.zeros(0, np.int64), pa.array([], pa.string()))
+    if len(batch) == 0:
+        return empty
+    split = pc_.split_pattern_regex(pc_.fill_null(batch.column("text"), ""), r"\s+")
+    if isinstance(split, pa.ChunkedArray):
+        split = split.combine_chunks()
+    counts = split.value_lengths().to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = split.flatten()
+    nonempty = pc_.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    row_idx = np.repeat(np.arange(len(batch), dtype=np.int64), counts)[nonempty]
+    toks = flat.filter(pa.array(nonempty))
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    return row_idx, toks
+
+
 def _doc_ngrams(batch: pa.Table, n: int):
     """batch -> (per-gram doc_id int64 array, space-joined gram StringArray):
     within-doc consecutive whitespace-token n-grams over the shared
@@ -3711,6 +3734,111 @@ def phrase_search(ds, phrase: tuple[str, ...] = PHRASE):
 
 
 DRIFT_MAX_VOCAB = 65536
+
+
+def source_divergence_matrix(ds, n_parts: int | None = None):
+    """documents -> (source_a, source_b, n_tokens, jsd_nano): pairwise
+    Jensen-Shannon divergence between every two sources' unigram
+    distributions, in integer NANO-NATS — the MIXTURE-DESIGN readout:
+    which feeds are lexically interchangeable (jsd ~ 0) and which add
+    genuinely new text, the matrix a corpus-weighting pass reads before
+    assigning sampling rates.  ``n_tokens`` is the pair's union
+    vocabulary size.
+
+    Float discipline: each (token, pair) term ``0.5*p1*ln(p1/m) +
+    0.5*p2*ln(p2/m)`` (``m = (p1+p2)/2``; a side with c=0 contributes 0)
+    is quantized ONCE to nano-nats, so every downstream sum is an
+    order-free int64 (the :func:`~.stages.hotspot.cell_lang_entropy`
+    discipline); JSD <= ln 2 keeps a pair's total under 7e8 — no overflow
+    even at billion-token vocabularies.
+
+    Scale shape: two streaming scans (token totals per source — a
+    bounded |sources| reduce broadcast into the solve — then batch-local
+    (source, token) partials into ONE coarse token-hash shuffle); each
+    partition densifies its tokens x |sources| counts and scores all
+    |S|^2/2 pairs vectorized; only |S|^2/2 partial rows per partition
+    leave, and the final reduce is bounded.  The vocabulary never touches
+    the driver and is never broadcast."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import coarse_partition, fnv_token_hash64
+
+    n_parts = default_parts() if n_parts is None else n_parts
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        row_idx, toks = _row_tokens(batch)
+        if len(row_idx) == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "tok": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64()),
+                             "__part": pa.array([], pa.int64())})
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"source": src[row_idx], "tok": toks.to_pandas()})
+        g = df.groupby(["source", "tok"], sort=False).size() \
+            .reset_index(name="c")
+        h = fnv_token_hash64(pa.array(g["tok"], pa.string())) \
+            .astype(np.int64)
+        g["__part"] = coarse_partition(h, n_parts)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def src_totals(batch: pa.Table) -> pa.Table:
+        row_idx, _toks = _row_tokens(batch)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        per_row = np.bincount(row_idx, minlength=len(batch))
+        df = pd.DataFrame({"source": src, "n": per_row.astype(np.int64)})
+        g = df.groupby("source", sort=False, as_index=False)["n"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    totals = (
+        ds.map_batches(src_totals, batch_format="pyarrow")
+        .groupby("source").aggregate(Sum("n", alias_name="n"))
+    ).to_pandas()
+    if totals.empty or (totals["n"] <= 0).any():
+        raise ValueError("source_divergence_matrix: a source has no tokens")
+    totals = totals.sort_values("source")
+    sources = totals["source"].to_list()
+    n_by_src = totals["n"].to_numpy(np.int64)
+    s_index = {s: i for i, s in enumerate(sources)}
+    S = len(sources)
+
+    def solve(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["tok", "source"], sort=True,
+                         as_index=False)["c"].sum()
+        tok_codes, tok_uniq = pd.factorize(g["tok"], sort=True)
+        sidx = g["source"].map(s_index).to_numpy(np.int64)
+        M = np.zeros((len(tok_uniq), S), np.int64)
+        M[tok_codes, sidx] = g["c"].to_numpy(np.int64)
+        rows = {"source_a": [], "source_b": [], "n_tokens": [],
+                "jsd_nano": []}
+        for i in range(S):
+            p1_full = M[:, i].astype(np.float64) / float(n_by_src[i])
+            for j in range(i + 1, S):
+                c1, c2 = M[:, i], M[:, j]
+                mask = (c1 > 0) | (c2 > 0)
+                p1 = p1_full[mask]
+                p2 = c2[mask].astype(np.float64) / float(n_by_src[j])
+                m = (p1 + p2) / 2.0
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    t1 = np.where(c1[mask] > 0, 0.5 * p1 * np.log(
+                        np.where(p1 > 0, p1, 1.0) / m), 0.0)
+                    t2 = np.where(c2[mask] > 0, 0.5 * p2 * np.log(
+                        np.where(p2 > 0, p2, 1.0) / m), 0.0)
+                q = np.floor((t1 + t2) * 1e9 + 0.5).astype(np.int64)
+                rows["source_a"].append(sources[i])
+                rows["source_b"].append(sources[j])
+                rows["n_tokens"].append(int(mask.sum()))
+                rows["jsd_nano"].append(int(q.sum()))
+        return pd.DataFrame(rows)
+
+    return (
+        ds.map_batches(tok_counts, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(solve, batch_format="pandas")
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                   Sum("jsd_nano", alias_name="jsd_nano"))
+    )
 
 
 def unigram_drift(ds, max_vocab: int = DRIFT_MAX_VOCAB):

@@ -389,3 +389,39 @@ def test_cross_source_neardup_hand(ray_session):
     assert got["source_a"].to_list() == ["crawl_a", "crawl_a"]
     assert got["source_b"].to_list() == ["crawl_a", "crawl_b"]
     assert got["n_pairs"].to_list() == [1, 2]
+
+
+def test_source_divergence_matrix_hand(ray_session):
+    """Three tiny sources with hand-computable unigram JSD: A = "x x y",
+    B = "x z", C = "x x y" (identical to A).  Expected nano-nat terms
+    (each quantized separately, engine discipline):
+      (A,B): x -> (1/3)ln(8/7) + (1/4)ln(6/7), y -> ln2/6, z -> ln2/4
+      (A,C): identical distributions -> 0 over union vocab {x, y}
+      (B,C): symmetric to (A,B) -> same quantized total."""
+    import math
+
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import source_divergence_matrix
+
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array(["x x y", "x z", "x x y"], pa.string()),
+        "source": pa.array(["src_a", "src_b", "src_c"], pa.string()),
+    })).repartition(2)
+    got = source_divergence_matrix(ds).to_pandas() \
+        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+    def q(t):
+        return int(math.floor(t * 1e9 + 0.5))
+
+    # pair (A,B): nA=3, nB=2; per-token terms with m = (p1+p2)/2
+    tx = (0.5 * (2 / 3)) * math.log((2 / 3) / ((2 / 3 + 1 / 2) / 2.0)) \
+        + (0.5 * (1 / 2)) * math.log((1 / 2) / ((2 / 3 + 1 / 2) / 2.0))
+    ty = (0.5 * (1 / 3)) * math.log((1 / 3) / ((1 / 3) / 2.0))
+    tz = (0.5 * (1 / 2)) * math.log((1 / 2) / ((1 / 2) / 2.0))
+    ab = q(tx) + q(ty) + q(tz)
+
+    assert got["source_a"].to_list() == ["src_a", "src_a", "src_b"]
+    assert got["source_b"].to_list() == ["src_b", "src_c", "src_c"]
+    assert got["n_tokens"].to_list() == [3, 2, 3]
+    assert got["jsd_nano"].to_list() == [ab, 0, ab]
