@@ -817,6 +817,15 @@ def _q_text_stats(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_readability(sf_dir: str):
+    """Per-doc Flesch reading-ease proxy (RE2 vowel-run syllable counting)
+    — the classic readability quality-filter signal
+    (stages/textops.readability)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.readability(_docs(sf_dir)).sort("doc_id")
+
+
 def _q_lang_id(sf_dir: str):
     from cuda_gis_smoothing_ray.stages import textops
 
@@ -3937,6 +3946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_canonical": _q_dedup_canonical,
         "len_histogram": _q_len_histogram,
         "text_stats": _q_text_stats,
+        "readability": _q_readability,
         "lang_id": _q_lang_id,
         "exact_dedup": _q_exact_dedup,
         "normalized_dedup": _q_normalized_dedup,
@@ -4289,6 +4299,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "text_stats": oc.text_stats_sql(),
+        "readability": oc.readability_sql(),
         "lang_id": oc.lang_id_sql(),
         "exact_dedup": oc.exact_dedup_sql(),
         "normalized_dedup": oc.normalized_dedup_sql(),

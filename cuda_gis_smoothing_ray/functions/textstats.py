@@ -27,6 +27,14 @@ BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 PUNCT_RE = r"[^A-Za-z0-9\s]"
 #: non-space characters (for mean token length without materializing tokens)
 NONSPACE_RE = r"\S"
+#: sentence-terminator RUNS ("..." = one sentence end) for the Flesch proxy
+SENTENCE_RE = r"[.!?]+"
+#: vowel-letter runs = the dependency-free syllable proxy for Flesch
+VOWEL_RUN_RE = r"[AEIOUaeiou]+"
+#: Flesch (1948) reading-ease constants, shared with the SQL generator
+FLESCH_BASE = 206.835
+FLESCH_WPS = 1.015
+FLESCH_SPW = 84.6
 
 #: per-language marker-token lists for the n-gram/stopword language-ID
 #: heuristic; order = deterministic argmax preference order

@@ -73,6 +73,30 @@ FROM r
 ORDER BY doc_id"""
 
 
+def readability_sql() -> str:
+    """Oracle of stages/textops.readability: the same three RE2 counts,
+    the same left-associative Flesch expression with greatest(x,1) clamps,
+    round6."""
+    t = textstats
+    w = "CAST(greatest(n_tokens, 1) AS DOUBLE)"
+    s = "CAST(greatest(n_sentences, 1) AS DOUBLE)"
+    v = "CAST(n_vowel_runs AS DOUBLE)"
+    expr = (f"{D(t.FLESCH_BASE)} - {D(t.FLESCH_WPS)} * ({w} / {s})"
+            f" - {D(t.FLESCH_SPW)} * ({v} / {w})")
+    return f"""WITH raw AS (
+  SELECT doc_id,
+    {_re_count('text', t.TOKEN_RE)} AS n_tokens,
+    {_re_count('text', t.SENTENCE_RE)} AS n_sentences,
+    {_re_count('text', t.VOWEL_RUN_RE)} AS n_vowel_runs
+  FROM documents
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_sentences AS BIGINT) AS n_sentences,
+  CAST(n_vowel_runs AS BIGINT) AS n_vowel_runs,
+  {round6(expr)} AS flesch
+FROM raw ORDER BY doc_id"""
+
+
 def text_quality_by_lang_sql() -> str:
     """Aggregate twin of pipelines/corpus.text_quality_by_lang (replicate=1:
     pages' text/lang == documents')."""

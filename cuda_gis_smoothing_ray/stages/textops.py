@@ -72,6 +72,38 @@ def text_stats(ds):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def readability(ds):
+    """documents -> (doc_id, n_tokens, n_sentences, n_vowel_runs, flesch):
+    Flesch reading-ease PROXY per document — the classic readability
+    quality-filter signal, with dependency-free syllable counting (RE2
+    vowel-run count, the standard hyphenation-free approximation) and
+    sentence count = sentence-terminator runs ("..." ends ONE sentence).
+    ``206.835 - 1.015*(words/sentences) - 84.6*(vowel_runs/words)``,
+    zero-count denominators clamped to 1, round6-quantized.  RE2 counts on
+    both engines so the oracle agrees by construction; embarrassingly
+    parallel — no shuffle."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        t = batch.column("text")
+        nt = textstats.count_re(t, textstats.TOKEN_RE)
+        ns = textstats.count_re(t, textstats.SENTENCE_RE)
+        nv = textstats.count_re(t, textstats.VOWEL_RUN_RE)
+        w = np.maximum(nt, 1).astype(np.float64)
+        s = np.maximum(ns, 1).astype(np.float64)
+        fl = (textstats.FLESCH_BASE - textstats.FLESCH_WPS * (w / s)
+              - textstats.FLESCH_SPW * (nv.astype(np.float64) / w))
+        fl = np.floor(fl * 1e6 + 0.5) / 1e6
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(nt),
+            "n_sentences": pa.array(ns),
+            "n_vowel_runs": pa.array(nv),
+            "flesch": pa.array(fl),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def lang_id(ds):
     """documents -> (doc_id, lang, pred_lang) via the marker-token heuristic."""
 

@@ -425,3 +425,26 @@ def test_source_divergence_matrix_hand(ray_session):
     assert got["source_b"].to_list() == ["src_b", "src_c", "src_c"]
     assert got["n_tokens"].to_list() == [3, 2, 3]
     assert got["jsd_nano"].to_list() == [ab, 0, ab]
+
+
+def test_readability_hand(ray_session):
+    """Hand-counted Flesch proxy: "The cat sat. The dog ran!" has 6
+    whitespace tokens, 2 sentence-terminator runs, 6 vowel runs ->
+    206.835 - 1.015*(6/2) - 84.6*(6/6) = 119.19.  Empty text clamps both
+    denominators to 1: 206.835 - 1.015 - 0 = 205.82."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import readability
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["The cat sat. The dog ran!", "", "Wait... what?!"],
+                         pa.string()),
+    }))
+    got = readability(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert got["n_tokens"].to_list() == [6, 0, 2]
+    assert got["n_sentences"].to_list() == [2, 0, 2]  # "..." = ONE run
+    assert got["n_vowel_runs"].to_list() == [6, 0, 2]  # "ai" in Wait, "a" in what
+    assert got["flesch"][0] == 119.19
+    assert got["flesch"][1] == 205.82
