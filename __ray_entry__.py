@@ -817,6 +817,15 @@ def _q_text_stats(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_gopher_repetition(sf_dir: str):
+    """The repetition side of the Gopher rule family: top-2/3-gram
+    character coverage + duplicate 5-gram fraction per doc
+    (stages/textops.gopher_repetition)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.gopher_repetition(_docs(sf_dir)).sort("doc_id")
+
+
 def _q_readability(sf_dir: str):
     """Per-doc Flesch reading-ease proxy (RE2 vowel-run syllable counting)
     — the classic readability quality-filter signal
@@ -3947,6 +3956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "len_histogram": _q_len_histogram,
         "text_stats": _q_text_stats,
         "readability": _q_readability,
+        "gopher_repetition": _q_gopher_repetition,
         "lang_id": _q_lang_id,
         "exact_dedup": _q_exact_dedup,
         "normalized_dedup": _q_normalized_dedup,
@@ -4300,6 +4310,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "text_stats": oc.text_stats_sql(),
         "readability": oc.readability_sql(),
+        "gopher_repetition": oc.gopher_repetition_sql(),
         "lang_id": oc.lang_id_sql(),
         "exact_dedup": oc.exact_dedup_sql(),
         "normalized_dedup": oc.normalized_dedup_sql(),

@@ -73,6 +73,63 @@ FROM r
 ORDER BY doc_id"""
 
 
+def gopher_repetition_sql() -> str:
+    """Oracle of stages/textops.gopher_repetition: within-doc consecutive
+    whitespace-token n-grams via the positional self-join chain, top gram
+    by (count desc, gram asc), exact integer ratios, round6, missing-gram
+    docs coalesced to 0."""
+
+    def gram_cte(n: int, tag: str) -> str:
+        joins = "\n  ".join(
+            f"JOIN toks t{j} ON t{j}.doc_id = t0.doc_id"
+            f" AND t{j}.pos = t0.pos + {j}" for j in range(1, n))
+        gram = " || ' ' || ".join(f"t{j}.tok" for j in range(n))
+        return f"""g{tag} AS (
+  SELECT t0.doc_id, {gram} AS gram FROM toks t0
+  {joins}
+), g{tag}c AS (
+  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+  FROM g{tag} GROUP BY 1, 2
+)"""
+
+    def top_cte(tag: str) -> str:
+        return f"""t{tag} AS (
+  SELECT doc_id, c * length(gram) AS cover FROM (
+    SELECT doc_id, gram, c,
+      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram) AS rk
+    FROM g{tag}c
+  ) WHERE rk = 1
+)"""
+
+    frac2 = ("COALESCE(CAST(t2.cover AS DOUBLE), CAST(0 AS DOUBLE))"
+             " / CAST(greatest(lt.n_chars, 1) AS DOUBLE)")
+    frac3 = ("COALESCE(CAST(t3.cover AS DOUBLE), CAST(0 AS DOUBLE))"
+             " / CAST(greatest(lt.n_chars, 1) AS DOUBLE)")
+    dup5 = ("COALESCE(CAST(d5.tot - d5.dis AS DOUBLE)"
+            " / CAST(d5.tot AS DOUBLE), CAST(0 AS DOUBLE))")
+    return f"""WITH lt AS (
+  SELECT doc_id, length(text) AS n_chars,
+    list_filter(regexp_split_to_array(text, '\\s+'), s -> s != '') AS l
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos FROM lt
+), {gram_cte(2, '2')}, {top_cte('2')}, {gram_cte(3, '3')}, {top_cte('3')},
+{gram_cte(5, '5')}, d5 AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS tot,
+    CAST(count(*) AS BIGINT) AS dis
+  FROM g5c GROUP BY 1
+)
+SELECT lt.doc_id, CAST(lt.n_chars AS BIGINT) AS n_chars,
+  {round6(frac2)} AS top2_char_frac,
+  {round6(frac3)} AS top3_char_frac,
+  {round6(dup5)} AS dup5_frac
+FROM lt
+LEFT JOIN t2 ON t2.doc_id = lt.doc_id
+LEFT JOIN t3 ON t3.doc_id = lt.doc_id
+LEFT JOIN d5 ON d5.doc_id = lt.doc_id
+ORDER BY lt.doc_id"""
+
+
 def readability_sql() -> str:
     """Oracle of stages/textops.readability: the same three RE2 counts,
     the same left-associative Flesch expression with greatest(x,1) clamps,

@@ -104,6 +104,66 @@ def readability(ds):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def gopher_repetition(ds):
+    """documents -> (doc_id, n_chars, top2_char_frac, top3_char_frac,
+    dup5_frac): the REPETITION side of the Gopher rule family (Rae et al.
+    2021 §A1.1) that :func:`gopher_quality` doesn't cover — per document,
+    the character fraction covered by the single most frequent 2-gram and
+    3-gram (``count * gram_chars / n_chars``; ties broken count-desc then
+    gram-asc so both engines pick the same gram) and the duplicate 5-gram
+    fraction (``(occurrences - distinct) / occurrences``).  Exact integer
+    ratios quantized round6 once; docs with fewer than n tokens score 0.
+    Pure map over the shared :func:`_doc_ngrams` tokenization — no shuffle,
+    quality filtering streams at 100 TB."""
+    import pandas as pd
+
+    def topfrac(batch: pa.Table, n: int, doc: np.ndarray,
+                nchars: np.ndarray) -> np.ndarray:
+        di, grams = _doc_ngrams(batch, n)
+        if len(di) == 0:
+            return np.zeros(len(doc), np.float64)
+        df = pd.DataFrame({"doc": di, "gram": grams.to_pandas()})
+        g = df.groupby(["doc", "gram"], sort=False).size().reset_index(name="c")
+        g = g.sort_values(["doc", "c", "gram"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = g.drop_duplicates("doc", keep="first")
+        cover = pd.Series(
+            (top["c"] * top["gram"].str.len()).to_numpy(np.int64),
+            index=top["doc"].to_numpy())
+        cov = pd.Series(doc).map(cover).fillna(0).to_numpy(np.int64)
+        frac = cov.astype(np.float64) / np.maximum(nchars, 1).astype(np.float64)
+        return np.floor(frac * 1e6 + 0.5) / 1e6
+
+    def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        doc = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nchars = pc_.utf8_length(
+            pc_.fill_null(batch.column("text"), "")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        di5, _g5 = _doc_ngrams(batch, 5)
+        if len(di5):
+            df5 = pd.DataFrame({"doc": di5, "gram": _g5.to_pandas()})
+            per = df5.groupby("doc").agg(
+                tot=("gram", "size"), dis=("gram", "nunique"))
+            dup = pd.Series(doc).map(
+                (per["tot"] - per["dis"]).astype(np.float64)
+                / per["tot"].astype(np.float64)).fillna(0.0) \
+                .to_numpy(np.float64)
+        else:
+            dup = np.zeros(len(doc), np.float64)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pa.array(nchars),
+            "top2_char_frac": pa.array(topfrac(batch, 2, doc, nchars)),
+            "top3_char_frac": pa.array(topfrac(batch, 3, doc, nchars)),
+            "dup5_frac": pa.array(np.floor(dup * 1e6 + 0.5) / 1e6),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def lang_id(ds):
     """documents -> (doc_id, lang, pred_lang) via the marker-token heuristic."""
 

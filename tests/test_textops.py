@@ -448,3 +448,31 @@ def test_readability_hand(ray_session):
     assert got["n_vowel_runs"].to_list() == [6, 0, 2]  # "ai" in Wait, "a" in what
     assert got["flesch"][0] == 119.19
     assert got["flesch"][1] == 205.82
+
+
+def test_gopher_repetition_hand(ray_session):
+    """Hand-counted repetition metrics.  "a b a b a b" (n_chars 11):
+    top 2-gram "a b" c=3 len=3 -> 9/11; 3-grams "a b a"/"b a b" tie at 2,
+    gram-asc picks "a b a" len=5 -> 10/11; both 5-grams distinct -> dup5 0.
+    "w w w w w w": the repeated 5-gram "w w w w w" (2 occurrences, 1
+    distinct) -> dup5 0.5; count*len cover may exceed n_chars (overlap) —
+    15/11 (top-3: "w w w" x4, len 5 -> 20/11).  "x y z" has no 5-gram -> dup5 0."""
+    import math
+
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import gopher_repetition
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array(["a b a b a b", "x y z", "w w w w w w"], pa.string()),
+    })).repartition(2)
+    got = gopher_repetition(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert got["n_chars"].to_list() == [11, 5, 11]
+    assert got["top2_char_frac"].to_list() == [r6(9 / 11), r6(3 / 5), r6(15 / 11)]
+    assert got["top3_char_frac"].to_list() == [r6(10 / 11), 1.0, r6(20 / 11)]
+    assert got["dup5_frac"].to_list() == [0.0, 0.0, 0.5]
