@@ -476,3 +476,18 @@ def test_gopher_repetition_hand(ray_session):
     assert got["top2_char_frac"].to_list() == [r6(9 / 11), r6(3 / 5), r6(15 / 11)]
     assert got["top3_char_frac"].to_list() == [r6(10 / 11), 1.0, r6(20 / 11)]
     assert got["dup5_frac"].to_list() == [0.0, 0.0, 0.5]
+
+
+def test_source_divergence_matrix_zero_token_source_raises(ray_session):
+    """Contract error: a source whose every document is empty has no
+    unigram distribution — the stage must refuse loudly, not divide by 0."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import source_divergence_matrix
+
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array(["x y", "", "  "], pa.string()),
+        "source": pa.array(["src_a", "src_b", "src_b"], pa.string()),
+    }))
+    with pytest.raises(ValueError, match="no tokens"):
+        source_divergence_matrix(ds).to_pandas()
