@@ -817,6 +817,14 @@ def _q_text_stats(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_lang_id_eval(sf_dir: str):
+    """Confusion-matrix eval of the language-ID heuristic vs gold labels:
+    per-class counts + precision/recall/F1 (stages/textops.lang_id_eval)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.lang_id_eval(_docs(sf_dir, ("doc_id", "text", "lang")))
+
+
 def _q_gopher_repetition(sf_dir: str):
     """The repetition side of the Gopher rule family: top-2/3-gram
     character coverage + duplicate 5-gram fraction per doc
@@ -3957,6 +3965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_stats": _q_text_stats,
         "readability": _q_readability,
         "gopher_repetition": _q_gopher_repetition,
+        "lang_id_eval": _q_lang_id_eval,
         "lang_id": _q_lang_id,
         "exact_dedup": _q_exact_dedup,
         "normalized_dedup": _q_normalized_dedup,
@@ -4311,6 +4320,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": oc.text_stats_sql(),
         "readability": oc.readability_sql(),
         "gopher_repetition": oc.gopher_repetition_sql(),
+        "lang_id_eval": oc.lang_id_eval_sql(),
         "lang_id": oc.lang_id_sql(),
         "exact_dedup": oc.exact_dedup_sql(),
         "normalized_dedup": oc.normalized_dedup_sql(),

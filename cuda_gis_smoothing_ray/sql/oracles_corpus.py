@@ -195,6 +195,37 @@ FROM c
 ORDER BY doc_id"""
 
 
+def lang_id_eval_sql() -> str:
+    """Oracle of stages/textops.lang_id_eval: the lang_id CASE chain ->
+    confusion counts -> per-class single-division metrics, classes = the
+    union of gold and predicted labels."""
+
+    def frac(num: str, den: str) -> str:
+        return round6(f"CAST({num} AS DOUBLE)"
+                      f" / CAST(greatest({den}, 1) AS DOUBLE)")
+
+    return f"""WITH p AS ({lang_id_sql()}
+), conf AS (
+  SELECT lang, pred_lang AS pred, CAST(count(*) AS BIGINT) AS c
+  FROM p GROUP BY 1, 2
+), cls AS (
+  SELECT lang AS k FROM conf UNION SELECT pred FROM conf
+), m AS (
+  SELECT cls.k AS lang,
+    COALESCE((SELECT sum(c) FROM conf WHERE conf.lang = cls.k), 0) AS n_true,
+    COALESCE((SELECT sum(c) FROM conf WHERE conf.pred = cls.k), 0) AS n_pred,
+    COALESCE((SELECT sum(c) FROM conf
+              WHERE conf.lang = cls.k AND conf.pred = cls.k), 0) AS tp
+  FROM cls
+)
+SELECT lang, CAST(n_true AS BIGINT) AS n_true,
+  CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+  {frac('tp', 'n_pred')} AS prec,
+  {frac('tp', 'n_true')} AS rec,
+  {frac('2 * tp', 'n_pred + n_true')} AS f1
+FROM m ORDER BY lang"""
+
+
 def exact_dedup_sql() -> str:
     return """SELECT md5(text) AS text_md5, min(doc_id) AS doc_id
 FROM documents

@@ -104,6 +104,56 @@ def readability(ds):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def lang_id_eval(ds):
+    """documents -> per-class (lang, n_true, n_pred, tp, prec, rec, f1):
+    the CLASSIFIER-EVAL readout of the marker-token language-ID heuristic
+    against the table's gold labels — the QA table a pipeline owner reads
+    before trusting a filter stage.  Classes = union of gold and predicted
+    labels, sorted.  Exact integer confusion counts (batch-local partials
+    into ONE bounded <= |labels|^2-key reduce — the label vocabulary is an
+    operator constant, so the finish is driver-side exact math, the
+    bounded-finish discipline); each metric is ONE round6 float division
+    of exact ints (f1 = 2*tp / (n_pred + n_true), zero denominators
+    clamped to 1)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def f(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "pred": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            "lang": batch.column("lang").to_pandas(),
+            "pred": textstats.lang_id(batch.column("text")),
+        })
+        g = df.groupby(["lang", "pred"], sort=False).size().reset_index(name="c")
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    conf = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby(["lang", "pred"]).aggregate(Sum("c", alias_name="c"))
+    ).to_pandas()
+    classes = sorted(set(conf["lang"]) | set(conf["pred"]))
+    by_true = conf.groupby("lang")["c"].sum()
+    by_pred = conf.groupby("pred")["c"].sum()
+    diag = conf[conf["lang"] == conf["pred"]].set_index("lang")["c"]
+    n_true = np.array([int(by_true.get(k, 0)) for k in classes], np.int64)
+    n_pred = np.array([int(by_pred.get(k, 0)) for k in classes], np.int64)
+    tp = np.array([int(diag.get(k, 0)) for k in classes], np.int64)
+
+    def r6(num: np.ndarray, den: np.ndarray) -> np.ndarray:
+        x = num.astype(np.float64) / np.maximum(den, 1).astype(np.float64)
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    return pd.DataFrame({
+        "lang": classes, "n_true": n_true, "n_pred": n_pred, "tp": tp,
+        "prec": r6(tp, n_pred), "rec": r6(tp, n_true),
+        "f1": r6(2 * tp, n_pred + n_true),
+    })
+
+
 def gopher_repetition(ds):
     """documents -> (doc_id, n_chars, top2_char_frac, top3_char_frac,
     dup5_frac): the REPETITION side of the Gopher rule family (Rae et al.

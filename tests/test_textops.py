@@ -491,3 +491,32 @@ def test_source_divergence_matrix_zero_token_source_raises(ray_session):
     }))
     with pytest.raises(ValueError, match="no tokens"):
         source_divergence_matrix(ds).to_pandas()
+
+
+def test_lang_id_eval_hand(ray_session):
+    """Hand-built confusion: en predicted right once and confused to de
+    once; fr perfect; gold label "zz" is never predictable (not in the
+    marker list) but must still appear as a class row with rec=0."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import lang_id_eval
+
+    rows = [
+        (0, "the a and", "en"),       # pred en  (tp)
+        (1, "der und die", "en"),     # pred de  (en miss, de false pos)
+        (2, "le et les", "fr"),       # pred fr  (tp)
+        (3, "qqq", "zz"),             # no markers -> pred en (first max)
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+    })).repartition(2)
+    got = lang_id_eval(ds).reset_index(drop=True)
+    assert got["lang"].to_list() == ["de", "en", "fr", "zz"]
+    assert got["n_true"].to_list() == [0, 2, 1, 1]
+    assert got["n_pred"].to_list() == [1, 2, 1, 0]
+    assert got["tp"].to_list() == [0, 1, 1, 0]
+    assert got["prec"].to_list() == [0.0, 0.5, 1.0, 0.0]
+    assert got["rec"].to_list() == [0.0, 0.5, 1.0, 0.0]
+    assert got["f1"].to_list() == [0.0, 0.5, 1.0, 0.0]
