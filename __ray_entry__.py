@@ -817,6 +817,15 @@ def _q_text_stats(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_lang_source_chi2(sf_dir: str):
+    """Chi-squared independence of language x source (integer nano-units)
+    — the stratification check before pooling feeds
+    (stages/textops.lang_source_chi2)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.lang_source_chi2(_docs(sf_dir, ("lang", "source")))
+
+
 def _q_lang_id_eval(sf_dir: str):
     """Confusion-matrix eval of the language-ID heuristic vs gold labels:
     per-class counts + precision/recall/F1 (stages/textops.lang_id_eval)."""
@@ -3966,6 +3975,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": _q_readability,
         "gopher_repetition": _q_gopher_repetition,
         "lang_id_eval": _q_lang_id_eval,
+        "lang_source_chi2": _q_lang_source_chi2,
         "lang_id": _q_lang_id,
         "exact_dedup": _q_exact_dedup,
         "normalized_dedup": _q_normalized_dedup,
@@ -4321,6 +4331,7 @@ def oracle_sql() -> dict[str, str]:
         "readability": oc.readability_sql(),
         "gopher_repetition": oc.gopher_repetition_sql(),
         "lang_id_eval": oc.lang_id_eval_sql(),
+        "lang_source_chi2": oc.lang_source_chi2_sql(),
         "lang_id": oc.lang_id_sql(),
         "exact_dedup": oc.exact_dedup_sql(),
         "normalized_dedup": oc.normalized_dedup_sql(),

@@ -195,6 +195,42 @@ FROM c
 ORDER BY doc_id"""
 
 
+def lang_source_chi2_sql() -> str:
+    """Oracle of stages/textops.lang_source_chi2: full L x S grid (zero
+    cells included), e from DOUBLE marginal products, per-cell nano
+    quantization, exact BIGINT fold."""
+    return """WITH conf AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+), l AS (SELECT DISTINCT lang FROM conf),
+s AS (SELECT DISTINCT source FROM conf),
+rtt AS (SELECT lang, CAST(sum(c) AS BIGINT) AS rt FROM conf GROUP BY 1),
+ctt AS (SELECT source, CAST(sum(c) AS BIGINT) AS ct FROM conf GROUP BY 1),
+nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM conf),
+grid AS (
+  SELECT COALESCE(conf.c, 0) AS o,
+    (CAST(rtt.rt AS DOUBLE) * CAST(ctt.ct AS DOUBLE))
+      / CAST(nn.n AS DOUBLE) AS e
+  FROM l CROSS JOIN s
+  LEFT JOIN conf ON conf.lang = l.lang AND conf.source = s.source
+  JOIN rtt ON rtt.lang = l.lang
+  JOIN ctt ON ctt.source = s.source
+  CROSS JOIN nn
+), terms AS (
+  SELECT CAST(floor(
+    ((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e) * 1e9 + 0.5
+  ) AS BIGINT) AS q
+  FROM grid
+)
+SELECT (SELECT n FROM nn) AS n_docs,
+  (SELECT CAST(count(*) AS BIGINT) FROM l) AS n_langs,
+  (SELECT CAST(count(*) AS BIGINT) FROM s) AS n_sources,
+  CAST(((SELECT count(*) FROM l) - 1)
+       * ((SELECT count(*) FROM s) - 1) AS BIGINT) AS dof,
+  CAST(sum(q) AS BIGINT) AS chi2_nano
+FROM terms"""
+
+
 def lang_id_eval_sql() -> str:
     """Oracle of stages/textops.lang_id_eval: the lang_id CASE chain ->
     confusion counts -> per-class single-division metrics, classes = the

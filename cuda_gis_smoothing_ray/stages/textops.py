@@ -154,6 +154,65 @@ def lang_id_eval(ds):
     })
 
 
+def lang_source_chi2(ds):
+    """documents -> ONE row (n_docs, n_langs, n_sources, dof, chi2_nano):
+    Pearson chi-squared INDEPENDENCE test of language x source — is the
+    language mix homogeneous across feeds, the stratification check a
+    mixture designer runs before pooling sources.  Zero cells of the full
+    L x S grid contribute their expected count (the textbook definition).
+
+    Float discipline: each cell term ``(o - e)^2 / e`` (``e = rt*ct/n``
+    from exact int64 marginals) is quantized ONCE to nano-units, so the
+    total is an order-free int64 sum.  Scale shape: batch-local (lang,
+    source) partials into ONE bounded <= |L|x|S|-key reduce; the finish is
+    driver-side exact math over the operator-constant label grid (the
+    bounded-finish discipline)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def f(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "source": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        df = pd.DataFrame({
+            "lang": batch.column("lang").to_pandas(),
+            "source": batch.column("source").to_pandas(),
+        })
+        g = df.groupby(["lang", "source"], sort=False).size() \
+            .reset_index(name="c")
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    conf = (
+        ds.map_batches(f, batch_format="pyarrow")
+        .groupby(["lang", "source"]).aggregate(Sum("c", alias_name="c"))
+    ).to_pandas()
+    if conf.empty:
+        raise ValueError("lang_source_chi2: empty input")
+    langs = sorted(conf["lang"].unique())
+    srcs = sorted(conf["source"].unique())
+    O = np.zeros((len(langs), len(srcs)), np.int64)
+    li = conf["lang"].map({k: i for i, k in enumerate(langs)}).to_numpy()
+    si = conf["source"].map({k: i for i, k in enumerate(srcs)}).to_numpy()
+    O[li, si] = conf["c"].to_numpy(np.int64)
+    n = int(O.sum())
+    rt, ct = O.sum(axis=1), O.sum(axis=0)
+    # float-first marginal product (not int64*int64 -> cast): rt*ct
+    # overflows int64 past ~3e9 docs per side; both engines multiply
+    # doubles so the expression trees stay identical
+    e = (rt.astype(np.float64)[:, None] * ct.astype(np.float64)[None, :]) \
+        / np.float64(n)
+    d = O.astype(np.float64) - e
+    term = (d * d) / e
+    chi2_nano = int(np.floor(term * 1e9 + 0.5).astype(np.int64).sum())
+    return pd.DataFrame({
+        "n_docs": [n], "n_langs": [len(langs)], "n_sources": [len(srcs)],
+        "dof": [(len(langs) - 1) * (len(srcs) - 1)],
+        "chi2_nano": [chi2_nano],
+    })
+
+
 def gopher_repetition(ds):
     """documents -> (doc_id, n_chars, top2_char_frac, top3_char_frac,
     dup5_frac): the REPETITION side of the Gopher rule family (Rae et al.

@@ -520,3 +520,29 @@ def test_lang_id_eval_hand(ray_session):
     assert got["prec"].to_list() == [0.0, 0.5, 1.0, 0.0]
     assert got["rec"].to_list() == [0.0, 0.5, 1.0, 0.0]
     assert got["f1"].to_list() == [0.0, 0.5, 1.0, 0.0]
+
+
+def test_lang_source_chi2_hand(ray_session):
+    """Textbook 2x2: counts (en,s1)=10 (en,s2)=20 (de,s1)=30 (de,s2)=40
+    -> expected 12/18/28/42, chi2 = 4*(1/12+1/18+1/28+1/42); per-cell
+    nano quantization gives 333333333+222222222+142857143+95238095 =
+    793650793 exactly."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import lang_source_chi2
+
+    langs, srcs = [], []
+    for lang, src, c in [("en", "s1", 10), ("en", "s2", 20),
+                         ("de", "s1", 30), ("de", "s2", 40)]:
+        langs += [lang] * c
+        srcs += [src] * c
+    ds = rd.from_arrow(pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+    })).repartition(3)
+    got = lang_source_chi2(ds)
+    assert got["n_docs"].to_list() == [100]
+    assert got["n_langs"].to_list() == [2]
+    assert got["n_sources"].to_list() == [2]
+    assert got["dof"].to_list() == [1]
+    assert got["chi2_nano"].to_list() == [793650793]
