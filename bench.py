@@ -166,7 +166,35 @@ def headline_queries(sf_dir: str, replicate: int):
             pages.map_batches(as_docs, batch_format="pyarrow",
                               batch_size=None))
 
+    def _source_divergence_volume():
+        # pairwise source JSD at volume: every replicated page tokenized
+        # into (source, token) partials, ONE coarse token-hash shuffle,
+        # bounded |S|^2/2 reduce — the mixture-design matrix at corpus
+        # scale (source label derived from page_id so the 20-way label
+        # distribution matches the documents table's)
+        from cuda_gis_smoothing_ray.sources.pages import read_pages
+        from cuda_gis_smoothing_ray.stages.textops import source_divergence_matrix
+
+        pages = read_pages(sf_dir, replicate=replicate, include_html=False,
+                           pages_per_task=250_000,
+                           columns=["page_id", "text"])
+
+        def as_docs(batch):
+            import numpy as np
+            import pyarrow as pa
+
+            pid = batch.column("page_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            src = pa.array(np.char.add("src", (pid % 20).astype("U2")),
+                           pa.string())
+            return pa.table({"text": batch.column("text"), "source": src})
+
+        return source_divergence_matrix(
+            pages.map_batches(as_docs, batch_format="pyarrow",
+                              batch_size=None))
+
     extras = {"latest_capture_volume": _latest_capture_volume,
+              "source_divergence_volume": _source_divergence_volume,
               "bpe_train_volume": _bpe_train_volume,
               "passage_dedup_volume": _passage_dedup_volume,
               "oov_rate_volume": _oov_rate_volume,
