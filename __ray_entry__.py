@@ -817,6 +817,16 @@ def _q_text_stats(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_length_psi_by_source(sf_dir: str):
+    """Population Stability Index of each source's doc-length distribution
+    vs the global one, over exact global decile bins
+    (stages/textops.length_psi_by_source)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.length_psi_by_source(
+        _docs(sf_dir, ("n_chars", "source")))
+
+
 def _q_lang_source_chi2(sf_dir: str):
     """Chi-squared independence of language x source (integer nano-units)
     — the stratification check before pooling feeds
@@ -3976,6 +3986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_repetition": _q_gopher_repetition,
         "lang_id_eval": _q_lang_id_eval,
         "lang_source_chi2": _q_lang_source_chi2,
+        "length_psi_by_source": _q_length_psi_by_source,
         "lang_id": _q_lang_id,
         "exact_dedup": _q_exact_dedup,
         "normalized_dedup": _q_normalized_dedup,
@@ -4332,6 +4343,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_repetition": oc.gopher_repetition_sql(),
         "lang_id_eval": oc.lang_id_eval_sql(),
         "lang_source_chi2": oc.lang_source_chi2_sql(),
+        "length_psi_by_source": oc.length_psi_by_source_sql(),
         "lang_id": oc.lang_id_sql(),
         "exact_dedup": oc.exact_dedup_sql(),
         "normalized_dedup": oc.normalized_dedup_sql(),

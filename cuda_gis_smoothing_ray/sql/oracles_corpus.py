@@ -195,6 +195,50 @@ FROM c
 ORDER BY doc_id"""
 
 
+def length_psi_by_source_sql() -> str:
+    """Oracle of stages/textops.length_psi_by_source: exact decile
+    thresholds from the cumulative (value, count) histogram, bin =
+    #(thresholds < value), add-1 smoothed per-bin terms quantized to
+    nano-nats, exact BIGINT fold per source."""
+    return """WITH h AS (
+  SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1
+), nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cc FROM h),
+thr AS (
+  SELECT r.k,
+    (SELECT min(v) FROM cum WHERE cc >= ((r.k * nn.n + 9) // 10)) AS t
+  FROM range(1, 10) r(k), nn
+), b AS (
+  SELECT source, (SELECT count(*) FROM thr WHERE t < d.n_chars) AS bin
+  FROM documents d
+), sb AS (
+  SELECT source, bin, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2
+), src AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM sb GROUP BY 1),
+gb AS (SELECT bin, CAST(sum(c) AS BIGINT) AS g FROM sb GROUP BY 1),
+bins AS (SELECT r.k AS bin FROM range(0, 10) r(k)),
+grid AS (
+  SELECT src.source, src.ns, bins.bin,
+    COALESCE(sb2.c, 0) AS c, COALESCE(gb.g, 0) AS g, nn.n
+  FROM src CROSS JOIN bins
+  LEFT JOIN sb sb2 ON sb2.source = src.source AND sb2.bin = bins.bin
+  LEFT JOIN gb ON gb.bin = bins.bin
+  CROSS JOIN nn
+), terms AS (
+  SELECT source, ns,
+    CAST(floor(((ps - pg) * ln(ps / pg)) * 1e9 + 0.5) AS BIGINT) AS q
+  FROM (
+    SELECT source, ns,
+      CAST(c + 1 AS DOUBLE) / CAST(ns + 10 AS DOUBLE) AS ps,
+      CAST(g + 1 AS DOUBLE) / CAST(n + 10 AS DOUBLE) AS pg
+    FROM grid
+  )
+)
+SELECT source, CAST(ns AS BIGINT) AS n_docs,
+  CAST(sum(q) AS BIGINT) AS psi_nano
+FROM terms GROUP BY 1, 2 ORDER BY 1"""
+
+
 def lang_source_chi2_sql() -> str:
     """Oracle of stages/textops.lang_source_chi2: full L x S grid (zero
     cells included), e from DOUBLE marginal products, per-cell nano

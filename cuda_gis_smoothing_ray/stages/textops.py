@@ -154,6 +154,84 @@ def lang_id_eval(ds):
     })
 
 
+def length_psi_by_source(ds, n_bins: int = 10):
+    """documents -> (source, n_docs, psi_nano): Population Stability Index
+    of each source's doc-length (``n_chars``) distribution against the
+    GLOBAL length distribution, over exact global decile bins — the
+    standard drift gauge (PSI < 0.1 stable / > 0.25 shifted) a pipeline
+    owner reads per feed.  Integer nano-nat output via the once-quantized
+    per-bin term discipline.
+
+    Exactness: decile thresholds are EXACT order statistics from the
+    bounded (value, count) length histogram (t_k = min value whose
+    cumulative count >= ceil(k*n/bins)); ``bin = #(thresholds < value)``
+    so threshold-valued docs land in the lower bin on both engines; add-1
+    smoothing on both numerators (a zero bin otherwise makes PSI
+    undefined), denominators n+bins.  Per-bin terms
+    ``(p_s - p_g) * ln(p_s/p_g)`` are >= 0 and quantized once.
+
+    Scale shape: ONE bounded (value, count) histogram reduce (distinct
+    doc lengths — bounded by max doc bytes, not corpus size), thresholds
+    broadcast into a second streaming scan emitting (source, bin)
+    partials, ONE bounded |S| x bins reduce, driver-side exact finish."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        u, c = np.unique(v, return_counts=True)
+        return pa.table({"v": pa.array(u), "c": pa.array(c.astype(np.int64))})
+
+    h = (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .groupby("v").aggregate(Sum("c", alias_name="c"))
+    ).to_pandas()
+    if h.empty:
+        raise ValueError("length_psi_by_source: empty input")
+    h = h.sort_values("v")
+    vals = h["v"].to_numpy(np.int64)
+    cc = np.cumsum(h["c"].to_numpy(np.int64))
+    n = int(cc[-1])
+    thr = np.array(
+        [vals[np.searchsorted(cc, (k * n + n_bins - 1) // n_bins, "left")]
+         for k in range(1, n_bins)], np.int64)
+
+    def binned(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "bin": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        v = batch.column("n_chars").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        b = np.searchsorted(thr, v, side="left")  # = #(thresholds < v)
+        df = pd.DataFrame({
+            "source": batch.column("source").to_pandas(), "bin": b})
+        g = df.groupby(["source", "bin"], sort=False).size() \
+            .reset_index(name="c")
+        g["c"] = g["c"].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sb = (
+        ds.map_batches(binned, batch_format="pyarrow")
+        .groupby(["source", "bin"]).aggregate(Sum("c", alias_name="c"))
+    ).to_pandas()
+    sources = sorted(sb["source"].unique())
+    C = np.zeros((len(sources), n_bins), np.int64)
+    si = sb["source"].map({k: i for i, k in enumerate(sources)}).to_numpy()
+    C[si, sb["bin"].to_numpy(np.int64)] = sb["c"].to_numpy(np.int64)
+    ns = C.sum(axis=1)
+    g = C.sum(axis=0)
+    pg = (g + 1).astype(np.float64) / np.float64(n + n_bins)
+    psi = np.zeros(len(sources), np.int64)
+    for i in range(len(sources)):
+        ps = (C[i] + 1).astype(np.float64) / np.float64(int(ns[i]) + n_bins)
+        term = (ps - pg) * np.log(ps / pg)
+        psi[i] = np.floor(term * 1e9 + 0.5).astype(np.int64).sum()
+    return pd.DataFrame({"source": sources, "n_docs": ns,
+                         "psi_nano": psi})
+
+
 def lang_source_chi2(ds):
     """documents -> ONE row (n_docs, n_langs, n_sources, dof, chi2_nano):
     Pearson chi-squared INDEPENDENCE test of language x source — is the

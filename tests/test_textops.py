@@ -546,3 +546,31 @@ def test_lang_source_chi2_hand(ray_session):
     assert got["n_sources"].to_list() == [2]
     assert got["dof"].to_list() == [1]
     assert got["chi2_nano"].to_list() == [793650793]
+
+
+def test_length_psi_by_source_hand(ray_session):
+    """Lengths 1..10 one doc each -> exact deciles t_k = k, one doc per
+    bin; source A holds lengths 1-5, B holds 6-10 — perfectly disjoint
+    halves, so each source has five (2/15 vs 2/20) bins and five
+    (1/15 vs 2/20) bins and A and B get the identical PSI."""
+    import math
+
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.textops import length_psi_by_source
+
+    ds = rd.from_arrow(pa.table({
+        "n_chars": pa.array(list(range(1, 11)), pa.int64()),
+        "source": pa.array(["A"] * 5 + ["B"] * 5, pa.string()),
+    })).repartition(3)
+    got = length_psi_by_source(ds).reset_index(drop=True)
+
+    def q(t):
+        return int(math.floor(t * 1e9 + 0.5))
+
+    ps_hi, ps_lo, pg = 2 / 15, 1 / 15, 2 / 20
+    want = 5 * q((ps_hi - pg) * math.log(ps_hi / pg)) \
+        + 5 * q((ps_lo - pg) * math.log(ps_lo / pg))
+    assert got["source"].to_list() == ["A", "B"]
+    assert got["n_docs"].to_list() == [5, 5]
+    assert got["psi_nano"].to_list() == [want, want]
