@@ -1879,6 +1879,15 @@ def _q_media_decode(sf_dir: str):
     return ds.drop_columns(["feature"]).sort("media_id")
 
 
+def _q_audio_loudness(sf_dir: str):
+    """Loudness QA over REAL WAV payloads: exact sum-of-squares / peak +
+    one round6 dBFS float per clip (stages/media.audio_loudness)."""
+    from cuda_gis_smoothing_ray.stages import media
+
+    return media.audio_loudness(media.synth_media_table(sf_dir)) \
+        .sort("media_id")
+
+
 def _q_media_decode_real(sf_dir: str):
     """REAL codec path: synthesized uncompressed-BMP / PCM16-WAV payloads
     parsed by the dependency-free numpy decoders (stages/media.decode_bmp /
@@ -4165,6 +4174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_terms": _q_cluster_terms,
         "media_decode": _q_media_decode,
         "media_decode_real": _q_media_decode_real,
+        "audio_loudness": _q_audio_loudness,
         "media_resize_real": _q_media_resize_real,
         "audio_resample_real": _q_audio_resample_real,
         "media_features": _q_media_features,
@@ -4525,6 +4535,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_terms": oc.cluster_terms_sql(),
         "media_decode": oc.media_decode_sql(),
         "media_decode_real": oc.media_decode_real_sql(),
+        "audio_loudness": oc.audio_loudness_sql(),
         "media_resize_real": oc.media_resize_real_sql(),
         "audio_resample_real": oc.audio_resample_real_sql(),
         "media_features": oc.media_features_sql(),

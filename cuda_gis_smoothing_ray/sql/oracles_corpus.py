@@ -3020,6 +3020,33 @@ GROUP BY media_id, fmt, width, height, sample_rate, n_units
 ORDER BY media_id"""
 
 
+def audio_loudness_sql() -> str:
+    """Oracle of stages/media.audio_loudness: regenerate each WAV's sample
+    stream arithmetically, exact BIGINT sum-of-squares + peak, one round6
+    dB float (full scale 2048^2 = 4194304 per sample)."""
+    db = (f"{D(10.0)} * log10(CAST(greatest(sum_sq, 1) AS DOUBLE)"
+          " / CAST(n_samples * 4194304 AS DOUBLE))")
+    return f"""WITH p AS (
+  SELECT doc_id AS media_id,
+    8000 + (doc_id % 3) * 4000 AS sample_rate,
+    400 + (doc_id % 7) * 100 AS n_samples
+  FROM documents WHERE doc_id % 2 = 1
+), vals AS (
+  SELECT p.media_id, p.sample_rate, p.n_samples,
+    (p.media_id * 17 + g.i * 13) % 4096 - 2048 AS v
+  FROM p, LATERAL (SELECT unnest(range(0, p.n_samples)) AS i) g
+), agg AS (
+  SELECT media_id, sample_rate, n_samples,
+    CAST(MAX(abs(v)) AS BIGINT) AS peak,
+    CAST(SUM(v * v) AS BIGINT) AS sum_sq
+  FROM vals GROUP BY 1, 2, 3
+)
+SELECT media_id, CAST(sample_rate AS BIGINT) AS sample_rate,
+  CAST(n_samples AS BIGINT) AS n_samples, peak, sum_sq,
+  {round6(db)} AS rms_db
+FROM agg ORDER BY media_id"""
+
+
 def media_resize_real_sql(target_w: int = 16, target_h: int = 12) -> str:
     """Oracle of stages/media.media_resize_real: regenerate each BMP's
     source pixel stream by index arithmetic, apply the identical

@@ -520,3 +520,46 @@ def audio_resample_real(ds, target_rate: int = AUDIO_TARGET_RATE,
         )
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)
+
+
+def audio_loudness(ds, batch_size: int = 256):
+    """REAL loudness QA over the WAV payloads: decode with the numpy RIFF
+    parser, then per clip the exact int64 sum of squares, peak magnitude,
+    and ``rms_db = 10*log10(sum_sq / (n * 2048^2))`` — dB relative to the
+    synth generator's 2048 full-scale, ONE float op round6-quantized,
+    all-silence clamped (``greatest(sum_sq, 1)``).  Audio rows only.
+
+    The SQL oracle regenerates the sample stream arithmetically, so a
+    byte-level mis-parse (wrong chunk walk, endianness, offset) fails the
+    exact integer sums before the float ever matters.  Streams: actorless
+    map over payload batches, no shuffle."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch.column("fmt"), "wav"))
+        mids = batch.column("media_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        payloads = batch.column("payload")
+        rates, ns, peaks, sums, dbs = [], [], [], [], []
+        for j in range(len(payloads)):
+            s, rate = decode_wav(payloads[j].as_py())
+            v = s.astype(np.int64)
+            n = len(v)
+            ss = int((v * v).sum())
+            peaks.append(int(np.abs(v).max()) if n else 0)
+            rates.append(rate)
+            ns.append(n)
+            sums.append(ss)
+            db = 10.0 * np.log10(float(max(ss, 1)) / float(n * 4194304))
+            dbs.append(np.floor(db * 1e6 + 0.5) / 1e6)
+        return pa.table({
+            "media_id": pa.array(mids),
+            "sample_rate": pa.array(np.asarray(rates, np.int64)),
+            "n_samples": pa.array(np.asarray(ns, np.int64)),
+            "peak": pa.array(np.asarray(peaks, np.int64)),
+            "sum_sq": pa.array(np.asarray(sums, np.int64)),
+            "rms_db": pa.array(np.asarray(dbs, np.float64)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=batch_size)

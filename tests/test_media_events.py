@@ -1296,3 +1296,39 @@ def test_wau_curve_window_dedup():
     assert int(out.loc[d0 + 6, "wau"]) == 1        # day 0 aged out, day 2 in
     assert int(out.loc[d0 + 8, "wau"]) == 1        # day-2 activity still in
     assert int(out.loc[d0 + 9, "wau"]) == 1        # user 1 aged out; user 2 in
+
+
+def test_audio_loudness_hand(ray_session):
+    """Hand WAV fixtures through the REAL encoder/decoder: samples
+    [3,-4,0] -> sum_sq 25, peak 4, rms_db = 10*log10(25/(3*2048^2));
+    all-silence [0,0] clamps sum_sq to 1 in the dB only."""
+    import math
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages.media import audio_loudness, encode_wav
+
+    ds = rd.from_arrow(pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "fmt": pa.array(["wav", "wav"], pa.string()),
+        "payload": pa.array([
+            encode_wav(np.array([3, -4, 0], np.int16), 8000),
+            encode_wav(np.array([0, 0], np.int16), 16000),
+        ], pa.binary()),
+    }))
+    got = audio_loudness(ds).to_pandas().sort_values("media_id") \
+        .reset_index(drop=True)
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    assert got["sample_rate"].to_list() == [8000, 16000]
+    assert got["n_samples"].to_list() == [3, 2]
+    assert got["peak"].to_list() == [4, 0]
+    assert got["sum_sq"].to_list() == [25, 0]
+    assert got["rms_db"].to_list() == [
+        r6(10.0 * math.log10(25 / (3 * 4194304))),
+        r6(10.0 * math.log10(1 / (2 * 4194304))),
+    ]
