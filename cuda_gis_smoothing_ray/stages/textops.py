@@ -891,9 +891,17 @@ def minhash_pairs(ds, threshold: float = 0.7, num_perms: int = 64,
     )
 
 
+#: below this doc count the endpoint-label table broadcasts (one ray.put,
+#: read per task) instead of the two tagged-union shuffles — the
+#: enrich_pages ENRICH_BROADCAST_MAX_CELLS discipline (smooth.py); 1M
+#: (doc_id, source) rows is ~30 MB in the object store
+CROSS_NEARDUP_BROADCAST_MAX_DOCS = 1_000_000
+
+
 def cross_source_neardup(docs_ds, threshold: float = 0.7, num_perms: int = 64,
                          shingle_k: int = 5, bands: int = 16,
-                         n_parts: int | None = None):
+                         n_parts: int | None = None,
+                         broadcast_max_docs: int | None = None):
     """Near-dup CONTAMINATION MATRIX across sources: MinHash-LSH near-dup
     pairs cross-tabulated by unordered source pair ->
     ``(source_a, source_b, n_pairs)`` with ``source_a <= source_b``
@@ -902,22 +910,56 @@ def cross_source_neardup(docs_ds, threshold: float = 0.7, num_perms: int = 64,
     deciding what to drop — within-source mass sits on the diagonal.
 
     Scale shape: the pair list is :func:`minhash_pairs` (banded, capped,
-    never all-pairs); each endpoint's source label is attached with ONE
-    tagged-union coarse hash shuffle keyed by that endpoint's doc_id (the
-    label table is corpus-sized, so it is never broadcast and no join
-    actors spin up); the final count reduces batch-local partials onto the
-    BOUNDED source-pair key set (|sources|^2/2 rows at most)."""
+    never all-pairs).  Label attach is SIZE-GATED (the enrich_pages
+    discipline): up to ``broadcast_max_docs`` the (doc_id, source) table is
+    sorted once on the driver and broadcast (ONE ``ray.put``, searchsorted
+    probe per batch, both endpoints in one pass); above the gate each
+    endpoint's label is attached with ONE tagged-union coarse hash shuffle
+    keyed by that endpoint's doc_id (the label table is corpus-sized, so
+    it is never broadcast and no join actors spin up).  Either arm ends in
+    the same reduce of batch-local partials onto the BOUNDED source-pair
+    key set (|sources|^2/2 rows at most); a parity pytest locks the two
+    arms to identical output."""
     from ray.data.aggregate import Sum
 
     from ..functions.scale import default_parts
 
     n_parts = default_parts() if n_parts is None else n_parts
+    if broadcast_max_docs is None:
+        broadcast_max_docs = CROSS_NEARDUP_BROADCAST_MAX_DOCS
 
     labels = docs_ds.map_batches(
         lambda b: b.select(["doc_id", "source"]), batch_format="pyarrow",
         batch_size=None)
     edges = minhash_pairs(docs_ds, threshold=threshold, num_perms=num_perms,
                           shingle_k=shingle_k, bands=bands, n_parts=n_parts)
+
+    if labels.count() <= broadcast_max_docs:
+        import pandas as pd
+        import ray
+
+        lab = labels.to_pandas()
+        k = lab["doc_id"].to_numpy(np.int64)
+        order = np.argsort(k, kind="stable")
+        lab_ref = ray.put((k[order], lab["source"].to_numpy(object)[order]))
+
+        def attach_both(b: pa.Table) -> "pd.DataFrame":
+            k2, v2 = ray.get(lab_ref)
+            a = b.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
+            bb = b.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
+            sa = v2[np.searchsorted(k2, a)]
+            sb = v2[np.searchsorted(k2, bb)]
+            g = pd.DataFrame({"source_a": np.minimum(sa, sb),
+                              "source_b": np.maximum(sa, sb)})
+            return g.groupby(["source_a", "source_b"], sort=False,
+                             as_index=False).size() \
+                .rename(columns={"size": "n_pairs"})
+
+        return (
+            edges.map_batches(attach_both, batch_format="pyarrow")
+            .groupby(["source_a", "source_b"])
+            .aggregate(Sum("n_pairs", alias_name="n_pairs"))
+        )
 
     def _attach(pairs, key_col: str, out_col: str, carry: list[str]):
         def tag_lab(b: pa.Table) -> pa.Table:

@@ -574,3 +574,26 @@ def test_length_psi_by_source_hand(ray_session):
     assert got["source"].to_list() == ["A", "B"]
     assert got["n_docs"].to_list() == [5, 5]
     assert got["psi_nano"].to_list() == [want, want]
+
+
+def test_cross_source_neardup_arms_parity(ray_session):
+    """The size-gated broadcast arm and the tagged-union shuffle arm must
+    produce the identical contamination matrix (broadcast_max_docs=0
+    forces the shuffle arm)."""
+    from cuda_gis_smoothing_ray.stages.textops import cross_source_neardup
+
+    dup = BASE
+    rows = [(1, dup, "x"), (2, dup, "y"), (3, dup, "x"), (4, "other words", "z")]
+    ds = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "source": pa.array([r[2] for r in rows], pa.string()),
+    })
+    import ray.data as rd
+    fast = cross_source_neardup(rd.from_arrow(ds).repartition(2)) \
+        .to_pandas().sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    slow = cross_source_neardup(rd.from_arrow(ds).repartition(2),
+                                broadcast_max_docs=0) \
+        .to_pandas().sort_values(["source_a", "source_b"]).reset_index(drop=True)
+    assert fast.equals(slow)
+    assert fast["n_pairs"].sum() == 3
