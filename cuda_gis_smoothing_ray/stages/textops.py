@@ -4104,9 +4104,14 @@ def source_divergence_matrix(ds, n_parts: int | None = None):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def src_totals(batch: pa.Table) -> pa.Table:
-        row_idx, _toks = _row_tokens(batch)
+        import pyarrow.compute as pc_
+
+        # token COUNT only: count_re(\S+) == len(_row_tokens) by definition
+        # (non-empty \s+ splits), at a fraction of the full split's cost —
+        # the totals pass never needs the token strings
+        per_row = textstats.count_re(
+            pc_.fill_null(batch.column("text"), ""), textstats.TOKEN_RE)
         src = batch.column("source").to_numpy(zero_copy_only=False)
-        per_row = np.bincount(row_idx, minlength=len(batch))
         df = pd.DataFrame({"source": src, "n": per_row.astype(np.int64)})
         g = df.groupby("source", sort=False, as_index=False)["n"].sum()
         return pa.Table.from_pandas(g, preserve_index=False)
