@@ -729,22 +729,44 @@ def minhash_pairs(ds, threshold: float = 0.7, num_perms: int = 64,
         # Arrow column goes straight into the batched hasher (zero-copy
         # offsets/data buffers; no to_pylist round-trip)
         keys = mh.band_keys(mh.signatures(batch.column("text")))  # (n, bands) int64
+        bucket = keys.ravel()
         return pa.table(
             {
-                "bucket": pa.array(keys.ravel()),
+                "bucket": pa.array(bucket),
                 "doc_id": pa.array(np.repeat(doc, bands)),
+                "__part": pa.array(hashing.coarse_partition(bucket, n_parts)),
             }
         )
 
-    def pairs_of_bucket(df):
-        ids = np.unique(df["doc_id"].to_numpy())
-        if max_bucket is not None and len(ids) > max_bucket:
-            ids = ids[:max_bucket]  # deterministic: lowest ids survive
-        if len(ids) < 2:
+    def bucket_solve(part_df) -> dict:
+        # ONE coarse bucket-hash partition solves ALL its buckets
+        # vectorized (the _token_pair_candidates discipline) instead of
+        # groupby(bucket).map_groups paying dispatch per distinct bucket:
+        # lexsort by (bucket, doc), dedupe, per-segment truncation to the
+        # lowest max_bucket ids, _segment_pairs triu — bit-identical pk
+        # stream to the per-bucket np.unique + triu_indices form
+        b = part_df["bucket"].to_numpy(np.int64)
+        d = part_df["doc_id"].to_numpy(np.int64)
+        if len(b) == 0:
             return {"pk": np.empty(0, np.int64)}
-        _check_pack_ids(ids)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        return {"pk": (ids[iu] << np.int64(31)) | ids[ju]}
+        order = np.lexsort((d, b))
+        b, d = b[order], d[order]
+        keep = np.ones(len(b), bool)
+        keep[1:] = (b[1:] != b[:-1]) | (d[1:] != d[:-1])
+        b, d = b[keep], d[keep]
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        lens = np.diff(np.r_[starts, len(b)])
+        if max_bucket is not None and (lens > max_bucket).any():
+            rank = np.arange(len(b), dtype=np.int64) - np.repeat(starts, lens)
+            trunc = rank < max_bucket  # sorted ids: lowest survive
+            b, d = b[trunc], d[trunc]
+            starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+            lens = np.diff(np.r_[starts, len(b)])
+        _check_pack_ids(d)
+        ia, ib = _segment_pairs(starts, lens)
+        if len(ia) == 0:
+            return {"pk": np.empty(0, np.int64)}
+        return {"pk": np.unique((d[ia] << np.int64(31)) | d[ib])}
 
     def add_part_pk(batch: pa.Table) -> pa.Table:
         pk = batch.column("pk").to_numpy(zero_copy_only=False)
@@ -756,8 +778,8 @@ def minhash_pairs(ds, threshold: float = 0.7, num_perms: int = 64,
 
     cand = (
         ds.map_batches(band_rows, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(pairs_of_bucket)
+        .groupby("__part")
+        .map_groups(bucket_solve, batch_format="pandas")
         .map_batches(add_part_pk, batch_format="pyarrow", batch_size=None)
         .groupby("part")
         .map_groups(distinct_pk)
