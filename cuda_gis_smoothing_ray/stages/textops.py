@@ -1065,15 +1065,21 @@ def cross_source_neardup(docs_ds, threshold: float = 0.7, num_perms: int = 64,
 # ---------------------------------------------------------------------------
 
 def simhash_pairs(ds, max_hamming: int = 3, n_bands: int = 4,
-                  token_hash: str = "blake2b", max_bucket: int = 4096):
+                  token_hash: str = "blake2b", max_bucket: int = 4096,
+                  n_parts: int | None = None):
     """documents -> (a, b, hamming) pairs with simhash hamming <= max_hamming.
 
     Pigeonhole blocking: any pair within hamming<=3 agrees exactly on at
-    least one of 4 16-bit bands -> groupby(band value) -> verify true
-    hamming per candidate pair.  ``max_bucket`` bounds a hot band bucket's
-    quadratic pair fan-out the same way :func:`minhash_pairs` does
-    (deterministic lowest-id truncation; ``None`` = exact).
+    least one of 4 16-bit bands; candidates resolve in ONE coarse
+    bucket-hash partition with the shared vectorized segmented-triu solve
+    (the :func:`minhash_pairs` / ``_token_pair_candidates`` discipline —
+    never ``groupby(bucket).map_groups`` dispatch per distinct band
+    value), then exact hamming verification per candidate.  ``max_bucket``
+    bounds a hot band bucket's quadratic pair fan-out the same way
+    :func:`minhash_pairs` does (deterministic lowest-id truncation;
+    ``None`` = exact).
     """
+    n_parts = default_parts() if n_parts is None else n_parts
     def sigs(batch: pa.Table) -> pa.Table:
         texts = (batch.column("text") if token_hash == "fnv"
                  else batch.column("text").to_pylist())
@@ -1086,34 +1092,47 @@ def simhash_pairs(ds, max_hamming: int = 3, n_bands: int = 4,
         for b in range(n_bands):
             bands[:, b] = ((sh >> np.uint64(b * width)) & mask).astype(np.int64)
             bands[:, b] |= np.int64(b) << np.int64(48)  # band id in key space
+        bucket = bands.ravel()
         return pa.table(
             {
-                "bucket": pa.array(bands.ravel()),
+                "bucket": pa.array(bucket),
                 "doc_id": pa.array(np.repeat(doc, n_bands)),
                 "simhash": pa.array(np.repeat(sh.astype(np.int64), n_bands)),
+                "__part": pa.array(hashing.coarse_partition(bucket, n_parts)),
             }
         )
 
-    def pairs_of_bucket(df):
-        d = df.sort_values("doc_id")
-        if max_bucket is not None and len(d) > max_bucket:
-            d = d.head(max_bucket)  # deterministic: lowest ids survive
-        ids = d["doc_id"].to_numpy()
-        if len(ids) < 2:
-            return {"pk": np.empty(0, np.int64), "hamming": np.empty(0, np.int64)}
-        _check_pack_ids(ids)
-        sh = d["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        ham = hashing.hamming64(sh[iu], sh[ju])
+    def bucket_solve(part_df) -> dict:
+        empty = {"pk": np.empty(0, np.int64), "hamming": np.empty(0, np.int64)}
+        b = part_df["bucket"].to_numpy(np.int64)
+        d = part_df["doc_id"].to_numpy(np.int64)
+        sh = part_df["simhash"].to_numpy(np.int64)
+        if len(b) == 0:
+            return empty
+        order = np.lexsort((d, b))
+        b, d, sh = b[order], d[order], sh[order]
+        starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+        lens = np.diff(np.r_[starts, len(b)])
+        if max_bucket is not None and (lens > max_bucket).any():
+            rank = np.arange(len(b), dtype=np.int64) - np.repeat(starts, lens)
+            trunc = rank < max_bucket  # sorted ids: lowest survive
+            b, d, sh = b[trunc], d[trunc], sh[trunc]
+            starts = np.flatnonzero(np.r_[True, b[1:] != b[:-1]])
+            lens = np.diff(np.r_[starts, len(b)])
+        _check_pack_ids(d)
+        ia, ib = _segment_pairs(starts, lens)
+        if len(ia) == 0:
+            return empty
+        ham = hashing.hamming64(sh[ia].view(np.uint64), sh[ib].view(np.uint64))
         keep = ham <= max_hamming
         return {
-            "pk": (ids[iu][keep].astype(np.int64) << np.int64(31))
-            | ids[ju][keep].astype(np.int64),
-            "hamming": ham[keep],
+            "pk": (d[ia][keep] << np.int64(31)) | d[ib][keep],
+            "hamming": ham[keep].astype(np.int64),
         }
 
     posted = ds.map_batches(sigs, batch_format="pyarrow")
-    pairs = posted.groupby("bucket").map_groups(pairs_of_bucket)
+    pairs = posted.groupby("__part").map_groups(bucket_solve,
+                                               batch_format="pandas")
     return pairs.map_batches(_dedupe_packed_pairs("hamming"),
                              batch_format="pyarrow", batch_size=None) \
         .groupby("part").map_groups(_reduce_packed_pairs("hamming"))
