@@ -1777,6 +1777,18 @@ def _q_ann_ivf_tiny(sf_dir: str):
     )
 
 
+def _q_ann_lsh_tiny(sf_dir: str):
+    """Tiny-parameter EXACT-arithmetic hyperplane-LSH twin (4 bits, 2
+    bands): splitmix-derived integer planes, exact BIGINT sign-bit bands,
+    int64 squared-L2 re-rank — the SQL gate for the ann_lsh_topk topology
+    (every ANN variant now has a bit-exact twin)."""
+    from cuda_gis_smoothing_ray.stages import ann
+
+    return ann.ann_lsh_int(ann.read_embeddings(sf_dir)).sort(
+        ["query_id", "rank"]
+    )
+
+
 def _q_ann_pq_tiny(sf_dir: str):
     """Tiny-parameter EXACT-arithmetic PQ twin (m=2, 2 codes/subspace):
     per-subspace int64 codebooks, integer ADC lookup-sum ranking — the SQL
@@ -4160,6 +4172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": _q_ann_ivf,
         "ann_pq_topk": _q_ann_pq,
         "ann_ivf_tiny": _q_ann_ivf_tiny,
+        "ann_lsh_tiny": _q_ann_lsh_tiny,
         "ann_pq_tiny": _q_ann_pq_tiny,
         "ann_recall": _q_ann_recall,
         "ann_range_search": _q_ann_range,
@@ -4650,6 +4663,7 @@ def oracle_sql() -> dict[str, str]:
         # simhash_pairs are SQL-checked at production parameters (above);
         # the IVF / PQ topologies get bit-exact tiny-parameter twins:
         "ann_ivf_tiny": oc.ivf_tiny_sql(),
+        "ann_lsh_tiny": oc.lsh_tiny_sql(),
         "ann_pq_tiny": oc.pq_tiny_sql(),
         "pip_join": o.pip_join_sql(RES),
         "pip_join_holes": o.pip_join_holes_sql(RES),

@@ -141,7 +141,8 @@ def _per_string_counts(mask: np.ndarray, off: np.ndarray, nb: int,
 
 
 def _seg_counts(d: np.ndarray, off: np.ndarray,
-                words: tuple[bytes, ...] | None = None) -> dict[str, np.ndarray]:
+                words: tuple[bytes, ...] | None = None,
+                need_bpe: bool = True) -> dict[str, np.ndarray]:
     """One segment (strings fully contained): uint8 bytes + 0-based offsets
     -> per-string class counts.  All temporaries from the scratch pool;
     everything vectorized; RE2-semantics proven by the fuzz tests and the
@@ -153,9 +154,10 @@ def _seg_counts(d: np.ndarray, off: np.ndarray,
     """
     nb = len(d)
     ns = len(off) - 1
+    keys = OUT_KEYS if need_bpe else tuple(k for k in OUT_KEYS if k != "n_bpe")
     if nb == 0:
         z = np.zeros(ns, np.int64)
-        out = {k: z.copy() for k in OUT_KEYS}
+        out = {k: z.copy() for k in keys}
         if words is not None:
             out["n_words"] = z.copy()
         return out
@@ -197,20 +199,6 @@ def _seg_counts(d: np.ndarray, off: np.ndarray,
     np.logical_and(t2, prev, out=t1)
     n_tokens = per_string(t1)
 
-    # BPE = letter-run starts + digit-run starts + punct chars (disjoint)
-    prev[0] = False
-    prev[1:] = letter[:-1]
-    prev[starts] = False
-    np.logical_not(prev, out=prev)
-    np.logical_and(letter, prev, out=bpe)
-    prev[0] = False
-    prev[1:] = digit[:-1]
-    prev[starts] = False
-    np.logical_not(prev, out=prev)
-    np.logical_and(digit, prev, out=t1)
-    np.logical_or(bpe, t1, out=bpe)
-    np.logical_or(bpe, punct, out=bpe)
-
     n_chars = per_string(lead)
     n_ws = per_string(ws)
     out = {
@@ -218,8 +206,22 @@ def _seg_counts(d: np.ndarray, off: np.ndarray,
         "n_tokens": n_tokens,
         "n_punct": per_string(punct),
         "n_nonspace": n_chars - n_ws,
-        "n_bpe": per_string(bpe),
     }
+    if need_bpe:
+        # BPE = letter-run starts + digit-run starts + punct chars (disjoint)
+        prev[0] = False
+        prev[1:] = letter[:-1]
+        prev[starts] = False
+        np.logical_not(prev, out=prev)
+        np.logical_and(letter, prev, out=bpe)
+        prev[0] = False
+        prev[1:] = digit[:-1]
+        prev[starts] = False
+        np.logical_not(prev, out=prev)
+        np.logical_and(digit, prev, out=t1)
+        np.logical_or(bpe, t1, out=bpe)
+        np.logical_or(bpe, punct, out=bpe)
+        out["n_bpe"] = per_string(bpe)
     if words is not None:
         wc = _scratch("w_wc", nb, np.bool_)
         unpack(_WC_BIT, wc)  # word chars [A-Za-z0-9_]
@@ -449,7 +451,8 @@ def count_word_sets(texts, sets: tuple[tuple[str, ...], ...]) -> list[np.ndarray
 
 
 def _byte_class_counts(arr: pa.Array,
-                       words: tuple[bytes, ...] | None = None) -> dict[str, np.ndarray]:
+                       words: tuple[bytes, ...] | None = None,
+                       need_bpe: bool = True) -> dict[str, np.ndarray]:
     """One vectorized pass over a StringArray's UTF-8 buffer -> per-string
     counts with EXACTLY the RE2 semantics of the module's patterns:
 
@@ -470,6 +473,8 @@ def _byte_class_counts(arr: pa.Array,
     _require_no_nulls(arr)
     n = len(arr)
     keys = OUT_KEYS + ("n_words",) if words is not None else OUT_KEYS
+    if not need_bpe:
+        keys = tuple(k for k in keys if k != "n_bpe")
     if n == 0:
         return {k: np.zeros(0, np.int64) for k in keys}
     off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
@@ -492,7 +497,7 @@ def _byte_class_counts(arr: pa.Array,
         seg = _seg_counts(
             d_all[off_all[row] : off_all[row_end]],
             off_all[row : row_end + 1] - off_all[row],
-            words=words,
+            words=words, need_bpe=need_bpe,
         )
         for k in keys:
             outs[k][row:row_end] = seg[k]
@@ -500,18 +505,20 @@ def _byte_class_counts(arr: pa.Array,
     return outs
 
 
-def byte_class_counts(texts, words: tuple[bytes, ...] | None = None) -> dict[str, np.ndarray]:
+def byte_class_counts(texts, words: tuple[bytes, ...] | None = None,
+                      need_bpe: bool = True) -> dict[str, np.ndarray]:
     """(Chunked)Array -> concatenated per-string class counts (optionally
     with a fused standalone-word count under ``n_words``)."""
     if isinstance(texts, pa.ChunkedArray):
-        parts = [_byte_class_counts(c, words) for c in texts.chunks]
+        parts = [_byte_class_counts(c, words, need_bpe) for c in texts.chunks]
         if not parts:
-            return _byte_class_counts(pa.array([], pa.string()), words)
+            return _byte_class_counts(pa.array([], pa.string()), words,
+                                      need_bpe)
         return {k: np.concatenate([p[k] for p in parts]) for k in parts[0]}
-    return _byte_class_counts(texts, words)
+    return _byte_class_counts(texts, words, need_bpe)
 
 
-def text_stats(texts) -> dict[str, np.ndarray]:
+def text_stats(texts, need_bpe: bool = True) -> dict[str, np.ndarray]:
     """texts: pyarrow (Chunked)Array -> dict of per-doc metric arrays.
 
     All counting — char classes AND the stopword markers — is ONE fused
@@ -520,10 +527,10 @@ def text_stats(texts) -> dict[str, np.ndarray]:
     run); ratios are float64 with guarded denominators (0-token docs
     score 0).
     """
-    bc = byte_class_counts(texts, words=tuple(w.encode() for w in STOPWORDS))
+    bc = byte_class_counts(texts, words=tuple(w.encode() for w in STOPWORDS),
+                           need_bpe=need_bpe)
     n_chars = bc["n_chars"]
     n_tokens = bc["n_tokens"]
-    n_bpe = bc["n_bpe"]
     n_punct = bc["n_punct"]
     n_nonspace = bc["n_nonspace"]
     tok = np.maximum(n_tokens, 1).astype(np.float64)
@@ -537,15 +544,16 @@ def text_stats(texts) -> dict[str, np.ndarray]:
         + 0.25 * np.where((stop_ratio >= QS_STOP_LO) & (stop_ratio <= QS_STOP_HI), 1.0, 0.0)
         + 0.25 * np.minimum(1.0, mean_tok_chars / QS_MEANLEN_NORM)
     )
-    return {
-        "n_chars": n_chars,
-        "n_tokens": n_tokens,
-        "n_bpe_tokens": n_bpe,
+    out = {"n_chars": n_chars, "n_tokens": n_tokens}
+    if need_bpe:  # keep the historical column position for consumers that
+        out["n_bpe_tokens"] = bc["n_bpe"]  # emit stats.items() in order
+    out.update({
         "punct_ratio": punct_ratio,
         "stopword_ratio": stop_ratio,
         "mean_token_chars": mean_tok_chars,
         "quality_score": quality,
-    }
+    })
+    return out
 
 
 def lang_scores(texts) -> dict[str, np.ndarray]:

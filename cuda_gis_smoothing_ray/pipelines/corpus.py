@@ -20,15 +20,19 @@ def text_quality_by_lang(sf_dir: str, replicate: int = 1):
     """pages -> (lang, n_pages, mean quality/punct/stop/token metrics)."""
     from ray.data.aggregate import Sum
 
-    # CPU-heavy consumer (~8 s of kernel CPU per 1M pages): small tasks so
-    # the byte-class scans spread across every core (sweep: 150k/task best);
+    # CPU-heavy consumer (~4 s of kernel CPU per 1M pages after the
+    # need_bpe cut): task size balances per-task serial dispatch (~25-50 ms
+    # on this box) against core spread — r5 sweep at 10 M pages / 32 CPUs:
+    # 150k/230k/320k/450k/650k -> 4.58/3.43/3.39/3.52/4.11 s, 300k best;
     # columns= prunes the synthesized page_id/warc_ts/url this pipeline
     # never reads (the at-scale parquet-pruning rule applied to the source)
     pages = read_pages(sf_dir, replicate=replicate, include_html=False,
-                       pages_per_task=150_000, columns=["text", "lang"])
+                       pages_per_task=300_000, columns=["text", "lang"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        st = textstats.text_stats(batch.column("text"))
+        # need_bpe=False: this pipeline never reads n_bpe_tokens, and the
+        # BPE masks + their reduceat pass are ~15% of the class kernel
+        st = textstats.text_stats(batch.column("text"), need_bpe=False)
         # dictionary_encode (C) + bincount, not a pandas groupby: the lang
         # key has a handful of distinct values, so the whole batch-local
         # reduce is 4 weighted bincounts over int32 codes

@@ -8043,6 +8043,72 @@ FROM (
 ORDER BY query_id, rank"""
 
 
+def lsh_tiny_sql(k: int | None = None, n_queries: int | None = None,
+                 n_bits: int | None = None, n_bands: int | None = None,
+                 dim: int = 64) -> str:
+    """Oracle of stages/ann.ann_lsh_int: integer hyperplanes from the
+    4-step splitmix64 chain over key = b*dim + j (coef = h % 65536 -
+    32768), exact BIGINT projections -> sign bits -> band values (bit w of
+    band t weighted 2^w), candidates = vectors sharing >= 1 band with the
+    query (self excluded, DISTINCT pairs), exact int64 squared-L2 re-rank,
+    row_number top-k by (dist2, vec_id)."""
+    from ..stages import ann
+
+    k = ann.LSH_TINY_K if k is None else k
+    n_queries = ann.LSH_TINY_NQ if n_queries is None else n_queries
+    n_bits = ann.LSH_TINY_BITS if n_bits is None else n_bits
+    n_bands = ann.LSH_TINY_BANDS if n_bands is None else n_bands
+    scale = ann.CENTROID_SCALE
+    width = n_bits // n_bands
+    g = "11400714819323198485"  # golden-ratio increment, mod 2^64
+    return f"""WITH ev AS MATERIALIZED (
+  SELECT vec_id AS v, i - 1 AS j,
+    CAST(floor(CAST(embedding[i] AS DOUBLE) * {scale} + 0.5) AS BIGINT) AS q
+  FROM embeddings, unnest(generate_series(1, {dim})) AS s(i)
+), pk AS MATERIALIZED (
+  SELECT b.b, j.j, CAST(b.b * {dim} + j.j AS HUGEINT) AS x
+  FROM (SELECT unnest(generate_series(0, {n_bits - 1})) AS b) b,
+       (SELECT unnest(generate_series(0, {dim - 1})) AS j) j
+), z1 AS (
+  SELECT b, j, (x + {g}) % {_M64} AS z1 FROM pk
+), z2 AS (
+  SELECT b, j, {_mulmod64("xor(z1, z1 >> 30)", "13787848793156543929")} AS z2
+  FROM z1
+), z3 AS (
+  SELECT b, j, {_mulmod64("xor(z2, z2 >> 27)", "10723151780598845931")} AS z3
+  FROM z2
+), planes AS MATERIALIZED (
+  SELECT b, j,
+    CAST(xor(z3, z3 >> 31) % 65536 AS BIGINT) - 32768 AS coef
+  FROM z3
+), proj AS MATERIALIZED (
+  SELECT ev.v, p.b, sum(p.coef * ev.q) AS pr
+  FROM ev JOIN planes p ON p.j = ev.j GROUP BY ev.v, p.b
+), bands AS MATERIALIZED (
+  SELECT v, b // {width} AS band,
+    sum(CASE WHEN pr >= 0 THEN 1 ELSE 0 END * (1 << (b % {width}))) AS bv
+  FROM proj GROUP BY v, b // {width}
+), cand AS MATERIALIZED (
+  SELECT DISTINCT qb.v AS qv, xb.v
+  FROM bands qb JOIN bands xb
+    ON xb.band = qb.band AND xb.bv = qb.bv AND xb.v <> qb.v
+  WHERE qb.v < {n_queries}
+), dist AS MATERIALIZED (
+  SELECT c.qv, c.v, sum((eq.q - ex.q) * (eq.q - ex.q)) AS d2
+  FROM cand c
+  JOIN ev eq ON eq.v = c.qv
+  JOIN ev ex ON ex.v = c.v AND ex.j = eq.j
+  GROUP BY c.qv, c.v
+)
+SELECT qv AS query_id, CAST(rn AS BIGINT) AS rank, v AS vec_id,
+       CAST(d2 AS BIGINT) AS dist2
+FROM (
+  SELECT qv, v, d2, row_number() OVER (PARTITION BY qv ORDER BY d2, v) AS rn
+  FROM dist
+) WHERE rn <= {k}
+ORDER BY query_id, rank"""
+
+
 def pq_tiny_sql(k: int | None = None, n_queries: int | None = None,
                 m: int | None = None, n_codes: int | None = None,
                 n_train: int | None = None, iters: int | None = None,

@@ -1506,6 +1506,97 @@ def ann_ivf_int(ds, k: int = IVF_TINY_K, n_queries: int = IVF_TINY_NQ,
     )
 
 
+LSH_TINY_K = 5
+LSH_TINY_NQ = 8
+LSH_TINY_BITS = 4
+LSH_TINY_BANDS = 2
+
+
+def _lsh_planes_int(dim: int, n_bits: int) -> np.ndarray:
+    """(n_bits, dim) int64 hyperplane coefficients from the engine-wide
+    splitmix64 chain: ``coef[b, j] = splitmix64(b*dim + j) % 65536 - 32768``
+    — small signed integers, so every projection is an exact int64 dot
+    (|coef| <= 2^15, |q| <= 2^25, dim <= 64 -> |proj| < 2^46) and the
+    oracle reproduces the planes from the same 4-step mix
+    (sql/oracles_corpus.lsh_tiny_sql)."""
+    from ..functions.hashing import splitmix64
+
+    idx = np.arange(n_bits * dim, dtype=np.uint64)
+    h = splitmix64(idx)
+    return ((h % np.uint64(65536)).astype(np.int64) - 32768) \
+        .reshape(n_bits, dim)
+
+
+def _lsh_bands_int(X: np.ndarray, planes: np.ndarray,
+                   n_bands: int) -> np.ndarray:
+    """(n, dim) int64 -> (n, n_bands) int64 band values: sign bits of the
+    exact integer projections, band t = bits [t*width, (t+1)*width) with
+    bit w weighted 2^w (the ann_lsh signature layout)."""
+    n_bits = planes.shape[0]
+    width = n_bits // n_bands
+    bits = (X @ planes.T >= 0).astype(np.int64)  # (n, n_bits), exact
+    pw = np.int64(1) << np.arange(width, dtype=np.int64)
+    return (bits.reshape(len(X), n_bands, width) * pw[None, None, :]) \
+        .sum(axis=2)
+
+
+def ann_lsh_int(ds, k: int = LSH_TINY_K, n_queries: int = LSH_TINY_NQ,
+                n_bits: int = LSH_TINY_BITS, n_bands: int = LSH_TINY_BANDS):
+    """Hyperplane-LSH top-k with exact integer math — the tiny SQL-gated
+    twin of :func:`ann_lsh` (the last ANN variant without one, VERDICT r4
+    item 4).  Same distributed topology: splitmix-derived integer planes
+    computed once (broadcast via closure, O(n_bits*dim)), ONE streaming
+    scan with batch-local candidate generation (share >= 1 of ``n_bands``
+    sign-bit bands with the query, self excluded) and exact int64 squared-
+    L2 re-rank, bounded per-query merge by the total key (dist2, vec_id).
+    -> (query_id, rank, vec_id, dist2), bit-identical to
+    ``sql/oracles_corpus.lsh_tiny_sql``."""
+    import ray
+
+    q_ids, Q = _query_matrix_int(ds, n_queries)
+    planes = _lsh_planes_int(Q.shape[1], n_bits)
+    q_bands = _lsh_bands_int(Q, planes, n_bands)
+    ref = ray.put((q_ids, Q, q_bands))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qi_, Qm, qb = ray.get(ref)
+        X = _quant_int(batch)
+        vid = batch.column("vec_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        xb = _lsh_bands_int(X, planes, n_bands)
+        out_q, out_v, out_d = [], [], []
+        for i in range(len(qi_)):
+            cand = (xb == qb[i][None, :]).any(axis=1) & (vid != qi_[i])
+            if not cand.any():
+                continue
+            diff = X[cand] - Qm[i][None, :]
+            d2 = (diff * diff).sum(axis=1)  # <= 64 * 2^52 < 2^59: exact
+            cv = vid[cand]
+            keep = np.lexsort((cv, d2))[:k]
+            out_q.append(np.full(len(keep), qi_[i], dtype=np.int64))
+            out_v.append(cv[keep])
+            out_d.append(d2[keep])
+        if not out_q:
+            return _IVF_TINY_SCHEMA.empty_table()
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            "vec_id": pa.array(np.concatenate(out_v)),
+            "dist2": pa.array(np.concatenate(out_d)),
+        })
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["dist2", "vec_id"], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "rank", "vec_id", "dist2"]]
+
+    return (
+        ds.map_batches(local_topk, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge)
+    )
+
+
 def _pq_books_int(ds, m: int, n_codes: int, n_train: int,
                   iters: int) -> np.ndarray:
     """(m, n_codes, dim/m) int64 codebooks: per-subspace Lloyd on the

@@ -160,8 +160,11 @@ def connected_components(edges_ds, nodes_ds, node_col: str = "doc_id",
             }
         )
 
+    from ..functions.scale import default_parts
+
     _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
-    N_PARTS = 64
+    # cluster-sized at build time: the BSP arm IS the beyond-cap scale path
+    N_PARTS = default_parts()
 
     def add_part(batch: pa.Table) -> pa.Table:
         k = batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)

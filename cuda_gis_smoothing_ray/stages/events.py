@@ -24,9 +24,6 @@ import pyarrow as pa
 from ..functions import hashing
 from ..functions.scale import default_parts
 
-N_USER_PARTS = 64
-
-
 def _by_user(ds, solve, n_parts: int | None = None):
     """ONE coarse user-keyed shuffle + ONE vectorized solve per partition.
 
@@ -529,7 +526,7 @@ def trailing_window_sum(ds, window_us: int = TRAIL_WINDOW_US):
         if n_seg and (n_seg + 1) > (2**62) // max(int(stride), 1):
             raise OverflowError(
                 "trailing_window_sum: segment-offset key would overflow "
-                "int64; raise N_USER_PARTS or shrink the window")
+                "int64; raise n_parts or shrink the window")
         tp = (ts - (ts.min() if len(ts) else 0)) + (seg + 1) * stride
         lo = np.searchsorted(tp, tp - window_us, side="left")
         hi = np.searchsorted(tp, tp, side="right")
@@ -872,7 +869,7 @@ def cohort_retention(ds, bucket_us: int = DAY_US):
     rows — the analytics query every event pipeline ships."""
     from ray.data.aggregate import Sum
 
-    n_parts = 64
+    n_parts = default_parts()
 
     def pairs(batch: pa.Table) -> pa.Table:
         ts = batch.column("ts").to_numpy(zero_copy_only=False)
@@ -1911,11 +1908,14 @@ def als_rank1(ds, sweeps: int = ALS_SWEEPS, uscale: int = ALS_USCALE,
 def _als_add_part(nt: int):
     from ..functions import hashing
 
+    # cluster-sized at factory (= pipeline build) time, like _by_user
+    n_parts = default_parts()
+
     def add_part(batch: pa.Table) -> pa.Table:
         k = batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
         uid = k // nt
         return batch.append_column(
-            "__part", pa.array(hashing.coarse_partition(uid, N_USER_PARTS)
+            "__part", pa.array(hashing.coarse_partition(uid, n_parts)
                                .astype(np.int64)))
 
     return add_part

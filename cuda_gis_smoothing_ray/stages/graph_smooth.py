@@ -44,7 +44,6 @@ from ..functions.weights import ring_weights
 from ..functions.scale import default_parts
 
 MAX_NEIGHBORS_2ND = 12  # hex_smooth_cuda_v5.cu:30
-N_PARTS = 64
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 
 

@@ -35,13 +35,14 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.scale import default_parts
+
 TRAIN_MOD = 2
 MIN_COUNT = 2
 VOCAB_MAX = 50_000
 SCALE = 10**9
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
-_N_PARTS = 64
 
 
 def _tokens(batch: pa.Table):
@@ -62,11 +63,12 @@ def _tokens(batch: pa.Table):
     return doc_idx[nonempty], flat.filter(pa.array(nonempty))
 
 
-def _count_partial(batch: pa.Table) -> pa.Table:
+def _count_partial(batch: pa.Table, n_parts: int = 64) -> pa.Table:
     """Batch-local (gram, n, cnt) partial counts: n=1 rows are unigrams
     (gram = token), n=2 rows are bigrams (gram = 'w1 w2', within-doc
     consecutive pairs).  Tokens never contain whitespace, so the joined
-    key is collision-free."""
+    key is collision-free.  ``n_parts`` is bound at pipeline build time
+    via ``default_parts()`` (cluster-sized coarse gram shuffle)."""
     import pyarrow.compute as pc
 
     empty = pa.table({"gram": pa.array([], pa.string()),
@@ -98,7 +100,7 @@ def _count_partial(batch: pa.Table) -> pa.Table:
                              else g for g in grams])
     from ..functions.hashing import poly_hash64
 
-    part = ((poly_hash64(gram) * _GOLDEN) >> np.uint64(52)) % np.uint64(_N_PARTS)
+    part = ((poly_hash64(gram) * _GOLDEN) >> np.uint64(52)) % np.uint64(n_parts)
     return pa.table({"gram": gram, "n": pa.array(np.concatenate(ns)),
                      "cnt": pa.array(np.concatenate(cnts)),
                      "__part": pa.array(part.astype(np.int64))})
@@ -121,7 +123,8 @@ def train_bigram_lm(docs_ds, train_mod: int = TRAIN_MOD,
 
     counted = (
         docs_ds.map_batches(in_train, batch_format="pyarrow", batch_size=None)
-        .map_batches(_count_partial, batch_format="pyarrow", batch_size=None)
+        .map_batches(_count_partial, batch_format="pyarrow", batch_size=None,
+                     fn_kwargs={"n_parts": default_parts()})
         .groupby("__part")
         .map_groups(_merge_counts)
         .to_pandas()
@@ -239,20 +242,22 @@ def lm_score(docs_ds, train_mod: int = TRAIN_MOD, min_count: int = MIN_COUNT,
 
 
 BPE_ROUNDS = 6
-_BPE_PARTS = 64
 
 
 def _word_histogram(docs_ds):
     """documents -> (word, cnt) over the shared whitespace tokenization:
-    batch-local counts, poly_hash64 word partitions, one pandas merge per
-    partition — only (word, partial-count) rows shuffle."""
+    batch-local counts, poly_hash64 word partitions (cluster-sized via
+    ``default_parts()`` at build time), one pandas merge per partition —
+    only (word, partial-count) rows shuffle."""
     from ..functions.hashing import poly_hash64
+
+    n_parts = default_parts()
 
     def partial(batch: pa.Table) -> pa.Table:
         _, flat = _tokens(batch)
         vals, cnts = np.unique(flat.to_numpy(zero_copy_only=False),
                                return_counts=True)
-        part = poly_hash64(pa.array(vals, pa.string())) % np.uint64(_BPE_PARTS)
+        part = poly_hash64(pa.array(vals, pa.string())) % np.uint64(n_parts)
         return pa.table(
             {
                 "word": pa.array(vals, pa.string()),

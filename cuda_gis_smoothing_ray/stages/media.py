@@ -551,7 +551,7 @@ def audio_loudness(ds, batch_size: int = 256):
             rates.append(rate)
             ns.append(n)
             sums.append(ss)
-            db = 10.0 * np.log10(float(max(ss, 1)) / float(n * 4194304))
+            db = 10.0 * np.log10(float(max(ss, 1)) / float(max(n, 1) * 4194304))
             dbs.append(np.floor(db * 1e6 + 0.5) / 1e6)
         return pa.table({
             "media_id": pa.array(mids),

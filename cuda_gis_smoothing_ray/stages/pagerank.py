@@ -58,13 +58,25 @@ EDGE_MULT, EDGE_ADD = 131, 7
 EDGE_MULT2, EDGE_ADD2 = 17, 3
 
 _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
-N_PARTS = 64
 
 
-def _add_part(batch: pa.Table) -> pa.Table:
-    k = batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
-    part = ((k.view(np.uint64) * _GOLDEN) >> np.uint64(52)) % np.uint64(N_PARTS)
-    return batch.append_column("__part", pa.array(part.astype(np.int64)))
+def _add_part(n_parts: int | None = None):
+    """Coarse hash-partitioner factory, sized to the cluster at pipeline
+    BUILD time (``default_parts()``: 64 on the 32-CPU sandbox, ~2/core on
+    the multi-node target) so the BSP solve stage is never capped below
+    the cluster's parallelism.  Partition count is a pure perf knob — every
+    consumer reduces per key inside the partition."""
+    from ..functions.scale import default_parts
+
+    n_parts = default_parts() if n_parts is None else n_parts
+
+    def add(batch: pa.Table) -> pa.Table:
+        k = batch.column("key").to_numpy(zero_copy_only=False).astype(np.int64)
+        part = ((k.view(np.uint64) * _GOLDEN) >> np.uint64(52)) \
+            % np.uint64(n_parts)
+        return batch.append_column("__part", pa.array(part.astype(np.int64)))
+
+    return add
 
 
 def host_graph(docs_ds, n_docs: int):
@@ -129,7 +141,7 @@ def host_graph(docs_ds, n_docs: int):
     edges_deg = (
         edges.map_batches(tag_edge, batch_format="pyarrow", batch_size=None)
         .union(deg.map_batches(tag_deg, batch_format="pyarrow", batch_size=None))
-        .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
+        .map_batches(_add_part(), batch_format="pyarrow", batch_size=None)
         .groupby("__part")
         .map_groups(join_deg)
     )
@@ -237,7 +249,7 @@ def _rank_loop(edges, ranks, iterations: int, damp_fn):
         pushed = (
             ranks.map_batches(_tag_rank, batch_format="pyarrow", batch_size=None)
             .union(edges.map_batches(_tag_edge, batch_format="pyarrow", batch_size=None))
-            .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
+            .map_batches(_add_part(), batch_format="pyarrow", batch_size=None)
             .groupby("__part")
             .map_groups(_scatter)
         )
@@ -421,7 +433,7 @@ def bfs_hops(docs_ds, n_docs: int, seed_mod: int = BFS_SEED_MOD,
             dist.map_batches(tag_dist, batch_format="pyarrow", batch_size=None)
             .union(edges.map_batches(tag_edge, batch_format="pyarrow",
                                      batch_size=None))
-            .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
+            .map_batches(_add_part(), batch_format="pyarrow", batch_size=None)
             .groupby("__part")
             .map_groups(relax)
         )
@@ -519,7 +531,7 @@ def hits(docs_ds, n_docs: int, iterations: int = HITS_ITERS,
             vals.map_batches(tag_vals, batch_format="pyarrow", batch_size=None)
             .union(edges.map_batches(tag_edges, batch_format="pyarrow",
                                      batch_size=None))
-            .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
+            .map_batches(_add_part(), batch_format="pyarrow", batch_size=None)
             .groupby("__part")
             .map_groups(scatter)
         )
@@ -568,7 +580,7 @@ def hits(docs_ds, n_docs: int, iterations: int = HITS_ITERS,
         hub.map_batches(tag_hub, batch_format="pyarrow", batch_size=None)
         .union(auth.map_batches(tag_auth, batch_format="pyarrow",
                                 batch_size=None))
-        .map_batches(_add_part, batch_format="pyarrow", batch_size=None)
+        .map_batches(_add_part(), batch_format="pyarrow", batch_size=None)
         .groupby("__part")
         .map_groups(zip_scores)
         .sort("host")
@@ -743,7 +755,7 @@ def diameter_sweep(docs_ds, n_docs: int, rounds: int = SWEEP_ROUNDS,
                                  batch_size=None)
                 .union(uedges.map_batches(tag_edge, batch_format="pyarrow",
                                           batch_size=None))
-                .map_batches(_add_part, batch_format="pyarrow",
+                .map_batches(_add_part(), batch_format="pyarrow",
                              batch_size=None)
                 .groupby("__part")
                 .map_groups(relax)

@@ -313,7 +313,8 @@ def linear_probe(docs_ds):
     from ..functions import textstats
 
     def partial(batch: pa.Table) -> pa.Table:
-        bc = textstats.byte_class_counts(batch.column("text"))
+        bc = textstats.byte_class_counts(batch.column("text"),
+                                         need_bpe=False)
         x = bc["n_tokens"].astype(np.int64)
         y = bc["n_chars"].astype(np.int64)
         return pa.table(
@@ -373,7 +374,8 @@ def grouped_linear_probe(docs_ds, group_col: str = "lang"):
     cols = ("n", "sx", "sy", "sxx", "sxy", "syy")
 
     def partial(batch: pa.Table) -> pa.Table:
-        bc = textstats.byte_class_counts(batch.column("text"))
+        bc = textstats.byte_class_counts(batch.column("text"),
+                                         need_bpe=False)
         x = bc["n_tokens"].astype(np.int64)
         y = bc["n_chars"].astype(np.int64)
         g = batch.column(group_col).to_numpy(zero_copy_only=False)

@@ -84,7 +84,7 @@ def readability(ds):
     parallel — no shuffle."""
 
     def f(batch: pa.Table) -> pa.Table:
-        t = batch.column("text")
+        t = pc.fill_null(batch.column("text"), "")
         nt = textstats.count_re(t, textstats.TOKEN_RE)
         ns = textstats.count_re(t, textstats.SENTENCE_RE)
         nv = textstats.count_re(t, textstats.VOWEL_RUN_RE)
@@ -570,16 +570,16 @@ def jaccard_pairs(ds, threshold: float = 0.8, max_df: int | None = JACCARD_MAX_D
         hi = np.maximum(na, nb).astype(np.float64)
         return lo / hi >= threshold
 
-    N_PARTS = 64
+    N_PARTS = default_parts()
 
     def add_part(batch: pa.Table) -> pa.Table:
         # coarse hash-partition key: Ray's groupby().aggregate() pays Python
-        # per DISTINCT key (124k pair keys -> ~47 s measured); 64 coarse
-        # partitions + a vectorized per-partition reduce does the same
+        # per DISTINCT key (124k pair keys -> ~47 s measured); default_parts()
+        # coarse partitions + a vectorized per-partition reduce does the same
         # shuffle work in milliseconds
         pk = batch.column("pk").to_numpy(zero_copy_only=False)
-        part = (pk.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)
-        return batch.append_column("part", pa.array(part.astype(np.int64) % N_PARTS))
+        return batch.append_column(
+            "part", pa.array(hashing.coarse_partition(pk, N_PARTS)))
 
     def reduce_part(df):
         pk = df["pk"].to_numpy()
@@ -612,14 +612,14 @@ def jaccard_pairs(ds, threshold: float = 0.8, max_df: int | None = JACCARD_MAX_D
 # hash partition + one vectorized np.unique per partition instead
 # ---------------------------------------------------------------------------
 
-_PAIR_PARTS = 64
-
-
 def _dedupe_packed_pairs(val_col: str):
+    # cluster-sized at factory (= pipeline build) time
+    n_parts = default_parts()
+
     def add_part(batch: pa.Table) -> pa.Table:
         pk = batch.column("pk").to_numpy(zero_copy_only=False)
-        part = (pk.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(58)
-        return batch.append_column("part", pa.array(part.astype(np.int64) % _PAIR_PARTS))
+        return batch.append_column(
+            "part", pa.array(hashing.coarse_partition(pk, n_parts)))
 
     return add_part
 
@@ -950,9 +950,12 @@ def cross_source_neardup(docs_ds, threshold: float = 0.7, num_perms: int = 64,
     if broadcast_max_docs is None:
         broadcast_max_docs = CROSS_NEARDUP_BROADCAST_MAX_DOCS
 
+    # materialize the 2-column label projection ONCE: the count that picks
+    # the arm and the arm itself (broadcast to_pandas / shuffle union) then
+    # both read the cached blocks instead of re-scanning docs_ds
     labels = docs_ds.map_batches(
         lambda b: b.select(["doc_id", "source"]), batch_format="pyarrow",
-        batch_size=None)
+        batch_size=None).materialize()
     edges = minhash_pairs(docs_ds, threshold=threshold, num_perms=num_perms,
                           shingle_k=shingle_k, bands=bands, n_parts=n_parts)
 
@@ -969,8 +972,18 @@ def cross_source_neardup(docs_ds, threshold: float = 0.7, num_perms: int = 64,
             k2, v2 = ray.get(lab_ref)
             a = b.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
             bb = b.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-            sa = v2[np.searchsorted(k2, a)]
-            sb = v2[np.searchsorted(k2, bb)]
+            ia = np.searchsorted(k2, a)
+            ib = np.searchsorted(k2, bb)
+            # edges derive from the same docs_ds as labels, so every
+            # endpoint MUST hit; fail loudly (mirroring the shuffle arm's
+            # join semantics) instead of silently attaching a wrong source
+            if len(a) and ((ia >= len(k2)).any() or (ib >= len(k2)).any()
+                           or (k2[ia] != a).any() or (k2[ib] != bb).any()):
+                raise ValueError(
+                    "cross_source_neardup: edge endpoint doc_id missing "
+                    "from the label table")
+            sa = v2[ia]
+            sb = v2[ib]
             g = pd.DataFrame({"source_a": np.minimum(sa, sb),
                               "source_b": np.maximum(sa, sb)})
             return g.groupby(["source_a", "source_b"], sort=False,
@@ -1631,7 +1644,8 @@ def pack_sequences(ds, cap: int = 2048):
     import ray
 
     def project(b: pa.Table) -> pa.Table:
-        nt = textstats.byte_class_counts(b.column("text"))["n_tokens"]
+        nt = textstats.byte_class_counts(b.column("text"),
+                                         need_bpe=False)["n_tokens"]
         return pa.table({"doc_id": b.column("doc_id"), "n_tokens": pa.array(nt)})
 
     narrow = ds.map_batches(project, batch_format="pyarrow", batch_size=None).materialize()
@@ -2738,7 +2752,6 @@ def bigram_pmi(ds, min_pair: int = PMI_MIN_PAIR, n_parts: int | None = None):
 
 
 PASSAGE_W = 8
-_PASSAGE_PARTS = 64
 
 
 def passage_dedup(ds, w: int = PASSAGE_W, n_parts: int | None = None):
@@ -2924,7 +2937,7 @@ def snapshot_merge(base_ds, changes_ds, key_col: str = "key"):
 
     from ..functions.hashing import coarse_partition
 
-    N_PARTS = 64
+    N_PARTS = default_parts()
 
     payload = [c for c in base_ds.schema().names if c != key_col]
 
@@ -4228,6 +4241,8 @@ def unigram_drift(ds, max_vocab: int = DRIFT_MAX_VOCAB):
 
     from ..functions.hashing import fnv_token_hash64
 
+    n_parts = default_parts()
+
     def partial(batch: pa.Table) -> pa.Table:
         empty = pa.table({"token": pa.array([], pa.string()),
                           "a": pa.array([], pa.int64()),
@@ -4258,7 +4273,7 @@ def unigram_drift(ds, max_vocab: int = DRIFT_MAX_VOCAB):
         a = np.bincount(codes[even], minlength=nv).astype(np.int64)
         b = np.bincount(codes[~even], minlength=nv).astype(np.int64)
         key = fnv_token_hash64(dic.dictionary).view(np.int64)
-        part = hashing.coarse_partition(key, _PAIR_PARTS)
+        part = hashing.coarse_partition(key, n_parts)
         return pa.table({"token": dic.dictionary, "a": pa.array(a),
                          "b": pa.array(b),
                          "__part": pa.array(part.astype(np.int64))})
@@ -4430,12 +4445,14 @@ def coverage_curve(pages_ds, k: int = COVERAGE_K):
     from .gridops import topk
     from .sketch import _host_from_url
 
+    n_parts = default_parts()
+
     def host_counts(batch: pa.Table) -> pa.Table:
         host = _host_from_url(batch)
         uniq, cnt = np.unique(host.astype(str), return_counts=True)
         harr = pa.array(uniq.astype(object), pa.string())
         key = fnv_token_hash64(harr).view(np.int64)
-        part = hashing.coarse_partition(key, _PAIR_PARTS)
+        part = hashing.coarse_partition(key, n_parts)
         return pa.table({"host": harr,
                          "pages": pa.array(cnt.astype(np.int64)),
                          "__part": pa.array(part.astype(np.int64))})
@@ -5472,14 +5489,12 @@ def containment_pairs(ds, threshold: float = 0.9,
             "set_size": pa.array(set_size[u_row]),
         })
 
-    N_PARTS = 64
+    N_PARTS = default_parts()
 
     def add_part(batch: pa.Table) -> pa.Table:
         pk = batch.column("pk").to_numpy(zero_copy_only=False)
-        part = (pk.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) \
-            >> np.uint64(58)
         return batch.append_column(
-            "part", pa.array(part.astype(np.int64) % N_PARTS))
+            "part", pa.array(hashing.coarse_partition(pk, N_PARTS)))
 
     def reduce_part(df):
         pk = df["pk"].to_numpy()

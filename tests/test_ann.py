@@ -602,3 +602,44 @@ def test_ann_pq_int_matches_driver_reference(clustered_dir):
         for r, o in enumerate(order, 1):
             rows.append((q, r, int(cand[o]), int(adc[cand[o]])))
     assert [tuple(r) for r in got.itertuples(index=False)] == rows
+
+
+def test_ann_lsh_int_matches_driver_reference(clustered_dir):
+    """Independent driver-side re-derivation of the tiny LSH twin: integer
+    planes from the splitmix chain, sign-bit bands, share->=1-band
+    candidates, exact (dist2, id)-ordered top-k."""
+    import ray.data as rd
+
+    from cuda_gis_smoothing_ray.stages import ann
+
+    ds = rd.read_parquet(f"{clustered_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    got = ann.ann_lsh_int(ds).to_pandas().sort_values(
+        ["query_id", "rank"]).reset_index(drop=True)
+
+    X = _quant_all(clustered_dir)
+    planes = ann._lsh_planes_int(X.shape[1], ann.LSH_TINY_BITS)
+    bands = ann._lsh_bands_int(X, planes, ann.LSH_TINY_BANDS)
+    rows = []
+    for q in range(ann.LSH_TINY_NQ):
+        share = (bands == bands[q][None, :]).any(axis=1)
+        cand = np.nonzero(share & (np.arange(len(X)) != q))[0]
+        d2 = ((X[cand] - X[q][None, :]) ** 2).sum(axis=1)
+        order = np.lexsort((cand, d2))[: ann.LSH_TINY_K]
+        for r, o in enumerate(order, 1):
+            rows.append((q, r, int(cand[o]), int(d2[o])))
+    assert [tuple(r) for r in got.itertuples(index=False)] == rows
+
+
+def test_lsh_int_planes_are_splitmix_chain():
+    """The plane table is exactly splitmix64(b*dim+j) % 65536 - 32768 —
+    the contract lsh_tiny_sql reproduces in HUGEINT."""
+    from cuda_gis_smoothing_ray.functions.hashing import splitmix64
+    from cuda_gis_smoothing_ray.stages import ann
+
+    p = ann._lsh_planes_int(8, 4)
+    for b in range(4):
+        for j in range(8):
+            h = int(splitmix64(np.array([b * 8 + j], dtype=np.uint64))[0])
+            assert p[b, j] == h % 65536 - 32768
+    assert p.min() >= -32768 and p.max() <= 32767
