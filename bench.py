@@ -8,10 +8,12 @@ num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
      "sf": ..., "num_cpus": N, "pages_per_sec": ...}
 
 ``--scaling`` runs a headline pipeline (default flagship; override with
-``$GRAFT_SCALING_QUERY``) twice in FRESH subprocesses at num_cpus=1 and
-num_cpus=4 (``--lo/--hi``) on the same input and reports both throughputs
-plus scaling efficiency (BASELINE.json north_rule: efficiency >= 0.8 between
-cluster sizes N and 4N; evidenced here at two local parallelism levels).
+``$GRAFT_SCALING_QUERY``) at num_cpus=1 and num_cpus=4 (``--lo/--hi``) on
+the same input as ``$GRAFT_SCALING_LEGS`` (default 3) INTERLEAVED lo/hi
+leg pairs, each leg a FRESH warmed subprocess; every raw sample + the
+per-level spread is persisted and the efficiency is computed best-of per
+level (BASELINE.json north_rule: efficiency >= 0.8 between cluster sizes
+N and 4N; evidenced here at two local parallelism levels).
 
 This script OWNS its Ray session (the only places allowed to besides tests).
 """
@@ -341,12 +343,20 @@ def run_scaling(sf_dir: str, replicate: int, lo: int = 1, hi: int = 4,
     # capability at that parallelism (each leg is itself best-of-3 inside
     # run_bench).  Mirrors the headline bench's interleave+best-of design.
     legs = max(1, int(os.environ.get("GRAFT_SCALING_LEGS", "3")))
+    # one timed repeat inside each subprocess (plus its warm-up pass): the
+    # robustness comes from the INTERLEAVED legs, and each extra in-leg
+    # repeat costs a full lo-CPU pass — 3 legs x 1 repeat = 3+ samples per
+    # level at a third of the wall cost of 3 legs x best-of-3 (raise
+    # GRAFT_SCALING_REPEATS for standalone deep runs)
+    leg_repeats = os.environ.get("GRAFT_SCALING_REPEATS", "1")
     samples: dict[int, list[float]] = {lo: [], hi: []}
     n_pages = None
     for _ in range(legs):
         for n in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n), GRAFT_SF_DIR=sf_dir,
-                       GRAFT_REPLICATE=str(replicate), GRAFT_EMBED_SCALING="0")
+                       GRAFT_REPLICATE=str(replicate), GRAFT_EMBED_SCALING="0",
+                       GRAFT_REPEATS=leg_repeats,
+                       GRAFT_SHORT_REPEATS=leg_repeats)
             p = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--one", query,
                  "--warmup", "--replicate", str(replicate)],

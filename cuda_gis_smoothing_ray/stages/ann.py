@@ -96,20 +96,28 @@ def ann_bruteforce(ds, sf_dir: str, k: int = 10, n_queries: int = N_QUERIES):
         x = _emb_matrix(batch)  # (n, d)
         vid = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         xn = np.sqrt(seq_sq_norm(x))
+        qn = np.sqrt(seq_sq_norm(qm))
         out_q, out_v, out_s = [], [], []
-        for qi in range(len(q_ids)):
-            q = qm[qi]
-            sim = seq_dot(x, q) / (xn * np.sqrt(seq_dot(q[None, :], q)[0]))
-            mask = vid != q_ids[qi]
-            cand_v, cand_s = vid[mask], sim[mask]
-            if len(cand_v) > k:
+        # blocked query chunks: ONE vectorized column sweep per chunk
+        # (seq_dot_blocked — bit-identical element op order to the former
+        # per-query seq_dot loop, r4 verdict watch-item: this was the
+        # m-Python-pass kernel under knn_graph where every vector is a
+        # query); chunk bounds the (chunk, n) sim matrix to ~128 MB at
+        # 128k-row blocks
+        q_chunk = 128
+        for q0 in range(0, len(q_ids), q_chunk):
+            q1 = min(q0 + q_chunk, len(q_ids))
+            sims = seq_dot_blocked(qm[q0:q1], x) \
+                / (qn[q0:q1][:, None] * xn[None, :])
+            for qi in range(q0, q1):
+                sim = sims[qi - q0]
+                mask = vid != q_ids[qi]
+                cand_v, cand_s = vid[mask], sim[mask]
                 # top-k by (-sim, vec_id): lexsort is stable + deterministic
                 order = np.lexsort((cand_v, -cand_s))[:k]
-            else:
-                order = np.lexsort((cand_v, -cand_s))
-            out_q.append(np.full(len(order), q_ids[qi], dtype=np.int64))
-            out_v.append(cand_v[order])
-            out_s.append(cand_s[order])
+                out_q.append(np.full(len(order), q_ids[qi], dtype=np.int64))
+                out_v.append(cand_v[order])
+                out_s.append(cand_s[order])
         return pa.table(
             {
                 "query_id": pa.array(np.concatenate(out_q)),

@@ -783,7 +783,48 @@ def minhash_pairs(ds, threshold: float = 0.7, num_perms: int = 64,
         .map_batches(add_part_pk, batch_format="pyarrow", batch_size=None)
         .groupby("part")
         .map_groups(distinct_pk)
-    )
+    ).materialize()  # bounded distinct-pk stream; measured twice below
+
+    # ---- endpoint semi-join filter (round 5) ----
+    # The verify joins only ever match sig rows whose doc_id is a pair
+    # ENDPOINT, but the naive plan unioned the signatures of EVERY doc
+    # into both join shuffles — ~520 B/doc x 2, which the 100 M-page
+    # memstress measured as the dominant spill (the full signature table
+    # shipped twice while candidates referenced <1% of docs).  Endpoints
+    # are bounded by 2x|pairs|, so up to VERIFY_BROADCAST_MAX_ENDPOINTS
+    # the sorted endpoint ids broadcast once (ray.put, ~8 B/id) and docs
+    # are filtered BEFORE the verify signature passes — which also cuts
+    # the 2nd/3rd signature computations to endpoint docs only.  Beyond
+    # the gate the full-stream plan stays (endpoint table corpus-sized).
+    # Filtering cannot change results: non-endpoint sig rows match no
+    # pair row in either join (parity pytest locks both arms).
+    n_pairs = cand.count()
+    sig_source = ds
+    if 2 * n_pairs <= VERIFY_BROADCAST_MAX_ENDPOINTS:
+        import ray as _ray
+
+        def endpoints_of(batch: pa.Table) -> pa.Table:
+            pk = batch.column("pk").to_numpy(zero_copy_only=False)
+            ids = np.unique(np.concatenate(
+                [pk >> np.int64(31), pk & mask31]))
+            return pa.table({"id": pa.array(ids)})
+
+        ep_parts = cand.map_batches(endpoints_of, batch_format="pyarrow",
+                                    batch_size=None).to_pandas()
+        ep_sorted = np.unique(ep_parts["id"].to_numpy(np.int64))
+        ep_ref = _ray.put(ep_sorted)
+
+        def sig_keep(batch: pa.Table) -> pa.Table:
+            ids = _ray.get(ep_ref)
+            doc = batch.column("doc_id").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pos = np.searchsorted(ids, doc)
+            hit = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)]
+                                      == doc)
+            return batch.filter(pa.array(hit))
+
+        sig_source = ds.map_batches(sig_keep, batch_format="pyarrow",
+                                    batch_size=None)
 
     # ---- signature verify: two hash-partition sort-merge joins ----
     def _part_of(key: np.ndarray) -> np.ndarray:
@@ -899,19 +940,25 @@ def minhash_pairs(ds, threshold: float = 0.7, num_perms: int = 64,
             }
         )
 
-    sig1 = ds.map_batches(sig_rows, batch_format="pyarrow")
+    sig1 = sig_source.map_batches(sig_rows, batch_format="pyarrow")
     with_a = (
         sig1.union(cand.map_batches(pair_rows_a, batch_format="pyarrow", batch_size=None))
         .groupby("__part")
         .map_groups(join_a, batch_format="pyarrow")
     )
-    sig2 = ds.map_batches(sig_rows, batch_format="pyarrow")
+    sig2 = sig_source.map_batches(sig_rows, batch_format="pyarrow")
     return (
         sig2.union(with_a.map_batches(pair_rows_b, batch_format="pyarrow", batch_size=None))
         .groupby("__part")
         .map_groups(join_b_verify, batch_format="pyarrow")
     )
 
+
+#: minhash verify endpoint gate: up to this many DISTINCT pair endpoints
+#: the sorted id array broadcasts (8 B/id -> 32 MB at the cap) and sig
+#: rows are filtered to endpoints before the verify joins; beyond it the
+#: full-stream tagged-union plan runs unchanged
+VERIFY_BROADCAST_MAX_ENDPOINTS = 4_000_000
 
 #: below this doc count the endpoint-label table broadcasts (one ray.put,
 #: read per task) instead of the two tagged-union shuffles — the

@@ -597,3 +597,20 @@ def test_cross_source_neardup_arms_parity(ray_session):
         .to_pandas().sort_values(["source_a", "source_b"]).reset_index(drop=True)
     assert fast.equals(slow)
     assert fast["n_pairs"].sum() == 3
+
+
+def test_minhash_verify_arms_parity(planted, monkeypatch):
+    """The endpoint-broadcast semi-join filter (round 5) and the
+    full-stream verify plan must be bit-identical — filtering sig rows to
+    pair endpoints cannot change which joins match."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    def run():
+        return (textops.minhash_pairs(_docs_ds(planted), threshold=0.5)
+                .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+
+    broadcast = run()
+    monkeypatch.setattr(textops, "VERIFY_BROADCAST_MAX_ENDPOINTS", 0)
+    fullstream = run()
+    assert broadcast.equals(fullstream)
+    assert len(broadcast) > 0
