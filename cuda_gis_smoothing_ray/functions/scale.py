@@ -85,3 +85,20 @@ def join_parts(floor: int = 8, cpu_div: int = 4, cap: int = 1024,
         except Exception:
             cpus = 0.0
     return int(min(cap, max(floor, int(cpus) // cpu_div)))
+
+
+def parts_for_rows(n_rows: int, rows_per_part: int = 2_000_000,
+                   cap: int = 65536, floor: int | None = None,
+                   cpus: float | None = None) -> int:
+    """DATA-AWARE coarse-partition count: enough partitions that one
+    partition holds ~``rows_per_part`` rows, floored at the cluster-sized
+    :func:`default_parts`.  Use when the shuffled row count is known (or
+    cheaply estimable) at build time — the CPU-based default keeps every
+    core busy but lets per-partition volume grow linearly with data, and a
+    coarse partition that is later materialized as ONE pandas group must
+    fit a worker heap (the 60 M-page neardup memstress OOM-looped at 64
+    partitions x ~240 MB before this helper).  Partition count never
+    changes results — same contract as :func:`default_parts`."""
+    return int(min(cap, max(default_parts(cpus=cpus) if floor is None
+                            else floor,
+                            n_rows // max(rows_per_part, 1))))

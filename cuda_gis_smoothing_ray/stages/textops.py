@@ -726,15 +726,20 @@ def minhash_pairs(ds, threshold: float = 0.7, num_perms: int = 64,
     def band_rows(batch: pa.Table) -> pa.Table:
         mh = _hasher(num_perms, shingle_k, bands)
         doc = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        _check_pack_ids(doc)  # ids < 2^31: int32 band rows are lossless
         # Arrow column goes straight into the batched hasher (zero-copy
         # offsets/data buffers; no to_pylist round-trip)
         keys = mh.band_keys(mh.signatures(batch.column("text")))  # (n, bands) int64
         bucket = keys.ravel()
+        # doc_id/__part as int32: the band shuffle is THE volume shuffle of
+        # this operator (16 rows/doc) — 16 B/row instead of 24 B is a third
+        # less sort spill at the 100 M-page scale the memstress drives
         return pa.table(
             {
                 "bucket": pa.array(bucket),
-                "doc_id": pa.array(np.repeat(doc, bands)),
-                "__part": pa.array(hashing.coarse_partition(bucket, n_parts)),
+                "doc_id": pa.array(np.repeat(doc.astype(np.int32), bands)),
+                "__part": pa.array(hashing.coarse_partition(bucket, n_parts)
+                                   .astype(np.int32)),
             }
         )
 
@@ -798,9 +803,14 @@ def minhash_pairs(ds, threshold: float = 0.7, num_perms: int = 64,
     # the gate the full-stream plan stays (endpoint table corpus-sized).
     # Filtering cannot change results: non-endpoint sig rows match no
     # pair row in either join (parity pytest locks both arms).
+    # Candidate pairs are heavily CLIQUED (a near-dup cluster of c docs is
+    # C(c,2) pairs over only c endpoints), so the pair count wildly
+    # over-bounds the endpoint count — gate the endpoint COLLECTION on the
+    # pair count (driver transiently holds <= 2x pairs ids) and the
+    # BROADCAST on the measured DISTINCT endpoint count.
     n_pairs = cand.count()
     sig_source = ds
-    if 2 * n_pairs <= VERIFY_BROADCAST_MAX_ENDPOINTS:
+    if n_pairs <= ENDPOINT_COLLECT_MAX_PAIRS:
         import ray as _ray
 
         def endpoints_of(batch: pa.Table) -> pa.Table:
@@ -809,22 +819,27 @@ def minhash_pairs(ds, threshold: float = 0.7, num_perms: int = 64,
                 [pk >> np.int64(31), pk & mask31]))
             return pa.table({"id": pa.array(ids)})
 
-        ep_parts = cand.map_batches(endpoints_of, batch_format="pyarrow",
-                                    batch_size=None).to_pandas()
-        ep_sorted = np.unique(ep_parts["id"].to_numpy(np.int64))
-        ep_ref = _ray.put(ep_sorted)
+        if n_pairs == 0:
+            ep_sorted = np.empty(0, np.int64)  # no candidates: every sig
+        else:                                  # row filters out (to_pandas
+            ep_parts = cand.map_batches(       # of 0 rows is columnless)
+                endpoints_of, batch_format="pyarrow",
+                batch_size=None).to_pandas()
+            ep_sorted = np.unique(ep_parts["id"].to_numpy(np.int64))
+        if len(ep_sorted) <= VERIFY_BROADCAST_MAX_ENDPOINTS:
+            ep_ref = _ray.put(ep_sorted)
 
-        def sig_keep(batch: pa.Table) -> pa.Table:
-            ids = _ray.get(ep_ref)
-            doc = batch.column("doc_id").to_numpy(
-                zero_copy_only=False).astype(np.int64)
-            pos = np.searchsorted(ids, doc)
-            hit = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)]
-                                      == doc)
-            return batch.filter(pa.array(hit))
+            def sig_keep(batch: pa.Table) -> pa.Table:
+                ids = _ray.get(ep_ref)
+                doc = batch.column("doc_id").to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                pos = np.searchsorted(ids, doc)
+                hit = (pos < len(ids)) & (ids[np.minimum(pos, len(ids) - 1)]
+                                          == doc)
+                return batch.filter(pa.array(hit))
 
-        sig_source = ds.map_batches(sig_keep, batch_format="pyarrow",
-                                    batch_size=None)
+            sig_source = ds.map_batches(sig_keep, batch_format="pyarrow",
+                                        batch_size=None)
 
     # ---- signature verify: two hash-partition sort-merge joins ----
     def _part_of(key: np.ndarray) -> np.ndarray:
@@ -959,6 +974,11 @@ def minhash_pairs(ds, threshold: float = 0.7, num_perms: int = 64,
 #: rows are filtered to endpoints before the verify joins; beyond it the
 #: full-stream tagged-union plan runs unchanged
 VERIFY_BROADCAST_MAX_ENDPOINTS = 4_000_000
+
+#: above this candidate-pair count the endpoint ids are not pulled to the
+#: driver at all (the transient pull is <= 2x pairs x 8 B; 50M pairs ->
+#: 800 MB, the practical driver ceiling) and the full-stream plan runs
+ENDPOINT_COLLECT_MAX_PAIRS = 50_000_000
 
 #: below this doc count the endpoint-label table broadcasts (one ray.put,
 #: read per task) instead of the two tagged-union shuffles — the
@@ -1153,12 +1173,14 @@ def simhash_pairs(ds, max_hamming: int = 3, n_bands: int = 4,
             bands[:, b] = ((sh >> np.uint64(b * width)) & mask).astype(np.int64)
             bands[:, b] |= np.int64(b) << np.int64(48)  # band id in key space
         bucket = bands.ravel()
+        _check_pack_ids(doc)  # ids < 2^31: int32 doc/part rows are lossless
         return pa.table(
             {
                 "bucket": pa.array(bucket),
-                "doc_id": pa.array(np.repeat(doc, n_bands)),
+                "doc_id": pa.array(np.repeat(doc.astype(np.int32), n_bands)),
                 "simhash": pa.array(np.repeat(sh.astype(np.int64), n_bands)),
-                "__part": pa.array(hashing.coarse_partition(bucket, n_parts)),
+                "__part": pa.array(hashing.coarse_partition(bucket, n_parts)
+                                   .astype(np.int32)),
             }
         )
 

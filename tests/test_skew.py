@@ -84,14 +84,18 @@ def test_packed_pair_id_overflow_raises(op):
 
     big = 1 << 31
     ds = _docs_ds([big, big + 1], [IDENTICAL, IDENTICAL])
-    if op == "minhash":
-        out = textops.minhash_pairs(ds, threshold=0.5, num_perms=4,
-                                    shingle_k=3, bands=2)
-    elif op == "simhash":
-        out = textops.simhash_pairs(ds, token_hash="fnv")
-    else:
-        out = textops.jaccard_pairs(ds, threshold=0.5, max_df=None)
+    # the guard may fire at BUILD time (minhash_pairs measures its
+    # candidate set eagerly for plan selection) or at consumption — the
+    # contract is refuse-not-corrupt, so both build and consume are in
+    # the raises block
     with pytest.raises(Exception, match=r"2\^31"):
+        if op == "minhash":
+            out = textops.minhash_pairs(ds, threshold=0.5, num_perms=4,
+                                        shingle_k=3, bands=2)
+        elif op == "simhash":
+            out = textops.simhash_pairs(ds, token_hash="fnv")
+        else:
+            out = textops.jaccard_pairs(ds, threshold=0.5, max_df=None)
         out.to_pandas()
 
 

@@ -178,19 +178,46 @@ def main() -> None:
             text = batch.column("text")
             if isinstance(text, pa.ChunkedArray):
                 text = text.combine_chunks()
-            # 15 decimal-rendered splitmix64 tokens per row, keyed by doc id
-            parts = []
-            for t in range(15):
-                v = splitmix64((did * np.int64(16) + t).view(np.uint64))
-                parts.append(pc.cast(pa.array(v.view(np.int64)), pa.string()))
-                parts.append(" ")
-            uniq = pc.binary_join_element_wise(*parts[:-1], "")
+            # 15 BASE36 splitmix64 tokens per row (13 chars each), keyed by
+            # doc id.  Base36, not decimal, on purpose: digit-only tokens
+            # give a ~10^5 5-gram shingle space, and at 60 M docs the
+            # r=4-row LSH bands then produce ~J^4 * N^2 accidental
+            # candidate mass (measured: candidates blew the 4 M endpoint
+            # gate and the full-signature fallback spilled 67 GB).  36^5
+            # ~ 6e7 shingles pushes cross-doc Jaccard to ~2e-6 and the
+            # noise to zero — the realistic entropy of web text.
+            n = len(did)
+            T, L = 15, 13
+            keys = (did[:, None] * np.int64(16)
+                    + np.arange(T, dtype=np.int64)[None, :])
+            v = splitmix64(keys.ravel().view(np.uint64))
+            CH = np.frombuffer(b"0123456789abcdefghijklmnopqrstuvwxyz",
+                               dtype=np.uint8)
+            buf = np.empty((L + 1, n * T), np.uint8)
+            x = v.copy()
+            for i in range(L):
+                buf[i] = CH[(x % np.uint64(36)).astype(np.int64)]
+                x //= np.uint64(36)
+            buf[L] = 32  # space separator
+            w = T * (L + 1)
+            data = np.ascontiguousarray(buf.T.reshape(n, w)[:, :w - 1])
+            offs = np.arange(0, (n + 1) * (w - 1), w - 1, dtype=np.int32)
+            uniq = pa.StringArray.from_buffers(
+                n, pa.py_buffer(offs.tobytes()),
+                pa.py_buffer(data.tobytes()))
             mixed = pc.if_else(pa.array(rep < 10), text, uniq)
             return pa.table({"doc_id": pa.array(did), "text": mixed})
 
         docs = pages.map_batches(as_docs, batch_format="pyarrow",
                                  batch_size=None)
-        pairs = minhash_pairs(docs)
+        # data-aware bucket partitions: one coarse partition is later one
+        # pandas group in bucket_solve, so size by band-row volume (16
+        # rows/page), not just CPUs — 64 CPU-sized partitions OOM-looped
+        # at 60 M pages (~240 MB -> ~1 GB+ per group with conversion)
+        from cuda_gis_smoothing_ray.functions.scale import parts_for_rows
+
+        pairs = minhash_pairs(
+            docs, n_parts=parts_for_rows(n_pages * 16))
 
         def as_ab(b: pa.Table) -> pa.Table:
             return pa.table({"a": b.column("a"), "b": b.column("b")})
