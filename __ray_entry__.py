@@ -944,6 +944,17 @@ def _q_minhash(sf_dir: str):
     return textops.minhash_pairs(_docs(sf_dir)).sort(["a", "b"])
 
 
+def _q_minhash_wide(sf_dir: str):
+    """MinHash with WIDE bands (8 bands x 8 rows over the same 64 perms):
+    the 10^9-doc parameterization — candidate probability per band is J^8
+    instead of J^4, which the 100 M-page memstress showed is the knob that
+    keeps accidental candidate mass linear on shared-vocabulary corpora
+    (BASELINE.md round-5 notes).  Same engine path, same exact verify."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    return textops.minhash_pairs(_docs(sf_dir), bands=8).sort(["a", "b"])
+
+
 def _q_simhash(sf_dir: str):
     """Production SimHash on the vectorized fnv token-hash path (the scale
     path: one Arrow split + byte-position hash passes, zero Python per
@@ -4015,6 +4026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_join": _q_bucketed_join,
         "jaccard_pairs": _q_jaccard,
         "minhash_pairs": _q_minhash,
+        "minhash_pairs_wide": _q_minhash_wide,
         "simhash_pairs": _q_simhash,
         "doc_fingerprints": _q_doc_fingerprints,
         "tfidf": _q_tfidf,
@@ -4528,6 +4540,7 @@ def oracle_sql() -> dict[str, str]:
         # to 64 perms / 5-shingles / 16 bands (minhash) and the vectorized
         # fnv token-hash path (simhash) — bit-exact, no longer rows-only.
         "minhash_pairs": oc.minhash_pairs_tiny_sql(0.7, 64, 5, 16),
+        "minhash_pairs_wide": oc.minhash_pairs_tiny_sql(0.7, 64, 5, 8),
         "cross_source_neardup": oc.cross_source_neardup_sql(0.7, 64, 5, 16),
         "source_divergence_matrix": oc.source_divergence_matrix_sql(),
         "simhash_pairs": oc.simhash_pairs_fnv_sql(),

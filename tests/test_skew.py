@@ -187,3 +187,34 @@ def test_hot_user_running_totals_match_pandas_oracle():
     assert len(got) == n
     for c in ("event_id", "user_id", "seq", "cum_cents"):
         assert (got[c].to_numpy() == df[c].to_numpy()).all(), c
+
+
+def test_parts_for_rows_scales_with_volume():
+    """Data-aware partition sizing: CPU floor at small volume, linear in
+    rows above it, capped."""
+    from cuda_gis_smoothing_ray.functions.scale import (default_parts,
+                                                        parts_for_rows)
+
+    floor = default_parts(cpus=32)
+    assert parts_for_rows(1_000, cpus=32) == floor
+    assert parts_for_rows(960_000_000, cpus=32) == 480  # 60M pages x 16
+    assert parts_for_rows(10**18, cpus=32) == 65536  # capped
+
+
+def test_minhash_wide_bands_subset_of_narrow():
+    """r=8 bands can only LOSE candidates vs r=4 over the same perms —
+    and every pair both emit carries the identical est_jaccard (the
+    verify is band-independent)."""
+    from cuda_gis_smoothing_ray.stages import textops
+
+    ds = _docs_ds(list(range(12)), [IDENTICAL] * 6 + [
+        f"totally different document number {i} about topic {i * 7}"
+        for i in range(6)])
+    narrow = textops.minhash_pairs(ds, threshold=0.5).to_pandas()
+    wide = textops.minhash_pairs(ds, threshold=0.5, bands=8).to_pandas()
+    n = set(zip(narrow["a"], narrow["b"]))
+    w = set(zip(wide["a"], wide["b"]))
+    assert w <= n
+    assert (0, 1) in w  # exact dups always collide in every band
+    m = narrow.merge(wide, on=["a", "b"], suffixes=("_n", "_w"))
+    assert (m["est_jaccard_n"] == m["est_jaccard_w"]).all()
